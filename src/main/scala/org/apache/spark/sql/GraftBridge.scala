@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the private[sql] Column <-> catalyst Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils). Spark 4 hid the
+  * classic constructors; extensions that define native expressions
+  * still need them. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
