@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{DataPrepQueries, QueryDef, RelationalQueries, VulDomainQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory: one entry per implemented
+  * operator family from SURVEY §2 (relational layer), the
+  * training-data-pipeline layer (dedup / similarity / text analysis /
+  * multimodal), and the vulnerability-domain layer (version ordering,
+  * range opcodes, enrichment pipeline). `oracleSql` carries the DuckDB
+  * twin of each query; the feed adapters' full-domain semantics are
+  * additionally pinned by the ScalaTest suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  val allQueries: Seq[QueryDef] =
+    RelationalQueries.all ++ DataPrepQueries.all ++ VulDomainQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The multi-join star-schema revenue rollup (SURVEY J1/A1 shape). */
+  def entry(spark: SparkSession): DataFrame = {
+    functions.VulFunctions.register(spark)
+    allQueries.find(_.name == "q08_multi_join").get.run(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      functions.VulFunctions.register(s)
+      q.run(s, dir)
+    }).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted only for ops whose domain SQL
+    * can't express (none currently — the dpkg-specific cases live in
+    * ScalaTest golden suites instead). */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 }

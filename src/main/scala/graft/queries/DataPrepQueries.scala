@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef.t
+
+/** Training-data-pipeline operator layer: deduplication, similarity
+  * search, text analysis, multimodal plumbing — the operations a
+  * 100 TB corpus pipeline needs beyond the reference's own surface.
+  *
+  * Scale design per operator (these run at sf0.1 locally, but the
+  * plans are written for a 1000-executor corpus):
+  *  - exact dedup: hash-groupBy — one shuffle on the digest key.
+  *  - MinHash/LSH: per-doc signatures computed map-side, candidate
+  *    pairs discovered by an equi-join on band keys (never an O(n²)
+  *    cross join).
+  *  - shingle-Jaccard: equi-join on shingle within a source bucket —
+  *    inverted-index shape, skew-bounded by shingle selectivity.
+  *  - ANN: brute-force only against a broadcast query vector;
+  *    the scale path buckets by hyperplane signs first.
+  */
+object DataPrepQueries {
+
+  /** Tokenize: non-empty whitespace tokens. */
+  private val toksExpr = "filter(split(text, ' '), x -> x <> '')"
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Word 3-shingles from the token array (guarded for short docs). */
+  private val shinglesExpr =
+    s"CASE WHEN size($toksExpr) >= 3 THEN transform(sequence(1, size($toksExpr) - 2), k -> concat_ws(' ', slice($toksExpr, k, 3))) ELSE array() END"
+  private val shinglesSqlCte = s"""
+    toks AS (SELECT doc_id, source, $toksSql AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ts[k:k+2], ' ') AS sh
+           FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS u(k))"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup stats: content-hash groupBy (one shuffle on digest).
+    QueryDef("q30_dedup_exact", Some("""
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_distinct,
+             count(*) - count(DISTINCT md5(text)) AS n_dup
+      FROM documents GROUP BY source ORDER BY source"""),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup"))
+        .orderBy("source")),
+
+    // Token counting (BPE-ish proxy: whitespace tokens + char lengths).
+    QueryDef("q31_token_stats", Some(s"""
+      SELECT lang, count(*) AS n_docs,
+             round(avg(len($toksSql)), 4) AS avg_tokens,
+             CAST(max(len($toksSql)) AS BIGINT) AS max_tokens,
+             round(avg(length(text)), 4) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), expr(s"size($toksExpr)").as("ntok"), length(col("text")).as("nch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("ntok"), 4).as("avg_tokens"),
+          max(col("ntok")).cast("bigint").as("max_tokens"),
+          round(avg("nch"), 4).as("avg_chars"))
+        .orderBy("lang")),
+
+    // Quality scoring: deterministic length/token-band formula.
+    QueryDef("q32_quality_score", Some(s"""
+      SELECT source,
+             round(avg(least(n_chars / 500.0, 1.0) * 0.5 +
+                       CASE WHEN len($toksSql) BETWEEN 12 AND 30 THEN 0.5 ELSE 0.2 END), 4) AS avg_quality,
+             count(*) AS n
+      FROM documents GROUP BY source ORDER BY source"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          (least(col("n_chars") / 500.0, lit(1.0)) * 0.5 +
+            when(expr(s"size($toksExpr)").between(12, 30), 0.5).otherwise(0.2)).as("q"))
+        .groupBy("source")
+        .agg(round(avg("q"), 4).as("avg_quality"), count(lit(1)).as("n"))
+        .orderBy("source")),
+
+    // Language-ID heuristic (vowel-density bands) vs labeled lang.
+    QueryDef("q33_langid", Some("""
+      SELECT lang,
+             CASE WHEN vr >= 0.32 THEN 'v_high' WHEN vr >= 0.28 THEN 'v_mid' ELSE 'v_low' END AS vowel_band,
+             count(*) AS n
+      FROM (SELECT lang,
+              CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                / length(text) AS vr
+            FROM documents)
+      GROUP BY lang, vowel_band ORDER BY lang, vowel_band"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", ""))).cast("double")
+            / length(col("text"))).as("vr"))
+        .select(col("lang"),
+          when(col("vr") >= 0.32, "v_high").when(col("vr") >= 0.28, "v_mid")
+            .otherwise("v_low").as("vowel_band"))
+        .groupBy("lang", "vowel_band").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "vowel_band")),
+
+    // Document fingerprint: digest of the sorted distinct token bag.
+    QueryDef("q34_fingerprint", Some(s"""
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))) AS n_fingerprints
+      FROM documents GROUP BY source ORDER BY source"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          md5(array_join(array_sort(array_distinct(expr(toksExpr))), " ")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_fingerprints"))
+        .orderBy("source")),
+
+    // n-gram Jaccard near-dup: inverted-index equi-join on shingles.
+    QueryDef("q35_ngram_jaccard", Some(s"""
+      WITH $shinglesSqlCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b,
+             round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard
+      FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3
+      ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("sh"))
+          .distinct()
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
+        val pairs = a.join(b,
+            col("sh") === col("sh_b") && col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        pairs
+          .join(cnt.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
+          .join(cnt.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
+          .withColumn("jaccard_raw", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .filter(col("jaccard_raw") >= 0.3)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // MinHash + banded LSH candidate pairs (signatures map-side,
+    // candidates via band-key equi-join — the 100 TB dedup shape).
+    QueryDef("q36_minhash_lsh", Some(s"""
+      WITH $shinglesSqlCte,
+      sig AS (SELECT doc_id,
+                min(md5('0#' || sh)) AS h0, min(md5('1#' || sh)) AS h1,
+                min(md5('2#' || sh)) AS h2, min(md5('3#' || sh)) AS h3
+              FROM sh GROUP BY doc_id),
+      bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("sh"))
+          .distinct()
+        val sig = sh.groupBy("doc_id").agg(
+          min(md5(concat(lit("0#"), col("sh")))).as("h0"),
+          min(md5(concat(lit("1#"), col("sh")))).as("h1"),
+          min(md5(concat(lit("2#"), col("sh")))).as("h2"),
+          min(md5(concat(lit("3#"), col("sh")))).as("h3"))
+        val bands = sig.select(col("doc_id"), md5(concat(col("h0"), lit("|"), col("h1"))).as("band"))
+          .unionByName(sig.select(col("doc_id"), md5(concat(col("h2"), lit("|"), col("h3"))).as("band")))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // Brute-force cosine top-k against a broadcast query vector.
+    QueryDef("q37_cosine_topk", Some("""
+      WITH q AS (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS qv
+                 FROM embeddings WHERE vec_id = 0),
+      e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS ev
+            FROM embeddings WHERE vec_id <> 0)
+      SELECT e.vec_id,
+             round(sum(CAST(e.ev AS DOUBLE) * CAST(q.qv AS DOUBLE))
+               / (sqrt(sum(CAST(e.ev AS DOUBLE) * CAST(e.ev AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qv AS DOUBLE) * CAST(q.qv AS DOUBLE)))), 4) AS cos
+      FROM e JOIN q USING (i) GROUP BY e.vec_id
+      ORDER BY cos DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val q = emb.filter(col("vec_id") === 0).select(col("e").as("qv"))
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(expr(
+              """aggregate(zip_with(e, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+                 / (sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
+                    * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))"""), 4).as("cos"))
+          .orderBy(desc("cos"), col("vec_id")).limit(10)
+      }),
+
+    // Sign-LSH bucketing — the ANN scale path (bucket then search).
+    QueryDef("q38_ann_buckets", Some("""
+      SELECT array_to_string(list_transform(embedding[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+             count(*) AS n
+      FROM embeddings GROUP BY bucket ORDER BY bucket"""),
+      (s, dir) => t(s, dir, "embeddings")
+        .select(expr(
+          "concat_ws('', transform(slice(embedding, 1, 8), x -> CASE WHEN x >= CAST(0 AS FLOAT) THEN '1' ELSE '0' END))").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // Embedding near-dup candidate pairs inside sign-LSH buckets.
+    QueryDef("q39_embedding_neardup", Some("""
+      WITH b AS (SELECT vec_id, label,
+                   array_to_string(list_transform(embedding[1:16],
+                     x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+                 FROM embeddings)
+      SELECT a.bucket, count(*) AS n_pairs,
+             count(CASE WHEN a.label = c.label THEN 1 END) AS n_same_label
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      GROUP BY a.bucket ORDER BY a.bucket"""),
+      (s, dir) => {
+        val b = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), expr(
+            "concat_ws('', transform(slice(embedding, 1, 16), x -> CASE WHEN x >= CAST(0 AS FLOAT) THEN '1' ELSE '0' END))").as("bucket"))
+        b.as("a").join(b.as("c"),
+            col("a.bucket") === col("c.bucket") && col("a.vec_id") < col("c.vec_id"))
+          .groupBy(col("a.bucket").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("a.label") === col("c.label"), 1)).as("n_same_label"))
+          .orderBy("bucket")
+      }),
+
+    // Tumbling-window aggregation (Structured-Streaming-shaped; see
+    // streaming.EventStream for the readStream twin of this plan).
+    QueryDef("q40_window_tumbling", Some("""
+      SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY win_start ORDER BY win_start"""),
+      (s, dir) => t(s, dir, "events")
+        .select(window(expr(QueryDef.tsCol), "5 minutes").as("w"), col("value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"), col("value"))
+        .groupBy("win_start").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("win_start")),
+
+    // Gap-based sessionization (10-minute idle gap) via windows.
+    QueryDef("q41_sessionize", Some("""
+      SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+      FROM (SELECT user_id,
+              CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w IS NULL THEN 1
+                   WHEN epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w > 600000 THEN 1
+                   ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("ms", expr("ts div 1000000"))
+          .withColumn("new_session",
+            when(lag(col("ms"), 1).over(w).isNull, 1)
+              .when(col("ms") - lag(col("ms"), 1).over(w) > 600000, 1)
+              .otherwise(0))
+          .groupBy("user_id")
+          .agg(sum("new_session").cast("bigint").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      }),
+
+    // Multimodal plumbing: opaque binary column + digest/byte-length
+    // metadata (decode itself is the stubbed leaf; see
+    // operators.Multimodal for the mapPartitions plumbing).
+    QueryDef("q42_multimodal_stub", Some("""
+      SELECT source, count(*) AS n,
+             CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+             count(DISTINCT sha256(text)) AS n_distinct_blobs
+      FROM documents GROUP BY source ORDER BY source"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), col("text").cast("binary").as("blob"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("blob"))).cast("bigint").as("total_bytes"),
+          countDistinct(sha2(col("blob"), 256)).as("n_distinct_blobs"))
+        .orderBy("source"))
+  )
+}

@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef.t
+
+/** Generic relational operator layer — each query maps to an operator
+  * family from SURVEY §2 (noted per query). These are the engine's
+  * reusable building blocks exercised on the driver's TPC-H-ish tables
+  * with DuckDB oracles.
+  *
+  * Scale notes baked into the plans: aggregations are partial-agg
+  * friendly (plain groupBy on low-cardinality keys), dimension joins
+  * broadcast the small side, anti/semi joins stay key-only, and every
+  * query orders deterministically so results are reproducible across
+  * cluster sizes.
+  */
+object RelationalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A1/A12 — the classic partial-aggregatable groupBy (map-side combine).
+    QueryDef("q01_agg_pricing", Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // P1 — year-floor filter pushed to the scan.
+    QueryDef("q02_filter_year", Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE year(o_orderdate) >= 1998
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, dir) => t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) >= 1998)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")),
+
+    // P11 — severity banding as a codegen'd when-chain (fixSeverityScore).
+    QueryDef("q03_severity_banding", Some("""
+      SELECT CASE WHEN value >= 90 THEN 'Critical' WHEN value >= 70 THEN 'High'
+                  WHEN value >= 40 THEN 'Medium' WHEN value >= 10 THEN 'Low'
+                  ELSE 'Unknown' END AS severity,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY severity ORDER BY severity"""),
+      (s, dir) => t(s, dir, "events")
+        .withColumn("severity",
+          when(col("value") >= 90, "Critical").when(col("value") >= 70, "High")
+            .when(col("value") >= 40, "Medium").when(col("value") >= 10, "Low")
+            .otherwise("Unknown"))
+        .groupBy("severity")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("severity")),
+
+    // J1-shape — left-outer enrichment join + coalesce backfill.
+    QueryDef("q04_join_enrich", Some("""
+      SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total,
+             round(avg(c_acctbal), 4) AS avg_bal
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      GROUP BY segment ORDER BY segment"""),
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"),
+          round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("segment")),
+
+    // J6-shape — broadcast dimension join (supplier is tiny; NVD-map analog).
+    QueryDef("q05_broadcast_join", Some("""
+      SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("s_name")),
+
+    // J4/J5-shape — anti join (whitelist injection / RHSA culling).
+    QueryDef("q06_anti_join", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""),
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // semi join (EXISTS gate).
+    QueryDef("q07_semi_join", Some("""
+      SELECT p_brand, count(*) AS n FROM part
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+      GROUP BY p_brand ORDER BY p_brand"""),
+      (s, dir) => t(s, dir, "part")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
+    // multi-way join through the star schema (TPC-H Q5 shape); dims broadcast.
+    QueryDef("q08_multi_join", Some("""
+      SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")),
+
+    // G3/G4-shape — explode/unnest generator.
+    QueryDef("q09_explode_words", Some("""
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 20"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word")).limit(20)),
+
+    // A2-shape — set-union aggregation (collect_set/array_distinct).
+    QueryDef("q10_group_collect", Some("""
+      SELECT o_custkey, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             count(*) AS n
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
+
+    // window ranking (deterministic first/last-wins machinery, §4.2-2).
+    QueryDef("q11_window_rank", Some("""
+      SELECT user_id, event_id, round(value, 2) AS value, rn FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        FROM events) WHERE rn <= 3
+      ORDER BY user_id, rn"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"), col("rn"))
+          .orderBy("user_id", "rn")
+      }),
+
+    // A8-shape — last-writer-wins dedup by key via explicit ordering.
+    QueryDef("q12_dedup_lastwin", Some("""
+      SELECT user_id, event_id AS latest_event FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+      ORDER BY user_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("latest_event"))
+          .orderBy("user_id")
+      }),
+
+    // O4/J10-shape — union of feeds then regroup.
+    QueryDef("q13_union_merge", Some("""
+      SELECT user_id, count(*) AS n, round(sum(value), 2) AS total FROM (
+        SELECT user_id, value FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, value FROM events WHERE event_type = 'error')
+      GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.filter(col("event_type") === "purchase").select("user_id", "value")
+          .unionByName(ev.filter(col("event_type") === "error").select("user_id", "value"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("user_id")
+      }),
+
+    // O5 — set difference.
+    QueryDef("q14_set_except", Some("""
+      SELECT p_partkey FROM part
+      EXCEPT SELECT l_partkey AS p_partkey FROM lineitem
+      ORDER BY p_partkey"""),
+      (s, dir) => t(s, dir, "part").select("p_partkey")
+        .except(t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey")))
+        .orderBy("p_partkey")),
+
+    // A5 — highest-priority-wins via ordinal mapping (Priority.Compare).
+    QueryDef("q15_priority_max", Some("""
+      SELECT user_id,
+             CASE max(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                      WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 WHEN 'error' THEN 5 ELSE 0 END)
+               WHEN 1 THEN 'click' WHEN 2 THEN 'view' WHEN 3 THEN 'signup'
+               WHEN 4 THEN 'purchase' WHEN 5 THEN 'error' ELSE 'none' END AS top_type
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => {
+        val ord = when(col("event_type") === "click", 1).when(col("event_type") === "view", 2)
+          .when(col("event_type") === "signup", 3).when(col("event_type") === "purchase", 4)
+          .when(col("event_type") === "error", 5).otherwise(0)
+        t(s, dir, "events")
+          .groupBy("user_id").agg(max(ord).as("mx"))
+          .select(col("user_id"),
+            when(col("mx") === 1, "click").when(col("mx") === 2, "view")
+              .when(col("mx") === 3, "signup").when(col("mx") === 4, "purchase")
+              .when(col("mx") === 5, "error").otherwise("none").as("top_type"))
+          .orderBy("user_id")
+      }),
+
+    // deterministic top-k (ORDER BY + LIMIT with full tie-break).
+    QueryDef("q16_topk", Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .limit(10)),
+
+    // HAVING gate (count-threshold assertions A11 as a relational op).
+    QueryDef("q17_having", Some("""
+      SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+      ORDER BY o_custkey"""),
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .filter(col("n") >= 3)
+        .orderBy("o_custkey")),
+
+    // rollup totals (multi-level aggregation).
+    QueryDef("q18_rollup", Some("""
+      SELECT coalesce(c_mktsegment, 'ALL') AS segment, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY ROLLUP(c_mktsegment) ORDER BY segment"""),
+      (s, dir) => {
+        // SQL ROLLUP via a view: the Dataset .rollup API trips Spark's
+        // ambiguous-column check on the Expand node's duplicated
+        // grouping attribute here; the SQL path resolves cleanly.
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"))
+          .createOrReplaceTempView("q18_base")
+        s.sql("""SELECT coalesce(seg, 'ALL') AS segment, count(*) AS n
+                 FROM q18_base GROUP BY ROLLUP(seg) ORDER BY segment""")
+      }),
+
+    // semi-structured extraction (props JSON column).
+    QueryDef("q19_json_extract", Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+             count(*) AS n
+      FROM events GROUP BY k_bucket ORDER BY k_bucket"""),
+      (s, dir) => t(s, dir, "events")
+        .select((get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_bucket"))
+        .groupBy("k_bucket").agg(count(lit(1)).as("n"))
+        .orderBy("k_bucket")),
+
+    // date bucketing (P-date normalization family).
+    QueryDef("q20_date_trunc", Some("""
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY day ORDER BY day"""),
+      (s, dir) => t(s, dir, "events")
+        .select(date_format(expr(QueryDef.tsCol), "yyyy-MM-dd").as("day"), col("value"))
+        .groupBy("day").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("day")),
+
+    // J3-shape — null backfill through an outer join.
+    QueryDef("q21_coalesce_backfill", Some("""
+      SELECT o_orderstatus, count(*) AS n, round(sum(coalesce(c_acctbal, 0.0)), 2) AS backfilled_bal
+      FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) hc
+        ON o_custkey = hc.c_custkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer").filter(col("c_acctbal") > 5000),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("c_acctbal"), lit(0.0))), 2).as("backfilled_bal"))
+        .orderBy("o_orderstatus")),
+
+    // statistical aggregates.
+    QueryDef("q22_stats", Some("""
+      SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal,
+             round(stddev_samp(c_acctbal), 4) AS sd_bal,
+             round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(round(avg("c_acctbal"), 4).as("avg_bal"),
+          round(stddev_samp("c_acctbal"), 4).as("sd_bal"),
+          round(min("c_acctbal"), 2).as("min_bal"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("c_mktsegment")),
+
+    // exact percentile (interpolating median).
+    QueryDef("q23_percentile", Some("""
+      SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"))
+        .orderBy("c_mktsegment")),
+
+    // K2-shape — conditional dual projection (pivot-style).
+    QueryDef("q24_conditional_pivot", Some("""
+      SELECT user_id,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2).as("purchase_value"))
+        .orderBy("user_id")),
+
+    // A3-shape — min/max/first-non-null merge per group (arg_min analog).
+    QueryDef("q25_regroup_firstwins", Some("""
+      SELECT l_orderkey, arg_min(l_partkey, l_linenumber * 1000000 + l_partkey) AS first_part,
+             count(*) AS n_items,
+             string_agg(DISTINCT CAST(l_partkey AS VARCHAR), ',' ORDER BY CAST(l_partkey AS VARCHAR)) AS parts
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        // the tie-break term makes the ordering key unique — (orderkey,
+        // linenumber) pairs repeat in the synthetic data, and min_by on
+        // ties is engine-arbitrary
+        .agg(min_by(col("l_partkey"), col("l_linenumber") * 1000000 + col("l_partkey")).as("first_part"),
+          count(lit(1)).as("n_items"),
+          array_join(array_sort(collect_set(col("l_partkey").cast("string"))), ",").as("parts"))
+        .orderBy("l_orderkey")),
+
+    // P1 — CVE-name year extraction over synthetic ids (regexp family).
+    QueryDef("q26_cve_year_gate", Some("""
+      SELECT CAST(regexp_extract(cve_name, 'CVE-(\d+)-', 1) AS INTEGER) AS yr, count(*) AS n
+      FROM (SELECT 'CVE-' || CAST(year(o_orderdate) AS VARCHAR) || '-' || CAST(o_orderkey AS VARCHAR) AS cve_name FROM orders)
+      WHERE CAST(regexp_extract(cve_name, 'CVE-(\d+)-', 1) AS INTEGER) >= 1996
+      GROUP BY yr ORDER BY yr"""),
+      (s, dir) => t(s, dir, "orders")
+        .select(concat(lit("CVE-"), year(col("o_orderdate")).cast("string"),
+          lit("-"), col("o_orderkey").cast("string")).as("cve_name"))
+        .select(regexp_extract(col("cve_name"), "CVE-(\\d+)-", 1).cast("int").as("yr"))
+        .filter(col("yr") >= 1996)
+        .groupBy("yr").agg(count(lit(1)).as("n"))
+        .orderBy("yr"))
+  )
+}
