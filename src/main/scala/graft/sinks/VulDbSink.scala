@@ -1,0 +1,254 @@
+package graft.sinks
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, FileOutputStream}
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import javax.crypto.Cipher
+import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{AppModuleVul, Vulnerability}
+
+/** SURVEY K1-K6 — the output artifact writer
+  * (reference memdb.go:82-274, common/db.go:18-61, common/crypto.go:11-34).
+  *
+  * Spark side: route each vuln to one of 12 namespace buckets
+  * (substring match, first bucket wins — K1), project the dual
+  * index/full JSON-lines rows (K2/K3), canonically ordered by
+  * (namespace, name) — a documented deviation from the reference's
+  * nondeterministic Go-map iteration order.
+  *
+  * Driver side (K4/K5/K6): per-file sha256 recorded in the plaintext
+  * KeyVersion header; files tar'd, gzip'd, AES-256-GCM encrypted with
+  * the all-zero 32-byte key (nonce || ciphertext || tag, as Go
+  * gcm.Seal emits); artifact = [4-byte BE header len | header JSON |
+  * ciphertext]. Compact DB carries only ubuntu/debian/centos/alpine
+  * + apps (legacy header-size limit); regular carries all + raw files.
+  *
+  * At 100 TB the per-bucket collect becomes a partition stream into
+  * the tar writer; the artifact format itself is inherently
+  * single-file and stays a driver step.
+  */
+object VulDbSink {
+
+  /** (namespace substring, file prefix) in routing order (memdb.go:169-187). */
+  val buckets: Seq[(String, String)] = Seq(
+    "ubuntu" -> "ubuntu", "debian" -> "debian", "centos" -> "centos",
+    "alpine" -> "alpine", "amzn" -> "amazon", "oracle" -> "oracle",
+    "mariner" -> "mariner", "sles" -> "suse", "photon" -> "photon",
+    "rocky" -> "rocky", "wolfi" -> "wolfi", "chainguard" -> "chainguard")
+
+  val compactPrefixes: Seq[String] = Seq("ubuntu", "debian", "centos", "alpine")
+
+  private val goZeroTime = "0001-01-01T00:00:00Z"
+
+  /** Bucket routing column: first bucket whose namespace substring
+    * matches (memdb.go:88-94). */
+  private def bucketCol = buckets.foldLeft(lit(null).cast("string")) {
+    case (acc, (ns, prefix)) => coalesce(acc, when(col("namespace").contains(ns), prefix))
+  }
+
+  private def goTime(c: org.apache.spark.sql.Column) =
+    coalesce(date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(goZeroTime))
+
+  /** The dual JSON projections, one row per vuln:
+    * (bucket, name, namespace, indexJson, fullJson). */
+  def project(vulns: Dataset[Vulnerability]): DataFrame = {
+    val indexJson = to_json(struct(
+      col("name").as("N"),
+      col("namespace").as("NS"),
+      expr("transform(fixedIn, f -> struct(f.featureName AS N, f.version AS V, f.minVer AS MV))").as("Fixin"),
+      col("cpes").as("CPE")))
+    val fullJson = to_json(struct(
+      col("name").as("N"),
+      col("namespace").as("NS"),
+      col("description").as("D"),
+      col("link").as("L"),
+      col("severity").as("S"),
+      struct(col("cvssV2Vectors").as("Vectors"), col("cvssV2Score").as("Score")).as("C2"),
+      struct(col("cvssV3Vectors").as("Vectors"), col("cvssV3Score").as("Score")).as("C3"),
+      lit("").as("FB"),
+      expr("transform(fixedIn, f -> struct(f.featureName AS N, f.version AS V, f.minVer AS MV, '' AS A))").as("FI"),
+      col("cpes").as("CPE"),
+      expr("transform(cves, c -> c.name)").as("CVE"),
+      col("feedRating").as("RATE"),
+      goTime(col("issuedDate")).as("Issue"),
+      goTime(col("lastModDate")).as("LastMod")))
+    vulns.toDF()
+      .withColumn("bucket", bucketCol)
+      .select(col("bucket"), col("name"), col("namespace"),
+        indexJson.as("indexJson"), fullJson.as("fullJson"))
+  }
+
+  /** App table JSON-lines rows (memdb.go:118-123), canonical order. */
+  def projectApps(apps: Dataset[AppModuleVul]): DataFrame =
+    apps.toDF()
+      .withColumn("appJson", to_json(struct(
+        col("vulName").as("vn"),
+        col("appName").as("an"),
+        col("moduleName").as("mn"),
+        col("importPaths").as("ipt"),
+        col("symbols").as("sym"),
+        col("description").as("desc"),
+        col("link").as("link"),
+        col("score").as("sc"),
+        col("vectors").as("vv2"),
+        col("scoreV3").as("sc3"),
+        col("vectorsV3").as("vv3"),
+        col("severity").as("sev"),
+        expr("transform(affectedVer, v -> struct(v.opCode AS O, v.version AS V))").as("av"),
+        expr("transform(fixedVer, v -> struct(v.opCode AS O, v.version AS V))").as("fv"),
+        expr("transform(unaffectedVer, v -> struct(v.opCode AS O, v.version AS V))").as("uv"),
+        goTime(col("issuedDate")).as("issue"),
+        goTime(col("lastModDate")).as("lastmod"),
+        col("cves").as("cves"))))
+      .select(col("moduleName"), col("vulName"), col("appJson"))
+
+  // ---- driver-side assembly -------------------------------------------
+
+  final case class TarEntry(name: String, bytes: Array[Byte])
+
+  def sha256Hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
+
+  def makeTar(files: Seq[TarEntry]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val tar = new TarArchiveOutputStream(bos)
+    tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_GNU)
+    files.foreach { f =>
+      val e = new TarArchiveEntry(f.name)
+      e.setSize(f.bytes.length.toLong)
+      tar.putArchiveEntry(e)
+      tar.write(f.bytes)
+      tar.closeArchiveEntry()
+    }
+    tar.finish(); tar.close()
+    bos.toByteArray
+  }
+
+  def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  private val zeroKey = new Array[Byte](32)
+
+  /** AES-256-GCM seal: random 12-byte nonce prepended, 16-byte tag
+    * appended (the Java doFinal output already carries the tag). */
+  def encrypt(plain: Array[Byte]): Array[Byte] = {
+    val nonce = new Array[Byte](12)
+    new java.security.SecureRandom().nextBytes(nonce)
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(zeroKey, "AES"),
+      new GCMParameterSpec(128, nonce))
+    nonce ++ cipher.doFinal(plain)
+  }
+
+  def decrypt(sealedBytes: Array[Byte]): Array[Byte] = {
+    val nonce = sealedBytes.take(12)
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(zeroKey, "AES"),
+      new GCMParameterSpec(128, nonce))
+    cipher.doFinal(sealedBytes.drop(12))
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** KeyVersion header JSON (types.go:46-51 — Go field names). */
+  def keyVersionJson(version: String, updateTime: String,
+      keys: Map[String, String], shas: Map[String, String]): String = {
+    def m(kv: Map[String, String]) =
+      kv.toSeq.sortBy(_._1).map { case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }
+        .mkString("{", ",", "}")
+    s"""{"Version":"${jsonEscape(version)}","UpdateTime":"${jsonEscape(updateTime)}","Keys":${m(keys)},"Shas":${m(shas)}}"""
+  }
+
+  /** Assemble one artifact: [4-byte BE header len | header | AES-GCM(tar.gz)]. */
+  def writeDbFile(path: String, headerJson: String, files: Seq[TarEntry]): Unit = {
+    val cipherData = encrypt(gzip(makeTar(files)))
+    val header = headerJson.getBytes("UTF-8")
+    val out = new FileOutputStream(path)
+    try {
+      out.write(ByteBuffer.allocate(4).putInt(header.length).array())
+      out.write(header)
+      out.write(cipherData)
+    } finally out.close()
+  }
+
+  /** Read an artifact back (for tests / consumers):
+    * (headerJson, entries). */
+  def readDbFile(path: String): (String, Seq[TarEntry]) = {
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val headerLen = ByteBuffer.wrap(all, 0, 4).getInt
+    val header = new String(all, 4, headerLen, "UTF-8")
+    val plain = decrypt(all.drop(4 + headerLen))
+    val tar = new TarArchiveInputStream(new GZIPInputStream(new ByteArrayInputStream(plain)))
+    val entries = Iterator.continually(tar.getNextEntry).takeWhile(_ != null).map { e =>
+      TarEntry(e.getName, tar.readAllBytes())
+    }.toSeq
+    (header, entries)
+  }
+
+  /** Full sink: vulns + apps (+ raw passthrough files) -> compact +
+    * regular artifacts in outDir. Returns per-file shas. */
+  def write(vulns: Dataset[Vulnerability], apps: Dataset[AppModuleVul],
+      rawFiles: Seq[TarEntry], outDir: String, version: String,
+      updateTime: String)(implicit spark: SparkSession): Map[String, String] = {
+
+    val projected = project(vulns)
+      .orderBy("namespace", "name")
+      .select("bucket", "indexJson", "fullJson")
+      .collect()
+
+    val byBucket = projected.groupBy(_.getString(0))
+    val bufs = buckets.map { case (_, prefix) =>
+      val rows = byBucket.getOrElse(prefix, Array.empty)
+      val index = rows.map(_.getString(1)).mkString("", "\n", if (rows.isEmpty) "" else "\n")
+      val full = rows.map(_.getString(2)).mkString("", "\n", if (rows.isEmpty) "" else "\n")
+      prefix -> (index.getBytes("UTF-8"), full.getBytes("UTF-8"))
+    }.toMap
+
+    val appRows = projectApps(apps).orderBy("moduleName", "vulName")
+      .select("appJson").collect().map(_.getString(0))
+    val appBytes = appRows.mkString("", "\n", if (appRows.isEmpty) "" else "\n").getBytes("UTF-8")
+
+    val shas = scala.collection.mutable.Map[String, String]()
+    def filesFor(prefixes: Seq[String]): Seq[TarEntry] =
+      prefixes.flatMap { p =>
+        val (idx, full) = bufs(p)
+        shas(s"${p}_index.tb") = sha256Hex(idx)
+        shas(s"${p}_full.tb") = sha256Hex(full)
+        Seq(TarEntry(s"${p}_index.tb", idx), TarEntry(s"${p}_full.tb", full))
+      } :+ { shas("apps.tb") = sha256Hex(appBytes); TarEntry("apps.tb", appBytes) }
+
+    new java.io.File(outDir).mkdirs()
+
+    val compactFiles = filesFor(compactPrefixes)
+    writeDbFile(s"$outDir/cvedb.compact",
+      keyVersionJson(version, updateTime, Map.empty, shas.toMap.filter { case (k, _) =>
+        compactPrefixes.exists(p => k.startsWith(p + "_")) || k == "apps.tb" }),
+      compactFiles)
+
+    val regularFiles = filesFor(buckets.map(_._2)) ++ rawFiles
+    rawFiles.foreach(f => shas(f.name) = sha256Hex(f.bytes))
+    writeDbFile(s"$outDir/cvedb.regular",
+      keyVersionJson(version, updateTime, Map.empty, shas.toMap),
+      regularFiles)
+
+    shas.toMap
+  }
+}

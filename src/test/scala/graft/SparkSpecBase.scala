@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for Spark suites: one lazy session per JVM. */
+trait SparkSpecBase extends AnyFunSuite {
+  lazy implicit val spark: SparkSession = SparkSpecBase.session
+
+  def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+}
+
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.VulFunctions.register(s)
+    s
+  }
+}
