@@ -87,25 +87,26 @@ object VulDbSink {
   /** App table JSON-lines rows (memdb.go:118-123), canonical order. */
   def projectApps(apps: Dataset[AppModuleVul]): DataFrame =
     apps.toDF()
+      // field names = the reference's Go JSON tags (types.go:95-114);
+      // CVEs is tagged "-" there and therefore not serialized
       .withColumn("appJson", to_json(struct(
-        col("vulName").as("vn"),
-        col("appName").as("an"),
-        col("moduleName").as("mn"),
-        col("importPaths").as("ipt"),
-        col("symbols").as("sym"),
-        col("description").as("desc"),
-        col("link").as("link"),
-        col("score").as("sc"),
-        col("vectors").as("vv2"),
-        col("scoreV3").as("sc3"),
-        col("vectorsV3").as("vv3"),
-        col("severity").as("sev"),
-        expr("transform(affectedVer, v -> struct(v.opCode AS O, v.version AS V))").as("av"),
-        expr("transform(fixedVer, v -> struct(v.opCode AS O, v.version AS V))").as("fv"),
-        expr("transform(unaffectedVer, v -> struct(v.opCode AS O, v.version AS V))").as("uv"),
-        goTime(col("issuedDate")).as("issue"),
-        goTime(col("lastModDate")).as("lastmod"),
-        col("cves").as("cves"))))
+        col("vulName").as("VN"),
+        col("appName").as("AN"),
+        col("moduleName").as("MN"),
+        col("importPaths").as("IP"),
+        col("symbols").as("SYM"),
+        col("description").as("D"),
+        col("link").as("L"),
+        col("score").as("SC"),
+        col("vectors").as("VV2"),
+        col("scoreV3").as("SC3"),
+        col("vectorsV3").as("VV3"),
+        col("severity").as("SE"),
+        expr("transform(affectedVer, v -> struct(v.opCode AS O, v.version AS V))").as("AV"),
+        expr("transform(fixedVer, v -> struct(v.opCode AS O, v.version AS V))").as("FV"),
+        expr("transform(unaffectedVer, v -> struct(v.opCode AS O, v.version AS V))").as("UV"),
+        goTime(col("issuedDate")).as("Issue"),
+        goTime(col("lastModDate")).as("LastMod"))))
       .select(col("moduleName"), col("vulName"), col("appJson"))
 
   // ---- driver-side assembly -------------------------------------------

@@ -63,7 +63,8 @@ class VulDbSinkSpec extends SparkSpecBase {
     val appsTb = new String(entries.find(_.name == "apps.tb").get.bytes, "UTF-8")
     val appLines = appsTb.split("\n").filter(_.nonEmpty)
     assert(appLines.length == 2)
-    assert(appLines(0).contains("\"mn\":\"m1\""))
-    assert(appLines(1).contains("\"mn\":\"m2\""))
+    assert(appLines(0).contains("\"MN\":\"m1\""))
+    assert(appLines(1).contains("\"MN\":\"m2\""))
+    assert(appLines(0).contains("\"AV\":[{\"O\":\"lt\",\"V\":\"2.0\"}]"))
   }
 }
