@@ -106,9 +106,11 @@ object Model {
   /** Global year floor (common/db.go:16). */
   val firstYear = 2014
 
-  /** `CVE-2021-9999` -> 2021; -1 when unparseable (common/db.go:63-70). */
+  /** Leading-digit year parse: `2021-9999` or `2021:1234` -> 2021; -1
+    * when the string has no leading digits (common/db.go:63-70 reads
+    * digits up to the first non-digit). */
   def cveYear(name: String): Int = {
-    val m = java.util.regex.Pattern.compile("(\\d{4})-\\d+").matcher(name)
-    if (m.find()) m.group(1).toInt else -1
+    val digits = name.takeWhile(_.isDigit)
+    if (digits.isEmpty || digits.length > 9) -1 else digits.toInt
   }
 }

@@ -21,7 +21,9 @@ object PipelineDemo {
       distroFeeds = Seq(
         AlpineSource.load(spark, s"$fx/alpine_secdb.json"),
         DebianSource.load(spark, s"$fx/debian_main.json", Seq(s"$fx/debian_archive.json")),
-        PhotonSource.load(spark, s"$fx/photon4.json", "4.0")),
+        PhotonSource.load(spark, s"$fx/photon4.json", "4.0"),
+        graft.sources.oval.RhelSource.load(spark, s"$fx/rhel_oval.xml", 8),
+        graft.sources.oval.OracleSource.load(spark, s"$fx/oracle_oval.xml")),
       appFeeds = Seq(
         GhsaSource.load(spark, s"$fx/ghsa_maven.ndjson", "maven"),
         AppSources.k8s(spark, s"$fx/k8s.json"),
