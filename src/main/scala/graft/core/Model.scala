@@ -87,15 +87,18 @@ object Model {
   /** Static release dimension: Ubuntu codename -> version
     * (types.go:162-195). */
   val ubuntuReleases: Map[String, String] = Map(
-    "precise" -> "12.04", "quantal" -> "12.10", "raring" -> "13.04",
-    "trusty" -> "14.04", "utopic" -> "14.10", "vivid" -> "15.04",
-    "wily" -> "15.10", "xenial" -> "16.04", "yakkety" -> "16.10",
+    "upstream" -> "upstream",
+    "precise" -> "12.04", "precise/esm" -> "12.04", "quantal" -> "12.10",
+    "raring" -> "13.04", "trusty" -> "14.04", "trusty/esm" -> "14.04",
+    "utopic" -> "14.10", "vivid" -> "15.04", "wily" -> "15.10",
+    "xenial" -> "16.04", "esm-infra/xenial" -> "16.04", "yakkety" -> "16.10",
     "zesty" -> "17.04", "artful" -> "17.10", "bionic" -> "18.04",
     "cosmic" -> "18.10", "disco" -> "19.04", "eoan" -> "19.10",
     "focal" -> "20.04", "groovy" -> "20.10", "hirsute" -> "21.04",
     "impish" -> "21.10", "jammy" -> "22.04", "kinetic" -> "22.10",
     "lunar" -> "23.04", "mantic" -> "23.10", "noble" -> "24.04",
-    "oracular" -> "24.10", "plucky" -> "25.04")
+    "esm-apps/bionic" -> "18.04", "esm-apps/focal" -> "20.04",
+    "esm-apps/jammy" -> "22.04", "esm-apps/noble" -> "24.04")
 
   /** Debian codename -> version (types.go:197-216). */
   val debianReleases: Map[String, String] = Map(

@@ -23,7 +23,12 @@ object PipelineDemo {
         DebianSource.load(spark, s"$fx/debian_main.json", Seq(s"$fx/debian_archive.json")),
         PhotonSource.load(spark, s"$fx/photon4.json", "4.0"),
         graft.sources.oval.RhelSource.load(spark, s"$fx/rhel_oval.xml", 8),
-        graft.sources.oval.OracleSource.load(spark, s"$fx/oracle_oval.xml")),
+        graft.sources.oval.OracleSource.load(spark, s"$fx/oracle_oval.xml"),
+        graft.sources.oval.SuseSource.load(spark, s"$fx/suse_oval.xml",
+          graft.sources.oval.SuseSource.FeedInfo("sles15", "SUSE Linux Enterprise Server 15 ", "sles:")),
+        graft.sources.oval.MarinerSource.load(spark, s"$fx/mariner_oval.xml"),
+        UbuntuSource.load(spark, s"$fx/ubuntu-tracker"),
+        RockySource.load(spark, s"$fx/rocky_api.json")),
       appFeeds = Seq(
         GhsaSource.load(spark, s"$fx/ghsa_maven.ndjson", "maven"),
         AppSources.k8s(spark, s"$fx/k8s.json"),
