@@ -25,13 +25,16 @@ object DataPrepQueries {
   private val toksExpr = "filter(split(text, ' '), x -> x <> '')"
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** Word 3-shingles from the token array (guarded for short docs). */
+  /** Word 3-shingles from the token array (guarded for short docs),
+    * deduplicated per document map-side — so no global DISTINCT
+    * shuffle is ever needed downstream. */
   private val shinglesExpr =
-    s"CASE WHEN size($toksExpr) >= 3 THEN transform(sequence(1, size($toksExpr) - 2), k -> concat_ws(' ', slice($toksExpr, k, 3))) ELSE array() END"
+    s"array_distinct(CASE WHEN size($toksExpr) >= 3 THEN transform(sequence(1, size($toksExpr) - 2), k -> concat_ws(' ', slice($toksExpr, k, 3))) ELSE array() END)"
+  private val shinglesSqlArr =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toksSql) - 2, 0)), k -> array_to_string(($toksSql)[k:k+2], ' ')))"
   private val shinglesSqlCte = s"""
-    toks AS (SELECT doc_id, source, $toksSql AS ts FROM documents),
-    sh AS (SELECT DISTINCT doc_id, source, array_to_string(ts[k:k+2], ' ') AS sh
-           FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS u(k))"""
+    shdoc AS (SELECT doc_id, source, $shinglesSqlArr AS shs FROM documents),
+    sh AS (SELECT doc_id, source, unnest(shs) AS sh FROM shdoc)"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -124,15 +127,26 @@ object DataPrepQueries {
       WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3
       ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("sh"))
-          .distinct()
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("source"), col("sh"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("sh").as("sh_b"))
-        val pairs = a.join(b,
-            col("sh") === col("sh_b") && col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+        // inverted index: group doc-ids per (source, shingle) bucket
+        // and expand pairs bucket-locally — one shuffle on the shingle
+        // key, no self-join (which would recompute the tokenize+explode
+        // pipeline per side). Shared-shingle counts are the pair
+        // multiplicities; per-doc set sizes come map-side from the
+        // shingle array, so the denominator join reads only a scan.
+        val withShs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), expr(shinglesExpr).as("shs"))
+        val cnt = withShs.select(col("doc_id"), size(col("shs")).as("n"))
+        val pairs = withShs
+          .select(col("source"), col("doc_id"), explode(col("shs")).as("sh"))
+          .groupBy("source", "sh")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (x, i) ->
+                 transform(slice(ids, i + 2, size(ids) - i - 1),
+                   y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
         pairs
           .join(cnt.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
           .join(cnt.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
@@ -145,30 +159,47 @@ object DataPrepQueries {
     // MinHash + banded LSH candidate pairs (signatures map-side,
     // candidates via band-key equi-join — the 100 TB dedup shape).
     QueryDef("q36_minhash_lsh", Some(s"""
-      WITH $shinglesSqlCte,
+      WITH shdoc AS (SELECT doc_id, $shinglesSqlArr AS shs FROM documents),
       sig AS (SELECT doc_id,
-                min(md5('0#' || sh)) AS h0, min(md5('1#' || sh)) AS h1,
-                min(md5('2#' || sh)) AS h2, min(md5('3#' || sh)) AS h3
-              FROM sh GROUP BY doc_id),
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
       bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
                 UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
       ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), explode(expr(shinglesExpr)).as("sh"))
-          .distinct()
-        val sig = sh.groupBy("doc_id").agg(
-          min(md5(concat(lit("0#"), col("sh")))).as("h0"),
-          min(md5(concat(lit("1#"), col("sh")))).as("h1"),
-          min(md5(concat(lit("2#"), col("sh")))).as("h2"),
-          min(md5(concat(lit("3#"), col("sh")))).as("h3"))
-        val bands = sig.select(col("doc_id"), md5(concat(col("h0"), lit("|"), col("h1"))).as("band"))
-          .unionByName(sig.select(col("doc_id"), md5(concat(col("h2"), lit("|"), col("h3"))).as("band")))
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // signatures computed map-side with array_min over the shingle
+        // array — no explode, no shuffle until the tiny band join.
+        // The shingle array is materialized once per row first: inlining
+        // it into each lambda defeats common-subexpression elimination.
+        def mh(seed: Int) = array_min(expr(
+          s"transform(shs, x -> md5(concat('$seed#', x)))"))
+        val sig = t(s, dir, "documents")
+          .select(col("doc_id"), expr(shinglesExpr).as("shs"))
+          .select(col("doc_id"),
+            mh(0).as("h0"), mh(1).as("h1"), mh(2).as("h2"), mh(3).as("h3"))
+          .filter(col("h0").isNotNull)
+        // bucket-local pair generation: one shuffle on the band key,
+        // pairs expanded from each bucket's sorted id list. A band
+        // self-join would recompute the signature pipeline once per
+        // join side (higher-order md5 lambdas are interpreted, so
+        // that recomputation dominates) and is the skew-prone shape
+        // at corpus scale.
+        val bands = sig.select(col("doc_id"), explode(array(
+          md5(concat(col("h0"), lit("|"), col("h1"))),
+          md5(concat(col("h2"), lit("|"), col("h3"))))).as("band"))
+        bands.groupBy("band")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (x, i) ->
+                 transform(slice(ids, i + 2, size(ids) - i - 1),
+                   y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
           .distinct()
           .orderBy("doc_a", "doc_b")
       }),

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming twins of the batch event queries: the same
+  * logical plans driven by readStream, so a deployment can switch the
+  * events table between batch parquet and a live stream without
+  * changing the aggregation code (the reference is batch-only —
+  * SURVEY §2.9 — this is the engine's streaming extension).
+  *
+  * Scale: tumbling windows with watermarks keep state bounded;
+  * sessionization uses flatMapGroupsWithState with an explicit
+  * timeout so idle users are evicted.
+  */
+object EventStream {
+
+  /** The driver-generated events schema (ts = epoch nanos; see
+    * GraftSession's nanosAsLong note). */
+  val eventsSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+  /** Shared plan: 5-minute tumbling counts/sums, watermarked. The
+    * exact aggregation mirrored by batch query q40_window_tumbling. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Run the tumbling aggregation as a stream over a parquet directory
+    * and materialize to an in-memory table; returns the query.
+    * `glob` narrows the directory to the events files (readStream
+    * requires a directory path, not a file). */
+  def runTumbling(spark: SparkSession, dir: String, queryName: String,
+      glob: String = "*.parquet"): StreamingQuery = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    tumblingCounts(stream)
+      .writeStream
+      // Complete mode: Append would hold back windows newer than the
+      // watermark, which never finalize once an AvailableNow run ends
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  final case class SessionInput(user_id: Long, ms: Long)
+  final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  final case class SessionState(nSessions: Long, nEvents: Long, lastMs: Long)
+
+  /** Stateful gap-based sessionization (10-minute idle gap) via
+    * flatMapGroupsWithState — the streaming twin of q41_sessionize.
+    * Emits one summary per user per trigger (Update mode). */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 600000L): DataFrame = {
+    import spark.implicits._
+    val input = events
+      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .as[SessionInput]
+
+    input.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ms)
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          for (r <- sorted) {
+            val newSession = st.lastMs == Long.MinValue || r.ms - st.lastMs > gapMs
+            st = SessionState(st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1, r.ms)
+          }
+          state.update(st)
+          Iterator.single(SessionSummary(user, st.nSessions, st.nEvents))
+      }.toDF()
+  }
+}

@@ -7,32 +7,32 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build("probe")
     spark.sparkContext.setLogLevel("ERROR")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
     val dir = "/root/testdata/sf0.001"
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-    val customer = spark.read.parquet(s"$dir/customer.parquet")
 
-    // variant 1: Dataset rollup after projection
-    try {
-      orders.join(customer, col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("seg"))
-        .rollup("seg").agg(count(lit(1)).as("n"))
-        .toDF("seg2", "n")
-        .select(coalesce(col("seg2"), lit("ALL")).as("segment"), col("n"))
-        .orderBy("segment").show()
-      println("variant1 OK")
-    } catch { case e: Throwable => println(s"variant1 FAIL: ${e.getMessage.take(120)}") }
+    // streaming surface: tumbling windows via readStream
+    val q = graft.streaming.EventStream.runTumbling(spark, dir, "probe_stream", "events.parquet")
+    q.awaitTermination(60000)
+    val n = spark.sql("SELECT count(*) AS n, sum(n) AS events FROM probe_stream").collect()(0)
+    println(s"[probe] stream tumbling: ${n.getLong(0)} window rows, ${n.getLong(1)} events")
 
-    // variant 2: SQL GROUP BY ROLLUP over a temp view
-    try {
-      orders.join(customer, col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("seg"))
-        .createOrReplaceTempView("q18_base")
-      spark.sql("SELECT seg, count(*) AS n FROM q18_base GROUP BY seg ORDER BY seg").show()
-      spark.sql("SELECT coalesce(seg, 'ALL') AS segment, count(*) AS n FROM q18_base GROUP BY ROLLUP(seg) ORDER BY segment").show(10)
-      spark.sql("SELECT seg, grouping(seg) AS g, count(*) AS n FROM q18_base GROUP BY ROLLUP(seg)").show(10)
-      println("variant2 OK")
-    } catch { case e: Throwable => println(s"variant2 FAIL: ${e.getMessage.take(120)}") }
+    // streaming surface: stateful sessionization
+    val sess = graft.streaming.EventStream.sessionize(spark,
+      spark.read.parquet(s"$dir/events.parquet"))
+    println(s"[probe] sessionize: ${sess.count()} users, total sessions = " +
+      sess.agg(sum("n_sessions")).collect()(0).get(0))
 
+    // multimodal surface
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("blob", col("text").cast("binary"))
+    val stats = graft.operators.Multimodal.mediaStats(docs, "blob", Seq("lang"))
+    stats.orderBy("lang").show(5, false)
+
+    // empty-binary probe
+    import spark.implicits._
+    val weird = Seq(("a", Array.empty[Byte]), ("b", null.asInstanceOf[Array[Byte]]),
+      ("c", "bytes".getBytes)).toDF("id", "blob")
+    graft.operators.Multimodal.withMediaMeta(weird, "blob").select("id", "media.ok", "media.digest").show()
     spark.stop()
   }
 }

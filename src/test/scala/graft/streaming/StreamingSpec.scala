@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.operators.Multimodal
+
+/** Streaming twins match their batch queries; multimodal plumbing. */
+class StreamingSpec extends SparkSpecBase {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("tumbling window stream matches the batch plan") {
+    val q = EventStream.runTumbling(spark, sfDir, "stream_tumbling", "events.parquet")
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT win_start, sum(n) AS n, round(sum(total), 2) AS total FROM stream_tumbling GROUP BY win_start")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val batch = EventStream.tumblingCounts(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .groupBy("win_start")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum("total"), 2).as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionization matches the batch window query") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val streamed = EventStream.sessionize(spark, events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch q41 twin
+    val batch = graft.SparkEntry.queries("q41_sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("multimodal: meta decode + frame sampling plumbing") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("blob", org.apache.spark.sql.functions.col("text").cast("binary"))
+
+    val stats = Multimodal.mediaStats(docs, "blob", Seq("source")).collect()
+    assert(stats.length == 20)
+    assert(stats.forall(r => r.getAs[Long]("n") == r.getAs[Long]("n_decoded")))
+
+    val frames = Multimodal.sampleFrames(docs.limit(5), "blob", 4).collect()
+    assert(frames.length == 20) // 5 docs x 4 frames
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSet == Set(0, 1, 2, 3))
+    // deterministic digests
+    val again = Multimodal.sampleFrames(docs.limit(5), "blob", 4).collect()
+    assert(frames.map(_.getAs[String]("frame_digest")).toSeq ==
+      again.map(_.getAs[String]("frame_digest")).toSeq)
+  }
+}
