@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable corpus-deduplication operators — the library form of the
+  * q30/q35/q36/q38 query shapes (see SCALE.md §4 for the 100 TB
+  * rationale: signatures map-side, candidates via key groupBys with
+  * bucket-local pair expansion, never self-joins). */
+object Dedup {
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), x => x =!= "")
+
+  /** Distinct word n-shingles of a text column (empty below n tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          k => concat_ws(" ", slice(ts, k, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** Exact-duplicate groups by content digest: (digest, ids, n). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** MinHash signature columns h0..h{k-1} over a shingle-array column
+    * (computed map-side; deterministic md5-based hash family). */
+  def minhashSignature(df: DataFrame, shinglesCol: String, k: Int): DataFrame =
+    (0 until k).foldLeft(df) { (d, i) =>
+      d.withColumn(s"h$i",
+        array_min(transform(col(shinglesCol), x => md5(concat(lit(s"$i#"), x)))))
+    }
+
+  /** Banded-LSH candidate pairs from signature columns: bands of
+    * `rowsPerBand` hashes, pairs expanded bucket-locally. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until k / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+    }
+    sig
+      .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("band"))
+      .groupBy("band")
+      .agg(sort_array(collect_set(col("_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** End-to-end near-dup candidates for a text corpus. */
+  def minhashNearDupCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(
+      df.select(col(idCol), shingles(col(textCol), shingleN).as("_shs")),
+      "_shs", numHashes)
+      .filter(col("h0").isNotNull)
+    lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+  }
+
+  /** SimHash64 of a token array: per-token md5-derived 64-bit hash,
+    * bitwise majority vote. A scalar UDF leaf (like the version
+    * functions): it runs map-side per document, so only one long per
+    * doc ever shuffles. */
+  private val simhashF = (tokens: scala.collection.Seq[String]) => {
+    val counts = new Array[Int](64)
+    if (tokens != null) for (t <- tokens) {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash64(tokensCol: Column): Column = udf(simhashF).apply(tokensCol)
+
+  /** Hamming distance between two simhash64 values (bit_count is a
+    * codegen'd built-in). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

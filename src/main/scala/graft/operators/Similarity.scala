@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (`array<float>`) — library form of q37-q39. Baseline: brute-force
+  * cosine against a broadcast query vector; scale path: sign-LSH
+  * bucketing so probes search ~n/2^bits rows (SCALE.md §4). */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns (built-ins
+    * only — zip_with + aggregate, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force top-k against one query vector: the query is a
+    * literal broadcast into the plan; one map-side pass + ordered
+    * limit. */
+  def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol),
+        round(cosine(asDouble(col(embCol)), q), 4).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket key from the first `bits` dimensions. */
+  def signBucket(embCol: Column, bits: Int): Column =
+    concat_ws("", transform(slice(embCol, 1, bits),
+      x => when(x >= lit(0f), "1").otherwise("0")))
+
+  /** Bucketed ANN: assign buckets once, search only the query's
+    * bucket. Returns top-k within the bucket — the recall/latency
+    * trade the bucketed path buys at scale. */
+  def bucketedTopK(df: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, bits: Int): DataFrame = {
+    val queryBucket = query.take(bits).map(v => if (v >= 0) "1" else "0").mkString
+    bruteForceTopK(
+      df.filter(signBucket(col(embCol), bits) === queryBucket),
+      embCol, idCol, query, k)
+  }
+
+  /** Near-duplicate embedding pairs above a cosine threshold, searched
+    * bucket-locally (no O(n^2) cross join): group ids+vectors per sign
+    * bucket, expand pairs inside the bucket, then score. */
+  def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
+      bits: Int, minCosine: Double): DataFrame = {
+    df.select(col(idCol).as("_id"), asDouble(col(embCol)).as("_e"),
+        signBucket(col(embCol), bits).as("_bucket"))
+      .groupBy("_bucket")
+      .agg(sort_array(collect_list(struct(col("_id"), col("_e")))).as("rows"))
+      .filter(size(col("rows")) > 1)
+      .select(explode(expr(
+        """flatten(transform(rows, (x, i) ->
+             transform(slice(rows, i + 2, size(rows) - i - 1),
+               y -> struct(x._id AS id_a, y._id AS id_b, x._e AS e_a, y._e AS e_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        round(cosine(col("p.e_a"), col("p.e_b")), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

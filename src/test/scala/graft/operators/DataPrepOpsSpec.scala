@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Library-form dedup/similarity/quality-gate operators. */
+class DataPrepOpsSpec extends SparkSpecBase {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash near-dup candidates match the q36 query") {
+    val lib = Dedup.minhashNearDupCandidates(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = graft.SparkEntry.queries("q36_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lib == q)
+    assert(lib.nonEmpty)
+  }
+
+  test("exact groups empty on this corpus (no exact dups), non-empty on a doctored one") {
+    assert(Dedup.exactGroups(docs, "text", "doc_id").count() == 0)
+    val doctored = docs.limit(3).union(docs.limit(3))
+    assert(Dedup.exactGroups(doctored, "text", "doc_id").count() == 3)
+  }
+
+  test("simhash64 deterministic and similarity-sensitive") {
+    val withSim = docs.limit(50)
+      .select(col("doc_id"), Dedup.simhash64(Dedup.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = docs.limit(50)
+      .select(col("doc_id"), Dedup.simhash64(Dedup.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withSim == again)
+    assert(withSim.values.toSet.size > 1)
+  }
+
+  test("brute-force and bucketed ANN agree on the bucket's members") {
+    val query = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect()(0).getSeq[Double](0)
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0))
+    // matches the q37 oracle-checked query
+    val q37 = graft.SparkEntry.queries("q37_cosine_topk")(spark, sfDir)
+      .collect().map(_.getLong(0))
+    assert(brute.sameElements(q37))
+
+    val bucketed = Similarity.bucketedTopK(emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, 10, 4)
+      .collect().map(_.getLong(0))
+    // bucketed results are a subset of the corpus restricted to the
+    // query's bucket; every returned id must share the sign prefix
+    assert(bucketed.nonEmpty)
+    val bucketIds = emb.select(col("vec_id"))
+      .filter(Similarity.signBucket(col("embedding"), 4) ===
+        query.take(4).map(v => if (v >= 0) "1" else "0").mkString)
+      .collect().map(_.getLong(0)).toSet
+    assert(bucketed.forall(bucketIds.contains))
+  }
+
+  test("near-dup embedding pairs scored bucket-locally") {
+    val pairs = Similarity.nearDupPairs(emb, "embedding", "vec_id", 8, -1.0)
+    val n = pairs.count()
+    assert(n > 0)
+    assert(pairs.filter(col("cos") > 1.0001).count() == 0)
+  }
+
+  test("quality gates enforce floors") {
+    val g1 = QualityGates.gate("docs", docs, 100)
+    assert(g1.ok && g1.count == 500)
+    val g2 = QualityGates.gate("docs", docs, 10000)
+    assert(!g2.ok)
+    intercept[IllegalStateException] {
+      QualityGates.enforce(Seq(g1, g2))
+    }
+    QualityGates.enforce(Seq(g1))
+  }
+}
