@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: deployments add
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and the engine's native
+  * expressions resolve in plain SQL on every session — no per-session
+  * register() call. UDF-backed helpers still come from
+  * VulFunctions.register (UDF registration is session-state, not an
+  * extension injection). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("version_cmp"),
+      new ExpressionInfo(classOf[VersionCmp].getName, "version_cmp"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"version_cmp requires exactly 2 arguments, got ${exprs.length}")
+        VersionCmp(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -45,6 +45,11 @@ object VersionExpressions {
   /** Register `version_cmp` for SQL use on this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "version_cmp", exprs => VersionCmp(exprs(0), exprs(1)), "built-in")
+      "version_cmp", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"version_cmp requires exactly 2 arguments, got ${exprs.length}")
+        VersionCmp(exprs(0), exprs(1))
+      }, "built-in")
   }
 }

@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extensions module's function injections to a fresh
+    * registry (for testing extension wiring without building a second
+    * SparkSession — registerFunctions is private[sql]). */
+  def functionRegistryOf(ext: SparkSessionExtensions => Unit): catalyst.analysis.FunctionRegistry = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.registerFunctions(new catalyst.analysis.SimpleFunctionRegistry)
+  }
 }

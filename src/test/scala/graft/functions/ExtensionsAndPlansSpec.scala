@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpecBase
+
+/** Session-extension registration + physical-plan regression guards
+  * for the scale-critical properties documented in SCALE.md. */
+class ExtensionsAndPlansSpec extends SparkSpecBase {
+
+  test("GraftExtensions injects version_cmp") {
+    // a second getOrCreate in this JVM would just return (and a close
+    // would kill) the shared test session, so exercise the injection
+    // against a fresh registry via the bridge
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val registry = GraftBridge.functionRegistryOf(new GraftExtensions)
+    val e = registry.lookupFunction(new FunctionIdentifier("version_cmp"),
+      Seq(Literal("1.0~rc1"), Literal("1.0")))
+    assert(e.eval(null) == -1)
+    val e2 = registry.lookupFunction(new FunctionIdentifier("version_cmp"),
+      Seq(Literal("2.9.1-6.el7.4"), Literal("2.9.1-6.el7_2.2")))
+    assert(e2.eval(null) == 1)
+  }
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("star join streams the fact side through broadcast hash joins") {
+    val p = plan("q08_multi_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("year-floor filter reaches the parquet scan") {
+    val p = plan("q02_filter_year")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("enrichment pipeline broadcasts the dimension") {
+    assert(plan("q52_enrich_pipeline").contains("BroadcastHashJoin"))
+  }
+
+  test("version_cmp stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(4).select(
+      VersionExpressions.version_cmp(col("id").cast("string"), lit("2")).as("c"))
+    val p = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks WholeStageCodegen spans in compact plans
+    assert(p.contains("*(1) Project [version_cmp"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(-1, -1, 0, 1))
+  }
+}
