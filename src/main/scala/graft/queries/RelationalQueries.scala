@@ -365,6 +365,57 @@ object RelationalQueries {
           array_join(array_sort(collect_set(col("l_partkey").cast("string"))), ",").as("parts"))
         .orderBy("l_orderkey")),
 
+    // set intersection (O5 family, complements q14's EXCEPT).
+    QueryDef("q27_set_intersect", Some("""
+      SELECT p_partkey FROM part
+      INTERSECT SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 49
+      ORDER BY p_partkey"""),
+      (s, dir) => t(s, dir, "part").select("p_partkey")
+        .intersect(t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+          .select(col("l_partkey").as("p_partkey")))
+        .orderBy("p_partkey")),
+
+    // date arithmetic across a join: order-to-ship latency.
+    QueryDef("q28_date_arithmetic", Some("""
+      SELECT o_orderpriority,
+             round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_ship_days,
+             CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_ship_days,
+             count(*) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate"))
+        .withColumn("ship_days",
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+        .groupBy("o_orderpriority")
+        .agg(round(avg("ship_days"), 4).as("avg_ship_days"),
+          max("ship_days").cast("bigint").as("max_ship_days"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // edit-distance near-dup (levenshtein is codegen'd in Spark and a
+    // native function in DuckDB) over a bounded candidate set.
+    QueryDef("q29_edit_distance", Some("""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS dist
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+        AND a.doc_id < 200 AND b.doc_id < 200
+      WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 20
+      ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("source"), substring(col("text"), 1, 40).as("prefix"))
+        d.as("a").join(d.as("b"),
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          .withColumn("dist", levenshtein(col("a.prefix"), col("b.prefix")))
+          .filter(col("dist") <= 20)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // P1 — CVE-name year extraction over synthetic ids (regexp family).
     QueryDef("q26_cve_year_gate", Some("""
       SELECT CAST(regexp_extract(cve_name, 'CVE-(\d+)-', 1) AS INTEGER) AS yr, count(*) AS n
