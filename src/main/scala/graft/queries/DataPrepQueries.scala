@@ -127,29 +127,28 @@ object DataPrepQueries {
       WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3
       ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        // inverted index: group doc-ids per (source, shingle) bucket
-        // and expand pairs bucket-locally — one shuffle on the shingle
-        // key, no self-join (which would recompute the tokenize+explode
-        // pipeline per side). Shared-shingle counts are the pair
-        // multiplicities; per-doc set sizes come map-side from the
-        // shingle array, so the denominator join reads only a scan.
-        val withShs = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), expr(shinglesExpr).as("shs"))
-        val cnt = withShs.select(col("doc_id"), size(col("shs")).as("n"))
-        val pairs = withShs
-          .select(col("source"), col("doc_id"), explode(col("shs")).as("sh"))
+        // inverted index with ONE scan and zero joins: each exploded
+        // shingle row carries (doc_id, set size), buckets expand pairs
+        // locally, and the pair groupBy keys on (ids, sizes) so the
+        // Jaccard denominator needs no lookback join. One shuffle on
+        // the shingle key + one on the pair key.
+        val pairs = t(s, dir, "documents")
+          .select(col("source"), expr(shinglesExpr).as("shs"), col("doc_id"))
+          .select(col("source"),
+            struct(col("doc_id"), size(col("shs")).as("n")).as("d"),
+            explode(col("shs")).as("sh"))
           .groupBy("source", "sh")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .agg(sort_array(collect_set(col("d"))).as("ids"))
           .filter(size(col("ids")) > 1)
           .select(explode(expr(
             """flatten(transform(ids, (x, i) ->
                  transform(slice(ids, i + 2, size(ids) - i - 1),
-                   y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+                   y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                               x.n AS na, y.n AS nb))))""")).as("p"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.na").as("na"), col("p.nb").as("nb"))
           .agg(count(lit(1)).as("shared"))
         pairs
-          .join(cnt.select(col("doc_id"), col("n").as("na")), col("doc_a") === col("doc_id")).drop("doc_id")
-          .join(cnt.select(col("doc_id"), col("n").as("nb")), col("doc_b") === col("doc_id")).drop("doc_id")
           .withColumn("jaccard_raw", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
           .filter(col("jaccard_raw") >= 0.3)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
