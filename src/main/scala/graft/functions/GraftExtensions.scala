@@ -22,5 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"version_cmp requires exactly 2 arguments, got ${exprs.length}")
         VersionCmp(exprs(0), exprs(1))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      TextExpressions.fromSeqShingles _))
+    extensions.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+      TextExpressions.fromSeqMinhash _))
   }
 }

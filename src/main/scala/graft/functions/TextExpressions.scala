@@ -1,0 +1,218 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.GraftBridge
+
+/** Compiled text kernels for the dedup/similarity operators.
+  *
+  * The q35/q36 shingle + MinHash pipelines were first written with
+  * higher-order built-ins (`transform(sequence(...), k ->
+  * concat_ws(' ', slice(toks, k, 3)))`); lambda HOFs are interpreted
+  * (never codegen'd) and `slice` copies per element, so at 100 TB the
+  * per-shingle constant dominates the job. These static kernels do one
+  * tight pass per document and sit inside whole-stage codegen via the
+  * expressions below — same contract as VersionOps/VersionCmp.
+  *
+  * Semantics are locked to the DuckDB-oracle formulation:
+  * tokens  = split on single space, drop empties;
+  * shingle = n consecutive tokens joined by one space, set-distinct,
+  *           first-occurrence order; fewer than n tokens -> empty;
+  * minhash = per seed i in 0..k-1, min over shingles of
+  *           md5("i#" ++ shingle) as lowercase hex (min over digest
+  *           bytes == lexicographic min over hex).
+  */
+object TextOps {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned lexicographic byte compare (matches hex-string order). */
+  private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Byte ranges of non-empty single-space-separated tokens. UTF-8
+    * multibyte sequences never contain 0x20, so a raw byte scan is
+    * exact. Returns flat (start, end) pairs. */
+  private def tokenSpans(bytes: Array[Byte]): Array[Int] = {
+    val spans = new java.util.ArrayList[Integer](64)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        if (i > start) { spans.add(start); spans.add(i) }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Int](spans.size())
+    var j = 0
+    while (j < out.length) { out(j) = spans.get(j); j += 1 }
+    out
+  }
+
+  /** Distinct word n-shingles as raw byte arrays, first-occurrence
+    * order. */
+  private def shingleBytes(text: UTF8String, n: Int): java.util.LinkedHashMap[UTF8String, Array[Byte]] = {
+    val out = new java.util.LinkedHashMap[UTF8String, Array[Byte]]()
+    if (text == null) return out
+    val bytes = text.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    var i = 0
+    while (i + n <= nTok) {
+      // length = token bytes + (n-1) separators
+      var len = n - 1
+      var t = 0
+      while (t < n) { len += spans(2 * (i + t) + 1) - spans(2 * (i + t)); t += 1 }
+      val sh = new Array[Byte](len)
+      var pos = 0
+      t = 0
+      while (t < n) {
+        if (t > 0) { sh(pos) = ' '.toByte; pos += 1 }
+        val s = spans(2 * (i + t)); val e = spans(2 * (i + t) + 1)
+        System.arraycopy(bytes, s, sh, pos, e - s)
+        pos += e - s
+        t += 1
+      }
+      val key = UTF8String.fromBytes(sh)
+      if (!out.containsKey(key)) out.put(key, sh)
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct n-shingles of a text (empty array below n tokens). */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val m = shingleBytes(text, n)
+    val arr = new Array[Any](m.size())
+    val it = m.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature: k lowercase-hex md5-min values over the
+    * distinct n-shingles; null when the text has no shingles. */
+  def minhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val m = shingleBytes(text, n)
+    if (m.isEmpty) return null
+    val md = md5Local.get()
+    val mins = new Array[Array[Byte]](k)
+    val seeds = new Array[Array[Byte]](k)
+    var s = 0
+    while (s < k) { seeds(s) = (s.toString + "#").getBytes("UTF-8"); s += 1 }
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val sh = it.next()
+      s = 0
+      while (s < k) {
+        md.reset()
+        md.update(seeds(s))
+        md.update(sh)
+        val d = md.digest()
+        if (mins(s) == null || ltUnsigned(d, mins(s))) mins(s) = d
+        s += 1
+      }
+    }
+    val out = new Array[Any](k)
+    s = 0
+    while (s < k) { out(s) = hex(mins(s)); s += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `shingles(text, n)` -> array<string> of distinct word n-shingles. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingles: n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextOps.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
+/** `minhash_sig(text, n, k)` -> array<string> of k md5-min hex values
+  * over the text's n-shingles; null when no shingles. */
+case class MinhashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  require(n >= 1 && k >= 1, "minhash_sig: n and k must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TextOps.minhashSig(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextOps.minhashSig($c, $n, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object TextExpressions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** Column API: distinct word n-shingles of a text column. */
+  def shingles(text: Column, n: Int): Column =
+    GraftBridge.column(ShinglesExpr(GraftBridge.expression(text), n))
+
+  /** Column API: k-hash MinHash signature over n-shingles. */
+  def minhash_sig(text: Column, n: Int, k: Int): Column =
+    GraftBridge.column(MinhashSigExpr(GraftBridge.expression(text), n, k))
+
+  def fromSeqShingles(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"shingles requires 2 arguments, got ${exprs.length}")
+    ShinglesExpr(exprs.head, intLit(exprs(1), "shingles", "n"))
+  }
+
+  def fromSeqMinhash(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"minhash_sig requires 3 arguments, got ${exprs.length}")
+    MinhashSigExpr(exprs.head,
+      intLit(exprs(1), "minhash_sig", "n"), intLit(exprs(2), "minhash_sig", "k"))
+  }
+
+  /** Register both for SQL use on this session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", fromSeqShingles, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", fromSeqMinhash, "built-in")
+  }
+}

@@ -85,6 +85,7 @@ object VulFunctions {
 
   def register(spark: SparkSession): Unit = {
     VersionExpressions.register(spark)
+    TextExpressions.register(spark)
     spark.udf.register("version_parse", versionParseF)
     spark.udf.register("parse_range_expr", parseRangeF)
     spark.udf.register("range_contains", rangeContainsF)

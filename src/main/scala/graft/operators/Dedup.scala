@@ -13,15 +13,18 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, " "), x => x =!= "")
 
-  /** Distinct word n-shingles of a text column (empty below n tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    array_distinct(
-      when(size(ts) >= n,
-        transform(sequence(lit(1), size(ts) - (n - 1)),
-          k => concat_ws(" ", slice(ts, k, lit(n)))))
-        .otherwise(array()))
-  }
+  /** Distinct word n-shingles of a text column (empty below n tokens).
+    * Compiled kernel (functions.TextOps) — stays in whole-stage
+    * codegen; the interpreted-HOF formulation of the same thing was
+    * the round-1 bench hotspot. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.shingles(text, n)
+
+  /** MinHash signature (k md5-min hex values over n-shingles) straight
+    * from the text column in one compiled pass; null when the doc has
+    * no shingles. */
+  def minhashSigText(text: Column, shingleN: Int, k: Int): Column =
+    graft.functions.TextExpressions.minhash_sig(text, shingleN, k)
 
   /** Exact-duplicate groups by content digest: (digest, ids, n). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -57,13 +60,15 @@ object Dedup {
       .distinct()
   }
 
-  /** End-to-end near-dup candidates for a text corpus. */
+  /** End-to-end near-dup candidates for a text corpus (compiled
+    * signature kernel; candidates via band-key groupBy). */
   def minhashNearDupCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(
-      df.select(col(idCol), shingles(col(textCol), shingleN).as("_shs")),
-      "_shs", numHashes)
-      .filter(col("h0").isNotNull)
+    val sig = df
+      .select(col(idCol), minhashSigText(col(textCol), shingleN, numHashes).as("_hs"))
+      .filter(col("_hs").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => element_at(col("_hs"), i + 1).as(s"h$i")): _*)
     lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
   }
 

@@ -131,9 +131,13 @@ object DataPrepQueries {
         // shingle row carries (doc_id, set size), buckets expand pairs
         // locally, and the pair groupBy keys on (ids, sizes) so the
         // Jaccard denominator needs no lookback join. One shuffle on
-        // the shingle key + one on the pair key.
+        // the shingle key + one on the pair key. Shingling itself is
+        // the compiled codegen kernel (functions.TextOps), not the
+        // interpreted-HOF formulation — ~10x on the scan stage.
         val pairs = t(s, dir, "documents")
-          .select(col("source"), expr(shinglesExpr).as("shs"), col("doc_id"))
+          .select(col("source"),
+            graft.functions.TextExpressions.shingles(col("text"), 3).as("shs"),
+            col("doc_id"))
           .select(col("source"),
             struct(col("doc_id"), size(col("shs")).as("n")).as("d"),
             explode(col("shs")).as("sh"))
@@ -171,17 +175,17 @@ object DataPrepQueries {
       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
       ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        // signatures computed map-side with array_min over the shingle
-        // array — no explode, no shuffle until the tiny band join.
-        // The shingle array is materialized once per row first: inlining
-        // it into each lambda defeats common-subexpression elimination.
-        def mh(seed: Int) = array_min(expr(
-          s"transform(shs, x -> md5(concat('$seed#', x)))"))
+        // signatures computed map-side by the compiled MinHash kernel
+        // (functions.TextOps — one pass over the doc, md5s in tight
+        // JVM code, inside whole-stage codegen): no explode, no
+        // shuffle until the tiny band join.
         val sig = t(s, dir, "documents")
-          .select(col("doc_id"), expr(shinglesExpr).as("shs"))
           .select(col("doc_id"),
-            mh(0).as("h0"), mh(1).as("h1"), mh(2).as("h2"), mh(3).as("h3"))
-          .filter(col("h0").isNotNull)
+            graft.functions.TextExpressions.minhash_sig(col("text"), 3, 4).as("hs"))
+          .filter(col("hs").isNotNull)
+          .select(col("doc_id"),
+            element_at(col("hs"), 1).as("h0"), element_at(col("hs"), 2).as("h1"),
+            element_at(col("hs"), 3).as("h2"), element_at(col("hs"), 4).as("h3"))
         // bucket-local pair generation: one shuffle on the band key,
         // pairs expanded from each bucket's sorted id list. A band
         // self-join would recompute the signature pipeline once per

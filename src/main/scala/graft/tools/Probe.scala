@@ -20,6 +20,10 @@ object Probe {
     // and the error path: wrong arity
     try spark.sql("SELECT version_cmp('1.0')").collect()
     catch { case e: Exception => println(s"[probe] arity error surfaces: ${e.getMessage.linesIterator.next()}") }
+    // compiled text kernels registered via the same extensions path
+    spark.sql("SELECT shingles('a b c d', 3) shs, " +
+      "minhash_sig('a b c d', 3, 4) sig, " +
+      "minhash_sig('one token', 3, 4) empty_doc").show(false)
     spark.stop()
   }
 }

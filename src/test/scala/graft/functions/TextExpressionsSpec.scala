@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The compiled shingle/MinHash kernels must match the declarative
+  * (interpreted-HOF) formulation they replaced — that formulation is
+  * also exactly what the DuckDB oracle computes for q35/q36. */
+class TextExpressionsSpec extends SparkSpecBase {
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // the round-1 HOF formulation, kept here as the semantic reference
+  private val toks = "filter(split(text, ' '), x -> x <> '')"
+  private val hofShingles =
+    s"array_distinct(CASE WHEN size($toks) >= 3 THEN transform(sequence(1, size($toks) - 2), k -> concat_ws(' ', slice($toks, k, 3))) ELSE array() END)"
+
+  test("shingles kernel matches the HOF formulation on the corpus") {
+    val rows = docs
+      .select(TextExpressions.shingles(col("text"), 3).as("fast"),
+        expr(hofShingles).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("shingles edge cases: short, empty, repeated, multi-space") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c d"),
+      (2L, "a b"),
+      (3L, ""),
+      (4L, "x y z x y z x y z"),
+      (5L, "a  b   c d"),
+      (6L, " leading and trailing ")
+    )).toDF("id", "text")
+    val got = df.select(col("id"), TextExpressions.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq.empty)
+    // distinct, first-occurrence order
+    assert(got(4L) == Seq("x y z", "y z x", "z x y"))
+    // runs of spaces behave like split+filter
+    assert(got(5L) == Seq("a b c", "b c d"))
+    assert(got(6L) == Seq("leading and trailing"))
+  }
+
+  test("minhash_sig matches per-seed md5 min of the shingle set") {
+    val rows = docs.limit(50)
+      .select(TextExpressions.minhash_sig(col("text"), 3, 4).as("fast"),
+        expr(s"""transform(sequence(0, 3),
+          s -> array_min(transform($hofShingles, x -> md5(concat(s, '#', x)))))""").as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("minhash_sig is null when the doc has no shingles") {
+    val df = spark.createDataFrame(Seq((1L, "only two"), (2L, "now three tokens")))
+      .toDF("id", "text")
+      .select(col("id"), TextExpressions.minhash_sig(col("text"), 3, 2).as("hs"))
+    val byId = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId(1L))
+    assert(!byId(2L))
+  }
+
+  test("SQL registration: shingles / minhash_sig callable from SQL") {
+    val r = spark.sql(
+      "SELECT shingles('a b c d', 3) AS s, minhash_sig('a b c d', 3, 2) AS m")
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1).length == 2)
+  }
+
+  test("kernels stay inside whole-stage codegen") {
+    val plan = docs
+      .select(TextExpressions.shingles(col("text"), 3).as("s"),
+        TextExpressions.minhash_sig(col("text"), 3, 4).as("m"))
+      .queryExecution.executedPlan
+    val codegenSpans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    // the project hosting both kernels compiled into a codegen span
+    assert(codegenSpans.exists(_.toString.contains("shingles")))
+    assert(codegenSpans.exists(_.toString.contains("minhash_sig")))
+  }
+}
