@@ -122,31 +122,47 @@ object OsvSource {
   /** J6 — the Go OSV records calibrated from a freshly-parsed Ubuntu
     * tracker (govuln.go:394-435, 468-492): key by first CVE alias,
     * last-writer-wins per key, copy severity/scores/link/name from the
-    * Ubuntu record when present, then drop the whitelist ids. */
+    * Ubuntu record when present, then drop the whitelist ids.
+    *
+    * Plan shape (not a driver loop): last-wins is `max(struct(vulName,
+    * rec))` — partial-agg friendly and codegen'd, picking
+    * `sortBy(vulName).last` deterministically because vulName leads the
+    * struct ordering — and the Ubuntu tracker is a small dimension, so
+    * calibration is a broadcast left join on the preferred key rather
+    * than a collect()'d driver map. */
   def calibrateWithUbuntu(goVulns: Dataset[AppModuleVul],
       ubuntu: Dataset[Vulnerability])(implicit spark: SparkSession): Dataset[AppModuleVul] = {
     import spark.implicits._
-    val ub = ubuntu.collect().map(v => v.name -> v).toMap
-    val ubB = spark.sparkContext.broadcast(ub)
-    goVulns
-      .groupByKey(preferredKey _)
-      .mapGroups { (_, it) =>
-        // zip-file order last-wins; canonical: max vulName wins
-        it.toSeq.sortBy(_.vulName).last
-      }
-      .map { v =>
-        ubB.value.get(preferredKey(v)) match {
-          case Some(u) => v.copy(
-            vulName = u.name, severity = u.severity,
-            score = u.cvssV2Score, vectors = u.cvssV2Vectors,
-            scoreV3 = u.cvssV3Score, vectorsV3 = u.cvssV3Vectors,
-            link = u.link,
-            issuedDate = if (v.issuedDate == null) u.issuedDate else v.issuedDate,
-            lastModDate = if (v.lastModDate == null) u.lastModDate else v.lastModDate)
-          case None => v
-        }
-      }
-      .filter(v => !goWhitelist.contains(v.vulName))
+    import org.apache.spark.sql.functions._
+    val fields = goVulns.columns.map(col)
+    val winners = goVulns
+      .withColumn("_key", coalesce(try_element_at(col("cves"), lit(1)), col("vulName")))
+      .groupBy("_key")
+      .agg(max(struct(col("vulName").as("_w"), struct(fields: _*).as("rec"))).as("m"))
+      .select(col("_key"), col("m.rec.*"))
+    val ub = broadcast(ubuntu.select(
+      col("name").as("_ub_name"), col("severity").as("_ub_severity"),
+      col("cvssV2Score").as("_ub_score"), col("cvssV2Vectors").as("_ub_vectors"),
+      col("cvssV3Score").as("_ub_scoreV3"), col("cvssV3Vectors").as("_ub_vectorsV3"),
+      col("link").as("_ub_link"), col("issuedDate").as("_ub_issued"),
+      col("lastModDate").as("_ub_lastmod")))
+    val hit = col("_ub_name").isNotNull
+    def copied(ours: String, theirs: String) =
+      when(hit, col(theirs)).otherwise(col(ours)).as(ours)
+    winners.join(ub, col("_key") === col("_ub_name"), "left")
+      .select(
+        copied("vulName", "_ub_name"), col("appName"), col("moduleName"),
+        col("importPaths"), col("symbols"), col("description"),
+        copied("link", "_ub_link"),
+        copied("score", "_ub_score"), copied("vectors", "_ub_vectors"),
+        copied("scoreV3", "_ub_scoreV3"), copied("vectorsV3", "_ub_vectorsV3"),
+        copied("severity", "_ub_severity"),
+        col("affectedVer"), col("fixedVer"), col("unaffectedVer"),
+        coalesce(col("issuedDate"), col("_ub_issued")).as("issuedDate"),
+        coalesce(col("lastModDate"), col("_ub_lastmod")).as("lastModDate"),
+        col("cves"))
+      .filter(!col("vulName").isin(goWhitelist: _*))
+      .as[AppModuleVul]
   }
 
   /** chainguardv2.go:133-217 — per-CVE distro records from ECOSYSTEM
