@@ -30,5 +30,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
       TextExpressions.fromSeqMinhash _))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"simhash64 requires 1 argument, got ${exprs.length}")
+        SimHash64Expr(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash64_text"),
+      new ExpressionInfo(classOf[SimHash64TextExpr].getName, "simhash64_text"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"simhash64_text requires 1 argument, got ${exprs.length}")
+        SimHash64TextExpr(exprs.head)
+      }))
   }
 }

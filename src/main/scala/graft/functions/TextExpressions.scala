@@ -4,10 +4,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.GraftBridge
 
@@ -120,6 +120,18 @@ object TextOps {
     new GenericArrayData(arr)
   }
 
+  /** Per-k seed byte arrays ("0#".."k-1#"), computed once per k rather
+    * than per row (the signature kernel runs in the hot scan path). */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+  private def seedsFor(k: Int): Array[Array[Byte]] = {
+    var s = seedCache.get(k)
+    if (s == null) {
+      s = Array.tabulate(k)(i => (i.toString + "#").getBytes("UTF-8"))
+      seedCache.putIfAbsent(k, s)
+    }
+    s
+  }
+
   /** MinHash signature: k lowercase-hex md5-min values over the
     * distinct n-shingles; null when the text has no shingles. */
   def minhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
@@ -127,9 +139,8 @@ object TextOps {
     if (m.isEmpty) return null
     val md = md5Local.get()
     val mins = new Array[Array[Byte]](k)
-    val seeds = new Array[Array[Byte]](k)
+    val seeds = seedsFor(k)
     var s = 0
-    while (s < k) { seeds(s) = (s.toString + "#").getBytes("UTF-8"); s += 1 }
     val it = m.values().iterator()
     while (it.hasNext) {
       val sh = it.next()
@@ -148,11 +159,75 @@ object TextOps {
     while (s < k) { out(s) = hex(mins(s)); s += 1 }
     new GenericArrayData(out)
   }
+
+  /** SimHash64 of a token array: per-token md5-derived 64-bit value
+    * (first 8 digest bytes, big-endian), bitwise majority vote. One
+    * ThreadLocal digest per task thread — no per-token allocation. */
+  def simhash64(tokens: ArrayData): Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash64 straight from text: whitespace tokens taken as byte
+    * spans (zero copies), same hash/vote as simhash64(tokens). Using
+    * this variant keeps the whole pipeline codegen'd — no interpreted
+    * filter-lambda tokenizer in the plan. */
+  def simhash64Text(text: UTF8String): Long = {
+    val md = md5Local.get()
+    val counts = new Array[Int](64)
+    val bytes = text.getBytes
+    val spans = tokenSpans(bytes)
+    var ti = 0
+    while (ti < spans.length) {
+      md.reset()
+      md.update(bytes, spans(ti), spans(ti + 1) - spans(ti))
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      ti += 2
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }
 
-/** `shingles(text, n)` -> array<string> of distinct word n-shingles. */
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+/** `shingles(text, n)` -> array<string> of distinct word n-shingles.
+  * NULL text -> NULL (standard null-propagation, unlike the empty
+  * array a HOF formulation would produce — documented contract). */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "shingles: n must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     TextOps.shingles(input.asInstanceOf[UTF8String], n)
@@ -164,9 +239,12 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** `minhash_sig(text, n, k)` -> array<string> of k md5-min hex values
-  * over the text's n-shingles; null when no shingles. */
-case class MinhashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  * over the text's n-shingles; null when no shingles (and NULL in ->
+  * NULL out). */
+case class MinhashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1 && k >= 1, "minhash_sig: n and k must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
@@ -181,12 +259,54 @@ case class MinhashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpres
   override def prettyName: String = "minhash_sig"
 }
 
+/** `simhash64(tokens)` -> 64-bit SimHash of a token array (NULL in ->
+  * NULL out; null elements skipped). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextOps.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** `simhash64_text(text)` -> SimHash64 over whitespace tokens, taken
+  * directly from the text bytes (NULL in -> NULL out). */
+case class SimHash64TextExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextOps.simhash64Text(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.simhash64Text($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64TextExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64_text"
+}
+
 object TextExpressions {
 
-  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an integer literal, got $other")
+  /** Constant integral argument: any foldable integral expression is
+    * accepted (literal, CAST of a literal, constant arithmetic). */
+  private def intLit(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $arg must be a constant integer, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long =>
+        if (l < Int.MinValue || l > Int.MaxValue) throw new IllegalArgumentException(
+          s"$fn: $arg out of int range: $l")
+        l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a constant integer, got $other")
+    }
   }
 
   /** Column API: distinct word n-shingles of a text column. */
@@ -196,6 +316,15 @@ object TextExpressions {
   /** Column API: k-hash MinHash signature over n-shingles. */
   def minhash_sig(text: Column, n: Int, k: Int): Column =
     GraftBridge.column(MinhashSigExpr(GraftBridge.expression(text), n, k))
+
+  /** Column API: SimHash64 over a token-array column. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  /** Column API: SimHash64 straight from a text column (stays fully
+    * codegen'd — no tokenizer lambda in the plan). */
+  def simhash64_text(text: Column): Column =
+    GraftBridge.column(SimHash64TextExpr(GraftBridge.expression(text)))
 
   def fromSeqShingles(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"shingles requires 2 arguments, got ${exprs.length}")
@@ -208,11 +337,21 @@ object TextExpressions {
       intLit(exprs(1), "minhash_sig", "n"), intLit(exprs(2), "minhash_sig", "k"))
   }
 
-  /** Register both for SQL use on this session. */
+  /** Register the text kernels for SQL use on this session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", fromSeqShingles, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", fromSeqMinhash, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => {
+        require(exprs.length == 1, s"simhash64 requires 1 argument, got ${exprs.length}")
+        SimHash64Expr(exprs.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64_text", exprs => {
+        require(exprs.length == 1, s"simhash64_text requires 1 argument, got ${exprs.length}")
+        SimHash64TextExpr(exprs.head)
+      }, "built-in")
   }
 }

@@ -13,7 +13,9 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, " "), x => x =!= "")
 
-  /** Distinct word n-shingles of a text column (empty below n tokens).
+  /** Distinct word n-shingles of a text column (empty below n tokens;
+    * NULL text -> NULL, standard null-propagation — callers that need
+    * the empty-array-on-NULL convention wrap with coalesce).
     * Compiled kernel (functions.TextOps) — stays in whole-stage
     * codegen; the interpreted-HOF formulation of the same thing was
     * the round-1 bench hotspot. */
@@ -73,27 +75,18 @@ object Dedup {
   }
 
   /** SimHash64 of a token array: per-token md5-derived 64-bit hash,
-    * bitwise majority vote. A scalar UDF leaf (like the version
-    * functions): it runs map-side per document, so only one long per
-    * doc ever shuffles. */
-  private val simhashF = (tokens: scala.collection.Seq[String]) => {
-    val counts = new Array[Int](64)
-    if (tokens != null) for (t <- tokens) {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
-      val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+    * bitwise majority vote. A compiled Catalyst expression
+    * (functions.SimHash64Expr) with a ThreadLocal digest — it runs
+    * map-side per document inside whole-stage codegen, so only one
+    * long per doc ever shuffles. NULL tokens array -> NULL. */
+  def simhash64(tokensCol: Column): Column =
+    graft.functions.TextExpressions.simhash64(tokensCol)
 
-  def simhash64(tokensCol: Column): Column = udf(simhashF).apply(tokensCol)
+  /** SimHash64 straight from the text column — tokenization happens
+    * inside the compiled kernel, so the plan has no interpreted
+    * tokenizer lambda at all (preferred form at scale). */
+  def simhash64Text(text: Column): Column =
+    graft.functions.TextExpressions.simhash64_text(text)
 
   /** Hamming distance between two simhash64 values (bit_count is a
     * codegen'd built-in). */

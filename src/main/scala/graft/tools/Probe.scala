@@ -24,6 +24,9 @@ object Probe {
     spark.sql("SELECT shingles('a b c d', 3) shs, " +
       "minhash_sig('a b c d', 3, 4) sig, " +
       "minhash_sig('one token', 3, 4) empty_doc").show(false)
+    spark.sql("SELECT simhash64(array('a','b','c')) sh_arr, " +
+      "simhash64_text('a b c') sh_text, " +
+      "shingles('a b c d', CAST(3 AS BIGINT)) foldable_n").show(false)
     spark.stop()
   }
 }

@@ -76,16 +76,76 @@ class TextExpressionsSpec extends SparkSpecBase {
     assert(r.getSeq[String](1).length == 2)
   }
 
+  test("non-string input is rejected at analysis time (ExpectsInputTypes)") {
+    val df = spark.createDataFrame(Seq((1, 2))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(TextExpressions.shingles(col("a"), 3)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("shingles"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(TextExpressions.minhash_sig(col("a"), 3, 2)).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("minhash_sig"))
+  }
+
+  test("SQL: foldable integral arguments accepted (CAST / arithmetic)") {
+    val r = spark.sql(
+      "SELECT shingles('a b c d', CAST(3 AS BIGINT)) AS s1, shingles('a b c d', 1 + 2) AS s2")
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
+  test("simhash64 expression matches the reference UDF semantics") {
+    // reference semantics: per-token md5 first-8-bytes BE, majority vote
+    def ref(tokens: Seq[String]): Long = {
+      val counts = new Array[Int](64)
+      for (t <- tokens) {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+        for (b <- 0 until 64) if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (counts(b) > 0) acc | (1L << b) else acc)
+    }
+    val rows = docs.limit(50)
+      .select(col("text"), TextExpressions.simhash64(expr(toks)).as("sh"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tokens = r.getString(0).split(" ").filter(_.nonEmpty).toSeq
+      assert(r.getLong(1) == ref(tokens))
+    }
+    // SQL registration + NULL in -> NULL out
+    val sqlRow = spark.sql(
+      "SELECT simhash64(array('a', 'b')) AS s, simhash64(CAST(NULL AS ARRAY<STRING>)) AS n")
+      .collect()(0)
+    assert(sqlRow.getLong(0) == ref(Seq("a", "b")))
+    assert(sqlRow.isNullAt(1))
+  }
+
+  test("simhash64_text matches simhash64 over the tokenized column") {
+    val rows = docs.limit(100)
+      .select(TextExpressions.simhash64(expr(toks)).as("a"),
+        TextExpressions.simhash64_text(col("text")).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("kernels stay inside whole-stage codegen") {
     val plan = docs
       .select(TextExpressions.shingles(col("text"), 3).as("s"),
-        TextExpressions.minhash_sig(col("text"), 3, 4).as("m"))
+        TextExpressions.minhash_sig(col("text"), 3, 4).as("m"),
+        // split (codegen'd built-in), not the filter-lambda tokenizer:
+        // a HOF lambda in the same Project would break the span
+        TextExpressions.simhash64(split(col("text"), " ")).as("sh"))
       .queryExecution.executedPlan
     val codegenSpans = plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }
-    // the project hosting both kernels compiled into a codegen span
+    // the project hosting the kernels compiled into a codegen span
     assert(codegenSpans.exists(_.toString.contains("shingles")))
     assert(codegenSpans.exists(_.toString.contains("minhash_sig")))
+    assert(codegenSpans.exists(_.toString.contains("simhash64")))
   }
 }
