@@ -1,6 +1,25 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Logs the engine's observed metrics (hot-key drop counts from
+  * HotKeys.cap et al.) after every action — the distributed-plan
+  * analogue of the reference's stderr counters. Drops are WARNs so a
+  * capped bucket is visible in default logging. */
+private class GraftMetricsListener extends QueryExecutionListener {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.metrics")
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    qe.observedMetrics.foreach { case (name, row) =>
+      if (name.startsWith("graft_")) {
+        val dropped = try Option(row.getAs[Any]("dropped_rows"))
+          .map(_.toString.toLong).getOrElse(0L) catch { case _: Exception => 0L }
+        if (dropped > 0) log.warn(s"$name: $row") else log.info(s"$name: $row")
+      }
+    }
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+}
 
 /** One place for session construction so Verify / Bench / tests / CLI
   * agree on configs.
@@ -27,6 +46,12 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.VulFunctions.register(spark)
+    // register the metrics logger once per underlying session
+    // (getOrCreate can hand back an existing one)
+    if (spark.conf.getOption("graft.metricsListener").isEmpty) {
+      spark.listenerManager.register(new GraftMetricsListener)
+      spark.conf.set("graft.metricsListener", "true")
+    }
     spark
   }
 }

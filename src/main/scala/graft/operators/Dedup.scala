@@ -43,14 +43,20 @@ object Dedup {
     }
 
   /** Banded-LSH candidate pairs from signature columns: bands of
-    * `rowsPerBand` hashes, pairs expanded bucket-locally. */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    * `rowsPerBand` hashes, pairs expanded bucket-locally. A degenerate
+    * band shared by more than `maxBucket` docs is dropped before any
+    * id array is built (HotKeys.cap — windowed count, logged drops),
+    * so one hot band can never go quadratic. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_lsh_band_cap"): DataFrame = {
     val bandCols = (0 until k / rowsPerBand).map { b =>
       md5(concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
     }
-    sig
+    val bands = sig
       .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("band"))
+    HotKeys.cap(bands, Seq(col("band")), maxBucket, metricName = metricName)
       .groupBy("band")
       .agg(sort_array(collect_set(col("_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -63,15 +69,48 @@ object Dedup {
   }
 
   /** End-to-end near-dup candidates for a text corpus (compiled
-    * signature kernel; candidates via band-key groupBy). */
+    * signature kernel; candidates via band-key groupBy; hot bands
+    * capped at `maxBucket`). */
   def minhashNearDupCandidates(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = HotKeys.DefaultBucketCap): DataFrame = {
     val sig = df
       .select(col(idCol), minhashSigText(col(textCol), shingleN, numHashes).as("_hs"))
       .filter(col("_hs").isNotNull)
       .select(col(idCol) +:
         (0 until numHashes).map(i => element_at(col("_hs"), i + 1).as(s"h$i")): _*)
-    lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+    lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucket)
+  }
+
+  /** n-gram Jaccard near-duplicate pairs — the single-scan inverted
+    * index of q35 in library form: each exploded shingle row carries
+    * (id, shingle-set size), pairs expand bucket-locally, the pair
+    * groupBy carries the set sizes so the denominator needs no
+    * lookback join. Shingles with document frequency above `maxDf`
+    * (stop-phrase shingles — the inverted-index scale-killer) are
+    * dropped before any array is built, with logged drop counts. */
+  def jaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.7,
+      maxDf: Int = HotKeys.DefaultBucketCap): DataFrame = {
+    val exploded = df
+      .select(col(idCol), shingles(col(textCol), n).as("_shs"))
+      .select(struct(col(idCol).as("_id"), size(col("_shs")).as("_n")).as("d"),
+        explode(col("_shs")).as("sh"))
+    HotKeys.cap(exploded, Seq(col("sh")), maxDf, metricName = "graft_shingle_df_cap")
+      .groupBy("sh")
+      .agg(sort_array(collect_set(col("d"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               y -> struct(x._id AS id_a, y._id AS id_b, x._n AS na, y._n AS nb))))""")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash64 of a token array: per-token md5-derived 64-bit hash,

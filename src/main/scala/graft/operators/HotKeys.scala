@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-key protection for the inverted-index / LSH-bucket operators.
+  *
+  * The classic scale-killer of bucket-join dedup is one pathological
+  * key: a stop-word shingle with df ≈ corpus size, or a degenerate
+  * LSH band, turns the bucket's `collect_set` into a corpus-sized
+  * array and the in-bucket pair expansion quadratic. The guard here
+  * drops such keys BEFORE any array exists: a windowed per-key row
+  * count (streaming and spillable over the key-partitioned sort —
+  * bounded memory at any key size), a `[minPerKey, cap]` filter, and
+  * the drop counts published as observed metrics
+  * (`Dataset.observe`/`CollectMetrics`), which GraftSession's
+  * query-execution listener logs after every action.
+  *
+  * No extra shuffle: the window hash-partitions on the same keys the
+  * following aggregation groups by, so the aggregation reuses the
+  * window's exchange. The `minPerKey = 2` floor also prunes singleton
+  * keys (the vast majority of shingles) before any array is built —
+  * previously they were collected and then discarded by a
+  * `size(ids) > 1` filter.
+  */
+object HotKeys {
+
+  /** Default per-key row cap. Far above any non-degenerate bucket
+    * (a 100k-row bucket already means ~5e9 candidate pairs — a job
+    * killer regardless), and far above the whole corpus at the test
+    * scale factors, so oracle results are unchanged there. */
+  val DefaultBucketCap = 100000
+
+  /** Keep only rows whose key group has between `minPerKey` and `cap`
+    * rows; publish (dropped_rows, hot_keys_est, max_key_rows) under
+    * `metricName`.
+    *
+    * Metric-delivery caveat: if the filter leaves EXACTLY zero rows
+    * and a further shuffle follows, AQE's empty-relation propagation
+    * can prune the CollectMetrics node before `observedMetrics` is
+    * read — so a 100%-drop run may not report. Any realistic run
+    * (some keys survive) reports reliably. */
+  def cap(df: DataFrame, keys: Seq[Column], cap: Int,
+      minPerKey: Int = 2, metricName: String = "graft_hot_key_cap"): DataFrame = {
+    val w = Window.partitionBy(keys: _*)
+    df.withColumn("_key_n", count(lit(1)).over(w))
+      .observe(metricName,
+        coalesce(sum(when(col("_key_n") > cap, 1).otherwise(0)), lit(0L)).as("dropped_rows"),
+        // one hot key contributes n rows, each weighted 1/n -> ≈ #keys
+        coalesce(round(sum(when(col("_key_n") > cap, lit(1.0) / col("_key_n")).otherwise(0.0))), lit(0.0)).as("hot_keys_est"),
+        coalesce(max(col("_key_n")), lit(0L)).as("max_key_rows"))
+      .filter(col("_key_n").between(minPerKey, cap))
+      .drop("_key_n")
+  }
+}

@@ -50,11 +50,18 @@ object Similarity {
 
   /** Near-duplicate embedding pairs above a cosine threshold, searched
     * bucket-locally (no O(n^2) cross join): group ids+vectors per sign
-    * bucket, expand pairs inside the bucket, then score. */
+    * bucket, expand pairs inside the bucket, then score. A bucket with
+    * more than `maxBucket` vectors (degenerate hyperplane cut) is
+    * dropped before the vector arrays are collected — full vectors per
+    * row make an uncapped hot bucket the fastest way to an executor
+    * OOM — with drop counts logged via observed metrics. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
-      bits: Int, minCosine: Double): DataFrame = {
-    df.select(col(idCol).as("_id"), asDouble(col(embCol)).as("_e"),
-        signBucket(col(embCol), bits).as("_bucket"))
+      bits: Int, minCosine: Double,
+      maxBucket: Int = 8192): DataFrame = {
+    val bucketed = df.select(col(idCol).as("_id"), asDouble(col(embCol)).as("_e"),
+      signBucket(col(embCol), bits).as("_bucket"))
+    HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+        metricName = "graft_embedding_bucket_cap")
       .groupBy("_bucket")
       .agg(sort_array(collect_list(struct(col("_id"), col("_e")))).as("rows"))
       .filter(size(col("rows")) > 1)

@@ -134,13 +134,21 @@ object DataPrepQueries {
         // the shingle key + one on the pair key. Shingling itself is
         // the compiled codegen kernel (functions.TextOps), not the
         // interpreted-HOF formulation — ~10x on the scan stage.
-        val pairs = t(s, dir, "documents")
+        // HotKeys.cap drops stop-phrase shingles (df > cap) before any
+        // id array exists; the cap sits far above any possible df at
+        // the driver's scale factors (df <= corpus size << 100k), so
+        // the oracle result is unchanged while the plan carries the
+        // 100 TB hot-shingle guard.
+        val exploded = t(s, dir, "documents")
           .select(col("source"),
             graft.functions.TextExpressions.shingles(col("text"), 3).as("shs"),
             col("doc_id"))
           .select(col("source"),
             struct(col("doc_id"), size(col("shs")).as("n")).as("d"),
             explode(col("shs")).as("sh"))
+        val pairs = graft.operators.HotKeys.cap(exploded,
+            Seq(col("source"), col("sh")), graft.operators.HotKeys.DefaultBucketCap,
+            metricName = "graft_q35_shingle_df_cap")
           .groupBy("source", "sh")
           .agg(sort_array(collect_set(col("d"))).as("ids"))
           .filter(size(col("ids")) > 1)
@@ -195,7 +203,12 @@ object DataPrepQueries {
         val bands = sig.select(col("doc_id"), explode(array(
           md5(concat(col("h0"), lit("|"), col("h1"))),
           md5(concat(col("h2"), lit("|"), col("h3"))))).as("band"))
-        bands.groupBy("band")
+        // degenerate-band guard (same cap rationale as q35: far above
+        // any band population at test scale, real at 100 TB)
+        graft.operators.HotKeys.cap(bands, Seq(col("band")),
+            graft.operators.HotKeys.DefaultBucketCap,
+            metricName = "graft_q36_band_cap")
+          .groupBy("band")
           .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1)
           .select(explode(expr(
@@ -255,9 +268,16 @@ object DataPrepQueries {
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
       GROUP BY a.bucket ORDER BY a.bucket"""),
       (s, dir) => {
-        val b = t(s, dir, "embeddings")
+        val raw = t(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), expr(
             "concat_ws('', transform(slice(embedding, 1, 16), x -> CASE WHEN x >= CAST(0 AS FLOAT) THEN '1' ELSE '0' END))").as("bucket"))
+        // hot-bucket guard before the self-join: a degenerate bucket
+        // would make the equi-join output quadratic; the cap is far
+        // above any bucket population at test scale (singleton-bucket
+        // pruning via minPerKey=2 matches the join's own semantics)
+        val b = graft.operators.HotKeys.cap(raw, Seq(col("bucket")),
+          graft.operators.HotKeys.DefaultBucketCap,
+          metricName = "graft_q39_bucket_cap")
         b.as("a").join(b.as("c"),
             col("a.bucket") === col("c.bucket") && col("a.vec_id") < col("c.vec_id"))
           .groupBy(col("a.bucket").as("bucket"))
