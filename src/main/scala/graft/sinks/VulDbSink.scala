@@ -29,9 +29,11 @@ import graft.core.{AppModuleVul, Vulnerability}
   * ciphertext]. Compact DB carries only ubuntu/debian/centos/alpine
   * + apps (legacy header-size limit); regular carries all + raw files.
   *
-  * At 100 TB the per-bucket collect becomes a partition stream into
-  * the tar writer; the artifact format itself is inherently
-  * single-file and stays a driver step.
+  * The driver step streams: cluster-side sort, `toLocalIterator` into
+  * per-bucket spool files (sha256 via DigestOutputStream), then one
+  * tar|gzip|AES-GCM OutputStream chain per artifact — the corpus is
+  * never resident in driver memory. The artifact format itself is
+  * inherently single-file and stays a driver step.
   */
 object VulDbSink {
 
@@ -190,6 +192,63 @@ object VulDbSink {
     } finally out.close()
   }
 
+  /** One tar member for the streaming assembler: either an on-disk
+    * spool file (bounded driver memory) or small in-memory bytes
+    * (raw passthrough files). */
+  sealed trait ArtifactEntry {
+    def name: String
+    def size: Long
+    def writeTo(out: java.io.OutputStream): Unit
+  }
+  final case class FileArtifactEntry(name: String, file: java.io.File) extends ArtifactEntry {
+    def size: Long = file.length()
+    def writeTo(out: java.io.OutputStream): Unit = {
+      val in = new java.io.FileInputStream(file)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+  }
+  final case class BytesArtifactEntry(name: String, bytes: Array[Byte]) extends ArtifactEntry {
+    def size: Long = bytes.length.toLong
+    def writeTo(out: java.io.OutputStream): Unit = out.write(bytes)
+  }
+
+  /** Streaming artifact assembly — byte-identical format to
+    * `writeDbFile` (modulo nonce), but the tar/gzip/AES-GCM chain is
+    * a single OutputStream pipeline fed entry-by-entry, so the
+    * artifact is never resident in driver memory. */
+  def writeDbFileStreaming(path: String, headerJson: String,
+      entries: Seq[ArtifactEntry]): Unit = {
+    val header = headerJson.getBytes("UTF-8")
+    val nonce = new Array[Byte](12)
+    new java.security.SecureRandom().nextBytes(nonce)
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(zeroKey, "AES"),
+      new GCMParameterSpec(128, nonce))
+    val fos = new FileOutputStream(path)
+    try {
+      fos.write(ByteBuffer.allocate(4).putInt(header.length).array())
+      fos.write(header)
+      fos.write(nonce)
+      val tar = new TarArchiveOutputStream(new GZIPOutputStream(
+        new javax.crypto.CipherOutputStream(
+          new java.io.BufferedOutputStream(fos, 1 << 16), cipher)))
+      tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_GNU)
+      entries.foreach { e =>
+        val te = new TarArchiveEntry(e.name)
+        te.setSize(e.size)
+        tar.putArchiveEntry(te)
+        e.writeTo(tar)
+        tar.closeArchiveEntry()
+      }
+      tar.finish()
+      tar.close() // flushes gzip trailer + GCM tag through the chain
+    } finally fos.close()
+  }
+
   /** Read an artifact back (for tests / consumers):
     * (headerJson, entries). */
   def readDbFile(path: String): (String, Seq[TarEntry]) = {
@@ -205,51 +264,85 @@ object VulDbSink {
   }
 
   /** Full sink: vulns + apps (+ raw passthrough files) -> compact +
-    * regular artifacts in outDir. Returns per-file shas. */
+    * regular artifacts in outDir. Returns per-file shas.
+    *
+    * Streamed end to end: the projected rows arrive through
+    * `toLocalIterator` in (bucket, namespace, name) order — the sort
+    * is cluster-side, the driver only ever holds one partition of
+    * JSON strings — and are spooled straight into per-bucket files
+    * with sha256 computed on the fly (DigestOutputStream). Artifact
+    * assembly then streams the spools through one
+    * tar|gzip|AES-GCM OutputStream chain. Driver memory stays O(one
+    * partition) at any corpus size; the old formulation collect()'d
+    * the whole corpus. */
   def write(vulns: Dataset[Vulnerability], apps: Dataset[AppModuleVul],
       rawFiles: Seq[TarEntry], outDir: String, version: String,
       updateTime: String)(implicit spark: SparkSession): Map[String, String] = {
 
-    val projected = project(vulns)
-      .orderBy("namespace", "name")
-      .select("bucket", "indexJson", "fullJson")
-      .collect()
-
-    val byBucket = projected.groupBy(_.getString(0))
-    val bufs = buckets.map { case (_, prefix) =>
-      val rows = byBucket.getOrElse(prefix, Array.empty)
-      val index = rows.map(_.getString(1)).mkString("", "\n", if (rows.isEmpty) "" else "\n")
-      val full = rows.map(_.getString(2)).mkString("", "\n", if (rows.isEmpty) "" else "\n")
-      prefix -> (index.getBytes("UTF-8"), full.getBytes("UTF-8"))
-    }.toMap
-
-    val appRows = projectApps(apps).orderBy("moduleName", "vulName")
-      .select("appJson").collect().map(_.getString(0))
-    val appBytes = appRows.mkString("", "\n", if (appRows.isEmpty) "" else "\n").getBytes("UTF-8")
-
-    val shas = scala.collection.mutable.Map[String, String]()
-    def filesFor(prefixes: Seq[String]): Seq[TarEntry] =
-      prefixes.flatMap { p =>
-        val (idx, full) = bufs(p)
-        shas(s"${p}_index.tb") = sha256Hex(idx)
-        shas(s"${p}_full.tb") = sha256Hex(full)
-        Seq(TarEntry(s"${p}_index.tb", idx), TarEntry(s"${p}_full.tb", full))
-      } :+ { shas("apps.tb") = sha256Hex(appBytes); TarEntry("apps.tb", appBytes) }
-
     new java.io.File(outDir).mkdirs()
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-sink").toFile
 
-    val compactFiles = filesFor(compactPrefixes)
-    writeDbFile(s"$outDir/cvedb.compact",
-      keyVersionJson(version, updateTime, Map.empty, shas.toMap.filter { case (k, _) =>
-        compactPrefixes.exists(p => k.startsWith(p + "_")) || k == "apps.tb" }),
-      compactFiles)
+    final case class Spool(file: java.io.File, digest: MessageDigest,
+        out: java.io.OutputStream)
+    val spools = scala.collection.mutable.LinkedHashMap.empty[String, Spool]
+    def spool(name: String): Spool = spools.getOrElseUpdate(name, {
+      val f = new java.io.File(tmpDir, name)
+      val md = MessageDigest.getInstance("SHA-256")
+      Spool(f, md, new java.io.BufferedOutputStream(
+        new java.security.DigestOutputStream(new FileOutputStream(f), md), 1 << 16))
+    })
+    def appendLine(s: Spool, json: String): Unit = {
+      s.out.write(json.getBytes("UTF-8"))
+      s.out.write('\n')
+    }
+    // every bucket file exists even when its bucket is empty
+    buckets.foreach { case (_, p) => spool(s"${p}_index.tb"); spool(s"${p}_full.tb") }
+    spool("apps.tb")
 
-    val regularFiles = filesFor(buckets.map(_._2)) ++ rawFiles
+    // per-bucket contents are (namespace, name)-sorted exactly as the
+    // old global (namespace, name) sort produced them
+    val vulIt = project(vulns)
+      .orderBy("bucket", "namespace", "name")
+      .select("bucket", "indexJson", "fullJson")
+      .toLocalIterator()
+    while (vulIt.hasNext) {
+      val r = vulIt.next()
+      val b = r.getString(0)
+      if (b != null) { // namespaces outside the 12 routes don't ship
+        appendLine(spool(s"${b}_index.tb"), r.getString(1))
+        appendLine(spool(s"${b}_full.tb"), r.getString(2))
+      }
+    }
+
+    val appIt = projectApps(apps).orderBy("moduleName", "vulName")
+      .select("appJson").toLocalIterator()
+    while (appIt.hasNext) appendLine(spool("apps.tb"), appIt.next().getString(0))
+
+    spools.values.foreach(_.out.close())
+    val shas = scala.collection.mutable.Map[String, String]()
+    spools.foreach { case (name, s) =>
+      shas(name) = s.digest.digest().map("%02x".format(_)).mkString
+    }
     rawFiles.foreach(f => shas(f.name) = sha256Hex(f.bytes))
-    writeDbFile(s"$outDir/cvedb.regular",
-      keyVersionJson(version, updateTime, Map.empty, shas.toMap),
-      regularFiles)
 
+    def entriesFor(prefixes: Seq[String]): Seq[ArtifactEntry] =
+      prefixes.flatMap(p => Seq(s"${p}_index.tb", s"${p}_full.tb"))
+        .map(n => FileArtifactEntry(n, spools(n).file)) :+
+        FileArtifactEntry("apps.tb", spools("apps.tb").file)
+
+    val compactShas = shas.toMap.filter { case (k, _) =>
+      compactPrefixes.exists(p => k.startsWith(p + "_")) || k == "apps.tb" }
+    writeDbFileStreaming(s"$outDir/cvedb.compact",
+      keyVersionJson(version, updateTime, Map.empty, compactShas),
+      entriesFor(compactPrefixes))
+
+    writeDbFileStreaming(s"$outDir/cvedb.regular",
+      keyVersionJson(version, updateTime, Map.empty, shas.toMap),
+      entriesFor(buckets.map(_._2)) ++
+        rawFiles.map(f => BytesArtifactEntry(f.name, f.bytes)))
+
+    spools.values.foreach(_.file.delete())
+    tmpDir.delete()
     shas.toMap
   }
 }
