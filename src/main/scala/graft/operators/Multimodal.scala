@@ -1,21 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** Multimodal-column plumbing for a training-data pipeline: images /
   * audio / video ride as opaque `binary` columns with typed metadata;
-  * decode / feature-extraction runs per-partition so codec state is
-  * initialized once per task, batches stay columnar up to the UDF
-  * boundary, and the shuffle only ever moves the (small) features —
-  * never re-shuffles raw media bytes.
+  * decode / feature-extraction runs as a `mapPartitions` pass so a
+  * decoder (and any native codec context behind it) is constructed
+  * ONCE PER TASK and reused across the partition's rows; the shuffle
+  * only ever moves the (small) features — never re-shuffles raw media
+  * bytes.
   *
   * The decode leaf itself is STUBBED (this container carries no
-  * image/audio codecs): `decodeStub` derives deterministic fake
+  * image/audio codecs): `StubDecoder` derives deterministic fake
   * features from the bytes. The Spark-side contract — schema,
-  * partitioning, batch shape, null handling — is real and tested;
-  * a deployment swaps `decodeStub` for a JNI/codec-backed function
-  * with the same signature.
+  * partitioning, per-partition decoder lifecycle, batch shape, null
+  * handling — is real and tested (MultimodalSpec counts decoder
+  * constructions per partition); a deployment passes a factory that
+  * builds a JNI/codec-backed `MediaDecoder` instead.
   */
 object Multimodal {
 
@@ -23,49 +26,83 @@ object Multimodal {
     width: Int, height: Int, channels: Int,
     byteLen: Long, digest: String, ok: Boolean)
 
+  /** The decode contract: one instance per task (created by the
+    * factory inside mapPartitions), decode called per row. Heavy
+    * codec/native state belongs in the instance, built once. */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): MediaMeta
+  }
+
   /** STUB decode: deterministic pseudo-metadata from the payload.
-    * Replace with a real codec at deployment; the signature is the
-    * contract. */
-  def decodeStub(bytes: Array[Byte]): MediaMeta = {
-    if (bytes == null || bytes.isEmpty) return MediaMeta(0, 0, 0, 0L, "", ok = false)
-    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-    val hex = digest.take(8).map("%02x".format(_)).mkString
-    // fake-but-deterministic dimensions derived from the digest
-    val w = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64) * 16
-    val h = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64) * 16
-    MediaMeta(w, h, 3, bytes.length.toLong, hex, ok = true)
+    * Replace with a real codec at deployment; the per-instance
+    * MessageDigest stands in for "expensive state created once per
+    * partition, reused per row". */
+  final class StubDecoder extends MediaDecoder {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null || bytes.isEmpty) return MediaMeta(0, 0, 0, 0L, "", ok = false)
+      md.reset()
+      val digest = md.digest(bytes)
+      val hex = digest.take(8).map("%02x".format(_)).mkString
+      // fake-but-deterministic dimensions derived from the digest
+      val w = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64) * 16
+      val h = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64) * 16
+      MediaMeta(w, h, 3, bytes.length.toLong, hex, ok = true)
+    }
+  }
+
+  /** Back-compat convenience used by older call sites/tests. */
+  def decodeStub(bytes: Array[Byte]): MediaMeta = new StubDecoder().decode(bytes)
+
+  private def binaryOf(r: Row, idx: Int): Array[Byte] = r.get(idx) match {
+    case b: Array[Byte] => b
+    case null => null
+    case other => String.valueOf(other).getBytes("UTF-8")
   }
 
   /** Attach decoded metadata to a binary column. Runs as a
-    * per-partition map so a real decoder's native context is created
-    * once per task, not once per row. */
-  def withMediaMeta(df: DataFrame, binaryCol: String, outCol: String = "media")(
+    * per-partition map: `decoderFactory` is invoked once per task, so
+    * a real decoder's native context is created once per partition,
+    * not once per row. */
+  def withMediaMeta(df: DataFrame, binaryCol: String, outCol: String = "media",
+      decoderFactory: () => MediaDecoder = () => new StubDecoder)(
       implicit spark: SparkSession): DataFrame = {
-    val decodeUdf = udf((b: Array[Byte]) => decodeStub(b))
-    df.withColumn(outCol, decodeUdf(col(binaryCol)))
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = df.schema.add(outCol, Encoders.product[MediaMeta].schema)
+    df.mapPartitions { it =>
+      val decoder = decoderFactory() // once per partition — the contract
+      it.map { r =>
+        val m = decoder.decode(binaryOf(r, idx))
+        Row.fromSeq(r.toSeq :+ Row(m.width, m.height, m.channels, m.byteLen, m.digest, m.ok))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Frame-sampling plumbing: one row per sampled frame index; the
     * stub emits `nFrames` evenly spaced indices with per-frame digests
-    * (a real impl would decode those frames). Partitioning note: the
-    * explode multiplies rows BEFORE any shuffle, so downstream
-    * feature extraction parallelizes over frames. */
+    * (a real impl would decode those frames). The flatMap multiplies
+    * rows BEFORE any shuffle, so downstream feature extraction
+    * parallelizes over frames; digest state is per-partition, like the
+    * decoder. Empty/null payloads produce no frame rows. */
   def sampleFrames(df: DataFrame, binaryCol: String, nFrames: Int)(
       implicit spark: SparkSession): DataFrame = {
-    val frameUdf = udf((b: Array[Byte]) =>
-      if (b == null || b.isEmpty) Seq.empty[(Int, String)]
-      else {
-        val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
-        (0 until nFrames).map { i =>
-          (i, d.drop(i % 16).take(8).map("%02x".format(_)).mkString)
+    val idx = df.schema.fieldIndex(binaryCol)
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType).add("frame_digest", StringType)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256") // per partition
+      it.flatMap { r =>
+        val b = binaryOf(r, idx)
+        if (b == null || b.isEmpty) Iterator.empty
+        else {
+          md.reset()
+          val d = md.digest(b)
+          (0 until nFrames).iterator.map { i =>
+            Row.fromSeq(r.toSeq :+ i :+ d.drop(i % 16).take(8).map("%02x".format(_)).mkString)
+          }
         }
-      })
-    df.withColumn("_frames", frameUdf(col(binaryCol)))
-      .withColumn("frame", explode(col("_frames")))
-      .drop("_frames")
-      .withColumn("frame_idx", col("frame._1"))
-      .withColumn("frame_digest", col("frame._2"))
-      .drop("frame")
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Corpus-level media stats: the aggregation never touches the raw
