@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64Expr(exprs.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("parse_range_expr"),
+      new ExpressionInfo(classOf[ParseRangeExprE].getName, "parse_range_expr"),
+      RangeExpressions.fromSeqParse _))
+    extensions.injectFunction((
+      new FunctionIdentifier("range_contains"),
+      new ExpressionInfo(classOf[RangeContainsE].getName, "range_contains"),
+      RangeExpressions.fromSeqContains _))
+    extensions.injectFunction((
       new FunctionIdentifier("simhash64_text"),
       new ExpressionInfo(classOf[SimHash64TextExpr].getName, "simhash64_text"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

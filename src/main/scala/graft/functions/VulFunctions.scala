@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Model, OpVersion, PkgVersion, RangeExpr, Severity}
+import graft.core.{Model, PkgVersion, Severity}
 
 /** Scalar-function surface of the vulnerability domain, exposed both
   * as Column helpers (codegen'd built-ins where possible) and as
@@ -21,12 +21,6 @@ object VulFunctions {
       case Left(_)  => null
     }
 
-  private val parseRangeF = (s: String) =>
-    if (s == null) Seq.empty[OpVersion] else RangeExpr.parseRangeExpr(s)
-
-  private val rangeContainsF = (chain: Seq[OpVersion], v: String) =>
-    if (chain == null || v == null) false else RangeExpr.contains(chain, v)
-
   private val cveYearF = (name: String) =>
     if (name == null) -1 else Model.cveYear(name)
 
@@ -36,12 +30,16 @@ object VulFunctions {
     * null when unparseable. */
   val version_parse = udf(versionParseF)
 
-  /** `parse_range_expr(s)` -> array<struct<opCode,version>>. */
-  val parse_range_expr = udf(parseRangeF)
+  /** `parse_range_expr(s)` -> array<struct<opCode,version>> — a native
+    * expression, foldable on constant input so a literal range string
+    * becomes an array literal at optimization time. */
+  def parse_range_expr(s: Column): Column = RangeExpressions.parse_range_expr(s)
 
   /** `range_contains(chain, v)` -> does version v satisfy the opcode
-    * chain (OR across groups, AND within). */
-  val range_contains = udf(rangeContainsF)
+    * chain (OR across groups, AND within). Native expression with
+    * doGenCode — filters on it stay inside whole-stage codegen. */
+  def range_contains(chain: Column, v: Column): Column =
+    RangeExpressions.range_contains(chain, v)
 
   /** CVE-name year extraction (reference common/db.go:63-70). */
   val cve_year = udf(cveYearF)
@@ -86,9 +84,8 @@ object VulFunctions {
   def register(spark: SparkSession): Unit = {
     VersionExpressions.register(spark)
     TextExpressions.register(spark)
+    RangeExpressions.register(spark)
     spark.udf.register("version_parse", versionParseF)
-    spark.udf.register("parse_range_expr", parseRangeF)
-    spark.udf.register("range_contains", rangeContainsF)
     spark.udf.register("cve_year", cveYearF)
   }
 }

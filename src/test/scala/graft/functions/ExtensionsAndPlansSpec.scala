@@ -53,4 +53,34 @@ class ExtensionsAndPlansSpec extends SparkSpecBase {
     assert(p.contains("*(1) Project [version_cmp"))
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(-1, -1, 0, 1))
   }
+
+  test("q51's range filter folds its constant chain and stays codegen'd") {
+    val q = graft.SparkEntry.queries("q51_range_filter")(spark, "/root/testdata/sf0.001")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    // parse_range_expr(literal) constant-folds into an array literal
+    assert(!optimized.contains("parse_range_expr"))
+    q.collect() // finalize the adaptive plan so codegen spans print
+    val physical = q.queryExecution.executedPlan.toString
+    // the filter runs inside a WholeStageCodegen span, no ScalaUDF
+    assert(physical.contains("*(1) Filter range_contains"))
+    assert(!physical.contains("ScalaUDF"))
+  }
+
+  test("range_contains matches the core grammar semantics end to end") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(
+      Tuple1("1.2.9"), Tuple1("9.0.43"), Tuple1("9.0.44"), Tuple1("10.1")))
+      .toDF("v")
+      .select(col("v"), RangeExpressions.range_contains(
+        RangeExpressions.parse_range_expr(lit(">= 9.0.0, < 9.0.44 || >= 10.0.0")),
+        col("v")).as("in"))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("1.2.9" -> false, "9.0.43" -> true,
+      "9.0.44" -> false, "10.1" -> true))
+    // SQL registration path
+    val sql = spark.sql(
+      "SELECT range_contains(parse_range_expr('>=1.0 <2.0'), '1.5') a, " +
+      "range_contains(parse_range_expr('>=1.0 <2.0'), '2.5') b").collect()(0)
+    assert(sql.getBoolean(0) && !sql.getBoolean(1))
+  }
 }
