@@ -42,14 +42,39 @@ object Dedup {
         array_min(transform(col(shinglesCol), x => md5(concat(lit(s"$i#"), x)))))
     }
 
+  /** Approximate Jaccard threshold of a banded-LSH configuration —
+    * the similarity at which the s-curve `P(candidate) = 1-(1-s^r)^b`
+    * crosses ~50%: `t ≈ (1/b)^(1/r)` with `b = numHashes/rowsPerBand`
+    * bands of `r = rowsPerBand` rows. Tuning guide:
+    *
+    *   numHashes rowsPerBand bands  threshold  shape
+    *        4         2        2      0.71     cheap, soft curve
+    *       16         4        4      0.71     sharper at same t
+    *       32         4        8      0.59     recall-leaning
+    *       64         8        8      0.77     precision-leaning
+    *      128         4       32      0.42     aggressive recall
+    *
+    * More bands at fixed r lowers the threshold (catches lower
+    * similarity); more rows per band at fixed b raises it and
+    * sharpens the curve. LshCalibrationSpec verifies empirical
+    * candidate recall tracks the analytic s-curve. */
+  def lshThreshold(numHashes: Int, rowsPerBand: Int): Double = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    math.pow(rowsPerBand.toDouble / numHashes, 1.0 / rowsPerBand)
+  }
+
   /** Banded-LSH candidate pairs from signature columns: bands of
     * `rowsPerBand` hashes, pairs expanded bucket-locally. A degenerate
     * band shared by more than `maxBucket` docs is dropped before any
     * id array is built (HotKeys.cap — windowed count, logged drops),
-    * so one hot band can never go quadratic. */
+    * so one hot band can never go quadratic. See `lshThreshold` for
+    * picking (k, rowsPerBand). */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_lsh_band_cap"): DataFrame = {
+    require(rowsPerBand >= 1 && k % rowsPerBand == 0,
+      s"numHashes ($k) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val bandCols = (0 until k / rowsPerBand).map { b =>
       md5(concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
