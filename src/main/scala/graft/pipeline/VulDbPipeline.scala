@@ -32,24 +32,31 @@ object VulDbPipeline {
     apps: Dataset[AppModuleVul])
 
   /** Transform phase: everything up to (not including) the artifact
-    * write, fully lazy. */
-  def build(in: Inputs)(implicit spark: SparkSession): Outputs = {
+    * write, fully lazy. With a non-empty `tracer` (the `-debug
+    * v=CVE-...` analogue), matching records are snapshotted after
+    * parse/union, namespacing, enrichment, and the final upsert. */
+  def build(in: Inputs, tracer: VulTracer = VulTracer.disabled)(
+      implicit spark: SparkSession): Outputs = {
     import spark.implicits._
 
     val distro =
       if (in.distroFeeds.isEmpty) spark.emptyDataset[Vulnerability]
-      else Namespacing(in.distroFeeds.reduce(_ unionByName _))
+      else Namespacing(tracer.tap("parse distro",
+        in.distroFeeds.reduce(_ unionByName _)))
+    tracer.tap("namespacing distro", distro)
 
     val appsMerged =
       if (in.appFeeds.isEmpty) spark.emptyDataset[AppModuleVul]
-      else AppPostFilters.dedup(in.appFeeds)
+      else AppPostFilters.dedup(in.appFeeds.map(f =>
+        tracer.tap("parse app", f, nameCol = "vulName")))
     val appsCalibrated = in.calibration
       .map(c => AppPostFilters.applyCalibration(appsMerged, c))
       .getOrElse(appsMerged)
     val appsGated = AppPostFilters.gate(appsCalibrated)
 
-    val enrichedVulns = Enrich.distro(distro, in.nvd)
-    val enrichedApps = Enrich.app(appsGated, in.nvd)
+    val enrichedVulns = tracer.tap("post enrich distro", Enrich.distro(distro, in.nvd))
+    val enrichedApps = tracer.tap("post enrich app", Enrich.app(appsGated, in.nvd),
+      nameCol = "vulName")
 
     // A8 — final keyed upsert: one record per (namespace, name);
     // deterministic max-struct pick replaces Go-map last-writer-wins
@@ -67,14 +74,16 @@ object VulDbPipeline {
         org.apache.spark.sql.functions.col("m.*"))
       .select(enrichedVulns.columns.map(org.apache.spark.sql.functions.col): _*)
       .as[Vulnerability]
+    tracer.tap("pre sink distro", deduped)
 
     Outputs(deduped, enrichedApps)
   }
 
   /** Build + write both artifacts; returns per-file shas. */
-  def run(in: Inputs, outDir: String, version: String, updateTime: String)(
+  def run(in: Inputs, outDir: String, version: String, updateTime: String,
+      tracer: VulTracer = VulTracer.disabled)(
       implicit spark: SparkSession): Map[String, String] = {
-    val out = build(in)
+    val out = build(in, tracer)
     VulDbSink.write(out.vulns, out.apps, in.rawFiles, outDir, version, updateTime)
   }
 }

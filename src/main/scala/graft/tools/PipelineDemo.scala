@@ -12,10 +12,18 @@ import graft.sources.oval._
   * feeds — every adapter in the library: 11 distro feeds + 8 app
   * feeds + NVD + calibration + whitelist injection + version
   * backfill -> dual encrypted artifacts -> decrypt read-back.
-  * Usage: runMain graft.tools.PipelineDemo <fixturesDir> <outDir> */
+  * Usage: runMain graft.tools.PipelineDemo <fixturesDir> <outDir>
+  *          [-debug v=CVE-a,CVE-b]
+  * The -debug flag is the reference's row-tracing filter: matching
+  * records print a field snapshot after each pipeline phase. */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
-    val Array(fx, outDir) = args
+    val (fx, outDir) = (args(0), args(1))
+    val tracer = args.indexOf("-debug") match {
+      case i if i >= 0 && i + 1 < args.length =>
+        graft.pipeline.VulTracer.parse(args(i + 1))
+      case _ => graft.pipeline.VulTracer.disabled
+    }
     implicit val spark: SparkSession = graft.GraftSession.build("pipeline-demo")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -54,7 +62,7 @@ object PipelineDemo {
       rawFiles = Seq(VulDbSink.TarEntry("rhel-cpes.json", "{}".getBytes)))
 
     // the J4 whitelist + J3 backfill sit between merge and enrichment
-    val built = VulDbPipeline.build(inputs)
+    val built = VulDbPipeline.build(inputs, tracer)
     val withBackfill = AppEnrichOps.backfillAffectedVersions(built.apps, nvd)
     println(s"[demo] distro vulns=${built.vulns.count()} apps=${withBackfill.count()}")
     built.vulns.groupBy("namespace").count().orderBy("namespace").collect()
@@ -71,6 +79,7 @@ object PipelineDemo {
       val n = new String(e.bytes, "UTF-8").linesIterator.count(_.nonEmpty)
       println(s"[demo] $name: $n rows, sha ok: ${VulDbSink.sha256Hex(e.bytes) == shas(name)}")
     }
+    if (tracer.enabled) println(tracer.format)
     spark.stop()
   }
 }
