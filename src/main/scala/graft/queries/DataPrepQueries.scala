@@ -336,6 +336,108 @@ object DataPrepQueries {
         .agg(count(lit(1)).as("n"),
           sum(octet_length(col("blob"))).cast("bigint").as("total_bytes"),
           countDistinct(sha2(col("blob"), 256)).as("n_distinct_blobs"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // SimHash near-dup: banded 16-bit blocks of the 64-bit signature
+    // (hamming <= 3 pairs share at least one of 4 blocks by pigeonhole
+    // -- exact recall at this radius, no O(n^2) compare).
+    QueryDef("q43_simhash_neardup", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+      th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+      votes AS (SELECT doc_id, b.b AS b,
+                       sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+                GROUP BY doc_id, b.b),
+      sh AS (SELECT doc_id,
+                    coalesce(bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b) END), 0::UBIGINT) AS sh
+             FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, sh, k.k AS k, (sh >> (16 * k.k)) & 65535 AS band
+                FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+                FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+      ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        // signature map-side via the compiled simhash64_text kernel
+        // (tokenization inside -- no interpreted lambda); candidates
+        // via 16-bit-block keys, hamming scored bucket-locally with
+        // the signature carried through the bucket like q35 carries
+        // set sizes. Same HotKeys guard as every bucket pipeline.
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextExpressions.simhash64_text(col("text")).as("sh"))
+          .filter(expr(s"size($toksExpr) > 0"))
+        val bands = base.select(
+          struct(col("doc_id"), col("sh")).as("d"),
+          posexplode(array((0 until 4).map(k =>
+            shiftrightunsigned(col("sh"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+          .toDF("d", "k", "band")
+        graft.operators.HotKeys.cap(bands, Seq(col("k"), col("band")),
+            graft.operators.HotKeys.DefaultBucketCap,
+            metricName = "graft_q43_band_cap")
+          .groupBy("k", "band")
+          .agg(sort_array(collect_set(col("d"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (x, i) ->
+                 transform(slice(ids, i + 2, size(ids) - i - 1),
+                   y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                               x.sh AS sha, y.sh AS shb))))""")).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            bit_count(col("p.sha").bitwiseXOR(col("p.shb"))).cast("bigint").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // IVF-style ANN: deterministic coarse centroids (vectors 1..8 as
+    // the trained codebook stand-in), vectors assigned to their
+    // nearest centroid, probe searches ONLY its centroid's inverted
+    // list -- the n/K scale path vs q37's brute force.
+    QueryDef("q44_ivf_ann", Some("""
+      WITH c AS (SELECT vec_id AS cid,
+                        list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      probe AS (SELECT cid FROM assign WHERE vec_id = 0),
+      members AS (SELECT a.vec_id, e.e FROM assign a
+                  JOIN e ON a.vec_id = e.vec_id
+                  JOIN probe p ON a.cid = p.cid
+                  WHERE a.vec_id <> 0),
+      q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+      SELECT m.vec_id,
+             round(list_inner_product(m.e, q.qe)
+               / (sqrt(list_inner_product(m.e, m.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+      FROM members m CROSS JOIN q
+      ORDER BY cos DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        // assignment: 8 broadcast centroids per vector, min_by distance
+        // (no shuffle of the vectors beyond the groupBy on vec_id)
+        val assign = others.crossJoin(broadcast(cents))
+          .withColumn("dist", expr(
+            "sqrt(aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
+          .groupBy("vec_id")
+          .agg(min_by(col("cid"), col("dist")).as("cid"))
+        val probe = assign.filter(col("vec_id") === 0).select(col("cid").as("pcid"))
+        val q = others.filter(col("vec_id") === 0).select(col("e").as("qe"))
+        assign.join(broadcast(probe), col("cid") === col("pcid"))
+          .filter(col("vec_id") =!= 0)
+          .join(others.withColumnRenamed("vec_id", "_vid"), col("vec_id") === col("_vid"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(expr(
+            """aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+               / (sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
+                  * sqrt(aggregate(qe, 0D, (acc, x) -> acc + x * x)))"""), 4).as("cos"))
+          .orderBy(desc("cos"), col("vec_id")).limit(10)
+      })
   )
 }
