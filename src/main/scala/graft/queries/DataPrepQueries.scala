@@ -338,6 +338,43 @@ object DataPrepQueries {
           countDistinct(sha2(col("blob"), 256)).as("n_distinct_blobs"))
         .orderBy("source")),
 
+    // Idempotency-key dedup: first event per (user, type, 5-min
+    // window) wins — the batch twin of EventStream.dedupEvents'
+    // watermarked dropDuplicatesWithinWatermark.
+    QueryDef("q45_stream_dedup", Some("""
+      WITH keyed AS (SELECT user_id, event_type,
+                            time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS win5,
+                            ts, event_id, value
+                     FROM events),
+      firsts AS (SELECT * FROM keyed
+                 QUALIFY row_number() OVER (PARTITION BY user_id, event_type, win5
+                                            ORDER BY ts, event_id) = 1)
+      SELECT event_type, count(*) AS n_keys, round(sum(value), 2) AS first_total
+      FROM firsts GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => t(s, dir, "events")
+        .withColumn("win5", window(expr(QueryDef.tsCol), "5 minutes").getField("start"))
+        .groupBy("user_id", "event_type", "win5")
+        .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("first"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_keys"),
+          round(sum("first.value"), 2).as("first_total"))
+        .orderBy("event_type")),
+
+    // Sliding windows (10-minute span, 5-minute slide): every event
+    // lands in exactly two windows; the oracle enumerates the two
+    // per-event window starts explicitly.
+    QueryDef("q46_sliding_window", Some("""
+      SELECT strftime(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                        - k.k * INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS win_start,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+      GROUP BY win_start ORDER BY win_start"""),
+      (s, dir) => t(s, dir, "events")
+        .select(window(expr(QueryDef.tsCol), "10 minutes", "5 minutes").as("w"), col("value"))
+        .groupBy(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("win_start")),
+
     // SimHash near-dup: banded 16-bit blocks of the 64-bit signature
     // (hamming <= 3 pairs share at least one of 4 blocks by pigeonhole
     // -- exact recall at this radius, no O(n^2) compare).

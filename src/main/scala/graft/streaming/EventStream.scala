@@ -52,6 +52,34 @@ object EventStream {
       .start()
   }
 
+  /** Watermarked streaming dedup on an idempotency key (user, type,
+    * 5-min window): state for a key is dropped once the watermark
+    * passes its window, so it stays bounded by the watermark horizon x
+    * key cardinality. First ARRIVAL wins (stream semantics); the batch
+    * twin q45_stream_dedup picks first EVENT TIME — key counts agree,
+    * which is what the parity test checks. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("win5", window(col("event_ts"), "5 minutes").getField("start"))
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "win5")
+
+  /** Run the streaming dedup over a parquet directory into a memory
+    * sink; returns the query. */
+  def runDedup(spark: SparkSession, dir: String, queryName: String,
+      glob: String = "*.parquet"): StreamingQuery = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    dedupEvents(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class SessionInput(user_id: Long, ms: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessionState(nSessions: Long, nEvents: Long, lastMs: Long)

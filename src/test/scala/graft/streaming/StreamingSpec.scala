@@ -26,6 +26,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("watermarked streaming dedup agrees with the batch twin on keys") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.runDedup(spark, sfDir, "stream_dedup", "events.parquet")
+    q.awaitTermination(120000)
+    // stream keeps first ARRIVAL per key; batch q45 keeps first EVENT
+    // TIME — the per-type surviving-key counts must agree exactly
+    val streamed = spark.sql(
+      "SELECT event_type, count(*) AS n FROM stream_dedup GROUP BY event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.SparkEntry.queries("q45_stream_dedup")(spark, sfDir)
+      .select(col("event_type"), col("n_keys"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum > 0)
+  }
+
   test("stateful sessionization matches the batch window query") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val streamed = EventStream.sessionize(spark, events)
