@@ -48,6 +48,35 @@ object Similarity {
       embCol, idCol, query, k)
   }
 
+  /** IVF-style ANN: a (small, broadcast) centroid table acts as the
+    * coarse quantizer; every vector is assigned to its nearest
+    * centroid in one map-side pass + a vec-keyed groupBy, and the
+    * probe searches only its centroid's inverted list — n/K work per
+    * probe instead of n. Swapping a trained k-means codebook for the
+    * centroid input changes nothing in the plan. `df` must carry
+    * double-array embeddings in `embCol`; `centroids` has (cid, ce).
+    * The probe is the row of `df` with id `queryVecId` (excluded from
+    * results). */
+  def ivfTopK(df: DataFrame, centroids: DataFrame, embCol: String, idCol: String,
+      queryVecId: Long, k: Int): DataFrame = {
+    val e = col(embCol)
+    val dist = sqrt(aggregate(zip_with(e, col("ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+    // assignment keeps the vector via first(e) — constant per id, so
+    // no second join against the corpus is needed
+    val assign = df.crossJoin(broadcast(centroids))
+      .groupBy(idCol)
+      .agg(min_by(col("cid"), dist).as("cid"), first(e).as("_e"))
+    val probe = assign.filter(col(idCol) === queryVecId).select(
+      col("cid").as("_pcid"), col("_e").as("_qe"))
+    assign.join(broadcast(probe), col("cid") === col("_pcid"))
+      .filter(col(idCol) =!= queryVecId)
+      .select(col(idCol),
+        round(cosine(col("_e"), col("_qe")), 4).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Near-duplicate embedding pairs above a cosine threshold, searched
     * bucket-locally (no O(n^2) cross join): group ids+vectors per sign
     * bucket, expand pairs inside the bucket, then score. A bucket with

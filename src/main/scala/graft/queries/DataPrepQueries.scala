@@ -457,24 +457,8 @@ object DataPrepQueries {
         val cents = emb.filter(col("vec_id").between(1, 8))
           .select(col("vec_id").as("cid"), col("e").as("ce"))
         val others = emb.filter(!col("vec_id").between(1, 8))
-        // assignment: 8 broadcast centroids per vector, min_by distance
-        // (no shuffle of the vectors beyond the groupBy on vec_id)
-        val assign = others.crossJoin(broadcast(cents))
-          .withColumn("dist", expr(
-            "sqrt(aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v))"))
-          .groupBy("vec_id")
-          .agg(min_by(col("cid"), col("dist")).as("cid"))
-        val probe = assign.filter(col("vec_id") === 0).select(col("cid").as("pcid"))
-        val q = others.filter(col("vec_id") === 0).select(col("e").as("qe"))
-        assign.join(broadcast(probe), col("cid") === col("pcid"))
-          .filter(col("vec_id") =!= 0)
-          .join(others.withColumnRenamed("vec_id", "_vid"), col("vec_id") === col("_vid"))
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"), round(expr(
-            """aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-               / (sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
-                  * sqrt(aggregate(qe, 0D, (acc, x) -> acc + x * x)))"""), 4).as("cos"))
-          .orderBy(desc("cos"), col("vec_id")).limit(10)
+        graft.operators.Similarity.ivfTopK(others, cents, "e", "vec_id",
+          queryVecId = 0, k = 10)
       })
   )
 }
