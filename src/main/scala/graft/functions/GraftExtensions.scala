@@ -46,6 +46,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RangeContainsE].getName, "range_contains"),
       RangeExpressions.fromSeqContains _))
     extensions.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"cosine_sim requires 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"dot_product requires 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("simhash64_text"),
       new ExpressionInfo(classOf[SimHash64TextExpr].getName, "simhash64_text"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

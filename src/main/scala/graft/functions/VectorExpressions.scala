@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.GraftBridge
+
+/** Compiled vector kernels for the similarity operators.
+  *
+  * The ANN/cosine pipelines were first written with higher-order
+  * built-ins (`aggregate(zip_with(a, b, ...))`) — correct, but lambda
+  * HOFs are interpreted per element with boxing, and at 100 TB the
+  * embedding scan is exactly the hot path. These kernels do one tight
+  * primitive-double pass per row and sit inside whole-stage codegen,
+  * same contract as TextOps/VersionOps.
+  *
+  * Accumulation order is per-element left-to-right, identical to the
+  * HOF formulation and to the DuckDB oracle's list_inner_product, so
+  * results are bit-for-bit unchanged. Arrays of unequal length are
+  * scored over the common prefix. */
+object VectorOps {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    acc
+  }
+
+  /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
+    * formulation divides by zero the same way). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      d += xs(i) * ys(i)
+      i += 1
+    }
+    // norms over each FULL vector, matching sqrt(aggregate(x, x*x))
+    i = 0
+    while (i < xs.length) { na += xs(i) * xs(i); i += 1 }
+    i = 0
+    while (i < ys.length) { nb += ys(i) * ys(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `cosine_sim(a, b)` over two array<double> columns. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** `dot_product(a, b)` over two array<double> columns. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+object VectorExpressions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => {
+        require(exprs.length == 2, s"cosine_sim requires 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => {
+        require(exprs.length == 2, s"dot_product requires 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }, "built-in")
+  }
+}

@@ -85,6 +85,7 @@ object VulFunctions {
     VersionExpressions.register(spark)
     TextExpressions.register(spark)
     RangeExpressions.register(spark)
+    VectorExpressions.register(spark)
     spark.udf.register("version_parse", versionParseF)
     spark.udf.register("cve_year", cveYearF)
   }

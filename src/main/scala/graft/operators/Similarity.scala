@@ -9,14 +9,13 @@ import org.apache.spark.sql.functions._
   * bucketing so probes search ~n/2^bits rows (SCALE.md §4). */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns (built-ins
-    * only — zip_with + aggregate, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column) = sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
-    dot(a, b) / (norm(a) * norm(b))
-  }
+  /** Cosine similarity between two double-array columns — a compiled
+    * Catalyst kernel (functions.CosineSim): one primitive-double pass
+    * per row inside whole-stage codegen, with accumulation order (and
+    * therefore bits) identical to the aggregate(zip_with(...)) HOF
+    * formulation it replaced. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_sim(a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

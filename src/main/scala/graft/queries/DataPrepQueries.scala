@@ -233,15 +233,14 @@ object DataPrepQueries {
       FROM e JOIN q USING (i) GROUP BY e.vec_id
       ORDER BY cos DESC, vec_id LIMIT 10"""),
       (s, dir) => {
+        // cosine is the compiled kernel (functions.CosineSim) — one
+        // primitive pass per row, bit-identical to the HOF formulation
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
         val q = emb.filter(col("vec_id") === 0).select(col("e").as("qv"))
         emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
           .select(col("vec_id"),
-            round(expr(
-              """aggregate(zip_with(e, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-                 / (sqrt(aggregate(e, 0D, (acc, x) -> acc + x * x))
-                    * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))"""), 4).as("cos"))
+            round(graft.operators.Similarity.cosine(col("e"), col("qv")), 4).as("cos"))
           .orderBy(desc("cos"), col("vec_id")).limit(10)
       }),
 
