@@ -138,6 +138,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate clusters from near-dup candidate pairs: connected
+    * components by iterative min-label propagation, returning
+    * (id, cluster) with cluster = the component's minimum id.
+    *
+    * Shape at scale: each iteration is one equi-join of the
+    * (symmetrized) edge list with the current labels plus a min-agg —
+    * all key-partitioned operations, no driver-side graph. Rounds
+    * needed = component diameter; near-dup components are
+    * bucket-expanded near-cliques, so convergence is typically 2-3
+    * rounds (maxIter caps pathological chains; the fixpoint check is
+    * exact, so early convergence stops immediately). Label frames are
+    * localCheckpoint'ed each round to keep lineage flat. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "id2"), col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("label") > coalesce(col("nbr_label"), col("label"))).as("_changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("_changed")).limit(1).count() == 0
+      labels = updated.drop("_changed")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Keep one canonical row per duplicate cluster (the minimum id)
+    * plus every row that was never a candidate — the standard "drop
+    * near-duplicates" completion over `duplicateClusters` output. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(clusters.withColumnRenamed("id", "_cid"), col(idCol) === col("_cid"), "left")
+      .filter(col("_cid").isNull || col(idCol) === col("cluster"))
+      .drop("_cid", "cluster")
+
   /** SimHash64 of a token array: per-token md5-derived 64-bit hash,
     * bitwise majority vote. A compiled Catalyst expression
     * (functions.SimHash64Expr) with a ThreadLocal digest — it runs

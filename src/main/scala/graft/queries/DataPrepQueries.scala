@@ -427,6 +427,37 @@ object DataPrepQueries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // Duplicate clusters: the dedup completion step — connected
+    // components over the q36 LSH candidate pairs (iterative min-label
+    // propagation on Spark; recursive-CTE closure in the oracle).
+    QueryDef("q47_dup_clusters", Some(s"""
+      WITH RECURSIVE shdoc AS (SELECT doc_id, $shinglesSqlArr AS shs FROM documents),
+      sig AS (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
+      bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s)
+      SELECT cluster, count(*) AS n_members FROM (
+        SELECT a, min(b) AS cluster FROM reach GROUP BY a)
+      GROUP BY cluster ORDER BY cluster"""),
+      (s, dir) => {
+        val pairs = graft.operators.Dedup.minhashNearDupCandidates(
+          t(s, dir, "documents"), "text", "doc_id")
+        graft.operators.Dedup.duplicateClusters(pairs)
+          .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+          .orderBy("cluster")
+      }),
+
     // IVF-style ANN: deterministic coarse centroids (vectors 1..8 as
     // the trained codebook stand-in), vectors assigned to their
     // nearest centroid, probe searches ONLY its centroid's inverted

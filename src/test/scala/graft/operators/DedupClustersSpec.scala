@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Connected-component clustering over candidate pairs — the dedup
+  * completion step: transitive groups collapse to one canonical id. */
+class DedupClustersSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("transitive pairs collapse to min-id components") {
+    // components: {1,2,3} via 1-2, 2-3; {5,6}; 9 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("an 8-node chain converges within maxIter") {
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 8L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("end to end: LSH candidates -> clusters -> canonical survivors") {
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "group one duplicate text body alpha")) ++
+      (11 to 12).map(i => (i.toLong, "group two duplicate text body beta")) ++
+      (21 to 24).map(i => (i.toLong, s"unique document number $i with own words $i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupCandidates(docs, "text", "doc_id")
+    val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // one survivor per dup group (the min id), all uniques kept
+    assert(kept == Set(1L, 11L, 21L, 22L, 23L, 24L))
+  }
+}
