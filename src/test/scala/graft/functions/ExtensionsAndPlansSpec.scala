@@ -54,6 +54,17 @@ class ExtensionsAndPlansSpec extends SparkSpecBase {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(-1, -1, 0, 1))
   }
 
+  test("scans prune to the referenced columns only") {
+    // a scan reading all columns for a narrow projection would be the
+    // first thing to break 100 TB reads — pin the pruned ReadSchema
+    assert(plan("q43_simhash_neardup")
+      .contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(plan("q38_ann_buckets")
+      .contains("ReadSchema: struct<embedding:array<float>>"))
+    assert(plan("q31_token_stats")
+      .contains("ReadSchema: struct<text:string,lang:string>"))
+  }
+
   test("q51's range filter folds its constant chain and stays codegen'd") {
     val q = graft.SparkEntry.queries("q51_range_filter")(spark, "/root/testdata/sf0.001")
     val optimized = q.queryExecution.optimizedPlan.toString

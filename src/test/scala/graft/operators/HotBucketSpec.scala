@@ -105,6 +105,25 @@ class HotBucketSpec extends SparkSpecBase {
     assert(m.getAs[Long]("dropped_rows") == 300L)
   }
 
+  test("candidates-then-verify finds the pairs the full index finds") {
+    import spark.implicits._
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "shared duplicate content body text here")) ++
+      (11 to 40).map(i => (i.toLong, s"unique number $i text with words $i here")))
+      .toDF("doc_id", "text")
+    val full = Dedup.jaccardNearDupPairs(docs, "text", "doc_id", minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Dedup.minhashJaccardPairs(docs, "text", "doc_id", minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs are always found by LSH (collision prob 1)
+    assert(full == viaLsh)
+    assert(full == (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)).toSet)
+    // and verification scores are exact Jaccard, not estimates
+    val j = Dedup.minhashJaccardPairs(docs, "text", "doc_id", minJaccard = 0.9)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(j.forall(_ == 1.0))
+  }
+
   test("jaccard library form agrees with itself under a generous cap") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
