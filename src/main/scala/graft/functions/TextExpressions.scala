@@ -190,6 +190,20 @@ object TextOps {
     out
   }
 
+  /** Unicode NFC normalization; ASCII fast path avoids the Normalizer
+    * (ASCII is NFC by construction). */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) return text
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** SimHash64 straight from text: whitespace tokens taken as byte
     * spans (zero copies), same hash/vote as simhash64(tokens). Using
     * this variant keeps the whole pipeline codegen'd — no interpreted
@@ -259,6 +273,25 @@ case class MinhashSigExpr(child: Expression, n: Int, k: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** `nfc_normalize(text)` -> Unicode NFC normalization (UAX#15), the
+  * canonical first step of text cleaning; NULL in -> NULL out. A
+  * compiled expression because Spark has no normalization built-in
+  * and a UDF boundary here would break the cleaning chain's codegen.
+  * Fast path: pure-ASCII bytes (the common case) skip the Normalizer
+  * call entirely. */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextOps.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** `simhash64(tokens)` -> 64-bit SimHash of a token array (NULL in ->
   * NULL out; null elements skipped). */
 case class SimHash64Expr(child: Expression)
@@ -326,6 +359,10 @@ object TextExpressions {
   def simhash64_text(text: Column): Column =
     GraftBridge.column(SimHash64TextExpr(GraftBridge.expression(text)))
 
+  /** Column API: Unicode NFC normalization. */
+  def nfc_normalize(text: Column): Column =
+    GraftBridge.column(NfcNormalizeExpr(GraftBridge.expression(text)))
+
   def fromSeqShingles(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"shingles requires 2 arguments, got ${exprs.length}")
     ShinglesExpr(exprs.head, intLit(exprs(1), "shingles", "n"))
@@ -352,6 +389,11 @@ object TextExpressions {
       "simhash64_text", exprs => {
         require(exprs.length == 1, s"simhash64_text requires 1 argument, got ${exprs.length}")
         SimHash64TextExpr(exprs.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => {
+        require(exprs.length == 1, s"nfc_normalize requires 1 argument, got ${exprs.length}")
+        NfcNormalizeExpr(exprs.head)
       }, "built-in")
   }
 }

@@ -427,6 +427,33 @@ object DataPrepQueries {
           .orderBy("doc_a", "doc_b")
       }),
 
+    // Text-normalization pipeline: NFC + casefold + PII/URL scrub +
+    // whitespace canonicalization, as corpus stats (the cleaning chain
+    // itself is one codegen span over the scan).
+    QueryDef("q48_normalize_pipeline", Some("""
+      SELECT source,
+             count(DISTINCT md5(cleaned)) AS n_distinct_clean,
+             round(avg(length(cleaned)), 4) AS avg_len,
+             CAST(sum(CASE WHEN cleaned LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
+      FROM (SELECT source,
+              trim(regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(nfc_normalize(text)),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[^ ]+', '<URL>', 'g'),
+                '\s+', ' ', 'g')) AS cleaned
+            FROM documents)
+      GROUP BY source ORDER BY source"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          graft.operators.TextNorm.clean(col("text")).as("cleaned"))
+        .groupBy("source")
+        .agg(countDistinct(md5(col("cleaned"))).as("n_distinct_clean"),
+          round(avg(length(col("cleaned"))), 4).as("avg_len"),
+          sum(when(col("cleaned").contains("<EMAIL>"), 1).otherwise(0))
+            .cast("bigint").as("n_scrubbed"))
+        .orderBy("source")),
+
     // Duplicate clusters: the dedup completion step — connected
     // components over the q36 LSH candidate pairs (iterative min-label
     // propagation on Spark; recursive-CTE closure in the oracle).

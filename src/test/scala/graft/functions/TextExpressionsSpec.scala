@@ -132,6 +132,27 @@ class TextExpressionsSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("nfc_normalize: composed forms, ASCII fast path, null, cleaning chain") {
+    // decomposed e + combining acute (U+0301) must compose to U+00E9
+    val decomposed = "e\u0301cole"
+    val composed = "\u00e9cole"
+    assert(decomposed != composed)
+    val ndf = spark.createDataFrame(Seq(Tuple1(decomposed))).toDF("t")
+      .select(TextExpressions.nfc_normalize(col("t")).as("a"))
+    assert(ndf.collect()(0).getString(0) == composed)
+    val r = spark.sql("SELECT nfc_normalize('plain') b, " +
+      "nfc_normalize(CAST(NULL AS STRING)) c").collect()(0)
+    assert(r.getString(0) == "plain")
+    assert(r.isNullAt(1))
+    // the full cleaning chain: scrub + fold + squeeze
+    val cleaned = spark.createDataFrame(Seq(Tuple1(
+      "Mail  ME at A.User@Example.COM  or https://x.io/page  NOW")))
+      .toDF("text")
+      .select(graft.operators.TextNorm.clean(org.apache.spark.sql.functions.col("text")))
+      .collect()(0).getString(0)
+    assert(cleaned == "mail me at <EMAIL> or <URL> now")
+  }
+
   test("kernels stay inside whole-stage codegen") {
     val plan = docs
       .select(TextExpressions.shingles(col("text"), 3).as("s"),
