@@ -454,6 +454,43 @@ object DataPrepQueries {
             .cast("bigint").as("n_scrubbed"))
         .orderBy("source")),
 
+    // The composed corpus-prep pipeline in one plan: clean -> quality
+    // gate -> exact dedup (first doc_id per cleaned text wins) ->
+    // per-language yield stats. Every stage is a stage of the same
+    // codegen'd scan until the two aggregations.
+    QueryDef("q49_prep_pipeline", Some("""
+      WITH cleaned AS (
+        SELECT doc_id, lang, n_chars,
+               trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS ctext
+        FROM documents),
+      gated AS (SELECT * FROM cleaned
+                WHERE length(ctext) >= 20 AND n_chars <= 4000),
+      deduped AS (SELECT * FROM gated
+                  QUALIFY row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id) = 1)
+      SELECT lang,
+             CAST((SELECT count(*) FROM cleaned c WHERE c.lang = d.lang) AS BIGINT) AS n_in,
+             count(*) AS n_out,
+             round(avg(length(ctext)), 4) AS avg_clean_len
+      FROM deduped d GROUP BY lang ORDER BY lang"""),
+      (s, dir) => {
+        val cleaned = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            trim(regexp_replace(lower(graft.operators.TextNorm.nfc(col("text"))),
+              "\\s+", " ")).as("ctext"))
+        val inCounts = cleaned.groupBy("lang").agg(count(lit(1)).as("n_in"))
+        val deduped = cleaned
+          .filter(length(col("ctext")) >= 20 && col("n_chars") <= 4000)
+          .groupBy(md5(col("ctext")).as("_digest"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("ctext"))).as("first"))
+        deduped
+          .groupBy(col("first.lang").as("lang"))
+          .agg(count(lit(1)).as("n_out"),
+            round(avg(length(col("first.ctext"))), 4).as("avg_clean_len"))
+          .join(broadcast(inCounts), "lang")
+          .select(col("lang"), col("n_in"), col("n_out"), col("avg_clean_len"))
+          .orderBy("lang")
+      }),
+
     // Duplicate clusters: the dedup completion step — connected
     // components over the q36 LSH candidate pairs (iterative min-label
     // propagation on Spark; recursive-CTE closure in the oracle).

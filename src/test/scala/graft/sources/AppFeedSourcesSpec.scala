@@ -51,6 +51,18 @@ class AppFeedSourcesSpec extends SparkSpecBase {
     assert(out("GO-2022-0002").severity == "Medium")
   }
 
+  test("go calibration is a broadcast join, not a driver map (J6 plan)") {
+    import spark.implicits._
+    val ubuntu = Seq(Vulnerability("CVE-2021-9999", "", "d", "l", "High",
+      6.8, "AV:N", 8.1, "CVSS:3.1/U", null, null, Nil, Nil, Nil, "high")).toDS()
+    val out = OsvSource.calibrateWithUbuntu(
+      OsvSource.loadGo(spark, fixture("go-osv")), ubuntu)
+    out.collect() // finalize the adaptive plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   // ---- Chainguard / Wolfi ----------------------------------------------
 
   test("chainguard: per-cve records, ecosystem filter, cve-less skipped") {
