@@ -52,6 +52,32 @@ object EventStream {
       .start()
   }
 
+  /** 10-minute/5-minute sliding counts, watermarked — the streaming
+    * twin of batch q46_sliding_window (each event feeds two windows;
+    * state is bounded by watermark horizon x window count). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n"), col("total"))
+
+  /** Run the sliding aggregation as a stream into a memory sink. */
+  def runSliding(spark: SparkSession, dir: String, queryName: String,
+      glob: String = "*.parquet"): StreamingQuery = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    slidingCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked streaming dedup on an idempotency key (user, type,
     * 5-min window): state for a key is dropped once the watermark
     * passes its window, so it stays bounded by the watermark horizon x

@@ -26,6 +26,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("sliding window stream matches the batch q46 plan") {
+    val q = EventStream.runSliding(spark, sfDir, "stream_sliding", "events.parquet")
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT win_start, n, total FROM stream_sliding")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = graft.SparkEntry.queries("q46_sliding_window")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermarked streaming dedup agrees with the batch twin on keys") {
     import org.apache.spark.sql.functions._
     val q = EventStream.runDedup(spark, sfDir, "stream_dedup", "events.parquet")
