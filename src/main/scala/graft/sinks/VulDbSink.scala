@@ -263,6 +263,19 @@ object VulDbSink {
     (header, entries)
   }
 
+  /** Analytic sink: the same dual projection written as
+    * bucket-partitioned parquet instead of the consumer artifact —
+    * the shape a downstream Spark/warehouse reader wants. 12 static
+    * buckets -> 12 write groups, no skew; rows outside the bucket
+    * routes land under bucket=__unrouted for auditability rather than
+    * silently dropping. */
+  def writeAnalytic(vulns: Dataset[Vulnerability], outDir: String): Unit =
+    project(vulns)
+      .withColumn("bucket", coalesce(col("bucket"), lit("__unrouted")))
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(outDir)
+
   /** Full sink: vulns + apps (+ raw passthrough files) -> compact +
     * regular artifacts in outDir. Returns per-file shas.
     *

@@ -54,6 +54,16 @@ class ExtensionsAndPlansSpec extends SparkSpecBase {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(-1, -1, 0, 1))
   }
 
+  test("no query plan contains a ScalaUDF or a cartesian product") {
+    // the whole driver inventory: every scalar leaf is native/codegen'd
+    // and every join has an equi-condition or a broadcast side
+    for ((name, run) <- graft.SparkEntry.queries) {
+      val p = run(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), s"$name has a ScalaUDF in its plan")
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
   test("scans prune to the referenced columns only") {
     // a scan reading all columns for a narrow projection would be the
     // first thing to break 100 TB reads — pin the pruned ReadSchema

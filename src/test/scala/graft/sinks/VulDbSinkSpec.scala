@@ -17,6 +17,17 @@ class VulDbSinkSpec extends SparkSpecBase {
     fixedVer = Seq(OpVersion("gteq", "2.0")), unaffectedVer = Nil,
     issuedDate = null, lastModDate = null, cves = Seq(vul))
 
+  test("analytic sink writes bucket-partitioned parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("analytic").toString
+    val vulns = Namespacing(AlpineSource.load(spark, fixture("alpine_secdb.json")))
+    VulDbSink.writeAnalytic(vulns, tmp)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == vulns.count())
+    // partition column materialized from the directory layout
+    assert(back.select("bucket").distinct().collect().map(_.getString(0)).toSet == Set("alpine"))
+    assert(new java.io.File(tmp).listFiles().exists(_.getName == "bucket=alpine"))
+  }
+
   test("write + read-back round trip") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString
