@@ -374,6 +374,18 @@ object DataPrepQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("win_start")),
 
+    // Vocabulary extraction: corpus-wide token frequencies, top-k.
+    // Two-stage aggregation (map-side partial counts on the exploded
+    // tokens) then a tiny ordered limit — the tokenizer vocab shape.
+    QueryDef("q56_vocab_topk", Some(s"""
+      SELECT t AS token, count(*) AS freq
+      FROM (SELECT unnest($toksSql) AS t FROM documents)
+      GROUP BY t ORDER BY freq DESC, token LIMIT 20"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(expr(toksExpr)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token")).limit(20)),
+
     // SimHash near-dup: banded 16-bit blocks of the 64-bit signature
     // (hamming <= 3 pairs share at least one of 4 blocks by pigeonhole
     // -- exact recall at this radius, no O(n^2) compare).

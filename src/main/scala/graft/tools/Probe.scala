@@ -27,6 +27,10 @@ object Probe {
     spark.sql("SELECT simhash64(array('a','b','c')) sh_arr, " +
       "simhash64_text('a b c') sh_text, " +
       "shingles('a b c d', CAST(3 AS BIGINT)) foldable_n").show(false)
+    spark.sql("SELECT nfc_normalize('plain') nfc, " +
+      "round(cosine_sim(array(1D,2D), array(2D,4D)), 4) cos, " +
+      "dot_product(array(1D,2D), array(3D,4D)) dot, " +
+      "range_contains(parse_range_expr('>=1.0 <2.0'), '1.5') in_range").show(false)
     spark.stop()
   }
 }
