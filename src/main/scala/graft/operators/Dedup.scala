@@ -98,13 +98,14 @@ object Dedup {
     * capped at `maxBucket`). */
   def minhashNearDupCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2,
-      maxBucket: Int = HotKeys.DefaultBucketCap): DataFrame = {
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_lsh_band_cap"): DataFrame = {
     val sig = df
       .select(col(idCol), minhashSigText(col(textCol), shingleN, numHashes).as("_hs"))
       .filter(col("_hs").isNotNull)
       .select(col(idCol) +:
         (0 until numHashes).map(i => element_at(col("_hs"), i + 1).as(s"h$i")): _*)
-    lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucket)
+    lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucket, metricName)
   }
 
   /** n-gram Jaccard near-duplicate pairs — the single-scan inverted
@@ -116,12 +117,13 @@ object Dedup {
     * dropped before any array is built, with logged drop counts. */
   def jaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.7,
-      maxDf: Int = HotKeys.DefaultBucketCap): DataFrame = {
+      maxDf: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_shingle_df_cap"): DataFrame = {
     val exploded = df
       .select(col(idCol), shingles(col(textCol), n).as("_shs"))
       .select(struct(col(idCol).as("_id"), size(col("_shs")).as("_n")).as("d"),
         explode(col("_shs")).as("sh"))
-    HotKeys.cap(exploded, Seq(col("sh")), maxDf, metricName = "graft_shingle_df_cap")
+    HotKeys.cap(exploded, Seq(col("sh")), maxDf, metricName = metricName)
       .groupBy("sh")
       .agg(sort_array(collect_set(col("d"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -151,9 +153,10 @@ object Dedup {
   def minhashJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.7,
       numHashes: Int = 4, rowsPerBand: Int = 2,
-      maxBucket: Int = HotKeys.DefaultBucketCap): DataFrame = {
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_lsh_verify_band_cap"): DataFrame = {
     val cands = minhashNearDupCandidates(df, textCol, idCol, n, numHashes,
-      rowsPerBand, maxBucket)
+      rowsPerBand, maxBucket, metricName)
     val sh = df.select(col(idCol).as("_sid"), shingles(col(textCol), n).as("_shs"))
     cands
       .join(sh.select(col("_sid").as("_ida"), col("_shs").as("_sa")),

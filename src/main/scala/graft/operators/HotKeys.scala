@@ -34,7 +34,10 @@ object HotKeys {
 
   /** Keep only rows whose key group has between `minPerKey` and `cap`
     * rows; publish (dropped_rows, hot_keys_est, max_key_rows) under
-    * `metricName`.
+    * `metricName`. Metric names must be UNIQUE within one query
+    * execution (Spark's CollectMetrics contract) — when composing two
+    * capped pipelines in a single query, give each a distinct name
+    * via the operators' metricName parameters.
     *
     * Metric-delivery caveat: if the filter leaves EXACTLY zero rows
     * and a further shuffle follows, AQE's empty-relation propagation

@@ -434,8 +434,10 @@ object DataPrepQueries {
                                x.sh AS sha, y.sh AS shb))))""")).as("p"))
           .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
             bit_count(col("p.sha").bitwiseXOR(col("p.shb"))).cast("bigint").as("hamming"))
-          .distinct()
+          // hamming is per-pair deterministic: filter BEFORE the
+          // distinct so far pairs never enter the dedup shuffle
           .filter(col("hamming") <= 3)
+          .distinct()
           .orderBy("doc_a", "doc_b")
       }),
 
