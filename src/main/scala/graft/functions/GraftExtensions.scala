@@ -23,6 +23,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VersionCmp(exprs(0), exprs(1))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("version_valid"),
+      new ExpressionInfo(classOf[VersionValid].getName, "version_valid"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"version_valid requires 1 argument, got ${exprs.length}")
+        VersionValid(exprs.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("cve_year"),
+      new ExpressionInfo(classOf[CveYearExpr].getName, "cve_year"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"cve_year requires 1 argument, got ${exprs.length}")
+        CveYearExpr(exprs.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       TextExpressions.fromSeqShingles _))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Model, PkgVersion, Severity}
+import graft.core.{PkgVersion, Severity}
 
 /** Scalar-function surface of the vulnerability domain, exposed both
   * as Column helpers (codegen'd built-ins where possible) and as
@@ -21,14 +21,15 @@ object VulFunctions {
       case Left(_)  => null
     }
 
-  private val cveYearF = (name: String) =>
-    if (name == null) -1 else Model.cveYear(name)
-
   // ---- Column API ------------------------------------------------------
 
   /** `version_parse(s)` -> struct(epoch, version, revision, elVer),
-    * null when unparseable. */
+    * null when unparseable. Projection-only UDF; validity gates use
+    * the native `version_valid` instead. */
   val version_parse = udf(versionParseF)
+
+  /** `version_valid(s)` -> boolean, native expression (filter-safe). */
+  def version_valid(s: Column): Column = VersionExpressions.version_valid(s)
 
   /** `parse_range_expr(s)` -> array<struct<opCode,version>> — a native
     * expression, foldable on constant input so a literal range string
@@ -41,8 +42,9 @@ object VulFunctions {
   def range_contains(chain: Column, v: Column): Column =
     RangeExpressions.range_contains(chain, v)
 
-  /** CVE-name year extraction (reference common/db.go:63-70). */
-  val cve_year = udf(cveYearF)
+  /** CVE-name year extraction (reference common/db.go:63-70) — a
+    * native expression; the P1 year floor runs in filter position. */
+  def cve_year(s: Column): Column = VersionExpressions.cve_year(s)
 
   /** CVSS score -> severity band, as a codegen'd when-chain
     * (reference updater/updater.go:301-311). */
@@ -87,6 +89,5 @@ object VulFunctions {
     RangeExpressions.register(spark)
     VectorExpressions.register(spark)
     spark.udf.register("version_parse", versionParseF)
-    spark.udf.register("cve_year", cveYearF)
   }
 }

@@ -50,7 +50,7 @@ object AlpineSource {
       .withColumn("cvesArr", from_json(col("cvesRaw"), ArrayType(StringType)))
       .filter(col("cvesArr").isNotNull)
       // unparseable versions dropped (alpine.go:66-70)
-      .filter(VulFunctions.version_parse(col("fixVer")).isNotNull)
+      .filter(VulFunctions.version_valid(col("fixVer")))
       .select(col("ns"), col("pkgName"), col("fixVer"), explode(col("cvesArr")).as("cveRawName"))
       .filter(!(col("cveRawName") === "CVE-2017-3738" && col("fixVer") === "1.0.2o-r0"))
       .filter(VulFunctions.cve_year(expr("substring(cveRawName, 5)")) >= Model.firstYear)

@@ -67,7 +67,7 @@ object DebianSource {
         when(col("rel.fixed_version") === "0", PkgVersion.MinSentinel)
           .when(col("rel.status") === "open", PkgVersion.MaxSentinel)
           .when(col("rel.status") === "resolved",
-            when(VulFunctions.version_parse(col("rel.fixed_version")).isNotNull,
+            when(VulFunctions.version_valid(col("rel.fixed_version")),
               col("rel.fixed_version")))
           .otherwise(""))
       .filter(col("version").isNotNull) // unparseable resolved versions skipped

@@ -39,7 +39,7 @@ object PhotonSource {
     spark.read.schema(schema).option("multiLine", true).json(path)
       .withColumn("version",
         when(col("res_ver").isin("N/A", "NA"), PkgVersion.MaxSentinel)
-          .when(expr("version_parse(res_ver)").isNotNull, col("res_ver"))
+          .when(expr("version_valid(res_ver)"), col("res_ver"))
           .otherwise(""))
       .withColumn("alt", altMap(col("pkg")))
       .select(
