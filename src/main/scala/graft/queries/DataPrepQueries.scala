@@ -374,6 +374,61 @@ object DataPrepQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("win_start")),
 
+    // Benchmark decontamination: containment search of a (small)
+    // benchmark set against the corpus — |shingles(c) ∩ shingles(b)|
+    // / |shingles(b)|. The benchmark side is small by definition, so
+    // it broadcasts; the corpus side is one exploded scan, never a
+    // self-join — the shape that works when the corpus is 100 TB and
+    // the benchmark is a few thousand documents.
+    QueryDef("q57_decontamination", Some(s"""
+      WITH shdoc AS (SELECT doc_id, $shinglesSqlArr AS shs FROM documents),
+      bench AS (SELECT doc_id AS bench_id, len(shs) AS bn, unnest(shs) AS sh
+                FROM shdoc WHERE doc_id < 10 AND len(shs) > 0),
+      corpus AS (SELECT doc_id, unnest(shs) AS sh FROM shdoc WHERE doc_id >= 10)
+      SELECT c.doc_id AS doc_id, b.bench_id AS bench_id,
+             round(CAST(count(*) AS DOUBLE) / b.bn, 4) AS containment
+      FROM corpus c JOIN bench b USING (sh)
+      GROUP BY c.doc_id, b.bench_id, b.bn
+      HAVING CAST(count(*) AS DOUBLE) / b.bn >= 0.5
+      ORDER BY doc_id, bench_id"""),
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextExpressions.shingles(col("text"), 3).as("shs"))
+        val bench = sh.filter(col("doc_id") < 10 && size(col("shs")) > 0)
+          .select(col("doc_id").as("bench_id"), size(col("shs")).as("bn"),
+            explode(col("shs")).as("sh"))
+        val corpus = sh.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+        corpus.join(broadcast(bench), "sh")
+          .groupBy("doc_id", "bench_id", "bn")
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared").cast("double") / col("bn") >= 0.5)
+          .select(col("doc_id"), col("bench_id"),
+            round(col("shared").cast("double") / col("bn"), 4).as("containment"))
+          .orderBy("doc_id", "bench_id")
+      }),
+
+    // Intra-document repetition ratio (1 - unique/total tokens) — the
+    // Gopher-style repetition quality signal, map-side per doc.
+    QueryDef("q58_repetition", Some(s"""
+      SELECT source,
+             round(avg(1.0 - CAST(n_unique AS DOUBLE) / n_tok), 4) AS avg_repetition,
+             count(*) AS n
+      FROM (SELECT source, len($toksSql) AS n_tok,
+                   len(list_distinct($toksSql)) AS n_unique
+            FROM documents)
+      WHERE n_tok > 0
+      GROUP BY source ORDER BY source"""),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), expr(s"size($toksExpr)").as("n_tok"),
+          expr(s"size(array_distinct($toksExpr))").as("n_unique"))
+        .filter(col("n_tok") > 0)
+        .groupBy("source")
+        .agg(round(avg(lit(1.0) - col("n_unique").cast("double") / col("n_tok")), 4)
+          .as("avg_repetition"), count(lit(1)).as("n"))
+        .orderBy("source")),
+
     // Vocabulary extraction: corpus-wide token frequencies, top-k.
     // Two-stage aggregation (map-side partial counts on the exploded
     // tokens) then a tiny ordered limit — the tokenizer vocab shape.
