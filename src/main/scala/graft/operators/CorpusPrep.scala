@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-call corpus preparation: the composed pipeline a training-data
+  * team runs before tokenization —
+  *
+  *   normalize (NFC + casefold + scrub + whitespace)
+  *   -> quality gate (length band + repetition ceiling)
+  *   -> exact dedup (first id per content digest)
+  *   -> near-dup dedup (LSH candidates -> exact Jaccard verify ->
+  *      connected components -> canonical survivor per cluster)
+  *
+  * Every stage is the library operator documented in SCALE.md; this
+  * facade only composes them. Survivors keep their original columns
+  * plus the cleaned text. */
+object CorpusPrep {
+
+  final case class Config(
+    minChars: Int = 20,
+    maxChars: Int = 1000000,
+    maxRepetition: Double = 0.9, // 1 - unique/total tokens
+    shingleN: Int = 3,
+    minJaccard: Double = 0.8,
+    numHashes: Int = 4,
+    rowsPerBand: Int = 2,
+    maxBucket: Int = HotKeys.DefaultBucketCap)
+
+  /** Returns the surviving rows of `docs` with `clean_text` appended.
+    * `idCol` must be unique per row; `textCol` is the raw text. */
+  def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      cfg: Config = Config()): DataFrame = {
+    val cleaned = docs.withColumn("clean_text", TextNorm.clean(col(textCol)))
+    val gated = cleaned
+      .withColumn("_ntok", size(split(col("clean_text"), " ")))
+      .filter(length(col("clean_text")).between(cfg.minChars, cfg.maxChars))
+      .filter(col("_ntok") > 0)
+      .filter(lit(1.0) - size(array_distinct(split(col("clean_text"), " ")))
+        .cast("double") / col("_ntok") <= cfg.maxRepetition)
+      .drop("_ntok")
+    // exact dedup: min id per content digest survives
+    val exactKept = gated
+      .withColumn("_digest", md5(col("clean_text")))
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_digest").orderBy(idCol)))
+      .filter(col("_rank") === 1)
+      .drop("_digest", "_rank")
+    // near-dup dedup over the cleaned text
+    val pairs = Dedup.minhashJaccardPairs(exactKept, "clean_text", idCol,
+      cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket)
+    val clusters = Dedup.duplicateClusters(pairs)
+    Dedup.dropNearDuplicates(exactKept, idCol, clusters)
+  }
+
+  /** Yield report: rows in, rows out, reduction percentage. */
+  def yieldStats(before: DataFrame, after: DataFrame): (Long, Long, Double) = {
+    val in = before.count()
+    val out = after.count()
+    (in, out, if (in == 0) 0.0 else 100.0 * (in - out) / in)
+  }
+}

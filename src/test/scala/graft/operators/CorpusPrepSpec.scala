@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The one-call prep pipeline: normalization, gates, exact dedup, and
+  * near-dup clustering compose into the expected survivor set. */
+class CorpusPrepSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("end-to-end prep: gates, exact dups, near dups, survivors") {
+    val docs = Seq(
+      // 1+2: exact dups after normalization (case/whitespace differ)
+      (1L, "The  Quick Brown Fox Jumps Over The Lazy Dog Again Today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      // 3: near-dup of 1 (one word changed)
+      (3L, "the quick brown fox jumps over the lazy dog again tonight"),
+      // 4: unique and long enough
+      (4L, "completely different content that survives every stage fine"),
+      // 5: too short -> gated
+      (5L, "too short"),
+      // 6: pathological repetition -> gated
+      (6L, "spam spam spam spam spam spam spam spam spam spam spam spam")
+    ).toDF("doc_id", "text")
+
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+      minChars = 20, maxRepetition = 0.5, minJaccard = 0.5))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 falls to exact dedup (1 is min id), 3 to near-dup clustering,
+    // 5/6 to the gates; 1 and 4 survive
+    assert(kept == Set(1L, 4L))
+    // survivors carry the cleaned text
+    val clean1 = out.filter(col("doc_id") === 1).select("clean_text")
+      .collect()(0).getString(0)
+    assert(clean1 == "the quick brown fox jumps over the lazy dog again today")
+
+    val (in, outN, pct) = CorpusPrep.yieldStats(docs, out)
+    assert(in == 6 && outN == 2 && math.abs(pct - 66.67) < 0.1)
+  }
+}
