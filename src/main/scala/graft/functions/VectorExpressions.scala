@@ -33,6 +33,27 @@ object VectorOps {
     acc
   }
 
+  /** Index of the nearest codebook centroid by squared L2 (euclidean
+    * argmin); ties keep the first (codebook-order) centroid. */
+  def nearestCentroid(e: ArrayData, cents: ArrayData): Long = {
+    val xs = e.toDoubleArray()
+    var best = Double.MaxValue
+    var bestCid = -1L
+    var i = 0
+    val k = cents.numElements()
+    while (i < k) {
+      val row = cents.getStruct(i, 2)
+      val ce = row.getArray(1).toDoubleArray()
+      val n = math.min(xs.length, ce.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { val t = xs(j) - ce(j); d += t * t; j += 1 }
+      if (d < best) { best = d; bestCid = row.getLong(0) }
+      i += 1
+    }
+    bestCid
+  }
+
   /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
     * formulation divides by zero the same way). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -54,6 +75,28 @@ object VectorOps {
     while (i < ys.length) { nb += ys(i) * ys(i); i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
   }
+}
+
+/** `nearest_centroid(e, codebook)` -> cid of the nearest centroid by
+  * squared L2 (same argmin as euclidean). The codebook rides as an
+  * array<struct<cid, ce>> literal — broadcast into the generated code
+  * itself — so IVF assignment is a pure map-side pass with zero
+  * shuffle of the vectors. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ce", ArrayType(DoubleType))))))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(e: Any, cents: Any): Any =
+    VectorOps.nearestCentroid(e.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.nearestCentroid($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_centroid"
 }
 
 /** `cosine_sim(a, b)` over two array<double> columns. */
@@ -91,6 +134,15 @@ object VectorExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codebook-literal nearest-centroid assignment (see NearestCentroid). */
+  def nearest_centroid(e: Column, codebook: Seq[(Long, Seq[Double])]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    val lit = typedLit(codebook)
+    // rename _1/_2 tuple fields to the expression's (cid, ce) contract
+    val cast = lit.cast("array<struct<cid:bigint,ce:array<double>>>")
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(e), GraftBridge.expression(cast)))
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -47,33 +47,41 @@ object Similarity {
       embCol, idCol, query, k)
   }
 
-  /** IVF-style ANN: a (small, broadcast) centroid table acts as the
-    * coarse quantizer; every vector is assigned to its nearest
-    * centroid in one map-side pass + a vec-keyed groupBy, and the
-    * probe searches only its centroid's inverted list — n/K work per
-    * probe instead of n. Swapping a trained k-means codebook for the
-    * centroid input changes nothing in the plan. `df` must carry
-    * double-array embeddings in `embCol`; `centroids` has (cid, ce).
-    * The probe is the row of `df` with id `queryVecId` (excluded from
-    * results). */
-  def ivfTopK(df: DataFrame, centroids: DataFrame, embCol: String, idCol: String,
-      queryVecId: Long, k: Int): DataFrame = {
-    val e = col(embCol)
-    val dist = sqrt(aggregate(zip_with(e, col("ce"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v))
-    // assignment keeps the vector via first(e) — constant per id, so
-    // no second join against the corpus is needed
-    val assign = df.crossJoin(broadcast(centroids))
-      .groupBy(idCol)
-      .agg(min_by(col("cid"), dist).as("cid"), first(e).as("_e"))
-    val probe = assign.filter(col(idCol) === queryVecId).select(
-      col("cid").as("_pcid"), col("_e").as("_qe"))
-    assign.join(broadcast(probe), col("cid") === col("_pcid"))
+  /** IVF index build: assign every vector to its nearest codebook
+    * centroid in a single map-side pass — the codebook is a literal
+    * inside the generated code (NearestCentroid expression), so
+    * assignment shuffles NOTHING. A codebook is small by definition
+    * (k-means output, KBs), which is why materializing it driver-side
+    * is the correct trade, unlike collecting a data-sized dimension.
+    * Cache or write the result once; every probe then reads one
+    * inverted list (~n/K vectors). */
+  def ivfAssign(df: DataFrame, codebook: Seq[(Long, Seq[Double])],
+      embCol: String, cidCol: String = "cid"): DataFrame =
+    df.withColumn(cidCol,
+      graft.functions.VectorExpressions.nearest_centroid(col(embCol), codebook))
+
+  /** IVF probe over an assigned (indexed) corpus: cosine top-k within
+    * the probe's inverted list only. */
+  def ivfProbe(assigned: DataFrame, embCol: String, idCol: String,
+      queryVecId: Long, k: Int, cidCol: String = "cid"): DataFrame = {
+    val probe = assigned.filter(col(idCol) === queryVecId)
+      .select(col(cidCol).as("_pcid"), col(embCol).as("_qe"))
+    assigned.join(broadcast(probe), col(cidCol) === col("_pcid"))
       .filter(col(idCol) =!= queryVecId)
       .select(col(idCol),
-        round(cosine(col("_e"), col("_qe")), 4).as("cos"))
+        round(cosine(col(embCol), col("_qe")), 4).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
+  }
+
+  /** One-shot IVF ANN (index + probe in one plan; amortized use goes
+    * through ivfAssign once + ivfProbe per query). `centroids` is a
+    * (cid, ce) DataFrame — collected as the codebook literal. */
+  def ivfTopK(df: DataFrame, centroids: DataFrame, embCol: String, idCol: String,
+      queryVecId: Long, k: Int): DataFrame = {
+    val codebook = centroids.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    ivfProbe(ivfAssign(df, codebook, embCol), embCol, idCol, queryVecId, k)
   }
 
   /** Near-duplicate embedding pairs above a cosine threshold, searched

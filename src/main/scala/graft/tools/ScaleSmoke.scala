@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Scale smoke: replicate the sf0.1 documents corpus N times (half the
   * replicas byte-identical — a worst-realistic duplication profile —
@@ -49,6 +49,35 @@ object ScaleSmoke {
     timed("dup_clusters")(
       Dedup.duplicateClusters(
         Dedup.minhashNearDupCandidates(docs, "text", "doc_id")).count())
+
+    // ---- ANN layer on a replicated embedding corpus -----------------
+    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb = (0 until mult * 5).map { i =>
+      baseEmb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _).cache()
+    val nv = emb.count()
+    println(s"[smoke] embeddings: $nv vectors")
+    val query = baseEmb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect()(0).getSeq[Double](0)
+    timed("ann_brute_topk")(
+      Similarity.bruteForceTopK(emb, "embedding", "vec_id", query, 10).count())
+    timed("ann_bucketed_topk(8bit)")(
+      Similarity.bucketedTopK(emb, "embedding", "vec_id", query, 10, bits = 8).count())
+    // IVF: index once (map-side codebook assignment), probe many
+    val embD = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val codebook = embD.filter(col("vec_id").between(1, 64))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    var assigned: org.apache.spark.sql.DataFrame = null
+    timed("ann_ivf_index(64c)") {
+      assigned = Similarity.ivfAssign(embD, codebook, "e").cache()
+      assigned.count()
+    }
+    timed("ann_ivf_probe") {
+      Similarity.ivfProbe(assigned, "e", "vec_id", queryVecId = 0, k = 10).count()
+    }
 
     spark.stop()
   }
