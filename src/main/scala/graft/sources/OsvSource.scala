@@ -140,12 +140,23 @@ object OsvSource {
       .groupBy("_key")
       .agg(max(struct(col("vulName").as("_w"), struct(fields: _*).as("rec"))).as("m"))
       .select(col("_key"), col("m.rec.*"))
-    val ub = broadcast(ubuntu.select(
-      col("name").as("_ub_name"), col("severity").as("_ub_severity"),
-      col("cvssV2Score").as("_ub_score"), col("cvssV2Vectors").as("_ub_vectors"),
-      col("cvssV3Score").as("_ub_scoreV3"), col("cvssV3Vectors").as("_ub_vectorsV3"),
-      col("link").as("_ub_link"), col("issuedDate").as("_ub_issued"),
-      col("lastModDate").as("_ub_lastmod")))
+    // The Ubuntu tracker can carry several rows per CVE name (one per
+    // namespace after Namespacing); the reference's Go map keeps exactly
+    // one entry per name, so reduce to one row per name deterministically
+    // (max over the full value struct) before broadcasting — otherwise
+    // each matching Go record fans out once per duplicate name.
+    val ub = broadcast(ubuntu
+      .groupBy(col("name").as("_ub_name"))
+      .agg(max(struct(
+        col("severity"), col("cvssV2Score"), col("cvssV2Vectors"),
+        col("cvssV3Score"), col("cvssV3Vectors"), col("link"),
+        col("issuedDate"), col("lastModDate"))).as("_ub"))
+      .select(
+        col("_ub_name"), col("_ub.severity").as("_ub_severity"),
+        col("_ub.cvssV2Score").as("_ub_score"), col("_ub.cvssV2Vectors").as("_ub_vectors"),
+        col("_ub.cvssV3Score").as("_ub_scoreV3"), col("_ub.cvssV3Vectors").as("_ub_vectorsV3"),
+        col("_ub.link").as("_ub_link"), col("_ub.issuedDate").as("_ub_issued"),
+        col("_ub.lastModDate").as("_ub_lastmod")))
     val hit = col("_ub_name").isNotNull
     def copied(ours: String, theirs: String) =
       when(hit, col(theirs)).otherwise(col(ours)).as(ours)

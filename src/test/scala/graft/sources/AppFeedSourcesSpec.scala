@@ -51,6 +51,22 @@ class AppFeedSourcesSpec extends SparkSpecBase {
     assert(out("GO-2022-0002").severity == "Medium")
   }
 
+  test("go osv: multi-namespace ubuntu rows do not fan out calibrated records") {
+    import spark.implicits._
+    // Namespacing emits one row per (namespace, name); the same CVE on two
+    // Ubuntu releases must still calibrate to exactly one output record.
+    def ub(sev: String, s3: Double) = Vulnerability("CVE-2021-9999", "", "ubu desc",
+      s"https://ubuntu/$sev", sev, 6.8, "AV:N", s3, "CVSS:3.1/U",
+      java.sql.Timestamp.valueOf("2021-01-01 00:00:00"), null, Nil, Nil, Nil, "high")
+    val ubuntu = Seq(ub("High", 8.1), ub("Medium", 5.0)).toDS()
+    val out = OsvSource.calibrateWithUbuntu(OsvSource.loadGo(spark, fixture("go-osv")), ubuntu)
+      .collect()
+    val hits = out.filter(_.vulName == "CVE-2021-9999")
+    assert(hits.length == 1, s"expected one calibrated record, got ${hits.length}")
+    // deterministic winner: max over the value struct -> severity "Medium" > "High" lexically
+    assert(hits.head.severity == "Medium" && hits.head.scoreV3 == 5.0)
+  }
+
   test("go calibration is a broadcast join, not a driver map (J6 plan)") {
     import spark.implicits._
     val ubuntu = Seq(Vulnerability("CVE-2021-9999", "", "d", "l", "High",
