@@ -208,6 +208,12 @@ object Dedup {
       labels = updated.drop("_changed")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters stopped at maxIter=$maxIter before the label " +
+          "fixpoint: components wider than maxIter hops are SPLIT into " +
+          "several clusters and dropNearDuplicates will keep extra " +
+          "'canonical' rows. Raise maxIter for long near-dup chains.")
     labels.withColumnRenamed("label", "cluster")
   }
 

@@ -12,13 +12,15 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * only ever moves the (small) features — never re-shuffles raw media
   * bytes.
   *
-  * The decode leaf itself is STUBBED (this container carries no
-  * image/audio codecs): `StubDecoder` derives deterministic fake
-  * features from the bytes. The Spark-side contract — schema,
-  * partitioning, per-partition decoder lifecycle, batch shape, null
-  * handling — is real and tested (MultimodalSpec counts decoder
-  * constructions per partition); a deployment passes a factory that
-  * builds a JNI/codec-backed `MediaDecoder` instead.
+  * Image decode is REAL (`ImageDecoder`, JDK `javax.imageio` —
+  * PNG/JPEG/GIF/BMP need no external codecs; header-only reads, so
+  * dimensions never cost a pixel decode). Audio/video stay stubbed
+  * (`StubDecoder` derives deterministic fake features from the bytes;
+  * this container carries no av codecs) — the Spark-side contract —
+  * schema, partitioning, per-partition decoder lifecycle, batch shape,
+  * null handling — is identical for both and tested (MultimodalSpec
+  * counts decoder constructions per partition and asserts real PNG/JPEG
+  * dimensions from a checked-in fixture).
   */
 object Multimodal {
 
@@ -54,10 +56,58 @@ object Multimodal {
   /** Back-compat convenience used by older call sites/tests. */
   def decodeStub(bytes: Array[Byte]): MediaMeta = new StubDecoder().decode(bytes)
 
+  /** Real image decode on the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/GIF/BMP ship with every JVM). Header-only: the matched
+    * `ImageReader` reports width/height/bands from the container
+    * metadata without decoding pixel data, so metadata extraction
+    * costs O(header) per image, not O(pixels). The reader instance is
+    * per-decoder — i.e. built once per task under `withMediaMeta`'s
+    * mapPartitions contract — and non-image payloads (no registered
+    * reader claims the stream) come back `ok = false`. */
+  final class ImageDecoder extends MediaDecoder {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      if (bytes == null || bytes.isEmpty) return MediaMeta(0, 0, 0, 0L, "", ok = false)
+      md.reset()
+      val hex = md.digest(bytes).take(8).map("%02x".format(_)).mkString
+      val fail = MediaMeta(0, 0, 0, bytes.length.toLong, hex, ok = false)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) fail
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val channels = {
+                val types = reader.getImageTypes(0)
+                if (types.hasNext) types.next().getColorModel.getNumComponents else 0
+              }
+              MediaMeta(reader.getWidth(0), reader.getHeight(0), channels,
+                bytes.length.toLong, hex, ok = true)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: java.io.IOException => fail }
+    }
+  }
+
+  private def requireBinary(df: DataFrame, binaryCol: String): Int = {
+    val field = df.schema(binaryCol)
+    if (field.dataType != org.apache.spark.sql.types.BinaryType)
+      throw new IllegalArgumentException(
+        s"column '$binaryCol' must be BINARY, found ${field.dataType.sql} — " +
+          "decoding a non-binary column would fabricate plausible-looking metadata")
+    df.schema.fieldIndex(binaryCol)
+  }
+
   private def binaryOf(r: Row, idx: Int): Array[Byte] = r.get(idx) match {
     case b: Array[Byte] => b
     case null => null
-    case other => String.valueOf(other).getBytes("UTF-8")
+    case other => throw new IllegalArgumentException(
+      s"expected binary payload, found ${other.getClass.getName}")
   }
 
   /** Attach decoded metadata to a binary column. Runs as a
@@ -67,7 +117,7 @@ object Multimodal {
   def withMediaMeta(df: DataFrame, binaryCol: String, outCol: String = "media",
       decoderFactory: () => MediaDecoder = () => new StubDecoder)(
       implicit spark: SparkSession): DataFrame = {
-    val idx = df.schema.fieldIndex(binaryCol)
+    val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema.add(outCol, Encoders.product[MediaMeta].schema)
     df.mapPartitions { it =>
       val decoder = decoderFactory() // once per partition — the contract
@@ -86,7 +136,7 @@ object Multimodal {
     * decoder. Empty/null payloads produce no frame rows. */
   def sampleFrames(df: DataFrame, binaryCol: String, nFrames: Int)(
       implicit spark: SparkSession): DataFrame = {
-    val idx = df.schema.fieldIndex(binaryCol)
+    val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema
       .add("frame_idx", IntegerType).add("frame_digest", StringType)
     df.mapPartitions { it =>

@@ -39,11 +39,12 @@ object VulDbPipeline {
       implicit spark: SparkSession): Outputs = {
     import spark.implicits._
 
-    val distro =
+    // taps return their (cached, when tracing) input — downstream must
+    // consume the returned frame so the trace costs no extra pass
+    val distro = tracer.tap("namespacing distro",
       if (in.distroFeeds.isEmpty) spark.emptyDataset[Vulnerability]
       else Namespacing(tracer.tap("parse distro",
-        in.distroFeeds.reduce(_ unionByName _)))
-    tracer.tap("namespacing distro", distro)
+        in.distroFeeds.reduce(_ unionByName _))))
 
     val appsMerged =
       if (in.appFeeds.isEmpty) spark.emptyDataset[AppModuleVul]
@@ -74,16 +75,18 @@ object VulDbPipeline {
         org.apache.spark.sql.functions.col("m.*"))
       .select(enrichedVulns.columns.map(org.apache.spark.sql.functions.col): _*)
       .as[Vulnerability]
-    tracer.tap("pre sink distro", deduped)
 
-    Outputs(deduped, enrichedApps)
+    Outputs(tracer.tap("pre sink distro", deduped), enrichedApps)
   }
 
-  /** Build + write both artifacts; returns per-file shas. */
+  /** Build + write both artifacts; returns per-file shas. `keys`
+    * round-trips into both artifact headers (KeyVersion.Keys). */
   def run(in: Inputs, outDir: String, version: String, updateTime: String,
-      tracer: VulTracer = VulTracer.disabled)(
+      tracer: VulTracer = VulTracer.disabled,
+      keys: Map[String, String] = Map.empty)(
       implicit spark: SparkSession): Map[String, String] = {
     val out = build(in, tracer)
-    VulDbSink.write(out.vulns, out.apps, in.rawFiles, outDir, version, updateTime)
+    VulDbSink.write(out.vulns, out.apps, in.rawFiles, outDir, version,
+      updateTime, keys)
   }
 }

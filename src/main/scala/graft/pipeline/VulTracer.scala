@@ -10,38 +10,57 @@ import org.apache.spark.sql.functions._
   * "why did this CVE come out wrong".
   *
   * Spark-first shape: each tap is a filtered side-output — the name
-  * filter is a codegen'd `IN` that pushes toward the scan, the
-  * snapshot is `to_json(struct(*))`. Taps evaluate eagerly when
-  * enabled (the reference logs eagerly too) so the snapshot reflects
-  * the record AT that phase rather than after later rewrites; with an
+  * filter is a codegen'd `IN`, the snapshot is `to_json(struct(*))`.
+  * Single-pass: a tap CACHES its phase frame and registers a LAZY
+  * snapshot; the pipeline's own action then fills each phase cache
+  * exactly once, and all snapshots are collected in ONE job at the
+  * end (a union over the cached phases), so tracing never re-executes
+  * the upstream pipeline per phase. Dataset lineage is immutable, so
+  * a deferred snapshot still reflects the record AT its phase. With an
   * empty CVE set every tap is the identity and adds nothing to the
-  * plan. The trace set is meant to be a handful of CVEs — the collect
-  * is bounded by |cves| x phases. */
+  * plan. The trace set is meant to be a handful of CVEs — the final
+  * collect is bounded by |cves| x phases. */
 final class VulTracer(val cves: Set[String]) extends Serializable {
 
   final case class Trace(phase: String, name: String, snapshot: String)
 
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Trace]
 
   def enabled: Boolean = cves.nonEmpty
 
-  /** Pass-through tap: records snapshots of matching rows, returns the
-    * dataset unchanged. */
+  /** Pass-through tap: caches the phase frame (so the trace costs no
+    * extra pipeline pass) and registers a lazy snapshot of matching
+    * rows; returns the cached dataset for downstream phases. */
   def tap[T](phase: String, ds: Dataset[T], nameCol: String = "name"): Dataset[T] = {
-    if (enabled) {
-      val snap = ds.toDF()
+    if (!enabled) ds
+    else {
+      val cached = ds.cache()
+      val snap = cached.toDF()
         .filter(col(nameCol).isin(cves.toSeq: _*))
-        .select(col(nameCol).cast("string").as("n"),
+        .select(lit(phase).as("p"),
+          col(nameCol).cast("string").as("n"),
           to_json(struct(col("*"))).as("s"))
-        .collect()
-      buf.synchronized {
-        snap.foreach(r => buf += Trace(phase, r.getString(0), r.getString(1)))
-      }
+      pending.synchronized { pending += snap }
+      cached
     }
-    ds
   }
 
-  def traces: Seq[Trace] = buf.synchronized(buf.toList)
+  /** Drain every registered snapshot in one union job (each branch
+    * reads its phase cache, already filled by the pipeline's action). */
+  private def resolve(): Unit = {
+    val toRun = pending.synchronized {
+      val r = pending.toList; pending.clear(); r
+    }
+    if (toRun.nonEmpty) {
+      val rows = toRun.reduce(_ union _).collect()
+      buf.synchronized {
+        rows.foreach(r => buf += Trace(r.getString(0), r.getString(1), r.getString(2)))
+      }
+    }
+  }
+
+  def traces: Seq[Trace] = { resolve(); buf.synchronized(buf.toList) }
 
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -279,18 +279,26 @@ object VulDbSink {
   /** Full sink: vulns + apps (+ raw passthrough files) -> compact +
     * regular artifacts in outDir. Returns per-file shas.
     *
-    * Streamed end to end: the projected rows arrive through
-    * `toLocalIterator` in (bucket, namespace, name) order — the sort
-    * is cluster-side, the driver only ever holds one partition of
-    * JSON strings — and are spooled straight into per-bucket files
-    * with sha256 computed on the fly (DigestOutputStream). Artifact
-    * assembly then streams the spools through one
+    * Streamed end to end, one stream PER BUCKET: each of the 12 bucket
+    * routes (plus apps.tb) is an independent cluster-side
+    * (namespace, name) sort whose `toLocalIterator` is drained by its
+    * own spooling thread, so the cluster sorts buckets in parallel and
+    * driver spooling overlaps with cluster compute instead of
+    * serializing every byte through one global-orderBy iterator. The
+    * projected frame is persisted once so the 13 jobs share one
+    * upstream pass. Per-bucket file contents are byte-identical to the
+    * old single global (bucket, namespace, name) sort restricted to
+    * the bucket. Sha256 is computed on the fly (DigestOutputStream);
+    * artifact assembly then streams the spools through one
     * tar|gzip|AES-GCM OutputStream chain. Driver memory stays O(one
-    * partition) at any corpus size; the old formulation collect()'d
-    * the whole corpus. */
+    * partition per concurrent bucket).
+    *
+    * `keys` round-trips into both artifact headers' KeyVersion.Keys
+    * (reference memdb.go:209,239, common/types.go:49). */
   def write(vulns: Dataset[Vulnerability], apps: Dataset[AppModuleVul],
       rawFiles: Seq[TarEntry], outDir: String, version: String,
-      updateTime: String)(implicit spark: SparkSession): Map[String, String] = {
+      updateTime: String, keys: Map[String, String] = Map.empty)
+      (implicit spark: SparkSession): Map[String, String] = {
 
     new java.io.File(outDir).mkdirs()
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-sink").toFile
@@ -308,54 +316,84 @@ object VulDbSink {
       s.out.write(json.getBytes("UTF-8"))
       s.out.write('\n')
     }
-    // every bucket file exists even when its bucket is empty
-    buckets.foreach { case (_, p) => spool(s"${p}_index.tb"); spool(s"${p}_full.tb") }
-    spool("apps.tb")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(buckets.size + 1, Runtime.getRuntime.availableProcessors()))
+    var projected: Option[DataFrame] = None
+    try {
+      // every bucket file exists even when its bucket is empty; all
+      // spools are created up front so the parallel phase only reads
+      // the map (no concurrent mutation)
+      buckets.foreach { case (_, p) => spool(s"${p}_index.tb"); spool(s"${p}_full.tb") }
+      spool("apps.tb")
 
-    // per-bucket contents are (namespace, name)-sorted exactly as the
-    // old global (namespace, name) sort produced them
-    val vulIt = project(vulns)
-      .orderBy("bucket", "namespace", "name")
-      .select("bucket", "indexJson", "fullJson")
-      .toLocalIterator()
-    while (vulIt.hasNext) {
-      val r = vulIt.next()
-      val b = r.getString(0)
-      if (b != null) { // namespaces outside the 12 routes don't ship
-        appendLine(spool(s"${b}_index.tb"), r.getString(1))
-        appendLine(spool(s"${b}_full.tb"), r.getString(2))
+      val proj = project(vulns)
+        .select("bucket", "namespace", "name", "indexJson", "fullJson")
+        .persist()
+      projected = Some(proj)
+
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val bucketJobs = buckets.map { case (_, p) =>
+        scala.concurrent.Future {
+          // rows whose namespace is outside the 12 routes have a null
+          // bucket and match no filter — they don't ship (parity with
+          // the old global-sort formulation's null-bucket skip)
+          val it = proj.filter(col("bucket") === p)
+            .orderBy("namespace", "name")
+            .select("indexJson", "fullJson")
+            .toLocalIterator()
+          val si = spools(s"${p}_index.tb"); val sf = spools(s"${p}_full.tb")
+          while (it.hasNext) {
+            val r = it.next()
+            appendLine(si, r.getString(0)); appendLine(sf, r.getString(1))
+          }
+        }
       }
+      val appJob = scala.concurrent.Future {
+        val appIt = projectApps(apps).orderBy("moduleName", "vulName")
+          .select("appJson").toLocalIterator()
+        while (appIt.hasNext) appendLine(spools("apps.tb"), appIt.next().getString(0))
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(bucketJobs :+ appJob),
+        scala.concurrent.duration.Duration.Inf)
+
+      spools.values.foreach(_.out.close())
+      val shas = scala.collection.mutable.Map[String, String]()
+      spools.foreach { case (name, s) =>
+        shas(name) = s.digest.digest().map("%02x".format(_)).mkString
+      }
+      rawFiles.foreach(f => shas(f.name) = sha256Hex(f.bytes))
+
+      def entriesFor(prefixes: Seq[String]): Seq[ArtifactEntry] =
+        prefixes.flatMap(p => Seq(s"${p}_index.tb", s"${p}_full.tb"))
+          .map(n => FileArtifactEntry(n, spools(n).file)) :+
+          FileArtifactEntry("apps.tb", spools("apps.tb").file)
+
+      val compactShas = shas.toMap.filter { case (k, _) =>
+        compactPrefixes.exists(p => k.startsWith(p + "_")) || k == "apps.tb" }
+      writeDbFileStreaming(s"$outDir/cvedb.compact",
+        keyVersionJson(version, updateTime, keys, compactShas),
+        entriesFor(compactPrefixes))
+
+      writeDbFileStreaming(s"$outDir/cvedb.regular",
+        keyVersionJson(version, updateTime, keys, shas.toMap),
+        entriesFor(buckets.map(_._2)) ++
+          rawFiles.map(f => BytesArtifactEntry(f.name, f.bytes)))
+
+      shas.toMap
+    } finally {
+      pool.shutdown()
+      projected.foreach(_.unpersist(blocking = false))
+      // failed runs must not leak open streams or the spool directory
+      spools.values.foreach(s =>
+        try s.out.close() catch { case _: java.io.IOException => () })
+      spools.values.foreach(s => s.file.delete())
+      tmpDir.listFiles() match {
+        case null => ()
+        case fs => fs.foreach(_.delete())
+      }
+      tmpDir.delete()
     }
-
-    val appIt = projectApps(apps).orderBy("moduleName", "vulName")
-      .select("appJson").toLocalIterator()
-    while (appIt.hasNext) appendLine(spool("apps.tb"), appIt.next().getString(0))
-
-    spools.values.foreach(_.out.close())
-    val shas = scala.collection.mutable.Map[String, String]()
-    spools.foreach { case (name, s) =>
-      shas(name) = s.digest.digest().map("%02x".format(_)).mkString
-    }
-    rawFiles.foreach(f => shas(f.name) = sha256Hex(f.bytes))
-
-    def entriesFor(prefixes: Seq[String]): Seq[ArtifactEntry] =
-      prefixes.flatMap(p => Seq(s"${p}_index.tb", s"${p}_full.tb"))
-        .map(n => FileArtifactEntry(n, spools(n).file)) :+
-        FileArtifactEntry("apps.tb", spools("apps.tb").file)
-
-    val compactShas = shas.toMap.filter { case (k, _) =>
-      compactPrefixes.exists(p => k.startsWith(p + "_")) || k == "apps.tb" }
-    writeDbFileStreaming(s"$outDir/cvedb.compact",
-      keyVersionJson(version, updateTime, Map.empty, compactShas),
-      entriesFor(compactPrefixes))
-
-    writeDbFileStreaming(s"$outDir/cvedb.regular",
-      keyVersionJson(version, updateTime, Map.empty, shas.toMap),
-      entriesFor(buckets.map(_._2)) ++
-        rawFiles.map(f => BytesArtifactEntry(f.name, f.bytes)))
-
-    spools.values.foreach(_.file.delete())
-    tmpDir.delete()
-    shas.toMap
   }
 }

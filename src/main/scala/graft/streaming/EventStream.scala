@@ -64,14 +64,23 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("n"), col("total"))
 
-  /** Run the sliding aggregation as a stream into a memory sink. */
+  /** Run the sliding aggregation as a stream into a memory sink.
+    *
+    * Default mode is Update: the watermark is honored, so window state
+    * is dropped once the horizon passes — bounded state on a continuous
+    * stream (Complete would retain every window forever). The
+    * batch-parity test passes Complete explicitly: with a finite
+    * AvailableNow input it makes every window visible in the memory
+    * sink, which Update-mode late-batch emission does not guarantee —
+    * that is a test-only, unbounded setting. */
   def runSliding(spark: SparkSession, dir: String, queryName: String,
-      glob: String = "*.parquet"): StreamingQuery = {
+      glob: String = "*.parquet",
+      mode: OutputMode = OutputMode.Update): StreamingQuery = {
     val stream = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", glob).parquet(dir)
     slidingCounts(stream)
       .writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -41,6 +41,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MultimodalSpec.decodes.get() == 90)
   }
 
+  test("ImageDecoder reads real PNG dimensions from the checked-in fixture") {
+    import spark.implicits._
+    val pngBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/media/rgb_8x5.png").toURI))
+    val docs = Seq((1L, pngBytes), (2L, "not an image".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val rows = Multimodal.withMediaMeta(docs, "blob",
+        decoderFactory = () => new Multimodal.ImageDecoder)(spark)
+      .select(col("id"), col("media.ok"), col("media.width"), col("media.height"),
+        col("media.channels"), col("media.byteLen"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    assert(rows(1L) == ((true, 8, 5, 3, pngBytes.length.toLong)), s"got ${rows(1L)}")
+    assert(!rows(2L)._1 && rows(2L)._5 == 12L) // non-image: ok=false, bytes still counted
+    assert(!rows(3L)._1)
+  }
+
+  test("ImageDecoder handles JPEG via an imageio round trip") {
+    val img = new java.awt.image.BufferedImage(12, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 4, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val m = new Multimodal.ImageDecoder().decode(bos.toByteArray)
+    assert(m.ok && m.width == 12 && m.height == 7 && m.channels == 3)
+  }
+
+  test("non-binary column is rejected instead of silently coerced") {
+    import spark.implicits._
+    val docs = Seq((1L, "plain string")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.withMediaMeta(docs, "text")(spark)
+    }
+    assert(e.getMessage.contains("must be BINARY"))
+  }
+
   test("media meta fields are appended with the decode results") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, null.asInstanceOf[String]))

@@ -27,7 +27,11 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("sliding window stream matches the batch q46 plan") {
-    val q = EventStream.runSliding(spark, sfDir, "stream_sliding", "events.parquet")
+    // Complete mode is test-only (finite AvailableNow input): it surfaces
+    // every window in the memory sink for exact batch parity. Production
+    // default is Update, which honors the watermark and bounds state.
+    val q = EventStream.runSliding(spark, sfDir, "stream_sliding", "events.parquet",
+      mode = org.apache.spark.sql.streaming.OutputMode.Complete)
     q.awaitTermination(120000)
     val streamed = spark.sql(
       "SELECT win_start, n, total FROM stream_sliding")
