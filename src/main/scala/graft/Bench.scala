@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   * extra times so the floor is taken from a quiet window. The medians
   * are published alongside for transparency. Prints one JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},
-  *  "medians":{...},"sf":...}. */
+  *  "medians":{...},"sf":...}. The same line is also written to
+  * `GRAFT_BENCH_OUT` (default /tmp/graft_bench.json) so the scored
+  * artifact never depends on scraping the JSON out of a log tail
+  * (sbt's [info] prefixing + tail-window truncation lost it in two
+  * prior rounds). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,7 +62,15 @@ object Bench {
     val qs = jmap(results.map(r => r._1 -> r._2))
     val meds = jmap(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+    println(line)
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   *   -> exact dedup (first id per content digest)
   *   -> near-dup dedup (LSH candidates -> exact Jaccard verify ->
   *      connected components -> canonical survivor per cluster)
+  *   -> benchmark decontamination (optional: drop survivors whose
+  *      shingle containment of any benchmark doc reaches the
+  *      threshold — q57's broadcast containment search)
   *
   * Every stage is the library operator documented in SCALE.md; this
   * facade only composes them. Survivors keep their original columns
   * plus the cleaned text. */
 object CorpusPrep {
 
+  /** `benchmark`, when set, must expose `benchTextCol`/`benchIdCol`;
+    * it is small by definition (eval sets are thousands of docs, not
+    * billions) and rides broadcast — see Dedup.decontaminate. The
+    * corpus side is compared on `clean_text` so benchmark text is
+    * normalized the same way before shingling. */
   final case class Config(
     minChars: Int = 20,
     maxChars: Int = 1000000,
@@ -25,7 +33,11 @@ object CorpusPrep {
     minJaccard: Double = 0.8,
     numHashes: Int = 4,
     rowsPerBand: Int = 2,
-    maxBucket: Int = HotKeys.DefaultBucketCap)
+    maxBucket: Int = HotKeys.DefaultBucketCap,
+    benchmark: Option[DataFrame] = None,
+    benchTextCol: String = "text",
+    benchIdCol: String = "doc_id",
+    minContainment: Double = 0.8)
 
   /** Returns the surviving rows of `docs` with `clean_text` appended.
     * `idCol` must be unique per row; `textCol` is the raw text. */
@@ -51,7 +63,14 @@ object CorpusPrep {
     val pairs = Dedup.minhashJaccardPairs(exactKept, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket)
     val clusters = Dedup.duplicateClusters(pairs)
-    Dedup.dropNearDuplicates(exactKept, idCol, clusters)
+    val deduped = Dedup.dropNearDuplicates(exactKept, idCol, clusters)
+    cfg.benchmark.fold(deduped) { bench =>
+      // normalize the benchmark text identically to the corpus before
+      // shingling, or containment would miss on case/whitespace alone
+      Dedup.decontaminate(deduped, "clean_text", idCol,
+        bench.withColumn("_bclean", TextNorm.clean(col(cfg.benchTextCol))),
+        "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment)
+    }
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

@@ -171,50 +171,85 @@ object Dedup {
   }
 
   /** Duplicate clusters from near-dup candidate pairs: connected
-    * components by iterative min-label propagation, returning
-    * (id, cluster) with cluster = the component's minimum id.
+    * components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14), returning (id, cluster) with cluster = the component's
+    * minimum id.
     *
-    * Shape at scale: each iteration is one equi-join of the
-    * (symmetrized) edge list with the current labels plus a min-agg —
-    * all key-partitioned operations, no driver-side graph. Rounds
-    * needed = component diameter; near-dup components are
-    * bucket-expanded near-cliques, so convergence is typically 2-3
-    * rounds (maxIter caps pathological chains; the fixpoint check is
-    * exact, so early convergence stops immediately). Label frames are
+    * Shape at scale: each round is two key-partitioned groupBy+join
+    * passes over the edge list — no driver-side graph — and the edge
+    * set contracts toward a star forest, so rounds grow with LOG of
+    * the component size, not its diameter: the min-label propagation
+    * this replaced needed O(diameter) shuffles (a 10k-hop near-dup
+    * chain = 10k rounds); star contraction closes the same chain in
+    * ~log2 rounds (DedupClustersSpec pins a 512-chain in <= 13). The
+    * fixpoint check is exact (edge-set equality), near-clique
+    * components still converge in 2-3 rounds, and frames are
     * localCheckpoint'ed each round to keep lineage flat. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      idB: String = "id_b", maxIter: Int = 25): DataFrame =
+    duplicateClustersWithRounds(pairs, idA, idB, maxIter)._1
+
+  /** large-star: for every node u, hook each STRICTLY LARGER neighbor
+    * v onto m = min(neighbors(u) + u). Input/output are canonical
+    * (u > v) directed edges; symmetrized internally. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("_mn"))
+      .select(col("u"), least(col("u"), col("_mn")).as("m"))
+    sym.filter(col("v") > col("u")).join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v")) // v > u >= m, stays canonical
+      .distinct()
+  }
+
+  /** small-star: for every node u over its smaller neighbors N(u),
+    * hook u and each v in N(u) onto m = min(N(u)). Canonical in,
+    * canonical out. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min("v").as("m"))
+    val withM = edges.join(mins, "u")
+    withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v")) // m < v < u
+      .union(withM.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  private[operators] def duplicateClustersWithRounds(pairs: DataFrame,
+      idA: String, idB: String, maxIter: Int): (DataFrame, Int) = {
+    // every input node keeps a label row even if its only edges were
+    // self-loops (parity with the propagation formulation it replaced)
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
-        .groupBy(col("src"))
-        .agg(min(col("label")).as("nbr_label"))
-      val updated = labels
-        .join(nbrMin.withColumnRenamed("src", "id2"), col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("label") > coalesce(col("nbr_label"), col("label"))).as("_changed"))
-        .localCheckpoint()
-      converged = updated.filter(col("_changed")).limit(1).count() == 0
-      labels = updated.drop("_changed")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sides are distinct sets: equal size + empty except = equal
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges = next
       iter += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"duplicateClusters stopped at maxIter=$maxIter before the label " +
-          "fixpoint: components wider than maxIter hops are SPLIT into " +
-          "several clusters and dropNearDuplicates will keep extra " +
-          "'canonical' rows. Raise maxIter for long near-dup chains.")
-    labels.withColumnRenamed("label", "cluster")
+        s"duplicateClusters stopped at maxIter=$maxIter before the star " +
+          "fixpoint: unconverged components are SPLIT into several " +
+          "clusters and dropNearDuplicates will keep extra 'canonical' " +
+          "rows. Raise maxIter (rounds grow with log component size).")
+    // at the star fixpoint every edge points straight at its component
+    // min (one outgoing edge per non-root node; the min-agg is a no-op
+    // then, and keeps labels unique even on a truncated run); nodes
+    // absent from the edge set (self-loop-only) label as themselves
+    val labels = nodes
+      .join(edges.groupBy(col("u").as("id")).agg(min("v").as("_m")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_m"), col("id")).as("cluster"))
+    (labels, iter)
   }
 
   /** Keep one canonical row per duplicate cluster (the minimum id)
@@ -224,6 +259,43 @@ object Dedup {
     df.join(clusters.withColumnRenamed("id", "_cid"), col(idCol) === col("_cid"), "left")
       .filter(col("_cid").isNull || col(idCol) === col("cluster"))
       .drop("_cid", "cluster")
+
+  /** Benchmark-decontamination containment search (q57's operator in
+    * library form): |shingles(corpus doc) ∩ shingles(bench doc)| /
+    * |shingles(bench doc)| for every (corpus, benchmark) pair sharing
+    * at least one shingle, kept at `minContainment`+. The benchmark
+    * side is small by definition (a few thousand docs), so it
+    * BROADCASTS; the corpus side is ONE exploded scan joined map-side —
+    * never a self-join — the only shape that holds when the corpus is
+    * 100 TB. Output: (idCol, bench_id, containment). */
+  def benchmarkContainment(corpus: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String = "text",
+      benchIdCol: String = "doc_id",
+      n: Int = 3, minContainment: Double = 0.5): DataFrame = {
+    val cs = corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+    val bs = bench
+      .select(col(benchIdCol).as("bench_id"), shingles(col(benchTextCol), n).as("_shs"))
+      .filter(size(col("_shs")) > 0)
+      .select(col("bench_id"), size(col("_shs")).as("_bn"), explode(col("_shs")).as("sh"))
+    cs.join(broadcast(bs), "sh")
+      .groupBy(col(idCol), col("bench_id"), col("_bn"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared").cast("double") / col("_bn") >= minContainment)
+      .select(col(idCol), col("bench_id"),
+        round(col("_shared").cast("double") / col("_bn"), 4).as("containment"))
+  }
+
+  /** Drop corpus rows contaminated by a benchmark set: anti-join on
+    * the distinct contaminated ids from `benchmarkContainment`. */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String = "text",
+      benchIdCol: String = "doc_id",
+      n: Int = 3, minContainment: Double = 0.8): DataFrame = {
+    val contaminated = benchmarkContainment(corpus, textCol, idCol,
+      bench, benchTextCol, benchIdCol, n, minContainment)
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 
   /** SimHash64 of a token array: per-token md5-derived 64-bit hash,
     * bitwise majority vote. A compiled Catalyst expression

@@ -14,13 +14,17 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *
   * Image decode is REAL (`ImageDecoder`, JDK `javax.imageio` —
   * PNG/JPEG/GIF/BMP need no external codecs; header-only reads, so
-  * dimensions never cost a pixel decode). Audio/video stay stubbed
-  * (`StubDecoder` derives deterministic fake features from the bytes;
-  * this container carries no av codecs) — the Spark-side contract —
-  * schema, partitioning, per-partition decoder lifecycle, batch shape,
-  * null handling — is identical for both and tested (MultimodalSpec
-  * counts decoder constructions per partition and asserts real PNG/JPEG
-  * dimensions from a checked-in fixture).
+  * dimensions never cost a pixel decode). Audio metadata decode is
+  * REAL too (`AudioDecoder`, JDK `javax.sound.sampled` — WAV/AIFF/AU
+  * header parse ships with every JVM; sample rate / channels / frame
+  * count cost no sample decode). Video stays stubbed (`StubDecoder`
+  * derives deterministic fake features from the bytes; video codecs
+  * genuinely are not in the JDK) — the Spark-side contract — schema,
+  * partitioning, per-partition decoder lifecycle, batch shape, null
+  * handling — is identical for all three and tested (MultimodalSpec
+  * counts decoder constructions per partition and asserts real
+  * PNG/JPEG dimensions and WAV/AIFF audio formats from checked-in
+  * fixtures / round-trips).
   */
 object Multimodal {
 
@@ -92,6 +96,59 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: java.io.IOException => fail }
     }
+  }
+
+  final case class AudioMeta(
+    sampleRate: Double, channels: Int, frames: Long, encoding: String,
+    byteLen: Long, digest: String, ok: Boolean)
+
+  /** Real audio metadata on the JDK's built-in `javax.sound.sampled`
+    * parsers (WAV/AIFF/AU ship with every JVM). Header-only:
+    * `AudioSystem.getAudioFileFormat` reads the container header —
+    * sample rate, channel count, frame length, encoding — without
+    * decoding any sample data, the same O(header) argument as
+    * `ImageDecoder`. Non-audio payloads come back `ok = false`. One
+    * instance per task under `withAudioMeta`'s mapPartitions
+    * contract. */
+  final class AudioDecoder extends Serializable {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return AudioMeta(0.0, 0, 0L, "", 0L, "", ok = false)
+      md.reset()
+      val hex = md.digest(bytes).take(8).map("%02x".format(_)).mkString
+      val fail = AudioMeta(0.0, 0, 0L, "", bytes.length.toLong, hex, ok = false)
+      try {
+        // ByteArrayInputStream supports mark/reset, which the sampled
+        // API requires for container sniffing
+        val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = fileFmt.getFormat
+        AudioMeta(fmt.getSampleRate.toDouble, fmt.getChannels,
+          fileFmt.getFrameLength.toLong, fmt.getEncoding.toString,
+          bytes.length.toLong, hex, ok = true)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => fail
+        case _: java.io.IOException => fail
+      }
+    }
+  }
+
+  /** Attach parsed audio metadata to a binary column — the audio twin
+    * of `withMediaMeta`, same once-per-task decoder lifecycle. */
+  def withAudioMeta(df: DataFrame, binaryCol: String, outCol: String = "audio",
+      decoderFactory: () => AudioDecoder = () => new AudioDecoder)(
+      implicit spark: SparkSession): DataFrame = {
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema.add(outCol, Encoders.product[AudioMeta].schema)
+    df.mapPartitions { it =>
+      val decoder = decoderFactory() // once per partition — the contract
+      it.map { r =>
+        val m = decoder.decode(binaryOf(r, idx))
+        Row.fromSeq(r.toSeq :+
+          Row(m.sampleRate, m.channels, m.frames, m.encoding, m.byteLen, m.digest, m.ok))
+      }
+    }(Encoders.row(outSchema))
   }
 
   private def requireBinary(df: DataFrame, binaryCol: String): Int = {

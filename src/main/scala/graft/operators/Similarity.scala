@@ -60,18 +60,73 @@ object Similarity {
     df.withColumn(cidCol,
       graft.functions.VectorExpressions.nearest_centroid(col(embCol), codebook))
 
-  /** IVF probe over an assigned (indexed) corpus: cosine top-k within
-    * the probe's inverted list only. */
-  def ivfProbe(assigned: DataFrame, embCol: String, idCol: String,
-      queryVecId: Long, k: Int, cidCol: String = "cid"): DataFrame = {
-    val probe = assigned.filter(col(idCol) === queryVecId)
-      .select(col(cidCol).as("_pcid"), col(embCol).as("_qe"))
-    assigned.join(broadcast(probe), col(cidCol) === col("_pcid"))
-      .filter(col(idCol) =!= queryVecId)
-      .select(col(idCol),
-        round(cosine(col(embCol), col("_qe")), 4).as("cos"))
+  /** Inverted lists ranked by squared-L2 distance of their centroid to
+    * the query (ties by cid) — the driver-side step of multi-probe: the
+    * codebook is KBs by definition, so ranking it costs nothing and the
+    * cluster-side plan stays a pushdown-friendly `cid IN (...)` scan. */
+  private[operators] def rankInvertedLists(
+      codebook: Seq[(Long, Seq[Double])], query: Seq[Double]): Seq[Long] =
+    codebook.map { case (cid, ce) =>
+      var s = 0.0; var i = 0
+      val n = math.min(ce.length, query.length)
+      while (i < n) { val d = ce(i) - query(i); s += d * d; i += 1 }
+      (s, cid)
+    }.sortBy(identity).map(_._2)
+
+  /** IVF probe with an explicit query vector (the realistic serving
+    * shape: the query is NOT a corpus member). The codebook is ranked
+    * driver-side; the scan then reads only the `nprobe` nearest
+    * inverted lists (`cid IN (...)` — partition/row-group prunable when
+    * the assigned corpus is written bucketed by cid) and scores cosine
+    * against the literal query. nprobe is THE recall/latency knob:
+    * nprobe=1 reads ~n/K vectors but misses neighbors that fell across
+    * a Voronoi boundary; nprobe=p multiplies work by p and recovers
+    * them (SimilaritySpec pins recall@10 >= 0.9 at nprobe=4 where
+    * nprobe=1 demonstrably misses). */
+  def ivfProbeVec(assigned: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, codebook: Seq[(Long, Seq[Double])],
+      nprobe: Int = 1, cidCol: String = "cid",
+      excludeId: Option[Long] = None): DataFrame = {
+    require(codebook.nonEmpty, "ivfProbeVec needs the codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cids = rankInvertedLists(codebook, query).take(nprobe)
+    val base = assigned.filter(col(cidCol).isin(cids: _*))
+    val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    scoped.select(col(idCol),
+        round(cosine(col(embCol), typedLit(query)), 4).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
+  }
+
+  /** IVF probe over an assigned (indexed) corpus, query-by-member:
+    * cosine top-k within the probe's inverted list(s). With the default
+    * nprobe=1 the query row's own cid selects the single list via a
+    * broadcast self-probe (no driver round-trip). With nprobe > 1 a
+    * `codebook` is required: the query vector is fetched once (one
+    * bounded single-row job, same order of cost as the codebook literal
+    * itself) and the probe widens to the nprobe nearest lists via
+    * ivfProbeVec. */
+  def ivfProbe(assigned: DataFrame, embCol: String, idCol: String,
+      queryVecId: Long, k: Int, cidCol: String = "cid",
+      nprobe: Int = 1, codebook: Seq[(Long, Seq[Double])] = Nil): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    if (nprobe == 1) {
+      val probe = assigned.filter(col(idCol) === queryVecId)
+        .select(col(cidCol).as("_pcid"), col(embCol).as("_qe"))
+      assigned.join(broadcast(probe), col(cidCol) === col("_pcid"))
+        .filter(col(idCol) =!= queryVecId)
+        .select(col(idCol),
+          round(cosine(col(embCol), col("_qe")), 4).as("cos"))
+        .orderBy(desc("cos"), col(idCol))
+        .limit(k)
+    } else {
+      require(codebook.nonEmpty,
+        "multi-probe (nprobe > 1) needs the codebook to rank inverted lists")
+      val query = assigned.filter(col(idCol) === queryVecId)
+        .select(col(embCol)).head().getSeq[Double](0).toSeq
+      ivfProbeVec(assigned, embCol, idCol, query, k, codebook, nprobe, cidCol,
+        excludeId = Some(queryVecId))
+    }
   }
 
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
@@ -82,6 +137,56 @@ object Similarity {
     val codebook = centroids.select(col("cid"), col("ce")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     ivfProbe(ivfAssign(df, codebook, embCol), embCol, idCol, queryVecId, k)
+  }
+
+  private def sqDist(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Train an IVF codebook with k-means on the corpus itself, so IVF
+    * is usable without an externally supplied codebook. Init is the
+    * k-means‖ shape: ONE cluster-side job oversamples 32k vectors in
+    * deterministic hash order, then a driver-side farthest-first sweep
+    * over that (codebook-sized) sample picks the k seeds — so two
+    * seeds never land in one well-separated cluster, the failure mode
+    * plain sampled init hits (pinned by SimilaritySpec's purity test).
+    * Then `iters` Lloyd rounds: each is one zero-shuffle map-side
+    * assignment (the current codebook rides as a literal inside
+    * `nearest_centroid`'s generated code) plus one (cid, dim)-keyed
+    * mean — k x dim cells collected per round, i.e. codebook-sized,
+    * never data-sized. An emptied cluster keeps its previous centroid.
+    * At 100 TB you'd train on a sample (`df.sample(...)` upstream) —
+    * the plan shape is unchanged. */
+  def trainCodebook(df: DataFrame, embCol: String, k: Int,
+      iters: Int = 5): Seq[(Long, Seq[Double])] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1 ($k) and iters >= 0 ($iters)")
+    val vecs = df.select(asDouble(col(embCol)).as("_e")).filter(col("_e").isNotNull)
+    val sample = vecs
+      .orderBy(xxhash64(col("_e")), col("_e"))
+      .limit(32 * k)
+      .collect().map(_.getSeq[Double](0).toSeq)
+    require(sample.length >= k, s"need at least $k vectors to train, got ${sample.length}")
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (seeds.size < k)
+      seeds += sample.maxBy(p => seeds.iterator.map(s => sqDist(p, s)).min)
+    var codebook: Seq[(Long, Seq[Double])] =
+      seeds.toSeq.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    for (_ <- 0 until iters) {
+      val means = vecs
+        .withColumn("_cid",
+          graft.functions.VectorExpressions.nearest_centroid(col("_e"), codebook))
+        .select(col("_cid"), posexplode(col("_e")).as(Seq("_pos", "_v")))
+        .groupBy("_cid", "_pos").agg(avg("_v").as("_m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      codebook = codebook.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
+    }
+    codebook
   }
 
   /** Near-duplicate embedding pairs above a cosine threshold, searched

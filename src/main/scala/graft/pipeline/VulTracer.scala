@@ -25,6 +25,7 @@ final class VulTracer(val cves: Set[String]) extends Serializable {
   final case class Trace(phase: String, name: String, snapshot: String)
 
   private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Trace]
 
   def enabled: Boolean = cves.nonEmpty
@@ -41,13 +42,17 @@ final class VulTracer(val cves: Set[String]) extends Serializable {
         .select(lit(phase).as("p"),
           col(nameCol).cast("string").as("n"),
           to_json(struct(col("*"))).as("s"))
-      pending.synchronized { pending += snap }
+      pending.synchronized { pending += snap; cachedFrames += cached }
       cached
     }
   }
 
   /** Drain every registered snapshot in one union job (each branch
-    * reads its phase cache, already filled by the pipeline's action). */
+    * reads its phase cache, already filled by the pipeline's action),
+    * then UNPERSIST every phase cache: the trace collect is the last
+    * reader, and without the release a 6-phase `-debug` run would pin
+    * six full intermediate datasets in executor storage for the rest
+    * of the application. */
   private def resolve(): Unit = {
     val toRun = pending.synchronized {
       val r = pending.toList; pending.clear(); r
@@ -58,6 +63,10 @@ final class VulTracer(val cves: Set[String]) extends Serializable {
         rows.foreach(r => buf += Trace(r.getString(0), r.getString(1), r.getString(2)))
       }
     }
+    val toFree = pending.synchronized {
+      val f = cachedFrames.toList; cachedFrames.clear(); f
+    }
+    toFree.foreach(_.unpersist(blocking = false))
   }
 
   def traces: Seq[Trace] = { resolve(); buf.synchronized(buf.toList) }

@@ -392,20 +392,11 @@ object DataPrepQueries {
       HAVING CAST(count(*) AS DOUBLE) / b.bn >= 0.5
       ORDER BY doc_id, bench_id"""),
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.functions.TextExpressions.shingles(col("text"), 3).as("shs"))
-        val bench = sh.filter(col("doc_id") < 10 && size(col("shs")) > 0)
-          .select(col("doc_id").as("bench_id"), size(col("shs")).as("bn"),
-            explode(col("shs")).as("sh"))
-        val corpus = sh.filter(col("doc_id") >= 10)
-          .select(col("doc_id"), explode(col("shs")).as("sh"))
-        corpus.join(broadcast(bench), "sh")
-          .groupBy("doc_id", "bench_id", "bn")
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared").cast("double") / col("bn") >= 0.5)
-          .select(col("doc_id"), col("bench_id"),
-            round(col("shared").cast("double") / col("bn"), 4).as("containment"))
+        val docs = t(s, dir, "documents")
+        graft.operators.Dedup.benchmarkContainment(
+            docs.filter(col("doc_id") >= 10), "text", "doc_id",
+            docs.filter(col("doc_id") < 10), "text", "doc_id",
+            n = 3, minContainment = 0.5)
           .orderBy("doc_id", "bench_id")
       }),
 

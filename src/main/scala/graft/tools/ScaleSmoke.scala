@@ -78,6 +78,16 @@ object ScaleSmoke {
     timed("ann_ivf_probe") {
       Similarity.ivfProbe(assigned, "e", "vec_id", queryVecId = 0, k = 10).count()
     }
+    // multi-probe: 4 nearest inverted lists — ~4x the single-probe scan,
+    // recovering neighbors across Voronoi boundaries
+    timed("ann_ivf_probe(nprobe=4)") {
+      Similarity.ivfProbe(assigned, "e", "vec_id", queryVecId = 0, k = 10,
+        nprobe = 4, codebook = codebook).count()
+    }
+    // trained codebook (k-means|| init + Lloyd) instead of sampled vectors
+    timed("ann_ivf_train(16c,2it)") {
+      Similarity.trainCodebook(emb.limit(20000), "embedding", k = 16, iters = 2).size.toLong
+    }
 
     spark.stop()
   }

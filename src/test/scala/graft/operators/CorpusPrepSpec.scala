@@ -38,4 +38,25 @@ class CorpusPrepSpec extends SparkSpecBase {
     val (in, outN, pct) = CorpusPrep.yieldStats(docs, out)
     assert(in == 6 && outN == 2 && math.abs(pct - 66.67) < 0.1)
   }
+
+  test("decontamination stage drops survivors containing a benchmark doc") {
+    val docs = Seq(
+      // survives every dedup stage but CONTAINS the benchmark question
+      (1L, "Intro text then What Is The Capital Of France Today and trailing filler words"),
+      // clean of benchmark content
+      (2L, "completely different content that survives every stage fine"),
+      (3L, "another unique document with enough length to pass the gates")
+    ).toDF("doc_id", "text")
+    // benchmark uses different case/spacing — the stage must normalize
+    // it the same way as the corpus before shingling
+    val bench = Seq((100L, "what  is the capital of FRANCE today"))
+      .toDF("doc_id", "text")
+
+    val without = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20))
+    assert(without.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+      minChars = 20, benchmark = Some(bench), minContainment = 0.8))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
 }

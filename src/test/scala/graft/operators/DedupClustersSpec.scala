@@ -25,6 +25,27 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(got.values.toSet == Set(1L))
   }
 
+  test("a 512-node chain closes in O(log n) star rounds, not O(diameter)") {
+    // the pathological shape for min-label propagation: diameter 511.
+    // star contraction must label every node 1 within ~log2(512)+slack
+    // rounds — the property that makes CC usable on 100 TB chains.
+    val n = 512L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Dedup.duplicateClustersWithRounds(pairs, "id_a", "id_b", maxIter = 25)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to n).toSet)
+    assert(got.values.toSet == Set(1L), "chain must collapse to one component")
+    assert(rounds <= 13, s"expected <= log2(512)+4 rounds, took $rounds")
+  }
+
+  test("self-loop-only nodes keep a self-labeled row (parity with propagation)") {
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("end to end: LSH candidates -> clusters -> canonical survivors") {
     val docs = (
       (1 to 3).map(i => (i.toLong, "group one duplicate text body alpha")) ++

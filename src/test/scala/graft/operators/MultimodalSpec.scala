@@ -68,6 +68,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m.ok && m.width == 12 && m.height == 7 && m.channels == 3)
   }
 
+  test("AudioDecoder reads real WAV format from the checked-in fixture") {
+    import spark.implicits._
+    val wavBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/media/sine_8k_mono.wav").toURI))
+    val docs = Seq((1L, wavBytes), (2L, "not audio at all".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val rows = Multimodal.withAudioMeta(docs, "blob")(spark)
+      .select(col("id"), col("audio.ok"), col("audio.sampleRate"),
+        col("audio.channels"), col("audio.frames"), col("audio.encoding"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getDouble(2), r.getInt(3), r.getLong(4), r.getString(5))).toMap
+    // 8 kHz mono 16-bit PCM, 160 frames (20 ms) — all from the header
+    assert(rows(1L) == ((true, 8000.0, 1, 160L, "PCM_SIGNED")), s"got ${rows(1L)}")
+    assert(!rows(2L)._1, "non-audio payload must come back ok=false")
+    assert(!rows(3L)._1)
+  }
+
+  test("AudioDecoder handles AIFF via an AudioSystem round trip") {
+    // stereo 16-bit 22.05 kHz, 50 frames, written by the JDK itself
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, true)
+    val pcm = new Array[Byte](50 * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 50L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val m = new Multimodal.AudioDecoder().decode(bos.toByteArray)
+    assert(m.ok && m.sampleRate == 22050.0 && m.channels == 2 && m.frames == 50L,
+      s"got $m")
+  }
+
   test("non-binary column is rejected instead of silently coerced") {
     import spark.implicits._
     val docs = Seq((1L, "plain string")).toDF("id", "text")

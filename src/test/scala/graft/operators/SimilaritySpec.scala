@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Multi-probe IVF: recall@10 vs brute force on a planted-cluster
+  * corpus whose query sits on a Voronoi boundary — the exact geometry
+  * where single-probe IVF loses neighbors and the nprobe knob recovers
+  * them — plus the k-means codebook trainer on the same corpus. */
+class SimilaritySpec extends SparkSpecBase {
+
+  private val dim = 8
+  private val nClusters = 8
+  private val perCluster = 40
+
+  // centroid c = 10 * unit vector along axis c; separation 10*sqrt(2)
+  // dwarfs the +-0.4 deterministic per-dim noise.
+  private def planted = {
+    import spark.implicits._
+    (0 until nClusters).flatMap { c =>
+      (0 until perCluster).map { j =>
+        val e = Array.tabulate(dim) { d =>
+          val noise = ((c * 1000 + j * 13 + d * 7) % 17 - 8) * 0.05
+          (if (d == c) 10.0 else 0.0) + noise
+        }.toSeq
+        (c * 1000L + j, c, e)
+      }
+    }.toDF("vec_id", "planted_cluster", "e")
+  }
+
+  // on the c0/c1 boundary, epsilon-tilted toward c0 so the centroid
+  // ranking (and therefore which lists a given nprobe reads) is
+  // deterministic: true neighbors split ~evenly across both lists.
+  private val query: Seq[Double] =
+    Seq.tabulate(dim)(d => if (d == 0) 5.001 else if (d == 1) 5.0 else 0.0)
+
+  private val codebook: Seq[(Long, Seq[Double])] =
+    (0 until nClusters).map(c =>
+      (c.toLong, Seq.tabulate(dim)(d => if (d == c) 10.0 else 0.0)))
+
+  private def recallAt10(got: Set[Long], truth: Set[Long]): Double =
+    truth.intersect(got).size.toDouble / truth.size
+
+  test("nprobe widens recall: 1-probe misses boundary neighbors, 4-probe >= 0.9, all-probe == brute force") {
+    val corpus = planted.cache()
+    val truth = Similarity.bruteForceTopK(corpus, "e", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    // the planted boundary query must actually straddle two clusters,
+    // or this test would not exercise multi-probe at all
+    val truthClusters = truth.map(_ / 1000).toSet
+    assert(truthClusters.size >= 2, s"boundary query should mix clusters, got $truthClusters")
+
+    val assigned = Similarity.ivfAssign(corpus, codebook, "e").cache()
+    def got(np: Int): Set[Long] =
+      Similarity.ivfProbeVec(assigned, "e", "vec_id", query, 10, codebook, nprobe = np)
+        .collect().map(_.getLong(0)).toSet
+
+    val r1 = recallAt10(got(1), truth)
+    val r2 = recallAt10(got(2), truth)
+    val r4 = recallAt10(got(4), truth)
+    assert(r1 < 1.0, s"single probe should miss across the boundary, recall=$r1")
+    assert(r1 <= r2 && r2 <= r4, s"recall must be monotone in nprobe: $r1, $r2, $r4")
+    assert(r4 >= 0.9, s"recall@10 at nprobe=4 must be >= 0.9, got $r4")
+    // probing every list IS brute force — same scores, same tiebreak
+    assert(got(nClusters) == truth)
+    assigned.unpersist(); corpus.unpersist()
+  }
+
+  test("ivfProbe by member id matches ivfProbeVec at the same nprobe") {
+    val corpus = planted
+    val assigned = Similarity.ivfAssign(corpus, codebook, "e").cache()
+    val memberId = 0L // member of cluster 0
+    val qvec = corpus.filter(col("vec_id") === memberId)
+      .select(col("e")).head().getSeq[Double](0).toSeq
+    val viaId = Similarity.ivfProbe(assigned, "e", "vec_id", memberId, 10,
+        nprobe = 2, codebook = codebook)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaVec = Similarity.ivfProbeVec(assigned, "e", "vec_id", qvec, 10,
+        codebook, nprobe = 2, excludeId = Some(memberId))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaId == viaVec)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfProbe(assigned, "e", "vec_id", memberId, 10, nprobe = 2)
+    }
+    assigned.unpersist()
+  }
+
+  test("trainCodebook recovers planted clusters and serves multi-probe") {
+    val corpus = planted.cache()
+    val trained = Similarity.trainCodebook(corpus, "e", k = nClusters, iters = 3)
+    assert(trained.size == nClusters)
+    assert(trained.forall(_._2.forall(v => !v.isNaN && !v.isInfinite)))
+
+    // purity: every planted cluster's members land in ONE trained list
+    val assigned = Similarity.ivfAssign(corpus, trained, "e").cache()
+    val purity = assigned.groupBy("planted_cluster")
+      .agg(countDistinct("cid").as("k")).collect().map(_.getLong(1))
+    assert(purity.forall(_ == 1L),
+      s"each planted cluster should map to one trained centroid, got ${purity.toSeq}")
+
+    // and the trained codebook answers the boundary query as well as
+    // the true centroids do
+    val truth = Similarity.bruteForceTopK(corpus, "e", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfProbeVec(assigned, "e", "vec_id", query, 10,
+        trained, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(recallAt10(got, truth) >= 0.9)
+    assigned.unpersist(); corpus.unpersist()
+  }
+}

@@ -52,4 +52,39 @@ class VulDbDiffSpec extends SparkSpecBase {
     assert(d.length == 1)
     assert(d(0).getString(0) == "removed" && d(0).getString(1) == "debian:11")
   }
+
+  private def appVul(module: String, vulName: String, score: Double = 5.0,
+      fixedVer: Seq[OpVersion] = Nil) = AppModuleVul(
+    vulName = vulName, appName = "app", moduleName = module,
+    importPaths = Nil, symbols = Nil, description = "d", link = "l",
+    score = score, vectors = "AV:N", scoreV3 = 7.0, vectorsV3 = "X",
+    severity = "High", affectedVer = Nil, fixedVer = fixedVer,
+    unaffectedVer = Nil, issuedDate = Timestamp.valueOf("2021-01-01 00:00:00"),
+    lastModDate = null, cves = Nil)
+
+  test("app-table diff keyed (moduleName, vulName)") {
+    import spark.implicits._
+    val yesterday = Seq(
+      appVul("golang.org/x/net", "CVE-1"),
+      appVul("golang.org/x/net", "CVE-2"),
+      appVul("lodash", "CVE-3", score = 4.0)).toDS()
+    val today = Seq(
+      appVul("golang.org/x/net", "CVE-1"), // unchanged
+      appVul("lodash", "CVE-3", score = 9.8, // changed: score + fixedVer
+        fixedVer = Seq(OpVersion("gteq", "4.17.21"))),
+      appVul("openssl", "CVE-3")).toDS() // added: same vul, new module
+
+    val d = VulDbDiff.diffApps(yesterday, today)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getSeq[String](3).toSet)).toSet
+    assert(d == Set(
+      ("removed", "golang.org/x/net", "CVE-2", Set.empty[String]),
+      ("changed", "lodash", "CVE-3", Set("score", "fixedVer")),
+      ("added", "openssl", "CVE-3", Set.empty[String])))
+
+    val s = VulDbDiff.summaryApps(yesterday, today)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+  }
 }

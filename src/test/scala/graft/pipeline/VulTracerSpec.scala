@@ -25,6 +25,7 @@ class VulTracerSpec extends SparkSpecBase {
       vul("CVE-2021-2222", "alpine:3.6")).toDS()
     val nvd = spark.emptyDataset[NvdMetadata]
 
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val tracer = VulTracer.parse("v=CVE-2021-1111")
     assert(tracer.cves == Set("CVE-2021-1111"))
     val out = VulDbPipeline.build(
@@ -42,6 +43,14 @@ class VulTracerSpec extends SparkSpecBase {
     // renders one line per phase
     assert(tracer.format.linesIterator.size == 4)
     assert(tracer.toDF(spark).count() == 4)
+    // the trace collect is the last reader of the phase caches: after
+    // `traces` resolves, every cached phase frame must be released, or
+    // a -debug run pins all intermediates in storage for the rest of
+    // the application (compared against the pre-existing cache set so
+    // caches owned by other suites in the shared session don't bleed in)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty,
+      s"phase caches must be unpersisted after resolve, still pinned: $leaked")
   }
 
   test("disabled tracer records nothing and taps are identity") {
