@@ -185,10 +185,22 @@ object Dedup {
     * ~log2 rounds (DedupClustersSpec pins a 512-chain in <= 13). The
     * fixpoint check is exact (edge-set equality), near-clique
     * components still converge in 2-3 rounds, and frames are
-    * localCheckpoint'ed each round to keep lineage flat. */
+    * localCheckpoint'ed each round to keep lineage flat.
+    *
+    * Small-graph fast path: when the DEDUPLICATED edge count is at
+    * most `localEdgeLimit` (default 500k pairs ~ 8 MB — the same
+    * bounded-collect argument as the IVF codebook literal, and gated
+    * by an exact count, never a guess), the component computation is
+    * union-find on the driver: microseconds instead of ~8 scheduled
+    * shuffles per star round. Candidate PAIRS are quadratic in bucket
+    * size and capped by HotKeys, so a corpus must be enormous before
+    * its near-dup edge list outgrows the driver — and when it does,
+    * the star path takes over automatically. Set localEdgeLimit = 0
+    * to force the distributed path. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame =
-    duplicateClustersWithRounds(pairs, idA, idB, maxIter)._1
+      idB: String = "id_b", maxIter: Int = 25,
+      localEdgeLimit: Int = 500000): DataFrame =
+    duplicateClustersWithRounds(pairs, idA, idB, maxIter, localEdgeLimit)._1
 
   /** large-star: for every node u, hook each STRICTLY LARGER neighbor
     * v onto m = min(neighbors(u) + u). Input/output are canonical
@@ -214,8 +226,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Driver-side exact union-find over a collected edge list: find
+    * with path compression, union by attachment, then one pass to
+    * label every member with its component MINIMUM (ids compared via
+    * their natural Comparable order — longs and strings both work, the
+    * same order least/greatest used cluster-side). */
+  private def unionFindLabels(edgeRows: Array[org.apache.spark.sql.Row],
+      nodeRows: Array[org.apache.spark.sql.Row]): Seq[(Any, Any)] = {
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edgeRows.foreach { e =>
+      val (ru, rv) = (find(e.get(0)), find(e.get(1)))
+      if (ru != rv) parent(if (cmp(ru, rv) > 0) ru else rv) =
+        if (cmp(ru, rv) > 0) rv else ru
+    }
+    nodeRows.iterator.map(_.get(0)).map(id => id -> find(id)).toSeq
+  }
+
   private[operators] def duplicateClustersWithRounds(pairs: DataFrame,
-      idA: String, idB: String, maxIter: Int): (DataFrame, Int) = {
+      idA: String, idB: String, maxIter: Int,
+      localEdgeLimit: Int = 500000): (DataFrame, Int) = {
     // every input node keeps a label row even if its only edges were
     // self-loops (parity with the propagation formulation it replaced)
     val nodes = pairs.select(col(idA).as("id"))
@@ -225,8 +262,23 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    val edgeCount = edges.count()
+    if (edgeCount <= localEdgeLimit) {
+      // bounded by the exact count just taken; union-by-min keeps the
+      // root at the component minimum throughout, so labels match the
+      // distributed fixpoint exactly
+      val labelSeq = unionFindLabels(edges.collect(), nodes.collect())
+      val spark = pairs.sparkSession
+      val idType = nodes.schema("id").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      import scala.jdk.CollectionConverters._
+      val rows = labelSeq.map { case (id, cl) => org.apache.spark.sql.Row(id, cl) }
+      return (spark.createDataFrame(rows.asJava, schema), 0)
+    }
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // both sides are distinct sets: equal size + empty except = equal

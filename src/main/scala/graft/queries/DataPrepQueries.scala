@@ -613,6 +613,45 @@ object DataPrepQueries {
         val others = emb.filter(!col("vec_id").between(1, 8))
         graft.operators.Similarity.ivfTopK(others, cents, "e", "vec_id",
           queryVecId = 0, k = 10)
+      }),
+
+    // Multi-probe IVF: the nprobe recall knob over the same index as
+    // q44 -- the codebook is ranked by distance to the query
+    // driver-side (it is a literal already) and the scan reads the TWO
+    // nearest inverted lists instead of one, recovering neighbors that
+    // fell across the Voronoi boundary at ~2x the single-list scan.
+    QueryDef("q59_ivf_multiprobe", Some("""
+      WITH c AS (SELECT vec_id AS cid,
+                        list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+      probe AS (SELECT c.cid FROM c CROSS JOIN q
+                ORDER BY list_distance(c.ce, q.qe), c.cid LIMIT 2),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      members AS (SELECT a.vec_id, e.e FROM assign a
+                  JOIN e ON a.vec_id = e.vec_id
+                  JOIN probe p ON a.cid = p.cid
+                  WHERE a.vec_id <> 0)
+      SELECT m.vec_id,
+             round(list_inner_product(m.e, q.qe)
+               / (sqrt(list_inner_product(m.e, m.e)) * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+      FROM members m CROSS JOIN q
+      ORDER BY cos DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        graft.operators.Similarity.ivfProbe(
+          graft.operators.Similarity.ivfAssign(others, codebook, "e"),
+          "e", "vec_id", queryVecId = 0, k = 10,
+          nprobe = 2, codebook = codebook)
       })
   )
 }

@@ -31,12 +31,29 @@ class DedupClustersSpec extends SparkSpecBase {
     // rounds — the property that makes CC usable on 100 TB chains.
     val n = 512L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // localEdgeLimit = 0 forces the distributed star path — the test
+    // pins the star algorithm's round count, not the driver fast path
     val (labels, rounds) =
-      Dedup.duplicateClustersWithRounds(pairs, "id_a", "id_b", maxIter = 25)
+      Dedup.duplicateClustersWithRounds(pairs, "id_a", "id_b", maxIter = 25,
+        localEdgeLimit = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet == (1L to n).toSet)
     assert(got.values.toSet == Set(1L), "chain must collapse to one component")
     assert(rounds <= 13, s"expected <= log2(512)+4 rounds, took $rounds")
+  }
+
+  test("driver union-find fast path matches the distributed star path") {
+    // irregular mix: two chains, a clique, self-loop, isolated pair
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 30L), (40L, 41L)))
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.duplicateClusters(pairs) // under the limit
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar =
+      Dedup.duplicateClustersWithRounds(pairs, "id_a", "id_b", 25, 0)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaStar)
+    assert(viaDriver(10L) == 1L && viaDriver(22L) == 20L && viaDriver(30L) == 30L)
   }
 
   test("self-loop-only nodes keep a self-labeled row (parity with propagation)") {
