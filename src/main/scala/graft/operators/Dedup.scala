@@ -188,7 +188,7 @@ object Dedup {
     * localCheckpoint'ed each round to keep lineage flat.
     *
     * Small-graph fast path: when the DEDUPLICATED edge count is at
-    * most `localEdgeLimit` (default 500k pairs ~ 8 MB — the same
+    * most `localEdgeLimit` (default 2M pairs ~ tens of MB — the same
     * bounded-collect argument as the IVF codebook literal, and gated
     * by an exact count, never a guess), the component computation is
     * union-find on the driver: microseconds instead of ~8 scheduled
@@ -199,7 +199,7 @@ object Dedup {
     * to force the distributed path. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25,
-      localEdgeLimit: Int = 500000): DataFrame =
+      localEdgeLimit: Int = 2000000): DataFrame =
     duplicateClustersWithRounds(pairs, idA, idB, maxIter, localEdgeLimit)._1
 
   /** large-star: for every node u, hook each STRICTLY LARGER neighbor
@@ -252,7 +252,7 @@ object Dedup {
 
   private[operators] def duplicateClustersWithRounds(pairs: DataFrame,
       idA: String, idB: String, maxIter: Int,
-      localEdgeLimit: Int = 500000): (DataFrame, Int) = {
+      localEdgeLimit: Int = 2000000): (DataFrame, Int) = {
     // every input node keeps a label row even if its only edges were
     // self-loops (parity with the propagation formulation it replaced)
     val nodes = pairs.select(col(idA).as("id"))

@@ -129,6 +129,63 @@ object Similarity {
     }
   }
 
+  /** Batch IVF probe — the realistic serving shape: MANY query
+    * vectors answered in one distributed plan, no driver round-trip
+    * per query. The query set is small relative to the corpus (that
+    * is what makes it the probe side), so it broadcasts twice:
+    * (1) queries x codebook ranks every query's inverted lists via a
+    * broadcast nested-loop against the (KB-sized) codebook, keeping
+    * the top `nprobe` per query; (2) the ranked probes hash-join the
+    * assigned corpus on the list id — each corpus row is read once
+    * and only the probed lists contribute — then a per-query window
+    * keeps the cosine top-k. Output: (qIdCol, idCol, cos, rank).
+    * Single-query `ivfProbeVec` stays the low-latency path; this is
+    * the throughput path (e.g. dedup-against-index of a whole new
+    * document batch). */
+  def ivfProbeAll(assigned: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      codebook: Seq[(Long, Seq[Double])], k: Int, nprobe: Int = 1,
+      cidCol: String = "cid"): DataFrame = {
+    require(codebook.nonEmpty, "ivfProbeAll needs the codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cb = codebook.toDF("_cbid", "_ce")
+    val sqDist = aggregate(
+      zip_with(col(qEmbCol), col("_ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val probes = queries
+      .select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol))
+      .join(broadcast(cb), lit(true))
+      .select(col(qIdCol), col(qEmbCol), col("_cbid"), sqDist.as("_d"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
+      .filter(col("_r") <= nprobe)
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_cbid"))
+    assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
+      .select(col("_qid").as(qIdCol), col(idCol),
+        round(cosine(col(embCol), col("_qe")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist an assigned IVF index bucketed by inverted list: parquet
+    * partitioned by the centroid id, so a probe's `cid IN (...)`
+    * filter becomes PARTITION PRUNING at the scan — an nprobe-list
+    * probe physically reads only nprobe directories out of K, which is
+    * the on-disk analogue of "search ~n/K vectors per list"
+    * (SimilaritySpec pins the pruned scan in the plan). */
+  def writeIndex(assigned: DataFrame, path: String,
+      cidCol: String = "cid"): Unit =
+    assigned.write.mode("overwrite").partitionBy(cidCol).parquet(path)
+
+  /** Read a persisted IVF index back for probing. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
     * through ivfAssign once + ivfProbe per query). `centroids` is a
     * (cid, ce) DataFrame — collected as the codebook literal. */

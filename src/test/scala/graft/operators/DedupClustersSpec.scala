@@ -56,6 +56,29 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(viaDriver(10L) == 1L && viaDriver(22L) == 20L && viaDriver(30L) == 30L)
   }
 
+  test("union-find matches a reference closure on seeded random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 5) {
+      val pairs = Seq.fill(40 + rnd.nextInt(60))(
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      // reference: naive min-label iteration to fixpoint, in plain Scala
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      var label = nodes.map(i => i -> i).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        pairs.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label += a -> m; changed = true }
+          if (label(b) != m) { label += b -> m; changed = true }
+        }
+      }
+      val got = Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == label, s"mismatch on graph: $pairs")
+    }
+  }
+
   test("self-loop-only nodes keep a self-labeled row (parity with propagation)") {
     val pairs = Seq((1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs)

@@ -85,6 +85,62 @@ class SimilaritySpec extends SparkSpecBase {
     assigned.unpersist()
   }
 
+  test("persisted index prunes partitions: an nprobe probe reads only its lists") {
+    val corpus = planted
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      Similarity.writeIndex(Similarity.ivfAssign(corpus, codebook, "e"), dir)
+      val index = Similarity.readIndex(spark, dir)
+      val probe = Similarity.ivfProbeVec(index, "e", "vec_id", query, 10,
+        codebook, nprobe = 2)
+      // same answer off the persisted index as off the in-memory one
+      val mem = Similarity.ivfProbeVec(
+        Similarity.ivfAssign(corpus, codebook, "e"), "e", "vec_id", query, 10,
+        codebook, nprobe = 2)
+      assert(probe.collect().map(_.getLong(0)).toSeq ==
+        mem.collect().map(_.getLong(0)).toSeq)
+      // the cid IN (...) filter must reach the scan as PartitionFilters,
+      // i.e. the probe physically reads 2 of the 8 list directories
+      val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in the probe plan"))
+      assert(scan.partitionFilters.nonEmpty,
+        s"cid filter must prune partitions, got plan: ${probe.queryExecution}")
+      val totalFiles = scan.relation.location.inputFiles.length
+      val readFiles = scan.metrics("numFiles").value // post-pruning, post-collect
+      assert(totalFiles >= nClusters, s"index should have $nClusters list dirs")
+      assert(readFiles * 4 <= totalFiles,
+        s"2-list probe must read a fraction of the index: $readFiles of $totalFiles files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("batch probe (ivfProbeAll) matches per-query probes at the same nprobe") {
+    val corpus = planted.cache()
+    val assigned = Similarity.ivfAssign(corpus, codebook, "e").cache()
+    val qids = Seq(0L, 1001L, 3002L)
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("e"))
+    val batch = Similarity.ivfProbeAll(assigned, "e", "vec_id",
+        queries, "qid", "e", codebook, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { q =>
+      val qvec = corpus.filter(col("vec_id") === q)
+        .select(col("e")).head().getSeq[Double](0).toSeq
+      val solo = Similarity.ivfProbeVec(assigned, "e", "vec_id", qvec, 5,
+          codebook, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(q) == solo, s"query $q: batch ${batch(q)} vs solo $solo")
+    }
+    assigned.unpersist(); corpus.unpersist()
+  }
+
   test("trainCodebook recovers planted clusters and serves multi-probe") {
     val corpus = planted.cache()
     val trained = Similarity.trainCodebook(corpus, "e", k = nClusters, iters = 3)
