@@ -188,15 +188,18 @@ object Dedup {
     * localCheckpoint'ed each round to keep lineage flat.
     *
     * Small-graph fast path: when the DEDUPLICATED edge count is at
-    * most `localEdgeLimit` (default 2M pairs ~ tens of MB — the same
+    * most `localEdgeLimit` (default 2M pairs — the same
     * bounded-collect argument as the IVF codebook literal, and gated
     * by an exact count, never a guess), the component computation is
     * union-find on the driver: microseconds instead of ~8 scheduled
     * shuffles per star round. Candidate PAIRS are quadratic in bucket
     * size and capped by HotKeys, so a corpus must be enormous before
     * its near-dup edge list outgrows the driver — and when it does,
-    * the star path takes over automatically. Set localEdgeLimit = 0
-    * to force the distributed path. */
+    * the star path takes over automatically. Edges stream through
+    * toLocalIterator, but the union-find map itself holds every
+    * distinct node: budget a few hundred MB of driver heap at the 2M
+    * cap, or lower the limit (0 forces the distributed path) on a
+    * small driver. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25,
       localEdgeLimit: Int = 2000000): DataFrame =
@@ -226,14 +229,33 @@ object Dedup {
       .distinct()
   }
 
-  /** Driver-side exact union-find over a collected edge list: find
+  /** Driver-side exact union-find over a streamed edge list: find
     * with path compression, union by attachment, then one pass to
-    * label every member with its component MINIMUM (ids compared via
-    * their natural Comparable order — longs and strings both work, the
-    * same order least/greatest used cluster-side). */
-  private def unionFindLabels(edgeRows: Array[org.apache.spark.sql.Row],
-      nodeRows: Array[org.apache.spark.sql.Row]): Seq[(Any, Any)] = {
-    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    * label every member with its component MINIMUM. Strings are
+    * compared in UTF-8 BINARY order — `String.compareTo`'s UTF-16
+    * code-unit order disagrees with Spark's UTF8String order above
+    * the BMP (supplementary characters), and the driver path must
+    * pick the same canonical minimum as the cluster-side
+    * least/greatest it stands in for (pinned by a supplementary-char
+    * test). Other id types use their natural Comparable order, which
+    * matches Spark's. */
+  private def cmpLikeSpark(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      xb.length - yb.length
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  private def unionFindLabels(edgeRows: Iterator[org.apache.spark.sql.Row],
+      nodeRows: Iterator[org.apache.spark.sql.Row]): Seq[(Any, Any)] = {
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -244,10 +266,10 @@ object Dedup {
     }
     edgeRows.foreach { e =>
       val (ru, rv) = (find(e.get(0)), find(e.get(1)))
-      if (ru != rv) parent(if (cmp(ru, rv) > 0) ru else rv) =
-        if (cmp(ru, rv) > 0) rv else ru
+      if (ru != rv) parent(if (cmpLikeSpark(ru, rv) > 0) ru else rv) =
+        if (cmpLikeSpark(ru, rv) > 0) rv else ru
     }
-    nodeRows.iterator.map(_.get(0)).map(id => id -> find(id)).toSeq
+    nodeRows.map(_.get(0)).map(id => id -> find(id)).toSeq
   }
 
   private[operators] def duplicateClustersWithRounds(pairs: DataFrame,
@@ -264,27 +286,34 @@ object Dedup {
       .localCheckpoint()
     val edgeCount = edges.count()
     if (edgeCount <= localEdgeLimit) {
-      // bounded by the exact count just taken; union-by-min keeps the
-      // root at the component minimum throughout, so labels match the
-      // distributed fixpoint exactly
-      val labelSeq = unionFindLabels(edges.collect(), nodes.collect())
+      // bounded by the exact count just taken; streamed via
+      // toLocalIterator so the peak driver footprint is the hash map
+      // plus one partition, not the full Row array besides it.
+      // Union-by-min keeps the root at the component minimum
+      // throughout, so labels match the distributed fixpoint exactly
+      import scala.jdk.CollectionConverters._
+      val labelSeq = unionFindLabels(
+        edges.toLocalIterator().asScala, nodes.toLocalIterator().asScala)
       val spark = pairs.sparkSession
       val idType = nodes.schema("id").dataType
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("cluster", idType)))
-      import scala.jdk.CollectionConverters._
       val rows = labelSeq.map { case (id, cl) => org.apache.spark.sql.Row(id, cl) }
       return (spark.createDataFrame(rows.asJava, schema), 0)
     }
     var iter = 0
     var converged = edgeCount == 0
+    var prevCount = edgeCount
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // both sides are distinct sets: equal size + empty except = equal
-      converged = next.count() == edges.count() &&
+      // (the previous round's count is remembered, not recomputed)
+      val nextCount = next.count()
+      converged = nextCount == prevCount &&
         next.except(edges).limit(1).count() == 0
       edges = next
+      prevCount = nextCount
       iter += 1
     }
     if (!converged)

@@ -94,7 +94,9 @@ object Multimodal {
             } finally reader.dispose()
           }
         } finally iis.close()
-      } catch { case _: java.io.IOException => fail }
+        // imageio plugins likewise throw unchecked on malformed
+        // containers; same ok=false contract as the audio decoder
+      } catch { case scala.util.control.NonFatal(_) => fail }
     }
   }
 
@@ -128,8 +130,11 @@ object Multimodal {
           fileFmt.getFrameLength.toLong, fmt.getEncoding.toString,
           bytes.length.toLong, hex, ok = true)
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => fail
-        case _: java.io.IOException => fail
+        // the JDK's WAV/AIFF header parsers have a history of
+        // unchecked throws (AIOOBE, NegativeArraySize) on malformed
+        // headers; this decoder's contract over arbitrary payloads is
+        // ok=false, never a task-killing exception
+        case scala.util.control.NonFatal(_) => fail
       }
     }
   }

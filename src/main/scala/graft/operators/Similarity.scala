@@ -122,10 +122,17 @@ object Similarity {
     } else {
       require(codebook.nonEmpty,
         "multi-probe (nprobe > 1) needs the codebook to rank inverted lists")
-      val query = assigned.filter(col(idCol) === queryVecId)
-        .select(col(embCol)).head().getSeq[Double](0).toSeq
-      ivfProbeVec(assigned, embCol, idCol, query, k, codebook, nprobe, cidCol,
-        excludeId = Some(queryVecId))
+      val qrow = assigned.filter(col(idCol) === queryVecId)
+        .select(col(embCol)).limit(1).collect().headOption
+      qrow.filterNot(_.isNullAt(0)).map(_.getSeq[Double](0).toSeq) match {
+        case Some(query) =>
+          ivfProbeVec(assigned, embCol, idCol, query, k, codebook, nprobe, cidCol,
+            excludeId = Some(queryVecId))
+        case None =>
+          // parity with the nprobe=1 path: a missing member (or a null
+          // embedding) probes nothing instead of crashing
+          assigned.select(col(idCol), lit(0.0).as("cos")).limit(0)
+      }
     }
   }
 
@@ -138,14 +145,19 @@ object Similarity {
     * the top `nprobe` per query; (2) the ranked probes hash-join the
     * assigned corpus on the list id — each corpus row is read once
     * and only the probed lists contribute — then a per-query window
-    * keeps the cosine top-k. Output: (qIdCol, idCol, cos, rank).
-    * Single-query `ivfProbeVec` stays the low-latency path; this is
-    * the throughput path (e.g. dedup-against-index of a whole new
-    * document batch). */
+    * keeps the cosine top-k. Output: (qIdCol, idCol, cos, rank) —
+    * when the two id columns share a name, the query id is emitted as
+    * `q_<name>` so the output schema stays unambiguous. Member
+    * queries (probing a batch drawn from the indexed corpus itself)
+    * set `excludeSelf = true` to keep the cos=1.0 self-match from
+    * burning a top-k slot — the batch analogue of ivfProbe's
+    * excludeId. Single-query `ivfProbeVec` stays the low-latency
+    * path; this is the throughput path (e.g. dedup-against-index of
+    * a whole new document batch). */
   def ivfProbeAll(assigned: DataFrame, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       codebook: Seq[(Long, Seq[Double])], k: Int, nprobe: Int = 1,
-      cidCol: String = "cid"): DataFrame = {
+      cidCol: String = "cid", excludeSelf: Boolean = false): DataFrame = {
     require(codebook.nonEmpty, "ivfProbeAll needs the codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spark = assigned.sparkSession
@@ -163,13 +175,18 @@ object Similarity {
           .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
       .filter(col("_r") <= nprobe)
       .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_cbid"))
-    assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
-      .select(col("_qid").as(qIdCol), col(idCol),
+    val joined = assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
+    val scoped =
+      if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    scoped
+      .select(col("_qid"), col(idCol),
         round(cosine(col(embCol), col("_qe")), 4).as("cos"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(qIdCol).orderBy(desc("cos"), col(idCol))))
+          .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
       .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
   }
 
   /** Persist an assigned IVF index bucketed by inverted list: parquet
@@ -221,11 +238,16 @@ object Similarity {
       iters: Int = 5): Seq[(Long, Seq[Double])] = {
     require(k >= 1 && iters >= 0, s"need k >= 1 ($k) and iters >= 0 ($iters)")
     val vecs = df.select(asDouble(col(embCol)).as("_e")).filter(col("_e").isNotNull)
+    // distinct BEFORE seeding: on a heavily duplicated corpus (this
+    // library's home turf) duplicate sample vectors would let
+    // farthest-first pick the same point twice (max-min distance 0),
+    // silently pinning two identical centroids forever
     val sample = vecs
       .orderBy(xxhash64(col("_e")), col("_e"))
       .limit(32 * k)
-      .collect().map(_.getSeq[Double](0).toSeq)
-    require(sample.length >= k, s"need at least $k vectors to train, got ${sample.length}")
+      .collect().map(_.getSeq[Double](0).toSeq).distinct
+    require(sample.length >= k,
+      s"need at least $k DISTINCT vectors in the init sample to train, got ${sample.length}")
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
     while (seeds.size < k)
       seeds += sample.maxBy(p => seeds.iterator.map(s => sqDist(p, s)).min)

@@ -54,17 +54,19 @@ final class VulTracer(val cves: Set[String]) extends Serializable {
     * six full intermediate datasets in executor storage for the rest
     * of the application. */
   private def resolve(): Unit = {
-    val toRun = pending.synchronized {
-      val r = pending.toList; pending.clear(); r
+    // one atomic drain of BOTH lists (tap appends to both under the
+    // same lock): a tap racing in between two separate drains would
+    // get its cache freed while its snapshot is still pending, and the
+    // later collect would re-execute the upstream pipeline
+    val (toRun, toFree) = pending.synchronized {
+      val r = (pending.toList, cachedFrames.toList)
+      pending.clear(); cachedFrames.clear(); r
     }
     if (toRun.nonEmpty) {
       val rows = toRun.reduce(_ union _).collect()
       buf.synchronized {
         rows.foreach(r => buf += Trace(r.getString(0), r.getString(1), r.getString(2)))
       }
-    }
-    val toFree = pending.synchronized {
-      val f = cachedFrames.toList; cachedFrames.clear(); f
     }
     toFree.foreach(_.unpersist(blocking = false))
   }

@@ -79,6 +79,21 @@ class DedupClustersSpec extends SparkSpecBase {
     }
   }
 
+  test("string ids above the BMP: driver path picks the same min as Spark's binary order") {
+    // U+FFFD sorts BEFORE U+10000 in UTF-8 binary order (Spark's
+    // least/greatest), but AFTER it in String.compareTo's UTF-16
+    // code-unit order — the driver path must agree with Spark
+    val hi = "𐀀" // U+10000
+    val pairs = Seq(("�", hi), ("z", "y")).toDF("id_a", "id_b")
+    val viaDriver = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaStar = Dedup.duplicateClustersWithRounds(pairs, "id_a", "id_b", 25, 0)._1
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDriver == viaStar)
+    assert(viaDriver(hi) == "�" && viaDriver("�") == "�")
+    assert(viaDriver("z") == "y")
+  }
+
   test("self-loop-only nodes keep a self-labeled row (parity with propagation)") {
     val pairs = Seq((1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs)

@@ -138,7 +138,26 @@ class SimilaritySpec extends SparkSpecBase {
         .collect().map(_.getLong(0)).toSeq
       assert(batch(q) == solo, s"query $q: batch ${batch(q)} vs solo $solo")
     }
+
+    // colliding id column names stay unambiguous (query id -> q_vec_id),
+    // and excludeSelf drops the member query's own cos=1.0 row
+    val collide = Similarity.ivfProbeAll(assigned, "e", "vec_id",
+      corpus.filter(col("vec_id") === 0L), "vec_id", "e",
+      codebook, k = 5, nprobe = 2, excludeSelf = true)
+    assert(collide.columns.toSeq == Seq("q_vec_id", "vec_id", "cos", "rank"))
+    val rows = collide.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) != 0L),
+      "excludeSelf must drop the self-match")
     assigned.unpersist(); corpus.unpersist()
+  }
+
+  test("multi-probe of a missing member id returns empty, like single-probe") {
+    val assigned = Similarity.ivfAssign(planted, codebook, "e")
+    val single = Similarity.ivfProbe(assigned, "e", "vec_id", 999999L, 10)
+    val multi = Similarity.ivfProbe(assigned, "e", "vec_id", 999999L, 10,
+      nprobe = 2, codebook = codebook)
+    assert(single.count() == 0 && multi.count() == 0)
+    assert(multi.columns.toSeq == Seq("vec_id", "cos"))
   }
 
   test("trainCodebook recovers planted clusters and serves multi-probe") {
