@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** One-call corpus preparation: the composed pipeline a training-data
   * team runs before tokenization —
   *
-  *   normalize (NFC + casefold + scrub + whitespace)
+  *   normalize (NFC + casefold + scrub + whitespace; `redactPii`
+  *      upgrades the scrub to the full email/URL/IP/identifier pass)
   *   -> quality gate (length band + repetition ceiling)
   *   -> exact dedup (first id per content digest)
   *   -> near-dup dedup (LSH candidates -> exact Jaccard verify ->
@@ -37,13 +38,16 @@ object CorpusPrep {
     benchmark: Option[DataFrame] = None,
     benchTextCol: String = "text",
     benchIdCol: String = "doc_id",
-    minContainment: Double = 0.8)
+    minContainment: Double = 0.8,
+    redactPii: Boolean = false)
 
   /** Returns the surviving rows of `docs` with `clean_text` appended.
     * `idCol` must be unique per row; `textCol` is the raw text. */
   def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config()): DataFrame = {
-    val cleaned = docs.withColumn("clean_text", TextNorm.clean(col(textCol)))
+    val norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
+    val cleaned = docs.withColumn("clean_text", norm(col(textCol)))
     val gated = cleaned
       .withColumn("_ntok", size(split(col("clean_text"), " ")))
       .filter(length(col("clean_text")).between(cfg.minChars, cfg.maxChars))
@@ -68,7 +72,7 @@ object CorpusPrep {
       // normalize the benchmark text identically to the corpus before
       // shingling, or containment would miss on case/whitespace alone
       Dedup.decontaminate(deduped, "clean_text", idCol,
-        bench.withColumn("_bclean", TextNorm.clean(col(cfg.benchTextCol))),
+        bench.withColumn("_bclean", norm(col(cfg.benchTextCol))),
         "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment)
     }
   }

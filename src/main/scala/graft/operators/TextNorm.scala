@@ -22,8 +22,27 @@ object TextNorm {
   def scrub(text: Column): Column =
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"), urlPattern, "<URL>")
 
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longDigitsPattern = "\\d{9,}"
+
+  /** Full PII redaction for corpus prep (q60): emails, URLs, IPv4
+    * addresses, then long (9+) digit runs — account/phone/SSN-like
+    * identifiers — each replaced by a placeholder token. Order
+    * matters: addresses are redacted before the digit rule so an
+    * IP's octets aren't half-eaten by `<ID>`. Pure codegen'd
+    * regexp_replace chain — one map-side pass, no shuffle, and the
+    * same regex source text runs on the DuckDB oracle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(scrub(text), ipv4Pattern, "<IP>"),
+      longDigitsPattern, "<ID>")
+
   /** The full cleaning chain: NFC -> lowercase -> scrub -> whitespace
     * squeeze -> trim. */
   def clean(text: Column): Column =
     trim(regexp_replace(scrub(lower(nfc(text))), "\\s+", " "))
+
+  /** `clean` with the full PII pass (emails, URLs, IPs, long digit
+    * runs) in place of the email/URL scrub. */
+  def cleanRedacted(text: Column): Column =
+    trim(regexp_replace(redactPii(lower(nfc(text))), "\\s+", " "))
 }

@@ -652,6 +652,32 @@ object DataPrepQueries {
           graft.operators.Similarity.ivfAssign(others, codebook, "e"),
           "e", "vec_id", queryVecId = 0, k = 10,
           nprobe = 2, codebook = codebook)
-      })
+      }),
+
+    // PII redaction: emails/URLs/IPv4/long-digit identifiers replaced
+    // by placeholder tokens before anything leaves the pipeline — the
+    // corpus-side PII pass every training-data prep runs. The synthetic
+    // corpus carries no PII, so the query plants deterministic
+    // doc_id-derived PII in the input ON BOTH SIDES and the oracle
+    // checks the redacted output byte for byte. Map-side regex chain,
+    // no shuffle.
+    QueryDef("q60_pii_redact", Some("""
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               substr(text, 1, 40) || ' contact user' || doc_id || '@example.com see https://ex.com/a?b=1 from 10.1.' || (doc_id % 256) || '.77 ref ' || (doc_id * 1000007 + 123456789),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\d{9,}', '<ID>', 'g') AS redacted
+      FROM documents WHERE doc_id < 20 ORDER BY doc_id"""),
+      (s, dir) => t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          graft.operators.TextNorm.redactPii(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com see https://ex.com/a?b=1 from 10.1."),
+            col("doc_id") % 256,
+            lit(".77 ref "), col("doc_id") * 1000007 + 123456789)).as("redacted"))
+        .orderBy("doc_id"))
   )
 }

@@ -59,4 +59,13 @@ class CorpusPrepSpec extends SparkSpecBase {
       minChars = 20, benchmark = Some(bench), minContainment = 0.8))
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
+
+  test("redactPii config swaps the scrub for the full PII pass") {
+    val docs = Seq(
+      (1L, "Reach me at Bob.Smith@corp.example.org or 192.168.0.17 ref 4111111111111111 thanks"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 10, redactPii = true))
+    val clean = out.select("clean_text").collect()(0).getString(0)
+    assert(clean == "reach me at <EMAIL> or <IP> ref <ID> thanks", s"got: $clean")
+  }
 }
