@@ -17,14 +17,18 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * dimensions never cost a pixel decode). Audio metadata decode is
   * REAL too (`AudioDecoder`, JDK `javax.sound.sampled` — WAV/AIFF/AU
   * header parse ships with every JVM; sample rate / channels / frame
-  * count cost no sample decode). Video stays stubbed (`StubDecoder`
-  * derives deterministic fake features from the bytes; video codecs
-  * genuinely are not in the JDK) — the Spark-side contract — schema,
-  * partitioning, per-partition decoder lifecycle, batch shape, null
-  * handling — is identical for all three and tested (MultimodalSpec
-  * counts decoder constructions per partition and asserts real
-  * PNG/JPEG dimensions and WAV/AIFF audio formats from checked-in
-  * fixtures / round-trips).
+  * count cost no sample decode). Video CONTAINER metadata is REAL as
+  * well (`VideoDecoder`, a pure ISO-BMFF box walk — MP4/MOV duration,
+  * timescale, display dimensions, track census; the length-prefixed
+  * box grammar is codec-independent). Only video SAMPLE decode
+  * (pixels/frames) stays stubbed (`StubDecoder`/`sampleFrames` derive
+  * deterministic fake features; frame codecs genuinely are not in the
+  * JDK) — the Spark-side contract — schema, partitioning,
+  * per-partition decoder lifecycle, batch shape, null handling — is
+  * identical throughout and tested (MultimodalSpec counts decoder
+  * constructions per partition and asserts real PNG/JPEG dimensions,
+  * WAV/AIFF audio formats, and MP4 duration/dims from checked-in
+  * fixtures / round-trips / hand-assembled boxes).
   */
 object Multimodal {
 
@@ -137,6 +141,133 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => fail
       }
     }
+  }
+
+  final case class VideoMeta(
+    width: Int, height: Int, durationMs: Long, timescale: Long,
+    videoTracks: Int, audioTracks: Int, brand: String,
+    byteLen: Long, digest: String, ok: Boolean)
+
+  /** Real video CONTAINER metadata for ISO-BMFF files (MP4/MOV/M4V —
+    * the overwhelming majority of video in a web corpus). The box
+    * structure is length-prefixed and codec-independent, so duration,
+    * timescale, display dimensions and track census parse from a pure
+    * byte walk: `ftyp` gives the major brand, `moov/mvhd` the movie
+    * timescale + duration (v0 32-bit and v1 64-bit layouts both
+    * handled), each `moov/trak/tkhd` its 16.16 fixed-point display
+    * size, and `moov/trak/mdia/hdlr` classifies the track as video
+    * (`vide`) or audio (`soun`). No frame is touched — O(header), the
+    * same argument as `ImageDecoder`/`AudioDecoder` — and SAMPLE
+    * decode (pixels) remains genuinely impossible without external
+    * codecs, which is exactly what `sampleFrames`' stub stands in
+    * for. Malformed/truncated/non-BMFF payloads come back
+    * `ok = false`, never a task-killing exception. One instance per
+    * task under `withVideoMeta`'s mapPartitions contract. */
+  final class VideoDecoder extends Serializable {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    private def u64(b: Array[Byte], off: Int): Long =
+      (u32(b, off) << 32) | u32(b, off + 4)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    /** Walk the sibling boxes in [start, end), calling f(type,
+      * payloadStart, payloadEnd). Bounds-checked; a corrupt size field
+      * ends the walk rather than looping or overrunning. */
+    private def walk(b: Array[Byte], start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = u32(b, off)
+        val tpe = fourcc(b, off + 4)
+        val (payload, boxEnd) =
+          if (size32 == 1L && off + 16 <= end) (off + 16L, off + u64(b, off + 8))
+          else if (size32 == 0L) (off + 8L, end.toLong) // box extends to EOF
+          else (off + 8L, off + size32)
+        if (boxEnd > end || boxEnd <= off || payload > boxEnd) return
+        f(tpe, payload.toInt, boxEnd.toInt)
+        off = boxEnd.toInt
+      }
+    }
+
+    def decode(bytes: Array[Byte]): VideoMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return VideoMeta(0, 0, 0L, 0L, 0, 0, "", 0L, "", ok = false)
+      md.reset()
+      val hex = md.digest(bytes).take(8).map("%02x".format(_)).mkString
+      val fail = VideoMeta(0, 0, 0L, 0L, 0, 0, "", bytes.length.toLong, hex, ok = false)
+      try {
+        var brand = ""
+        var timescale = 0L; var duration = 0L; var haveMvhd = false
+        var w = 0; var h = 0; var vide = 0; var soun = 0
+        walk(bytes, 0, bytes.length) {
+          case ("ftyp", p, e) if e - p >= 4 => brand = fourcc(bytes, p)
+          case ("moov", mp, me) => walk(bytes, mp, me) {
+            case ("mvhd", p, e) if e - p >= 4 =>
+              val v = bytes(p) & 0xff
+              // v0: ver/flags, ctime(4), mtime(4), timescale(4), duration(4)
+              // v1: ver/flags, ctime(8), mtime(8), timescale(4), duration(8)
+              if (v == 1 && e - p >= 28) {
+                timescale = u32(bytes, p + 20); duration = u64(bytes, p + 24)
+                haveMvhd = true
+              } else if (v == 0 && e - p >= 20) {
+                timescale = u32(bytes, p + 12); duration = u32(bytes, p + 16)
+                haveMvhd = true
+              }
+            case ("trak", tp, te) =>
+              var isVide = false; var isSoun = false; var tw = 0; var th = 0
+              walk(bytes, tp, te) {
+                case ("tkhd", p, e) if e - p >= 8 =>
+                  // width/height are the final two 16.16 fields in
+                  // both the v0 (84-byte) and v1 (96-byte) layouts
+                  tw = (u32(bytes, e - 8) >> 16).toInt
+                  th = (u32(bytes, e - 4) >> 16).toInt
+                case ("mdia", mdp, mde) => walk(bytes, mdp, mde) {
+                  case ("hdlr", p, e) if e - p >= 12 =>
+                    fourcc(bytes, p + 8) match {
+                      case "vide" => isVide = true
+                      case "soun" => isSoun = true
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              if (isVide) { vide += 1; if (tw * th > w * h) { w = tw; h = th } }
+              if (isSoun) soun += 1
+            case _ => ()
+          }
+          case _ => ()
+        }
+        if (!haveMvhd) fail
+        else {
+          val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+          VideoMeta(w, h, durMs, timescale, vide, soun, brand,
+            bytes.length.toLong, hex, ok = true)
+        }
+      } catch { case scala.util.control.NonFatal(_) => fail }
+    }
+  }
+
+  /** Attach parsed ISO-BMFF container metadata to a binary column —
+    * the video twin of `withMediaMeta`, same once-per-task decoder
+    * lifecycle; only the small meta struct ever shuffles. */
+  def withVideoMeta(df: DataFrame, binaryCol: String, outCol: String = "video",
+      decoderFactory: () => VideoDecoder = () => new VideoDecoder)(
+      implicit spark: SparkSession): DataFrame = {
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema.add(outCol, Encoders.product[VideoMeta].schema)
+    df.mapPartitions { it =>
+      val decoder = decoderFactory() // once per partition — the contract
+      it.map { r =>
+        val m = decoder.decode(binaryOf(r, idx))
+        Row.fromSeq(r.toSeq :+ Row(m.width, m.height, m.durationMs, m.timescale,
+          m.videoTracks, m.audioTracks, m.brand, m.byteLen, m.digest, m.ok))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Attach parsed audio metadata to a binary column — the audio twin

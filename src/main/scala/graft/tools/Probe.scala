@@ -31,6 +31,32 @@ object Probe {
       "round(cosine_sim(array(1D,2D), array(2D,4D)), 4) cos, " +
       "dot_product(array(1D,2D), array(3D,4D)) dot, " +
       "range_contains(parse_range_expr('>=1.0 <2.0'), '1.5') in_range").show(false)
+
+    // media decode surface: a hand-assembled minimal MP4 driven
+    // through withVideoMeta's mapPartitions path on this session
+    {
+      import spark.implicits._
+      def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+        val body = payload.flatten.toArray
+        be32(body.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ body
+      }
+      val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1")) ++
+        box("moov",
+          box("mvhd", new Array[Byte](4), be32(0), be32(0), be32(600), be32(1800),
+            new Array[Byte](80)),
+          box("trak",
+            box("tkhd", new Array[Byte](76), be32(1280L << 16), be32(720L << 16)),
+            box("mdia", box("hdlr", new Array[Byte](8),
+              "vide".getBytes("ISO-8859-1"), new Array[Byte](13)))))
+      val docs = Seq((1L, mp4), (2L, "not a video".getBytes("UTF-8")))
+        .toDF("id", "blob").repartition(2)
+      graft.operators.Multimodal.withVideoMeta(docs, "blob")(spark)
+        .select("id", "video.ok", "video.width", "video.height",
+          "video.durationMs", "video.videoTracks", "video.brand")
+        .orderBy("id").show(false)
+    }
     spark.stop()
   }
 }

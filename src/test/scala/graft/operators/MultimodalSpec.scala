@@ -100,6 +100,70 @@ class MultimodalSpec extends SparkSpecBase {
       s"got $m")
   }
 
+  // --- ISO-BMFF assembly helpers: hand-built boxes, spec layouts ---
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def bmffBox(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(body.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ body
+  }
+  private def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+    bmffBox("mvhd", new Array[Byte](4) /* v0 + flags */,
+      be32(0), be32(0) /* ctime, mtime */, be32(timescale), be32(duration),
+      new Array[Byte](80) /* rate..next_track_id */)
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+    bmffBox("mvhd", Array(1.toByte, 0, 0, 0),
+      be64(0), be64(0), be32(timescale), be64(duration), new Array[Byte](80))
+  private def trak(handler: String, w: Int, h: Int): Array[Byte] =
+    bmffBox("trak",
+      // tkhd v0: 76 bytes of header/matrix, then width/height 16.16
+      bmffBox("tkhd", new Array[Byte](76), be32(w.toLong << 16), be32(h.toLong << 16)),
+      bmffBox("mdia", bmffBox("hdlr", new Array[Byte](8),
+        handler.getBytes("ISO-8859-1"), new Array[Byte](13))))
+
+  test("VideoDecoder parses duration, dimensions and track census from MP4 boxes") {
+    import spark.implicits._
+    // 5.4 s movie (timescale 1000), one 640x360 video track, one audio
+    val mp4 = bmffBox("ftyp", "isom".getBytes("ISO-8859-1"), be32(512),
+        "isomavc1".getBytes("ISO-8859-1")) ++
+      bmffBox("moov", mvhdV0(1000, 5400),
+        trak("vide", 640, 360), trak("soun", 0, 0))
+    val docs = Seq((1L, mp4), (2L, "definitely not an mp4".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val rows = Multimodal.withVideoMeta(docs, "blob")(spark)
+      .select(col("id"), col("video.ok"), col("video.width"), col("video.height"),
+        col("video.durationMs"), col("video.timescale"), col("video.videoTracks"),
+        col("video.audioTracks"), col("video.brand"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7), r.getString(8))).toMap
+    assert(rows(1L) == ((true, 640, 360, 5400L, 1000L, 1, 1, "isom")), s"got ${rows(1L)}")
+    assert(!rows(2L)._1, "non-BMFF payload must come back ok=false")
+    assert(!rows(3L)._1)
+  }
+
+  test("VideoDecoder handles the 64-bit mvhd v1 layout and picks the largest video track") {
+    val mp4 = bmffBox("ftyp", "mp42".getBytes("ISO-8859-1"), be32(0)) ++
+      bmffBox("moov", mvhdV1(90000, 90000L * 7200 /* 2 h */),
+        trak("vide", 320, 180), trak("vide", 1920, 1080))
+    val m = new Multimodal.VideoDecoder().decode(mp4)
+    assert(m.ok && m.durationMs == 7200000L && m.timescale == 90000L, s"got $m")
+    assert(m.width == 1920 && m.height == 1080 && m.videoTracks == 2 && m.audioTracks == 0)
+  }
+
+  test("VideoDecoder survives truncated and size-corrupted boxes without throwing") {
+    val good = bmffBox("ftyp", "isom".getBytes("ISO-8859-1")) ++
+      bmffBox("moov", mvhdV0(1000, 1000))
+    assert(new Multimodal.VideoDecoder().decode(good).ok)
+    // truncated mid-moov: walk stops cleanly, no mvhd -> ok=false
+    assert(!new Multimodal.VideoDecoder().decode(good.dropRight(30)).ok)
+    // corrupt size field claiming to overrun the buffer
+    val corrupt = good.clone(); System.arraycopy(be32(0x7fffffffL), 0, corrupt, 0, 4)
+    assert(!new Multimodal.VideoDecoder().decode(corrupt).ok)
+  }
+
   test("non-binary column is rejected instead of silently coerced") {
     import spark.implicits._
     val docs = Seq((1L, "plain string")).toDF("id", "text")
