@@ -140,6 +140,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Corpus-level repeated-span detection — the exact-substring dedup
+    * signal (spans occurring verbatim across many documents are
+    * boilerplate: license headers, navigation chrome, templated
+    * paragraphs). Word `n`-spans present in at least `minDf` distinct
+    * documents are "hot"; returns one row per affected document:
+    * (idCol, n_hot_spans, max_span_df). Callers drop or trim flagged
+    * docs, or feed the counts into a quality score.
+    *
+    * Scale: the span document-frequency is one shuffle on the span
+    * key, and because the compiled shingle kernel already emits
+    * per-document DISTINCT spans, the df aggregation is a plain
+    * count — no distinct-agg rewrite, full map-side partial
+    * aggregation. The join back is span-keyed against only the hot
+    * spans (df >= minDf prunes the long tail before the join), then
+    * one id-keyed groupBy. Never all-pairs. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minDf: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol), n)).as("_span"))
+    // per-doc spans are distinct (kernel contract), so count(1) IS the
+    // distinct-document frequency
+    val hot = sh.groupBy("_span")
+      .agg(count(lit(1)).as("span_df"))
+      .filter(col("span_df") >= minDf)
+    sh.join(hot, "_span")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hot_spans"),
+        max(col("span_df")).cast("bigint").as("max_span_df"))
+  }
+
   /** Candidates-then-verify near-dup: MinHash/LSH proposes candidate
     * pairs, exact shingle-set Jaccard verifies ONLY those pairs. At
     * high duplication rates this beats the full inverted index

@@ -678,6 +678,66 @@ object DataPrepQueries {
             lit("@example.com see https://ex.com/a?b=1 from 10.1."),
             col("doc_id") % 256,
             lit(".77 ref "), col("doc_id") * 1000007 + 123456789)).as("redacted"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Sequence packing: docs concatenated in doc_id order within a
+    // deterministic shard (doc_id % 8 — computable identically by the
+    // oracle) and chunked every 512 tokens; a doc's bin is the chunk
+    // its first token lands in. The only shuffle is the per-shard
+    // window partition; sharding is the scale knob (a global order
+    // would serialize the corpus through one partition).
+    QueryDef("q61_seq_pack", Some(s"""
+      WITH toks AS (SELECT doc_id, doc_id % 8 AS shard,
+                           len($toksSql) AS n_tok
+                    FROM documents),
+      packed AS (SELECT shard, n_tok,
+                        CAST(floor(coalesce(sum(n_tok) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          / 512) AS BIGINT) AS bin
+                 FROM toks)
+      SELECT shard, bin, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY shard, bin ORDER BY shard, bin"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            expr(s"size($toksExpr)").cast("bigint").as("_nt"))
+        graft.operators.Packing.packGreedy(docs, col("_nt"),
+            Seq(col("shard")), col("doc_id"), 512)
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("bigint").as("bin_tokens"))
+          .orderBy("shard", "bin")
+      }),
+
+    // Repeated-span flagging: word 3-spans present verbatim in >= 4
+    // distinct docs are corpus boilerplate (license headers, template
+    // chrome); per-source census of affected docs. One span-keyed
+    // shuffle for the document frequency (per-doc-distinct spans ->
+    // plain count, no distinct agg), hot spans pruned before the join
+    // back.
+    QueryDef("q62_repeated_spans", Some(s"""
+      WITH $shinglesSqlCte,
+      dfreq AS (SELECT sh, count(*) AS span_df FROM sh GROUP BY sh),
+      hot AS (SELECT * FROM dfreq WHERE span_df >= 4),
+      per_doc AS (SELECT s.doc_id, count(*) AS n_hot_spans,
+                         CAST(max(h.span_df) AS BIGINT) AS max_span_df
+                  FROM sh s JOIN hot h USING (sh) GROUP BY s.doc_id)
+      SELECT d.source, count(*) AS n_flagged_docs,
+             CAST(sum(p.n_hot_spans) AS BIGINT) AS total_hot_spans,
+             CAST(max(p.max_span_df) AS BIGINT) AS max_span_df
+      FROM per_doc p JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dedup.repeatedSpans(docs, "text", "doc_id", n = 3, minDf = 4)
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_flagged_docs"),
+            sum("n_hot_spans").cast("bigint").as("total_hot_spans"),
+            max("max_span_df").cast("bigint").as("max_span_df"))
+          .orderBy("source")
+      })
   )
 }

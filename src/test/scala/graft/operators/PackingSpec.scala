@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpecBase {
+
+  test("packGreedy bins by exclusive cumulative tokens within each group") {
+    import spark.implicits._
+    // exclusive cumsums 0, 100, 400, 600 at ctx=512 -> bins 0, 0, 0, 1
+    val docs = Seq((1L, 100L), (2L, 300L), (3L, 200L), (4L, 50L))
+      .toDF("doc_id", "ntok")
+    val out = Packing.packGreedy(docs, col("ntok"), Seq(lit(0)), col("doc_id"), 512)
+      .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"got $out")
+  }
+
+  test("packGreedy groups pack independently and stats report fill") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 400L), (2L, "a", 400L), (3L, "b", 100L))
+      .toDF("doc_id", "shard", "ntok")
+    val packed = Packing.packGreedy(docs, col("ntok"), Seq(col("shard")), col("doc_id"), 512)
+    val bins = packed.select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shard a: cumsums 0, 400 -> bins 0, 0; shard b restarts at 0
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L), s"got $bins")
+    val stats = Packing.packStats(packed, Seq(col("shard")), 512)
+      .orderBy("shard").collect()
+    assert(stats(0).getAs[Long]("bin_tokens") == 800L)
+    assert(stats(0).getAs[Double]("fill_ratio") == 1.5625)
+    assert(stats(1).getAs[Long]("n_docs") == 1L)
+  }
+
+  test("repeatedSpans flags only docs sharing a span in >= minDf documents") {
+    import spark.implicits._
+    val boiler = "all rights reserved by corp"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler"),
+      (2L, s"gamma delta $boiler"),
+      (3L, s"$boiler epsilon zeta"),
+      (4L, "totally unique text with no shared spans at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "text", "doc_id", n = 3, minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"got $out")
+    // "all rights reserved", "rights reserved by", "reserved by corp"
+    // appear in all three docs; doc 3 shares nothing else
+    assert(out(3L) == ((3L, 3L)), s"got ${out(3L)}")
+    assert(out(1L)._2 == 3L)
+  }
+}
