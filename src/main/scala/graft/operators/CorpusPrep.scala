@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   *   normalize (NFC + casefold + scrub + whitespace; `redactPii`
   *      upgrades the scrub to the full email/URL/IP/identifier pass)
   *   -> quality gate (length band + repetition ceiling)
+  *   -> boilerplate gate (optional: drop docs carrying more than
+  *      `maxHotSpans` word spans that repeat verbatim across
+  *      `spanMinDf`+ documents — q62's repeated-span signal)
   *   -> exact dedup (first id per content digest)
   *   -> near-dup dedup (LSH candidates -> exact Jaccard verify ->
   *      connected components -> canonical survivor per cluster)
@@ -39,7 +42,9 @@ object CorpusPrep {
     benchTextCol: String = "text",
     benchIdCol: String = "doc_id",
     minContainment: Double = 0.8,
-    redactPii: Boolean = false)
+    redactPii: Boolean = false,
+    maxHotSpans: Option[Int] = None,
+    spanMinDf: Int = 3)
 
   /** Returns the surviving rows of `docs` with `clean_text` appended.
     * `idCol` must be unique per row; `textCol` is the raw text. */
@@ -55,8 +60,17 @@ object CorpusPrep {
       .filter(lit(1.0) - size(array_distinct(split(col("clean_text"), " ")))
         .cast("double") / col("_ntok") <= cfg.maxRepetition)
       .drop("_ntok")
+    // boilerplate gate: anti-join against the repeated-span census —
+    // docs over the hot-span budget drop before any dedup work
+    val spanGated = cfg.maxHotSpans.fold(gated) { budget =>
+      gated.join(
+        Dedup.repeatedSpans(gated, "clean_text", idCol, cfg.shingleN, cfg.spanMinDf)
+          .filter(col("n_hot_spans") > budget)
+          .select(idCol),
+        Seq(idCol), "left_anti")
+    }
     // exact dedup: min id per content digest survives
-    val exactKept = gated
+    val exactKept = spanGated
       .withColumn("_digest", md5(col("clean_text")))
       .withColumn("_rank", row_number().over(
         org.apache.spark.sql.expressions.Window

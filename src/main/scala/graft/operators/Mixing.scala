@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data mixing: realize per-source (or per-domain) sampling
+  * weights over a corpus. A mix weight w means each document
+  * contributes w expected copies to the epoch — w <= 1 subsamples a
+  * source, w > 1 oversamples it (floor(w) guaranteed copies plus a
+  * Bernoulli(frac(w)) extra).
+  *
+  * Randomness is DETERMINISTIC: the uniform is derived from md5 of
+  * the id column, so the mix is reproducible run-to-run, stable under
+  * repartitioning (no RNG-per-partition seed coupling, unlike
+  * df.sample), and auditable — the same doc always makes the same
+  * draw. Everything is map-side (hash, compare, explode) with no
+  * shuffle introduced; copies multiply BEFORE any downstream shuffle
+  * so they spread across the cluster with the scan partitioning.
+  */
+object Mixing {
+
+  /** Deterministic uniform in [0,1): the first 8 hex chars of
+    * md5(id) scaled by 2^32. Engine-portable (any SQL dialect with
+    * md5 reproduces it bit-for-bit). */
+  def unitHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** One epoch of the mix: each row yields
+    * `floor(w) + Bernoulli(frac(w))` copies, tagged 0-based in
+    * `epoch`; rows drawing zero copies drop. `weight` may be any
+    * numeric expression (a literal, a joined mix-table column, a
+    * per-row quality score). */
+  def weightedMix(df: DataFrame, idCol: String, weight: Column,
+      epochOut: String = "epoch"): DataFrame = {
+    val w = weight.cast("double")
+    val copies = (floor(w) +
+      when(unitHash(col(idCol)) < w - floor(w), 1).otherwise(0)).cast("int")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn(epochOut, explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies")
+  }
+}

@@ -738,6 +738,40 @@ object DataPrepQueries {
             sum("n_hot_spans").cast("bigint").as("total_hot_spans"),
             max("max_span_df").cast("bigint").as("max_span_df"))
           .orderBy("source")
+      }),
+
+    // Training-mix realization: per-source weights (0.25/0.75/1.25/
+    // 1.75 cycling by source index — sub- AND over-sampling) turned
+    // into concrete epoch copies via a deterministic md5-derived
+    // uniform, so the identical draw reproduces in the oracle. Pure
+    // map-side: hash, compare, explode; no shuffle before the census
+    // aggregation.
+    QueryDef("q63_weighted_mix", Some("""
+      WITH w AS (SELECT doc_id, source,
+                        CAST(0.25 + (CAST(substr(source, 4) AS INT) % 4) * 0.5
+                             AS DOUBLE) AS wt,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                          / 4294967296.0 AS u
+                 FROM documents),
+      c AS (SELECT source, doc_id,
+                   CAST(floor(wt) AS INT) +
+                     CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+            FROM w),
+      mixed AS (SELECT source, doc_id,
+                       unnest(generate_series(0, copies - 1)) AS epoch
+                FROM c WHERE copies > 0)
+      SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+             CAST(max(epoch) AS BIGINT) AS max_epoch
+      FROM mixed GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Mixing.weightedMix(docs, "doc_id",
+            expr("CAST(0.25 + (CAST(substring(source, 4, 10) AS INT) % 4) * 0.5 AS DOUBLE)"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("doc_id").as("n_docs"),
+            max("epoch").cast("bigint").as("max_epoch"))
+          .orderBy("source")
       })
   )
 }

@@ -60,6 +60,21 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("maxHotSpans gate drops only docs over the repeated-span budget") {
+    val boilerA = "this content is provided without any warranty whatsoever"
+    val boilerB = "all trademarks belong to their respective legal owners"
+    val docs = Seq(
+      (1L, s"$boilerA plus a perfectly original first discussion"),
+      (2L, s"$boilerB and a different but also original argument"),
+      (3L, s"$boilerA $boilerB"), // nothing but boilerplate
+      (4L, "entirely unique prose with no shared span content here"))
+      .toDF("doc_id", "text")
+    // each 8-word boiler -> 6 hot 3-spans at df>=2; doc 3 carries ~12
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+      minChars = 20, maxHotSpans = Some(8), spanMinDf = 2))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   test("redactPii config swaps the scrub for the full PII pass") {
     val docs = Seq(
       (1L, "Reach me at Bob.Smith@corp.example.org or 192.168.0.17 ref 4111111111111111 thanks"))

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpecBase {
+
+  test("integer weights give exact copy counts with 0-based epochs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Mixing.weightedMix(docs, "doc_id", lit(2.0))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out == Map(1L -> ((2L, 1)), 2L -> ((2L, 1))), s"got $out")
+  }
+
+  test("weight 0 drops everything; weight 1 keeps exactly one epoch") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    assert(Mixing.weightedMix(docs, "doc_id", lit(0.0)).count() == 0)
+    val ones = Mixing.weightedMix(docs, "doc_id", lit(1.0))
+    assert(ones.count() == 50 && ones.agg(max("epoch")).head.getInt(0) == 0)
+  }
+
+  test("fractional weights are deterministic and hit the expected rate") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i => (i, "x")).toDF("doc_id", "text")
+    val kept = Mixing.weightedMix(docs, "doc_id", lit(0.3))
+      .select("doc_id").as[Long].collect().toSet
+    // reproducible: identical draw on a second run and under reshuffle
+    val again = Mixing.weightedMix(docs.repartition(7), "doc_id", lit(0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+    assert(math.abs(kept.size / 2000.0 - 0.3) < 0.05, s"rate ${kept.size / 2000.0}")
+  }
+
+  test("oversampling mixes guaranteed and Bernoulli copies") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i => (i, "x")).toDF("doc_id", "text")
+    val counts = Mixing.weightedMix(docs, "doc_id", lit(1.5))
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(counts.forall(c => c == 1L || c == 2L))
+    val avg = counts.sum.toDouble / 2000.0
+    assert(math.abs(avg - 1.5) < 0.08, s"avg copies $avg")
+    assert(counts.length == 2000, "floor(1.5)=1 guarantees every doc appears")
+  }
+}
