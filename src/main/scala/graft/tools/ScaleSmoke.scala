@@ -50,6 +50,17 @@ object ScaleSmoke {
       Dedup.duplicateClusters(
         Dedup.minhashNearDupCandidates(docs, "text", "doc_id")).count())
 
+    timed("repeated_spans(df>=8)")(
+      Dedup.repeatedSpans(docs, "text", "doc_id", minDf = 8).count())
+    timed("seq_pack(512tok,64shards)")(
+      graft.operators.Packing.packGreedy(
+          docs.select(col("doc_id"), (col("doc_id") % 64).as("shard"),
+            size(Dedup.tokens(col("text"))).cast("bigint").as("nt")),
+          col("nt"), Seq(col("shard")), col("doc_id"), 512)
+        .groupBy("shard", "bin").count().count())
+    timed("weighted_mix(w=1.5)")(
+      graft.operators.Mixing.weightedMix(docs, "doc_id", lit(1.5)).count())
+
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = (0 until mult * 5).map { i =>
