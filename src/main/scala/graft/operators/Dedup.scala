@@ -370,6 +370,29 @@ object Dedup {
       .filter(col("_cid").isNull || col(idCol) === col("cluster"))
       .drop("_cid", "cluster")
 
+  /** `dropNearDuplicates` with an explicit survivor rule: within each
+    * duplicate cluster the row MINIMIZING `preference` survives (ties
+    * broken by `idCol`, so the choice is total and deterministic) —
+    * e.g. `preference = array_position(lit(sourceRanking), col
+    * ("source"))` keeps the most-curated source's copy instead of the
+    * arbitrary minimum id. Rows never seen as candidates survive
+    * untouched. One extra shuffle vs the plain rule: a cluster-keyed
+    * min-struct aggregation (partial map-side) instead of the free
+    * id==cluster filter. */
+  def dropNearDuplicatesBy(df: DataFrame, idCol: String, clusters: DataFrame,
+      preference: Column): DataFrame = {
+    val joined = df
+      .join(clusters.withColumnRenamed("id", "_cid"), col(idCol) === col("_cid"), "left")
+    val winners = joined.filter(col("_cid").isNotNull)
+      .groupBy("cluster")
+      .agg(min(struct(preference.as("_p"), col(idCol).as("_id"))).as("_w"))
+      .select(col("_w._id").as("_keep"))
+    joined
+      .join(winners, col(idCol) === col("_keep"), "left_semi")
+      .union(joined.filter(col("_cid").isNull))
+      .drop("_cid", "cluster")
+  }
+
   /** Benchmark-decontamination containment search (q57's operator in
     * library form): |shingles(corpus doc) ∩ shingles(bench doc)| /
     * |shingles(bench doc)| for every (corpus, benchmark) pair sharing

@@ -114,4 +114,28 @@ class DedupClustersSpec extends SparkSpecBase {
     // one survivor per dup group (the min id), all uniques kept
     assert(kept == Set(1L, 11L, 21L, 22L, 23L, 24L))
   }
+
+  test("dropNearDuplicatesBy keeps the preferred source's copy, not the min id") {
+    val docs = Seq(
+      (1L, "crawl", "group one duplicate text body alpha"),
+      (2L, "crawl", "group one duplicate text body alpha"),
+      (3L, "curated", "group one duplicate text body alpha"),
+      (9L, "crawl", "a unique never-candidate document kept as is"))
+      .toDF("doc_id", "source", "text")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashNearDupCandidates(docs, "text", "doc_id"))
+    val kept = Dedup.dropNearDuplicatesBy(docs, "doc_id", clusters,
+        array_position(lit(Array("curated", "crawl")), col("source")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // plain rule would keep doc 1; preference keeps the curated doc 3
+    assert(kept == Set(3L, 9L), s"got $kept")
+    // ties in preference fall back to min id: all-crawl cluster keeps 1
+    val tied = Dedup.dropNearDuplicatesBy(
+      docs.filter(col("doc_id") =!= 3L), "doc_id",
+      Dedup.duplicateClusters(Dedup.minhashNearDupCandidates(
+        docs.filter(col("doc_id") =!= 3L), "text", "doc_id")),
+      array_position(lit(Array("curated", "crawl")), col("source")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 9L), s"got $tied")
+  }
 }
