@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *      `spanMinDf`+ documents — q62's repeated-span signal)
   *   -> exact dedup (first id per content digest)
   *   -> near-dup dedup (LSH candidates -> exact Jaccard verify ->
-  *      connected components -> canonical survivor per cluster)
+  *      connected components -> canonical survivor per cluster;
+  *      `keepPreference` picks the survivor, e.g. by source rank)
   *   -> benchmark decontamination (optional: drop survivors whose
   *      shingle containment of any benchmark doc reaches the
   *      threshold — q57's broadcast containment search)
@@ -44,7 +45,10 @@ object CorpusPrep {
     minContainment: Double = 0.8,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
-    spanMinDf: Int = 3)
+    spanMinDf: Int = 3,
+    // survivor rule for near-dup clusters: the row minimizing this
+    // expression wins (ties -> min id); None keeps the minimum id
+    keepPreference: Option[org.apache.spark.sql.Column] = None)
 
   /** Returns the surviving rows of `docs` with `clean_text` appended.
     * `idCol` must be unique per row; `textCol` is the raw text. */
@@ -81,7 +85,9 @@ object CorpusPrep {
     val pairs = Dedup.minhashJaccardPairs(exactKept, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket)
     val clusters = Dedup.duplicateClusters(pairs)
-    val deduped = Dedup.dropNearDuplicates(exactKept, idCol, clusters)
+    val deduped = cfg.keepPreference
+      .fold(Dedup.dropNearDuplicates(exactKept, idCol, clusters))(
+        Dedup.dropNearDuplicatesBy(exactKept, idCol, clusters, _))
     cfg.benchmark.fold(deduped) { bench =>
       // normalize the benchmark text identically to the corpus before
       // shingling, or containment would miss on case/whitespace alone

@@ -37,6 +37,36 @@ object Packing {
         floor(coalesce(sum(col(tokOut)).over(w), lit(0L)) / ctxLen))
   }
 
+  /** Split long documents into overlapping context-window chunks —
+    * the flip side of packing: packing fills windows with whole short
+    * docs, chunking cuts docs longer than a window into strided
+    * pieces (`maxTokens` per chunk, `overlap` tokens shared with the
+    * previous chunk so no span is ever split across a boundary
+    * without context). Emits one row per chunk with `chunk_idx`
+    * (0-based), `chunk_text`, and `chunk_tokens`; empty docs emit
+    * nothing. Pure map-side (tokenize, stride sequence, explode,
+    * slice) — rows multiply BEFORE any shuffle, so downstream
+    * tokenization parallelizes over chunks with the scan
+    * partitioning. */
+  def chunk(df: DataFrame, textCol: String, maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val step = maxTokens - overlap
+    df.withColumn("_toks",
+        expr(s"filter(split($textCol, ' '), x -> x <> '')"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("*"),
+        posexplode(sequence(lit(1),
+          greatest(size(col("_toks")) - overlap, lit(1)), lit(step)))
+          .as(Seq("chunk_idx", "_start")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("_toks"), col("_start"), lit(maxTokens))))
+      .withColumn("chunk_tokens",
+        least(size(col("_toks")) - col("_start") + 1, lit(maxTokens)))
+      .drop("_toks", "_start")
+  }
+
   /** Per-(group, bin) packing stats over a `packGreedy` result:
     * document count, token total, and fill ratio vs `ctxLen`. The
     * groupBy keys extend the window partition keys, so AQE reuses the

@@ -772,6 +772,29 @@ object DataPrepQueries {
             countDistinct("doc_id").as("n_docs"),
             max("epoch").cast("bigint").as("max_epoch"))
           .orderBy("source")
-      })
+      }),
+
+    // Document chunking: docs longer than a 64-token window split
+    // into strided chunks sharing 8 overlap tokens, one row per
+    // chunk, all map-side (tokenize -> stride sequence -> explode ->
+    // slice) before any shuffle. The census aggregates per source.
+    QueryDef("q64_chunking", Some(s"""
+      WITH toks AS (SELECT doc_id, source, len($toksSql) AS n FROM documents),
+      chunks AS (SELECT doc_id, source, n,
+                        unnest(generate_series(1, greatest(n - 8, 1), 56)) AS strt
+                 FROM toks WHERE n > 0)
+      SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+             CAST(sum(least(n - strt + 1, 64)) AS BIGINT) AS total_chunk_tokens,
+             CAST(max(least(n - strt + 1, 64)) AS BIGINT) AS max_chunk_tokens
+      FROM chunks GROUP BY source ORDER BY source"""),
+      (s, dir) =>
+        graft.operators.Packing.chunk(t(s, dir, "documents"), "text",
+            maxTokens = 64, overlap = 8)
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum("chunk_tokens").cast("bigint").as("total_chunk_tokens"),
+            max("chunk_tokens").cast("bigint").as("max_chunk_tokens"))
+          .orderBy("source"))
   )
 }

@@ -75,6 +75,18 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
 
+  test("keepPreference picks the near-dup survivor by source rank") {
+    val docs = Seq(
+      (1L, "crawl", "the same duplicated paragraph of text appears here verbatim"),
+      (2L, "curated", "the same duplicated paragraph of text appears here verbatim!"),
+      (3L, "crawl", "a completely different document that survives on its own"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+      minChars = 20, minJaccard = 0.7,
+      keepPreference = Some(array_position(lit(Array("curated", "crawl")), col("source")))))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("redactPii config swaps the scrub for the full PII pass") {
     val docs = Seq(
       (1L, "Reach me at Bob.Smith@corp.example.org or 192.168.0.17 ref 4111111111111111 thanks"))

@@ -31,6 +31,25 @@ class PackingSpec extends SparkSpecBase {
     assert(stats(1).getAs[Long]("n_docs") == 1L)
   }
 
+  test("chunk strides with overlap and reconstructs exact token windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "short doc"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Packing.chunk(docs, "text", maxTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    // starts 1, 4, 7 (step 3): windows share one boundary token each
+    assert(out(1L -> 0) == (("t1 t2 t3 t4", 4)))
+    assert(out(1L -> 1) == (("t4 t5 t6 t7", 4)))
+    assert(out(1L -> 2) == (("t7 t8 t9 t10", 4)))
+    assert(out(2L -> 0) == (("short doc", 2)), "sub-window doc is one whole chunk")
+    assert(!out.keySet.exists(_._1 == 3L), "empty doc emits no chunks")
+    assert(out.size == 4)
+  }
+
   test("repeatedSpans flags only docs sharing a span in >= minDf documents") {
     import spark.implicits._
     val boiler = "all rights reserved by corp"
