@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the single right
+  * row with the same key whose time is the latest at-or-before
+  * (backward) / earliest at-or-after (forward) the left row's time.
+  * Spark has no native as-of operator; the naive encodings are a
+  * range join (quadratic blow-up per key) or a per-key collect. This
+  * is the scalable form: tag both sides, UNION them, and resolve the
+  * match with one `last(_, ignoreNulls)` window over
+  * (key, time) — exactly ONE shuffle on the key and one
+  * within-partition sort, the same cost as a sort-merge join,
+  * independent of how many right rows precede each left row.
+  *
+  * Semantics (backward) match the classic time-series as-of join
+  * (pandas `merge_asof`, DuckDB `ASOF JOIN`): ties at equal time
+  * match (at-or-before), unmatched left rows survive with nulls
+  * (left-outer), and an optional `tolerance` voids matches older
+  * than `tolerance` time units.
+  *
+  * The right side must be unique per (key, time) — pre-aggregate ties
+  * (e.g. `groupBy(key, time).agg(max_by(...))`) so the matched row is
+  * well-defined; this mirrors DuckDB's ASOF requirement and keeps the
+  * window tie-break deterministic. A duplicate (key, time) pair on
+  * the right would otherwise make "the" as-of row ambiguous.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join (most recent right row at-or-before).
+    *
+    * @param left      probe side; all its columns are preserved
+    * @param right     build side, unique per (rightKey, rightTime)
+    * @param leftKey   equi-key column on `left`
+    * @param rightKey  equi-key column on `right`
+    * @param leftTime  orderable time column on `left`
+    * @param rightTime orderable time column on `right` (same type)
+    * @param rightCols right value columns to carry onto matches
+    * @param prefix    prefix for the carried right columns
+    * @param tolerance max allowed `leftTime - rightTime` in the time
+    *                  columns' own units (numeric times only); older
+    *                  matches are nulled out
+    */
+  def asOfBackward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String], prefix: String = "",
+      tolerance: Option[Long] = None): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightCols, prefix, tolerance, forward = false)
+
+  /** Forward as-of join (earliest right row at-or-after). */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String], prefix: String = "",
+      tolerance: Option[Long] = None): DataFrame =
+    asOf(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightCols, prefix, tolerance, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String], prefix: String,
+      tolerance: Option[Long], forward: Boolean): DataFrame = {
+    require(rightCols.nonEmpty, "asOf needs at least one right value column")
+    require(!rightCols.contains(rightTime),
+      s"$rightTime is carried automatically as $prefix$rightTime; leave it out of rightCols")
+    val leftCols = left.columns.toSeq
+    val outCols = rightCols.map(prefix + _)
+    require(leftCols.intersect(outCols :+ (prefix + rightTime)).isEmpty,
+      s"prefixed right columns ${outCols.mkString(",")} collide with the left schema; pass a prefix")
+
+    // Tag-union. Right rows carry only (key, time, values); left rows
+    // carry the full left schema. `_side` orders a right row BEFORE a
+    // left row at the same time, which is what makes equal-time rows
+    // match (at-or-before / at-or-after semantics).
+    val r = right.select(
+      col(rightKey).as("_k") +:
+      col(rightTime).as("_t") +:
+      lit(0).as("_side") +:
+      col(rightTime).as("_mt") +:
+      (rightCols.map(c => col(c).as(prefix + c)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val l = left.select(
+      col(leftKey).as("_k") +:
+      col(leftTime).as("_t") +:
+      lit(1).as("_side") +:
+      lit(null).cast(right.schema(rightTime).dataType).as("_mt") +:
+      (rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)) ++
+        leftCols.map(col)): _*)
+    val u = r.unionByName(l)
+
+    // For backward: ascending time, right-before-left at ties, running
+    // last(non-null) = the most recent right row seen so far. Forward
+    // mirrors the time order only — the side tie-break stays
+    // right-before-left so an equal-time right row is still visible.
+    val tOrd = if (forward) col("_t").desc else col("_t").asc
+    val w = Window.partitionBy("_k").orderBy(tOrd, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedTime = last(col("_mt"), ignoreNulls = true).over(w)
+    val matchedVals = outCols.map(c => last(col(c), ignoreNulls = true).over(w).as("_w_" + c))
+
+    val windowed = u.select(
+      (Seq(col("_side"), col("_t"), matchedTime.as("_w_mt")) ++
+        matchedVals ++ leftCols.map(col)): _*)
+      .filter(col("_side") === 1)
+
+    // Tolerance: void matches farther than `tolerance` time units.
+    val keep: Column = tolerance match {
+      case Some(tol) if forward => col("_w_mt").isNotNull && (col("_w_mt") - col("_t")) <= tol
+      case Some(tol)            => col("_w_mt").isNotNull && (col("_t") - col("_w_mt")) <= tol
+      case None                 => col("_w_mt").isNotNull
+    }
+    windowed.select(
+      leftCols.map(col) ++
+      (outCols.map(c => when(keep, col("_w_" + c)).as(c)) :+
+        when(keep, col("_w_mt")).as(prefix + rightTime)): _*)
+  }
+}

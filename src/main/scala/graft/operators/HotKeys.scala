@@ -44,6 +44,15 @@ object HotKeys {
     * can prune the CollectMetrics node before `observedMetrics` is
     * read — so a 100%-drop run may not report. Any realistic run
     * (some keys survive) reports reliably. */
+  /** Keep rows satisfying `keep`; publish the dropped-row count under
+    * `metricName`. The cheap guard for one-sided validity filters
+    * whose drops must stay observable (e.g. oversize intervals in
+    * RangeJoin) — no window, no shuffle, just a counted filter. */
+  def observeDrops(df: DataFrame, keep: Column, metricName: String): DataFrame =
+    df.observe(metricName,
+        coalesce(sum(when(!keep, 1).otherwise(0)), lit(0L)).as("dropped_rows"))
+      .filter(keep)
+
   def cap(df: DataFrame, keys: Seq[Column], cap: Int,
       minPerKey: Int = 2, metricName: String = "graft_hot_key_cap"): DataFrame = {
     val w = Window.partitionBy(keys: _*)

@@ -41,4 +41,15 @@ object Mixing {
       .withColumn(epochOut, explode(sequence(lit(0), col("_copies") - 1)))
       .drop("_copies")
   }
+
+  /** Deterministic stratified sampling: keep a row iff its md5-uniform
+    * falls below `rate` (any per-row expression in [0,1] — typically a
+    * per-stratum rate joined or computed from a stratum column). The
+    * `weightedMix` degenerate case for w <= 1, kept as its own verb
+    * because downsampling-by-strata is the everyday corpus-balancing
+    * call: pure map-side filter, no shuffle, no RNG state, stable
+    * under repartitioning, and the same row always makes the same
+    * draw (audit-friendly and incremental-run-friendly). */
+  def stratifiedSample(df: DataFrame, idCol: String, rate: Column): DataFrame =
+    df.filter(unitHash(col(idCol)) < rate.cast("double"))
 }

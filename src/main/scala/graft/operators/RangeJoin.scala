@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: match point rows to interval rows with NO
+  * equi-key — `point ∈ [start, end)`. Spark plans a bare inequality
+  * join as a nested-loop (broadcast if one side is small, cartesian
+  * otherwise), which is quadratic when both sides are large. The
+  * scale path here manufactures an equi-key by bucketing time:
+  * intervals explode to every fixed-width bucket they overlap, points
+  * map to their single bucket, and the join becomes a hash equi-join
+  * on the bucket id with the exact range predicate as a residual
+  * filter. Each (point, interval) match lands in exactly ONE bucket —
+  * the point's own — so the output needs no dedup.
+  *
+  * Cost model: intervals of span s explode to ~s/width + 1 rows, so
+  * `width` trades replication (small width) against residual-filter
+  * selectivity and bucket skew (large width). Pick width near the
+  * typical interval span. This is the standard bucketized
+  * interval-join; at 100 TB both sides shuffle once on the bucket id
+  * and no executor ever sees more than one bucket's worth of
+  * candidates.
+  */
+object RangeJoin {
+
+  /** Join `points` (numeric `pointCol`) to `intervals`
+    * (`startCol` inclusive, `endCol` exclusive — numeric, same units)
+    * via `width`-sized buckets. Returns matched pairs with all
+    * columns of both inputs (interval columns prefixed when asked).
+    *
+    * Degenerate/huge intervals are the skew hazard (one interval
+    * exploding to millions of buckets): intervals longer than
+    * `maxBuckets * width` are rejected up front with a counted
+    * observed metric rather than silently exploding.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      width: Long, prefix: String = "", maxBuckets: Int = 4096,
+      metricName: String = "graft_rangejoin_oversize"): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
+    val ivCols = intervals.columns.toSeq
+    val outIv = ivCols.map(prefix + _)
+    require(points.columns.toSeq.intersect(outIv).isEmpty,
+      "interval columns collide with the point schema; pass a prefix")
+
+    val nBuckets = (ceil(col(endCol).cast("double") / width) -
+      floor(col(startCol).cast("double") / width)).cast("long")
+    val keptIv = intervals.filter(col(endCol) > col(startCol))
+    val guarded = HotKeys.observeDrops(keptIv, nBuckets <= maxBuckets, metricName)
+    val exploded = guarded.select(
+      ivCols.map(c => col(c).as(prefix + c)) :+
+      explode(sequence(
+        floor(col(startCol).cast("double") / width).cast("long"),
+        ceil(col(endCol).cast("double") / width).cast("long") - 1)).as("_bucket"): _*)
+
+    val bucketedPoints = points.withColumn("_bucket",
+      floor(col(pointCol).cast("double") / width).cast("long"))
+
+    bucketedPoints.join(exploded, Seq("_bucket"))
+      .filter(col(pointCol) >= col(prefix + startCol) &&
+        col(pointCol) < col(prefix + endCol))
+      .drop("_bucket")
+  }
+}

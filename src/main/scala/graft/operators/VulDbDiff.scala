@@ -16,13 +16,16 @@ import graft.core.{AppModuleVul, Vulnerability}
   * changed-field list is assembled map-side. */
 object VulDbDiff {
 
-  /** Shared core: full-outer join `oldDf`/`newDf` on `keyCols`,
+  /** Generic keyed snapshot diff — the shared core, public because it
+    * answers the same "what changed between runs" question for ANY
+    * keyed table (e.g. a corpus snapshot keyed doc_id — see
+    * q69_snapshot_diff): full-outer join `oldDf`/`newDf` on `keyCols`,
     * classify each key as added | removed | changed | unchanged with
     * the null-safe per-field change list. Presence on each side is
     * carried as an explicit marker column, so the classification never
     * depends on any data column being non-null. */
-  private def diffKeyed(oldDf: DataFrame, newDf: DataFrame,
-      keyCols: Seq[String], includeUnchanged: Boolean): DataFrame = {
+  def keyedDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], includeUnchanged: Boolean = false): DataFrame = {
     val valueCols = oldDf.columns.filterNot(keyCols.contains)
     val o = oldDf.select(oldDf.columns.map(c => col(c).as("_o_" + c))
       :+ lit(true).as("_o_present"): _*)
@@ -51,14 +54,14 @@ object VulDbDiff {
     * for). changed_fields is empty except for status = changed. */
   def diff(oldDb: Dataset[Vulnerability], newDb: Dataset[Vulnerability],
       includeUnchanged: Boolean = false): DataFrame =
-    diffKeyed(oldDb.toDF(), newDb.toDF(), Seq("namespace", "name"), includeUnchanged)
+    keyedDiff(oldDb.toDF(), newDb.toDF(), Seq("namespace", "name"), includeUnchanged)
 
   /** App-table diff, keyed (moduleName, vulName) — the app fact
     * table's identity key (one row per vulnerable module per vul):
     * (status, moduleName, vulName, changed_fields). */
   def diffApps(oldDb: Dataset[AppModuleVul], newDb: Dataset[AppModuleVul],
       includeUnchanged: Boolean = false): DataFrame =
-    diffKeyed(oldDb.toDF(), newDb.toDF(), Seq("moduleName", "vulName"), includeUnchanged)
+    keyedDiff(oldDb.toDF(), newDb.toDF(), Seq("moduleName", "vulName"), includeUnchanged)
 
   /** Per-status counts — the run-report headline. */
   def summary(oldDb: Dataset[Vulnerability], newDb: Dataset[Vulnerability]): DataFrame =

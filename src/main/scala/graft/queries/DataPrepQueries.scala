@@ -795,6 +795,86 @@ object DataPrepQueries {
             count(lit(1)).as("n_chunks"),
             sum("chunk_tokens").cast("bigint").as("total_chunk_tokens"),
             max("chunk_tokens").cast("bigint").as("max_chunk_tokens"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // Semantic (embedding-space) dedup end-to-end: sign-LSH bucketed
+    // cosine pairs (never all-pairs) feed connected-components, and
+    // the census reports every cluster -- q39's pair search and q47's
+    // CC composed into the one operator chain a corpus dedup actually
+    // runs. The synthetic embeddings are near-orthogonal, so the
+    // threshold is low to exercise real multi-member clusters.
+    QueryDef("q67_semantic_dedup", Some("""
+      WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+                   array_to_string(list_transform(embedding[1:8],
+                     x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+            FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE round(list_inner_product(a.e, c.e)
+                  / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) >= 0.2),
+      edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+      reach AS (SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+                UNION
+                SELECT r.a, e2.d FROM reach r JOIN edges e2 ON r.b = e2.s),
+      lab AS (SELECT a, min(b) AS cluster FROM reach GROUP BY a)
+      SELECT cluster, count(*) AS n_members FROM lab GROUP BY cluster ORDER BY cluster"""),
+      (s, dir) => {
+        val pairs = graft.operators.Similarity.nearDupPairs(
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          bits = 8, minCosine = 0.2)
+        graft.operators.Dedup.duplicateClusters(pairs)
+          .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+          .orderBy("cluster")
+      }),
+
+    // Deterministic stratified sampling: per-language keep rates
+    // realized through the md5-uniform (reproducible, repartition-
+    // stable, engine-portable) -- the corpus-balancing downsample.
+    // Pure map-side filter; no shuffle before the census.
+    QueryDef("q68_stratified_sample", Some("""
+      SELECT lang, count(*) AS n_kept, round(avg(n_chars), 4) AS avg_chars
+      FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0
+            < 0.25 + (ascii(substr(lang, 1, 1)) % 3) * 0.25
+      GROUP BY lang ORDER BY lang"""),
+      (s, dir) => graft.operators.Mixing.stratifiedSample(
+          t(s, dir, "documents"), "doc_id",
+          lit(0.25) + (ascii(substring(col("lang"), 1, 1)) % 3) * 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang")),
+
+    // Corpus snapshot diff: the generic keyed full-outer diff
+    // (VulDbDiff.keyedDiff) pointed at two document snapshots --
+    // "what changed between yesterday's crawl and today's" by content
+    // digest. Snapshots are carved deterministically from the corpus
+    // (doc_id % 11 / % 13 membership, % 7 content edits) so the oracle
+    // reproduces them exactly.
+    QueryDef("q69_snapshot_diff", Some("""
+      WITH o AS (SELECT doc_id, md5(text) AS digest, lang, source
+                 FROM documents WHERE doc_id % 11 <> 0),
+      n AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) AS digest,
+                   lang, source FROM documents WHERE doc_id % 13 <> 0)
+      SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.digest <> n.digest THEN 'changed'
+                  ELSE 'unchanged' END AS status, count(*) AS n
+      FROM o FULL OUTER JOIN n USING (doc_id)
+      GROUP BY status ORDER BY status"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("digest"), col("lang"), col("source"))
+        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("digest"),
+            col("lang"), col("source"))
+        graft.operators.VulDbDiff.keyedDiff(oldSnap, newSnap,
+            Seq("doc_id"), includeUnchanged = true)
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      })
   )
 }

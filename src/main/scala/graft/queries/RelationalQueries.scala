@@ -428,6 +428,71 @@ object RelationalQueries {
         .select(regexp_extract(col("cve_name"), "CVE-(\\d+)-", 1).cast("int").as("yr"))
         .filter(col("yr") >= 1996)
         .groupBy("yr").agg(count(lit(1)).as("n"))
-        .orderBy("yr"))
+        .orderBy("yr")),
+
+    // As-of (point-in-time) join: each event picks up the customer's
+    // most recent order at-or-before the event time. Spark has no
+    // native ASOF; operators.AsOfJoin resolves it with a tag-union +
+    // one per-key ordered window -- ONE shuffle, sort-merge-join cost,
+    // no per-key range explosion. The right side is pre-deduped to one
+    // row per (custkey, orderdate) so the matched row is well-defined
+    // on both engines.
+    QueryDef("q65_asof_join", Some("""
+      WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS oms,
+                        arg_max(o_orderpriority, o_orderkey) AS pri
+                 FROM orders GROUP BY o_custkey, o_orderdate),
+      e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ems, event_type FROM events),
+      m AS (SELECT e.event_type,
+                   (SELECT o.pri FROM o WHERE o.o_custkey = e.user_id AND o.oms <= e.ems
+                    ORDER BY o.oms DESC LIMIT 1) AS pri,
+                   e.ems - (SELECT o.oms FROM o WHERE o.o_custkey = e.user_id AND o.oms <= e.ems
+                    ORDER BY o.oms DESC LIMIT 1) AS lag_ms
+            FROM e)
+      SELECT event_type, coalesce(pri, 'none') AS last_priority, count(*) AS n,
+             round(avg(lag_ms) / 86400000.0, 3) AS avg_days_since_order
+      FROM m GROUP BY event_type, last_priority ORDER BY event_type, last_priority"""),
+      (s, dir) => {
+        val events = t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000000").as("ems"), col("event_type"))
+        val orders = t(s, dir, "orders")
+          .groupBy(col("o_custkey"),
+            // o_orderdate arrives TIMESTAMP_NTZ; the session runs UTC,
+            // so the LTZ cast is the identity epoch mapping
+            unix_millis(col("o_orderdate").cast("timestamp")).as("oms"))
+          .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("pri"))
+        graft.operators.AsOfJoin.asOfBackward(events, orders,
+            "user_id", "o_custkey", "ems", "oms", Seq("pri"), prefix = "o_")
+          .groupBy(col("event_type"), coalesce(col("o_pri"), lit("none")).as("last_priority"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("ems") - col("o_oms")) / 86400000.0, 3).as("avg_days_since_order"))
+          .orderBy("event_type", "last_priority")
+      }),
+
+    // Interval (range) join with NO equi-key: the 20 highest-value
+    // events open 2-hour attribution windows; every event landing in a
+    // window attributes to it. operators.RangeJoin manufactures an
+    // equi-key by time-bucketing (intervals explode to overlapped
+    // buckets, points map to one bucket, hash-join + residual filter)
+    // -- the scale path where a bare inequality join would plan a
+    // nested loop.
+    QueryDef("q66_range_join", Some("""
+      WITH e AS (SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ems, value FROM events),
+      w AS (SELECT event_id AS window_id, ems AS ws, ems + 7200000 AS we
+            FROM e ORDER BY value DESC, event_id LIMIT 20)
+      SELECT w.window_id, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+      FROM w JOIN e ON e.ems >= w.ws AND e.ems < w.we
+      GROUP BY w.window_id ORDER BY w.window_id"""),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), expr("ts div 1000000").as("ems"), col("value"))
+        val w = e.orderBy(desc("value"), col("event_id")).limit(20)
+          .select(col("event_id").as("window_id"), col("ems").as("ws"),
+            (col("ems") + 7200000L).as("we"))
+        graft.operators.RangeJoin.intervalJoin(e, w, "ems", "ws", "we",
+            width = 3600000L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+          .orderBy("window_id")
+      })
   )
 }

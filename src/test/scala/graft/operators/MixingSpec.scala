@@ -44,4 +44,27 @@ class MixingSpec extends SparkSpecBase {
     assert(math.abs(avg - 1.5) < 0.08, s"avg copies $avg")
     assert(counts.length == 2000, "floor(1.5)=1 guarantees every doc appears")
   }
+
+  test("stratifiedSample: deterministic per-stratum rates, map-side only") {
+    import spark.implicits._
+    val docs = (1L to 3000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rate = when(col("lang") === "en", 0.5).otherwise(0.1)
+    val kept = Mixing.stratifiedSample(docs, "doc_id", rate)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 1500.0 - 0.5) < 0.06, s"en ${byLang("en")}")
+    assert(math.abs(byLang("de") / 1500.0 - 0.1) < 0.06, s"de ${byLang("de")}")
+    // identical draw under reshuffle (no RNG state)
+    val again = Mixing.stratifiedSample(docs.repartition(11), "doc_id", rate)
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    // subset property: a doc kept at rate r survives every rate >= r
+    val wider = Mixing.stratifiedSample(docs, "doc_id",
+      when(col("lang") === "en", 0.8).otherwise(0.3))
+    assert(kept.select("doc_id").as[Long].collect().toSet.subsetOf(
+      wider.select("doc_id").as[Long].collect().toSet))
+    // no shuffle in the plan: pure filter
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Bucketized interval join pinned against the naive inequality join:
+  * identical matches at every bucket width (the width is a cost knob,
+  * never a semantics knob), [start, end) boundary behavior, no
+  * duplicate matches, oversize-interval guard. */
+class RangeJoinSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val points = (0L to 100L).map(p => (p, s"p$p")).toDF("t", "tag")
+  private lazy val intervals = Seq(
+    (1L, 0L, 10L), (2L, 5L, 7L), (3L, 10L, 10L), // empty: start == end
+    (4L, 9L, 11L), (5L, 98L, 200L)
+  ).toDF("iv_id", "s", "e")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("t", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val naive: Set[(Long, Long)] = canon(
+    points.join(intervals, col("t") >= col("s") && col("t") < col("e")))
+
+  test("matches the inequality join exactly, at several widths") {
+    for (w <- Seq(1L, 3L, 7L, 64L)) {
+      val got = canon(RangeJoin.intervalJoin(points, intervals,
+        "t", "s", "e", width = w, metricName = s"w$w"))
+      assert(got == naive, s"width $w diverged")
+    }
+  }
+
+  test("boundaries: start inclusive, end exclusive, empty interval matches nothing") {
+    val got = canon(RangeJoin.intervalJoin(points, intervals, "t", "s", "e", 5L))
+    assert(got.contains((0L, 1L)) && !got.contains((10L, 1L)))  // [0,10)
+    assert(got.contains((9L, 4L)) && got.contains((10L, 4L)) && !got.contains((11L, 4L)))
+    assert(!got.exists(_._2 == 3L)) // start == end
+  }
+
+  test("no duplicate (point, interval) pairs — each match lands in one bucket") {
+    val out = RangeJoin.intervalJoin(points, intervals, "t", "s", "e", 2L)
+    assert(out.count() == out.select("t", "iv_id").distinct().count())
+  }
+
+  test("oversize intervals are dropped, not exploded") {
+    val huge = Seq((9L, 0L, 1000000L)).toDF("iv_id", "s", "e")
+    val out = RangeJoin.intervalJoin(points, huge, "t", "s", "e",
+      width = 1L, maxBuckets = 100, metricName = "oversize_case")
+    assert(out.count() == 0)
+  }
+
+  test("plan is a hash equi-join on the bucket — no nested loop") {
+    val plan = RangeJoin.intervalJoin(points, intervals, "t", "s", "e", 5L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -87,4 +87,19 @@ class VulDbDiffSpec extends SparkSpecBase {
     assert(s == Map("added" -> 1L, "removed" -> 1L,
       "changed" -> 1L, "unchanged" -> 1L))
   }
+
+  test("keyedDiff works for any keyed table (corpus snapshot by digest)") {
+    import spark.implicits._
+    val old = Seq((1L, "aaa", "en"), (2L, "bbb", "en"), (3L, "ccc", "de"))
+      .toDF("doc_id", "digest", "lang")
+    val now = Seq((1L, "aaa", "en"), (3L, "CHANGED", "de"), (4L, "ddd", "fr"))
+      .toDF("doc_id", "digest", "lang")
+    val d = VulDbDiff.keyedDiff(old, now, Seq("doc_id"), includeUnchanged = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toSet)).toSet
+    assert(d == Set(
+      ("unchanged", 1L, Set.empty[String]),
+      ("removed", 2L, Set.empty[String]),
+      ("changed", 3L, Set("digest")),
+      ("added", 4L, Set.empty[String])))
+  }
 }
