@@ -87,5 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, s"simhash64_text requires 1 argument, got ${exprs.length}")
         SimHash64TextExpr(exprs.head)
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
+      TopKAgg.fromSeqTopK _))
   }
 }

@@ -493,6 +493,29 @@ object RelationalQueries {
           .groupBy("window_id")
           .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
           .orderBy("window_id")
-      })
+      }),
+
+    // Bounded top-k per key via the custom top_k aggregate
+    // (functions.TopKAgg, a TypedImperativeAggregate): a k-sized heap
+    // per group with MAP-SIDE partial aggregation, so the shuffle
+    // carries <= k rows per group per task — where the window
+    // encoding (q11) must shuffle and sort every row. Only the ord
+    // values are emitted, so boundary ties are value-identical to the
+    // oracle's row_number ranking.
+    QueryDef("q70_topk_per_key", Some("""
+      SELECT l_suppkey, rnk, price FROM (
+        SELECT l_suppkey, l_extendedprice AS price,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_extendedprice DESC) AS rnk
+        FROM lineitem)
+      WHERE rnk <= 3 ORDER BY l_suppkey, rnk"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(graft.functions.TopKAgg.topK(
+          col("l_extendedprice"), col("l_orderkey"), 3).as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("col.ord").as("price"))
+        .orderBy("l_suppkey", "rnk"))
   )
 }
