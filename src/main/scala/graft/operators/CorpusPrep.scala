@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *   -> benchmark decontamination (optional: drop survivors whose
   *      shingle containment of any benchmark doc reaches the
   *      threshold — q57's broadcast containment search)
+  *   -> stratified sampling (optional: deterministic md5-uniform
+  *      keep rate per row — downsample over-represented strata as
+  *      the final balancing step, after dedup so rates apply to
+  *      unique content)
   *
   * Every stage is the library operator documented in SCALE.md; this
   * facade only composes them. Survivors keep their original columns
@@ -48,7 +52,10 @@ object CorpusPrep {
     spanMinDf: Int = 3,
     // survivor rule for near-dup clusters: the row minimizing this
     // expression wins (ties -> min id); None keeps the minimum id
-    keepPreference: Option[org.apache.spark.sql.Column] = None)
+    keepPreference: Option[org.apache.spark.sql.Column] = None,
+    // per-row keep rate in [0,1] (typically a per-stratum expression,
+    // e.g. by lang or source); applied LAST via Mixing.stratifiedSample
+    sampleRate: Option[org.apache.spark.sql.Column] = None)
 
   /** Returns the surviving rows of `docs` with `clean_text` appended.
     * `idCol` must be unique per row; `textCol` is the raw text. */
@@ -88,13 +95,15 @@ object CorpusPrep {
     val deduped = cfg.keepPreference
       .fold(Dedup.dropNearDuplicates(exactKept, idCol, clusters))(
         Dedup.dropNearDuplicatesBy(exactKept, idCol, clusters, _))
-    cfg.benchmark.fold(deduped) { bench =>
+    val decontaminated = cfg.benchmark.fold(deduped) { bench =>
       // normalize the benchmark text identically to the corpus before
       // shingling, or containment would miss on case/whitespace alone
       Dedup.decontaminate(deduped, "clean_text", idCol,
         bench.withColumn("_bclean", norm(col(cfg.benchTextCol))),
         "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment)
     }
+    cfg.sampleRate.fold(decontaminated)(
+      Mixing.stratifiedSample(decontaminated, idCol, _))
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

@@ -100,6 +100,43 @@ object ScaleSmoke {
       Similarity.trainCodebook(emb.limit(20000), "embedding", k = 16, iters = 2).size.toLong
     }
 
+    // ---- join/agg shapes on a replicated event stream ---------------
+    val baseEv = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ems"),
+        col("value"))
+    val ev = (0 until mult).map { i =>
+      baseEv.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i * 1000L)).as("user_id"),
+        col("ems"), col("value"))
+    }.reduce(_ unionByName _).cache()
+    val ne = ev.count()
+    println(s"[smoke] events: $ne rows")
+    // as-of: right side = 20 per-user checkpoints spread over the span
+    val states = ev.groupBy(col("user_id"),
+        (col("ems") - (col("ems") % 100000000L)).as("rt"))
+      .agg(max("value").as("px"))
+    timed("asof_backward")(
+      graft.operators.AsOfJoin.asOfBackward(ev, states,
+        "user_id", "user_id", "ems", "rt", Seq("px"), prefix = "r_").count())
+    // range join: 200 no-equi-key windows over the whole stream
+    val wins = ev.orderBy(desc("value"), col("event_id")).limit(200)
+      .select(col("event_id").as("window_id"), col("ems").as("ws"),
+        (col("ems") + 7200000L).as("we"))
+    timed("range_join(200win)")(
+      graft.operators.RangeJoin.intervalJoin(ev, wins, "ems", "ws", "we",
+        width = 3600000L).count())
+    // bounded top-k per key: heap aggregate vs the full window sort
+    timed("topk_agg(k=10)")(
+      ev.groupBy("user_id")
+        .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"), 10).as("t"))
+        .select(explode(col("t"))).count())
+    timed("topk_window(k=10)") {
+      import org.apache.spark.sql.expressions.Window
+      ev.withColumn("rnk", row_number().over(
+          Window.partitionBy("user_id").orderBy(desc("value"))))
+        .filter(col("rnk") <= 10).count()
+    }
+
     spark.stop()
   }
 }

@@ -95,4 +95,22 @@ class CorpusPrepSpec extends SparkSpecBase {
     val clean = out.select("clean_text").collect()(0).getString(0)
     assert(clean == "reach me at <EMAIL> or <IP> ref <ID> thanks", s"got: $clean")
   }
+
+  test("sampleRate stage downsamples deterministically after dedup") {
+    val docs = (1L to 400L).map { i =>
+      (i, s"unique document number $i with enough length to pass the gates " +
+        s"and token variety alpha$i beta$i gamma$i delta$i")
+    }.toDF("doc_id", "text")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+      minChars = 20, sampleRate = Some(lit(0.25))))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept.size / 400.0 - 0.25) < 0.08, s"rate ${kept.size / 400.0}")
+    // identical draw on a rerun (deterministic md5-uniform)
+    val again = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+      minChars = 20, sampleRate = Some(lit(0.25))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+    // sampling happens last: no sampleRate keeps all 400
+    assert(CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20)).count() == 400)
+  }
 }
