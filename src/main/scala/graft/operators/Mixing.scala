@@ -52,4 +52,26 @@ object Mixing {
     * draw (audit-friendly and incremental-run-friendly). */
   def stratifiedSample(df: DataFrame, idCol: String, rate: Column): DataFrame =
     df.filter(unitHash(col(idCol)) < rate.cast("double"))
+
+  /** Exactly-k-per-stratum deterministic sample: the k rows with the
+    * smallest md5-uniform within each stratum. Rate-based sampling
+    * (`stratifiedSample`) leaves stratum sizes binomially distributed;
+    * this pins them exactly — the "give me 10k docs per language"
+    * call. Selection rides the bounded `top_k` heap aggregate
+    * (ord = -uniform), so no stratum is ever fully sorted and the
+    * selection shuffle carries at most k ids per stratum per map
+    * task; survivors come back via a semi-join on the id. Like every
+    * md5-uniform draw: reproducible, repartition-stable, and nested —
+    * the k=10 sample is a prefix of the k=20 sample. */
+  def stratifiedTake(df: DataFrame, strataCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val picked = df
+      .groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopKAgg.topK(
+        -unitHash(col(idCol)), col(idCol), k).as("_t"))
+      .select(explode(col("_t")).as("_e"))
+      .select(col("_e.payload").as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
 }

@@ -875,6 +875,56 @@ object DataPrepQueries {
             Seq("doc_id"), includeUnchanged = true)
           .groupBy("status").agg(count(lit(1)).as("n"))
           .orderBy("status")
+      }),
+
+    // Exactly-k-per-stratum sampling: the 10 docs with the smallest
+    // md5-uniform per language — stratum sizes pinned exactly (the
+    // "10k docs per language" call), selected through the bounded
+    // top_k heap aggregate so no stratum is ever fully sorted.
+    QueryDef("q71_stratified_take", Some("""
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+                 doc_id) AS rnk
+        FROM documents) WHERE rnk <= 10 ORDER BY lang, doc_id"""),
+      (s, dir) => graft.operators.Mixing.stratifiedTake(
+          t(s, dir, "documents"), Seq("lang"), "doc_id", k = 10)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
+    // Interval (attribution) join census: every view joined to the
+    // same user's purchases within the following 6 hours — the
+    // batch twin of EventStream.intervalJoinPairs, whose stream-stream
+    // form buffers bounded state via dual watermarks (StreamingSpec
+    // pins batch/stream parity). Equi-join on the user plus a range
+    // residual; per-user census keeps the output bounded.
+    QueryDef("q72_interval_join", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ms(CAST(ts AS TIMESTAMP)) AS ems, value FROM events),
+      v AS (SELECT * FROM e WHERE event_type = 'view'),
+      p AS (SELECT * FROM e WHERE event_type = 'purchase')
+      SELECT v.user_id, count(*) AS n_pairs,
+             CAST(min(p.ems - v.ems) AS BIGINT) AS min_lag_ms,
+             CAST(max(p.ems - v.ems) AS BIGINT) AS max_lag_ms
+      FROM v JOIN p ON v.user_id = p.user_id
+        AND p.ems >= v.ems AND p.ems <= v.ems + 21600000
+      GROUP BY v.user_id ORDER BY v.user_id"""),
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+          expr("ts div 1000000").as("ems"))
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ems").as("v_ems"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ems").as("p_ems"))
+        v.join(p, "user_id")
+          .filter(col("p_ems") >= col("v_ems") &&
+            col("p_ems") <= col("v_ems") + 21600000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("p_ems") - col("v_ems")).cast("bigint").as("min_lag_ms"),
+            max(col("p_ems") - col("v_ems")).cast("bigint").as("max_lag_ms"))
+          .orderBy("user_id")
       })
   )
 }

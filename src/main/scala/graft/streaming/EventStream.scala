@@ -115,6 +115,56 @@ object EventStream {
       .start()
   }
 
+  /** Stream-stream interval join: each `earlierType` event joined to
+    * the same user's `laterType` events that follow it within
+    * `horizonMin` minutes — the attribution join (view -> purchase)
+    * as a LIVE query. Both sides carry watermarks and the join
+    * condition bounds both event-time columns, which is exactly what
+    * Structured Streaming needs to evict buffered rows: a view older
+    * than (purchase watermark - horizon) can never match again and is
+    * dropped, so state is bounded by horizon x arrival rate, not by
+    * stream length. Inner join -> Append mode; the batch twin is
+    * q72_interval_join (same plan over the static table). */
+  def intervalJoinPairs(earlier: DataFrame, later: DataFrame,
+      horizonMin: Int = 10): DataFrame = {
+    val v = earlier
+      .withColumn("v_ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id").as("v_user"), col("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = later
+      .withColumn("p_ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id").as("p_user"), col("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("lag_ms"),
+        col("value"))
+  }
+
+  /** Run the interval join as a live stream-stream join over a parquet
+    * directory (two independent readStream branches of the same
+    * source) into a memory sink. */
+  def runIntervalJoin(spark: SparkSession, dir: String, queryName: String,
+      earlierType: String = "view", laterType: String = "purchase",
+      horizonMin: Int = 10, glob: String = "*.parquet"): StreamingQuery = {
+    def branch(eventType: String): DataFrame =
+      spark.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", glob).parquet(dir)
+        .filter(col("event_type") === eventType)
+    intervalJoinPairs(branch(earlierType), branch(laterType), horizonMin)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class SessionInput(user_id: Long, ms: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessionState(nSessions: Long, nEvents: Long, lastMs: Long)

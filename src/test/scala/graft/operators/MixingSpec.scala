@@ -67,4 +67,25 @@ class MixingSpec extends SparkSpecBase {
     // no shuffle in the plan: pure filter
     assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("stratifiedTake: exactly k per stratum, nested and deterministic") {
+    import spark.implicits._
+    val docs = (1L to 900L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
+    val k10 = Mixing.stratifiedTake(docs, Seq("stratum"), "doc_id", 10)
+    val sizes = k10.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    // nested: the k=10 sample is a prefix of the k=25 sample
+    val ids10 = k10.select("doc_id").as[Long].collect().toSet
+    val ids25 = Mixing.stratifiedTake(docs, Seq("stratum"), "doc_id", 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids10.subsetOf(ids25) && ids25.size == 75)
+    // stable under repartitioning
+    val again = Mixing.stratifiedTake(docs.repartition(13), Seq("stratum"), "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids10)
+    // strata smaller than k return whole strata
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "stratum")
+    assert(Mixing.stratifiedTake(tiny, Seq("stratum"), "doc_id", 10).count() == 3)
+  }
 }

@@ -85,4 +85,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(frames.map(_.getAs[String]("frame_digest")).toSeq ==
       again.map(_.getAs[String]("frame_digest")).toSeq)
   }
+
+  test("stream-stream interval join matches the batch q72 census") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.runIntervalJoin(spark, sfDir, "stream_ivj",
+      horizonMin = 360, glob = "events.parquet")
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT user_id, count(*) AS n_pairs, min(lag_ms) AS mn, max(lag_ms) AS mx " +
+      "FROM stream_ivj GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val batch = graft.SparkEntry.queries("q72_interval_join")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
