@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics text scoring: the second-generation quality
+  * signals that need a pass over the WHOLE corpus before any row can
+  * be scored (unlike the per-row heuristics in q31-q33).
+  *
+  * Scale shape shared by both operators: the corpus-wide statistic
+  * (unigram counts / document frequencies) is ONE token-keyed shuffle
+  * with full map-side partial aggregation, and its result is
+  * Zipf-bounded — a `minCount`/df floor prunes the hapax tail, so the
+  * statistic table is vocabulary-sized (millions of rows at web
+  * scale, MBs), not corpus-sized, and broadcasts back onto the
+  * exploded token stream for scoring. Corpus-wide scalars (total
+  * token count, document count) ride a one-row broadcast cross-join,
+  * so the whole operator stays one lazy plan with no driver action.
+  * Nothing in the scoring pass shuffles the corpus a second time.
+  */
+object TextStats {
+
+  private def toks(c: String) =
+    filter(split(col(c), " "), t => t =!= "")
+
+  /** Per-document average unigram log-probability under the corpus's
+    * own unigram model — the classic fluency/garbage signal (random
+    * strings and boilerplate both fall far from the corpus mean).
+    * Tokens below `minCount` score `floorLogProb` (the OOV floor)
+    * instead of their unreliable tail estimate.
+    * Returns (idCol, n_tok, logprob). */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 5L, floorLogProb: Double = -15.0): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(toks(textCol)).as("_tok"))
+    val counts = tokens.groupBy("_tok").agg(count(lit(1)).as("_cnt"))
+    val totalDf = counts.agg(sum("_cnt").cast("double").as("_total"))
+    val vocab = counts.filter(col("_cnt") >= minCount)
+    tokens.join(broadcast(vocab), Seq("_tok"), "left_outer")
+      .crossJoin(broadcast(totalDf))
+      .select(col(idCol),
+        coalesce(log(col("_cnt") / col("_total")), lit(floorLogProb)).as("_lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), round(avg("_lp"), 4).as("logprob"))
+  }
+
+  /** Top-k keyword extraction per document: rank tokens by term
+    * frequency, breaking ties by corpus rarity (ascending document
+    * frequency) then token text — an integer-only ordering, so the
+    * ranking is exactly reproducible on any engine (a float tf-idf
+    * rank would hinge on last-ulp log differences). The tf·idf value
+    * itself is still reported per keyword.
+    * Returns (idCol, rank, token, tf, df, tfidf). */
+  def keywords(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(toks(textCol)).as("token"))
+    val df_ = tokens.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocsDf = docs.agg(count(lit(1)).cast("double").as("_ndocs"))
+    val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(broadcast(df_), Seq("token"))
+      .crossJoin(broadcast(nDocsDf))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("bigint").as("rank"), col("token"),
+        col("tf"), col("df"),
+        round(col("tf") * log(col("_ndocs") / col("df")), 4).as("tfidf"))
+  }
+}

@@ -925,6 +925,48 @@ object DataPrepQueries {
             min(col("p_ems") - col("v_ems")).cast("bigint").as("min_lag_ms"),
             max(col("p_ems") - col("v_ems")).cast("bigint").as("max_lag_ms"))
           .orderBy("user_id")
-      })
+      }),
+
+    // Corpus unigram log-prob scoring: each doc's average token
+    // log-probability under the corpus's own unigram model — the
+    // two-pass fluency/garbage signal (the corpus statistic is one
+    // token-keyed shuffle; the Zipf-bounded vocab broadcasts back for
+    // map-side scoring). Tokens under the count floor take the OOV
+    // floor probability.
+    QueryDef("q73_unigram_logprob", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+      vocab AS (SELECT * FROM cnt WHERE cnt >= 5)
+      SELECT t.doc_id, count(*) AS n_tok,
+             round(avg(coalesce(ln(v.cnt / tot.total), -15.0)), 4) AS logprob
+      FROM tok t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+      (s, dir) => graft.operators.TextStats.unigramLogProb(
+          t(s, dir, "documents"), "text", "doc_id", minCount = 5L)
+        .orderBy("doc_id")),
+
+    // Keyword extraction: top-3 tokens per doc ranked by term
+    // frequency with integer-only tie-breaks (corpus rarity, then
+    // token) so the ranking reproduces exactly on any engine; the
+    // tf-idf value rides along per keyword.
+    QueryDef("q74_tfidf_keywords", Some(s"""
+      WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+      dfreq AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS ndocs FROM documents),
+      ranked AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                        row_number() OVER (PARTITION BY tf.doc_id
+                          ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS rank
+                 FROM tf JOIN dfreq USING (token))
+      SELECT doc_id, rank, token, tf, df,
+             round(tf * ln(nd.ndocs / df), 4) AS tfidf
+      FROM ranked CROSS JOIN nd WHERE rank <= 3 AND doc_id < 40
+      ORDER BY doc_id, rank"""),
+      (s, dir) => graft.operators.TextStats.keywords(
+          t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .filter(col("doc_id") < 40)
+        .orderBy("doc_id", "rank"))
   )
 }

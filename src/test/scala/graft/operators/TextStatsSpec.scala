@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics scoring pinned on hand-computable fixtures. */
+class TextStatsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("unigramLogProb: hand-computed model, OOV floor for rare tokens") {
+    // corpus: "a" x6, "b" x3, "z" x1 -> total 10
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a a a b b"), (3L, "z")
+    ).toDF("doc_id", "text")
+    val out = TextStats.unigramLogProb(docs, "text", "doc_id",
+      minCount = 2L, floorLogProb = -9.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lpA = math.log(6 / 10.0); val lpB = math.log(3 / 10.0)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(out(1L)._1 == 4 && out(1L)._2 == r4((3 * lpA + lpB) / 4))
+    assert(out(2L)._1 == 5 && out(2L)._2 == r4((3 * lpA + 2 * lpB) / 5))
+    // "z" has count 1 < minCount -> OOV floor
+    assert(out(3L) == (1L, -9.0))
+  }
+
+  test("keywords: tf-first ranking with rarity and token tie-breaks") {
+    val docs = Seq(
+      (1L, "x x y y common"), // tf tie x/y -> rarer (lower df) first
+      (2L, "y common common"),
+      (3L, "common x")
+    ).toDF("doc_id", "text")
+    // df: x=2, y=2, common=3
+    val out = TextStats.keywords(docs, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: x tf2 / y tf2 tie, df tie (2 vs 2) -> token asc: x then y
+    assert(out((1L, 1L)) == "x" && out((1L, 2L)) == "y")
+    // doc 2: common tf2 first, then y (tf1, df2 beats nothing else)
+    assert(out((2L, 1L)) == "common" && out((2L, 2L)) == "y")
+    // doc 3: tf tie common/x -> x rarer (df2 < df3)
+    assert(out((3L, 1L)) == "x" && out((3L, 2L)) == "common")
+  }
+
+  test("plans: vocab and df broadcast back; no second corpus shuffle for scoring") {
+    val docs = (1L to 200L).map(i => (i, s"tok${i % 17} tok${i % 5} filler common words here"))
+      .toDF("doc_id", "text")
+    val plan = TextStats.unigramLogProb(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
