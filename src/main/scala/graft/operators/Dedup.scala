@@ -393,6 +393,107 @@ object Dedup {
       .drop("_cid", "cluster")
   }
 
+  /** Incremental dedup: drop NEW-batch rows that duplicate an
+    * EXISTING corpus (exactly or near) or earlier-kept rows of their
+    * own batch, leaving the old corpus untouched — the everyday
+    * 100 TB operation ("dedup today's crawl against the corpus")
+    * without re-clustering yesterday's data.
+    *
+    * Tiers:
+    *  1. exact — digest anti-join vs old, then min-id per digest
+    *     within the batch;
+    *  2. near — band keys (MinHash/LSH) for the batch probe against
+    *     the bands of old + kept-new; only candidate-touched docs are
+    *     shingled for the exact-Jaccard verify (a semi-join prunes
+    *     the old side BEFORE the expensive shingling, so verify cost
+    *     follows the candidate count, not the corpus);
+    *  3. resolve — a new row adjacent to an old row drops
+    *     (old survivor wins); new-new near-dup clusters (connected
+    *     components) keep their minimum id unless the cluster also
+    *     touches old, in which case the whole cluster drops — exactly
+    *     the full-rerun semantics where the old member is the
+    *     cluster's canonical survivor.
+    *
+    * At scale the old side's band keys are a precomputed index (the
+    * signature columns are deterministic, so yesterday's bands are
+    * reusable verbatim — persist them like `Similarity.writeIndex`);
+    * recomputing them here keeps the operator self-contained.
+    * Ids must be unique ACROSS both inputs. Returns surviving new
+    * rows with their original columns. */
+  def dropIncrementalDuplicates(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      numHashes: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = HotKeys.DefaultBucketCap): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    import org.apache.spark.sql.expressions.Window
+
+    // tier 1: exact
+    val oldDig = oldDocs.select(md5(col(textCol)).as("_digest")).distinct()
+    val keptExact = newDocs
+      .withColumn("_digest", md5(col(textCol)))
+      .join(oldDig, Seq("_digest"), "left_anti")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_digest").orderBy(col(idCol))))
+      .filter(col("_rn") === 1)
+      .drop("_digest", "_rn")
+
+    // tier 2: band candidates (probe = new bands, build = old + new)
+    def bandsOf(df: DataFrame): DataFrame = {
+      val sig = df.select(col(idCol).as("_id"),
+        minhashSigText(col(textCol), shingleN, numHashes).as("_hs"))
+        .filter(col("_hs").isNotNull)
+      val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(col("_hs"), b * rowsPerBand + r + 1)): _*))
+      }
+      sig.select(col("_id"), explode(array(bandCols: _*)).as("band"))
+    }
+    val newBands = bandsOf(keptExact)
+    val allBands = HotKeys.cap(
+      bandsOf(oldDocs).withColumn("_new", lit(false))
+        .unionByName(newBands.withColumn("_new", lit(true))),
+      Seq(col("band")), maxBucket, metricName = "graft_incr_band_cap")
+    val cand = newBands
+      .join(allBands.select(col("band"), col("_id").as("_oid"), col("_new")), Seq("band"))
+      .filter(col("_id") =!= col("_oid"))
+      .select(col("_id").as("id_new"), col("_oid").as("id_other"),
+        col("_new").as("other_new"))
+      .distinct()
+
+    // verify: shingle ONLY candidate-touched docs, then exact Jaccard
+    val candIds = cand.select(col("id_new").as("_vid"))
+      .union(cand.select(col("id_other"))).distinct()
+    val corpus = oldDocs.select(col(idCol), col(textCol))
+      .unionByName(keptExact.select(col(idCol), col(textCol)))
+    val sh = corpus.join(candIds, col(idCol) === col("_vid"), "left_semi")
+      .select(col(idCol).as("_sid"), shingles(col(textCol), shingleN).as("_shs"))
+    val verified = cand
+      .join(sh.select(col("_sid").as("id_new"), col("_shs").as("_sa")), Seq("id_new"))
+      .join(sh.select(col("_sid").as("id_other"), col("_shs").as("_sb")), Seq("id_other"))
+      .withColumn("_shared", size(array_intersect(col("_sa"), col("_sb"))))
+      .filter(col("_shared").cast("double") /
+        (size(col("_sa")) + size(col("_sb")) - col("_shared")) >= minJaccard)
+      .select(col("id_new"), col("id_other"), col("other_new"))
+
+    // tier 3: resolve
+    val contaminated = verified.filter(!col("other_new"))
+      .select(col("id_new").as("_drop")).distinct()
+    val nn = verified.filter(col("other_new"))
+      .select(col("id_new").as("id_a"), col("id_other").as("id_b"))
+    val clusters = duplicateClusters(nn)
+    val tainted = clusters
+      .join(contaminated, col("id") === col("_drop"), "left_semi")
+      .select("cluster").distinct()
+    val keepers = clusters.join(tainted, Seq("cluster"), "left_anti")
+      .groupBy("cluster").agg(min("id").as("id")).select("id")
+    val clusterDrops = clusters.select("id").except(keepers)
+      .select(col("id").as("_drop"))
+    keptExact.join(contaminated.unionByName(clusterDrops).distinct(),
+      col(idCol) === col("_drop"), "left_anti")
+  }
+
   /** Benchmark-decontamination containment search (q57's operator in
     * library form): |shingles(corpus doc) ∩ shingles(bench doc)| /
     * |shingles(bench doc)| for every (corpus, benchmark) pair sharing

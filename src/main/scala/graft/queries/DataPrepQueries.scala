@@ -967,6 +967,66 @@ object DataPrepQueries {
       (s, dir) => graft.operators.TextStats.keywords(
           t(s, dir, "documents"), "text", "doc_id", k = 3)
         .filter(col("doc_id") < 40)
-        .orderBy("doc_id", "rank"))
+        .orderBy("doc_id", "rank")),
+
+    // Incremental dedup: today's batch (doc_id % 4 = 0) deduped
+    // against the standing corpus without re-clustering it — exact
+    // digests, then LSH bands probed new-vs-(old + kept new), exact
+    // Jaccard on candidates only, and full-rerun cluster semantics
+    // (a new-new cluster touching old drops entirely; a pure-new
+    // cluster keeps its min id). Old-side bands are precomputable,
+    // so the recurring cost follows the batch, not the corpus.
+    QueryDef("q75_incremental_dedup", Some(s"""
+      WITH RECURSIVE
+      olddocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+      newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+      olddig AS (SELECT DISTINCT md5(text) AS dg FROM olddocs),
+      keptexact AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM newdocs WHERE md5(text) NOT IN (SELECT dg FROM olddig))
+        WHERE rn = 1),
+      corpus AS (SELECT doc_id, text, FALSE AS isnew FROM olddocs
+                 UNION ALL SELECT doc_id, text, TRUE AS isnew FROM keptexact),
+      shc AS (SELECT doc_id, isnew, $shinglesSqlArr AS shs FROM corpus),
+      sig AS (SELECT doc_id, isnew,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shc WHERE len(shs) > 0),
+      bands AS (SELECT doc_id, isnew, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, isnew, md5(h2 || '|' || h3) AS band FROM sig),
+      cand AS (SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_other, o.isnew AS other_new
+               FROM bands n JOIN bands o ON n.band = o.band AND n.isnew AND n.doc_id <> o.doc_id),
+      ver AS (SELECT DISTINCT c.id_new, c.id_other, c.other_new
+              FROM cand c JOIN shc a ON a.doc_id = c.id_new
+                          JOIN shc b ON b.doc_id = c.id_other
+              WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+                    (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8),
+      contaminated AS (SELECT DISTINCT id_new FROM ver WHERE NOT other_new),
+      nn AS (SELECT id_new AS s, id_other AS d FROM ver WHERE other_new
+             UNION SELECT id_other, id_new FROM ver WHERE other_new),
+      reach AS (SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM nn) v
+                UNION SELECT r.a, e.d FROM reach r JOIN nn e ON r.b = e.s),
+      lab AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      tainted AS (SELECT DISTINCT cluster FROM lab JOIN contaminated ON lab.id = contaminated.id_new),
+      keepers AS (SELECT min(id) AS id FROM lab
+                  WHERE cluster NOT IN (SELECT cluster FROM tainted) GROUP BY cluster),
+      clusterdrops AS (SELECT id FROM lab WHERE id NOT IN (SELECT id FROM keepers)),
+      survivors AS (SELECT k.doc_id FROM keptexact k
+                    WHERE k.doc_id NOT IN (SELECT id_new FROM contaminated)
+                      AND k.doc_id NOT IN (SELECT id FROM clusterdrops))
+      SELECT d.doc_id, d.source FROM documents d JOIN survivors USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dedup.dropIncrementalDuplicates(
+            docs.filter(col("doc_id") % 4 =!= 0),
+            docs.filter(col("doc_id") % 4 === 0),
+            "text", "doc_id", shingleN = 3, minJaccard = 0.8)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      })
   )
 }
