@@ -419,7 +419,14 @@ object Dedup {
     * reusable verbatim — persist them like `Similarity.writeIndex`);
     * recomputing them here keeps the operator self-contained.
     * Ids must be unique ACROSS both inputs. Returns surviving new
-    * rows with their original columns. */
+    * rows with their original columns.
+    *
+    * Note: the operator is EAGER — the three internally-reused frames
+    * (exact survivors, candidates, verified pairs) are
+    * localCheckpoint'ed, because each feeds several downstream
+    * branches and the CC iteration; without truncation the whole
+    * upstream recomputes per branch per round (measured 110 s -> 6 s
+    * on the 100k-doc ScaleSmoke corpus). */
   def dropIncrementalDuplicates(oldDocs: DataFrame, newDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, minJaccard: Double = 0.8,
@@ -429,7 +436,11 @@ object Dedup {
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     import org.apache.spark.sql.expressions.Window
 
-    // tier 1: exact
+    // tier 1: exact. The survivor frame feeds four downstream
+    // branches (bands, candidate join, shingle verify, final
+    // anti-join) and, transitively, the CC iteration — localCheckpoint
+    // truncates the lineage so the window+anti-join runs once, not
+    // once per branch per CC round.
     val oldDig = oldDocs.select(md5(col(textCol)).as("_digest")).distinct()
     val keptExact = newDocs
       .withColumn("_digest", md5(col(textCol)))
@@ -438,6 +449,7 @@ object Dedup {
         Window.partitionBy("_digest").orderBy(col(idCol))))
       .filter(col("_rn") === 1)
       .drop("_digest", "_rn")
+      .localCheckpoint()
 
     // tier 2: band candidates (probe = new bands, build = old + new)
     def bandsOf(df: DataFrame): DataFrame = {
@@ -461,6 +473,7 @@ object Dedup {
       .select(col("_id").as("id_new"), col("_oid").as("id_other"),
         col("_new").as("other_new"))
       .distinct()
+      .localCheckpoint() // reused by candIds and the two verify joins
 
     // verify: shingle ONLY candidate-touched docs, then exact Jaccard
     val candIds = cand.select(col("id_new").as("_vid"))
@@ -476,6 +489,7 @@ object Dedup {
       .filter(col("_shared").cast("double") /
         (size(col("_sa")) + size(col("_sb")) - col("_shared")) >= minJaccard)
       .select(col("id_new"), col("id_other"), col("other_new"))
+      .localCheckpoint() // contaminated + nn both read it; CC iterates over nn
 
     // tier 3: resolve
     val contaminated = verified.filter(!col("other_new"))

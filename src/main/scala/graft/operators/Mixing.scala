@@ -53,6 +53,18 @@ object Mixing {
   def stratifiedSample(df: DataFrame, idCol: String, rate: Column): DataFrame =
     df.filter(unitHash(col(idCol)) < rate.cast("double"))
 
+  /** Deterministic global shuffle — the training-order pass: rows
+    * ordered by their md5-uniform (ties by id). Spark's range-
+    * partitioned sort distributes it (sampled range boundaries, one
+    * shuffle); the order is a pure function of the ids, so every
+    * rerun, resume, and engine reproduces the same epoch order —
+    * unlike an RNG shuffle, which silently changes under
+    * repartitioning. Salt with an epoch tag (`unitHash(concat(id,
+    * lit(epoch)))`) for a different-but-reproducible order per
+    * epoch. */
+  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
+    df.orderBy(unitHash(col(idCol)), col(idCol))
+
   /** Exactly-k-per-stratum deterministic sample: the k rows with the
     * smallest md5-uniform within each stratum. Rate-based sampling
     * (`stratifiedSample`) leaves stratum sizes binomially distributed;

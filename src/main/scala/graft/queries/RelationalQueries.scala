@@ -516,6 +516,43 @@ object RelationalQueries {
         .select(col("l_suppkey"), posexplode(col("top")))
         .select(col("l_suppkey"), (col("pos") + 1).cast("bigint").as("rnk"),
           col("col.ord").as("price"))
-        .orderBy("l_suppkey", "rnk"))
+        .orderBy("l_suppkey", "rnk")),
+
+    // Deterministic global shuffle: the training-order pass. Order is
+    // a pure function of the ids (md5-uniform), so every rerun and
+    // engine reproduces the identical epoch order; Spark executes it
+    // as a range-partitioned distributed sort. The row ORDER is the
+    // asserted result here (the driver compares row order).
+    QueryDef("q76_corpus_shuffle", Some("""
+      SELECT doc_id FROM documents
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               / 4294967296.0, doc_id"""),
+      (s, dir) => graft.operators.Mixing.deterministicShuffle(
+          t(s, dir, "documents"), "doc_id")
+        .select("doc_id")),
+
+    // Unpivot (wide -> long): per-flag measures melted into
+    // (measure, value) rows — Dataset.unpivot on the Spark side, the
+    // portable UNION ALL encoding in the oracle.
+    QueryDef("q77_unpivot", Some("""
+      WITH w AS (SELECT l_returnflag,
+                        round(sum(l_quantity), 2) AS sum_qty,
+                        round(sum(l_discount), 2) AS sum_disc,
+                        round(sum(l_tax), 2) AS sum_tax
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+        UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM w)
+      ORDER BY l_returnflag, measure"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_discount"), 2).as("sum_disc"),
+          round(sum("l_tax"), 2).as("sum_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_disc"), col("sum_tax")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"))
   )
 }

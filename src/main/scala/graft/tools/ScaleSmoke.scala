@@ -60,6 +60,13 @@ object ScaleSmoke {
         .groupBy("shard", "bin").count().count())
     timed("weighted_mix(w=1.5)")(
       graft.operators.Mixing.weightedMix(docs, "doc_id", lit(1.5)).count())
+    // incremental dedup: a 5%-of-corpus batch against the rest — the
+    // recurring cost must follow the batch, not the standing corpus
+    timed("incremental_dedup(5% batch)") {
+      val batch = docs.filter(col("doc_id") % 20 === 3)
+      val standing = docs.filter(col("doc_id") % 20 =!= 3)
+      Dedup.dropIncrementalDuplicates(standing, batch, "text", "doc_id").count()
+    }
 
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
