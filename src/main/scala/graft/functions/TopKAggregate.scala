@@ -70,7 +70,11 @@ case class TopKAgg(
 
   override def update(buffer: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
     val o = ord.eval(input)
-    if (o != null) {
+    // cheap pre-check on the dominant reject path: once the heap is
+    // warm, most rows lose on ord alone — skip the projection/copy
+    // allocation for them. Ties still project (the byte tie-break
+    // needs the row).
+    if (o != null && buffer.mightAccept(o.asInstanceOf[Double])) {
       inputRow.update(0, o)
       inputRow.update(1, payload.eval(input))
       buffer.offer(proj(inputRow).copy())
@@ -155,6 +159,13 @@ object TopKAgg {
     def offer(row: UnsafeRow): Unit =
       if (pq.size < k) pq.enqueue(row)
       else if (byOrdAsc.compare(row, pq.head) > 0) { pq.dequeue(); pq.enqueue(row) }
+
+    /** False only when `ordVal` loses to the current worst retained
+      * row on ord alone (strictly smaller) — the allocation-free
+      * reject check. Equal ords return true (byte tie-break needs the
+      * projected row). */
+    def mightAccept(ordVal: Double): Boolean =
+      pq.size < k || java.lang.Double.compare(ordVal, pq.head.getDouble(0)) >= 0
 
     def size: Int = pq.size
     def rows: Iterator[UnsafeRow] = pq.iterator

@@ -73,24 +73,35 @@ object AsOfJoin {
     require(leftCols.intersect(outCols :+ (prefix + rightTime)).isEmpty,
       s"prefixed right columns ${outCols.mkString(",")} collide with the left schema; pass a prefix")
 
-    // Tag-union. Right rows carry only (key, time, values); left rows
-    // carry the full left schema. `_side` orders a right row BEFORE a
-    // left row at the same time, which is what makes equal-time rows
-    // match (at-or-before / at-or-after semantics).
+    // Tag-union. Right rows carry their ENTIRE matched payload
+    // (time + values) as ONE struct `_m` — the window resolves the
+    // match with a single last(_m, ignoreNulls), so the matched time
+    // and every matched value always come from the SAME right row
+    // (per-column last() would resurrect an older row's value when
+    // the matched row holds a null in that column). Left rows carry
+    // a null `_m` and the full left schema. `_side` orders a right
+    // row BEFORE a left row at the same time, which is what makes
+    // equal-time rows match (at-or-before / at-or-after semantics).
+    val mStruct = struct(
+      col(rightTime).as("_mt") +:
+      rightCols.map(c => col(c).as(prefix + c)): _*)
+    val mType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_mt",
+        right.schema(rightTime).dataType, nullable = true) +:
+      rightCols.map(c => org.apache.spark.sql.types.StructField(prefix + c,
+        right.schema(c).dataType, nullable = true)))
     val r = right.select(
       col(rightKey).as("_k") +:
       col(rightTime).as("_t") +:
       lit(0).as("_side") +:
-      col(rightTime).as("_mt") +:
-      (rightCols.map(c => col(c).as(prefix + c)) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      mStruct.as("_m") +:
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       col(leftKey).as("_k") +:
       col(leftTime).as("_t") +:
       lit(1).as("_side") +:
-      lit(null).cast(right.schema(rightTime).dataType).as("_mt") +:
-      (rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(prefix + c)) ++
-        leftCols.map(col)): _*)
+      lit(null).cast(mType).as("_m") +:
+      leftCols.map(col): _*)
     val u = r.unionByName(l)
 
     // For backward: ascending time, right-before-left at ties, running
@@ -100,23 +111,23 @@ object AsOfJoin {
     val tOrd = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy("_k").orderBy(tOrd, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedTime = last(col("_mt"), ignoreNulls = true).over(w)
-    val matchedVals = outCols.map(c => last(col(c), ignoreNulls = true).over(w).as("_w_" + c))
 
     val windowed = u.select(
-      (Seq(col("_side"), col("_t"), matchedTime.as("_w_mt")) ++
-        matchedVals ++ leftCols.map(col)): _*)
+      (Seq(col("_side"), col("_t"),
+        last(col("_m"), ignoreNulls = true).over(w).as("_wm")) ++
+        leftCols.map(col)): _*)
       .filter(col("_side") === 1)
 
     // Tolerance: void matches farther than `tolerance` time units.
+    val mt = col("_wm._mt")
     val keep: Column = tolerance match {
-      case Some(tol) if forward => col("_w_mt").isNotNull && (col("_w_mt") - col("_t")) <= tol
-      case Some(tol)            => col("_w_mt").isNotNull && (col("_t") - col("_w_mt")) <= tol
-      case None                 => col("_w_mt").isNotNull
+      case Some(tol) if forward => mt.isNotNull && (mt - col("_t")) <= tol
+      case Some(tol)            => mt.isNotNull && (col("_t") - mt) <= tol
+      case None                 => mt.isNotNull
     }
     windowed.select(
       leftCols.map(col) ++
-      (outCols.map(c => when(keep, col("_w_" + c)).as(c)) :+
-        when(keep, col("_w_mt")).as(prefix + rightTime)): _*)
+      (outCols.map(c => when(keep, col("_wm." + c)).as(c)) :+
+        when(keep, mt).as(prefix + rightTime)): _*)
   }
 }

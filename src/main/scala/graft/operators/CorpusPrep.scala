@@ -102,8 +102,10 @@ object CorpusPrep {
         bench.withColumn("_bclean", norm(col(cfg.benchTextCol))),
         "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment)
     }
+    // distinct salt: the prep sample must not correlate with any
+    // downstream unsalted mixing draw over the same ids
     cfg.sampleRate.fold(decontaminated)(
-      Mixing.stratifiedSample(decontaminated, idCol, _))
+      Mixing.stratifiedSample(decontaminated, idCol, _, salt = "corpusprep"))
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

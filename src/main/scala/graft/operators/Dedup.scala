@@ -64,6 +64,21 @@ object Dedup {
     math.pow(rowsPerBand.toDouble / numHashes, 1.0 / rowsPerBand)
   }
 
+  /** THE band-key formula — md5 over the '|'-joined signature values
+    * of each band. Single definition shared by every banded path
+    * (lshCandidatePairs, dropIncrementalDuplicates), because stored
+    * band indexes are only reusable across operators while the
+    * formula stays bit-identical. `h(i)` supplies the i-th signature
+    * value. */
+  private def bandKeyCols(h: Int => Column, k: Int, rowsPerBand: Int): Seq[Column] = {
+    require(rowsPerBand >= 1 && k % rowsPerBand == 0,
+      s"numHashes ($k) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    (0 until k / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => h(b * rowsPerBand + r)): _*))
+    }
+  }
+
   /** Banded-LSH candidate pairs from signature columns: bands of
     * `rowsPerBand` hashes, pairs expanded bucket-locally. A degenerate
     * band shared by more than `maxBucket` docs is dropped before any
@@ -73,12 +88,7 @@ object Dedup {
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_lsh_band_cap"): DataFrame = {
-    require(rowsPerBand >= 1 && k % rowsPerBand == 0,
-      s"numHashes ($k) must be a positive multiple of rowsPerBand ($rowsPerBand)")
-    val bandCols = (0 until k / rowsPerBand).map { b =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
-    }
+    val bandCols = bandKeyCols(i => col(s"h$i"), k, rowsPerBand)
     val bands = sig
       .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("band"))
     HotKeys.cap(bands, Seq(col("band")), maxBucket, metricName = metricName)
@@ -456,10 +466,8 @@ object Dedup {
       val sig = df.select(col(idCol).as("_id"),
         minhashSigText(col(textCol), shingleN, numHashes).as("_hs"))
         .filter(col("_hs").isNotNull)
-      val bandCols = (0 until numHashes / rowsPerBand).map { b =>
-        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-          element_at(col("_hs"), b * rowsPerBand + r + 1)): _*))
-      }
+      val bandCols = bandKeyCols(i => element_at(col("_hs"), i + 1),
+        numHashes, rowsPerBand)
       sig.select(col("_id"), explode(array(bandCols: _*)).as("band"))
     }
     val newBands = bandsOf(keptExact)

@@ -44,15 +44,6 @@ object HotKeys {
     * can prune the CollectMetrics node before `observedMetrics` is
     * read — so a 100%-drop run may not report. Any realistic run
     * (some keys survive) reports reliably. */
-  /** Keep rows satisfying `keep`; publish the dropped-row count under
-    * `metricName`. The cheap guard for one-sided validity filters
-    * whose drops must stay observable (e.g. oversize intervals in
-    * RangeJoin) — no window, no shuffle, just a counted filter. */
-  def observeDrops(df: DataFrame, keep: Column, metricName: String): DataFrame =
-    df.observe(metricName,
-        coalesce(sum(when(!keep, 1).otherwise(0)), lit(0L)).as("dropped_rows"))
-      .filter(keep)
-
   def cap(df: DataFrame, keys: Seq[Column], cap: Int,
       minPerKey: Int = 2, metricName: String = "graft_hot_key_cap"): DataFrame = {
     val w = Window.partitionBy(keys: _*)
@@ -65,4 +56,15 @@ object HotKeys {
       .filter(col("_key_n").between(minPerKey, cap))
       .drop("_key_n")
   }
+
+  /** Keep rows satisfying `keep`; publish the dropped-row count under
+    * `metricName`. The cheap guard for one-sided validity filters
+    * whose drops must stay observable (e.g. oversize intervals in
+    * RangeJoin) — no window, no shuffle, just a counted filter. A
+    * null predicate drops the row (filter semantics) and IS counted:
+    * the metric counts rows where `keep` is not true. */
+  def observeDrops(df: DataFrame, keep: Column, metricName: String): DataFrame =
+    df.observe(metricName,
+        coalesce(sum(when(keep, 0).otherwise(1)), lit(0L)).as("dropped_rows"))
+      .filter(keep)
 }

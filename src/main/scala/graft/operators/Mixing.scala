@@ -20,10 +20,19 @@ import org.apache.spark.sql.functions._
 object Mixing {
 
   /** Deterministic uniform in [0,1): the first 8 hex chars of
-    * md5(id) scaled by 2^32. Engine-portable (any SQL dialect with
-    * md5 reproduces it bit-for-bit). */
-  def unitHash(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+    * md5(id || salt) scaled by 2^32. Engine-portable (any SQL dialect
+    * with md5 reproduces it bit-for-bit).
+    *
+    * CORRELATION HAZARD: two draws over the same ids with the same
+    * salt are the SAME draw — composing two unsalted samplers keeps
+    * exactly the rows whose single shared uniform clears both
+    * thresholds (e.g. sample(0.25) then mix(1.5) gives every survivor
+    * 2 copies, not an average of 1.5). Give each independent stage
+    * its own salt. */
+  def unitHash(id: Column, salt: String = ""): Column =
+    conv(substring(md5(
+      if (salt.isEmpty) id.cast("string")
+      else concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
   /** One epoch of the mix: each row yields
@@ -32,10 +41,10 @@ object Mixing {
     * numeric expression (a literal, a joined mix-table column, a
     * per-row quality score). */
   def weightedMix(df: DataFrame, idCol: String, weight: Column,
-      epochOut: String = "epoch"): DataFrame = {
+      epochOut: String = "epoch", salt: String = ""): DataFrame = {
     val w = weight.cast("double")
     val copies = (floor(w) +
-      when(unitHash(col(idCol)) < w - floor(w), 1).otherwise(0)).cast("int")
+      when(unitHash(col(idCol), salt) < w - floor(w), 1).otherwise(0)).cast("int")
     df.withColumn("_copies", copies)
       .filter(col("_copies") > 0)
       .withColumn(epochOut, explode(sequence(lit(0), col("_copies") - 1)))
@@ -50,8 +59,9 @@ object Mixing {
     * call: pure map-side filter, no shuffle, no RNG state, stable
     * under repartitioning, and the same row always makes the same
     * draw (audit-friendly and incremental-run-friendly). */
-  def stratifiedSample(df: DataFrame, idCol: String, rate: Column): DataFrame =
-    df.filter(unitHash(col(idCol)) < rate.cast("double"))
+  def stratifiedSample(df: DataFrame, idCol: String, rate: Column,
+      salt: String = ""): DataFrame =
+    df.filter(unitHash(col(idCol), salt) < rate.cast("double"))
 
   /** Deterministic global shuffle — the training-order pass: rows
     * ordered by their md5-uniform (ties by id). Spark's range-
@@ -62,8 +72,9 @@ object Mixing {
     * repartitioning. Salt with an epoch tag (`unitHash(concat(id,
     * lit(epoch)))`) for a different-but-reproducible order per
     * epoch. */
-  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
-    df.orderBy(unitHash(col(idCol)), col(idCol))
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = ""): DataFrame =
+    df.orderBy(unitHash(col(idCol), salt), col(idCol))
 
   /** Exactly-k-per-stratum deterministic sample: the k rows with the
     * smallest md5-uniform within each stratum. Rate-based sampling
@@ -76,12 +87,12 @@ object Mixing {
     * md5-uniform draw: reproducible, repartition-stable, and nested —
     * the k=10 sample is a prefix of the k=20 sample. */
   def stratifiedTake(df: DataFrame, strataCols: Seq[String], idCol: String,
-      k: Int): DataFrame = {
+      k: Int, salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val picked = df
       .groupBy(strataCols.map(col): _*)
       .agg(graft.functions.TopKAgg.topK(
-        -unitHash(col(idCol)), col(idCol), k).as("_t"))
+        -unitHash(col(idCol), salt), col(idCol), k).as("_t"))
       .select(explode(col("_t")).as("_e"))
       .select(col("_e.payload").as(idCol))
     df.join(picked, Seq(idCol), "left_semi")

@@ -44,18 +44,26 @@ object RangeJoin {
     require(points.columns.toSeq.intersect(outIv).isEmpty,
       "interval columns collide with the point schema; pass a prefix")
 
-    val nBuckets = (ceil(col(endCol).cast("double") / width) -
-      floor(col(startCol).cast("double") / width)).cast("long")
+    // exact long floor-division (SQL `div` + sign-safe mod, all
+    // integer ops): double arithmetic would quantize epoch-nano-scale
+    // values (> 2^53) and silently drop boundary matches
+    def floorDivExpr(v: String): String =
+      s"($v - (($v % $width) + $width) % $width) div $width"
     val keptIv = intervals.filter(col(endCol) > col(startCol))
-    val guarded = HotKeys.observeDrops(keptIv, nBuckets <= maxBuckets, metricName)
+      .withColumn("_rj_s", col(startCol).cast("long"))
+      .withColumn("_rj_e1", col(endCol).cast("long") - 1) // end exclusive
+      .withColumn("_rj_b0", expr(floorDivExpr("_rj_s")))
+      .withColumn("_rj_b1", expr(floorDivExpr("_rj_e1")))
+    val guarded = HotKeys.observeDrops(keptIv,
+      col("_rj_b1") - col("_rj_b0") + 1 <= maxBuckets, metricName)
     val exploded = guarded.select(
       ivCols.map(c => col(c).as(prefix + c)) :+
-      explode(sequence(
-        floor(col(startCol).cast("double") / width).cast("long"),
-        ceil(col(endCol).cast("double") / width).cast("long") - 1)).as("_bucket"): _*)
+      explode(sequence(col("_rj_b0"), col("_rj_b1"))).as("_bucket"): _*)
 
-    val bucketedPoints = points.withColumn("_bucket",
-      floor(col(pointCol).cast("double") / width).cast("long"))
+    val bucketedPoints = points
+      .withColumn("_rj_v", col(pointCol).cast("long"))
+      .withColumn("_bucket", expr(floorDivExpr("_rj_v")))
+      .drop("_rj_v")
 
     bucketedPoints.join(exploded, Seq("_bucket"))
       .filter(col(pointCol) >= col(prefix + startCol) &&

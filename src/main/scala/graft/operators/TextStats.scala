@@ -59,7 +59,11 @@ object TextStats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(broadcast(df_), Seq("token"))
+    // no broadcast hint: unlike unigramLogProb's floored vocab, the df
+    // table here includes every token (hapaxes rank as the RAREST and
+    // must stay in the tie-break), so it is corpus-vocabulary-sized —
+    // let AQE broadcast it only when it actually fits
+    tf.join(df_, Seq("token"))
       .crossJoin(broadcast(nDocsDf))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

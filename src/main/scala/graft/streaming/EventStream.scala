@@ -126,17 +126,22 @@ object EventStream {
     * stream length. Inner join -> Append mode; the batch twin is
     * q72_interval_join (same plan over the static table). */
   def intervalJoinPairs(earlier: DataFrame, later: DataFrame,
-      horizonMin: Int = 10): DataFrame = {
+      horizonMin: Int = 10, watermarkMin: Int = -1): DataFrame = {
+    // the lateness allowance must cover the attribution horizon: a
+    // purchase can legitimately reference a view horizonMin old, so a
+    // fixed small watermark would discard in-horizon matches arriving
+    // in later micro-batches. Default: horizon + 10 minutes slack.
+    val wm = s"${if (watermarkMin >= 0) watermarkMin else horizonMin + 10} minutes"
     val v = earlier
       .withColumn("v_ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id").as("v_user"), col("v_ts"),
         col("event_id").as("view_id"))
-      .withWatermark("v_ts", "10 minutes")
+      .withWatermark("v_ts", wm)
     val p = later
       .withColumn("p_ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id").as("p_user"), col("p_ts"),
         col("event_id").as("purchase_id"), col("value"))
-      .withWatermark("p_ts", "10 minutes")
+      .withWatermark("p_ts", wm)
     v.join(p,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
@@ -151,12 +156,13 @@ object EventStream {
     * source) into a memory sink. */
   def runIntervalJoin(spark: SparkSession, dir: String, queryName: String,
       earlierType: String = "view", laterType: String = "purchase",
-      horizonMin: Int = 10, glob: String = "*.parquet"): StreamingQuery = {
+      horizonMin: Int = 10, glob: String = "*.parquet",
+      watermarkMin: Int = -1): StreamingQuery = {
     def branch(eventType: String): DataFrame =
       spark.readStream.schema(eventsSchema)
         .option("pathGlobFilter", glob).parquet(dir)
         .filter(col("event_type") === eventType)
-    intervalJoinPairs(branch(earlierType), branch(laterType), horizonMin)
+    intervalJoinPairs(branch(earlierType), branch(laterType), horizonMin, watermarkMin)
       .writeStream
       .outputMode(OutputMode.Append)
       .format("memory")

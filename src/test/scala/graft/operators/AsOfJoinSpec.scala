@@ -108,4 +108,25 @@ class AsOfJoinSpec extends SparkSpecBase {
         "key", "key", "t", "rt", Seq("px"))
     }
   }
+
+  test("a matched right row with a null value column stays atomic (no stale resurrection)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("rt", LongType), StructField("px", DoubleType, nullable = true)))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", 3L, 1.0), Row("a", 5L, null))), schema)
+    val q = Seq((1L, "a", 10L)).toDF("id", "key", "t")
+    // matched row is (t=5, px=null): px must come out NULL, not 1.0
+    val out = AsOfJoin.asOfBackward(q, r, "key", "key", "t", "rt",
+      Seq("px"), prefix = "r_").collect()(0)
+    assert(out.getAs[Any]("r_rt") == 5L)
+    assert(out.isNullAt(out.fieldIndex("r_px")), s"stale value resurrected: $out")
+    // tolerance binds to the TRUE matched time (5), so lag 5 <= 6 keeps
+    // the match — and still emits the matched row's null px
+    val tol = AsOfJoin.asOfBackward(q, r, "key", "key", "t", "rt",
+      Seq("px"), prefix = "r_", tolerance = Some(6L)).collect()(0)
+    assert(tol.getAs[Any]("r_rt") == 5L && tol.isNullAt(tol.fieldIndex("r_px")))
+  }
 }

@@ -88,4 +88,23 @@ class MixingSpec extends SparkSpecBase {
     val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "stratum")
     assert(Mixing.stratifiedTake(tiny, Seq("stratum"), "doc_id", 10).count() == 3)
   }
+
+  test("salted draws decorrelate composed samplers") {
+    import spark.implicits._
+    val docs = (1L to 4000L).map(i => (i, "x")).toDF("doc_id", "text")
+    // unsalted-then-unsalted correlates fully: every survivor of
+    // sample(0.25) also clears the mix's Bernoulli(0.5) -> 2.0 copies
+    val correlated = Mixing.weightedMix(
+      Mixing.stratifiedSample(docs, "doc_id", lit(0.25)), "doc_id", lit(1.5))
+    val corrAvg = correlated.count().toDouble /
+      Mixing.stratifiedSample(docs, "doc_id", lit(0.25)).count()
+    assert(corrAvg > 1.9, s"expected full correlation, got $corrAvg")
+    // salting one stage restores the independent expectation (~1.5)
+    val salted = Mixing.weightedMix(
+      Mixing.stratifiedSample(docs, "doc_id", lit(0.25), salt = "stageA"),
+      "doc_id", lit(1.5))
+    val saltAvg = salted.count().toDouble /
+      Mixing.stratifiedSample(docs, "doc_id", lit(0.25), salt = "stageA").count()
+    assert(math.abs(saltAvg - 1.5) < 0.1, s"expected ~1.5 copies, got $saltAvg")
+  }
 }

@@ -56,4 +56,16 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("epoch-nano magnitudes (> 2^53) bucket exactly — no double quantization") {
+    val base = 1706000000000000000L // ~2024 in epoch nanos, > 2^53
+    val pts = Seq(base, base + 1L, base + 999L, base + 1000L, base + 1001L)
+      .zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("t", "pid")
+    val ivs = Seq((1L, base + 1L, base + 1001L)).toDF("iv_id", "s", "e") // [s, e)
+    val got = RangeJoin.intervalJoin(pts, ivs, "t", "s", "e",
+        width = 1000L, metricName = "nanos_case")
+      .select("pid").collect().map(_.getLong(0)).toSet
+    // matches: base+1, base+999, base+1000 (end base+1001 exclusive -> base+1001 out, base out)
+    assert(got == Set(1L, 2L, 3L))
+  }
 }
