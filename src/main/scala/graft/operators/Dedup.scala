@@ -403,6 +403,36 @@ object Dedup {
       .drop("_cid", "cluster")
   }
 
+  /** The standing corpus's dedup index: one row per doc with its
+    * content digest and LSH band keys — everything the incremental
+    * path needs from yesterday's corpus EXCEPT the text (the exact
+    * verify reads text only for candidate-touched docs). The `_cfg`
+    * column pins the banding parameters so a mismatched reuse fails
+    * loudly instead of silently probing foreign bands. */
+  def dedupIndex(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    docs.select(col(idCol),
+        md5(col(textCol)).as("_digest"),
+        minhashSigText(col(textCol), shingleN, numHashes).as("_hs"))
+      .withColumn("_bands", when(col("_hs").isNotNull,
+        array(bandKeyCols(i => element_at(col("_hs"), i + 1),
+          numHashes, rowsPerBand): _*)))
+      .drop("_hs")
+      .withColumn("_cfg", lit(s"$shingleN/$numHashes/$rowsPerBand"))
+
+  /** Persist / reload the dedup index (plain parquet — at 100 TB this
+    * is the artifact that makes tomorrow's incremental run cost
+    * O(batch): digests and band keys are deterministic, so the stored
+    * index is yesterday's computation reused verbatim). */
+  def writeDedupIndex(docs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2): Unit =
+    dedupIndex(docs, textCol, idCol, shingleN, numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+
+  def readDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Incremental dedup: drop NEW-batch rows that duplicate an
     * EXISTING corpus (exactly or near) or earlier-kept rows of their
     * own batch, leaving the old corpus untouched — the everyday
@@ -441,17 +471,31 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, minJaccard: Double = 0.8,
       numHashes: Int = 4, rowsPerBand: Int = 2,
-      maxBucket: Int = HotKeys.DefaultBucketCap): DataFrame = {
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      oldIndex: Option[DataFrame] = None): DataFrame = {
     require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     import org.apache.spark.sql.expressions.Window
+
+    // a supplied index (writeDedupIndex/readDedupIndex) replaces the
+    // old side's digest+band recomputation; its banding config must
+    // match this call's or the probe would search foreign bands
+    oldIndex.foreach { ix =>
+      val cfg = s"$shingleN/$numHashes/$rowsPerBand"
+      val found = ix.select("_cfg").limit(1).collect()
+      require(found.isEmpty || found(0).getString(0) == cfg,
+        s"dedup index was built with cfg ${found.headOption.map(_.getString(0)).getOrElse("?")}, " +
+        s"this call uses $cfg")
+    }
 
     // tier 1: exact. The survivor frame feeds four downstream
     // branches (bands, candidate join, shingle verify, final
     // anti-join) and, transitively, the CC iteration — localCheckpoint
     // truncates the lineage so the window+anti-join runs once, not
     // once per branch per CC round.
-    val oldDig = oldDocs.select(md5(col(textCol)).as("_digest")).distinct()
+    val oldDig = oldIndex
+      .map(_.select(col("_digest")).distinct())
+      .getOrElse(oldDocs.select(md5(col(textCol)).as("_digest")).distinct())
     val keptExact = newDocs
       .withColumn("_digest", md5(col(textCol)))
       .join(oldDig, Seq("_digest"), "left_anti")
@@ -471,8 +515,12 @@ object Dedup {
       sig.select(col("_id"), explode(array(bandCols: _*)).as("band"))
     }
     val newBands = bandsOf(keptExact)
+    val oldBands = oldIndex
+      .map(_.filter(col("_bands").isNotNull)
+        .select(col(idCol).as("_id"), explode(col("_bands")).as("band")))
+      .getOrElse(bandsOf(oldDocs))
     val allBands = HotKeys.cap(
-      bandsOf(oldDocs).withColumn("_new", lit(false))
+      oldBands.withColumn("_new", lit(false))
         .unionByName(newBands.withColumn("_new", lit(true))),
       Seq(col("band")), maxBucket, metricName = "graft_incr_band_cap")
     val cand = newBands

@@ -77,4 +77,22 @@ class IncrementalDedupSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(full == survivors(olds, news))
   }
+
+  test("persisted dedup index reproduces the direct path; cfg mismatch rejected") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dedup-ix").toString + "/ix"
+    Dedup.writeDedupIndex(olds, path, "text", "doc_id",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    val ix = Dedup.readDedupIndex(spark, path)
+    val viaIndex = Dedup.dropIncrementalDuplicates(olds, news, "text", "doc_id",
+        shingleN = 3, minJaccard = 0.5, numHashes = 8, rowsPerBand = 2,
+        oldIndex = Some(ix))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == survivors(olds, news))
+    // mismatched banding config must fail loudly, not probe foreign bands
+    intercept[IllegalArgumentException] {
+      Dedup.dropIncrementalDuplicates(olds, news, "text", "doc_id",
+        shingleN = 3, minJaccard = 0.5, numHashes = 4, rowsPerBand = 2,
+        oldIndex = Some(ix))
+    }
+  }
 }
