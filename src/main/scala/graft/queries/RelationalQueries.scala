@@ -553,6 +553,40 @@ object RelationalQueries {
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_disc"), col("sum_tax")),
           "measure", "value")
-        .orderBy("l_returnflag", "measure"))
+        .orderBy("l_returnflag", "measure")),
+
+    // Decile banding via ntile — the quantile-bucket window (order
+    // made total with the key tiebreak so both engines tile
+    // identically).
+    QueryDef("q78_ntile", Some("""
+      SELECT tile, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM (SELECT o_totalprice,
+              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+            FROM orders)
+      GROUP BY tile ORDER BY tile"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "orders")
+          .select(col("o_totalprice"), ntile(10).over(
+            Window.orderBy("o_totalprice", "o_orderkey")).as("tile"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("tile")
+      }),
+
+    // Correlation / covariance statistics per group (co-moment
+    // aggregates, map-side partial).
+    QueryDef("q79_corr", Some("""
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+          round(covar_samp("l_quantity", "l_discount"), 4).as("cov_qty_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 }
