@@ -555,23 +555,28 @@ object RelationalQueries {
           "measure", "value")
         .orderBy("l_returnflag", "measure")),
 
-    // Decile banding via ntile — the quantile-bucket window (order
-    // made total with the key tiebreak so both engines tile
-    // identically).
+    // Decile banding via ntile WITHIN each priority class — the
+    // window partitions on the class key, so each partition sorts
+    // independently (a bare global ntile would serialize the table
+    // through one partition at scale). Order made total with the key
+    // tiebreak so both engines tile identically.
     QueryDef("q78_ntile", Some("""
-      SELECT tile, count(*) AS n, round(sum(o_totalprice), 2) AS total
-      FROM (SELECT o_totalprice,
-              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      SELECT o_orderpriority, tile, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM (SELECT o_orderpriority, o_totalprice,
+              ntile(10) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS tile
             FROM orders)
-      GROUP BY tile ORDER BY tile"""),
+      GROUP BY o_orderpriority, tile ORDER BY o_orderpriority, tile"""),
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         t(s, dir, "orders")
-          .select(col("o_totalprice"), ntile(10).over(
-            Window.orderBy("o_totalprice", "o_orderkey")).as("tile"))
-          .groupBy("tile")
+          .select(col("o_orderpriority"), col("o_totalprice"), ntile(10).over(
+            Window.partitionBy("o_orderpriority")
+              .orderBy("o_totalprice", "o_orderkey")).as("tile"))
+          .groupBy("o_orderpriority", "tile")
           .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-          .orderBy("tile")
+          .orderBy("o_orderpriority", "tile")
       }),
 
     // Correlation / covariance statistics per group (co-moment
