@@ -592,6 +592,46 @@ object RelationalQueries {
         .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
           round(covar_samp("l_quantity", "l_discount"), 4).as("cov_qty_disc"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // The consumer scan of the vulnerability DB (operators.VulnMatch):
+    // inventory x fix ranges through the native version_cmp join
+    // residual. Versions here are plain major.minor so the DuckDB
+    // twin can rank them as integer tuples — the dpkg-specific
+    // orderings (epochs, ~, .el) are pinned by VulnMatchSpec and the
+    // PkgVersion golden suites instead.
+    QueryDef("q80_vuln_match", Some("""
+      WITH inv AS (SELECT 'ns' || (p_partkey % 3) AS namespace,
+                          'f' || (p_partkey % 50) AS feature,
+                          (p_partkey % 4) AS imaj, (p_partkey % 10) AS imin
+                   FROM part WHERE p_partkey < 400),
+      db AS (SELECT 'ns' || (s_suppkey % 3) AS namespace,
+                    'f' || (s_suppkey % 50) AS feature,
+                    (s_suppkey % 3 + 1) AS fmaj, (s_suppkey % 7) AS fmin,
+                    'V-' || s_suppkey AS vul_name
+             FROM supplier)
+      SELECT i.namespace, count(*) AS n_affected,
+             count(DISTINCT d.vul_name) AS n_vulns
+      FROM inv i JOIN db d ON i.namespace = d.namespace AND i.feature = d.feature
+        AND (i.imaj < d.fmaj OR (i.imaj = d.fmaj AND i.imin < d.fmin))
+      GROUP BY i.namespace ORDER BY i.namespace"""),
+      (s, dir) => {
+        val inv = t(s, dir, "part").filter(col("p_partkey") < 400)
+          .select(concat(lit("ns"), col("p_partkey") % 3).as("namespace"),
+            concat(lit("f"), col("p_partkey") % 50).as("feature"),
+            concat(col("p_partkey") % 4, lit("."), col("p_partkey") % 10).as("version"))
+        val ranges = t(s, dir, "supplier")
+          .select(concat(lit("ns"), col("s_suppkey") % 3).as("namespace"),
+            concat(lit("f"), col("s_suppkey") % 50).as("feature"),
+            concat(lit("V-"), col("s_suppkey")).as("vul_name"),
+            lit("High").as("severity"),
+            concat(col("s_suppkey") % 3 + 1, lit("."), col("s_suppkey") % 7).as("fixed_version"),
+            lit(graft.core.PkgVersion.MinSentinel).as("min_ver"))
+        graft.operators.VulnMatch.affected(inv, ranges)
+          .groupBy("namespace")
+          .agg(count(lit(1)).as("n_affected"),
+            countDistinct("vul_name").as("n_vulns"))
+          .orderBy("namespace")
+      })
   )
 }
