@@ -526,6 +526,10 @@ object Dedup {
     val cand = newBands
       .join(allBands.select(col("band"), col("_id").as("_oid"), col("_new")), Seq("band"))
       .filter(col("_id") =!= col("_oid"))
+      // canonicalize new-new pairs (a<b) so each in-batch pair is
+      // verified once, not once per direction; new-old pairs keep the
+      // probe orientation (id_new is always the batch side)
+      .filter(!col("_new") || col("_id") < col("_oid"))
       .select(col("_id").as("id_new"), col("_oid").as("id_other"),
         col("_new").as("other_new"))
       .distinct()

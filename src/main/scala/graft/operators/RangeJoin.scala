@@ -44,26 +44,48 @@ object RangeJoin {
     require(points.columns.toSeq.intersect(outIv).isEmpty,
       "interval columns collide with the point schema; pass a prefix")
 
-    // exact long floor-division (SQL `div` + sign-safe mod, all
-    // integer ops): double arithmetic would quantize epoch-nano-scale
-    // values (> 2^53) and silently drop boundary matches
+    // integral columns take the exact integer path (SQL `div` +
+    // sign-safe mod): double arithmetic would quantize epoch-nano
+    // magnitudes (> 2^53) and silently drop boundary matches.
+    // Fractional columns keep double bucketing (their values ARE
+    // doubles, so floor(x / width) is the faithful bucket; a long
+    // cast would TRUNCATE 3.2 -> 3 and mis-bucket).
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Seq(points.schema(pointCol).dataType,
+      intervals.schema(startCol).dataType, intervals.schema(endCol).dataType)
+      .forall(t => t == LongType || t == IntegerType || t == ShortType || t == ByteType)
     def floorDivExpr(v: String): String =
       s"($v - (($v % $width) + $width) % $width) div $width"
-    val keptIv = intervals.filter(col(endCol) > col(startCol))
-      .withColumn("_rj_s", col(startCol).cast("long"))
-      .withColumn("_rj_e1", col(endCol).cast("long") - 1) // end exclusive
-      .withColumn("_rj_b0", expr(floorDivExpr("_rj_s")))
-      .withColumn("_rj_b1", expr(floorDivExpr("_rj_e1")))
+    val keptIv0 = intervals.filter(col(endCol) > col(startCol))
+    val keptIv = if (integral)
+      keptIv0
+        .withColumn("_rj_s", col(startCol).cast("long"))
+        .withColumn("_rj_e1", col(endCol).cast("long") - 1) // end exclusive
+        .withColumn("_rj_b0", expr(floorDivExpr("_rj_s")))
+        .withColumn("_rj_b1", expr(floorDivExpr("_rj_e1")))
+    else
+      keptIv0
+        .withColumn("_rj_b0",
+          floor(col(startCol).cast("double") / width).cast("long"))
+        .withColumn("_rj_b1",
+          // end exclusive: the last covered bucket; greatest() guards
+          // a sub-width interval collapsing below its own start bucket
+          greatest(ceil(col(endCol).cast("double") / width).cast("long") - 1,
+            floor(col(startCol).cast("double") / width).cast("long")))
     val guarded = HotKeys.observeDrops(keptIv,
       col("_rj_b1") - col("_rj_b0") + 1 <= maxBuckets, metricName)
     val exploded = guarded.select(
       ivCols.map(c => col(c).as(prefix + c)) :+
       explode(sequence(col("_rj_b0"), col("_rj_b1"))).as("_bucket"): _*)
 
-    val bucketedPoints = points
-      .withColumn("_rj_v", col(pointCol).cast("long"))
-      .withColumn("_bucket", expr(floorDivExpr("_rj_v")))
-      .drop("_rj_v")
+    val bucketedPoints = if (integral)
+      points
+        .withColumn("_rj_v", col(pointCol).cast("long"))
+        .withColumn("_bucket", expr(floorDivExpr("_rj_v")))
+        .drop("_rj_v")
+    else
+      points.withColumn("_bucket",
+        floor(col(pointCol).cast("double") / width).cast("long"))
 
     bucketedPoints.join(exploded, Seq("_bucket"))
       .filter(col(pointCol) >= col(prefix + startCol) &&

@@ -33,12 +33,21 @@ import graft.functions.VersionExpressions
   * through the join without shuffling. */
 object VulnMatch {
 
-  /** Flatten a vulnerability DB to its per-feature fix ranges. */
+  /** Flatten a vulnerability DB to its per-feature fix ranges. The
+    * range's namespace is the FIX ENTRY's featureNamespace when set,
+    * falling back to the vuln-level namespace: Debian/Ubuntu rows
+    * carry namespace = "" with the release namespace per fix entry
+    * (`DebianSource.scala:99`, `UbuntuSource.scala:124`), and one
+    * vuln row can span releases — keying on the vuln-level namespace
+    * would match nothing (or the wrong release). */
   def fixRanges(db: Dataset[Vulnerability]): DataFrame =
     db.toDF()
       .select(col("name").as("vul_name"), col("namespace"),
         col("severity"), explode(col("fixedIn")).as("fix"))
-      .select(col("vul_name"), col("namespace"), col("severity"),
+      .select(col("vul_name"),
+        coalesce(when(col("fix.featureNamespace") =!= "",
+          col("fix.featureNamespace")), col("namespace")).as("namespace"),
+        col("severity"),
         col("fix.featureName").as("feature"),
         col("fix.version").as("fixed_version"),
         col("fix.minVer").as("min_ver"))
@@ -63,7 +72,7 @@ object VulnMatch {
         VersionExpressions.version_cmp(col(versionCol), col("fixed_version")) < 0 &&
         VersionExpressions.version_cmp(col(versionCol),
           coalesce(col("min_ver"), lit(PkgVersion.MinSentinel))) >= 0)
-      .drop("_ns", "_ft")
+      .drop("_ns", "_ft", "min_ver")
   }
 
   /** One-call scan: inventory × DB -> affected report with the

@@ -984,7 +984,8 @@ object DataPrepQueries {
       keptexact AS (
         SELECT doc_id, text FROM (
           SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM newdocs WHERE md5(text) NOT IN (SELECT dg FROM olddig))
+          FROM newdocs WHERE md5(text) IS NULL
+             OR md5(text) NOT IN (SELECT dg FROM olddig WHERE dg IS NOT NULL))
         WHERE rn = 1),
       corpus AS (SELECT doc_id, text, FALSE AS isnew FROM olddocs
                  UNION ALL SELECT doc_id, text, TRUE AS isnew FROM keptexact),

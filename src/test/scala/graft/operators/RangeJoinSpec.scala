@@ -68,4 +68,18 @@ class RangeJoinSpec extends SparkSpecBase {
     // matches: base+1, base+999, base+1000 (end base+1001 exclusive -> base+1001 out, base out)
     assert(got == Set(1L, 2L, 3L))
   }
+
+  test("fractional (double) columns bucket by value, not by truncation") {
+    val pts = Seq((3.2, 1L), (0.4, 2L), (3.6, 3L)).toDF("t", "pid")
+    val ivs = Seq((1L, 0.0, 3.5), (2L, 0.2, 0.5)).toDF("iv_id", "s", "e")
+    val got = RangeJoin.intervalJoin(pts, ivs, "t", "s", "e",
+        width = 1L, metricName = "frac_case")
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3.2 in [0, 3.5) ✓; 0.4 in both [0,3.5) and [0.2,0.5) ✓; 3.6 in neither
+    assert(got == Set((1L, 1L), (2L, 1L), (2L, 2L)))
+    // identical to the naive inequality join
+    val naiveF = pts.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naiveF)
+  }
 }

@@ -80,4 +80,23 @@ class VulnMatchSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySev == Map("High" -> 2L, "Critical" -> 1L, "Low" -> 1L))
   }
+
+  test("Debian/Ubuntu model: namespace comes from the fix entry, not the vuln row") {
+    // one vuln row spanning two releases, vuln-level namespace empty —
+    // exactly how DebianSource/UbuntuSource build their records
+    val crossRelease = Seq(vul("CVE-X", "", "High", Seq(
+      fv("openssl", "debian:11", "1.1.1n-0+deb11u3"),
+      fv("openssl", "debian:12", "3.0.9-1")))).toDS()
+    val inv = Seq(
+      ("debian:11", "openssl", "1.1.1k-1"), // below the bullseye fix
+      ("debian:12", "openssl", "1.1.1k-1"), // below the bookworm fix
+      ("debian:12", "openssl", "3.0.9-1")   // at the bookworm fix
+    ).toDF("namespace", "feature", "version")
+    val got = VulnMatch.scan(inv, crossRelease)
+      .select("namespace", "version").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("debian:11", "1.1.1k-1"), ("debian:12", "1.1.1k-1")))
+    // and the output schema honors the documented contract (no min_ver)
+    assert(!VulnMatch.scan(inv, crossRelease).columns.contains("min_ver"))
+  }
 }
