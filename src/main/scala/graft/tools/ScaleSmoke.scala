@@ -144,6 +144,23 @@ object ScaleSmoke {
         .filter(col("rnk") <= 10).count()
     }
 
+    // consumer vuln scan at fleet scale: the inventory side (the
+    // thing that grows) streams through a broadcast of the DB ranges
+    val basePart = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+      .select(concat(lit("ns"), col("p_partkey") % 5).as("namespace"),
+        concat(lit("f"), col("p_partkey") % 2000).as("feature"),
+        concat(col("p_partkey") % 4, lit("."), col("p_partkey") % 10).as("version"))
+    val inv = (0 until mult * 5).map(_ => basePart).reduce(_ unionByName _)
+    val ranges = spark.read.parquet("/root/testdata/sf0.1/supplier.parquet")
+      .select(concat(lit("ns"), col("s_suppkey") % 5).as("namespace"),
+        concat(lit("f"), col("s_suppkey") % 2000).as("feature"),
+        concat(lit("V-"), col("s_suppkey")).as("vul_name"),
+        lit("High").as("severity"),
+        concat(col("s_suppkey") % 3 + 1, lit("."), col("s_suppkey") % 7).as("fixed_version"),
+        lit(graft.core.PkgVersion.MinSentinel).as("min_ver"))
+    timed(s"vuln_scan(${mult * 5}x part inventory)")(
+      graft.operators.VulnMatch.affected(inv, ranges).count())
+
     spark.stop()
   }
 }
