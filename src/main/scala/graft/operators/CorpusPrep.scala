@@ -57,13 +57,14 @@ object CorpusPrep {
     // e.g. by lang or source); applied LAST via Mixing.stratifiedSample
     sampleRate: Option[org.apache.spark.sql.Column] = None)
 
-  /** Returns the surviving rows of `docs` with `clean_text` appended.
-    * `idCol` must be unique per row; `textCol` is the raw text. */
-  def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      cfg: Config = Config()): DataFrame = {
-    val norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
-    val cleaned = docs.withColumn("clean_text", norm(col(textCol)))
+  private def normOf(cfg: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
+
+  /** Shared front half: normalize (+ optional PII redaction), quality
+    * gates, optional boilerplate gate — everything before dedup. */
+  private def normalizeAndGate(docs: DataFrame, textCol: String,
+      idCol: String, cfg: Config): DataFrame = {
+    val cleaned = docs.withColumn("clean_text", normOf(cfg)(col(textCol)))
     val gated = cleaned
       .withColumn("_ntok", size(split(col("clean_text"), " ")))
       .filter(length(col("clean_text")).between(cfg.minChars, cfg.maxChars))
@@ -73,13 +74,37 @@ object CorpusPrep {
       .drop("_ntok")
     // boilerplate gate: anti-join against the repeated-span census —
     // docs over the hot-span budget drop before any dedup work
-    val spanGated = cfg.maxHotSpans.fold(gated) { budget =>
+    cfg.maxHotSpans.fold(gated) { budget =>
       gated.join(
         Dedup.repeatedSpans(gated, "clean_text", idCol, cfg.shingleN, cfg.spanMinDf)
           .filter(col("n_hot_spans") > budget)
           .select(idCol),
         Seq(idCol), "left_anti")
     }
+  }
+
+  /** Shared back half: benchmark decontamination + stratified
+    * sampling over the dedup survivors. */
+  private def decontaminateAndSample(deduped: DataFrame, idCol: String,
+      cfg: Config): DataFrame = {
+    val decontaminated = cfg.benchmark.fold(deduped) { bench =>
+      // normalize the benchmark text identically to the corpus before
+      // shingling, or containment would miss on case/whitespace alone
+      Dedup.decontaminate(deduped, "clean_text", idCol,
+        bench.withColumn("_bclean", normOf(cfg)(col(cfg.benchTextCol))),
+        "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment)
+    }
+    // distinct salt: the prep sample must not correlate with any
+    // downstream unsalted mixing draw over the same ids
+    cfg.sampleRate.fold(decontaminated)(
+      Mixing.stratifiedSample(decontaminated, idCol, _, salt = "corpusprep"))
+  }
+
+  /** Returns the surviving rows of `docs` with `clean_text` appended.
+    * `idCol` must be unique per row; `textCol` is the raw text. */
+  def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      cfg: Config = Config()): DataFrame = {
+    val spanGated = normalizeAndGate(docs, textCol, idCol, cfg)
     // exact dedup: min id per content digest survives
     val exactKept = spanGated
       .withColumn("_digest", md5(col("clean_text")))
@@ -95,17 +120,29 @@ object CorpusPrep {
     val deduped = cfg.keepPreference
       .fold(Dedup.dropNearDuplicates(exactKept, idCol, clusters))(
         Dedup.dropNearDuplicatesBy(exactKept, idCol, clusters, _))
-    val decontaminated = cfg.benchmark.fold(deduped) { bench =>
-      // normalize the benchmark text identically to the corpus before
-      // shingling, or containment would miss on case/whitespace alone
-      Dedup.decontaminate(deduped, "clean_text", idCol,
-        bench.withColumn("_bclean", norm(col(cfg.benchTextCol))),
-        "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment)
-    }
-    // distinct salt: the prep sample must not correlate with any
-    // downstream unsalted mixing draw over the same ids
-    cfg.sampleRate.fold(decontaminated)(
-      Mixing.stratifiedSample(decontaminated, idCol, _, salt = "corpusprep"))
+    decontaminateAndSample(deduped, idCol, cfg)
+  }
+
+  /** Incremental prep: a NEW batch against a STANDING prepared
+    * corpus (run's output, which carries `clean_text`). The batch is
+    * normalized, gated and optionally PII-redacted exactly like
+    * `run`, then deduped against the standing corpus via
+    * `Dedup.dropIncrementalDuplicates` (exact + near tiers,
+    * full-rerun cluster semantics — the standing side is never
+    * re-clustered; pass `oldIndex` from `Dedup.writeDedupIndex` so
+    * it is never even re-hashed). Decontamination and sampling apply
+    * to the surviving batch rows. Returns the batch survivors — the
+    * rows to APPEND to the standing corpus. */
+  def runIncremental(standing: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      cfg: Config = Config(),
+      oldIndex: Option[DataFrame] = None): DataFrame = {
+    val gated = normalizeAndGate(batch, textCol, idCol, cfg)
+    val deduped = Dedup.dropIncrementalDuplicates(
+      standing, gated, "clean_text", idCol,
+      cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
+      cfg.maxBucket, oldIndex)
+    decontaminateAndSample(deduped, idCol, cfg)
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

@@ -113,4 +113,41 @@ class CorpusPrepSpec extends SparkSpecBase {
     // sampling happens last: no sampleRate keeps all 400
     assert(CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20)).count() == 400)
   }
+
+  test("runIncremental: batch prepped like run, deduped against the standing corpus") {
+    val oldDocs = Seq(
+      (1L, "The Quick Brown Fox Jumps Over The Lazy Dog Again Today"),
+      (2L, "completely different content that survives every stage fine")
+    ).toDF("doc_id", "text")
+    val standing = CorpusPrep.run(oldDocs, cfg = CorpusPrep.Config(minChars = 20))
+    assert(standing.count() == 2)
+
+    val batch = Seq(
+      // exact dup of standing 1 after normalization -> drop
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      // near dup of standing 1 -> drop
+      (11L, "the quick brown fox jumps over the lazy dog again tonight"),
+      // fails the length gate -> drop before any dedup
+      (12L, "too short"),
+      // genuinely new -> survives
+      (13L, "a brand new document about watermarks state and eviction paths")
+    ).toDF("doc_id", "text")
+
+    val kept = CorpusPrep.runIncremental(standing, batch,
+        cfg = CorpusPrep.Config(minChars = 20, minJaccard = 0.5,
+          numHashes = 8, rowsPerBand = 2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(13L))
+
+    // with the standing corpus's stored index: identical result
+    val path = java.nio.file.Files.createTempDirectory("graft-prep-ix").toString + "/ix"
+    Dedup.writeDedupIndex(standing, path, "clean_text", "doc_id",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    val viaIx = CorpusPrep.runIncremental(standing, batch,
+        cfg = CorpusPrep.Config(minChars = 20, minJaccard = 0.5,
+          numHashes = 8, rowsPerBand = 2),
+        oldIndex = Some(Dedup.readDedupIndex(spark, path)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIx == kept)
+  }
 }
