@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * count cost no sample decode). Video CONTAINER metadata is REAL as
   * well (`VideoDecoder`, a pure ISO-BMFF box walk — MP4/MOV duration,
   * timescale, display dimensions, track census; the length-prefixed
-  * box grammar is codec-independent). Only video SAMPLE decode
-  * (pixels/frames) stays stubbed (`StubDecoder`/`sampleFrames` derive
-  * deterministic fake features; frame codecs genuinely are not in the
+  * box grammar is codec-independent). FRAME decode is real for the
+  * multi-frame container the JDK ships a codec for — animated GIF
+  * (`sampleFramesDecoded`: evenly sampled frames decoded to pixels
+  * and digested); MP4/WebM sample decode stays stubbed
+  * (`StubDecoder`/`sampleFrames` derive deterministic fake features;
+  * those codecs genuinely are not in the
   * JDK) — the Spark-side contract — schema, partitioning,
   * per-partition decoder lifecycle, batch shape, null handling — is
   * identical throughout and tested (MultimodalSpec counts decoder
@@ -344,6 +347,63 @@ object Multimodal {
             Row.fromSeq(r.toSeq :+ i :+ d.drop(i % 16).take(8).map("%02x".format(_)).mkString)
           }
         }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL frame extraction for multi-frame containers the JDK can
+    * decode — animated GIF via the ImageIO gif plugin (ships with
+    * every JVM; MP4/WebM frame decode still has no JDK codec and
+    * stays with `sampleFrames`' stub). Up to `nFrames` evenly spaced
+    * frames are DECODED to pixels and digested (SHA-256 over the ARGB
+    * raster), one output row per frame with real dimensions — the
+    * per-frame feature-extraction input shape. Same mapPartitions
+    * contract as the other decoders: digest state per partition, all
+    * decode where the scan partition lives, malformed payloads emit
+    * zero rows rather than failing the task. */
+  def sampleFramesDecoded(df: DataFrame, binaryCol: String, nFrames: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType).add("n_frames", IntegerType)
+      .add("frame_width", IntegerType).add("frame_height", IntegerType)
+      .add("frame_digest", StringType)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.flatMap { r =>
+        val b = binaryOf(r, idx)
+        if (b == null || b.isEmpty) Iterator.empty
+        else try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true) // allowSearch: full index scan
+                val picks =
+                  if (n <= nFrames) 0 until n
+                  else (0 until nFrames).map(i => i * n / nFrames)
+                // strict map: the frames must be decoded BEFORE the
+                // reader is disposed in finally (a lazy iterator here
+                // would read from a closed reader)
+                picks.toVector.map { fi =>
+                  val img = reader.read(fi)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
+                  val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+                  bb.asIntBuffer().put(px)
+                  md.reset()
+                  val dg = md.digest(bb.array()).take(8).map("%02x".format(_)).mkString
+                  Row.fromSeq(r.toSeq :+ fi :+ n :+ w :+ h :+ dg)
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }(Encoders.row(outSchema))
   }

@@ -188,4 +188,47 @@ class MultimodalSpec extends SparkSpecBase {
       .select(col("media.digest")).collect().map(_.getString(0))
     assert(again.head == rows(1L)._3)
   }
+
+  test("sampleFramesDecoded: real animated-GIF frames — true dims and per-frame pixels") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // build a genuine 3-frame animated GIF with distinct frame contents
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 3) {
+      val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(80 * f, 255 - 80 * f, 40 + 10 * f))
+      g.fillRect(0, 0, 8, 6)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    import spark.implicits._
+    val df = Seq((1L, gif), (2L, "not a gif".getBytes("UTF-8")))
+      .toDF("media_id", "blob")
+    val frames = Multimodal.sampleFramesDecoded(df, "blob", nFrames = 8)(spark)
+      .select("media_id", "frame_idx", "n_frames", "frame_width", "frame_height", "frame_digest")
+      .collect()
+    // the GIF yields its 3 real frames (fewer than nFrames asked);
+    // the non-media payload yields zero rows
+    assert(frames.map(_.getLong(0)).toSet == Set(1L))
+    assert(frames.length == 3)
+    assert(frames.forall(r => r.getInt(2) == 3 && r.getInt(3) == 8 && r.getInt(4) == 6))
+    assert(frames.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+    // distinct frame contents -> distinct pixel digests; deterministic rerun
+    assert(frames.map(_.getString(5)).distinct.length == 3)
+    val again = Multimodal.sampleFramesDecoded(df, "blob", nFrames = 8)(spark)
+      .select("frame_digest").collect().map(_.getString(0)).sorted
+    assert(again.toSeq == frames.map(_.getString(5)).sorted.toSeq)
+    // sampling: asking for 2 of 3 frames picks evenly spaced real indices
+    val two = Multimodal.sampleFramesDecoded(df, "blob", nFrames = 2)(spark)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(two.toSeq == Seq(0, 1))
+  }
 }
