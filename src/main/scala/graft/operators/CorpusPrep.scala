@@ -63,7 +63,8 @@ object CorpusPrep {
   /** Shared front half: normalize (+ optional PII redaction), quality
     * gates, optional boilerplate gate — everything before dedup. */
   private def normalizeAndGate(docs: DataFrame, textCol: String,
-      idCol: String, cfg: Config): DataFrame = {
+      idCol: String, cfg: Config,
+      spanCorpus: Option[DataFrame] = None): DataFrame = {
     val cleaned = docs.withColumn("clean_text", normOf(cfg)(col(textCol)))
     val gated = cleaned
       .withColumn("_ntok", size(split(col("clean_text"), " ")))
@@ -73,10 +74,17 @@ object CorpusPrep {
         .cast("double") / col("_ntok") <= cfg.maxRepetition)
       .drop("_ntok")
     // boilerplate gate: anti-join against the repeated-span census —
-    // docs over the hot-span budget drop before any dedup work
+    // docs over the hot-span budget drop before any dedup work.
+    // `spanCorpus` (the incremental path) widens the census to the
+    // standing corpus, so span document-frequencies reflect the WHOLE
+    // corpus — a batch-only census would miss boilerplate whose
+    // within-batch df sits below spanMinDf.
     cfg.maxHotSpans.fold(gated) { budget =>
+      val censusInput = spanCorpus.fold(gated)(st =>
+        gated.select(col(idCol), col("clean_text"))
+          .unionByName(st.select(col(idCol), col("clean_text"))))
       gated.join(
-        Dedup.repeatedSpans(gated, "clean_text", idCol, cfg.shingleN, cfg.spanMinDf)
+        Dedup.repeatedSpans(censusInput, "clean_text", idCol, cfg.shingleN, cfg.spanMinDf)
           .filter(col("n_hot_spans") > budget)
           .select(idCol),
         Seq(idCol), "left_anti")
@@ -130,18 +138,27 @@ object CorpusPrep {
     * `Dedup.dropIncrementalDuplicates` (exact + near tiers,
     * full-rerun cluster semantics — the standing side is never
     * re-clustered; pass `oldIndex` from `Dedup.writeDedupIndex` so
-    * it is never even re-hashed). Decontamination and sampling apply
-    * to the surviving batch rows. Returns the batch survivors — the
-    * rows to APPEND to the standing corpus. */
+    * it is never even re-hashed — build it with
+    * `Dedup.writeDedupIndex(standing, path, textCol = "clean_text")`
+    * so the index hashes the SAME column this method probes; a
+    * mismatched index fails the config check). The boilerplate gate's
+    * span census covers standing + batch, and `keepPreference`
+    * applies to pure-batch near-dup clusters. Ids must be unique
+    * ACROSS standing and batch — a re-crawled doc must carry a new
+    * id (or be diffed out first via VulDbDiff.keyedDiff).
+    * Decontamination and sampling apply to the surviving batch rows.
+    * Returns the batch survivors — the rows to APPEND to the
+    * standing corpus. */
   def runIncremental(standing: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config(),
       oldIndex: Option[DataFrame] = None): DataFrame = {
-    val gated = normalizeAndGate(batch, textCol, idCol, cfg)
+    val gated = normalizeAndGate(batch, textCol, idCol, cfg,
+      spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None)
     val deduped = Dedup.dropIncrementalDuplicates(
       standing, gated, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
-      cfg.maxBucket, oldIndex)
+      cfg.maxBucket, oldIndex, cfg.keepPreference)
     decontaminateAndSample(deduped, idCol, cfg)
   }
 

@@ -418,7 +418,10 @@ object Dedup {
         array(bandKeyCols(i => element_at(col("_hs"), i + 1),
           numHashes, rowsPerBand): _*)))
       .drop("_hs")
-      .withColumn("_cfg", lit(s"$shingleN/$numHashes/$rowsPerBand"))
+      // the config pin includes the TEXT COLUMN: an index hashed over
+      // raw text reused against a clean_text probe would silently
+      // match nothing (same digests/bands formula, different input)
+      .withColumn("_cfg", lit(s"$textCol/$shingleN/$numHashes/$rowsPerBand"))
 
   /** Persist / reload the dedup index (plain parquet — at 100 TB this
     * is the artifact that makes tomorrow's incremental run cost
@@ -472,7 +475,8 @@ object Dedup {
       shingleN: Int = 3, minJaccard: Double = 0.8,
       numHashes: Int = 4, rowsPerBand: Int = 2,
       maxBucket: Int = HotKeys.DefaultBucketCap,
-      oldIndex: Option[DataFrame] = None): DataFrame = {
+      oldIndex: Option[DataFrame] = None,
+      keepPreference: Option[Column] = None): DataFrame = {
     require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     import org.apache.spark.sql.expressions.Window
@@ -481,7 +485,7 @@ object Dedup {
     // old side's digest+band recomputation; its banding config must
     // match this call's or the probe would search foreign bands
     oldIndex.foreach { ix =>
-      val cfg = s"$shingleN/$numHashes/$rowsPerBand"
+      val cfg = s"$textCol/$shingleN/$numHashes/$rowsPerBand"
       val found = ix.select("_cfg").limit(1).collect()
       require(found.isEmpty || found(0).getString(0) == cfg,
         s"dedup index was built with cfg ${found.headOption.map(_.getString(0)).getOrElse("?")}, " +
@@ -560,8 +564,19 @@ object Dedup {
     val tainted = clusters
       .join(contaminated, col("id") === col("_drop"), "left_semi")
       .select("cluster").distinct()
-    val keepers = clusters.join(tainted, Seq("cluster"), "left_anti")
-      .groupBy("cluster").agg(min("id").as("id")).select("id")
+    val untainted = clusters.join(tainted, Seq("cluster"), "left_anti")
+    val keepers = keepPreference match {
+      case None =>
+        untainted.groupBy("cluster").agg(min("id").as("id")).select("id")
+      case Some(pref) =>
+        // same survivor rule as dropNearDuplicatesBy: the row
+        // minimizing the preference wins, ties by id
+        untainted
+          .join(keptExact.select(col(idCol).as("id"), pref.as("_p")), Seq("id"))
+          .groupBy("cluster")
+          .agg(min(struct(col("_p"), col("id"))).as("_w"))
+          .select(col("_w.id").as("id"))
+    }
     val clusterDrops = clusters.select("id").except(keepers)
       .select(col("id").as("_drop"))
     keptExact.join(contaminated.unionByName(clusterDrops).distinct(),

@@ -385,21 +385,53 @@ object Multimodal {
                 reader.setInput(iis)
                 val n = reader.getNumImages(true) // allowSearch: full index scan
                 val picks =
-                  if (n <= nFrames) 0 until n
-                  else (0 until nFrames).map(i => i * n / nFrames)
-                // strict map: the frames must be decoded BEFORE the
-                // reader is disposed in finally (a lazy iterator here
-                // would read from a closed reader)
-                picks.toVector.map { fi =>
-                  val img = reader.read(fi)
-                  val (w, h) = (img.getWidth, img.getHeight)
-                  val px = img.getRGB(0, 0, w, h, null, 0, w)
-                  val bb = java.nio.ByteBuffer.allocate(px.length * 4)
-                  bb.asIntBuffer().put(px)
-                  md.reset()
-                  val dg = md.digest(bb.array()).take(8).map("%02x".format(_)).mkString
-                  Row.fromSeq(r.toSeq :+ fi :+ n :+ w :+ h :+ dg)
+                  (if (n <= nFrames) 0 until n
+                   // Long math: i * n overflows Int for large requests
+                   else (0 until nFrames).map(i => (i.toLong * n / nFrames).toInt)).toSet
+                // COMPOSITE frames: optimized GIFs store only each
+                // frame's changed sub-rectangle at an (x, y) offset —
+                // reading a frame raw would digest the patch, not the
+                // rendered image, so two encodings of one animation
+                // would disagree. Decode sequentially onto a canvas
+                // (draw-over; the dominant doNotDispose case) and
+                // digest the canvas at each picked index. Strict
+                // decode BEFORE the reader is disposed in finally.
+                val maxPick = if (picks.isEmpty) -1 else picks.max
+                val canvas = {
+                  val f0 = reader.read(0)
+                  val (w0, h0) = (math.max(f0.getWidth, reader.getWidth(0)),
+                    math.max(f0.getHeight, reader.getHeight(0)))
+                  val c = new java.awt.image.BufferedImage(w0, h0,
+                    java.awt.image.BufferedImage.TYPE_INT_ARGB)
+                  c
                 }
+                val g = canvas.createGraphics()
+                val out = try {
+                  (0 to maxPick).toVector.flatMap { fi =>
+                    val img = reader.read(fi)
+                    val (x, y) = try {
+                      val tree = reader.getImageMetadata(fi)
+                        .getAsTree("javax_imageio_gif_image_1.0")
+                        .asInstanceOf[org.w3c.dom.Element]
+                      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+                        .asInstanceOf[org.w3c.dom.Element]
+                      (desc.getAttribute("imageLeftPosition").toInt,
+                        desc.getAttribute("imageTopPosition").toInt)
+                    } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+                    g.drawImage(img, x, y, null)
+                    if (!picks.contains(fi)) None
+                    else {
+                      val (w, h) = (canvas.getWidth, canvas.getHeight)
+                      val px = canvas.getRGB(0, 0, w, h, null, 0, w)
+                      val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+                      bb.asIntBuffer().put(px)
+                      md.reset()
+                      val dg = md.digest(bb.array()).take(8).map("%02x".format(_)).mkString
+                      Some(Row.fromSeq(r.toSeq :+ fi :+ n :+ w :+ h :+ dg))
+                    }
+                  }
+                } finally g.dispose()
+                out
               } finally reader.dispose()
             }
           } finally iis.close()

@@ -231,4 +231,47 @@ class MultimodalSpec extends SparkSpecBase {
       .select("frame_idx").collect().map(_.getInt(0)).sorted
     assert(two.toSeq == Seq(0, 1))
   }
+
+  test("sampleFramesDecoded composites delta frames onto the logical canvas") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // frame 0: full 8x6 red; frame 1: a 2x2 green PATCH at (3,2) —
+    // the optimized-GIF shape (only the changed sub-rectangle stored)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def frame(w: Int, h: Int, c: java.awt.Color): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics(); g.setColor(c); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    def writeAt(img: BufferedImage, x: Int, y: Int): Unit = {
+      val typ = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val meta = writer.getDefaultImageMetadata(typ, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[org.w3c.dom.Element]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+    }
+    writeAt(frame(8, 6, java.awt.Color.RED), 0, 0)
+    writeAt(frame(2, 2, java.awt.Color.GREEN), 3, 2)
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+
+    import spark.implicits._
+    val df = Seq((1L, bos.toByteArray)).toDF("media_id", "blob")
+    val rows = Multimodal.sampleFramesDecoded(df, "blob", nFrames = 4)(spark)
+      .select("frame_idx", "frame_width", "frame_height", "frame_digest")
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 2)
+    // BOTH frames report the rendered canvas size, not the patch size
+    assert(rows.forall(r => r.getInt(1) == 8 && r.getInt(2) == 6))
+    // the composited second frame differs from the first (patch landed)
+    assert(rows(0).getString(3) != rows(1).getString(3))
+  }
 }
