@@ -122,9 +122,13 @@ object ScaleSmoke {
     val states = ev.groupBy(col("user_id"),
         (col("ems") - (col("ems") % 100000000L)).as("rt"))
       .agg(max("value").as("px"))
+    // count the MATCHED column: a bare count() lets Catalyst prune
+    // the window entirely (it only needs the side filter), which
+    // would time the union, not the as-of resolution
     timed("asof_backward")(
       graft.operators.AsOfJoin.asOfBackward(ev, states,
-        "user_id", "user_id", "ems", "rt", Seq("px"), prefix = "r_").count())
+        "user_id", "user_id", "ems", "rt", Seq("px"), prefix = "r_")
+        .agg(count("r_px")).collect()(0).getLong(0))
     // range join: 200 no-equi-key windows over the whole stream
     val wins = ev.orderBy(desc("value"), col("event_id")).limit(200)
       .select(col("event_id").as("window_id"), col("ems").as("ws"),
