@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) merge learning — the
+  * tokenizer-prep step of a training-data pipeline, on the classic
+  * word-frequency formulation (Sennrich et al., 2016):
+  *
+  *  1. ONE corpus pass builds the word-frequency table — after which
+  *     everything operates on the Zipf-bounded vocabulary (100k-ish
+  *     rows at web scale), never the corpus again;
+  *  2. each merge round aggregates weighted adjacent-pair counts over
+  *     the symbolized vocabulary (map-side partial sums, one small
+  *     shuffle) and collects exactly ONE row — the winning pair —
+  *     to the driver (the codebook-literal trade: KBs, bounded);
+  *  3. the merge applies as a map-side left-to-right fold over each
+  *     word's symbol array (a HOF `aggregate`, no UDF), and the
+  *     frame is localCheckpoint'ed so round k+1 does not replay
+  *     rounds 1..k.
+  *
+  * Ties break (count desc, left asc, right asc) so the learned merge
+  * sequence is total-ordered and identical on every run/partitioning.
+  *
+  * `segment` then tokenizes a corpus by joining its words against the
+  * learned word→symbols table (broadcast — vocabulary-sized) with a
+  * character-split fallback for OOV words: O(1) plan depth however
+  * many merges were learned, instead of replaying the merge chain
+  * per row. */
+object Bpe {
+
+  final case class Learned(merges: DataFrame, vocab: DataFrame)
+
+  /** Non-empty whitespace words of a text column. */
+  private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
+
+  /** Initial symbolization: per-character symbols plus the
+    * end-of-word marker as a final symbol. */
+  private val charSplit: String => String =
+    col => s"concat(transform(sequence(1, length($col)), i -> substring($col, i, 1)), array('</w>'))"
+
+  /** Merge one (l, r) pair left-to-right, non-overlapping, in the
+    * `_syms_in` symbol-array column — the BPE replacement fold. */
+  private def mergePair(l: String, r: String): Column = {
+    val lq = l.replace("'", "\\'")
+    val rq = r.replace("'", "\\'")
+    // fold: if the accumulator ends with l and the next symbol is r,
+    // replace the tail with the merged symbol, else append
+    expr(s"""aggregate(_syms_in, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+      CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND x = '$rq'
+           THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq'))
+           ELSE concat(acc, array(x)) END)""")
+  }
+
+  /** Learn `numMerges` merges over `textCol`. Returns the ordered
+    * merge table (rank, left, right, merged, pair_count) and the
+    * final word→symbols vocabulary (word, count, syms). */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+      vocabPartitions: Int = 8): Learned = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val spark = docs.sparkSession
+    // 1. corpus pass -> word frequencies (the only full-corpus scan).
+    // The vocab table is small (Zipf), so it coalesces to a few
+    // partitions — per-round cost is otherwise dominated by task
+    // overhead over near-empty partitions (measured 16 merges on the
+    // 100k-doc smoke: 61 s at 32 partitions -> 3.3 s at 8)
+    val wordFreq = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("count"))
+    var vocab = wordFreq
+      .withColumn("syms", expr(charSplit("word")))
+      .coalesce(vocabPartitions)
+      .localCheckpoint()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // 2. weighted adjacent-pair counts over the symbolized vocab
+      val top = vocab
+        .select(col("count"), explode(expr(
+          // guard single-symbol words: sequence(1, 0) is DESCENDING
+          // in Spark ([1, 0]), not empty
+          """CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>)
+             ELSE transform(sequence(1, size(syms) - 1),
+               i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) END""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("count").as("n"))
+        .orderBy(desc("n"), asc("l"), asc("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, n))
+        // 3. apply the merge map-side; checkpoint to keep lineage flat
+        vocab = vocab
+          .withColumnRenamed("syms", "_syms_in")
+          .withColumn("syms", mergePair(l, r))
+          .drop("_syms_in")
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    import spark.implicits._
+    val mergesDf = merges.toSeq
+      .toDF("rank", "left", "right", "pair_count")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("rank", "left", "right", "merged", "pair_count")
+    Learned(mergesDf, vocab)
+  }
+
+  /** Tokenize a corpus with a learned vocabulary: words join the
+    * (broadcast) word→symbols table; OOV words fall back to the
+    * character split. Returns one row per doc with the subword array
+    * and counts — the shape a tokenizer-throughput estimator needs.
+    * One corpus scan + one broadcast join, independent of how many
+    * merges were learned. */
+  def segment(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.select(col("word").as("_w"), col("syms").as("_vsyms")))
+    docs
+      // posexplode keeps the word position: collect_list order is
+      // partition-dependent, so the subword stream must be re-sorted
+      // by position or the output would be nondeterministic
+      .select(col(idCol), posexplode(words(col(textCol))))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "word")
+      .join(v, col("word") === col("_w"), "left_outer")
+      .withColumn("_syms",
+        coalesce(col("_vsyms"), expr(charSplit("word"))))
+      .groupBy(idCol)
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(_pos, _syms))), x -> x._syms))")
+          .as("subwords"),
+        count(lit(1)).as("n_words"))
+      .withColumn("n_subwords", size(col("subwords")).cast("bigint"))
+  }
+}

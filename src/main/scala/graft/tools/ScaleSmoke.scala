@@ -62,6 +62,10 @@ object ScaleSmoke {
       graft.operators.Mixing.weightedMix(docs, "doc_id", lit(1.5)).count())
     // incremental dedup: a 5%-of-corpus batch against the rest — the
     // recurring cost must follow the batch, not the standing corpus
+    // BPE: the corpus pass is one word count; every merge round then
+    // works the Zipf-bounded vocab table, not the corpus
+    timed("bpe_learn(16 merges)")(
+      graft.operators.Bpe.learn(docs, "text", numMerges = 16).merges.count())
     timed("incremental_dedup(5% batch)") {
       val batch = docs.filter(col("doc_id") % 20 === 3)
       val standing = docs.filter(col("doc_id") % 20 =!= 3)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning pinned on the classic hand-derivable corpus:
+  * known merge sequence, deterministic ties, correct non-overlapping
+  * fold, vocabulary-join segmentation with OOV fallback. */
+class BpeSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // word counts: low x3, lower x1, lowest x1 -> every word starts
+  // l o w ... </w>; the (l,o) and (o,w) pairs both appear 5 times,
+  // so the lexicographic tie-break decides and the sequence is fully
+  // predictable
+  private lazy val docs = Seq(
+    (1L, "low low lower"),
+    (2L, "lowest low")
+  ).toDF("doc_id", "text")
+
+  test("learns the hand-computed merge sequence with deterministic ties") {
+    val learned = Bpe.learn(docs, "text", numMerges = 4)
+    val merges = learned.merges.orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // round 0: (l,o)=5 ties (o,w)=5 -> 'l' < 'o' wins; round 1:
+    // (lo,w)=5 unique; round 2: (low,</w>)=3 beats er/est chains
+    assert(merges(0) == (0, "l", "o", 5L))
+    assert(merges(1) == (1, "lo", "w", 5L))
+    assert(merges(2) == (2, "low", "</w>", 3L))
+    assert(merges.length == 4)
+    // the vocab reflects the merges: 'low' is now one token
+    val lowSyms = learned.vocab.filter(col("word") === "low")
+      .select("syms").collect()(0).getSeq[String](0)
+    assert(lowSyms == Seq("low</w>"))
+  }
+
+  test("merge fold is left-to-right non-overlapping") {
+    val learned = Bpe.learn(Seq((1L, "aaaa aaaa")).toDF("doc_id", "text"),
+      "text", numMerges = 1)
+    val m = learned.merges.collect()(0)
+    assert((m.getString(1), m.getString(2)) == ("a", "a"))
+    val syms = learned.vocab.select("syms").collect()(0).getSeq[String](0)
+    // aaaa -> aa aa </w> (not aa a a or overlapping aaa)
+    assert(syms == Seq("aa", "aa", "</w>"))
+  }
+
+  test("repartitioning does not change the learned sequence") {
+    val a = Bpe.learn(docs, "text", 3).merges.orderBy("rank")
+      .collect().map(_.toSeq).toSeq
+    val b = Bpe.learn(docs.repartition(7), "text", 3).merges.orderBy("rank")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("segment tokenizes via the vocab join with char fallback for OOV") {
+    val learned = Bpe.learn(docs, "text", 3)
+    val out = Bpe.segment(
+      Seq((10L, "low lower zap")).toDF("doc_id", "text"),
+      "text", "doc_id", learned.vocab)
+      .collect()(0)
+    val subwords = out.getAs[scala.collection.Seq[String]]("subwords")
+    // low -> [low</w>]; lower -> [low, e, r, </w>] (after 3 merges);
+    // zap is OOV -> char split
+    assert(subwords == Seq("low</w>", "low", "e", "r", "</w>", "z", "a", "p", "</w>"))
+    assert(out.getAs[Long]("n_words") == 3L)
+    assert(out.getAs[Long]("n_subwords") == 9L)
+  }
+}
