@@ -42,8 +42,11 @@ object Bpe {
   /** Merge one (l, r) pair left-to-right, non-overlapping, in the
     * `_syms_in` symbol-array column — the BPE replacement fold. */
   private def mergePair(l: String, r: String): Column = {
-    val lq = l.replace("'", "\\'")
-    val rq = r.replace("'", "\\'")
+    // escape backslashes BEFORE quotes: corpus symbols are arbitrary
+    // text and both characters are live in a SQL string literal
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val lq = esc(l)
+    val rq = esc(r)
     // fold: if the accumulator ends with l and the next symbol is r,
     // replace the tail with the merged symbol, else append
     expr(s"""aggregate(_syms_in, CAST(array() AS ARRAY<STRING>), (acc, x) ->

@@ -66,4 +66,14 @@ class BpeSpec extends SparkSpecBase {
     assert(out.getAs[Long]("n_words") == 3L)
     assert(out.getAs[Long]("n_subwords") == 9L)
   }
+
+  test("symbols with quotes and backslashes survive the merge literal") {
+    // the most frequent pair involves the quote/backslash word, so
+    // its characters land inside the generated merge expression
+    val tricky = Seq((1L, """d'n d'n d'n a\b a\b""")).toDF("doc_id", "text")
+    val learned = Bpe.learn(tricky, "text", numMerges = 2)
+    assert(learned.merges.count() == 2)
+    // no analysis exception, and the vocab still covers both words
+    assert(learned.vocab.count() == 2)
+  }
 }
