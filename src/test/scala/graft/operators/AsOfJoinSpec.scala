@@ -129,4 +129,40 @@ class AsOfJoinSpec extends SparkSpecBase {
       Seq("px"), prefix = "r_", tolerance = Some(6L)).collect()(0)
     assert(tol.getAs[Any]("r_rt") == 5L && tol.isNullAt(tol.fieldIndex("r_px")))
   }
+
+  test("seeded property: forward and tolerance match brute force on dense random data") {
+    val rnd = new scala.util.Random(20260812L)
+    // duplicate left times, boundary-adjacent right times, sparse keys
+    val left = (0 until 400).map { i =>
+      (i.toLong, s"k${rnd.nextInt(11)}", rnd.nextInt(50).toLong)
+    }.toDF("id", "key", "t")
+    val right = (0 until 150).map { j =>
+      (s"k${rnd.nextInt(11)}", rnd.nextInt(50).toLong, j.toDouble)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, rt)
+      .toDF("key", "rt", "px")
+    val rightRows = right.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      df.select("id", "r_px").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val leftRows = left.collect().map(l => (l.getLong(0), l.getString(1), l.getLong(2)))
+
+    // forward
+    val fwd = got(AsOfJoin.asOfForward(left, right, "key", "key", "t", "rt",
+      Seq("px"), prefix = "r_"))
+    val fwdWant = leftRows.map { case (id, k, t) =>
+      val c = rightRows.filter(r => r._1 == k && r._2 >= t)
+      id -> (if (c.isEmpty) None else Some(c.minBy(_._2)._3))
+    }.toMap
+    assert(fwd == fwdWant)
+
+    // backward with tolerance 7
+    val tol = got(AsOfJoin.asOfBackward(left, right, "key", "key", "t", "rt",
+      Seq("px"), prefix = "r_", tolerance = Some(7L)))
+    val tolWant = leftRows.map { case (id, k, t) =>
+      val c = rightRows.filter(r => r._1 == k && r._2 <= t && t - r._2 <= 7L)
+      id -> (if (c.isEmpty) None else Some(c.maxBy(_._2)._3))
+    }.toMap
+    assert(tol == tolWant)
+  }
 }
