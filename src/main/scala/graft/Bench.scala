@@ -72,5 +72,10 @@ object Bench {
       System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // LAST stdout line, after spark.stop() so no shutdown logging can
+    // follow it: a SHORT summary the driver's tail-window scraper can
+    // always land on — the full per-query line above is one giant JSON
+    // line that a bounded tail window front-truncates.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }

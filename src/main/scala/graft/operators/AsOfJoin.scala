@@ -39,9 +39,13 @@ object AsOfJoin {
     * @param rightTime orderable time column on `right` (same type)
     * @param rightCols right value columns to carry onto matches
     * @param prefix    prefix for the carried right columns
-    * @param tolerance max allowed `leftTime - rightTime` in the time
-    *                  columns' own units (numeric times only); older
-    *                  matches are nulled out
+    * @param tolerance max allowed `leftTime - rightTime`; older
+    *                  matches are nulled out. Units follow the time
+    *                  columns' type: native units for numeric times,
+    *                  MICROSECONDS for timestamp columns (the
+    *                  `unix_micros` difference), DAYS for date
+    *                  columns — so the common event-time case needs
+    *                  no manual cast
     */
   def asOfBackward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -72,6 +76,13 @@ object AsOfJoin {
     val outCols = rightCols.map(prefix + _)
     require(leftCols.intersect(outCols :+ (prefix + rightTime)).isEmpty,
       s"prefixed right columns ${outCols.mkString(",")} collide with the left schema; pass a prefix")
+    // the tag-union materializes these working columns alongside the
+    // full left schema — an input column with one of these names would
+    // produce duplicate/ambiguous references inside the union
+    val internal = Seq("_k", "_t", "_side", "_m", "_wm")
+    val clash = (leftCols ++ right.columns).distinct.intersect(internal)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with as-of internal names ${internal.mkString(",")}; rename them first")
 
     // Tag-union. Right rows carry their ENTIRE matched payload
     // (time + values) as ONE struct `_m` — the window resolves the
@@ -90,7 +101,10 @@ object AsOfJoin {
         right.schema(rightTime).dataType, nullable = true) +:
       rightCols.map(c => org.apache.spark.sql.types.StructField(prefix + c,
         right.schema(c).dataType, nullable = true)))
-    val r = right.select(
+    // a null-time right row is "at or before/after" nothing — drop it
+    // up front so it can never shadow the unmatched state for left
+    // rows that precede every real right row
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("_k") +:
       col(rightTime).as("_t") +:
       lit(0).as("_side") +:
@@ -108,7 +122,12 @@ object AsOfJoin {
     // last(non-null) = the most recent right row seen so far. Forward
     // mirrors the time order only — the side tie-break stays
     // right-before-left so an equal-time right row is still visible.
-    val tOrd = if (forward) col("_t").desc else col("_t").asc
+    // Null left times must sort FIRST in BOTH directions (before any
+    // right row) so they stay unmatched: Spark's bare `desc` is NULLS
+    // LAST, which would hand a null-time left row the key's running
+    // last() — a spurious match. `asc` defaults to NULLS FIRST; made
+    // explicit so the invariant survives refactors.
+    val tOrd = if (forward) col("_t").desc_nulls_first else col("_t").asc_nulls_first
     val w = Window.partitionBy("_k").orderBy(tOrd, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -119,11 +138,26 @@ object AsOfJoin {
       .filter(col("_side") === 1)
 
     // Tolerance: void matches farther than `tolerance` time units.
+    // Timestamp columns compare via their unix_micros, date columns
+    // via their epoch-day ordinal, so `tolerance` reads in micros /
+    // days respectively without a caller-side cast. A null LEFT time
+    // also voids the match (belt to the ordering's braces): null time
+    // means "unknown when", and an as-of match at an unknown time is
+    // not a match.
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val tType = left.schema(leftTime).dataType
+    def toNum(c: Column): Column = tType match {
+      case TimestampType    => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType         => datediff(c, to_date(lit("1970-01-01")))
+      case _                => c
+    }
     val mt = col("_wm._mt")
+    val lt = col("_t")
     val keep: Column = tolerance match {
-      case Some(tol) if forward => mt.isNotNull && (mt - col("_t")) <= tol
-      case Some(tol)            => mt.isNotNull && (col("_t") - mt) <= tol
-      case None                 => mt.isNotNull
+      case Some(tol) if forward => mt.isNotNull && lt.isNotNull && (toNum(mt) - toNum(lt)) <= tol
+      case Some(tol)            => mt.isNotNull && lt.isNotNull && (toNum(lt) - toNum(mt)) <= tol
+      case None                 => mt.isNotNull && lt.isNotNull
     }
     windowed.select(
       leftCols.map(col) ++

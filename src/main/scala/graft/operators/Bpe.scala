@@ -10,14 +10,36 @@ import org.apache.spark.sql.functions._
   *  1. ONE corpus pass builds the word-frequency table — after which
   *     everything operates on the Zipf-bounded vocabulary (100k-ish
   *     rows at web scale), never the corpus again;
-  *  2. each merge round aggregates weighted adjacent-pair counts over
-  *     the symbolized vocabulary (map-side partial sums, one small
-  *     shuffle) and collects exactly ONE row — the winning pair —
-  *     to the driver (the codebook-literal trade: KBs, bounded);
-  *  3. the merge applies as a map-side left-to-right fold over each
-  *     word's symbol array (a HOF `aggregate`, no UDF), and the
-  *     frame is localCheckpoint'ed so round k+1 does not replay
-  *     rounds 1..k.
+  *  2. each round aggregates weighted adjacent-pair counts over the
+  *     symbolized vocabulary (map-side partial sums, one small
+  *     shuffle) and collects a bounded lookahead of top pairs to the
+  *     driver (the codebook-literal trade: KBs, bounded), from which
+  *     it accepts a BATCH of up to `batchMerges` merges whose
+  *     sequential equivalence is provable (below);
+  *  3. the whole batch applies as ONE map-side left-to-right fold
+  *     over each word's symbol array (a HOF `aggregate`, no UDF),
+  *     and the frame is localCheckpoint'ed so round k+1 does not
+  *     replay rounds 1..k.
+  *
+  * Batching rule — result is IDENTICAL to one-merge-at-a-time
+  * learning, not an approximation. Scanning candidates in (count
+  * desc, left asc, right asc) order: a pair is ACCEPTED if neither
+  * symbol touches an already-accepted pair's symbols (disjoint
+  * merges commute and leave each other's counts unchanged), and is
+  * SKIPPED otherwise. The batch CLOSES at the first non-overlapping
+  * candidate whose count is <= the largest skipped count, because a
+  * pair the sequential learner could come to prefer mid-batch is
+  * either (a) a still-live overlapping pair — skipped, so its count
+  * is in `maxSkipped` — or (b) a pair CREATED by an accepted merge
+  * (x, l+r) / (l+r, y), whose count is bounded by the current count
+  * of (x, l) / (r, y), both overlapping pairs and therefore also
+  * under `maxSkipped`. Accepting only while count > maxSkipped makes
+  * every accepted pair exactly the pair the sequential learner would
+  * pick at that rank, with the same recorded count. Worst case
+  * (adjacent hot pairs everywhere) degrades to one merge per round —
+  * never worse than the sequential learner; realistic corpora close
+  * 30–50k-merge vocabularies in hundreds of rounds, not tens of
+  * thousands.
   *
   * Ties break (count desc, left asc, right asc) so the learned merge
   * sequence is total-ordered and identical on every run/partitioning.
@@ -29,7 +51,10 @@ import org.apache.spark.sql.functions._
   * per row. */
 object Bpe {
 
-  final case class Learned(merges: DataFrame, vocab: DataFrame)
+  /** @param rounds number of count-aggregate rounds (= Spark job
+    *               round-trips) the learner used — the batching win
+    *               is `merges.count() / rounds`. */
+  final case class Learned(merges: DataFrame, vocab: DataFrame, rounds: Int)
 
   /** Non-empty whitespace words of a text column. */
   private def words(c: Column): Column = filter(split(c, " "), w => w =!= "")
@@ -39,28 +64,43 @@ object Bpe {
   private val charSplit: String => String =
     col => s"concat(transform(sequence(1, length($col)), i -> substring($col, i, 1)), array('</w>'))"
 
-  /** Merge one (l, r) pair left-to-right, non-overlapping, in the
-    * `_syms_in` symbol-array column — the BPE replacement fold. */
-  private def mergePair(l: String, r: String): Column = {
+  /** Merge every (l, r) pair of a pairwise-DISJOINT batch
+    * left-to-right, non-overlapping, in the `_syms_in` symbol-array
+    * column — the BPE replacement fold. One pass applying a disjoint
+    * batch is equivalent to chaining the per-pair folds: no symbol of
+    * one pair occurs in another, so no application can create or
+    * consume another pair's occurrence. */
+  private def mergePairs(pairs: Seq[(String, String)]): Column = {
     // escape backslashes BEFORE quotes: corpus symbols are arbitrary
     // text and both characters are live in a SQL string literal
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val lq = esc(l)
-    val rq = esc(r)
-    // fold: if the accumulator ends with l and the next symbol is r,
-    // replace the tail with the merged symbol, else append
+    // fold: if the accumulator ends with some l and the next symbol is
+    // its r, replace the tail with the merged symbol, else append
+    val cases = pairs.map { case (l, r) =>
+      val (lq, rq) = (esc(l), esc(r))
+      s"""WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND x = '$rq'
+           THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq'))"""
+    }.mkString("\n      ")
     expr(s"""aggregate(_syms_in, CAST(array() AS ARRAY<STRING>), (acc, x) ->
-      CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$lq' AND x = '$rq'
-           THEN concat(slice(acc, 1, size(acc) - 1), array('$lq$rq'))
+      CASE $cases
            ELSE concat(acc, array(x)) END)""")
   }
 
   /** Learn `numMerges` merges over `textCol`. Returns the ordered
-    * merge table (rank, left, right, merged, pair_count) and the
-    * final word→symbols vocabulary (word, count, syms). */
+    * merge table (rank, left, right, merged, pair_count) — identical
+    * to the one the one-merge-at-a-time learner produces, at any
+    * `batchMerges` — and the final word→symbols vocabulary
+    * (word, count, syms).
+    *
+    * @param batchMerges max merges accepted per count-aggregate round
+    *                    (1 = the classic sequential learner). The
+    *                    batching rule in the object doc keeps the
+    *                    output byte-identical while cutting driver
+    *                    round-trips by up to this factor. */
   def learn(docs: DataFrame, textCol: String, numMerges: Int,
-      vocabPartitions: Int = 8): Learned = {
+      vocabPartitions: Int = 8, batchMerges: Int = 16): Learned = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(batchMerges >= 1, s"batchMerges must be >= 1, got $batchMerges")
     val spark = docs.sparkSession
     // 1. corpus pass -> word frequencies (the only full-corpus scan).
     // The vocab table is small (Zipf), so it coalesces to a few
@@ -75,10 +115,13 @@ object Bpe {
       .coalesce(vocabPartitions)
       .localCheckpoint()
 
+    // lookahead past batchMerges so the skipped-pair counts that
+    // close the batch are visible; still KBs on the driver
+    val lookahead = math.max(batchMerges * 4, 64)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var round = 0
+    var rounds = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    while (merges.length < numMerges && !exhausted) {
       // 2. weighted adjacent-pair counts over the symbolized vocab
       val top = vocab
         .select(col("count"), explode(expr(
@@ -90,19 +133,33 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("count").as("n"))
         .orderBy(desc("n"), asc("l"), asc("r"))
-        .limit(1)
+        .limit(lookahead)
         .collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((round, l, r, n))
-        // 3. apply the merge map-side; checkpoint to keep lineage flat
+        // greedy disjoint batch under the sequential-equivalence rule
+        val want = math.min(batchMerges, numMerges - merges.length)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var maxSkipped = 0L // pair counts are >= 1
+        var closed = false
+        var i = 0
+        while (i < top.length && !closed && accepted.length < want) {
+          val (l, r, n) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (used(l) || used(r)) maxSkipped = math.max(maxSkipped, n)
+          else if (n <= maxSkipped) closed = true
+          else { accepted += ((l, r, n)); used += l; used += r }
+          i += 1
+        }
+        accepted.foreach { case (l, r, n) => merges += ((merges.length, l, r, n)) }
+        // 3. apply the whole batch in ONE map-side fold; checkpoint to
+        // keep lineage flat across rounds
         vocab = vocab
           .withColumnRenamed("syms", "_syms_in")
-          .withColumn("syms", mergePair(l, r))
+          .withColumn("syms", mergePairs(accepted.toSeq.map(p => (p._1, p._2))))
           .drop("_syms_in")
           .localCheckpoint()
-        round += 1
+        rounds += 1
       }
     }
     import spark.implicits._
@@ -110,7 +167,7 @@ object Bpe {
       .toDF("rank", "left", "right", "pair_count")
       .withColumn("merged", concat(col("left"), col("right")))
       .select("rank", "left", "right", "merged", "pair_count")
-    Learned(mergesDf, vocab)
+    Learned(mergesDf, vocab, rounds)
   }
 
   /** Tokenize a corpus with a learned vocabulary: words join the
@@ -123,18 +180,26 @@ object Bpe {
       vocab: DataFrame): DataFrame = {
     val v = broadcast(vocab.select(col("word").as("_w"), col("syms").as("_vsyms")))
     docs
-      // posexplode keeps the word position: collect_list order is
-      // partition-dependent, so the subword stream must be re-sorted
-      // by position or the output would be nondeterministic
-      .select(col(idCol), posexplode(words(col(textCol))))
+      // posexplode_outer keeps zero-word (empty/null text) docs as a
+      // single null-word row, so they come out with subwords=[] and
+      // n_words=0 instead of silently vanishing from a per-doc
+      // report. posexplode (vs plain explode) keeps the word
+      // position: collect_list order is partition-dependent, so the
+      // subword stream must be re-sorted by position or the output
+      // would be nondeterministic
+      .select(col(idCol), posexplode_outer(words(col(textCol))))
       .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "word")
       .join(v, col("word") === col("_w"), "left_outer")
       .withColumn("_syms",
-        coalesce(col("_vsyms"), expr(charSplit("word"))))
+        when(col("word").isNotNull, coalesce(col("_vsyms"), expr(charSplit("word")))))
       .groupBy(idCol)
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(_pos, _syms))), x -> x._syms))")
+      // the CASE keeps the placeholder null-word row OUT of the
+      // collect_list (collect_list skips nulls) — flatten() over an
+      // array containing a null element would null the whole doc
+      .agg(expr("""flatten(transform(array_sort(collect_list(
+            CASE WHEN _pos IS NOT NULL THEN struct(_pos, _syms) END)), x -> x._syms))""")
           .as("subwords"),
-        count(lit(1)).as("n_words"))
+        count(col("word")).as("n_words"))
       .withColumn("n_subwords", size(col("subwords")).cast("bigint"))
   }
 }

@@ -32,7 +32,11 @@ object RangeJoin {
     * Degenerate/huge intervals are the skew hazard (one interval
     * exploding to millions of buckets): intervals longer than
     * `maxBuckets * width` are rejected up front with a counted
-    * observed metric rather than silently exploding.
+    * observed metric (`metricName`) rather than silently exploding.
+    * Empty (`end <= start`) and null-bounded intervals — which can
+    * never match any point — are likewise dropped with their own
+    * counted metric (`metricName + "_degenerate"`), so every
+    * interval the join discards is observable.
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
@@ -56,7 +60,10 @@ object RangeJoin {
       .forall(t => t == LongType || t == IntegerType || t == ShortType || t == ByteType)
     def floorDivExpr(v: String): String =
       s"($v - (($v % $width) + $width) % $width) div $width"
-    val keptIv0 = intervals.filter(col(endCol) > col(startCol))
+    // null-bounded intervals make the predicate null -> dropped AND
+    // counted (observeDrops counts rows where keep is not true)
+    val keptIv0 = HotKeys.observeDrops(intervals,
+      col(endCol) > col(startCol), metricName + "_degenerate")
     val keptIv = if (integral)
       keptIv0
         .withColumn("_rj_s", col(startCol).cast("long"))

@@ -130,6 +130,54 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(tol.getAs[Any]("r_rt") == 5L && tol.isNullAt(tol.fieldIndex("r_px")))
   }
 
+  test("null times never match, in both directions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("id", LongType),
+      StructField("key", StringType), StructField("t", LongType, nullable = true)))
+    val l = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "a", 100L), Row(2L, "a", null))), lSchema)
+    val rSchema = StructType(Seq(StructField("key", StringType),
+      StructField("rt", LongType, nullable = true), StructField("px", DoubleType)))
+    val r = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("a", 50L, 5.0), Row("a", null, 99.0))), rSchema)
+
+    val bwd = byId(AsOfJoin.asOfBackward(l, r, "key", "key", "t", "rt", Seq("px"), "r_"))
+    assert(bwd(1L) == (Some(5.0), Some(50L))) // real match unaffected
+    assert(bwd(2L) == (None, None))           // null left time: unmatched
+    val fwd = byId(AsOfJoin.asOfForward(l, r, "key", "key", "t", "rt", Seq("px"), "r_"))
+    assert(fwd(1L) == (None, None))           // nothing at-or-after 100
+    assert(fwd(2L) == (None, None))           // null left time: unmatched, NOT the earliest right row
+    // the null-time right row (px=99.0) matched nothing anywhere
+    assert(!bwd.values.exists(_._1.contains(99.0)) && !fwd.values.exists(_._1.contains(99.0)))
+  }
+
+  test("timestamp time columns: tolerance reads in microseconds, no manual cast") {
+    val l = Seq((1L, "a", "2026-01-01 00:00:10"), (2L, "a", "2026-01-01 00:01:00"))
+      .toDF("id", "key", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val r = Seq(("a", "2026-01-01 00:00:00", 1.0))
+      .toDF("key", "rts", "px").withColumn("rts", to_timestamp(col("rts")))
+    // 30 s horizon = 30e6 micros: lag 10 s matches, lag 60 s is voided
+    val out = AsOfJoin.asOfBackward(l, r, "key", "key", "ts", "rts",
+        Seq("px"), prefix = "r_", tolerance = Some(30000000L))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(row.fieldIndex("r_px"))) None
+         else Some(row.getDouble(row.fieldIndex("r_px"))))).toMap
+    assert(out(1L) == Some(1.0))
+    assert(out(2L) == None)
+  }
+
+  test("input columns colliding with internal names are rejected") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(quotes.withColumn("_side", lit(1)), trades,
+        "key", "key", "t", "rt", Seq("px"), prefix = "r_")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(quotes, trades.withColumn("_m", lit(1)),
+        "key", "key", "t", "rt", Seq("px"), prefix = "r_")
+    }
+  }
+
   test("seeded property: forward and tolerance match brute force on dense random data") {
     val rnd = new scala.util.Random(20260812L)
     // duplicate left times, boundary-adjacent right times, sparse keys

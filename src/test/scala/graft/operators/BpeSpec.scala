@@ -67,6 +67,56 @@ class BpeSpec extends SparkSpecBase {
     assert(out.getAs[Long]("n_subwords") == 9L)
   }
 
+  test("batched learning is byte-identical to the sequential learner, in far fewer rounds") {
+    // 32 words over pairwise-disjoint alphabets; each word is its
+    // two-char bigram tripled ("ababab"), so the in-word pair (15)
+    // outranks its reversal (10) and the end-of-word pair (5) —
+    // giving the batcher 32 mutually disjoint top pairs per scan
+    val chars = (0x4E00 until 0x4E00 + 64).map(_.toChar)
+    val wordList = (0 until 32).map(i => s"${chars(2 * i)}${chars(2 * i + 1)}" * 3)
+    val corpus = Seq.tabulate(5)(d => (d.toLong, wordList.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val seq = Bpe.learn(corpus, "text", numMerges = 32, batchMerges = 1)
+    val bat = Bpe.learn(corpus, "text", numMerges = 32, batchMerges = 32)
+    val seqMerges = seq.merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    val batMerges = bat.merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(batMerges == seqMerges) // same pairs, same order, same counts
+    assert(seq.rounds == 32)
+    assert(bat.rounds * 4 <= seq.rounds, s"only ${seq.rounds}/${bat.rounds} round win")
+
+    // and the learned vocabularies tokenize identically
+    def segmented(v: org.apache.spark.sql.DataFrame) =
+      Bpe.segment(corpus, "text", "doc_id", v)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(segmented(bat.vocab) == segmented(seq.vocab))
+  }
+
+  test("batching stays sequential-equivalent when top pairs overlap (the guard closes the batch)") {
+    // (l,o) and (o,w) tie at the top and share 'o': the batch must
+    // close instead of accepting both, or it would diverge from the
+    // sequential learner (which prefers the created (lo,w) pair next)
+    val seq = Bpe.learn(docs, "text", numMerges = 4, batchMerges = 1)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    val bat = Bpe.learn(docs, "text", numMerges = 4, batchMerges = 8)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(bat == seq)
+  }
+
+  test("segment keeps zero-word docs: empty subwords, not silent row loss") {
+    val learned = Bpe.learn(docs, "text", 3)
+    val mixed = Seq((10L, "low"), (11L, ""), (12L, "   "), (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Bpe.segment(mixed, "text", "doc_id", learned.vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[scala.collection.Seq[String]]("subwords"),
+          r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords")))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L)) // every doc survives
+    assert(out(10L) == ((Seq("low</w>"), 1L, 1L)))
+    for (id <- Seq(11L, 12L, 13L))
+      assert(out(id) == ((Seq.empty[String], 0L, 0L)), s"doc $id: ${out(id)}")
+  }
+
   test("symbols with quotes and backslashes survive the merge literal") {
     // the most frequent pair involves the quote/backslash word, so
     // its characters land inside the generated merge expression

@@ -50,6 +50,26 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(out.count() == 0)
   }
 
+  test("degenerate (empty / null-bounded) intervals are dropped WITH a counted metric") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("iv_id", LongType),
+      StructField("s", LongType, nullable = true), StructField("e", LongType, nullable = true)))
+    val ivs = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 0L, 10L),     // valid
+      Row(2L, 10L, 10L),    // empty: start == end
+      Row(3L, 10L, 5L),     // inverted
+      Row(4L, null, 10L),   // null start
+      Row(5L, 0L, null))),  // null end
+      schema)
+    val out = RangeJoin.intervalJoin(points, ivs, "t", "s", "e",
+      width = 5L, metricName = "degen_case")
+    assert(canon(out).map(_._2) == Set(1L))
+    out.collect() // metrics populate on THIS QueryExecution's action
+    val m = out.queryExecution.observedMetrics("degen_case_degenerate")
+    assert(m.getAs[Long]("dropped_rows") == 4L)
+  }
+
   test("plan is a hash equi-join on the bucket — no nested loop") {
     val plan = RangeJoin.intervalJoin(points, intervals, "t", "s", "e", 5L)
       .queryExecution.executedPlan.toString
