@@ -164,6 +164,85 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!new Multimodal.VideoDecoder().decode(corrupt).ok)
   }
 
+  // --- stbl assembly for the keyframe index: known sample tables ---
+  // 6 samples, sizes 10..60; chunks per stsc [(1,2),(3,1)] ->
+  // chunk1: s1,s2  chunk2: s3,s4  chunk3: s5  chunk4: s6
+  // chunk offsets 1000/2000/3000/4000; sync samples {1,4,6}
+  private def fullBox(tpe: String, payload: Array[Byte]*): Array[Byte] =
+    bmffBox(tpe, (new Array[Byte](4) +: payload): _*) // ver0 + flags
+  private def stblFixture(withStss: Boolean, useCo64: Boolean = false): Array[Byte] = {
+    val stsz = fullBox("stsz", be32(0) /* per-sample sizes */, be32(6),
+      be32(10), be32(20), be32(30), be32(40), be32(50), be32(60))
+    val stsc = fullBox("stsc", be32(2),
+      be32(1), be32(2), be32(1) /* first_chunk=1, spc=2, desc=1 */,
+      be32(3), be32(1), be32(1))
+    val offs = Seq(1000L, 2000L, 3000L, 4000L)
+    val stco =
+      if (useCo64) fullBox("co64", be32(4), offs.flatMap(be64(_)).toArray)
+      else fullBox("stco", be32(4), offs.flatMap(be32(_)).toArray)
+    val stss = fullBox("stss", be32(3), be32(1), be32(4), be32(6))
+    bmffBox("stbl", (if (withStss) Seq(stsz, stsc, stco, stss)
+                     else Seq(stsz, stsc, stco)): _*)
+  }
+  private def trakWithStbl(trackId: Int, handler: String, stbl: Array[Byte]): Array[Byte] =
+    bmffBox("trak",
+      // tkhd v0: ver/flags, ctime(4), mtime(4), track_id(4), then rest
+      bmffBox("tkhd", new Array[Byte](4), be32(0), be32(0), be32(trackId),
+        new Array[Byte](64), be32(320L << 16), be32(180L << 16)),
+      bmffBox("mdia",
+        bmffBox("hdlr", new Array[Byte](8), handler.getBytes("ISO-8859-1"),
+          new Array[Byte](13)),
+        bmffBox("minf", stbl)))
+
+  test("KeyframeIndexer: stss/stsz/stsc/stco compose to exact keyframe byte ranges") {
+    val mp4 = bmffBox("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+      bmffBox("moov", mvhdV0(1000, 6000),
+        trakWithStbl(7, "vide", stblFixture(withStss = true)),
+        trakWithStbl(8, "soun", stblFixture(withStss = true))) // audio: not indexed
+    val idx = new Multimodal.KeyframeIndexer().index(mp4)
+    assert(idx.length == 1, s"audio track must not be indexed: $idx")
+    val t = idx.head
+    assert(t.trackId == 7L && t.nSamples == 6 && t.nKeyframes == 3)
+    // s1: chunk1 base 1000; s4: chunk2 base 2000 + size(s3)=30; s6: chunk4 base 4000
+    assert(t.keyframes == Vector(
+      Multimodal.KeyframeEntry(1, 1000L, 10L),
+      Multimodal.KeyframeEntry(4, 2030L, 40L),
+      Multimodal.KeyframeEntry(6, 4000L, 60L)), s"got ${t.keyframes}")
+  }
+
+  test("KeyframeIndexer: no stss means every sample is sync; co64 offsets parse") {
+    val mp4 = bmffBox("moov", mvhdV0(1000, 6000),
+      trakWithStbl(3, "vide", stblFixture(withStss = false, useCo64 = true)))
+    val idx = new Multimodal.KeyframeIndexer().index(mp4)
+    assert(idx.length == 1 && idx.head.nKeyframes == 6)
+    // chunk2 holds s3 (base 2000) then s4 (2000+30)
+    assert(idx.head.keyframes.map(k => (k.sampleNum, k.offset, k.size)) == Vector(
+      (1, 1000L, 10L), (2, 1010L, 20L), (3, 2000L, 30L),
+      (4, 2030L, 40L), (5, 3000L, 50L), (6, 4000L, 60L)))
+    // malformed payloads: no throw (truncated walk yields fewer/no tracks)
+    new Multimodal.KeyframeIndexer().index(mp4.dropRight(40))
+    assert(new Multimodal.KeyframeIndexer().index("not a video".getBytes).isEmpty)
+  }
+
+  test("sampleKeyframes emits evenly spaced keyframe byte ranges per video track") {
+    import spark.implicits._
+    val mp4 = bmffBox("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+      bmffBox("moov", mvhdV0(1000, 6000),
+        trakWithStbl(7, "vide", stblFixture(withStss = true)))
+    val docs = Seq((1L, mp4), (2L, "junk".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val rows = Multimodal.sampleKeyframes(docs, "blob", nFrames = 2)(spark)
+      .select("id", "track_id", "sample_n", "byte_offset", "byte_size", "n_keyframes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    // 3 keyframes sampled down to 2: indices 0 and 1 -> samples 1 and 4;
+    // junk/null rows emit nothing
+    assert(rows.toSeq == Seq(
+      (1L, 7L, 1, 1000L, 10L, 3),
+      (1L, 7L, 4, 2030L, 40L, 3)), s"got ${rows.toSeq}")
+  }
+
   test("non-binary column is rejected instead of silently coerced") {
     import spark.implicits._
     val docs = Seq((1L, "plain string")).toDF("id", "text")
