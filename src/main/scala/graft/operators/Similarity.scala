@@ -153,11 +153,23 @@ object Similarity {
     * burning a top-k slot — the batch analogue of ivfProbe's
     * excludeId. Single-query `ivfProbeVec` stays the low-latency
     * path; this is the throughput path (e.g. dedup-against-index of
-    * a whole new document batch). */
+    * a whole new document batch).
+    *
+    * `broadcastProbes` sizes step (2): `true` (default) broadcasts
+    * the ranked probes — right while queries ≪ corpus. When the probe
+    * batch itself is large (a whole day's crawl probed against the
+    * index: query embeddings × nprobe can outgrow any broadcast),
+    * pass `false`: the probes repartition on the list id and the
+    * corpus join becomes an ordinary shuffle join — both sides
+    * partition by cid, no executor ever holds the probe set whole.
+    * The codebook-ranking broadcast in step (1) is unaffected (the
+    * codebook is KBs by definition); results are identical either
+    * way (SimilaritySpec pins equality and the plan shapes). */
   def ivfProbeAll(assigned: DataFrame, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       codebook: Seq[(Long, Seq[Double])], k: Int, nprobe: Int = 1,
-      cidCol: String = "cid", excludeSelf: Boolean = false): DataFrame = {
+      cidCol: String = "cid", excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true): DataFrame = {
     require(codebook.nonEmpty, "ivfProbeAll needs the codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spark = assigned.sparkSession
@@ -175,7 +187,9 @@ object Similarity {
           .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
       .filter(col("_r") <= nprobe)
       .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_cbid"))
-    val joined = assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
+    val joined =
+      if (broadcastProbes) assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
+      else assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
     val scoped =
       if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
     val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol

@@ -106,6 +106,18 @@ object ScaleSmoke {
       Similarity.ivfProbe(assigned, "e", "vec_id", queryVecId = 0, k = 10,
         nprobe = 4, codebook = codebook).count()
     }
+    // batch probe with a large probe side (1% of the corpus probing
+    // the index): broadcastProbes=false partitions BOTH sides on the
+    // list id — no executor ever holds the whole probe set, the shape
+    // that survives a day's-crawl-sized batch where the broadcast
+    // path would OOM
+    timed("ann_ivf_probe_all(shuffle, 1% batch)") {
+      Similarity.ivfProbeAll(assigned, "e", "vec_id",
+        assigned.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", codebook, k = 3, nprobe = 2,
+        excludeSelf = true, broadcastProbes = false).count()
+    }
     // trained codebook (k-means|| init + Lloyd) instead of sampled vectors
     timed("ann_ivf_train(16c,2it)") {
       Similarity.trainCodebook(emb.limit(20000), "embedding", k = 16, iters = 2).size.toLong

@@ -151,6 +151,47 @@ class SimilaritySpec extends SparkSpecBase {
     assigned.unpersist(); corpus.unpersist()
   }
 
+  test("large-batch probe: shuffle-join path matches the broadcast path, without a probe broadcast") {
+    val corpus = planted.cache()
+    val assigned = Similarity.ivfAssign(corpus, codebook, "e").cache()
+    // every corpus member probes the index — the "dedup a whole day's
+    // crawl" shape where the probe side outgrows a broadcast
+    val queries = corpus.select(col("vec_id").as("qid"), col("e"))
+    def run(bcast: Boolean) = Similarity.ivfProbeAll(assigned, "e", "vec_id",
+      queries, "qid", "e", codebook, k = 3, nprobe = 2,
+      excludeSelf = false, broadcastProbes = bcast)
+    // pin the plan shapes with auto-broadcast off, so the planner
+    // can't quietly broadcast the "large" side in this small test
+    val sess = corpus.sparkSession
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> sess.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => sess.conf.set(k, "-1") }
+      val b = run(bcast = true)
+      val s = run(bcast = false)
+      val bRows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+      val sRows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+      assert(sRows == bRows && bRows.nonEmpty)
+      val bPlan = b.queryExecution.executedPlan.toString
+      val sPlan = s.queryExecution.executedPlan.toString
+      // broadcast path: corpus joins a broadcast of the probes;
+      // shuffle path: an exchange-partitioned equi-join, no
+      // BroadcastHashJoin anywhere (the only remaining broadcast is
+      // the KB-sized codebook's nested-loop ranking join)
+      assert(bPlan.contains("BroadcastHashJoin"), s"broadcast path plan:\n$bPlan")
+      assert(!sPlan.contains("BroadcastHashJoin"),
+        s"shuffle path must not broadcast the probe side:\n$sPlan")
+      assert(sPlan.contains("SortMergeJoin") || sPlan.contains("ShuffledHashJoin"),
+        s"shuffle path must shuffle-join on the list id:\n$sPlan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => sess.conf.set(k, v)
+        case (k, None)    => sess.conf.unset(k)
+      }
+      assigned.unpersist(); corpus.unpersist()
+    }
+  }
+
   test("multi-probe of a missing member id returns empty, like single-probe") {
     val assigned = Similarity.ivfAssign(planted, codebook, "e")
     val single = Similarity.ivfProbe(assigned, "e", "vec_id", 999999L, 10)
