@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *   -> near-dup dedup (LSH candidates -> exact Jaccard verify ->
   *      connected components -> canonical survivor per cluster;
   *      `keepPreference` picks the survivor, e.g. by source rank)
+  *   -> semantic dedup (optional, `embCol`: embedding near-dup
+  *      clusters collapse too — sign-LSH buckets by default, IVF
+  *      multi-probe when a `codebook`/`nprobe` is supplied)
   *   -> benchmark decontamination (optional: drop survivors whose
   *      shingle containment of any benchmark doc reaches the
   *      threshold — q57's broadcast containment search)
@@ -55,7 +58,21 @@ object CorpusPrep {
     keepPreference: Option[org.apache.spark.sql.Column] = None,
     // per-row keep rate in [0,1] (typically a per-stratum expression,
     // e.g. by lang or source); applied LAST via Mixing.stratifiedSample
-    sampleRate: Option[org.apache.spark.sql.Column] = None)
+    sampleRate: Option[org.apache.spark.sql.Column] = None,
+    // SEMANTIC (embedding-space) dedup stage, run after the text
+    // near-dup stage in `run` (not `runIncremental` — probe a
+    // standing embedding index with Similarity.ivfProbeAll instead):
+    // set `embCol` to the docs' array<float/double> embedding column
+    // to drop all but one member of each embedding near-dup cluster.
+    // Without a codebook, pairs search sign-LSH buckets (`signBits`);
+    // with one, each vector lands in its `nprobe` nearest inverted
+    // lists (Similarity.nearDupPairsIvf) — nprobe is the recall knob
+    // that recovers pairs straddling a Voronoi boundary.
+    embCol: Option[String] = None,
+    minCosine: Double = 0.95,
+    signBits: Int = 8,
+    codebook: Option[Seq[(Long, Seq[Double])]] = None,
+    nprobe: Int = 1)
 
   private def normOf(cfg: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
@@ -128,7 +145,22 @@ object CorpusPrep {
     val deduped = cfg.keepPreference
       .fold(Dedup.dropNearDuplicates(exactKept, idCol, clusters))(
         Dedup.dropNearDuplicatesBy(exactKept, idCol, clusters, _))
-    decontaminateAndSample(deduped, idCol, cfg)
+    // semantic stage: embedding near-dup clusters collapse the same
+    // way text clusters did — paraphrases/translations the shingle
+    // tiers can't see
+    val semantic = cfg.embCol.fold(deduped) { e =>
+      val semPairs = cfg.codebook match {
+        case Some(cbk) => Similarity.nearDupPairsIvf(deduped, e, idCol, cbk,
+          cfg.minCosine, cfg.nprobe, cfg.maxBucket)
+        case None => Similarity.nearDupPairs(deduped, e, idCol,
+          cfg.signBits, cfg.minCosine, cfg.maxBucket)
+      }
+      val semClusters = Dedup.duplicateClusters(semPairs)
+      cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(deduped, idCol, semClusters))(
+          Dedup.dropNearDuplicatesBy(deduped, idCol, semClusters, _))
+    }
+    decontaminateAndSample(semantic, idCol, cfg)
   }
 
   /** Incremental prep: a NEW batch against a STANDING prepared

@@ -294,8 +294,45 @@ object Similarity {
       maxBucket: Int = 8192): DataFrame = {
     val bucketed = df.select(col(idCol).as("_id"), asDouble(col(embCol)).as("_e"),
       signBucket(col(embCol), bits).as("_bucket"))
-    HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
-        metricName = "graft_embedding_bucket_cap")
+    pairsInBuckets(bucketed, minCosine, maxBucket, "graft_embedding_bucket_cap")
+  }
+
+  /** IVF-bucketed near-duplicate pairs — the codebook-aware variant
+    * of `nearDupPairs` with a RECALL knob: every vector lands in its
+    * `nprobe` nearest inverted lists (multi-assignment, ranked
+    * against the codebook literal entirely inside codegen), so a
+    * near-pair straddling a Voronoi boundary still shares a list at
+    * nprobe >= 2 where single-assignment would miss it. Pairs are
+    * still generated strictly bucket-locally (never all-pairs), hot
+    * lists are capped with observed drop counts, and a pair that
+    * co-occurs in several shared lists dedups to one row. Work scales
+    * as nprobe x the single-assignment search. */
+  def nearDupPairsIvf(df: DataFrame, embCol: String, idCol: String,
+      codebook: Seq[(Long, Seq[Double])], minCosine: Double,
+      nprobe: Int = 1, maxBucket: Int = 8192): DataFrame = {
+    require(codebook.nonEmpty, "nearDupPairsIvf needs a codebook")
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"nprobe must be in [1, ${codebook.size}], got $nprobe")
+    val cb = typedLit(codebook)
+    // (squared distance, cid) per codebook entry, sorted — struct
+    // field order makes array_sort rank by distance, ties by cid
+    val ranked = array_sort(transform(cb, c => struct(
+      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
+      c.getField("_1").as("cid"))))
+    val bucketed = df.select(col(idCol).as("_id"), asDouble(col(embCol)).as("_e"),
+      explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
+    pairsInBuckets(bucketed, minCosine, maxBucket, "graft_ivf_bucket_cap")
+      // a pair sharing several of its nprobe lists must not double-count
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Shared in-bucket pair expansion: cap hot buckets, collect each
+    * bucket's (id, vector) rows once, expand ordered pairs inside the
+    * bucket, score cosine, threshold. */
+  private def pairsInBuckets(bucketed: DataFrame, minCosine: Double,
+      maxBucket: Int, metricName: String): DataFrame =
+    HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket, metricName = metricName)
       .groupBy("_bucket")
       .agg(sort_array(collect_list(struct(col("_id"), col("_e")))).as("rows"))
       .filter(size(col("rows")) > 1)
@@ -306,5 +343,4 @@ object Similarity {
       .select(col("p.id_a"), col("p.id_b"),
         round(cosine(col("p.e_a"), col("p.e_b")), 4).as("cos"))
       .filter(col("cos") >= minCosine)
-  }
 }

@@ -114,6 +114,39 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20)).count() == 400)
   }
 
+  test("semantic stage collapses embedding near-dups text dedup cannot see; nprobe is the recall knob") {
+    // paraphrases: text tiers see nothing in common, embeddings are
+    // near-identical — and they straddle the c0/c1 Voronoi boundary
+    // so IVF single-assignment puts them in DIFFERENT lists
+    val docs = Seq(
+      (1L, "the meeting was moved to thursday afternoon at three",
+        Seq(5.01, 5.0, 0.0, 0.0)),
+      (2L, "they rescheduled the gathering for three pm on thursday",
+        Seq(5.0, 5.01, 0.0, 0.0)),
+      (3L, "a completely unrelated report about quarterly revenue numbers",
+        Seq(0.0, 0.0, 9.0, 0.0)))
+      .toDF("doc_id", "text", "emb")
+    val codebook: Seq[(Long, Seq[Double])] = Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 10.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 10.0, 0.0)), (3L, Seq(0.0, 0.0, 0.0, 10.0)))
+
+    def kept(cfg: CorpusPrep.Config): Set[Long] =
+      CorpusPrep.run(docs, cfg = cfg).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    // no semantic stage: all three survive (texts share no shingles)
+    assert(kept(CorpusPrep.Config(minChars = 20)) == Set(1L, 2L, 3L))
+    // sign-LSH semantic stage: 1/2 share the all-positive sign bucket
+    assert(kept(CorpusPrep.Config(minChars = 20,
+      embCol = Some("emb"), minCosine = 0.999, signBits = 4)) == Set(1L, 3L))
+    // IVF semantic stage: single-assignment misses the boundary pair...
+    assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), nprobe = 1)) == Set(1L, 2L, 3L))
+    // ...and nprobe=2 recovers it
+    assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), nprobe = 2)) == Set(1L, 3L))
+  }
+
   test("runIncremental: batch prepped like run, deduped against the standing corpus") {
     val oldDocs = Seq(
       (1L, "The Quick Brown Fox Jumps Over The Lazy Dog Again Today"),

@@ -192,6 +192,42 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("nearDupPairsIvf: nprobe=2 recovers a boundary pair single-assignment misses; all-probe == brute force") {
+    import spark.implicits._
+    // a near-identical pair straddling the c0/c1 Voronoi boundary:
+    // each member's single nearest list differs, so nprobe=1 never
+    // sees them in one bucket
+    val boundary = Seq(
+      (900001L, -1, Seq.tabulate(dim)(d => if (d == 0) 5.01 else if (d == 1) 5.0 else 0.0)),
+      (900002L, -1, Seq.tabulate(dim)(d => if (d == 0) 5.0 else if (d == 1) 5.01 else 0.0)))
+      .toDF("vec_id", "planted_cluster", "e")
+    val corpus = planted.unionByName(boundary).cache()
+    def pairs(np: Int): Set[(Long, Long)] =
+      Similarity.nearDupPairsIvf(corpus, "e", "vec_id", codebook,
+          minCosine = 0.9999, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(!p1.contains((900001L, 900002L)),
+      "single-assignment should miss the cross-boundary pair (it lands in two different lists)")
+    assert(p2.contains((900001L, 900002L)), s"nprobe=2 must recover the boundary pair, got $p2")
+    assert(p1.subsetOf(p2), "widening nprobe must only add pairs")
+
+    // multi-assigning to EVERY list makes every pair co-bucketed ->
+    // exact brute-force pair set at the same threshold
+    val vecs = corpus.select("vec_id", "e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    val brute = (for {
+      (ia, ea) <- vecs; (ib, eb) <- vecs if ia < ib
+      dot = ea.zip(eb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(ea.map(x => x * x).sum); nb = math.sqrt(eb.map(x => x * x).sum)
+      if BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.9999
+    } yield (ia, ib)).toSet
+    assert(pairs(nClusters) == brute)
+    corpus.unpersist()
+  }
+
   test("multi-probe of a missing member id returns empty, like single-probe") {
     val assigned = Similarity.ivfAssign(planted, codebook, "e")
     val single = Similarity.ivfProbe(assigned, "e", "vec_id", 999999L, 10)
