@@ -1028,6 +1028,51 @@ object DataPrepQueries {
             "text", "doc_id", shingleN = 3, minJaccard = 0.8)
           .select("doc_id", "source")
           .orderBy("doc_id")
+      }),
+
+    // Batch IVF probe over the q44/q59 index: MANY queries answered in
+    // one plan (Similarity.ivfProbeAll), here on the SHUFFLE path
+    // (broadcastProbes=false) — the ranked probes repartition on the
+    // list id instead of broadcasting, the shape that survives a
+    // probe batch too large for any broadcast. Results are identical
+    // to the broadcast path (SimilaritySpec pins that); the oracle
+    // recomputes every query's two nearest lists and per-query top-5.
+    QueryDef("q81_ivf_batch_probe", Some("""
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id IN (0, 100, 200)),
+      probe AS (SELECT q.qid, q.qe, c.cid FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      scored AS (SELECT p.qid, a.vec_id,
+                        round(list_inner_product(e.e, p.qe)
+                          / (sqrt(list_inner_product(e.e, e.e))
+                             * sqrt(list_inner_product(p.qe, p.qe))), 4) AS cos
+                 FROM probe p JOIN assign a ON a.cid = p.cid
+                   JOIN e ON e.vec_id = a.vec_id
+                 WHERE a.vec_id <> p.qid)
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val queries = others.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        graft.operators.Similarity.ivfProbeAll(
+            graft.operators.Similarity.ivfAssign(others, codebook, "e"),
+            "e", "vec_id", queries, "qid", "e", codebook,
+            k = 5, nprobe = 2, excludeSelf = true, broadcastProbes = false)
+          .orderBy("qid", "rank")
       })
   )
 }

@@ -632,6 +632,41 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_affected"),
             countDistinct("vul_name").as("n_vulns"))
           .orderBy("namespace")
+      }),
+
+    // As-of join on NATIVE timestamp columns with a tolerance horizon:
+    // the common event-time case with no manual epoch cast — the
+    // tolerance reads in microseconds (unix_micros difference) and
+    // voids matches staler than 30 days, which q65's unit-free numeric
+    // form cannot express without the caller pre-converting. Same
+    // single tag-union + one window plan as q65.
+    QueryDef("q82_asof_tolerance_ts", Some("""
+      WITH o AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                        arg_max(o_orderpriority, o_orderkey) AS pri
+                 FROM orders GROUP BY o_custkey, o_orderdate),
+      e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_type FROM events),
+      m AS (SELECT e.event_type,
+                   (SELECT o.pri FROM o
+                    WHERE o.o_custkey = e.user_id AND o.ots <= e.ets
+                      AND date_diff('microsecond', o.ots, e.ets) <= 2592000000000
+                    ORDER BY o.ots DESC LIMIT 1) AS pri
+            FROM e)
+      SELECT event_type, coalesce(pri, 'none') AS last_priority, count(*) AS n
+      FROM m GROUP BY event_type, last_priority ORDER BY event_type, last_priority"""),
+      (s, dir) => {
+        val events = t(s, dir, "events").select(col("user_id"),
+          // ts arrives as epoch-nanos LONG (nanosAsLong); floor to
+          // micros = DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
+          expr("timestamp_micros(ts div 1000)").as("ets"), col("event_type"))
+        val orders = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ots"))
+          .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("pri"))
+        graft.operators.AsOfJoin.asOfBackward(events, orders,
+            "user_id", "o_custkey", "ets", "ots", Seq("pri"), prefix = "o_",
+            tolerance = Some(30L * 86400L * 1000000L)) // 30 days in micros
+          .groupBy(col("event_type"), coalesce(col("o_pri"), lit("none")).as("last_priority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "last_priority")
       })
   )
 }
