@@ -171,6 +171,65 @@ object EventStream {
       .start()
   }
 
+  /** Stream-static AS-OF enrichment: every event picks the STATIC
+    * reference table's latest state at-or-before its event time — the
+    * live twin of `operators.AsOfJoin.asOfBackward` (whose union +
+    * window resolution a stream cannot run: non-time windows are
+    * unsupported over streaming frames). The static side collapses to
+    * ONE row per key carrying its time-sorted (time, value) array —
+    * reference states are checkpoints/config versions, bounded per
+    * key by definition, unlike events — and broadcast-joins the
+    * stream; the match is then a map-side `filter` + last-element
+    * pick inside codegen. ZERO stream state: stateless projection +
+    * broadcast join, Append mode, and the static side re-plans every
+    * micro-batch (same shape as VulnMatch.scanStream) so a reloaded
+    * reference table is picked up live. Ties at equal time match
+    * (at-or-before); events before a key's first state, or with no
+    * key match, keep null state columns (left-outer parity with the
+    * batch operator). */
+  def asOfLookup(events: DataFrame, states: DataFrame,
+      eventKey: String, stateKey: String,
+      eventTime: String, stateTime: String,
+      stateCols: Seq[String], prefix: String = "s_"): DataFrame = {
+    require(stateCols.nonEmpty, "asOfLookup needs at least one state value column")
+    val packed = states
+      .groupBy(col(stateKey).as("_k"))
+      .agg(sort_array(collect_list(struct(
+        col(stateTime).as("_t") +:
+        stateCols.map(c => col(c).as("_" + c)): _*))).as("_states"))
+    val joined = events.join(broadcast(packed),
+      col(eventKey) === col("_k"), "left_outer")
+    // latest at-or-before = last element of the (sorted, order-
+    // preserving) filter; guarded so an empty match stays null under
+    // ANSI element_at
+    val matches = filter(col("_states"), s => s.getField("_t") <= col(eventTime))
+    val m = when(size(matches) > 0, element_at(matches, -1))
+    val out = ((prefix + stateTime, m.getField("_t")) +:
+      stateCols.map(c => (prefix + c, m.getField("_" + c))))
+      .map { case (n, c) => c.as(n) }
+    joined.select(events.columns.map(col) ++ out: _*)
+  }
+
+  /** Run the as-of lookup live: events stream from a parquet
+    * directory, the reference table stays static, output appends to a
+    * memory sink. */
+  def runAsOfLookup(spark: SparkSession, dir: String, states: DataFrame,
+      queryName: String, eventKey: String, stateKey: String,
+      stateTime: String, stateCols: Seq[String],
+      glob: String = "*.parquet", prefix: String = "s_"): StreamingQuery = {
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    asOfLookup(stream, states, eventKey, stateKey, "event_ts", stateTime,
+        stateCols, prefix)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class SessionInput(user_id: Long, ms: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessionState(nSessions: Long, nEvents: Long, lastMs: Long)

@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpecBase {
       again.map(_.getAs[String]("frame_digest")).toSeq)
   }
 
+  test("stream-static as-of lookup matches the batch AsOfJoin row for row") {
+    import org.apache.spark.sql.functions._
+    // keys ≡ 3 (mod 5) carry NO states, so their events must come out
+    // unmatched — exercising the left-outer path, not just the hits
+    val states = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_custkey") % 5 =!= 3)
+      .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ots"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("pri"))
+
+    val q = EventStream.runAsOfLookup(spark, sfDir, states, "stream_asof",
+      eventKey = "user_id", stateKey = "o_custkey", stateTime = "ots",
+      stateCols = Seq("pri"), glob = "events.parquet")
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT event_id, s_pri FROM stream_asof")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("event_ts"))
+    val batch = graft.operators.AsOfJoin.asOfBackward(events, states,
+        "user_id", "o_custkey", "event_ts", "ots", Seq("pri"), prefix = "s_")
+      .select("event_id", "s_pri")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_.isDefined)
+      && streamed.values.exists(_.isEmpty),
+      "fixture should exercise both matched and unmatched events")
+  }
+
   test("stream-stream interval join matches the batch q72 census") {
     import org.apache.spark.sql.functions._
     val q = EventStream.runIntervalJoin(spark, sfDir, "stream_ivj",
