@@ -103,6 +103,27 @@ class BpeSpec extends SparkSpecBase {
     assert(bat == seq)
   }
 
+  test("seeded property: batched == sequential on random overlap-heavy corpora") {
+    // small alphabet -> top pairs constantly share symbols, the
+    // adversarial regime for the disjoint-batch guard: any hole in
+    // the close-the-batch rule shows up as a diverged merge table
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 40).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val corpus = (0 until 25).map { i =>
+        (i.toLong, (0 until 8).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val seq = Bpe.learn(corpus, "text", numMerges = 12, batchMerges = 1)
+        .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+      val bat = Bpe.learn(corpus, "text", numMerges = 12, batchMerges = 8)
+        .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(bat == seq, s"seed $seed diverged:\n  seq=$seq\n  bat=$bat")
+    }
+  }
+
   test("segment keeps zero-word docs: empty subwords, not silent row loss") {
     val learned = Bpe.learn(docs, "text", 3)
     val mixed = Seq((10L, "low"), (11L, ""), (12L, "   "), (13L, null.asInstanceOf[String]))
