@@ -36,6 +36,46 @@ object TextNorm {
     regexp_replace(regexp_replace(scrub(text), ipv4Pattern, "<IP>"),
       longDigitsPattern, "<ID>")
 
+  /** Tracking query parameters dropped by URL canonicalization —
+    * the params that make two fetches of one page distinct strings. */
+  val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+  /** Canonical URL for web-corpus dedup — the standard crawl-prep
+    * normalization, entirely in codegen'd built-ins (no UDF), same
+    * regex source text on the DuckDB oracle:
+    *   1. fragment dropped (`#...` never reaches the server);
+    *   2. scheme + host lowercased (case-insensitive per RFC 3986;
+    *      path/query case is preserved — it is significant);
+    *   3. default ports stripped (http:80, https:443);
+    *   4. empty path -> "/";
+    *   5. tracking params dropped (`trackingParamPattern`), the rest
+    *      SORTED so param order doesn't split identical resources.
+    * One map-side pass; dedup on the result is the usual hash-groupBy. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val schemeHost = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1))
+    val noPort = regexp_replace(
+      regexp_replace(schemeHost, "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val path = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    val canonPath = when(path === "", "/").otherwise(path)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(noPort, canonPath,
+      when(sortedQ === "", "").otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** Registrable-ish domain of a canonical URL: the host's last two
+    * labels (the public-suffix list is out of scope; two labels is
+    * the standard approximation for grouping a crawl by site). */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_extract(lower(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    array_join(slice(split(host, "\\."), -2, 2), ".")
+  }
+
   /** The full cleaning chain: NFC -> lowercase -> scrub -> whitespace
     * squeeze -> trim. */
   def clean(text: Column): Column =

@@ -1073,6 +1073,65 @@ object DataPrepQueries {
             "e", "vec_id", queries, "qid", "e", codebook,
             k = 5, nprobe = 2, excludeSelf = true, broadcastProbes = false)
           .orderBy("qid", "rank")
+      }),
+
+    // URL canonicalization for web-corpus dedup (TextNorm
+    // .canonicalizeUrl/urlDomain): fragment dropped, scheme+host
+    // lowercased, default ports stripped, empty path -> "/",
+    // tracking params dropped and the rest SORTED — two fetches of
+    // one resource become one string before the usual hash-groupBy
+    // dedup. Pure codegen'd built-ins (regexp + array HOFs), one
+    // map-side pass; the census groups by registrable-ish domain.
+    QueryDef("q83_url_canon", Some("""
+      WITH u AS (
+        SELECT concat(
+                 (CASE WHEN o_orderkey % 3 = 0 THEN 'HTTPS://Shop.Example.COM:443'
+                       WHEN o_orderkey % 3 = 1 THEN 'http://blog.example.org:80'
+                       ELSE 'https://Docs.Example.net' END),
+                 '/item/', CAST(o_orderkey % 100 AS VARCHAR),
+                 (CASE WHEN o_orderkey % 2 = 0
+                   THEN concat('?utm_source=mail&b=', CAST(o_orderkey % 5 AS VARCHAR), '&a=1#frag')
+                   ELSE '' END)) AS url
+        FROM orders WHERE o_orderkey < 2000),
+      steps AS (
+        SELECT regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
+               regexp_extract(regexp_replace(url, '#.*$', ''), '^[^?]*\?(.*)$', 1) AS query
+        FROM u),
+      canon AS (
+        SELECT concat(
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)),
+                   '^(http://.*):80$', '\1'), '^(https://.*):443$', '\1'),
+                 (CASE WHEN regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') = ''
+                   THEN '/' ELSE regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') END),
+                 (CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&') = ''
+                   THEN ''
+                   ELSE concat('?', array_to_string(list_sort(list_filter(string_split(query, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))), '&')) END))
+               AS curl
+        FROM steps)
+      SELECT array_to_string((string_split(
+               regexp_extract(lower(curl), '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1), '.'))[-2:], '.') AS domain,
+             count(*) AS n_urls,
+             count(DISTINCT curl) AS n_canonical
+      FROM canon GROUP BY domain ORDER BY domain"""),
+      (s, dir) => {
+        import graft.operators.TextNorm
+        val urls = t(s, dir, "orders").filter(col("o_orderkey") < 2000).select(
+          concat(
+            when(col("o_orderkey") % 3 === 0, lit("HTTPS://Shop.Example.COM:443"))
+              .when(col("o_orderkey") % 3 === 1, lit("http://blog.example.org:80"))
+              .otherwise(lit("https://Docs.Example.net")),
+            lit("/item/"), (col("o_orderkey") % 100).cast("string"),
+            when(col("o_orderkey") % 2 === 0,
+              concat(lit("?utm_source=mail&b="), (col("o_orderkey") % 5).cast("string"),
+                lit("&a=1#frag"))).otherwise(lit(""))).as("url"))
+        urls.select(TextNorm.canonicalizeUrl(col("url")).as("curl"))
+          .select(col("curl"), TextNorm.urlDomain(col("curl")).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"), countDistinct("curl").as("n_canonical"))
+          .orderBy("domain")
       })
   )
 }

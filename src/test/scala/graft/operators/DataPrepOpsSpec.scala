@@ -66,6 +66,31 @@ class DataPrepOpsSpec extends SparkSpecBase {
     assert(pairs.filter(col("cos") > 1.0001).count() == 0)
   }
 
+  test("URL canonicalization: fragments, case, default ports, tracking params, param order") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + default port + tracking params + unsorted params + fragment
+      ("HTTPS://Shop.Example.COM:443/x?b=2&utm_source=a&a=1#frag",
+        "https://shop.example.com/x?a=1&b=2"),
+      // bare host, default http port -> trailing slash
+      ("http://Example.org:80", "http://example.org/"),
+      // NON-default port survives; path case preserved
+      ("https://example.net:8443/CaseSensitive/Path", "https://example.net:8443/CaseSensitive/Path"),
+      // all params are tracking -> no query at all
+      ("https://a.example.com/p?utm_source=x&fbclid=1&gclid=2", "https://a.example.com/p"),
+      // same resource, different param order and extra tracking -> same canon
+      ("https://shop.example.com/x?a=1&b=2&msclkid=9", "https://shop.example.com/x?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextNorm.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+
+    val domains = Seq("https://shop.example.com/x", "http://a.b.news.co/y")
+      .toDF("url").select(TextNorm.urlDomain(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(domains == Seq("example.com", "news.co"))
+  }
+
   test("quality gates enforce floors") {
     val g1 = QualityGates.gate("docs", docs, 100)
     assert(g1.ok && g1.count == 500)
