@@ -43,6 +43,50 @@ object TextStats {
       .agg(count(lit(1)).as("n_tok"), round(avg("_lp"), 4).as("logprob"))
   }
 
+  /** Per-document average bigram log-probability with add-k
+    * smoothing under the corpus's own bigram model,
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1→·) + k·V) — the word-ORDER
+    * fluency signal a unigram model cannot see (scrambled text keeps
+    * its unigram score but collapses here). The denominator counts
+    * w1's occurrences as a bigram LEFT (sum over w2 of c(w1,w2)), so
+    * the model is self-consistent; V is the corpus vocabulary size.
+    *
+    * Scale shape: the bigram count table is NOT vocabulary-bounded
+    * (|bigrams| >> |vocab|), so the scoring join on (w1, w2) is a
+    * deliberate SHUFFLE join — both sides partition on the pair key —
+    * unlike the unigram path's broadcast. The left-count table IS
+    * vocab-sized and broadcasts; V rides a one-row broadcast literal.
+    * Zero-bigram docs (< 2 tokens) stay in the output with
+    * n_bigrams = 0 and null logprob (explode_outer — no silent row
+    * loss). Returns (idCol, n_bigrams, logprob). */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      k: Double = 0.5): DataFrame = {
+    val withToks = docs.select(col(idCol), toks(textCol).as("_a"))
+    // guard single-token docs: sequence(1, 0) is DESCENDING in Spark
+    val bigramExpr =
+      """CASE WHEN size(_a) < 2 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+         ELSE transform(sequence(1, size(_a) - 1),
+           i -> struct(element_at(_a, i) AS w1, element_at(_a, i + 1) AS w2)) END"""
+    val flat = withToks
+      .select(col(idCol), explode_outer(expr(bigramExpr)).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+    val cb = flat.filter(col("_w1").isNotNull)
+      .groupBy("_w1", "_w2").agg(count(lit(1)).as("_cb"))
+    val cu = cb.groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
+    val vDf = withToks.select(explode(col("_a")).as("_tok"))
+      .agg(countDistinct("_tok").cast("double").as("_v"))
+    flat
+      .join(cb, Seq("_w1", "_w2"), "left_outer") // shuffle join by design
+      .join(broadcast(cu), Seq("_w1"), "left_outer")
+      .crossJoin(broadcast(vDf))
+      .select(col(idCol), col("_w1"),
+        when(col("_w1").isNotNull,
+          log((coalesce(col("_cb"), lit(0L)) + k) /
+            (coalesce(col("_cu"), lit(0.0)) + col("_v") * k))).as("_lp"))
+      .groupBy(idCol)
+      .agg(count(col("_w1")).as("n_bigrams"), round(avg("_lp"), 4).as("logprob"))
+  }
+
   /** Top-k keyword extraction per document: rank tokens by term
     * frequency, breaking ties by corpus rarity (ascending document
     * frequency) then token text — an integer-only ordering, so the

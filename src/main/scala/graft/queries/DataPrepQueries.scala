@@ -1132,6 +1132,35 @@ object DataPrepQueries {
           .groupBy("domain")
           .agg(count(lit(1)).as("n_urls"), countDistinct("curl").as("n_canonical"))
           .orderBy("domain")
-      })
+      }),
+
+    // Bigram LM scoring with add-k smoothing under the corpus's own
+    // model — the word-ORDER fluency signal unigrams (q73) can't see.
+    // The bigram count table is not vocab-bounded, so the scoring
+    // join is a deliberate shuffle join on the pair key; the
+    // left-count table broadcasts (vocab-sized) and V is a one-row
+    // broadcast literal.
+    QueryDef("q84_bigram_logprob", Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS a FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(a)),
+                      i -> {'w1': a[i], 'w2': a[i + 1]})) AS b
+             FROM t),
+      pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+      cu AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS cu FROM cb GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(a) AS tok FROM t)),
+      sc AS (SELECT p.doc_id, count(*) AS n_bigrams,
+                    round(avg(ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v))), 4) AS logprob
+             FROM pairs p JOIN cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+               JOIN cu ON p.w1 = cu.w1 CROSS JOIN v
+             GROUP BY p.doc_id)
+      SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.logprob
+      FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+      ORDER BY t.doc_id"""),
+      (s, dir) => graft.operators.TextStats.bigramLogProb(
+          t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"))
   )
 }

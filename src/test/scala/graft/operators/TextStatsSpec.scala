@@ -24,6 +24,35 @@ class TextStatsSpec extends SparkSpecBase {
     assert(out(3L) == (1L, -9.0))
   }
 
+  test("bigramLogProb: hand-computed smoothed model; zero-bigram docs survive") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b a"), (3L, "x"), (4L, "")
+    ).toDF("doc_id", "text")
+    // bigrams: doc1 (a,b),(b,a); doc2 (b,a) -> c(a,b)=1, c(b,a)=2
+    // left counts: a->1, b->2; V = |{a,b,x}| = 3; k = 0.5
+    val pAB = (1 + 0.5) / (1 + 0.5 * 3)
+    val pBA = (2 + 0.5) / (2 + 0.5 * 3)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val out = TextStats.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L) == ((2L, Some(r4((math.log(pAB) + math.log(pBA)) / 2)))))
+    assert(out(2L) == ((1L, Some(r4(math.log(pBA))))))
+    assert(out(3L) == ((0L, None)), "single-token doc must survive with 0 bigrams")
+    assert(out(4L) == ((0L, None)), "empty doc must survive with 0 bigrams")
+
+    // the order signal: in a corpus dominated by fluent word order, a
+    // scrambled doc (same unigrams — order-blind q73 scores it
+    // identically to its twin) collapses under the bigram model
+    val corpus = ((1L to 9L).map(i => (i, "the cat sat on the mat")) :+
+      (10L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val scores = TextStats.bigramLogProb(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(10L) < scores(1L),
+      s"scrambled doc must score below the fluent docs: $scores")
+    assert(scores(1L) == scores(9L))
+  }
+
   test("keywords: tf-first ranking with rarity and token tie-breaks") {
     val docs = Seq(
       (1L, "x x y y common"), // tf tie x/y -> rarer (lower df) first
