@@ -91,5 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       TopKAgg.fromSeqTopK _))
+    extensions.injectFunction((
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      HeavyHittersAgg.fromSeqHeavyHitters _))
   }
 }

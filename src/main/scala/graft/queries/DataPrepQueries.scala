@@ -1161,6 +1161,27 @@ object DataPrepQueries {
       ORDER BY t.doc_id"""),
       (s, dir) => graft.operators.TextStats.bigramLogProb(
           t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Misra–Gries heavy-hitters sketch (custom TypedImperativeAggregate
+    // with map-side partial aggregation): per-group dominant items in
+    // O(capacity) state — the shuffle moves sketches, never rows. Run
+    // here in the EXACT regime (distinct event types <= capacity), so
+    // every count reproduces a plain GROUP BY and err pins to 0; the
+    // approximate regime's order-independent bounds are pinned by
+    // HeavyHittersSpec.
+    QueryDef("q85_heavy_hitters", Some("""
+      SELECT user_id, CAST(0 AS BIGINT) AS err, event_type,
+             count(*) AS n
+      FROM events WHERE user_id < 50
+      GROUP BY user_id, event_type ORDER BY user_id, event_type"""),
+      (s, dir) => t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("event_type"), 16).as("hh"))
+        .select(col("user_id"), col("hh.err").as("err"), explode(col("hh.items")).as("it"))
+        .select(col("user_id"), col("err"), col("it.item").as("event_type"),
+          col("it.count").as("n"))
+        .orderBy("user_id", "event_type"))
   )
 }
