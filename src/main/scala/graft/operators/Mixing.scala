@@ -76,6 +76,47 @@ object Mixing {
       salt: String = ""): DataFrame =
     df.orderBy(unitHash(col(idCol), salt), col(idCol))
 
+  /** Temperature-scaled source weights — the standard multi-source /
+    * multilingual re-balancing (sample source i with probability
+    * q_i ∝ p_i^alpha, alpha in (0, 1]: alpha = 1 keeps natural
+    * proportions, alpha → 0 approaches uniform over sources, lifting
+    * low-resource sources). Returns one row per source:
+    * (sourceCol, n, q, weight) where `weight = budget·q_i / n_i` is
+    * the per-document expected copy count realizing the mix at
+    * `budget` total expected rows — > 1 means the source OVERSAMPLES
+    * (the whole point for small sources), which `weightedMix`
+    * realizes with floor+Bernoulli copies.
+    *
+    * Scale: one source-keyed census (map-side partial count), a
+    * one-row normalizer literal — the weight table is
+    * sources-sized (dozens), never corpus-sized. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).cast("double").as("_n"))
+    val z = counts.agg(sum(pow(col("_n"), alpha)).as("_z"))
+    counts.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("_n").cast("bigint").as("n"),
+        (pow(col("_n"), alpha) / col("_z")).as("q"),
+        (pow(col("_n"), alpha) / col("_z") * budget / col("_n")).as("weight"))
+  }
+
+  /** Realize the temperature mix: every doc draws
+    * floor(w) + Bernoulli(frac(w)) copies of its source's temperature
+    * weight (md5-uniform — deterministic, repartition-stable). The
+    * sources-sized weight table broadcasts back onto the corpus; the
+    * realization is the same map-side explode as `weightedMix`. */
+  def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, budget: Long, epochOut: String = "epoch",
+      salt: String = ""): DataFrame = {
+    val wt = broadcast(
+      temperatureWeights(docs, sourceCol, alpha, budget)
+        .select(col(sourceCol), col("weight").as("_w")))
+    weightedMix(docs.join(wt, Seq(sourceCol)), idCol, col("_w"), epochOut, salt)
+      .drop("_w")
+  }
+
   /** Exactly-k-per-stratum deterministic sample: the k rows with the
     * smallest md5-uniform within each stratum. Rate-based sampling
     * (`stratifiedSample`) leaves stratum sizes binomially distributed;

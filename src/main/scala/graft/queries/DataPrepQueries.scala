@@ -1182,6 +1182,41 @@ object DataPrepQueries {
         .select(col("user_id"), col("hh.err").as("err"), explode(col("hh.items")).as("it"))
         .select(col("user_id"), col("err"), col("it.item").as("event_type"),
           col("it.count").as("n"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // Temperature-scaled source mixing (q_i ∝ p_i^alpha): the
+    // standard multi-source re-balancing — alpha < 1 lifts
+    // low-resource sources, and the per-doc weight budget·q_i/n_i
+    // OVERSAMPLES them (> 1 copies) where needed. The weight table is
+    // sources-sized and broadcasts; realization is the deterministic
+    // md5-uniform floor+Bernoulli explode, map-side.
+    QueryDef("q86_temperature_mix", Some("""
+      WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source),
+      z AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+      w AS (SELECT source, n, pow(c.n, 0.5) / z.z * 400 / c.n AS wt FROM c CROSS JOIN z),
+      m AS (SELECT d.source, w.wt,
+                   floor(w.wt) + (CASE WHEN
+                       ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0
+                       < w.wt - floor(w.wt) THEN 1 ELSE 0 END) AS copies
+            FROM documents d JOIN w USING (source))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+             round(any_value(wt), 6) AS weight,
+             CAST(sum(copies) AS BIGINT) AS n_out
+      FROM m GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mixed = graft.operators.Mixing.temperatureMix(
+            docs, "source", "doc_id", alpha = 0.5, budget = 400L)
+          .groupBy("source").agg(count(lit(1)).as("n_out"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_in"))
+          .join(broadcast(graft.operators.Mixing.temperatureWeights(
+              docs, "source", alpha = 0.5, budget = 400L)
+            .select(col("source"), round(col("weight"), 6).as("weight"))),
+            Seq("source"))
+          .join(mixed, Seq("source"), "left_outer")
+          .select(col("source"), col("n_in"), col("weight"),
+            coalesce(col("n_out"), lit(0L)).as("n_out"))
+          .orderBy("source")
+      })
   )
 }

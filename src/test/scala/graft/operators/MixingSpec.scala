@@ -89,6 +89,27 @@ class MixingSpec extends SparkSpecBase {
     assert(Mixing.stratifiedTake(tiny, Seq("stratum"), "doc_id", 10).count() == 3)
   }
 
+  test("temperature weights: alpha < 1 lifts low-resource sources, alpha = 1 is natural, budget is the expectation") {
+    import spark.implicits._
+    val docs = ((1L to 90L).map(i => (i, "big")) ++ (91L to 100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val w = Mixing.temperatureWeights(docs, "source", alpha = 0.5, budget = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(w("small")._2 > 1.0, s"low-resource source must oversample: $w")
+    assert(w("big")._2 < 1.0)
+    // expected output size = budget exactly (sum n_i * w_i)
+    val expected = w.map { case (_, (n, wt)) => n * wt }.sum
+    assert(math.abs(expected - 100.0) < 1e-9)
+    // alpha = 1: natural proportions — every doc gets budget/total
+    val w1 = Mixing.temperatureWeights(docs, "source", alpha = 1.0, budget = 50L)
+      .collect().map(_.getDouble(3))
+    assert(w1.forall(v => math.abs(v - 0.5) < 1e-12))
+    // realization is deterministic run-to-run
+    def mix() = Mixing.temperatureMix(docs, "source", "doc_id", 0.5, 100L)
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(mix() == mix())
+  }
+
   test("salted draws decorrelate composed samplers") {
     import spark.implicits._
     val docs = (1L to 4000L).map(i => (i, "x")).toDF("doc_id", "text")
