@@ -179,6 +179,56 @@ object Dedup {
         max(col("span_df")).cast("bigint").as("max_span_df"))
   }
 
+  /** Repeated-span REMOVAL — the surgical form of `repeatedSpans`
+    * (the "dedup the spans, keep the docs" prescription of Lee et
+    * al., ACL'22): every word `n`-span occurring in at least `minDf`
+    * DISTINCT documents is cut from every document, and the text
+    * reassembles from the surviving tokens — boilerplate (license
+    * headers, navigation chrome, templated paragraphs) excised while
+    * the surrounding prose survives. A token is removed iff covered
+    * by at least one hot-span occurrence; ALL occurrences cut
+    * (cross-doc boilerplate has no canonical "first" in a
+    * distributed corpus). Returns the input columns plus `outCol`
+    * (the cleaned text) and `n_removed` (tokens cut).
+    *
+    * Scale: positional spans explode map-side; the span document
+    * frequency is a (doc, span)-distinct + span-keyed count (the
+    * positional stream repeats spans within a doc, so the distinct
+    * is load-bearing); only HOT spans (df >= minDf prunes the Zipf
+    * tail) join back to the positional stream, and the per-doc
+    * hot-start list rides one id-keyed groupBy + join. The cut
+    * itself is a map-side array rebuild — coverage checks cost
+    * O(|tokens|·|hot starts|) per doc, and hot starts are few by
+    * construction (they are boilerplate, not content). */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minDf: Int = 3, outCol: String = "clean_text"): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"need n >= 1 ($n) and minDf >= 2 ($minDf)")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol collides with the input schema")
+    val withToks = df.withColumn("_toks", tokens(col(textCol)))
+    // positional n-spans: start p (0-based) covers tokens [p, p+n)
+    val spans = withToks.select(col(idCol), posexplode(expr(
+        s"""CASE WHEN size(_toks) < $n THEN CAST(array() AS ARRAY<STRING>)
+           ELSE transform(sequence(0, size(_toks) - $n),
+             i -> array_join(slice(_toks, i + 1, $n), ' ')) END""")))
+      .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_span")
+    val hot = spans.select(col(idCol), col("_span")).distinct()
+      .groupBy("_span").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("_span")
+    val hotStarts = spans.join(hot, "_span")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("_p")).as("_starts"))
+    withToks.join(hotStarts, Seq(idCol), "left_outer")
+      .withColumn("_starts", coalesce(col("_starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("_kept", expr(
+        s"""transform(filter(transform(_toks, (t, i) -> named_struct('t', t, 'i', i)),
+              x -> NOT exists(_starts, s -> x.i >= s AND x.i < s + $n)), x -> x.t)"""))
+      .withColumn(outCol, array_join(col("_kept"), " "))
+      .withColumn("n_removed", (size(col("_toks")) - size(col("_kept"))).cast("bigint"))
+      .drop("_toks", "_starts", "_kept")
+  }
+
   /** Candidates-then-verify near-dup: MinHash/LSH proposes candidate
     * pairs, exact shingle-set Jaccard verifies ONLY those pairs. At
     * high duplication rates this beats the full inverted index

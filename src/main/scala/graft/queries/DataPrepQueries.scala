@@ -1217,6 +1217,39 @@ object DataPrepQueries {
           .select(col("source"), col("n_in"), col("weight"),
             coalesce(col("n_out"), lit(0L)).as("n_out"))
           .orderBy("source")
-      })
+      }),
+
+    // Repeated-span REMOVAL (Dedup.removeRepeatedSpans): q62 flags
+    // docs carrying cross-document boilerplate; this CUTS the spans —
+    // every word 3-span in >= 3 distinct docs excised from every doc,
+    // text rebuilt from the survivors. The span df is one
+    // (doc, span)-distinct census; only hot spans join back; the cut
+    // is a map-side array rebuild.
+    QueryDef("q87_span_removal", Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+                 FROM documents),
+      sp0 AS (SELECT doc_id, a,
+                     unnest(range(0, greatest(len(a) - 2, 0))) AS p
+              FROM t),
+      sp AS (SELECT doc_id, p, array_to_string(a[p + 1 : p + 3], ' ') AS span FROM sp0),
+      hot AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+              GROUP BY span HAVING count(*) >= 3),
+      hs AS (SELECT sp.doc_id, sp.p FROM sp JOIN hot USING (span)),
+      tokpos AS (SELECT doc_id, a, unnest(range(0, len(a))) AS p FROM t),
+      kept AS (SELECT tp.doc_id, tp.p, tp.a[tp.p + 1] AS tok
+               FROM tokpos tp
+               WHERE NOT EXISTS (SELECT 1 FROM hs
+                 WHERE hs.doc_id = tp.doc_id AND tp.p >= hs.p AND tp.p < hs.p + 3)),
+      o AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(o.clean_text, '') AS clean_text,
+             len(t.a) - coalesce(o.n_kept, 0) AS n_removed
+      FROM t LEFT JOIN o USING (doc_id) ORDER BY t.doc_id"""),
+      (s, dir) => graft.operators.Dedup.removeRepeatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          n = 3, minDf = 3)
+        .select("doc_id", "clean_text", "n_removed")
+        .orderBy("doc_id"))
   )
 }

@@ -66,6 +66,27 @@ class DataPrepOpsSpec extends SparkSpecBase {
     assert(pairs.filter(col("cos") > 1.0001).count() == 0)
   }
 
+  test("removeRepeatedSpans cuts cross-doc boilerplate, keeps the prose around it") {
+    import spark.implicits._
+    val boiler = "all rights reserved worldwide"
+    val docsB = Seq(
+      (1L, s"unique first document body $boiler trailing prose one"),
+      (2L, s"another distinct body text $boiler trailing prose two"),
+      (3L, s"third separate document content $boiler closing words three"),
+      (4L, "no boilerplate here at all just original writing"),
+      (5L, boiler) // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docsB, "text", "doc_id", n = 4, minDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) == (("unique first document body trailing prose one", 4L)))
+    assert(out(2L) == (("another distinct body text trailing prose two", 4L)))
+    assert(out(3L) == (("third separate document content closing words three", 4L)))
+    assert(out(4L) == (("no boilerplate here at all just original writing", 0L)))
+    assert(out(5L) == (("", 4L)), "all-boilerplate doc empties rather than vanishing")
+    assert(out.size == 5)
+  }
+
   test("URL canonicalization: fragments, case, default ports, tracking params, param order") {
     import spark.implicits._
     val cases = Seq(
