@@ -684,6 +684,42 @@ object Dedup {
   def simhash64Text(text: Column): Column =
     graft.functions.TextExpressions.simhash64_text(text)
 
+  /** Hamming-banded near-dup pairs over ANY 64-bit signature column
+    * (simhash64, perceptual image hash, audio fingerprint...): the
+    * four 16-bit blocks are band keys — pigeonhole guarantees EXACT
+    * recall at hamming <= 3 (a pair differing in <= 3 bits agrees on
+    * at least one block); larger `maxHamming` keeps the same bands
+    * and accepts partial recall. Pair expansion is bucket-local with
+    * the signature carried through the bucket (never all-pairs), hot
+    * bands capped with observed drop counts, cross-band duplicates
+    * collapsed. Returns (id_a, id_b, hamming). */
+  def hashNearDupPairs(df: DataFrame, hashCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_hash_band_cap"): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val base = df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_h"))
+      .filter(col("_h").isNotNull)
+    val bands = base.select(
+      struct(col("_id"), col("_h")).as("d"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+      .toDF("d", "k", "band")
+    HotKeys.cap(bands, Seq(col("k"), col("band")), maxBucket, metricName = metricName)
+      .groupBy("k", "band")
+      .agg(sort_array(collect_set(col("d"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               y -> struct(x._id AS id_a, y._id AS id_b, x._h AS ha, y._h AS hb))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("bigint").as("hamming"))
+      // hamming is per-pair deterministic: filter BEFORE the distinct
+      // so far pairs never enter the dedup shuffle
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Hamming distance between two simhash64 values (bit_count is a
     * codegen'd built-in). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

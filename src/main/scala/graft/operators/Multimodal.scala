@@ -110,6 +110,62 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash) over REAL pixel decode
+    * (JDK ImageIO: PNG/JPEG/GIF/BMP): the image downscales to a 9x8
+    * grayscale thumbnail and bit (x, y) records "pixel brighter than
+    * its right neighbor" — a signature that is IDENTICAL across
+    * re-encodings of the same pixels (PNG vs BMP vs JPEG-lossless)
+    * and moves only a few bits under mild edits, so image near-dup
+    * search is `Dedup.hashNearDupPairs` over the hash column, the
+    * same banding machinery as text SimHash. Unlike the metadata
+    * decoders this necessarily pays a pixel decode; it runs where the
+    * scan partition lives and only the 8-byte hash ever shuffles.
+    * Undecodable payloads hash to null (never a task failure). */
+  final class PerceptualHasher extends Serializable {
+    def dhash64(bytes: Array[Byte]): java.lang.Long = {
+      if (bytes == null || bytes.isEmpty) return null
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return null
+        val small = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        def gray(x: Int, y: Int): Int = {
+          val rgb = small.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        }
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        java.lang.Long.valueOf(h)
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Attach the perceptual hash to a binary image column — same
+    * once-per-task mapPartitions contract as the other decoders. */
+  def withPerceptualHash(df: DataFrame, binaryCol: String,
+      outCol: String = "phash")(implicit spark: SparkSession): DataFrame = {
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    df.mapPartitions { it =>
+      val hasher = new PerceptualHasher // once per partition — the contract
+      it.map(r => Row.fromSeq(r.toSeq :+ hasher.dhash64(binaryOf(r, idx))))
+    }(Encoders.row(outSchema))
+  }
+
   final case class AudioMeta(
     sampleRate: Double, channels: Int, frames: Long, encoding: String,
     byteLen: Long, digest: String, ok: Boolean)

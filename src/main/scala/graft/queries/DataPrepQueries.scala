@@ -454,36 +454,16 @@ object DataPrepQueries {
       ORDER BY doc_a, doc_b"""),
       (s, dir) => {
         // signature map-side via the compiled simhash64_text kernel
-        // (tokenization inside -- no interpreted lambda); candidates
-        // via 16-bit-block keys, hamming scored bucket-locally with
-        // the signature carried through the bucket like q35 carries
-        // set sizes. Same HotKeys guard as every bucket pipeline.
+        // (tokenization inside -- no interpreted lambda); candidate
+        // generation + bucket-local hamming via the generic 64-bit
+        // banding operator (also serving perceptual image hashes).
         val base = t(s, dir, "documents")
           .select(col("doc_id"),
             graft.functions.TextExpressions.simhash64_text(col("text")).as("sh"))
           .filter(expr(s"size($toksExpr) > 0"))
-        val bands = base.select(
-          struct(col("doc_id"), col("sh")).as("d"),
-          posexplode(array((0 until 4).map(k =>
-            shiftrightunsigned(col("sh"), 16 * k).bitwiseAND(lit(65535L))): _*)))
-          .toDF("d", "k", "band")
-        graft.operators.HotKeys.cap(bands, Seq(col("k"), col("band")),
-            graft.operators.HotKeys.DefaultBucketCap,
-            metricName = "graft_q43_band_cap")
-          .groupBy("k", "band")
-          .agg(sort_array(collect_set(col("d"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ids, (x, i) ->
-                 transform(slice(ids, i + 2, size(ids) - i - 1),
-                   y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                               x.sh AS sha, y.sh AS shb))))""")).as("p"))
-          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-            bit_count(col("p.sha").bitwiseXOR(col("p.shb"))).cast("bigint").as("hamming"))
-          // hamming is per-pair deterministic: filter BEFORE the
-          // distinct so far pairs never enter the dedup shuffle
-          .filter(col("hamming") <= 3)
-          .distinct()
+        graft.operators.Dedup.hashNearDupPairs(base, "sh", "doc_id",
+            maxHamming = 3, metricName = "graft_q43_band_cap")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
           .orderBy("doc_a", "doc_b")
       }),
 

@@ -66,6 +66,26 @@ class DataPrepOpsSpec extends SparkSpecBase {
     assert(pairs.filter(col("cos") > 1.0001).count() == 0)
   }
 
+  test("hashNearDupPairs: exact recall at hamming <= 3 via 16-bit-band pigeonhole") {
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, 0x0123456789ABCDEFL),
+      (2L, 0x0123456789ABCDEEL), // 1 bit from #1
+      (3L, 0x0123456789ABCD00L), // several bits from #1/#2 in one block
+      (4L, 0xFEDCBA9876543210L)) // far from everything
+      .toDF("vid", "sig")
+    val got = Dedup.hashNearDupPairs(sigs, "sig", "vid", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over all pairs at the same threshold
+    val raw = Seq(1L -> 0x0123456789ABCDEFL, 2L -> 0x0123456789ABCDEEL,
+      3L -> 0x0123456789ABCD00L, 4L -> 0xFEDCBA9876543210L)
+    val want = (for {
+      (ia, ha) <- raw; (ib, hb) <- raw if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(got == want && got.contains((1L, 2L)))
+  }
+
   test("removeRepeatedSpans cuts cross-doc boilerplate, keeps the prose around it") {
     import spark.implicits._
     val boiler = "all rights reserved worldwide"

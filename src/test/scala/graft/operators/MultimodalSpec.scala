@@ -243,6 +243,52 @@ class MultimodalSpec extends SparkSpecBase {
       (1L, 7L, 4, 2030L, 40L, 3)), s"got ${rows.toSeq}")
   }
 
+  // --- perceptual hash over real pixel decode ---
+  private def encodeImg(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+  private def gradientImg(reverse: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = if (reverse) 255 - x * 8 else x * 8
+      val c = math.max(0, math.min(255, v))
+      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    img
+  }
+
+  test("perceptual dHash: re-encoding invariant, direction-sensitive, null on junk") {
+    import spark.implicits._
+    val grad = gradientImg(reverse = false)
+    val png = encodeImg(grad, "png")
+    val bmp = encodeImg(grad, "bmp")
+    val rev = encodeImg(gradientImg(reverse = true), "png")
+    val docs = Seq((1L, png), (2L, bmp), (3L, rev),
+        (4L, "not an image".getBytes("UTF-8")),
+        (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val rows = Multimodal.withPerceptualHash(docs, "blob")(spark)
+      .select("id", "phash")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // same pixels, different container -> identical hash
+    assert(rows(1L).isDefined && rows(1L) == rows(2L))
+    // reversed gradient flips most brighter-than-neighbor bits
+    val d = java.lang.Long.bitCount(rows(1L).get ^ rows(3L).get)
+    assert(d > 20, s"reversed gradient should be far, hamming=$d")
+    assert(rows(4L).isEmpty && rows(5L).isEmpty)
+
+    // the near-dup search over the hash column: the re-encoded pair
+    // collides at hamming 0; the reversed image pairs with neither
+    val pairs = Dedup.hashNearDupPairs(
+        Multimodal.withPerceptualHash(docs, "blob")(spark), "phash", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), s"got ${pairs.toSeq}")
+  }
+
   test("non-binary column is rejected instead of silently coerced") {
     import spark.implicits._
     val docs = Seq((1L, "plain string")).toDF("id", "text")
