@@ -112,9 +112,13 @@ object Mixing {
       salt: String = ""): DataFrame = {
     val wt = broadcast(
       temperatureWeights(docs, sourceCol, alpha, budget)
-        .select(col(sourceCol), col("weight").as("_w")))
-    weightedMix(docs.join(wt, Seq(sourceCol)), idCol, col("_w"), epochOut, salt)
-      .drop("_w")
+        .select(col(sourceCol).as("_src"), col("weight").as("_w")))
+    // null-safe join: a null source is a stratum like any other (the
+    // census groups it), so its rows must pick up their weight rather
+    // than silently dropping on a null equi-key mismatch
+    weightedMix(docs.join(wt, col(sourceCol) <=> col("_src")),
+        idCol, col("_w"), epochOut, salt)
+      .drop("_src", "_w")
   }
 
   /** Exactly-k-per-stratum deterministic sample: the k rows with the

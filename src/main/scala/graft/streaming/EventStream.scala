@@ -192,6 +192,10 @@ object EventStream {
       eventTime: String, stateTime: String,
       stateCols: Seq[String], prefix: String = "s_"): DataFrame = {
     require(stateCols.nonEmpty, "asOfLookup needs at least one state value column")
+    val internal = Seq("_k", "_states")
+    val clash = (events.columns ++ states.columns).distinct.intersect(internal)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with as-of-lookup internal names; rename them first")
     val packed = states
       .groupBy(col(stateKey).as("_k"))
       .agg(sort_array(collect_list(struct(

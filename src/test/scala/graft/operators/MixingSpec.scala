@@ -108,6 +108,17 @@ class MixingSpec extends SparkSpecBase {
     def mix() = Mixing.temperatureMix(docs, "source", "doc_id", 0.5, 100L)
       .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(mix() == mix())
+
+    // a null source is a stratum, not a silent drop: its rows keep
+    // their weight through the null-safe join
+    val withNull = docs.withColumn("source",
+      when(col("doc_id") <= 10L, lit(null).cast("string")).otherwise(col("source")))
+    val wN = Mixing.temperatureWeights(withNull, "source", 0.5, 100L).count()
+    assert(wN == 3, "null stratum must appear in the weight table")
+    val mixedNull = Mixing.temperatureMix(withNull, "source", "doc_id", 1.0, 200L)
+    // alpha=1, budget=2x corpus -> weight 2.0 for every stratum incl null:
+    // every doc (null-source ones too) contributes exactly 2 copies
+    assert(mixedNull.count() == 200L)
   }
 
   test("salted draws decorrelate composed samplers") {
