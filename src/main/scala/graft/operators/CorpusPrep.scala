@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   *
   *   normalize (NFC + casefold + scrub + whitespace; `redactPii`
   *      upgrades the scrub to the full email/URL/IP/identifier pass)
+  *   -> boilerplate surgery (optional, `cutHotSpans`: spans repeated
+  *      across `spanMinDf`+ docs are CUT from every doc before the
+  *      gates — q87's removal, so pure-boilerplate docs simply fail
+  *      the length gate)
   *   -> quality gate (length band + repetition ceiling)
   *   -> boilerplate gate (optional: drop docs carrying more than
   *      `maxHotSpans` word spans that repeat verbatim across
@@ -53,6 +57,15 @@ object CorpusPrep {
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
+    // CUT cross-document boilerplate instead of (or before) dropping
+    // docs: spans of `shingleN` words in >= `spanMinDf` docs are
+    // excised from every doc (Dedup.removeRepeatedSpans) right after
+    // normalization, so the gates and dedup see the cleaned prose and
+    // an all-boilerplate doc simply fails the minChars gate. `run`
+    // only — the incremental path's census would need standing text
+    // re-scanned, defeating its cost contract; pre-cut the standing
+    // corpus once at build time instead.
+    cutHotSpans: Boolean = false,
     // survivor rule for near-dup clusters: the row minimizing this
     // expression wins (ties -> min id); None keeps the minimum id
     keepPreference: Option[org.apache.spark.sql.Column] = None,
@@ -82,7 +95,15 @@ object CorpusPrep {
   private def normalizeAndGate(docs: DataFrame, textCol: String,
       idCol: String, cfg: Config,
       spanCorpus: Option[DataFrame] = None): DataFrame = {
-    val cleaned = docs.withColumn("clean_text", normOf(cfg)(col(textCol)))
+    val cleaned0 = docs.withColumn("clean_text", normOf(cfg)(col(textCol)))
+    // surgical boilerplate removal BEFORE the gates: spans cut, text
+    // rebuilt, so the length/repetition gates judge the actual prose
+    val cleaned =
+      if (!cfg.cutHotSpans) cleaned0
+      else Dedup.removeRepeatedSpans(
+          cleaned0.withColumnRenamed("clean_text", "_pre_cut"),
+          "_pre_cut", idCol, cfg.shingleN, cfg.spanMinDf, outCol = "clean_text")
+        .drop("_pre_cut", "n_removed")
     val gated = cleaned
       .withColumn("_ntok", size(split(col("clean_text"), " ")))
       .filter(length(col("clean_text")).between(cfg.minChars, cfg.maxChars))
@@ -185,6 +206,10 @@ object CorpusPrep {
       textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config(),
       oldIndex: Option[DataFrame] = None): DataFrame = {
+    require(!cfg.cutHotSpans,
+      "cutHotSpans is a full-run option: the incremental path would have to " +
+        "re-scan the standing corpus's text for the span census, defeating its " +
+        "O(batch) cost contract — pre-cut the standing corpus with run() instead")
     val gated = normalizeAndGate(batch, textCol, idCol, cfg,
       spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None)
     val deduped = Dedup.dropIncrementalDuplicates(

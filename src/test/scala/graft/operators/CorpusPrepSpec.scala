@@ -75,6 +75,35 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
 
+  test("cutHotSpans excises boilerplate; a pure-boilerplate doc falls to the length gate") {
+    val boilerA = "this content is provided without any warranty whatsoever"
+    val boilerB = "all trademarks belong to their respective legal owners"
+    val docs = Seq(
+      (1L, s"$boilerA plus a perfectly original first discussion"),
+      (2L, s"$boilerB and a different but also original argument"),
+      (3L, s"$boilerA $boilerB"), // nothing but boilerplate
+      (4L, "entirely unique prose with no shared span content here"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        minChars = 20, cutHotSpans = true, spanMinDf = 2))
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // unlike maxHotSpans (which would DROP docs 1-3), the surgery
+    // keeps the prose and only the all-boilerplate doc dies (gate)
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == "plus a perfectly original first discussion", out(1L))
+    assert(out(2L) == "and a different but also original argument", out(2L))
+    assert(out(4L) == "entirely unique prose with no shared span content here")
+
+    // incremental path refuses the flag loudly instead of silently
+    // breaking its O(batch) contract
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(docs, docs,
+        cfg = CorpusPrep.Config(cutHotSpans = true))
+    }
+    assert(e.getMessage.contains("cutHotSpans"))
+  }
+
   test("keepPreference picks the near-dup survivor by source rank") {
     val docs = Seq(
       (1L, "crawl", "the same duplicated paragraph of text appears here verbatim"),
