@@ -116,6 +116,37 @@ class StreamingSpec extends SparkSpecBase {
       "fixture should exercise both matched and unmatched events")
   }
 
+  test("heavy-hitters sketch aggregates over a stream (state-store round-trip) with batch parity") {
+    import org.apache.spark.sql.functions._
+    // Complete mode over AvailableNow: every group's final sketch is
+    // visible; the TypedImperativeAggregate's serialize/deserialize
+    // is exercised by the state store between micro-batches
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sfDir)
+      .filter(col("user_id") < 20)
+    val q = stream.groupBy("user_id")
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("event_type"), 16).as("hh"))
+      .select(col("user_id"), col("hh.err").as("err"), explode(col("hh.items")).as("it"))
+      .select(col("user_id"), col("err"), col("it.item"), col("it.count"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("stream_hh")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM stream_hh")
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("user_id") < 20)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((0L, r.getLong(2)))).toMap
+    // exact regime (5 distinct types << 16): stream == plain counts, err 0
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch q72 census") {
     import org.apache.spark.sql.functions._
     val q = EventStream.runIntervalJoin(spark, sfDir, "stream_ivj",
