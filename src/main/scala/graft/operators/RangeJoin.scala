@@ -47,6 +47,12 @@ object RangeJoin {
     val outIv = ivCols.map(prefix + _)
     require(points.columns.toSeq.intersect(outIv).isEmpty,
       "interval columns collide with the point schema; pass a prefix")
+    // the bucketing materializes working columns on both sides — an
+    // input column with one of these names would resolve ambiguously
+    val internal = Seq("_bucket", "_rj_s", "_rj_e1", "_rj_b0", "_rj_b1", "_rj_v")
+    val clash = (points.columns.toSeq ++ ivCols ++ outIv).distinct.intersect(internal)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with range-join internal names; rename them first")
 
     // integral columns take the exact integer path (SQL `div` +
     // sign-safe mod): double arithmetic would quantize epoch-nano

@@ -70,6 +70,17 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(m.getAs[Long]("dropped_rows") == 4L)
   }
 
+  test("input columns colliding with internal names are rejected") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(points.withColumn("_bucket", lit(1)),
+        intervals, "t", "s", "e", 5L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(points,
+        intervals.withColumn("_rj_b0", lit(1)), "t", "s", "e", 5L)
+    }
+  }
+
   test("plan is a hash equi-join on the bucket — no nested loop") {
     val plan = RangeJoin.intervalJoin(points, intervals, "t", "s", "e", 5L)
       .queryExecution.executedPlan.toString
