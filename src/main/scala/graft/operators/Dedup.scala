@@ -205,6 +205,10 @@ object Dedup {
     require(n >= 1 && minDf >= 2, s"need n >= 1 ($n) and minDf >= 2 ($minDf)")
     require(!df.columns.contains(outCol),
       s"output column $outCol collides with the input schema")
+    val clash = df.columns.toSeq.intersect(
+      Seq("_toks", "_p", "_span", "_starts", "_kept", "n_removed"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with span-removal internal names; rename them first")
     val withToks = df.withColumn("_toks", tokens(col(textCol)))
     // positional n-spans: start p (0-based) covers tokens [p, p+n)
     val spans = withToks.select(col(idCol), posexplode(expr(

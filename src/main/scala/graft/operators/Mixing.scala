@@ -110,6 +110,9 @@ object Mixing {
   def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
       alpha: Double, budget: Long, epochOut: String = "epoch",
       salt: String = ""): DataFrame = {
+    val clash = docs.columns.toSeq.intersect(Seq("_src", "_w"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with temperature-mix internal names; rename them first")
     val wt = broadcast(
       temperatureWeights(docs, sourceCol, alpha, budget)
         .select(col(sourceCol).as("_src"), col("weight").as("_w")))

@@ -52,6 +52,23 @@ object ScaleSmoke {
 
     timed("repeated_spans(df>=8)")(
       Dedup.repeatedSpans(docs, "text", "doc_id", minDf = 8).count())
+    timed("span_removal(df>=8)")(
+      Dedup.removeRepeatedSpans(docs, "text", "doc_id", n = 3, minDf = 8)
+        .agg(sum("n_removed")).collect()(0).getLong(0))
+    timed("bigram_logprob")(
+      graft.operators.TextStats.bigramLogProb(docs, "text", "doc_id").count())
+    // heavy hitters over the exploded token stream: vocabulary-sized
+    // groups, sketch-bounded state — the shape the aggregate exists for
+    timed("heavy_hitters(tokens per source-shard, cap=64)")(
+      docs.select((col("doc_id") % 64).as("shard"),
+          explode(Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("shard")
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("tok"), 64).as("hh"))
+        .select(explode(col("hh.items"))).count())
+    timed("temperature_mix(alpha=0.7)")(
+      graft.operators.Mixing.temperatureMix(
+        docs.withColumn("source", col("doc_id") % 10), "source", "doc_id",
+        alpha = 0.7, budget = n).count())
     timed("seq_pack(512tok,64shards)")(
       graft.operators.Packing.packGreedy(
           docs.select(col("doc_id"), (col("doc_id") % 64).as("shard"),
