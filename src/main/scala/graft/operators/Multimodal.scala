@@ -453,17 +453,27 @@ object Multimodal {
     * `nFrames` evenly spaced keyframes from the `KeyframeIndexer`
     * walk, each with its exact byte offset + size: the frame-sampling
     * plan a downstream (external-codec) decode stage consumes as byte
-    * ranges. Same mapPartitions contract as the other decoders: the
-    * indexer is built once per task, rows multiply map-side before any
-    * shuffle, and non-BMFF/malformed payloads emit zero rows. */
-  def sampleKeyframes(df: DataFrame, binaryCol: String, nFrames: Int)(
+    * ranges. With `withBytes = true` each row ALSO carries the
+    * keyframe's raw coded bytes (`frame_bytes`, sliced from the
+    * payload while it is already in memory — in-bounds ranges only),
+    * so the handoff to an external decoder is the per-frame payload
+    * itself, not a (file, offset) pair; leave it false when only the
+    * plan is needed — frame bytes multiply the shuffled volume. Same
+    * mapPartitions contract as the other decoders: the indexer is
+    * built once per task, rows multiply map-side before any shuffle,
+    * and non-BMFF/malformed payloads emit zero rows. */
+  def sampleKeyframes(df: DataFrame, binaryCol: String, nFrames: Int,
+      withBytes: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
     require(nFrames > 0, s"nFrames must be positive, got $nFrames")
     val idx = requireBinary(df, binaryCol)
-    val outSchema = df.schema
+    val baseSchema = df.schema
       .add("track_id", LongType).add("n_samples", IntegerType)
       .add("n_keyframes", IntegerType).add("sample_n", IntegerType)
       .add("byte_offset", LongType).add("byte_size", LongType)
+    val outSchema =
+      if (withBytes) baseSchema.add("frame_bytes", org.apache.spark.sql.types.BinaryType)
+      else baseSchema
     df.mapPartitions { it =>
       val indexer = new KeyframeIndexer // once per partition — the contract
       it.flatMap { r =>
@@ -476,8 +486,18 @@ object Multimodal {
             else (0 until nFrames).map(i => (i.toLong * ks.length / nFrames).toInt)
           picks.iterator.map { i =>
             val k = ks(i)
-            Row.fromSeq(r.toSeq :+ t.trackId :+ t.nSamples :+ t.nKeyframes :+
-              k.sampleNum :+ k.offset :+ k.size)
+            val base = r.toSeq :+ t.trackId :+ t.nSamples :+ t.nKeyframes :+
+              k.sampleNum :+ k.offset :+ k.size
+            if (!withBytes) Row.fromSeq(base)
+            else {
+              // a truncated file can index beyond the payload: null
+              // bytes rather than a slice of the wrong region
+              val bytes =
+                if (k.offset >= 0 && k.size > 0 && k.offset + k.size <= b.length)
+                  java.util.Arrays.copyOfRange(b, k.offset.toInt, (k.offset + k.size).toInt)
+                else null
+              Row.fromSeq(base :+ bytes)
+            }
           }
         }
       }

@@ -243,6 +243,32 @@ class MultimodalSpec extends SparkSpecBase {
       (1L, 7L, 4, 2030L, 40L, 3)), s"got ${rows.toSeq}")
   }
 
+  test("sampleKeyframes withBytes slices the exact keyframe payloads; out-of-bounds -> null") {
+    import spark.implicits._
+    val head = bmffBox("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+      bmffBox("moov", mvhdV0(1000, 6000),
+        trakWithStbl(7, "vide", stblFixture(withStss = true)))
+    // deterministic filler so offsets 1000..4060 land in-bounds with
+    // known content (a stand-in for the mdat coded samples)
+    val mp4 = head ++ Array.tabulate(4100 - head.length)(i => ((i * 31 + 7) & 0xff).toByte)
+    val rows = Multimodal.sampleKeyframes(
+        Seq((1L, mp4)).toDF("id", "blob"), "blob", nFrames = 3, withBytes = true)(spark)
+      .select("sample_n", "byte_offset", "byte_size", "frame_bytes")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3)))).toMap
+    assert(rows.keySet == Set(1, 4, 6))
+    assert(java.util.Arrays.equals(rows(1)._3, mp4.slice(1000, 1010)))
+    assert(java.util.Arrays.equals(rows(4)._3, mp4.slice(2030, 2070)))
+    assert(java.util.Arrays.equals(rows(6)._3, mp4.slice(4000, 4060)))
+
+    // truncated file: index points past the payload -> null bytes, no throw
+    val short = head // offsets 1000+ are out of bounds
+    val nulls = Multimodal.sampleKeyframes(
+        Seq((1L, short)).toDF("id", "blob"), "blob", nFrames = 3, withBytes = true)(spark)
+      .select("frame_bytes").collect()
+    assert(nulls.nonEmpty && nulls.forall(_.isNullAt(0)))
+  }
+
   // --- perceptual hash over real pixel decode ---
   private def encodeImg(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
