@@ -67,6 +67,29 @@ object Packing {
       .drop("_toks", "_start")
   }
 
+  /** Thread / conversation assembly: collapse per-message rows into
+    * one ordered document per thread — the step that turns chat logs,
+    * forum threads, or event streams into training documents. Each
+    * group's rows sort by `orderCol` (make it a TOTAL order — ties
+    * would make the document nondeterministic, so the sort key
+    * includes it as the final tiebreak) and their `textCol` values
+    * join with `sep`. Returns one row per thread:
+    * (groupCols..., n_turns, thread_text).
+    *
+    * Scale: one groupBy shuffle on the thread key; the ordered
+    * assembly happens inside the aggregated array (sort_array over
+    * (order, text) structs), never via a global sort. A thread's
+    * document must fit in one aggregation buffer — true for
+    * conversations by construction; cap pathological threads
+    * upstream with HotKeys.cap if the key can be degenerate. */
+  def assembleThreads(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, textCol: String, sep: String = "\n"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(expr(
+          s"transform(array_sort(collect_list(struct($orderCol, $textCol))), x -> x.$textCol)"),
+          sep).as("thread_text"))
+
   /** Per-(group, bin) packing stats over a `packGreedy` result:
     * document count, token total, and fill ratio vs `ctxLen`. The
     * groupBy keys extend the window partition keys, so AQE reuses the

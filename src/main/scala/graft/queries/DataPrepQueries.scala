@@ -1230,6 +1230,22 @@ object DataPrepQueries {
           t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
           n = 3, minDf = 3)
         .select("doc_id", "clean_text", "n_removed")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Thread / conversation assembly (Packing.assembleThreads): chat
+    // logs or event streams collapse into one ordered training
+    // document per thread — the ordered join happens inside the
+    // aggregated array (sort_array over structs), one groupBy
+    // shuffle, never a global sort.
+    QueryDef("q88_thread_assembly", Some("""
+      SELECT user_id, count(*) AS n_turns,
+             string_agg(event_type, '|' ORDER BY event_id) AS thread_text
+      FROM events WHERE user_id < 30
+      GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => graft.operators.Packing.assembleThreads(
+          t(s, dir, "events").filter(col("user_id") < 30)
+            .select(col("user_id"), col("event_id"), col("event_type")),
+          Seq("user_id"), "event_id", "event_type", sep = "|")
+        .orderBy("user_id"))
   )
 }

@@ -67,4 +67,21 @@ class PackingSpec extends SparkSpecBase {
     assert(out(3L) == ((3L, 3L)), s"got ${out(3L)}")
     assert(out(1L)._2 == 3L)
   }
+
+  test("assembleThreads: per-thread ordered document, partitioning-independent") {
+    import spark.implicits._
+    val msgs = Seq(
+      (1L, 3L, "third"), (1L, 1L, "first"), (1L, 2L, "second"),
+      (2L, 10L, "solo")
+    ).toDF("thread", "turn", "msg")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.assembleThreads(df, Seq("thread"), "turn", "msg", sep = " | ")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val out = run(msgs)
+    assert(out(1L) == ((3L, "first | second | third")))
+    assert(out(2L) == ((1L, "solo")))
+    // collect_list order is partition-dependent; the struct sort must
+    // make the document identical under any partitioning
+    assert(run(msgs.repartition(7)) == out)
+  }
 }
