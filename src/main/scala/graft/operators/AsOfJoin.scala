@@ -43,9 +43,11 @@ object AsOfJoin {
     *                  matches are nulled out. Units follow the time
     *                  columns' type: native units for numeric times,
     *                  MICROSECONDS for timestamp columns (the
-    *                  `unix_micros` difference), DAYS for date
-    *                  columns — so the common event-time case needs
-    *                  no manual cast
+    *                  `timestampdiff` difference — wall-clock for
+    *                  TIMESTAMP_NTZ, epoch for TIMESTAMP, so a DST
+    *                  session timezone cannot distort the horizon),
+    *                  DAYS for date columns — so the common
+    *                  event-time case needs no manual cast
     */
   def asOfBackward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -138,26 +140,32 @@ object AsOfJoin {
       .filter(col("_side") === 1)
 
     // Tolerance: void matches farther than `tolerance` time units.
-    // Timestamp columns compare via their unix_micros, date columns
-    // via their epoch-day ordinal, so `tolerance` reads in micros /
-    // days respectively without a caller-side cast. A null LEFT time
-    // also voids the match (belt to the ordering's braces): null time
-    // means "unknown when", and an as-of match at an unknown time is
-    // not a match.
+    // Timestamp columns (LTZ and NTZ) diff via timestampdiff
+    // MICROSECOND — for NTZ that is the WALL-CLOCK difference, which
+    // a cast-to-LTZ epoch diff would distort by the DST offset in any
+    // DST-observing session timezone; date columns diff in days — so
+    // `tolerance` reads micros / days without a caller-side cast. A
+    // null LEFT time also voids the match (belt to the ordering's
+    // braces): null time means "unknown when", and an as-of match at
+    // an unknown time is not a match.
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val tType = left.schema(leftTime).dataType
-    def toNum(c: Column): Column = tType match {
-      case TimestampType    => unix_micros(c)
-      case TimestampNTZType => unix_micros(c.cast(TimestampType))
-      case DateType         => datediff(c, to_date(lit("1970-01-01")))
-      case _                => c
-    }
     val mt = col("_wm._mt")
     val lt = col("_t")
+    // signed difference (later - earlier) in the tolerance's units
+    def diff(later: Column, earlier: Column, laterSql: String, earlierSql: String): Column =
+      tType match {
+        case TimestampType | TimestampNTZType =>
+          expr(s"timestampdiff(MICROSECOND, $earlierSql, $laterSql)")
+        case DateType => datediff(later, earlier)
+        case _        => later - earlier
+      }
     val keep: Column = tolerance match {
-      case Some(tol) if forward => mt.isNotNull && lt.isNotNull && (toNum(mt) - toNum(lt)) <= tol
-      case Some(tol)            => mt.isNotNull && lt.isNotNull && (toNum(lt) - toNum(mt)) <= tol
-      case None                 => mt.isNotNull && lt.isNotNull
+      case Some(tol) if forward =>
+        mt.isNotNull && lt.isNotNull && diff(mt, lt, "_wm._mt", "_t") <= tol
+      case Some(tol) =>
+        mt.isNotNull && lt.isNotNull && diff(lt, mt, "_t", "_wm._mt") <= tol
+      case None => mt.isNotNull && lt.isNotNull
     }
     windowed.select(
       leftCols.map(col) ++

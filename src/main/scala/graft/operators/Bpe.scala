@@ -33,13 +33,26 @@ import org.apache.spark.sql.functions._
   * is in `maxSkipped` — or (b) a pair CREATED by an accepted merge
   * (x, l+r) / (l+r, y), whose count is bounded by the current count
   * of (x, l) / (r, y), both overlapping pairs and therefore also
-  * under `maxSkipped`. Accepting only while count > maxSkipped makes
-  * every accepted pair exactly the pair the sequential learner would
-  * pick at that rank, with the same recorded count. Worst case
-  * (adjacent hot pairs everywhere) degrades to one merge per round —
-  * never worse than the sequential learner. The round win is
-  * workload-shaped (tools.BpeRounds measures 106 merges in 58 vs 106
-  * rounds on the overlap-heavy synthetic corpus; disjoint-rich
+  * under `maxSkipped`.
+  *
+  * TIES need one more guard: a candidate's acceptance is also
+  * vetoed when any pair of the SAME count later in the scan overlaps
+  * the already-accepted symbols — such a pair never reached
+  * `maxSkipped` (it sorts after the candidate), yet the pair an
+  * earlier accepted merge creates out of it can TIE the candidate's
+  * count and win the sequential tie-break lexically (e.g. corpus
+  * {azq, az, mm}×50: after accepting (a,z), the created (az,</w>)
+  * ties (m,</w>) at 50 and sorts first — the batch must stop before
+  * (m,</w>), which only the tie-group look-ahead can see). For the
+  * same reason a candidate whose tie group may extend beyond the
+  * collected lookahead is not accepted (except the scan head, which
+  * is always sequential's next pick). With both guards every
+  * accepted pair is exactly the pair the sequential learner would
+  * pick at that rank, with the same recorded count — pinned by
+  * BpeSpec's hand-built tie corpus and seeded property tests. Worst
+  * case (adjacent hot pairs everywhere) degrades to one merge per
+  * round — never worse than the sequential learner. The round win is
+  * workload-shaped (tools.BpeRounds measures it; disjoint-rich
   * corpora close full batches per round), the equivalence is not.
   *
   * Ties break (count desc, left asc, right asc) so the learned merge
@@ -140,16 +153,36 @@ object Bpe {
       else {
         // greedy disjoint batch under the sequential-equivalence rule
         val want = math.min(batchMerges, numMerges - merges.length)
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var maxSkipped = 0L // pair counts are >= 1
         var closed = false
         var i = 0
-        while (i < top.length && !closed && accepted.length < want) {
-          val (l, r, n) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+        while (i < rows.length && !closed && accepted.length < want) {
+          val (l, r, n) = rows(i)
           if (used(l) || used(r)) maxSkipped = math.max(maxSkipped, n)
           else if (n <= maxSkipped) closed = true
-          else { accepted += ((l, r, n)); used += l; used += r }
+          else if (accepted.isEmpty) { accepted += ((l, r, n)); used += l; used += r }
+          else {
+            // tie guard: an equal-count pair LATER in the scan that
+            // overlaps the accepted symbols can spawn a created pair
+            // tying this candidate and winning the sequential
+            // tie-break — it never reaches maxSkipped, so look ahead
+            // through the candidate's tie group explicitly; a tie
+            // group possibly truncated by the lookahead is equally
+            // unsafe
+            var j = i + 1
+            var tieDanger = false
+            while (j < rows.length && rows(j)._3 == n && !tieDanger) {
+              if (used(rows(j)._1) || used(rows(j)._2)) tieDanger = true
+              j += 1
+            }
+            if (!tieDanger && j == rows.length && rows.last._3 == n &&
+                rows.length == lookahead) tieDanger = true
+            if (tieDanger) closed = true
+            else { accepted += ((l, r, n)); used += l; used += r }
+          }
           i += 1
         }
         accepted.foreach { case (l, r, n) => merges += ((merges.length, l, r, n)) }

@@ -70,10 +70,16 @@ object TextNorm {
 
   /** Registrable-ish domain of a canonical URL: the host's last two
     * labels (the public-suffix list is out of scope; two labels is
-    * the standard approximation for grouping a crawl by site). */
+    * the standard approximation for grouping a crawl by site).
+    * Single-label hosts (localhost, intranet names) return themselves
+    * — Spark's negative-start `slice` would return an EMPTY array for
+    * them, collapsing every such host into one "" group (and
+    * diverging from the clamping DuckDB `[-2:]` the oracle uses). */
   def urlDomain(url: Column): Column = {
     val host = regexp_extract(lower(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
-    array_join(slice(split(host, "\\."), -2, 2), ".")
+    val parts = split(host, "\\.")
+    when(size(parts) <= 2, host)
+      .otherwise(array_join(slice(parts, -2, 2), "."))
   }
 
   /** The full cleaning chain: NFC -> lowercase -> scrub -> whitespace

@@ -167,6 +167,28 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out(2L) == None)
   }
 
+  test("NTZ tolerance is wall-clock: a DST-gap session timezone cannot shrink the horizon") {
+    // Europe/Berlin skips 02:00-03:00 on 2026-03-29. Wall-clock lag
+    // between 01:30 and 03:30 is 2 h; a cast-to-LTZ epoch diff would
+    // report 1 h and keep a match the 90-minute horizon must void.
+    val sess = spark
+    val savedTz = sess.conf.get("spark.sql.session.timeZone")
+    try {
+      sess.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+      val l = Seq((1L, "a")).toDF("id", "key")
+        .withColumn("ts", lit("2026-03-29 03:30:00").cast("timestamp_ntz"))
+      val r = Seq(("a", 1.0)).toDF("key", "px")
+        .withColumn("rts", lit("2026-03-29 01:30:00").cast("timestamp_ntz"))
+      def matched(tolMicros: Long): Boolean = {
+        val row = AsOfJoin.asOfBackward(l, r, "key", "key", "ts", "rts",
+          Seq("px"), prefix = "r_", tolerance = Some(tolMicros)).collect()(0)
+        !row.isNullAt(row.fieldIndex("r_px"))
+      }
+      assert(!matched(90L * 60 * 1000000), "2h wall-clock lag must exceed a 90min horizon")
+      assert(matched(150L * 60 * 1000000), "and a 150min horizon must keep it")
+    } finally sess.conf.set("spark.sql.session.timeZone", savedTz)
+  }
+
   test("input columns colliding with internal names are rejected") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOfBackward(quotes.withColumn("_side", lit(1)), trades,

@@ -103,6 +103,24 @@ class BpeSpec extends SparkSpecBase {
     assert(bat == seq)
   }
 
+  test("tie guard: an equal-count overlapping pair AFTER the candidate closes the batch") {
+    // {azq, az, mm}x50: (a,z)=100 tops; the 50-count tie group holds
+    // (m,</w>) lex-first AND (z,</w>), which overlaps the accepted
+    // (a,z) but sorts after (m,</w>) so plain maxSkipped never sees
+    // it. Its mass reappears as the created (az,</w>), which ties 50
+    // and wins the sequential tie-break — the batch must stop after
+    // (a,z) instead of accepting (m,</w>).
+    val corpus = (0 until 50).map(i => (i.toLong, "azq az mm")).toDF("doc_id", "text")
+    val seq = Bpe.learn(corpus, "text", numMerges = 4, batchMerges = 1)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    val bat = Bpe.learn(corpus, "text", numMerges = 4, batchMerges = 8)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(bat == seq, s"\n  seq=$seq\n  bat=$bat")
+    // the rank-1 merge is the CREATED pair, which the unguarded batch
+    // would have displaced with (m, </w>)
+    assert(seq(1)(1) == "az" && seq(1)(2) == "</w>", s"got ${seq(1)}")
+  }
+
   test("seeded property: batched == sequential on random overlap-heavy corpora") {
     // small alphabet -> top pairs constantly share symbols, the
     // adversarial regime for the disjoint-batch guard: any hole in

@@ -126,10 +126,12 @@ class DataPrepOpsSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2), s"got $got")
 
-    val domains = Seq("https://shop.example.com/x", "http://a.b.news.co/y")
+    val domains = Seq("https://shop.example.com/x", "http://a.b.news.co/y",
+        "http://localhost/admin", "http://intranet:8080/wiki")
       .toDF("url").select(TextNorm.urlDomain(col("url")))
       .collect().map(_.getString(0)).toSeq
-    assert(domains == Seq("example.com", "news.co"))
+    // single-label hosts keep their name rather than collapsing to ""
+    assert(domains == Seq("example.com", "news.co", "localhost", "intranet"))
   }
 
   test("quality gates enforce floors") {
