@@ -204,6 +204,23 @@ object Bpe {
     Learned(mergesDf, vocab, rounds)
   }
 
+  /** Persist a learned tokenizer (ordered merge table + word→symbols
+    * vocabulary) as parquet — learn once on the big corpus, then
+    * `readLearned` + `segment` every batch without replaying a single
+    * merge round. The merge table IS the standard BPE artifact shape
+    * (rank-ordered pairs), so it also exports cleanly to other
+    * tokenizer runtimes. */
+  def writeLearned(learned: Learned, path: String): Unit = {
+    learned.merges.write.mode("overwrite").parquet(s"$path/merges")
+    learned.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Read a persisted tokenizer back. `rounds` is 0 on a read-back
+    * artifact (no learning happened in this session). */
+  def readLearned(spark: org.apache.spark.sql.SparkSession, path: String): Learned =
+    Learned(spark.read.parquet(s"$path/merges"),
+      spark.read.parquet(s"$path/vocab"), rounds = 0)
+
   /** Tokenize a corpus with a learned vocabulary: words join the
     * (broadcast) word→symbols table; OOV words fall back to the
     * character split. Returns one row per doc with the subword array

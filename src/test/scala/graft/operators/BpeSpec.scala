@@ -156,6 +156,26 @@ class BpeSpec extends SparkSpecBase {
       assert(out(id) == ((Seq.empty[String], 0L, 0L)), s"doc $id: ${out(id)}")
   }
 
+  test("write/read round-trip: the persisted tokenizer segments identically") {
+    val learned = Bpe.learn(docs, "text", 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact").toFile
+    try {
+      Bpe.writeLearned(learned, dir.getAbsolutePath)
+      val back = Bpe.readLearned(spark, dir.getAbsolutePath)
+      assert(back.merges.orderBy("rank").collect().map(_.toSeq).toSeq ==
+        learned.merges.orderBy("rank").collect().map(_.toSeq).toSeq)
+      val probe = Seq((10L, "low lower zap")).toDF("doc_id", "text")
+      def seg(v: org.apache.spark.sql.DataFrame) =
+        Bpe.segment(probe, "text", "doc_id", v).collect().map(_.toSeq).toSeq
+      assert(seg(back.vocab) == seg(learned.vocab))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("symbols with quotes and backslashes survive the merge literal") {
     // the most frequent pair involves the quote/backslash word, so
     // its characters land inside the generated merge expression
