@@ -718,9 +718,11 @@ object Dedup {
                y -> struct(x._id AS id_a, y._id AS id_b, x._h AS ha, y._h AS hb))))""")).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("bigint").as("hamming"))
-      // hamming is per-pair deterministic: filter BEFORE the distinct
-      // so far pairs never enter the dedup shuffle
-      .filter(col("hamming") <= maxHamming)
+      // duplicate ids (a fanned-out upstream join) would otherwise
+      // emit nonsense self-pairs; hamming is per-pair deterministic,
+      // so both filters run BEFORE the distinct and far pairs never
+      // enter the dedup shuffle
+      .filter(col("id_a") =!= col("id_b") && col("hamming") <= maxHamming)
       .distinct()
   }
 

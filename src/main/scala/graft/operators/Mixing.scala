@@ -42,6 +42,9 @@ object Mixing {
     * per-row quality score). */
   def weightedMix(df: DataFrame, idCol: String, weight: Column,
       epochOut: String = "epoch", salt: String = ""): DataFrame = {
+    val clash = df.columns.toSeq.intersect(Seq("_copies", epochOut))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with weightedMix's working/output names; rename them or pass a different epochOut")
     val w = weight.cast("double")
     val copies = (floor(w) +
       when(unitHash(col(idCol), salt) < w - floor(w), 1).otherwise(0)).cast("int")

@@ -491,9 +491,13 @@ object Multimodal {
             if (!withBytes) Row.fromSeq(base)
             else {
               // a truncated file can index beyond the payload: null
-              // bytes rather than a slice of the wrong region
+              // bytes rather than a slice of the wrong region. The
+              // subtraction form cannot overflow (a crafted co64
+              // offset near Long.MaxValue would wrap `offset + size`
+              // and sneak past an addition-form check)
               val bytes =
-                if (k.offset >= 0 && k.size > 0 && k.offset + k.size <= b.length)
+                if (k.offset >= 0 && k.size > 0 && k.size <= b.length &&
+                    k.offset <= b.length - k.size)
                   java.util.Arrays.copyOfRange(b, k.offset.toInt, (k.offset + k.size).toInt)
                 else null
               Row.fromSeq(base :+ bytes)

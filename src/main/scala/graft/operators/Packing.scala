@@ -83,12 +83,19 @@ object Packing {
     * conversations by construction; cap pathological threads
     * upstream with HotKeys.cap if the key can be degenerate. */
   def assembleThreads(df: DataFrame, groupCols: Seq[String],
-      orderCol: String, textCol: String, sep: String = "\n"): DataFrame =
+      orderCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+    require(orderCol != textCol,
+      "orderCol and textCol must differ (the sort struct needs distinct fields)")
+    // Column-API HOFs (not an interpolated expr string), so column
+    // names needing backticks can't misparse
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_turns"),
-        array_join(expr(
-          s"transform(array_sort(collect_list(struct($orderCol, $textCol))), x -> x.$textCol)"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("_o"), col(textCol).as("_x")))),
+            x => x.getField("_x")),
           sep).as("thread_text"))
+  }
 
   /** Per-(group, bin) packing stats over a `packGreedy` result:
     * document count, token total, and fill ratio vs `ctxLen`. The

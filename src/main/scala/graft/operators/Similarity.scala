@@ -342,5 +342,7 @@ object Similarity {
                y -> struct(x._id AS id_a, y._id AS id_b, x._e AS e_a, y._e AS e_b))))""")).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         round(cosine(col("p.e_a"), col("p.e_b")), 4).as("cos"))
-      .filter(col("cos") >= minCosine)
+      // duplicate ids (a fanned-out upstream join) would otherwise
+      // emit nonsense self-pairs
+      .filter(col("id_a") =!= col("id_b") && col("cos") >= minCosine)
 }

@@ -1092,7 +1092,7 @@ object DataPrepQueries {
                AS curl
         FROM steps)
       SELECT array_to_string((string_split(
-               regexp_extract(lower(curl), '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1), '.'))[-2:], '.') AS domain,
+               regexp_extract(lower(curl), '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)', 1), '.'))[-2:], '.') AS domain,
              count(*) AS n_urls,
              count(DISTINCT curl) AS n_canonical
       FROM canon GROUP BY domain ORDER BY domain"""),

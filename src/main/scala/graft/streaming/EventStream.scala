@@ -192,26 +192,37 @@ object EventStream {
       eventTime: String, stateTime: String,
       stateCols: Seq[String], prefix: String = "s_"): DataFrame = {
     require(stateCols.nonEmpty, "asOfLookup needs at least one state value column")
-    val internal = Seq("_k", "_states")
+    require(!stateCols.contains(stateTime),
+      s"$stateTime is carried automatically as $prefix$stateTime; leave it out of stateCols")
+    val outCols = (stateTime +: stateCols).map(prefix + _)
+    require(events.columns.toSeq.intersect(outCols).isEmpty,
+      s"prefixed state columns ${outCols.mkString(",")} collide with the event schema; pass a prefix")
+    val internal = Seq("_k", "_states", "_m")
     val clash = (events.columns ++ states.columns).distinct.intersect(internal)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with as-of-lookup internal names; rename them first")
+    // value fields ride under a `_v_` prefix so a state column named
+    // "t" cannot duplicate the `_t` time field inside the struct
     val packed = states
       .groupBy(col(stateKey).as("_k"))
       .agg(sort_array(collect_list(struct(
         col(stateTime).as("_t") +:
-        stateCols.map(c => col(c).as("_" + c)): _*))).as("_states"))
+        stateCols.map(c => col(c).as("_v_" + c)): _*))).as("_states"))
     val joined = events.join(broadcast(packed),
       col(eventKey) === col("_k"), "left_outer")
     // latest at-or-before = last element of the (sorted, order-
     // preserving) filter; guarded so an empty match stays null under
-    // ANSI element_at
+    // ANSI element_at. Materialized ONCE as `_m` — lambda-bearing
+    // expressions are excluded from subexpression elimination, so
+    // projecting k fields straight off the filter would rescan each
+    // event's state array ~2(k+1) times
     val matches = filter(col("_states"), s => s.getField("_t") <= col(eventTime))
-    val m = when(size(matches) > 0, element_at(matches, -1))
-    val out = ((prefix + stateTime, m.getField("_t")) +:
-      stateCols.map(c => (prefix + c, m.getField("_" + c))))
+    val withM = joined.withColumn("_m",
+      when(size(matches) > 0, element_at(matches, -1)))
+    val out = ((prefix + stateTime, col("_m").getField("_t")) +:
+      stateCols.map(c => (prefix + c, col("_m").getField("_v_" + c))))
       .map { case (n, c) => c.as(n) }
-    joined.select(events.columns.map(col) ++ out: _*)
+    withM.select(events.columns.map(col) ++ out: _*)
   }
 
   /** Run the as-of lookup live: events stream from a parquet

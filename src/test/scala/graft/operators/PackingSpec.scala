@@ -83,5 +83,15 @@ class PackingSpec extends SparkSpecBase {
     // collect_list order is partition-dependent; the struct sort must
     // make the document identical under any partitioning
     assert(run(msgs.repartition(7)) == out)
+
+    // non-identifier column names survive (Column API, no SQL splice)
+    val weird = msgs.withColumnRenamed("msg", "msg-text")
+    val w = Packing.assembleThreads(weird, Seq("thread"), "turn", "msg-text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(w(1L) == "first\nsecond\nthird")
+    // identical order/text columns are rejected, not silently ambiguous
+    intercept[IllegalArgumentException] {
+      Packing.assembleThreads(msgs, Seq("thread"), "msg", "msg")
+    }
   }
 }
