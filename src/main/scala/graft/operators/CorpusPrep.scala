@@ -72,6 +72,13 @@ object CorpusPrep {
     // per-row keep rate in [0,1] (typically a per-stratum expression,
     // e.g. by lang or source); applied LAST via Mixing.stratifiedSample
     sampleRate: Option[org.apache.spark.sql.Column] = None,
+    // per-stage survivor counts published as observed metrics
+    // (<metricPrefix>_gated/_exact/_neardup/_semantic — "where did my
+    // docs go" with ZERO extra passes; GraftSession's listener logs
+    // them after the action). Metric names must be unique within one
+    // query execution: give each CorpusPrep composed into a single
+    // plan its own prefix.
+    metricPrefix: String = "graft_prep",
     // SEMANTIC (embedding-space) dedup stage, run after the text
     // near-dup stage in `run` (not `runIncremental` — probe a
     // standing embedding index with Similarity.ivfProbeAll instead):
@@ -150,22 +157,25 @@ object CorpusPrep {
     * `idCol` must be unique per row; `textCol` is the raw text. */
   def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config()): DataFrame = {
-    val spanGated = normalizeAndGate(docs, textCol, idCol, cfg)
+    def observed(df: DataFrame, stage: String): DataFrame =
+      df.observe(s"${cfg.metricPrefix}_$stage",
+        count(lit(1)).as("rows"))
+    val spanGated = observed(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
     // exact dedup: min id per content digest survives
-    val exactKept = spanGated
+    val exactKept = observed(spanGated
       .withColumn("_digest", md5(col("clean_text")))
       .withColumn("_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("_digest").orderBy(idCol)))
       .filter(col("_rank") === 1)
-      .drop("_digest", "_rank")
+      .drop("_digest", "_rank"), "exact")
     // near-dup dedup over the cleaned text
     val pairs = Dedup.minhashJaccardPairs(exactKept, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket)
     val clusters = Dedup.duplicateClusters(pairs)
-    val deduped = cfg.keepPreference
+    val deduped = observed(cfg.keepPreference
       .fold(Dedup.dropNearDuplicates(exactKept, idCol, clusters))(
-        Dedup.dropNearDuplicatesBy(exactKept, idCol, clusters, _))
+        Dedup.dropNearDuplicatesBy(exactKept, idCol, clusters, _)), "neardup")
     // semantic stage: embedding near-dup clusters collapse the same
     // way text clusters did — paraphrases/translations the shingle
     // tiers can't see
@@ -177,9 +187,9 @@ object CorpusPrep {
           cfg.signBits, cfg.minCosine, cfg.maxBucket)
       }
       val semClusters = Dedup.duplicateClusters(semPairs)
-      cfg.keepPreference
+      observed(cfg.keepPreference
         .fold(Dedup.dropNearDuplicates(deduped, idCol, semClusters))(
-          Dedup.dropNearDuplicatesBy(deduped, idCol, semClusters, _))
+          Dedup.dropNearDuplicatesBy(deduped, idCol, semClusters, _)), "semantic")
     }
     decontaminateAndSample(semantic, idCol, cfg)
   }

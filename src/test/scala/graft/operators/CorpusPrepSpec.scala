@@ -37,6 +37,14 @@ class CorpusPrepSpec extends SparkSpecBase {
 
     val (in, outN, pct) = CorpusPrep.yieldStats(docs, out)
     assert(in == 6 && outN == 2 && math.abs(pct - 66.67) < 0.1)
+
+    // per-stage survivor counts ride observed metrics — "where did my
+    // docs go" with no extra pass
+    out.collect() // metrics populate on THIS QueryExecution's action
+    val m = out.queryExecution.observedMetrics
+    assert(m("graft_prep_gated").getAs[Long]("rows") == 4L)   // 5,6 gated
+    assert(m("graft_prep_exact").getAs[Long]("rows") == 3L)   // 2 exact-dup
+    assert(m("graft_prep_neardup").getAs[Long]("rows") == 2L) // 3 near-dup
   }
 
   test("decontamination stage drops survivors containing a benchmark doc") {
