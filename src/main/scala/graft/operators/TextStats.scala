@@ -43,49 +43,87 @@ object TextStats {
       .agg(count(lit(1)).as("n_tok"), round(avg("_lp"), 4).as("logprob"))
   }
 
-  /** Per-document average bigram log-probability with add-k
-    * smoothing under the corpus's own bigram model,
-    * P(w2|w1) = (c(w1,w2) + k) / (c(w1→·) + k·V) — the word-ORDER
-    * fluency signal a unigram model cannot see (scrambled text keeps
-    * its unigram score but collapses here). The denominator counts
-    * w1's occurrences as a bigram LEFT (sum over w2 of c(w1,w2)), so
-    * the model is self-consistent; V is the corpus vocabulary size.
-    *
-    * Scale shape: the bigram count table is NOT vocabulary-bounded
-    * (|bigrams| >> |vocab|), so the scoring join on (w1, w2) is a
-    * deliberate SHUFFLE join — both sides partition on the pair key —
-    * unlike the unigram path's broadcast. The left-count table IS
-    * vocab-sized and broadcasts; V rides a one-row broadcast literal.
-    * Zero-bigram docs (< 2 tokens) stay in the output with
-    * n_bigrams = 0 and null logprob (explode_outer — no silent row
-    * loss). Returns (idCol, n_bigrams, logprob). */
-  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
-      k: Double = 0.5): DataFrame = {
+  /** A trained bigram LM: pair counts (`_w1,_w2,_cb` — NOT
+    * vocab-bounded), left-occurrence counts (`_w1,_cu` —
+    * vocab-sized), and the vocabulary size for smoothing. */
+  final case class BigramLm(bigrams: DataFrame, lefts: DataFrame, vocabSize: Double)
+
+  private def bigramPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val withToks = docs.select(col(idCol), toks(textCol).as("_a"))
     // guard single-token docs: sequence(1, 0) is DESCENDING in Spark
     val bigramExpr =
       """CASE WHEN size(_a) < 2 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
          ELSE transform(sequence(1, size(_a) - 1),
            i -> struct(element_at(_a, i) AS w1, element_at(_a, i + 1) AS w2)) END"""
-    val flat = withToks
+    withToks
       .select(col(idCol), explode_outer(expr(bigramExpr)).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+  }
+
+  /** Train a bigram LM over a reference corpus: pair counts, left
+    * counts (sum over w2 of c(w1,w2) — self-consistent conditioning
+    * denominator), vocabulary size. One token-keyed and one
+    * pair-keyed shuffle, both with full map-side partial
+    * aggregation. */
+  def bigramModel(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): BigramLm = {
+    val flat = bigramPairs(docs, textCol, idCol)
     val cb = flat.filter(col("_w1").isNotNull)
       .groupBy("_w1", "_w2").agg(count(lit(1)).as("_cb"))
     val cu = cb.groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
-    val vDf = withToks.select(explode(col("_a")).as("_tok"))
-      .agg(countDistinct("_tok").cast("double").as("_v"))
-    flat
-      .join(cb, Seq("_w1", "_w2"), "left_outer") // shuffle join by design
-      .join(broadcast(cu), Seq("_w1"), "left_outer")
-      .crossJoin(broadcast(vDf))
+    val v = docs.select(explode(toks(textCol)).as("_tok"))
+      .agg(countDistinct("_tok")).collect()(0).getLong(0).toDouble
+    BigramLm(cb, cu, v)
+  }
+
+  /** Score documents under a (possibly FOREIGN) bigram model with
+    * add-k smoothing, P(w2|w1) = (c(w1,w2) + k) / (c(w1→·) + k·V) —
+    * the CCNet-style setup: train the model once on a trusted
+    * reference corpus (`bigramModel` + `writeBigramLm`), then score
+    * every crawl batch against it. Unseen bigrams score
+    * (k)/(c(w1)+kV); fully unseen left words degrade to 1/V.
+    *
+    * Scale shape: the pair table is NOT vocab-bounded, so the scoring
+    * join on (w1, w2) is a deliberate SHUFFLE join; the left-count
+    * table is vocab-sized and broadcasts; V is a literal. Zero-bigram
+    * docs (< 2 tokens) stay in the output with n_bigrams = 0 and null
+    * logprob (explode_outer — no silent row loss).
+    * Returns (idCol, n_bigrams, logprob). */
+  def scoreBigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      lm: BigramLm, k: Double = 0.5): DataFrame =
+    bigramPairs(docs, textCol, idCol)
+      .join(lm.bigrams, Seq("_w1", "_w2"), "left_outer") // shuffle join by design
+      .join(broadcast(lm.lefts), Seq("_w1"), "left_outer")
       .select(col(idCol), col("_w1"),
         when(col("_w1").isNotNull,
           log((coalesce(col("_cb"), lit(0L)) + k) /
-            (coalesce(col("_cu"), lit(0.0)) + col("_v") * k))).as("_lp"))
+            (coalesce(col("_cu"), lit(0.0)) + lit(lm.vocabSize) * k))).as("_lp"))
       .groupBy(idCol)
       .agg(count(col("_w1")).as("n_bigrams"), round(avg("_lp"), 4).as("logprob"))
+
+  /** Per-document average bigram log-probability under the corpus's
+    * OWN model (q84) — `bigramModel` + `scoreBigramLogProb` composed;
+    * the word-ORDER fluency signal a unigram model cannot see
+    * (scrambled text keeps its unigram score but collapses here). */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      k: Double = 0.5): DataFrame =
+    scoreBigramLogProb(docs, textCol, idCol,
+      bigramModel(docs, textCol, idCol), k)
+
+  /** Persist / reload a trained bigram LM (the vocabulary size rides
+    * a one-row meta table so the artifact is self-contained). */
+  def writeBigramLm(lm: BigramLm, path: String): Unit = {
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.lefts.write.mode("overwrite").parquet(s"$path/lefts")
+    lm.bigrams.sparkSession.range(1)
+      .select(lit(lm.vocabSize).as("vocab_size"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  def readBigramLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
+    BigramLm(spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/lefts"),
+      spark.read.parquet(s"$path/meta").collect()(0).getDouble(0))
 
   /** Top-k keyword extraction per document: rank tokens by term
     * frequency, breaking ties by corpus rarity (ascending document

@@ -53,6 +53,40 @@ class TextStatsSpec extends SparkSpecBase {
     assert(scores(1L) == scores(9L))
   }
 
+  test("foreign-model bigram scoring: smoothed floors for unseen pairs; LM round-trips") {
+    // reference model: (a,b)=3, (b,a)=1; lefts a->3, b->1; V=2
+    val ref = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextStats.bigramModel(ref, "text")
+    assert(lm.vocabSize == 2.0)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+
+    // seen pair + unseen pair with seen left: (3.5/4), (0.5/2)
+    val got = TextStats.scoreBigramLogProb(
+      Seq((10L, "a b z")).toDF("doc_id", "text"), "text", "doc_id", lm).collect()(0)
+    assert(got.getLong(1) == 2L)
+    assert(got.getDouble(2) == r4((math.log(3.5 / 4) + math.log(0.25)) / 2))
+    // fully unseen left word degrades to 1/V
+    val g2 = TextStats.scoreBigramLogProb(
+      Seq((11L, "z q")).toDF("doc_id", "text"), "text", "doc_id", lm).collect()(0)
+    assert(g2.getDouble(2) == r4(math.log(0.5)))
+
+    // persisted model scores identically
+    val dir = java.nio.file.Files.createTempDirectory("bigram-lm").toFile
+    try {
+      TextStats.writeBigramLm(lm, dir.getAbsolutePath)
+      val back = TextStats.readBigramLm(spark, dir.getAbsolutePath)
+      assert(back.vocabSize == 2.0)
+      val again = TextStats.scoreBigramLogProb(
+        Seq((10L, "a b z")).toDF("doc_id", "text"), "text", "doc_id", back).collect()(0)
+      assert(again.getDouble(2) == got.getDouble(2))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("keywords: tf-first ranking with rarity and token tie-breaks") {
     val docs = Seq(
       (1L, "x x y y common"), // tf tie x/y -> rarer (lower df) first
