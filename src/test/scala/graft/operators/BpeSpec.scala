@@ -136,9 +136,13 @@ class BpeSpec extends SparkSpecBase {
       }.toDF("doc_id", "text")
       val seq = Bpe.learn(corpus, "text", numMerges = 12, batchMerges = 1)
         .merges.orderBy("rank").collect().map(_.toSeq).toSeq
-      val bat = Bpe.learn(corpus, "text", numMerges = 12, batchMerges = 8)
-        .merges.orderBy("rank").collect().map(_.toSeq).toSeq
-      assert(bat == seq, s"seed $seed diverged:\n  seq=$seq\n  bat=$bat")
+      // every batch width must land the identical table — the tie
+      // guard's behavior differs with the acceptance horizon
+      for (batch <- Seq(2, 8)) {
+        val bat = Bpe.learn(corpus, "text", numMerges = 12, batchMerges = batch)
+          .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+        assert(bat == seq, s"seed $seed batch $batch diverged:\n  seq=$seq\n  bat=$bat")
+      }
     }
   }
 
