@@ -97,6 +97,18 @@ object CorpusPrep {
   private def normOf(cfg: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
 
+  /** The strictly ROW-LOCAL front: normalization (+ optional PII
+    * redaction) and the length/repetition gates — pure map-side, so
+    * it runs identically over a batch frame or a stream. */
+  private[operators] def rowLocalGate(cleaned: DataFrame, cfg: Config): DataFrame =
+    cleaned
+      .withColumn("_ntok", size(split(col("clean_text"), " ")))
+      .filter(length(col("clean_text")).between(cfg.minChars, cfg.maxChars))
+      .filter(col("_ntok") > 0)
+      .filter(lit(1.0) - size(array_distinct(split(col("clean_text"), " ")))
+        .cast("double") / col("_ntok") <= cfg.maxRepetition)
+      .drop("_ntok")
+
   /** Shared front half: normalize (+ optional PII redaction), quality
     * gates, optional boilerplate gate — everything before dedup. */
   private def normalizeAndGate(docs: DataFrame, textCol: String,
@@ -111,13 +123,7 @@ object CorpusPrep {
           cleaned0.withColumnRenamed("clean_text", "_pre_cut"),
           "_pre_cut", idCol, cfg.shingleN, cfg.spanMinDf, outCol = "clean_text")
         .drop("_pre_cut", "n_removed")
-    val gated = cleaned
-      .withColumn("_ntok", size(split(col("clean_text"), " ")))
-      .filter(length(col("clean_text")).between(cfg.minChars, cfg.maxChars))
-      .filter(col("_ntok") > 0)
-      .filter(lit(1.0) - size(array_distinct(split(col("clean_text"), " ")))
-        .cast("double") / col("_ntok") <= cfg.maxRepetition)
-      .drop("_ntok")
+    val gated = rowLocalGate(cleaned, cfg)
     // boilerplate gate: anti-join against the repeated-span census —
     // docs over the hot-span budget drop before any dedup work.
     // `spanCorpus` (the incremental path) widens the census to the
@@ -227,6 +233,33 @@ object CorpusPrep {
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
       cfg.maxBucket, oldIndex, cfg.keepPreference)
     decontaminateAndSample(deduped, idCol, cfg)
+  }
+
+  /** LIVE corpus intake — the streaming front half of the prep
+    * pipeline: normalize (+ optional PII redaction) -> row-local
+    * quality gates -> watermarked EXACT dedup on the content digest
+    * (first ARRIVAL within the horizon wins;
+    * `dropDuplicatesWithinWatermark` keeps state bounded by the
+    * watermark x digest cardinality). Corpus-statistic stages
+    * (boilerplate census, near-dup/semantic clustering,
+    * decontamination) need a corpus-wide pass and stay batch-side:
+    * run `runIncremental` over the accumulated intake on whatever
+    * cadence the pipeline compacts. `tsCol` must be a TimestampType
+    * event-time column. Output: Append-mode survivors with
+    * `clean_text` appended. */
+  def prepStream(docs: DataFrame, textCol: String, tsCol: String,
+      cfg: Config = Config(), watermark: String = "10 minutes"): DataFrame = {
+    require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.embCol.isEmpty &&
+        cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty,
+      "prepStream supports only the row-local stages (normalize + gates + exact " +
+        "dedup); corpus-statistic stages need a batch pass — run them via " +
+        "runIncremental over the accumulated intake")
+    val cleaned = docs.withColumn("clean_text", normOf(cfg)(col(textCol)))
+    rowLocalGate(cleaned, cfg)
+      .withColumn("_digest", md5(col("clean_text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

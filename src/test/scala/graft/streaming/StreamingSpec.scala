@@ -116,6 +116,53 @@ class StreamingSpec extends SparkSpecBase {
       "fixture should exercise both matched and unmatched events")
   }
 
+  test("streaming corpus intake: gates + watermarked exact dedup on the digest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prep-stream").toFile
+    try {
+      // 1+2 normalize to the same digest (case/whitespace), 3 is a
+      // distinct doc, 4 fails the length gate, 5 is pure repetition
+      val rows = Seq(
+        (1L, "2026-01-01 00:00:01", "The  Quick Brown Fox Jumps Over The Lazy Dog Again"),
+        (2L, "2026-01-01 00:00:02", "the quick brown fox jumps over the lazy dog again"),
+        (3L, "2026-01-01 00:00:03", "a completely different document body that passes the gates"),
+        (4L, "2026-01-01 00:00:04", "too short"),
+        (5L, "2026-01-01 00:00:05", "spam spam spam spam spam spam spam spam spam spam"))
+        .toDF("doc_id", "ts", "text")
+        .withColumn("ts", to_timestamp(col("ts")))
+      rows.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          graft.operators.CorpusPrep.Config(minChars = 20, maxRepetition = 0.5))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id, clean_text FROM prep_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // one survivor per digest (first arrival of the 1/2 pair), 3
+      // survives, 4/5 gated
+      assert(got.keySet == Set(1L, 3L), s"got ${got.keySet}")
+      assert(got(1L) == "the quick brown fox jumps over the lazy dog again")
+      // corpus-statistic stages are refused loudly, not silently wrong
+      intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          graft.operators.CorpusPrep.Config(maxHotSpans = Some(3)))
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("heavy-hitters sketch aggregates over a stream (state-store round-trip) with batch parity") {
     import org.apache.spark.sql.functions._
     // Complete mode over AvailableNow: every group's final sketch is
