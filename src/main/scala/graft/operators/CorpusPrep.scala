@@ -72,13 +72,14 @@ object CorpusPrep {
     // per-row keep rate in [0,1] (typically a per-stratum expression,
     // e.g. by lang or source); applied LAST via Mixing.stratifiedSample
     sampleRate: Option[org.apache.spark.sql.Column] = None,
-    // per-stage survivor counts published as observed metrics
-    // (<metricPrefix>_gated/_exact/_neardup/_semantic — "where did my
-    // docs go" with ZERO extra passes; GraftSession's listener logs
-    // them after the action). Metric names must be unique within one
-    // query execution: give each CorpusPrep composed into a single
-    // plan its own prefix.
-    metricPrefix: String = "graft_prep",
+    // OPT-IN per-stage survivor counts published as observed metrics
+    // (<prefix>_gated/_exact/_neardup/_semantic — "where did my docs
+    // go" with ZERO extra passes; GraftSession's listener logs them
+    // after the action). Off by default because metric names must be
+    // unique within one query execution: two default-named preps
+    // unioned into one action would fail analysis. Give each prep
+    // composed into a single plan its own prefix.
+    metricPrefix: Option[String] = None,
     // SEMANTIC (embedding-space) dedup stage, run after the text
     // near-dup stage in `run` (not `runIncremental` — probe a
     // standing embedding index with Similarity.ivfProbeAll instead):
@@ -164,8 +165,8 @@ object CorpusPrep {
   def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config()): DataFrame = {
     def observed(df: DataFrame, stage: String): DataFrame =
-      df.observe(s"${cfg.metricPrefix}_$stage",
-        count(lit(1)).as("rows"))
+      cfg.metricPrefix.fold(df)(p =>
+        df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
     val spanGated = observed(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
     // exact dedup: min id per content digest survives
     val exactKept = observed(spanGated
@@ -240,13 +241,17 @@ object CorpusPrep {
     * quality gates -> watermarked EXACT dedup on the content digest
     * (first ARRIVAL within the horizon wins;
     * `dropDuplicatesWithinWatermark` keeps state bounded by the
-    * watermark x digest cardinality). Corpus-statistic stages
-    * (boilerplate census, near-dup/semantic clustering,
-    * decontamination) need a corpus-wide pass and stay batch-side:
-    * run `runIncremental` over the accumulated intake on whatever
-    * cadence the pipeline compacts. `tsCol` must be a TimestampType
-    * event-time column. Output: Append-mode survivors with
-    * `clean_text` appended. */
+    * watermark x digest cardinality). Survivor IDENTITY is
+    * arrival-order — within one micro-batch, shuffle interleaving
+    * picks among same-digest twins, unlike `run`'s deterministic
+    * min-id rule; the surviving CONTENT set (one row per digest) is
+    * identical either way, which is what intake needs. Corpus-
+    * statistic stages (boilerplate census, near-dup/semantic
+    * clustering, decontamination) need a corpus-wide pass and stay
+    * batch-side: run `runIncremental` over the accumulated intake on
+    * whatever cadence the pipeline compacts. `tsCol` must be a
+    * TimestampType event-time column. Output: Append-mode survivors
+    * with `clean_text` appended. */
   def prepStream(docs: DataFrame, textCol: String, tsCol: String,
       cfg: Config = Config(), watermark: String = "10 minutes"): DataFrame = {
     require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.embCol.isEmpty &&

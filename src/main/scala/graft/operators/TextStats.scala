@@ -45,34 +45,44 @@ object TextStats {
 
   /** A trained bigram LM: pair counts (`_w1,_w2,_cb` — NOT
     * vocab-bounded), left-occurrence counts (`_w1,_cu` —
-    * vocab-sized), and the vocabulary size for smoothing. */
-  final case class BigramLm(bigrams: DataFrame, lefts: DataFrame, vocabSize: Double)
+    * vocab-sized), and the smoothing vocabulary size as a ONE-ROW
+    * frame (`_v`) — kept lazy so constructing/composing a model never
+    * runs a driver action; it rides the scoring plan as a broadcast
+    * cross-join like every other corpus scalar in this object. */
+  final case class BigramLm(bigrams: DataFrame, lefts: DataFrame, vocab: DataFrame) {
+    /** Collects the one-row vocab frame — a deliberate action, for
+      * inspection/tests; scoring never calls it. */
+    def vocabSize: Double = vocab.collect()(0).getDouble(0)
+  }
 
-  private def bigramPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withToks = docs.select(col(idCol), toks(textCol).as("_a"))
+  private def bigramPairs(docs: DataFrame, textCol: String,
+      idCol: Option[String]): DataFrame = {
+    val withToks = docs.select(
+      idCol.map(col).toSeq :+ toks(textCol).as("_a"): _*)
     // guard single-token docs: sequence(1, 0) is DESCENDING in Spark
     val bigramExpr =
       """CASE WHEN size(_a) < 2 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
          ELSE transform(sequence(1, size(_a) - 1),
            i -> struct(element_at(_a, i) AS w1, element_at(_a, i + 1) AS w2)) END"""
     withToks
-      .select(col(idCol), explode_outer(expr(bigramExpr)).as("_bg"))
-      .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+      .select(idCol.map(col).toSeq :+ explode_outer(expr(bigramExpr)).as("_bg"): _*)
+      .select(idCol.map(col).toSeq ++
+        Seq(col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2")): _*)
   }
 
   /** Train a bigram LM over a reference corpus: pair counts, left
     * counts (sum over w2 of c(w1,w2) — self-consistent conditioning
-    * denominator), vocabulary size. One token-keyed and one
-    * pair-keyed shuffle, both with full map-side partial
-    * aggregation. */
-  def bigramModel(docs: DataFrame, textCol: String,
-      idCol: String = "doc_id"): BigramLm = {
-    val flat = bigramPairs(docs, textCol, idCol)
+    * denominator), vocabulary size. Fully LAZY — one token-keyed and
+    * one pair-keyed shuffle with full map-side partial aggregation
+    * when a downstream action runs, no driver round-trip at build
+    * time. No id column is required (the model never uses one). */
+  def bigramModel(docs: DataFrame, textCol: String): BigramLm = {
+    val flat = bigramPairs(docs, textCol, idCol = None)
     val cb = flat.filter(col("_w1").isNotNull)
       .groupBy("_w1", "_w2").agg(count(lit(1)).as("_cb"))
     val cu = cb.groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
     val v = docs.select(explode(toks(textCol)).as("_tok"))
-      .agg(countDistinct("_tok")).collect()(0).getLong(0).toDouble
+      .agg(countDistinct("_tok").cast("double").as("_v"))
     BigramLm(cb, cu, v)
   }
 
@@ -91,39 +101,45 @@ object TextStats {
     * Returns (idCol, n_bigrams, logprob). */
   def scoreBigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       lm: BigramLm, k: Double = 0.5): DataFrame =
-    bigramPairs(docs, textCol, idCol)
+    bigramPairs(docs, textCol, Some(idCol))
       .join(lm.bigrams, Seq("_w1", "_w2"), "left_outer") // shuffle join by design
       .join(broadcast(lm.lefts), Seq("_w1"), "left_outer")
+      .crossJoin(broadcast(lm.vocab))
       .select(col(idCol), col("_w1"),
         when(col("_w1").isNotNull,
           log((coalesce(col("_cb"), lit(0L)) + k) /
-            (coalesce(col("_cu"), lit(0.0)) + lit(lm.vocabSize) * k))).as("_lp"))
+            (coalesce(col("_cu"), lit(0.0)) + col("_v") * k))).as("_lp"))
       .groupBy(idCol)
       .agg(count(col("_w1")).as("n_bigrams"), round(avg("_lp"), 4).as("logprob"))
 
   /** Per-document average bigram log-probability under the corpus's
     * OWN model (q84) — `bigramModel` + `scoreBigramLogProb` composed;
     * the word-ORDER fluency signal a unigram model cannot see
-    * (scrambled text keeps its unigram score but collapses here). */
+    * (scrambled text keeps its unigram score but collapses here).
+    * One fully lazy plan, like every operator in this object. */
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       k: Double = 0.5): DataFrame =
     scoreBigramLogProb(docs, textCol, idCol,
-      bigramModel(docs, textCol, idCol), k)
+      bigramModel(docs, textCol), k)
 
-  /** Persist / reload a trained bigram LM (the vocabulary size rides
-    * a one-row meta table so the artifact is self-contained). */
+  /** Persist a trained bigram LM. The pair table writes ONCE and the
+    * left counts derive from the just-written parquet, so persisting
+    * costs a single corpus pass (the in-memory `lefts`/`vocab`
+    * lineages would each replay the corpus scan); the one-row vocab
+    * frame rides a meta table so the artifact is self-contained. */
   def writeBigramLm(lm: BigramLm, path: String): Unit = {
     lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
-    lm.lefts.write.mode("overwrite").parquet(s"$path/lefts")
-    lm.bigrams.sparkSession.range(1)
-      .select(lit(lm.vocabSize).as("vocab_size"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    val spark = lm.bigrams.sparkSession
+    spark.read.parquet(s"$path/bigrams")
+      .groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
+      .write.mode("overwrite").parquet(s"$path/lefts")
+    lm.vocab.write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def readBigramLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
     BigramLm(spark.read.parquet(s"$path/bigrams"),
       spark.read.parquet(s"$path/lefts"),
-      spark.read.parquet(s"$path/meta").collect()(0).getDouble(0))
+      spark.read.parquet(s"$path/meta"))
 
   /** Top-k keyword extraction per document: rank tokens by term
     * frequency, breaking ties by corpus rarity (ascending document

@@ -9,6 +9,17 @@ trait SparkSpecBase extends AnyFunSuite {
 
   def fixture(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
+
+  /** Run `f` with a fresh temp directory, recursively deleted after. */
+  def withTempDir[T](prefix: String)(f: java.io.File => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try f(dir) finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
 
 object SparkSpecBase {

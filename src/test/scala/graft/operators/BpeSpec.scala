@@ -162,8 +162,7 @@ class BpeSpec extends SparkSpecBase {
 
   test("write/read round-trip: the persisted tokenizer segments identically") {
     val learned = Bpe.learn(docs, "text", 3)
-    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact").toFile
-    try {
+    withTempDir("bpe-artifact") { dir =>
       Bpe.writeLearned(learned, dir.getAbsolutePath)
       val back = Bpe.readLearned(spark, dir.getAbsolutePath)
       assert(back.merges.orderBy("rank").collect().map(_.toSeq).toSeq ==
@@ -172,11 +171,6 @@ class BpeSpec extends SparkSpecBase {
       def seg(v: org.apache.spark.sql.DataFrame) =
         Bpe.segment(probe, "text", "doc_id", v).collect().map(_.toSeq).toSeq
       assert(seg(back.vocab) == seg(learned.vocab))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
     }
   }
 

@@ -25,7 +25,8 @@ class CorpusPrepSpec extends SparkSpecBase {
     ).toDF("doc_id", "text")
 
     val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
-      minChars = 20, maxRepetition = 0.5, minJaccard = 0.5))
+      minChars = 20, maxRepetition = 0.5, minJaccard = 0.5,
+      metricPrefix = Some("graft_prep")))
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
     // 2 falls to exact dedup (1 is min id), 3 to near-dup clustering,
     // 5/6 to the gates; 1 and 4 survive

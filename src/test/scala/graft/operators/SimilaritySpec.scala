@@ -87,8 +87,8 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("persisted index prunes partitions: an nprobe probe reads only its lists") {
     val corpus = planted
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    try {
+    withTempDir("graft-ivf") { dirFile =>
+      val dir = dirFile.getAbsolutePath
       Similarity.writeIndex(Similarity.ivfAssign(corpus, codebook, "e"), dir)
       val index = Similarity.readIndex(spark, dir)
       val probe = Similarity.ivfProbeVec(index, "e", "vec_id", query, 10,
@@ -111,11 +111,6 @@ class SimilaritySpec extends SparkSpecBase {
       assert(totalFiles >= nClusters, s"index should have $nClusters list dirs")
       assert(readFiles * 4 <= totalFiles,
         s"2-list probe must read a fraction of the index: $readFiles of $totalFiles files")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
     }
   }
 

@@ -70,20 +70,15 @@ class TextStatsSpec extends SparkSpecBase {
       Seq((11L, "z q")).toDF("doc_id", "text"), "text", "doc_id", lm).collect()(0)
     assert(g2.getDouble(2) == r4(math.log(0.5)))
 
-    // persisted model scores identically
-    val dir = java.nio.file.Files.createTempDirectory("bigram-lm").toFile
-    try {
+    // persisted model scores identically; training needs no id column
+    assert(TextStats.bigramModel(ref.select("text"), "text").vocabSize == 2.0)
+    withTempDir("bigram-lm") { dir =>
       TextStats.writeBigramLm(lm, dir.getAbsolutePath)
       val back = TextStats.readBigramLm(spark, dir.getAbsolutePath)
       assert(back.vocabSize == 2.0)
       val again = TextStats.scoreBigramLogProb(
         Seq((10L, "a b z")).toDF("doc_id", "text"), "text", "doc_id", back).collect()(0)
       assert(again.getDouble(2) == got.getDouble(2))
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
     }
   }
 

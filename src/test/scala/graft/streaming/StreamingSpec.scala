@@ -119,8 +119,7 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming corpus intake: gates + watermarked exact dedup on the digest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("prep-stream").toFile
-    try {
+    withTempDir("prep-stream") { dir =>
       // 1+2 normalize to the same digest (case/whitespace), 3 is a
       // distinct doc, 4 fails the length gate, 5 is pure repetition
       val rows = Seq(
@@ -155,11 +154,7 @@ class StreamingSpec extends SparkSpecBase {
         graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
           graft.operators.CorpusPrep.Config(maxHotSpans = Some(3)))
       }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
+      ()
     }
   }
 
