@@ -32,8 +32,32 @@ import org.apache.spark.sql.functions._
   * either (a) a still-live overlapping pair — skipped, so its count
   * is in `maxSkipped` — or (b) a pair CREATED by an accepted merge
   * (x, l+r) / (l+r, y), whose count is bounded by the current count
-  * of (x, l) / (r, y), both overlapping pairs and therefore also
-  * under `maxSkipped`.
+  * of (x, l) / (r, y) — overlapping pairs, so under `maxSkipped`
+  * whenever they were scanned as SKIPS.
+  *
+  * That bound has one hole: when the bounding pre-pair is the
+  * ACCEPTED pair itself, its count never entered `maxSkipped`. By
+  * pairwise disjointness of accepted pairs, (x, l) / (r, y) can
+  * only coincide with an accepted pair in the SELF-MERGE case
+  * l == r == s: merging (s, s) turns runs of s into runs of ss,
+  * creating (ss, s) / (ss, ss) pairs bounded only by count(s, s) —
+  * which can beat every remaining candidate (corpus {"abbbbbb"x35,
+  * "a"x42}: after (b,b)@175, the created (bb,bb)@70 outranks
+  * (a,</w>)@42, which the unguarded batch would accept). So a
+  * self-merge acceptance CLOSES the batch: its created-pair counts
+  * are only knowable after the re-count. Second guard, same shape:
+  * if an accepted merge's concatenated string l+r collides with a
+  * LIVE symbol string (tracked driver-side: "</w>" plus every merge
+  * ever accepted — initial symbols are single chars and cannot be
+  * hit by a 2+-char concat), occurrences created by the merge would
+  * CONFLATE with pre-existing pairs of that string and stale their
+  * scanned counts, so the acceptance closes the batch too. (An
+  * occurrence of l|r covering exactly those chars with no
+  * boundary-crossing merge evolves autonomously, so the same char
+  * window cannot segment both as l|r and as one symbol — a 150k-
+  * corpus randomized search found the collision unreachable — but
+  * the guard is a free driver-side set probe, so it is kept as
+  * defense in depth.)
   *
   * TIES need one more guard: a candidate's acceptance is also
   * vetoed when any pair of the SAME count later in the scan overlaps
@@ -133,6 +157,10 @@ object Bpe {
     // close the batch are visible; still KBs on the driver
     val lookahead = math.max(batchMerges * 4, 64)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // live multi-char symbol strings, for the collision guard: initial
+    // symbols are single chars (never equal to a 2+-char concat) plus
+    // the end-of-word marker; every accepted merge adds one
+    val liveSyms = scala.collection.mutable.Set[String]("</w>")
     var rounds = 0
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -159,11 +187,19 @@ object Bpe {
         var maxSkipped = 0L // pair counts are >= 1
         var closed = false
         var i = 0
+        // accept a candidate; a self-merge or a concat colliding with a
+        // live symbol string creates pairs whose counts the scanned
+        // rows cannot bound (object doc), so either CLOSES the batch
+        def accept(l: String, r: String, n: Long): Unit = {
+          accepted += ((l, r, n)); used += l; used += r; used += (l + r)
+          if (l == r || liveSyms(l + r)) closed = true
+          liveSyms += (l + r)
+        }
         while (i < rows.length && !closed && accepted.length < want) {
           val (l, r, n) = rows(i)
           if (used(l) || used(r)) maxSkipped = math.max(maxSkipped, n)
           else if (n <= maxSkipped) closed = true
-          else if (accepted.isEmpty) { accepted += ((l, r, n)); used += l; used += r }
+          else if (accepted.isEmpty) accept(l, r, n)
           else {
             // tie guard: an equal-count pair LATER in the scan that
             // overlaps the accepted symbols can spawn a created pair
@@ -181,7 +217,7 @@ object Bpe {
             if (!tieDanger && j == rows.length && rows.last._3 == n &&
                 rows.length == lookahead) tieDanger = true
             if (tieDanger) closed = true
-            else { accepted += ((l, r, n)); used += l; used += r }
+            else accept(l, r, n)
           }
           i += 1
         }

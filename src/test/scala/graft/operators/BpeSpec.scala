@@ -121,6 +121,50 @@ class BpeSpec extends SparkSpecBase {
     assert(seq(1)(1) == "az" && seq(1)(2) == "</w>", s"got ${seq(1)}")
   }
 
+  test("self-merge acceptance closes the batch: created pairs outrank later candidates") {
+    // {"abbbbbb"x35, "a"x42}: (b,b)@175 tops the scan and is a
+    // SELF-merge. Applying it turns the b-runs into bb-runs, creating
+    // (bb,bb)@70 — bounded only by the ACCEPTED pair's own count, so
+    // maxSkipped never sees it — which outranks (a,</w>)@42, the pair
+    // an unguarded batch would accept next from the stale scan. The
+    // guard must close the batch at (b,b) and let the re-count find
+    // (bb,bb) at rank 1.
+    val corpus = Seq((1L, (Seq.fill(35)("abbbbbb") ++ Seq.fill(42)("a")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val seq = Bpe.learn(corpus, "text", numMerges = 5, batchMerges = 1)
+      .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(seq(0).drop(1).take(2) == Seq("b", "b"))
+    assert(seq(1).drop(1).take(2) == Seq("bb", "bb"), s"got ${seq(1)}")
+    for (batch <- Seq(2, 8)) {
+      val bat = Bpe.learn(corpus, "text", numMerges = 5, batchMerges = batch)
+        .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(bat == seq, s"batch $batch diverged:\n  seq=$seq\n  bat=$bat")
+    }
+  }
+
+  test("seeded property: batched == sequential on run-heavy two-char corpora") {
+    // long same-char runs make SELF-merges the top pairs round after
+    // round — the regime where created (ss,s)/(ss,ss) pairs carry
+    // counts the scanned rows cannot bound (85/60k random corpora of
+    // this shape diverged under the unguarded batch rule)
+    for (seed <- Seq(3L, 19L)) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 8).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(60))(w)).mkString(" ")
+      val corpus = Seq((1L, text)).toDF("doc_id", "text")
+      val seq = Bpe.learn(corpus, "text", numMerges = 10, batchMerges = 1)
+        .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+      for (batch <- Seq(4, 16)) {
+        val bat = Bpe.learn(corpus, "text", numMerges = 10, batchMerges = batch)
+          .merges.orderBy("rank").collect().map(_.toSeq).toSeq
+        assert(bat == seq, s"seed $seed batch $batch diverged:\n  seq=$seq\n  bat=$bat")
+      }
+    }
+  }
+
   test("seeded property: batched == sequential on random overlap-heavy corpora") {
     // small alphabet -> top pairs constantly share symbols, the
     // adversarial regime for the disjoint-batch guard: any hole in
