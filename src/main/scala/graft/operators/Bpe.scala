@@ -257,36 +257,139 @@ object Bpe {
     Learned(spark.read.parquet(s"$path/merges"),
       spark.read.parquet(s"$path/vocab"), rounds = 0)
 
-  /** Tokenize a corpus with a learned vocabulary: words join the
-    * (broadcast) word→symbols table; OOV words fall back to the
-    * character split. Returns one row per doc with the subword array
-    * and counts — the shape a tokenizer-throughput estimator needs.
-    * One corpus scan + one broadcast join, independent of how many
-    * merges were learned. */
-  def segment(docs: DataFrame, textCol: String, idCol: String,
-      vocab: DataFrame): DataFrame = {
-    val v = broadcast(vocab.select(col("word").as("_w"), col("syms").as("_vsyms")))
-    docs
-      // posexplode_outer keeps zero-word (empty/null text) docs as a
-      // single null-word row, so they come out with subwords=[] and
-      // n_words=0 instead of silently vanishing from a per-doc
-      // report. posexplode (vs plain explode) keeps the word
-      // position: collect_list order is partition-dependent, so the
-      // subword stream must be re-sorted by position or the output
-      // would be nondeterministic
-      .select(col(idCol), posexplode_outer(words(col(textCol))))
+  /** Per-word exploded token stream: (idCol, _pos, word).
+    * posexplode_outer keeps zero-word (empty/null text) docs as a
+    * single null-word row, so they come out with subwords=[] and
+    * n_words=0 instead of silently vanishing from a per-doc report.
+    * posexplode (vs plain explode) keeps the word position:
+    * collect_list order is partition-dependent, so the subword stream
+    * must be re-sorted by position or the output would be
+    * nondeterministic. */
+  private def tokenStream(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), posexplode_outer(words(col(textCol))))
       .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "word")
-      .join(v, col("word") === col("_w"), "left_outer")
-      .withColumn("_syms",
-        when(col("word").isNotNull, coalesce(col("_vsyms"), expr(charSplit("word")))))
-      .groupBy(idCol)
-      // the CASE keeps the placeholder null-word row OUT of the
-      // collect_list (collect_list skips nulls) — flatten() over an
-      // array containing a null element would null the whole doc
+
+  /** Reassemble per-doc subword arrays from a (idCol, _pos, word,
+    * _syms) stream. The CASE keeps the placeholder null-word row OUT
+    * of the collect_list (collect_list skips nulls) — flatten() over
+    * an array containing a null element would null the whole doc. */
+  private def reassemble(tokens: DataFrame, idCol: String): DataFrame =
+    tokens.groupBy(idCol)
       .agg(expr("""flatten(transform(array_sort(collect_list(
             CASE WHEN _pos IS NOT NULL THEN struct(_pos, _syms) END)), x -> x._syms))""")
           .as("subwords"),
         count(col("word")).as("n_words"))
       .withColumn("n_subwords", size(col("subwords")).cast("bigint"))
+
+  /** Tokenize a corpus with a learned vocabulary: words join the
+    * (broadcast) word→symbols table; OOV words fall back to the
+    * character split. Returns one row per doc with the subword array
+    * and counts — the shape a tokenizer-throughput estimator needs.
+    * One corpus scan + one broadcast join, independent of how many
+    * merges were learned. For real OOV tokenization (applying the
+    * learned merge RULES to unseen words) use the `Learned` overload
+    * below; this one is the vocab-only fast path. */
+  def segment(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.select(col("word").as("_w"), col("syms").as("_vsyms")))
+    reassemble(
+      tokenStream(docs, textCol, idCol)
+        .join(v, col("word") === col("_w"), "left_outer")
+        .withColumn("_syms",
+          when(col("word").isNotNull, coalesce(col("_vsyms"), expr(charSplit("word"))))),
+      idCol)
+  }
+
+  /** The standard BPE inference kernel: segment one word by applying
+    * the learned merge table lowest-rank-first, each application the
+    * same left-to-right non-overlapping fold as `mergePairs`. This
+    * replays the training-time merge order exactly — a merge at rank
+    * k can only create pairs involving the symbol it makes, and every
+    * learned pair over that symbol necessarily has rank > k (the
+    * symbol did not exist earlier), so "lowest rank still applicable"
+    * IS the training order restricted to this word. In-vocab words
+    * therefore reproduce their trained segmentation byte-for-byte
+    * (BpeSpec pins this over the whole vocabulary) and unseen words
+    * get the subwords the trained tokenizer implies — the point of
+    * subword tokenization ("lowest" segments via the merges learned
+    * from "low"/"lowest"-free corpora, not into characters).
+    * Code-point split (not UTF-16 chars), matching `charSplit`'s
+    * SQL substring semantics for supplementary-plane text. */
+  private[operators] def applyMerges(word: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = word.codePoints().iterator()
+      while (it.hasNext) b += new String(Character.toChars(it.next()))
+      b += "</w>"
+      b
+    }
+    var more = syms.length > 1
+    while (more) {
+      var best = Int.MaxValue; var bl: String = null; var br: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) { best = rk; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) more = false
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (out.nonEmpty && out.last == bl && syms(j) == br)
+            out(out.length - 1) = bl + br
+          else out += syms(j)
+          j += 1
+        }
+        syms = out
+        more = syms.length > 1
+      }
+    }
+    syms.toSeq
+  }
+
+  /** Tokenize a corpus with a fully learned tokenizer: in-vocab words
+    * take the broadcast word→symbols fast path; OOV words get the
+    * learned merge RULES applied (`applyMerges`), not a character
+    * split — so token counts and packing budgets stay honest on
+    * exactly the novel text a fresh crawl batch is full of.
+    *
+    * Scale shape: the merge table is numMerges-bounded (KBs–MBs) and
+    * ships as a task broadcast; the kernel runs once per DISTINCT
+    * OOV word (one word-keyed partial-agg shuffle of OOV occurrences
+    * only — Zipf-bounded output), never per occurrence; the result
+    * joins back un-hinted so AQE broadcasts it when it fits and
+    * falls back to a shuffle join when a crawl's OOV vocabulary is
+    * genuinely huge. Two corpus scans total (the token stream feeds
+    * both the main join and the OOV-word census). */
+  def segment(docs: DataFrame, textCol: String, idCol: String,
+      learned: Learned): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = learned.merges
+      .select("left", "right", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val bcRanks = spark.sparkContext.broadcast(ranks)
+    val v = broadcast(learned.vocab.select(col("word").as("_w"), col("syms").as("_vsyms")))
+    val tokens = tokenStream(docs, textCol, idCol)
+    val oovSyms = tokens
+      .join(v, col("word") === col("_w"), "left_anti")
+      .filter(col("word").isNotNull)
+      .select("word").distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val m = bcRanks.value
+        it.map(w => (w, applyMerges(w, m)))
+      }
+      .toDF("_ow", "_osyms")
+    reassemble(
+      tokens
+        .join(v, col("word") === col("_w"), "left_outer")
+        .join(oovSyms, col("word") === col("_ow"), "left_outer")
+        .withColumn("_syms",
+          when(col("word").isNotNull, coalesce(col("_vsyms"), col("_osyms")))),
+      idCol)
   }
 }

@@ -1246,6 +1246,28 @@ object DataPrepQueries {
           t(s, dir, "events").filter(col("user_id") < 30)
             .select(col("user_id"), col("event_id"), col("event_type")),
           Seq("user_id"), "event_id", "event_type", sep = "|")
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // BPE tokenization with OOV merge-rule application (Bpe.segment
+    // on a Learned): train on 4/5 of the corpus, tokenize the held-out
+    // 1/5 — full of words the training vocab never saw, which get the
+    // learned merge RULES applied (not a char split), the shape every
+    // fresh crawl batch has. Not SQL-expressible (greedy rank-ordered
+    // merging), so no DuckDB oracle: the driver records rows-only and
+    // the byte-level semantics are pinned by BpeSpec (kernel ==
+    // trained segmentation over the whole vocab; hand-built OOV
+    // cases).
+    QueryDef("q89_bpe_oov_segment", None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val learned = graft.operators.Bpe.learn(
+          docs.filter(col("doc_id") % 5 =!= 0), "text",
+          numMerges = 40, batchMerges = 16)
+        graft.operators.Bpe.segment(
+            docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", learned)
+          .select(col("doc_id"), col("n_words"), col("n_subwords"),
+            concat_ws(" ", col("subwords")).as("subword_text"))
+          .orderBy("doc_id")
+      })
   )
 }

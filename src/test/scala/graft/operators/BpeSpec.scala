@@ -190,6 +190,48 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("Learned segment applies merge rules to OOV words instead of char-splitting") {
+    // merges learned from {low x3, lower, lowest}: rank0 (l,o), rank1
+    // (lo,w), rank2 (low,</w>), rank3 (low,e). The OOV word "lowe"
+    // must replay ranks 0,1,3 -> [lowe, </w>]; the vocab-only segment
+    // would char-split it to [l,o,w,e,</w>]
+    val learned = Bpe.learn(docs, "text", numMerges = 4)
+    val probe = Seq((10L, "low lowe")).toDF("doc_id", "text")
+    val out = Bpe.segment(probe, "text", "doc_id", learned).collect()(0)
+    assert(out.getAs[scala.collection.Seq[String]]("subwords") ==
+      Seq("low</w>", "lowe", "</w>"))
+    assert(out.getAs[Long]("n_words") == 2L)
+    assert(out.getAs[Long]("n_subwords") == 3L)
+    // chars never seen in training stay a char split (no rule applies)
+    val zap = Bpe.segment(Seq((11L, "zap")).toDF("doc_id", "text"),
+      "text", "doc_id", learned).collect()(0)
+    assert(zap.getAs[scala.collection.Seq[String]]("subwords") ==
+      Seq("z", "a", "p", "</w>"))
+  }
+
+  test("applyMerges reproduces the trained segmentation for every vocab word") {
+    // lowest-rank-first inference == training-order application: pin
+    // it over the full vocabulary of an overlap-heavy random corpus
+    val rnd = new scala.util.Random(13L)
+    val words = (0 until 30).map { _ =>
+      (0 until 1 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, (0 until 6).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val learned = Bpe.learn(corpus, "text", numMerges = 15)
+    val ranks = learned.merges.select("left", "right", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val vocab = learned.vocab.select("word", "syms").collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { r =>
+      val w = r.getString(0)
+      val trained = r.getSeq[String](1)
+      assert(Bpe.applyMerges(w, ranks) == trained,
+        s"word '$w': kernel ${Bpe.applyMerges(w, ranks)} vs trained $trained")
+    }
+  }
+
   test("segment keeps zero-word docs: empty subwords, not silent row loss") {
     val learned = Bpe.learn(docs, "text", 3)
     val mixed = Seq((10L, "low"), (11L, ""), (12L, "   "), (13L, null.asInstanceOf[String]))
