@@ -63,6 +63,10 @@ object Bench {
     val meds = jmap(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+    // compact total BEFORE the giant per-query line too: whichever
+    // side of the log a bounded tail window lands on, one parseable
+    // summary line is inside it
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     println(line)
     val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try {

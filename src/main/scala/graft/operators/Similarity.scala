@@ -155,21 +155,26 @@ object Similarity {
     * path; this is the throughput path (e.g. dedup-against-index of
     * a whole new document batch).
     *
-    * `broadcastProbes` sizes step (2): `true` (default) broadcasts
-    * the ranked probes — right while queries ≪ corpus. When the probe
-    * batch itself is large (a whole day's crawl probed against the
-    * index: query embeddings × nprobe can outgrow any broadcast),
-    * pass `false`: the probes repartition on the list id and the
-    * corpus join becomes an ordinary shuffle join — both sides
-    * partition by cid, no executor ever holds the probe set whole.
-    * The codebook-ranking broadcast in step (1) is unaffected (the
-    * codebook is KBs by definition); results are identical either
-    * way (SimilaritySpec pins equality and the plan shapes). */
+    * `broadcastProbes` sizes step (2). `None` (default) leaves the
+    * probe side un-hinted: the probe ranking already ends at a
+    * shuffle (the per-query window), so AQE sees the probe batch's
+    * REAL size there and picks broadcast when it fits, shuffle join
+    * when a crawl-sized batch doesn't — callers no longer need to
+    * know their batch size up front. `Some(true)` forces the
+    * broadcast (queries ≪ corpus and the planner should not even
+    * consider shuffling the corpus side); `Some(false)` forces the
+    * shuffle path: probes repartition on the list id and the corpus
+    * join becomes an ordinary shuffle join — both sides partition by
+    * cid, no executor ever holds the probe set whole. The
+    * codebook-ranking broadcast in step (1) is unaffected (the
+    * codebook is KBs by definition); results are identical on every
+    * path (SimilaritySpec pins three-way equality and the forced
+    * plan shapes). */
   def ivfProbeAll(assigned: DataFrame, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       codebook: Seq[(Long, Seq[Double])], k: Int, nprobe: Int = 1,
       cidCol: String = "cid", excludeSelf: Boolean = false,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
     require(codebook.nonEmpty, "ivfProbeAll needs the codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spark = assigned.sparkSession
@@ -187,9 +192,11 @@ object Similarity {
           .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
       .filter(col("_r") <= nprobe)
       .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_cbid"))
-    val joined =
-      if (broadcastProbes) assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
-      else assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
+    val joined = broadcastProbes match {
+      case Some(true)  => assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
+      case Some(false) => assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
+      case None        => assigned.join(probes, col(cidCol) === col("_cbid"))
+    }
     val scoped =
       if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
     val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol

@@ -48,8 +48,14 @@ object TextStats {
     * vocab-sized), and the smoothing vocabulary size as a ONE-ROW
     * frame (`_v`) — kept lazy so constructing/composing a model never
     * runs a driver action; it rides the scoring plan as a broadcast
-    * cross-join like every other corpus scalar in this object. */
-  final case class BigramLm(bigrams: DataFrame, lefts: DataFrame, vocab: DataFrame) {
+    * cross-join like every other corpus scalar in this object.
+    * `pairs`, when present (models built by `bigramModel`), is the
+    * unified token→successor count table all three views derive from
+    * (`_w2 IS NULL` rows carry each doc's last token, so
+    * `count(distinct _w1)` over it IS the vocabulary size) — it is
+    * what makes persisting the model a single corpus pass. */
+  final case class BigramLm(bigrams: DataFrame, lefts: DataFrame, vocab: DataFrame,
+      pairs: Option[DataFrame] = None) {
     /** Collects the one-row vocab frame — a deliberate action, for
       * inspection/tests; scoring never calls it. */
     def vocabSize: Double = vocab.collect()(0).getDouble(0)
@@ -70,20 +76,44 @@ object TextStats {
         Seq(col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2")): _*)
   }
 
+  /** One row per TOKEN occurrence with its successor (`_w2` null for
+    * each doc's last token), so a single aggregate of this stream
+    * carries both the bigram counts (non-null `_w2` groups) and the
+    * vocabulary (`distinct _w1` — every token occurrence appears as
+    * `_w1` exactly once). Zero-token docs contribute nothing (the
+    * model has no use for them). */
+  private def tokenSuccessors(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(toks(textCol).as("_a"))
+      // guard empty docs: sequence(1, 0) is DESCENDING in Spark
+      .select(explode(expr(
+        """CASE WHEN size(_a) = 0 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+           ELSE transform(sequence(1, size(_a)),
+             i -> struct(element_at(_a, i) AS w1,
+               CASE WHEN i < size(_a) THEN element_at(_a, i + 1) END AS w2)) END""")).as("_p"))
+      .select(col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+
   /** Train a bigram LM over a reference corpus: pair counts, left
     * counts (sum over w2 of c(w1,w2) — self-consistent conditioning
-    * denominator), vocabulary size. Fully LAZY — one token-keyed and
-    * one pair-keyed shuffle with full map-side partial aggregation
-    * when a downstream action runs, no driver round-trip at build
-    * time. No id column is required (the model never uses one). */
+    * denominator), vocabulary size. Fully LAZY — the token→successor
+    * stream aggregates ONCE on the pair key (full map-side partial
+    * aggregation) and all three views derive from that table, so
+    * persisting the model (`writeBigramLm`) and scoring's V scalar
+    * cost no second corpus scan. No id column is required (the model
+    * never uses one). */
   def bigramModel(docs: DataFrame, textCol: String): BigramLm = {
-    val flat = bigramPairs(docs, textCol, idCol = None)
-    val cb = flat.filter(col("_w1").isNotNull)
+    val pairs = tokenSuccessors(docs, textCol)
       .groupBy("_w1", "_w2").agg(count(lit(1)).as("_cb"))
-    val cu = cb.groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
-    val v = docs.select(explode(toks(textCol)).as("_tok"))
-      .agg(countDistinct("_tok").cast("double").as("_v"))
-    BigramLm(cb, cu, v)
+    bigramFromPairs(pairs)
+  }
+
+  /** Derive the three model views from a unified pair-count table. */
+  private def bigramFromPairs(pairs: DataFrame): BigramLm = {
+    val cb = pairs.filter(col("_w2").isNotNull)
+    BigramLm(
+      bigrams = cb,
+      lefts = cb.groupBy("_w1").agg(sum("_cb").cast("double").as("_cu")),
+      vocab = pairs.agg(countDistinct("_w1").cast("double").as("_v")),
+      pairs = Some(pairs))
   }
 
   /** Score documents under a (possibly FOREIGN) bigram model with
@@ -122,24 +152,48 @@ object TextStats {
     scoreBigramLogProb(docs, textCol, idCol,
       bigramModel(docs, textCol), k)
 
-  /** Persist a trained bigram LM. The pair table writes ONCE and the
-    * left counts derive from the just-written parquet, so persisting
-    * costs a single corpus pass (the in-memory `lefts`/`vocab`
-    * lineages would each replay the corpus scan); the one-row vocab
-    * frame rides a meta table so the artifact is self-contained. */
-  def writeBigramLm(lm: BigramLm, path: String): Unit = {
-    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
-    val spark = lm.bigrams.sparkSession
-    spark.read.parquet(s"$path/bigrams")
-      .groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
-      .write.mode("overwrite").parquet(s"$path/lefts")
-    lm.vocab.write.mode("overwrite").parquet(s"$path/meta")
+  /** Persist a trained bigram LM. For `bigramModel`-built models the
+    * unified token→successor count table writes ONCE — the single
+    * corpus pass — and the vocab-sized left counts plus the one-row
+    * vocab scalar derive from the just-written parquet (KB-scale
+    * re-aggregations, no corpus rescan; the in-memory `lefts`/`vocab`
+    * lineages would each replay the scan). A hand-assembled model
+    * without the unified table (e.g. one read back from disk) falls
+    * back to writing its three views as-is: `bigrams` is the only
+    * corpus-lineage one among them, so that path is also one corpus
+    * pass unless the views were built with independent lineages. */
+  def writeBigramLm(lm: BigramLm, path: String): Unit = lm.pairs match {
+    case Some(pairs) =>
+      pairs.write.mode("overwrite").parquet(s"$path/pairs")
+      val spark = pairs.sparkSession
+      val back = spark.read.parquet(s"$path/pairs")
+      back.filter(col("_w2").isNotNull)
+        .groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
+        .write.mode("overwrite").parquet(s"$path/lefts")
+      back.agg(countDistinct("_w1").cast("double").as("_v"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+    case None =>
+      lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+      val spark = lm.bigrams.sparkSession
+      spark.read.parquet(s"$path/bigrams")
+        .groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
+        .write.mode("overwrite").parquet(s"$path/lefts")
+      lm.vocab.write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  def readBigramLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm =
-    BigramLm(spark.read.parquet(s"$path/bigrams"),
+  /** Read a persisted model back. `bigrams` is served from the unified
+    * pair table through a `_w2 IS NOT NULL` filter (parquet pushdown)
+    * when the artifact has one; pre-unified artifacts with a bigrams/
+    * directory still read. */
+  def readBigramLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm = {
+    val pairsDir = new java.io.File(s"$path/pairs")
+    val bigrams =
+      if (pairsDir.exists) spark.read.parquet(s"$path/pairs").filter(col("_w2").isNotNull)
+      else spark.read.parquet(s"$path/bigrams")
+    BigramLm(bigrams,
       spark.read.parquet(s"$path/lefts"),
       spark.read.parquet(s"$path/meta"))
+  }
 
   /** Top-k keyword extraction per document: rank tokens by term
     * frequency, breaking ties by corpus rarity (ascending document

@@ -1051,7 +1051,7 @@ object DataPrepQueries {
         graft.operators.Similarity.ivfProbeAll(
             graft.operators.Similarity.ivfAssign(others, codebook, "e"),
             "e", "vec_id", queries, "qid", "e", codebook,
-            k = 5, nprobe = 2, excludeSelf = true, broadcastProbes = false)
+            k = 5, nprobe = 2, excludeSelf = true, broadcastProbes = Some(false))
           .orderBy("qid", "rank")
       }),
 

@@ -133,7 +133,7 @@ object ScaleSmoke {
         assigned.filter(col("vec_id") % 100 === 7)
           .select(col("vec_id").as("qid"), col("e")),
         "qid", "e", codebook, k = 3, nprobe = 2,
-        excludeSelf = true, broadcastProbes = false).count()
+        excludeSelf = true, broadcastProbes = Some(false)).count()
     }
     // trained codebook (k-means|| init + Lloyd) instead of sampled vectors
     timed("ann_ivf_train(16c,2it)") {

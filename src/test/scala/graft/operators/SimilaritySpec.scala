@@ -152,7 +152,7 @@ class SimilaritySpec extends SparkSpecBase {
     // every corpus member probes the index — the "dedup a whole day's
     // crawl" shape where the probe side outgrows a broadcast
     val queries = corpus.select(col("vec_id").as("qid"), col("e"))
-    def run(bcast: Boolean) = Similarity.ivfProbeAll(assigned, "e", "vec_id",
+    def run(bcast: Option[Boolean]) = Similarity.ivfProbeAll(assigned, "e", "vec_id",
       queries, "qid", "e", codebook, k = 3, nprobe = 2,
       excludeSelf = false, broadcastProbes = bcast)
     // pin the plan shapes with auto-broadcast off, so the planner
@@ -162,11 +162,15 @@ class SimilaritySpec extends SparkSpecBase {
       "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> sess.conf.getOption(k))
     try {
       saved.foreach { case (k, _) => sess.conf.set(k, "-1") }
-      val b = run(bcast = true)
-      val s = run(bcast = false)
-      val bRows = b.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
-      val sRows = s.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+      val b = run(bcast = Some(true))
+      val s = run(bcast = None)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+      val bRows = rows(b)
+      val sRows = rows(s)
       assert(sRows == bRows && bRows.nonEmpty)
+      // the forced shuffle path agrees too (three-way equality)
+      assert(rows(run(bcast = Some(false))) == bRows)
       val bPlan = b.queryExecution.executedPlan.toString
       val sPlan = s.queryExecution.executedPlan.toString
       // broadcast path: corpus joins a broadcast of the probes;

@@ -74,11 +74,27 @@ class TextStatsSpec extends SparkSpecBase {
     assert(TextStats.bigramModel(ref.select("text"), "text").vocabSize == 2.0)
     withTempDir("bigram-lm") { dir =>
       TextStats.writeBigramLm(lm, dir.getAbsolutePath)
+      // single-pass artifact: the unified pair table IS the corpus
+      // write; lefts/meta derive from it, no bigrams/ directory
+      assert(new java.io.File(dir, "pairs").exists)
+      assert(!new java.io.File(dir, "bigrams").exists)
       val back = TextStats.readBigramLm(spark, dir.getAbsolutePath)
       assert(back.vocabSize == 2.0)
       val again = TextStats.scoreBigramLogProb(
         Seq((10L, "a b z")).toDF("doc_id", "text"), "text", "doc_id", back).collect()(0)
       assert(again.getDouble(2) == got.getDouble(2))
+
+      // a model WITHOUT the unified table (e.g. one read back from
+      // disk) still persists, in the pre-unified bigrams/ shape
+      withTempDir("bigram-lm2") { dir2 =>
+        TextStats.writeBigramLm(back, dir2.getAbsolutePath)
+        assert(new java.io.File(dir2, "bigrams").exists)
+        val back2 = TextStats.readBigramLm(spark, dir2.getAbsolutePath)
+        assert(back2.vocabSize == 2.0)
+        val a2 = TextStats.scoreBigramLogProb(
+          Seq((10L, "a b z")).toDF("doc_id", "text"), "text", "doc_id", back2).collect()(0)
+        assert(a2.getDouble(2) == got.getDouble(2))
+      }
     }
   }
 
