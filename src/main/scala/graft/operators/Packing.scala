@@ -80,15 +80,37 @@ object Packing {
     * assembly happens inside the aggregated array (sort_array over
     * (order, text) structs), never via a global sort. A thread's
     * document must fit in one aggregation buffer — true for
-    * conversations by construction; cap pathological threads
-    * upstream with HotKeys.cap if the key can be degenerate. */
+    * conversations by construction; `maxTurns` is the guard for
+    * degenerate keys (a bot mega-thread, a log stream mis-keyed to
+    * one id): turns past the cap are dropped BEFORE the aggregation
+    * ever buffers them — a windowed per-thread row_number (streaming
+    * over the key-partitioned sort, bounded memory at any thread
+    * size) keeps the FIRST `maxTurns` turns in `orderCol` order, and
+    * the drop count publishes as the `metricName` observed metric
+    * (same contract as HotKeys.cap: names unique per query
+    * execution). The window partitions on the same keys the groupBy
+    * uses, so the aggregation reuses its exchange — the cap costs no
+    * extra shuffle. `n_turns` counts the KEPT turns (the assembled
+    * document's actual length). */
   def assembleThreads(df: DataFrame, groupCols: Seq[String],
-      orderCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+      orderCol: String, textCol: String, sep: String = "\n",
+      maxTurns: Option[Int] = None,
+      metricName: String = "graft_thread_turn_cap"): DataFrame = {
     require(orderCol != textCol,
       "orderCol and textCol must differ (the sort struct needs distinct fields)")
+    require(maxTurns.forall(_ >= 1), s"maxTurns must be >= 1, got $maxTurns")
+    val capped = maxTurns.fold(df) { cap =>
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      df.withColumn("_turn_rn", row_number().over(w))
+        .observe(metricName,
+          coalesce(sum(when(col("_turn_rn") > cap, 1).otherwise(0)), lit(0L))
+            .as("dropped_turns"))
+        .filter(col("_turn_rn") <= cap)
+        .drop("_turn_rn")
+    }
     // Column-API HOFs (not an interpolated expr string), so column
     // names needing backticks can't misparse
-    df.groupBy(groupCols.map(col): _*)
+    capped.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_turns"),
         array_join(
           transform(

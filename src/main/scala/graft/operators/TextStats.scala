@@ -84,9 +84,13 @@ object TextStats {
     * model has no use for them). */
   private def tokenSuccessors(docs: DataFrame, textCol: String): DataFrame =
     docs.select(toks(textCol).as("_a"))
-      // guard empty docs: sequence(1, 0) is DESCENDING in Spark
+      // guard empty docs: sequence(1, 0) is DESCENDING in Spark.
+      // <= 0, not = 0: null text makes size(_a) = -1, which must also
+      // contribute nothing (an = 0 guard would fall through to
+      // sequence(1, -1) = [1, 0, -1] and persist junk (null, null)
+      // rows in the pairs artifact)
       .select(explode(expr(
-        """CASE WHEN size(_a) = 0 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+        """CASE WHEN size(_a) <= 0 THEN CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
            ELSE transform(sequence(1, size(_a)),
              i -> struct(element_at(_a, i) AS w1,
                CASE WHEN i < size(_a) THEN element_at(_a, i + 1) END AS w2)) END""")).as("_p"))
@@ -186,9 +190,14 @@ object TextStats {
     * when the artifact has one; pre-unified artifacts with a bigrams/
     * directory still read. */
   def readBigramLm(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm = {
-    val pairsDir = new java.io.File(s"$path/pairs")
+    // layout probe through the Hadoop FileSystem of the path's own
+    // scheme — a java.io.File probe is local-only and would misread a
+    // unified artifact on hdfs://-s3a:// (where 100 TB artifacts
+    // actually live) as the legacy bigrams/ layout
+    val pairsPath = new org.apache.hadoop.fs.Path(s"$path/pairs")
+    val fs = pairsPath.getFileSystem(spark.sessionState.newHadoopConf())
     val bigrams =
-      if (pairsDir.exists) spark.read.parquet(s"$path/pairs").filter(col("_w2").isNotNull)
+      if (fs.exists(pairsPath)) spark.read.parquet(s"$path/pairs").filter(col("_w2").isNotNull)
       else spark.read.parquet(s"$path/bigrams")
     BigramLm(bigrams,
       spark.read.parquet(s"$path/lefts"),

@@ -260,6 +260,37 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("merges.txt: standard text export round-trips and segments identically") {
+    val learned = Bpe.learn(docs, "text", 4)
+    withTempDir("bpe-merges-txt") { dir =>
+      Bpe.writeLearned(learned, dir.getAbsolutePath)
+      // the text artifact sits alongside the parquet, header + one
+      // rank-ordered "l r" line per merge
+      val txt = new java.io.File(dir, "merges.txt")
+      assert(txt.exists)
+      val lines = scala.io.Source.fromFile(txt, "UTF-8").getLines().toVector
+      assert(lines.head.startsWith("#version"))
+      assert(lines.tail == Vector("l o", "lo w", "low </w>", "low e"))
+
+      // round-trip: rank/left/right/merged reproduce the learned table
+      val back = Bpe.readMergesText(spark, txt.getAbsolutePath)
+      assert(back.orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq ==
+        learned.merges.orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq)
+
+      // a Learned reassembled from the TEXT form alone (empty vocab —
+      // every word goes down the OOV merge-rule path) segments exactly
+      // like the fully persisted tokenizer
+      val emptyVocab = learned.vocab.filter(lit(false))
+      val probe = Seq((10L, "low lower zap")).toDF("doc_id", "text")
+      def seg(l: Bpe.Learned) =
+        Bpe.segment(probe, "text", "doc_id", l).orderBy("doc_id")
+          .collect().map(_.toSeq).toSeq
+      assert(seg(Bpe.Learned(back, emptyVocab, 0)) == seg(learned))
+    }
+  }
+
   test("symbols with quotes and backslashes survive the merge literal") {
     // the most frequent pair involves the quote/backslash word, so
     // its characters land inside the generated merge expression

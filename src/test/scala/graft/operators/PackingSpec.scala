@@ -94,4 +94,31 @@ class PackingSpec extends SparkSpecBase {
       Packing.assembleThreads(msgs, Seq("thread"), "msg", "msg")
     }
   }
+
+  test("assembleThreads maxTurns: first N by order survive; drops observed") {
+    import spark.implicits._
+    val msgs = Seq(
+      (1L, 3L, "third"), (1L, 1L, "first"), (1L, 2L, "second"),
+      (2L, 10L, "solo")
+    ).toDF("thread", "turn", "msg")
+    val capped = Packing.assembleThreads(msgs, Seq("thread"), "turn", "msg",
+      sep = " | ", maxTurns = Some(2))
+    val out = capped.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // mega-thread truncates to its FIRST two turns in order; n_turns
+    // reports the kept length; under-cap threads are untouched
+    assert(out(1L) == ((2L, "first | second")))
+    assert(out(2L) == ((1L, "solo")))
+    val metric = capped.queryExecution.observedMetrics("graft_thread_turn_cap")
+    assert(metric.getLong(0) == 1L, s"one dropped turn expected: $metric")
+
+    // a cap above every thread's length is a no-op (q88's regime)
+    val uncapped = Packing.assembleThreads(msgs, Seq("thread"), "turn", "msg",
+      sep = " | ", maxTurns = Some(10))
+    assert(uncapped.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      == Map(1L -> ((3L, "first | second | third")), 2L -> ((1L, "solo"))))
+    intercept[IllegalArgumentException] {
+      Packing.assembleThreads(msgs, Seq("thread"), "turn", "msg", maxTurns = Some(0))
+    }
+  }
 }

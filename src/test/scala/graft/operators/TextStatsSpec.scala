@@ -98,6 +98,37 @@ class TextStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("null-text docs contribute nothing to the model or its artifact") {
+    val docs = Seq((1L, "a b"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val lm = TextStats.bigramModel(docs, "text")
+    // vocab counts only the real tokens; a null-text doc must not add
+    // a junk (null, null) group to the unified pairs table
+    assert(lm.vocabSize == 2.0)
+    assert(lm.pairs.get.filter(col("_w1").isNull).count() == 0,
+      "null text must emit no token-successor rows")
+    assert(lm.pairs.get.count() == 2) // (a,b) and the last-token (b,null)
+  }
+
+  test("readBigramLm resolves the layout through the path's Hadoop filesystem") {
+    // a scheme-qualified URI java.io.File cannot stat ("file:/..." is
+    // a relative dir name to it) but the Hadoop FileSystem resolves —
+    // the local stand-in for an hdfs://-s3a:// artifact path. The old
+    // local-FS probe misread this as the legacy bigrams/ layout and
+    // the read failed.
+    val ref = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextStats.bigramModel(ref, "text")
+    withTempDir("bigram-lm-fs") { dir =>
+      val uri = "file:" + dir.getAbsolutePath + "/lm"
+      TextStats.writeBigramLm(lm, uri)
+      assert(!new java.io.File(s"$uri/pairs").exists,
+        "precondition: java.io.File must NOT see the scheme-qualified path")
+      val back = TextStats.readBigramLm(spark, uri)
+      assert(back.vocabSize == 2.0)
+      assert(back.bigrams.count() == 2) // (a,b), (b,a): unified layout read
+    }
+  }
+
   test("keywords: tf-first ranking with rarity and token tie-breaks") {
     val docs = Seq(
       (1L, "x x y y common"), // tf tie x/y -> rarer (lower df) first
