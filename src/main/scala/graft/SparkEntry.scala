@@ -34,9 +34,12 @@ object SparkEntry {
     }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for ops whose domain SQL
-    * can't express (none currently — the dpkg-specific cases live in
-    * ScalaTest golden suites instead). */
+    * the same parquet tables. Omitted only for ops SQL can't express —
+    * currently q89_bpe_oov_segment alone (iterative BPE LEARNING inside
+    * the query; the driver records rows-only and BpeSpec pins the
+    * byte-level semantics — while the inference fold is oracle-pinned
+    * through q91's fixed-merge replay). The dpkg-specific version-order
+    * cases live in ScalaTest golden suites instead. */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -52,6 +52,36 @@ object VectorOps {
       i += 1
     }
     bestCid
+  }
+
+  /** Asymmetric-distance computation (ADC) for product-quantized
+    * vectors: the approximate squared L2 between a FULL query vector
+    * and a corpus vector known only by its M subspace code bytes —
+    * sum over subspaces of ||q_sub − codebook[sub][code]||². The
+    * query side stays exact (that is the "asymmetric" in ADC), so
+    * quantization error enters once, not twice. The win at scale is
+    * memory bandwidth: scoring reads M small ints per corpus row
+    * instead of D floats — the raw embeddings never enter the scan.
+    * An out-of-range code yields NaN (sorts last under ascending
+    * distance — a corrupted row can't fake a near match). */
+  def pqAdc(q: ArrayData, codes: ArrayData, cbs: ArrayData): Double = {
+    val qs = q.toDoubleArray()
+    val m = codes.numElements()
+    var s = 0.0
+    var off = 0
+    var i = 0
+    while (i < m) {
+      val cb = cbs.getArray(i)
+      val code = codes.getInt(i)
+      if (code < 0 || code >= cb.numElements()) return Double.NaN
+      val ce = cb.getArray(code).toDoubleArray()
+      val n = math.min(ce.length, math.max(qs.length - off, 0))
+      var j = 0
+      while (j < n) { val d = qs(off + j) - ce(j); s += d * d; j += 1 }
+      off += ce.length
+      i += 1
+    }
+    s
   }
 
   /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
@@ -113,6 +143,30 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** `pq_adc(query, codes, codebooks)` -> approximate squared L2 of a
+  * full query vector against a PQ-coded corpus vector (VectorOps
+  * .pqAdc). The per-subspace codebooks ride as an
+  * array<array<array<double>>> literal inside the generated code —
+  * KBs by construction (M × ksub × dsub doubles) — so ADC scoring is
+  * a pure map-side pass that reads only the code column. */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(org.apache.spark.sql.types.IntegerType),
+    ArrayType(ArrayType(ArrayType(DoubleType))))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(q: Any, codes: Any, cbs: Any): Any =
+    VectorOps.pqAdc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cbs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorOps.pqAdc($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqAdc =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "pq_adc"
+}
+
 /** `dot_product(a, b)` over two array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -134,6 +188,17 @@ object VectorExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codebook-literal ADC scoring (see PqAdc). `codes` must be
+    * array<int>-castable; `codebooks(m)(code)` is the dsub-dim
+    * centroid of subspace m. */
+  def pq_adc(query: Column, codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(PqAdc(
+      GraftBridge.expression(query),
+      GraftBridge.expression(codes.cast("array<int>")),
+      GraftBridge.expression(typedLit(codebooks))))
+  }
 
   /** Codebook-literal nearest-centroid assignment (see NearestCentroid). */
   def nearest_centroid(e: Column, codebook: Seq[(Long, Seq[Double])]): Column = {

@@ -289,6 +289,202 @@ object Similarity {
     codebook
   }
 
+  /** A trained product-quantization model: `codebooks(m)(code)` is
+    * the `subDim`-dim centroid of subspace `m` — the whole model is
+    * M × ksub × subDim doubles (KBs), the codebook-literal trade.
+    * Codes quantize the L2-NORMALIZED vector: on the unit sphere
+    * squared L2 is monotone with cosine (||q̂−x̂||² = 2 − 2·cos), so
+    * an ADC shortlist ranked by approximate L2 IS a cosine shortlist,
+    * which is what lets the exact-cosine re-rank recover the true
+    * top-k from it. */
+  final case class PqModel(numSubspaces: Int, subDim: Int,
+      codebooks: Seq[Seq[Seq[Double]]]) {
+    require(codebooks.length == numSubspaces,
+      s"expected $numSubspaces codebooks, got ${codebooks.length}")
+    def dims: Int = numSubspaces * subDim
+    def ksub: Int = codebooks.head.length
+  }
+
+  private def normalizeVec(q: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    if (n == 0) q else q.map(_ / n)
+  }
+
+  /** Append `outCol` = the L2-normalized double-array of `embCol`;
+    * zero vectors pass through unscaled (no NaN codes). The norm is
+    * staged as its own column so the per-element division does not
+    * re-evaluate the dot product per element. */
+  private def withNormalized(df: DataFrame, embCol: String, outCol: String): DataFrame = {
+    val e = asDouble(col(embCol))
+    df.withColumn("_nrm", sqrt(graft.functions.VectorExpressions.dot_product(e, e)))
+      .withColumn(outCol,
+        when(col("_nrm") === 0.0, e).otherwise(transform(e, x => x / col("_nrm"))))
+      .drop("_nrm")
+  }
+
+  /** Train PQ codebooks: per-subspace k-means over ONE bounded,
+    * deterministic hash-ordered sample of the normalized corpus
+    * (localCheckpoint'ed, so the M × iters Lloyd jobs rescan the
+    * sample, never the corpus — PQ codebooks converge on a sample by
+    * design; raise `maxTrainRows` if ksub grows). Reuses
+    * `trainCodebook` per subspace, inheriting its farthest-first
+    * seeding and deterministic tie-breaks. */
+  def pqTrain(df: DataFrame, embCol: String, numSubspaces: Int,
+      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
+    require(numSubspaces >= 1, s"numSubspaces must be >= 1, got $numSubspaces")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub must be in [1, 256] (codes are byte-sized by design), got $ksub")
+    val dimRow = df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect()
+    require(dimRow.nonEmpty, "pqTrain needs at least one non-empty embedding")
+    val dims = dimRow(0).getInt(0)
+    require(dims % numSubspaces == 0,
+      s"embedding dim $dims is not divisible into $numSubspaces subspaces")
+    val dsub = dims / numSubspaces
+    val sample = withNormalized(
+        df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
+      .select(col("_n"))
+      .orderBy(xxhash64(col("_n")), col("_n"))
+      .limit(maxTrainRows)
+      .localCheckpoint()
+    val codebooks = (0 until numSubspaces).map { s =>
+      trainCodebook(sample.select(slice(col("_n"), s * dsub + 1, dsub).as("_e")),
+        "_e", ksub, iters).sortBy(_._1).map(_._2)
+    }
+    PqModel(numSubspaces, dsub, codebooks)
+  }
+
+  /** Build a PqModel from explicit donor vectors (normalized, then
+    * sliced per subspace; `codebooks(m)(i)` comes from `vectors(i)`)
+    * — the externally-supplied-codebook path, and what makes the PQ
+    * pipeline oracle-checkable (a fixed codebook needs no k-means on
+    * the oracle side). */
+  def pqFromVectors(vectors: Seq[Seq[Double]], numSubspaces: Int): PqModel = {
+    require(vectors.nonEmpty, "pqFromVectors needs at least one donor vector")
+    val dims = vectors.head.length
+    require(dims % numSubspaces == 0,
+      s"vector dim $dims is not divisible into $numSubspaces subspaces")
+    val dsub = dims / numSubspaces
+    val normed = vectors.map(normalizeVec)
+    PqModel(numSubspaces, dsub,
+      (0 until numSubspaces).map(s => normed.map(_.slice(s * dsub, (s + 1) * dsub))))
+  }
+
+  /** Attach the PQ code column: per subspace, the nearest codebook
+    * centroid of the NORMALIZED vector's slice — M smallints per row
+    * instead of D floats, the compression that keeps a 100 TB ANN
+    * index scannable (64-dim floats: 256 B/row raw vs 8 B/row coded
+    * at M=4). Pure map-side (the codebooks ride inside
+    * nearest_centroid's generated code); null embeddings get a null
+    * code. Write the result with `writeIndex` as usual — the raw
+    * embedding column can be dropped from the written index when
+    * exact re-rank reads it from the primary store instead. */
+  def pqAssign(df: DataFrame, embCol: String, model: PqModel,
+      codeCol: String = "pq_code"): DataFrame = {
+    val codes = array((0 until model.numSubspaces).map { s =>
+      graft.functions.VectorExpressions.nearest_centroid(
+        slice(col("_pq_n"), s * model.subDim + 1, model.subDim),
+        model.codebooks(s).zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
+        .cast("smallint")
+    }: _*)
+    withNormalized(df, embCol, "_pq_n")
+      .withColumn(codeCol, when(col(embCol).isNotNull, codes))
+      .drop("_pq_n")
+  }
+
+  /** IVF-PQ probe, single query vector: the scan reads the `nprobe`
+    * nearest inverted lists (same pruning as ivfProbeVec) but scores
+    * ADC over the CODE column — the raw embeddings never enter the
+    * list scan — then exact-cosine re-ranks only the `rerank` best
+    * ADC candidates (a bounded ordered-limit, ≥ k; default 4k,
+    * floor 32). Recall follows rerank and nprobe (SimilaritySpec pins
+    * recall@10 ≥ 0.9 on the fixture corpus); the FINAL scores are
+    * exact cosines, so results are deterministic and oracle-
+    * comparable wherever the shortlist contains the true top-k. */
+  def ivfPqProbe(assigned: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, codebook: Seq[(Long, Seq[Double])],
+      pq: PqModel, nprobe: Int = 1, rerank: Int = 0,
+      cidCol: String = "cid", codeCol: String = "pq_code",
+      excludeId: Option[Long] = None): DataFrame = {
+    require(codebook.nonEmpty, "ivfPqProbe needs the coarse codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val cids = rankInvertedLists(codebook, query).take(nprobe)
+    val base = assigned.filter(col(cidCol).isin(cids: _*))
+    val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    scoped
+      .select(col(idCol), col(embCol),
+        graft.functions.VectorExpressions.pq_adc(
+          typedLit(normalizeVec(query)), col(codeCol), pq.codebooks).as("_adc"))
+      .orderBy(asc("_adc"), col(idCol))
+      .limit(rr)
+      .select(col(idCol),
+        round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch IVF-PQ probe — ivfProbeAll's throughput shape with the PQ
+    * scan economics: the probed lists are scored by ADC against the
+    * code column (per-query window keeps the `rerank` best by
+    * approximate distance, ties by id), and only those shortlisted
+    * rows read the raw embedding for the exact-cosine top-k. Same
+    * probe-side sizing contract as ivfProbeAll (`broadcastProbes`:
+    * None = AQE decides at the window shuffle, Some(true/false)
+    * forces). Output: (qIdCol | q_<idCol>, idCol, cos, rank). */
+  def ivfPqProbeAll(assigned: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      codebook: Seq[(Long, Seq[Double])], pq: PqModel, k: Int,
+      nprobe: Int = 1, rerank: Int = 0, cidCol: String = "cid",
+      codeCol: String = "pq_code", excludeSelf: Boolean = false,
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
+    require(codebook.nonEmpty, "ivfPqProbeAll needs the coarse codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cb = codebook.toDF("_cbid", "_ce")
+    val sqDistC = aggregate(
+      zip_with(col(qEmbCol), col("_ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val probes = withNormalized(
+        queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
+        qEmbCol, "_qn")
+      .join(broadcast(cb), lit(true))
+      .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_cbid"), sqDistC.as("_d"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
+      .filter(col("_r") <= nprobe)
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"),
+        col("_qn"), col("_cbid"))
+    val joined = broadcastProbes match {
+      case Some(true)  => assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
+      case Some(false) => assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
+      case None        => assigned.join(probes, col(cidCol) === col("_cbid"))
+    }
+    val scoped =
+      if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    scoped
+      .select(col("_qid"), col(idCol), col(embCol), col("_qe"),
+        graft.functions.VectorExpressions.pq_adc(
+          col("_qn"), col(codeCol), pq.codebooks).as("_adc"))
+      .withColumn("_ar", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(asc("_adc"), col(idCol))))
+      .filter(col("_ar") <= rr)
+      .select(col("_qid"), col(idCol),
+        round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
+  }
+
   /** Near-duplicate embedding pairs above a cosine threshold, searched
     * bucket-locally (no O(n^2) cross join): group ids+vectors per sign
     * bucket, expand pairs inside the bucket, then score. A bucket with

@@ -1268,6 +1268,150 @@ object DataPrepQueries {
           .select(col("doc_id"), col("n_words"), col("n_subwords"),
             concat_ws(" ", col("subwords")).as("subword_text"))
           .orderBy("doc_id")
+      }),
+
+    // IVF-PQ with ADC scoring and exact re-rank (Similarity.pqAssign
+    // / ivfPqProbeAll): the probed inverted lists are scored against
+    // the M-smallint CODE column (asymmetric distance in the
+    // normalized space — monotone with cosine on the unit sphere),
+    // only the per-query top-`rerank` shortlist reads raw embeddings
+    // for the exact-cosine top-k. Fixed donor codebooks (vec_id 1..8,
+    // normalized then sliced per subspace) keep the whole pipeline —
+    // normalize, per-subspace argmin codes, ADC, shortlist, re-rank —
+    // oracle-replayable with no k-means on the DuckDB side; the
+    // k-means-trained PQ path is pinned by SimilaritySpec instead.
+    QueryDef("q90_ivf_pq_probe", Some("""
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT cid - 1 AS did,
+                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
+                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
+            FROM c),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      codes AS (SELECT vec_id, s, did AS code FROM (
+                  SELECT n.vec_id, sub.s, d.did,
+                         row_number() OVER (PARTITION BY n.vec_id, sub.s
+                           ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> power(n.ne[sub.s * 16 + i] - d.dn[sub.s * 16 + i], 2))),
+                           d.did) AS rn
+                  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN d)
+                WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, e AS qe, ne AS qn FROM n WHERE vec_id IN (0, 100, 200)),
+      probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      adc AS (SELECT qid, qe, vec_id,
+                     sum(list_sum(list_transform(range(1, 17),
+                       i -> power(qn[s * 16 + i] - dn[s * 16 + i], 2)))) AS adist
+              FROM (SELECT p.qid, p.qe, p.qn, cd.vec_id, cd.s, d.dn
+                    FROM probe p
+                      JOIN assign a ON a.cid = p.cid
+                      JOIN codes cd ON cd.vec_id = a.vec_id
+                      JOIN d ON d.did = cd.code
+                    WHERE a.vec_id <> p.qid)
+              GROUP BY qid, qe, vec_id),
+      short AS (SELECT qid, qe, vec_id FROM adc
+                QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
+      scored AS (SELECT s.qid, s.vec_id,
+                        round(list_inner_product(e.e, s.qe)
+                          / (sqrt(list_inner_product(e.e, e.e))
+                             * sqrt(list_inner_product(s.qe, s.qe))), 4) AS cos
+                 FROM short s JOIN e ON e.vec_id = s.vec_id)
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val donors = cents.orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+        val pq = graft.operators.Similarity.pqFromVectors(donors, numSubspaces = 4)
+        val queries = others.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        graft.operators.Similarity.ivfPqProbeAll(
+            graft.operators.Similarity.pqAssign(
+              graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", pq),
+            "e", "vec_id", queries, "qid", "e", codebook, pq,
+            k = 5, nprobe = 2, rerank = 20, excludeSelf = true)
+          .orderBy("qid", "rank")
+      }),
+
+    // BPE INFERENCE under a FIXED checked-in merge table (no
+    // learning): every word takes Bpe.segment's OOV merge-rule path
+    // (the vocab is empty), so the greedy lowest-rank-first kernel is
+    // pinned against a DuckDB oracle that replays the same merges
+    // rank-by-rank in a recursive CTE — q89 keeps the end-to-end
+    // learning shape, this row gives the inference fold the hard
+    // hash-match signal. The two replay orders agree because a merge
+    // can only enable pairs of HIGHER rank (each merged string is
+    // fresh — never a component of an earlier pair), the same
+    // argument Bpe.applyMerges' Scaladoc makes for trained tables.
+    QueryDef("q91_bpe_fixed_segment", Some("""
+      WITH RECURSIVE
+      m(rank, l, r) AS (VALUES (0, 's', 'c'), (1, 'sc', 'a'), (2, 'sca', 'n'),
+                               (3, 'scan', '</w>'), (4, 'o', 'r'), (5, 'or', 'd'),
+                               (6, 'e', 'r'), (7, 'er', '</w>')),
+      t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+            FROM documents),
+      w AS (SELECT DISTINCT word FROM (SELECT unnest(a) AS word FROM t)),
+      init AS (SELECT word,
+                      list_append(list_transform(range(1, length(word) + 1),
+                        i -> word[i]), '</w>') AS syms,
+                      0 AS rank
+               FROM w),
+      seg AS (
+        SELECT word, syms, rank FROM init
+        UNION ALL
+        SELECT word,
+               CASE WHEN p IS NULL THEN syms
+                    ELSE syms[1 : p - 1] || [l || r] || syms[p + 2 : len(syms)] END,
+               CASE WHEN p IS NULL THEN rank + 1 ELSE rank END
+        FROM (SELECT word, syms, rank, l, r,
+                     list_filter(range(1, len(syms)),
+                       i -> syms[i] = l AND syms[i + 1] = r)[1] AS p
+              FROM (SELECT s.word, s.syms, s.rank, m.l, m.r
+                    FROM seg s JOIN m ON m.rank = s.rank))
+      ),
+      done AS (SELECT word, syms FROM seg WHERE rank = 8),
+      tok AS (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS pos FROM t),
+      joined AS (SELECT tk.doc_id, tk.pos, d.syms
+                 FROM (SELECT doc_id, pos, a[pos] AS word FROM tok) tk
+                   JOIN done d USING (word)),
+      o AS (SELECT doc_id, count(*) AS nw, sum(len(syms)) AS ns,
+                   string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS st
+            FROM joined GROUP BY doc_id)
+      SELECT t.doc_id, CAST(coalesce(o.nw, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(o.ns, 0) AS BIGINT) AS n_subwords,
+             coalesce(o.st, '') AS subword_text
+      FROM t LEFT JOIN o USING (doc_id) ORDER BY t.doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val fixedMerges = Seq(
+          (0, "s", "c"), (1, "sc", "a"), (2, "sca", "n"), (3, "scan", "</w>"),
+          (4, "o", "r"), (5, "or", "d"), (6, "e", "r"), (7, "er", "</w>"))
+          .toDF("rank", "left", "right")
+          .withColumn("merged", concat(col("left"), col("right")))
+        val emptyVocab = Seq.empty[(String, Long, Seq[String])]
+          .toDF("word", "count", "syms")
+        graft.operators.Bpe.segment(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            "text", "doc_id",
+            graft.operators.Bpe.Learned(fixedMerges, emptyVocab, 0))
+          .select(col("doc_id"), col("n_words"), col("n_subwords"),
+            concat_ws(" ", col("subwords")).as("subword_text"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -236,6 +236,79 @@ class SimilaritySpec extends SparkSpecBase {
     assert(multi.columns.toSeq == Seq("vec_id", "cos"))
   }
 
+  test("IVF-PQ: ADC shortlist + exact re-rank hits recall@10 >= 0.9; full-width probe == brute force") {
+    val corpus = planted.cache()
+    val truth = Similarity.bruteForceTopK(corpus, "e", "vec_id", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pq = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 16, iters = 3)
+    assert(pq.subDim == 2 && pq.codebooks.forall(_.length == 16))
+    val assigned = Similarity.pqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", pq).cache()
+    // the compression that matters at 100 TB: M smallints per row,
+    // not D floats
+    assert(assigned.schema("pq_code").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ShortType))
+    assert(assigned.select(max(size(col("pq_code")))).head().getInt(0) == 4)
+
+    val got = Similarity.ivfPqProbe(assigned, "e", "vec_id", query, 10,
+        codebook, pq, nprobe = 4, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val recall = recallAt10(got.map(_._1).toSet, truth.map(_._1).toSet)
+    assert(recall >= 0.9, s"recall@10 at nprobe=4/rerank=40 must be >= 0.9, got $recall")
+    // the re-rank is EXACT: every returned id carries the same cosine
+    // brute force assigns it (quantization error affects WHICH rows
+    // are shortlisted, never their final scores)
+    val exactCos = Similarity.bruteForceTopK(corpus, "e", "vec_id", query, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, cos) => assert(exactCos(id) == cos, s"id $id") }
+
+    // probing every list with a corpus-wide re-rank IS brute force
+    val full = Similarity.ivfPqProbe(assigned, "e", "vec_id", query, 10,
+        codebook, pq, nprobe = nClusters, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == truth)
+    assigned.unpersist(); corpus.unpersist()
+  }
+
+  test("batch IVF-PQ probe matches single-query probes; donor codebooks quantize normalized slices") {
+    val corpus = planted.cache()
+    // fixed donor codebooks (no k-means) — the oracle-checkable path:
+    // 16 spread donors drawn deterministically from the corpus
+    val donors = corpus.filter(col("vec_id") % 1000 < 2)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](2).toSeq).toSeq
+    val pq = Similarity.pqFromVectors(donors, numSubspaces = 4)
+    assert(pq.ksub == donors.length && pq.subDim == 2)
+    // donor centroids live in the NORMALIZED space (unit sphere), so
+    // each donor's own slice reconstructs exactly: a donor's code in
+    // every subspace is its own index
+    val assigned = Similarity.pqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", pq).cache()
+    val donorCodes = assigned.filter(col("vec_id") % 1000 < 2)
+      .orderBy("vec_id").select("pq_code").collect()
+      .map(_.getSeq[Short](0).toSeq)
+    donorCodes.zipWithIndex.foreach { case (codes, i) =>
+      assert(codes == Seq.fill(4)(i.toShort), s"donor $i got codes $codes")
+    }
+
+    val qids = Seq(0L, 1001L, 3002L)
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("e"))
+    val batch = Similarity.ivfPqProbeAll(assigned, "e", "vec_id",
+        queries, "qid", "e", codebook, pq, k = 5, nprobe = 2, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(x => (x._2, x._3)).toSeq).toMap
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { q =>
+      val qvec = corpus.filter(col("vec_id") === q)
+        .select(col("e")).head().getSeq[Double](0).toSeq
+      val solo = Similarity.ivfPqProbe(assigned, "e", "vec_id", qvec, 5,
+          codebook, pq, nprobe = 2, rerank = 40)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == solo, s"query $q: batch ${batch(q)} vs solo $solo")
+    }
+    assigned.unpersist(); corpus.unpersist()
+  }
+
   test("trainCodebook recovers planted clusters and serves multi-probe") {
     val corpus = planted.cache()
     val trained = Similarity.trainCodebook(corpus, "e", k = nClusters, iters = 3)
