@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   *      gates — q87's removal, so pure-boilerplate docs simply fail
   *      the length gate)
   *   -> quality gate (length band + repetition ceiling)
+  *   -> LM-quality gate (optional, `lmModel`: drop docs under a
+  *      fluency floor scored by a FOREIGN bigram model — the
+  *      CCNet-style gibberish/wrong-language filter)
   *   -> boilerplate gate (optional: drop docs carrying more than
   *      `maxHotSpans` word spans that repeat verbatim across
   *      `spanMinDf`+ documents — q62's repeated-span signal)
@@ -93,7 +96,22 @@ object CorpusPrep {
     minCosine: Double = 0.95,
     signBits: Int = 8,
     codebook: Option[Seq[(Long, Seq[Double])]] = None,
-    nprobe: Int = 1)
+    nprobe: Int = 1,
+    // LM-QUALITY gate (the CCNet-style setup): score `clean_text`
+    // under a FOREIGN bigram model trained once on a trusted
+    // reference corpus (TextStats.bigramModel + writeBigramLm /
+    // readBigramLm) and drop docs whose smoothed per-bigram average
+    // log-probability falls below `minLmLogProb` — the fluency floor
+    // that catches gibberish, boilerplate soup, and wrong-language
+    // text the length/repetition gates pass. Zero-bigram docs
+    // (< 2 tokens) carry no signal and are KEPT (no silent loss on
+    // the gate that cannot judge them). Runs right after the
+    // row-local gates in both `run` and `runIncremental`; the score
+    // join is per-doc against the static LM tables (batch-side only —
+    // the scoring aggregation is stateful under streaming).
+    lmModel: Option[TextStats.BigramLm] = None,
+    minLmLogProb: Double = -8.0,
+    lmK: Double = 0.5)
 
   private def normOf(cfg: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
@@ -143,6 +161,21 @@ object CorpusPrep {
     }
   }
 
+  /** LM-quality gate over gated docs (see Config.lmModel): keep docs
+    * scoring `minLmLogProb`+ under the foreign bigram model, plus
+    * zero-bigram docs (null logprob — nothing to judge). One per-doc
+    * score join; the LM tables keep their documented scoring shape
+    * (pair-key shuffle join, broadcast lefts, literal V). */
+  private def lmGate(docs: DataFrame, idCol: String, cfg: Config): DataFrame =
+    cfg.lmModel.fold(docs) { lm =>
+      docs.join(
+          TextStats.scoreBigramLogProb(docs, "clean_text", idCol, lm, cfg.lmK)
+            .select(col(idCol), col("logprob")),
+          Seq(idCol), "left_outer")
+        .filter(col("logprob").isNull || col("logprob") >= cfg.minLmLogProb)
+        .drop("logprob")
+    }
+
   /** Shared back half: benchmark decontamination + stratified
     * sampling over the dedup survivors. */
   private def decontaminateAndSample(deduped: DataFrame, idCol: String,
@@ -168,8 +201,12 @@ object CorpusPrep {
       cfg.metricPrefix.fold(df)(p =>
         df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
     val spanGated = observed(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
+    // LM-quality gate (opt-in): fluency floor under a foreign bigram
+    // model, between the row-local gates and dedup
+    val lmGated = cfg.lmModel.fold(spanGated)(_ =>
+      observed(lmGate(spanGated, idCol, cfg), "lm"))
     // exact dedup: min id per content digest survives
-    val exactKept = observed(spanGated
+    val exactKept = observed(lmGated
       .withColumn("_digest", md5(col("clean_text")))
       .withColumn("_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -227,8 +264,10 @@ object CorpusPrep {
       "cutHotSpans is a full-run option: the incremental path would have to " +
         "re-scan the standing corpus's text for the span census, defeating its " +
         "O(batch) cost contract — pre-cut the standing corpus with run() instead")
-    val gated = normalizeAndGate(batch, textCol, idCol, cfg,
-      spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None)
+    val gated = lmGate(
+      normalizeAndGate(batch, textCol, idCol, cfg,
+        spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
+      idCol, cfg)
     val deduped = Dedup.dropIncrementalDuplicates(
       standing, gated, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
@@ -245,26 +284,56 @@ object CorpusPrep {
     * arrival-order — within one micro-batch, shuffle interleaving
     * picks among same-digest twins, unlike `run`'s deterministic
     * min-id rule; the surviving CONTENT set (one row per digest) is
-    * identical either way, which is what intake needs. Corpus-
-    * statistic stages (boilerplate census, near-dup/semantic
-    * clustering, decontamination) need a corpus-wide pass and stay
-    * batch-side: run `runIncremental` over the accumulated intake on
-    * whatever cadence the pipeline compacts. `tsCol` must be a
-    * TimestampType event-time column. Output: Append-mode survivors
-    * with `clean_text` appended. */
+    * identical either way, which is what intake needs.
+    *
+    * `standing` (a prepared corpus carrying `clean_text`, i.e. `run`
+    * output) opts into the STANDING-CORPUS tiers, the live twin of
+    * `runIncremental`'s new-vs-old path: (1) rows whose digest
+    * already exists in the standing corpus drop (static anti-join);
+    * (2) rows sharing an LSH band with a standing doc AND verifying
+    * at `cfg.minJaccard`+ exact shingle Jaccard drop — the standing
+    * survivor wins, per-row with NO stream state
+    * (Dedup.bandVerifyLookup / streamNearDupFilter; pass
+    * `standingIndex` from Dedup.writeDedupIndex built over
+    * `clean_text` to skip re-hashing the standing side —
+    * `_cfg`-pinned like runIncremental). New-NEW near-dups inside
+    * the stream, and the other corpus-statistic stages (boilerplate
+    * census, clustering, decontamination), still need a corpus pass
+    * and stay batch-side: run `runIncremental` over the accumulated
+    * intake on whatever cadence the pipeline compacts. `tsCol` must
+    * be a TimestampType event-time column. Output: Append-mode
+    * survivors with `clean_text` appended. */
   def prepStream(docs: DataFrame, textCol: String, tsCol: String,
-      cfg: Config = Config(), watermark: String = "10 minutes"): DataFrame = {
+      cfg: Config = Config(), watermark: String = "10 minutes",
+      standing: Option[DataFrame] = None, idCol: String = "doc_id",
+      standingIndex: Option[DataFrame] = None): DataFrame = {
     require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.embCol.isEmpty &&
-        cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty,
+        cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty && cfg.lmModel.isEmpty,
       "prepStream supports only the row-local stages (normalize + gates + exact " +
-        "dedup); corpus-statistic stages need a batch pass — run them via " +
-        "runIncremental over the accumulated intake")
+        "dedup + the standing-corpus probe); corpus-statistic stages (and the " +
+        "LM gate, whose scoring aggregation is stateful under streaming) need a " +
+        "batch pass — run them via runIncremental over the accumulated intake")
+    require(standingIndex.isEmpty || standing.isDefined,
+      "standingIndex carries bands, not text — the exact-Jaccard verify needs " +
+        "the standing frame too")
     val cleaned = docs.withColumn("clean_text", normOf(cfg)(col(textCol)))
-    rowLocalGate(cleaned, cfg)
+    val within = rowLocalGate(cleaned, cfg)
       .withColumn("_digest", md5(col("clean_text")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_digest")
-      .drop("_digest")
+    standing match {
+      case None => within.drop("_digest")
+      case Some(st) =>
+        val oldDig = standingIndex
+          .map(_.select(col("_digest")).distinct())
+          .getOrElse(st.select(md5(col("clean_text")).as("_digest")).distinct())
+        val exactKept = within.join(oldDig, Seq("_digest"), "left_anti")
+          .drop("_digest")
+        Dedup.streamNearDupFilter(exactKept, "clean_text",
+          Dedup.bandVerifyLookup(st, "clean_text", idCol, cfg.shingleN,
+            cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket, standingIndex),
+          cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand)
+    }
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

@@ -490,6 +490,107 @@ object Dedup {
   def readDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The `_cfg` pin every index consumer shares: a supplied index must
+    * carry exactly this call's banding config (INCLUDING the hashed
+    * text column) or the probe would silently search foreign bands. */
+  private def requireIndexCfg(oldIndex: Option[DataFrame], textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): Unit =
+    oldIndex.foreach { ix =>
+      val cfg = s"$textCol/$shingleN/$numHashes/$rowsPerBand"
+      val found = ix.select("_cfg").limit(1).collect()
+      require(found.isEmpty || found(0).getString(0) == cfg,
+        s"dedup index was built with cfg ${found.headOption.map(_.getString(0)).getOrElse("?")}, " +
+        s"this call uses $cfg")
+    }
+
+  /** STATIC half of the streaming near-dup intake tier: one row per
+    * LSH band of the standing corpus carrying the member SHINGLE sets
+    * a live probe needs for the exact-Jaccard verify — band keys from
+    * the persisted dedup index when supplied (`_cfg`-pinned, no
+    * re-hashing), recomputed otherwise. Hot bands are capped at
+    * `maxBucket` rows BEFORE any member array exists (plain windowed
+    * count — no observed metric here, because this frame re-executes
+    * as the static side of every micro-batch join and CollectMetrics
+    * names must stay unique per execution). Build it once at stream
+    * start and `.cache()` it: the lookup is standing-corpus-sized (it
+    * carries shingles for the verify — the price of exact-Jaccard
+    * semantics in a per-row streaming decision), so this tier fits a
+    * standing corpus the cluster can hold; past that, intake dedups
+    * exact-only and the near tier runs in `runIncremental` at
+    * compaction cadence. */
+  def bandVerifyLookup(standing: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      oldIndex: Option[DataFrame] = None): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    requireIndexCfg(oldIndex, textCol, shingleN, numHashes, rowsPerBand)
+    val bands = oldIndex match {
+      case Some(ix) => ix.filter(col("_bands").isNotNull)
+        .select(col(idCol).as("_bid"), explode(col("_bands")).as("band"))
+      case None => standing
+        .select(col(idCol).as("_bid"),
+          minhashSigText(col(textCol), shingleN, numHashes).as("_hs"))
+        .filter(col("_hs").isNotNull)
+        .select(col("_bid"), explode(array(bandKeyCols(
+          i => element_at(col("_hs"), i + 1), numHashes, rowsPerBand): _*)).as("band"))
+    }
+    // no minPerKey floor (unlike HotKeys.cap): a standing band with a
+    // SINGLE member is still a collision target — the probing stream
+    // row is its second member
+    val capped = bands
+      .withColumn("_bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+    capped
+      .join(standing.select(col(idCol).as("_sid"),
+        shingles(col(textCol), shingleN).as("_shs")), col("_bid") === col("_sid"))
+      .groupBy("band")
+      .agg(collect_list(col("_shs")).as("_members"))
+  }
+
+  /** STREAM half of the near-dup intake tier: drop stream rows whose
+    * text shares an LSH band with a standing doc AND verifies at
+    * `minJaccard`+ exact shingle Jaccard against it — the live twin
+    * of `dropIncrementalDuplicates`' new-vs-old path (the standing
+    * survivor wins; new-NEW near-dups inside the stream are left for
+    * the batch tier, whose cluster semantics need a corpus pass).
+    * Shape: the stream row's B = numHashes/rowsPerBand band keys are
+    * computed map-side and each probes the lookup through its own
+    * stream-static LEFT equi-join (B bounded small joins — never an
+    * exploded stream that would need re-aggregation, which Append
+    * mode disallows without state); a row survives when NO probed
+    * band member verifies. Same verify expression as the batch tier:
+    * exact Jaccard over the shared shingle kernel. */
+  def streamNearDupFilter(stream: DataFrame, textCol: String, lookup: DataFrame,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    val nb = numHashes / rowsPerBand
+    val withSig = stream
+      .withColumn("_qshs", shingles(col(textCol), shingleN))
+      .withColumn("_qhs", minhashSigText(col(textCol), shingleN, numHashes))
+    val bandCols = bandKeyCols(i => element_at(col("_qhs"), i + 1),
+      numHashes, rowsPerBand)
+    val withBands = (0 until nb).foldLeft(withSig)(
+      (d, i) => d.withColumn(s"_qb$i", bandCols(i)))
+    val joined = (0 until nb).foldLeft(withBands) { (d, i) =>
+      d.join(lookup.select(col("band").as(s"_pb$i"), col("_members").as(s"_pm$i")),
+        col(s"_qb$i") === col(s"_pb$i"), "left_outer")
+    }
+    def hit(i: Int): Column = coalesce(
+      exists(col(s"_pm$i"), m => {
+        val shared = size(array_intersect(col("_qshs"), m))
+        shared.cast("double") / (size(col("_qshs")) + size(m) - shared) >= minJaccard
+      }), lit(false))
+    joined
+      .filter(!(0 until nb).map(hit).reduce(_ || _))
+      .drop((0 until nb).flatMap(i => Seq(s"_qb$i", s"_pb$i", s"_pm$i")) ++
+        Seq("_qshs", "_qhs"): _*)
+  }
+
   /** Incremental dedup: drop NEW-batch rows that duplicate an
     * EXISTING corpus (exactly or near) or earlier-kept rows of their
     * own batch, leaving the old corpus untouched — the everyday
@@ -538,13 +639,7 @@ object Dedup {
     // a supplied index (writeDedupIndex/readDedupIndex) replaces the
     // old side's digest+band recomputation; its banding config must
     // match this call's or the probe would search foreign bands
-    oldIndex.foreach { ix =>
-      val cfg = s"$textCol/$shingleN/$numHashes/$rowsPerBand"
-      val found = ix.select("_cfg").limit(1).collect()
-      require(found.isEmpty || found(0).getString(0) == cfg,
-        s"dedup index was built with cfg ${found.headOption.map(_.getString(0)).getOrElse("?")}, " +
-        s"this call uses $cfg")
-    }
+    requireIndexCfg(oldIndex, textCol, shingleN, numHashes, rowsPerBand)
 
     // tier 1: exact. The survivor frame feeds four downstream
     // branches (bands, candidate join, shingle verify, final

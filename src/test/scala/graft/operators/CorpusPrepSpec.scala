@@ -48,6 +48,46 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(m("graft_prep_neardup").getAs[Long]("rows") == 2L) // 3 near-dup
   }
 
+  test("LM-quality gate drops gibberish under a foreign bigram model; persisted model identical") {
+    // reference corpus: fluent repeated prose -> high bigram mass
+    val ref = (1L to 20L).map(i => (i, "the cat sat on the mat near the door"))
+      .toDF("doc_id", "text")
+    val lm = TextStats.bigramModel(ref, "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the door"),   // fluent: every bigram seen
+      (2L, "door the mat on near sat the cat the"),   // same unigrams, scrambled order
+      (3L, "the cat sat on the mat near the door"))
+      .toDF("doc_id", "text")
+    def runWith(m: TextStats.BigramLm) = CorpusPrep.run(docs,
+      cfg = CorpusPrep.Config(minChars = 10, lmModel = Some(m),
+        minLmLogProb = -1.5, metricPrefix = Some("graft_lm")))
+    val out = runWith(lm)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2's unigram profile is identical to 1's — only the ORDER signal
+    // can reject it; 3 then falls to exact dedup against 1
+    assert(kept == Set(1L), s"got $kept")
+    out.collect()
+    val m = out.queryExecution.observedMetrics
+    assert(m("graft_lm_gated").getAs[Long]("rows") == 3L)
+    assert(m("graft_lm_lm").getAs[Long]("rows") == 2L,
+      "the LM stage must report its own survivor count")
+    assert(m("graft_lm_exact").getAs[Long]("rows") == 1L)
+
+    // the gate under a PERSISTED model (write -> read) behaves the same
+    withTempDir("prep-lm") { dir =>
+      TextStats.writeBigramLm(lm, dir.getAbsolutePath)
+      val back = TextStats.readBigramLm(spark, dir.getAbsolutePath)
+      assert(runWith(back).select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    }
+
+    // zero-bigram docs carry no signal and must pass the gate
+    val tiny = Seq((7L, "solitarylongtoken")).toDF("doc_id", "text")
+    val keptTiny = CorpusPrep.run(tiny, cfg = CorpusPrep.Config(
+        minChars = 5, lmModel = Some(lm), minLmLogProb = -1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTiny == Set(7L), "a no-bigram doc must not be judged by the LM gate")
+  }
+
   test("decontamination stage drops survivors containing a benchmark doc") {
     val docs = Seq(
       // survives every dedup stage but CONTAINS the benchmark question

@@ -158,6 +158,64 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming near-dup intake tier matches runIncremental on the same intake") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // standing = an already-prepared corpus (normalized clean_text)
+    val standing = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (102L, "pack my box with five dozen liquor jugs before the morning train leaves"),
+      (103L, "entirely unrelated standing document describing spark streaming state stores"))
+      .toDF("doc_id", "clean_text")
+    val index = graft.operators.Dedup.dedupIndex(standing, "clean_text", "doc_id")
+      .localCheckpoint()
+    // intake: 1 = exact dup of 101 (case/whitespace only), 2 = near
+    // dup of 102 (one appended word, Jaccard 10/11), 3 fresh, 4
+    // shares words with 102 but sits far below the 0.8 threshold
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", "The  Quick Brown Fox Jumps Over The Lazy Dog Again and again today"),
+      (2L, "2026-01-01 00:00:02", "pack my box with five dozen liquor jugs before the morning train leaves okay"),
+      (3L, "2026-01-01 00:00:03", "a genuinely fresh crawl document with brand new interesting content"),
+      (4L, "2026-01-01 00:00:04", "pack my box with cheap wine bottles before the evening bus arrives maybe"))
+      .toDF("doc_id", "ts", "text")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val cfg = graft.operators.CorpusPrep.Config()
+
+    // batch truth: the incremental new-vs-old tiers over the SAME intake
+    val batchSurvivors = graft.operators.CorpusPrep.runIncremental(
+        standing, intake.drop("ts"), "text", "doc_id", cfg, oldIndex = Some(index))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    withTempDir("prep-stream-nd") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts", cfg,
+          standing = Some(standing), standingIndex = Some(index))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_nd")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id FROM prep_stream_nd")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batchSurvivors, s"stream $got vs batch $batchSurvivors")
+      // and the fixture exercised BOTH standing tiers, not a vacuous
+      // everything-survives parity
+      assert(got == Set(3L, 4L),
+        s"1 should drop on the digest tier and 2 on the near tier: $got")
+      // a mismatched index config fails loudly at stream construction
+      intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          cfg.copy(shingleN = 4),
+          standing = Some(standing), standingIndex = Some(index))
+      }
+      ()
+    }
+  }
+
   test("heavy-hitters sketch aggregates over a stream (state-store round-trip) with batch parity") {
     import org.apache.spark.sql.functions._
     // Complete mode over AvailableNow: every group's final sketch is
