@@ -124,6 +124,61 @@ object Bpe {
            ELSE concat(acc, array(x)) END)""")
   }
 
+  /** The driver-side batch-acceptance scan — the entire sequential-
+    * equivalence argument (object doc: disjointness, `maxSkipped`
+    * close, self-merge close, live-symbol-collision close, tie-group
+    * look-ahead) lives in this one function. `rows` is the lookahead
+    * of top pairs in (count desc, left asc, right asc) order;
+    * `liveSyms` is READ for the collision guard and EXTENDED with
+    * each accepted merge. Extracted from `learn`'s round loop
+    * byte-for-byte so the adversarial property harness (BpeFuzzSpec)
+    * can drive it with plain-Scala pair counts at corpus volumes a
+    * Spark learn loop could never fuzz. */
+  private[operators] def acceptBatch(rows: IndexedSeq[(String, String, Long)],
+      want: Int, lookahead: Int,
+      liveSyms: scala.collection.mutable.Set[String]): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var maxSkipped = 0L // pair counts are >= 1
+    var closed = false
+    var i = 0
+    // accept a candidate; a self-merge or a concat colliding with a
+    // live symbol string creates pairs whose counts the scanned
+    // rows cannot bound (object doc), so either CLOSES the batch
+    def accept(l: String, r: String, n: Long): Unit = {
+      accepted += ((l, r, n)); used += l; used += r; used += (l + r)
+      if (l == r || liveSyms(l + r)) closed = true
+      liveSyms += (l + r)
+    }
+    while (i < rows.length && !closed && accepted.length < want) {
+      val (l, r, n) = rows(i)
+      if (used(l) || used(r)) maxSkipped = math.max(maxSkipped, n)
+      else if (n <= maxSkipped) closed = true
+      else if (accepted.isEmpty) accept(l, r, n)
+      else {
+        // tie guard: an equal-count pair LATER in the scan that
+        // overlaps the accepted symbols can spawn a created pair
+        // tying this candidate and winning the sequential
+        // tie-break — it never reaches maxSkipped, so look ahead
+        // through the candidate's tie group explicitly; a tie
+        // group possibly truncated by the lookahead is equally
+        // unsafe
+        var j = i + 1
+        var tieDanger = false
+        while (j < rows.length && rows(j)._3 == n && !tieDanger) {
+          if (used(rows(j)._1) || used(rows(j)._2)) tieDanger = true
+          j += 1
+        }
+        if (!tieDanger && j == rows.length && rows.last._3 == n &&
+            rows.length == lookahead) tieDanger = true
+        if (tieDanger) closed = true
+        else accept(l, r, n)
+      }
+      i += 1
+    }
+    accepted.toSeq
+  }
+
   /** Learn `numMerges` merges over `textCol`. Returns the ordered
     * merge table (rank, left, right, merged, pair_count) — identical
     * to the one the one-merge-at-a-time learner produces, at any
@@ -182,45 +237,8 @@ object Bpe {
         // greedy disjoint batch under the sequential-equivalence rule
         val want = math.min(batchMerges, numMerges - merges.length)
         val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        val used = scala.collection.mutable.Set.empty[String]
-        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var maxSkipped = 0L // pair counts are >= 1
-        var closed = false
-        var i = 0
-        // accept a candidate; a self-merge or a concat colliding with a
-        // live symbol string creates pairs whose counts the scanned
-        // rows cannot bound (object doc), so either CLOSES the batch
-        def accept(l: String, r: String, n: Long): Unit = {
-          accepted += ((l, r, n)); used += l; used += r; used += (l + r)
-          if (l == r || liveSyms(l + r)) closed = true
-          liveSyms += (l + r)
-        }
-        while (i < rows.length && !closed && accepted.length < want) {
-          val (l, r, n) = rows(i)
-          if (used(l) || used(r)) maxSkipped = math.max(maxSkipped, n)
-          else if (n <= maxSkipped) closed = true
-          else if (accepted.isEmpty) accept(l, r, n)
-          else {
-            // tie guard: an equal-count pair LATER in the scan that
-            // overlaps the accepted symbols can spawn a created pair
-            // tying this candidate and winning the sequential
-            // tie-break — it never reaches maxSkipped, so look ahead
-            // through the candidate's tie group explicitly; a tie
-            // group possibly truncated by the lookahead is equally
-            // unsafe
-            var j = i + 1
-            var tieDanger = false
-            while (j < rows.length && rows(j)._3 == n && !tieDanger) {
-              if (used(rows(j)._1) || used(rows(j)._2)) tieDanger = true
-              j += 1
-            }
-            if (!tieDanger && j == rows.length && rows.last._3 == n &&
-                rows.length == lookahead) tieDanger = true
-            if (tieDanger) closed = true
-            else accept(l, r, n)
-          }
-          i += 1
-        }
+          .toIndexedSeq
+        val accepted = acceptBatch(rows, want, lookahead, liveSyms)
         accepted.foreach { case (l, r, n) => merges += ((merges.length, l, r, n)) }
         // 3. apply the whole batch in ONE map-side fold; checkpoint to
         // keep lineage flat across rounds
