@@ -341,9 +341,17 @@ object Similarity {
     require(dims % numSubspaces == 0,
       s"embedding dim $dims is not divisible into $numSubspaces subspaces")
     val dsub = dims / numSubspaces
+    // distinct BEFORE the hash-ordered limit: hash order clusters a
+    // vector's replicas adjacently, so on a heavily duplicated corpus
+    // (this library's home turf) the first maxTrainRows rows would be
+    // ~maxTrainRows/dupRate distinct vectors — too few to seed ksub
+    // centroids. Distinct costs one shuffle of the (bounded-output)
+    // training frame; at 100 TB pre-sample upstream as with
+    // trainCodebook.
     val sample = withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
       .select(col("_n"))
+      .distinct()
       .orderBy(xxhash64(col("_n")), col("_n"))
       .limit(maxTrainRows)
       .localCheckpoint()

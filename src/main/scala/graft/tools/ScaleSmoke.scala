@@ -139,6 +139,32 @@ object ScaleSmoke {
     timed("ann_ivf_train(16c,2it)") {
       Similarity.trainCodebook(emb.limit(20000), "embedding", k = 16, iters = 2).size.toLong
     }
+    // IVF-PQ: codes quantize the NORMALIZED vectors — M smallints per
+    // row instead of D floats — so the probed list scan reads the code
+    // column through the compiled ADC kernel and only the rerank
+    // shortlist touches raw embeddings
+    var pqModel: Similarity.PqModel = null
+    timed("ann_pq_train(m=8,k=16,2it)") {
+      pqModel = Similarity.pqTrain(embD, "e", numSubspaces = 8, ksub = 16,
+        iters = 2, maxTrainRows = 20000)
+      pqModel.numSubspaces.toLong
+    }
+    var pqAssigned: org.apache.spark.sql.DataFrame = null
+    timed("ann_pq_assign") {
+      pqAssigned = Similarity.pqAssign(assigned, "e", pqModel).cache()
+      pqAssigned.count()
+    }
+    timed("ann_ivf_pq_probe(nprobe=4,rerank=64)") {
+      Similarity.ivfPqProbe(pqAssigned, "e", "vec_id", query, 10, codebook,
+        pqModel, nprobe = 4, rerank = 64).count()
+    }
+    timed("ann_ivf_pq_probe_all(shuffle, 1% batch)") {
+      Similarity.ivfPqProbeAll(pqAssigned, "e", "vec_id",
+        pqAssigned.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", codebook, pqModel, k = 3, nprobe = 2, rerank = 12,
+        excludeSelf = true, broadcastProbes = Some(false)).count()
+    }
 
     // ---- join/agg shapes on a replicated event stream ---------------
     val baseEv = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
