@@ -224,6 +224,58 @@ object Similarity {
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist a coarse codebook — WITHOUT it a persisted index cannot
+    * rank inverted lists next session, so the codebook is part of the
+    * index artifact, not session state. KB-sized parquet. */
+  def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      codebook: Seq[(Long, Seq[Double])], path: String): Unit = {
+    import spark.implicits._
+    codebook.toDF("cid", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(path).select("cid", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      .sortBy(_._1)
+
+  /** Persist a PQ model ((subspace, code, centroid) rows — KBs like
+    * the coarse codebook). A PQ-coded index is unreadable without the
+    * exact model that coded it, so persist them together. */
+  def writePqModel(spark: org.apache.spark.sql.SparkSession,
+      model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until model.numSubspaces
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c))
+    rows.toDF("s", "code", "ce").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted PQ model back; fails loudly on a gappy artifact
+    * (missing subspace or code) rather than mis-scoring silently. */
+  def readPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path).select("s", "code", "ce").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    require(rows.nonEmpty, s"empty PQ model at $path")
+    val bySub = rows.groupBy(_._1)
+    val m = bySub.keys.max + 1
+    require(bySub.keySet == (0 until m).toSet,
+      s"PQ model at $path is missing subspaces: have ${bySub.keySet.toSeq.sorted}")
+    val codebooks = (0 until m).map { s =>
+      val cs = bySub(s).sortBy(_._2)
+      require(cs.map(_._2).toSeq == cs.indices.toSeq,
+        s"PQ model subspace $s has non-contiguous codes")
+      cs.map(_._3).toSeq
+    }
+    val dsub = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == dsub)),
+      s"PQ model at $path mixes centroid dimensions")
+    PqModel(m, dsub, codebooks)
+  }
+
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
     * through ivfAssign once + ivfProbe per query). `centroids` is a
     * (cid, ce) DataFrame — collected as the codebook literal. */
@@ -262,8 +314,15 @@ object Similarity {
     // distinct BEFORE seeding: on a heavily duplicated corpus (this
     // library's home turf) duplicate sample vectors would let
     // farthest-first pick the same point twice (max-min distance 0),
-    // silently pinning two identical centroids forever
+    // silently pinning two identical centroids forever. The distinct
+    // must run BEFORE the hash-ordered limit too: hash order clusters
+    // a vector's replicas adjacently, so at duplication rate R the
+    // raw 32k oversample holds only ~32k/R distinct vectors — a
+    // 50x-replicated corpus starves k=16 seeding outright (pinned by
+    // SimilaritySpec). Lloyd iterations still run over the FULL
+    // corpus, so centroids stay duplication-weighted.
     val sample = vecs
+      .distinct()
       .orderBy(xxhash64(col("_e")), col("_e"))
       .limit(32 * k)
       .collect().map(_.getSeq[Double](0).toSeq).distinct

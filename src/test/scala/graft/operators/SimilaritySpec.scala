@@ -309,6 +309,43 @@ class SimilaritySpec extends SparkSpecBase {
     assigned.unpersist(); corpus.unpersist()
   }
 
+  test("persisted PQ artifacts probe identically; replicated corpora still train") {
+    val corpus = planted.cache()
+    val pq = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 8, iters = 2)
+    val assigned = Similarity.pqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", pq).cache()
+    val direct = Similarity.ivfPqProbe(assigned, "e", "vec_id", query, 10,
+        codebook, pq, nprobe = 4, rerank = 40)
+      .collect().map(_.toSeq).toSeq
+    withTempDir("pq-artifacts") { dirFile =>
+      val dir = dirFile.getAbsolutePath
+      // the full probe-ready artifact set: index + coarse codebook +
+      // PQ model — a coded index is unreadable without its model
+      Similarity.writeIndex(assigned, s"$dir/index")
+      Similarity.writeCodebook(spark, codebook, s"$dir/cb")
+      Similarity.writePqModel(spark, pq, s"$dir/pq")
+      val cb2 = Similarity.readCodebook(spark, s"$dir/cb")
+      val pq2 = Similarity.readPqModel(spark, s"$dir/pq")
+      assert(cb2 == codebook && pq2 == pq)
+      val back = Similarity.ivfPqProbe(Similarity.readIndex(spark, s"$dir/index"),
+          "e", "vec_id", query, 10, cb2, pq2, nprobe = 4, rerank = 40)
+        .collect().map(_.toSeq).toSeq
+      assert(back == direct)
+    }
+
+    // 40x-replicated corpus: hash order clusters replicas adjacently,
+    // so sampling WITHOUT the distinct-first step would collect only
+    // ~256/40 distinct vectors and starve k=8 seeding outright
+    val replicated = (0 until 40)
+      .map(i => corpus.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    assert(Similarity.trainCodebook(replicated, "e", k = nClusters, iters = 1)
+      .size == nClusters)
+    assert(Similarity.pqTrain(replicated, "e", numSubspaces = 4, ksub = 16,
+      iters = 1).ksub == 16)
+    assigned.unpersist(); corpus.unpersist()
+  }
+
   test("trainCodebook recovers planted clusters and serves multi-probe") {
     val corpus = planted.cache()
     val trained = Similarity.trainCodebook(corpus, "e", k = nClusters, iters = 3)
