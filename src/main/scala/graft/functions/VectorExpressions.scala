@@ -84,6 +84,43 @@ object VectorOps {
     s
   }
 
+  /** Symmetric-distance computation (SDC) as an approximate COSINE:
+    * both vectors are known only by their M subspace code bytes, so
+    * the kernel scores cosine between the two centroid
+    * reconstructions — dot and norms accumulate per subspace straight
+    * from the codebook literal, the raw vectors never appear.
+    * Quantization error enters twice (vs once for ADC), which is the
+    * price of scoring pairs where NEITHER side keeps its floats —
+    * the shape in-bucket near-dup prefiltering needs. Out-of-range or
+    * length-mismatched codes yield NaN (never a fake near-match:
+    * NaN >= threshold is false). */
+  def pqSdcCos(a: ArrayData, b: ArrayData, cbs: ArrayData): Double = {
+    val m = a.numElements()
+    if (b.numElements() != m || cbs.numElements() < m) return Double.NaN
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < m) {
+      val cb = cbs.getArray(i)
+      val ca = a.getInt(i)
+      val cbv = b.getInt(i)
+      if (ca < 0 || ca >= cb.numElements() ||
+          cbv < 0 || cbv >= cb.numElements()) return Double.NaN
+      val ea = cb.getArray(ca).toDoubleArray()
+      val eb = cb.getArray(cbv).toDoubleArray()
+      val n = math.min(ea.length, eb.length)
+      var j = 0
+      while (j < n) { dot += ea(j) * eb(j); j += 1 }
+      j = 0
+      while (j < ea.length) { na += ea(j) * ea(j); j += 1 }
+      j = 0
+      while (j < eb.length) { nb += eb(j) * eb(j); j += 1 }
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
     * formulation divides by zero the same way). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -167,6 +204,29 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "pq_adc"
 }
 
+/** `pq_sdc_cos(codesA, codesB, codebooks)` -> approximate cosine of
+  * two PQ-coded vectors via their centroid reconstructions (VectorOps
+  * .pqSdcCos). Same codebook-literal contract as PqAdc; scoring reads
+  * only the two code columns — the pair-expansion path for coded
+  * buckets where no raw floats were collected. */
+case class PqSdcCos(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(org.apache.spark.sql.types.IntegerType),
+    ArrayType(org.apache.spark.sql.types.IntegerType),
+    ArrayType(ArrayType(ArrayType(DoubleType))))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, cbs: Any): Any =
+    VectorOps.pqSdcCos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      cbs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorOps.pqSdcCos($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqSdcCos =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "pq_sdc_cos"
+}
+
 /** `dot_product(a, b)` over two array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -197,6 +257,17 @@ object VectorExpressions {
     GraftBridge.column(PqAdc(
       GraftBridge.expression(query),
       GraftBridge.expression(codes.cast("array<int>")),
+      GraftBridge.expression(typedLit(codebooks))))
+  }
+
+  /** Codebook-literal SDC approximate cosine between two PQ code
+    * columns (see PqSdcCos). */
+  def pq_sdc_cos(codesA: Column, codesB: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(PqSdcCos(
+      GraftBridge.expression(codesA.cast("array<int>")),
+      GraftBridge.expression(codesB.cast("array<int>")),
       GraftBridge.expression(typedLit(codebooks))))
   }
 

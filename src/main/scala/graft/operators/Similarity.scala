@@ -597,6 +597,65 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** PQ-coded near-duplicate pairs — `nearDupPairsIvf` with the IVF-PQ
+    * scan economics carried into PAIR search. The bucket collect holds
+    * (id, M-byte code) rows instead of (id, D-float vector) rows, so
+    * the per-bucket state that makes an uncapped hot list an executor
+    * OOM shrinks by ~D·8/M (64-dim doubles at M=4: 512 B -> 8 B per
+    * row), and in-bucket pairs are scored by SDC approximate cosine
+    * straight off the codes (pq_sdc_cos — the codebooks ride inside
+    * the generated code; no floats in the expansion). Only pairs with
+    * approx >= minCosine − sdcMargin survive to the exact stage, which
+    * joins the raw embeddings back BY ID (AQE sizes the join from the
+    * survivor count at runtime) and re-scores exact cosine — final
+    * rows carry EXACT scores, bit-identical to `nearDupPairsIvf` for
+    * every pair the prefilter keeps. sdcMargin is the recall knob:
+    * SDC pays quantization error on both sides, so a near-threshold
+    * true pair can score under minCosine; sdcMargin >= 2 disables the
+    * prefilter outright (approx cosine is never < −1), making the
+    * result EQUAL to `nearDupPairsIvf` at the same nprobe — the
+    * equality SimilaritySpec pins. Same contracts as the raw variant:
+    * ids must be unique, hot lists cap with observed drop counts,
+    * a pair sharing several lists dedups to one row. */
+  def nearDupPairsIvfPq(df: DataFrame, embCol: String, idCol: String,
+      codebook: Seq[(Long, Seq[Double])], pq: PqModel, minCosine: Double,
+      nprobe: Int = 1, maxBucket: Int = 8192,
+      sdcMargin: Double = 0.1): DataFrame = {
+    require(codebook.nonEmpty, "nearDupPairsIvfPq needs a codebook")
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"nprobe must be in [1, ${codebook.size}], got $nprobe")
+    require(sdcMargin >= 0.0, s"sdcMargin must be >= 0, got $sdcMargin")
+    val cb = typedLit(codebook)
+    val ranked = array_sort(transform(cb, c => struct(
+      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
+      c.getField("_1").as("cid"))))
+    val bucketed = pqAssign(df.select(col(idCol), col(embCol)), embCol, pq, "_code")
+      .select(col(idCol).as("_id"), col("_code"),
+        explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
+    val candidates = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+        metricName = "graft_ivf_pq_bucket_cap")
+      .groupBy("_bucket")
+      .agg(sort_array(collect_list(struct(col("_id"), col("_code")))).as("rows"))
+      .filter(size(col("rows")) > 1)
+      .select(explode(expr(
+        """flatten(transform(rows, (x, i) ->
+             transform(slice(rows, i + 2, size(rows) - i - 1),
+               y -> struct(x._id AS id_a, y._id AS id_b, x._code AS c_a, y._code AS c_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        graft.functions.VectorExpressions.pq_sdc_cos(
+          col("p.c_a"), col("p.c_b"), pq.codebooks).as("_approx"))
+      .filter(col("id_a") =!= col("id_b") && col("_approx") >= minCosine - sdcMargin)
+      .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol), asDouble(col(embCol)).as("_e"))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col("_e").as("_ea")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("_e").as("_eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_ea"), col("_eb")), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Shared in-bucket pair expansion: cap hot buckets, collect each
     * bucket's (id, vector) rows once, expand ordered pairs inside the
     * bucket, score cosine, threshold. */

@@ -227,6 +227,41 @@ class SimilaritySpec extends SparkSpecBase {
     corpus.unpersist()
   }
 
+  test("nearDupPairsIvfPq: slack margin equals the raw variant; practical margin keeps exact scores") {
+    import spark.implicits._
+    val boundary = Seq(
+      (900001L, -1, Seq.tabulate(dim)(d => if (d == 0) 5.01 else if (d == 1) 5.0 else 0.0)),
+      (900002L, -1, Seq.tabulate(dim)(d => if (d == 0) 5.0 else if (d == 1) 5.01 else 0.0)))
+      .toDF("vec_id", "planted_cluster", "e")
+    val corpus = planted.unionByName(boundary).cache()
+    val pq = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 16, iters = 3)
+    val raw = Similarity.nearDupPairsIvf(corpus, "e", "vec_id", codebook,
+        minCosine = 0.9999, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(raw.nonEmpty)
+
+    // sdcMargin >= 2 cannot drop any pair (approx cosine is never
+    // < -1), so the coded path must reproduce the raw pair set with
+    // bit-identical exact scores — codes steer, floats decide
+    val slack = Similarity.nearDupPairsIvfPq(corpus, "e", "vec_id", codebook, pq,
+        minCosine = 0.9999, nprobe = 2, sdcMargin = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(slack == raw)
+
+    // a practical margin may only REMOVE pairs (prefilter is a
+    // subset), never change a surviving pair's exact score; on this
+    // corpus ksub=16 quantization keeps every near-1.0 pair
+    val practical = Similarity.nearDupPairsIvfPq(corpus, "e", "vec_id", codebook, pq,
+        minCosine = 0.9999, nprobe = 2, sdcMargin = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(practical.subsetOf(raw))
+    assert(practical.size >= math.ceil(raw.size * 0.9).toInt,
+      s"SDC prefilter recall too low: ${practical.size} of ${raw.size}")
+    assert(practical.map(p => (p._1, p._2)).contains((900001L, 900002L)),
+      "the boundary pair quantizes near-identically and must survive the prefilter")
+    corpus.unpersist()
+  }
+
   test("multi-probe of a missing member id returns empty, like single-probe") {
     val assigned = Similarity.ivfAssign(planted, codebook, "e")
     val single = Similarity.ivfProbe(assigned, "e", "vec_id", 999999L, 10)
