@@ -86,36 +86,35 @@ object VectorOps {
 
   /** Symmetric-distance computation (SDC) as an approximate COSINE:
     * both vectors are known only by their M subspace code bytes, so
-    * the kernel scores cosine between the two centroid
-    * reconstructions — dot and norms accumulate per subspace straight
-    * from the codebook literal, the raw vectors never appear.
-    * Quantization error enters twice (vs once for ADC), which is the
-    * price of scoring pairs where NEITHER side keeps its floats —
-    * the shape in-bucket near-dup prefiltering needs. Out-of-range or
+    * the score is the cosine between the two centroid reconstructions.
+    * The kernel never touches centroids at runtime: it reads
+    * PRECOMPUTED per-subspace centroid-pair dot tables
+    * (`tabs(s)(i)(j) = dot(cb_s_i, cb_s_j)`, so the diagonal is the
+    * squared centroid norm) — M table lookups per side instead of D
+    * multiplies, which is the whole point of SDC: per-pair cost
+    * follows the CODE length, not the vector dimension. Quantization
+    * error enters twice (vs once for ADC); that is the price of
+    * scoring pairs where NEITHER side keeps its floats — the shape
+    * in-bucket near-dup prefiltering needs. Out-of-range or
     * length-mismatched codes yield NaN (never a fake near-match:
     * NaN >= threshold is false). */
-  def pqSdcCos(a: ArrayData, b: ArrayData, cbs: ArrayData): Double = {
+  def pqSdcCos(a: ArrayData, b: ArrayData, tabs: ArrayData): Double = {
     val m = a.numElements()
-    if (b.numElements() != m || cbs.numElements() < m) return Double.NaN
+    if (b.numElements() != m || tabs.numElements() < m) return Double.NaN
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < m) {
-      val cb = cbs.getArray(i)
+      val t = tabs.getArray(i)
       val ca = a.getInt(i)
-      val cbv = b.getInt(i)
-      if (ca < 0 || ca >= cb.numElements() ||
-          cbv < 0 || cbv >= cb.numElements()) return Double.NaN
-      val ea = cb.getArray(ca).toDoubleArray()
-      val eb = cb.getArray(cbv).toDoubleArray()
-      val n = math.min(ea.length, eb.length)
-      var j = 0
-      while (j < n) { dot += ea(j) * eb(j); j += 1 }
-      j = 0
-      while (j < ea.length) { na += ea(j) * ea(j); j += 1 }
-      j = 0
-      while (j < eb.length) { nb += eb(j) * eb(j); j += 1 }
+      val cb = b.getInt(i)
+      if (ca < 0 || ca >= t.numElements() ||
+          cb < 0 || cb >= t.numElements()) return Double.NaN
+      val rowA = t.getArray(ca)
+      dot += rowA.getDouble(cb)
+      na += rowA.getDouble(ca)
+      nb += t.getArray(cb).getDouble(cb)
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -204,11 +203,14 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "pq_adc"
 }
 
-/** `pq_sdc_cos(codesA, codesB, codebooks)` -> approximate cosine of
+/** `pq_sdc_cos(codesA, codesB, dotTables)` -> approximate cosine of
   * two PQ-coded vectors via their centroid reconstructions (VectorOps
-  * .pqSdcCos). Same codebook-literal contract as PqAdc; scoring reads
-  * only the two code columns — the pair-expansion path for coded
-  * buckets where no raw floats were collected. */
+  * .pqSdcCos). The third operand is the per-subspace centroid-pair
+  * dot TABLE (M × ksub × ksub doubles, KBs — built driver-side by the
+  * column helper from the codebooks), riding as a literal like PqAdc's
+  * codebooks; scoring reads only the two code columns — the
+  * pair-expansion path for coded buckets where no raw floats were
+  * collected. */
 case class PqSdcCos(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(
@@ -261,14 +263,22 @@ object VectorExpressions {
   }
 
   /** Codebook-literal SDC approximate cosine between two PQ code
-    * columns (see PqSdcCos). */
+    * columns (see PqSdcCos). Takes the CODEBOOKS and compiles them to
+    * the kernel's per-subspace dot tables here, driver-side — callers
+    * never see the table layout. M × ksub² × dsub multiplies once per
+    * plan vs per pair. */
   def pq_sdc_cos(codesA: Column, codesB: Column,
       codebooks: Seq[Seq[Seq[Double]]]): Column = {
     import org.apache.spark.sql.functions.typedLit
+    val tables = codebooks.map { cb =>
+      cb.map(ci => cb.map(cj => ci.zip(cj).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + x * y
+      }))
+    }
     GraftBridge.column(PqSdcCos(
       GraftBridge.expression(codesA.cast("array<int>")),
       GraftBridge.expression(codesB.cast("array<int>")),
-      GraftBridge.expression(typedLit(codebooks))))
+      GraftBridge.expression(typedLit(tables))))
   }
 
   /** Codebook-literal nearest-centroid assignment (see NearestCentroid). */

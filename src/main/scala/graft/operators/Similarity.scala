@@ -553,12 +553,13 @@ object Similarity {
   }
 
   /** Near-duplicate embedding pairs above a cosine threshold, searched
-    * bucket-locally (no O(n^2) cross join): group ids+vectors per sign
-    * bucket, expand pairs inside the bucket, then score. A bucket with
-    * more than `maxBucket` vectors (degenerate hyperplane cut) is
-    * dropped before the vector arrays are collected — full vectors per
-    * row make an uncapped hot bucket the fastest way to an executor
-    * OOM — with drop counts logged via observed metrics. */
+    * bucket-locally (no O(n^2) cross join): bucket by hyperplane
+    * signs, expand pairs via a streaming bucket-keyed self-join, then
+    * score. A bucket with more than `maxBucket` vectors (degenerate
+    * hyperplane cut) is dropped before pair expansion — the cap bounds
+    * the quadratic pair WORK; memory is safe regardless because the
+    * join spills (see pairsInBuckets) — with drop counts logged via
+    * observed metrics. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
       bits: Int, minCosine: Double,
       maxBucket: Int = 8192): DataFrame = {
@@ -598,13 +599,13 @@ object Similarity {
   }
 
   /** PQ-coded near-duplicate pairs — `nearDupPairsIvf` with the IVF-PQ
-    * scan economics carried into PAIR search. The bucket collect holds
-    * (id, M-byte code) rows instead of (id, D-float vector) rows, so
-    * the per-bucket state that makes an uncapped hot list an executor
-    * OOM shrinks by ~D·8/M (64-dim doubles at M=4: 512 B -> 8 B per
-    * row), and in-bucket pairs are scored by SDC approximate cosine
-    * straight off the codes (pq_sdc_cos — the codebooks ride inside
-    * the generated code; no floats in the expansion). Only pairs with
+    * scan economics carried into PAIR search. The pair expansion
+    * shuffles, sorts, and (for hot lists) spills (id, M-byte code)
+    * rows instead of (id, D-float vector) rows — ~D·8/M less pair-scan
+    * bandwidth (64-dim doubles at M=4: 512 B -> 8 B per row) — and
+    * in-bucket pairs are scored by SDC approximate cosine straight
+    * off the codes (pq_sdc_cos — the codebooks ride inside the
+    * generated code; no floats in the expansion). Only pairs with
     * approx >= minCosine − sdcMargin survive to the exact stage, which
     * joins the raw embeddings back BY ID (AQE sizes the join from the
     * survivor count at runtime) and re-scores exact cosine — final
@@ -633,19 +634,19 @@ object Similarity {
     val bucketed = pqAssign(df.select(col(idCol), col(embCol)), embCol, pq, "_code")
       .select(col(idCol).as("_id"), col("_code"),
         explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
-    val candidates = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
-        metricName = "graft_ivf_pq_bucket_cap")
-      .groupBy("_bucket")
-      .agg(sort_array(collect_list(struct(col("_id"), col("_code")))).as("rows"))
-      .filter(size(col("rows")) > 1)
-      .select(explode(expr(
-        """flatten(transform(rows, (x, i) ->
-             transform(slice(rows, i + 2, size(rows) - i - 1),
-               y -> struct(x._id AS id_a, y._id AS id_b, x._code AS c_a, y._code AS c_b))))""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
+    // same streaming self-join expansion as pairsInBuckets (see its
+    // Scaladoc for why not collect-and-flatten), over codes
+    val capped = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+      metricName = "graft_ivf_pq_bucket_cap")
+    val candidates = capped
+      .select(col("_bucket"), col("_id").as("id_a"), col("_code").as("_ca"))
+      .join(capped.select(col("_bucket"), col("_id").as("id_b"), col("_code").as("_cb")),
+        Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
         graft.functions.VectorExpressions.pq_sdc_cos(
-          col("p.c_a"), col("p.c_b"), pq.codebooks).as("_approx"))
-      .filter(col("id_a") =!= col("id_b") && col("_approx") >= minCosine - sdcMargin)
+          col("_ca"), col("_cb"), pq.codebooks).as("_approx"))
+      .filter(col("_approx") >= minCosine - sdcMargin)
       .dropDuplicates("id_a", "id_b")
     val vecs = df.select(col(idCol), asDouble(col(embCol)).as("_e"))
     candidates
@@ -656,22 +657,28 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
-  /** Shared in-bucket pair expansion: cap hot buckets, collect each
-    * bucket's (id, vector) rows once, expand ordered pairs inside the
-    * bucket, score cosine, threshold. */
+  /** Shared in-bucket pair expansion: cap hot buckets, then expand
+    * ordered pairs as a bucket-keyed SELF-JOIN (`id_a < id_b` — also
+    * what keeps duplicate ids from emitting self-pairs), score cosine,
+    * threshold. The join formulation is deliberate: a
+    * collect_list-then-flatten expansion materializes the bucket's
+    * ENTIRE O(m²) pair array — with two full vectors per element — as
+    * one in-memory value before explode can stream it, which is an
+    * executor OOM near the cap (8192² pairs × ~1 KB of vector payload
+    * ≈ tens of GB in ONE allocation; ScaleSmoke reproduced it at 100k
+    * replicated vectors). Sort-merge join instead streams the pair
+    * space and SPILLS a hot key's buffered group to disk, so the cap
+    * bounds quadratic WORK, not survival. */
   private def pairsInBuckets(bucketed: DataFrame, minCosine: Double,
-      maxBucket: Int, metricName: String): DataFrame =
-    HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket, metricName = metricName)
-      .groupBy("_bucket")
-      .agg(sort_array(collect_list(struct(col("_id"), col("_e")))).as("rows"))
-      .filter(size(col("rows")) > 1)
-      .select(explode(expr(
-        """flatten(transform(rows, (x, i) ->
-             transform(slice(rows, i + 2, size(rows) - i - 1),
-               y -> struct(x._id AS id_a, y._id AS id_b, x._e AS e_a, y._e AS e_b))))""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        round(cosine(col("p.e_a"), col("p.e_b")), 4).as("cos"))
-      // duplicate ids (a fanned-out upstream join) would otherwise
-      // emit nonsense self-pairs
-      .filter(col("id_a") =!= col("id_b") && col("cos") >= minCosine)
+      maxBucket: Int, metricName: String): DataFrame = {
+    val capped = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+      metricName = metricName)
+    capped.select(col("_bucket"), col("_id").as("id_a"), col("_e").as("_ea"))
+      .join(capped.select(col("_bucket"), col("_id").as("id_b"), col("_e").as("_eb")),
+        Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_ea"), col("_eb")), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
 }

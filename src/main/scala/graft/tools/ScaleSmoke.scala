@@ -165,6 +165,19 @@ object ScaleSmoke {
         "qid", "e", codebook, pqModel, k = 3, nprobe = 2, rerank = 12,
         excludeSelf = true, broadcastProbes = Some(false)).count()
     }
+    // pair search over the same lists: the replicated corpus is one
+    // giant near-dup family per base vector, so the in-bucket
+    // expansion works millions of pairs — raw collects full vectors
+    // per bucket, PQ collects codes and SDC-prefilters before the
+    // exact verify join
+    timed("ann_neardup_ivf(raw, cos>=0.99)") {
+      Similarity.nearDupPairsIvf(embD, "e", "vec_id", codebook,
+        minCosine = 0.99, nprobe = 2).count()
+    }
+    timed("ann_neardup_ivf_pq(sdc, cos>=0.99)") {
+      Similarity.nearDupPairsIvfPq(embD, "e", "vec_id", codebook, pqModel,
+        minCosine = 0.99, nprobe = 2, sdcMargin = 0.05).count()
+    }
 
     // ---- join/agg shapes on a replicated event stream ---------------
     val baseEv = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
