@@ -80,11 +80,14 @@ object Dedup {
   }
 
   /** Banded-LSH candidate pairs from signature columns: bands of
-    * `rowsPerBand` hashes, pairs expanded bucket-locally. A degenerate
-    * band shared by more than `maxBucket` docs is dropped before any
-    * id array is built (HotKeys.cap — windowed count, logged drops),
-    * so one hot band can never go quadratic. See `lshThreshold` for
-    * picking (k, rowsPerBand). */
+    * `rowsPerBand` hashes, pairs expanded bucket-locally via a
+    * spill-safe band-keyed sort-merge self-join (`id_a < id_b`; see
+    * Similarity.pairsInBuckets for why joins, not array expansion,
+    * and why only the left branch observes). A degenerate band shared
+    * by more than `maxBucket` docs is dropped before pair expansion
+    * (HotKeys.cap — windowed count, logged drops), so one hot band
+    * can never go quadratic. See `lshThreshold` for picking
+    * (k, rowsPerBand). */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, rowsPerBand: Int,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_lsh_band_cap"): DataFrame = {
@@ -92,14 +95,12 @@ object Dedup {
     val bands = sig
       .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("band"))
     HotKeys.cap(bands, Seq(col("band")), maxBucket, metricName = metricName)
-      .groupBy("band")
-      .agg(sort_array(collect_set(col("_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-               y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("band"), col("_id").as("id_a"))
+      .hint("merge")
+      .join(HotKeys.capSilently(bands, Seq(col("band")), maxBucket)
+        .select(col("band"), col("_id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -120,29 +121,28 @@ object Dedup {
 
   /** n-gram Jaccard near-duplicate pairs — the single-scan inverted
     * index of q35 in library form: each exploded shingle row carries
-    * (id, shingle-set size), pairs expand bucket-locally, the pair
-    * groupBy carries the set sizes so the denominator needs no
-    * lookback join. Shingles with document frequency above `maxDf`
-    * (stop-phrase shingles — the inverted-index scale-killer) are
-    * dropped before any array is built, with logged drop counts. */
+    * (id, shingle-set size), pairs expand bucket-locally via a
+    * spill-safe shingle-keyed sort-merge self-join (see
+    * Similarity.pairsInBuckets), the pair groupBy carries the set
+    * sizes so the denominator needs no lookback join. Shingles with
+    * document frequency above `maxDf` (stop-phrase shingles — the
+    * inverted-index scale-killer) are dropped before pair expansion,
+    * with logged drop counts. */
   def jaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.7,
       maxDf: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_shingle_df_cap"): DataFrame = {
     val exploded = df
       .select(col(idCol), shingles(col(textCol), n).as("_shs"))
-      .select(struct(col(idCol).as("_id"), size(col("_shs")).as("_n")).as("d"),
+      .select(col(idCol).as("_id"), size(col("_shs")).as("_n"),
         explode(col("_shs")).as("sh"))
     HotKeys.cap(exploded, Seq(col("sh")), maxDf, metricName = metricName)
-      .groupBy("sh")
-      .agg(sort_array(collect_set(col("d"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-               y -> struct(x._id AS id_a, y._id AS id_b, x._n AS na, y._n AS nb))))""")).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+      .select(col("sh"), col("_id").as("id_a"), col("_n").as("na"))
+      .hint("merge")
+      .join(HotKeys.capSilently(exploded, Seq(col("sh")), maxDf)
+        .select(col("sh"), col("_id").as("id_b"), col("_n").as("nb")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
@@ -799,25 +799,25 @@ object Dedup {
     val base = df.select(col(idCol).as("_id"), col(hashCol).cast("long").as("_h"))
       .filter(col("_h").isNotNull)
     val bands = base.select(
-      struct(col("_id"), col("_h")).as("d"),
+      col("_id"), col("_h"),
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
-      .toDF("d", "k", "band")
+      .toDF("_id", "_h", "k", "band")
+    // spill-safe band-keyed sort-merge self-join (see
+    // Similarity.pairsInBuckets); `id_a < id_b` orients pairs and
+    // drops duplicate-id self-pairs; hamming is per-pair
+    // deterministic, so the distance filter runs BEFORE the distinct
+    // and far pairs never enter the dedup shuffle
     HotKeys.cap(bands, Seq(col("k"), col("band")), maxBucket, metricName = metricName)
-      .groupBy("k", "band")
-      .agg(sort_array(collect_set(col("d"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-               y -> struct(x._id AS id_a, y._id AS id_b, x._h AS ha, y._h AS hb))))""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        bit_count(col("p.ha").bitwiseXOR(col("p.hb"))).cast("bigint").as("hamming"))
-      // duplicate ids (a fanned-out upstream join) would otherwise
-      // emit nonsense self-pairs; hamming is per-pair deterministic,
-      // so both filters run BEFORE the distinct and far pairs never
-      // enter the dedup shuffle
-      .filter(col("id_a") =!= col("id_b") && col("hamming") <= maxHamming)
+      .select(col("k"), col("band"), col("_id").as("id_a"), col("_h").as("_ha"))
+      .hint("merge")
+      .join(HotKeys.capSilently(bands, Seq(col("k"), col("band")), maxBucket)
+        .select(col("k"), col("band"), col("_id").as("id_b"), col("_h").as("_hb")),
+        Seq("k", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 

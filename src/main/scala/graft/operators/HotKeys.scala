@@ -57,6 +57,21 @@ object HotKeys {
       .drop("_key_n")
   }
 
+  /** `cap` without the observed metric — the SECOND branch of a
+    * self-join over a capped frame. A pair-expansion self-join needs
+    * the same `[minPerKey, cap]` filter on both sides, but duplicating
+    * the CollectMetrics node across join branches makes AQE drop the
+    * metric entirely (observed empirically; single-instance metrics
+    * deliver) — so one side observes via `cap`, the other filters
+    * silently with this. */
+  def capSilently(df: DataFrame, keys: Seq[Column], cap: Int,
+      minPerKey: Int = 2): DataFrame = {
+    val w = Window.partitionBy(keys: _*)
+    df.withColumn("_key_n", count(lit(1)).over(w))
+      .filter(col("_key_n").between(minPerKey, cap))
+      .drop("_key_n")
+  }
+
   /** Keep rows satisfying `keep`; publish the dropped-row count under
     * `metricName`. The cheap guard for one-sided validity filters
     * whose drops must stay observable (e.g. oversize intervals in

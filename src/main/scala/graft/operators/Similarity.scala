@@ -554,11 +554,10 @@ object Similarity {
 
   /** Near-duplicate embedding pairs above a cosine threshold, searched
     * bucket-locally (no O(n^2) cross join): bucket by hyperplane
-    * signs, expand pairs via a streaming bucket-keyed self-join, then
-    * score. A bucket with more than `maxBucket` vectors (degenerate
-    * hyperplane cut) is dropped before pair expansion — the cap bounds
-    * the quadratic pair WORK; memory is safe regardless because the
-    * join spills (see pairsInBuckets) — with drop counts logged via
+    * signs, expand pairs anchor-first inside the bucket (streaming —
+    * see pairsInBuckets), then score. A bucket with more than
+    * `maxBucket` vectors (degenerate hyperplane cut) is dropped before
+    * the vector arrays are collected, with drop counts logged via
     * observed metrics. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
       bits: Int, minCosine: Double,
@@ -599,13 +598,13 @@ object Similarity {
   }
 
   /** PQ-coded near-duplicate pairs — `nearDupPairsIvf` with the IVF-PQ
-    * scan economics carried into PAIR search. The pair expansion
-    * shuffles, sorts, and (for hot lists) spills (id, M-byte code)
-    * rows instead of (id, D-float vector) rows — ~D·8/M less pair-scan
-    * bandwidth (64-dim doubles at M=4: 512 B -> 8 B per row) — and
-    * in-bucket pairs are scored by SDC approximate cosine straight
-    * off the codes (pq_sdc_cos — the codebooks ride inside the
-    * generated code; no floats in the expansion). Only pairs with
+    * scan economics carried into PAIR search. The bucket arrays and
+    * the pair expansion hold (id, M-byte code) rows instead of
+    * (id, D-float vector) rows — ~D·8/M less per-bucket state and
+    * pair-scan bandwidth (64-dim doubles at M=4: 512 B -> 8 B per
+    * row) — and in-bucket pairs are scored by SDC approximate cosine
+    * straight off the codes (pq_sdc_cos — the dot tables ride inside
+    * the generated code; no floats in the expansion). Only pairs with
     * approx >= minCosine − sdcMargin survive to the exact stage, which
     * joins the raw embeddings back BY ID (AQE sizes the join from the
     * survivor count at runtime) and re-scores exact cosine — final
@@ -634,13 +633,15 @@ object Similarity {
     val bucketed = pqAssign(df.select(col(idCol), col(embCol)), embCol, pq, "_code")
       .select(col(idCol).as("_id"), col("_code"),
         explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
-    // same streaming self-join expansion as pairsInBuckets (see its
-    // Scaladoc for why not collect-and-flatten), over codes
-    val capped = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+    // same spill-safe sort-merge self-join expansion as
+    // pairsInBuckets (see its Scaladoc), over codes
+    val capL = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
       metricName = "graft_ivf_pq_bucket_cap")
-    val candidates = capped
+    val capR = HotKeys.capSilently(bucketed, Seq(col("_bucket")), maxBucket)
+    val candidates = capL
       .select(col("_bucket"), col("_id").as("id_a"), col("_code").as("_ca"))
-      .join(capped.select(col("_bucket"), col("_id").as("id_b"), col("_code").as("_cb")),
+      .hint("merge")
+      .join(capR.select(col("_bucket"), col("_id").as("id_b"), col("_code").as("_cb")),
         Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -658,23 +659,29 @@ object Similarity {
   }
 
   /** Shared in-bucket pair expansion: cap hot buckets, then expand
-    * ordered pairs as a bucket-keyed SELF-JOIN (`id_a < id_b` — also
-    * what keeps duplicate ids from emitting self-pairs), score cosine,
-    * threshold. The join formulation is deliberate: a
-    * collect_list-then-flatten expansion materializes the bucket's
-    * ENTIRE O(m²) pair array — with two full vectors per element — as
-    * one in-memory value before explode can stream it, which is an
-    * executor OOM near the cap (8192² pairs × ~1 KB of vector payload
-    * ≈ tens of GB in ONE allocation; ScaleSmoke reproduced it at 100k
-    * replicated vectors). Sort-merge join instead streams the pair
-    * space and SPILLS a hot key's buffered group to disk, so the cap
-    * bounds quadratic WORK, not survival. */
+    * ordered pairs as a bucket-keyed SORT-MERGE SELF-JOIN
+    * (`id_a < id_b` — which also keeps duplicate ids from emitting
+    * self-pairs), score cosine, threshold. The join formulation is
+    * deliberate and empirically forced (ScaleSmoke, 100k replicated
+    * vectors): every array-side expansion — flatten-all-pairs AND
+    * anchor-first nested Generates — OOM'd an executor, because the
+    * quadratic pair stream materializes faster than the consumer
+    * drains it, while SMJ streams the pair space and SPILLS a hot
+    * key's buffered group to disk, so the cap bounds quadratic WORK,
+    * not survival. Two quirks the shape must respect: (1) the cap's
+    * observed metric must appear in ONE branch only (`cap` left,
+    * `capSilently` right) — AQE drops a CollectMetrics duplicated
+    * across join branches; (2) the join is hinted to merge so tiny
+    * test corpora don't pick a broadcast join, whose build-side
+    * execution also loses observed metrics. */
   private def pairsInBuckets(bucketed: DataFrame, minCosine: Double,
       maxBucket: Int, metricName: String): DataFrame = {
-    val capped = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+    val left = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
       metricName = metricName)
-    capped.select(col("_bucket"), col("_id").as("id_a"), col("_e").as("_ea"))
-      .join(capped.select(col("_bucket"), col("_id").as("id_b"), col("_e").as("_eb")),
+    val right = HotKeys.capSilently(bucketed, Seq(col("_bucket")), maxBucket)
+    left.select(col("_bucket"), col("_id").as("id_a"), col("_e").as("_ea"))
+      .hint("merge")
+      .join(right.select(col("_bucket"), col("_id").as("id_b"), col("_e").as("_eb")),
         Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
