@@ -94,11 +94,11 @@ object Dedup {
     val bandCols = bandKeyCols(i => col(s"h$i"), k, rowsPerBand)
     val bands = sig
       .select(col(idCol).as("_id"), explode(array(bandCols: _*)).as("band"))
-    HotKeys.cap(bands, Seq(col("band")), maxBucket, metricName = metricName)
-      .select(col("band"), col("_id").as("id_a"))
+    val (capL, capR) = HotKeys.capPair(bands, Seq(col("band")), maxBucket,
+      metricName = metricName)
+    capL.select(col("band"), col("_id").as("id_a"))
       .hint("merge")
-      .join(HotKeys.capSilently(bands, Seq(col("band")), maxBucket)
-        .select(col("band"), col("_id").as("id_b")), Seq("band"))
+      .join(capR.select(col("band"), col("_id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -136,11 +136,11 @@ object Dedup {
       .select(col(idCol), shingles(col(textCol), n).as("_shs"))
       .select(col(idCol).as("_id"), size(col("_shs")).as("_n"),
         explode(col("_shs")).as("sh"))
-    HotKeys.cap(exploded, Seq(col("sh")), maxDf, metricName = metricName)
-      .select(col("sh"), col("_id").as("id_a"), col("_n").as("na"))
+    val (capL, capR) = HotKeys.capPair(exploded, Seq(col("sh")), maxDf,
+      metricName = metricName)
+    capL.select(col("sh"), col("_id").as("id_a"), col("_n").as("na"))
       .hint("merge")
-      .join(HotKeys.capSilently(exploded, Seq(col("sh")), maxDf)
-        .select(col("sh"), col("_id").as("id_b"), col("_n").as("nb")), Seq("sh"))
+      .join(capR.select(col("sh"), col("_id").as("id_b"), col("_n").as("nb")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("shared"))
@@ -808,12 +808,12 @@ object Dedup {
     // drops duplicate-id self-pairs; hamming is per-pair
     // deterministic, so the distance filter runs BEFORE the distinct
     // and far pairs never enter the dedup shuffle
-    HotKeys.cap(bands, Seq(col("k"), col("band")), maxBucket, metricName = metricName)
-      .select(col("k"), col("band"), col("_id").as("id_a"), col("_h").as("_ha"))
+    val (capL, capR) = HotKeys.capPair(bands, Seq(col("k"), col("band")),
+      maxBucket, metricName = metricName)
+    capL.select(col("k"), col("band"), col("_id").as("id_a"), col("_h").as("_ha"))
       .hint("merge")
-      .join(HotKeys.capSilently(bands, Seq(col("k"), col("band")), maxBucket)
-        .select(col("k"), col("band"), col("_id").as("id_b"), col("_h").as("_hb")),
-        Seq("k", "band"))
+      .join(capR.select(col("k"), col("band"), col("_id").as("id_b"),
+        col("_h").as("_hb")), Seq("k", "band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("bigint").as("hamming"))

@@ -57,19 +57,36 @@ object HotKeys {
       .drop("_key_n")
   }
 
-  /** `cap` without the observed metric — the SECOND branch of a
-    * self-join over a capped frame. A pair-expansion self-join needs
-    * the same `[minPerKey, cap]` filter on both sides, but duplicating
-    * the CollectMetrics node across join branches makes AQE drop the
-    * metric entirely (observed empirically; single-instance metrics
-    * deliver) — so one side observes via `cap`, the other filters
-    * silently with this. */
-  def capSilently(df: DataFrame, keys: Seq[Column], cap: Int,
-      minPerKey: Int = 2): DataFrame = {
+  /** Both branches of a pair-expansion SELF-JOIN over one capped
+    * frame: (observed, silent) — identical `[minPerKey, cap]` filters
+    * over ONE shared window-count subtree. Two constraints meet here:
+    * the CollectMetrics node must appear in exactly one join branch
+    * (AQE drops a metric duplicated across branches — observed
+    * empirically), and the window's exchange subtree must be
+    * IDENTICAL in both branches so ReuseExchange shuffles the input
+    * once, not per side. Building both branches from the same counted
+    * frame, observe above the window, satisfies both. */
+  def capPair(df: DataFrame, keys: Seq[Column], cap: Int,
+      minPerKey: Int = 2, metricName: String = "graft_hot_key_cap")
+      : (DataFrame, DataFrame) = {
     val w = Window.partitionBy(keys: _*)
-    df.withColumn("_key_n", count(lit(1)).over(w))
-      .filter(col("_key_n").between(minPerKey, cap))
-      .drop("_key_n")
+    // null-key rows can never join a pair (equi-join keys) — filter
+    // them HERE so the join's inferred isnotnull predicates are
+    // no-ops on both branches. Without this the optimizer pushes
+    // isnotnull below the window only on the silent branch
+    // (CollectMetrics blocks pushdown on the observed one), the
+    // exchange subtrees diverge, and ReuseExchange can't dedup the
+    // input shuffle.
+    val counted = df.filter(keys.map(_.isNotNull).reduce(_ && _))
+      .withColumn("_key_n", count(lit(1)).over(w))
+    val keep = col("_key_n").between(minPerKey, cap)
+    val observed = counted
+      .observe(metricName,
+        coalesce(sum(when(col("_key_n") > cap, 1).otherwise(0)), lit(0L)).as("dropped_rows"),
+        coalesce(round(sum(when(col("_key_n") > cap, lit(1.0) / col("_key_n")).otherwise(0.0))), lit(0.0)).as("hot_keys_est"),
+        coalesce(max(col("_key_n")), lit(0L)).as("max_key_rows"))
+      .filter(keep).drop("_key_n")
+    (observed, counted.filter(keep).drop("_key_n"))
   }
 
   /** Keep rows satisfying `keep`; publish the dropped-row count under

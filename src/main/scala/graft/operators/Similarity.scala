@@ -635,9 +635,8 @@ object Similarity {
         explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
     // same spill-safe sort-merge self-join expansion as
     // pairsInBuckets (see its Scaladoc), over codes
-    val capL = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+    val (capL, capR) = HotKeys.capPair(bucketed, Seq(col("_bucket")), maxBucket,
       metricName = "graft_ivf_pq_bucket_cap")
-    val capR = HotKeys.capSilently(bucketed, Seq(col("_bucket")), maxBucket)
     val candidates = capL
       .select(col("_bucket"), col("_id").as("id_a"), col("_code").as("_ca"))
       .hint("merge")
@@ -669,16 +668,16 @@ object Similarity {
     * drains it, while SMJ streams the pair space and SPILLS a hot
     * key's buffered group to disk, so the cap bounds quadratic WORK,
     * not survival. Two quirks the shape must respect: (1) the cap's
-    * observed metric must appear in ONE branch only (`cap` left,
-    * `capSilently` right) — AQE drops a CollectMetrics duplicated
-    * across join branches; (2) the join is hinted to merge so tiny
+    * observed metric must appear in ONE branch only (HotKeys.capPair
+    * — AQE drops a CollectMetrics duplicated across join branches),
+    * with both branches sharing one window subtree so ReuseExchange
+    * shuffles the input once; (2) the join is hinted to merge so tiny
     * test corpora don't pick a broadcast join, whose build-side
     * execution also loses observed metrics. */
   private def pairsInBuckets(bucketed: DataFrame, minCosine: Double,
       maxBucket: Int, metricName: String): DataFrame = {
-    val left = HotKeys.cap(bucketed, Seq(col("_bucket")), maxBucket,
+    val (left, right) = HotKeys.capPair(bucketed, Seq(col("_bucket")), maxBucket,
       metricName = metricName)
-    val right = HotKeys.capSilently(bucketed, Seq(col("_bucket")), maxBucket)
     left.select(col("_bucket"), col("_id").as("id_a"), col("_e").as("_ea"))
       .hint("merge")
       .join(right.select(col("_bucket"), col("_id").as("id_b"), col("_e").as("_eb")),

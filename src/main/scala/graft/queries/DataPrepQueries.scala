@@ -143,22 +143,23 @@ object DataPrepQueries {
           .select(col("source"),
             graft.functions.TextExpressions.shingles(col("text"), 3).as("shs"),
             col("doc_id"))
-          .select(col("source"),
-            struct(col("doc_id"), size(col("shs")).as("n")).as("d"),
+          .select(col("source"), col("doc_id"), size(col("shs")).as("n"),
             explode(col("shs")).as("sh"))
-        val pairs = graft.operators.HotKeys.cap(exploded,
-            Seq(col("source"), col("sh")), graft.operators.HotKeys.DefaultBucketCap,
-            metricName = "graft_q35_shingle_df_cap")
-          .groupBy("source", "sh")
-          .agg(sort_array(collect_set(col("d"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ids, (x, i) ->
-                 transform(slice(ids, i + 2, size(ids) - i - 1),
-                   y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                               x.n AS na, y.n AS nb))))""")).as("p"))
-          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-            col("p.na").as("na"), col("p.nb").as("nb"))
+        // pair expansion = spill-safe shingle-keyed sort-merge
+        // self-join, observe in one branch only — the same shape as
+        // Dedup.jaccardNearDupPairs (see Similarity.pairsInBuckets
+        // for why joins, not in-bucket array expansion)
+        val (q35L, q35R) = graft.operators.HotKeys.capPair(exploded,
+          Seq(col("source"), col("sh")), graft.operators.HotKeys.DefaultBucketCap,
+          metricName = "graft_q35_shingle_df_cap")
+        val pairs = q35L
+          .select(col("source"), col("sh"), col("doc_id").as("doc_a"), col("n").as("na"))
+          .hint("merge")
+          .join(q35R
+            .select(col("source"), col("sh"), col("doc_id").as("doc_b"), col("n").as("nb")),
+            Seq("source", "sh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "na", "nb")
           .agg(count(lit(1)).as("shared"))
         pairs
           .withColumn("jaccard_raw", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
@@ -194,28 +195,24 @@ object DataPrepQueries {
           .select(col("doc_id"),
             element_at(col("hs"), 1).as("h0"), element_at(col("hs"), 2).as("h1"),
             element_at(col("hs"), 3).as("h2"), element_at(col("hs"), 4).as("h3"))
-        // bucket-local pair generation: one shuffle on the band key,
-        // pairs expanded from each bucket's sorted id list. A band
-        // self-join would recompute the signature pipeline once per
-        // join side (higher-order md5 lambdas are interpreted, so
-        // that recomputation dominates) and is the skew-prone shape
-        // at corpus scale.
         val bands = sig.select(col("doc_id"), explode(array(
           md5(concat(col("h0"), lit("|"), col("h1"))),
           md5(concat(col("h2"), lit("|"), col("h3"))))).as("band"))
         // degenerate-band guard (same cap rationale as q35: far above
-        // any band population at test scale, real at 100 TB)
-        graft.operators.HotKeys.cap(bands, Seq(col("band")),
-            graft.operators.HotKeys.DefaultBucketCap,
-            metricName = "graft_q36_band_cap")
-          .groupBy("band")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ids, (x, i) ->
-                 transform(slice(ids, i + 2, size(ids) - i - 1),
-                   y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
+        // any band population at test scale, real at 100 TB), then a
+        // spill-safe band-keyed sort-merge self-join — the same shape
+        // as Dedup.lshCandidatePairs (see Similarity.pairsInBuckets
+        // for why joins, not in-bucket array expansion; the band rows
+        // are computed by the compiled MinHash kernel, so the
+        // per-side recompute is one cheap codegen'd scan)
+        val (q36L, q36R) = graft.operators.HotKeys.capPair(bands,
+          Seq(col("band")), graft.operators.HotKeys.DefaultBucketCap,
+          metricName = "graft_q36_band_cap")
+        q36L.select(col("band"), col("doc_id").as("doc_a"))
+          .hint("merge")
+          .join(q36R.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
           .distinct()
           .orderBy("doc_a", "doc_b")
       }),
