@@ -105,6 +105,32 @@ class HotBucketSpec extends SparkSpecBase {
     assert(m.getAs[Long]("dropped_rows") == 300L)
   }
 
+  test("hot IVF-PQ list is dropped and its cap metric still delivers through the pair join") {
+    listener
+    metrics.clear()
+    // 120 vectors crowd inverted list 0 (hot, capped); 3 land on
+    // centroid 1 and still pair up. The metric must survive the pair
+    // self-join + verify joins under AQE (the quirk HotKeys.capPair
+    // exists for; with at least one surviving list the plan is never
+    // empty-relation-pruned)
+    val emb = ((1 to 120)
+      .map(i => (i.toLong, Array.fill(8)(1.0 + (i % 5) * 0.01))) ++
+      (201 to 203).map(i => (i.toLong, Array.fill(8)(-1.0 - (i % 3) * 0.01))))
+      .toDF("vec_id", "embedding")
+    val codebook = Seq(
+      (0L, Seq.fill(8)(1.0)), (1L, Seq.fill(8)(-1.0)))
+    val pq = Similarity.pqFromVectors(
+      Seq.tabulate(4)(k => Seq.tabulate(8)(d => (d + 1.0) * (k + 1) - 4.0)),
+      numSubspaces = 4)
+    val pairs = Similarity.nearDupPairsIvfPq(emb, "embedding", "vec_id",
+        codebook, pq, minCosine = 0.99, nprobe = 1, maxBucket = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((201L, 202L), (201L, 203L), (202L, 203L)),
+      s"hot list must not expand, small list must pair: $pairs")
+    val m = awaitMetric("graft_ivf_pq_bucket_cap")
+    assert(m.getAs[Long]("dropped_rows") == 120L)
+  }
+
   test("candidates-then-verify finds the pairs the full index finds") {
     import spark.implicits._
     val docs = (
