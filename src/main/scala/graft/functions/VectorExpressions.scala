@@ -62,11 +62,15 @@ object VectorOps {
     * quantization error enters once, not twice. The win at scale is
     * memory bandwidth: scoring reads M small ints per corpus row
     * instead of D floats — the raw embeddings never enter the scan.
-    * An out-of-range code yields NaN (sorts last under ascending
-    * distance — a corrupted row can't fake a near match). */
+    * Any shape mismatch — an out-of-range code, a code array whose
+    * length differs from the model's subspace count, or a query
+    * shorter than the model's dims — yields NaN (sorts last under
+    * ascending distance): a corrupted row or foreign-written index
+    * must never fake a near match by scoring a PARTIAL distance. */
   def pqAdc(q: ArrayData, codes: ArrayData, cbs: ArrayData): Double = {
     val qs = q.toDoubleArray()
     val m = codes.numElements()
+    if (m != cbs.numElements()) return Double.NaN
     var s = 0.0
     var off = 0
     var i = 0
@@ -75,9 +79,9 @@ object VectorOps {
       val code = codes.getInt(i)
       if (code < 0 || code >= cb.numElements()) return Double.NaN
       val ce = cb.getArray(code).toDoubleArray()
-      val n = math.min(ce.length, math.max(qs.length - off, 0))
+      if (qs.length - off < ce.length) return Double.NaN
       var j = 0
-      while (j < n) { val d = qs(off + j) - ce(j); s += d * d; j += 1 }
+      while (j < ce.length) { val d = qs(off + j) - ce(j); s += d * d; j += 1 }
       off += ce.length
       i += 1
     }
@@ -100,7 +104,7 @@ object VectorOps {
     * NaN >= threshold is false). */
   def pqSdcCos(a: ArrayData, b: ArrayData, tabs: ArrayData): Double = {
     val m = a.numElements()
-    if (b.numElements() != m || tabs.numElements() < m) return Double.NaN
+    if (b.numElements() != m || tabs.numElements() != m) return Double.NaN
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -324,14 +324,23 @@ object CorpusPrep {
     standing match {
       case None => within.drop("_digest")
       case Some(st) =>
+        // cache both standing-side lookups: a stream-static join
+        // re-executes the static side EVERY micro-batch, so without
+        // the cache each batch would pay a full standing-corpus
+        // scan/shuffle — per-batch cost must follow the batch, not
+        // the corpus (bandVerifyLookup's own build-once contract).
+        // They live for the stream's lifetime; restart the stream to
+        // refresh them after a standing-corpus compaction.
         val oldDig = standingIndex
           .map(_.select(col("_digest")).distinct())
           .getOrElse(st.select(md5(col("clean_text")).as("_digest")).distinct())
+          .cache()
         val exactKept = within.join(oldDig, Seq("_digest"), "left_anti")
           .drop("_digest")
         Dedup.streamNearDupFilter(exactKept, "clean_text",
           Dedup.bandVerifyLookup(st, "clean_text", idCol, cfg.shingleN,
-            cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket, standingIndex),
+            cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket, standingIndex)
+            .cache(),
           cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand)
     }
   }

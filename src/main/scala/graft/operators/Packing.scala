@@ -100,7 +100,12 @@ object Packing {
       "orderCol and textCol must differ (the sort struct needs distinct fields)")
     require(maxTurns.forall(_ >= 1), s"maxTurns must be >= 1, got $maxTurns")
     val capped = maxTurns.fold(df) { cap =>
-      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      // tie-break by textCol, matching the assembly's own
+      // sort_array(struct(order, text)) order — ordering the cap
+      // window by orderCol alone would make WHICH tied turns survive
+      // nondeterministic run to run
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(orderCol), col(textCol))
       df.withColumn("_turn_rn", row_number().over(w))
         .observe(metricName,
           coalesce(sum(when(col("_turn_rn") > cap, 1).otherwise(0)), lit(0L))

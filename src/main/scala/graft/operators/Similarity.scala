@@ -415,8 +415,16 @@ object Similarity {
       .limit(maxTrainRows)
       .localCheckpoint()
     val codebooks = (0 until numSubspaces).map { s =>
-      trainCodebook(sample.select(slice(col("_n"), s * dsub + 1, dsub).as("_e")),
-        "_e", ksub, iters).sortBy(_._1).map(_._2)
+      val slices = sample.select(slice(col("_n"), s * dsub + 1, dsub).as("_e"))
+      // a degenerate subspace (a constant or zero-padded dim block —
+      // common in real embedding corpora) has fewer distinct slices
+      // than ksub; train it with the centroids that EXIST rather than
+      // refusing the whole corpus. Duplicate centroids would add no
+      // information, and ADC/SDC score per-subspace codebook sizes
+      // independently, so a smaller codebook in one subspace is fine.
+      val kEff = math.max(1L,
+        math.min(ksub.toLong, slices.distinct().count())).toInt
+      trainCodebook(slices, "_e", kEff, iters).sortBy(_._1).map(_._2)
     }
     PqModel(numSubspaces, dsub, codebooks)
   }

@@ -381,6 +381,43 @@ class SimilaritySpec extends SparkSpecBase {
     assigned.unpersist(); corpus.unpersist()
   }
 
+  test("pqTrain degrades on zero-padded subspaces; shape-mismatched codes score NaN, not partial") {
+    import spark.implicits._
+    // dims 4-7 identically zero (a padded embedding corpus): subspaces
+    // 2 and 3 have ONE distinct slice — training must shrink those
+    // codebooks instead of refusing the corpus
+    val padded = (0 until 40)
+      .map(i => (i.toLong, Seq.tabulate(dim)(d =>
+        if (d < 4) 1.0 + ((i * 7 + d * 3) % 11) * 0.1 else 0.0)))
+      .toDF("vec_id", "e")
+    val pq = Similarity.pqTrain(padded, "e", numSubspaces = 4, ksub = 8, iters = 1)
+    assert(pq.codebooks(2).length == 1 && pq.codebooks(3).length == 1,
+      s"degenerate subspaces must shrink, got ${pq.codebooks.map(_.length)}")
+    assert(pq.codebooks(0).length > 1)
+    // probing the padded index at full width + wide re-rank still
+    // recovers the exact brute-force top-k
+    val assigned = Similarity.pqAssign(
+      Similarity.ivfAssign(padded, codebook, "e"), "e", pq)
+    val q2 = Seq.tabulate(dim)(d => if (d < 4) 1.5 else 0.0)
+    val got = Similarity.ivfPqProbe(assigned, "e", "vec_id", q2, 5, codebook, pq,
+      nprobe = nClusters, rerank = 40).collect().map(_.getLong(0)).toSeq
+    val truth = Similarity.bruteForceTopK(padded, "e", "vec_id", q2, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == truth)
+
+    // a truncated code array must score NaN (sorts last), never a
+    // partial — i.e. smaller — distance that jumps the shortlist
+    val adc = assigned
+      .select(graft.functions.VectorExpressions.pq_adc(
+        typedLit(q2), expr("slice(pq_code, 1, 2)"), pq.codebooks).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(adc.forall(_.isNaN))
+    val sdc = assigned.select(graft.functions.VectorExpressions.pq_sdc_cos(
+        expr("slice(pq_code, 1, 2)"), col("pq_code"), pq.codebooks).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(sdc.forall(_.isNaN))
+  }
+
   test("trainCodebook recovers planted clusters and serves multi-probe") {
     val corpus = planted.cache()
     val trained = Similarity.trainCodebook(corpus, "e", k = nClusters, iters = 3)
