@@ -106,9 +106,10 @@ object CorpusPrep {
     // text the length/repetition gates pass. Zero-bigram docs
     // (< 2 tokens) carry no signal and are KEPT (no silent loss on
     // the gate that cannot judge them). Runs right after the
-    // row-local gates in both `run` and `runIncremental`; the score
-    // join is per-doc against the static LM tables (batch-side only —
-    // the scoring aggregation is stateful under streaming).
+    // row-local gates in `run` and `runIncremental` (score join
+    // against the static LM tables) AND in `prepStream`, where the
+    // model collects to a broadcast map once at stream build and
+    // scoring is row-local (TextStats.withBigramLogProb).
     lmModel: Option[TextStats.BigramLm] = None,
     minLmLogProb: Double = -8.0,
     lmK: Double = 0.5)
@@ -308,16 +309,30 @@ object CorpusPrep {
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
       standingIndex: Option[DataFrame] = None): DataFrame = {
     require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.embCol.isEmpty &&
-        cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty && cfg.lmModel.isEmpty,
-      "prepStream supports only the row-local stages (normalize + gates + exact " +
-        "dedup + the standing-corpus probe); corpus-statistic stages (and the " +
-        "LM gate, whose scoring aggregation is stateful under streaming) need a " +
-        "batch pass — run them via runIncremental over the accumulated intake")
+        cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty,
+      "prepStream supports only the row-local stages (normalize + gates + LM " +
+        "gate + exact dedup + the standing-corpus probe); corpus-statistic " +
+        "stages need a batch pass — run them via runIncremental over the " +
+        "accumulated intake")
     require(standingIndex.isEmpty || standing.isDefined,
       "standingIndex carries bands, not text — the exact-Jaccard verify needs " +
         "the standing frame too")
     val cleaned = docs.withColumn("clean_text", normOf(cfg)(col(textCol)))
-    val within = rowLocalGate(cleaned, cfg)
+    // LM gate, stream edition: the reference model collects to a
+    // broadcast map ONCE at stream build (vocab-bounded by
+    // construction — TextStats.collectLocal fails loudly past its
+    // bound) and every row scores itself — no join, no aggregation,
+    // so the stage is exactly as stream-safe as the other row-local
+    // gates. Same keep rule as the batch lmGate: null logprob
+    // (< 2 tokens) passes.
+    val lmGated = cfg.lmModel.fold(rowLocalGate(cleaned, cfg)) { lm =>
+      rowLocalGate(cleaned, cfg)
+        .transform(TextStats.withBigramLogProb(_, "clean_text",
+          TextStats.collectLocal(lm), cfg.lmK, "_lm_n", "_lm_lp"))
+        .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)
+        .drop("_lm_n", "_lm_lp")
+    }
+    val within = lmGated
       .withColumn("_digest", md5(col("clean_text")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_digest")

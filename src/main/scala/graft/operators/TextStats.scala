@@ -156,6 +156,70 @@ object TextStats {
     scoreBigramLogProb(docs, textCol, idCol,
       bigramModel(docs, textCol), k)
 
+  /** A bigram LM collected to driver memory for ROW-LOCAL scoring —
+    * what makes the LM gate stream-safe: scoring against DataFrame
+    * model views needs a pair-key join plus a per-doc re-aggregation,
+    * and that aggregation is stateful under streaming, while a
+    * broadcast map lookup scores each row independently. Collecting
+    * the pair table is legal because a trained reference model is
+    * Zipf-/vocab-bounded by construction (CCNet-style setups ship the
+    * reference LM to every scorer node anyway); `collectLocal` still
+    * fails loudly past `maxPairs` rather than silently OOMing the
+    * driver. */
+  final case class LocalBigramLm(pairCounts: Map[(String, String), Long],
+      leftCounts: Map[String, Double], vocab: Double)
+
+  /** Collect a model's three views into a LocalBigramLm (see there). */
+  def collectLocal(lm: BigramLm, maxPairs: Long = 20000000L): LocalBigramLm = {
+    val n = lm.bigrams.count()
+    require(n <= maxPairs,
+      s"bigram table has $n rows — over the $maxPairs driver-collect bound; " +
+        "train the reference model with a higher count floor or raise maxPairs")
+    LocalBigramLm(
+      lm.bigrams.select("_w1", "_w2", "_cb").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      lm.lefts.select("_w1", "_cu").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      lm.vocab.collect()(0).getDouble(0))
+  }
+
+  /** Append `(nCol, lpCol)` — bigram count and the same smoothed
+    * average log-probability `scoreBigramLogProb` computes — as
+    * ROW-LOCAL columns via a broadcast LocalBigramLm: no join, no
+    * aggregation, safe in a streaming plan. Scores match the batch
+    * scorer (same add-k formula, same round-4; TextStatsSpec pins
+    * parity on the fixture corpus); docs with < 2 tokens get
+    * (0, null), the batch scorer's explode_outer contract. A UDF is
+    * the deliberate exception to the functions-first rule here: the
+    * model is a lookup TABLE, and the join that would replace the
+    * lookup is exactly what streaming cannot re-aggregate. */
+  def withBigramLogProb(docs: DataFrame, textCol: String,
+      local: LocalBigramLm, k: Double = 0.5,
+      nCol: String = "n_bigrams", lpCol: String = "logprob"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(local)
+    val score = udf { ts: Seq[String] =>
+      if (ts == null || ts.length < 2) (0L, None: Option[Double])
+      else {
+        val l = bc.value
+        var s = 0.0
+        var i = 0
+        while (i < ts.length - 1) {
+          val c = l.pairCounts.getOrElse((ts(i), ts(i + 1)), 0L)
+          val cu = l.leftCounts.getOrElse(ts(i), 0.0)
+          s += math.log((c + k) / (cu + l.vocab * k))
+          i += 1
+        }
+        val avg = s / (ts.length - 1)
+        (ts.length - 1L, Some(BigDecimal(avg)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    docs.withColumn("_lm", score(toks(textCol)))
+      .withColumn(nCol, col("_lm._1"))
+      .withColumn(lpCol, col("_lm._2"))
+      .drop("_lm")
+  }
+
   /** Persist a trained bigram LM. For `bigramModel`-built models the
     * unified token→successor count table writes ONCE — the single
     * corpus pass — and the vocab-sized left counts plus the one-row

@@ -98,6 +98,44 @@ class TextStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("row-local scorer matches the batch scorer doc for doc") {
+    val ref = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = TextStats.bigramModel(ref, "text")
+    val local = TextStats.collectLocal(lm)
+    assert(local.vocab == 2.0 &&
+      local.pairCounts == Map(("a", "b") -> 3L, ("b", "a") -> 1L) &&
+      local.leftCounts == Map("a" -> 3.0, "b" -> 1.0))
+    val docs = Seq(
+      (10L, "a b z"), (11L, "z q"), (12L, "a"), (13L, ""),
+      (14L, "a b a b a b"), (15L, "q a b q z a"))
+      .toDF("doc_id", "text")
+    val batch = TextStats.scoreBigramLogProb(docs, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val local_ = TextStats.withBigramLogProb(docs, "text", local)
+      .select("doc_id", "n_bigrams", "logprob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(local_.keySet == batch.keySet)
+    for ((id, (nb, lp)) <- batch) {
+      val (nl, ll) = local_(id)
+      assert(nl == nb, s"doc $id bigram count: $nl vs $nb")
+      // both round to 4 decimals; summation order differs (sequential
+      // vs partition-merge), so allow one final-digit step
+      (lp, ll) match {
+        case (None, None) =>
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1.01e-4, s"doc $id logprob: $b vs $a")
+        case other => fail(s"doc $id null mismatch: $other")
+      }
+    }
+
+    // the collect bound fails loudly, not with a driver OOM
+    val e = intercept[IllegalArgumentException](
+      TextStats.collectLocal(lm, maxPairs = 1))
+    assert(e.getMessage.contains("driver-collect bound"))
+  }
+
   test("null-text docs contribute nothing to the model or its artifact") {
     val docs = Seq((1L, "a b"), (2L, null: String), (3L, ""))
       .toDF("doc_id", "text")

@@ -158,6 +158,50 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming LM gate drops the gibberish doc the batch gate drops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("prep-stream-lm") { dir =>
+      // the reference model knows fluent english-ish bigrams; doc 2
+      // is shuffled gibberish over a disjoint alphabet
+      val ref = (1 to 30).map(i =>
+        (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text")
+      val lm = graft.operators.TextStats.bigramModel(ref, "text")
+      val rows = Seq(
+        (1L, "2026-01-01 00:00:01", "the quick brown fox jumps over the lazy dog again"),
+        (2L, "2026-01-01 00:00:02", "zq xv qq vx zz qx vz xq zv qv xx vv zqx vxq"))
+        .toDF("doc_id", "ts", "text")
+        .withColumn("ts", to_timestamp(col("ts")))
+      rows.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+      // with an 11-word vocab, fully-unseen bigrams floor at
+      // log(1/V) ~= -2.4 while fluent text scores ~-0.3 — the floor
+      // sits between
+      val cfg = graft.operators.CorpusPrep.Config(minChars = 20,
+        maxRepetition = 0.9, lmModel = Some(lm), minLmLogProb = -1.5)
+      // batch twin first: doc 1 passes the floor, doc 2 drops
+      val batchIds = graft.operators.CorpusPrep.run(
+          rows.drop("ts"), "text", "doc_id", cfg)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchIds == Set(1L), s"batch: $batchIds")
+
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts", cfg)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_lm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id FROM prep_stream_lm")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batchIds, s"stream $got != batch $batchIds")
+    }
+  }
+
   test("streaming near-dup intake tier matches runIncremental on the same intake") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
