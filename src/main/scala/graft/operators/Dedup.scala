@@ -28,11 +28,28 @@ object Dedup {
   def minhashSigText(text: Column, shingleN: Int, k: Int): Column =
     graft.functions.TextExpressions.minhash_sig(text, shingleN, k)
 
-  /** Exact-duplicate groups by content digest: (digest, ids, n). */
-  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("digest"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
+  /** Exact-duplicate groups by content digest: (digest, ids, n). `n`
+    * is always the TRUE group size; `ids` lists at most `maxIds`
+    * members (smallest first) — a viral doc replicated millions of
+    * times would otherwise put a GB-sized id array in one row, the
+    * last uncapped per-group array in the dedup layer. The dedup
+    * DECISION paths never read `ids` (they rank with a window); this
+    * is the reporting surface. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String,
+      maxIds: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank BEFORE collecting (the window sort streams and spills), so
+    // the aggregation buffer never holds more than maxIds ids — a
+    // post-agg slice would still build the full array first
+    val w = Window.partitionBy("digest")
+    df.select(md5(col(textCol)).as("digest"), col(idCol))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_r", row_number().over(w.orderBy(idCol)))
+      .filter(col("_n") > 1 && col("_r") <= maxIds)
+      .groupBy("digest")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"),
+        first(col("_n")).as("n"))
+  }
 
   /** MinHash signature columns h0..h{k-1} over a shingle-array column
     * (computed map-side; deterministic md5-based hash family). */
