@@ -220,6 +220,19 @@ object Similarity {
       cidCol: String = "cid"): Unit =
     assigned.write.mode("overwrite").partitionBy(cidCol).parquet(path)
 
+  /** Append a new batch to a persisted index — the daily-crawl shape:
+    * assign (and PQ-code) the batch against the SAME codebook/model
+    * that built the index, then append; each new file lands inside
+    * its list's partition directory, so probes prune exactly as
+    * before and never rewrite the standing index. Append cost follows
+    * the batch. The caller owns codebook staleness: appending under a
+    * retrained codebook mis-lists every old vector — persist the
+    * codebook/model with the index (writeCodebook/writePqModel) and
+    * rebuild when drift warrants it. */
+  def appendIndex(assignedBatch: DataFrame, path: String,
+      cidCol: String = "cid"): Unit =
+    assignedBatch.write.mode("append").partitionBy(cidCol).parquet(path)
+
   /** Read a persisted IVF index back for probing. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

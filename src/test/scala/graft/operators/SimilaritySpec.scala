@@ -368,6 +368,23 @@ class SimilaritySpec extends SparkSpecBase {
       assert(back == direct)
     }
 
+    // appended batch joins the standing index under the same
+    // codebook/model: probes see union rows with unchanged pruning
+    withTempDir("pq-append") { dirFile =>
+      val dir = dirFile.getAbsolutePath
+      val half1 = assigned.filter(col("vec_id") % 2 === 0)
+      val half2 = assigned.filter(col("vec_id") % 2 =!= 0)
+      Similarity.writeIndex(half1, s"$dir/index")
+      Similarity.appendIndex(half2, s"$dir/index")
+      val back = Similarity.ivfPqProbe(Similarity.readIndex(spark, s"$dir/index"),
+          "e", "vec_id", query, 10, codebook, pq, nprobe = 4, rerank = 40)
+        .collect().map(_.toSeq).toSeq
+      val whole = Similarity.ivfPqProbe(assigned, "e", "vec_id", query, 10,
+          codebook, pq, nprobe = 4, rerank = 40)
+        .collect().map(_.toSeq).toSeq
+      assert(back == whole)
+    }
+
     // 40x-replicated corpus: hash order clusters replicas adjacently,
     // so sampling WITHOUT the distinct-first step would collect only
     // ~256/40 distinct vectors and starve k=8 seeding outright
