@@ -19,8 +19,10 @@ import org.apache.spark.sql.GraftBridge
   *
   * Accumulation order is per-element left-to-right, identical to the
   * HOF formulation and to the DuckDB oracle's list_inner_product, so
-  * results are bit-for-bit unchanged. Arrays of unequal length are
-  * scored over the common prefix. */
+  * results are bit-for-bit unchanged. The generic kernels (dot,
+  * cosine) score arrays of unequal length over the common prefix;
+  * the PQ kernels refuse any shape mismatch with NaN instead — a
+  * partial distance there fakes near matches (see pqAdc/pqSdcCos). */
 object VectorOps {
 
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -85,6 +87,10 @@ object VectorOps {
       off += ce.length
       i += 1
     }
+    // a query LONGER than the model's dims is the same partial-
+    // distance hazard from the other side: the ignored tail would
+    // make a mismatched pairing look artificially near
+    if (off != qs.length) return Double.NaN
     s
   }
 

@@ -37,6 +37,7 @@ object Dedup {
     * is the reporting surface. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String,
       maxIds: Int = 8192): DataFrame = {
+    require(maxIds >= 1, s"maxIds must be >= 1, got $maxIds")
     import org.apache.spark.sql.expressions.Window
     // rank BEFORE collecting (the window sort streams and spills), so
     // the aggregation buffer never holds more than maxIds ids — a

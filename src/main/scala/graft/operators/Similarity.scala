@@ -374,7 +374,11 @@ object Similarity {
     require(codebooks.length == numSubspaces,
       s"expected $numSubspaces codebooks, got ${codebooks.length}")
     def dims: Int = numSubspaces * subDim
-    def ksub: Int = codebooks.head.length
+    /** Largest per-subspace codebook. Subspaces can be SMALLER than
+      * the trainer's ksub (pqTrain shrinks a degenerate dim block to
+      * its distinct-slice count), and subspace 0 is not special, so
+      * head.length would misreport capacity. */
+    def ksub: Int = codebooks.map(_.length).max
   }
 
   private def normalizeVec(q: Seq[Double]): Seq[Double] = {
@@ -496,6 +500,11 @@ object Similarity {
       excludeId: Option[Long] = None): DataFrame = {
     require(codebook.nonEmpty, "ivfPqProbe needs the coarse codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // without this, a wrong-model pairing makes EVERY row's ADC NaN
+    // and the shortlist degrades to the rr smallest ids — silently
+    // near-arbitrary results instead of a loud failure
+    require(query.length == pq.dims,
+      s"query has ${query.length} dims but the PqModel codes ${pq.dims}")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
     val cids = rankInvertedLists(codebook, query).take(nprobe)
@@ -540,6 +549,13 @@ object Similarity {
     val probes = withNormalized(
         queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
         qEmbCol, "_qn")
+      // per-row twin of ivfPqProbe's driver-side dims require: a
+      // wrong-model pairing must fail loudly, not return the all-NaN
+      // near-arbitrary shortlist. assert_true returns null when the
+      // predicate holds, so the filter keeps every valid row and the
+      // assertion cannot be pruned away with an unused column.
+      .filter(assert_true(size(col(qEmbCol)) === pq.dims,
+        lit(s"probe embedding dims != PqModel dims (${pq.dims})")).isNull)
       .join(broadcast(cb), lit(true))
       .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_cbid"), sqDistC.as("_d"))
       .withColumn("_r", row_number().over(

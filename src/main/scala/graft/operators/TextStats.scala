@@ -169,26 +169,56 @@ object TextStats {
   final case class LocalBigramLm(pairCounts: Map[(String, String), Long],
       leftCounts: Map[String, Double], vocab: Double)
 
-  /** Collect a model's three views into a LocalBigramLm (see there). */
+  /** Collect a model's three views into a LocalBigramLm (see there).
+    * A `bigramModel`-built model collects its unified pair table ONCE
+    * (cached across the bound-check count and the collect) and
+    * derives lefts/vocab driver-side — without that, the three views'
+    * shared lineage would replay the reference-corpus aggregation per
+    * view at every stream build. A view-only model (read from a
+    * pre-unified artifact) reads its three small parquets as-is. */
   def collectLocal(lm: BigramLm, maxPairs: Long = 20000000L): LocalBigramLm = {
-    val n = lm.bigrams.count()
-    require(n <= maxPairs,
-      s"bigram table has $n rows — over the $maxPairs driver-collect bound; " +
-        "train the reference model with a higher count floor or raise maxPairs")
-    LocalBigramLm(
-      lm.bigrams.select("_w1", "_w2", "_cb").collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
-      lm.lefts.select("_w1", "_cu").collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap,
-      lm.vocab.collect()(0).getDouble(0))
+    def bounded(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+      val cached = df.cache()
+      try {
+        val n = cached.count()
+        require(n <= maxPairs,
+          s"$what has $n rows — over the $maxPairs driver-collect bound; " +
+            "train the reference model with a higher count floor or raise maxPairs")
+        cached.collect()
+      } finally { cached.unpersist(); () }
+    }
+    lm.pairs match {
+      case Some(pairs) =>
+        val rows = bounded(pairs.select("_w1", "_w2", "_cb"), "unified pair table")
+        val bi = rows.filter(!_.isNullAt(1))
+        LocalBigramLm(
+          bi.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+          // lefts = sum of successor counts per _w1 over the non-null
+          // rows — exactly bigramFromPairs' definition, derived here
+          // instead of re-aggregated cluster-side
+          bi.groupBy(_.getString(0))
+            .map { case (w, rs) => w -> rs.map(_.getLong(2)).sum.toDouble },
+          rows.iterator.map(_.getString(0)).toSet.size.toDouble)
+      case None =>
+        LocalBigramLm(
+          bounded(lm.bigrams.select("_w1", "_w2", "_cb"), "bigram table")
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+          lm.lefts.select("_w1", "_cu").collect()
+            .map(r => r.getString(0) -> r.getDouble(1)).toMap,
+          lm.vocab.collect()(0).getDouble(0))
+    }
   }
 
   /** Append `(nCol, lpCol)` — bigram count and the same smoothed
     * average log-probability `scoreBigramLogProb` computes — as
     * ROW-LOCAL columns via a broadcast LocalBigramLm: no join, no
     * aggregation, safe in a streaming plan. Scores match the batch
-    * scorer (same add-k formula, same round-4; TextStatsSpec pins
-    * parity on the fixture corpus); docs with < 2 tokens get
+    * scorer to within one final rounding digit (same add-k formula,
+    * same round-4, but sequential vs partition-merge float summation
+    * — a doc whose true average sits within an ulp of a 4th-decimal
+    * boundary can round one step apart, so a gate floor EXACTLY at
+    * such a value may keep/drop differently than the batch gate;
+    * TextStatsSpec pins the tolerance); docs with < 2 tokens get
     * (0, null), the batch scorer's explode_outer contract. A UDF is
     * the deliberate exception to the functions-first rule here: the
     * model is a lookup TABLE, and the join that would replace the
@@ -196,6 +226,10 @@ object TextStats {
   def withBigramLogProb(docs: DataFrame, textCol: String,
       local: LocalBigramLm, k: Double = 0.5,
       nCol: String = "n_bigrams", lpCol: String = "logprob"): DataFrame = {
+    val clash = docs.columns.toSet.intersect(Set("_lm", nCol, lpCol))
+    require(clash.isEmpty,
+      s"withBigramLogProb would clobber existing column(s) ${clash.mkString(", ")} " +
+        "— rename them first or pass different nCol/lpCol")
     val bc = docs.sparkSession.sparkContext.broadcast(local)
     val score = udf { ts: Seq[String] =>
       if (ts == null || ts.length < 2) (0L, None: Option[Double])
