@@ -288,7 +288,15 @@ object Bpe {
         require(!(l + rr).exists(_.isWhitespace),
           s"merge pair ('$l', '$rr') contains whitespace — not expressible " +
             "in the space-separated text format")
-        s"$l $rr"
+        val line = s"$l $rr"
+        // '#'-starting symbols (code/hashtag corpora) are legal data —
+        // the reader skips only the '#version' header line — but a
+        // merge line that ITSELF reads as that header would vanish on
+        // read-back, silently shifting every later rank. Refuse it.
+        require(!line.startsWith("#version"),
+          s"merge pair ('$l', '$rr') renders as a '#version' header line — " +
+            "not expressible in the text format")
+        line
       }
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(
@@ -314,8 +322,12 @@ object Bpe {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
+    // skip ONLY the '#version' header (standard readers do the same),
+    // not every '#'-prefixed line: a merge whose left symbol starts
+    // with '#' (code/hashtag corpora) is real data, and dropping it
+    // would silently shift all later ranks and change segmentation
     val pairs = lines
-      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .filterNot(l => l.startsWith("#version") || l.trim.isEmpty)
       .zipWithIndex
       .map { case (l, i) =>
         val parts = l.split(" ", -1)

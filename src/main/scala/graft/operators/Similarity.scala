@@ -327,18 +327,35 @@ object Similarity {
     // distinct BEFORE seeding: on a heavily duplicated corpus (this
     // library's home turf) duplicate sample vectors would let
     // farthest-first pick the same point twice (max-min distance 0),
-    // silently pinning two identical centroids forever. The distinct
-    // must run BEFORE the hash-ordered limit too: hash order clusters
-    // a vector's replicas adjacently, so at duplication rate R the
-    // raw 32k oversample holds only ~32k/R distinct vectors — a
-    // 50x-replicated corpus starves k=16 seeding outright (pinned by
-    // SimilaritySpec). Lloyd iterations still run over the FULL
-    // corpus, so centroids stay duplication-weighted.
-    val sample = vecs
-      .distinct()
+    // silently pinning two identical centroids forever — and the
+    // distinct must logically run BEFORE the hash-ordered limit too:
+    // hash order clusters a vector's replicas adjacently, so at
+    // duplication rate R the raw 32k oversample holds only ~32k/R
+    // distinct vectors — a 50x-replicated corpus starves k=16 seeding
+    // outright (pinned by SimilaritySpec). But an unconditional
+    // full-corpus distinct is a data-sized shuffle, so PROBE first:
+    // one zero-shuffle TakeOrdered job collects the smallest-hash
+    // `target` rows. Replica adjacency means any duplication relevant
+    // to the sample shows up inside that window, and a dup-free probe
+    // IS the distinct sample (each distinct vector hashing below the
+    // window edge contributes exactly one row), so the full distinct
+    // is paid only when duplication is actually observed — which is
+    // precisely when map-side partial aggregation crushes that
+    // shuffle's volume to per-partition-distinct counts. Either
+    // branch yields the identical sample. Lloyd iterations still run
+    // over the FULL corpus, so centroids stay duplication-weighted.
+    val target = 32 * k
+    val probe = vecs
       .orderBy(xxhash64(col("_e")), col("_e"))
-      .limit(32 * k)
-      .collect().map(_.getSeq[Double](0).toSeq).distinct
+      .limit(target)
+      .collect().map(_.getSeq[Double](0).toSeq)
+    val sample =
+      if (probe.distinct.length == probe.length) probe
+      else vecs
+        .distinct()
+        .orderBy(xxhash64(col("_e")), col("_e"))
+        .limit(target)
+        .collect().map(_.getSeq[Double](0).toSeq).distinct
     require(sample.length >= k,
       s"need at least $k DISTINCT vectors in the init sample to train, got ${sample.length}")
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
@@ -417,20 +434,37 @@ object Similarity {
     require(dims % numSubspaces == 0,
       s"embedding dim $dims is not divisible into $numSubspaces subspaces")
     val dsub = dims / numSubspaces
-    // distinct BEFORE the hash-ordered limit: hash order clusters a
-    // vector's replicas adjacently, so on a heavily duplicated corpus
-    // (this library's home turf) the first maxTrainRows rows would be
-    // ~maxTrainRows/dupRate distinct vectors — too few to seed ksub
-    // centroids. Distinct costs one shuffle of the (bounded-output)
-    // training frame; at 100 TB pre-sample upstream as with
-    // trainCodebook.
-    val sample = withNormalized(
+    // distinct logically BEFORE the hash-ordered limit: hash order
+    // clusters a vector's replicas adjacently, so on a heavily
+    // duplicated corpus (this library's home turf) the first
+    // maxTrainRows rows would be ~maxTrainRows/dupRate distinct
+    // vectors — too few to seed ksub centroids. But an unconditional
+    // full-corpus distinct is a data-sized shuffle, so probe first
+    // exactly as trainCodebook does (see there): materialize the raw
+    // zero-shuffle TakeOrdered sample, count duplication INSIDE it
+    // (replica adjacency puts any sample-relevant duplication in the
+    // window), and pay the corpus distinct only when dups are
+    // observed — which is when map-side partial aggregation crushes
+    // that shuffle anyway. Either branch checkpoints the identical
+    // sample, so the M x iters Lloyd jobs rescan the sample, never
+    // the corpus.
+    val normed = withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
       .select(col("_n"))
-      .distinct()
+    val raw = normed
       .orderBy(xxhash64(col("_n")), col("_n"))
       .limit(maxTrainRows)
       .localCheckpoint()
+    val dupProbe = raw
+      .select(count(lit(1)).as("_n_rows"), countDistinct(col("_n")).as("_n_dist"))
+      .collect()(0)
+    val sample =
+      if (dupProbe.getLong(0) == dupProbe.getLong(1)) raw
+      else normed
+        .distinct()
+        .orderBy(xxhash64(col("_n")), col("_n"))
+        .limit(maxTrainRows)
+        .localCheckpoint()
     val codebooks = (0 until numSubspaces).map { s =>
       val slices = sample.select(slice(col("_n"), s * dsub + 1, dsub).as("_e"))
       // a degenerate subspace (a constant or zero-padded dim block —
@@ -514,7 +548,11 @@ object Similarity {
       .select(col(idCol), col(embCol),
         graft.functions.VectorExpressions.pq_adc(
           typedLit(normalizeVec(query)), col(codeCol), pq.codebooks).as("_adc"))
-      .orderBy(asc("_adc"), col(idCol))
+      // nulls LAST: the kernel's NaN-on-corruption already sorts last,
+      // but a null code (rows appended without pqAssign, or a foreign
+      // index) yields a null _adc, and plain asc is NULLS FIRST — it
+      // would burn shortlist slots ahead of every real candidate
+      .orderBy(asc_nulls_last("_adc"), col(idCol))
       .limit(rr)
       .select(col(idCol),
         round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
@@ -578,7 +616,8 @@ object Similarity {
           col("_qn"), col(codeCol), pq.codebooks).as("_adc"))
       .withColumn("_ar", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("_qid").orderBy(asc("_adc"), col(idCol))))
+          // nulls LAST — same reason as ivfPqProbe's single-query sort
+          .partitionBy("_qid").orderBy(asc_nulls_last("_adc"), col(idCol))))
       .filter(col("_ar") <= rr)
       .select(col("_qid"), col(idCol),
         round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))

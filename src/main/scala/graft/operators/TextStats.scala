@@ -176,14 +176,21 @@ object TextStats {
     * shared lineage would replay the reference-corpus aggregation per
     * view at every stream build. A view-only model (read from a
     * pre-unified artifact) reads its three small parquets as-is. */
-  def collectLocal(lm: BigramLm, maxPairs: Long = 20000000L): LocalBigramLm = {
+  def collectLocal(lm: BigramLm, maxPairs: Long = 2000000L): LocalBigramLm = {
+    // default sized to a realistic reference-LM pair count: each entry
+    // is a boxed (String, String) -> Long map cell, ~200-400 bytes of
+    // driver heap with per-entry strings, so 2M pairs is roughly
+    // 0.5-1 GiB — inside a stock driver. The previous 20M default let
+    // the driver OOM BELOW the loud bound.
     def bounded(df: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
       val cached = df.cache()
       try {
         val n = cached.count()
         require(n <= maxPairs,
           s"$what has $n rows — over the $maxPairs driver-collect bound; " +
-            "train the reference model with a higher count floor or raise maxPairs")
+            "train the reference model with a higher count floor, or raise " +
+            "maxPairs AND the driver heap with it (budget ~200-400 bytes of " +
+            "driver memory per pair)")
         cached.collect()
       } finally { cached.unpersist(); () }
     }

@@ -291,6 +291,35 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("merges.txt: '#'-starting symbols round-trip (only the #version header is skipped)") {
+    // hashtag/code corpora legitimately learn merges whose left symbol
+    // starts with '#'; a reader that skips every '#'-prefixed line
+    // would silently drop them and shift all later ranks
+    val tagged = Seq((1L, "#if #if #if #if zz")).toDF("doc_id", "text")
+    val learned = Bpe.learn(tagged, "text", numMerges = 3)
+    val hashMerges = learned.merges.filter(col("left").startsWith("#")).count()
+    assert(hashMerges >= 1, "fixture must actually learn a '#'-left merge")
+    withTempDir("bpe-merges-hash") { dir =>
+      val txt = new java.io.File(dir, "merges.txt").getAbsolutePath
+      Bpe.writeMergesText(learned.merges, txt)
+      val back = Bpe.readMergesText(spark, txt)
+      assert(back.orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+        learned.merges.orderBy("rank").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq)
+    }
+    // a pair that renders as the header line itself cannot round-trip;
+    // the export must refuse it loudly rather than corrupt silently
+    val headerish = Seq((0, "#version:", "0.2", "#version:0.2", 1L))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+    withTempDir("bpe-merges-headerish") { dir =>
+      val err = intercept[IllegalArgumentException] {
+        Bpe.writeMergesText(headerish, new java.io.File(dir, "m.txt").getAbsolutePath)
+      }
+      assert(err.getMessage.contains("#version"))
+    }
+  }
+
   test("symbols with quotes and backslashes survive the merge literal") {
     // the most frequent pair involves the quote/backslash word, so
     // its characters land inside the generated merge expression

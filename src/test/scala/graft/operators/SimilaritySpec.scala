@@ -435,6 +435,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sdc.forall(_.isNaN))
   }
 
+  test("null pq_code rows sort LAST in the ADC shortlist, never consuming rerank slots") {
+    // rows appended to an index without pqAssign (or a foreign index)
+    // carry null codes -> null _adc; plain asc is NULLS FIRST, which
+    // would seat them AHEAD of every scored candidate. The contract:
+    // a null-coded row behaves as if absent from the shortlist.
+    val corpus = planted.cache()
+    val pq = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 16, iters = 3)
+    val assigned = Similarity.pqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", pq)
+    // null out EVERY code in list c1 — the second-probed list. Under
+    // the nulls-first bug the rerank=40 shortlist would be exactly
+    // those 40 null rows; under the contract they never enter it.
+    val corrupted = assigned.withColumn("pq_code",
+      when(col("cid") === 1L, lit(null)).otherwise(col("pq_code"))).cache()
+    val clean = corrupted.filter(col("pq_code").isNotNull)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqProbe(df, "e", "vec_id", query, 10, codebook, pq,
+        nprobe = 2, rerank = 40).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(corrupted) == top(clean))
+    def topAll(df: org.apache.spark.sql.DataFrame) = {
+      import spark.implicits._
+      val probes = Seq((999L, query)).toDF("q_id", "qe")
+      Similarity.ivfPqProbeAll(df, "e", "vec_id", probes, "q_id", "qe",
+        codebook, pq, k = 10, nprobe = 2, rerank = 40)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    }
+    assert(topAll(corrupted) == topAll(clean))
+    corrupted.unpersist(); corpus.unpersist()
+  }
+
   test("trainCodebook recovers planted clusters and serves multi-probe") {
     val corpus = planted.cache()
     val trained = Similarity.trainCodebook(corpus, "e", k = nClusters, iters = 3)

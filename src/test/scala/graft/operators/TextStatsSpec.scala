@@ -134,6 +134,10 @@ class TextStatsSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](
       TextStats.collectLocal(lm, maxPairs = 1))
     assert(e.getMessage.contains("driver-collect bound"))
+    // the raise-it hint must carry the heap math: the bound protects
+    // driver memory, so raising it without more heap just moves the OOM
+    assert(e.getMessage.contains("driver heap") ||
+      e.getMessage.contains("driver memory"))
   }
 
   test("null-text docs contribute nothing to the model or its artifact") {
