@@ -526,12 +526,22 @@ object Similarity {
     * floor 32). Recall follows rerank and nprobe (SimilaritySpec pins
     * recall@10 ≥ 0.9 on the fixture corpus); the FINAL scores are
     * exact cosines, so results are deterministic and oracle-
-    * comparable wherever the shortlist contains the true top-k. */
+    * comparable wherever the shortlist contains the true top-k.
+    *
+    * `rerankFrom` is the codes-only-index hook: pass the primary
+    * store (a frame carrying `idCol` + `embCol`) and the probe never
+    * reads `embCol` from `assigned` — the persisted index can drop
+    * raw floats entirely (M bytes/row of codes instead of D floats),
+    * while the exact re-rank joins the rerank-bounded shortlist
+    * (broadcast build side) back to the store by id. Ids the store
+    * does not carry drop from the shortlist rather than score a fake
+    * match — keep index and store in step. */
   def ivfPqProbe(assigned: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int, codebook: Seq[(Long, Seq[Double])],
       pq: PqModel, nprobe: Int = 1, rerank: Int = 0,
       cidCol: String = "cid", codeCol: String = "pq_code",
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
     require(codebook.nonEmpty, "ivfPqProbe needs the coarse codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // without this, a wrong-model pairing makes EVERY row's ADC NaN
@@ -544,16 +554,27 @@ object Similarity {
     val cids = rankInvertedLists(codebook, query).take(nprobe)
     val base = assigned.filter(col(cidCol).isin(cids: _*))
     val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
-    scoped
-      .select(col(idCol), col(embCol),
+    val shortlist = scoped
+      .select(col(idCol) +:
+        rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+
         graft.functions.VectorExpressions.pq_adc(
-          typedLit(normalizeVec(query)), col(codeCol), pq.codebooks).as("_adc"))
+          typedLit(normalizeVec(query)), col(codeCol), pq.codebooks).as("_adc"): _*)
       // nulls LAST: the kernel's NaN-on-corruption already sorts last,
       // but a null code (rows appended without pqAssign, or a foreign
       // index) yields a null _adc, and plain asc is NULLS FIRST — it
       // would burn shortlist slots ahead of every real candidate
       .orderBy(asc_nulls_last("_adc"), col(idCol))
       .limit(rr)
+    // codes-only index: the list scan above read (id, code) alone, and
+    // only the rr-row shortlist fetches raw embeddings from the
+    // primary store — the storage shape where the written index drops
+    // its float column entirely. The shortlist is rerank-bounded, so
+    // it broadcasts; ids the store does not carry (index/store drift)
+    // drop from the shortlist rather than score a fake match.
+    val withEmb = rerankFrom.fold(shortlist)(store =>
+      shortlist.hint("broadcast")
+        .join(store.select(col(idCol), col(embCol)), Seq(idCol)))
+    withEmb
       .select(col(idCol),
         round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
       .orderBy(desc("cos"), col(idCol))
@@ -567,13 +588,17 @@ object Similarity {
     * rows read the raw embedding for the exact-cosine top-k. Same
     * probe-side sizing contract as ivfProbeAll (`broadcastProbes`:
     * None = AQE decides at the window shuffle, Some(true/false)
-    * forces). Output: (qIdCol | q_<idCol>, idCol, cos, rank). */
+    * forces), and the same `rerankFrom` codes-only-index contract as
+    * ivfPqProbe (the list scan never reads `embCol`; the shortlist
+    * joins the primary store by id). Output:
+    * (qIdCol | q_<idCol>, idCol, cos, rank). */
   def ivfPqProbeAll(assigned: DataFrame, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String,
       codebook: Seq[(Long, Seq[Double])], pq: PqModel, k: Int,
       nprobe: Int = 1, rerank: Int = 0, cidCol: String = "cid",
       codeCol: String = "pq_code", excludeSelf: Boolean = false,
-      broadcastProbes: Option[Boolean] = None): DataFrame = {
+      broadcastProbes: Option[Boolean] = None,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
     require(codebook.nonEmpty, "ivfPqProbeAll needs the coarse codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
@@ -610,15 +635,25 @@ object Similarity {
     val scoped =
       if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
     val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
-    scoped
-      .select(col("_qid"), col(idCol), col(embCol), col("_qe"),
+    val shortlist = scoped
+      .select(Seq(col("_qid"), col(idCol)) ++
+        rerankFrom.fold(Seq(col(embCol)))(_ => Nil) ++ Seq(col("_qe"),
         graft.functions.VectorExpressions.pq_adc(
-          col("_qn"), col(codeCol), pq.codebooks).as("_adc"))
+          col("_qn"), col(codeCol), pq.codebooks).as("_adc")): _*)
       .withColumn("_ar", row_number().over(
         org.apache.spark.sql.expressions.Window
           // nulls LAST — same reason as ivfPqProbe's single-query sort
           .partitionBy("_qid").orderBy(asc_nulls_last("_adc"), col(idCol))))
       .filter(col("_ar") <= rr)
+    // codes-only index (see ivfPqProbe): the list scan reads (id,
+    // code) alone; the queries x rerank shortlist fetches embeddings
+    // from the primary store by id. Un-hinted — the shortlist exits a
+    // window shuffle, so AQE sees its real (rerank-bounded) size and
+    // broadcasts when it fits; a crawl-sized probe batch falls back to
+    // a shuffle join instead of OOMing an executor.
+    val withEmb = rerankFrom.fold(shortlist)(store =>
+      shortlist.join(store.select(col(idCol), col(embCol)), Seq(idCol)))
+    withEmb
       .select(col("_qid"), col(idCol),
         round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
       .withColumn("rank", row_number().over(

@@ -158,6 +158,14 @@ object ScaleSmoke {
       Similarity.ivfPqProbe(pqAssigned, "e", "vec_id", query, 10, codebook,
         pqModel, nprobe = 4, rerank = 64).count()
     }
+    // codes-only index: the list scan reads (id, cid, code) — no float
+    // column anywhere in the index — and the rerank shortlist joins
+    // the primary store by id
+    timed("ann_ivf_pq_probe(codes-only,rerankFrom)") {
+      Similarity.ivfPqProbe(pqAssigned.select("vec_id", "cid", "pq_code"),
+        "e", "vec_id", query, 10, codebook, pqModel, nprobe = 4, rerank = 64,
+        rerankFrom = Some(embD)).count()
+    }
     timed("ann_ivf_pq_probe_all(shuffle, 1% batch)") {
       Similarity.ivfPqProbeAll(pqAssigned, "e", "vec_id",
         pqAssigned.filter(col("vec_id") % 100 === 7)

@@ -435,6 +435,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sdc.forall(_.isNaN))
   }
 
+  test("codes-only index: rerankFrom probes a float-free index identically to in-frame") {
+    import spark.implicits._
+    val corpus = planted.cache()
+    val pq = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 8, iters = 2)
+    val assigned = Similarity.pqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", pq).cache()
+    val inFrame = Similarity.ivfPqProbe(assigned, "e", "vec_id", query, 10,
+        codebook, pq, nprobe = 4, rerank = 40)
+      .collect().map(_.toSeq).toSeq
+    val store = corpus.select(col("vec_id"), col("e"))
+    withTempDir("pq-codes-only") { dirFile =>
+      val dir = dirFile.getAbsolutePath
+      // the storage win pqAssign promises: the written index carries
+      // (id, cid, code) only — no float column at all
+      Similarity.writeIndex(assigned.select("vec_id", "cid", "pq_code"), s"$dir/index")
+      val index = Similarity.readIndex(spark, s"$dir/index")
+      assert(!index.columns.contains("e"))
+      val got = Similarity.ivfPqProbe(index, "e", "vec_id", query, 10,
+          codebook, pq, nprobe = 4, rerank = 40, rerankFrom = Some(store))
+        .collect().map(_.toSeq).toSeq
+      assert(got == inFrame)
+      // batch path over the same float-free index
+      val probes = Seq((999L, query), (998L, corpus.filter(col("vec_id") === 3001L)
+        .select("e").head().getSeq[Double](0).toSeq)).toDF("q_id", "qe")
+      def batch(df: org.apache.spark.sql.DataFrame, rf: Option[org.apache.spark.sql.DataFrame]) =
+        Similarity.ivfPqProbeAll(df, "e", "vec_id", probes, "q_id", "qe",
+          codebook, pq, k = 5, nprobe = 4, rerank = 40, rerankFrom = rf)
+          .collect().map(_.toSeq).toSeq
+      assert(batch(index, Some(store)) == batch(assigned, None))
+      // an id the store lacks cannot score a fake match — it drops
+      val gappy = store.filter(col("vec_id") =!= inFrame.head.head.asInstanceOf[Long])
+      val dropped = Similarity.ivfPqProbe(index, "e", "vec_id", query, 10,
+          codebook, pq, nprobe = 4, rerank = 40, rerankFrom = Some(gappy))
+        .collect().map(_.toSeq).toSeq
+      assert(!dropped.map(_.head).contains(inFrame.head.head) &&
+        dropped.map(_.head).toSet.subsetOf(
+          Similarity.bruteForceTopK(corpus, "e", "vec_id", query, 50)
+            .collect().map(r => r.get(0)).toSet))
+    }
+    assigned.unpersist(); corpus.unpersist()
+  }
+
   test("null pq_code rows sort LAST in the ADC shortlist, never consuming rerank slots") {
     // rows appended to an index without pqAssign (or a foreign index)
     // carry null codes -> null _adc; plain asc is NULLS FIRST, which
