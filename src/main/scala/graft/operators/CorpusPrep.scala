@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *      `keepPreference` picks the survivor, e.g. by source rank)
   *   -> semantic dedup (optional, `embCol`: embedding near-dup
   *      clusters collapse too — sign-LSH buckets by default, IVF
-  *      multi-probe when a `codebook`/`nprobe` is supplied)
+  *      multi-probe when a `codebook`/`nprobe` is supplied, and
+  *      PQ-compressed pair search when a `pqModel` rides along)
   *   -> benchmark decontamination (optional: drop survivors whose
   *      shingle containment of any benchmark doc reaches the
   *      threshold — q57's broadcast containment search)
@@ -97,6 +98,17 @@ object CorpusPrep {
     signBits: Int = 8,
     codebook: Option[Seq[(Long, Seq[Double])]] = None,
     nprobe: Int = 1,
+    // PQ compression for the semantic tier (needs `codebook` too):
+    // with a model, pair search runs Similarity.nearDupPairsIvfPq —
+    // the in-list pair state carries M-byte codes instead of D-float
+    // vectors and an SDC approximate-cosine prefilter (recall knob
+    // `sdcMargin`; >= 2 disables it, making the result EQUAL to the
+    // raw IVF path) runs before the exact verify join. Final scores
+    // stay exact, so survivors are bit-comparable to the raw tier for
+    // every pair the prefilter keeps — the 100 TB semantic-dedup
+    // shape, where raw vectors never enter the quadratic expansion.
+    pqModel: Option[Similarity.PqModel] = None,
+    sdcMargin: Double = 0.1,
     // LM-QUALITY gate (the CCNet-style setup): score `clean_text`
     // under a FOREIGN bigram model trained once on a trusted
     // reference corpus (TextStats.bigramModel + writeBigramLm /
@@ -225,10 +237,15 @@ object CorpusPrep {
     // way text clusters did — paraphrases/translations the shingle
     // tiers can't see
     val semantic = cfg.embCol.fold(deduped) { e =>
-      val semPairs = cfg.codebook match {
-        case Some(cbk) => Similarity.nearDupPairsIvf(deduped, e, idCol, cbk,
+      require(cfg.pqModel.isEmpty || cfg.codebook.nonEmpty,
+        "pqModel compresses the IVF pair search and needs `codebook` for the " +
+          "inverted lists — supply both, or neither for sign-LSH buckets")
+      val semPairs = (cfg.codebook, cfg.pqModel) match {
+        case (Some(cbk), Some(pqm)) => Similarity.nearDupPairsIvfPq(deduped, e,
+          idCol, cbk, pqm, cfg.minCosine, cfg.nprobe, cfg.maxBucket, cfg.sdcMargin)
+        case (Some(cbk), None) => Similarity.nearDupPairsIvf(deduped, e, idCol, cbk,
           cfg.minCosine, cfg.nprobe, cfg.maxBucket)
-        case None => Similarity.nearDupPairs(deduped, e, idCol,
+        case _ => Similarity.nearDupPairs(deduped, e, idCol,
           cfg.signBits, cfg.minCosine, cfg.maxBucket)
       }
       val semClusters = Dedup.duplicateClusters(semPairs)

@@ -223,6 +223,34 @@ class CorpusPrepSpec extends SparkSpecBase {
     // ...and nprobe=2 recovers it
     assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
       minCosine = 0.999, codebook = Some(codebook), nprobe = 2)) == Set(1L, 3L))
+
+    // PQ-compressed semantic tier: at slack margin (prefilter off) the
+    // survivors EQUAL the raw IVF path at the same nprobe — pair state
+    // carries codes, final scores stay exact
+    val pq = Similarity.pqFromVectors(
+      docs.select("emb").collect().map(_.getSeq[Double](0).toSeq).toSeq,
+      numSubspaces = 2)
+    assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), nprobe = 2,
+      pqModel = Some(pq), sdcMargin = 2.0)) == Set(1L, 3L))
+    // a practical margin keeps the boundary pair here too (the donor
+    // codebooks quantize these vectors near-exactly)
+    assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), nprobe = 2,
+      pqModel = Some(pq), sdcMargin = 0.1)) == Set(1L, 3L))
+    // pqModel without a codebook is a config error, not silent sign-LSH
+    val err = intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        embCol = Some("emb"), pqModel = Some(pq))).collect()
+    }
+    assert(err.getMessage.contains("codebook"))
+
+    // the PQ tier's observed cap metric must not collide with the raw
+    // tier's when both preps publish metrics in one session
+    assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), nprobe = 2,
+      pqModel = Some(pq), sdcMargin = 2.0,
+      metricPrefix = Some("pq_prep"))) == Set(1L, 3L))
   }
 
   test("runIncremental: batch prepped like run, deduped against the standing corpus") {
