@@ -262,15 +262,24 @@ object Similarity {
     val rows = for {
       s <- 0 until model.numSubspaces
       c <- model.codebooks(s).indices
-    } yield (s, c, model.codebooks(s)(c))
-    rows.toDF("s", "code", "ce").coalesce(1)
+    } yield (s, c, model.codebooks(s)(c), model.residual)
+    rows.toDF("s", "code", "ce", "res").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
   /** Read a persisted PQ model back; fails loudly on a gappy artifact
     * (missing subspace or code) rather than mis-scoring silently. */
   def readPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
-    val rows = spark.read.parquet(path).select("s", "code", "ce").collect()
+    val raw = spark.read.parquet(path)
+    // the residual flag is part of the model identity: probing a
+    // residual-coded index down the direct path would silently return
+    // garbage, so a residual artifact must read back residual. Older
+    // artifacts (no `res` column) are direct by construction.
+    val residual =
+      if (raw.columns.contains("res"))
+        raw.select("res").limit(1).collect().headOption.exists(_.getBoolean(0))
+      else false
+    val rows = raw.select("s", "code", "ce").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     require(rows.nonEmpty, s"empty PQ model at $path")
     val bySub = rows.groupBy(_._1)
@@ -286,7 +295,7 @@ object Similarity {
     val dsub = codebooks.head.head.length
     require(codebooks.forall(_.forall(_.length == dsub)),
       s"PQ model at $path mixes centroid dimensions")
-    PqModel(m, dsub, codebooks)
+    PqModel(m, dsub, codebooks, residual)
   }
 
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
@@ -385,9 +394,19 @@ object Similarity {
     * squared L2 is monotone with cosine (||q̂−x̂||² = 2 − 2·cos), so
     * an ADC shortlist ranked by approximate L2 IS a cosine shortlist,
     * which is what lets the exact-cosine re-rank recover the true
-    * top-k from it. */
+    * top-k from it. With `residual` set, codes quantize the RESIDUAL
+    * (normalized vector − normalized coarse centroid of the row's
+    * inverted list) instead — FAISS-style IVFPQ: each list's residual
+    * distribution is far tighter than the whole sphere, so the same
+    * M × ksub budget covers it with less quantization error, buying
+    * ADC-shortlist recall. Train with pqTrainResidual, assign with
+    * pqAssignResidual; probes shift the query by each probed list's
+    * centroid (q − c is scored against the residual codebooks, which
+    * is exactly ||q − (c + r̂)||²). Pair search (SDC) cannot carry
+    * the per-list cross terms, so nearDupPairsIvfPq refuses residual
+    * models. */
   final case class PqModel(numSubspaces: Int, subDim: Int,
-      codebooks: Seq[Seq[Seq[Double]]]) {
+      codebooks: Seq[Seq[Seq[Double]]], residual: Boolean = false) {
     require(codebooks.length == numSubspaces,
       s"expected $numSubspaces codebooks, got ${codebooks.length}")
     def dims: Int = numSubspaces * subDim
@@ -451,7 +470,16 @@ object Similarity {
     val normed = withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
       .select(col("_n"))
-    val raw = normed
+    PqModel(numSubspaces, dsub,
+      trainSubspaceCodebooks(normed, numSubspaces, dsub, ksub, iters, maxTrainRows))
+  }
+
+  /** Shared PQ training core over a single-column (`_n`) vector frame:
+    * bounded deterministic sample (dup-probe + checkpoint, see the
+    * pqTrain comment above) then per-subspace k-means. */
+  private def trainSubspaceCodebooks(vecFrame: DataFrame, numSubspaces: Int,
+      dsub: Int, ksub: Int, iters: Int, maxTrainRows: Int): Seq[Seq[Seq[Double]]] = {
+    val raw = vecFrame
       .orderBy(xxhash64(col("_n")), col("_n"))
       .limit(maxTrainRows)
       .localCheckpoint()
@@ -460,12 +488,12 @@ object Similarity {
       .collect()(0)
     val sample =
       if (dupProbe.getLong(0) == dupProbe.getLong(1)) raw
-      else normed
+      else vecFrame
         .distinct()
         .orderBy(xxhash64(col("_n")), col("_n"))
         .limit(maxTrainRows)
         .localCheckpoint()
-    val codebooks = (0 until numSubspaces).map { s =>
+    (0 until numSubspaces).map { s =>
       val slices = sample.select(slice(col("_n"), s * dsub + 1, dsub).as("_e"))
       // a degenerate subspace (a constant or zero-padded dim block —
       // common in real embedding corpora) has fewer distinct slices
@@ -477,7 +505,54 @@ object Similarity {
         math.min(ksub.toLong, slices.distinct().count())).toInt
       trainCodebook(slices, "_e", kEff, iters).sortBy(_._1).map(_._2)
     }
-    PqModel(numSubspaces, dsub, codebooks)
+  }
+
+  /** Normalized-centroid lookup frame for residual coding: one
+    * (cid, normalized centroid) row per inverted list — KB-sized,
+    * always broadcast. */
+  private def normCentroids(spark: org.apache.spark.sql.SparkSession,
+      codebook: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    codebook.map { case (cid, ce) => (cid, normalizeVec(ce)) }.toDF("_rcid", "_rcn")
+  }
+
+  /** Train RESIDUAL PQ codebooks (FAISS-style IVFPQ): each training
+    * vector is normalized, assigned to its nearest coarse centroid
+    * (the SAME raw-vector rule ivfAssign uses, so assign-time
+    * residuals match), and the per-subspace k-means runs over
+    * (normalized vector − normalized centroid) — a per-list cloud far
+    * tighter than the whole unit sphere, so the same M × ksub budget
+    * quantizes it with less error and the ADC shortlist ranks closer
+    * to the true cosine order (SimilaritySpec pins recall ≥ the
+    * direct model at fixed M/ksub/nprobe/rerank). The returned model
+    * carries `residual = true`; assign with pqAssignResidual, probe
+    * with the usual ivfPqProbe/ivfPqProbeAll (they shift the query by
+    * each probed list's centroid). */
+  def pqTrainResidual(df: DataFrame, embCol: String,
+      codebook: Seq[(Long, Seq[Double])], numSubspaces: Int,
+      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
+    require(codebook.nonEmpty, "pqTrainResidual needs the coarse codebook")
+    require(numSubspaces >= 1, s"numSubspaces must be >= 1, got $numSubspaces")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub must be in [1, 256] (codes are byte-sized by design), got $ksub")
+    val dimRow = df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect()
+    require(dimRow.nonEmpty, "pqTrainResidual needs at least one non-empty embedding")
+    val dims = dimRow(0).getInt(0)
+    require(dims % numSubspaces == 0,
+      s"embedding dim $dims is not divisible into $numSubspaces subspaces")
+    val dsub = dims / numSubspaces
+    val spark = df.sparkSession
+    val residuals = withNormalized(
+        df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_nv")
+      .withColumn("_rcid",
+        graft.functions.VectorExpressions.nearest_centroid(
+          asDouble(col(embCol)), codebook))
+      .join(broadcast(normCentroids(spark, codebook)), Seq("_rcid"))
+      .select(zip_with(col("_nv"), col("_rcn"), (a, b) => a - b).as("_n"))
+    PqModel(numSubspaces, dsub,
+      trainSubspaceCodebooks(residuals, numSubspaces, dsub, ksub, iters, maxTrainRows),
+      residual = true)
   }
 
   /** Build a PqModel from explicit donor vectors (normalized, then
@@ -507,6 +582,9 @@ object Similarity {
     * exact re-rank reads it from the primary store instead. */
   def pqAssign(df: DataFrame, embCol: String, model: PqModel,
       codeCol: String = "pq_code"): DataFrame = {
+    require(!model.residual,
+      "residual models code (vector − list centroid); assign them with " +
+        "pqAssignResidual over an ivfAssign'ed frame")
     val codes = array((0 until model.numSubspaces).map { s =>
       graft.functions.VectorExpressions.nearest_centroid(
         slice(col("_pq_n"), s * model.subDim + 1, model.subDim),
@@ -516,6 +594,39 @@ object Similarity {
     withNormalized(df, embCol, "_pq_n")
       .withColumn(codeCol, when(col(embCol).isNotNull, codes))
       .drop("_pq_n")
+  }
+
+  /** Attach the RESIDUAL PQ code column to an ivfAssign'ed frame: per
+    * subspace, the nearest residual-codebook centroid of (normalized
+    * vector − normalized centroid of the row's `cidCol` list). Same
+    * M-smallints shape and null-embedding contract as pqAssign; a row
+    * whose cid is missing from the codebook (index/codebook drift)
+    * gets a NULL code — it sorts out of every ADC shortlist instead
+    * of scoring against the wrong list's frame of reference. The
+    * centroid lookup is a KB-sized broadcast join; coding itself
+    * stays map-side codegen. */
+  def pqAssignResidual(assigned: DataFrame, embCol: String,
+      codebook: Seq[(Long, Seq[Double])], model: PqModel,
+      codeCol: String = "pq_code", cidCol: String = "cid"): DataFrame = {
+    require(model.residual,
+      "pqAssignResidual needs a residual model (pqTrainResidual); direct " +
+        "models assign with pqAssign")
+    require(codebook.nonEmpty, "pqAssignResidual needs the coarse codebook")
+    require(assigned.columns.contains(cidCol),
+      s"pqAssignResidual needs the inverted-list column '$cidCol' — run ivfAssign first")
+    val codes = array((0 until model.numSubspaces).map { s =>
+      graft.functions.VectorExpressions.nearest_centroid(
+        slice(col("_pq_r"), s * model.subDim + 1, model.subDim),
+        model.codebooks(s).zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
+        .cast("smallint")
+    }: _*)
+    withNormalized(assigned, embCol, "_pq_n")
+      .join(broadcast(normCentroids(assigned.sparkSession, codebook)),
+        col(cidCol) === col("_rcid"), "left")
+      .withColumn("_pq_r", zip_with(col("_pq_n"), col("_rcn"), (a, b) => a - b))
+      .withColumn(codeCol,
+        when(col(embCol).isNotNull && col("_rcn").isNotNull, codes))
+      .drop("_pq_n", "_pq_r", "_rcid", "_rcn")
   }
 
   /** IVF-PQ probe, single query vector: the scan reads the `nprobe`
@@ -554,11 +665,34 @@ object Similarity {
     val cids = rankInvertedLists(codebook, query).take(nprobe)
     val base = assigned.filter(col(cidCol).isin(cids: _*))
     val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    val qn = normalizeVec(query)
+    // residual model: each probed list scores against ITS shifted
+    // query (q̂ − ĉ_list), which against residual codebooks is exactly
+    // ||q̂ − (ĉ + r̂)||² — the centroid added back at ADC time. A
+    // per-list when-chain, nprobe branches, all inside codegen.
+    val adcExpr =
+      if (!pq.residual)
+        graft.functions.VectorExpressions.pq_adc(
+          typedLit(qn), col(codeCol), pq.codebooks)
+      else {
+        val cmap = codebook.toMap
+        val shifted = cids.map { c =>
+          val cn = normalizeVec(cmap(c))
+          c -> qn.zip(cn).map { case (a, b) => a - b }
+        }
+        shifted.tail.foldLeft(
+          when(col(cidCol) === shifted.head._1,
+            graft.functions.VectorExpressions.pq_adc(
+              typedLit(shifted.head._2), col(codeCol), pq.codebooks))) {
+          case (acc, (c, qs)) => acc.when(col(cidCol) === c,
+            graft.functions.VectorExpressions.pq_adc(
+              typedLit(qs), col(codeCol), pq.codebooks))
+        }
+      }
     val shortlist = scoped
       .select(col(idCol) +:
         rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+
-        graft.functions.VectorExpressions.pq_adc(
-          typedLit(normalizeVec(query)), col(codeCol), pq.codebooks).as("_adc"): _*)
+        adcExpr.as("_adc"): _*)
       // nulls LAST: the kernel's NaN-on-corruption already sorts last,
       // but a null code (rows appended without pqAssign, or a foreign
       // index) yields a null _adc, and plain asc is NULLS FIRST — it
@@ -605,7 +739,11 @@ object Similarity {
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
     val spark = assigned.sparkSession
     import spark.implicits._
-    val cb = codebook.toDF("_cbid", "_ce")
+    // _cn (the normalized centroid) rides along for residual models:
+    // list ranking uses the RAW centroid distance (same rule as
+    // rankInvertedLists), but residual shifting subtracts ĉ.
+    val cb = codebook.map { case (cid, ce) => (cid, ce, normalizeVec(ce)) }
+      .toDF("_cbid", "_ce", "_cn")
     val sqDistC = aggregate(
       zip_with(col(qEmbCol), col("_ce"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
@@ -620,13 +758,17 @@ object Similarity {
       .filter(assert_true(size(col(qEmbCol)) === pq.dims,
         lit(s"probe embedding dims != PqModel dims (${pq.dims})")).isNull)
       .join(broadcast(cb), lit(true))
-      .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_cbid"), sqDistC.as("_d"))
+      .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_cbid"), col("_cn"),
+        sqDistC.as("_d"))
       .withColumn("_r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
       .filter(col("_r") <= nprobe)
+      // residual model: "_qn" becomes the per-list shifted query
+      // (q̂ − ĉ_list) — downstream ADC scoring is identical either way
       .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"),
-        col("_qn"), col("_cbid"))
+        (if (pq.residual) zip_with(col("_qn"), col("_cn"), (a, b) => a - b)
+         else col("_qn")).as("_qn"), col("_cbid"))
     val joined = broadcastProbes match {
       case Some(true)  => assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
       case Some(false) => assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
@@ -736,6 +878,9 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= codebook.size,
       s"nprobe must be in [1, ${codebook.size}], got $nprobe")
     require(sdcMargin >= 0.0, s"sdcMargin must be >= 0, got $sdcMargin")
+    require(!pq.residual,
+      "SDC scores codes alone and cannot carry the per-list centroid cross " +
+        "terms a residual model needs — train a direct pqTrain model for pair search")
     val cb = typedLit(codebook)
     val ranked = array_sort(transform(cb, c => struct(
       aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),

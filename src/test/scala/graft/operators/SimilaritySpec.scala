@@ -435,6 +435,88 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sdc.forall(_.isNaN))
   }
 
+  test("residual PQ: recall >= direct at fixed M/ksub/nprobe/rerank; full-width == brute force") {
+    import spark.implicits._
+    // the fixture where residual encoding is SUPPOSED to win (the
+    // real-embedding shape): clusters far apart, and within each
+    // cluster the vectors vary along one shared direction (u) — after
+    // subtracting the coarse centroid the residuals collapse onto a
+    // low-dim structure a tiny codebook quantizes finely, while the
+    // direct path must spend the same ksub=4 on cluster POSITIONS per
+    // subspace and has no budget left for the within-cluster signal
+    // that actually ranks the top-k.
+    val u = Seq.fill(dim)(1.0 / math.sqrt(dim))
+    val lineClusters = (0 until 4).flatMap { c =>
+      (0 until 40).map { j =>
+        val t = (j - 20) / 20.0
+        val e = Seq.tabulate(dim)(d => (if (d == c) 10.0 else 0.0) + 1.5 * t * u(d))
+        (c * 1000L + j, e)
+      }
+    }.toDF("vec_id", "e")
+    val cbk: Seq[(Long, Seq[Double])] = (0 until 4).map(c =>
+      (c.toLong, Seq.tabulate(dim)(d => if (d == c) 10.0 else 0.0)))
+    val q = Seq.tabulate(dim)(d => if (d == 0) 5.001 else if (d == 1) 5.0 else 0.0)
+    val corpus = lineClusters.cache()
+    val truth = Similarity.bruteForceTopK(corpus, "e", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val direct = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 4, iters = 3)
+    val res = Similarity.pqTrainResidual(corpus, "e", cbk,
+      numSubspaces = 4, ksub = 4, iters = 3)
+    assert(!direct.residual && res.residual)
+    val ivf = Similarity.ivfAssign(corpus, cbk, "e").cache()
+    val aDirect = Similarity.pqAssign(ivf, "e", direct).cache()
+    val aRes = Similarity.pqAssignResidual(ivf, "e", cbk, res).cache()
+    def recallOf(assigned: org.apache.spark.sql.DataFrame, pq: Similarity.PqModel): Double =
+      recallAt10(Similarity.ivfPqProbe(assigned, "e", "vec_id", q, 10,
+        cbk, pq, nprobe = 2, rerank = 24)
+        .collect().map(_.getLong(0)).toSet, truth)
+    val rDirect = recallOf(aDirect, direct)
+    val rRes = recallOf(aRes, res)
+    assert(rRes >= rDirect,
+      s"residual recall ($rRes) must be >= direct ($rDirect) at the same budget")
+    assert(rRes >= 0.9, s"residual recall@10 must be >= 0.9, got $rRes")
+
+    // exactness invariant holds for residual too: probing every list
+    // with a corpus-wide re-rank IS brute force
+    val full = Similarity.ivfPqProbe(aRes, "e", "vec_id", q, 10,
+        cbk, res, nprobe = 4, rerank = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == truth)
+
+    // batch probe matches the single-query path on the residual index
+    val probes = Seq((999L, q)).toDF("q_id", "qe")
+    val batch = Similarity.ivfPqProbeAll(aRes, "e", "vec_id", probes, "q_id", "qe",
+        cbk, res, k = 10, nprobe = 2, rerank = 24)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val solo = Similarity.ivfPqProbe(aRes, "e", "vec_id", q, 10,
+        cbk, res, nprobe = 2, rerank = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == solo)
+
+    // the residual flag is model identity: it survives persistence,
+    // and the wrong assign/pair-search paths refuse it loudly
+    withTempDir("pq-residual") { dir =>
+      Similarity.writePqModel(spark, res, dir.getAbsolutePath)
+      val back = Similarity.readPqModel(spark, dir.getAbsolutePath)
+      assert(back == res && back.residual)
+    }
+    assert(intercept[IllegalArgumentException](
+      Similarity.pqAssign(corpus, "e", res)).getMessage.contains("pqAssignResidual"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.pqAssignResidual(ivf, "e", cbk, direct)).getMessage
+      .contains("pqAssign"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.nearDupPairsIvfPq(corpus, "e", "vec_id", cbk, res, 0.99))
+      .getMessage.contains("direct"))
+
+    // a cid outside the codebook cannot be residual-coded: null code,
+    // which the nulls-last shortlist ordering keeps out of the way
+    val foreign = Similarity.pqAssignResidual(
+      ivf.withColumn("cid", lit(777L)), "e", cbk.take(1), res)
+    assert(foreign.filter(col("pq_code").isNotNull).count() == 0)
+    aDirect.unpersist(); aRes.unpersist(); ivf.unpersist(); corpus.unpersist()
+  }
+
   test("codes-only index: rerankFrom probes a float-free index identically to in-frame") {
     import spark.implicits._
     val corpus = planted.cache()
