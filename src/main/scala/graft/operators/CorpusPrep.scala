@@ -324,7 +324,48 @@ object CorpusPrep {
   def prepStream(docs: DataFrame, textCol: String, tsCol: String,
       cfg: Config = Config(), watermark: String = "10 minutes",
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
-      standingIndex: Option[DataFrame] = None): DataFrame = {
+      standingIndex: Option[DataFrame] = None): DataFrame =
+    prepStreamWithCaches(docs, textCol, tsCol, cfg, watermark, standing,
+      idCol, standingIndex)._1
+
+  /** Handle over the standing-corpus lookups a prepStream plan caches
+    * for its lifetime. Without releasing them, the cached frames
+    * outlive the stream (the executor memory stays pinned until the
+    * session dies) — call `unpersist()` when the stream is done, or
+    * `releaseOnTermination(query)` right after `start()` to have a
+    * StreamingQueryListener do it the moment the query terminates
+    * (then deregister itself). A stream built WITHOUT a standing
+    * corpus holds no caches and the handle is a no-op. */
+  final class StreamCaches private[CorpusPrep] (
+      private[graft] val frames: Seq[DataFrame]) {
+    def unpersist(): Unit = frames.foreach { f => f.unpersist(); () }
+    def releaseOnTermination(
+        query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      if (frames.isEmpty) return
+      val spark = frames.head.sparkSession
+      val qid = query.id
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == qid) { unpersist(); spark.streams.removeListener(this) }
+      })
+    }
+  }
+
+  /** `prepStream` plus the handle over its standing-corpus caches —
+    * use this form when the stream has a bounded life (see
+    * StreamCaches; the no-handle overload keeps the documented
+    * restart-to-refresh contract and leaves release to session
+    * teardown). */
+  def prepStreamWithCaches(docs: DataFrame, textCol: String, tsCol: String,
+      cfg: Config = Config(), watermark: String = "10 minutes",
+      standing: Option[DataFrame] = None, idCol: String = "doc_id",
+      standingIndex: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
     require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.embCol.isEmpty &&
         cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty,
       "prepStream supports only the row-local stages (normalize + gates + LM " +
@@ -354,7 +395,7 @@ object CorpusPrep {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_digest")
     standing match {
-      case None => within.drop("_digest")
+      case None => (within.drop("_digest"), new StreamCaches(Nil))
       case Some(st) =>
         // cache both standing-side lookups: a stream-static join
         // re-executes the static side EVERY micro-batch, so without
@@ -362,18 +403,22 @@ object CorpusPrep {
         // scan/shuffle — per-batch cost must follow the batch, not
         // the corpus (bandVerifyLookup's own build-once contract).
         // They live for the stream's lifetime; restart the stream to
-        // refresh them after a standing-corpus compaction.
+        // refresh them after a standing-corpus compaction, and
+        // release them through the returned StreamCaches handle when
+        // the stream is done.
         val oldDig = standingIndex
           .map(_.select(col("_digest")).distinct())
           .getOrElse(st.select(md5(col("clean_text")).as("_digest")).distinct())
           .cache()
+        val lookup = Dedup.bandVerifyLookup(st, "clean_text", idCol,
+            cfg.shingleN, cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket,
+            standingIndex)
+          .cache()
         val exactKept = within.join(oldDig, Seq("_digest"), "left_anti")
           .drop("_digest")
-        Dedup.streamNearDupFilter(exactKept, "clean_text",
-          Dedup.bandVerifyLookup(st, "clean_text", idCol, cfg.shingleN,
-            cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket, standingIndex)
-            .cache(),
-          cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand)
+        (Dedup.streamNearDupFilter(exactKept, "clean_text", lookup,
+          cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand),
+          new StreamCaches(Seq(oldDig, lookup)))
     }
   }
 

@@ -260,6 +260,51 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("prepStream releases its standing-corpus caches when the stream terminates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val standing = Seq(
+      (201L, "the standing corpus document about caching lifetimes in streams"))
+      .toDF("doc_id", "clean_text")
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", "a fresh intake document that survives every standing tier"))
+      .toDF("doc_id", "ts", "text")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val cfg = graft.operators.CorpusPrep.Config()
+    withTempDir("prep-stream-caches") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val (frame, caches) = graft.operators.CorpusPrep.prepStreamWithCaches(
+        stream, "text", "ts", cfg, standing = Some(standing))
+      // the standing lookups are registered as cached at build time...
+      assert(caches.frames.nonEmpty &&
+        caches.frames.forall(_.storageLevel != StorageLevel.NONE))
+      val q = frame.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_caches")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      caches.releaseOnTermination(q)
+      q.awaitTermination(120000)
+      assert(spark.sql("SELECT doc_id FROM prep_stream_caches").count() == 1)
+      // ...and released by the listener once the query terminates (the
+      // listener bus is async — poll briefly)
+      val deadline = System.currentTimeMillis() + 30000
+      while (caches.frames.exists(_.storageLevel != StorageLevel.NONE) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(caches.frames.forall(_.storageLevel == StorageLevel.NONE),
+        "standing-corpus caches must be unpersisted after stream termination")
+      // a stream without a standing corpus holds no caches at all
+      val (_, none) = graft.operators.CorpusPrep.prepStreamWithCaches(
+        stream, "text", "ts", cfg)
+      assert(none.frames.isEmpty)
+      none.unpersist() // no-op, must not throw
+    }
+  }
+
   test("heavy-hitters sketch aggregates over a stream (state-store round-trip) with batch parity") {
     import org.apache.spark.sql.functions._
     // Complete mode over AvailableNow: every group's final sketch is
