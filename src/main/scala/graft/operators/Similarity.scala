@@ -259,11 +259,15 @@ object Similarity {
   def writePqModel(spark: org.apache.spark.sql.SparkSession,
       model: PqModel, path: String): Unit = {
     import spark.implicits._
-    val rows = for {
+    val cbRows = for {
       s <- 0 until model.numSubspaces
       c <- model.codebooks(s).indices
     } yield (s, c, model.codebooks(s)(c), model.residual)
-    rows.toDF("s", "code", "ce", "res").coalesce(1)
+    // rotation rows ride in the same table under s = -1 (code = row
+    // index) — one artifact, one read, no sidecar file to lose
+    val rotRows = model.rotation.toSeq.flatMap(_.zipWithIndex.map {
+      case (row, i) => (-1, i, row, model.residual) })
+    (cbRows ++ rotRows).toDF("s", "code", "ce", "res").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -279,9 +283,18 @@ object Similarity {
       if (raw.columns.contains("res"))
         raw.select("res").limit(1).collect().headOption.exists(_.getBoolean(0))
       else false
-    val rows = raw.select("s", "code", "ce").collect()
+    val allRows = raw.select("s", "code", "ce").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val (rotRows, rows) = allRows.partition(_._1 < 0)
     require(rows.nonEmpty, s"empty PQ model at $path")
+    val rotation =
+      if (rotRows.isEmpty) None
+      else {
+        val sorted = rotRows.sortBy(_._2)
+        require(sorted.map(_._2).toSeq == sorted.indices.toSeq,
+          s"PQ model at $path has non-contiguous rotation rows")
+        Some(sorted.map(_._3).toSeq)
+      }
     val bySub = rows.groupBy(_._1)
     val m = bySub.keys.max + 1
     require(bySub.keySet == (0 until m).toSet,
@@ -295,7 +308,7 @@ object Similarity {
     val dsub = codebooks.head.head.length
     require(codebooks.forall(_.forall(_.length == dsub)),
       s"PQ model at $path mixes centroid dimensions")
-    PqModel(m, dsub, codebooks, residual)
+    PqModel(m, dsub, codebooks, residual, rotation)
   }
 
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
@@ -404,11 +417,28 @@ object Similarity {
     * centroid (q − c is scored against the residual codebooks, which
     * is exactly ||q − (c + r̂)||²). Pair search (SDC) cannot carry
     * the per-list cross terms, so nearDupPairsIvfPq refuses residual
-    * models. */
+    * models.
+    *
+    * `rotation`, when set, is an ORTHOGONAL D×D matrix (rows are the
+    * rotated basis) applied to the normalized vector BEFORE subspace
+    * slicing — the OPQ idea (parametric/PCA variant, public
+    * knowledge): decorrelate dimensions and spread variance across
+    * subspaces so the same M × ksub budget quantizes with less error.
+    * Orthogonality preserves L2, so ADC distances in the rotated
+    * frame equal distances in the original one; codes-vs-codes SDC is
+    * unaffected (both sides rotated). Train with pqTrainOpq; pqAssign
+    * and the probes apply the rotation transparently. */
   final case class PqModel(numSubspaces: Int, subDim: Int,
-      codebooks: Seq[Seq[Seq[Double]]], residual: Boolean = false) {
+      codebooks: Seq[Seq[Seq[Double]]], residual: Boolean = false,
+      rotation: Option[Seq[Seq[Double]]] = None) {
     require(codebooks.length == numSubspaces,
       s"expected $numSubspaces codebooks, got ${codebooks.length}")
+    require(!(residual && rotation.isDefined),
+      "residual and rotation do not compose (the probe would need per-list " +
+        "rotated centroids) — pick one")
+    require(rotation.forall(r => r.length == numSubspaces * subDim &&
+        r.forall(_.length == numSubspaces * subDim)),
+      "rotation must be a dims x dims matrix")
     def dims: Int = numSubspaces * subDim
     /** Largest per-subspace codebook. Subspaces can be SMALLER than
       * the trainer's ksub (pqTrain shrinks a degenerate dim block to
@@ -477,8 +507,10 @@ object Similarity {
   /** Shared PQ training core over a single-column (`_n`) vector frame:
     * bounded deterministic sample (dup-probe + checkpoint, see the
     * pqTrain comment above) then per-subspace k-means. */
-  private def trainSubspaceCodebooks(vecFrame: DataFrame, numSubspaces: Int,
-      dsub: Int, ksub: Int, iters: Int, maxTrainRows: Int): Seq[Seq[Seq[Double]]] = {
+  /** The bounded deterministic sample both PQ trainers draw (see the
+    * pqTrain comment): checkpointed raw TakeOrdered window, full
+    * distinct only when the window observes duplication. */
+  private def boundedSample(vecFrame: DataFrame, maxTrainRows: Int): DataFrame = {
     val raw = vecFrame
       .orderBy(xxhash64(col("_n")), col("_n"))
       .limit(maxTrainRows)
@@ -486,13 +518,17 @@ object Similarity {
     val dupProbe = raw
       .select(count(lit(1)).as("_n_rows"), countDistinct(col("_n")).as("_n_dist"))
       .collect()(0)
-    val sample =
-      if (dupProbe.getLong(0) == dupProbe.getLong(1)) raw
-      else vecFrame
-        .distinct()
-        .orderBy(xxhash64(col("_n")), col("_n"))
-        .limit(maxTrainRows)
-        .localCheckpoint()
+    if (dupProbe.getLong(0) == dupProbe.getLong(1)) raw
+    else vecFrame
+      .distinct()
+      .orderBy(xxhash64(col("_n")), col("_n"))
+      .limit(maxTrainRows)
+      .localCheckpoint()
+  }
+
+  private def trainSubspaceCodebooks(vecFrame: DataFrame, numSubspaces: Int,
+      dsub: Int, ksub: Int, iters: Int, maxTrainRows: Int): Seq[Seq[Seq[Double]]] = {
+    val sample = boundedSample(vecFrame, maxTrainRows)
     (0 until numSubspaces).map { s =>
       val slices = sample.select(slice(col("_n"), s * dsub + 1, dsub).as("_e"))
       // a degenerate subspace (a constant or zero-padded dim block —
@@ -555,6 +591,135 @@ object Similarity {
       residual = true)
   }
 
+  /** y = R·v as a pure-HOF column (codebook-literal trade: R rides as
+    * a literal). A vector whose length does not match R yields NULL —
+    * zip_with would silently truncate into a partial product, the
+    * exact fake-near-match hazard the ADC kernel guards against. */
+  private def matVec(rot: Seq[Seq[Double]], v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(v) === rot.head.length,
+      transform(typedLit(rot),
+        row => aggregate(zip_with(row, v, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)))
+
+  /** Cyclic-Jacobi eigendecomposition of a symmetric matrix (driver
+    * side; the input is a D×D covariance, KBs at embedding dims).
+    * Returns (eigenvalues, eigenvectors-as-ROWS), unsorted. */
+  private def symmetricEigen(a: Array[Array[Double]]):
+      (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- 0 until n if i != j) s += m(i)(j) * m(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < 50 && offDiag() > 1e-18) {
+      for (p <- 0 until n - 1; q <- p + 1 until n if math.abs(m(p)(q)) > 1e-15) {
+        val theta = (m(q)(q) - m(p)(p)) / (2 * m(p)(q))
+        val t =
+          if (theta == 0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+        val c = 1 / math.sqrt(t * t + 1)
+        val s = t * c
+        var i = 0
+        while (i < n) {
+          val mip = m(i)(p); val miq = m(i)(q)
+          m(i)(p) = c * mip - s * miq
+          m(i)(q) = s * mip + c * miq
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          val mpi = m(p)(i); val mqi = m(q)(i)
+          m(p)(i) = c * mpi - s * mqi
+          m(q)(i) = s * mpi + c * mqi
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+          i += 1
+        }
+      }
+      sweep += 1
+    }
+    // columns of v are eigenvectors; return them as rows
+    (Array.tabulate(n)(i => m(i)(i)), Array.tabulate(n, n)((i, j) => v(j)(i)))
+  }
+
+  /** Train an OPQ-rotated PQ model (the parametric/PCA variant, public
+    * knowledge): PCA-rotate the normalized sample, allocate principal
+    * directions to subspaces balancing the per-subspace eigenvalue
+    * PRODUCT (greedy on the log-sum — the standard eigenvalue-
+    * allocation rule), and train the subspace codebooks in the
+    * rotated frame. Correlated dimensions that a fixed slicing would
+    * split across subspaces (quantizing the same variation twice,
+    * badly) land together, so the same M × ksub budget covers the
+    * data with less error — SimilaritySpec pins recall ≥ direct PQ at
+    * the same budget. The whole PCA runs driver-side over the SAME
+    * bounded sample the codebook training uses (maxTrainRows × D
+    * doubles, tens of MB at defaults); the rotation is persisted with
+    * the model and applied transparently by pqAssign and the probes. */
+  def pqTrainOpq(df: DataFrame, embCol: String, numSubspaces: Int,
+      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
+    require(numSubspaces >= 1, s"numSubspaces must be >= 1, got $numSubspaces")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub must be in [1, 256] (codes are byte-sized by design), got $ksub")
+    val dimRow = df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect()
+    require(dimRow.nonEmpty, "pqTrainOpq needs at least one non-empty embedding")
+    val dims = dimRow(0).getInt(0)
+    require(dims % numSubspaces == 0,
+      s"embedding dim $dims is not divisible into $numSubspaces subspaces")
+    val dsub = dims / numSubspaces
+    val normed = withNormalized(
+        df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
+      .select(col("_n"))
+    val sample = boundedSample(normed, maxTrainRows)
+    val xs = sample.collect().map(_.getSeq[Double](0).toArray)
+      .filter(_.length == dims)
+    require(xs.nonEmpty, "pqTrainOpq needs sample vectors at the probed dims")
+    // driver-side PCA over the bounded sample: mean-center, covariance,
+    // Jacobi eigendecomposition
+    val nRows = xs.length.toDouble
+    val mean = Array.tabulate(dims)(d => xs.iterator.map(_(d)).sum / nRows)
+    val cov = Array.ofDim[Double](dims, dims)
+    xs.foreach { x =>
+      var i = 0
+      while (i < dims) {
+        val xi = x(i) - mean(i)
+        var j = i
+        while (j < dims) { cov(i)(j) += xi * (x(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until dims; j <- i until dims) {
+      cov(i)(j) /= nRows; cov(j)(i) = cov(i)(j)
+    }
+    val (eigvals, eigvecs) = symmetricEigen(cov)
+    // eigenvalue allocation: visit directions by decreasing variance,
+    // always into the least-loaded (log-product) unfilled subspace
+    val order = eigvals.indices.sortBy(i => -eigvals(i))
+    val logs = Array.fill(numSubspaces)(0.0)
+    val buckets = Array.fill(numSubspaces)(List.empty[Int])
+    order.foreach { i =>
+      val open = (0 until numSubspaces).filter(buckets(_).length < dsub)
+      val mIdx = open.minBy(logs)
+      buckets(mIdx) = i :: buckets(mIdx)
+      logs(mIdx) += math.log(math.max(eigvals(i), 1e-12))
+    }
+    val rotation: Seq[Seq[Double]] =
+      buckets.toSeq.flatMap(_.reverse.map(i => eigvecs(i).toSeq))
+    val rotated = sample.select(matVec(rotation, col("_n")).as("_n"))
+    PqModel(numSubspaces, dsub,
+      trainSubspaceCodebooks(rotated, numSubspaces, dsub, ksub, iters, maxTrainRows),
+      residual = false, rotation = Some(rotation))
+  }
+
   /** Build a PqModel from explicit donor vectors (normalized, then
     * sliced per subspace; `codebooks(m)(i)` comes from `vectors(i)`)
     * — the externally-supplied-codebook path, and what makes the PQ
@@ -591,8 +756,14 @@ object Similarity {
         model.codebooks(s).zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
         .cast("smallint")
     }: _*)
-    withNormalized(df, embCol, "_pq_n")
-      .withColumn(codeCol, when(col(embCol).isNotNull, codes))
+    val normed = withNormalized(df, embCol, "_pq_n")
+    // OPQ rotation before slicing (see PqModel.rotation); a dims-
+    // mismatched vector rotates to NULL, hence a null code
+    val framed = model.rotation.fold(normed)(r =>
+      normed.withColumn("_pq_n", matVec(r, col("_pq_n"))))
+    framed
+      .withColumn(codeCol,
+        when(col(embCol).isNotNull && col("_pq_n").isNotNull, codes))
       .drop("_pq_n")
   }
 
@@ -670,10 +841,14 @@ object Similarity {
     // query (q̂ − ĉ_list), which against residual codebooks is exactly
     // ||q̂ − (ĉ + r̂)||² — the centroid added back at ADC time. A
     // per-list when-chain, nprobe branches, all inside codegen.
+    // OPQ model: the query rotates into the codebooks' frame driver-
+    // side (orthogonality preserves every distance being ranked).
     val adcExpr =
       if (!pq.residual)
         graft.functions.VectorExpressions.pq_adc(
-          typedLit(qn), col(codeCol), pq.codebooks)
+          typedLit(pq.rotation.fold(qn)(r =>
+            r.map(row => row.zip(qn).map { case (a, b) => a * b }.sum))),
+          col(codeCol), pq.codebooks)
       else {
         val cmap = codebook.toMap
         val shifted = cids.map { c =>
@@ -765,10 +940,12 @@ object Similarity {
           .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
       .filter(col("_r") <= nprobe)
       // residual model: "_qn" becomes the per-list shifted query
-      // (q̂ − ĉ_list) — downstream ADC scoring is identical either way
+      // (q̂ − ĉ_list); OPQ model: "_qn" rotates into the codebooks'
+      // frame — downstream ADC scoring is identical either way
       .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"),
         (if (pq.residual) zip_with(col("_qn"), col("_cn"), (a, b) => a - b)
-         else col("_qn")).as("_qn"), col("_cbid"))
+         else pq.rotation.fold(col("_qn"))(r => matVec(r, col("_qn"))))
+          .as("_qn"), col("_cbid"))
     val joined = broadcastProbes match {
       case Some(true)  => assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
       case Some(false) => assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))

@@ -517,6 +517,81 @@ class SimilaritySpec extends SparkSpecBase {
     aDirect.unpersist(); aRes.unpersist(); ivf.unpersist(); corpus.unpersist()
   }
 
+  test("OPQ rotation: recall >= direct at the same budget; rotation persists; full-width == brute force") {
+    import spark.implicits._
+    // the geometry OPQ exists for: two correlated variation directions
+    // (u, w) that each SPAN the fixed subspace slicing, so direct PQ
+    // quantizes the same (t, s) signal in every subspace — a 2-D grid
+    // per slice that ksub=4 cannot resolve — while the PCA rotation
+    // concentrates each direction into one subspace's coordinates.
+    val u = Seq.tabulate(dim)(d => if (d == 0) 0.0 else 1.0 / math.sqrt(7))
+    val w = Seq.tabulate(dim)(d =>
+      if (d == 0) 0.0 else (if (d % 2 == 0) -1.0 else 1.0) / math.sqrt(7))
+    val grid = for { ti <- 0 until 20; si <- 0 until 16 } yield {
+      val t = (ti - 10) / 10.0; val s = (si - 8) / 8.0
+      val e = Seq.tabulate(dim)(d =>
+        (if (d == 0) 10.0 else 0.0) + 1.5 * t * u(d) + 1.5 * s * w(d))
+      ((ti * 16 + si).toLong, e)
+    }
+    val corpus = grid.toDF("vec_id", "e").cache()
+    val cbk: Seq[(Long, Seq[Double])] =
+      Seq((0L, Seq.tabulate(dim)(d => if (d == 0) 10.0 else 0.0)))
+    val q = Seq.tabulate(dim)(d =>
+      (if (d == 0) 10.0 else 0.0) + 1.35 * u(d) + 1.05 * w(d))
+    val truth = Similarity.bruteForceTopK(corpus, "e", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val direct = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 4, iters = 3)
+    val opq = Similarity.pqTrainOpq(corpus, "e", numSubspaces = 4, ksub = 4, iters = 3)
+    assert(opq.rotation.isDefined && !opq.residual)
+    // the learned rotation is orthogonal: R R^T = I (what makes ADC in
+    // the rotated frame EQUAL every distance in the original one)
+    val r = opq.rotation.get
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RR^T[$i][$j] = $dot")
+    }
+    val ivf = Similarity.ivfAssign(corpus, cbk, "e").cache()
+    val aDirect = Similarity.pqAssign(ivf, "e", direct)
+    val aOpq = Similarity.pqAssign(ivf, "e", opq).cache()
+    def recallOf(assigned: org.apache.spark.sql.DataFrame, pq: Similarity.PqModel): Double =
+      recallAt10(Similarity.ivfPqProbe(assigned, "e", "vec_id", q, 10,
+        cbk, pq, nprobe = 1, rerank = 24)
+        .collect().map(_.getLong(0)).toSet, truth)
+    val rDirect = recallOf(aDirect, direct)
+    val rOpq = recallOf(aOpq, opq)
+    assert(rOpq >= rDirect,
+      s"OPQ recall ($rOpq) must be >= direct ($rDirect) at the same budget")
+    assert(rOpq >= 0.8 && rOpq - rDirect >= 0.5,
+      s"fixture must show the rotation win: direct=$rDirect opq=$rOpq")
+
+    // exact re-rank invariant: corpus-wide shortlist IS brute force
+    val full = Similarity.ivfPqProbe(aOpq, "e", "vec_id", q, 10,
+        cbk, opq, nprobe = 1, rerank = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == truth)
+
+    // batch probe rotates the query column identically
+    val probes = Seq((999L, q)).toDF("q_id", "qe")
+    val batch = Similarity.ivfPqProbeAll(aOpq, "e", "vec_id", probes, "q_id", "qe",
+        cbk, opq, k = 10, nprobe = 1, rerank = 24)
+      .collect().map(r2 => (r2.getLong(1), r2.getDouble(2))).toSeq
+    val solo = Similarity.ivfPqProbe(aOpq, "e", "vec_id", q, 10,
+        cbk, opq, nprobe = 1, rerank = 24)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
+    assert(batch == solo)
+
+    // rotation is model identity: persisted and read back intact
+    withTempDir("pq-opq") { dir =>
+      Similarity.writePqModel(spark, opq, dir.getAbsolutePath)
+      val back = Similarity.readPqModel(spark, dir.getAbsolutePath)
+      assert(back == opq && back.rotation == opq.rotation)
+    }
+    // residual + rotation do not compose — refused at construction
+    assert(intercept[IllegalArgumentException](
+      opq.copy(residual = true)).getMessage.contains("compose"))
+    aOpq.unpersist(); ivf.unpersist(); corpus.unpersist()
+  }
+
   test("codes-only index: rerankFrom probes a float-free index identically to in-frame") {
     import spark.implicits._
     val corpus = planted.cache()
