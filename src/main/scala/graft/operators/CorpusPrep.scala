@@ -124,7 +124,16 @@ object CorpusPrep {
     // scoring is row-local (TextStats.withBigramLogProb).
     lmModel: Option[TextStats.BigramLm] = None,
     minLmLogProb: Double = -8.0,
-    lmK: Double = 0.5)
+    lmK: Double = 0.5,
+    // OPT-IN stream-only approximation of the new-NEW near-dup tier:
+    // prepStream chains per-band dropDuplicatesWithinWatermark steps
+    // (Dedup.streamIntraBandDedup) between the digest tier and the
+    // standing-corpus tiers. Greedy arrival-order survivors, band-
+    // collision false positives (no exact verify is possible per-row),
+    // LSH-candidate recall — the honest trade vs the batch tier's
+    // verified cluster rule, documented on the operator. Batch paths
+    // refuse it: their exact-verified clustering already covers it.
+    intraNearDup: Boolean = false)
 
   private def normOf(cfg: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
@@ -210,6 +219,9 @@ object CorpusPrep {
     * `idCol` must be unique per row; `textCol` is the raw text. */
   def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config()): DataFrame = {
+    require(!cfg.intraNearDup,
+      "intraNearDup is the stream-only approximation — run()'s near-dup " +
+        "stage already clusters with exact verification")
     def observed(df: DataFrame, stage: String): DataFrame =
       cfg.metricPrefix.fold(df)(p =>
         df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
@@ -282,6 +294,9 @@ object CorpusPrep {
       "cutHotSpans is a full-run option: the incremental path would have to " +
         "re-scan the standing corpus's text for the span census, defeating its " +
         "O(batch) cost contract — pre-cut the standing corpus with run() instead")
+    require(!cfg.intraNearDup,
+      "intraNearDup is the stream-only approximation — runIncremental's " +
+        "near tier already verifies batch-internal candidates exactly")
     val gated = lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -315,10 +330,15 @@ object CorpusPrep {
     * `standingIndex` from Dedup.writeDedupIndex built over
     * `clean_text` to skip re-hashing the standing side —
     * `_cfg`-pinned like runIncremental). New-NEW near-dups inside
-    * the stream, and the other corpus-statistic stages (boilerplate
-    * census, clustering, decontamination), still need a corpus pass
-    * and stay batch-side: run `runIncremental` over the accumulated
-    * intake on whatever cadence the pipeline compacts. `tsCol` must
+    * the stream are left to the batch tier by default;
+    * `cfg.intraNearDup` opts into the approximate within-watermark
+    * band dedup (Dedup.streamIntraBandDedup — greedy arrival-order
+    * survivors, band-collision false positives, LSH-candidate
+    * recall; semantics documented there). The other corpus-statistic
+    * stages (boilerplate census, clustering, decontamination) still
+    * need a corpus pass and stay batch-side: run `runIncremental`
+    * over the accumulated intake on whatever cadence the pipeline
+    * compacts. `tsCol` must
     * be a TimestampType event-time column. Output: Append-mode
     * survivors with `clean_text` appended. */
   def prepStream(docs: DataFrame, textCol: String, tsCol: String,
@@ -390,10 +410,19 @@ object CorpusPrep {
         .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)
         .drop("_lm_n", "_lm_lp")
     }
-    val within = lmGated
+    val exact = lmGated
       .withColumn("_digest", md5(col("clean_text")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_digest")
+    // opt-in new-NEW tier BEFORE the standing filters: a stream doc
+    // that near-dups standing content must still seed the intra state
+    // (its own later twins belong to the same cluster the batch rule
+    // would collapse), which chained dedup gets right exactly when it
+    // runs upstream of the standing drop
+    val within =
+      if (!cfg.intraNearDup) exact
+      else Dedup.streamIntraBandDedup(exact, "clean_text",
+        cfg.shingleN, cfg.numHashes, cfg.rowsPerBand)
     standing match {
       case None => (within.drop("_digest"), new StreamCaches(Nil))
       case Some(st) =>

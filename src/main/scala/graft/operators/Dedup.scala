@@ -581,6 +581,53 @@ object Dedup {
     * mode disallows without state); a row survives when NO probed
     * band member verifies. Same verify expression as the batch tier:
     * exact Jaccard over the shared shingle kernel. */
+  /** WITHIN-STREAM near-dup approximation — the opt-in stand-in for
+    * the new-NEW tier that `streamNearDupFilter` (new-vs-STANDING)
+    * deliberately leaves to the batch pass. Each row's B =
+    * numHashes/rowsPerBand LSH band keys are computed map-side, then
+    * the stream runs B chained `dropDuplicatesWithinWatermark` steps,
+    * one per band INDEX: a row is dropped when band i matches a
+    * surviving earlier row's band i inside the watermark horizon.
+    *
+    * Honest semantics vs the batch tier, for the caller to weigh:
+    *  - GREEDY ARRIVAL-ORDER survivors, not the cluster rule: the
+    *    batch tier clusters transitively then keeps min-id (or
+    *    keepPreference); here the first arrival of each band wins and
+    *    there is no cluster, so survivor identity differs even when
+    *    the surviving CONTENT set matches.
+    *  - FALSE-POSITIVE drops are possible: the batch tier verifies
+    *    every band candidate with exact Jaccard; a per-row stream
+    *    cannot see the other doc's shingles, so a band collision
+    *    between genuinely dissimilar docs (probability ~ j^rowsPerBand
+    *    per band at actual similarity j, summed over B bands) drops a
+    *    doc the batch tier would keep. Raise rowsPerBand to buy
+    *    precision with recall, exactly like batch LSH tuning.
+    *  - RECALL is the LSH candidate recall: a true near-dup pair
+    *    sharing no band survives, and pairs straddling the watermark
+    *    horizon are never compared.
+    * State: B stores, each watermark-horizon × distinct band values.
+    * A row whose text is too short to carry a signature (fewer than
+    * shingleN words) gets a content-salted key instead, so signature-
+    * less rows never collapse onto one shared empty-band value —
+    * exact same-content twins are the digest tier's job, not ours. */
+  def streamIntraBandDedup(stream: DataFrame, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    val nb = numHashes / rowsPerBand
+    val withSig = stream.withColumn("_ihs",
+      graft.functions.TextExpressions.minhash_sig(col(textCol), shingleN, numHashes))
+    val bandCols = bandKeyCols(i => element_at(col("_ihs"), i + 1),
+      numHashes, rowsPerBand)
+    val withBands = (0 until nb).foldLeft(withSig)((d, i) =>
+      d.withColumn(s"_ib$i",
+        when(size(col("_ihs")) === numHashes, bandCols(i))
+          .otherwise(md5(concat(lit(s"graft-nosig-$i|"), col(textCol))))))
+    val deduped = (0 until nb).foldLeft(withBands)((d, i) =>
+      d.dropDuplicatesWithinWatermark(s"_ib$i"))
+    deduped.drop((0 until nb).map(i => s"_ib$i") :+ "_ihs": _*)
+  }
+
   def streamNearDupFilter(stream: DataFrame, textCol: String, lookup: DataFrame,
       shingleN: Int = 3, minJaccard: Double = 0.8,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {

@@ -305,6 +305,61 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("intraNearDup drops within-stream band twins; off by default; short docs never collide") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1 and 2 are near-dups of each other (one word appended — they
+    // share LSH bands at the default config); 3 is dissimilar; 4/5 are
+    // DIFFERENT signature-less short docs (fewer words than shingleN)
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "2026-01-01 00:00:02", "the quick brown fox jumps over the lazy dog again and again today okay"),
+      (3L, "2026-01-01 00:00:03", "a completely different report about quarterly revenue and planning"),
+      (4L, "2026-01-01 00:00:04", "tiny doc"),
+      (5L, "2026-01-01 00:00:05", "other stub"))
+      .toDF("doc_id", "ts", "text")
+      .withColumn("ts", to_timestamp(col("ts")))
+    // batch truth at the same knobs: 1/2 collapse, everything else stays
+    val batchKept = graft.operators.CorpusPrep.run(intake.drop("ts"),
+        cfg = graft.operators.CorpusPrep.Config(minChars = 5))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchKept == Set(1L, 3L, 4L, 5L))
+    def runStream(cfg: graft.operators.CorpusPrep.Config, name: String): Set[Long] =
+      withTempDir(s"prep-stream-$name") { dir =>
+        intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+          .parquet(dir.getAbsolutePath)
+        val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts", cfg)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("memory").queryName(s"prep_stream_$name")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        spark.sql(s"SELECT doc_id FROM prep_stream_$name")
+          .collect().map(_.getLong(0)).toSet
+      }
+    val off = runStream(graft.operators.CorpusPrep.Config(minChars = 5), "intra_off")
+    assert(off == Set(1L, 2L, 3L, 4L, 5L),
+      s"without intraNearDup the stream keeps both twins: $off")
+    val on = runStream(graft.operators.CorpusPrep.Config(minChars = 5,
+      intraNearDup = true), "intra_on")
+    // survivor IDENTITY among same-batch twins is shuffle-arbitrary
+    // (the documented greedy-arrival rule degenerates inside one
+    // micro-batch, same as the digest tier) — the surviving CONTENT
+    // set is what the tier guarantees: exactly one of the twins, and
+    // the short docs must not collapse onto a shared empty-signature
+    // band
+    assert(on.intersect(Set(1L, 2L)).size == 1 && Set(3L, 4L, 5L).subsetOf(on) &&
+      on.size == batchKept.size, s"intra tier should drop one twin: $on")
+    // batch paths refuse the stream-only flag instead of ignoring it
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.CorpusPrep.run(intake.drop("ts"),
+        cfg = graft.operators.CorpusPrep.Config(intraNearDup = true))
+    }.getMessage.contains("stream-only"))
+  }
+
   test("heavy-hitters sketch aggregates over a stream (state-store round-trip) with batch parity") {
     import org.apache.spark.sql.functions._
     // Complete mode over AvailableNow: every group's final sketch is
