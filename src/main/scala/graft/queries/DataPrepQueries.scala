@@ -36,6 +36,65 @@ object DataPrepQueries {
     shdoc AS (SELECT doc_id, source, $shinglesSqlArr AS shs FROM documents),
     sh AS (SELECT doc_id, source, unnest(shs) AS sh FROM shdoc)"""
 
+  /** Shared oracle text for q90/q93/q94 — the fixed-donor IVF-PQ
+    * probe replay. q93 (codes-only index + rerankFrom) and q94 (a
+    * fixed reversal rotation) are engineered to produce EXACTLY this
+    * output: q93's list scan never reads floats but re-ranks the same
+    * shortlist from the primary store; q94 reverses the dims of both
+    * the donors and (via the rotation) every coded vector and query,
+    * and squared distances are invariant under a common permutation —
+    * so any ASYMMETRIC application of the rotation (query not
+    * rotated, codes rotated twice, subspace misalignment) breaks the
+    * hash match while a correct one reproduces the unrotated replay
+    * bit-for-bit. */
+  private val ivfPqProbeOracle: String = """
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT cid - 1 AS did,
+                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
+                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
+            FROM c),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      codes AS (SELECT vec_id, s, did AS code FROM (
+                  SELECT n.vec_id, sub.s, d.did,
+                         row_number() OVER (PARTITION BY n.vec_id, sub.s
+                           ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> power(n.ne[sub.s * 16 + i] - d.dn[sub.s * 16 + i], 2))),
+                           d.did) AS rn
+                  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN d)
+                WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, e AS qe, ne AS qn FROM n WHERE vec_id IN (0, 100, 200)),
+      probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      adc AS (SELECT qid, qe, vec_id,
+                     sum(list_sum(list_transform(range(1, 17),
+                       i -> power(qn[s * 16 + i] - dn[s * 16 + i], 2)))) AS adist
+              FROM (SELECT p.qid, p.qe, p.qn, cd.vec_id, cd.s, d.dn
+                    FROM probe p
+                      JOIN assign a ON a.cid = p.cid
+                      JOIN codes cd ON cd.vec_id = a.vec_id
+                      JOIN d ON d.did = cd.code
+                    WHERE a.vec_id <> p.qid)
+              GROUP BY qid, qe, vec_id),
+      short AS (SELECT qid, qe, vec_id FROM adc
+                QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
+      scored AS (SELECT s.qid, s.vec_id,
+                        round(list_inner_product(e.e, s.qe)
+                          / (sqrt(list_inner_product(e.e, e.e))
+                             * sqrt(list_inner_product(s.qe, s.qe))), 4) AS cos
+                 FROM short s JOIN e ON e.vec_id = s.vec_id)
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup stats: content-hash groupBy (one shuffle on digest).
@@ -1277,53 +1336,7 @@ object DataPrepQueries {
     // normalize, per-subspace argmin codes, ADC, shortlist, re-rank —
     // oracle-replayable with no k-means on the DuckDB side; the
     // k-means-trained PQ path is pinned by SimilaritySpec instead.
-    QueryDef("q90_ivf_pq_probe", Some("""
-      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
-                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-      d AS (SELECT cid - 1 AS did,
-                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
-                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
-            FROM c),
-      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
-      n AS (SELECT vec_id, e,
-                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
-                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
-            FROM e),
-      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
-                 FROM e CROSS JOIN c GROUP BY e.vec_id),
-      codes AS (SELECT vec_id, s, did AS code FROM (
-                  SELECT n.vec_id, sub.s, d.did,
-                         row_number() OVER (PARTITION BY n.vec_id, sub.s
-                           ORDER BY list_sum(list_transform(range(1, 17),
-                             i -> power(n.ne[sub.s * 16 + i] - d.dn[sub.s * 16 + i], 2))),
-                           d.did) AS rn
-                  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN d)
-                WHERE rn = 1),
-      q AS (SELECT vec_id AS qid, e AS qe, ne AS qn FROM n WHERE vec_id IN (0, 100, 200)),
-      probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
-                QUALIFY row_number() OVER (PARTITION BY q.qid
-                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
-      adc AS (SELECT qid, qe, vec_id,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> power(qn[s * 16 + i] - dn[s * 16 + i], 2)))) AS adist
-              FROM (SELECT p.qid, p.qe, p.qn, cd.vec_id, cd.s, d.dn
-                    FROM probe p
-                      JOIN assign a ON a.cid = p.cid
-                      JOIN codes cd ON cd.vec_id = a.vec_id
-                      JOIN d ON d.did = cd.code
-                    WHERE a.vec_id <> p.qid)
-              GROUP BY qid, qe, vec_id),
-      short AS (SELECT qid, qe, vec_id FROM adc
-                QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
-      scored AS (SELECT s.qid, s.vec_id,
-                        round(list_inner_product(e.e, s.qe)
-                          / (sqrt(list_inner_product(e.e, e.e))
-                             * sqrt(list_inner_product(s.qe, s.qe))), 4) AS cos
-                 FROM short s JOIN e ON e.vec_id = s.vec_id)
-      SELECT qid, vec_id, cos,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""),
+    QueryDef("q90_ivf_pq_probe", Some(ivfPqProbeOracle),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
@@ -1494,6 +1507,73 @@ object DataPrepQueries {
               col("_ca"), col("_cb"), pq.codebooks), 4).as("approx"),
             col("cos"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // Codes-only persisted-index probe (rerankFrom): the SAME q90
+    // pipeline, but the "index" frame carries (id, cid, code) ONLY —
+    // no float column anywhere in the list scan — and the exact
+    // re-rank joins the rerank shortlist back to the primary store by
+    // id. The output must be BIT-IDENTICAL to q90's oracle replay:
+    // dropping the floats from the scan is a storage change, never a
+    // result change. This is the 100 TB index shape (M bytes/row).
+    QueryDef("q93_pq_codes_only_probe", Some(ivfPqProbeOracle),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val donors = cents.orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+        val pq = graft.operators.Similarity.pqFromVectors(donors, numSubspaces = 4)
+        val codesOnly = graft.operators.Similarity.pqAssign(
+            graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", pq)
+          .select("vec_id", "cid", "pq_code")
+        val queries = others.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        graft.operators.Similarity.ivfPqProbeAll(
+            codesOnly, "e", "vec_id", queries, "qid", "e", codebook, pq,
+            k = 5, nprobe = 2, rerank = 20, excludeSelf = true,
+            rerankFrom = Some(others.select("vec_id", "e")))
+          .orderBy("qid", "rank")
+      }),
+
+    // OPQ rotation probe under a FIXED reversal rotation: the model
+    // codes dim-REVERSED vectors against dim-reversed donors, and the
+    // probes rotate each query the same way. Squared distances are
+    // invariant under a common permutation, so per-subspace code
+    // assignment, the ADC shortlist, and the exact top-k all replay
+    // to EXACTLY q90's unrotated oracle output — while any asymmetric
+    // rotation bug (query left unrotated, double rotation, subspace
+    // misalignment) breaks the hash. The PCA-learned-rotation path is
+    // pinned by SimilaritySpec; this row pins rotation APPLICATION.
+    QueryDef("q94_opq_rotation_probe", Some(ivfPqProbeOracle),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val donors = cents.orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+        val dims = donors.head.length
+        val reversal: Seq[Seq[Double]] = (0 until dims).map(i =>
+          Seq.tabulate(dims)(j => if (j == dims - 1 - i) 1.0 else 0.0))
+        val pq = graft.operators.Similarity.pqFromVectors(
+            donors.map(_.reverse), numSubspaces = 4)
+          .copy(rotation = Some(reversal))
+        val queries = others.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        graft.operators.Similarity.ivfPqProbeAll(
+            graft.operators.Similarity.pqAssign(
+              graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", pq),
+            "e", "vec_id", queries, "qid", "e", codebook, pq,
+            k = 5, nprobe = 2, rerank = 20, excludeSelf = true)
+          .orderBy("qid", "rank")
       })
   )
 }
