@@ -166,6 +166,32 @@ object ScaleSmoke {
         "e", "vec_id", query, 10, codebook, pqModel, nprobe = 4, rerank = 64,
         rerankFrom = Some(embD)).count()
     }
+    // residual encoding: same train/assign/probe shapes plus one
+    // KB-sized broadcast centroid join at assign time
+    var resModel: Similarity.PqModel = null
+    timed("ann_pq_train_residual(m=8,k=16,2it)") {
+      resModel = Similarity.pqTrainResidual(embD, "e", codebook,
+        numSubspaces = 8, ksub = 16, iters = 2, maxTrainRows = 20000)
+      resModel.numSubspaces.toLong
+    }
+    timed("ann_pq_assign_residual+probe") {
+      val aRes = Similarity.pqAssignResidual(assigned, "e", codebook, resModel)
+      Similarity.ivfPqProbe(aRes, "e", "vec_id", query, 10, codebook,
+        resModel, nprobe = 4, rerank = 64).count()
+    }
+    // OPQ: driver-side PCA over the bounded sample + rotated coding;
+    // probes rotate the query, so plan shape matches the direct path
+    var opqModel: Similarity.PqModel = null
+    timed("ann_pq_train_opq(m=8,k=16,2it)") {
+      opqModel = Similarity.pqTrainOpq(embD, "e",
+        numSubspaces = 8, ksub = 16, iters = 2, maxTrainRows = 20000)
+      opqModel.numSubspaces.toLong
+    }
+    timed("ann_pq_assign_opq+probe") {
+      val aOpq = Similarity.pqAssign(assigned, "e", opqModel)
+      Similarity.ivfPqProbe(aOpq, "e", "vec_id", query, 10, codebook,
+        opqModel, nprobe = 4, rerank = 64).count()
+    }
     timed("ann_ivf_pq_probe_all(shuffle, 1% batch)") {
       Similarity.ivfPqProbeAll(pqAssigned, "e", "vec_id",
         pqAssigned.filter(col("vec_id") % 100 === 7)

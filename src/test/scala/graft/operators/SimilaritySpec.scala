@@ -248,6 +248,16 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(slack == raw)
 
+    // an OPQ-rotated model composes with pair search (rotation
+    // preserves dots and norms, so SDC in the rotated frame scores the
+    // same reconstruction cosines); at slack margin the pair set and
+    // the exact scores still equal the raw variant
+    val opq = Similarity.pqTrainOpq(corpus, "e", numSubspaces = 4, ksub = 16, iters = 3)
+    val slackOpq = Similarity.nearDupPairsIvfPq(corpus, "e", "vec_id", codebook, opq,
+        minCosine = 0.9999, nprobe = 2, sdcMargin = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(slackOpq == raw)
+
     // a practical margin may only REMOVE pairs (prefilter is a
     // subset), never change a surviving pair's exact score; on this
     // corpus ksub=16 quantization keeps every near-1.0 pair
