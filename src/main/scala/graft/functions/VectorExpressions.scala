@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.GraftBridge
 
@@ -130,6 +130,30 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** y = R·v, with R's rows as array<array<double>>. Sums each row's
+    * products left-to-right (same order as the HOF formulation and
+    * the driver-side query rotation, so rotated values are
+    * bit-identical across all three). A row whose length differs
+    * from v is the truncated-product hazard: return null — the
+    * caller's rotated column (and hence its code) goes NULL instead
+    * of silently wrong. */
+  def matVec(rot: ArrayData, v: ArrayData): ArrayData = {
+    val xs = v.toDoubleArray()
+    val n = rot.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = rot.getArray(i).toDoubleArray()
+      if (row.length != xs.length) return null
+      var s = 0.0
+      var j = 0
+      while (j < row.length) { s += row(j) * xs(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
     * formulation divides by zero the same way). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -187,6 +211,29 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** `mat_vec(rot, v)` -> R·v with the rotation riding as an
+  * array<array<double>> literal (the OPQ hot path: coding every
+  * corpus row applies the rotation once per row, so it must be one
+  * compiled D×D loop, not D interpreted HOF folds). NULL on a
+  * row/vector length mismatch — never a truncated product. */
+case class MatVec(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ArrayType(DoubleType)), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(r: Any, v: Any): Any =
+    VectorOps.matVec(r.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, v) => s"""
+      ${ev.value} = graft.functions.VectorOps.matVec($r, $v);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MatVec =
+    copy(left = l, right = r)
+  override def prettyName: String = "mat_vec"
 }
 
 /** `pq_adc(query, codes, codebooks)` -> approximate squared L2 of a
@@ -260,6 +307,13 @@ object VectorExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Rotation-literal y = R·v (see MatVec). */
+  def mat_vec(rot: Seq[Seq[Double]], v: Column): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(MatVec(GraftBridge.expression(typedLit(rot)),
+      GraftBridge.expression(v)))
+  }
 
   /** Codebook-literal ADC scoring (see PqAdc). `codes` must be
     * array<int>-castable; `codebooks(m)(code)` is the dsub-dim

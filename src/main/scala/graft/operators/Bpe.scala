@@ -324,8 +324,13 @@ object Bpe {
       finally in.close()
     // skip ONLY the '#version' header (standard readers do the same),
     // not every '#'-prefixed line: a merge whose left symbol starts
-    // with '#' (code/hashtag corpora) is real data, and dropping it
-    // would silently shift all later ranks and change segmentation
+    // with '#' (code/hashtag corpora — including the bare-'#' left of
+    // ('#','i'), which writes as '# i') is real data, and dropping it
+    // would silently shift all later ranks and change segmentation.
+    // The format carries NO comments beyond the header, so a
+    // hand-added two-token '# note' line is out of spec and reads as
+    // the merge ('#','note'); lines of any other shape fail the
+    // 'left right' require below loudly.
     val pairs = lines
       .filterNot(l => l.startsWith("#version") || l.trim.isEmpty)
       .zipWithIndex

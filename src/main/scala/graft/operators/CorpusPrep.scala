@@ -354,8 +354,14 @@ object CorpusPrep {
     * session dies) — call `unpersist()` when the stream is done, or
     * `releaseOnTermination(query)` right after `start()` to have a
     * StreamingQueryListener do it the moment the query terminates
-    * (then deregister itself). A stream built WITHOUT a standing
-    * corpus holds no caches and the handle is a no-op. */
+    * CLEANLY (then deregister itself). A FAILED termination keeps the
+    * caches: the common move is a checkpoint restart reusing the same
+    * prepared frame, which needs them — release an abandoned failed
+    * stream with `unpersist()`. The registration also settles the
+    * already-terminated race: a query that died before the listener
+    * attached is handled by a direct isActive check. A stream built
+    * WITHOUT a standing corpus holds no caches and the handle is a
+    * no-op. */
   final class StreamCaches private[CorpusPrep] (
       private[graft] val frames: Seq[DataFrame]) {
     def unpersist(): Unit = frames.foreach { f => f.unpersist(); () }
@@ -365,15 +371,33 @@ object CorpusPrep {
       val spark = frames.head.sparkSession
       val qid = query.id
       import org.apache.spark.sql.streaming.StreamingQueryListener
-      spark.streams.addListener(new StreamingQueryListener {
+      val listener: StreamingQueryListener = new StreamingQueryListener {
         override def onQueryStarted(
             e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
             e: StreamingQueryListener.QueryProgressEvent): Unit = ()
         override def onQueryTerminated(
             e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == qid) { unpersist(); spark.streams.removeListener(this) }
-      })
+          if (e.id == qid) {
+            // release only on CLEAN termination: a FAILED query is
+            // commonly restarted from its checkpoint with the same
+            // prepared frame, and unpersisting here would silently
+            // demote every post-restart micro-batch to a full
+            // standing-corpus re-scan. An abandoned failed stream
+            // releases via unpersist() explicitly.
+            if (e.exception.isEmpty) unpersist()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+      // the query may have terminated in the gap before addListener —
+      // that event was posted already and will never reach us. isActive
+      // turns false only at termination, so one check settles it
+      // directly (double unpersist/removeListener are no-ops).
+      if (!query.isActive) {
+        if (query.exception.isEmpty) unpersist()
+        spark.streams.removeListener(listener)
+      }
     }
   }
 

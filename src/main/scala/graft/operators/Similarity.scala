@@ -504,10 +504,7 @@ object Similarity {
       trainSubspaceCodebooks(normed, numSubspaces, dsub, ksub, iters, maxTrainRows))
   }
 
-  /** Shared PQ training core over a single-column (`_n`) vector frame:
-    * bounded deterministic sample (dup-probe + checkpoint, see the
-    * pqTrain comment above) then per-subspace k-means. */
-  /** The bounded deterministic sample both PQ trainers draw (see the
+  /** The bounded deterministic sample every PQ trainer draws (see the
     * pqTrain comment): checkpointed raw TakeOrdered window, full
     * distinct only when the window observes duplication. */
   private def boundedSample(vecFrame: DataFrame, maxTrainRows: Int): DataFrame = {
@@ -519,13 +516,20 @@ object Similarity {
       .select(count(lit(1)).as("_n_rows"), countDistinct(col("_n")).as("_n_dist"))
       .collect()(0)
     if (dupProbe.getLong(0) == dupProbe.getLong(1)) raw
-    else vecFrame
-      .distinct()
-      .orderBy(xxhash64(col("_n")), col("_n"))
-      .limit(maxTrainRows)
-      .localCheckpoint()
+    else {
+      // the probe window is superseded — release its checkpoint blocks
+      // now instead of waiting for driver GC of the orphaned frame
+      raw.unpersist()
+      vecFrame
+        .distinct()
+        .orderBy(xxhash64(col("_n")), col("_n"))
+        .limit(maxTrainRows)
+        .localCheckpoint()
+    }
   }
 
+  /** Shared PQ training core over a single-column (`_n`) vector frame:
+    * bounded deterministic sample, then per-subspace k-means. */
   private def trainSubspaceCodebooks(vecFrame: DataFrame, numSubspaces: Int,
       dsub: Int, ksub: Int, iters: Int, maxTrainRows: Int): Seq[Seq[Seq[Double]]] = {
     val sample = boundedSample(vecFrame, maxTrainRows)
@@ -578,6 +582,9 @@ object Similarity {
     require(dims % numSubspaces == 0,
       s"embedding dim $dims is not divisible into $numSubspaces subspaces")
     val dsub = dims / numSubspaces
+    require(codebook.forall(_._2.length == dims),
+      s"coarse centroid dims != embedding dims ($dims) — residuals would " +
+        "truncate or null-pad instead of failing loudly")
     val spark = df.sparkSession
     val residuals = withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_nv")
@@ -591,15 +598,14 @@ object Similarity {
       residual = true)
   }
 
-  /** y = R·v as a pure-HOF column (codebook-literal trade: R rides as
-    * a literal). A vector whose length does not match R yields NULL —
-    * zip_with would silently truncate into a partial product, the
-    * exact fake-near-match hazard the ADC kernel guards against. */
+  /** y = R·v through the compiled mat_vec kernel (R rides as a
+    * literal — the codebook-literal trade; one tight D×D loop per
+    * row, which matters because OPQ assign rotates EVERY corpus row).
+    * A vector whose length does not match R's rows yields NULL — a
+    * truncated product is the exact fake-near-match hazard the ADC
+    * kernel guards against. */
   private def matVec(rot: Seq[Seq[Double]], v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(size(v) === rot.head.length,
-      transform(typedLit(rot),
-        row => aggregate(zip_with(row, v, (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)))
+    graft.functions.VectorExpressions.mat_vec(rot, v)
 
   /** Cyclic-Jacobi eigendecomposition of a symmetric matrix (driver
     * side; the input is a D×D covariance, KBs at embedding dims).
@@ -783,6 +789,9 @@ object Similarity {
       "pqAssignResidual needs a residual model (pqTrainResidual); direct " +
         "models assign with pqAssign")
     require(codebook.nonEmpty, "pqAssignResidual needs the coarse codebook")
+    require(codebook.forall(_._2.length == model.dims),
+      s"coarse centroid dims != PqModel dims (${model.dims}) — the residual " +
+        "subtraction would truncate or null-pad instead of failing loudly")
     require(assigned.columns.contains(cidCol),
       s"pqAssignResidual needs the inverted-list column '$cidCol' — run ivfAssign first")
     val codes = array((0 until model.numSubspaces).map { s =>
@@ -831,6 +840,9 @@ object Similarity {
     // near-arbitrary results instead of a loud failure
     require(query.length == pq.dims,
       s"query has ${query.length} dims but the PqModel codes ${pq.dims}")
+    require(!pq.residual || codebook.forall(_._2.length == pq.dims),
+      s"coarse centroid dims != PqModel dims (${pq.dims}) — the residual " +
+        "query shift would silently truncate")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
     val cids = rankInvertedLists(codebook, query).take(nprobe)
@@ -910,6 +922,9 @@ object Similarity {
       rerankFrom: Option[DataFrame] = None): DataFrame = {
     require(codebook.nonEmpty, "ivfPqProbeAll needs the coarse codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(!pq.residual || codebook.forall(_._2.length == pq.dims),
+      s"coarse centroid dims != PqModel dims (${pq.dims}) — the residual " +
+        "query shift would silently null-pad")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
     val spark = assigned.sparkSession

@@ -318,6 +318,29 @@ class BpeSpec extends SparkSpecBase {
       }
       assert(err.getMessage.contains("#version"))
     }
+    // the bare-'#' left merge — the ADVICE's exact case — writes as
+    // '# i' and round-trips as data (the format carries no comments
+    // beyond the header, so that line is unambiguous BY CONTRACT)
+    val bareHash = Seq((0, "#", "i", "#i", 1L))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+    withTempDir("bpe-merges-barehash") { dir =>
+      val f = new java.io.File(dir, "m.txt").getAbsolutePath
+      Bpe.writeMergesText(bareHash, f)
+      val back = Bpe.readMergesText(spark, f)
+      assert(back.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+        Seq((0, "#", "i")))
+    }
+    // an out-of-spec comment of any OTHER shape still fails loudly
+    withTempDir("bpe-merges-badline") { dir =>
+      val f = new java.io.File(dir, "m.txt")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try { w.println("#version: 0.2"); w.println("# a longer note"); w.println("a b") }
+      finally w.close()
+      val err = intercept[IllegalArgumentException] {
+        Bpe.readMergesText(spark, f.getAbsolutePath)
+      }
+      assert(err.getMessage.contains("left right"))
+    }
   }
 
   test("symbols with quotes and backslashes survive the merge literal") {

@@ -257,6 +257,15 @@ class SimilaritySpec extends SparkSpecBase {
         minCosine = 0.9999, nprobe = 2, sdcMargin = 2.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(slackOpq == raw)
+    // ...and at a PRACTICAL margin the SDC prefilter actually scores
+    // rotated-frame codes: a rotation mishandled on one side would
+    // tank this recall, which the slack case alone cannot see
+    val practicalOpq = Similarity.nearDupPairsIvfPq(corpus, "e", "vec_id", codebook, opq,
+        minCosine = 0.9999, nprobe = 2, sdcMargin = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(practicalOpq.subsetOf(raw))
+    assert(practicalOpq.size >= math.ceil(raw.size * 0.9).toInt,
+      s"rotated SDC prefilter recall too low: ${practicalOpq.size} of ${raw.size}")
 
     // a practical margin may only REMOVE pairs (prefilter is a
     // subset), never change a surviving pair's exact score; on this

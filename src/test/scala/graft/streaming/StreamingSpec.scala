@@ -297,6 +297,20 @@ class StreamingSpec extends SparkSpecBase {
         System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(caches.frames.forall(_.storageLevel == StorageLevel.NONE),
         "standing-corpus caches must be unpersisted after stream termination")
+      // the already-terminated race: registering AFTER the query died
+      // must still release (the termination event can never arrive)
+      val (frame2, caches2) = graft.operators.CorpusPrep.prepStreamWithCaches(
+        stream, "text", "ts", cfg, standing = Some(standing))
+      assert(caches2.frames.forall(_.storageLevel != StorageLevel.NONE))
+      val q2 = frame2.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_caches2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination(120000)
+      caches2.releaseOnTermination(q2) // query already terminated
+      assert(caches2.frames.forall(_.storageLevel == StorageLevel.NONE),
+        "late registration must settle directly via the isActive check")
       // a stream without a standing corpus holds no caches at all
       val (_, none) = graft.operators.CorpusPrep.prepStreamWithCaches(
         stream, "text", "ts", cfg)
