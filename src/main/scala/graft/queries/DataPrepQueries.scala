@@ -95,6 +95,65 @@ object DataPrepQueries {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
       FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""
 
+  /** Shared oracle text for q92/q96 — the fixed-donor PQ pair-search
+    * replay (SDC approx + exact cosine). q96 runs the same pipeline
+    * under a fixed reversal ROTATION: codes assign against reversed
+    * donors from reversed vectors, and SDC dot tables are dot
+    * products of rotated centroids — all invariant under a common
+    * permutation — so a correct (symmetric) rotation reproduces this
+    * replay bit-for-bit while a one-sided application breaks the
+    * hash. */
+  private val pqPairSearchOracle: String = """
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT cid - 1 AS did,
+                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
+                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
+            FROM c),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      codes AS (SELECT vec_id, s, did AS code FROM (
+                  SELECT n.vec_id, sub.s, d.did,
+                         row_number() OVER (PARTITION BY n.vec_id, sub.s
+                           ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> power(n.ne[sub.s * 16 + i] - d.dn[sub.s * 16 + i], 2))),
+                           d.did) AS rn
+                  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN d)
+                WHERE rn = 1),
+      buck AS (SELECT e.vec_id, c.cid FROM e CROSS JOIN c
+               QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.e, c.ce), c.cid) <= 2),
+      p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      sdc AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+                     sum(list_sum(list_transform(range(1, 17),
+                       i -> da.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i]))) AS dot,
+                     sum(list_sum(list_transform(range(1, 17),
+                       i -> da.dn[ca.s * 16 + i] * da.dn[ca.s * 16 + i]))) AS na,
+                     sum(list_sum(list_transform(range(1, 17),
+                       i -> db.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i]))) AS nb
+              FROM p
+                JOIN codes ca ON ca.vec_id = p.id_a
+                JOIN codes cb ON cb.vec_id = p.id_b AND cb.s = ca.s
+                JOIN d da ON da.did = ca.code
+                JOIN d db ON db.did = cb.code
+              GROUP BY 1, 2),
+      scored AS (SELECT p.id_a, p.id_b,
+                        round(s.dot / (sqrt(s.na) * sqrt(s.nb)), 4) AS approx,
+                        round(list_inner_product(ea.e, eb.e)
+                          / (sqrt(list_inner_product(ea.e, ea.e))
+                             * sqrt(list_inner_product(eb.e, eb.e))), 4) AS cos
+                 FROM p
+                   JOIN sdc s ON s.id_a = p.id_a AND s.id_b = p.id_b
+                   JOIN e ea ON ea.vec_id = p.id_a
+                   JOIN e eb ON eb.vec_id = p.id_b)
+      SELECT id_a, id_b, approx, cos FROM scored
+      WHERE cos >= 0.35 ORDER BY id_a, id_b"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup stats: content-hash groupBy (one shuffle on digest).
@@ -1433,56 +1492,7 @@ object DataPrepQueries {
     // SDC kernel's values themselves (reconstruction cosine straight
     // from the codebook) against DuckDB's replay of code assignment +
     // per-subspace centroid products.
-    QueryDef("q92_ivf_pq_neardup", Some("""
-      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
-                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-      d AS (SELECT cid - 1 AS did,
-                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
-                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
-            FROM c),
-      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
-      n AS (SELECT vec_id, e,
-                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
-                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
-            FROM e),
-      codes AS (SELECT vec_id, s, did AS code FROM (
-                  SELECT n.vec_id, sub.s, d.did,
-                         row_number() OVER (PARTITION BY n.vec_id, sub.s
-                           ORDER BY list_sum(list_transform(range(1, 17),
-                             i -> power(n.ne[sub.s * 16 + i] - d.dn[sub.s * 16 + i], 2))),
-                           d.did) AS rn
-                  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN d)
-                WHERE rn = 1),
-      buck AS (SELECT e.vec_id, c.cid FROM e CROSS JOIN c
-               QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_distance(e.e, c.ce), c.cid) <= 2),
-      p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM buck a JOIN buck b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-      sdc AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> da.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i]))) AS dot,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> da.dn[ca.s * 16 + i] * da.dn[ca.s * 16 + i]))) AS na,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> db.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i]))) AS nb
-              FROM p
-                JOIN codes ca ON ca.vec_id = p.id_a
-                JOIN codes cb ON cb.vec_id = p.id_b AND cb.s = ca.s
-                JOIN d da ON da.did = ca.code
-                JOIN d db ON db.did = cb.code
-              GROUP BY 1, 2),
-      scored AS (SELECT p.id_a, p.id_b,
-                        round(s.dot / (sqrt(s.na) * sqrt(s.nb)), 4) AS approx,
-                        round(list_inner_product(ea.e, eb.e)
-                          / (sqrt(list_inner_product(ea.e, ea.e))
-                             * sqrt(list_inner_product(eb.e, eb.e))), 4) AS cos
-                 FROM p
-                   JOIN sdc s ON s.id_a = p.id_a AND s.id_b = p.id_b
-                   JOIN e ea ON ea.vec_id = p.id_a
-                   JOIN e eb ON eb.vec_id = p.id_b)
-      SELECT id_a, id_b, approx, cos FROM scored
-      WHERE cos >= 0.35 ORDER BY id_a, id_b"""),
+    QueryDef("q92_ivf_pq_neardup", Some(pqPairSearchOracle),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
@@ -1677,6 +1687,43 @@ object DataPrepQueries {
             "e", "vec_id", queries, "qid", "e", codebook, pq,
             k = 5, nprobe = 2, rerank = 20, excludeSelf = true)
           .orderBy("qid", "rank")
+      }),
+
+    // OPQ rotation through PAIR search: q92's pipeline under a fixed
+    // reversal rotation (see pqPairSearchOracle's invariance note) —
+    // pins that pqAssign's rotated coding and the SDC dot tables stay
+    // mutually consistent inside nearDupPairsIvfPq, the facade's
+    // 100 TB semantic-dedup route.
+    QueryDef("q96_opq_pq_neardup", Some(pqPairSearchOracle),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val donors = cents.orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+        val dims = donors.head.length
+        val reversal: Seq[Seq[Double]] = (0 until dims).map(i =>
+          Seq.tabulate(dims)(j => if (j == dims - 1 - i) 1.0 else 0.0))
+        val pq = graft.operators.Similarity.pqFromVectors(
+            donors.map(_.reverse), numSubspaces = 4)
+          .copy(rotation = Some(reversal))
+        val pairs = graft.operators.Similarity.nearDupPairsIvfPq(
+          others, "e", "vec_id", codebook, pq,
+          minCosine = 0.35, nprobe = 2, sdcMargin = 2.0)
+        val codes = graft.operators.Similarity.pqAssign(others, "e", pq)
+          .select(col("vec_id"), col("pq_code"))
+        pairs
+          .join(codes.select(col("vec_id").as("id_a"), col("pq_code").as("_ca")), "id_a")
+          .join(codes.select(col("vec_id").as("id_b"), col("pq_code").as("_cb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.VectorExpressions.pq_sdc_cos(
+              col("_ca"), col("_cb"), pq.codebooks), 4).as("approx"),
+            col("cos"))
+          .orderBy("id_a", "id_b")
       })
   )
 }
