@@ -653,6 +653,24 @@ class SimilaritySpec extends SparkSpecBase {
     assigned.unpersist(); corpus.unpersist()
   }
 
+  test("pre-residual PQ artifacts (no res column, no rotation rows) read back as direct models") {
+    import spark.implicits._
+    val donors = (0 until 8).map(i =>
+      Seq.tabulate(dim)(d => if (d == i) 10.0 else 0.3 * ((i + d) % 3)))
+    val pq = Similarity.pqFromVectors(donors, numSubspaces = 4)
+    withTempDir("pq-legacy") { dir =>
+      // write the r8-era artifact shape by hand: (s, code, ce) only
+      val rows = for {
+        sub <- 0 until pq.numSubspaces
+        c <- pq.codebooks(sub).indices
+      } yield (sub, c, pq.codebooks(sub)(c))
+      rows.toDF("s", "code", "ce").coalesce(1)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val back = Similarity.readPqModel(spark, dir.getAbsolutePath)
+      assert(back == pq && !back.residual && back.rotation.isEmpty)
+    }
+  }
+
   test("null pq_code rows sort LAST in the ADC shortlist, never consuming rerank slots") {
     // rows appended to an index without pqAssign (or a foreign index)
     // carry null codes -> null _adc; plain asc is NULLS FIRST, which
