@@ -199,6 +199,18 @@ object ScaleSmoke {
         "qid", "e", codebook, pqModel, k = 3, nprobe = 2, rerank = 12,
         excludeSelf = true, broadcastProbes = Some(false)).count()
     }
+    // the same crawl-sized batch against a FLOAT-FREE index: the list
+    // scan carries codes only and the queries x rerank shortlist
+    // joins the primary store by id (AQE sizes it at runtime)
+    timed("ann_ivf_pq_probe_all(codes-only,rerankFrom, 1% batch)") {
+      Similarity.ivfPqProbeAll(
+        pqAssigned.select("vec_id", "cid", "pq_code"), "e", "vec_id",
+        pqAssigned.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", codebook, pqModel, k = 3, nprobe = 2, rerank = 12,
+        excludeSelf = true, broadcastProbes = Some(false),
+        rerankFrom = Some(embD)).count()
+    }
     // pair search over the same lists: the replicated corpus is one
     // giant near-dup family per base vector, so the in-bucket
     // expansion works millions of pairs — raw collects full vectors

@@ -251,6 +251,20 @@ class CorpusPrepSpec extends SparkSpecBase {
       minCosine = 0.999, codebook = Some(codebook), nprobe = 2,
       pqModel = Some(pq), sdcMargin = 2.0,
       metricPrefix = Some("pq_prep"))) == Set(1L, 3L))
+
+    // an OPQ-rotated model rides the same facade route (rotation
+    // preserves the SDC scores, q96 pins the arithmetic): survivors
+    // still equal the raw path at slack margin
+    val dims = docs.select("emb").head().getSeq[Double](0).length
+    val reversal = (0 until dims).map(i =>
+      Seq.tabulate(dims)(j => if (j == dims - 1 - i) 1.0 else 0.0))
+    val pqRot = Similarity.pqFromVectors(
+        docs.select("emb").collect().map(_.getSeq[Double](0).toSeq.reverse).toSeq,
+        numSubspaces = 2)
+      .copy(rotation = Some(reversal))
+    assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), nprobe = 2,
+      pqModel = Some(pqRot), sdcMargin = 2.0)) == Set(1L, 3L))
   }
 
   test("runIncremental: batch prepped like run, deduped against the standing corpus") {
