@@ -407,11 +407,13 @@ object DataPrepQueries {
                       '%Y-%m-%d %H:%M:%S') AS win_start,
              count(*) AS n, round(sum(value), 2) AS total
       FROM events GROUP BY win_start ORDER BY win_start"""),
-      (s, dir) => t(s, dir, "events")
-        .select(window(expr(QueryDef.tsCol), "5 minutes").as("w"), col("value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"), col("value"))
-        .groupBy("win_start").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-        .orderBy("win_start")),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.select(window(graft.functions.EventTime.eventTs(ev), "5 minutes").as("w"), col("value"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"), col("value"))
+          .groupBy("win_start").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("win_start")
+      }),
 
     // Gap-based sessionization (10-minute idle gap) via windows.
     QueryDef("q41_sessionize", Some("""
@@ -425,8 +427,8 @@ object DataPrepQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        t(s, dir, "events")
-          .withColumn("ms", expr("ts div 1000000"))
+        val ev = t(s, dir, "events")
+        ev.withColumn("ms", graft.functions.EventTime.eventMs(ev))
           .withColumn("new_session",
             when(lag(col("ms"), 1).over(w).isNull, 1)
               .when(col("ms") - lag(col("ms"), 1).over(w) > 600000, 1)
@@ -465,14 +467,16 @@ object DataPrepQueries {
                                             ORDER BY ts, event_id) = 1)
       SELECT event_type, count(*) AS n_keys, round(sum(value), 2) AS first_total
       FROM firsts GROUP BY event_type ORDER BY event_type"""),
-      (s, dir) => t(s, dir, "events")
-        .withColumn("win5", window(expr(QueryDef.tsCol), "5 minutes").getField("start"))
-        .groupBy("user_id", "event_type", "win5")
-        .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("first"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_keys"),
-          round(sum("first.value"), 2).as("first_total"))
-        .orderBy("event_type")),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.withColumn("win5", window(graft.functions.EventTime.eventTs(ev), "5 minutes").getField("start"))
+          .groupBy("user_id", "event_type", "win5")
+          .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("first"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_keys"),
+            round(sum("first.value"), 2).as("first_total"))
+          .orderBy("event_type")
+      }),
 
     // Sliding windows (10-minute span, 5-minute slide): every event
     // lands in exactly two windows; the oracle enumerates the two
@@ -483,11 +487,13 @@ object DataPrepQueries {
              count(*) AS n, round(sum(value), 2) AS total
       FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
       GROUP BY win_start ORDER BY win_start"""),
-      (s, dir) => t(s, dir, "events")
-        .select(window(expr(QueryDef.tsCol), "10 minutes", "5 minutes").as("w"), col("value"))
-        .groupBy(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-        .orderBy("win_start")),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.select(window(graft.functions.EventTime.eventTs(ev), "10 minutes", "5 minutes").as("w"), col("value"))
+          .groupBy(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("win_start")
+      }),
 
     // Benchmark decontamination: containment search of a (small)
     // benchmark set against the corpus — |shingles(c) ∩ shingles(b)|
@@ -1006,8 +1012,9 @@ object DataPrepQueries {
         AND p.ems >= v.ems AND p.ems <= v.ems + 21600000
       GROUP BY v.user_id ORDER BY v.user_id"""),
       (s, dir) => {
-        val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
-          expr("ts div 1000000").as("ems"))
+        val ev = t(s, dir, "events")
+        val e = ev.select(col("user_id"), col("event_type"),
+          graft.functions.EventTime.eventMs(ev).as("ems"))
         val v = e.filter(col("event_type") === "view")
           .select(col("user_id"), col("ems").as("v_ems"))
         val p = e.filter(col("event_type") === "purchase")

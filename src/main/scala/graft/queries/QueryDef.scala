@@ -16,7 +16,8 @@ object QueryDef {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts arrives as epoch-nanos LONG (see GraftSession); micros
-    * timestamp for date functions. */
-  val tsCol = "timestamp_micros(ts div 1000)"
+  // events.ts conversions live in graft.functions.EventTime: the
+  // physical type changed across driver testdata generations
+  // (epoch-nano LONG -> native timestamp[us]), so consumers resolve
+  // it from the frame's actual schema instead of a fixed expression.
 }

@@ -293,10 +293,12 @@ object RelationalQueries {
       SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
              count(*) AS n, round(sum(value), 2) AS total
       FROM events GROUP BY day ORDER BY day"""),
-      (s, dir) => t(s, dir, "events")
-        .select(date_format(expr(QueryDef.tsCol), "yyyy-MM-dd").as("day"), col("value"))
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.select(date_format(graft.functions.EventTime.eventTs(ev), "yyyy-MM-dd").as("day"), col("value"))
         .groupBy("day").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-        .orderBy("day")),
+        .orderBy("day")
+      }),
 
     // J3-shape — null backfill through an outer join.
     QueryDef("q21_coalesce_backfill", Some("""
@@ -452,8 +454,9 @@ object RelationalQueries {
              round(avg(lag_ms) / 86400000.0, 3) AS avg_days_since_order
       FROM m GROUP BY event_type, last_priority ORDER BY event_type, last_priority"""),
       (s, dir) => {
-        val events = t(s, dir, "events").select(col("user_id"),
-          expr("ts div 1000000").as("ems"), col("event_type"))
+        val ev = t(s, dir, "events")
+        val events = ev.select(col("user_id"),
+          graft.functions.EventTime.eventMs(ev).as("ems"), col("event_type"))
         val orders = t(s, dir, "orders")
           .groupBy(col("o_custkey"),
             // o_orderdate arrives TIMESTAMP_NTZ; the session runs UTC,
@@ -483,8 +486,9 @@ object RelationalQueries {
       FROM w JOIN e ON e.ems >= w.ws AND e.ems < w.we
       GROUP BY w.window_id ORDER BY w.window_id"""),
       (s, dir) => {
-        val e = t(s, dir, "events")
-          .select(col("event_id"), expr("ts div 1000000").as("ems"), col("value"))
+        val ev = t(s, dir, "events")
+        val e = ev.select(col("event_id"),
+          graft.functions.EventTime.eventMs(ev).as("ems"), col("value"))
         val w = e.orderBy(desc("value"), col("event_id")).limit(20)
           .select(col("event_id").as("window_id"), col("ems").as("ws"),
             (col("ems") + 7200000L).as("we"))
@@ -654,10 +658,9 @@ object RelationalQueries {
       SELECT event_type, coalesce(pri, 'none') AS last_priority, count(*) AS n
       FROM m GROUP BY event_type, last_priority ORDER BY event_type, last_priority"""),
       (s, dir) => {
-        val events = t(s, dir, "events").select(col("user_id"),
-          // ts arrives as epoch-nanos LONG (nanosAsLong); floor to
-          // micros = DuckDB's TIMESTAMP_NS -> TIMESTAMP cast
-          expr("timestamp_micros(ts div 1000)").as("ets"), col("event_type"))
+        val ev = t(s, dir, "events")
+        val events = ev.select(col("user_id"),
+          graft.functions.EventTime.eventTs(ev).as("ets"), col("event_type"))
         val orders = t(s, dir, "orders")
           .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ots"))
           .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("pri"))

@@ -17,16 +17,18 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStream {
 
-  /** The driver-generated events schema (ts = epoch nanos; see
-    * GraftSession's nanosAsLong note). */
+  /** The driver-generated events schema (ts = native timestamp[us],
+    * surfaced as TIMESTAMP_NTZ; conversions go through
+    * functions.EventTime, which also still accepts the older
+    * epoch-nano LONG generation on batch reads). */
   val eventsSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
 
   /** Shared plan: 5-minute tumbling counts/sums, watermarked. The
     * exact aggregation mirrored by batch query q40_window_tumbling. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", graft.functions.EventTime.eventTs(events))
       .withWatermark("event_ts", "10 minutes")
       .groupBy(window(col("event_ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
@@ -57,7 +59,7 @@ object EventStream {
     * state is bounded by watermark horizon x window count). */
   def slidingCounts(events: DataFrame): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", graft.functions.EventTime.eventTs(events))
       .withWatermark("event_ts", "10 minutes")
       .groupBy(window(col("event_ts"), "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
@@ -95,7 +97,7 @@ object EventStream {
     * which is what the parity test checks. */
   def dedupEvents(events: DataFrame): DataFrame =
     events
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_ts", graft.functions.EventTime.eventTs(events))
       .withColumn("win5", window(col("event_ts"), "5 minutes").getField("start"))
       .withWatermark("event_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "win5")
@@ -133,12 +135,12 @@ object EventStream {
     // in later micro-batches. Default: horizon + 10 minutes slack.
     val wm = s"${if (watermarkMin >= 0) watermarkMin else horizonMin + 10} minutes"
     val v = earlier
-      .withColumn("v_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("v_ts", graft.functions.EventTime.eventTs(earlier))
       .select(col("user_id").as("v_user"), col("v_ts"),
         col("event_id").as("view_id"))
       .withWatermark("v_ts", wm)
     val p = later
-      .withColumn("p_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("p_ts", graft.functions.EventTime.eventTs(later))
       .select(col("user_id").as("p_user"), col("p_ts"),
         col("event_id").as("purchase_id"), col("value"))
       .withWatermark("p_ts", wm)
@@ -232,9 +234,9 @@ object EventStream {
       queryName: String, eventKey: String, stateKey: String,
       stateTime: String, stateCols: Seq[String],
       glob: String = "*.parquet", prefix: String = "s_"): StreamingQuery = {
-    val stream = spark.readStream.schema(eventsSchema)
+    val raw = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", glob).parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val stream = raw.withColumn("event_ts", graft.functions.EventTime.eventTs(raw))
     asOfLookup(stream, states, eventKey, stateKey, "event_ts", stateTime,
         stateCols, prefix)
       .writeStream
@@ -255,7 +257,7 @@ object EventStream {
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 600000L): DataFrame = {
     import spark.implicits._
     val input = events
-      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .select(col("user_id"), graft.functions.EventTime.eventMs(events).as("ms"))
       .as[SessionInput]
 
     input.groupByKey(_.user_id)

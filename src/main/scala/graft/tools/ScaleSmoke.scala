@@ -226,9 +226,10 @@ object ScaleSmoke {
     }
 
     // ---- join/agg shapes on a replicated event stream ---------------
-    val baseEv = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000000").as("ems"),
-        col("value"))
+    val baseEv0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val baseEv = baseEv0
+      .select(col("event_id"), col("user_id"),
+        graft.functions.EventTime.eventMs(baseEv0).as("ems"), col("value"))
     val ev = (0 until mult).map { i =>
       baseEv.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
         (col("user_id") + lit(i * 1000L)).as("user_id"),

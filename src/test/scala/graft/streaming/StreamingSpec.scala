@@ -102,9 +102,10 @@ class StreamingSpec extends SparkSpecBase {
     val streamed = spark.sql("SELECT event_id, s_pri FROM stream_asof")
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val rawEvents = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = rawEvents
       .select(col("event_id"), col("user_id"),
-        expr("timestamp_micros(ts div 1000)").as("event_ts"))
+        graft.functions.EventTime.eventTs(rawEvents).as("event_ts"))
     val batch = graft.operators.AsOfJoin.asOfBackward(events, states,
         "user_id", "o_custkey", "event_ts", "ots", Seq("pri"), prefix = "s_")
       .select("event_id", "s_pri")
@@ -372,6 +373,40 @@ class StreamingSpec extends SparkSpecBase {
       graft.operators.CorpusPrep.run(intake.drop("ts"),
         cfg = graft.operators.CorpusPrep.Config(intraNearDup = true))
     }.getMessage.contains("stream-only"))
+  }
+
+  test("streamIntraBandDedup passes null-text rows through untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // without the null bypass a null text yields null signature AND
+    // null salted band keys, so every null-text row would "duplicate"
+    // every other and all but one would silently drop
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "2026-01-01 00:00:02", "the quick brown fox jumps over the lazy dog again and again today okay"),
+      (3L, "2026-01-01 00:00:03", null.asInstanceOf[String]),
+      (4L, "2026-01-01 00:00:04", null.asInstanceOf[String]),
+      (5L, "2026-01-01 00:00:05", null.asInstanceOf[String]))
+      .toDF("doc_id", "ts", "text")
+      .withColumn("ts", to_timestamp(col("ts")))
+    withTempDir("intra-null") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+        .withWatermark("ts", "10 minutes")
+      val q = graft.operators.Dedup.streamIntraBandDedup(stream, "text")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("intra_null")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val kept = spark.sql("SELECT doc_id FROM intra_null")
+        .collect().map(_.getLong(0)).toSet
+      assert(Set(3L, 4L, 5L).subsetOf(kept) && kept.intersect(Set(1L, 2L)).size == 1,
+        s"null-text rows must pass through while twins still collapse: $kept")
+    }
   }
 
   test("heavy-hitters sketch aggregates over a stream (state-store round-trip) with batch parity") {
