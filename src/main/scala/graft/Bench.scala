@@ -18,9 +18,15 @@ import org.apache.spark.sql.SparkSession
   * (sbt's [info] prefixing + tail-window truncation lost it in two
   * prior rounds). Queries run in two phases: every small query is
   * warmed and fully sampled BEFORE the multi-second multi-job tail
-  * (`GRAFT_BENCH_HEAVY`, default q89/q92) ever executes, so the heavy
-  * queries' JIT/GC pressure cannot bleed into small-query timings —
-  * the cross-round drift isolation r8's bench watch asked for. */
+  * executes, so the heavy queries' JIT/GC pressure cannot bleed into
+  * small-query timings — the cross-round drift isolation r8's bench
+  * watch asked for. The heavy list is DERIVED, not static: one
+  * classification pass (which doubles as the global warmup) times
+  * every query once, and anything over `GRAFT_BENCH_HEAVY_SECS`
+  * (default 1.0) joins the heavy phase — so a new multi-second query
+  * cannot silently land in the small phase and re-introduce the
+  * drift. `GRAFT_BENCH_HEAVY` (comma-separated names) force-ADDS
+  * queries to the heavy phase on top of the derived set. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,24 +34,32 @@ object Bench {
     val maxReruns = math.max(0, sys.env.getOrElse("GRAFT_BENCH_RERUNS", "3").toInt)
     val spark = GraftSession.build("graft-bench")
 
-    // The multi-second, multi-job queries run in their own phase AFTER
-    // every small query is fully sampled: their JIT/GC/executor-memory
-    // pressure otherwise bleeds into whichever small queries share the
-    // JVM window (observed as a broad ~1.2x drift on untouched queries
-    // in two consecutive rounds). Warmup, passes, and rerun guard all
-    // stay phase-local.
-    val heavyList = sys.env.getOrElse("GRAFT_BENCH_HEAVY",
-        "q89_bpe_oov_segment,q92_ivf_pq_neardup")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      .filter(SparkEntry.queries.contains)
-    val smallNames = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(heavyList.contains)
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // The multi-second, multi-job queries run in their own phase AFTER
+    // every small query is fully sampled: their JIT/GC/executor-memory
+    // pressure otherwise bleeds into whichever small queries share the
+    // JVM window (observed as a broad ~1.2x drift on untouched queries
+    // in two consecutive rounds). Warmup, passes, and rerun guard all
+    // stay phase-local. Membership is measured, not hand-listed: the
+    // classification pass below is the global warmup (every query runs
+    // once, cold), and its per-query time decides the phase — with the
+    // env override only able to ADD heavies, a new expensive query
+    // can't hide in the small phase.
+    val heavySecs = sys.env.getOrElse("GRAFT_BENCH_HEAVY_SECS", "1.0").toDouble
+    val forcedHeavy = sys.env.getOrElse("GRAFT_BENCH_HEAVY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(SparkEntry.queries.contains)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val coldTimes = allNames.map(n => n -> once(n)).toMap
+    val heavyList = allNames.filter(n =>
+      forcedHeavy.contains(n) || coldTimes(n) > heavySecs || coldTimes(n) < 0)
+    val smallNames = allNames.filterNot(heavyList.contains)
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
 

@@ -125,6 +125,13 @@ object CorpusPrep {
     lmModel: Option[TextStats.BigramLm] = None,
     minLmLogProb: Double = -8.0,
     lmK: Double = 0.5,
+    // Driver-collect bound for the stream LM gate's broadcast model.
+    // The default dropped 20M -> 2M when the old bound was found to
+    // OOM a stock driver BELOW the loud failure; a pipeline whose
+    // reference model lands between the two can restore the old bound
+    // here — TOGETHER with the driver heap to hold it (budget
+    // ~200-400 bytes per pair).
+    lmMaxPairs: Long = 2000000L,
     // OPT-IN stream-only approximation of the new-NEW near-dup tier:
     // prepStream chains per-band dropDuplicatesWithinWatermark steps
     // (Dedup.streamIntraBandDedup) between the digest tier and the
@@ -430,7 +437,7 @@ object CorpusPrep {
     val lmGated = cfg.lmModel.fold(rowLocalGate(cleaned, cfg)) { lm =>
       rowLocalGate(cleaned, cfg)
         .transform(TextStats.withBigramLogProb(_, "clean_text",
-          TextStats.collectLocal(lm), cfg.lmK, "_lm_n", "_lm_lp"))
+          TextStats.collectLocal(lm, cfg.lmMaxPairs), cfg.lmK, "_lm_n", "_lm_lp"))
         .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)
         .drop("_lm_n", "_lm_lp")
     }

@@ -609,13 +609,17 @@ object Dedup {
     * A row whose text is too short to carry a signature (fewer than
     * shingleN words) gets a content-salted key instead, so signature-
     * less rows never collapse onto one shared empty-band value —
-    * exact same-content twins are the digest tier's job, not ours. */
+    * exact same-content twins are the digest tier's job, not ours.
+    * NULL-text rows bypass the tier entirely (there is no content to
+    * band on; without the bypass a null signature AND a null salted
+    * key would make every null-text row a "duplicate" of every other
+    * and silently drop all but one). */
   def streamIntraBandDedup(stream: DataFrame, textCol: String,
       shingleN: Int = 3, numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val nb = numHashes / rowsPerBand
-    val withSig = stream.withColumn("_ihs",
+    val withSig = stream.filter(col(textCol).isNotNull).withColumn("_ihs",
       graft.functions.TextExpressions.minhash_sig(col(textCol), shingleN, numHashes))
     val bandCols = bandKeyCols(i => element_at(col("_ihs"), i + 1),
       numHashes, rowsPerBand)
@@ -626,6 +630,7 @@ object Dedup {
     val deduped = (0 until nb).foldLeft(withBands)((d, i) =>
       d.dropDuplicatesWithinWatermark(s"_ib$i"))
     deduped.drop((0 until nb).map(i => s"_ib$i") :+ "_ihs": _*)
+      .unionByName(stream.filter(col(textCol).isNull))
   }
 
   def streamNearDupFilter(stream: DataFrame, textCol: String, lookup: DataFrame,

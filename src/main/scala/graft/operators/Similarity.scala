@@ -278,11 +278,17 @@ object Similarity {
     // the residual flag is part of the model identity: probing a
     // residual-coded index down the direct path would silently return
     // garbage, so a residual artifact must read back residual. Older
-    // artifacts (no `res` column) are direct by construction.
+    // artifacts (no `res` column) are direct by construction. The flag
+    // must be UNANIMOUS across rows — a corrupted artifact mixing res
+    // values fails loudly (same contract as the contiguity checks
+    // below) instead of being coerced to whichever row reads first.
     val residual =
-      if (raw.columns.contains("res"))
-        raw.select("res").limit(1).collect().headOption.exists(_.getBoolean(0))
-      else false
+      if (raw.columns.contains("res")) {
+        val flags = raw.select("res").distinct().collect().map(_.getBoolean(0))
+        require(flags.length == 1,
+          s"PQ model at $path mixes residual flags across rows — corrupted artifact")
+        flags.head
+      } else false
     val allRows = raw.select("s", "code", "ce").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val (rotRows, rows) = allRows.partition(_._1 < 0)
@@ -427,15 +433,22 @@ object Similarity {
     * Orthogonality preserves L2, so ADC distances in the rotated
     * frame equal distances in the original one; codes-vs-codes SDC is
     * unaffected (both sides rotated). Train with pqTrainOpq; pqAssign
-    * and the probes apply the rotation transparently. */
+    * and the probes apply the rotation transparently.
+    *
+    * residual AND rotation together are the FAISS-style OPQ→IVFPQ
+    * stack: rotate FIRST, then residual-encode in the rotated frame.
+    * Because R is linear and orthogonal, R·v̂ − R·ĉ = R·(v̂ − ĉ) — so
+    * assign rotates the residual, and a probe rotates each probed
+    * list's shifted query (q̂ − ĉ_list) once, driver-side; every plan
+    * shape is identical to the residual-only model. Train with
+    * pqTrainOpqResidual (the rotation is learned on the RESIDUAL
+    * distribution — the thing actually being quantized), assign with
+    * pqAssignResidual. */
   final case class PqModel(numSubspaces: Int, subDim: Int,
       codebooks: Seq[Seq[Seq[Double]]], residual: Boolean = false,
       rotation: Option[Seq[Seq[Double]]] = None) {
     require(codebooks.length == numSubspaces,
       s"expected $numSubspaces codebooks, got ${codebooks.length}")
-    require(!(residual && rotation.isDefined),
-      "residual and rotation do not compose (the probe would need per-list " +
-        "rotated centroids) — pick one")
     require(rotation.forall(r => r.length == numSubspaces * subDim &&
         r.forall(_.length == numSubspaces * subDim)),
       "rotation must be a dims x dims matrix")
@@ -451,6 +464,30 @@ object Similarity {
     val n = math.sqrt(q.map(x => x * x).sum)
     if (n == 0) q else q.map(_ / n)
   }
+
+  /** Driver-side y = R·v — the query-rotation twin of the compiled
+    * mat_vec kernel, same left-to-right accumulation order so rotated
+    * values are bit-identical across both. */
+  private def rotateVec(r: Seq[Seq[Double]], v: Seq[Double]): Seq[Double] =
+    r.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+
+  /** Probe the corpus's embedding width and validate the subspace
+    * split; returns (dims, dsub). One bounded single-row job. */
+  private def probeDims(df: DataFrame, embCol: String, numSubspaces: Int,
+      fn: String): (Int, Int) = {
+    require(numSubspaces >= 1, s"numSubspaces must be >= 1, got $numSubspaces")
+    val dimRow = df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect()
+    require(dimRow.nonEmpty, s"$fn needs at least one non-empty embedding")
+    val dims = dimRow(0).getInt(0)
+    require(dims % numSubspaces == 0,
+      s"embedding dim $dims is not divisible into $numSubspaces subspaces")
+    (dims, dims / numSubspaces)
+  }
+
+  private def requireKsub(ksub: Int): Unit =
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub must be in [1, 256] (codes are byte-sized by design), got $ksub")
 
   /** Append `outCol` = the L2-normalized double-array of `embCol`;
     * zero vectors pass through unscaled (no NaN codes). The norm is
@@ -473,16 +510,8 @@ object Similarity {
     * seeding and deterministic tie-breaks. */
   def pqTrain(df: DataFrame, embCol: String, numSubspaces: Int,
       ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
-    require(numSubspaces >= 1, s"numSubspaces must be >= 1, got $numSubspaces")
-    require(ksub >= 1 && ksub <= 256,
-      s"ksub must be in [1, 256] (codes are byte-sized by design), got $ksub")
-    val dimRow = df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0)
-      .limit(1).collect()
-    require(dimRow.nonEmpty, "pqTrain needs at least one non-empty embedding")
-    val dims = dimRow(0).getInt(0)
-    require(dims % numSubspaces == 0,
-      s"embedding dim $dims is not divisible into $numSubspaces subspaces")
-    val dsub = dims / numSubspaces
+    requireKsub(ksub)
+    val (_, dsub) = probeDims(df, embCol, numSubspaces, "pqTrain")
     // distinct logically BEFORE the hash-ordered limit: hash order
     // clusters a vector's replicas adjacently, so on a heavily
     // duplicated corpus (this library's home turf) the first
@@ -571,31 +600,31 @@ object Similarity {
   def pqTrainResidual(df: DataFrame, embCol: String,
       codebook: Seq[(Long, Seq[Double])], numSubspaces: Int,
       ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
-    require(codebook.nonEmpty, "pqTrainResidual needs the coarse codebook")
-    require(numSubspaces >= 1, s"numSubspaces must be >= 1, got $numSubspaces")
-    require(ksub >= 1 && ksub <= 256,
-      s"ksub must be in [1, 256] (codes are byte-sized by design), got $ksub")
-    val dimRow = df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0)
-      .limit(1).collect()
-    require(dimRow.nonEmpty, "pqTrainResidual needs at least one non-empty embedding")
-    val dims = dimRow(0).getInt(0)
-    require(dims % numSubspaces == 0,
-      s"embedding dim $dims is not divisible into $numSubspaces subspaces")
-    val dsub = dims / numSubspaces
+    requireKsub(ksub)
+    val (dims, dsub) = probeDims(df, embCol, numSubspaces, "pqTrainResidual")
+    val residuals = residualFrame(df, embCol, codebook, dims, "pqTrainResidual")
+    PqModel(numSubspaces, dsub,
+      trainSubspaceCodebooks(residuals, numSubspaces, dsub, ksub, iters, maxTrainRows),
+      residual = true)
+  }
+
+  /** The residual training cloud both residual trainers share: each
+    * non-null vector normalized, coarse-assigned by the SAME raw-vector
+    * rule ivfAssign uses (so assign-time residuals match), minus its
+    * list's normalized centroid — one single-column (`_n`) frame. */
+  private def residualFrame(df: DataFrame, embCol: String,
+      codebook: Seq[(Long, Seq[Double])], dims: Int, fn: String): DataFrame = {
+    require(codebook.nonEmpty, s"$fn needs the coarse codebook")
     require(codebook.forall(_._2.length == dims),
       s"coarse centroid dims != embedding dims ($dims) — residuals would " +
         "truncate or null-pad instead of failing loudly")
-    val spark = df.sparkSession
-    val residuals = withNormalized(
+    withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_nv")
       .withColumn("_rcid",
         graft.functions.VectorExpressions.nearest_centroid(
           asDouble(col(embCol)), codebook))
-      .join(broadcast(normCentroids(spark, codebook)), Seq("_rcid"))
+      .join(broadcast(normCentroids(df.sparkSession, codebook)), Seq("_rcid"))
       .select(zip_with(col("_nv"), col("_rcn"), (a, b) => a - b).as("_n"))
-    PqModel(numSubspaces, dsub,
-      trainSubspaceCodebooks(residuals, numSubspaces, dsub, ksub, iters, maxTrainRows),
-      residual = true)
   }
 
   /** y = R·v through the compiled mat_vec kernel (R rides as a
@@ -657,6 +686,88 @@ object Similarity {
     (Array.tabulate(n)(i => m(i)(i)), Array.tabulate(n, n)((i, j) => v(j)(i)))
   }
 
+  /** Sample moments accumulated CLUSTER-SIDE in one pass: count, sum,
+    * and the upper-triangle Gram matrix. Per-partition imperative
+    * accumulation (the one shape RDD aggregation is for — the
+    * alternative, exploding D² covariance cells per row through a
+    * groupBy, shuffles sample×D² values); what reaches the driver is
+    * the D(D+3)/2 + 1 doubles of the moments, KBs–MBs at any embedding
+    * width, NEVER the sample itself. Rows at the wrong width are
+    * skipped, mirroring the old collect-side filter. */
+  private def sampleMoments(vecFrame: DataFrame,
+      dims: Int): (Long, Array[Double], Array[Double]) = {
+    type Acc = (Long, Array[Double], Array[Double])
+    val zero: Acc = (0L, new Array[Double](dims),
+      new Array[Double](dims * (dims + 1) / 2))
+    vecFrame.select(col("_n")).rdd.treeAggregate(zero)(
+      seqOp = { case (acc @ (n, s, g), row) =>
+        val xSeq = row.getSeq[Double](0)
+        if (xSeq.length != dims) acc
+        else {
+          val x = xSeq.toArray
+          var i = 0; var idx = 0
+          while (i < dims) {
+            val xi = x(i)
+            s(i) += xi
+            var j = i
+            while (j < dims) { g(idx) += xi * x(j); idx += 1; j += 1 }
+            i += 1
+          }
+          (n + 1, s, g)
+        }
+      },
+      combOp = { case ((n1, s1, g1), (n2, s2, g2)) =>
+        var i = 0
+        while (i < dims) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        (n1 + n2, s1, g1)
+      })
+  }
+
+  /** PCA rotation with eigenvalue allocation over a single-column
+    * (`_n`) vector frame — the shared core of both OPQ trainers. The
+    * covariance is computed cluster-side (sampleMoments); only the
+    * D×D Jacobi eigendecomposition stays on the driver, and THAT is
+    * O(D³) per sweep — hence the loud D cap rather than a silent
+    * minutes-long stall at large embedding widths. */
+  private def pcaAllocRotation(sample: DataFrame, dims: Int,
+      numSubspaces: Int, dsub: Int, fn: String): Seq[Seq[Double]] = {
+    require(dims <= 1024,
+      s"$fn's driver-side Jacobi eigendecomposition is O(D³) per sweep — " +
+        s"D=$dims exceeds the 1024 cap. Reduce the embedding width upstream " +
+        "or train without rotation (pqTrain/pqTrainResidual)")
+    val (n, sums, gram) = sampleMoments(sample, dims)
+    require(n > 0, s"$fn needs sample vectors at the probed dims")
+    // cov = E[x xᵀ] − m mᵀ (population covariance, same normalization
+    // as the former collect-side two-pass)
+    val cov = Array.ofDim[Double](dims, dims)
+    var idx = 0
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val c = gram(idx) / n - (sums(i) / n) * (sums(j) / n)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val (eigvals, eigvecs) = symmetricEigen(cov)
+    // eigenvalue allocation: visit directions by decreasing variance,
+    // always into the least-loaded (log-product) unfilled subspace
+    val order = eigvals.indices.sortBy(k => -eigvals(k))
+    val logs = Array.fill(numSubspaces)(0.0)
+    val buckets = Array.fill(numSubspaces)(List.empty[Int])
+    order.foreach { k =>
+      val open = (0 until numSubspaces).filter(buckets(_).length < dsub)
+      val mIdx = open.minBy(logs)
+      buckets(mIdx) = k :: buckets(mIdx)
+      logs(mIdx) += math.log(math.max(eigvals(k), 1e-12))
+    }
+    buckets.toSeq.flatMap(_.reverse.map(k => eigvecs(k).toSeq))
+  }
+
   /** Train an OPQ-rotated PQ model (the parametric/PCA variant, public
     * knowledge): PCA-rotate the normalized sample, allocate principal
     * directions to subspaces balancing the per-subspace eigenvalue
@@ -666,64 +777,52 @@ object Similarity {
     * split across subspaces (quantizing the same variation twice,
     * badly) land together, so the same M × ksub budget covers the
     * data with less error — SimilaritySpec pins recall ≥ direct PQ at
-    * the same budget. The whole PCA runs driver-side over the SAME
-    * bounded sample the codebook training uses (maxTrainRows × D
-    * doubles, tens of MB at defaults); the rotation is persisted with
-    * the model and applied transparently by pqAssign and the probes. */
+    * the same budget. The covariance is aggregated cluster-side (the
+    * driver collects D(D+3)/2 moments, not the sample); only the
+    * O(D³)-per-sweep Jacobi eigendecomposition runs on the driver,
+    * capped loudly at D=1024. The rotation is persisted with the
+    * model and applied transparently by pqAssign and the probes. */
   def pqTrainOpq(df: DataFrame, embCol: String, numSubspaces: Int,
       ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
-    require(numSubspaces >= 1, s"numSubspaces must be >= 1, got $numSubspaces")
-    require(ksub >= 1 && ksub <= 256,
-      s"ksub must be in [1, 256] (codes are byte-sized by design), got $ksub")
-    val dimRow = df.select(size(col(embCol)).as("_d")).filter(col("_d") > 0)
-      .limit(1).collect()
-    require(dimRow.nonEmpty, "pqTrainOpq needs at least one non-empty embedding")
-    val dims = dimRow(0).getInt(0)
-    require(dims % numSubspaces == 0,
-      s"embedding dim $dims is not divisible into $numSubspaces subspaces")
-    val dsub = dims / numSubspaces
+    requireKsub(ksub)
+    val (dims, dsub) = probeDims(df, embCol, numSubspaces, "pqTrainOpq")
     val normed = withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
       .select(col("_n"))
     val sample = boundedSample(normed, maxTrainRows)
-    val xs = sample.collect().map(_.getSeq[Double](0).toArray)
-      .filter(_.length == dims)
-    require(xs.nonEmpty, "pqTrainOpq needs sample vectors at the probed dims")
-    // driver-side PCA over the bounded sample: mean-center, covariance,
-    // Jacobi eigendecomposition
-    val nRows = xs.length.toDouble
-    val mean = Array.tabulate(dims)(d => xs.iterator.map(_(d)).sum / nRows)
-    val cov = Array.ofDim[Double](dims, dims)
-    xs.foreach { x =>
-      var i = 0
-      while (i < dims) {
-        val xi = x(i) - mean(i)
-        var j = i
-        while (j < dims) { cov(i)(j) += xi * (x(j) - mean(j)); j += 1 }
-        i += 1
-      }
-    }
-    for (i <- 0 until dims; j <- i until dims) {
-      cov(i)(j) /= nRows; cov(j)(i) = cov(i)(j)
-    }
-    val (eigvals, eigvecs) = symmetricEigen(cov)
-    // eigenvalue allocation: visit directions by decreasing variance,
-    // always into the least-loaded (log-product) unfilled subspace
-    val order = eigvals.indices.sortBy(i => -eigvals(i))
-    val logs = Array.fill(numSubspaces)(0.0)
-    val buckets = Array.fill(numSubspaces)(List.empty[Int])
-    order.foreach { i =>
-      val open = (0 until numSubspaces).filter(buckets(_).length < dsub)
-      val mIdx = open.minBy(logs)
-      buckets(mIdx) = i :: buckets(mIdx)
-      logs(mIdx) += math.log(math.max(eigvals(i), 1e-12))
-    }
-    val rotation: Seq[Seq[Double]] =
-      buckets.toSeq.flatMap(_.reverse.map(i => eigvecs(i).toSeq))
+    val rotation = pcaAllocRotation(sample, dims, numSubspaces, dsub, "pqTrainOpq")
     val rotated = sample.select(matVec(rotation, col("_n")).as("_n"))
     PqModel(numSubspaces, dsub,
       trainSubspaceCodebooks(rotated, numSubspaces, dsub, ksub, iters, maxTrainRows),
       residual = false, rotation = Some(rotation))
+  }
+
+  /** Train the composed OPQ→IVFPQ model (rotation AND residual — the
+    * FAISS-style production stack, public knowledge): build the
+    * residual cloud exactly as pqTrainResidual does, learn the PCA
+    * rotation ON THE RESIDUALS (they are what gets quantized — the
+    * whole-sphere principal directions are dominated by coarse-cluster
+    * positions the residual subtraction already removed), then train
+    * the subspace codebooks over the ROTATED residuals. Because R is
+    * linear and orthogonal, R·v̂ − R·ĉ = R·(v̂ − ĉ): assign rotates
+    * each row's residual (pqAssignResidual, compiled mat_vec), and a
+    * probe rotates each probed list's shifted query driver-side — no
+    * per-list rotated centroids, no new plan shapes. SimilaritySpec
+    * pins recall(OPQ+residual) ≥ recall(residual) ≥ recall(direct) at
+    * a fixed M/ksub/nprobe/rerank budget. */
+  def pqTrainOpqResidual(df: DataFrame, embCol: String,
+      codebook: Seq[(Long, Seq[Double])], numSubspaces: Int,
+      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
+    requireKsub(ksub)
+    val (dims, dsub) = probeDims(df, embCol, numSubspaces, "pqTrainOpqResidual")
+    val residuals = residualFrame(df, embCol, codebook, dims, "pqTrainOpqResidual")
+    val sample = boundedSample(residuals, maxTrainRows)
+    val rotation = pcaAllocRotation(sample, dims, numSubspaces, dsub,
+      "pqTrainOpqResidual")
+    val rotated = sample.select(matVec(rotation, col("_n")).as("_n"))
+    PqModel(numSubspaces, dsub,
+      trainSubspaceCodebooks(rotated, numSubspaces, dsub, ksub, iters, maxTrainRows),
+      residual = true, rotation = Some(rotation))
   }
 
   /** Build a PqModel from explicit donor vectors (normalized, then
@@ -800,12 +899,17 @@ object Similarity {
         model.codebooks(s).zipWithIndex.map { case (ce, i) => (i.toLong, ce) })
         .cast("smallint")
     }: _*)
+    // OPQ composition: rotate the residual (R·(v̂ − ĉ) — identical to
+    // residual-of-rotated because R is linear); a dims-mismatched row
+    // rotates to NULL, hence a null code, same contract as pqAssign
+    val resid = zip_with(col("_pq_n"), col("_rcn"), (a, b) => a - b)
     withNormalized(assigned, embCol, "_pq_n")
       .join(broadcast(normCentroids(assigned.sparkSession, codebook)),
         col(cidCol) === col("_rcid"), "left")
-      .withColumn("_pq_r", zip_with(col("_pq_n"), col("_rcn"), (a, b) => a - b))
+      .withColumn("_pq_r", model.rotation.fold(resid)(r => matVec(r, resid)))
       .withColumn(codeCol,
-        when(col(embCol).isNotNull && col("_rcn").isNotNull, codes))
+        when(col(embCol).isNotNull && col("_rcn").isNotNull &&
+          col("_pq_r").isNotNull, codes))
       .drop("_pq_n", "_pq_r", "_rcid", "_rcn")
   }
 
@@ -851,35 +955,36 @@ object Similarity {
     val qn = normalizeVec(query)
     // residual model: each probed list scores against ITS shifted
     // query (q̂ − ĉ_list), which against residual codebooks is exactly
-    // ||q̂ − (ĉ + r̂)||² — the centroid added back at ADC time. A
-    // per-list when-chain, nprobe branches, all inside codegen.
-    // OPQ model: the query rotates into the codebooks' frame driver-
-    // side (orthogonality preserves every distance being ranked).
-    val adcExpr =
+    // ||q̂ − (ĉ + r̂)||² — the centroid added back at ADC time. The
+    // nprobe shifted queries (rotated too, for a composed OPQ model)
+    // are computed driver-side and ride in a KB-sized broadcast
+    // lookup joined on the list id, so pq_adc — and its M×ksub
+    // codebook literal — appears ONCE in the generated code no matter
+    // how wide the probe (an nprobe-deep when-chain re-embedded the
+    // codebook per arm and grew generated code past the JIT's comfort
+    // at large nprobe·ksub).
+    // OPQ model (direct): the query rotates into the codebooks' frame
+    // driver-side (orthogonality preserves every distance ranked).
+    val outCols = (adc: Column) => col(idCol) +:
+      rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+ adc.as("_adc")
+    val scoredList =
       if (!pq.residual)
-        graft.functions.VectorExpressions.pq_adc(
-          typedLit(pq.rotation.fold(qn)(r =>
-            r.map(row => row.zip(qn).map { case (a, b) => a * b }.sum))),
-          col(codeCol), pq.codebooks)
+        scoped.select(outCols(graft.functions.VectorExpressions.pq_adc(
+          typedLit(pq.rotation.fold(qn)(rotateVec(_, qn))),
+          col(codeCol), pq.codebooks)): _*)
       else {
+        val spark = assigned.sparkSession
+        import spark.implicits._
         val cmap = codebook.toMap
         val shifted = cids.map { c =>
-          val cn = normalizeVec(cmap(c))
-          c -> qn.zip(cn).map { case (a, b) => a - b }
-        }
-        shifted.tail.foldLeft(
-          when(col(cidCol) === shifted.head._1,
-            graft.functions.VectorExpressions.pq_adc(
-              typedLit(shifted.head._2), col(codeCol), pq.codebooks))) {
-          case (acc, (c, qs)) => acc.when(col(cidCol) === c,
-            graft.functions.VectorExpressions.pq_adc(
-              typedLit(qs), col(codeCol), pq.codebooks))
-        }
+          val s0 = qn.zip(normalizeVec(cmap(c))).map { case (a, b) => a - b }
+          (c, pq.rotation.fold(s0)(rotateVec(_, s0)))
+        }.toDF("_scid", "_qs")
+        scoped.join(broadcast(shifted), col(cidCol) === col("_scid"))
+          .select(outCols(graft.functions.VectorExpressions.pq_adc(
+            col("_qs"), col(codeCol), pq.codebooks)): _*)
       }
-    val shortlist = scoped
-      .select(col(idCol) +:
-        rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+
-        adcExpr.as("_adc"): _*)
+    val shortlist = scoredList
       // nulls LAST: the kernel's NaN-on-corruption already sorts last,
       // but a null code (rows appended without pqAssign, or a foreign
       // index) yields a null _adc, and plain asc is NULLS FIRST — it
@@ -955,12 +1060,15 @@ object Similarity {
           .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
       .filter(col("_r") <= nprobe)
       // residual model: "_qn" becomes the per-list shifted query
-      // (q̂ − ĉ_list); OPQ model: "_qn" rotates into the codebooks'
-      // frame — downstream ADC scoring is identical either way
-      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"),
-        (if (pq.residual) zip_with(col("_qn"), col("_cn"), (a, b) => a - b)
-         else pq.rotation.fold(col("_qn"))(r => matVec(r, col("_qn"))))
-          .as("_qn"), col("_cbid"))
+      // (q̂ − ĉ_list); with a rotation it then turns into the
+      // codebooks' frame (R·(q̂ − ĉ) for composed OPQ+residual, R·q̂
+      // for direct OPQ) — downstream ADC scoring is identical either way
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), {
+        val shiftedQ =
+          if (pq.residual) zip_with(col("_qn"), col("_cn"), (a, b) => a - b)
+          else col("_qn")
+        pq.rotation.fold(shiftedQ)(r => matVec(r, shiftedQ)).as("_qn")
+      }, col("_cbid"))
     val joined = broadcastProbes match {
       case Some(true)  => assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
       case Some(false) => assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))

@@ -605,10 +605,121 @@ class SimilaritySpec extends SparkSpecBase {
       val back = Similarity.readPqModel(spark, dir.getAbsolutePath)
       assert(back == opq && back.rotation == opq.rotation)
     }
-    // residual + rotation do not compose — refused at construction
-    assert(intercept[IllegalArgumentException](
-      opq.copy(residual = true)).getMessage.contains("compose"))
     aOpq.unpersist(); ivf.unpersist(); corpus.unpersist()
+  }
+
+  test("OPQ+residual composition: recall >= residual >= direct at a fixed budget; artifact round-trips both flags") {
+    import spark.implicits._
+    // the FAISS-style OPQ→IVFPQ stack's home geometry: coarse clusters
+    // far apart (what residual encoding removes) AND within-cluster
+    // structure on a ±1 hypercube along four Hadamard directions, each
+    // spanning ALL eight coordinates. Raw slices mix all four cube
+    // axes (a blurred multi-level cloud ksub=4 cannot code), while the
+    // residual PCA recovers the axes and the eigenvalue allocation
+    // pairs them two-per-subspace — each rotated subspace then holds
+    // exactly 4 distinct corner values, which ksub=4 codes with ~zero
+    // error. Per-corner jittered replicas make the top-10 a ranking
+    // problem, not a membership one.
+    val had = Seq(
+      Seq(1, 1, 1, 1, 1, 1, 1, 1), Seq(1, -1, 1, -1, 1, -1, 1, -1),
+      Seq(1, 1, -1, -1, 1, 1, -1, -1), Seq(1, -1, -1, 1, 1, -1, -1, 1))
+      .map(_.map(_ / math.sqrt(8.0)))
+    val amps = Seq(0.9, 0.75, 0.6, 0.45)
+    val grid = for {
+      c <- 0 until 4; corner <- 0 until 16; rep <- 0 until 8
+    } yield {
+      val signs = Seq.tabulate(4)(i => if (((corner >> i) & 1) == 0) 1.0 else -1.0)
+      val e = Seq.tabulate(dim) { d =>
+        val cube = (0 until 4).map(i => amps(i) * signs(i) * had(i)(d)).sum
+        val jitter = ((c * 7919 + corner * 131 + rep * 17 + d * 13) % 23 - 11) * 0.002
+        (if (d == c) 10.0 else 0.0) + cube + jitter
+      }
+      (c * 1000L + corner * 8 + rep, e)
+    }
+    val corpus = grid.toDF("vec_id", "e").cache()
+    val cbk: Seq[(Long, Seq[Double])] = (0 until 4).map(c =>
+      (c.toLong, Seq.tabulate(dim)(d => if (d == c) 10.0 else 0.0)))
+    // just inside cluster 0's all-plus corner: true top-10 = that
+    // corner's 8 replicas + the 2 nearest replicas across the smallest
+    // (g4) face — ranking them needs per-subspace corner resolution
+    val q = Seq.tabulate(dim)(d =>
+      (if (d == 0) 10.0 else 0.0) +
+        0.9 * (0 until 4).map(i => amps(i) * had(i)(d)).sum)
+    val truth = Similarity.bruteForceTopK(corpus, "e", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val direct = Similarity.pqTrain(corpus, "e", numSubspaces = 4, ksub = 4, iters = 3)
+    val res = Similarity.pqTrainResidual(corpus, "e", cbk,
+      numSubspaces = 4, ksub = 4, iters = 3)
+    val both = Similarity.pqTrainOpqResidual(corpus, "e", cbk,
+      numSubspaces = 4, ksub = 4, iters = 3)
+    assert(both.residual && both.rotation.isDefined)
+    // the learned rotation stays orthogonal (RR^T = I) — the property
+    // that makes rotated-frame ADC distances equal original ones
+    val r = both.rotation.get
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RR^T[$i][$j] = $dot")
+    }
+    val ivf = Similarity.ivfAssign(corpus, cbk, "e").cache()
+    val aDirect = Similarity.pqAssign(ivf, "e", direct)
+    val aRes = Similarity.pqAssignResidual(ivf, "e", cbk, res)
+    val aBoth = Similarity.pqAssignResidual(ivf, "e", cbk, both).cache()
+    // rerank barely above k (one corner-group of slack): the shortlist
+    // ORDER (pure ADC quality) decides recall, not the re-rank's slack
+    def recallOf(assigned: org.apache.spark.sql.DataFrame, pq: Similarity.PqModel): Double =
+      recallAt10(Similarity.ivfPqProbe(assigned, "e", "vec_id", q, 10,
+        cbk, pq, nprobe = 1, rerank = 16)
+        .collect().map(_.getLong(0)).toSet, truth)
+    val rDirect = recallOf(aDirect, direct)
+    val rRes = recallOf(aRes, res)
+    val rBoth = recallOf(aBoth, both)
+    assert(rBoth >= rRes && rRes >= rDirect,
+      s"recall must order composed ($rBoth) >= residual ($rRes) >= direct ($rDirect)")
+    assert(rBoth >= 0.9, s"composed recall@10 must be >= 0.9, got $rBoth")
+    assert(rBoth - rRes >= 0.15,
+      s"fixture must show the composition win: residual=$rRes composed=$rBoth")
+
+    // exactness invariant: every list + corpus-wide re-rank IS brute force
+    val full = Similarity.ivfPqProbe(aBoth, "e", "vec_id", q, 10,
+        cbk, both, nprobe = 4, rerank = 2000)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == truth)
+
+    // batch probe rotates each probed list's shifted query identically
+    val probes = Seq((999L, q)).toDF("q_id", "qe")
+    val batch = Similarity.ivfPqProbeAll(aBoth, "e", "vec_id", probes, "q_id", "qe",
+        cbk, both, k = 10, nprobe = 2, rerank = 24)
+      .collect().map(r2 => (r2.getLong(1), r2.getDouble(2))).toSeq
+    val solo = Similarity.ivfPqProbe(aBoth, "e", "vec_id", q, 10,
+        cbk, both, nprobe = 2, rerank = 24)
+      .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
+    assert(batch == solo)
+
+    // both flags are model identity: the artifact round-trips them
+    withTempDir("pq-opq-residual") { dir =>
+      Similarity.writePqModel(spark, both, dir.getAbsolutePath)
+      val back = Similarity.readPqModel(spark, dir.getAbsolutePath)
+      assert(back == both && back.residual && back.rotation == both.rotation)
+    }
+    // the composed model still refuses the paths residual models refuse
+    assert(intercept[IllegalArgumentException](
+      Similarity.pqAssign(corpus, "e", both)).getMessage.contains("pqAssignResidual"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.nearDupPairsIvfPq(corpus, "e", "vec_id", cbk, both, 0.99))
+      .getMessage.contains("direct"))
+    aBoth.unpersist(); ivf.unpersist(); corpus.unpersist()
+  }
+
+  test("a PQ artifact with mixed residual flags fails loudly instead of coercing") {
+    import spark.implicits._
+    withTempDir("pq-mixed-res") { dir =>
+      Seq((0, 0, Seq(1.0, 0.0), false), (0, 1, Seq(0.0, 1.0), true))
+        .toDF("s", "code", "ce", "res").coalesce(1)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val err = intercept[IllegalArgumentException](
+        Similarity.readPqModel(spark, dir.getAbsolutePath))
+      assert(err.getMessage.contains("mixes residual flags"))
+    }
   }
 
   test("codes-only index: rerankFrom probes a float-free index identically to in-frame") {
