@@ -103,6 +103,65 @@ object DataPrepQueries {
     * permutation — so a correct (symmetric) rotation reproduces this
     * replay bit-for-bit while a one-sided application breaks the
     * hash. */
+  /** q95's full FAISS-style residual replay; q97 reuses it verbatim
+    * because an orthogonal PERMUTATION rotation preserves every
+    * per-subspace distance being ranked (see q94's invariance note),
+    * so the composed OPQ+residual pipeline must reproduce the
+    * unrotated residual output bit for bit. */
+  private val residualPqProbeOracle: String = """
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT cid,
+                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
+                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
+            FROM c),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      sv AS (SELECT n.vec_id, list_transform(range(1, 65), i -> n.ne[i] - d.dn[i]) AS rv
+             FROM n JOIN assign a USING (vec_id) JOIN d ON d.cid = a.cid),
+      rd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rdid, rv AS rdn
+             FROM sv WHERE vec_id BETWEEN 10 AND 17),
+      codes AS (SELECT vec_id, s, rdid AS code FROM (
+                  SELECT sv.vec_id, sub.s, rd.rdid,
+                         row_number() OVER (PARTITION BY sv.vec_id, sub.s
+                           ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> power(sv.rv[sub.s * 16 + i] - rd.rdn[sub.s * 16 + i], 2))),
+                           rd.rdid) AS rn
+                  FROM sv CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN rd)
+                WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, e AS qe, ne AS qn FROM n WHERE vec_id IN (0, 100, 200)),
+      probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      adc AS (SELECT qid, qe, vec_id,
+                     sum(list_sum(list_transform(range(1, 17),
+                       i -> power(qsv[s * 16 + i] - rdn[s * 16 + i], 2)))) AS adist
+              FROM (SELECT p.qid, p.qe, cd.vec_id, cd.s, rd.rdn,
+                           list_transform(range(1, 65), i -> p.qn[i] - d.dn[i]) AS qsv
+                    FROM probe p
+                      JOIN d ON d.cid = p.cid
+                      JOIN assign a ON a.cid = p.cid
+                      JOIN codes cd ON cd.vec_id = a.vec_id
+                      JOIN rd ON rd.rdid = cd.code
+                    WHERE a.vec_id <> p.qid)
+              GROUP BY qid, qe, vec_id),
+      short AS (SELECT qid, qe, vec_id FROM adc
+                QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
+      scored AS (SELECT s.qid, s.vec_id,
+                        round(list_inner_product(e.e, s.qe)
+                          / (sqrt(list_inner_product(e.e, e.e))
+                             * sqrt(list_inner_product(s.qe, s.qe))), 4) AS cos
+                 FROM short s JOIN e ON e.vec_id = s.vec_id)
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""
+
   private val pqPairSearchOracle: String = """
       WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
                  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
@@ -1605,59 +1664,7 @@ object DataPrepQueries {
     // residual path (and the recall geometry that motivates it) is
     // pinned by SimilaritySpec; this row pins residual ARITHMETIC and
     // the query-shift application end to end.
-    QueryDef("q95_residual_pq_probe", Some("""
-      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
-                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-      d AS (SELECT cid,
-                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
-                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
-            FROM c),
-      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
-      n AS (SELECT vec_id, e,
-                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
-                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
-            FROM e),
-      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
-                 FROM e CROSS JOIN c GROUP BY e.vec_id),
-      sv AS (SELECT n.vec_id, list_transform(range(1, 65), i -> n.ne[i] - d.dn[i]) AS rv
-             FROM n JOIN assign a USING (vec_id) JOIN d ON d.cid = a.cid),
-      rd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rdid, rv AS rdn
-             FROM sv WHERE vec_id BETWEEN 10 AND 17),
-      codes AS (SELECT vec_id, s, rdid AS code FROM (
-                  SELECT sv.vec_id, sub.s, rd.rdid,
-                         row_number() OVER (PARTITION BY sv.vec_id, sub.s
-                           ORDER BY list_sum(list_transform(range(1, 17),
-                             i -> power(sv.rv[sub.s * 16 + i] - rd.rdn[sub.s * 16 + i], 2))),
-                           rd.rdid) AS rn
-                  FROM sv CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN rd)
-                WHERE rn = 1),
-      q AS (SELECT vec_id AS qid, e AS qe, ne AS qn FROM n WHERE vec_id IN (0, 100, 200)),
-      probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
-                QUALIFY row_number() OVER (PARTITION BY q.qid
-                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
-      adc AS (SELECT qid, qe, vec_id,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> power(qsv[s * 16 + i] - rdn[s * 16 + i], 2)))) AS adist
-              FROM (SELECT p.qid, p.qe, cd.vec_id, cd.s, rd.rdn,
-                           list_transform(range(1, 65), i -> p.qn[i] - d.dn[i]) AS qsv
-                    FROM probe p
-                      JOIN d ON d.cid = p.cid
-                      JOIN assign a ON a.cid = p.cid
-                      JOIN codes cd ON cd.vec_id = a.vec_id
-                      JOIN rd ON rd.rdid = cd.code
-                    WHERE a.vec_id <> p.qid)
-              GROUP BY qid, qe, vec_id),
-      short AS (SELECT qid, qe, vec_id FROM adc
-                QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
-      scored AS (SELECT s.qid, s.vec_id,
-                        round(list_inner_product(e.e, s.qe)
-                          / (sqrt(list_inner_product(e.e, e.e))
-                             * sqrt(list_inner_product(s.qe, s.qe))), 4) AS cos
-                 FROM short s JOIN e ON e.vec_id = s.vec_id)
-      SELECT qid, vec_id, cos,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""),
+    QueryDef("q95_residual_pq_probe", Some(residualPqProbeOracle),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
@@ -1731,6 +1738,58 @@ object DataPrepQueries {
               col("_ca"), col("_cb"), pq.codebooks), 4).as("approx"),
             col("cos"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // COMPOSED OPQ+residual probe (the FAISS-style OPQ->IVFPQ stack)
+    // under the fixed reversal rotation AND q95's fixed residual
+    // donors: codebooks hold the REVERSED residual donors (= R applied
+    // to each donor residual), assign rotates each row's residual,
+    // probes rotate each probed list's shifted query. A permutation
+    // preserves every per-subspace distance, so the whole composed
+    // pipeline must replay BIT-IDENTICALLY to q95's unrotated residual
+    // oracle — any asymmetry between the three application sites
+    // (donor coding, row assign, query shift) breaks the hash. The
+    // k-means/PCA-trained composed path and its recall ordering are
+    // pinned by SimilaritySpec; this row pins composed APPLICATION.
+    QueryDef("q97_opq_residual_probe", Some(residualPqProbeOracle),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        def norm(v: Seq[Double]): Seq[Double] = {
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          if (nrm == 0) v else v.map(_ / nrm)
+        }
+        // q95's residual donors, then rotated through R (= reversed):
+        // codebooks live in the rotated frame, like pqTrainOpqResidual's
+        val rdonors = others.filter(col("vec_id").between(10, 17))
+          .orderBy("vec_id").collect()
+          .map(_.getSeq[Double](1).toSeq)
+          .map { v =>
+            val cid = codebook.minBy { case (_, ce) =>
+              v.zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum }._1
+            val cn = norm(codebook.find(_._1 == cid).get._2)
+            norm(v).zip(cn).map { case (a, b) => a - b }.reverse
+          }.toSeq
+        val dims = codebook.head._2.length
+        val reversal: Seq[Seq[Double]] = (0 until dims).map(i =>
+          Seq.tabulate(dims)(j => if (j == dims - 1 - i) 1.0 else 0.0))
+        val pq = graft.operators.Similarity.PqModel(4, 16,
+          (0 until 4).map(sub => rdonors.map(_.slice(sub * 16, (sub + 1) * 16))),
+          residual = true, rotation = Some(reversal))
+        val queries = others.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        graft.operators.Similarity.ivfPqProbeAll(
+            graft.operators.Similarity.pqAssignResidual(
+              graft.operators.Similarity.ivfAssign(others, codebook, "e"),
+              "e", codebook, pq),
+            "e", "vec_id", queries, "qid", "e", codebook, pq,
+            k = 5, nprobe = 2, rerank = 20, excludeSelf = true)
+          .orderBy("qid", "rank")
       })
   )
 }
