@@ -140,7 +140,16 @@ object CorpusPrep {
     // LSH-candidate recall — the honest trade vs the batch tier's
     // verified cluster rule, documented on the operator. Batch paths
     // refuse it: their exact-verified clustering already covers it.
-    intraNearDup: Boolean = false)
+    intraNearDup: Boolean = false,
+    // OPT-IN stateful upgrade of the intra tier: band-keyed
+    // flatMapGroupsWithState keeps the shingle-hash sets of docs seen
+    // inside the watermark horizon and drops an arrival only when
+    // exact Jaccard >= minJaccard verifies against a remembered set
+    // (Dedup.streamIntraVerifiedDedup) — closes the greedy tier's
+    // band-collision false-positive gap at the price of heavier state
+    // (shingle sets instead of band keys; capped per band). Mutually
+    // exclusive with intraNearDup; batch paths refuse it too.
+    intraNearDupVerified: Boolean = false)
 
   private def normOf(cfg: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
@@ -226,9 +235,9 @@ object CorpusPrep {
     * `idCol` must be unique per row; `textCol` is the raw text. */
   def run(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config()): DataFrame = {
-    require(!cfg.intraNearDup,
-      "intraNearDup is the stream-only approximation — run()'s near-dup " +
-        "stage already clusters with exact verification")
+    require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
+      "intraNearDup/intraNearDupVerified are the stream-only tiers — run()'s " +
+        "near-dup stage already clusters with exact verification")
     def observed(df: DataFrame, stage: String): DataFrame =
       cfg.metricPrefix.fold(df)(p =>
         df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
@@ -301,9 +310,10 @@ object CorpusPrep {
       "cutHotSpans is a full-run option: the incremental path would have to " +
         "re-scan the standing corpus's text for the span census, defeating its " +
         "O(batch) cost contract — pre-cut the standing corpus with run() instead")
-    require(!cfg.intraNearDup,
-      "intraNearDup is the stream-only approximation — runIncremental's " +
-        "near tier already verifies batch-internal candidates exactly")
+    require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
+      "intraNearDup/intraNearDupVerified are the stream-only tiers — " +
+        "runIncremental's near tier already verifies batch-internal " +
+        "candidates exactly")
     val gated = lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -341,7 +351,11 @@ object CorpusPrep {
     * `cfg.intraNearDup` opts into the approximate within-watermark
     * band dedup (Dedup.streamIntraBandDedup — greedy arrival-order
     * survivors, band-collision false positives, LSH-candidate
-    * recall; semantics documented there). The other corpus-statistic
+    * recall; semantics documented there), and
+    * `cfg.intraNearDupVerified` into its stateful exact-Jaccard
+    * upgrade (Dedup.streamIntraVerifiedDedup — band collisions
+    * verify against remembered shingle sets before dropping, at the
+    * price of heavier watermark-bounded state). The other corpus-statistic
     * stages (boilerplate census, clustering, decontamination) still
     * need a corpus pass and stay batch-side: run `runIncremental`
     * over the accumulated intake on whatever cadence the pipeline
@@ -450,10 +464,17 @@ object CorpusPrep {
     // (its own later twins belong to the same cluster the batch rule
     // would collapse), which chained dedup gets right exactly when it
     // runs upstream of the standing drop
+    require(!(cfg.intraNearDup && cfg.intraNearDupVerified),
+      "intraNearDup and intraNearDupVerified are alternative tiers for the " +
+        "same stage — pick the greedy band dedup OR the stateful verified one")
     val within =
-      if (!cfg.intraNearDup) exact
-      else Dedup.streamIntraBandDedup(exact, "clean_text",
-        cfg.shingleN, cfg.numHashes, cfg.rowsPerBand)
+      if (cfg.intraNearDupVerified)
+        Dedup.streamIntraVerifiedDedup(exact, "clean_text", tsCol,
+          cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand)
+      else if (cfg.intraNearDup)
+        Dedup.streamIntraBandDedup(exact, "clean_text",
+          cfg.shingleN, cfg.numHashes, cfg.rowsPerBand)
+      else exact
     standing match {
       case None => (within.drop("_digest"), new StreamCaches(Nil))
       case Some(st) =>

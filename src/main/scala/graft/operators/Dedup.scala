@@ -633,6 +633,193 @@ object Dedup {
       .unionByName(stream.filter(col(textCol).isNull))
   }
 
+  /** One remembered doc of a band group in the VERIFIED within-stream
+    * tier: its sorted-distinct xxhash64 shingle hashes and event-time
+    * millis (for watermark eviction). */
+  private[graft] case class IntraVerEntry(sh: Array[Long], t: Long)
+  /** Watermark-bounded state of one band group: every doc seen in the
+    * horizon (newest first, capped) plus the eviction timer currently
+    * registered for the group. */
+  private[graft] case class IntraVerState(entries: List[IntraVerEntry],
+      timer: Long)
+
+  /** The per-band StatefulProcessor behind `streamIntraVerifiedDedup`:
+    * keyed by one band's LSH key, remembers the shingle-hash sets of
+    * docs seen inside the watermark horizon and emits only arrivals
+    * whose exact Jaccard against every remembered set stays below
+    * `minJaccard`. Dropped docs seed state too (the streaming shadow
+    * of batch transitive clustering). An event-time timer at
+    * max-entry-time + 1 evicts the group the first micro-batch after
+    * the watermark passes its newest doc. */
+  private class IntraVerProcessor(shIdx: Int, tsIdx: Int,
+      tsColName: String, minJaccard: Double, maxStatePerBand: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[IntraVerState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[IntraVerState]("bandDocs",
+        Encoders.product[IntraVerState], TTLConfig.NONE)
+    private def eventMs(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp => t.getTime
+      case t: java.time.Instant  => t.toEpochMilli
+      case other => throw new IllegalArgumentException(
+        s"$tsColName must be a TimestampType event-time column, got $other")
+    }
+    private def save(entries: List[IntraVerEntry], prevTimer: Long,
+        wm: Long): Unit =
+      if (entries.isEmpty) {
+        st.clear()
+        if (prevTimer > 0) getHandle.deleteTimer(prevTimer)
+      } else {
+        val timer = math.max(entries.map(_.t).max + 1, wm + 1)
+        st.update(IntraVerState(entries, timer))
+        if (timer != prevTimer) {
+          if (prevTimer > 0) getHandle.deleteTimer(prevTimer)
+          getHandle.registerTimer(timer)
+        }
+      }
+    override def handleInputRows(key: String, rows: Iterator[Row],
+        tv: TimerValues): Iterator[Row] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val prev = if (st.exists()) st.get() else IntraVerState(Nil, 0L)
+      var entries = prev.entries.filter(_.t >= wm)
+      // event-time order (lexicographic shingle tiebreak) makes the
+      // within-batch survivor deterministic
+      val ord = rows.toSeq.sortWith { (a, b) =>
+        val ta = eventMs(a); val tb = eventMs(b)
+        if (ta != tb) ta < tb
+        else {
+          val sa = a.getSeq[Long](shIdx); val sb = b.getSeq[Long](shIdx)
+          sa.zip(sb).find { case (x, y) => x != y }
+            .map { case (x, y) => x < y }
+            .getOrElse(sa.length < sb.length)
+        }
+      }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Row]
+      ord.foreach { r =>
+        val sh = r.getSeq[Long](shIdx).toArray
+        val dup = entries.exists(e => jaccardSorted(e.sh, sh) >= minJaccard)
+        if (!dup) kept += r
+        // dropped docs seed state too: the streaming shadow of batch
+        // transitive clustering
+        entries = (IntraVerEntry(sh, eventMs(r)) :: entries)
+          .take(maxStatePerBand)
+      }
+      save(entries, prev.timer, wm)
+      kept.iterator
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Row] = {
+      // the timer sits at max-entry-time + 1, so by firing time every
+      // entry is past the watermark; the filter stays for the race
+      // where fresh rows re-armed the group in this same batch
+      if (st.exists()) {
+        val wm = tv.getCurrentWatermarkInMs()
+        // prevTimer = 0: the fired timer no longer exists to delete
+        save(st.get().entries.filter(_.t >= wm), 0L, wm)
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Exact Jaccard of two sorted-distinct long arrays (merge walk). */
+  private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val uni = a.length + b.length - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
+  /** VERIFIED within-stream near-dup tier — the stateful upgrade of
+    * `streamIntraBandDedup` that closes its documented false-positive
+    * gap: instead of dropping on a bare band-key collision, each band
+    * group keeps the SHINGLE-HASH SETS of the docs it has seen
+    * (watermark-bounded `flatMapGroupsWithState` state, one pass per
+    * band index) and an arrival drops only when its exact Jaccard
+    * against a remembered set reaches `minJaccard` — the same verify
+    * rule as the batch tier, so a band collision between genuinely
+    * dissimilar docs now SURVIVES.
+    *
+    * Remaining honest deltas vs the batch cluster rule:
+    *  - survivors are arrival-order (event-time order within a
+    *    micro-batch, making the within-batch survivor DETERMINISTIC,
+    *    unlike the greedy tier's shuffle-arbitrary pick), not min-id;
+    *  - a DROPPED doc's shingles still enter state, so a later doc
+    *    matching only the dropped one drops too — the streaming
+    *    shadow of batch transitive clustering — but a doc dropped in
+    *    an earlier band pass never seeds LATER passes' state (chained
+    *    shape, same as the greedy tier);
+    *  - recall is still LSH-candidate recall within the watermark
+    *    horizon; and past `maxStatePerBand` remembered docs a band
+    *    evicts oldest-first, trading MISSED drops (false keeps) —
+    *    never false drops.
+    * State per band group: at most `maxStatePerBand` × (8 bytes ×
+    * distinct shingles + 8); exact-Jaccard identity holds up to
+    * 64-bit shingle-hash collisions (~2^-64 per pair, deterministic).
+    * Signature-less docs (fewer than `shingleN` words) and NULL text
+    * bypass untouched — there is no shingle set to verify, and their
+    * exact twins are the digest tier's job.
+    *
+    * Built on `transformWithState` (one pass per band, each declaring
+    * `tsCol` as its output event-time column — the Spark-4 contract
+    * that lets stateful passes CHAIN without tripping the global-
+    * watermark correctness check that rejects chained
+    * `flatMapGroupsWithState`). That API requires the RocksDB state
+    * store provider; the operator fails loudly at build time when
+    * `spark.sql.streaming.stateStore.providerClass` is not set to it.
+    * `stream` must carry a watermark on `tsCol` already (the standard
+    * prepStream shape); each pass re-tags `tsCol` as its OUTPUT
+    * event-time column, which is what propagates the watermark into
+    * the next pass. */
+  def streamIntraVerifiedDedup(stream: DataFrame, textCol: String,
+      tsCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      numHashes: Int = 4, rowsPerBand: Int = 2,
+      maxStatePerBand: Int = 64): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.OutputMode
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    require(maxStatePerBand >= 1, s"maxStatePerBand must be >= 1, got $maxStatePerBand")
+    val provider = stream.sparkSession.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", "")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "streamIntraVerifiedDedup builds on transformWithState, which Spark " +
+        "supports only with the RocksDB state store — set spark.sql.streaming." +
+        "stateStore.providerClass to org.apache.spark.sql.execution.streaming." +
+        s"state.RocksDBStateStoreProvider (currently: '$provider')")
+    val nb = numHashes / rowsPerBand
+    val origCols = stream.columns.toSeq
+    val tagged = stream.withColumn("_ivsh",
+      when(col(textCol).isNotNull, sort_array(array_distinct(
+        transform(shingles(col(textCol), shingleN), s => xxhash64(s))))))
+    val bypass = tagged
+      .filter(coalesce(size(col("_ivsh")), lit(0)) === 0).drop("_ivsh")
+    val sigged = tagged.filter(size(col("_ivsh")) > 0)
+      .withColumn("_ivhs", minhashSigText(col(textCol), shingleN, numHashes))
+    val bandCols = bandKeyCols(i => element_at(col("_ivhs"), i + 1),
+      numHashes, rowsPerBand)
+    val withBands = (0 until nb).foldLeft(sigged)((d, i) =>
+      d.withColumn(s"_ivb$i", bandCols(i))).drop("_ivhs")
+    val passed = (0 until nb).foldLeft(withBands) { (cur, i) =>
+      val schema = cur.schema
+      val rowEnc = Encoders.row(schema)
+      val bandIdx = schema.fieldIndex(s"_ivb$i")
+      val proc = new IntraVerProcessor(schema.fieldIndex("_ivsh"),
+        schema.fieldIndex(tsCol), tsCol, minJaccard, maxStatePerBand)
+      cur.groupByKey(_.getString(bandIdx))(Encoders.STRING)
+        .transformWithState[Row](proc, tsCol, OutputMode.Append())(rowEnc)
+    }
+    passed.drop((0 until nb).map(i => s"_ivb$i") :+ "_ivsh": _*)
+      .unionByName(bypass.select(origCols.map(col): _*))
+  }
+
   def streamNearDupFilter(stream: DataFrame, textCol: String, lookup: DataFrame,
       shingleN: Int = 3, minJaccard: Double = 0.8,
       numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {

@@ -409,6 +409,169 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  /** transformWithState (the verified intra tier's engine) is only
+    * supported on the RocksDB state store — scope the provider to the
+    * test so the HDFS-backed default stays for every other suite. */
+  def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("streamIntraVerifiedDedup keeps band-collision false positives the greedy tier drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Doc 2 is ENGINEERED to collide with doc 1 on LSH band 0 at the
+    // default knobs (numHashes=4, rowsPerBand=2) while sharing only 4
+    // of 22 shingles (exact Jaccard 4/22 ~ 0.18): doc 1's text is a
+    // prefix of doc 2's, and the filler suffix was searched offline so
+    // both band-0 minhashes of doc 2 take their minima on the shared
+    // prefix shingles. Docs 3/4 are true near-dups (Jaccard 11/12).
+    val collA = "alpha beta gamma delta epsilon zeta"
+    val collB = "alpha beta gamma delta epsilon zeta harbor river yonder " +
+      "glacier meadow lantern delta2 jungle nectar candle bridge prairie " +
+      "cinder anchor echo ocean tundra forest"
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", collA),
+      (2L, "2026-01-01 00:00:02", collB),
+      (3L, "2026-01-01 00:00:03", "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "2026-01-01 00:00:04", "the quick brown fox jumps over the lazy dog again and again today okay"),
+      (5L, "2026-01-01 00:00:05", null.asInstanceOf[String]),
+      (6L, "2026-01-01 00:00:06", "tiny doc"))
+      .toDF("doc_id", "ts", "text")
+      .withColumn("ts", to_timestamp(col("ts")))
+    def run(name: String, tier: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[Long] =
+      withTempDir(s"intra-ver-$name") { dir =>
+        intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+          .parquet(dir.getAbsolutePath)
+          .withWatermark("ts", "10 minutes")
+        val q = tier(stream).writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("memory").queryName(s"intra_ver_$name")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        spark.sql(s"SELECT doc_id FROM intra_ver_$name")
+          .collect().map(_.getLong(0)).toSet
+      }
+    // the greedy tier falls for the engineered collision: one of 1/2 drops
+    val greedy = run("greedy",
+      graft.operators.Dedup.streamIntraBandDedup(_, "text"))
+    assert(greedy.intersect(Set(1L, 2L)).size == 1,
+      s"fixture must band-collide under the greedy tier: $greedy")
+    // the verified tier checks exact Jaccard: 2 survives, the true
+    // near-dup 4 still drops, and the SURVIVOR among 3/4 is the
+    // earlier event time deterministically (not shuffle-arbitrary)
+    val verified = withRocksDb(run("verified",
+      graft.operators.Dedup.streamIntraVerifiedDedup(_, "text", "ts")))
+    // without RocksDB the operator refuses loudly instead of failing
+    // deep inside query planning
+    withTempDir("intra-ver-refuse") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val st = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath).withWatermark("ts", "10 minutes")
+      assert(intercept[IllegalArgumentException] {
+        graft.operators.Dedup.streamIntraVerifiedDedup(st, "text", "ts")
+      }.getMessage.contains("RocksDB"))
+    }
+    assert(verified == Set(1L, 2L, 3L, 5L, 6L),
+      s"verified tier must keep the dissimilar band-collider and null/short " +
+        s"bypass rows while dropping the true near-dup twin: $verified")
+  }
+
+  test("streamIntraVerifiedDedup evicts state past the watermark horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = ms.toDF().toDF("doc_id", "ts", "text")
+      .withWatermark("ts", "10 minutes")
+    withRocksDb { withTempDir("intra-ver-state") { dir =>
+      val out = graft.operators.Dedup.streamIntraVerifiedDedup(
+        input, "text", "ts")
+      val q = out.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("intra_ver_state")
+        .option("checkpointLocation", dir.getAbsolutePath)
+        .start()
+      try {
+        // batch 1: three distinct docs seed 2 bands x 3 groups of state
+        ms.addData(
+          (1L, ts("2026-01-01 00:00:01"), "alpha beta gamma delta epsilon zeta"),
+          (2L, ts("2026-01-01 00:00:02"), "one two three four five six seven"),
+          (3L, ts("2026-01-01 00:00:03"), "red orange yellow green blue indigo violet"))
+        q.processAllAvailable()
+        // batch 2 advances the watermark an hour past batch 1...
+        ms.addData((4L, ts("2026-01-01 01:00:00"), "salmon trout herring mackerel sardine"))
+        q.processAllAvailable()
+        // ...and batch 3's watermark (batch-2 max - 10 min) passes every
+        // batch-1 timeout, so those groups must be evicted, not retained
+        ms.addData((5L, ts("2026-01-01 02:00:00"), "granite basalt marble slate quartzite"))
+        q.processAllAvailable()
+        val kept = spark.sql("SELECT doc_id FROM intra_ver_state")
+          .collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L, 2L, 3L, 4L, 5L), s"all-distinct docs must survive: $kept")
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        // docs 4 and 5 are the only ones inside the final horizon: at
+        // most 2 bands x 2 docs of state across the two passes; the
+        // un-evicted total would be 2 bands x 5 docs = 10
+        assert(stateRows > 0 && stateRows <= 4,
+          s"batch-1 band groups must time out of the state store: $stateRows")
+      } finally q.stop()
+    } }
+  }
+
+  test("prepStream routes the verified intra tier; batch paths refuse it; tiers are exclusive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "2026-01-01 00:00:02", "the quick brown fox jumps over the lazy dog again and again today okay"),
+      (3L, "2026-01-01 00:00:03", "a completely different report about quarterly revenue and planning"))
+      .toDF("doc_id", "ts", "text")
+      .withColumn("ts", to_timestamp(col("ts")))
+    withRocksDb { withTempDir("prep-stream-verified") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          graft.operators.CorpusPrep.Config(intraNearDupVerified = true))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_verified")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val kept = spark.sql("SELECT doc_id FROM prep_stream_verified")
+        .collect().map(_.getLong(0)).toSet
+      // unlike the greedy tier ("one of the twins"), the verified tier
+      // pins the EARLIER event time as within-batch survivor
+      assert(kept == Set(1L, 3L), s"verified facade tier must keep 1 and 3: $kept")
+    } }
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.CorpusPrep.run(intake.drop("ts"),
+        cfg = graft.operators.CorpusPrep.Config(intraNearDupVerified = true))
+    }.getMessage.contains("stream-only"))
+    withTempDir("prep-stream-both-tiers") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      assert(intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(
+          spark.readStream.schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+            .parquet(dir.getAbsolutePath), "text", "ts",
+          graft.operators.CorpusPrep.Config(
+            intraNearDup = true, intraNearDupVerified = true))
+      }.getMessage.contains("alternative tiers"))
+    }
+  }
+
   test("heavy-hitters sketch aggregates over a stream (state-store round-trip) with batch parity") {
     import org.apache.spark.sql.functions._
     // Complete mode over AvailableNow: every group's final sketch is
