@@ -325,6 +325,53 @@ object CorpusPrep {
     decontaminateAndSample(deduped, idCol, cfg)
   }
 
+  /** SEMANTIC standing-corpus stage for incremental flows — the
+    * embedding twin of `runIncremental`'s text tiers: drop batch rows
+    * whose embedding reaches `cfg.minCosine` exact cosine against ANY
+    * doc of a standing IVF-PQ index, found by probing the index with
+    * every batch embedding (Similarity.ivfPqProbeAll: ADC-ranked list
+    * scan, rerank-bounded exact verify). Compose it after
+    * `runIncremental` — its text tiers cannot see paraphrases — and
+    * point it at the index built once over the standing corpus
+    * (`Similarity.ivfAssign` + `pqAssign`, or `readIndex` of the
+    * persisted artifact). For benchmark DECONTAMINATION in embedding
+    * space, index the benchmark instead: batch rows semantically close
+    * to an eval doc drop the same way.
+    *
+    * `embStore` is the codes-only-index route (the 100 TB shape):
+    * when set, `standingIndex` needs only (idCol, cid, pq_code) — M
+    * bytes per standing row, no floats — and the rerank-bounded
+    * shortlist fetches raw embeddings from this ONE primary store by
+    * id. The same store frame can back `writeIndex` artifacts, PQ
+    * pair search, and this probe, so raw vectors exist exactly once
+    * across index + dedup + probe. Without it the index frame must
+    * carry `cfg.embCol` itself (the in-frame path; results are
+    * identical). Recall follows the usual IVF knobs (`cfg.nprobe`,
+    * `rerank`); ids must be unique across batch and standing, like
+    * `runIncremental`. Returns the surviving batch rows. */
+  def semanticIncremental(batch: DataFrame, standingIndex: DataFrame,
+      idCol: String = "doc_id", cfg: Config = Config(),
+      embStore: Option[DataFrame] = None, rerank: Int = 0): DataFrame = {
+    require(cfg.embCol.isDefined,
+      "semanticIncremental needs cfg.embCol — the embedding column carried " +
+        "by the batch and by the index frame (or embStore)")
+    require(cfg.codebook.isDefined && cfg.pqModel.isDefined,
+      "semanticIncremental probes an IVF-PQ index: supply cfg.codebook AND " +
+        "cfg.pqModel (build the index frame with Similarity.ivfAssign + " +
+        "pqAssign/pqAssignResidual)")
+    val e = cfg.embCol.get
+    val hits = Similarity.ivfPqProbeAll(standingIndex, e, idCol,
+        batch.select(col(idCol), col(e)), idCol, e,
+        cfg.codebook.get, cfg.pqModel.get, k = 1, nprobe = cfg.nprobe,
+        rerank = rerank, rerankFrom = embStore)
+      .filter(col("cos") >= cfg.minCosine)
+      .select(col(s"q_$idCol").as(idCol))
+      .distinct()
+    val out = batch.join(hits, Seq(idCol), "left_anti")
+    cfg.metricPrefix.fold(out)(p =>
+      out.observe(s"${p}_semantic_inc", count(lit(1)).as("rows")))
+  }
+
   /** LIVE corpus intake — the streaming front half of the prep
     * pipeline: normalize (+ optional PII redaction) -> row-local
     * quality gates -> watermarked EXACT dedup on the content digest

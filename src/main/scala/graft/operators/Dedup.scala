@@ -740,7 +740,7 @@ object Dedup {
     * `streamIntraBandDedup` that closes its documented false-positive
     * gap: instead of dropping on a bare band-key collision, each band
     * group keeps the SHINGLE-HASH SETS of the docs it has seen
-    * (watermark-bounded `flatMapGroupsWithState` state, one pass per
+    * (watermark-bounded `transformWithState` state, one pass per
     * band index) and an arrival drops only when its exact Jaccard
     * against a remembered set reaches `minJaccard` — the same verify
     * rule as the batch tier, so a band collision between genuinely

@@ -1790,6 +1790,87 @@ object DataPrepQueries {
             "e", "vec_id", queries, "qid", "e", codebook, pq,
             k = 5, nprobe = 2, rerank = 20, excludeSelf = true)
           .orderBy("qid", "rank")
+      }),
+
+    // CorpusPrep.semanticIncremental end to end on the CODES-ONLY
+    // route: even non-centroid rows are the standing corpus, indexed
+    // as (id, cid, code) with floats ONLY in the external store; every
+    // odd row is a batch doc probed against it (nprobe 2, rerank 20,
+    // exact top-1 cosine vs minCosine 0.34 — the median of the true
+    // top-1 distribution, so the gate genuinely splits). The oracle
+    // replays the whole stack in DuckDB — coarse assign, per-subspace
+    // codes, probed-list ADC shortlist, store-joined exact re-rank,
+    // threshold anti-join — and returns the surviving batch ids.
+    QueryDef("q98_semantic_incremental", Some("""
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT cid - 1 AS did,
+                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
+                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
+            FROM c),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      st AS (SELECT vec_id, e, ne FROM n WHERE vec_id % 2 = 0),
+      assign AS (SELECT st.vec_id, arg_min(c.cid, list_distance(st.e, c.ce)) AS cid
+                 FROM st CROSS JOIN c GROUP BY st.vec_id),
+      codes AS (SELECT vec_id, s, did AS code FROM (
+                  SELECT st.vec_id, sub.s, d.did,
+                         row_number() OVER (PARTITION BY st.vec_id, sub.s
+                           ORDER BY list_sum(list_transform(range(1, 17),
+                             i -> power(st.ne[sub.s * 16 + i] - d.dn[sub.s * 16 + i], 2))),
+                           d.did) AS rn
+                  FROM st CROSS JOIN (SELECT unnest(range(0, 4)) AS s) sub CROSS JOIN d)
+                WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, e AS qe, ne AS qn FROM n WHERE vec_id % 2 = 1),
+      probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      adc AS (SELECT qid, qe, vec_id,
+                     sum(list_sum(list_transform(range(1, 17),
+                       i -> power(qn[s * 16 + i] - dn[s * 16 + i], 2)))) AS adist
+              FROM (SELECT p.qid, p.qe, p.qn, cd.vec_id, cd.s, d.dn
+                    FROM probe p
+                      JOIN assign a ON a.cid = p.cid
+                      JOIN codes cd ON cd.vec_id = a.vec_id
+                      JOIN d ON d.did = cd.code)
+              GROUP BY qid, qe, vec_id),
+      short AS (SELECT qid, qe, vec_id FROM adc
+                QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
+      hits AS (SELECT DISTINCT sh.qid
+               FROM short sh JOIN e ON e.vec_id = sh.vec_id
+               WHERE round(list_inner_product(e.e, sh.qe)
+                     / (sqrt(list_inner_product(e.e, e.e))
+                        * sqrt(list_inner_product(sh.qe, sh.qe))), 4) >= 0.34)
+      SELECT q.qid AS vec_id FROM q
+      WHERE q.qid NOT IN (SELECT qid FROM hits)
+      ORDER BY vec_id"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val donors = cents.orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toSeq).toSeq
+        val pq = graft.operators.Similarity.pqFromVectors(donors, numSubspaces = 4)
+        val standing = others.filter(col("vec_id") % 2 === 0)
+        val batch = others.filter(col("vec_id") % 2 === 1)
+        val codesOnly = graft.operators.Similarity.pqAssign(
+            graft.operators.Similarity.ivfAssign(standing, codebook, "e"), "e", pq)
+          .select("vec_id", "cid", "pq_code")
+        graft.operators.CorpusPrep.semanticIncremental(batch, codesOnly,
+            idCol = "vec_id",
+            cfg = graft.operators.CorpusPrep.Config(embCol = Some("e"),
+              minCosine = 0.34, codebook = Some(codebook), pqModel = Some(pq),
+              nprobe = 2),
+            embStore = Some(standing.select("vec_id", "e")), rerank = 20)
+          .select("vec_id").orderBy("vec_id")
       })
   )
 }

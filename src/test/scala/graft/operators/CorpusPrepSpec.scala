@@ -267,6 +267,54 @@ class CorpusPrepSpec extends SparkSpecBase {
       pqModel = Some(pqRot), sdcMargin = 2.0)) == Set(1L, 3L))
   }
 
+  test("semanticIncremental probes a standing IVF-PQ index; codes-only index + embStore equals the in-frame path") {
+    // standing corpus: two docs in different inverted lists
+    val standing = Seq(
+      (1L, Seq(5.01, 5.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 9.0, 0.0)))
+      .toDF("doc_id", "emb")
+    val codebook: Seq[(Long, Seq[Double])] = Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 10.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 10.0, 0.0)), (3L, Seq(0.0, 0.0, 0.0, 10.0)))
+    val pq = Similarity.pqFromVectors(
+      standing.select("emb").collect().map(_.getSeq[Double](0).toSeq).toSeq,
+      numSubspaces = 2)
+    val indexed = Similarity.pqAssign(
+      Similarity.ivfAssign(standing, codebook, "emb"), "emb", pq)
+    // batch: 10 paraphrases standing doc 1 across the c0/c1 Voronoi
+    // boundary (same fixture geometry as the run() semantic test); 11
+    // is novel
+    val batch = Seq(
+      (10L, Seq(5.0, 5.01, 0.0, 0.0)),
+      (11L, Seq(0.0, 0.0, 0.0, 7.0)))
+      .toDF("doc_id", "emb")
+    def kept(index: org.apache.spark.sql.DataFrame,
+        store: Option[org.apache.spark.sql.DataFrame], nprobe: Int): Set[Long] =
+      CorpusPrep.semanticIncremental(batch, index,
+          cfg = CorpusPrep.Config(embCol = Some("emb"), minCosine = 0.999,
+            codebook = Some(codebook), pqModel = Some(pq), nprobe = nprobe),
+          embStore = store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // in-frame path: the index carries the floats
+    assert(kept(indexed, None, 2) == Set(11L))
+    // nprobe=1 misses the boundary match — the usual IVF recall knob
+    assert(kept(indexed, None, 1) == Set(10L, 11L))
+    // codes-only path: the index frame holds (id, cid, code) ONLY —
+    // floats live in one external store — and survivors are identical
+    val codesOnly = indexed.select("doc_id", "cid", "pq_code")
+    assert(!codesOnly.columns.contains("emb"))
+    assert(kept(codesOnly, Some(standing), 2) == Set(11L))
+    assert(kept(codesOnly, Some(standing), 1) == Set(10L, 11L))
+    // config errors are loud: no embCol, and no pqModel/codebook
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.semanticIncremental(batch, codesOnly)
+    }.getMessage.contains("embCol"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.semanticIncremental(batch, codesOnly,
+        cfg = CorpusPrep.Config(embCol = Some("emb"), codebook = Some(codebook)))
+    }.getMessage.contains("pqModel"))
+  }
+
   test("runIncremental: batch prepped like run, deduped against the standing corpus") {
     val oldDocs = Seq(
       (1L, "The Quick Brown Fox Jumps Over The Lazy Dog Again Today"),
