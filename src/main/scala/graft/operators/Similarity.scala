@@ -768,6 +768,167 @@ object Similarity {
     buckets.toSeq.flatMap(_.reverse.map(k => eigvecs(k).toSeq))
   }
 
+  /** Procrustes cross-moments of OPQ's alternating step: M = Σ x·ŷᵀ
+    * over the sample, where ŷ is the per-subspace nearest-centroid
+    * reconstruction of R·x under the CURRENT codebooks. Accumulated
+    * cluster-side (the same treeAggregate shape as sampleMoments — the
+    * driver collects the D² matrix, KBs–MBs, never the sample);
+    * per-row cost is D² rotate + M·ksub·dsub quantize + D² outer,
+    * train-time only and sample-bounded. Rows at the wrong width are
+    * skipped, mirroring sampleMoments. */
+  private def procrustesMoments(sample: DataFrame, rot: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], dims: Int, dsub: Int): Array[Array[Double]] = {
+    val rotA = rot.map(_.toArray).toArray
+    val booksA = books.map(_.map(_.toArray).toArray).toArray
+    val flat = sample.select(col("_n")).rdd.treeAggregate(
+      new Array[Double](dims * dims))(
+      seqOp = { (m, row) =>
+        val xSeq = row.getSeq[Double](0)
+        if (xSeq.length != dims) m
+        else {
+          val x = xSeq.toArray
+          // y = R·x, same left-to-right accumulation as mat_vec
+          val y = new Array[Double](dims)
+          var i = 0
+          while (i < dims) {
+            val r = rotA(i); var s = 0.0; var j = 0
+            while (j < dims) { s += r(j) * x(j); j += 1 }
+            y(i) = s; i += 1
+          }
+          // ŷ = concat of each subspace's nearest centroid to its slice
+          val yhat = new Array[Double](dims)
+          var sub = 0
+          while (sub < booksA.length) {
+            val cb = booksA(sub); val off = sub * dsub
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cb.length) {
+              val ce = cb(c); var d2 = 0.0; var j = 0
+              while (j < dsub && j < ce.length) {
+                val t = y(off + j) - ce(j); d2 += t * t; j += 1
+              }
+              if (d2 < bestD) { bestD = d2; best = c }
+              c += 1
+            }
+            val ce = cb(best); var j = 0
+            while (j < dsub && j < ce.length) { yhat(off + j) = ce(j); j += 1 }
+            sub += 1
+          }
+          i = 0
+          while (i < dims) {
+            val xi = x(i); val rowOff = i * dims; var j = 0
+            while (j < dims) { m(rowOff + j) += xi * yhat(j); j += 1 }
+            i += 1
+          }
+          m
+        }
+      },
+      combOp = { (m1, m2) =>
+        var i = 0
+        while (i < m1.length) { m1(i) += m2(i); i += 1 }
+        m1
+      })
+    Array.tabulate(dims, dims)((i, j) => flat(i * dims + j))
+  }
+
+  /** Orthogonal-Procrustes solve: the R maximizing tr(R·M) over
+    * orthogonal matrices is V·Uᵀ for the SVD M = U·S·Vᵀ. The SVD
+    * comes from the existing Jacobi eigensolver (MᵀM = V·Λ·Vᵀ, then
+    * uᵢ = M·vᵢ/sᵢ); null directions (sᵢ ≈ 0 — a data subspace the
+    * quantizer reconstructs to a constant) are completed by
+    * Gram–Schmidt against the resolved columns, and one modified-GS
+    * hygiene pass keeps U orthonormal under repeated singular values,
+    * so the returned R is orthogonal to working precision — the
+    * property that makes rotated-frame ADC distances equal original
+    * ones. Driver-side O(D³), same cap as pcaAllocRotation. */
+  private def procrustesRotation(m: Array[Array[Double]]): Seq[Seq[Double]] = {
+    val n = m.length
+    val mtm = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < n) { s += m(k)(i) * m(k)(j); k += 1 }
+      s
+    }
+    val (eigvals, eigvecs) = symmetricEigen(mtm)
+    val order = eigvals.indices.sortBy(k => -eigvals(k))
+    val v = order.map(k => eigvecs(k)).toArray
+    val sVals = order.map(k => math.sqrt(math.max(eigvals(k), 0.0))).toArray
+    val sMax = if (sVals.isEmpty) 0.0 else sVals.max
+    val tol = 1e-12 * math.max(sMax, 1.0)
+    val u = Array.ofDim[Array[Double]](n)
+    for (k <- 0 until n if sVals(k) > tol) {
+      val vk = v(k)
+      u(k) = Array.tabulate(n) { i =>
+        var s = 0.0; var j = 0
+        while (j < n) { s += m(i)(j) * vk(j); j += 1 }
+        s / sVals(k)
+      }
+    }
+    // modified Gram–Schmidt over resolved columns, then complete the
+    // null directions from the standard basis
+    def mgs(vec: Array[Double], against: Seq[Array[Double]]): Array[Double] = {
+      val w = vec.clone()
+      against.foreach { a =>
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += w(i) * a(i); i += 1 }
+        i = 0
+        while (i < n) { w(i) -= dot * a(i); i += 1 }
+      }
+      w
+    }
+    val done = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (k <- 0 until n) {
+      val cand =
+        if (u(k) != null) mgs(u(k), done.toSeq)
+        else {
+          // first standard-basis vector with usable residual
+          (0 until n).iterator.map { e =>
+            val ev = Array.tabulate(n)(i => if (i == e) 1.0 else 0.0)
+            mgs(ev, done.toSeq)
+          }.find(w => math.sqrt(w.map(x => x * x).sum) > 1e-8).get
+        }
+      val nrm = math.sqrt(cand.map(x => x * x).sum)
+      require(nrm > 1e-12, "procrustesRotation: degenerate basis completion")
+      done += cand.map(_ / nrm)
+    }
+    val uq = done.toArray
+    // R = V·Uᵀ: R(i)(j) = Σ_k v_k(i) · u_k(j)
+    Seq.tabulate(n, n) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < n) { s += v(k)(i) * uq(k)(j); k += 1 }
+      s
+    }
+  }
+
+  /** OPQ's alternating (non-parametric) refinement — Ge et al.'s
+    * OPQ-NP, public knowledge: starting from the parametric PCA
+    * rotation, repeat `opqIters` times { fix codebooks, re-fit R by
+    * orthogonal Procrustes against the sample's reconstructions; fix
+    * R, retrain codebooks in the new frame }. Each step cannot
+    * increase the sample quantization error, so the refined model
+    * quantizes at least as tightly as the parametric one at the same
+    * M × ksub budget (SimilaritySpec pins a strict recall win on a
+    * mixing-rotation fixture whose isotropic covariance blinds PCA).
+    * Cost is train-time only: opqIters × (one sample scan for the
+    * moments + one per-subspace k-means round). */
+  private def refineOpqRotation(sample: DataFrame, dims: Int,
+      numSubspaces: Int, dsub: Int, ksub: Int, iters: Int,
+      maxTrainRows: Int, init: Seq[Seq[Double]], opqIters: Int):
+      (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    require(opqIters >= 0, s"opqIters must be >= 0, got $opqIters")
+    var rot = init
+    var books = trainSubspaceCodebooks(
+      sample.select(matVec(rot, col("_n")).as("_n")),
+      numSubspaces, dsub, ksub, iters, maxTrainRows)
+    var it = 0
+    while (it < opqIters) {
+      rot = procrustesRotation(procrustesMoments(sample, rot, books, dims, dsub))
+      books = trainSubspaceCodebooks(
+        sample.select(matVec(rot, col("_n")).as("_n")),
+        numSubspaces, dsub, ksub, iters, maxTrainRows)
+      it += 1
+    }
+    (rot, books)
+  }
+
   /** Train an OPQ-rotated PQ model (the parametric/PCA variant, public
     * knowledge): PCA-rotate the normalized sample, allocate principal
     * directions to subspaces balancing the per-subspace eigenvalue
@@ -781,19 +942,28 @@ object Similarity {
     * driver collects D(D+3)/2 moments, not the sample); only the
     * O(D³)-per-sweep Jacobi eigendecomposition runs on the driver,
     * capped loudly at D=1024. The rotation is persisted with the
-    * model and applied transparently by pqAssign and the probes. */
+    * model and applied transparently by pqAssign and the probes.
+    *
+    * `opqIters` > 0 adds the alternating (non-parametric) refinement
+    * (see refineOpqRotation): when the corpus's covariance carries no
+    * usable signal — near-isotropic embeddings are common after
+    * whitening — the PCA init is blind, and the Procrustes↔k-means
+    * alternation still descends the actual quantization error.
+    * opqIters = 0 (the default) is bit-identical to the parametric
+    * trainer. */
   def pqTrainOpq(df: DataFrame, embCol: String, numSubspaces: Int,
-      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
+      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536,
+      opqIters: Int = 0): PqModel = {
     requireKsub(ksub)
     val (dims, dsub) = probeDims(df, embCol, numSubspaces, "pqTrainOpq")
     val normed = withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
       .select(col("_n"))
     val sample = boundedSample(normed, maxTrainRows)
-    val rotation = pcaAllocRotation(sample, dims, numSubspaces, dsub, "pqTrainOpq")
-    val rotated = sample.select(matVec(rotation, col("_n")).as("_n"))
-    PqModel(numSubspaces, dsub,
-      trainSubspaceCodebooks(rotated, numSubspaces, dsub, ksub, iters, maxTrainRows),
+    val init = pcaAllocRotation(sample, dims, numSubspaces, dsub, "pqTrainOpq")
+    val (rotation, books) = refineOpqRotation(sample, dims, numSubspaces,
+      dsub, ksub, iters, maxTrainRows, init, opqIters)
+    PqModel(numSubspaces, dsub, books,
       residual = false, rotation = Some(rotation))
   }
 
@@ -809,19 +979,24 @@ object Similarity {
     * probe rotates each probed list's shifted query driver-side — no
     * per-list rotated centroids, no new plan shapes. SimilaritySpec
     * pins recall(OPQ+residual) ≥ recall(residual) ≥ recall(direct) at
-    * a fixed M/ksub/nprobe/rerank budget. */
+    * a fixed M/ksub/nprobe/rerank budget.
+    *
+    * `opqIters` > 0 runs the alternating refinement over the residual
+    * cloud (see refineOpqRotation); 0 (the default) is bit-identical
+    * to the parametric composition. */
   def pqTrainOpqResidual(df: DataFrame, embCol: String,
       codebook: Seq[(Long, Seq[Double])], numSubspaces: Int,
-      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536): PqModel = {
+      ksub: Int = 16, iters: Int = 5, maxTrainRows: Int = 65536,
+      opqIters: Int = 0): PqModel = {
     requireKsub(ksub)
     val (dims, dsub) = probeDims(df, embCol, numSubspaces, "pqTrainOpqResidual")
     val residuals = residualFrame(df, embCol, codebook, dims, "pqTrainOpqResidual")
     val sample = boundedSample(residuals, maxTrainRows)
-    val rotation = pcaAllocRotation(sample, dims, numSubspaces, dsub,
+    val init = pcaAllocRotation(sample, dims, numSubspaces, dsub,
       "pqTrainOpqResidual")
-    val rotated = sample.select(matVec(rotation, col("_n")).as("_n"))
-    PqModel(numSubspaces, dsub,
-      trainSubspaceCodebooks(rotated, numSubspaces, dsub, ksub, iters, maxTrainRows),
+    val (rotation, books) = refineOpqRotation(sample, dims, numSubspaces,
+      dsub, ksub, iters, maxTrainRows, init, opqIters)
+    PqModel(numSubspaces, dsub, books,
       residual = true, rotation = Some(rotation))
   }
 

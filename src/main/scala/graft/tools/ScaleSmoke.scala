@@ -192,6 +192,25 @@ object ScaleSmoke {
       Similarity.ivfPqProbe(aOpq, "e", "vec_id", query, 10, codebook,
         opqModel, nprobe = 4, rerank = 64).count()
     }
+    // alternating refinement: each extra iter = one sample scan for
+    // the Procrustes moments + one per-subspace k-means round
+    timed("ann_pq_train_opq_np(m=8,k=16,2it,opqIters=2)") {
+      Similarity.pqTrainOpq(embD, "e", numSubspaces = 8, ksub = 16,
+        iters = 2, maxTrainRows = 20000, opqIters = 2).numSubspaces.toLong
+    }
+    // the composed production stack: rotate the residual cloud, then
+    // residual-encode in the rotated frame
+    var bothModel: Similarity.PqModel = null
+    timed("ann_pq_train_opq_residual(m=8,k=16,2it)") {
+      bothModel = Similarity.pqTrainOpqResidual(embD, "e", codebook,
+        numSubspaces = 8, ksub = 16, iters = 2, maxTrainRows = 20000)
+      bothModel.numSubspaces.toLong
+    }
+    timed("ann_pq_assign_opq_residual+probe") {
+      val aBoth = Similarity.pqAssignResidual(assigned, "e", codebook, bothModel)
+      Similarity.ivfPqProbe(aBoth, "e", "vec_id", query, 10, codebook,
+        bothModel, nprobe = 4, rerank = 64).count()
+    }
     timed("ann_ivf_pq_probe_all(shuffle, 1% batch)") {
       Similarity.ivfPqProbeAll(pqAssigned, "e", "vec_id",
         pqAssigned.filter(col("vec_id") % 100 === 7)

@@ -710,6 +710,137 @@ class SimilaritySpec extends SparkSpecBase {
     aBoth.unpersist(); ivf.unpersist(); corpus.unpersist()
   }
 
+  test("alternating OPQ refinement: Procrustes descent beats the PCA-blind parametric rotation") {
+    import spark.implicits._
+    // the geometry the PARAMETRIC trainer cannot see: a ±1 hypercube
+    // over dims 1..7 (dim 0 carries the constant offset) pushed
+    // through a chain of 45° plane rotations straddling every
+    // subspace boundary. The cube's covariance is ISOTROPIC, so the
+    // rotated cloud's covariance is STILL (near-)diagonal — PCA's
+    // eigenbasis degenerates to a jitter-ordered permutation, which
+    // cannot undo a 45° mix (and chaining the planes leaves no
+    // 2-dim regrouping that would). The alternating refinement
+    // descends the actual sample quantization error, which does see
+    // the mixed corners.
+    def mixPlanes(v: Array[Double]): Array[Double] = {
+      val w = v.clone()
+      val c = math.cos(math.Pi / 4); val s = math.sin(math.Pi / 4)
+      for (p <- 1 until 7) {
+        val a = w(p); val b = w(p + 1)
+        w(p) = c * a - s * b
+        w(p + 1) = s * a + c * b
+      }
+      w
+    }
+    val grid = for { corner <- 0 until 128; rep <- 0 until 8 } yield {
+      val z = Array.tabulate(dim)(d =>
+        if (d == 0) 0.0 else if (((corner >> (d - 1)) & 1) == 0) 1.0 else -1.0)
+      val x = mixPlanes(z)
+      val e = Seq.tabulate(dim) { d =>
+        val jitter = ((corner * 131 + rep * 17 + d * 13) % 23 - 11) * 0.002
+        (if (d == 0) 10.0 else 0.0) + x(d) + jitter
+      }
+      (corner * 8L + rep, e)
+    }
+    val corpus = grid.toDF("vec_id", "e").cache()
+    val cbk: Seq[(Long, Seq[Double])] =
+      Seq((0L, Seq.tabulate(dim)(d => if (d == 0) 10.0 else 0.0)))
+
+    val param = Similarity.pqTrainOpq(corpus, "e", numSubspaces = 4, ksub = 4,
+      iters = 3)
+    val np = Similarity.pqTrainOpq(corpus, "e", numSubspaces = 4, ksub = 4,
+      iters = 3, opqIters = 4)
+    // opqIters = 0 is the parametric trainer, bit for bit
+    assert(Similarity.pqTrainOpq(corpus, "e", numSubspaces = 4, ksub = 4,
+      iters = 3, opqIters = 0) == param)
+    // the refined rotation must STAY orthogonal (Procrustes returns
+    // V·Uᵀ; this is what keeps rotated-frame ADC distances exact)
+    val r = np.rotation.get
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RR^T[$i][$j] = $dot")
+    }
+
+    // the refinement's actual objective: sample quantization error
+    // strictly drops vs the parametric rotation at the same budget
+    val vecs = grid.map(_._2)
+    def quantErr(model: Similarity.PqModel): Double = {
+      val rot = model.rotation.get
+      vecs.map { v0 =>
+        val n = math.sqrt(v0.map(x => x * x).sum)
+        val v = v0.map(_ / n)
+        val y = rot.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+        (0 until model.numSubspaces).map { m =>
+          val slice = y.slice(m * model.subDim, (m + 1) * model.subDim)
+          model.codebooks(m).map(ce =>
+            slice.zip(ce).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    }
+    val errParam = quantErr(param)
+    val errNp = quantErr(np)
+    assert(errNp < errParam * 0.5,
+      s"alternation must at least halve the quantization error on the " +
+        s"mixing fixture: parametric=$errParam refined=$errNp")
+
+    // and the error win is a recall win: MEAN recall@10 over one
+    // query per corner (amplitude 0.9, so the own-corner replicas +
+    // cross-face neighbors must be ranked, not just found) at a
+    // near-zero-slack rerank. Exact truth is computed driver-side —
+    // the fixture is 1024 × 8 doubles.
+    val queries = (0 until 128).map { corner =>
+      val zq = Array.tabulate(dim)(d =>
+        if (d == 0) 0.0 else if (((corner >> (d - 1)) & 1) == 0) 0.9 else -0.9)
+      val xq = mixPlanes(zq)
+      (corner.toLong, Seq.tabulate(dim)(d => (if (d == 0) 10.0 else 0.0) + xq(d)))
+    }
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truthBy = queries.map { case (qid, qv) =>
+      qid -> grid.map { case (id, e) => (id, cosine(qv, e)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val probes = queries.toDF("q_id", "qe")
+    val ivf = Similarity.ivfAssign(corpus, cbk, "e").cache()
+    def meanRecall(model: Similarity.PqModel): Double = {
+      val got = Similarity.ivfPqProbeAll(
+        Similarity.pqAssign(ivf, "e", model), "e", "vec_id", probes,
+        "q_id", "qe", cbk, model, k = 10, nprobe = 1, rerank = 12)
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+      queries.map { case (qid, _) =>
+        recallAt10(got.getOrElse(qid, Set.empty), truthBy(qid))
+      }.sum / queries.size
+    }
+    val rParam = meanRecall(param)
+    val rNp = meanRecall(np)
+    assert(rNp >= rParam,
+      s"refined recall ($rNp) must be >= parametric ($rParam)")
+    // the descent lands in a good local minimum (the cube symmetry
+    // has several), not the global one — 0.8 mean recall vs the
+    // parametric 0.70 is the honest, deterministic pin
+    assert(rNp >= 0.8 && rNp - rParam >= 0.1,
+      s"fixture must show the alternation win: parametric=$rParam refined=$rNp")
+
+    // the composed trainer takes the same knob: rotation stays
+    // orthogonal and the artifact round-trips the refined model
+    val npRes = Similarity.pqTrainOpqResidual(corpus, "e", cbk,
+      numSubspaces = 4, ksub = 4, iters = 3, opqIters = 2)
+    assert(npRes.residual && npRes.rotation.isDefined)
+    val rr = npRes.rotation.get
+    for (i <- rr.indices; j <- rr.indices) {
+      val dot = rr(i).zip(rr(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    withTempDir("pq-opq-np") { dir =>
+      Similarity.writePqModel(spark, np, dir.getAbsolutePath)
+      assert(Similarity.readPqModel(spark, dir.getAbsolutePath) == np)
+    }
+    ivf.unpersist(); corpus.unpersist()
+  }
+
   test("a PQ artifact with mixed residual flags fails loudly instead of coercing") {
     import spark.implicits._
     withTempDir("pq-mixed-res") { dir =>
