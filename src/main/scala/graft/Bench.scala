@@ -95,7 +95,10 @@ object Bench {
     val qs = jmap(results.map(r => r._1 -> r._2))
     val meds = jmap(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+    // publish the DERIVED heavy list so the phase split is auditable
+    // from the artifact alone
+    val heavyJson = heavyList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"heavy":$heavyJson,"sf":"$sfDir"}"""
     // compact total BEFORE the giant per-query line too: whichever
     // side of the log a bounded tail window lands on, one parseable
     // summary line is inside it

@@ -840,7 +840,7 @@ object Similarity {
     * so the returned R is orthogonal to working precision — the
     * property that makes rotated-frame ADC distances equal original
     * ones. Driver-side O(D³), same cap as pcaAllocRotation. */
-  private def procrustesRotation(m: Array[Array[Double]]): Seq[Seq[Double]] = {
+  private[operators] def procrustesRotation(m: Array[Array[Double]]): Seq[Seq[Double]] = {
     val n = m.length
     val mtm = Array.tabulate(n, n) { (i, j) =>
       var s = 0.0; var k = 0

@@ -841,6 +841,58 @@ class SimilaritySpec extends SparkSpecBase {
     ivf.unpersist(); corpus.unpersist()
   }
 
+  test("Procrustes solve: orthogonal and trace-optimal on random, SPD, rank-deficient, and zero cross-moments") {
+    // driver-side numeric robustness of the alternation's core: the
+    // returned R must be orthogonal for ANY input (rank-deficient
+    // cross-moments arise whenever the quantizer reconstructs a data
+    // direction to a constant), and tr(R·M) must beat the trace of
+    // every cheap alternative rotation (identity, axis permutations,
+    // sign flips) — the optimality Procrustes exists for.
+    val n = 12
+    def lcg(seed: Long): Iterator[Double] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5)
+    def orthoCheck(r: Seq[Seq[Double]]): Unit =
+      for (i <- 0 until n; j <- 0 until n) {
+        val dot = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+        assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"RR^T[$i][$j] = $dot")
+      }
+    def trace(r: Seq[Seq[Double]], m: Array[Array[Double]]): Double =
+      (0 until n).map(i => (0 until n).map(j => r(i)(j) * m(j)(i)).sum).sum
+
+    // (a) dense pseudo-random M: orthogonal, and tr(R·M) beats
+    // identity, a cyclic permutation, and a sign flip
+    val it = lcg(0x5eed5eedL)
+    val rand = Array.fill(n, n)(it.next())
+    val rRand = Similarity.procrustesRotation(rand)
+    orthoCheck(rRand)
+    val ident = Seq.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    val perm = Seq.tabulate(n, n)((i, j) => if (j == (i + 1) % n) 1.0 else 0.0)
+    val flip = Seq.tabulate(n, n)((i, j) => if (i == j) (if (i % 2 == 0) 1.0 else -1.0) else 0.0)
+    val best = trace(rRand, rand)
+    for (q <- Seq(ident, perm, flip))
+      assert(best >= trace(q, rand) - 1e-9, s"Procrustes must beat trace ${trace(q, rand)}")
+
+    // (b) SPD M (= A·Aᵀ): the optimum IS the identity
+    val spd = Array.tabulate(n, n)((i, j) =>
+      (0 until n).map(k => rand(i)(k) * rand(j)(k)).sum)
+    val rSpd = Similarity.procrustesRotation(spd)
+    orthoCheck(rSpd)
+    for (i <- 0 until n)
+      assert(math.abs(rSpd(i)(i) - 1.0) < 1e-6, s"SPD optimum is I, got R[$i][$i]=${rSpd(i)(i)}")
+
+    // (c) rank-1 M: most singular values are 0 — the Gram–Schmidt
+    // completion must still deliver a full orthogonal matrix
+    val u1 = Array.tabulate(n)(i => i + 1.0)
+    val rank1 = Array.tabulate(n, n)((i, j) => u1(i) * u1(j) * 0.01)
+    orthoCheck(Similarity.procrustesRotation(rank1))
+
+    // (d) zero M: every direction degenerate; R is SOME orthogonal
+    // matrix (any maximizes tr(R·0)) — it must not NaN or throw
+    orthoCheck(Similarity.procrustesRotation(Array.fill(n, n)(0.0)))
+  }
+
   test("a PQ artifact with mixed residual flags fails loudly instead of coercing") {
     import spark.implicits._
     withTempDir("pq-mixed-res") { dir =>
