@@ -154,6 +154,61 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** Scalar-quantize (SQ8, FAISS-style uniform per-dim): byte d =
+    * clamp(floor((v_d − min_d)/Δ_d + 0.5), 0, 255), one byte per
+    * dimension. `mm` packs the model as two rows: mm(0) = mins,
+    * mm(1) = deltas (Δ_d = (max_d − min_d)/255; a constant dimension
+    * has Δ = 0 and always codes 0). floor(x + 0.5) is spelled
+    * explicitly so the DuckDB oracle can replay the identical IEEE
+    * rounding. Null (never a truncated code) when the vector width
+    * differs from the model's. */
+  def sqEncode(v: ArrayData, mm: ArrayData): Array[Byte] = {
+    val xs = v.toDoubleArray()
+    val mins = mm.getArray(0).toDoubleArray()
+    val deltas = mm.getArray(1).toDoubleArray()
+    if (xs.length != mins.length || xs.length != deltas.length) return null
+    val out = new Array[Byte](xs.length)
+    var i = 0
+    while (i < xs.length) {
+      val c =
+        if (deltas(i) == 0.0) 0.0
+        else math.floor((xs(i) - mins(i)) / deltas(i) + 0.5)
+      val clamped = if (c < 0.0) 0.0 else if (c > 255.0) 255.0 else c
+      out(i) = (clamped.toInt & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** ADC cosine for SQ8 codes: cosine between the FULL query vector
+    * and the dequantized corpus vector (v̂_d = min_d + byte_d·Δ_d).
+    * The query side stays exact — quantization error enters once.
+    * Per-row cost is one D-length byte pass (the scan reads D bytes,
+    * not D doubles — 8× less bandwidth than the raw column).
+    * Accumulation is left-to-right, matching VectorOps.cosine and
+    * DuckDB's list ops. Width mismatch between query, code, and
+    * model yields NaN — a partial cosine must never fake a near
+    * match (NaN >= threshold is false; probes sort it last). */
+  def sqAdcCos(q: ArrayData, code: Array[Byte], mm: ArrayData): Double = {
+    val qs = q.toDoubleArray()
+    val mins = mm.getArray(0).toDoubleArray()
+    val deltas = mm.getArray(1).toDoubleArray()
+    if (code.length != mins.length || code.length != deltas.length ||
+        qs.length != code.length) return Double.NaN
+    var d = 0.0
+    var nq = 0.0
+    var nv = 0.0
+    var i = 0
+    while (i < qs.length) {
+      val v = mins(i) + (code(i) & 0xff).toDouble * deltas(i)
+      d += qs(i) * v
+      nq += qs(i) * qs(i)
+      nv += v * v
+      i += 1
+    }
+    d / (math.sqrt(nq) * math.sqrt(nv))
+  }
+
   /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
     * formulation divides by zero the same way). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -286,6 +341,50 @@ case class PqSdcCos(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "pq_sdc_cos"
 }
 
+/** `sq_encode(v, minsDeltas)` -> SQ8 code bytes (VectorOps.sqEncode).
+  * The model rides as a 2×D array<array<double>> literal
+  * (mins row, deltas row) — KBs at any embedding width — so scalar
+  * quantization is a pure map-side pass. NULL on width mismatch. */
+case class SqEncode(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, mm: Any): Any =
+    VectorOps.sqEncode(v.asInstanceOf[ArrayData], mm.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mm) => s"""
+      ${ev.value} = graft.functions.VectorOps.sqEncode($v, $mm);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqEncode =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq_encode"
+}
+
+/** `sq_adc_cos(query, code, minsDeltas)` -> approximate cosine of a
+  * full query against an SQ8-coded corpus vector (VectorOps
+  * .sqAdcCos); the model literal rides like SqEncode's. The list
+  * scan reads D bytes per row instead of D doubles. */
+case class SqAdcCos(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    org.apache.spark.sql.types.BinaryType,
+    ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(q: Any, code: Any, mm: Any): Any =
+    VectorOps.sqAdcCos(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]],
+      mm.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorOps.sqAdcCos($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SqAdcCos =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq_adc_cos"
+}
+
 /** `dot_product(a, b)` over two array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -343,6 +442,24 @@ object VectorExpressions {
       GraftBridge.expression(codesA.cast("array<int>")),
       GraftBridge.expression(codesB.cast("array<int>")),
       GraftBridge.expression(typedLit(tables))))
+  }
+
+  /** Model-literal SQ8 encoding (see SqEncode): `minsDeltas` is
+    * (mins, deltas), each D-wide. */
+  def sq_encode(v: Column, minsDeltas: (Seq[Double], Seq[Double])): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(SqEncode(GraftBridge.expression(v),
+      GraftBridge.expression(typedLit(Seq(minsDeltas._1, minsDeltas._2)))))
+  }
+
+  /** Model-literal SQ8 ADC cosine (see SqAdcCos). */
+  def sq_adc_cos(query: Column, code: Column,
+      minsDeltas: (Seq[Double], Seq[Double])): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(SqAdcCos(
+      GraftBridge.expression(query),
+      GraftBridge.expression(code),
+      GraftBridge.expression(typedLit(Seq(minsDeltas._1, minsDeltas._2)))))
   }
 
   /** Codebook-literal nearest-centroid assignment (see NearestCentroid). */

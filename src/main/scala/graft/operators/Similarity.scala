@@ -317,6 +317,131 @@ object Similarity {
     PqModel(m, dsub, codebooks, residual, rotation)
   }
 
+  /** SQ8 scalar-quantization model (FAISS-style uniform per-dim,
+    * public knowledge): each dimension of the NORMALIZED vector maps
+    * linearly from [min_d, max_d] onto a byte — D bytes per row vs
+    * 8·D raw, the 8× compression tier BETWEEN raw floats and PQ
+    * (M bytes, lossier) in the SCALE.md playbook. 256 levels per
+    * dimension resolve far finer than PQ's ksub centroids per
+    * dsub-dim subspace, so ADC recall is near-exact at tight rerank
+    * budgets. Training is ONE deterministic aggregation — no
+    * k-means — which makes the ENTIRE train + assign + probe
+    * pipeline DuckDB-replayable (q99), donor-free. */
+  final case class SqModel(mins: Seq[Double], maxs: Seq[Double]) {
+    require(mins.nonEmpty && mins.length == maxs.length,
+      s"SqModel needs matching per-dim bounds, got ${mins.length}/${maxs.length}")
+    require(mins.zip(maxs).forall { case (a, b) => a <= b },
+      "SqModel needs min <= max per dimension")
+    def dims: Int = mins.length
+    /** Δ_d = (max_d − min_d)/255; a constant dimension has Δ = 0 and
+      * always codes (and dequantizes) exactly. */
+    def deltas: Seq[Double] = mins.zip(maxs).map { case (a, b) => (b - a) / 255.0 }
+    private[operators] def mm: (Seq[Double], Seq[Double]) = (mins, deltas)
+  }
+
+  /** Train the SQ8 model: per-dimension min/max over the normalized
+    * corpus. One narrow shuffle (posexplode feeds a (dim)-keyed
+    * min/max whose map-side partial aggregation collapses every
+    * partition to D rows); the driver collects D rows, never data.
+    * Rows at a different width than the probed dims are excluded —
+    * they cannot be coded by a D-wide model anyway (sqAssign nulls
+    * them). */
+  def sqTrain(df: DataFrame, embCol: String): SqModel = {
+    val (dims, _) = probeDims(df, embCol, 1, "sqTrain")
+    val stats = withNormalized(
+        df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
+      .filter(size(col("_n")) === dims)
+      .select(posexplode(col("_n")).as(Seq("_d", "_v")))
+      .groupBy("_d").agg(min("_v").as("mn"), max("_v").as("mx"))
+      .orderBy("_d").collect()
+    require(stats.length == dims &&
+        stats.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"sqTrain expected $dims contiguous dims, got ${stats.length}")
+    SqModel(stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Attach the SQ8 code column: the normalized vector byte-quantized
+    * under the model — D bytes per row, pure map-side (the model
+    * rides inside sq_encode's generated code). Null embeddings and
+    * width-mismatched rows get a null code (never a truncated one).
+    * Write with `writeIndex` as usual; like PQ codes, the raw float
+    * column can be dropped from the written index when `rerankFrom`
+    * re-ranks from the primary store. */
+  def sqAssign(df: DataFrame, embCol: String, model: SqModel,
+      codeCol: String = "sq_code"): DataFrame =
+    withNormalized(df, embCol, "_sq_n")
+      .withColumn(codeCol,
+        when(col(embCol).isNotNull,
+          graft.functions.VectorExpressions.sq_encode(col("_sq_n"), model.mm)))
+      .drop("_sq_n")
+
+  /** IVF-SQ8 probe, single query: same plan as ivfPqProbe — prune to
+    * the `nprobe` nearest inverted lists, score the CODE column
+    * map-side (sq_adc_cos reads D bytes per row; the raw embeddings
+    * never enter the list scan), keep the `rerank` best approximate
+    * cosines, exact-cosine re-rank only those. Because SQ8's
+    * approximation is near-exact, tight rerank budgets (= k) already
+    * recover brute-force answers on realistic corpora
+    * (SimilaritySpec); the same `rerankFrom` codes-only-index
+    * contract as ivfPqProbe applies. A NaN approximate score
+    * (corrupted or foreign code) is nulled before ordering — under a
+    * DESCENDING sort Spark ranks NaN first, which would hand
+    * corrupted rows the shortlist. */
+  def ivfSqProbe(assigned: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, codebook: Seq[(Long, Seq[Double])],
+      sq: SqModel, nprobe: Int = 1, rerank: Int = 0,
+      cidCol: String = "cid", codeCol: String = "sq_code",
+      excludeId: Option[Long] = None,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
+    require(codebook.nonEmpty, "ivfSqProbe needs the coarse codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(query.length == sq.dims,
+      s"query has ${query.length} dims but the SqModel codes ${sq.dims}")
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val cids = rankInvertedLists(codebook, query).take(nprobe)
+    val base = assigned.filter(col(cidCol).isin(cids: _*))
+    val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    val qn = normalizeVec(query)
+    val approx = graft.functions.VectorExpressions.sq_adc_cos(
+      typedLit(qn), col(codeCol), sq.mm)
+    val outCols = col(idCol) +:
+      rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+
+      when(!isnan(approx), approx).as("_sqc")
+    val shortlist = scoped.select(outCols: _*)
+      .orderBy(desc_nulls_last("_sqc"), col(idCol))
+      .limit(rr)
+    val withEmb = rerankFrom.fold(shortlist)(store =>
+      shortlist.hint("broadcast")
+        .join(store.select(col(idCol), col(embCol)), Seq(idCol)))
+    withEmb
+      .select(col(idCol),
+        round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Persist an SQ model — (dim, min, max) rows, KBs. Like PQ, a
+    * coded index is unreadable without the exact model that coded
+    * it: persist them together. */
+  def writeSqModel(spark: org.apache.spark.sql.SparkSession,
+      model: SqModel, path: String): Unit = {
+    import spark.implicits._
+    model.mins.indices.map(i => (i, model.mins(i), model.maxs(i)))
+      .toDF("d", "mn", "mx").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted SQ model; fails loudly on a gappy artifact. */
+  def readSqModel(spark: org.apache.spark.sql.SparkSession, path: String): SqModel = {
+    val rows = spark.read.parquet(path).select("d", "mn", "mx").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    require(rows.nonEmpty, s"empty SQ model at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"SQ model at $path has non-contiguous dims: ${rows.map(_._1).toSeq}")
+    SqModel(rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+  }
+
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
     * through ivfAssign once + ivfProbe per query). `centroids` is a
     * (cid, ce) DataFrame — collected as the codebook literal. */

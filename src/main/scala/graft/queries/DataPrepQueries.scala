@@ -1871,6 +1871,76 @@ object DataPrepQueries {
               nprobe = 2),
             embStore = Some(standing.select("vec_id", "e")), rerank = 20)
           .select("vec_id").orderBy("vec_id")
+      }),
+
+    // SQ8 scalar quantization end to end — and unlike the PQ rows,
+    // DONOR-FREE: the trainer is one deterministic per-dim min/max
+    // aggregation, so the oracle replays TRAIN as well as
+    // assign/probe (the PQ oracles must pin fixed donor codebooks
+    // because k-means is not SQL). Codes are floor((v−min)/Δ + 0.5)
+    // clamped to [0,255] — the floor(x+0.5) spelling is the exact
+    // IEEE rounding both sides compute — dequantized at ADC time as
+    // min + b·Δ; the approx-cosine shortlist (24) then re-ranks by
+    // exact cosine, so the output carries exact scores.
+    QueryDef("q99_sq8_probe", Some("""
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, min(ne[d]) AS mn, max(ne[d]) AS mx
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      mmv AS (SELECT list(mn ORDER BY d) AS mns,
+                     list((mx - mn) / 255.0 ORDER BY d) AS dls
+              FROM mm),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      deq AS (SELECT n.vec_id,
+                     list_transform(range(1, 65), i ->
+                       CASE WHEN v.dls[i] = 0 THEN v.mns[i]
+                            ELSE v.mns[i] + least(255.0, greatest(0.0,
+                              floor((n.ne[i] - v.mns[i]) / v.dls[i] + 0.5))) * v.dls[i]
+                       END) AS dv
+              FROM n CROSS JOIN mmv v),
+      q AS (SELECT e AS qe, ne AS qn FROM n WHERE vec_id = 0),
+      probe AS (SELECT c.cid FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      adc AS (SELECT a.vec_id,
+                     list_inner_product(q.qn, dq.dv)
+                       / (sqrt(list_inner_product(q.qn, q.qn))
+                          * sqrt(list_inner_product(dq.dv, dq.dv))) AS ac
+              FROM probe p
+                JOIN assign a ON a.cid = p.cid
+                JOIN deq dq ON dq.vec_id = a.vec_id
+                CROSS JOIN q
+              WHERE a.vec_id <> 0),
+      short AS (SELECT vec_id FROM adc
+                QUALIFY row_number() OVER (ORDER BY ac DESC, vec_id) <= 24)
+      SELECT s.vec_id,
+             round(list_inner_product(e.e, q.qe)
+               / (sqrt(list_inner_product(e.e, e.e))
+                  * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+      FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+      ORDER BY cos DESC, s.vec_id LIMIT 15"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val sq = graft.operators.Similarity.sqTrain(others, "e")
+        val query = others.filter(col("vec_id") === 0)
+          .select("e").head().getSeq[Double](0).toSeq
+        graft.operators.Similarity.ivfSqProbe(
+            graft.operators.Similarity.sqAssign(
+              graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", sq),
+            "e", "vec_id", query, k = 15, codebook = codebook, sq = sq,
+            nprobe = 2, rerank = 24, excludeId = Some(0L))
       })
   )
 }

@@ -211,6 +211,18 @@ object ScaleSmoke {
       Similarity.ivfPqProbe(aBoth, "e", "vec_id", query, 10, codebook,
         bothModel, nprobe = 4, rerank = 64).count()
     }
+    // SQ8: D bytes/row (8x compression), near-exact ADC — train is
+    // one per-dim min/max aggregation, no k-means
+    var sqModel: Similarity.SqModel = null
+    timed("ann_sq_train") {
+      sqModel = Similarity.sqTrain(embD, "e")
+      sqModel.dims.toLong
+    }
+    timed("ann_sq_assign+probe(nprobe=4,rerank=16)") {
+      val aSq = Similarity.sqAssign(assigned, "e", sqModel)
+      Similarity.ivfSqProbe(aSq, "e", "vec_id", query, 10, codebook,
+        sqModel, nprobe = 4, rerank = 16).count()
+    }
     timed("ann_ivf_pq_probe_all(shuffle, 1% batch)") {
       Similarity.ivfPqProbeAll(pqAssigned, "e", "vec_id",
         pqAssigned.filter(col("vec_id") % 100 === 7)

@@ -893,6 +893,83 @@ class SimilaritySpec extends SparkSpecBase {
     orthoCheck(Similarity.procrustesRotation(Array.fill(n, n)(0.0)))
   }
 
+  test("SQ8: full-budget probe is brute force; tight budget stays exact; codes-only; degenerate dims; artifact") {
+    import spark.implicits._
+    val corpus = planted.cache()
+    val sq = Similarity.sqTrain(corpus, "e")
+    assert(sq.dims == dim)
+    // D bytes per row — the 8x compression the codec exists for
+    val assigned = Similarity.sqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", sq).cache()
+    val lens = assigned.select(length(col("sq_code"))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(lens == Set(dim), s"SQ codes must be D bytes, got lengths $lens")
+
+    val truth = Similarity.bruteForceTopK(corpus, "e", "vec_id", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // all lists + corpus-wide rerank == brute force (exact re-rank
+    // makes the SQ shortlist a superset of the truth)
+    val full = Similarity.ivfSqProbe(assigned, "e", "vec_id", query, 10,
+        codebook, sq, nprobe = nClusters, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == truth)
+    // 256 levels/dim is near-exact: ZERO-slack rerank (= k) already
+    // recovers brute force on the boundary query — the budget PQ
+    // needs 4x slack for
+    val tight = Similarity.ivfSqProbe(assigned, "e", "vec_id", query, 10,
+        codebook, sq, nprobe = 4, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tight == truth,
+      s"SQ8 at rerank=k must already match brute force, got $tight vs $truth")
+
+    // codes-only index: the float-free frame probes identically with
+    // the primary store joined back by id
+    val store = corpus.select(col("vec_id"), col("e"))
+    val codesOnly = Similarity.ivfSqProbe(
+        assigned.select("vec_id", "cid", "sq_code"), "e", "vec_id", query, 10,
+        codebook, sq, nprobe = 4, rerank = 10, rerankFrom = Some(store))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(codesOnly == tight)
+
+    // null and width-mismatched embeddings code to NULL (never a
+    // truncated code that could fake a near match)
+    val odd = Seq((9001L, null.asInstanceOf[Seq[Double]]),
+      (9002L, Seq(1.0, 2.0))).toDF("vec_id", "e")
+    val oddCodes = Similarity.sqAssign(odd, "e", sq)
+    assert(oddCodes.filter(col("sq_code").isNotNull).count() == 0)
+
+    // a degenerate dimension has delta = 0: codes stay exact, probe
+    // unaffected. The dim must be constant AFTER normalization —
+    // which a raw constant is not (norms vary per row) — so pin the
+    // one value normalization preserves: zero.
+    val flat = corpus.withColumn("e",
+      concat(slice(col("e"), 1, dim - 1), array(lit(0.0))))
+    val sqFlat = Similarity.sqTrain(flat, "e")
+    assert(sqFlat.deltas.last == 0.0)
+    val aFlat = Similarity.sqAssign(
+      Similarity.ivfAssign(flat, codebook, "e"), "e", sqFlat)
+    val qFlat = query.dropRight(1) :+ 0.0
+    val truthFlat = Similarity.bruteForceTopK(flat, "e", "vec_id", qFlat, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val gotFlat = Similarity.ivfSqProbe(aFlat, "e", "vec_id", qFlat, 10,
+        codebook, sqFlat, nprobe = nClusters, rerank = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotFlat == truthFlat)
+
+    // artifact round-trip; a gappy artifact fails loudly
+    withTempDir("sq-model") { dirFile =>
+      val dir = dirFile.getAbsolutePath
+      Similarity.writeSqModel(spark, sq, s"$dir/m")
+      assert(Similarity.readSqModel(spark, s"$dir/m") == sq)
+      Seq((0, -1.0, 1.0), (2, -1.0, 1.0)).toDF("d", "mn", "mx")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/gappy")
+      val err = intercept[IllegalArgumentException](
+        Similarity.readSqModel(spark, s"$dir/gappy"))
+      assert(err.getMessage.contains("non-contiguous"))
+    }
+    assigned.unpersist(); corpus.unpersist()
+  }
+
   test("a PQ artifact with mixed residual flags fails loudly instead of coercing") {
     import spark.implicits._
     withTempDir("pq-mixed-res") { dir =>
