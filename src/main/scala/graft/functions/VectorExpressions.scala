@@ -209,6 +209,32 @@ object VectorOps {
     d / (math.sqrt(nq) * math.sqrt(nv))
   }
 
+  /** SDC cosine for SQ8 codes: cosine between the TWO dequantized
+    * vectors (quantization error enters on both sides — the price of
+    * scoring pairs where neither side keeps floats, same trade as
+    * pqSdcCos but far smaller error at 256 levels/dim). One D-length
+    * byte pass per pair; per-accumulator left-to-right like every
+    * kernel here. Width mismatch → NaN (never a fake near match). */
+  def sqSdcCos(a: Array[Byte], b: Array[Byte], mm: ArrayData): Double = {
+    val mins = mm.getArray(0).toDoubleArray()
+    val deltas = mm.getArray(1).toDoubleArray()
+    if (a.length != mins.length || a.length != deltas.length ||
+        b.length != a.length) return Double.NaN
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val va = mins(i) + (a(i) & 0xff).toDouble * deltas(i)
+      val vb = mins(i) + (b(i) & 0xff).toDouble * deltas(i)
+      d += va * vb
+      na += va * va
+      nb += vb * vb
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
     * formulation divides by zero the same way). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -385,6 +411,28 @@ case class SqAdcCos(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "sq_adc_cos"
 }
 
+/** `sq_sdc_cos(codeA, codeB, minsDeltas)` -> approximate cosine of
+  * two SQ8-coded vectors via their dequantizations (VectorOps
+  * .sqSdcCos); the model literal rides like SqEncode's. The pair
+  * expansion carries D bytes per side, never floats. */
+case class SqSdcCos(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    org.apache.spark.sql.types.BinaryType,
+    org.apache.spark.sql.types.BinaryType,
+    ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, mm: Any): Any =
+    VectorOps.sqSdcCos(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      mm.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorOps.sqSdcCos($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SqSdcCos =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq_sdc_cos"
+}
+
 /** `dot_product(a, b)` over two array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -459,6 +507,17 @@ object VectorExpressions {
     GraftBridge.column(SqAdcCos(
       GraftBridge.expression(query),
       GraftBridge.expression(code),
+      GraftBridge.expression(typedLit(Seq(minsDeltas._1, minsDeltas._2)))))
+  }
+
+  /** Model-literal SQ8 SDC cosine between two code columns (see
+    * SqSdcCos). */
+  def sq_sdc_cos(codeA: Column, codeB: Column,
+      minsDeltas: (Seq[Double], Seq[Double])): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(SqSdcCos(
+      GraftBridge.expression(codeA),
+      GraftBridge.expression(codeB),
       GraftBridge.expression(typedLit(Seq(minsDeltas._1, minsDeltas._2)))))
   }
 

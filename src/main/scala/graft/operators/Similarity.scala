@@ -336,7 +336,9 @@ object Similarity {
     /** Δ_d = (max_d − min_d)/255; a constant dimension has Δ = 0 and
       * always codes (and dequantizes) exactly. */
     def deltas: Seq[Double] = mins.zip(maxs).map { case (a, b) => (b - a) / 255.0 }
-    private[operators] def mm: (Seq[Double], Seq[Double]) = (mins, deltas)
+    /** The (mins, deltas) pair the sq_* kernels take as their model
+      * literal — the SQ twin of PqModel.codebooks' role in pq_adc. */
+    def mm: (Seq[Double], Seq[Double]) = (mins, deltas)
   }
 
   /** Train the SQ8 model: per-dimension min/max over the normalized
@@ -1511,6 +1513,131 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("_ea"), col("_eb")), 4).as("cos"))
       .filter(col("cos") >= minCosine)
+  }
+
+  /** SQ8-coded near-duplicate pairs — `nearDupPairsIvf` with the SQ
+    * scan economics carried into PAIR search: the bucket arrays and
+    * the pair expansion hold (id, D-byte code) rows instead of
+    * (id, D-double vector) rows — 8× less per-bucket state and
+    * pair-scan bandwidth — and in-bucket pairs are scored by the
+    * dequant-cosine SDC kernel (sq_sdc_cos) straight off the codes.
+    * Same prefilter contract as nearDupPairsIvfPq (survivors of
+    * approx ≥ minCosine − sdcMargin join raw embeddings by id for the
+    * exact score; sdcMargin ≥ 2 disables the prefilter, pinning
+    * equality with nearDupPairsIvf), but at 256 levels/dim the SDC
+    * error is tiny even two-sided, so the default margin is 0.02
+    * where PQ needs 0.1 — tighter prefilter, fewer exact-verify rows.
+    * Ids must be unique, hot lists cap with observed drop counts, a
+    * pair sharing several lists dedups to one row. */
+  def nearDupPairsIvfSq(df: DataFrame, embCol: String, idCol: String,
+      codebook: Seq[(Long, Seq[Double])], sq: SqModel, minCosine: Double,
+      nprobe: Int = 1, maxBucket: Int = 8192,
+      sdcMargin: Double = 0.02): DataFrame = {
+    require(codebook.nonEmpty, "nearDupPairsIvfSq needs a codebook")
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"nprobe must be in [1, ${codebook.size}], got $nprobe")
+    require(sdcMargin >= 0.0, s"sdcMargin must be >= 0, got $sdcMargin")
+    val cb = typedLit(codebook)
+    val ranked = array_sort(transform(cb, c => struct(
+      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
+      c.getField("_1").as("cid"))))
+    val bucketed = sqAssign(df.select(col(idCol), col(embCol)), embCol, sq, "_code")
+      .select(col(idCol).as("_id"), col("_code"),
+        explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
+    // same spill-safe sort-merge self-join expansion as
+    // pairsInBuckets (see its Scaladoc), over codes
+    val (capL, capR) = HotKeys.capPair(bucketed, Seq(col("_bucket")), maxBucket,
+      metricName = "graft_ivf_sq_bucket_cap")
+    val candidates = capL
+      .select(col("_bucket"), col("_id").as("id_a"), col("_code").as("_ca"))
+      .hint("merge")
+      .join(capR.select(col("_bucket"), col("_id").as("id_b"), col("_code").as("_cb")),
+        Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.sq_sdc_cos(
+          col("_ca"), col("_cb"), sq.mm).as("_approx"))
+      .filter(col("_approx") >= minCosine - sdcMargin)
+      .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol), asDouble(col(embCol)).as("_e"))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col("_e").as("_ea")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("_e").as("_eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_ea"), col("_eb")), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** Batch IVF-SQ8 probe — ivfPqProbeAll's throughput shape with the
+    * SQ scan economics: probed lists are scored by the dequant-cosine
+    * kernel against the code column (D bytes per row), each query's
+    * `rerank` best approximate cosines re-rank exact. Same probe-side
+    * sizing (`broadcastProbes`) and codes-only `rerankFrom` contracts
+    * as ivfPqProbeAll; NaN approx scores are nulled before the
+    * DESCENDING shortlist window (see ivfSqProbe). Output:
+    * (qIdCol | q_<idCol>, idCol, cos, rank). */
+  def ivfSqProbeAll(assigned: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      codebook: Seq[(Long, Seq[Double])], sq: SqModel, k: Int,
+      nprobe: Int = 1, rerank: Int = 0, cidCol: String = "cid",
+      codeCol: String = "sq_code", excludeSelf: Boolean = false,
+      broadcastProbes: Option[Boolean] = None,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
+    require(codebook.nonEmpty, "ivfSqProbeAll needs the coarse codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cb = codebook.toDF("_cbid", "_ce")
+    val sqDistC = aggregate(
+      zip_with(col(qEmbCol), col("_ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val probes = withNormalized(
+        queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
+        qEmbCol, "_qn")
+      // per-row twin of ivfSqProbe's driver-side dims require: a
+      // wrong-model pairing must fail loudly, not silently shortlist
+      // nothing (every approx NaN → null → all shortlists empty)
+      .withColumn("_qn", when(size(col("_qn")) === sq.dims, col("_qn")))
+      .join(broadcast(cb), lit(true))
+      .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_cbid"), sqDistC.as("_d"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
+      .filter(col("_r") <= nprobe)
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_qn"), col("_cbid"))
+    val joined = broadcastProbes match {
+      case Some(true)  => assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
+      case Some(false) => assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
+      case None        => assigned.join(probes, col(cidCol) === col("_cbid"))
+    }
+    val scoped =
+      if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    val approx = graft.functions.VectorExpressions.sq_adc_cos(
+      col("_qn"), col(codeCol), sq.mm)
+    val shortlist = scoped
+      .select(Seq(col("_qid"), col(idCol)) ++
+        rerankFrom.fold(Seq(col(embCol)))(_ => Nil) ++ Seq(col("_qe"),
+        when(!isnan(approx), approx).as("_sqc")): _*)
+      .withColumn("_ar", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(desc_nulls_last("_sqc"), col(idCol))))
+      .filter(col("_ar") <= rr)
+    // codes-only index: un-hinted store join — AQE sizes it from the
+    // rerank-bounded shortlist, same rationale as ivfPqProbeAll
+    val withEmb = rerankFrom.fold(shortlist)(store =>
+      shortlist.join(store.select(col(idCol), col(embCol)), Seq(idCol)))
+    withEmb
+      .select(col("_qid"), col(idCol),
+        round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
   }
 
   /** Shared in-bucket pair expansion: cap hot buckets, then expand

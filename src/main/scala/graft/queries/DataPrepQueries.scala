@@ -1941,6 +1941,80 @@ object DataPrepQueries {
               graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", sq),
             "e", "vec_id", query, k = 15, codebook = codebook, sq = sq,
             nprobe = 2, rerank = 24, excludeId = Some(0L))
+      }),
+
+    // SQ8 PAIR search — q92's shape on the byte codec, donor-free
+    // like q99: the oracle replays min/max training, per-dim byte
+    // quantization, the dequant-cosine SDC score over shared
+    // inverted lists, and the exact verify. sdcMargin = 2 disables
+    // the prefilter so the replay is exact regardless of two-sided
+    // quantization error on near-threshold pairs (the approx column
+    // still pins the SDC kernel itself, hash-exact).
+    QueryDef("q100_sq8_neardup", Some("""
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, min(ne[d]) AS mn, max(ne[d]) AS mx
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      mmv AS (SELECT list(mn ORDER BY d) AS mns,
+                     list((mx - mn) / 255.0 ORDER BY d) AS dls
+              FROM mm),
+      deq AS (SELECT n.vec_id,
+                     list_transform(range(1, 65), i ->
+                       CASE WHEN v.dls[i] = 0 THEN v.mns[i]
+                            ELSE v.mns[i] + least(255.0, greatest(0.0,
+                              floor((n.ne[i] - v.mns[i]) / v.dls[i] + 0.5))) * v.dls[i]
+                       END) AS dv
+              FROM n CROSS JOIN mmv v),
+      buck AS (SELECT e.vec_id, c.cid FROM e CROSS JOIN c
+               QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.e, c.ce), c.cid) <= 2),
+      p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buck a JOIN buck b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      sdc AS (SELECT p.id_a, p.id_b,
+                     round(list_inner_product(da.dv, db.dv)
+                       / (sqrt(list_inner_product(da.dv, da.dv))
+                          * sqrt(list_inner_product(db.dv, db.dv))), 4) AS approx
+              FROM p
+                JOIN deq da ON da.vec_id = p.id_a
+                JOIN deq db ON db.vec_id = p.id_b),
+      scored AS (SELECT p.id_a, p.id_b, s.approx,
+                        round(list_inner_product(ea.e, eb.e)
+                          / (sqrt(list_inner_product(ea.e, ea.e))
+                             * sqrt(list_inner_product(eb.e, eb.e))), 4) AS cos
+                 FROM p
+                   JOIN sdc s ON s.id_a = p.id_a AND s.id_b = p.id_b
+                   JOIN e ea ON ea.vec_id = p.id_a
+                   JOIN e eb ON eb.vec_id = p.id_b)
+      SELECT id_a, id_b, approx, cos FROM scored
+      WHERE cos >= 0.35 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val sq = graft.operators.Similarity.sqTrain(others, "e")
+        val pairs = graft.operators.Similarity.nearDupPairsIvfSq(
+          others, "e", "vec_id", codebook, sq,
+          minCosine = 0.35, nprobe = 2, sdcMargin = 2.0)
+        val codes = graft.operators.Similarity.sqAssign(others, "e", sq)
+          .select(col("vec_id"), col("sq_code"))
+        pairs
+          .join(codes.select(col("vec_id").as("id_a"), col("sq_code").as("_ca")), "id_a")
+          .join(codes.select(col("vec_id").as("id_b"), col("sq_code").as("_cb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.VectorExpressions.sq_sdc_cos(
+              col("_ca"), col("_cb"), sq.mm), 4).as("approx"),
+            col("cos"))
+          .orderBy("id_a", "id_b")
       })
   )
 }

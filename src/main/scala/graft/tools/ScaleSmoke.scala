@@ -255,6 +255,21 @@ object ScaleSmoke {
       Similarity.nearDupPairsIvfPq(embD, "e", "vec_id", codebook, pqModel,
         minCosine = 0.99, nprobe = 2, sdcMargin = 0.05).count()
     }
+    // SQ8 pair search: D bytes per side in the expansion; the tight
+    // default margin (near-exact two-sided dequant) prefilters harder
+    // than PQ's 0.05 can
+    timed("ann_neardup_ivf_sq(sdc, cos>=0.99)") {
+      Similarity.nearDupPairsIvfSq(embD, "e", "vec_id", codebook, sqModel,
+        minCosine = 0.99, nprobe = 2).count()
+    }
+    timed("ann_ivf_sq_probe_all(shuffle, 1% batch)") {
+      val aSq = Similarity.sqAssign(assigned, "e", sqModel)
+      Similarity.ivfSqProbeAll(aSq, "e", "vec_id",
+        aSq.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", codebook, sqModel, k = 3, nprobe = 2, rerank = 12,
+        excludeSelf = true, broadcastProbes = Some(false)).count()
+    }
 
     // ---- join/agg shapes on a replicated event stream ---------------
     val baseEv0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")

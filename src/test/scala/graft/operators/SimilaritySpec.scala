@@ -967,7 +967,47 @@ class SimilaritySpec extends SparkSpecBase {
         Similarity.readSqModel(spark, s"$dir/gappy"))
       assert(err.getMessage.contains("non-contiguous"))
     }
+
+    // batch probe matches the single-query path, on both the in-frame
+    // and the codes-only store-joined index
+    val probes = Seq((999L, query)).toDF("q_id", "qe")
+    val solo = Similarity.ivfSqProbe(assigned, "e", "vec_id", query, 10,
+        codebook, sq, nprobe = 2, rerank = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity.ivfSqProbeAll(assigned, "e", "vec_id", probes,
+        "q_id", "qe", codebook, sq, k = 10, nprobe = 2, rerank = 12)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch == solo)
+    val batchCodesOnly = Similarity.ivfSqProbeAll(
+        assigned.select("vec_id", "cid", "sq_code"), "e", "vec_id", probes,
+        "q_id", "qe", codebook, sq, k = 10, nprobe = 2, rerank = 12,
+        rerankFrom = Some(store))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batchCodesOnly == solo)
     assigned.unpersist(); corpus.unpersist()
+  }
+
+  test("SQ8 pair search: slack margin equals the raw IVF tier; tight margin loses nothing at 256 levels") {
+    import spark.implicits._
+    val corpus = planted.cache()
+    val sq = Similarity.sqTrain(corpus, "e")
+    // margin >= 2 provably disables the prefilter: equality with the
+    // raw-vector pair search, bit for bit
+    val raw = Similarity.nearDupPairsIvf(corpus, "e", "vec_id", codebook,
+        minCosine = 0.9, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val slack = Similarity.nearDupPairsIvfSq(corpus, "e", "vec_id", codebook, sq,
+        minCosine = 0.9, nprobe = 2, sdcMargin = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(slack == raw && raw.nonEmpty)
+    // at 256 levels/dim the DEFAULT margin (0.02) already keeps every
+    // true pair — the tighter prefilter PQ cannot afford
+    val tight = Similarity.nearDupPairsIvfSq(corpus, "e", "vec_id", codebook, sq,
+        minCosine = 0.9, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tight == raw,
+      s"default-margin SQ pair search dropped ${(raw -- tight).size} true pairs")
+    corpus.unpersist()
   }
 
   test("a PQ artifact with mixed residual flags fails loudly instead of coercing") {
