@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   *   -> semantic dedup (optional, `embCol`: embedding near-dup
   *      clusters collapse too — sign-LSH buckets by default, IVF
   *      multi-probe when a `codebook`/`nprobe` is supplied, and
-  *      PQ-compressed pair search when a `pqModel` rides along)
+  *      code-compressed pair search when a codec rides along:
+  *      `pqModel` for M-byte PQ codes, `sqModel` for byte-per-dim
+  *      SQ8)
   *   -> benchmark decontamination (optional: drop survivors whose
   *      shingle containment of any benchmark doc reaches the
   *      threshold — q57's broadcast containment search)
@@ -109,6 +111,14 @@ object CorpusPrep {
     // shape, where raw vectors never enter the quadratic expansion.
     pqModel: Option[Similarity.PqModel] = None,
     sdcMargin: Double = 0.1,
+    // SQ8 alternative to pqModel (needs `codebook` too, mutually
+    // exclusive with pqModel): pair search runs
+    // Similarity.nearDupPairsIvfSq — D bytes per row in the pair
+    // expansion and a near-exact dequant-cosine prefilter, so
+    // sdcMargin can sit at 0.02 where PQ needs 0.1. Pick SQ when
+    // prefilter fidelity matters more than the last 8x of index
+    // bytes (SCALE.md playbook).
+    sqModel: Option[Similarity.SqModel] = None,
     // LM-QUALITY gate (the CCNet-style setup): score `clean_text`
     // under a FOREIGN bigram model trained once on a trusted
     // reference corpus (TextStats.bigramModel + writeBigramLm /
@@ -265,14 +275,19 @@ object CorpusPrep {
     // way text clusters did — paraphrases/translations the shingle
     // tiers can't see
     val semantic = cfg.embCol.fold(deduped) { e =>
-      require(cfg.pqModel.isEmpty || cfg.codebook.nonEmpty,
-        "pqModel compresses the IVF pair search and needs `codebook` for the " +
-          "inverted lists — supply both, or neither for sign-LSH buckets")
-      val semPairs = (cfg.codebook, cfg.pqModel) match {
-        case (Some(cbk), Some(pqm)) => Similarity.nearDupPairsIvfPq(deduped, e,
+      require(cfg.pqModel.isEmpty || cfg.sqModel.isEmpty,
+        "pqModel and sqModel are alternative codecs for the semantic tier — set one")
+      require((cfg.pqModel.isEmpty && cfg.sqModel.isEmpty) || cfg.codebook.nonEmpty,
+        "a codec (pqModel/sqModel) compresses the IVF pair search and needs " +
+          "`codebook` for the inverted lists — supply both, or neither for " +
+          "sign-LSH buckets")
+      val semPairs = (cfg.codebook, cfg.pqModel, cfg.sqModel) match {
+        case (Some(cbk), Some(pqm), None) => Similarity.nearDupPairsIvfPq(deduped, e,
           idCol, cbk, pqm, cfg.minCosine, cfg.nprobe, cfg.maxBucket, cfg.sdcMargin)
-        case (Some(cbk), None) => Similarity.nearDupPairsIvf(deduped, e, idCol, cbk,
-          cfg.minCosine, cfg.nprobe, cfg.maxBucket)
+        case (Some(cbk), None, Some(sqm)) => Similarity.nearDupPairsIvfSq(deduped, e,
+          idCol, cbk, sqm, cfg.minCosine, cfg.nprobe, cfg.maxBucket, cfg.sdcMargin)
+        case (Some(cbk), None, None) => Similarity.nearDupPairsIvf(deduped, e, idCol,
+          cbk, cfg.minCosine, cfg.nprobe, cfg.maxBucket)
         case _ => Similarity.nearDupPairs(deduped, e, idCol,
           cfg.signBits, cfg.minCosine, cfg.maxBucket)
       }
@@ -355,15 +370,25 @@ object CorpusPrep {
     require(cfg.embCol.isDefined,
       "semanticIncremental needs cfg.embCol — the embedding column carried " +
         "by the batch and by the index frame (or embStore)")
-    require(cfg.codebook.isDefined && cfg.pqModel.isDefined,
-      "semanticIncremental probes an IVF-PQ index: supply cfg.codebook AND " +
-        "cfg.pqModel (build the index frame with Similarity.ivfAssign + " +
-        "pqAssign/pqAssignResidual)")
+    require(cfg.pqModel.isEmpty || cfg.sqModel.isEmpty,
+      "pqModel and sqModel are alternative codecs — set one")
+    require(cfg.codebook.isDefined && (cfg.pqModel.isDefined || cfg.sqModel.isDefined),
+      "semanticIncremental probes a coded IVF index: supply cfg.codebook AND " +
+        "one codec — cfg.pqModel (index built with Similarity.ivfAssign + " +
+        "pqAssign/pqAssignResidual) or cfg.sqModel (ivfAssign + sqAssign)")
     val e = cfg.embCol.get
-    val hits = Similarity.ivfPqProbeAll(standingIndex, e, idCol,
+    val probed = (cfg.pqModel, cfg.sqModel) match {
+      case (Some(pqm), None) => Similarity.ivfPqProbeAll(standingIndex, e, idCol,
         batch.select(col(idCol), col(e)), idCol, e,
-        cfg.codebook.get, cfg.pqModel.get, k = 1, nprobe = cfg.nprobe,
+        cfg.codebook.get, pqm, k = 1, nprobe = cfg.nprobe,
         rerank = rerank, rerankFrom = embStore)
+      case (None, Some(sqm)) => Similarity.ivfSqProbeAll(standingIndex, e, idCol,
+        batch.select(col(idCol), col(e)), idCol, e,
+        cfg.codebook.get, sqm, k = 1, nprobe = cfg.nprobe,
+        rerank = rerank, rerankFrom = embStore)
+      case _ => throw new IllegalStateException("unreachable: codec enforced above")
+    }
+    val hits = probed
       .filter(col("cos") >= cfg.minCosine)
       .select(col(s"q_$idCol").as(idCol))
       .distinct()

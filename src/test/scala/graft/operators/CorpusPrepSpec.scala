@@ -265,6 +265,24 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
       minCosine = 0.999, codebook = Some(codebook), nprobe = 2,
       pqModel = Some(pqRot), sdcMargin = 2.0)) == Set(1L, 3L))
+
+    // SQ8 codec rides the same route: near-exact dequant prefilter
+    // keeps the boundary pair even at a TIGHT margin
+    val sqm = Similarity.sqTrain(docs, "emb")
+    assert(kept(CorpusPrep.Config(minChars = 20, embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), nprobe = 2,
+      sqModel = Some(sqm), sdcMargin = 0.02)) == Set(1L, 3L))
+    // the codecs are alternatives, not a stack
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        embCol = Some("emb"), codebook = Some(codebook),
+        pqModel = Some(pq), sqModel = Some(sqm))).collect()
+    }.getMessage.contains("alternative"))
+    // sqModel without a codebook is the same config error as pqModel's
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        embCol = Some("emb"), sqModel = Some(sqm))).collect()
+    }.getMessage.contains("codebook"))
   }
 
   test("semanticIncremental probes a standing IVF-PQ index; codes-only index + embStore equals the in-frame path") {
@@ -305,7 +323,7 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(!codesOnly.columns.contains("emb"))
     assert(kept(codesOnly, Some(standing), 2) == Set(11L))
     assert(kept(codesOnly, Some(standing), 1) == Set(10L, 11L))
-    // config errors are loud: no embCol, and no pqModel/codebook
+    // config errors are loud: no embCol, and no codec/codebook
     assert(intercept[IllegalArgumentException] {
       CorpusPrep.semanticIncremental(batch, codesOnly)
     }.getMessage.contains("embCol"))
@@ -313,6 +331,29 @@ class CorpusPrepSpec extends SparkSpecBase {
       CorpusPrep.semanticIncremental(batch, codesOnly,
         cfg = CorpusPrep.Config(embCol = Some("emb"), codebook = Some(codebook)))
     }.getMessage.contains("pqModel"))
+
+    // SQ8 codec: the standing index carries sq codes instead and the
+    // same in-frame / codes-only routes return identical survivors
+    val sqm = Similarity.sqTrain(standing, "emb")
+    val sqIndexed = Similarity.sqAssign(
+      Similarity.ivfAssign(standing, codebook, "emb"), "emb", sqm)
+    def keptSq(index: org.apache.spark.sql.DataFrame,
+        store: Option[org.apache.spark.sql.DataFrame], nprobe: Int): Set[Long] =
+      CorpusPrep.semanticIncremental(batch, index,
+          cfg = CorpusPrep.Config(embCol = Some("emb"), minCosine = 0.999,
+            codebook = Some(codebook), sqModel = Some(sqm), nprobe = nprobe),
+          embStore = store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSq(sqIndexed, None, 2) == Set(11L))
+    assert(keptSq(sqIndexed, None, 1) == Set(10L, 11L))
+    val sqCodesOnly = sqIndexed.select("doc_id", "cid", "sq_code")
+    assert(keptSq(sqCodesOnly, Some(standing), 2) == Set(11L))
+    // both codecs at once is a loud config error here too
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.semanticIncremental(batch, sqCodesOnly,
+        cfg = CorpusPrep.Config(embCol = Some("emb"), codebook = Some(codebook),
+          pqModel = Some(pq), sqModel = Some(sqm)))
+    }.getMessage.contains("alternative"))
   }
 
   test("runIncremental: batch prepped like run, deduped against the standing corpus") {
