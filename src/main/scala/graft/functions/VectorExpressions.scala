@@ -209,6 +209,29 @@ object VectorOps {
     d / (math.sqrt(nq) * math.sqrt(nv))
   }
 
+  /** ADC squared L2 for SQ8 codes: ||s − dequant(code)||² where `s`
+    * is the caller's (possibly per-list shifted) query vector — the
+    * residual-SQ probe score, since ||q̂ − (ĉ + r̂)||² =
+    * ||(q̂ − ĉ) − r̂||² holds for L2 where cosine has no such shift
+    * identity. Same byte-pass economics, NaN-on-mismatch contract
+    * (NaN sorts LAST under the ascending distance order, no guard
+    * needed), and left-to-right accumulation as the other kernels. */
+  def sqAdcL2(s: ArrayData, code: Array[Byte], mm: ArrayData): Double = {
+    val ss = s.toDoubleArray()
+    val mins = mm.getArray(0).toDoubleArray()
+    val deltas = mm.getArray(1).toDoubleArray()
+    if (code.length != mins.length || code.length != deltas.length ||
+        ss.length != code.length) return Double.NaN
+    var acc = 0.0
+    var i = 0
+    while (i < ss.length) {
+      val d = ss(i) - (mins(i) + (code(i) & 0xff).toDouble * deltas(i))
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** SDC cosine for SQ8 codes: cosine between the TWO dequantized
     * vectors (quantization error enters on both sides — the price of
     * scoring pairs where neither side keeps floats, same trade as
@@ -411,6 +434,27 @@ case class SqAdcCos(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "sq_adc_cos"
 }
 
+/** `sq_adc_l2(shiftedQuery, code, minsDeltas)` -> approximate squared
+  * L2 of a (per-list shifted) query against an SQ8-coded residual
+  * (VectorOps.sqAdcL2); the model literal rides like SqEncode's. */
+case class SqAdcL2(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    org.apache.spark.sql.types.BinaryType,
+    ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(s: Any, code: Any, mm: Any): Any =
+    VectorOps.sqAdcL2(s.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]],
+      mm.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.VectorOps.sqAdcL2($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SqAdcL2 =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "sq_adc_l2"
+}
+
 /** `sq_sdc_cos(codeA, codeB, minsDeltas)` -> approximate cosine of
   * two SQ8-coded vectors via their dequantizations (VectorOps
   * .sqSdcCos); the model literal rides like SqEncode's. The pair
@@ -506,6 +550,16 @@ object VectorExpressions {
     import org.apache.spark.sql.functions.typedLit
     GraftBridge.column(SqAdcCos(
       GraftBridge.expression(query),
+      GraftBridge.expression(code),
+      GraftBridge.expression(typedLit(Seq(minsDeltas._1, minsDeltas._2)))))
+  }
+
+  /** Model-literal SQ8 ADC squared L2 (see SqAdcL2). */
+  def sq_adc_l2(shiftedQuery: Column, code: Column,
+      minsDeltas: (Seq[Double], Seq[Double])): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(SqAdcL2(
+      GraftBridge.expression(shiftedQuery),
       GraftBridge.expression(code),
       GraftBridge.expression(typedLit(Seq(minsDeltas._1, minsDeltas._2)))))
   }

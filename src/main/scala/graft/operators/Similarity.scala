@@ -327,7 +327,23 @@ object Similarity {
     * budgets. Training is ONE deterministic aggregation — no
     * k-means — which makes the ENTIRE train + assign + probe
     * pipeline DuckDB-replayable (q99), donor-free. */
-  final case class SqModel(mins: Seq[Double], maxs: Seq[Double]) {
+  /** `residual`, when set, is the FAISS-style by_residual composition
+    * (public knowledge): codes quantize (normalized vector −
+    * normalized centroid of the row's inverted list) — a per-list
+    * cloud whose per-dim RANGE is far smaller than the whole
+    * sphere's, so the same 256 levels land a far finer Δ exactly
+    * where coarse offsets would otherwise eat the budget. Train with
+    * sqTrainResidual, assign with sqAssignResidual; probes score the
+    * ADC **squared L2** of each probed list's shifted query (q̂ − ĉ)
+    * against the dequantized residual — the identity
+    * ||q̂ − (ĉ + r̂)||² = ||(q̂ − ĉ) − r̂||² holds for L2 but NOT for
+    * cosine (cosine is not shift-invariant), so the residual branch
+    * ranks by L2 where the direct branch ranks by approximate
+    * cosine; final scores are exact cosines either way. Pair search
+    * refuses residual models (codes alone cannot carry the per-list
+    * cross terms, same reason as PQ's SDC). */
+  final case class SqModel(mins: Seq[Double], maxs: Seq[Double],
+      residual: Boolean = false) {
     require(mins.nonEmpty && mins.length == maxs.length,
       s"SqModel needs matching per-dim bounds, got ${mins.length}/${maxs.length}")
     require(mins.zip(maxs).forall { case (a, b) => a <= b },
@@ -350,16 +366,40 @@ object Similarity {
     * them). */
   def sqTrain(df: DataFrame, embCol: String): SqModel = {
     val (dims, _) = probeDims(df, embCol, 1, "sqTrain")
-    val stats = withNormalized(
+    val normed = withNormalized(
         df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
+    sqStats(normed, dims, "sqTrain", residual = false)
+  }
+
+  /** Train the RESIDUAL SQ8 model (see SqModel.residual): per-dim
+    * min/max over the SAME residual cloud the residual PQ trainer
+    * uses (normalized vector − normalized centroid of its
+    * ivfAssign-rule list). Still one deterministic aggregation — no
+    * k-means anywhere in the residual-SQ pipeline, so train, assign
+    * AND probe replay in DuckDB donor-free (q101). */
+  def sqTrainResidual(df: DataFrame, embCol: String,
+      codebook: Seq[(Long, Seq[Double])]): SqModel = {
+    val (dims, _) = probeDims(df, embCol, 1, "sqTrainResidual")
+    val residuals = residualFrame(df, embCol, codebook, dims, "sqTrainResidual")
+    sqStats(residuals, dims, "sqTrainResidual", residual = true)
+  }
+
+  /** Shared SQ training core over a single-column (`_n`) vector
+    * frame: posexplode feeds a (dim)-keyed min/max whose map-side
+    * partial aggregation collapses every partition to D rows; the
+    * driver collects D rows, never data. */
+  private def sqStats(vecFrame: DataFrame, dims: Int, fn: String,
+      residual: Boolean): SqModel = {
+    val stats = vecFrame
       .filter(size(col("_n")) === dims)
       .select(posexplode(col("_n")).as(Seq("_d", "_v")))
       .groupBy("_d").agg(min("_v").as("mn"), max("_v").as("mx"))
       .orderBy("_d").collect()
     require(stats.length == dims &&
         stats.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
-      s"sqTrain expected $dims contiguous dims, got ${stats.length}")
-    SqModel(stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
+      s"$fn expected $dims contiguous dims, got ${stats.length}")
+    SqModel(stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq,
+      residual)
   }
 
   /** Attach the SQ8 code column: the normalized vector byte-quantized
@@ -370,12 +410,45 @@ object Similarity {
     * column can be dropped from the written index when `rerankFrom`
     * re-ranks from the primary store. */
   def sqAssign(df: DataFrame, embCol: String, model: SqModel,
-      codeCol: String = "sq_code"): DataFrame =
+      codeCol: String = "sq_code"): DataFrame = {
+    require(!model.residual,
+      "residual models code (vector − list centroid); assign them with " +
+        "sqAssignResidual over an ivfAssign'ed frame")
     withNormalized(df, embCol, "_sq_n")
       .withColumn(codeCol,
         when(col(embCol).isNotNull,
           graft.functions.VectorExpressions.sq_encode(col("_sq_n"), model.mm)))
       .drop("_sq_n")
+  }
+
+  /** Attach the RESIDUAL SQ8 code column to an ivfAssign'ed frame:
+    * byte-quantize (normalized vector − normalized centroid of the
+    * row's `cidCol` list) under the residual model. Same D-byte shape
+    * and null contracts as sqAssign; a row whose cid is missing from
+    * the codebook (index/codebook drift) gets a NULL code, same as
+    * pqAssignResidual. The centroid lookup is a KB-sized broadcast
+    * join; coding stays map-side codegen. */
+  def sqAssignResidual(assigned: DataFrame, embCol: String,
+      codebook: Seq[(Long, Seq[Double])], model: SqModel,
+      codeCol: String = "sq_code", cidCol: String = "cid"): DataFrame = {
+    require(model.residual,
+      "sqAssignResidual needs a residual model (sqTrainResidual); direct " +
+        "models assign with sqAssign")
+    require(codebook.nonEmpty, "sqAssignResidual needs the coarse codebook")
+    require(codebook.forall(_._2.length == model.dims),
+      s"coarse centroid dims != SqModel dims (${model.dims}) — the residual " +
+        "subtraction would truncate or null-pad instead of failing loudly")
+    require(assigned.columns.contains(cidCol),
+      s"sqAssignResidual needs the inverted-list column '$cidCol' — run ivfAssign first")
+    withNormalized(assigned, embCol, "_sq_n")
+      .join(broadcast(normCentroids(assigned.sparkSession, codebook)),
+        col(cidCol) === col("_rcid"), "left")
+      .withColumn(codeCol,
+        when(col(embCol).isNotNull && col("_rcn").isNotNull,
+          graft.functions.VectorExpressions.sq_encode(
+            zip_with(col("_sq_n"), col("_rcn"), (a, b) => a - b), model.mm)))
+      .drop("_sq_n", "_rcid", "_rcn")
+  }
 
   /** IVF-SQ8 probe, single query: same plan as ivfPqProbe — prune to
     * the `nprobe` nearest inverted lists, score the CODE column
@@ -399,19 +472,44 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(query.length == sq.dims,
       s"query has ${query.length} dims but the SqModel codes ${sq.dims}")
+    require(!sq.residual || codebook.forall(_._2.length == sq.dims),
+      s"coarse centroid dims != SqModel dims (${sq.dims}) — the residual " +
+        "query shift would silently truncate")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
     val cids = rankInvertedLists(codebook, query).take(nprobe)
     val base = assigned.filter(col(cidCol).isin(cids: _*))
     val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
     val qn = normalizeVec(query)
-    val approx = graft.functions.VectorExpressions.sq_adc_cos(
-      typedLit(qn), col(codeCol), sq.mm)
-    val outCols = col(idCol) +:
-      rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+
-      when(!isnan(approx), approx).as("_sqc")
-    val shortlist = scoped.select(outCols: _*)
-      .orderBy(desc_nulls_last("_sqc"), col(idCol))
+    val outCols = (score: Column) => col(idCol) +:
+      rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+ score.as("_sqc")
+    // direct: approximate cosine, DESCENDING (NaN nulled — Spark
+    // ranks NaN above every real under desc). residual: each probed
+    // list scores the ADC squared L2 of ITS shifted query (q̂ − ĉ)
+    // against the dequantized residual, ASCENDING (NaN sorts last by
+    // itself) — see SqModel.residual for why L2, not cosine. The
+    // nprobe shifted queries ride in a KB broadcast lookup joined on
+    // the list id, same shape as ivfPqProbe's residual branch.
+    val (scoredList, shortOrder) =
+      if (!sq.residual) {
+        val approx = graft.functions.VectorExpressions.sq_adc_cos(
+          typedLit(qn), col(codeCol), sq.mm)
+        (scoped.select(outCols(when(!isnan(approx), approx)): _*),
+          desc_nulls_last("_sqc"))
+      } else {
+        val spark = assigned.sparkSession
+        import spark.implicits._
+        val cmap = codebook.toMap
+        val shifted = cids.map { c =>
+          (c, qn.zip(normalizeVec(cmap(c))).map { case (a, b) => a - b })
+        }.toDF("_scid", "_qs")
+        (scoped.join(broadcast(shifted), col(cidCol) === col("_scid"))
+          .select(outCols(graft.functions.VectorExpressions.sq_adc_l2(
+            col("_qs"), col(codeCol), sq.mm)): _*),
+          asc_nulls_last("_sqc"))
+      }
+    val shortlist = scoredList
+      .orderBy(shortOrder, col(idCol))
       .limit(rr)
     val withEmb = rerankFrom.fold(shortlist)(store =>
       shortlist.hint("broadcast")
@@ -429,19 +527,31 @@ object Similarity {
   def writeSqModel(spark: org.apache.spark.sql.SparkSession,
       model: SqModel, path: String): Unit = {
     import spark.implicits._
-    model.mins.indices.map(i => (i, model.mins(i), model.maxs(i)))
-      .toDF("d", "mn", "mx").coalesce(1)
+    model.mins.indices.map(i => (i, model.mins(i), model.maxs(i), model.residual))
+      .toDF("d", "mn", "mx", "res").coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Read a persisted SQ model; fails loudly on a gappy artifact. */
+  /** Read a persisted SQ model; fails loudly on a gappy artifact.
+    * The residual flag is model identity (a residual-coded index is
+    * garbage down the direct path) and must be unanimous across rows
+    * — same contract as readPqModel; artifacts written before the
+    * flag existed (no `res` column) are direct by construction. */
   def readSqModel(spark: org.apache.spark.sql.SparkSession, path: String): SqModel = {
-    val rows = spark.read.parquet(path).select("d", "mn", "mx").collect()
+    val raw = spark.read.parquet(path)
+    val residual =
+      if (raw.columns.contains("res")) {
+        val flags = raw.select("res").distinct().collect().map(_.getBoolean(0))
+        require(flags.length == 1,
+          s"SQ model at $path mixes residual flags across rows — corrupted artifact")
+        flags.head
+      } else false
+    val rows = raw.select("d", "mn", "mx").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
     require(rows.nonEmpty, s"empty SQ model at $path")
     require(rows.map(_._1).toSeq == rows.indices.toSeq,
       s"SQ model at $path has non-contiguous dims: ${rows.map(_._1).toSeq}")
-    SqModel(rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+    SqModel(rows.map(_._2).toSeq, rows.map(_._3).toSeq, residual)
   }
 
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
@@ -1537,6 +1647,9 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= codebook.size,
       s"nprobe must be in [1, ${codebook.size}], got $nprobe")
     require(sdcMargin >= 0.0, s"sdcMargin must be >= 0, got $sdcMargin")
+    require(!sq.residual,
+      "SDC scores codes alone and cannot carry the per-list centroid cross " +
+        "terms a residual model needs — train a direct sqTrain model for pair search")
     val cb = typedLit(codebook)
     val ranked = array_sort(transform(cb, c => struct(
       aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
@@ -1586,11 +1699,18 @@ object Similarity {
       rerankFrom: Option[DataFrame] = None): DataFrame = {
     require(codebook.nonEmpty, "ivfSqProbeAll needs the coarse codebook to rank inverted lists")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(!sq.residual || codebook.forall(_._2.length == sq.dims),
+      s"coarse centroid dims != SqModel dims (${sq.dims}) — the residual " +
+        "query shift would silently null-pad")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
     val spark = assigned.sparkSession
     import spark.implicits._
-    val cb = codebook.toDF("_cbid", "_ce")
+    // _cn (the normalized centroid) rides along for residual models:
+    // list ranking uses the RAW centroid distance, residual shifting
+    // subtracts ĉ — same split as ivfPqProbeAll.
+    val cb = codebook.map { case (cid, ce) => (cid, ce, normalizeVec(ce)) }
+      .toDF("_cbid", "_ce", "_cn")
     val sqDistC = aggregate(
       zip_with(col(qEmbCol), col("_ce"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
@@ -1602,12 +1722,18 @@ object Similarity {
       // nothing (every approx NaN → null → all shortlists empty)
       .withColumn("_qn", when(size(col("_qn")) === sq.dims, col("_qn")))
       .join(broadcast(cb), lit(true))
-      .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_cbid"), sqDistC.as("_d"))
+      .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_cbid"), col("_cn"),
+        sqDistC.as("_d"))
       .withColumn("_r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
       .filter(col("_r") <= nprobe)
-      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_qn"), col("_cbid"))
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), {
+        val shiftedQ =
+          if (sq.residual) zip_with(col("_qn"), col("_cn"), (a, b) => a - b)
+          else col("_qn")
+        shiftedQ.as("_qn")
+      }, col("_cbid"))
     val joined = broadcastProbes match {
       case Some(true)  => assigned.join(broadcast(probes), col(cidCol) === col("_cbid"))
       case Some(false) => assigned.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
@@ -1616,15 +1742,24 @@ object Similarity {
     val scoped =
       if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
     val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
-    val approx = graft.functions.VectorExpressions.sq_adc_cos(
-      col("_qn"), col(codeCol), sq.mm)
+    // direct: NaN-guarded approximate cosine, descending; residual:
+    // ADC squared L2 of the shifted query, ascending (NaN sorts last
+    // by itself) — same split as ivfSqProbe
+    val (scoreCol, shortOrder) =
+      if (!sq.residual) {
+        val approx = graft.functions.VectorExpressions.sq_adc_cos(
+          col("_qn"), col(codeCol), sq.mm)
+        (when(!isnan(approx), approx), desc_nulls_last("_sqc"))
+      } else
+        (graft.functions.VectorExpressions.sq_adc_l2(
+          col("_qn"), col(codeCol), sq.mm), asc_nulls_last("_sqc"))
     val shortlist = scoped
       .select(Seq(col("_qid"), col(idCol)) ++
         rerankFrom.fold(Seq(col(embCol)))(_ => Nil) ++ Seq(col("_qe"),
-        when(!isnan(approx), approx).as("_sqc")): _*)
+        scoreCol.as("_sqc")): _*)
       .withColumn("_ar", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("_qid").orderBy(desc_nulls_last("_sqc"), col(idCol))))
+          .partitionBy("_qid").orderBy(shortOrder, col(idCol))))
       .filter(col("_ar") <= rr)
     // codes-only index: un-hinted store join — AQE sizes it from the
     // rerank-bounded shortlist, same rationale as ivfPqProbeAll

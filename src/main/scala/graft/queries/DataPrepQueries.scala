@@ -2015,6 +2015,78 @@ object DataPrepQueries {
               col("_ca"), col("_cb"), sq.mm), 4).as("approx"),
             col("cos"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // Residual SQ8 (FAISS by_residual) — STILL donor-free: coarse
+    // assignment, the residual cloud, per-dim min/max training, byte
+    // quantization, the per-list shifted-query ADC-L2 shortlist
+    // (||q̂−(ĉ+r̂)||² = ||(q̂−ĉ)−r̂||², the identity cosine lacks),
+    // and the exact re-rank ALL replay in SQL — no k-means anywhere
+    // in the pipeline.
+    QueryDef("q101_sq8_residual_probe", Some("""
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      d AS (SELECT cid,
+                   CASE WHEN sqrt(list_inner_product(ce, ce)) = 0 THEN ce
+                        ELSE list_transform(ce, x -> x / sqrt(list_inner_product(ce, ce))) END AS dn
+            FROM c),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      assign AS (SELECT e.vec_id, arg_min(c.cid, list_distance(e.e, c.ce)) AS cid
+                 FROM e CROSS JOIN c GROUP BY e.vec_id),
+      rv AS (SELECT n.vec_id, a.cid,
+                    list_transform(range(1, 65), i -> n.ne[i] - d.dn[i]) AS r
+             FROM n JOIN assign a USING (vec_id) JOIN d ON d.cid = a.cid),
+      mm AS (SELECT i AS d, min(r[i]) AS mn, max(r[i]) AS mx
+             FROM rv CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+      mmv AS (SELECT list(mn ORDER BY d) AS mns,
+                     list((mx - mn) / 255.0 ORDER BY d) AS dls
+              FROM mm),
+      deq AS (SELECT rv.vec_id, rv.cid,
+                     list_transform(range(1, 65), i ->
+                       CASE WHEN v.dls[i] = 0 THEN v.mns[i]
+                            ELSE v.mns[i] + least(255.0, greatest(0.0,
+                              floor((rv.r[i] - v.mns[i]) / v.dls[i] + 0.5))) * v.dls[i]
+                       END) AS dvr
+              FROM rv CROSS JOIN mmv v),
+      q AS (SELECT e AS qe, ne AS qn FROM n WHERE vec_id = 0),
+      probe AS (SELECT c.cid, list_transform(range(1, 65), i -> q.qn[i] - d.dn[i]) AS qs
+                FROM q CROSS JOIN c JOIN d ON d.cid = c.cid
+                QUALIFY row_number() OVER (ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      adc AS (SELECT dq.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> power(p.qs[i] - dq.dvr[i], 2))) AS adist
+              FROM probe p JOIN deq dq ON dq.cid = p.cid
+              WHERE dq.vec_id <> 0),
+      short AS (SELECT vec_id FROM adc
+                QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 24)
+      SELECT s.vec_id,
+             round(list_inner_product(e.e, q.qe)
+               / (sqrt(list_inner_product(e.e, e.e))
+                  * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+      FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+      ORDER BY cos DESC, s.vec_id LIMIT 15"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val sq = graft.operators.Similarity.sqTrainResidual(others, "e", codebook)
+        val query = others.filter(col("vec_id") === 0)
+          .select("e").head().getSeq[Double](0).toSeq
+        graft.operators.Similarity.ivfSqProbe(
+            graft.operators.Similarity.sqAssignResidual(
+              graft.operators.Similarity.ivfAssign(others, codebook, "e"),
+              "e", codebook, sq),
+            "e", "vec_id", query, k = 15, codebook = codebook, sq = sq,
+            nprobe = 2, rerank = 24, excludeId = Some(0L))
       })
   )
 }

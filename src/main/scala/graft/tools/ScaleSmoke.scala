@@ -223,6 +223,15 @@ object ScaleSmoke {
       Similarity.ivfSqProbe(aSq, "e", "vec_id", query, 10, codebook,
         sqModel, nprobe = 4, rerank = 16).count()
     }
+    // by_residual SQ: train over the residual cloud (one broadcast
+    // centroid join + the same min/max agg), probe with per-list
+    // shifted queries through the ADC-L2 kernel
+    timed("ann_sq_train_residual+assign+probe") {
+      val sqRes = Similarity.sqTrainResidual(embD, "e", codebook)
+      val aRes = Similarity.sqAssignResidual(assigned, "e", codebook, sqRes)
+      Similarity.ivfSqProbe(aRes, "e", "vec_id", query, 10, codebook,
+        sqRes, nprobe = 4, rerank = 16).count()
+    }
     timed("ann_ivf_pq_probe_all(shuffle, 1% batch)") {
       Similarity.ivfPqProbeAll(pqAssigned, "e", "vec_id",
         pqAssigned.filter(col("vec_id") % 100 === 7)

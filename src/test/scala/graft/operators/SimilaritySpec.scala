@@ -987,6 +987,104 @@ class SimilaritySpec extends SparkSpecBase {
     assigned.unpersist(); corpus.unpersist()
   }
 
+  test("residual SQ8: fine within-cluster structure below the direct quantizer's step is recovered") {
+    import spark.implicits._
+    // the geometry by_residual exists for: coarse clusters far apart
+    // (their offsets dominate each dim's min..max range, so direct
+    // SQ's Δ = range/255 lands ABOVE the within-cluster jitter and
+    // collapses whole clusters to one code) with fine within-cluster
+    // structure that residual coding — range = the residual cloud —
+    // resolves with a Δ two orders finer.
+    val grid = for { c <- 0 until 4; rep <- 0 until 40 } yield {
+      val e = Seq.tabulate(dim) { d =>
+        val jitter = ((c * 997 + rep * 13 + d * 7) % 17 - 8) * 0.0025
+        (if (d == c) 10.0 else 0.0) + jitter
+      }
+      (c * 1000L + rep, e)
+    }
+    val corpus = grid.toDF("vec_id", "e").cache()
+    val cbk: Seq[(Long, Seq[Double])] = (0 until 4).map(c =>
+      (c.toLong, Seq.tabulate(dim)(d => if (d == c) 10.0 else 0.0)))
+    // query inside cluster 0, off-center in the jitter dimensions:
+    // the true top-10 are the jitter-nearest replicas, a ranking the
+    // collapsed direct codes cannot see. The within-cluster cosine
+    // gaps sit BELOW the probes' 4-decimal exact-score rounding (that
+    // is the point — the structure is finer than anything the direct
+    // quantizer OR a rounded score can see), so the truth must be
+    // computed driver-side at full precision, and with k = rerank the
+    // probe output SET is exactly its ADC shortlist — recall measures
+    // shortlist quality, the thing by_residual buys.
+    val q = Seq.tabulate(dim)(d => (if (d == 0) 10.0 else 0.0) +
+      (((d * 11) % 13) - 6) * 0.002)
+    def cosd(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = grid.map { case (id, e) => (id, cosd(q, e)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+
+    val direct = Similarity.sqTrain(corpus, "e")
+    val res = Similarity.sqTrainResidual(corpus, "e", cbk)
+    assert(res.residual && !direct.residual)
+    // the residual cloud really is two orders tighter per dim
+    assert(res.deltas.max < direct.deltas.max / 50,
+      s"residual delta ${res.deltas.max} vs direct ${direct.deltas.max}")
+
+    val ivf = Similarity.ivfAssign(corpus, cbk, "e").cache()
+    val aDirect = Similarity.sqAssign(ivf, "e", direct)
+    val aRes = Similarity.sqAssignResidual(ivf, "e", cbk, res).cache()
+    def recallOf(assigned: org.apache.spark.sql.DataFrame, m: Similarity.SqModel): Double =
+      recallAt10(Similarity.ivfSqProbe(assigned, "e", "vec_id", q, 10,
+        cbk, m, nprobe = 1, rerank = 10)
+        .collect().map(_.getLong(0)).toSet, truth)
+    val rDirect = recallOf(aDirect, direct)
+    val rRes = recallOf(aRes, res)
+    assert(rRes >= rDirect, s"residual ($rRes) must be >= direct ($rDirect)")
+    assert(rRes == 1.0 && rRes - rDirect >= 0.3,
+      s"fixture must show the by_residual win: direct=$rDirect residual=$rRes")
+
+    // full-width probing + corpus-wide rerank degrades to EXACTLY the
+    // engine's own brute force (both rank by the same rounded exact
+    // cosine, ties by id)
+    val full = Similarity.ivfSqProbe(aRes, "e", "vec_id", q, 10,
+        cbk, res, nprobe = 4, rerank = 1000)
+      .collect().map(_.getLong(0)).toSet
+    val bruteSet = Similarity.bruteForceTopK(corpus, "e", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == bruteSet)
+
+    // batch probe matches the single-query path on the residual index
+    val probes = Seq((9999L, q)).toDF("q_id", "qe")
+    val batch = Similarity.ivfSqProbeAll(aRes, "e", "vec_id", probes, "q_id", "qe",
+        cbk, res, k = 10, nprobe = 2, rerank = 16)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val solo = Similarity.ivfSqProbe(aRes, "e", "vec_id", q, 10,
+        cbk, res, nprobe = 2, rerank = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == solo)
+
+    // the flag is model identity: artifact round-trips it, and the
+    // wrong assign/pair-search paths refuse it loudly
+    withTempDir("sq-residual") { dir =>
+      Similarity.writeSqModel(spark, res, dir.getAbsolutePath)
+      val back = Similarity.readSqModel(spark, dir.getAbsolutePath)
+      assert(back == res && back.residual)
+    }
+    assert(intercept[IllegalArgumentException](
+      Similarity.sqAssign(corpus, "e", res)).getMessage.contains("sqAssignResidual"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.sqAssignResidual(ivf, "e", cbk, direct)).getMessage
+      .contains("sqAssign"))
+    assert(intercept[IllegalArgumentException](
+      Similarity.nearDupPairsIvfSq(corpus, "e", "vec_id", cbk, res, 0.99))
+      .getMessage.contains("direct"))
+    // a cid outside the codebook cannot be residual-coded: null code
+    val foreign = Similarity.sqAssignResidual(
+      ivf.withColumn("cid", lit(777L)), "e", cbk.take(1), res)
+    assert(foreign.filter(col("sq_code").isNotNull).count() == 0)
+    aRes.unpersist(); ivf.unpersist(); corpus.unpersist()
+  }
+
   test("SQ8 pair search: slack margin equals the raw IVF tier; tight margin loses nothing at 256 levels") {
     import spark.implicits._
     val corpus = planted.cache()
