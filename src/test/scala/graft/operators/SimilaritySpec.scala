@@ -1085,6 +1085,54 @@ class SimilaritySpec extends SparkSpecBase {
     aRes.unpersist(); ivf.unpersist(); corpus.unpersist()
   }
 
+  test("SQ8 kernel invariants: half-step error bound in range, clamp out of range, byte round-trip") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.VectorOps
+    val dims = 16
+    def lcg(seed: Long): Iterator[Double] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5)
+    val it = lcg(0xabcdef99L)
+    val mins = Array.fill(dims)(it.next() * 2 - 1)
+    val maxs = mins.map(_ + math.abs(it.next()) * 3 + 0.001)
+    val deltas = mins.zip(maxs).map { case (a, b) => (b - a) / 255.0 }
+    val mm = new GenericArrayData(Array[Any](
+      new GenericArrayData(mins), new GenericArrayData(deltas)))
+    // in-range vectors: |dequant − v| <= Δ/2 per dim (the uniform
+    // quantizer's defining bound), codes round-trip through the
+    // signed-byte representation
+    for (trial <- 0 until 200) {
+      val v = Array.tabulate(dims)(d => mins(d) + math.abs(it.next() * 2) % 1.0 * (maxs(d) - mins(d)))
+      val code = VectorOps.sqEncode(new GenericArrayData(v), mm)
+      assert(code != null && code.length == dims)
+      var d = 0
+      while (d < dims) {
+        val deq = mins(d) + (code(d) & 0xff).toDouble * deltas(d)
+        assert(math.abs(deq - v(d)) <= deltas(d) / 2 + 1e-12,
+          s"trial $trial dim $d: |$deq - ${v(d)}| > ${deltas(d) / 2}")
+        d += 1
+      }
+    }
+    // out-of-range values clamp to the nearest bound, never wrap
+    val lo = Array.tabulate(dims)(d => mins(d) - 5.0)
+    val hi = Array.tabulate(dims)(d => maxs(d) + 5.0)
+    assert(VectorOps.sqEncode(new GenericArrayData(lo), mm)
+      .forall(b => (b & 0xff) == 0))
+    assert(VectorOps.sqEncode(new GenericArrayData(hi), mm)
+      .forall(b => (b & 0xff) == 255))
+    // the ADC cosine of a vector against its own code approaches 1
+    val v = Array.tabulate(dims)(d => mins(d) + 0.37 * (maxs(d) - mins(d)))
+    val selfCos = VectorOps.sqAdcCos(new GenericArrayData(v),
+      VectorOps.sqEncode(new GenericArrayData(v), mm), mm)
+    assert(selfCos > 0.999, s"self-ADC cosine $selfCos")
+    // and the ADC-L2 of a shifted zero against its own residual code
+    // is bounded by the total squared half-step
+    val l2 = VectorOps.sqAdcL2(new GenericArrayData(v),
+      VectorOps.sqEncode(new GenericArrayData(v), mm), mm)
+    val bound = deltas.map(dl => (dl / 2) * (dl / 2)).sum
+    assert(l2 <= bound + 1e-12, s"self ADC-L2 $l2 > $bound")
+  }
+
   test("SQ8 pair search: slack margin equals the raw IVF tier; tight margin loses nothing at 256 levels") {
     import spark.implicits._
     val corpus = planted.cache()
