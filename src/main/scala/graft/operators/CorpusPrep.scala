@@ -437,9 +437,10 @@ object CorpusPrep {
   def prepStream(docs: DataFrame, textCol: String, tsCol: String,
       cfg: Config = Config(), watermark: String = "10 minutes",
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
-      standingIndex: Option[DataFrame] = None): DataFrame =
+      standingIndex: Option[DataFrame] = None,
+      semanticLookup: Option[DataFrame] = None): DataFrame =
     prepStreamWithCaches(docs, textCol, tsCol, cfg, watermark, standing,
-      idCol, standingIndex)._1
+      idCol, standingIndex, semanticLookup)._1
 
   /** Handle over the standing-corpus lookups a prepStream plan caches
     * for its lifetime. Without releasing them, the cached frames
@@ -502,13 +503,24 @@ object CorpusPrep {
   def prepStreamWithCaches(docs: DataFrame, textCol: String, tsCol: String,
       cfg: Config = Config(), watermark: String = "10 minutes",
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
-      standingIndex: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
-    require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.embCol.isEmpty &&
+      standingIndex: Option[DataFrame] = None,
+      semanticLookup: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
+    require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans &&
         cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty,
       "prepStream supports only the row-local stages (normalize + gates + LM " +
         "gate + exact dedup + the standing-corpus probe); corpus-statistic " +
         "stages need a batch pass — run them via runIncremental over the " +
         "accumulated intake")
+    require(cfg.embCol.isEmpty || semanticLookup.isDefined,
+      "embCol in a stream needs a standing semantic lookup (build one with " +
+        "Similarity.sqSemanticLookup over the standing SQ index and pass it " +
+        "as semanticLookup) — the batch semantic tier's pair clustering " +
+        "needs a corpus pass; run it via runIncremental")
+    require(semanticLookup.isEmpty ||
+        (cfg.embCol.isDefined && cfg.codebook.isDefined && cfg.sqModel.isDefined),
+      "semanticLookup needs cfg.embCol (the stream's embedding column), " +
+        "cfg.codebook (the lookup's inverted lists) and cfg.sqModel (the " +
+        "direct model that coded it)")
     require(standingIndex.isEmpty || standing.isDefined,
       "standingIndex carries bands, not text — the exact-Jaccard verify needs " +
         "the standing frame too")
@@ -547,8 +559,8 @@ object CorpusPrep {
         Dedup.streamIntraBandDedup(exact, "clean_text",
           cfg.shingleN, cfg.numHashes, cfg.rowsPerBand)
       else exact
-    standing match {
-      case None => (within.drop("_digest"), new StreamCaches(Nil))
+    val (textFiltered, textCaches) = standing match {
+      case None => (within.drop("_digest"), Seq.empty[DataFrame])
       case Some(st) =>
         // cache both standing-side lookups: a stream-static join
         // re-executes the static side EVERY micro-batch, so without
@@ -571,7 +583,22 @@ object CorpusPrep {
           .drop("_digest")
         (Dedup.streamNearDupFilter(exactKept, "clean_text", lookup,
           cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand),
-          new StreamCaches(Seq(oldDig, lookup)))
+          Seq(oldDig, lookup))
+    }
+    // SEMANTIC standing tier, the live twin of semanticIncremental:
+    // drop rows whose embedding ADC-verifies against a standing
+    // member of a probed inverted list — zero stream state, the
+    // byte-compressed lookup cached like the text lookups (its 8×
+    // compression is what keeps a large standing corpus resident).
+    // Runs AFTER the text tiers: a textual dup is the cheaper drop.
+    semanticLookup match {
+      case None => (textFiltered, new StreamCaches(textCaches))
+      case Some(lk) =>
+        val lkCached = lk.cache()
+        (Similarity.streamSemanticFilter(textFiltered, cfg.embCol.get,
+          lkCached, cfg.codebook.get, cfg.sqModel.get, cfg.minCosine,
+          cfg.nprobe),
+          new StreamCaches(textCaches :+ lkCached))
     }
   }
 

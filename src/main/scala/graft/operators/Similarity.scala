@@ -1775,6 +1775,87 @@ object Similarity {
       .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
   }
 
+  /** STATIC half of the stream semantic tier (the embedding twin of
+    * Dedup.bandVerifyLookup): per inverted list, the SQ8 codes of its
+    * standing members collected into one array — D BYTES per standing
+    * doc (8× less resident state than float vectors; this frame is
+    * cached for the stream's lifetime, so the compression is exactly
+    * what lets a large standing corpus fit). Hot lists over `maxList`
+    * drop — a degenerate centroid's list would otherwise make every
+    * probing row pay its scan. A single-member list is kept (the
+    * probing stream row is its second member; same rationale as
+    * bandVerifyLookup's no-floor rule). Direct models only: the
+    * row-local verify scores the stream row's float vector against
+    * member codes by ADC cosine, and residual codes would need the
+    * per-list query shift plus an L2→cosine bridge that row-local
+    * verification cannot carry honestly. */
+  def sqSemanticLookup(standingIndex: DataFrame, sq: SqModel,
+      cidCol: String = "cid", codeCol: String = "sq_code",
+      maxList: Int = 8192): DataFrame = {
+    require(!sq.residual,
+      "the stream semantic tier verifies rows against member codes by direct " +
+        "ADC cosine — build the lookup from a direct sqTrain model")
+    standingIndex
+      .filter(col(codeCol).isNotNull)
+      .withColumn("_ln", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(cidCol)))
+      .filter(col("_ln") <= maxList)
+      .groupBy(col(cidCol).as("cid"))
+      .agg(collect_list(col(codeCol)).as("_members"))
+  }
+
+  /** STREAM half of the semantic tier: drop stream rows whose
+    * embedding scores ADC cosine ≥ `minCosine` against ANY standing
+    * member of one of its `nprobe` nearest inverted lists — live
+    * semantic dedup of intake against a standing corpus with ZERO
+    * stream state (the twin of Dedup.streamNearDupFilter's shape: the
+    * row's probed list ids are computed map-side against the codebook
+    * literal, each probes the lookup through its own stream-static
+    * LEFT equi-join, and the verify is a row-local `exists` over the
+    * joined member codes — never an exploded stream needing
+    * re-aggregation, which Append mode disallows without state).
+    *
+    * Honest semantics: the drop decision is APPROXIMATE on one side —
+    * the row's float vector scores against the standing docs' 8-bit
+    * codes, so quantization error enters once (ADC), bounded by the
+    * half-step bound SimilaritySpec pins. A near-threshold true match
+    * can score under `minCosine` by that error; recall follows
+    * `nprobe` exactly as in every IVF probe. Rows with null or
+    * wrong-width embeddings pass through untouched (the gates own
+    * those decisions). Per-row cost is nprobe × the probed lists'
+    * member counts through the interpreted HOF — the price of zero
+    * state; cap with sqSemanticLookup's `maxList`. */
+  def streamSemanticFilter(stream: DataFrame, embCol: String, lookup: DataFrame,
+      codebook: Seq[(Long, Seq[Double])], sq: SqModel, minCosine: Double,
+      nprobe: Int = 1): DataFrame = {
+    require(codebook.nonEmpty, "streamSemanticFilter needs the coarse codebook")
+    require(nprobe >= 1 && nprobe <= codebook.size,
+      s"nprobe must be in [1, ${codebook.size}], got $nprobe")
+    require(!sq.residual,
+      "the stream semantic tier verifies by direct ADC cosine — residual " +
+        "models cannot ride it (see sqSemanticLookup)")
+    val cb = typedLit(codebook)
+    val ranked = array_sort(transform(cb, c => struct(
+      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
+      c.getField("_1").as("cid"))))
+    val withQ = withNormalized(stream, embCol, "_sqv")
+    val withCids = (0 until nprobe).foldLeft(withQ)((d, i) =>
+      d.withColumn(s"_qc$i", element_at(ranked, i + 1).getField("cid")))
+    val joined = (0 until nprobe).foldLeft(withCids)((d, i) =>
+      d.join(lookup.select(col("cid").as(s"_pc$i"), col("_members").as(s"_pm$i")),
+        col(s"_qc$i") === col(s"_pc$i"), "left_outer"))
+    def hit(i: Int): Column = coalesce(
+      exists(col(s"_pm$i"), m =>
+        graft.functions.VectorExpressions.sq_adc_cos(col("_sqv"), m, sq.mm)
+          >= minCosine),
+      lit(false))
+    joined
+      .filter(!(0 until nprobe).map(hit).reduce(_ || _))
+      .drop((0 until nprobe).flatMap(i => Seq(s"_qc$i", s"_pc$i", s"_pm$i")) :+
+        "_sqv": _*)
+  }
+
   /** Shared in-bucket pair expansion: cap hot buckets, then expand
     * ordered pairs as a bucket-keyed SORT-MERGE SELF-JOIN
     * (`id_a < id_b` — which also keeps duplicate ids from emitting

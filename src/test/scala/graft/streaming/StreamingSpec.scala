@@ -261,6 +261,102 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream semantic tier drops standing near-dups by ADC against the byte lookup; null embs pass; nprobe is the recall knob") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val Sim = graft.operators.Similarity
+    // standing corpus with embeddings; a two-member corpus makes the
+    // SQ bounds the members themselves, so codes dequantize EXACTLY
+    // and the stream tier's ADC decisions equal semanticIncremental's
+    // exact-rerank decisions — a real parity pin, not an approx one
+    val standing = Seq(
+      (201L, "the standing corpus document about thursday meetings and scheduling",
+        Seq(5.01, 5.0, 0.0, 0.0)),
+      (203L, "a standing report on quarterly revenue and financial projections",
+        Seq(0.0, 0.0, 9.0, 0.0)))
+      .toDF("doc_id", "clean_text", "emb")
+    val codebook: Seq[(Long, Seq[Double])] = Seq(
+      (0L, Seq(10.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 10.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 10.0, 0.0)), (3L, Seq(0.0, 0.0, 0.0, 10.0)))
+    val sq = Sim.sqTrain(standing, "emb")
+    val sqIndex = Sim.sqAssign(Sim.ivfAssign(standing, codebook, "emb"), "emb", sq)
+    val lookup = Sim.sqSemanticLookup(sqIndex, sq).localCheckpoint()
+    // intake: 11 paraphrases 201 ACROSS the c0/c1 Voronoi boundary
+    // (different text, near-identical embedding — only the semantic
+    // tier can see it, and only at nprobe=2); 12 is novel; 13 has no
+    // embedding and must pass untouched
+    val intake = Seq(
+      (11L, "2026-01-01 00:00:01",
+        "they rescheduled the gathering for three pm on thursday afternoon",
+        Some(Seq(5.0, 5.01, 0.0, 0.0))),
+      (12L, "2026-01-01 00:00:02",
+        "a genuinely fresh crawl document with brand new interesting content",
+        Some(Seq(0.0, 0.0, 0.0, 7.0))),
+      (13L, "2026-01-01 00:00:03",
+        "a document that arrived without any embedding attached to it at all",
+        None))
+      .toDF("doc_id", "ts", "text", "emb")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val cfgSem = graft.operators.CorpusPrep.Config(embCol = Some("emb"),
+      minCosine = 0.999, codebook = Some(codebook), sqModel = Some(sq))
+
+    // batch truth on the same intake: the exact-rerank incremental path
+    val batchSurvivors = graft.operators.CorpusPrep.semanticIncremental(
+        intake.filter(col("emb").isNotNull).select("doc_id", "emb"), sqIndex,
+        cfg = cfgSem.copy(nprobe = 2))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    withTempDir("prep-stream-sem") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      def run(nprobe: Int, name: String): Set[Long] = {
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, emb ARRAY<DOUBLE>")
+          .parquet(dir.getAbsolutePath)
+        val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+            cfgSem.copy(nprobe = nprobe),
+            semanticLookup = Some(lookup))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        spark.sql(s"SELECT doc_id FROM $name")
+          .collect().map(_.getLong(0)).toSet
+      }
+      // nprobe=2 sees across the boundary: 11 drops, 12 and the
+      // embedding-less 13 survive — matching the exact batch path
+      val got2 = run(2, "prep_stream_sem2")
+      assert(got2 == Set(12L, 13L), s"semantic stream survivors: $got2")
+      assert(got2 - 13L == batchSurvivors,
+        s"stream $got2 (minus the no-emb row) vs batch $batchSurvivors")
+      // nprobe=1 misses the boundary pair — the usual IVF recall knob
+      assert(run(1, "prep_stream_sem1") == Set(11L, 12L, 13L))
+      // config errors are loud: embCol without a lookup, and a lookup
+      // without its model
+      intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(
+          spark.readStream
+            .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, emb ARRAY<DOUBLE>")
+            .parquet(dir.getAbsolutePath), "text", "ts", cfgSem)
+      }
+      intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(
+          spark.readStream
+            .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, emb ARRAY<DOUBLE>")
+            .parquet(dir.getAbsolutePath), "text", "ts",
+          cfgSem.copy(sqModel = None), semanticLookup = Some(lookup))
+      }
+      // a residual model cannot ride the tier (ADC-cosine verify only)
+      val sqRes = Sim.sqTrainResidual(standing, "emb", codebook)
+      intercept[IllegalArgumentException] {
+        Sim.sqSemanticLookup(Sim.sqAssignResidual(
+          Sim.ivfAssign(standing, codebook, "emb"), "emb", codebook, sqRes), sqRes)
+      }
+      ()
+    }
+  }
+
   test("prepStream releases its standing-corpus caches when the stream terminates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
