@@ -20,7 +20,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * count cost no sample decode). Video CONTAINER metadata is REAL as
   * well (`VideoDecoder`, a pure ISO-BMFF box walk — MP4/MOV duration,
   * timescale, display dimensions, track census; the length-prefixed
-  * box grammar is codec-independent). FRAME decode is real for the
+  * box grammar is codec-independent). Image RESIZE is real
+  * (`withResizedImage`: ImageIO decode → bilinear rescale →
+  * re-encode, the vision-input normalization step), and audio
+  * SAMPLE features are real (`withAudioFeatures`: PCM decode through
+  * the JDK codec chain — RMS / peak / zero-crossing rate land on the
+  * analytic values for a synthesized sine, pinned by test). FRAME
+  * decode is real for the
   * multi-frame container the JDK ships a codec for — animated GIF
   * (`sampleFramesDecoded`: evenly sampled frames decoded to pixels
   * and digested); for MP4/MOV, the sample tables give a REAL
@@ -163,6 +169,67 @@ object Multimodal {
     df.mapPartitions { it =>
       val hasher = new PerceptualHasher // once per partition — the contract
       it.map(r => Row.fromSeq(r.toSeq :+ hasher.dhash64(binaryOf(r, idx))))
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image resize (JDK ImageIO decode → Graphics2D bilinear
+    * rescale → re-encode): the vision-pipeline normalization step —
+    * every image lands at the model's input dimensions before
+    * features are cut. Output bytes replace the original payload
+    * downstream, so at 100 TB the post-resize corpus is also the
+    * small-edge-length corpus (a 3000×2000 JPEG becomes a 224×224
+    * thumbnail). Stretch-to-fit, documented: aspect-preserving
+    * letterboxing belongs to the caller's transform, not hidden
+    * here. One resizer per task; undecodable payloads yield
+    * ok = false with null bytes — never a task failure. */
+  final class ImageResizer(width: Int, height: Int, format: String)
+      extends Serializable {
+    def resize(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+      if (bytes == null || bytes.isEmpty) return (null, false)
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return (null, false)
+        val out = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(out, format, bos)) (null, false)
+        else (bos.toByteArray, true)
+      } catch { case scala.util.control.NonFatal(_) => (null, false) }
+    }
+  }
+
+  /** Attach `outCol` = struct(bytes, width, height, ok) with the
+    * image rescaled to exactly (width × height) and re-encoded as
+    * `format` (a format some ImageIO writer claims — validated
+    * DRIVER-side, so a typo fails at plan build, not as a million
+    * ok=false rows). Same mapPartitions lifecycle as every decoder
+    * here; only resized bytes shuffle downstream. */
+  def withResizedImage(df: DataFrame, binaryCol: String,
+      width: Int, height: Int, outCol: String = "resized",
+      format: String = "png")(implicit spark: SparkSession): DataFrame = {
+    require(width >= 1 && height >= 1, s"target dims must be >= 1, got ${width}x$height")
+    require(javax.imageio.ImageIO.getImageWritersByFormatName(format).hasNext,
+      s"no ImageIO writer claims format '$format' — png/jpg/bmp/gif ship with the JDK")
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema.add(outCol, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("width", IntegerType),
+      org.apache.spark.sql.types.StructField("height", IntegerType),
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.BooleanType))), nullable = false)
+    df.mapPartitions { it =>
+      val resizer = new ImageResizer(width, height, format) // once per task
+      it.map { r =>
+        val (bytes, ok) = resizer.resize(binaryOf(r, idx))
+        Row.fromSeq(r.toSeq :+ Row(bytes, width, height, ok))
+      }
     }(Encoders.row(outSchema))
   }
 
@@ -521,6 +588,109 @@ object Multimodal {
         val m = decoder.decode(binaryOf(r, idx))
         Row.fromSeq(r.toSeq :+
           Row(m.sampleRate, m.channels, m.frames, m.encoding, m.byteLen, m.digest, m.ok))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  final case class AudioFeatures(
+    rms: Double, peak: Double, zcr: Double, durationSec: Double,
+    framesRead: Long, ok: Boolean)
+
+  /** REAL audio sample features (JDK `javax.sound.sampled` decode —
+    * no external codec): RMS energy and peak amplitude (normalized to
+    * [0, 1] full scale) and mean zero-crossing rate (crossings per
+    * sample — the classic cheap voicing/pitch proxy; a pure A-Hz tone
+    * reads 2·A/sampleRate). The payload converts through the JDK's
+    * codec chain to signed 16-bit PCM (so μ-law/A-law/8-bit WAV and
+    * AIFF all work), channels mix by averaging per frame, and the
+    * sample read is CAPPED at `maxFrames` (front window) so one
+    * pathological file cannot stall a task — `framesRead` reports the
+    * cap honestly while `durationSec` still comes from the header's
+    * full frame count. Undecodable or non-PCM-convertible payloads
+    * come back ok = false, never a task failure. */
+  final class AudioFeatureExtractor(maxFrames: Long) extends Serializable {
+    def extract(bytes: Array[Byte]): AudioFeatures = {
+      val fail = AudioFeatures(0.0, 0.0, 0.0, 0.0, 0L, ok = false)
+      if (bytes == null || bytes.isEmpty) return fail
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          try {
+            val ch = target.getChannels
+            val frameBytes = ch * 2
+            val totalFrames = in.getFrameLength
+            val dur =
+              if (src.getFrameRate > 0 && totalFrames >= 0)
+                totalFrames / src.getFrameRate.toDouble
+              else 0.0
+            val buf = new Array[Byte](frameBytes * 4096)
+            var frames = 0L
+            var sumSq = 0.0
+            var peak = 0.0
+            var crossings = 0L
+            var lastSign = 0
+            var eof = false
+            while (!eof && frames < maxFrames) {
+              val want = math.min(buf.length.toLong,
+                (maxFrames - frames) * frameBytes).toInt
+              val n = pcm.read(buf, 0, want)
+              if (n <= 0) eof = true
+              else {
+                var off = 0
+                while (off + frameBytes <= n) {
+                  // mix channels by mean (little-endian 16-bit)
+                  var c = 0
+                  var acc = 0.0
+                  while (c < ch) {
+                    val lo = buf(off + c * 2) & 0xff
+                    val hi = buf(off + c * 2 + 1).toInt
+                    acc += ((hi << 8) | lo).toShort.toDouble
+                    c += 1
+                  }
+                  val s = acc / ch / 32768.0
+                  sumSq += s * s
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  val sign = if (s > 0) 1 else if (s < 0) -1 else lastSign
+                  if (sign != 0 && lastSign != 0 && sign != lastSign) crossings += 1
+                  if (sign != 0) lastSign = sign
+                  off += frameBytes
+                  frames += 1
+                }
+              }
+            }
+            if (frames == 0) fail
+            else AudioFeatures(
+              math.sqrt(sumSq / frames), peak,
+              crossings.toDouble / frames, dur, frames, ok = true)
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => fail }
+    }
+  }
+
+  /** Attach `outCol` = the AudioFeatures struct — same once-per-task
+    * mapPartitions contract as the other decoders; only the small
+    * feature struct ever shuffles. */
+  def withAudioFeatures(df: DataFrame, binaryCol: String,
+      outCol: String = "audio_features", maxFrames: Long = 1L << 22)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema.add(outCol, Encoders.product[AudioFeatures].schema)
+    df.mapPartitions { it =>
+      val ex = new AudioFeatureExtractor(maxFrames) // once per task
+      it.map { r =>
+        val f = ex.extract(binaryOf(r, idx))
+        Row.fromSeq(r.toSeq :+
+          Row(f.rms, f.peak, f.zcr, f.durationSec, f.framesRead, f.ok))
       }
     }(Encoders.row(outSchema))
   }

@@ -286,6 +286,91 @@ class MultimodalSpec extends SparkSpecBase {
     img
   }
 
+  test("withResizedImage: real rescale to target dims, content preserved, junk -> ok=false") {
+    import spark.implicits._
+    // a 32x16 half-red / half-blue image: after a stretch resize the
+    // left half must stay red and the right half blue
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0xff0000 else 0x0000ff)
+    val docs = Seq((1L, encodeImg(img, "png")),
+        (2L, "junk".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val rows = Multimodal.withResizedImage(docs, "blob", width = 8, height = 4)(spark)
+      .select(col("id"), col("resized.ok"), col("resized.bytes"),
+        col("resized.width"), col("resized.height"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2),
+          r.getInt(3), r.getInt(4))).toMap
+    assert(rows(1L)._1 && rows(1L)._3 == 8 && rows(1L)._4 == 4)
+    // the emitted bytes are a REAL image at the target dims with the
+    // halves preserved — decode them back through plain ImageIO
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(1L)._2))
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    val left = back.getRGB(1, 2)
+    val right = back.getRGB(6, 2)
+    assert(((left >> 16) & 0xff) > 200 && (left & 0xff) < 60,
+      f"left pixel should stay red: $left%06x")
+    assert((right & 0xff) > 200 && ((right >> 16) & 0xff) < 60,
+      f"right pixel should stay blue: $right%06x")
+    assert(!rows(2L)._1 && rows(2L)._2 == null)
+    assert(!rows(3L)._1)
+    // a format no writer claims is a DRIVER-side error, not rows
+    intercept[IllegalArgumentException] {
+      Multimodal.withResizedImage(docs, "blob", 8, 4, format = "webp9")(spark)
+    }
+    ()
+  }
+
+  test("withAudioFeatures: real PCM decode — sine RMS/peak/ZCR land on the analytic values") {
+    import spark.implicits._
+    // 440 Hz sine, 8 kHz mono 16-bit, 0.5 s, amplitude 0.6 full scale
+    val rate = 8000f
+    val nFrames = 4000
+    val amp = 0.6
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (amp * math.sin(2 * math.Pi * 440.0 * i / rate) * 32767).toInt
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val docs = Seq((1L, bos.toByteArray),
+        (2L, "not audio".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val rows = Multimodal.withAudioFeatures(docs, "blob")(spark)
+      .select(col("id"), col("audio_features.ok"), col("audio_features.rms"),
+        col("audio_features.peak"), col("audio_features.zcr"),
+        col("audio_features.durationSec"), col("audio_features.framesRead"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getLong(6))).toMap
+    val (ok, rms, peak, zcr, dur, fr) = rows(1L)
+    assert(ok && fr == nFrames.toLong)
+    // analytic sine values: rms = A/sqrt(2), peak ~ A, zcr = 2f/rate
+    assert(math.abs(rms - amp / math.sqrt(2)) < 0.01, s"rms $rms")
+    assert(math.abs(peak - amp) < 0.01, s"peak $peak")
+    assert(math.abs(zcr - 2 * 440.0 / rate) < 0.005, s"zcr $zcr")
+    assert(math.abs(dur - 0.5) < 1e-6, s"duration $dur")
+    assert(!rows(2L)._1 && !rows(3L)._1)
+    // the frame cap bounds the read window but keeps the header
+    // duration honest
+    val capped = Multimodal.withAudioFeatures(docs.filter(col("id") === 1L),
+        "blob", maxFrames = 100L)(spark)
+      .select(col("audio_features.framesRead"), col("audio_features.durationSec"))
+      .head()
+    assert(capped.getLong(0) == 100L && math.abs(capped.getDouble(1) - 0.5) < 1e-6)
+  }
+
   test("perceptual dHash: re-encoding invariant, direction-sensitive, null on junk") {
     import spark.implicits._
     val grad = gradientImg(reverse = false)
