@@ -258,6 +258,43 @@ object VectorOps {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Binary-quantize (BQ1): bit d = 1 iff v_d >= thr_d, packed
+    * MSB-first into ceil(D/8) bytes — D BITS per row, the 64× rung
+    * below SQ8 on the compression ladder. `>=` (not `>`) matches
+    * signBucket's existing sign convention; the comparison is exact
+    * in IEEE doubles, so codes replay bit-identically in the DuckDB
+    * oracle. Pad bits in the last byte stay 0 on every row, so they
+    * never contribute to an XOR. Null (never a truncated code) when
+    * the vector width differs from the threshold vector's. */
+  def bqEncode(v: ArrayData, thr: ArrayData): Array[Byte] = {
+    val xs = v.toDoubleArray()
+    val ts = thr.toDoubleArray()
+    if (xs.length != ts.length) return null
+    val out = new Array[Byte]((xs.length + 7) / 8)
+    var i = 0
+    while (i < xs.length) {
+      if (xs(i) >= ts(i)) out(i >> 3) = (out(i >> 3) | (0x80 >>> (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two packed BQ codes: popcount of the
+    * byte-wise XOR — one pass over ceil(D/8) bytes per pair, the
+    * cheapest distance in the library. −1 on a width mismatch (the
+    * expression wrapper surfaces that as NULL — a truncated Hamming
+    * would fake a near match exactly like a truncated cosine). */
+  def bqHamming(a: Array[Byte], b: Array[Byte]): Int = {
+    if (a.length != b.length) return -1
+    var acc = 0
+    var i = 0
+    while (i < a.length) {
+      acc += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
   /** cos(a, b) = dot/(|a||b|); NaN when either norm is zero (the HOF
     * formulation divides by zero the same way). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -477,6 +514,52 @@ case class SqSdcCos(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "sq_sdc_cos"
 }
 
+/** `bq_encode(v, thresholds)` -> packed sign bits (VectorOps
+  * .bqEncode). The threshold vector rides as an array<double> literal
+  * (D doubles — KBs at any width), so binary quantization is a pure
+  * map-side pass. NULL on width mismatch. */
+case class BqEncode(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, thr: Any): Any =
+    VectorOps.bqEncode(v.asInstanceOf[ArrayData], thr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, thr) => s"""
+      ${ev.value} = graft.functions.VectorOps.bqEncode($v, $thr);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BqEncode =
+    copy(left = l, right = r)
+  override def prettyName: String = "bq_encode"
+}
+
+/** `bq_hamming(codeA, codeB)` -> Hamming distance of two packed BQ
+  * codes (VectorOps.bqHamming); NULL on width mismatch — under the
+  * ascending distance order a NULL sorts last with asc_nulls_last,
+  * so a foreign code can never enter a shortlist. */
+case class BqHamming(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val h = VectorOps.bqHamming(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (h < 0) null else h
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VectorOps.bqHamming($a, $b);
+      ${ev.isNull} = ${ev.value} < 0;
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BqHamming =
+    copy(left = l, right = r)
+  override def prettyName: String = "bq_hamming"
+}
+
 /** `dot_product(a, b)` over two array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -574,6 +657,18 @@ object VectorExpressions {
       GraftBridge.expression(codeB),
       GraftBridge.expression(typedLit(Seq(minsDeltas._1, minsDeltas._2)))))
   }
+
+  /** Threshold-literal BQ1 encoding (see BqEncode). */
+  def bq_encode(v: Column, thresholds: Seq[Double]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    GraftBridge.column(BqEncode(GraftBridge.expression(v),
+      GraftBridge.expression(typedLit(thresholds))))
+  }
+
+  /** Hamming distance between two packed BQ code columns (see
+    * BqHamming). */
+  def bq_hamming(a: Column, b: Column): Column =
+    GraftBridge.column(BqHamming(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Codebook-literal nearest-centroid assignment (see NearestCentroid). */
   def nearest_centroid(e: Column, codebook: Seq[(Long, Seq[Double])]): Column = {

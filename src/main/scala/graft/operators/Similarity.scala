@@ -554,6 +554,199 @@ object Similarity {
     SqModel(rows.map(_._2).toSeq, rows.map(_._3).toSeq, residual)
   }
 
+  /** BQ1 binary quantization (FAISS IndexBinary-style, public
+    * knowledge): one SIGN BIT per dimension of the normalized vector —
+    * D bits per row, the 64× rung below SQ8's D bytes on the
+    * compression ladder (floats 8D bytes → SQ8 D bytes → PQ M bytes →
+    * BQ D/8 bytes). Candidates rank by Hamming distance (popcount of
+    * XOR — the cheapest distance in the library; on the unit sphere
+    * Hamming between sign codes estimates the angle, the sign-LSH
+    * collision bound), then an exact-cosine re-rank recovers true
+    * scores — so BQ is a SHORTLIST device, coarser than SQ8/PQ but
+    * cheap enough that a FLAT scan over the whole corpus is the
+    * standard shape (no inverted lists needed: 768-dim floats are
+    * 3 KB/row, BQ codes 96 B/row).
+    *
+    * `thresholds` is the per-dim split point: 0.0 everywhere is plain
+    * sign binarization (`BqModel.zero`); `bqTrain` learns per-dim
+    * MIDRANGE thresholds ((min+max)/2 of the normalized corpus) to
+    * rebalance dimensions whose mass sits off-center. Midrange — not
+    * the textbook mean — is deliberate: min/max are FP-ORDER-
+    * INDEPENDENT aggregates, so the trained thresholds (and therefore
+    * every persisted code) are bit-reproducible under any cluster
+    * reduction order, where a floating-point mean varies run-to-run
+    * with partition scheduling at 1000 executors. Reproducible codes
+    * are what make the artifact appendable (appendIndex) and the
+    * whole train+assign+probe pipeline DuckDB-replayable (q102). */
+  final case class BqModel(thresholds: Seq[Double]) {
+    require(thresholds.nonEmpty, "BqModel needs at least one dimension")
+    def dims: Int = thresholds.length
+    def codeBytes: Int = (dims + 7) / 8
+  }
+
+  object BqModel {
+    /** Plain sign binarization — no training pass. */
+    def zero(dims: Int): BqModel = {
+      require(dims >= 1, s"dims must be >= 1, got $dims")
+      BqModel(Seq.fill(dims)(0.0))
+    }
+  }
+
+  /** Train the BQ model: per-dim midrange over the normalized corpus
+    * — the SAME one-aggregation min/max pass SQ8 training runs (see
+    * BqModel for why midrange, not mean). Donor-free and
+    * deterministic, so the oracle replays training too. */
+  def bqTrain(df: DataFrame, embCol: String): BqModel = {
+    val (dims, _) = probeDims(df, embCol, 1, "bqTrain")
+    val normed = withNormalized(
+        df.select(col(embCol)).filter(col(embCol).isNotNull), embCol, "_n")
+    val s = sqStats(normed, dims, "bqTrain", residual = false)
+    BqModel(s.mins.zip(s.maxs).map { case (a, b) => (a + b) / 2.0 })
+  }
+
+  /** Attach the packed BQ code column: sign bits of the normalized
+    * vector under the model's thresholds — ceil(D/8) bytes per row,
+    * pure map-side (the thresholds ride inside bq_encode's generated
+    * code). Null embeddings and width-mismatched rows get a null code
+    * (never a truncated one). Write with `writeIndex`; like PQ/SQ
+    * codes, the float column can be dropped from the written index
+    * when `rerankFrom` re-ranks from the primary store. */
+  def bqAssign(df: DataFrame, embCol: String, model: BqModel,
+      codeCol: String = "bq_code"): DataFrame =
+    withNormalized(df, embCol, "_bq_n")
+      .withColumn(codeCol,
+        when(col(embCol).isNotNull,
+          graft.functions.VectorExpressions.bq_encode(
+            col("_bq_n"), model.thresholds)))
+      .drop("_bq_n")
+
+  /** Driver-side twin of the bqEncode kernel for query vectors — same
+    * `>=` convention and MSB-first packing, so a query's code is
+    * bit-identical to what bqAssign would produce for the same row. */
+  private def bqEncodeLocal(qn: Seq[Double], thr: Seq[Double]): Array[Byte] = {
+    require(qn.length == thr.length,
+      s"query has ${qn.length} dims but the BqModel codes ${thr.length}")
+    val out = new Array[Byte]((qn.length + 7) / 8)
+    var i = 0
+    while (i < qn.length) {
+      if (qn(i) >= thr(i)) out(i >> 3) = (out(i >> 3) | (0x80 >>> (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** BQ flat probe, single query: ONE map-side Hamming pass over the
+    * code column (D/8 bytes per row — no inverted lists; at 64×
+    * compression the flat scan IS the scale shape), keep the `rerank`
+    * best Hamming candidates, exact-cosine re-rank only those. Null
+    * codes sort last (asc_nulls_last) and can never enter the
+    * shortlist. BQ's Hamming shortlist is coarser than SQ8/PQ ADC —
+    * size `rerank` generously (the default 4k floor is a lower bound,
+    * not a recommendation); SimilaritySpec pins that a full-width
+    * rerank recovers brute force exactly. Same codes-only `rerankFrom`
+    * contract as the other probes: with a primary store supplied, the
+    * scanned frame needs only (id, code) and the shortlist joins the
+    * store by id (broadcast — it is rerank-bounded). */
+  def bqProbe(coded: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, model: BqModel, rerank: Int = 0,
+      codeCol: String = "bq_code", excludeId: Option[Long] = None,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
+    require(query.length == model.dims,
+      s"query has ${query.length} dims but the BqModel codes ${model.dims}")
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val qCode = bqEncodeLocal(normalizeVec(query), model.thresholds)
+    val scoped = excludeId.fold(coded)(id => coded.filter(col(idCol) =!= id))
+    val outCols = col(idCol) +:
+      rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+
+      graft.functions.VectorExpressions.bq_hamming(
+        lit(qCode), col(codeCol)).as("_bqh")
+    val shortlist = scoped.select(outCols: _*)
+      .orderBy(asc_nulls_last("_bqh"), col(idCol))
+      .limit(rr)
+    val withEmb = rerankFrom.fold(shortlist)(store =>
+      shortlist.hint("broadcast")
+        .join(store.select(col(idCol), col(embCol)), Seq(idCol)))
+    withEmb
+      .select(col(idCol),
+        round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch BQ probe — many queries in one distributed plan. The query
+    * side normalizes and encodes CLUSTER-side through the same
+    * bq_encode kernel (no driver round-trip), then broadcasts against
+    * the coded corpus: corpus × Q Hamming evaluations, each a D/8-byte
+    * XOR-popcount — the broadcast-nested-loop is deliberate (there is
+    * no equi-key in a flat binary scan) and is why the query batch
+    * must be probe-sized; crawl-scale batches belong on the IVF-coded
+    * paths (ivfPqProbeAll/ivfProbeAll) where list pruning gives the
+    * join an equi-key. Per-query windows then keep the `rerank` best
+    * Hamming rows and re-rank them by exact cosine. Output
+    * (qIdCol, idCol, cos, rank) with the same `q_<name>` collision
+    * rename, excludeSelf, and codes-only `rerankFrom` contracts as
+    * ivfProbeAll (the store join is AQE-sized: Q × rerank rows). */
+  def bqProbeAll(coded: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String, model: BqModel,
+      k: Int, rerank: Int = 0, codeCol: String = "bq_code",
+      excludeSelf: Boolean = false,
+      rerankFrom: Option[DataFrame] = None): DataFrame = {
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val probes = withNormalized(
+        queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
+        qEmbCol, "_qn")
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"),
+        graft.functions.VectorExpressions.bq_encode(
+          col("_qn"), model.thresholds).as("_qc"))
+    val joined = coded
+      .select(col(idCol) +:
+        rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+ col(codeCol): _*)
+      .join(broadcast(probes), lit(true))
+    val scoped =
+      if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("_qid")
+    val shortlist = scoped
+      .withColumn("_bqh", graft.functions.VectorExpressions.bq_hamming(
+        col("_qc"), col(codeCol)))
+      .withColumn("_hr", row_number().over(
+        win.orderBy(asc_nulls_last("_bqh"), col(idCol))))
+      .filter(col("_hr") <= rr)
+    val withEmb = rerankFrom.fold(shortlist)(store =>
+      shortlist.join(store.select(col(idCol), col(embCol)), Seq(idCol)))
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    withEmb
+      .select(col("_qid"), col(idCol),
+        round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        win.orderBy(desc("cos"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Persist a BQ model — (dim, threshold) rows, KBs. Like PQ/SQ, a
+    * coded index is unreadable without the exact model that coded it:
+    * persist them together. */
+  def writeBqModel(spark: org.apache.spark.sql.SparkSession,
+      model: BqModel, path: String): Unit = {
+    import spark.implicits._
+    model.thresholds.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("d", "thr").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted BQ model; fails loudly on a gappy artifact. */
+  def readBqModel(spark: org.apache.spark.sql.SparkSession, path: String): BqModel = {
+    val rows = spark.read.parquet(path).select("d", "thr").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    require(rows.nonEmpty, s"empty BQ model at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"BQ model at $path has non-contiguous dims: ${rows.map(_._1).toSeq}")
+    BqModel(rows.map(_._2).toSeq)
+  }
+
   /** One-shot IVF ANN (index + probe in one plan; amortized use goes
     * through ivfAssign once + ivfProbe per query). `centroids` is a
     * (cid, ce) DataFrame — collected as the codebook literal. */

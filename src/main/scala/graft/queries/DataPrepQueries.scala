@@ -2087,6 +2087,107 @@ object DataPrepQueries {
               "e", codebook, sq),
             "e", "vec_id", query, k = 15, codebook = codebook, sq = sq,
             nprobe = 2, rerank = 24, excludeId = Some(0L))
+      }),
+
+    // Binary quantization (BQ1) flat probe — the 64× rung of the
+    // compression ladder (D BITS per row), fully donor-free like the
+    // SQ rows: training is per-dim MIDRANGE ((min+max)/2 — midrange,
+    // not mean, because min/max are FP-order-independent, so the
+    // thresholds and every code replay bit-identically regardless of
+    // cluster reduction order), bits are ne[i] >= thr[i] (exact IEEE
+    // comparison), candidates rank by Hamming distance, and the
+    // 24-wide shortlist re-ranks by exact cosine. The Spark side
+    // scores packed bytes with an XOR-popcount kernel; the oracle
+    // recomputes the identical Hamming from the unpacked bits.
+    QueryDef("q102_bq_probe", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      q AS (SELECT e.e AS qe, b.b AS qb
+            FROM e JOIN bits b ON b.vec_id = e.vec_id WHERE e.vec_id = 0),
+      ham AS (SELECT b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN b.b[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS hd
+              FROM bits b CROSS JOIN q WHERE b.vec_id <> 0),
+      short AS (SELECT vec_id FROM ham
+                QUALIFY row_number() OVER (ORDER BY hd, vec_id) <= 24)
+      SELECT s.vec_id,
+             round(list_inner_product(e.e, q.qe)
+               / (sqrt(list_inner_product(e.e, e.e))
+                  * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+      FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+      ORDER BY cos DESC, s.vec_id LIMIT 15"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val m = graft.operators.Similarity.bqTrain(emb, "e")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("e").head().getSeq[Double](0).toSeq
+        graft.operators.Similarity.bqProbe(
+          graft.operators.Similarity.bqAssign(emb, "e", m),
+          "e", "vec_id", query, k = 15, model = m, rerank = 24,
+          excludeId = Some(0L))
+      }),
+
+    // Batch BQ probe (q81's shape on the binary codec): three member
+    // queries encoded CLUSTER-side through the same kernel, Hamming
+    // shortlists per query, exact-cosine re-rank, self-matches
+    // excluded. Same donor-free replay as q102.
+    QueryDef("q103_bq_probe_all", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      qs AS (SELECT b.vec_id AS qid, e.e AS qe, b.b AS qb
+             FROM bits b JOIN e ON e.vec_id = b.vec_id
+             WHERE b.vec_id IN (0, 100, 200)),
+      ham AS (SELECT q.qid, b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN b.b[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS hd
+              FROM bits b CROSS JOIN qs q WHERE b.vec_id <> q.qid),
+      short AS (SELECT qid, vec_id FROM ham
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY hd, vec_id) <= 24),
+      scored AS (SELECT s.qid, s.vec_id,
+                        round(list_inner_product(e.e, q.qe)
+                          / (sqrt(list_inner_product(e.e, e.e))
+                             * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+                 FROM short s
+                   JOIN e ON e.vec_id = s.vec_id
+                   JOIN qs q ON q.qid = s.qid)
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 8 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val m = graft.operators.Similarity.bqTrain(emb, "e")
+        val queries = emb.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        graft.operators.Similarity.bqProbeAll(
+            graft.operators.Similarity.bqAssign(emb, "e", m),
+            "e", "vec_id", queries, "qid", "e", m,
+            k = 8, rerank = 24, excludeSelf = true)
+          .orderBy("qid", "rank")
       })
   )
 }

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Binary quantization (BQ1): kernel bit-packing semantics, midrange
+  * training determinism, flat-probe recall geometry, the full-width
+  * rerank == brute-force identity, the codes-only rerankFrom path,
+  * and batch-probe parity with the single-query probe. */
+class BqSpec extends SparkSpecBase {
+
+  import graft.functions.VectorExpressions.{bq_encode, bq_hamming}
+
+  private val dim = 16
+
+  // two tight antipodal-ish clusters plus one straggler: sign bits
+  // separate them perfectly, so Hamming shortlists are exact here.
+  private def corpus = {
+    import spark.implicits._
+    val rows =
+      (0 until 20).map { j =>
+        val e = Seq.tabulate(dim)(d =>
+          (if (d < 8) 1.0 else -1.0) + ((j * 7 + d * 3) % 5 - 2) * 0.02)
+        (100L + j, e)
+      } ++ (0 until 20).map { j =>
+        val e = Seq.tabulate(dim)(d =>
+          (if (d < 8) -1.0 else 1.0) + ((j * 11 + d * 5) % 5 - 2) * 0.02)
+        (200L + j, e)
+      }
+    rows.toDF("vec_id", "e")
+  }
+
+  test("bq_encode packs MSB-first with >= threshold; width mismatch is NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, -1.0, 0.0, -2.0, 3.0, -1.0, -1.0, -1.0, 5.0)),
+      (2L, Seq(1.0, 2.0)) // wrong width vs the 9-dim thresholds
+    ).toDF("id", "v")
+    val thr = Seq.fill(9)(0.0)
+    val got = df.select(col("id"), bq_encode(col("v"), thr).as("c"))
+      .orderBy("id").collect()
+    // bits: 1,0,1(0.0 >= 0.0),0,1,0,0,0 -> 0xA8; 9th bit 1 -> 0x80
+    assert(got(0).getAs[Array[Byte]]("c").toSeq ==
+      Seq(0xA8.toByte, 0x80.toByte))
+    assert(got(1).isNullAt(1))
+  }
+
+  test("bq_hamming: self is 0, known distance, width mismatch is NULL") {
+    import spark.implicits._
+    val a = Array[Byte](0xA8.toByte, 0x80.toByte)
+    val b = Array[Byte](0x28.toByte, 0x00.toByte)
+    val df = Seq((a, a, a), (a, b, a)).toDF("x", "y", "z")
+      .withColumn("h", bq_hamming(col("x"), col("y")))
+      .withColumn("hm", bq_hamming(col("x"),
+        lit(Array[Byte](0x01.toByte)))) // 1 byte vs 2
+    val rows = df.select("h", "hm").collect()
+    assert(rows(0).getInt(0) == 0)
+    assert(rows(1).getInt(0) == 2) // bit 0 and the 9th bit differ
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("bqTrain learns midrange thresholds of the NORMALIZED corpus") {
+    import spark.implicits._
+    // 1-dim-dominant rows: after normalization dim 0 is ±~1; the
+    // midrange of a dim whose normalized values span [a, b] is (a+b)/2
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),  // normalized (0.6, 0.8)
+      (2L, Seq(-3.0, 4.0))  // normalized (-0.6, 0.8)
+    ).toDF("vec_id", "e")
+    val m = Similarity.bqTrain(df, "e")
+    assert(m.dims == 2)
+    assert(math.abs(m.thresholds(0) - 0.0) < 1e-12)
+    assert(math.abs(m.thresholds(1) - 0.8) < 1e-12)
+  }
+
+  test("flat probe: full-width rerank == brute force; tight rerank stays in-cluster; null codes excluded") {
+    import spark.implicits._
+    val base = corpus
+    // a null-embedding row must neither crash the scan nor enter any
+    // shortlist (its code is null -> Hamming null -> sorts last)
+    val withNull = base.union(
+      Seq((999L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "e"))
+    val m = Similarity.bqTrain(base, "e")
+    val coded = Similarity.bqAssign(withNull, "e", m).cache()
+    val q = Seq.tabulate(dim)(d => if (d < 8) 1.0 else -1.0)
+
+    val brute = Similarity.bruteForceTopK(base, "e", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.bqProbe(coded, "e", "vec_id", q, 10, m, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, "full-width rerank must recover brute force exactly")
+
+    val tight = Similarity.bqProbe(coded, "e", "vec_id", q, 10, m, rerank = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight.forall(_ < 200L), s"tight shortlist crossed clusters: $tight")
+    assert(!tight.contains(999L))
+  }
+
+  test("codes-only index + rerankFrom matches the in-frame path; store-drift ids drop") {
+    val m = Similarity.bqTrain(corpus, "e")
+    val coded = Similarity.bqAssign(corpus, "e", m).cache()
+    val q = Seq.tabulate(dim)(d => if (d < 8) -1.0 else 1.0)
+    val inFrame = Similarity.bqProbe(coded, "e", "vec_id", q, 8, m, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val codesOnly = coded.select("vec_id", "bq_code")
+    val store = corpus.select("vec_id", "e")
+    val viaStore = Similarity.bqProbe(codesOnly, "e", "vec_id", q, 8, m,
+        rerank = 20, rerankFrom = Some(store))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStore == inFrame)
+
+    // a store missing half the ids must DROP them (inner join), not
+    // fake scores for codes it cannot re-rank
+    val holey = store.filter(col("vec_id") % 2 === 0)
+    val dropped = Similarity.bqProbe(codesOnly, "e", "vec_id", q, 8, m,
+        rerank = 20, rerankFrom = Some(holey))
+      .collect().map(_.getLong(0))
+    assert(dropped.nonEmpty && dropped.forall(_ % 2 == 0))
+  }
+
+  test("bqProbeAll matches per-query bqProbe; excludeSelf drops the self-match") {
+    import spark.implicits._
+    val m = Similarity.bqTrain(corpus, "e")
+    val coded = Similarity.bqAssign(corpus, "e", m).cache()
+    val queries = corpus.filter(col("vec_id").isin(100L, 205L))
+    val batch = Similarity.bqProbeAll(coded, "e", "vec_id",
+        queries, "vec_id", "e", m, k = 5, rerank = 20, excludeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(batch.keySet == Set(100L, 205L))
+    for (qid <- Seq(100L, 205L)) {
+      val qe = corpus.filter(col("vec_id") === qid)
+        .head().getSeq[Double](1).toSeq
+      val single = Similarity.bqProbe(coded, "e", "vec_id", qe, 5, m,
+          rerank = 20, excludeId = Some(qid))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(got == single, s"batch/single divergence for query $qid")
+      assert(!got.exists(_._1 == qid))
+    }
+  }
+
+  test("model round-trips through parquet; gappy artifact fails loudly") {
+    withTempDir("bqmodel") { dir =>
+      val m = Similarity.bqTrain(corpus, "e")
+      val p = new java.io.File(dir, "bq").getPath
+      Similarity.writeBqModel(spark, m, p)
+      val back = Similarity.readBqModel(spark, p)
+      assert(back == m)
+
+      import spark.implicits._
+      val gappy = new java.io.File(dir, "gappy").getPath
+      Seq((0, 0.1), (2, 0.3)).toDF("d", "thr")
+        .write.parquet(gappy)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.readBqModel(spark, gappy)
+      }
+      assert(ex.getMessage.contains("non-contiguous"))
+    }
+  }
+}
