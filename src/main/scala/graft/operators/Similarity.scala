@@ -726,6 +726,60 @@ object Similarity {
       .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
   }
 
+  /** Exact cosine top-k for a BATCH of query vectors — the ground
+    * truth every approximate probe is judged against. The query side
+    * broadcasts against the corpus (one full scan scoring Q cosines
+    * per row, a per-query window keeps the top k), so the batch must
+    * be evaluation-sized — which is exactly its job: ANN evaluation
+    * runs on a SAMPLE of queries, never the crawl (at 100 TB the
+    * full-corpus exact scan is the thing the whole ANN layer exists
+    * to avoid; paying it once over a few hundred sampled queries to
+    * calibrate nprobe/rerank is the documented playbook step). Output
+    * (qIdCol, idCol, cos, rank) with the same `q_<name>` collision
+    * rename and excludeSelf contract as the probe-All family. */
+  def bruteForceTopKAll(df: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val probes = queries
+      .select(col(qIdCol).as("_qid"), asDouble(col(qEmbCol)).as("_qe"))
+    val joined = df.select(col(idCol), col(embCol))
+      .join(broadcast(probes), lit(true))
+    val scoped =
+      if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    scoped
+      .select(col("_qid"), col(idCol),
+        round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Per-query recall of an approximate result set against a ground
+    * truth — both as (queryCol, idCol, ...) frames, the shape every
+    * probe-All/bruteForceTopKAll emits. recall(q) = |got ∩ truth| /
+    * |truth| for query q; queries present in `truth` but absent from
+    * `got` (a probe that returned nothing) score 0.0 rather than
+    * disappearing. Cost: one equi-join on (query, id) + one
+    * aggregation — truth is evaluation-sized by construction (it came
+    * from a sampled exact scan), so this is a cheap diagnostic to run
+    * after every index build; SCALE.md's model-selection table says
+    * measure before paying train cost, and this is the measuring
+    * device. */
+  def recallAtK(got: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String): DataFrame = {
+    val g = got.select(col(queryCol).as("_gq"), col(idCol).as("_gid"))
+      .withColumn("_hit", lit(1))
+    truth.select(col(queryCol).as("_tq"), col(idCol).as("_tid"))
+      .join(g, col("_tq") === col("_gq") && col("_tid") === col("_gid"), "left")
+      .groupBy(col("_tq").as(queryCol))
+      .agg(round(sum(coalesce(col("_hit"), lit(0)))
+        .cast("double") / count(lit(1)), 4).as("recall"))
+  }
+
   /** Persist a BQ model — (dim, threshold) rows, KBs. Like PQ/SQ, a
     * coded index is unreadable without the exact model that coded it:
     * persist them together. */

@@ -2188,6 +2188,76 @@ object DataPrepQueries {
             "e", "vec_id", queries, "qid", "e", m,
             k = 8, rerank = 24, excludeSelf = true)
           .orderBy("qid", "rank")
+      }),
+
+    // The ANN evaluation harness itself, oracle-pinned: exact
+    // brute-force ground truth for a sampled query batch
+    // (bruteForceTopKAll — the one full-scan you pay ON A SAMPLE to
+    // calibrate nprobe/rerank before any 100 TB probe), then
+    // per-query recall of the approximate result against it
+    // (recallAtK). Measured here on q103's BQ batch probe at its
+    // tight rerank — whatever the recall IS, both engines must
+    // compute the identical number, which pins the harness's join
+    // and ratio arithmetic, not just the probe.
+    QueryDef("q104_ann_recall", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      qs AS (SELECT b.vec_id AS qid, e.e AS qe, b.b AS qb
+             FROM bits b JOIN e ON e.vec_id = b.vec_id
+             WHERE b.vec_id IN (0, 100, 200)),
+      ham AS (SELECT q.qid, b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN b.b[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS hd
+              FROM bits b CROSS JOIN qs q WHERE b.vec_id <> q.qid),
+      short AS (SELECT qid, vec_id FROM ham
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY hd, vec_id) <= 24),
+      got AS (SELECT s.qid, s.vec_id,
+                     round(list_inner_product(e.e, q.qe)
+                       / (sqrt(list_inner_product(e.e, e.e))
+                          * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+              FROM short s
+                JOIN e ON e.vec_id = s.vec_id
+                JOIN qs q ON q.qid = s.qid
+              QUALIFY row_number() OVER (PARTITION BY s.qid
+                ORDER BY cos DESC, s.vec_id) <= 8),
+      truth AS (SELECT q.qid, e.vec_id,
+                       round(list_inner_product(e.e, q.qe)
+                         / (sqrt(list_inner_product(e.e, e.e))
+                            * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+                FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY cos DESC, e.vec_id) <= 8)
+      SELECT t.qid,
+             round(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+               / count(*), 4) AS recall
+      FROM truth t LEFT JOIN got g ON g.qid = t.qid AND g.vec_id = t.vec_id
+      GROUP BY t.qid ORDER BY t.qid"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val m = graft.operators.Similarity.bqTrain(emb, "e")
+        val queries = emb.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        val got = graft.operators.Similarity.bqProbeAll(
+          graft.operators.Similarity.bqAssign(emb, "e", m),
+          "e", "vec_id", queries, "qid", "e", m,
+          k = 8, rerank = 24, excludeSelf = true)
+        val truth = graft.operators.Similarity.bruteForceTopKAll(
+          emb, "e", "vec_id", queries, "qid", "e", k = 8, excludeSelf = true)
+        graft.operators.Similarity.recallAtK(got, truth, "qid", "vec_id")
+          .orderBy("qid")
       })
   )
 }

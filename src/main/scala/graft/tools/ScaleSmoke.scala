@@ -279,6 +279,36 @@ object ScaleSmoke {
         "qid", "e", codebook, sqModel, k = 3, nprobe = 2, rerank = 12,
         excludeSelf = true, broadcastProbes = Some(false)).count()
     }
+    // BQ1: D bits/row (64x) — flat Hamming scan, no inverted lists;
+    // the shortlist is coarse, so rerank gets slack. Train is the
+    // same min/max agg as SQ (midrange thresholds).
+    var bqModel: Similarity.BqModel = null
+    timed("ann_bq_train") {
+      bqModel = Similarity.bqTrain(embD, "e")
+      bqModel.dims.toLong
+    }
+    var bqCoded: org.apache.spark.sql.DataFrame = null
+    timed("ann_bq_assign") {
+      bqCoded = Similarity.bqAssign(embD, "e", bqModel).cache()
+      bqCoded.count()
+    }
+    timed("ann_bq_probe(flat,rerank=64)") {
+      Similarity.bqProbe(bqCoded, "e", "vec_id", query, 10, bqModel,
+        rerank = 64).count()
+    }
+    timed("ann_bq_probe(codes-only,rerankFrom)") {
+      Similarity.bqProbe(bqCoded.select("vec_id", "bq_code"), "e", "vec_id",
+        query, 10, bqModel, rerank = 64, rerankFrom = Some(embD)).count()
+    }
+    // batch BQ is a deliberate broadcast-nested-loop (flat scan has
+    // no equi-key): probe-sized batches only — 100 queries here, not
+    // the 1% crawl batch the IVF paths absorb
+    timed("ann_bq_probe_all(100 queries)") {
+      Similarity.bqProbeAll(bqCoded, "e", "vec_id",
+        embD.filter(col("vec_id").between(0, 99))
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", bqModel, k = 3, rerank = 12, excludeSelf = true).count()
+    }
 
     // ---- join/agg shapes on a replicated event stream ---------------
     val baseEv0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")

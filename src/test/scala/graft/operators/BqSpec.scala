@@ -142,6 +142,36 @@ class BqSpec extends SparkSpecBase {
     }
   }
 
+  test("recall harness: bruteForceTopKAll matches per-query brute force; recallAtK arithmetic") {
+    import spark.implicits._
+    val queries = corpus.filter(col("vec_id").isin(100L, 200L))
+    val truth = Similarity.bruteForceTopKAll(corpus, "e", "vec_id",
+        queries.select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", k = 5, excludeSelf = true)
+    for (qid <- Seq(100L, 200L)) {
+      val qe = corpus.filter(col("vec_id") === qid)
+        .head().getSeq[Double](1).toSeq
+      val single = Similarity
+        .bruteForceTopK(corpus.filter(col("vec_id") =!= qid), "e", "vec_id", qe, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = truth.filter(col("qid") === qid)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch == single, s"batch/single brute-force divergence for $qid")
+    }
+
+    // recallAtK on hand-built frames: q1 got 2/3 right, q2 got 0/3
+    // (returned nothing), q3 got 3/3
+    val t = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("qid", "vec_id")
+    val g = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("qid", "vec_id")
+    val rec = Similarity.recallAtK(g, t, "qid", "vec_id")
+      .orderBy("qid").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rec == Seq((1L, 0.6667), (2L, 0.0), (3L, 1.0)))
+  }
+
   test("model round-trips through parquet; gappy artifact fails loudly") {
     withTempDir("bqmodel") { dir =>
       val m = Similarity.bqTrain(corpus, "e")
