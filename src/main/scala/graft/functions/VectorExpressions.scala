@@ -279,6 +279,30 @@ object VectorOps {
     out
   }
 
+  /** Asymmetric BQ score: Σ_d q_d · (2·bit_d − 1) — the float QUERY
+    * against the ±1 reconstruction of a packed code (asymmetric
+    * distances for binary embeddings, public knowledge). Unlike
+    * Hamming, each dimension contributes proportionally to |q_d|, so
+    * dimensions where the query carries no signal stop outvoting the
+    * ones that do; and because the ±1 reconstruction has CONSTANT
+    * norm √D, ranking by this dot IS ranking by cosine against the
+    * reconstruction — a strictly finer order than Hamming's integer
+    * buckets at zero extra storage. NaN when the query width doesn't
+    * match the code's capacity (a truncated score must never fake a
+    * near match); the probe nulls NaN before its DESCENDING sort. */
+  def bqAdcDot(q: ArrayData, code: Array[Byte]): Double = {
+    val qs = q.toDoubleArray()
+    if (code.length != (qs.length + 7) / 8) return Double.NaN
+    var acc = 0.0
+    var i = 0
+    while (i < qs.length) {
+      if ((code(i >> 3) & (0x80 >>> (i & 7))) != 0) acc += qs(i)
+      else acc -= qs(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Hamming distance between two packed BQ codes: popcount of the
     * byte-wise XOR — one pass over ceil(D/8) bytes per pair, the
     * cheapest distance in the library. −1 on a width mismatch (the
@@ -560,6 +584,23 @@ case class BqHamming(left: Expression, right: Expression)
   override def prettyName: String = "bq_hamming"
 }
 
+/** `bq_adc_dot(query, code)` -> asymmetric float-query x binary-code
+  * score (VectorOps.bqAdcDot); NaN on width mismatch — the probe
+  * nulls it before the descending sort, same contract as sq_adc_cos. */
+case class BqAdcDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(q: Any, code: Any): Any =
+    VectorOps.bqAdcDot(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c) => s"graft.functions.VectorOps.bqAdcDot($q, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BqAdcDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "bq_adc_dot"
+}
+
 /** `dot_product(a, b)` over two array<double> columns. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -669,6 +710,10 @@ object VectorExpressions {
     * BqHamming). */
   def bq_hamming(a: Column, b: Column): Column =
     GraftBridge.column(BqHamming(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Asymmetric float-query × binary-code score (see BqAdcDot). */
+  def bq_adc_dot(query: Column, code: Column): Column =
+    GraftBridge.column(BqAdcDot(GraftBridge.expression(query), GraftBridge.expression(code)))
 
   /** Codebook-literal nearest-centroid assignment (see NearestCentroid). */
   def nearest_centroid(e: Column, codebook: Seq[(Long, Seq[Double])]): Column = {

@@ -646,23 +646,43 @@ object Similarity {
     * rerank recovers brute force exactly. Same codes-only `rerankFrom`
     * contract as the other probes: with a primary store supplied, the
     * scanned frame needs only (id, code) and the shortlist joins the
-    * store by id (broadcast — it is rerank-bounded). */
+    * store by id (broadcast — it is rerank-bounded).
+    *
+    * `asymmetric = true` ranks the shortlist by the float-query ×
+    * ±1-reconstruction dot (`bq_adc_dot`) instead of code-vs-code
+    * Hamming: each dimension then contributes proportionally to the
+    * query's actual weight there, so near-zero query dims stop
+    * outvoting the discriminative ones — Hamming's failure mode when
+    * the query's mass concentrates on few dims (BqSpec pins a fixture
+    * where Hamming provably shortlists the wrong cluster and the
+    * asymmetric score recovers brute-force recall at the same
+    * rerank). Identical storage and scan bytes; the kernel reads the
+    * same packed code. */
   def bqProbe(coded: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int, model: BqModel, rerank: Int = 0,
       codeCol: String = "bq_code", excludeId: Option[Long] = None,
-      rerankFrom: Option[DataFrame] = None): DataFrame = {
+      rerankFrom: Option[DataFrame] = None,
+      asymmetric: Boolean = false): DataFrame = {
     require(query.length == model.dims,
       s"query has ${query.length} dims but the BqModel codes ${model.dims}")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
-    val qCode = bqEncodeLocal(normalizeVec(query), model.thresholds)
+    val qn = normalizeVec(query)
     val scoped = excludeId.fold(coded)(id => coded.filter(col(idCol) =!= id))
+    val (scoreCol, shortOrder) =
+      if (asymmetric) {
+        val adc = graft.functions.VectorExpressions.bq_adc_dot(
+          typedLit(qn), col(codeCol))
+        (when(!isnan(adc), adc), desc_nulls_last("_bqh"))
+      } else {
+        (graft.functions.VectorExpressions.bq_hamming(
+          lit(bqEncodeLocal(qn, model.thresholds)), col(codeCol)).cast("double"),
+          asc_nulls_last("_bqh"))
+      }
     val outCols = col(idCol) +:
-      rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+
-      graft.functions.VectorExpressions.bq_hamming(
-        lit(qCode), col(codeCol)).as("_bqh")
+      rerankFrom.fold(Seq(col(embCol)))(_ => Nil) :+ scoreCol.as("_bqh")
     val shortlist = scoped.select(outCols: _*)
-      .orderBy(asc_nulls_last("_bqh"), col(idCol))
+      .orderBy(shortOrder, col(idCol))
       .limit(rr)
     val withEmb = rerankFrom.fold(shortlist)(store =>
       shortlist.hint("broadcast")
@@ -686,18 +706,21 @@ object Similarity {
     * Hamming rows and re-rank them by exact cosine. Output
     * (qIdCol, idCol, cos, rank) with the same `q_<name>` collision
     * rename, excludeSelf, and codes-only `rerankFrom` contracts as
-    * ivfProbeAll (the store join is AQE-sized: Q × rerank rows). */
+    * ivfProbeAll (the store join is AQE-sized: Q × rerank rows).
+    * `asymmetric` swaps the per-query Hamming ranking for the
+    * float-query × reconstruction dot — see bqProbe. */
   def bqProbeAll(coded: DataFrame, embCol: String, idCol: String,
       queries: DataFrame, qIdCol: String, qEmbCol: String, model: BqModel,
       k: Int, rerank: Int = 0, codeCol: String = "bq_code",
       excludeSelf: Boolean = false,
-      rerankFrom: Option[DataFrame] = None): DataFrame = {
+      rerankFrom: Option[DataFrame] = None,
+      asymmetric: Boolean = false): DataFrame = {
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
     val probes = withNormalized(
         queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
         qEmbCol, "_qn")
-      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"),
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_qn"),
         graft.functions.VectorExpressions.bq_encode(
           col("_qn"), model.thresholds).as("_qc"))
     val joined = coded
@@ -708,11 +731,19 @@ object Similarity {
       if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("_qid")
+    val (scoreCol, shortOrder) =
+      if (asymmetric) {
+        val adc = graft.functions.VectorExpressions.bq_adc_dot(
+          col("_qn"), col(codeCol))
+        (when(!isnan(adc), adc), desc_nulls_last("_bqh"))
+      } else
+        (graft.functions.VectorExpressions.bq_hamming(
+          col("_qc"), col(codeCol)).cast("double"),
+          asc_nulls_last("_bqh"))
     val shortlist = scoped
-      .withColumn("_bqh", graft.functions.VectorExpressions.bq_hamming(
-        col("_qc"), col(codeCol)))
+      .withColumn("_bqh", scoreCol)
       .withColumn("_hr", row_number().over(
-        win.orderBy(asc_nulls_last("_bqh"), col(idCol))))
+        win.orderBy(shortOrder, col(idCol))))
       .filter(col("_hr") <= rr)
     val withEmb = rerankFrom.fold(shortlist)(store =>
       shortlist.join(store.select(col(idCol), col(embCol)), Seq(idCol)))
@@ -724,6 +755,60 @@ object Similarity {
         win.orderBy(desc("cos"), col(idCol))))
       .filter(col("rank") <= k)
       .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Hamming-banded near-dup PAIR search over packed BQ codes — the
+    * arbitrary-width generalization of Dedup.hashNearDupPairs' 64-bit
+    * banding, for embeddings: candidates collide on one of `bands`
+    * byte-aligned code slices (pigeonhole: a pair with Hamming <=
+    * bands−1 agrees on at least one band — EXACT recall in that
+    * radius; beyond it recall is partial and maxHamming only accepts,
+    * never finds), the full-code Hamming prefilter runs inside the
+    * band bucket on CODES ONLY (D/8 bytes per side — floats never
+    * enter the pair expansion), and survivors verify by exact cosine
+    * joined back from the corpus by id. Hot bands are capped with
+    * observed drop counts (HotKeys.capPair) and the expansion is the
+    * same spill-safe band-keyed sort-merge self-join as every pair
+    * path here. Returns (id_a, id_b, hamming, cos) at cos >=
+    * minCosine. This is the embedding twin of SimHash text near-dup:
+    * one standing coded corpus, band-local candidate generation,
+    * never all-pairs. */
+  def nearDupPairsBq(df: DataFrame, embCol: String, idCol: String,
+      model: BqModel, minCosine: Double, bands: Int = 4,
+      maxHamming: Int = -1, maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_bq_band_cap"): DataFrame = {
+    require(bands >= 2, s"bands must be >= 2, got $bands")
+    require(model.codeBytes % bands == 0,
+      s"codeBytes ${model.codeBytes} is not divisible into $bands byte-aligned bands")
+    val mh = if (maxHamming >= 0) maxHamming else bands - 1
+    val bytesPerBand = model.codeBytes / bands
+    val coded = bqAssign(df.select(col(idCol), col(embCol)), embCol, model)
+      .select(col(idCol).as("_id"), col("bq_code").as("_c"))
+      .filter(col("_c").isNotNull)
+    val bandCols = (0 until bands).map(b =>
+      expr(s"substring(_c, ${b * bytesPerBand + 1}, $bytesPerBand)"))
+    val bandsDf = coded
+      .select(col("_id"), col("_c"), posexplode(array(bandCols: _*)))
+      .toDF("_id", "_c", "k", "band")
+    val (capL, capR) = HotKeys.capPair(bandsDf, Seq(col("k"), col("band")),
+      maxBucket, metricName = metricName)
+    val pairs = capL
+      .select(col("k"), col("band"), col("_id").as("id_a"), col("_c").as("_ca"))
+      .hint("merge")
+      .join(capR.select(col("k"), col("band"), col("_id").as("id_b"),
+        col("_c").as("_cb")), Seq("k", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.bq_hamming(
+          col("_ca"), col("_cb")).as("hamming"))
+      .filter(col("hamming") <= mh)
+      .distinct()
+    pairs
+      .join(df.select(col(idCol).as("id_a"), col(embCol).as("_ea")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(embCol).as("_eb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        round(cosine(asDouble(col("_ea")), asDouble(col("_eb"))), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
   }
 
   /** Exact cosine top-k for a BATCH of query vectors — the ground

@@ -2258,6 +2258,100 @@ object DataPrepQueries {
           emb, "e", "vec_id", queries, "qid", "e", k = 8, excludeSelf = true)
         graft.operators.Similarity.recallAtK(got, truth, "qid", "vec_id")
           .orderBy("qid")
+      }),
+
+    // Asymmetric BQ probe: the float query scores each packed code by
+    // Σ q̂_i·(2·bit_i − 1) — per-dim contributions weighted by the
+    // query instead of Hamming's one-vote-per-dim — ranked DESCENDING.
+    // ±1 multiplication and left-to-right summation are exact/identical
+    // in both engines, so the replay stays donor-free.
+    QueryDef("q105_bq_asym_probe", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      q AS (SELECT e.e AS qe, nn.ne AS qn
+            FROM e JOIN n nn ON nn.vec_id = e.vec_id WHERE e.vec_id = 0),
+      adc AS (SELECT b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> q.qn[i] * (2 * b.b[i] - 1))) AS sc
+              FROM bits b CROSS JOIN q WHERE b.vec_id <> 0),
+      short AS (SELECT vec_id FROM adc
+                QUALIFY row_number() OVER (ORDER BY sc DESC, vec_id) <= 24)
+      SELECT s.vec_id,
+             round(list_inner_product(e.e, q.qe)
+               / (sqrt(list_inner_product(e.e, e.e))
+                  * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+      FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+      ORDER BY cos DESC, s.vec_id LIMIT 15"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val m = graft.operators.Similarity.bqTrain(emb, "e")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("e").head().getSeq[Double](0).toSeq
+        graft.operators.Similarity.bqProbe(
+          graft.operators.Similarity.bqAssign(emb, "e", m),
+          "e", "vec_id", query, k = 15, model = m, rerank = 24,
+          excludeId = Some(0L), asymmetric = true)
+      }),
+
+    // Hamming-banded BQ PAIR search — the embedding twin of SimHash
+    // text near-dup, donor-free end to end: candidates collide on one
+    // of 4 byte-aligned code bands (16 bits each at D=64), the
+    // full-code Hamming prefilter (<= 24) runs on codes only inside
+    // the bucket, and survivors verify by exact cosine (>= 0.2)
+    // joined back by id. The oracle replays banding as bit-slice
+    // equality — byte-aligned slices make byte equality and bit
+    // equality the same predicate.
+    QueryDef("q106_bq_neardup", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      bands AS (SELECT vec_id, b, k,
+                       array_to_string(b[k*16+1:k*16+16], '') AS band
+                FROM bits CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> CASE WHEN a.b[i] <> bb.b[i] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+               FROM bands a JOIN bands bb
+                 ON a.k = bb.k AND a.band = bb.band AND a.vec_id < bb.vec_id),
+      close AS (SELECT * FROM cand WHERE hamming <= 24)
+      SELECT c.id_a, c.id_b, c.hamming,
+             round(list_inner_product(ea.e, eb.e)
+               / (sqrt(list_inner_product(ea.e, ea.e))
+                  * sqrt(list_inner_product(eb.e, eb.e))), 4) AS cos
+      FROM close c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+      WHERE cos >= 0.2
+      ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val m = graft.operators.Similarity.bqTrain(emb, "e")
+        graft.operators.Similarity.nearDupPairsBq(emb, "e", "vec_id", m,
+            minCosine = 0.2, bands = 4, maxHamming = 24)
+          .orderBy("id_a", "id_b")
       })
   )
 }

@@ -142,6 +142,49 @@ class BqSpec extends SparkSpecBase {
     }
   }
 
+  test("asymmetric ADC beats Hamming when query mass concentrates on few dims") {
+    import spark.implicits._
+    // cluster P: dim0 = +5 with MIXED small signs elsewhere (so
+    // Hamming to an all-positive query is ~10); cluster N: dim0 = −5
+    // with all-positive small dims (Hamming exactly 1). Cosine truth
+    // is P; Hamming shortlists N — the equal-weight failure mode.
+    val rows =
+      (0 until 20).map { j =>
+        val e = Seq.tabulate(dim)(d =>
+          if (d == 0) 5.0
+          else if ((d + j) % 3 == 0) 0.05 else -0.05)
+        (300L + j, e)
+      } ++ (0 until 20).map { j =>
+        val e = Seq.tabulate(dim)(d => if (d == 0) -5.0 else 0.05)
+        (400L + j, e)
+      }
+    val df = rows.toDF("vec_id", "e")
+    val m = Similarity.BqModel.zero(dim)
+    val coded = Similarity.bqAssign(df, "e", m).cache()
+    val q = Seq.tabulate(dim)(d => if (d == 0) 5.0 else 0.01)
+
+    val truth = Similarity.bruteForceTopK(df, "e", "vec_id", q, 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.forall(_ < 400L), s"truth should be cluster P, got $truth")
+
+    val ham = Similarity.bqProbe(coded, "e", "vec_id", q, 8, m, rerank = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.intersect(ham).isEmpty,
+      s"fixture no longer exhibits the Hamming failure: $ham")
+
+    val asym = Similarity.bqProbe(coded, "e", "vec_id", q, 8, m,
+        rerank = 20, asymmetric = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(asym == truth, s"asymmetric shortlist missed truth: $asym")
+
+    // batch parity on the asymmetric path
+    val queries = Seq((1L, q)).toDF("qid", "e")
+    val batch = Similarity.bqProbeAll(coded, "e", "vec_id", queries,
+        "qid", "e", m, k = 8, rerank = 20, asymmetric = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(batch == truth)
+  }
+
   test("recall harness: bruteForceTopKAll matches per-query brute force; recallAtK arithmetic") {
     import spark.implicits._
     val queries = corpus.filter(col("vec_id").isin(100L, 200L))
@@ -170,6 +213,29 @@ class BqSpec extends SparkSpecBase {
     val rec = Similarity.recallAtK(g, t, "qid", "vec_id")
       .orderBy("qid").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(rec == Seq((1L, 0.6667), (2L, 0.0), (3L, 1.0)))
+  }
+
+  test("banded BQ pair search: within-cluster pairs complete, cross-cluster none") {
+    val m = Similarity.bqTrain(corpus, "e")
+    // within a cluster the noise never flips a sign, so codes are
+    // identical (hamming 0) and banding recall is EXACT; the two
+    // clusters are bitwise complements and can never band-collide
+    val pairs = Similarity.nearDupPairsBq(corpus, "e", "vec_id", m,
+        minCosine = 0.9, bands = 2, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, h, c) =>
+      (a / 100) == (b / 100) && h == 0 && c >= 0.9 })
+    assert(pairs.length == 2 * (20 * 19) / 2,
+      s"expected every within-cluster pair, got ${pairs.length}")
+
+    // bands must divide the code bytes — a ragged split would compare
+    // misaligned slices
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsBq(corpus, "e", "vec_id", m,
+        minCosine = 0.9, bands = 3)
+    }
+    assert(ex.getMessage.contains("byte-aligned"))
   }
 
   test("model round-trips through parquet; gappy artifact fails loudly") {
