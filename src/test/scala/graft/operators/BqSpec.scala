@@ -183,6 +183,14 @@ class BqSpec extends SparkSpecBase {
         "qid", "e", m, k = 8, rerank = 20, asymmetric = true)
       .collect().map(_.getLong(1)).toSet
     assert(batch == truth)
+
+    // the production combination: asymmetric ranking over a
+    // codes-only index with the floats in an external store
+    val viaStore = Similarity.bqProbe(coded.select("vec_id", "bq_code"),
+        "e", "vec_id", q, 8, m, rerank = 20, asymmetric = true,
+        rerankFrom = Some(df.select("vec_id", "e")))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaStore == truth)
   }
 
   test("recall harness: bruteForceTopKAll matches per-query brute force; recallAtK arithmetic") {
