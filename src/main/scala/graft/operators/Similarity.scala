@@ -865,6 +865,45 @@ object Similarity {
         .cast("double") / count(lit(1)), 4).as("recall"))
   }
 
+  /** Pick the smallest rerank budget that reaches `targetRecall` —
+    * the closed loop over the recall harness: build ground truth ONCE
+    * with bruteForceTopKAll over a sampled query batch, then call
+    * this with the candidate budgets (ascending) and a `probeFn` that
+    * runs YOUR probe at a given rerank (any of the probe family,
+    * partially applied). Each candidate costs one probe evaluation
+    * plus one recall join — evaluation-sized by construction, so
+    * sweeping a handful of budgets is cheap next to one index build.
+    * Returns (budget, measured mean recall) for the FIRST candidate
+    * at or above target, or the last candidate with its recall when
+    * none reaches it (the caller decides whether that model is worth
+    * shipping — a budget this sweep can't satisfy usually means the
+    * codec is too coarse, not that rerank needs to grow). This is the
+    * "measure before you pay" step of the model-selection playbook
+    * made executable: SCALE.md's recall numbers are fixture maxima;
+    * this measures YOUR corpus. */
+  def calibrateRerank(truth: DataFrame, queryCol: String, idCol: String,
+      candidates: Seq[Int], targetRecall: Double)
+      (probeFn: Int => DataFrame): (Int, Double) = {
+    require(candidates.nonEmpty, "calibrateRerank needs at least one candidate budget")
+    require(candidates == candidates.sorted,
+      s"candidates must ascend (smallest acceptable budget wins), got $candidates")
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val t = truth.cache()
+    try {
+      var last = (candidates.head, 0.0)
+      val it = candidates.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        val mean = recallAtK(probeFn(r), t, queryCol, idCol)
+          .agg(avg("recall")).collect()(0).getDouble(0)
+        last = (r, mean)
+        if (mean >= targetRecall) return last
+      }
+      last
+    } finally { t.unpersist(); () }
+  }
+
   /** Persist a BQ model — (dim, threshold) rows, KBs. Like PQ/SQ, a
     * coded index is unreadable without the exact model that coded it:
     * persist them together. */

@@ -223,6 +223,49 @@ class BqSpec extends SparkSpecBase {
     assert(rec == Seq((1L, 0.6667), (2L, 0.0), (3L, 1.0)))
   }
 
+  test("calibrateRerank finds a smaller budget for the finer (asymmetric) scorer") {
+    import spark.implicits._
+    // the asymmetric-fixture geometry: Hamming needs a full-width
+    // shortlist to see past the wrong cluster, the asymmetric score
+    // does not — calibration should DISCOVER that, not assert it
+    val rows =
+      (0 until 20).map { j =>
+        val e = Seq.tabulate(dim)(d =>
+          if (d == 0) 5.0
+          else if ((d + j) % 3 == 0) 0.05 else -0.05)
+        (300L + j, e)
+      } ++ (0 until 20).map { j =>
+        val e = Seq.tabulate(dim)(d => if (d == 0) -5.0 else 0.05)
+        (400L + j, e)
+      }
+    val df = rows.toDF("vec_id", "e")
+    val m = Similarity.BqModel.zero(dim)
+    val coded = Similarity.bqAssign(df, "e", m).cache()
+    val queries = Seq((1L, Seq.tabulate(dim)(d => if (d == 0) 5.0 else 0.01)))
+      .toDF("qid", "e")
+    val truth = Similarity.bruteForceTopKAll(df, "e", "vec_id",
+      queries, "qid", "e", k = 8)
+
+    def probe(asym: Boolean)(r: Int) = Similarity.bqProbeAll(
+      coded, "e", "vec_id", queries, "qid", "e", m, k = 8, rerank = r,
+      asymmetric = asym)
+
+    val cands = Seq(8, 20, 40)
+    val (rHam, recHam) = Similarity.calibrateRerank(truth, "qid", "vec_id",
+      cands, targetRecall = 1.0)(probe(asym = false))
+    val (rAsym, recAsym) = Similarity.calibrateRerank(truth, "qid", "vec_id",
+      cands, targetRecall = 1.0)(probe(asym = true))
+    assert(recHam == 1.0 && recAsym == 1.0)
+    assert(rHam == 40, s"Hamming should need the full-width budget, chose $rHam")
+    assert(rAsym <= 20, s"asymmetric should satisfy a smaller budget, chose $rAsym")
+
+    // an unreachable target returns the LAST candidate with its
+    // measured recall instead of pretending
+    val (rMiss, recMiss) = Similarity.calibrateRerank(truth, "qid", "vec_id",
+      Seq(8), targetRecall = 1.0)(probe(asym = false))
+    assert(rMiss == 8 && recMiss < 1.0)
+  }
+
   test("banded BQ pair search: within-cluster pairs complete, cross-cluster none") {
     val m = Similarity.bqTrain(corpus, "e")
     // within a cluster the noise never flips a sign, so codes are
