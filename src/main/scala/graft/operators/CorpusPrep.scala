@@ -119,6 +119,22 @@ object CorpusPrep {
     // prefilter fidelity matters more than the last 8x of index
     // bytes (SCALE.md playbook).
     sqModel: Option[Similarity.SqModel] = None,
+    // BQ1 alternative for semanticIncremental ONLY (no codebook —
+    // the codes are flat): the standing index carries D-BIT packed
+    // sign codes (Similarity.bqAssign) and batch-vs-standing
+    // candidates come from a band-keyed EQUI-join
+    // (Similarity.bqBandCandidates — the shape that scales where the
+    // flat probe's broadcast nested loop cannot), verified by exact
+    // cosine before any drop. Recall is the banding s-curve (see
+    // bqBandCandidates): `bqBands` trades candidate volume for reach
+    // (0 = one-byte bands, the generous default), `bqMaxHamming`
+    // optionally prefilters inside the bucket (Int.MaxValue = off —
+    // acceptance is then purely the exact verify). The batch pair
+    // tier refuses it: nearDupPairsBq exists for that, with its own
+    // radius contract.
+    bqModel: Option[Similarity.BqModel] = None,
+    bqBands: Int = 0,
+    bqMaxHamming: Int = Int.MaxValue,
     // LM-QUALITY gate (the CCNet-style setup): score `clean_text`
     // under a FOREIGN bigram model trained once on a trusted
     // reference corpus (TextStats.bigramModel + writeBigramLm /
@@ -275,6 +291,10 @@ object CorpusPrep {
     // way text clusters did — paraphrases/translations the shingle
     // tiers can't see
     val semantic = cfg.embCol.fold(deduped) { e =>
+      require(cfg.bqModel.isEmpty,
+        "bqModel is the semanticIncremental lookup codec — the batch semantic " +
+          "tier's pair search has its own BQ operator (Similarity.nearDupPairsBq) " +
+          "with an explicit Hamming-radius contract; compose it directly")
       require(cfg.pqModel.isEmpty || cfg.sqModel.isEmpty,
         "pqModel and sqModel are alternative codecs for the semantic tier — set one")
       require((cfg.pqModel.isEmpty && cfg.sqModel.isEmpty) || cfg.codebook.nonEmpty,
@@ -363,35 +383,71 @@ object CorpusPrep {
     * carry `cfg.embCol` itself (the in-frame path; results are
     * identical). Recall follows the usual IVF knobs (`cfg.nprobe`,
     * `rerank`); ids must be unique across batch and standing, like
-    * `runIncremental`. Returns the surviving batch rows. */
+    * `runIncremental`. Returns the surviving batch rows.
+    *
+    * With `cfg.bqModel` instead, the standing index carries D-BIT
+    * packed sign codes (Similarity.bqAssign — 1/8th of SQ8's bytes,
+    * no codebook) and candidates come from the band-keyed equi-join
+    * (Similarity.bqBandCandidates) rather than an IVF probe; every
+    * drop still passes the same exact-cosine verify, so precision is
+    * identical and only RECALL differs (the banding s-curve vs ADC
+    * shortlists — calibrate bqBands with the recall harness). */
   def semanticIncremental(batch: DataFrame, standingIndex: DataFrame,
       idCol: String = "doc_id", cfg: Config = Config(),
       embStore: Option[DataFrame] = None, rerank: Int = 0): DataFrame = {
     require(cfg.embCol.isDefined,
       "semanticIncremental needs cfg.embCol — the embedding column carried " +
         "by the batch and by the index frame (or embStore)")
-    require(cfg.pqModel.isEmpty || cfg.sqModel.isEmpty,
-      "pqModel and sqModel are alternative codecs — set one")
-    require(cfg.codebook.isDefined && (cfg.pqModel.isDefined || cfg.sqModel.isDefined),
-      "semanticIncremental probes a coded IVF index: supply cfg.codebook AND " +
-        "one codec — cfg.pqModel (index built with Similarity.ivfAssign + " +
-        "pqAssign/pqAssignResidual) or cfg.sqModel (ivfAssign + sqAssign)")
+    require(Seq(cfg.pqModel.isDefined, cfg.sqModel.isDefined,
+        cfg.bqModel.isDefined).count(identity) == 1,
+      "semanticIncremental needs exactly ONE codec: cfg.pqModel or cfg.sqModel " +
+        "(coded IVF index) or cfg.bqModel (flat D-bit code lookup)")
+    require(cfg.bqModel.isDefined || cfg.codebook.isDefined,
+      "the PQ/SQ routes probe a coded IVF index and need cfg.codebook for the " +
+        "inverted lists (index built with Similarity.ivfAssign + " +
+        "pqAssign/pqAssignResidual or sqAssign); the BQ route is flat and needs none")
     val e = cfg.embCol.get
-    val probed = (cfg.pqModel, cfg.sqModel) match {
-      case (Some(pqm), None) => Similarity.ivfPqProbeAll(standingIndex, e, idCol,
+    val hits = (cfg.pqModel, cfg.sqModel, cfg.bqModel) match {
+      case (Some(pqm), None, None) => Similarity.ivfPqProbeAll(standingIndex, e, idCol,
         batch.select(col(idCol), col(e)), idCol, e,
         cfg.codebook.get, pqm, k = 1, nprobe = cfg.nprobe,
         rerank = rerank, rerankFrom = embStore)
-      case (None, Some(sqm)) => Similarity.ivfSqProbeAll(standingIndex, e, idCol,
+        .filter(col("cos") >= cfg.minCosine)
+        .select(col(s"q_$idCol").as(idCol))
+        .distinct()
+      case (None, Some(sqm), None) => Similarity.ivfSqProbeAll(standingIndex, e, idCol,
         batch.select(col(idCol), col(e)), idCol, e,
         cfg.codebook.get, sqm, k = 1, nprobe = cfg.nprobe,
         rerank = rerank, rerankFrom = embStore)
+        .filter(col("cos") >= cfg.minCosine)
+        .select(col(s"q_$idCol").as(idCol))
+        .distinct()
+      case (None, None, Some(bqm)) =>
+        // flat BQ route: band-keyed EQUI-join candidates (scales with
+        // an ordinary shuffle where the flat probe's broadcast nested
+        // loop would cap the batch size), then the SAME exact-cosine
+        // verify as every drop decision here — the standing index
+        // carries D-bit codes (Similarity.bqAssign), floats come from
+        // embStore (codes-only route) or ride in the index frame.
+        // Recall is the banding s-curve (cfg.bqBands/bqMaxHamming,
+        // see Similarity.bqBandCandidates) — coarser than the IVF
+        // probes' ADC shortlists, at 1/8th the standing bytes of SQ8.
+        val batchCoded = Similarity.bqAssign(
+          batch.select(col(idCol), col(e)), e, bqm)
+        val cands = Similarity.bqBandCandidates(batchCoded, standingIndex,
+          idCol, bqm, cfg.bqBands, cfg.bqMaxHamming, cfg.maxBucket)
+        val standEmb = embStore.getOrElse(standingIndex)
+          .select(col(idCol).as("id_b"), col(e).as("_se"))
+        cands
+          .join(batch.select(col(idCol).as("id_a"),
+            expr(s"transform($e, x -> CAST(x AS DOUBLE))").as("_be")), "id_a")
+          .join(standEmb, "id_b")
+          .filter(round(Similarity.cosine(col("_be"),
+            expr("transform(_se, x -> CAST(x AS DOUBLE))")), 4) >= cfg.minCosine)
+          .select(col("id_a").as(idCol))
+          .distinct()
       case _ => throw new IllegalStateException("unreachable: codec enforced above")
     }
-    val hits = probed
-      .filter(col("cos") >= cfg.minCosine)
-      .select(col(s"q_$idCol").as(idCol))
-      .distinct()
     val out = batch.join(hits, Seq(idCol), "left_anti")
     cfg.metricPrefix.fold(out)(p =>
       out.observe(s"${p}_semantic_inc", count(lit(1)).as("rows")))

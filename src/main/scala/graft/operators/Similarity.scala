@@ -811,6 +811,60 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Band-collision candidates between a CODED batch and a CODED
+    * standing corpus — the two-frame twin of nearDupPairsBq's
+    * self-join, and the shape that makes batch-vs-standing BQ scale:
+    * the band slice is an EQUI-KEY, so this is an ordinary capped
+    * equi-join (each side explodes into `bands` rows of D/8/bands
+    * bytes), where the flat bqProbeAll is a broadcast nested loop
+    * that only probe-sized batches can afford. Recall is the banding
+    * contract: a pair with Hamming <= bands−1 collides with
+    * certainty (pigeonhole); beyond that, collision probability is
+    * the sign-LSH s-curve 1−(1−(1−h/D)^(D/bands))^bands — MORE bands
+    * of FEWER bits catch farther pairs at more candidate volume
+    * (one-byte bands are a generous default; both sides' hot bands
+    * are capped with observed drops). `maxHamming` (full-code, inside
+    * the bucket, codes only) is an optional prefilter — Int.MaxValue
+    * disables it and leaves acceptance entirely to the caller's
+    * exact verify. Returns (id_a = batch id, id_b = standing id,
+    * hamming), distinct. */
+  def bqBandCandidates(batchCoded: DataFrame, standingCoded: DataFrame,
+      idCol: String, model: BqModel, bands: Int = 0,
+      maxHamming: Int = Int.MaxValue,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_bq_lookup_cap",
+      codeCol: String = "bq_code"): DataFrame = {
+    val nb = if (bands > 0) bands else model.codeBytes
+    require(nb >= 1 && model.codeBytes % nb == 0,
+      s"codeBytes ${model.codeBytes} is not divisible into $nb byte-aligned bands")
+    val bytesPerBand = model.codeBytes / nb
+    def banded(df: DataFrame) = {
+      val c = df.select(col(idCol).as("_id"), col(codeCol).as("_c"))
+        .filter(col("_c").isNotNull)
+      val bandCols = (0 until nb).map(b =>
+        expr(s"substring(_c, ${b * bytesPerBand + 1}, $bytesPerBand)"))
+      c.select(col("_id"), col("_c"), posexplode(array(bandCols: _*)))
+        .toDF("_id", "_c", "k", "band")
+    }
+    // each side capped independently (a hot band is a different
+    // failure on the standing side — a degenerate corpus region —
+    // than on the batch side, and the metrics should say which);
+    // minPerKey = 1 because a lone row on one side still pairs with
+    // the other side, unlike a self-join
+    val l = HotKeys.cap(banded(batchCoded), Seq(col("k"), col("band")),
+      maxBucket, minPerKey = 1, metricName = s"${metricName}_batch")
+    val r = HotKeys.cap(banded(standingCoded), Seq(col("k"), col("band")),
+      maxBucket, minPerKey = 1, metricName = s"${metricName}_standing")
+    l.select(col("k"), col("band"), col("_id").as("id_a"), col("_c").as("_ca"))
+      .join(r.select(col("k"), col("band"), col("_id").as("id_b"),
+        col("_c").as("_cb")), Seq("k", "band"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.bq_hamming(
+          col("_ca"), col("_cb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact cosine top-k for a BATCH of query vectors — the ground
     * truth every approximate probe is judged against. The query side
     * broadcasts against the corpus (one full scan scoring Q cosines

@@ -2352,6 +2352,56 @@ object DataPrepQueries {
         graft.operators.Similarity.nearDupPairsBq(emb, "e", "vec_id", m,
             minCosine = 0.2, bands = 4, maxHamming = 24)
           .orderBy("id_a", "id_b")
+      }),
+
+    // The facade's BQ lookup route (CorpusPrep.semanticIncremental +
+    // Config.bqModel): odd vec_ids are the batch, even the standing
+    // corpus whose index carries ONLY (id, D-bit code); candidates
+    // come from the one-byte-band equi-join, every drop passes the
+    // exact-cosine verify against the external float store, and the
+    // survivors anti-join out. Donor-free like every BQ row.
+    QueryDef("q107_semantic_inc_bq", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      bb AS (SELECT vec_id, k, array_to_string(b[k*8+1:k*8+8], '') AS band
+             FROM bits CROSS JOIN (SELECT unnest(range(0, 8)) AS k)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, s.vec_id AS id_b
+               FROM bb a JOIN bb s ON a.k = s.k AND a.band = s.band
+               WHERE a.vec_id % 2 = 1 AND s.vec_id % 2 = 0),
+      hits AS (SELECT DISTINCT c.id_a FROM cand c
+               JOIN e ea ON ea.vec_id = c.id_a
+               JOIN e eb ON eb.vec_id = c.id_b
+               WHERE round(list_inner_product(ea.e, eb.e)
+                 / (sqrt(list_inner_product(ea.e, ea.e))
+                    * sqrt(list_inner_product(eb.e, eb.e))), 4) >= 0.3)
+      SELECT vec_id FROM e
+      WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT id_a FROM hits)
+      ORDER BY vec_id"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val m = graft.operators.Similarity.bqTrain(emb, "e")
+        val standing = emb.filter(col("vec_id") % 2 === 0)
+        val batch = emb.filter(col("vec_id") % 2 =!= 0)
+        val codesOnly = graft.operators.Similarity.bqAssign(standing, "e", m)
+          .select("vec_id", "bq_code")
+        graft.operators.CorpusPrep.semanticIncremental(batch, codesOnly,
+            idCol = "vec_id",
+            cfg = graft.operators.CorpusPrep.Config(embCol = Some("e"),
+              minCosine = 0.3, bqModel = Some(m)),
+            embStore = Some(standing.select("vec_id", "e")))
+          .select("vec_id").orderBy("vec_id")
       })
   )
 }

@@ -353,7 +353,33 @@ class CorpusPrepSpec extends SparkSpecBase {
       CorpusPrep.semanticIncremental(batch, sqCodesOnly,
         cfg = CorpusPrep.Config(embCol = Some("emb"), codebook = Some(codebook),
           pqModel = Some(pq), sqModel = Some(sqm)))
-    }.getMessage.contains("alternative"))
+    }.getMessage.contains("exactly ONE codec"))
+
+    // BQ codec: the standing index carries D-BIT packed codes, no
+    // codebook, candidates from the band-keyed equi-join; same
+    // exact-cosine verify, so survivors match the IVF routes on this
+    // fixture (batch 10 is a paraphrase of standing 1 with identical
+    // signs -> band collision guaranteed; 11 is novel)
+    val bqm = Similarity.bqTrain(standing, "emb")
+    val bqIndexed = Similarity.bqAssign(standing, "emb", bqm)
+    def keptBq(index: org.apache.spark.sql.DataFrame,
+        store: Option[org.apache.spark.sql.DataFrame]): Set[Long] =
+      CorpusPrep.semanticIncremental(batch, index,
+          cfg = CorpusPrep.Config(embCol = Some("emb"), minCosine = 0.999,
+            bqModel = Some(bqm)),
+          embStore = store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBq(bqIndexed, None) == Set(11L))
+    val bqCodesOnly = bqIndexed.select("doc_id", "bq_code")
+    assert(keptBq(bqCodesOnly, Some(standing)) == Set(11L))
+    // BQ is the lookup codec only — the batch semantic tier refuses it
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.run(
+        Seq((1L, "some long enough text to pass the gates easily today", Seq(1.0, 2.0)))
+          .toDF("doc_id", "text", "emb"),
+        cfg = CorpusPrep.Config(minChars = 10, embCol = Some("emb"),
+          bqModel = Some(bqm)))
+    }.getMessage.contains("nearDupPairsBq"))
   }
 
   test("runIncremental: batch prepped like run, deduped against the standing corpus") {
