@@ -289,6 +289,32 @@ class BqSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("byte-aligned"))
   }
 
+  test("bqBandCandidates: band equi-join finds cross-frame pairs, maxHamming prefilters, null codes drop") {
+    import spark.implicits._
+    val m = Similarity.bqTrain(corpus, "e")
+    val standing = Similarity.bqAssign(
+      corpus.filter(col("vec_id") < 200), "e", m).select("vec_id", "bq_code")
+    val batchRows = corpus.filter(col("vec_id") >= 200)
+      .union(Seq((999L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "e"))
+    val batch = Similarity.bqAssign(batchRows, "e", m).select("vec_id", "bq_code")
+
+    // clusters are bitwise complements: zero cross-frame collisions
+    val none = Similarity.bqBandCandidates(batch, standing, "vec_id", m)
+    assert(none.count() == 0)
+
+    // same frame on both sides (as batch vs standing): every pair
+    // collides (identical codes), hamming 0; the prefilter at -1..0
+    // keeps them, and a null-code row never appears
+    val self = Similarity.bqBandCandidates(batch, batch, "vec_id", m,
+      maxHamming = 0)
+    val rows = self.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty && rows.forall(_._3 == 0))
+    assert(!rows.exists(t => t._1 == 999L || t._2 == 999L))
+    // distinct pairs: 20 batch ids (minus the null row), both
+    // orientations and self-pairs included in a cross join of frames
+    assert(rows.length == 20 * 20)
+  }
+
   test("model round-trips through parquet; gappy artifact fails loudly") {
     withTempDir("bqmodel") { dir =>
       val m = Similarity.bqTrain(corpus, "e")
