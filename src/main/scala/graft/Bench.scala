@@ -57,8 +57,21 @@ object Bench {
       .filter(SparkEntry.queries.contains)
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val coldTimes = allNames.map(n => n -> once(n)).toMap
+    // Cold-start bias guard: the FIRST queries of the classification
+    // pass pay the global JIT/codegen warmup and misclassify as heavy
+    // (observed: four sub-second relational queries leading the
+    // alphabet landed in the heavy phase every round). Re-time the
+    // provisional heavies once — the JVM is warm now — and classify
+    // on the min; an erroring query (-1) stays heavy so its failure
+    // cannot perturb small-phase timings.
+    val provisional = allNames.filter(n =>
+      coldTimes(n) > heavySecs || coldTimes(n) < 0)
+    val classTimes = coldTimes ++ provisional.map { n =>
+      val c = coldTimes(n)
+      n -> (if (c < 0) c else math.min(c, once(n)))
+    }
     val heavyList = allNames.filter(n =>
-      forcedHeavy.contains(n) || coldTimes(n) > heavySecs || coldTimes(n) < 0)
+      forcedHeavy.contains(n) || classTimes(n) > heavySecs || classTimes(n) < 0)
     val smallNames = allNames.filterNot(heavyList.contains)
 
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
