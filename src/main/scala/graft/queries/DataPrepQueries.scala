@@ -74,16 +74,17 @@ object DataPrepQueries {
       probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
                 QUALIFY row_number() OVER (PARTITION BY q.qid
                   ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
-      adc AS (SELECT qid, qe, vec_id,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> power(qn[s * 16 + i] - dn[s * 16 + i], 2)))) AS adist
-              FROM (SELECT p.qid, p.qe, p.qn, cd.vec_id, cd.s, d.dn
-                    FROM probe p
-                      JOIN assign a ON a.cid = p.cid
-                      JOIN codes cd ON cd.vec_id = a.vec_id
-                      JOIN d ON d.did = cd.code
-                    WHERE a.vec_id <> p.qid)
-              GROUP BY qid, qe, vec_id),
+      rec AS (SELECT cd.vec_id,
+                     flatten(list(d.dn[cd.s * 16 + 1 : cd.s * 16 + 16] ORDER BY cd.s)) AS rr
+              FROM codes cd JOIN d ON d.did = cd.code
+              GROUP BY cd.vec_id),
+      adc AS (SELECT p.qid, p.qe, a.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> power(p.qn[i] - rec.rr[i], 2))) AS adist
+              FROM probe p
+                JOIN assign a ON a.cid = p.cid
+                JOIN rec ON rec.vec_id = a.vec_id
+              WHERE a.vec_id <> p.qid),
       short AS (SELECT qid, qe, vec_id FROM adc
                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
       scored AS (SELECT s.qid, s.vec_id,
@@ -139,18 +140,18 @@ object DataPrepQueries {
       probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
                 QUALIFY row_number() OVER (PARTITION BY q.qid
                   ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
-      adc AS (SELECT qid, qe, vec_id,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> power(qsv[s * 16 + i] - rdn[s * 16 + i], 2)))) AS adist
-              FROM (SELECT p.qid, p.qe, cd.vec_id, cd.s, rd.rdn,
-                           list_transform(range(1, 65), i -> p.qn[i] - d.dn[i]) AS qsv
-                    FROM probe p
-                      JOIN d ON d.cid = p.cid
-                      JOIN assign a ON a.cid = p.cid
-                      JOIN codes cd ON cd.vec_id = a.vec_id
-                      JOIN rd ON rd.rdid = cd.code
-                    WHERE a.vec_id <> p.qid)
-              GROUP BY qid, qe, vec_id),
+      rec AS (SELECT cd.vec_id,
+                     flatten(list(rd.rdn[cd.s * 16 + 1 : cd.s * 16 + 16] ORDER BY cd.s)) AS rr
+              FROM codes cd JOIN rd ON rd.rdid = cd.code
+              GROUP BY cd.vec_id),
+      adc AS (SELECT p.qid, p.qe, a.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> power(p.qn[i] - d.dn[i] - rec.rr[i], 2))) AS adist
+              FROM probe p
+                JOIN d ON d.cid = p.cid
+                JOIN assign a ON a.cid = p.cid
+                JOIN rec ON rec.vec_id = a.vec_id
+              WHERE a.vec_id <> p.qid),
       short AS (SELECT qid, qe, vec_id FROM adc
                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
       scored AS (SELECT s.qid, s.vec_id,
@@ -189,12 +190,12 @@ object DataPrepQueries {
       p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             FROM buck a JOIN buck b ON a.cid = b.cid AND a.vec_id < b.vec_id),
       sdc AS (SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> da.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i]))) AS dot,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> da.dn[ca.s * 16 + i] * da.dn[ca.s * 16 + i]))) AS na,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> db.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i]))) AS nb
+                     list_sum(list(list_sum(list_transform(range(1, 17),
+                       i -> da.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i])) ORDER BY ca.s)) AS dot,
+                     list_sum(list(list_sum(list_transform(range(1, 17),
+                       i -> da.dn[ca.s * 16 + i] * da.dn[ca.s * 16 + i])) ORDER BY ca.s)) AS na,
+                     list_sum(list(list_sum(list_transform(range(1, 17),
+                       i -> db.dn[ca.s * 16 + i] * db.dn[ca.s * 16 + i])) ORDER BY ca.s)) AS nb
               FROM p
                 JOIN codes ca ON ca.vec_id = p.id_a
                 JOIN codes cb ON cb.vec_id = p.id_b AND cb.s = ca.s
@@ -1829,15 +1830,16 @@ object DataPrepQueries {
       probe AS (SELECT q.qid, q.qe, q.qn, c.cid FROM q CROSS JOIN c
                 QUALIFY row_number() OVER (PARTITION BY q.qid
                   ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
-      adc AS (SELECT qid, qe, vec_id,
-                     sum(list_sum(list_transform(range(1, 17),
-                       i -> power(qn[s * 16 + i] - dn[s * 16 + i], 2)))) AS adist
-              FROM (SELECT p.qid, p.qe, p.qn, cd.vec_id, cd.s, d.dn
-                    FROM probe p
-                      JOIN assign a ON a.cid = p.cid
-                      JOIN codes cd ON cd.vec_id = a.vec_id
-                      JOIN d ON d.did = cd.code)
-              GROUP BY qid, qe, vec_id),
+      rec AS (SELECT cd.vec_id,
+                     flatten(list(d.dn[cd.s * 16 + 1 : cd.s * 16 + 16] ORDER BY cd.s)) AS rr
+              FROM codes cd JOIN d ON d.did = cd.code
+              GROUP BY cd.vec_id),
+      adc AS (SELECT p.qid, p.qe, a.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> power(p.qn[i] - rec.rr[i], 2))) AS adist
+              FROM probe p
+                JOIN assign a ON a.cid = p.cid
+                JOIN rec ON rec.vec_id = a.vec_id),
       short AS (SELECT qid, qe, vec_id FROM adc
                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 20),
       hits AS (SELECT DISTINCT sh.qid
