@@ -667,8 +667,22 @@ object Similarity {
       s"query has ${query.length} dims but the BqModel codes ${model.dims}")
     val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
     require(rr >= k, s"rerank ($rr) must be >= k ($k)")
-    val qn = normalizeVec(query)
     val scoped = excludeId.fold(coded)(id => coded.filter(col(idCol) =!= id))
+    bqShortlistRerank(scoped, embCol, idCol, query, k, rr, model, codeCol,
+      rerankFrom, asymmetric)
+  }
+
+  /** Shared single-query BQ tail: rank `scoped` rows by Hamming (or
+    * the asymmetric reconstruction dot), keep the `rr` best, join the
+    * primary store when the scan was codes-only, exact-cosine re-rank
+    * to the final k. Factored out of bqProbe so the flat scan and the
+    * IVF-pruned scan (ivfBqProbe) stay bit-identical past the list
+    * prune. */
+  private def bqShortlistRerank(scoped: DataFrame, embCol: String,
+      idCol: String, query: Seq[Double], k: Int, rr: Int, model: BqModel,
+      codeCol: String, rerankFrom: Option[DataFrame],
+      asymmetric: Boolean): DataFrame = {
+    val qn = normalizeVec(query)
     val (scoreCol, shortOrder) =
       if (asymmetric) {
         val adc = graft.functions.VectorExpressions.bq_adc_dot(
@@ -692,6 +706,43 @@ object Similarity {
         round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
+  }
+
+  /** IVF-BQ probe, single query (the FAISS IndexBinaryIVF layout,
+    * public knowledge): compose the coarse inverted lists with the
+    * packed sign codes — prune to the `nprobe` nearest lists
+    * (`cid IN (...)`, partition-prunable exactly as for PQ/SQ when
+    * the index was written with writeIndex), rank only the probed
+    * rows by Hamming (or asymmetrically — see bqProbe), keep the
+    * `rerank` best, exact-cosine re-rank only those. The FLAT scan is
+    * BQ's standard shape (codes are D/8 bytes, cheap to scan whole),
+    * but when one standing IVF index already serves PQ/SQ codes the
+    * same layout carries BQ codes too, and the coarse prune cuts the
+    * Hamming pass to ~nprobe/K of the corpus for free — recall then
+    * compounds BOTH approximations (list prune AND sign coarseness),
+    * so size nprobe/rerank by measuring with recallAtK, not by the
+    * flat-scan numbers. Same codes-only `rerankFrom` contract as
+    * every probe: with a primary store supplied the scanned frame
+    * needs only (id, cid, code). */
+  def ivfBqProbe(coded: DataFrame, embCol: String, idCol: String,
+      query: Seq[Double], k: Int, codebook: Seq[(Long, Seq[Double])],
+      model: BqModel, nprobe: Int = 1, rerank: Int = 0,
+      cidCol: String = "cid", codeCol: String = "bq_code",
+      excludeId: Option[Long] = None,
+      rerankFrom: Option[DataFrame] = None,
+      asymmetric: Boolean = false): DataFrame = {
+    require(codebook.nonEmpty,
+      "ivfBqProbe needs the coarse codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(query.length == model.dims,
+      s"query has ${query.length} dims but the BqModel codes ${model.dims}")
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val cids = rankInvertedLists(codebook, query).take(nprobe)
+    val base = coded.filter(col(cidCol).isin(cids: _*))
+    val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+    bqShortlistRerank(scoped, embCol, idCol, query, k, rr, model, codeCol,
+      rerankFrom, asymmetric)
   }
 
   /** Batch BQ probe — many queries in one distributed plan. The query

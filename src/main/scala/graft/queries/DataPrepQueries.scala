@@ -2404,6 +2404,67 @@ object DataPrepQueries {
               minCosine = 0.3, bqModel = Some(m)),
             embStore = Some(standing.select("vec_id", "e")))
           .select("vec_id").orderBy("vec_id")
+      }),
+
+    // IVF-BQ composition (FAISS IndexBinaryIVF, public knowledge):
+    // the coarse inverted lists of q44 under the sign codes of q102 —
+    // the probe prunes to the 2 nearest lists (centroid donors
+    // vec_id 1..8, as in q95/q101), Hamming-ranks ONLY the probed
+    // rows, and exact-cosine re-ranks the 24-wide shortlist. Training
+    // is the same donor-free midrange pass as every BQ row, so the
+    // ENTIRE pipeline — coarse assign, thresholds, bits, list rank,
+    // Hamming, rerank — replays in DuckDB.
+    QueryDef("q108_ivf_bq_probe", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id BETWEEN 1 AND 8),
+      o AS (SELECT * FROM e WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM o),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      assign AS (SELECT o.vec_id, arg_min(c.cid, list_distance(o.e, c.ce)) AS cid
+                 FROM o CROSS JOIN c GROUP BY o.vec_id),
+      q AS (SELECT o.e AS qe, b.b AS qb
+            FROM o JOIN bits b ON b.vec_id = o.vec_id WHERE o.vec_id = 0),
+      probe AS (SELECT c.cid FROM c CROSS JOIN q
+                QUALIFY row_number() OVER (ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      ham AS (SELECT b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN b.b[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS hd
+              FROM bits b JOIN assign a ON a.vec_id = b.vec_id CROSS JOIN q
+              WHERE a.cid IN (SELECT cid FROM probe) AND b.vec_id <> 0),
+      short AS (SELECT vec_id FROM ham
+                QUALIFY row_number() OVER (ORDER BY hd, vec_id) <= 24)
+      SELECT s.vec_id,
+             round(list_inner_product(e.e, q.qe)
+               / (sqrt(list_inner_product(e.e, e.e))
+                  * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+      FROM short s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+      ORDER BY cos DESC, s.vec_id LIMIT 15"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val m = graft.operators.Similarity.bqTrain(others, "e")
+        val query = others.filter(col("vec_id") === 0)
+          .select("e").head().getSeq[Double](0).toSeq
+        graft.operators.Similarity.ivfBqProbe(
+          graft.operators.Similarity.bqAssign(
+            graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", m),
+          "e", "vec_id", query, k = 15, codebook = codebook, model = m,
+          nprobe = 2, rerank = 24, excludeId = Some(0L))
       })
   )
 }

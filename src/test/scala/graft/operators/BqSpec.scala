@@ -119,6 +119,47 @@ class BqSpec extends SparkSpecBase {
     assert(dropped.nonEmpty && dropped.forall(_ % 2 == 0))
   }
 
+  test("ivfBqProbe: full-probe full-rerank == brute force; nprobe=1 prunes to the query's list; codes-only parity") {
+    val m = Similarity.bqTrain(corpus, "e")
+    val codebook = Seq(
+      (1L, Seq.tabulate(dim)(d => if (d < 8) 1.0 else -1.0)),
+      (2L, Seq.tabulate(dim)(d => if (d < 8) -1.0 else 1.0)))
+    val coded = Similarity.bqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", m).cache()
+    val q = Seq.tabulate(dim)(d => if (d < 8) 1.0 else -1.0)
+
+    // probing every list at full rerank width must recover brute force
+    // exactly — the prune admits everything, the rerank is exact
+    val brute = Similarity.bruteForceTopK(corpus, "e", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfBqProbe(coded, "e", "vec_id", q, 10, codebook, m,
+        nprobe = 2, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+
+    // nprobe=1 scans ONLY the query's inverted list: every result id
+    // is from the 100-cluster (which the codebook maps to list 1)
+    val pruned = Similarity.ivfBqProbe(coded, "e", "vec_id", q, 10, codebook, m,
+        nprobe = 1, rerank = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.nonEmpty && pruned.forall(_ < 200L),
+      s"nprobe=1 leaked the other list: $pruned")
+
+    // codes-only index + external float store == in-frame path,
+    // on both the Hamming and the asymmetric ranking
+    for (asym <- Seq(false, true)) {
+      val inFrame = Similarity.ivfBqProbe(coded, "e", "vec_id", q, 8, codebook,
+          m, nprobe = 2, rerank = 20, asymmetric = asym)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaStore = Similarity.ivfBqProbe(
+          coded.select("vec_id", "cid", "bq_code"), "e", "vec_id", q, 8,
+          codebook, m, nprobe = 2, rerank = 20, asymmetric = asym,
+          rerankFrom = Some(corpus.select("vec_id", "e")))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaStore == inFrame, s"asymmetric=$asym store path diverged")
+    }
+  }
+
   test("bqProbeAll matches per-query bqProbe; excludeSelf drops the self-match") {
     import spark.implicits._
     val m = Similarity.bqTrain(corpus, "e")
