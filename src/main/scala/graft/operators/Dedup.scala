@@ -82,6 +82,37 @@ object Dedup {
     math.pow(rowsPerBand.toDouble / numHashes, 1.0 / rowsPerBand)
   }
 
+  /** Pick an LSH configuration for a target Jaccard: the
+    * (numHashes, rowsPerBand) whose s-curve threshold sits AT OR
+    * BELOW `minJaccard` (recall first — a threshold above the target
+    * systematically misses true pairs, which no exact-verify stage
+    * can recover; a threshold below it only costs false candidates
+    * that the verify stage filters), and among those the HIGHEST
+    * threshold (fewest false candidates = least verify work), ties
+    * broken by fewest hashes (cheapest signatures), then fewest rows
+    * per band. `maxHashes` caps signature cost — the driver-side
+    * enumeration is O(maxHashes log maxHashes) and runs once.
+    * Returns (numHashes, rowsPerBand) to pass straight to
+    * minhashJaccardPairs / lshCandidatePairs. */
+  def planLsh(minJaccard: Double, maxHashes: Int = 128): (Int, Int) = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    require(maxHashes >= 1, s"maxHashes must be >= 1, got $maxHashes")
+    val candidates = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      k = r * b
+      t = lshThreshold(k, r)
+      if t <= minJaccard
+    } yield (t, k, r)
+    require(candidates.nonEmpty,
+      s"no (numHashes <= $maxHashes, rowsPerBand) config reaches threshold <= " +
+        s"$minJaccard — raise maxHashes (b = ceil(1/minJaccard) single-row " +
+        "bands always qualify once allowed)")
+    val (_, k, r) = candidates.minBy { case (t, k, r) => (-t, k, r) }
+    (k, r)
+  }
+
   /** THE band-key formula — md5 over the '|'-joined signature values
     * of each band. Single definition shared by every banded path
     * (lshCandidatePairs, dropIncrementalDuplicates), because stored

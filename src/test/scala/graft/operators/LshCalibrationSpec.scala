@@ -68,4 +68,32 @@ class LshCalibrationSpec extends SparkSpecBase {
     assert(p > 0.5 && p < 0.75) // 1-(1-1/b)^b rises toward 1-1/e
     intercept[IllegalArgumentException](Dedup.lshThreshold(10, 4))
   }
+
+  test("planLsh picks the tightest recall-safe config under the hash budget") {
+    // the returned config must (a) be valid, (b) sit at or below the
+    // target, and (c) dominate every other valid config on
+    // (threshold desc, hashes asc, rows asc)
+    for (target <- Seq(0.3, 0.5, 0.7, 0.85, 0.95); maxK <- Seq(16, 64, 128)) {
+      val (k, r) = Dedup.planLsh(target, maxK)
+      assert(k % r == 0 && k <= maxK, s"invalid config ($k, $r) under $maxK")
+      val t = Dedup.lshThreshold(k, r)
+      assert(t <= target + 1e-12,
+        f"threshold $t%.4f above target $target for ($k, $r)")
+      val better = for {
+        r2 <- 1 to maxK; b2 <- 1 to maxK / r2; k2 = r2 * b2
+        t2 = Dedup.lshThreshold(k2, r2)
+        if t2 <= target && (t2 > t + 1e-12 ||
+          (math.abs(t2 - t) <= 1e-12 && (k2 < k || (k2 == k && r2 < r))))
+      } yield (k2, r2, t2)
+      assert(better.isEmpty, s"($k, $r, $t) dominated by ${better.take(3)}")
+    }
+    // the doc-table row: target 0.7 within 4 hashes -> (4, 2) at t=0.71?
+    // no — 0.71 > 0.7, so the planner must step DOWN, never up
+    val (k07, r07) = Dedup.planLsh(0.7, 4)
+    assert(Dedup.lshThreshold(k07, r07) <= 0.7)
+    // degenerate budgets still resolve (b single-row bands) or fail loudly
+    assert(Dedup.planLsh(1.0, 1) == (1, 1))
+    intercept[IllegalArgumentException](Dedup.planLsh(0.4, 2))
+    intercept[IllegalArgumentException](Dedup.planLsh(0.0))
+  }
 }
