@@ -322,6 +322,44 @@ case class SimHash64TextExpr(child: Expression)
   override def prettyName: String = "simhash64_text"
 }
 
+/** `bloom_might_contain(text)` against a Bloom filter baked into the
+  * expression itself (serialized `spark.util.sketch.BloomFilter`
+  * bytes — public Spark API, the same sketch the engine's runtime
+  * row-group filters use). The filter deserializes ONCE per
+  * deserialized expression (transient lazy), then each row is a pure
+  * in-memory hash probe inside whole-stage codegen — the map-side
+  * prefilter shape for "is this value possibly in the (driver-built,
+  * MB-sized) set" at 100 TB, where the alternative is shuffling the
+  * full exploded scan into a join. No false negatives ever; false
+  * positives at the filter's trained fpp — callers MUST re-verify
+  * positives exactly (Dedup.benchmarkContainment's bloom tier joins
+  * the real set after this prefilter). NULL in -> NULL out. */
+case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(filterBytes != null && filterBytes.nonEmpty,
+    "bloom_might_contain needs non-empty serialized BloomFilter bytes")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+  /** Called from generated code: membership by the UTF-8 bytes —
+    * bit-identical to how string items are inserted (spark-sketch
+    * hashes a string via its UTF-8 encoding; BloomExprSpec pins the
+    * no-false-negative contract against stat.bloomFilter builds). */
+  def mightContain(s: UTF8String): Boolean = filter.mightContainBinary(s.getBytes)
+  override def nullSafeEval(input: Any): Any =
+    mightContain(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContain", this,
+      classOf[BloomMightContainExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContain($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 object TextExpressions {
 
   /** Constant integral argument: any foldable integral expression is
@@ -362,6 +400,13 @@ object TextExpressions {
   /** Column API: Unicode NFC normalization. */
   def nfc_normalize(text: Column): Column =
     GraftBridge.column(NfcNormalizeExpr(GraftBridge.expression(text)))
+
+  /** Column API: Bloom-filter membership prefilter — `filterBytes` is
+    * a `BloomFilter.writeTo` serialization (e.g. from
+    * `df.stat.bloomFilter`). See BloomMightContainExpr for the
+    * no-false-negative / must-re-verify-positives contract. */
+  def bloom_might_contain(text: Column, filterBytes: Array[Byte]): Column =
+    GraftBridge.column(BloomMightContainExpr(GraftBridge.expression(text), filterBytes))
 
   def fromSeqShingles(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"shingles requires 2 arguments, got ${exprs.length}")

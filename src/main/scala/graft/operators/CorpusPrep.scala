@@ -60,6 +60,12 @@ object CorpusPrep {
     benchTextCol: String = "text",
     benchIdCol: String = "doc_id",
     minContainment: Double = 0.8,
+    // scale tier for benchmark suites whose shingle set outgrows the
+    // broadcast join: build a driver-held Bloom filter at this fpp
+    // and prefilter the corpus explode map-side; results identical at
+    // any fpp (false positives die in the exact join) — see
+    // Dedup.benchmarkContainment
+    benchBloomFpp: Option[Double] = None,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -249,7 +255,8 @@ object CorpusPrep {
       // shingling, or containment would miss on case/whitespace alone
       Dedup.decontaminate(deduped, "clean_text", idCol,
         bench.withColumn("_bclean", normOf(cfg)(col(cfg.benchTextCol))),
-        "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment)
+        "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment,
+        cfg.benchBloomFpp)
     }
     // distinct salt: the prep sample must not correlate with any
     // downstream unsalted mixing draw over the same ids

@@ -1028,16 +1028,51 @@ object Dedup {
     * BROADCASTS; the corpus side is ONE exploded scan joined map-side —
     * never a self-join — the only shape that holds when the corpus is
     * 100 TB. Output: (idCol, bench_id, containment). */
+  /** `benchBloomFpp`: the SCALE tier for benchmark suites whose
+    * exploded shingle set is too big to broadcast (tens of millions
+    * of shingles and up). `None` (default) broadcasts the bench side
+    * — correct while it fits. `Some(fpp)` instead builds a Bloom
+    * filter over the DISTINCT bench shingles (driver-held but
+    * bits-sized: ~10 bits/shingle at 1% fpp — 100M shingles is
+    * ~120 MB where the broadcast join side would be many GBs of
+    * strings) and prefilters the corpus explode MAP-SIDE through the
+    * compiled bloom_might_contain kernel, so only the contaminated
+    * rows plus an fpp-sized sliver of false positives ever reach the
+    * shuffle join — which then verifies EXACTLY, so results are
+    * identical to the broadcast path at any fpp (q109 pins this:
+    * same oracle as the direct containment). Without the prefilter
+    * the non-broadcast fallback would shuffle the ENTIRE exploded
+    * corpus on the shingle key — the one thing that cannot happen at
+    * 100 TB. */
   def benchmarkContainment(corpus: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String = "text",
       benchIdCol: String = "doc_id",
-      n: Int = 3, minContainment: Double = 0.5): DataFrame = {
+      n: Int = 3, minContainment: Double = 0.5,
+      benchBloomFpp: Option[Double] = None): DataFrame = {
     val cs = corpus.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
     val bs = bench
       .select(col(benchIdCol).as("bench_id"), shingles(col(benchTextCol), n).as("_shs"))
       .filter(size(col("_shs")) > 0)
       .select(col("bench_id"), size(col("_shs")).as("_bn"), explode(col("_shs")).as("sh"))
-    cs.join(broadcast(bs), "sh")
+    val joined = benchBloomFpp match {
+      case None => cs.join(broadcast(bs), "sh")
+      case Some(fpp) =>
+        require(fpp > 0.0 && fpp < 1.0, s"benchBloomFpp must be in (0, 1), got $fpp")
+        val distinctSh = bs.select("sh").distinct()
+        // one counting pass over the bench side (cheap by premise —
+        // bench ≪ corpus even when it outgrows broadcast) sizes the
+        // filter honestly; an undersized Bloom silently degrades fpp
+        val items = math.max(distinctSh.count(), 1L)
+        val bloom = distinctSh.stat.bloomFilter("sh", items, fpp)
+        val bytes = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bytes)
+        // prefiltered corpus side is contaminated + fpp-sliver sized;
+        // no broadcast hint — AQE sees both REAL post-filter sizes
+        cs.filter(graft.functions.TextExpressions.bloom_might_contain(
+            col("sh"), bytes.toByteArray))
+          .join(bs, "sh")
+    }
+    joined
       .groupBy(col(idCol), col("bench_id"), col("_bn"))
       .agg(count(lit(1)).as("_shared"))
       .filter(col("_shared").cast("double") / col("_bn") >= minContainment)
@@ -1050,9 +1085,10 @@ object Dedup {
   def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String = "text",
       benchIdCol: String = "doc_id",
-      n: Int = 3, minContainment: Double = 0.8): DataFrame = {
+      n: Int = 3, minContainment: Double = 0.8,
+      benchBloomFpp: Option[Double] = None): DataFrame = {
     val contaminated = benchmarkContainment(corpus, textCol, idCol,
-      bench, benchTextCol, benchIdCol, n, minContainment)
+      bench, benchTextCol, benchIdCol, n, minContainment, benchBloomFpp)
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

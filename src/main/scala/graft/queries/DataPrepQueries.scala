@@ -2465,6 +2465,35 @@ object DataPrepQueries {
             graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", m),
           "e", "vec_id", query, k = 15, codebook = codebook, model = m,
           nprobe = 2, rerank = 24, excludeId = Some(0L))
+      }),
+
+    // Bloom-prefiltered decontamination — q57's containment search
+    // down the SCALE tier (benchBloomFpp): the bench shingle set
+    // becomes a driver-built Bloom filter, the corpus explode is
+    // prefiltered MAP-SIDE through the compiled bloom_might_contain
+    // kernel, and only survivors reach the (now non-broadcast) exact
+    // join. Bloom false positives are filtered by that exact join, so
+    // the result is IDENTICAL to the broadcast path at any fpp — the
+    // oracle is therefore q57's own SQL, which is precisely the claim
+    // this row pins.
+    QueryDef("q109_decontam_bloom", Some(s"""
+      WITH shdoc AS (SELECT doc_id, $shinglesSqlArr AS shs FROM documents),
+      bench AS (SELECT doc_id AS bench_id, len(shs) AS bn, unnest(shs) AS sh
+                FROM shdoc WHERE doc_id < 10 AND len(shs) > 0),
+      corpus AS (SELECT doc_id, unnest(shs) AS sh FROM shdoc WHERE doc_id >= 10)
+      SELECT c.doc_id AS doc_id, b.bench_id AS bench_id,
+             round(CAST(count(*) AS DOUBLE) / b.bn, 4) AS containment
+      FROM corpus c JOIN bench b USING (sh)
+      GROUP BY c.doc_id, b.bench_id, b.bn
+      HAVING CAST(count(*) AS DOUBLE) / b.bn >= 0.5
+      ORDER BY doc_id, bench_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dedup.benchmarkContainment(
+            docs.filter(col("doc_id") >= 10), "text", "doc_id",
+            docs.filter(col("doc_id") < 10), "text", "doc_id",
+            n = 3, minContainment = 0.5, benchBloomFpp = Some(0.01))
+          .orderBy("doc_id", "bench_id")
       })
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered benchmark decontamination: the compiled
+  * bloom_might_contain kernel's no-false-negative contract against
+  * stat.bloomFilter builds, bounded false positives, and the central
+  * claim — the bloom tier returns results IDENTICAL to the broadcast
+  * tier at any fpp (false positives die in the exact join). */
+class BloomDecontamSpec extends SparkSpecBase {
+
+  import graft.functions.TextExpressions.bloom_might_contain
+
+  // 8 bench docs + 40 corpus docs; corpus docs 100-107 copy a bench
+  // doc's text with a 1-word suffix (containment ~1), 108-119 share a
+  // half-prefix (containment ~0.5), the rest are private vocabulary.
+  private def fixture = {
+    import spark.implicits._
+    val benchRows = (0 until 8).map { b =>
+      (b.toLong, (0 until 12).map(i => s"bench${b}tok$i").mkString(" "))
+    }
+    val corpusRows = (0 until 40).map { j =>
+      val id = 100L + j
+      val text =
+        if (j < 8) benchRows(j)._2 + s" extra$j"
+        else if (j < 20) {
+          val b = j % 8
+          ((0 until 6).map(i => s"bench${b}tok$i") ++
+            (0 until 6).map(i => s"own${j}tok$i")).mkString(" ")
+        } else (0 until 12).map(i => s"own${j}tok$i").mkString(" ")
+      (id, text)
+    }
+    (benchRows.toDF("doc_id", "text"), corpusRows.toDF("doc_id", "text"))
+  }
+
+  test("bloom_might_contain: no false negatives, bounded false positives, NULL passthrough") {
+    import spark.implicits._
+    val members = (0 until 200).map(i => s"member-$i")
+    val filter = members.toDF("s").stat.bloomFilter("s", members.size.toLong, 0.01)
+    val baos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(baos)
+    val bytes = baos.toByteArray
+
+    val probes = members.map(m => (m, true)) ++
+      (0 until 500).map(i => (s"outsider-$i", false)) :+
+      (null.asInstanceOf[String], false)
+    val got = probes.toDF("s", "member")
+      .select(col("s"), col("member"), bloom_might_contain(col("s"), bytes).as("hit"))
+      .collect()
+
+    // every member MUST hit (a miss would mean the kernel hashes
+    // differently than the builder — the whole contract)
+    assert(got.filter(r => !r.isNullAt(0) && r.getBoolean(1)).forall(_.getBoolean(2)))
+    // non-members mostly miss (hashing is deterministic, so this is a
+    // fixed count for fixed strings; 2% of 500 is a generous 1%-fpp bound)
+    val fps = got.count(r => !r.isNullAt(0) && !r.getBoolean(1) && r.getBoolean(2))
+    assert(fps <= 10, s"$fps false positives out of 500 at fpp=0.01")
+    // NULL in -> NULL out (not false)
+    assert(got.filter(_.isNullAt(0)).forall(_.isNullAt(2)))
+  }
+
+  test("bloom tier == broadcast tier on containment AND decontaminate survivors") {
+    val (bench, corpus) = fixture
+    val direct = Dedup.benchmarkContainment(corpus, "text", "doc_id",
+        bench, "text", "doc_id", n = 3, minContainment = 0.4)
+      .orderBy("doc_id", "bench_id").collect().toSeq
+    assert(direct.nonEmpty, "fixture must produce contaminated pairs")
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful filter changes nothing
+      val bloomed = Dedup.benchmarkContainment(corpus, "text", "doc_id",
+          bench, "text", "doc_id", n = 3, minContainment = 0.4,
+          benchBloomFpp = Some(fpp))
+        .orderBy("doc_id", "bench_id").collect().toSeq
+      assert(bloomed == direct, s"fpp=$fpp diverged from the broadcast tier")
+    }
+    val survDirect = Dedup.decontaminate(corpus, "text", "doc_id",
+        bench, "text", "doc_id", n = 3, minContainment = 0.8)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val survBloom = Dedup.decontaminate(corpus, "text", "doc_id",
+        bench, "text", "doc_id", n = 3, minContainment = 0.8,
+        benchBloomFpp = Some(0.01))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(survBloom == survDirect)
+    // the near-copies (100-107) are dropped, private-vocab docs survive
+    assert((100L until 108L).forall(!survBloom.contains(_)))
+    assert((120L until 140L).forall(survBloom.contains))
+  }
+
+  test("fpp bounds are validated loudly") {
+    val (bench, corpus) = fixture
+    for (bad <- Seq(0.0, 1.0, -0.1)) {
+      intercept[IllegalArgumentException] {
+        Dedup.benchmarkContainment(corpus, "text", "doc_id",
+          bench, "text", "doc_id", benchBloomFpp = Some(bad))
+      }
+    }
+  }
+}

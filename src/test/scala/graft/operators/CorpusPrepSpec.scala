@@ -107,6 +107,12 @@ class CorpusPrepSpec extends SparkSpecBase {
     val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
       minChars = 20, benchmark = Some(bench), minContainment = 0.8))
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+
+    // the Bloom scale tier must keep the same survivors
+    val bloomed = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+      minChars = 20, benchmark = Some(bench), minContainment = 0.8,
+      benchBloomFpp = Some(0.01)))
+    assert(bloomed.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
