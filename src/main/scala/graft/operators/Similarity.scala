@@ -791,8 +791,13 @@ object Similarity {
         (graft.functions.VectorExpressions.bq_hamming(
           col("_qc"), col(codeCol)).cast("double"),
           asc_nulls_last("_bqh"))
+    // null scores dropped, not sorted last: when fewer than `rr` rows
+    // carry real scores, null-coded rows (or a wrong-width query's
+    // null cluster-side encode) would pass the rank filter into a
+    // bogus min-length exact cosine
     val shortlist = scoped
       .withColumn("_bqh", scoreCol)
+      .filter(col("_bqh").isNotNull)
       .withColumn("_hr", row_number().over(
         win.orderBy(shortOrder, col(idCol))))
       .filter(col("_hr") <= rr)
@@ -2229,10 +2234,110 @@ object Similarity {
       } else
         (graft.functions.VectorExpressions.sq_adc_l2(
           col("_qn"), col(codeCol), sq.mm), asc_nulls_last("_sqc"))
+    // null approx scores (wrong-width query → _qn nulled above, or a
+    // null corpus code) are DROPPED, not just sorted last: an
+    // under-full probed list would otherwise pass them through the
+    // rank filter into a bogus min-length exact cosine
     val shortlist = scoped
       .select(Seq(col("_qid"), col(idCol)) ++
         rerankFrom.fold(Seq(col(embCol)))(_ => Nil) ++ Seq(col("_qe"),
         scoreCol.as("_sqc")): _*)
+      .filter(col("_sqc").isNotNull)
+      .withColumn("_ar", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(shortOrder, col(idCol))))
+      .filter(col("_ar") <= rr)
+    // codes-only index: un-hinted store join — AQE sizes it from the
+    // rerank-bounded shortlist, same rationale as ivfPqProbeAll
+    val withEmb = rerankFrom.fold(shortlist)(store =>
+      shortlist.join(store.select(col(idCol), col(embCol)), Seq(idCol)))
+    withEmb
+      .select(col("_qid"), col(idCol),
+        round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Batch IVF-BQ probe — the equi-key throughput shape for sign
+    * codes: where bqProbeAll is a broadcast nested loop (a flat
+    * binary scan has no equi-key, so only probe-sized batches afford
+    * it), this ranks each query's `nprobe` nearest inverted lists
+    * against the KB-sized codebook and joins the probe side to the
+    * coded corpus ON THE LIST ID — each corpus row is read once, only
+    * probed lists contribute, and a crawl-sized query batch can take
+    * the shuffle path instead of broadcasting. Queries normalize and
+    * encode CLUSTER-side through the same bq_encode kernel (no driver
+    * round-trip); probed rows rank per query by Hamming over packed
+    * codes (or the asymmetric reconstruction dot — see bqProbe), the
+    * rerank-bounded shortlist re-ranks by exact cosine. A query at
+    * the wrong width gets a null code → null score → empty shortlist
+    * (the batch twin of ivfBqProbe's loud dims require). Same
+    * `broadcastProbes` sizing and codes-only `rerankFrom` contracts
+    * as ivfPqProbeAll/ivfSqProbeAll. Output:
+    * (qIdCol | q_<idCol>, idCol, cos, rank). */
+  def ivfBqProbeAll(coded: DataFrame, embCol: String, idCol: String,
+      queries: DataFrame, qIdCol: String, qEmbCol: String,
+      codebook: Seq[(Long, Seq[Double])], model: BqModel, k: Int,
+      nprobe: Int = 1, rerank: Int = 0, cidCol: String = "cid",
+      codeCol: String = "bq_code", excludeSelf: Boolean = false,
+      broadcastProbes: Option[Boolean] = None,
+      rerankFrom: Option[DataFrame] = None,
+      asymmetric: Boolean = false): DataFrame = {
+    require(codebook.nonEmpty,
+      "ivfBqProbeAll needs the coarse codebook to rank inverted lists")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val rr = if (rerank > 0) rerank else math.max(4 * k, 32)
+    require(rr >= k, s"rerank ($rr) must be >= k ($k)")
+    val spark = coded.sparkSession
+    import spark.implicits._
+    val cb = codebook.toDF("_cbid", "_ce")
+    val sqDistC = aggregate(
+      zip_with(col(qEmbCol), col("_ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val probes = withNormalized(
+        queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
+        qEmbCol, "_qn")
+      .withColumn("_qn", when(size(col("_qn")) === model.dims, col("_qn")))
+      .withColumn("_qc", graft.functions.VectorExpressions.bq_encode(
+        col("_qn"), model.thresholds))
+      .join(broadcast(cb), lit(true))
+      .select(col(qIdCol), col(qEmbCol), col("_qn"), col("_qc"), col("_cbid"),
+        sqDistC.as("_d"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qIdCol).orderBy(col("_d"), col("_cbid"))))
+      .filter(col("_r") <= nprobe)
+      .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_qn"),
+        col("_qc"), col("_cbid"))
+    val joined = broadcastProbes match {
+      case Some(true)  => coded.join(broadcast(probes), col(cidCol) === col("_cbid"))
+      case Some(false) => coded.join(probes.repartition(col("_cbid")), col(cidCol) === col("_cbid"))
+      case None        => coded.join(probes, col(cidCol) === col("_cbid"))
+    }
+    val scoped =
+      if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    val (scoreCol, shortOrder) =
+      if (asymmetric) {
+        val adc = graft.functions.VectorExpressions.bq_adc_dot(
+          col("_qn"), col(codeCol))
+        (when(!isnan(adc), adc), desc_nulls_last("_bqh"))
+      } else
+        (graft.functions.VectorExpressions.bq_hamming(
+          col("_qc"), col(codeCol)).cast("double"),
+          asc_nulls_last("_bqh"))
+    // null scores (null corpus code, or a wrong-width query whose
+    // cluster-side encode nulled) are DROPPED, not just sorted last —
+    // under-full lists would otherwise let them through the rank
+    // filter and into a bogus min-length exact cosine
+    val shortlist = scoped
+      .select(Seq(col("_qid"), col(idCol)) ++
+        rerankFrom.fold(Seq(col(embCol)))(_ => Nil) ++
+        Seq(col("_qe"), scoreCol.as("_bqh")): _*)
+      .filter(col("_bqh").isNotNull)
       .withColumn("_ar", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("_qid").orderBy(shortOrder, col(idCol))))

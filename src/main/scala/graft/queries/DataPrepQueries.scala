@@ -2494,6 +2494,76 @@ object DataPrepQueries {
             docs.filter(col("doc_id") < 10), "text", "doc_id",
             n = 3, minContainment = 0.5, benchBloomFpp = Some(0.01))
           .orderBy("doc_id", "bench_id")
+      }),
+
+    // Batch IVF-BQ probe — q103's many-query shape on q108's layout:
+    // the probe side ranks each query's 2 nearest lists against the
+    // codebook, joins the coded corpus on the LIST id (the equi-key a
+    // flat binary scan lacks — what lets crawl-sized batches take the
+    // shuffle path), Hamming-shortlists per query, exact-cosine
+    // re-ranks. Same centroid donors as q108; donor-free training.
+    QueryDef("q110_ivf_bq_probe_all", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id BETWEEN 1 AND 8),
+      o AS (SELECT * FROM e WHERE vec_id NOT BETWEEN 1 AND 8),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM o),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      assign AS (SELECT o.vec_id, arg_min(c.cid, list_distance(o.e, c.ce)) AS cid
+                 FROM o CROSS JOIN c GROUP BY o.vec_id),
+      qs AS (SELECT b.vec_id AS qid, o.e AS qe, b.b AS qb
+             FROM o JOIN bits b ON b.vec_id = o.vec_id
+             WHERE o.vec_id IN (0, 100, 200)),
+      probe AS (SELECT q.qid, c.cid FROM qs q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      ham AS (SELECT q.qid, b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN b.b[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS hd
+              FROM bits b
+                JOIN assign a ON a.vec_id = b.vec_id
+                JOIN probe p ON p.cid = a.cid
+                JOIN qs q ON q.qid = p.qid
+              WHERE b.vec_id <> q.qid),
+      short AS (SELECT qid, vec_id FROM ham
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY hd, vec_id) <= 24),
+      scored AS (SELECT s.qid, s.vec_id,
+                        round(list_inner_product(e.e, q.qe)
+                          / (sqrt(list_inner_product(e.e, e.e))
+                             * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+                 FROM short s
+                   JOIN e ON e.vec_id = s.vec_id
+                   JOIN qs q ON q.qid = s.qid)
+      SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 8 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val m = graft.operators.Similarity.bqTrain(others, "e")
+        val queries = others.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        graft.operators.Similarity.ivfBqProbeAll(
+            graft.operators.Similarity.bqAssign(
+              graft.operators.Similarity.ivfAssign(others, codebook, "e"), "e", m),
+            "e", "vec_id", queries, "qid", "e", codebook, m,
+            k = 8, nprobe = 2, rerank = 24, excludeSelf = true)
+          .orderBy("qid", "rank")
       })
   )
 }

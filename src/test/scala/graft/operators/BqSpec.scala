@@ -160,6 +160,59 @@ class BqSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfBqProbeAll: parity with per-query ivfBqProbe on every probe-sizing path; codes-only store parity") {
+    import spark.implicits._
+    val m = Similarity.bqTrain(corpus, "e")
+    val codebook = Seq(
+      (1L, Seq.tabulate(dim)(d => if (d < 8) 1.0 else -1.0)),
+      (2L, Seq.tabulate(dim)(d => if (d < 8) -1.0 else 1.0)))
+    val coded = Similarity.bqAssign(
+      Similarity.ivfAssign(corpus, codebook, "e"), "e", m).cache()
+    val qids = Seq(101L, 205L, 110L)
+    val queries = corpus.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("e"))
+
+    val perQuery = qids.sorted.flatMap { qid =>
+      val q = corpus.filter(col("vec_id") === qid)
+        .select("e").head().getSeq[Double](0).toSeq
+      Similarity.ivfBqProbe(coded, "e", "vec_id", q, 5, codebook, m,
+          nprobe = 1, rerank = 12, excludeId = Some(qid))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+    }
+    for (bp <- Seq(None, Some(true), Some(false))) {
+      val batch = Similarity.ivfBqProbeAll(coded, "e", "vec_id",
+          queries, "qid", "e", codebook, m, k = 5, nprobe = 1, rerank = 12,
+          excludeSelf = true, broadcastProbes = bp)
+        .orderBy("qid", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch == perQuery, s"broadcastProbes=$bp diverged from per-query")
+    }
+
+    // codes-only scan + external store == in-frame, asymmetric too
+    for (asym <- Seq(false, true)) {
+      val inFrame = Similarity.ivfBqProbeAll(coded, "e", "vec_id",
+          queries, "qid", "e", codebook, m, k = 5, nprobe = 2, rerank = 12,
+          excludeSelf = true, asymmetric = asym)
+        .orderBy("qid", "rank").collect().toSeq
+      val viaStore = Similarity.ivfBqProbeAll(
+          coded.select("vec_id", "cid", "bq_code"), "e", "vec_id",
+          queries, "qid", "e", codebook, m, k = 5, nprobe = 2, rerank = 12,
+          excludeSelf = true, asymmetric = asym,
+          rerankFrom = Some(corpus.select("vec_id", "e")))
+        .orderBy("qid", "rank").collect().toSeq
+      assert(viaStore == inFrame, s"asymmetric=$asym store path diverged")
+    }
+
+    // a wrong-width query must shortlist NOTHING (null code), not crash
+    // or return junk — the batch twin of the driver-side dims require
+    val widened = queries.unionByName(
+      Seq((999L, Seq.fill(dim + 1)(0.5))).toDF("qid", "e"))
+    val got = Similarity.ivfBqProbeAll(coded, "e", "vec_id", widened,
+        "qid", "e", codebook, m, k = 5, nprobe = 2, rerank = 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(999L) && qids.forall(got.contains))
+  }
+
   test("bqProbeAll matches per-query bqProbe; excludeSelf drops the self-match") {
     import spark.implicits._
     val m = Similarity.bqTrain(corpus, "e")
