@@ -66,6 +66,16 @@ object CorpusPrep {
     // any fpp (false positives die in the exact join) — see
     // Dedup.benchmarkContainment
     benchBloomFpp: Option[Double] = None,
+    // ROW-LOCAL n-gram-collision decontamination (GPT-3-style "any
+    // benchmark 13-gram collides -> drop"): serialized Bloom bytes
+    // from Dedup.buildShingleBloom, checked at `ngramBloomN` (build
+    // the filter at the SAME n) with `ngramBloomMaxHits` tolerance.
+    // The one decontamination tier that runs in prepStream — no join,
+    // no aggregation; union-of-benchmark semantics and the
+    // over-drop-only Bloom error are stated on Dedup.bloomNgramGate.
+    ngramBloom: Option[Array[Byte]] = None,
+    ngramBloomN: Int = 13,
+    ngramBloomMaxHits: Int = 0,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -250,10 +260,15 @@ object CorpusPrep {
     * sampling over the dedup survivors. */
   private def decontaminateAndSample(deduped: DataFrame, idCol: String,
       cfg: Config): DataFrame = {
-    val decontaminated = cfg.benchmark.fold(deduped) { bench =>
+    // the row-local n-gram gate runs first — it is the cheap tier,
+    // and anything it drops the containment join never pays for
+    val gated = cfg.ngramBloom.fold(deduped)(bytes =>
+      Dedup.bloomNgramGate(deduped, "clean_text", bytes,
+        cfg.ngramBloomN, cfg.ngramBloomMaxHits))
+    val decontaminated = cfg.benchmark.fold(gated) { bench =>
       // normalize the benchmark text identically to the corpus before
       // shingling, or containment would miss on case/whitespace alone
-      Dedup.decontaminate(deduped, "clean_text", idCol,
+      Dedup.decontaminate(gated, "clean_text", idCol,
         bench.withColumn("_bclean", normOf(cfg)(col(cfg.benchTextCol))),
         "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment,
         cfg.benchBloomFpp)
@@ -573,7 +588,8 @@ object CorpusPrep {
       "prepStream supports only the row-local stages (normalize + gates + LM " +
         "gate + exact dedup + the standing-corpus probe); corpus-statistic " +
         "stages need a batch pass — run them via runIncremental over the " +
-        "accumulated intake")
+        "accumulated intake (for decontamination in a stream, use the " +
+        "row-local n-gram tier: Config.ngramBloom)")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +
         "Similarity.sqSemanticLookup over the standing SQ index and pass it " +
@@ -602,7 +618,13 @@ object CorpusPrep {
         .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)
         .drop("_lm_n", "_lm_lp")
     }
-    val exact = lmGated
+    // n-gram-collision decontamination, the one tier that is stream-
+    // legal (row-local Bloom probe — see Dedup.bloomNgramGate; build
+    // the filter over bench text normalized like the corpus)
+    val decon = cfg.ngramBloom.fold(lmGated)(bytes =>
+      Dedup.bloomNgramGate(lmGated, "clean_text", bytes,
+        cfg.ngramBloomN, cfg.ngramBloomMaxHits))
+    val exact = decon
       .withColumn("_digest", md5(col("clean_text")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_digest")

@@ -1082,6 +1082,57 @@ object Dedup {
 
   /** Drop corpus rows contaminated by a benchmark set: anti-join on
     * the distinct contaminated ids from `benchmarkContainment`. */
+  /** Build the serialized Bloom filter over a benchmark's distinct
+    * word n-shingles — the static artifact behind bloomNgramGate (and
+    * reusable for benchmarkContainment's bloom tier if persisted).
+    * Driver-held but bits-sized (~10 bits/shingle at 1% fpp); build
+    * once per benchmark release, pass the bytes anywhere — including
+    * into a STREAM, which a join-based containment can never enter. */
+  def buildShingleBloom(bench: DataFrame, textCol: String = "text",
+      n: Int = 13, fpp: Double = 1e-4): Array[Byte] = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val sh = bench.select(explode(shingles(col(textCol), n)).as("sh")).distinct()
+    val items = math.max(sh.count(), 1L)
+    val bloom = sh.stat.bloomFilter("sh", items, fpp)
+    val baos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(baos)
+    baos.toByteArray
+  }
+
+  /** Count of a text's distinct n-shingles that hit the Bloom filter
+    * — pure map-side (compiled shingles + bloom_might_contain
+    * kernels), NULL text -> NULL. */
+  def bloomNgramHits(text: Column, bloomBytes: Array[Byte], n: Int): Column =
+    size(filter(shingles(text, n),
+      s => graft.functions.TextExpressions.bloom_might_contain(s, bloomBytes)))
+
+  /** N-gram-collision decontamination gate (the GPT-3-style rule,
+    * public knowledge: drop a training doc if any of its 13-grams
+    * appears in an eval set): keep rows with at most `maxHits`
+    * distinct n-shingles hitting the benchmark Bloom filter. The
+    * decision is ROW-LOCAL — one map-side pass through two compiled
+    * kernels, no join, no aggregation — so unlike the containment
+    * join this gate runs in a STREAM unchanged (prepStream routes it
+    * via Config.ngramBloom), and in batch it is the cheap first-pass
+    * tier in front of (or instead of) exact containment.
+    *
+    * Honest semantics, stated: (1) the rule is union-of-benchmark —
+    * "any hit anywhere", not per-benchmark-doc containment; that IS
+    * the published n-gram rule at the usual n=13, where a single
+    * collision is damning, but at small n it over-drops common
+    * phrases — size n accordingly. (2) Bloom false positives only
+    * OVER-drop, never leak contamination (no false negatives); at
+    * filter fpp p a clean doc with m shingles false-drops with
+    * P <= 1-(1-p)^m under maxHits=0, so build the filter at an fpp
+    * sized to your m (the 1e-4 default holds P under ~1% for
+    * 100-shingle docs). NULL text passes (nothing to collide). */
+  def bloomNgramGate(df: DataFrame, textCol: String,
+      bloomBytes: Array[Byte], n: Int = 13, maxHits: Int = 0): DataFrame = {
+    require(maxHits >= 0, s"maxHits must be >= 0, got $maxHits")
+    df.filter(col(textCol).isNull ||
+      bloomNgramHits(col(textCol), bloomBytes, n) <= maxHits)
+  }
+
   def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String = "text",
       benchIdCol: String = "doc_id",

@@ -88,6 +88,18 @@ object ScaleSmoke {
       val standing = docs.filter(col("doc_id") % 20 =!= 3)
       Dedup.dropIncrementalDuplicates(standing, batch, "text", "doc_id").count()
     }
+    // decontamination: bench = 2000 docs; the broadcast tier ships
+    // their exploded shingles, the Bloom tier prefilters the corpus
+    // explode map-side and lets the exact join verify survivors only
+    val bench = base.filter(col("doc_id") % 50 === 11).limit(2000).cache()
+    bench.count()
+    timed("decontam(broadcast)")(
+      Dedup.benchmarkContainment(docs, "text", "doc_id", bench, "text",
+        "doc_id", n = 3, minContainment = 0.5).count())
+    timed("decontam(bloom fpp=0.01)")(
+      Dedup.benchmarkContainment(docs, "text", "doc_id", bench, "text",
+        "doc_id", n = 3, minContainment = 0.5,
+        benchBloomFpp = Some(0.01)).count())
 
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -308,6 +320,27 @@ object ScaleSmoke {
         embD.filter(col("vec_id").between(0, 99))
           .select(col("vec_id").as("qid"), col("e")),
         "qid", "e", bqModel, k = 3, rerank = 12, excludeSelf = true).count()
+    }
+    // IVF-BQ (IndexBinaryIVF): the same sign codes under the coarse
+    // lists — the single probe scans ~nprobe/K of the codes, and the
+    // batch probe gets the equi-key the flat scan lacks, so the 1%
+    // crawl batch that bqProbeAll could never broadcast shuffles on
+    // the list id like every other IVF path
+    var ivfBqCoded: org.apache.spark.sql.DataFrame = null
+    timed("ann_ivf_bq_assign") {
+      ivfBqCoded = Similarity.bqAssign(assigned, "e", bqModel).cache()
+      ivfBqCoded.count()
+    }
+    timed("ann_ivf_bq_probe(nprobe=4,rerank=64)") {
+      Similarity.ivfBqProbe(ivfBqCoded, "e", "vec_id", query, 10, codebook,
+        bqModel, nprobe = 4, rerank = 64).count()
+    }
+    timed("ann_ivf_bq_probe_all(shuffle, 1% batch)") {
+      Similarity.ivfBqProbeAll(ivfBqCoded, "e", "vec_id",
+        ivfBqCoded.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", codebook, bqModel, k = 3, nprobe = 2, rerank = 12,
+        excludeSelf = true, broadcastProbes = Some(false)).count()
     }
 
     // ---- join/agg shapes on a replicated event stream ---------------

@@ -86,6 +86,39 @@ class BloomDecontamSpec extends SparkSpecBase {
     assert((120L until 140L).forall(survBloom.contains))
   }
 
+  test("bloomNgramGate: any-hit drops at n, maxHits tolerates, null text passes, batch facade routes it") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bloom = Dedup.buildShingleBloom(bench, "text", n = 4, fpp = 1e-6)
+    val docs = Seq(
+      // carries one bench 4-shingle verbatim -> any-hit drops it
+      (10L, "prefix words then alpha beta gamma delta and trailing tail"),
+      // shares only 3-grams with the bench, never a full 4-shingle
+      (11L, "alpha beta gamma XX delta epsilon zeta YY unrelated closing"),
+      (12L, "entirely private vocabulary with no benchmark overlap at all"),
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+
+    val kept = Dedup.bloomNgramGate(docs, "text", bloom, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L, 13L), s"got $kept")
+
+    // maxHits = 1 tolerates the single colliding shingle
+    val tol = Dedup.bloomNgramGate(docs, "text", bloom, n = 4, maxHits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tol == Set(10L, 11L, 12L, 13L))
+
+    // facade route: the gate runs on clean_text inside run(); the
+    // bench bloom is built over the SAME normalization
+    val cfg0 = CorpusPrep.Config(minChars = 20)
+    val normBench = bench.select(lower(col("text")).as("text"))
+    val bloomNorm = Dedup.buildShingleBloom(normBench, "text", n = 4, fpp = 1e-6)
+    val survivors = CorpusPrep.run(docs.filter(col("text").isNotNull),
+        cfg = cfg0.copy(ngramBloom = Some(bloomNorm), ngramBloomN = 4))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(11L, 12L))
+  }
+
   test("fpp bounds are validated loudly") {
     val (bench, corpus) = fixture
     for (bad <- Seq(0.0, 1.0, -0.1)) {

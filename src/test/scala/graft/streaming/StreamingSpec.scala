@@ -159,6 +159,41 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming n-gram Bloom decontamination drops the benchmark-colliding doc") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("prep-stream-bloom") { dir =>
+      val rows = Seq(
+        // contains a bench 4-shingle after normalization
+        (1L, "2026-01-01 00:00:01", "Intro then ALPHA beta GAMMA delta closing words here today"),
+        (2L, "2026-01-01 00:00:02", "a completely different document body that passes the gates"))
+        .toDF("doc_id", "ts", "text")
+        .withColumn("ts", to_timestamp(col("ts")))
+      rows.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      // bench bloom built over text normalized like the corpus side
+      val bloom = graft.operators.Dedup.buildShingleBloom(
+        Seq("alpha beta gamma delta epsilon").toDF("text"), "text",
+        n = 4, fpp = 1e-6)
+
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          graft.operators.CorpusPrep.Config(minChars = 20,
+            ngramBloom = Some(bloom), ngramBloomN = 4))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_bloom")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id FROM prep_stream_bloom")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L), s"got $got")
+      ()
+    }
+  }
+
   test("streaming LM gate drops the gibberish doc the batch gate drops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
