@@ -975,6 +975,44 @@ object Similarity {
         .cast("double") / count(lit(1)), 4).as("recall"))
   }
 
+  /** Precision/recall of a PAIR search against a reference pair set —
+    * the pair-search twin of recallAtK, closing the harness over the
+    * other half of the ANN surface (nearDupPairs* / hashNearDupPairs /
+    * minhashNearDupCandidates emit (id_a, id_b) frames; probes emit
+    * (query, id) ones). Both inputs are orientation-normalized
+    * ((least, greatest) per pair) and deduplicated first, so callers
+    * can pass frames with mixed orientation or repeats. Output: ONE
+    * row (n_got, n_truth, n_hit, precision, recall) — empty `truth`
+    * yields recall 1.0 (nothing to find) and empty `got` precision
+    * 1.0 (nothing claimed), both with n_* = 0, so the row is always
+    * well-defined. Cost: two aggregations + one equi-join on the
+    * normalized pair key; `truth` is evaluation-sized by construction
+    * (exact pair sets come from a SAMPLED corpus slice — at 100 TB
+    * you measure the banding/margin recall on a sample, exactly as
+    * recallAtK measures probe recall on sampled queries — while `got`
+    * may be the full candidate set). */
+  def pairMetrics(got: DataFrame, truth: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    def norm(df: DataFrame, a: String, b: String) = df
+      .select(least(col(idA), col(idB)).as(a), greatest(col(idA), col(idB)).as(b))
+      .filter(col(a).isNotNull && col(b).isNotNull && col(a) =!= col(b))
+      .distinct()
+    val g = norm(got, "_ga", "_gb")
+    val t = norm(truth, "_ta", "_tb")
+    val hit = g.join(t, col("_ga") === col("_ta") && col("_gb") === col("_tb"))
+    // three small aggregates combined via a one-row cross join — each
+    // side is a single count, so the join is trivially broadcast
+    val gc = g.agg(count(lit(1)).as("n_got"))
+    val tc = t.agg(count(lit(1)).as("n_truth"))
+    val hc = hit.agg(count(lit(1)).as("n_hit"))
+    gc.crossJoin(tc).crossJoin(hc)
+      .select(col("n_got"), col("n_truth"), col("n_hit"),
+        round(when(col("n_got") === 0, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_got")), 4).as("precision"),
+        round(when(col("n_truth") === 0, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_truth")), 4).as("recall"))
+  }
+
   /** Pick the smallest rerank budget that reaches `targetRecall` —
     * the closed loop over the recall harness: build ground truth ONCE
     * with bruteForceTopKAll over a sampled query batch, then call

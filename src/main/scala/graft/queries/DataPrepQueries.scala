@@ -2564,6 +2564,87 @@ object DataPrepQueries {
             "e", "vec_id", queries, "qid", "e", codebook, m,
             k = 8, nprobe = 2, rerank = 24, excludeSelf = true)
           .orderBy("qid", "rank")
+      }),
+
+    // The pair-search half of the evaluation harness, oracle-pinned:
+    // precision/recall of q36's banded-LSH candidate pairs against
+    // q35's exact shingle-Jaccard pairs (>= 0.5, within source), via
+    // Similarity.pairMetrics. Whatever the LSH s-curve yields HERE,
+    // both engines must compute the identical counts and ratios —
+    // which pins the harness's orientation normalization, dedup,
+    // join, and zero-guard arithmetic end to end.
+    QueryDef("q111_pair_metrics", Some(s"""
+      WITH $shinglesSqlCte,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+             GROUP BY doc_a, doc_b),
+      tpairs AS (SELECT doc_a, doc_b
+                 FROM jp JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+                 WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5),
+      sig AS (SELECT doc_id, source,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
+      bands AS (SELECT doc_id, source, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, source, md5(h2 || '|' || h3) AS band FROM sig),
+      gpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.source = b.source AND a.doc_id < b.doc_id),
+      gc AS (SELECT count(*) AS n_got FROM gpairs),
+      tc AS (SELECT count(*) AS n_truth FROM tpairs),
+      hc AS (SELECT count(*) AS n_hit FROM gpairs g
+             JOIN tpairs t ON g.doc_a = t.doc_a AND g.doc_b = t.doc_b)
+      SELECT n_got, n_truth, n_hit,
+             round(CASE WHEN n_got = 0 THEN 1.0
+                        ELSE CAST(n_hit AS DOUBLE) / n_got END, 4) AS precision,
+             round(CASE WHEN n_truth = 0 THEN 1.0
+                        ELSE CAST(n_hit AS DOUBLE) / n_truth END, 4) AS recall
+      FROM gc CROSS JOIN tc CROSS JOIN hc"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // truth: q35's exact-Jaccard pair pipeline at >= 0.5
+        val exploded = docs
+          .select(col("source"),
+            graft.functions.TextExpressions.shingles(col("text"), 3).as("shs"),
+            col("doc_id"))
+          .select(col("source"), col("doc_id"), size(col("shs")).as("n"),
+            explode(col("shs")).as("sh"))
+        val (tL, tR) = graft.operators.HotKeys.capPair(exploded,
+          Seq(col("source"), col("sh")), graft.operators.HotKeys.DefaultBucketCap,
+          metricName = "graft_q111_shingle_df_cap")
+        val truth = tL
+          .select(col("source"), col("sh"), col("doc_id").as("id_a"), col("n").as("na"))
+          .hint("merge")
+          .join(tR.select(col("source"), col("sh"), col("doc_id").as("id_b"),
+            col("n").as("nb")), Seq("source", "sh"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b", "na", "nb")
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")) >= 0.5)
+          .select("id_a", "id_b")
+        // got: q36's banded MinHash candidates, within source
+        val sig = docs
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextExpressions.minhash_sig(col("text"), 3, 4).as("hs"))
+          .filter(col("hs").isNotNull)
+        val bands = sig.select(col("doc_id"), col("source"), explode(array(
+          md5(concat(element_at(col("hs"), 1), lit("|"), element_at(col("hs"), 2))),
+          md5(concat(element_at(col("hs"), 3), lit("|"), element_at(col("hs"), 4))))).as("band"))
+        val (gL, gR) = graft.operators.HotKeys.capPair(bands,
+          Seq(col("source"), col("band")), graft.operators.HotKeys.DefaultBucketCap,
+          metricName = "graft_q111_band_cap")
+        val got = gL.select(col("source"), col("band"), col("doc_id").as("id_a"))
+          .hint("merge")
+          .join(gR.select(col("source"), col("band"), col("doc_id").as("id_b")),
+            Seq("source", "band"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+        graft.operators.Similarity.pairMetrics(got, truth)
       })
   )
 }

@@ -1281,4 +1281,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recallAt10(got, truth) >= 0.9)
     assigned.unpersist(); corpus.unpersist()
   }
+
+  test("pairMetrics: orientation/dup/self/null normalization, exact ratios, empty-side conventions") {
+    import spark.implicits._
+    // (6,5) reversed and (1,2) repeated must count once each; the
+    // self-pair and the null row never count on either side
+    val got = Seq((1L, 2L), (2L, 1L), (3L, 4L), (6L, 5L), (9L, 9L))
+      .toDF("id_a", "id_b")
+      .unionByName(Seq((Some(7L), None: Option[Long])).toDF("id_a", "id_b"))
+    val truth = Seq((2L, 1L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val row = Similarity.pairMetrics(got, truth).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 3L, 2L)))
+    assert(row.getDouble(3) == 0.6667 && row.getDouble(4) == 0.6667)
+
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r1 = Similarity.pairMetrics(empty, truth).collect()(0)
+    assert(r1.getLong(0) == 0L && r1.getDouble(3) == 1.0 && r1.getDouble(4) == 0.0)
+    val r2 = Similarity.pairMetrics(got, empty).collect()(0)
+    assert(r2.getLong(1) == 0L && r2.getDouble(3) == 0.0 && r2.getDouble(4) == 1.0)
+  }
 }
