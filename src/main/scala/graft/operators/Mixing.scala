@@ -148,4 +148,54 @@ object Mixing {
       .select(col("_e.payload").as(idCol))
     df.join(picked, Seq(idCol), "left_semi")
   }
+
+  /** Token-budget sample per stratum: keep rows, in md5-uniform draw
+    * order, until each stratum's running TOKEN total reaches `budget`
+    * — the "50B tokens of every source" call. Training mixes are
+    * specified in tokens; doc-count knobs (`stratifiedTake`) cannot
+    * hit a token target when doc lengths vary by orders of magnitude.
+    * The boundary row that crosses the budget is KEPT (greedy
+    * inclusion: the output is nonempty whenever the stratum is, and
+    * the kept total overshoots by at most one document — truncate or
+    * drop downstream if a hard ceiling outranks nonemptiness). Like
+    * every md5 draw: reproducible, repartition-stable, and NESTED —
+    * the 10B-token sample is a prefix of the 50B one under the same
+    * salt. Rows with a NULL token count drop (they cannot be
+    * budgeted); counts must be non-negative (a negative count breaks
+    * the running total's monotonicity and the prefix property with
+    * it).
+    *
+    * Cost shape: one tiny per-stratum total (broadcast back), then a
+    * window cumsum ONLY over strata that exceed the budget — a
+    * stratum at or under budget is kept whole without sorting
+    * anything. At 100 TB, when a stratum dwarfs its budget, bound the
+    * sort by pre-filtering with the SAME salt at a draw threshold
+    * ~ slack·budget/stratumTokens before calling this: the prefix
+    * property makes the composition exact whenever the prefiltered
+    * mass still covers the budget (and over-covering is guaranteed in
+    * expectation by the slack). */
+  def tokenBudgetTake(df: DataFrame, strataCols: Seq[String], idCol: String,
+      tokenCol: String, budget: Long, salt: String = ""): DataFrame = {
+    require(strataCols.nonEmpty, "tokenBudgetTake needs at least one stratum column")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val clash = df.columns.toSeq.intersect(Seq("_tot", "_cum"))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with tokenBudgetTake's working names")
+    val totals = df.groupBy(strataCols.map(col): _*)
+      .agg(sum(col(tokenCol)).as("_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    val joined = df.filter(col(tokenCol).isNotNull)
+      .join(broadcast(totals), strataCols)
+    // two real branches, not a when(): a conditional window expression
+    // would still sort every row — the union keeps under-budget strata
+    // out of the window's input entirely
+    val whole = joined.filter(col("_tot") <= budget).drop("_tot")
+    val cut = joined.filter(col("_tot") > budget).drop("_tot")
+      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      .filter(col("_cum") - col(tokenCol) < budget)
+      .drop("_cum")
+    whole.unionByName(cut)
+  }
 }

@@ -2645,6 +2645,34 @@ object DataPrepQueries {
           .select("id_a", "id_b")
           .distinct()
         graft.operators.Similarity.pairMetrics(got, truth)
+      }),
+
+    // Token-budget sampling (Mixing.tokenBudgetTake): each source
+    // keeps rows in md5-draw order until 2,000 tokens — the mix knob
+    // that training recipes actually specify (tokens, not docs). The
+    // boundary doc crossing the budget is kept (greedy inclusion), so
+    // kept_tokens lands in [budget, budget + max doc). The draw, the
+    // running cumsum, and the boundary rule all replay in DuckDB.
+    QueryDef("q112_token_budget", Some(s"""
+      WITH d AS (SELECT doc_id, source, len($toksSql) AS nt FROM documents),
+      tot AS (SELECT source, sum(nt) AS tot FROM d GROUP BY source),
+      cum AS (SELECT d.doc_id, d.source, d.nt, t.tot,
+                     sum(nt) OVER (PARTITION BY d.source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0,
+                                doc_id) AS cum
+              FROM d JOIN tot t USING (source)),
+      kept AS (SELECT * FROM cum WHERE tot <= 2000 OR cum - nt < 2000)
+      SELECT source, count(*) AS n_kept, CAST(sum(nt) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr(s"size($toksExpr)").cast("bigint").as("nt"))
+        graft.operators.Mixing.tokenBudgetTake(d, Seq("source"), "doc_id",
+            "nt", budget = 2000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
+          .orderBy("source")
       })
   )
 }

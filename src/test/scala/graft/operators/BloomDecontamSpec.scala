@@ -119,6 +119,25 @@ class BloomDecontamSpec extends SparkSpecBase {
     assert(survivors == Set(11L, 12L))
   }
 
+  test("SQL surface: bloom_might_contain resolves with a binary literal, rejects non-constant filters") {
+    import spark.implicits._
+    graft.functions.TextExpressions.register(spark)
+    val members = Seq("alpha", "beta")
+    val filter = members.toDF("s").stat.bloomFilter("s", 2L, 0.01)
+    val baos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(baos)
+    val hexLit = "X'" + baos.toByteArray.map("%02X".format(_)).mkString + "'"
+    (members :+ "outsider-zzz").toDF("s").createOrReplaceTempView("bloom_sql_probe")
+    val got = spark.sql(
+        s"SELECT s, bloom_might_contain(s, $hexLit) AS hit FROM bloom_sql_probe")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("alpha") && got("beta") && !got("outsider-zzz"))
+    intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain(s, cast(s AS BINARY)) FROM bloom_sql_probe")
+        .collect()
+    }
+  }
+
   test("fpp bounds are validated loudly") {
     val (bench, corpus) = fixture
     for (bad <- Seq(0.0, 1.0, -0.1)) {

@@ -139,4 +139,45 @@ class MixingSpec extends SparkSpecBase {
       Mixing.stratifiedSample(docs, "doc_id", lit(0.25), salt = "stageA").count()
     assert(math.abs(saltAvg - 1.5) < 0.1, s"expected ~1.5 copies, got $saltAvg")
   }
+
+  test("tokenBudgetTake: budget hit per stratum with one-doc overshoot, prefix-nested, whole small strata, null counts drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stratum A: 50 docs x 100 tokens = 5000 >> budget; B: 3 docs,
+    // 300 total, under every budget; one null-count row in A
+    val rows = (0 until 50).map(i => (i.toLong, "A", Some(100L))) ++
+      Seq((100L, "B", Some(120L)), (101L, "B", Some(90L)), (102L, "B", Some(90L)),
+        (103L, "A", None: Option[Long]))
+    val df = rows.toDF("doc_id", "source", "nt")
+
+    val kept = Mixing.tokenBudgetTake(df, Seq("source"), "doc_id", "nt", 1000L)
+    val bySrc = kept.groupBy("source")
+      .agg(sum("nt").as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // A: greedy inclusion crosses 1000 exactly at the 10th 100-token doc
+    assert(bySrc("A") == ((1000L, 10L)), s"got ${bySrc("A")}")
+    // B is under budget: kept whole
+    assert(bySrc("B") == ((300L, 3L)))
+    // the null-count row can never be kept
+    assert(kept.filter(col("doc_id") === 103L).isEmpty)
+
+    // nested: the 500-token sample is a prefix of the 1000-token one
+    val small = Mixing.tokenBudgetTake(df, Seq("source"), "doc_id", "nt", 500L)
+      .filter(col("source") === "A").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val big = kept.filter(col("source") === "A").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.size == 5 && small.subsetOf(big))
+
+    // reproducible under repartitioning
+    val re = Mixing.tokenBudgetTake(df.repartition(7), Seq("source"),
+        "doc_id", "nt", 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    intercept[IllegalArgumentException](
+      Mixing.tokenBudgetTake(df, Seq.empty, "doc_id", "nt", 1000L))
+    intercept[IllegalArgumentException](
+      Mixing.tokenBudgetTake(df, Seq("source"), "doc_id", "nt", 0L))
+  }
 }
