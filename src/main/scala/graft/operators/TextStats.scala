@@ -43,6 +43,46 @@ object TextStats {
       .agg(count(lit(1)).as("n_tok"), round(avg("_lp"), 4).as("logprob"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * per-token Jensen-Shannon decomposition, the "did the new crawl
+    * shift?" diagnostic run before retraining anything on it. Both
+    * sides' unigram distributions are add-one-smoothed over the UNION
+    * vocabulary (a token present on one side only gets a finite
+    * contribution instead of an infinite KL term); each row carries
+    * js_contrib = ½·p_a·ln(2·p_a/(p_a+p_b)) + ½·p_b·ln(2·p_b/(p_a+p_b))
+    * — non-negative, and summing it over the whole vocabulary IS the
+    * JS divergence, so the `topK` rows kept here are the tokens
+    * DRIVING the drift, which is the part a human reads. Ordering is
+    * by the ROUNDED contribution (desc, ties by token) so the cut is
+    * reproducible across engines and runs. Cost: one token count per
+    * side (map-side partial aggregation) + a full-outer join on the
+    * token — vocabulary-sized, never corpus-sized; the two corpus
+    * scalars (totals, union-vocab size) ride as a broadcast one-row
+    * cross join like every corpus scalar in this object.
+    * Returns (token, p_a, p_b, js_contrib), rounded to 6. */
+  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(toks(textCol)).as("_tok"))
+        .groupBy("_tok").agg(count(lit(1)).as(out))
+    val u = counts(a, "_ca").join(counts(b, "_cb"), Seq("_tok"), "full_outer")
+      .select(col("_tok").as("token"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val scalars = u.agg(sum("_ca").cast("double").as("_sa"),
+      sum("_cb").cast("double").as("_sb"), count(lit(1)).cast("double").as("_v"))
+    val pa = (col("_ca") + 1.0) / (col("_sa") + col("_v"))
+    val pb = (col("_cb") + 1.0) / (col("_sb") + col("_v"))
+    val jc = lit(0.5) * pa * log(lit(2.0) * pa / (pa + pb)) +
+      lit(0.5) * pb * log(lit(2.0) * pb / (pa + pb))
+    u.crossJoin(broadcast(scalars))
+      .select(col("token"), round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(jc, 6).as("js_contrib"))
+      .orderBy(desc("js_contrib"), col("token"))
+      .limit(topK)
+  }
+
   /** A trained bigram LM: pair counts (`_w1,_w2,_cb` — NOT
     * vocab-bounded), left-occurrence counts (`_w1,_cu` —
     * vocab-sized), and the smoothing vocabulary size as a ONE-ROW

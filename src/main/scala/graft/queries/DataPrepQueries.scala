@@ -2673,6 +2673,38 @@ object DataPrepQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
           .orderBy("source")
+      }),
+
+    // Corpus drift (TextStats.tokenDivergence): per-token Jensen-
+    // Shannon decomposition between two snapshots (even vs odd
+    // doc_ids), add-one-smoothed over the union vocabulary, top-30
+    // drivers kept — ordering by the ROUNDED contribution so the cut
+    // replays identically. The frequencies, smoothing, logs, and the
+    // tie rule all replay in DuckDB.
+    QueryDef("q113_token_divergence", Some(s"""
+      WITH ta AS (SELECT unnest($toksSql) AS t FROM documents WHERE doc_id % 2 = 0),
+      tb AS (SELECT unnest($toksSql) AS t FROM documents WHERE doc_id % 2 = 1),
+      ca AS (SELECT t, count(*) AS c FROM ta GROUP BY t),
+      cb AS (SELECT t, count(*) AS c FROM tb GROUP BY t),
+      u AS (SELECT coalesce(ca.t, cb.t) AS token,
+                   coalesce(ca.c, 0) AS nca, coalesce(cb.c, 0) AS ncb
+            FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+      tot AS (SELECT CAST(sum(nca) AS DOUBLE) AS sa,
+                     CAST(sum(ncb) AS DOUBLE) AS sb,
+                     CAST(count(*) AS DOUBLE) AS v FROM u),
+      p AS (SELECT token, (nca + 1.0) / (sa + v) AS pa,
+                   (ncb + 1.0) / (sb + v) AS pb
+            FROM u CROSS JOIN tot)
+      SELECT token, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+             round(0.5 * pa * ln(2.0 * pa / (pa + pb))
+                 + 0.5 * pb * ln(2.0 * pb / (pa + pb)), 6) AS js_contrib
+      FROM p
+      ORDER BY js_contrib DESC, token LIMIT 30"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.TextStats.tokenDivergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text", topK = 30)
       })
   )
 }

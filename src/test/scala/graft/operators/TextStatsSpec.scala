@@ -196,4 +196,30 @@ class TextStatsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("tokenDivergence: identical corpora contribute ~0, a one-side token drives the drift, sum is the JS bound") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "alpha beta gamma alpha"), (4L, "beta gamma NOVEL"))
+      .toDF("doc_id", "text")
+
+    // identical snapshots: every contribution is exactly 0
+    val same = TextStats.tokenDivergence(a, a, "text")
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0))
+
+    val rows = TextStats.tokenDivergence(a, b, "text", topK = 10).collect()
+    // the two one-side tokens (delta only in a, NOVEL only in b) must
+    // outrank every shared token
+    val ranked = rows.map(_.getString(0)).toSeq
+    assert(ranked.take(2).toSet == Set("delta", "NOVEL"), s"got $ranked")
+    // contributions are non-negative and bounded: sum(js) <= ln(2)
+    val js = rows.map(_.getDouble(3))
+    assert(js.forall(_ >= 0.0) && js.sum <= math.log(2.0) + 1e-9)
+    // hand-check one smoothed frequency: union vocab = 5 tokens,
+    // side a has 7 tokens, alpha appears 2x -> p_a = (2+1)/(7+5)
+    val alpha = rows.find(_.getString(0) == "alpha").get
+    assert(math.abs(alpha.getDouble(1) - 3.0 / 12.0) < 1e-6)
+  }
 }
