@@ -377,4 +377,63 @@ object TextStats {
         col("tf"), col("df"),
         round(col("tf") * log(col("_ndocs") / col("df")), 4).as("tfidf"))
   }
+
+  /** BM25 top-k retrieval — the TEXT twin of the ANN probe family:
+    * score every corpus doc sharing at least one token with each
+    * query and keep the k best per query (Okapi BM25 with the
+    * Lucene-style non-negative idf, public knowledge:
+    * idf = ln(1 + (N − df + ½)/(df + ½)), term score
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·len/avgLen)), summed over
+    * the query's DISTINCT tokens). The serving shape for
+    * decontamination candidate generation, data curation ("find me
+    * docs like these"), and eval-set leakage hunts when embeddings
+    * don't exist yet.
+    *
+    * Plan at scale: the corpus explodes ONCE into (token, doc, tf)
+    * postings joined to its vocabulary-sized df table; the query
+    * side is probe-sized by definition and BROADCASTS its distinct
+    * (query, token) pairs into that postings scan, so each posting
+    * is read once and only query-term postings contribute — never a
+    * corpus×queries product. Doc length and the two corpus scalars
+    * (N, avgLen) ride the usual one-row broadcast cross join. A
+    * per-query window keeps the top k (score desc, ties by id).
+    * Stop-word-heavy queries touch hot posting lists — at 100 TB cap
+    * them upstream (HotKeys) or drop near-zero-idf terms; both knobs
+    * compose in front of this. Returns (qIdCol, idCol, score, rank),
+    * score rounded to 4. */
+  def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
+      queries: DataFrame, qTextCol: String, qIdCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
+    val tokens = corpus.select(col(idCol), explode(toks(textCol)).as("token"))
+    val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("_tf"))
+    val dfT = tokens.distinct().groupBy("token").agg(count(lit(1)).as("_df"))
+    val lens = corpus.select(col(idCol), size(toks(textCol)).cast("double").as("_len"))
+    val scalars = corpus.agg(count(lit(1)).cast("double").as("_n"),
+      avg(size(toks(textCol))).as("_avglen"))
+    val qTokens = queries
+      .select(col(qIdCol).as("_qid"), explode(toks(qTextCol)).as("token"))
+      .distinct()
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
+    val norm = col("_tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("_len") / col("_avglen"))
+    tf.join(broadcast(qTokens), Seq("token"))
+      .join(dfT, Seq("token"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("_qid"), col(idCol))
+      .agg(sum(idf * col("_tf") * (lit(k1) + 1.0) / norm).as("_score"))
+      // rank on the ROUNDED score (ties by id): a float sum's last
+      // ulp depends on addition order — across partitions AND across
+      // engines — and duplicate docs score exact ties constantly, so
+      // an unrounded sort key would make the top-k cut irreproducible
+      .withColumn("score", round(col("_score"), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(desc("score"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("score"), col("rank"))
+  }
 }

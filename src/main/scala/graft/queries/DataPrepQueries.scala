@@ -2705,6 +2705,43 @@ object DataPrepQueries {
         graft.operators.TextStats.tokenDivergence(
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "text", topK = 30)
+      }),
+
+    // BM25 top-k retrieval (TextStats.bm25TopK): docs 0-2 are the
+    // query set, the rest the corpus — Okapi BM25 with the
+    // Lucene-style non-negative idf over distinct query tokens, k=5
+    // per query. Ranks cut on the ROUNDED score (ties by doc) so the
+    // float sum's addition order can't flip the cut between engines.
+    QueryDef("q114_bm25_topk", Some(s"""
+      WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
+      qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
+             FROM documents WHERE doc_id < 3),
+      post AS (SELECT doc_id, t AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM corpus) GROUP BY doc_id, t),
+      dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus),
+      sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avglen FROM corpus),
+      scored AS (SELECT q.qid, p.doc_id,
+                        round(sum(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                          * p.tf * 2.2
+                          / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+                 FROM post p
+                   JOIN qs q ON q.token = p.token
+                   JOIN dft d ON d.token = p.token
+                   JOIN lens l ON l.doc_id = p.doc_id
+                   CROSS JOIN sc
+                 GROUP BY q.qid, p.doc_id)
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.TextStats.bm25TopK(
+            docs.filter(col("doc_id") >= 3), "text", "doc_id",
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("qid"), col("text")),
+            "text", "qid", k = 5)
+          .orderBy("qid", "rank")
       })
   )
 }

@@ -222,4 +222,36 @@ class TextStatsSpec extends SparkSpecBase {
     val alpha = rows.find(_.getString(0) == "alpha").get
     assert(math.abs(alpha.getDouble(1) - 3.0 / 12.0) < 1e-6)
   }
+
+  test("bm25TopK: scores match the closed form, zero-overlap docs absent, id-collision rename") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "apple banana apple"),
+      (11L, "banana cherry"),
+      (12L, "durian durian durian")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry cherry")).toDF("doc_id", "text")
+
+    val got = TextStats.bm25TopK(corpus, "text", "doc_id",
+        queries, "text", "doc_id", k = 5)
+      .orderBy("rank").collect()
+    // doc 12 shares no token with the query and must be absent
+    assert(got.map(_.getLong(1)).toSeq == Seq(11L, 10L) ||
+      got.map(_.getLong(1)).toSeq == Seq(10L, 11L))
+    assert(got.forall(_.getLong(0) == 1L))
+    // q_<name> rename on the id collision
+    assert(got.head.schema.fieldNames.head == "q_doc_id")
+
+    // closed form, independent arithmetic: N=3, avglen=8/3,
+    // idf(t) = ln(1 + (N - df + .5)/(df + .5)), every query token
+    // counted ONCE (distinct), k1=1.2, b=0.75
+    def idf(df: Double) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3.0)))
+    val exp10 = idf(1) * term(2, 3) // apple only
+    val exp11 = idf(1) * term(1, 2) // cherry only
+    val byId = got.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(byId(10L) - exp10) < 5e-5, s"${byId(10L)} vs $exp10")
+    assert(math.abs(byId(11L) - exp11) < 5e-5, s"${byId(11L)} vs $exp11")
+  }
 }
