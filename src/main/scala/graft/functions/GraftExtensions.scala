@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64Expr(exprs.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName, "bloom_might_contain"),
+      TextExpressions.fromSeqBloom _))
+    extensions.injectFunction((
       new FunctionIdentifier("parse_range_expr"),
       new ExpressionInfo(classOf[ParseRangeExprE].getName, "parse_range_expr"),
       RangeExpressions.fromSeqParse _))

@@ -441,14 +441,16 @@ object TextExpressions {
         NfcNormalizeExpr(exprs.head)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain", exprs => {
-        require(exprs.length == 2,
-          s"bloom_might_contain requires 2 arguments (text, filter bytes), got ${exprs.length}")
-        require(exprs(1).foldable &&
-            exprs(1).dataType == org.apache.spark.sql.types.BinaryType,
-          "bloom_might_contain: the filter must be a constant BINARY value " +
-            "(e.g. an X'...' literal of BloomFilter.writeTo bytes)")
-        BloomMightContainExpr(exprs.head, exprs(1).eval().asInstanceOf[Array[Byte]])
-      }, "built-in")
+      "bloom_might_contain", fromSeqBloom, "built-in")
+  }
+
+  def fromSeqBloom(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"bloom_might_contain requires 2 arguments (text, filter bytes), got ${exprs.length}")
+    require(exprs(1).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.BinaryType,
+      "bloom_might_contain: the filter must be a constant BINARY value " +
+        "(e.g. an X'...' literal of BloomFilter.writeTo bytes)")
+    BloomMightContainExpr(exprs.head, exprs(1).eval().asInstanceOf[Array[Byte]])
   }
 }

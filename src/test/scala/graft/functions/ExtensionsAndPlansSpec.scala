@@ -25,6 +25,26 @@ class ExtensionsAndPlansSpec extends SparkSpecBase {
     assert(e2.eval(null) == 1)
   }
 
+  test("GraftExtensions injects bloom_might_contain; non-constant filter rejected") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import spark.implicits._
+    val registry = GraftBridge.functionRegistryOf(new GraftExtensions)
+    val filter = Seq("alpha").toDF("s").stat.bloomFilter("s", 1L, 0.01)
+    val baos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(baos)
+    val e = registry.lookupFunction(new FunctionIdentifier("bloom_might_contain"),
+      Seq(Literal("alpha"), Literal(baos.toByteArray)))
+    assert(e.eval(null) == true)
+    intercept[IllegalArgumentException] {
+      registry.lookupFunction(new FunctionIdentifier("bloom_might_contain"),
+        Seq(Literal("alpha"),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "b", org.apache.spark.sql.types.BinaryType)()))
+    }
+  }
+
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
