@@ -583,8 +583,7 @@ object CorpusPrep {
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
       standingIndex: Option[DataFrame] = None,
       semanticLookup: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
-    require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans &&
-        cfg.benchmark.isEmpty && cfg.sampleRate.isEmpty,
+    require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.benchmark.isEmpty,
       "prepStream supports only the row-local stages (normalize + gates + LM " +
         "gate + exact dedup + the standing-corpus probe); corpus-statistic " +
         "stages need a batch pass — run them via runIncremental over the " +
@@ -676,15 +675,26 @@ object CorpusPrep {
     // byte-compressed lookup cached like the text lookups (its 8×
     // compression is what keeps a large standing corpus resident).
     // Runs AFTER the text tiers: a textual dup is the cheaper drop.
-    semanticLookup match {
-      case None => (textFiltered, new StreamCaches(textCaches))
+    val (semFiltered, allCaches) = semanticLookup match {
+      case None => (textFiltered, textCaches)
       case Some(lk) =>
         val lkCached = lk.cache()
         (Similarity.streamSemanticFilter(textFiltered, cfg.embCol.get,
           lkCached, cfg.codebook.get, cfg.sqModel.get, cfg.minCosine,
           cfg.nprobe),
-          new StreamCaches(textCaches :+ lkCached))
+          textCaches :+ lkCached)
     }
+    // sampleRate is stream-legal, unlike the other batch-only stages:
+    // the md5 draw is a pure row-local filter (no shuffle, no state),
+    // and its determinism means a restart redraws identically. Same
+    // LAST position and salt as the batch path, so a stream survivor
+    // set equals run()'s on the same rows. The rate expression must
+    // itself be row-local (a literal or a function of the row) —
+    // corpus-statistic rates belong to runIncremental, like every
+    // other corpus statistic here.
+    val sampled = cfg.sampleRate.fold(semFiltered)(
+      Mixing.stratifiedSample(semFiltered, idCol, _, salt = "corpusprep"))
+    (sampled, new StreamCaches(allCaches))
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

@@ -194,6 +194,39 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming sampleRate draws identically to the batch sampler on the same rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("prep-stream-sample") { dir =>
+      val rows = (1L to 40L).map(i =>
+        (i, "2026-01-01 00:00:01", s"a sufficiently long unique document body number $i"))
+        .toDF("doc_id", "ts", "text")
+        .withColumn("ts", to_timestamp(col("ts")))
+      rows.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          graft.operators.CorpusPrep.Config(minChars = 20,
+            sampleRate = Some(lit(0.5))))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_sample")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id FROM prep_stream_sample")
+        .collect().map(_.getLong(0)).toSet
+      // the batch twin on the same ids, same salt
+      val expect = graft.operators.Mixing.stratifiedSample(
+          rows, "doc_id", lit(0.5), salt = "corpusprep")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"stream $got vs batch $expect")
+      assert(got.nonEmpty && got.size < 40)
+      ()
+    }
+  }
+
   test("streaming LM gate drops the gibberish doc the batch gate drops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
