@@ -95,7 +95,9 @@ object CorpusPrep {
     // e.g. by lang or source); applied LAST via Mixing.stratifiedSample
     sampleRate: Option[org.apache.spark.sql.Column] = None,
     // OPT-IN per-stage survivor counts published as observed metrics
-    // (<prefix>_gated/_exact/_neardup/_semantic — "where did my docs
+    // (<prefix>_gated/_exact/_neardup/_semantic, plus _ngram/
+    // _decontam/_sampled when those stages are configured — "where
+    // did my docs
     // go" with ZERO extra passes; GraftSession's listener logs them
     // after the action). Off by default because metric names must be
     // unique within one query execution: two default-named preps
@@ -260,23 +262,27 @@ object CorpusPrep {
     * sampling over the dedup survivors. */
   private def decontaminateAndSample(deduped: DataFrame, idCol: String,
       cfg: Config): DataFrame = {
+    def observed(df: DataFrame, stage: String): DataFrame =
+      cfg.metricPrefix.fold(df)(p =>
+        df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
     // the row-local n-gram gate runs first — it is the cheap tier,
     // and anything it drops the containment join never pays for
     val gated = cfg.ngramBloom.fold(deduped)(bytes =>
-      Dedup.bloomNgramGate(deduped, "clean_text", bytes,
-        cfg.ngramBloomN, cfg.ngramBloomMaxHits))
+      observed(Dedup.bloomNgramGate(deduped, "clean_text", bytes,
+        cfg.ngramBloomN, cfg.ngramBloomMaxHits), "ngram"))
     val decontaminated = cfg.benchmark.fold(gated) { bench =>
       // normalize the benchmark text identically to the corpus before
       // shingling, or containment would miss on case/whitespace alone
-      Dedup.decontaminate(gated, "clean_text", idCol,
+      observed(Dedup.decontaminate(gated, "clean_text", idCol,
         bench.withColumn("_bclean", normOf(cfg)(col(cfg.benchTextCol))),
         "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment,
-        cfg.benchBloomFpp)
+        cfg.benchBloomFpp), "decontam")
     }
     // distinct salt: the prep sample must not correlate with any
     // downstream unsalted mixing draw over the same ids
-    cfg.sampleRate.fold(decontaminated)(
-      Mixing.stratifiedSample(decontaminated, idCol, _, salt = "corpusprep"))
+    cfg.sampleRate.fold(decontaminated)(r =>
+      observed(Mixing.stratifiedSample(decontaminated, idCol, r,
+        salt = "corpusprep"), "sampled"))
   }
 
   /** Returns the surviving rows of `docs` with `clean_text` appended.

@@ -113,10 +113,16 @@ class BloomDecontamSpec extends SparkSpecBase {
     val cfg0 = CorpusPrep.Config(minChars = 20)
     val normBench = bench.select(lower(col("text")).as("text"))
     val bloomNorm = Dedup.buildShingleBloom(normBench, "text", n = 4, fpp = 1e-6)
-    val survivors = CorpusPrep.run(docs.filter(col("text").isNotNull),
-        cfg = cfg0.copy(ngramBloom = Some(bloomNorm), ngramBloomN = 4))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = CorpusPrep.run(docs.filter(col("text").isNotNull),
+      cfg = cfg0.copy(ngramBloom = Some(bloomNorm), ngramBloomN = 4,
+        sampleRate = Some(lit(1.0)), metricPrefix = Some("bloom_prep")))
+    val survivors = out.collect().map(_.getAs[Long]("doc_id")).toSet
     assert(survivors == Set(11L, 12L))
+    // the new stages publish survivor counts like every other stage
+    // (metrics populate on out's OWN QueryExecution action above)
+    val m = out.queryExecution.observedMetrics
+    assert(m("bloom_prep_ngram").getAs[Long]("rows") == 2L)
+    assert(m("bloom_prep_sampled").getAs[Long]("rows") == 2L)
   }
 
   test("SQL surface: bloom_might_contain resolves with a binary literal, rejects non-constant filters") {
