@@ -58,7 +58,12 @@ object TextStats {
     * side (map-side partial aggregation) + a full-outer join on the
     * token — vocabulary-sized, never corpus-sized; the two corpus
     * scalars (totals, union-vocab size) ride as a broadcast one-row
-    * cross join like every corpus scalar in this object.
+    * cross join like every corpus scalar in this object. The scalar
+    * aggregation re-derives the joined vocabulary (the plan runs the
+    * full-outer join twice — both vocabulary-sized) rather than
+    * caching it: a lazy operator pinning executor memory the caller
+    * never asked for is the worse trade; cache upstream if the same
+    * snapshots feed many diagnostics.
     * Returns (token, p_a, p_b, js_contrib), rounded to 6. */
   def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String,
       topK: Int = 100): DataFrame = {
