@@ -260,20 +260,25 @@ object CorpusPrep {
 
   /** Shared back half: benchmark decontamination + stratified
     * sampling over the dedup survivors. */
+  /** One definition of the per-stage survivor metric — every stage
+    * in run() and decontaminateAndSample publishes through it, so
+    * the naming scheme cannot drift between them. */
+  private def observed(cfg: Config)(df: DataFrame, stage: String): DataFrame =
+    cfg.metricPrefix.fold(df)(p =>
+      df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
+
   private def decontaminateAndSample(deduped: DataFrame, idCol: String,
       cfg: Config): DataFrame = {
-    def observed(df: DataFrame, stage: String): DataFrame =
-      cfg.metricPrefix.fold(df)(p =>
-        df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
+    val obs = observed(cfg) _
     // the row-local n-gram gate runs first — it is the cheap tier,
     // and anything it drops the containment join never pays for
     val gated = cfg.ngramBloom.fold(deduped)(bytes =>
-      observed(Dedup.bloomNgramGate(deduped, "clean_text", bytes,
+      obs(Dedup.bloomNgramGate(deduped, "clean_text", bytes,
         cfg.ngramBloomN, cfg.ngramBloomMaxHits), "ngram"))
     val decontaminated = cfg.benchmark.fold(gated) { bench =>
       // normalize the benchmark text identically to the corpus before
       // shingling, or containment would miss on case/whitespace alone
-      observed(Dedup.decontaminate(gated, "clean_text", idCol,
+      obs(Dedup.decontaminate(gated, "clean_text", idCol,
         bench.withColumn("_bclean", normOf(cfg)(col(cfg.benchTextCol))),
         "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment,
         cfg.benchBloomFpp), "decontam")
@@ -281,7 +286,7 @@ object CorpusPrep {
     // distinct salt: the prep sample must not correlate with any
     // downstream unsalted mixing draw over the same ids
     cfg.sampleRate.fold(decontaminated)(r =>
-      observed(Mixing.stratifiedSample(decontaminated, idCol, r,
+      obs(Mixing.stratifiedSample(decontaminated, idCol, r,
         salt = "corpusprep"), "sampled"))
   }
 
@@ -292,16 +297,14 @@ object CorpusPrep {
     require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
       "intraNearDup/intraNearDupVerified are the stream-only tiers — run()'s " +
         "near-dup stage already clusters with exact verification")
-    def observed(df: DataFrame, stage: String): DataFrame =
-      cfg.metricPrefix.fold(df)(p =>
-        df.observe(s"${p}_$stage", count(lit(1)).as("rows")))
-    val spanGated = observed(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
+    val obs = observed(cfg) _
+    val spanGated = obs(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
     // LM-quality gate (opt-in): fluency floor under a foreign bigram
     // model, between the row-local gates and dedup
     val lmGated = cfg.lmModel.fold(spanGated)(_ =>
-      observed(lmGate(spanGated, idCol, cfg), "lm"))
+      obs(lmGate(spanGated, idCol, cfg), "lm"))
     // exact dedup: min id per content digest survives
-    val exactKept = observed(lmGated
+    val exactKept = obs(lmGated
       .withColumn("_digest", md5(col("clean_text")))
       .withColumn("_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -312,7 +315,7 @@ object CorpusPrep {
     val pairs = Dedup.minhashJaccardPairs(exactKept, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket)
     val clusters = Dedup.duplicateClusters(pairs)
-    val deduped = observed(cfg.keepPreference
+    val deduped = obs(cfg.keepPreference
       .fold(Dedup.dropNearDuplicates(exactKept, idCol, clusters))(
         Dedup.dropNearDuplicatesBy(exactKept, idCol, clusters, _)), "neardup")
     // semantic stage: embedding near-dup clusters collapse the same
@@ -340,7 +343,7 @@ object CorpusPrep {
           cfg.signBits, cfg.minCosine, cfg.maxBucket)
       }
       val semClusters = Dedup.duplicateClusters(semPairs)
-      observed(cfg.keepPreference
+      obs(cfg.keepPreference
         .fold(Dedup.dropNearDuplicates(deduped, idCol, semClusters))(
           Dedup.dropNearDuplicatesBy(deduped, idCol, semClusters, _)), "semantic")
     }

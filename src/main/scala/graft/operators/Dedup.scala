@@ -1057,19 +1057,14 @@ object Dedup {
     val joined = benchBloomFpp match {
       case None => cs.join(broadcast(bs), "sh")
       case Some(fpp) =>
-        require(fpp > 0.0 && fpp < 1.0, s"benchBloomFpp must be in (0, 1), got $fpp")
-        val distinctSh = bs.select("sh").distinct()
-        // one counting pass over the bench side (cheap by premise —
-        // bench ≪ corpus even when it outgrows broadcast) sizes the
-        // filter honestly; an undersized Bloom silently degrades fpp
-        val items = math.max(distinctSh.count(), 1L)
-        val bloom = distinctSh.stat.bloomFilter("sh", items, fpp)
-        val bytes = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bytes)
-        // prefiltered corpus side is contaminated + fpp-sliver sized;
-        // no broadcast hint — AQE sees both REAL post-filter sizes
+        // one shared builder (buildShingleBloom): distinct bench
+        // shingles, a counting pass to size the filter honestly, then
+        // the serialized bits. The prefiltered corpus side is
+        // contaminated + fpp-sliver sized; no broadcast hint — AQE
+        // sees both REAL post-filter sizes
+        val bytes = buildShingleBloom(bench, benchTextCol, n, fpp)
         cs.filter(graft.functions.TextExpressions.bloom_might_contain(
-            col("sh"), bytes.toByteArray))
+            col("sh"), bytes))
           .join(bs, "sh")
     }
     joined

@@ -178,16 +178,24 @@ object Mixing {
       tokenCol: String, budget: Long, salt: String = ""): DataFrame = {
     require(strataCols.nonEmpty, "tokenBudgetTake needs at least one stratum column")
     require(budget > 0, s"budget must be positive, got $budget")
-    val clash = df.columns.toSeq.intersect(Seq("_tot", "_cum"))
+    val keyAliases = strataCols.map(c => s"_k_$c")
+    val clash = df.columns.toSeq.intersect("_tot" +: "_cum" +: keyAliases)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with tokenBudgetTake's working names")
     val totals = df.groupBy(strataCols.map(col): _*)
       .agg(sum(col(tokenCol)).as("_tot"))
+      .select(strataCols.map(c => col(c).as(s"_k_$c")) :+ col("_tot"): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
       .orderBy(unitHash(col(idCol), salt), col(idCol))
+    // null-safe stratum keys: a NULL stratum (missing metadata) is a
+    // stratum like any other and gets its own budget — an equi-join
+    // here would silently vanish the whole NULL group, the exact
+    // failure stratifiedTake's id-keyed semi-join doesn't have
     val joined = df.filter(col(tokenCol).isNotNull)
-      .join(broadcast(totals), strataCols)
+      .join(broadcast(totals),
+        strataCols.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _))
+      .drop(keyAliases: _*)
     // two real branches, not a when(): a conditional window expression
     // would still sort every row — the union keeps under-budget strata
     // out of the window's input entirely

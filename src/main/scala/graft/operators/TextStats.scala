@@ -394,8 +394,10 @@ object TextStats {
     * docs like these"), and eval-set leakage hunts when embeddings
     * don't exist yet.
     *
-    * Plan at scale: the corpus explodes ONCE into (token, doc, tf)
-    * postings joined to its vocabulary-sized df table; the query
+    * Plan at scale: the corpus tokenizes twice — once exploding into
+    * (token, doc, tf) postings (from which the vocabulary-sized df
+    * table derives with no second corpus shuffle) and once map-side
+    * for per-doc lengths (from which N/avgLen aggregate); the query
     * side is probe-sized by definition and BROADCASTS its distinct
     * (query, token) pairs into that postings scan, so each posting
     * is read once and only query-term postings contribute — never a
@@ -413,10 +415,16 @@ object TextStats {
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
     val tokens = corpus.select(col(idCol), explode(toks(textCol)).as("token"))
     val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("_tf"))
-    val dfT = tokens.distinct().groupBy("token").agg(count(lit(1)).as("_df"))
+    // df derives FROM tf (one row per (doc, token) already) — a
+    // tokens.distinct() here would shuffle the whole exploded corpus
+    // a second time for the same counts
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("_df"))
     val lens = corpus.select(col(idCol), size(toks(textCol)).cast("double").as("_len"))
-    val scalars = corpus.agg(count(lit(1)).cast("double").as("_n"),
-      avg(size(toks(textCol))).as("_avglen"))
+    // N/avgLen aggregate the per-doc lengths frame (zero-token docs
+    // included, same as aggregating the corpus directly) instead of
+    // re-tokenizing the corpus a third time
+    val scalars = lens.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("_len")).as("_avglen"))
     val qTokens = queries
       .select(col(qIdCol).as("_qid"), explode(toks(qTextCol)).as("token"))
       .distinct()

@@ -179,5 +179,16 @@ class MixingSpec extends SparkSpecBase {
       Mixing.tokenBudgetTake(df, Seq.empty, "doc_id", "nt", 1000L))
     intercept[IllegalArgumentException](
       Mixing.tokenBudgetTake(df, Seq("source"), "doc_id", "nt", 0L))
+
+    // a NULL stratum (missing metadata) is a stratum like any other —
+    // it gets its own budget instead of silently vanishing
+    val withNull = df.unionByName(Seq(
+      (200L, null.asInstanceOf[String], Some(80L)),
+      (201L, null.asInstanceOf[String], Some(60L))).toDF("doc_id", "source", "nt"))
+    val keptNull = Mixing.tokenBudgetTake(withNull, Seq("source"), "doc_id",
+        "nt", 1000L)
+      .filter(col("source").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNull == Set(200L, 201L), s"got $keptNull")
   }
 }
