@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Mixing, Similarity}
 
 /** Scale smoke: replicate the sf0.1 documents corpus N times (half the
   * replicas byte-identical — a worst-realistic duplication profile —
@@ -100,6 +100,40 @@ object ScaleSmoke {
       Dedup.benchmarkContainment(docs, "text", "doc_id", bench, "text",
         "doc_id", n = 3, minContainment = 0.5,
         benchBloomFpp = Some(0.01)).count())
+    // the row-local tier: one map-side pass, the only stream-legal one
+    timed("decontam(ngram bloom gate, n=3)") {
+      val bytes = Dedup.buildShingleBloom(bench, "text", n = 3, fpp = 1e-4)
+      Dedup.bloomNgramGate(docs, "text", bytes, n = 3).count()
+    }
+    // pair-search recall harness: LSH candidates vs exact pairs —
+    // one orientation-normalized equi-join over both pair sets
+    timed("pair_metrics(lsh vs exact@0.5)") {
+      Similarity.pairMetrics(
+        Dedup.minhashNearDupCandidates(docs, "text", "doc_id"),
+        Dedup.jaccardNearDupPairs(docs, "text", "doc_id", minJaccard = 0.5))
+        .collect()(0).getLong(2)
+    }
+    // token-denominated sampling: every source capped at 100k tokens;
+    // under-budget strata skip the window sort entirely
+    timed("token_budget_take(100k tok/source)") {
+      Mixing.tokenBudgetTake(
+        docs.withColumn("source", col("doc_id") % 10)
+          .withColumn("nt", size(Dedup.tokens(col("text"))).cast("bigint")),
+        Seq("source"), "doc_id", "nt", budget = 100000L).count()
+    }
+    // corpus drift: JS decomposition between the two halves — one
+    // count per side + one vocabulary-sized full-outer join
+    timed("token_divergence(halves, top100)")(
+      graft.operators.TextStats.tokenDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text").count())
+    // BM25 retrieval: 16 query docs against the full corpus — the
+    // probe-sized query terms broadcast into one postings scan
+    timed("bm25_topk(16 queries)") {
+      graft.operators.TextStats.bm25TopK(docs, "text", "doc_id",
+        base.limit(16).select(col("doc_id").as("qid"), col("text")),
+        "text", "qid", k = 10).count()
+    }
 
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
