@@ -176,15 +176,59 @@ object Mixing {
     * expectation by the slack). */
   def tokenBudgetTake(df: DataFrame, strataCols: Seq[String], idCol: String,
       tokenCol: String, budget: Long, salt: String = ""): DataFrame = {
-    require(strataCols.nonEmpty, "tokenBudgetTake needs at least one stratum column")
     require(budget > 0, s"budget must be positive, got $budget")
+    tokenBudgetCore(df, strataCols, idCol, tokenCol, salt)(
+      _.withColumn("_budget", lit(budget)))
+  }
+
+  /** Per-stratum-budget variant of `tokenBudgetTake` — the shape a
+    * real mix recipe has ("web 50B, code 20B, wiki 5B"): `budgets`
+    * maps strata to token budgets (strataCols + `budgetCol`, one row
+    * per stratum — tiny by definition, broadcast). Strata ABSENT from
+    * the recipe are DROPPED (no budget = not in the mix; list a
+    * stratum explicitly to keep it), which is also what makes the
+    * incremental top-up a pure composition: pass
+    * recipe_budget − standing_kept_tokens as the budgets frame and
+    * only the remainder is drawn from the new batch — the md5 draw's
+    * prefix property guarantees the union of standing picks and
+    * top-up picks is EXACTLY what one full-corpus take at the recipe
+    * budget would have chosen, provided standing picks used the same
+    * salt. Same draw order, boundary rule, NULL-stratum and
+    * NULL-token-count semantics as the scalar form. */
+  def tokenBudgetTakeMixed(df: DataFrame, strataCols: Seq[String], idCol: String,
+      tokenCol: String, budgets: DataFrame, budgetCol: String,
+      salt: String = ""): DataFrame =
+    tokenBudgetCore(df, strataCols, idCol, tokenCol, salt) { totals =>
+      // budgets strata aliased before the join: both sides carry the
+      // stratum columns and a bare name would be ambiguous. Strata
+      // missing from `budgets` drop here (inner join) — the
+      // documented not-in-the-recipe rule — as do non-positive
+      // budgets (an explicit zero keeps nothing).
+      val b = budgets.select(
+        strataCols.map(c => col(c).as(s"_b_$c")) :+
+          col(budgetCol).cast("long").as("_budget"): _*)
+      totals
+        .join(broadcast(b),
+          strataCols.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _))
+        .drop(strataCols.map(c => s"_b_$c"): _*)
+        .filter(col("_budget") > 0)
+    }
+
+  /** Shared budget-take core: `attachBudget` appends a long `_budget`
+    * column to the per-stratum totals frame (a literal for the scalar
+    * form, a recipe join for the mixed form). */
+  private def tokenBudgetCore(df: DataFrame, strataCols: Seq[String],
+      idCol: String, tokenCol: String, salt: String)(
+      attachBudget: DataFrame => DataFrame): DataFrame = {
+    require(strataCols.nonEmpty, "tokenBudgetTake needs at least one stratum column")
     val keyAliases = strataCols.map(c => s"_k_$c")
-    val clash = df.columns.toSeq.intersect("_tot" +: "_cum" +: keyAliases)
+    val clash = df.columns.toSeq.intersect("_tot" +: "_cum" +: "_budget" +: keyAliases)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with tokenBudgetTake's working names")
-    val totals = df.groupBy(strataCols.map(col): _*)
-      .agg(sum(col(tokenCol)).as("_tot"))
-      .select(strataCols.map(c => col(c).as(s"_k_$c")) :+ col("_tot"): _*)
+    val totals = attachBudget(
+      df.groupBy(strataCols.map(col): _*).agg(sum(col(tokenCol)).as("_tot")))
+      .select(strataCols.map(c => col(c).as(s"_k_$c")) ++
+        Seq(col("_tot"), col("_budget")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
       .orderBy(unitHash(col(idCol), salt), col(idCol))
@@ -199,11 +243,12 @@ object Mixing {
     // two real branches, not a when(): a conditional window expression
     // would still sort every row — the union keeps under-budget strata
     // out of the window's input entirely
-    val whole = joined.filter(col("_tot") <= budget).drop("_tot")
-    val cut = joined.filter(col("_tot") > budget).drop("_tot")
+    val whole = joined.filter(col("_tot") <= col("_budget"))
+      .drop("_tot", "_budget")
+    val cut = joined.filter(col("_tot") > col("_budget"))
       .withColumn("_cum", sum(col(tokenCol)).over(w))
-      .filter(col("_cum") - col(tokenCol) < budget)
-      .drop("_cum")
+      .filter(col("_cum") - col(tokenCol) < col("_budget"))
+      .drop("_tot", "_budget", "_cum")
     whole.unionByName(cut)
   }
 }

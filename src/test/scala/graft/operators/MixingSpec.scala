@@ -191,4 +191,48 @@ class MixingSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptNull == Set(200L, 201L), s"got $keptNull")
   }
+
+  test("tokenBudgetTakeMixed: per-stratum recipe, absent strata drop, top-up composes to one full take") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 50).map(i => (i.toLong, "A", 100L)) ++
+      (0 until 10).map(i => (500L + i, "B", 50L)) ++
+      (0 until 5).map(i => (900L + i, "C", 10L))
+    val df = rows.toDF("doc_id", "source", "nt")
+    val budgets = Seq(("A", 1000L), ("B", 120L)).toDF("source", "budget")
+
+    val kept = Mixing.tokenBudgetTakeMixed(df, Seq("source"), "doc_id",
+      "nt", budgets, "budget")
+    val bySrc = kept.groupBy("source")
+      .agg(sum("nt").as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySrc("A") == ((1000L, 10L)))
+    // B crosses 120 at its third 50-token doc (greedy inclusion)
+    assert(bySrc("B") == ((150L, 3L)))
+    // C is not in the recipe: dropped entirely
+    assert(!bySrc.contains("C"))
+
+    // top-up composition: standing = take at 400 tokens for A; drawing
+    // the REMAINDER (1000 - standing) from the leftover rows under the
+    // same salt reproduces the one-shot take at 1000 EXACTLY (the
+    // prefix property — what makes daily top-ups sound)
+    val a = df.filter(col("source") === "A")
+    val standing = Mixing.tokenBudgetTake(a, Seq("source"), "doc_id", "nt", 400L)
+    val standingIds = standing.select("doc_id").collect().map(_.getLong(0)).toSet
+    val standingTok = standing.agg(sum("nt")).collect()(0).getLong(0)
+    val leftover = a.filter(!col("doc_id").isin(standingIds.toSeq: _*))
+    val topUp = Mixing.tokenBudgetTakeMixed(leftover, Seq("source"), "doc_id",
+        "nt", Seq(("A", 1000L - standingTok)).toDF("source", "budget"), "budget")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = Mixing.tokenBudgetTake(a, Seq("source"), "doc_id", "nt", 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((standingIds ++ topUp) == oneShot,
+      s"standing $standingIds + topup $topUp != oneshot $oneShot")
+
+    // an explicit zero budget keeps nothing (vs absent = dropped too,
+    // but listed-with-zero must not crash the window branch)
+    val zeroed = Mixing.tokenBudgetTakeMixed(df, Seq("source"), "doc_id",
+      "nt", Seq(("A", 0L)).toDF("source", "budget"), "budget")
+    assert(zeroed.isEmpty)
+  }
 }
