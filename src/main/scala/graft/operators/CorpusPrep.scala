@@ -297,6 +297,12 @@ object CorpusPrep {
     require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
       "intraNearDup/intraNearDupVerified are the stream-only tiers — run()'s " +
         "near-dup stage already clusters with exact verification")
+    // validated here, not inside the embCol fold: a Config with bqModel
+    // set but embCol unset would otherwise be silently ignored
+    require(cfg.bqModel.isEmpty,
+      "bqModel is the semanticIncremental lookup codec — the batch semantic " +
+        "tier's pair search has its own BQ operator (Similarity.nearDupPairsBq) " +
+        "with an explicit Hamming-radius contract; compose it directly")
     val obs = observed(cfg) _
     val spanGated = obs(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
     // LM-quality gate (opt-in): fluency floor under a foreign bigram
@@ -322,10 +328,6 @@ object CorpusPrep {
     // way text clusters did — paraphrases/translations the shingle
     // tiers can't see
     val semantic = cfg.embCol.fold(deduped) { e =>
-      require(cfg.bqModel.isEmpty,
-        "bqModel is the semanticIncremental lookup codec — the batch semantic " +
-          "tier's pair search has its own BQ operator (Similarity.nearDupPairsBq) " +
-          "with an explicit Hamming-radius contract; compose it directly")
       require(cfg.pqModel.isEmpty || cfg.sqModel.isEmpty,
         "pqModel and sqModel are alternative codecs for the semantic tier — set one")
       require((cfg.pqModel.isEmpty && cfg.sqModel.isEmpty) || cfg.codebook.nonEmpty,
@@ -600,14 +602,17 @@ object CorpusPrep {
         "row-local n-gram tier: Config.ngramBloom)")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +
-        "Similarity.sqSemanticLookup over the standing SQ index and pass it " +
+        "Similarity.sqSemanticLookup over the standing SQ index, or " +
+        "Similarity.bqSemanticLookup over standing BQ codes, and pass it " +
         "as semanticLookup) — the batch semantic tier's pair clustering " +
         "needs a corpus pass; run it via runIncremental")
-    require(semanticLookup.isEmpty ||
-        (cfg.embCol.isDefined && cfg.codebook.isDefined && cfg.sqModel.isDefined),
-      "semanticLookup needs cfg.embCol (the stream's embedding column), " +
-        "cfg.codebook (the lookup's inverted lists) and cfg.sqModel (the " +
-        "direct model that coded it)")
+    require(semanticLookup.isEmpty || (cfg.embCol.isDefined &&
+        ((cfg.codebook.isDefined && cfg.sqModel.isDefined && cfg.bqModel.isEmpty) ||
+         (cfg.bqModel.isDefined && cfg.sqModel.isEmpty && cfg.codebook.isEmpty))),
+      "semanticLookup needs cfg.embCol (the stream's embedding column) plus " +
+        "exactly ONE codec route: cfg.codebook + cfg.sqModel (IVF list lookup " +
+        "from sqSemanticLookup) OR cfg.bqModel alone (band lookup from " +
+        "bqSemanticLookup)")
     require(standingIndex.isEmpty || standing.isDefined,
       "standingIndex carries bands, not text — the exact-Jaccard verify needs " +
         "the standing frame too")
@@ -688,10 +693,16 @@ object CorpusPrep {
       case None => (textFiltered, textCaches)
       case Some(lk) =>
         val lkCached = lk.cache()
-        (Similarity.streamSemanticFilter(textFiltered, cfg.embCol.get,
-          lkCached, cfg.codebook.get, cfg.sqModel.get, cfg.minCosine,
-          cfg.nprobe),
-          textCaches :+ lkCached)
+        // codec routing mirrors semanticIncremental: SQ rides the IVF
+        // list lookup, BQ the band-keyed lookup (same band geometry
+        // as bqBandCandidates — the live twin of the batch BQ route)
+        val filtered = cfg.bqModel.fold(
+          Similarity.streamSemanticFilter(textFiltered, cfg.embCol.get,
+            lkCached, cfg.codebook.get, cfg.sqModel.get, cfg.minCosine,
+            cfg.nprobe))(bqm =>
+          Similarity.streamSemanticFilterBq(textFiltered, cfg.embCol.get,
+            lkCached, bqm, cfg.minCosine, cfg.bqBands, cfg.bqMaxHamming))
+        (filtered, textCaches :+ lkCached)
     }
     // sampleRate is stream-legal, unlike the other batch-only stages:
     // the md5 draw is a pure row-local filter (no shuffle, no state),

@@ -207,6 +207,15 @@ object Mixing {
       val b = budgets.select(
         strataCols.map(c => col(c).as(s"_b_$c")) :+
           col(budgetCol).cast("long").as("_budget"): _*)
+      // a duplicate stratum row in the recipe would fan out the totals
+      // join and silently duplicate every kept row of that stratum —
+      // refuse loudly (the recipe frame is tiny by contract, so the
+      // eager check is one trivial job)
+      val dup = b.groupBy(strataCols.map(c => col(s"_b_$c")): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        "tokenBudgetTakeMixed: budgets frame has duplicate stratum rows; " +
+          "one budget row per stratum required")
       totals
         .join(broadcast(b),
           strataCols.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _))

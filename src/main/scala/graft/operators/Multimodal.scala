@@ -858,4 +858,62 @@ object Multimodal {
         countDistinct("media.digest").as("n_distinct"),
         round(avg("media.width"), 2).as("avg_width"),
         round(avg("media.height"), 2).as("avg_height"))
+
+  /** Image near-dup pair search, the multimodal facade over the text
+    * machinery: REAL pixel decode → 64-bit perceptual dHash
+    * (`withPerceptualHash`, once-per-task decoder, only the 8-byte
+    * hash shuffles) → Hamming-banded pair expansion
+    * (`Dedup.hashNearDupPairs` — the SAME band-keyed, hot-capped,
+    * never-all-pairs plan SimHash text dedup uses). At the default
+    * `maxHamming = 3`, pigeonhole over the four 16-bit bands makes
+    * recall EXACT. Undecodable payloads hash null and never pair.
+    * Returns (id_a, id_b, hamming). */
+  def imageNearDupPairs(df: DataFrame, binaryCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = HotKeys.DefaultBucketCap)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.hashNearDupPairs(
+      withPerceptualHash(df, binaryCol, "_mm_phash"),
+      "_mm_phash", idCol, maxHamming, maxBucket,
+      metricName = "graft_image_band_cap")
+
+  /** Deterministic 24-bit grayscale BMP test vector: `grays` is the
+    * row-major TOP-DOWN gray grid (0-255, one value per pixel,
+    * written r=g=b so the dHash gray transform recovers it exactly).
+    * BMP because it is the one JDK-decodable format whose pixel bytes
+    * are a pure offset function of the input — no entropy coder — so
+    * an independent engine can replay the decoded grid from the spec
+    * alone; q117 pins the whole encode → ImageIO decode → dHash path
+    * against exactly such a replay. */
+  def syntheticGrayBmp(width: Int, height: Int, grays: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && grays.length == width * height,
+      s"need $width x $height = ${width * height} grays, got ${grays.length}")
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val out = new Array[Byte](54 + dataSize)
+    def putU16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putU32(off: Int, v: Int): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putU32(2, 54 + dataSize); putU32(10, 54)
+    putU32(14, 40); putU32(18, width); putU32(22, height)
+    putU16(26, 1); putU16(28, 24); putU32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      // BMP rows are bottom-up; grays is top-down
+      val src = height - 1 - y
+      var x = 0
+      while (x < width) {
+        val v = (grays(src * width + x) & 0xff).toByte
+        val off = 54 + y * rowBytes + x * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

@@ -771,6 +771,10 @@ object Similarity {
     val probes = withNormalized(
         queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
         qEmbCol, "_qn")
+      // width guard as in ivfBqProbeAll: bq_adc_dot only NaNs when the
+      // BYTE count differs, so a query 1-7 dims narrower than the model
+      // would otherwise get a silently wrong ADC score
+      .withColumn("_qn", when(size(col("_qn")) === model.dims, col("_qn")))
       .select(col(qIdCol).as("_qid"), col(qEmbCol).as("_qe"), col("_qn"),
         graft.functions.VectorExpressions.bq_encode(
           col("_qn"), model.thresholds).as("_qc"))
@@ -966,7 +970,11 @@ object Similarity {
     * device. */
   def recallAtK(got: DataFrame, truth: DataFrame, queryCol: String,
       idCol: String): DataFrame = {
+    // distinct matches pairMetrics' normalization contract: duplicate
+    // (query, id) rows in `got` would fan out the left join, inflating
+    // both the hit sum and the truth count
     val g = got.select(col(queryCol).as("_gq"), col(idCol).as("_gid"))
+      .distinct()
       .withColumn("_hit", lit(1))
     truth.select(col(queryCol).as("_tq"), col(idCol).as("_tid"))
       .join(g, col("_tq") === col("_gq") && col("_tid") === col("_gid"), "left")
@@ -2473,6 +2481,87 @@ object Similarity {
       .filter(!(0 until nprobe).map(hit).reduce(_ || _))
       .drop((0 until nprobe).flatMap(i => Seq(s"_qc$i", s"_pc$i", s"_pm$i")) :+
         "_sqv": _*)
+  }
+
+  /** Standing-side lookup for the STREAM BQ semantic tier: the
+    * standing D-bit codes exploded into byte-aligned band slices and
+    * grouped per (band index, band value) — the same equi-key
+    * `bqBandCandidates` gives the batch route, precomputed once and
+    * cached for the stream's lifetime (prepStream's StreamCaches
+    * contract). `bands` mirrors Config.bqBands (0 = one-byte bands);
+    * a (k, band) group larger than `maxBand` is dropped whole — the
+    * hot-band cap of the batch route, applied at lookup build so no
+    * micro-batch ever joins a degenerate band. Codes are the ONLY
+    * payload (D/8 bytes per member): the stream verify is asymmetric,
+    * so no standing floats are ever resident. */
+  def bqSemanticLookup(standingCoded: DataFrame, model: BqModel,
+      codeCol: String = "bq_code", bands: Int = 0,
+      maxBand: Int = 8192): DataFrame = {
+    val nb = if (bands > 0) bands else model.codeBytes
+    require(nb >= 1 && model.codeBytes % nb == 0,
+      s"codeBytes ${model.codeBytes} is not divisible into $nb byte-aligned bands")
+    val bytesPerBand = model.codeBytes / nb
+    val bandCols = (0 until nb).map(b =>
+      substring(col("_c"), b * bytesPerBand + 1, bytesPerBand))
+    standingCoded
+      .filter(col(codeCol).isNotNull)
+      .select(col(codeCol).as("_c"))
+      .select(col("_c"), posexplode(array(bandCols: _*)))
+      .toDF("_c", "k", "band")
+      .withColumn("_ln", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k", "band")))
+      .filter(col("_ln") <= maxBand)
+      .groupBy(col("k"), col("band"))
+      .agg(collect_list(col("_c")).as("_members"))
+  }
+
+  /** STREAM half of the BQ semantic tier — the live twin of
+    * `semanticIncremental`'s BQ route, sharing its band geometry: a
+    * stream row normalizes and sign-encodes map-side, each of its
+    * byte-aligned band slices probes the cached standing lookup
+    * through its own stream-static LEFT equi-join (the exact shape
+    * `streamSemanticFilter` uses per probed list — never an exploded
+    * stream needing re-aggregation), and the verify is a row-local
+    * `exists` scoring the float query against each member's
+    * ±1/√D reconstruction (`bq_adc_dot` / √D — a true cosine
+    * estimate, since the reconstruction is unit-norm). Zero stream
+    * state; recall is the banding s-curve of `bqBandCandidates`
+    * (a standing near-dup within Hamming <= bands−1 collides with
+    * certainty). `maxHamming` (full-code) optionally prefilters
+    * members inside the verify, mirroring Config.bqMaxHamming. Rows
+    * with null or wrong-width embeddings pass through untouched. */
+  def streamSemanticFilterBq(stream: DataFrame, embCol: String,
+      lookup: DataFrame, model: BqModel, minCosine: Double,
+      bands: Int = 0, maxHamming: Int = Int.MaxValue): DataFrame = {
+    val nb = if (bands > 0) bands else model.codeBytes
+    require(nb >= 1 && model.codeBytes % nb == 0,
+      s"codeBytes ${model.codeBytes} is not divisible into $nb byte-aligned bands")
+    val bpb = model.codeBytes / nb
+    val withQ = withNormalized(stream, embCol, "_bqv")
+      // width guard: bq_adc_dot only NaNs when the BYTE count differs
+      .withColumn("_bqv", when(size(col("_bqv")) === model.dims, col("_bqv")))
+      .withColumn("_bqc", graft.functions.VectorExpressions.bq_encode(
+        col("_bqv"), model.thresholds))
+    val withBands = (0 until nb).foldLeft(withQ)((d, i) =>
+      d.withColumn(s"_qb$i", substring(col("_bqc"), i * bpb + 1, bpb)))
+    val joined = (0 until nb).foldLeft(withBands)((d, i) =>
+      d.join(lookup.filter(col("k") === i)
+          .select(col("band").as(s"_pb$i"), col("_members").as(s"_pm$i")),
+        col(s"_qb$i") === col(s"_pb$i"), "left_outer"))
+    val sqrtD = math.sqrt(model.dims.toDouble)
+    def verify(m: Column): Column = {
+      val adc = graft.functions.VectorExpressions.bq_adc_dot(col("_bqv"), m)
+      val cosOk = !isnan(adc) && (adc / sqrtD >= minCosine)
+      if (maxHamming == Int.MaxValue) cosOk
+      else coalesce(graft.functions.VectorExpressions.bq_hamming(
+        col("_bqc"), m) <= maxHamming, lit(false)) && cosOk
+    }
+    def hit(i: Int): Column =
+      coalesce(exists(col(s"_pm$i"), verify), lit(false))
+    joined
+      .filter(!(0 until nb).map(hit).reduce(_ || _))
+      .drop((0 until nb).flatMap(i => Seq(s"_qb$i", s"_pb$i", s"_pm$i")) ++
+        Seq("_bqv", "_bqc"): _*)
   }
 
   /** Shared in-bucket pair expansion: cap hot buckets, then expand

@@ -449,4 +449,183 @@ object TextStats {
       .filter(col("rank") <= k)
       .select(col("_qid").as(outQ), col(idCol), col("score"), col("rank"))
   }
+
+  /** A persisted BM25 index read back from `readBm25Index`:
+    * `postings` (idCol, token, tf, len) with the per-doc length
+    * DENORMALIZED onto each posting row so the probe never joins a
+    * corpus-sized lengths table; `dfT` (token, df) holds the TRUE
+    * document frequency — complete even for terms whose posting
+    * lists were capped away, so idf always reflects the real corpus;
+    * `meta` is one row (ndocs, avglen, max_postings, id_col). */
+  final case class Bm25Index(postings: DataFrame, dfT: DataFrame,
+      meta: DataFrame) {
+    /** The corpus id column name, recovered from the postings schema
+      * (the one column that isn't an index internal) — no driver
+      * action needed to build a probe plan. */
+    def idCol: String =
+      postings.columns.filterNot(Set("token", "tf", "len")).head
+  }
+
+  /** Build and persist a BM25 postings index — the build-once half of
+    * `bm25TopK`, for the 100 TB regime where re-deriving tf/df/doc
+    * lengths from the raw corpus on every query batch is the
+    * expensive pass. Layout under `path`: `postings/` (idCol, token,
+    * tf, len), `df/` (token, df), `meta/` (ndocs, avglen,
+    * max_postings, id_col), all parquet like every other artifact
+    * here (PQ/SQ/BQ models, bigram LM, dedup index).
+    *
+    * Hot postings are capped AT BUILD TIME, concretely: a term whose
+    * posting list exceeds `maxPostings` rows (a stop word — df near
+    * corpus size, idf near zero) is WHOLE-LIST dropped from
+    * `postings/` via HotKeys.cap, with the drop counts published as
+    * observed metrics (`graft_bm25_posting_cap`). `df/` is computed
+    * BEFORE the cap and kept complete, and the probe re-applies the
+    * same rule as a df-gate (`df <= max_postings`), which is what
+    * makes `appendBm25Index` sound: a term that only crosses the cap
+    * after appends still has its stale on-disk postings, but the
+    * df-gate excludes it at probe time — so probe-from-index results
+    * are always identical to a fresh rebuild at the same cap.
+    *
+    * Build cost: one (id, token) shuffle for tf, one token-keyed
+    * aggregation for df, one id-keyed join to denormalize lengths,
+    * one token-partitioned window for the cap — paid once. */
+  def writeBm25Index(corpus: DataFrame, textCol: String, idCol: String,
+      path: String, maxPostings: Int = HotKeys.DefaultBucketCap): Unit = {
+    require(!Set("token", "tf", "len").contains(idCol),
+      s"idCol '$idCol' collides with the index's internal column names")
+    val tokens = corpus.select(col(idCol), explode(toks(textCol)).as("token"))
+    val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    // true df, BEFORE the posting cap — derived from tf (one row per
+    // (doc, token) already), never a second corpus shuffle
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    val lens = corpus.select(col(idCol),
+      size(toks(textCol)).cast("double").as("len"))
+    // minPerKey = 1: a singleton posting is the HIGHEST-value row in
+    // a retrieval index (max idf), the opposite of an LSH bucket
+    HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
+        minPerKey = 1, metricName = "graft_bm25_posting_cap")
+      .select(col(idCol), col("token"), col("tf"), col("len"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
+    lens.agg(count(lit(1)).cast("double").as("ndocs"),
+        coalesce(avg(col("len")), lit(0.0)).as("avglen"))
+      .withColumn("max_postings", lit(maxPostings.toLong))
+      .withColumn("id_col", lit(idCol))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read a persisted BM25 index back (lazy — three parquet frames,
+    * no driver action). */
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/meta"))
+
+  /** Append a document batch to a persisted BM25 index WITHOUT
+    * rescanning the standing corpus. Batch ids must be disjoint from
+    * the standing index (same contract as every append here — dedup
+    * upstream); batch postings append to `postings/`; `df/` is
+    * rebuilt as old-df ⊕ batch-df summed by token (a vocabulary-sized
+    * read + write, never corpus-sized) and swapped in atomically via
+    * a FileSystem rename; the two scalars recompute on the driver
+    * from the old one-row meta plus the batch's own count/length sum
+    * (n' = n + nB, avglen' = (n·avg + ΣlenB) / n'). The batch's own
+    * postings are capped at the index's stored `max_postings`; a term
+    * whose COMBINED list only now crosses the cap keeps its stale
+    * standing postings on disk, but the probe's df-gate (true df vs
+    * max_postings) excludes it — results equal a fresh rebuild. */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, textCol: String, idCol: String): Unit = {
+    val old = readBm25Index(spark, path)
+    val metaRow = old.meta.select("ndocs", "avglen", "max_postings", "id_col")
+      .collect()(0)
+    val (n0, avg0, cap) =
+      (metaRow.getDouble(0), metaRow.getDouble(1), metaRow.getLong(2))
+    require(metaRow.getString(3) == idCol,
+      s"index was built with idCol '${metaRow.getString(3)}', got '$idCol'")
+    val tokens = batch.select(col(idCol), explode(toks(textCol)).as("token"))
+    val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val lens = batch.select(col(idCol),
+      size(toks(textCol)).cast("double").as("len"))
+    // df rebuild: old ⊕ batch, written beside then renamed over — a
+    // lazy read-and-overwrite of the same dir would corrupt it
+    val dfNew = old.dfT
+      .unionByName(tf.groupBy("token").agg(count(lit(1)).as("df")))
+      .groupBy("token").agg(sum("df").as("df"))
+    dfNew.write.mode("overwrite").parquet(s"$path/df.tmp")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
+    HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), cap.toInt,
+        minPerKey = 1, metricName = "graft_bm25_posting_cap_append")
+      .select(col(idCol), col("token"), col("tf"), col("len"))
+      .write.mode("append").parquet(s"$path/postings")
+    val batchStats = lens.agg(count(lit(1)).cast("double").as("nb"),
+      coalesce(sum(col("len")), lit(0.0)).as("sumb")).collect()(0)
+    val (nB, sumB) = (batchStats.getDouble(0), batchStats.getDouble(1))
+    val n1 = n0 + nB
+    import spark.implicits._
+    Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, idCol))
+      .toDF("ndocs", "avglen", "max_postings", "id_col")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** BM25 top-k retrieval FROM a persisted index — same scores, ranks
+    * and output shape as `bm25TopK` (Okapi, Lucene-style idf, rounded
+    * rank cut), but the corpus never tokenizes: the probe is ONE scan
+    * of `postings/` with the query's distinct (query, token) pairs
+    * broadcast into it (map-side filter — only query-term postings
+    * survive the scan), one scan of `df/` filtered the same way into
+    * a broadcast query-term df table, the one-row meta riding the
+    * usual broadcast cross join, then the per-query top-k window.
+    * The only shuffle is the final (query, doc) partial-aggregated
+    * groupBy, bounded by queries × matched docs — at 100 TB the
+    * expensive postings build is paid once in `writeBm25Index`, and
+    * each query batch costs a filtered index scan.
+    *
+    * The df-gate (`df <= max_postings`) mirrors the build-time cap so
+    * appended indexes score identically to a fresh rebuild — see
+    * `writeBm25Index`. */
+  def bm25TopKFromIndex(index: Bm25Index, queries: DataFrame,
+      qTextCol: String, qIdCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
+    val idCol = index.idCol
+    val qTokens = queries
+      .select(col(qIdCol).as("_qid"), explode(toks(qTextCol)).as("token"))
+      .distinct()
+    val scalars = index.meta.select(col("ndocs").as("_n"),
+      col("avglen").as("_avglen"), col("max_postings").as("_maxp"))
+    // query-term df: the vocab-sized df table scanned once, filtered
+    // map-side by the broadcast query terms, df-gated — tiny result,
+    // broadcast back into the postings scan
+    val qdf = index.dfT
+      .join(broadcast(qTokens.select("token").distinct()), Seq("token"))
+      .crossJoin(broadcast(scalars.select("_maxp")))
+      .filter(col("df") <= col("_maxp"))
+      .select(col("token"), col("df").as("_df"))
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("len") / col("_avglen"))
+    index.postings
+      .join(broadcast(qTokens), Seq("token"))
+      .join(broadcast(qdf), Seq("token"))
+      .crossJoin(broadcast(scalars.select("_n", "_avglen")))
+      .groupBy(col("_qid"), col(idCol))
+      .agg(sum(idf * col("tf") * (lit(k1) + 1.0) / norm).as("_score"))
+      // rounded rank cut for the same reproducibility reason as
+      // bm25TopK: a float sum's last ulp depends on addition order
+      .withColumn("score", round(col("_score"), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_qid").orderBy(desc("score"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(outQ), col(idCol), col("score"), col("rank"))
+  }
 }

@@ -2742,6 +2742,147 @@ object DataPrepQueries {
               .select(col("doc_id").as("qid"), col("text")),
             "text", "qid", k = 5)
           .orderBy("qid", "rank")
+      }),
+
+    // Persisted BM25 index (TextStats.writeBm25Index / appendBm25Index
+    // / readBm25Index / bm25TopKFromIndex): the build-once half of
+    // q114. The index is WRITTEN on 4/5 of the corpus, the last fifth
+    // is APPENDED (postings append + df merge-rename + driver scalar
+    // update), and the probe runs from the READ-BACK artifact — yet
+    // the oracle is q114's one-shot SQL verbatim, so a single green
+    // row pins write, append, read, the df-gate, and the probe plan
+    // all equal to a fresh full-corpus computation.
+    QueryDef("q115_bm25_index", Some(s"""
+      WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
+      qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
+             FROM documents WHERE doc_id < 3),
+      post AS (SELECT doc_id, t AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM corpus) GROUP BY doc_id, t),
+      dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus),
+      sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avglen FROM corpus),
+      scored AS (SELECT q.qid, p.doc_id,
+                        round(sum(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                          * p.tf * 2.2
+                          / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+                 FROM post p
+                   JOIN qs q ON q.token = p.token
+                   JOIN dft d ON d.token = p.token
+                   JOIN lens l ON l.doc_id = p.doc_id
+                   CROSS JOIN sc
+                 GROUP BY q.qid, p.doc_id)
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 5 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") >= 3)
+        val path = java.nio.file.Files.createTempDirectory("graft_bm25_")
+          .toFile.getAbsolutePath
+        graft.operators.TextStats.writeBm25Index(
+          corpus.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", path)
+        graft.operators.TextStats.appendBm25Index(s, path,
+          corpus.filter(col("doc_id") % 5 === 0), "text", "doc_id")
+        graft.operators.TextStats.bm25TopKFromIndex(
+            graft.operators.TextStats.readBm25Index(s, path),
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("qid"), col("text")),
+            "text", "qid", k = 5)
+          .orderBy("qid", "rank")
+      }),
+
+    // Per-stratum-recipe token sampling (Mixing.tokenBudgetTakeMixed)
+    // AND the top-up composition, oracle-pinned in one row: the Spark
+    // side takes a STANDING sample at half of each source's recipe
+    // budget, anti-joins it out, then TOPS UP the leftover at
+    // recipe − standing_kept_tokens under the same salt — while the
+    // DuckDB oracle computes the ONE-SHOT recipe take directly. A
+    // hash match IS the md5 draw's prefix-composition identity (what
+    // makes daily top-ups sound), plus the absent-stratum drop rule
+    // (src19 is not in the recipe). Budgets derive from the source
+    // name so the recipe replays in both engines at any sf.
+    QueryDef("q116_token_budget_mixed", Some(s"""
+      WITH d AS (SELECT doc_id, source, len($toksSql) AS nt FROM documents),
+      b AS (SELECT source, 400 + 150 * (CAST(substr(source, 4) AS INT) % 7) AS budget
+            FROM (SELECT DISTINCT source FROM documents) WHERE source <> 'src19'),
+      tot AS (SELECT source, sum(nt) AS tot FROM d GROUP BY source),
+      cum AS (SELECT d.doc_id, d.source, d.nt, t.tot, b.budget,
+                     sum(nt) OVER (PARTITION BY d.source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0,
+                                doc_id) AS cum
+              FROM d JOIN tot t USING (source) JOIN b USING (source)),
+      kept AS (SELECT * FROM cum WHERE tot <= budget OR cum - nt < budget)
+      SELECT source, count(*) AS n_kept, CAST(sum(nt) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr(s"size($toksExpr)").cast("bigint").as("nt"))
+        val budgets = d.select("source").distinct()
+          .filter(col("source") =!= "src19")
+          .withColumn("budget", lit(400L) +
+            lit(150L) * (substring(col("source"), 4, 10).cast("long") % 7))
+        val standing = graft.operators.Mixing.tokenBudgetTakeMixed(
+          d, Seq("source"), "doc_id", "nt",
+          budgets.withColumn("budget", floor(col("budget") / 2)), "budget")
+        val leftover = d.join(standing.select("doc_id"), Seq("doc_id"), "left_anti")
+        val standingTok = standing.groupBy("source").agg(sum("nt").as("_kept"))
+        val topBudgets = budgets.join(standingTok, Seq("source"), "left")
+          .select(col("source"),
+            (col("budget") - coalesce(col("_kept"), lit(0L))).as("budget"))
+        val topUp = graft.operators.Mixing.tokenBudgetTakeMixed(
+          leftover, Seq("source"), "doc_id", "nt", topBudgets, "budget")
+        standing.unionByName(topUp)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
+          .orderBy("source")
+      }),
+
+    // Image near-dup pairs (Multimodal.imageNearDupPairs): REAL pixel
+    // path, oracle-pinned. Each doc becomes a deterministic 9x8
+    // grayscale BMP (md5-derived pixels; every 50th-block variant
+    // perturbs two pixels), Spark runs BMP-encode -> ImageIO decode
+    // -> 64-bit dHash -> Hamming-banded pair search (exact recall at
+    // hamming <= 3 by pigeonhole), while DuckDB replays the gray grid
+    // and the dHash bit formula DIRECTLY from the pixel spec and
+    // brute-forces the pairs — a hash match pins the entire encode/
+    // decode/hash/banding chain to the mathematical definition.
+    QueryDef("q117_image_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt FROM documents),
+      px AS (SELECT d.doc_id, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+                FROM h a JOIN h b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val grays = Array.tabulate(8 * 9) { i =>
+            val y = i / 9; val x = i % 9
+            if (alt && y == 0 && x == 0) 255
+            else if (alt && y == 0 && x == 1) 0
+            else java.lang.Byte.toUnsignedInt(
+              md.digest(s"$base:$y:$x".getBytes("UTF-8"))(0))
+          }
+          graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+        }
+        graft.operators.Multimodal.imageNearDupPairs(
+            t(s, dir, "documents").select(col("doc_id"), mk(col("doc_id")).as("img")),
+            "img", "doc_id")
+          .orderBy("id_a", "id_b")
       })
   )
 }

@@ -134,6 +134,20 @@ object ScaleSmoke {
         base.limit(16).select(col("doc_id").as("qid"), col("text")),
         "text", "qid", k = 10).count()
     }
+    // persisted BM25 index: the build is the expensive pass (paid
+    // once); a probe from the artifact is a filtered postings scan
+    val bm25Dir = java.nio.file.Files.createTempDirectory("smoke_bm25_")
+      .toFile.getAbsolutePath
+    timed("bm25_index_build") {
+      graft.operators.TextStats.writeBm25Index(docs, "text", "doc_id", bm25Dir)
+      spark.read.parquet(s"$bm25Dir/postings").count()
+    }
+    timed("bm25_index_probe(16 queries)") {
+      graft.operators.TextStats.bm25TopKFromIndex(
+        graft.operators.TextStats.readBm25Index(spark, bm25Dir),
+        base.limit(16).select(col("doc_id").as("qid"), col("text")),
+        "text", "qid", k = 10).count()
+    }
 
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")

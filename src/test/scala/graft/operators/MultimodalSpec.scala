@@ -510,4 +510,32 @@ class MultimodalSpec extends SparkSpecBase {
     // the composited second frame differs from the first (patch landed)
     assert(rows(0).getString(3) != rows(1).getString(3))
   }
+
+  test("imageNearDupPairs: synthetic BMPs, exact dHash from the gray grid, banded pairs") {
+    import spark.implicits._
+    // hand-built 9x8 grids: A is a vertical gradient per row (every
+    // right neighbor brighter -> all 64 bits set); B flips ONE
+    // comparison (bit 0); C is A inverted (no bit set, hamming 64 to
+    // A); D is undecodable junk and must never pair
+    val rowA = Array.tabulate(9)(x => x * 20)
+    val gridA = Array.fill(8)(rowA).flatten
+    val gridB = gridA.clone(); gridB(0) = 25 // g(0,0)=25 > g(1,0)=20 -> bit 0 clears
+    val gridC = gridA.map(255 - _)
+    val imgs = Seq(
+      (1L, Multimodal.syntheticGrayBmp(9, 8, gridA)),
+      (2L, Multimodal.syntheticGrayBmp(9, 8, gridB)),
+      (3L, Multimodal.syntheticGrayBmp(9, 8, gridC)),
+      (4L, Array[Byte](1, 2, 3))).toDF("doc_id", "img")
+    // the decoded dHash matches the grid-level definition exactly
+    val hashes = Multimodal.withPerceptualHash(imgs, "img")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(hashes(1L) == Some(-1L), s"gradient grid must set all 64 bits: ${hashes(1L)}")
+    assert(hashes(2L) == Some(-2L), s"one flipped comparison clears bit 0: ${hashes(2L)}")
+    assert(hashes(3L) == Some(0L), s"inverted grid sets no bit: ${hashes(3L)}")
+    assert(hashes(4L).isEmpty, "junk must hash null")
+    val pairs = Multimodal.imageNearDupPairs(imgs, "img", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
+  }
 }

@@ -254,4 +254,75 @@ class TextStatsSpec extends SparkSpecBase {
     assert(math.abs(byId(10L) - exp10) < 5e-5, s"${byId(10L)} vs $exp10")
     assert(math.abs(byId(11L) - exp11) < 5e-5, s"${byId(11L)} vs $exp11")
   }
+
+  test("bm25 index: write/read probe equals bm25TopK; append equals a fresh rebuild") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "apple banana apple"),
+      (11L, "banana cherry"),
+      (12L, "durian durian durian"),
+      (13L, "apple durian fig"),
+      (14L, "cherry fig fig grape")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry cherry"), (2L, "fig grape"))
+      .toDF("doc_id", "text").select(col("doc_id").as("qid"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val direct = rows(TextStats.bm25TopK(corpus, "text", "doc_id",
+      queries, "text", "qid", k = 3))
+
+    withTempDir("bm25-idx") { dir =>
+      TextStats.writeBm25Index(corpus, "text", "doc_id", dir.getAbsolutePath)
+      val idx = TextStats.readBm25Index(spark, dir.getAbsolutePath)
+      assert(idx.idCol == "doc_id")
+      assert(rows(TextStats.bm25TopKFromIndex(idx, queries, "text", "qid",
+        k = 3)) == direct)
+    }
+
+    // append path: index built on docs 10-12, docs 13-14 appended —
+    // probe must equal the fresh full-corpus index (and the direct op)
+    withTempDir("bm25-idx-app") { dir =>
+      TextStats.writeBm25Index(corpus.filter(col("doc_id") <= 12),
+        "text", "doc_id", dir.getAbsolutePath)
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        corpus.filter(col("doc_id") > 12), "text", "doc_id")
+      val idx = TextStats.readBm25Index(spark, dir.getAbsolutePath)
+      assert(rows(TextStats.bm25TopKFromIndex(idx, queries, "text", "qid",
+        k = 3)) == direct)
+      // the merged df is the true corpus df (banana stayed at 2,
+      // apple/cherry/durian/fig grew across the append boundary)
+      val dfm = idx.dfT.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfm == Map("apple" -> 2L, "banana" -> 2L, "cherry" -> 2L,
+        "durian" -> 2L, "fig" -> 2L, "grape" -> 1L))
+      // scalars recomputed on the driver match the corpus
+      val m = idx.meta.collect()(0)
+      assert(m.getAs[Double]("ndocs") == 5.0)
+      assert(math.abs(m.getAs[Double]("avglen") - 15.0 / 5) < 1e-12)
+    }
+
+    // cap + df-gate: with maxPostings = 1, every df>1 term's list is
+    // whole-list dropped at build AND df-gated at probe; only the
+    // singleton term 'grape' can contribute — and a term whose list
+    // only crosses the cap AFTER an append (fig: df 1 -> 2) is gated
+    // identically to the fresh rebuild even though its stale standing
+    // posting is still on disk
+    def gated(dir: java.io.File) = rows(TextStats.bm25TopKFromIndex(
+      TextStats.readBm25Index(spark, dir.getAbsolutePath),
+      queries, "text", "qid", k = 3))
+    val fresh = withTempDir("bm25-idx-cap") { dir =>
+      TextStats.writeBm25Index(corpus, "text", "doc_id",
+        dir.getAbsolutePath, maxPostings = 1)
+      val g = gated(dir)
+      assert(g.map(t => (t._1, t._2)) == Seq((2L, 14L)), s"got $g")
+      g
+    }
+    withTempDir("bm25-idx-cap-app") { dir =>
+      TextStats.writeBm25Index(corpus.filter(col("doc_id") <= 12),
+        "text", "doc_id", dir.getAbsolutePath, maxPostings = 1)
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        corpus.filter(col("doc_id") > 12), "text", "doc_id")
+      assert(gated(dir) == fresh)
+    }
+  }
 }

@@ -425,6 +425,89 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream BQ semantic tier matches semanticIncremental's BQ route on a sign-pattern fixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val Sim = graft.operators.Similarity
+    // ±-pattern standing vectors: every component has equal magnitude,
+    // so the ±1/√D reconstruction IS the normalized vector and the
+    // stream tier's ADC cosine equals the batch route's exact cosine —
+    // a true parity pin, same trick as the SQ tier's exact-bounds
+    // fixture. Thresholds (midrange) land strictly between the two
+    // sign patterns, never ON a value.
+    val standing = Seq(
+      (201L, Seq(5.0, 5.0, -5.0, -5.0)),
+      (203L, Seq(-5.0, -5.0, 5.0, 5.0)))
+      .toDF("doc_id", "emb")
+    val bqm = Sim.bqTrain(standing, "emb")
+    val standingCoded = Sim.bqAssign(standing, "emb", bqm)
+      .select("doc_id", "bq_code")
+    val lookup = Sim.bqSemanticLookup(standingCoded, bqm).localCheckpoint()
+    // intake: 11 paraphrases 201 (same sign pattern -> guaranteed
+    // band collision and cosine ~1); 12 is novel (different pattern,
+    // no band collision); 13 has no embedding and must pass untouched
+    val intake = Seq(
+      (11L, "2026-01-01 00:00:01",
+        "they rescheduled the gathering for three pm on thursday afternoon",
+        Some(Seq(5.01, 4.99, -5.0, -5.0))),
+      (12L, "2026-01-01 00:00:02",
+        "a genuinely fresh crawl document with brand new interesting content",
+        Some(Seq(0.0, 0.0, 0.0, 7.0))),
+      (13L, "2026-01-01 00:00:03",
+        "a document that arrived without any embedding attached to it at all",
+        None))
+      .toDF("doc_id", "ts", "text", "emb")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val cfgBq = graft.operators.CorpusPrep.Config(embCol = Some("emb"),
+      minCosine = 0.999, bqModel = Some(bqm))
+    // batch truth: the codes-only standing index + float store route
+    val batchSurvivors = graft.operators.CorpusPrep.semanticIncremental(
+        intake.filter(col("emb").isNotNull).select("doc_id", "emb"),
+        standingCoded, cfg = cfgBq,
+        embStore = Some(standing.select("doc_id", "emb")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchSurvivors == Set(12L), s"batch BQ route: $batchSurvivors")
+    withTempDir("prep-stream-bq") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, emb ARRAY<DOUBLE>")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          cfgBq, semanticLookup = Some(lookup))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_bq")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id FROM prep_stream_bq")
+        .collect().map(_.getLong(0)).toSet
+      // stream survivors = batch survivors + the embedding-less row
+      assert(got == Set(12L, 13L), s"stream BQ survivors: $got")
+      assert(got - 13L == batchSurvivors,
+        s"stream $got (minus the no-emb row) vs batch $batchSurvivors")
+      // config errors are loud: BOTH codecs with a lookup, and BQ
+      // with a codebook (the band lookup has no inverted lists)
+      intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(
+          spark.readStream
+            .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, emb ARRAY<DOUBLE>")
+            .parquet(dir.getAbsolutePath), "text", "ts",
+          cfgBq.copy(sqModel = Some(Sim.SqModel(Seq(0.0), Seq(1.0), residual = false))),
+          semanticLookup = Some(lookup))
+      }
+      intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(
+          spark.readStream
+            .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, emb ARRAY<DOUBLE>")
+            .parquet(dir.getAbsolutePath), "text", "ts",
+          cfgBq.copy(codebook = Some(Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))))),
+          semanticLookup = Some(lookup))
+      }
+      ()
+    }
+  }
+
   test("prepStream releases its standing-corpus caches when the stream terminates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -780,5 +863,80 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("intra-tier drop precision/recall vs the batch exact rule, measured on one intake") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The documented greedy/false-positive trade as a NUMBER: replay
+    // one intake through both within-stream tiers and score each
+    // tier's DROP decisions against the batch rule's (exact Jaccard
+    // >= 0.8, cluster, keep-earliest). Doc-level precision/recall is
+    // the right granularity — a stream tier emits survivor decisions,
+    // not pairs, and pairMetrics' id_a =!= id_b contract rules out a
+    // self-pair encoding. Fixture: the engineered band collider from
+    // the verified-tier test (docs 1/2, Jaccard ~0.18, band-0
+    // collision) plus a true near-dup pair (3/4) and bypass rows.
+    val collA = "alpha beta gamma delta epsilon zeta"
+    val collB = "alpha beta gamma delta epsilon zeta harbor river yonder " +
+      "glacier meadow lantern delta2 jungle nectar candle bridge prairie " +
+      "cinder anchor echo ocean tundra forest"
+    val rows = Seq(
+      (1L, "2026-01-01 00:00:01", collA),
+      (2L, "2026-01-01 00:00:02", collB),
+      (3L, "2026-01-01 00:00:03", "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "2026-01-01 00:00:04", "the quick brown fox jumps over the lazy dog again and again today okay"),
+      (5L, "2026-01-01 00:00:05", null.asInstanceOf[String]),
+      (6L, "2026-01-01 00:00:06", "tiny doc"))
+    val allIds = rows.map(_._1).toSet
+    val intake = rows.toDF("doc_id", "ts", "text")
+      .withColumn("ts", to_timestamp(col("ts")))
+
+    // batch truth: exact-verified pairs -> clusters -> keep min id
+    // (== earliest arrival here), everything else is a true drop
+    val truthKept = graft.operators.Dedup.dropNearDuplicates(
+        intake, "doc_id",
+        graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.jaccardNearDupPairs(
+            intake, "text", "doc_id", minJaccard = 0.8)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val truthDrops = allIds -- truthKept
+    assert(truthDrops == Set(4L), s"fixture truth drift: $truthDrops")
+
+    def drops(name: String,
+        tier: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[Long] =
+      withTempDir(s"intra-pm-$name") { dir =>
+        intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+          .parquet(dir.getAbsolutePath)
+          .withWatermark("ts", "10 minutes")
+        val q = tier(stream).writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("memory").queryName(s"intra_pm_$name")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        allIds -- spark.sql(s"SELECT doc_id FROM intra_pm_$name")
+          .collect().map(_.getLong(0)).toSet
+      }
+    def pr(got: Set[Long]): (Double, Double) = (
+      if (got.isEmpty) 1.0 else got.intersect(truthDrops).size.toDouble / got.size,
+      if (truthDrops.isEmpty) 1.0
+      else got.intersect(truthDrops).size.toDouble / truthDrops.size)
+
+    val greedyDrops = drops("greedy",
+      graft.operators.Dedup.streamIntraBandDedup(_, "text"))
+    val verifiedDrops = withRocksDb(drops("verified",
+      graft.operators.Dedup.streamIntraVerifiedDedup(_, "text", "ts")))
+    val (gp, gr) = pr(greedyDrops)
+    val (vp, vr) = pr(verifiedDrops)
+    info(f"greedy tier:   precision $gp%.2f recall $gr%.2f (drops $greedyDrops)")
+    info(f"verified tier: precision $vp%.2f recall $vr%.2f (drops $verifiedDrops)")
+    // the measured trade: the greedy tier buys statelessness with
+    // false-positive drops (precision < 1); the verified tier's exact
+    // check restores precision 1 at identical recall on this intake
+    assert(gp < 1.0 && gr == 1.0, s"greedy ($gp, $gr) drops $greedyDrops")
+    assert(vp == 1.0 && vr == 1.0, s"verified ($vp, $vr) drops $verifiedDrops")
   }
 }
