@@ -236,6 +236,22 @@ class BqSpec extends SparkSpecBase {
     }
   }
 
+  test("bqProbeAll: width-mismatched query yields an empty shortlist, not junk") {
+    import spark.implicits._
+    val m = Similarity.bqTrain(corpus, "e")
+    val coded = Similarity.bqAssign(corpus, "e", m).cache()
+    // 15 dims pack into the SAME 2 bytes as the model's 16 — the one
+    // width bq_adc_dot cannot catch by byte count, so only the plan's
+    // explicit size guard stands between this query and junk scores
+    val narrow = Seq((9L, Seq.fill(dim - 1)(1.0))).toDF("qid", "e")
+    for (asym <- Seq(false, true)) {
+      val out = Similarity.bqProbeAll(coded, "e", "vec_id", narrow,
+        "qid", "e", m, k = 5, rerank = 20, asymmetric = asym)
+      assert(out.isEmpty,
+        s"asymmetric=$asym must return empty for a ${dim - 1}-dim query")
+    }
+  }
+
   test("asymmetric ADC beats Hamming when query mass concentrates on few dims") {
     import spark.implicits._
     // cluster P: dim0 = +5 with MIXED small signs elsewhere (so
@@ -315,6 +331,13 @@ class BqSpec extends SparkSpecBase {
     val rec = Similarity.recallAtK(g, t, "qid", "vec_id")
       .orderBy("qid").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(rec == Seq((1L, 0.6667), (2L, 0.0), (3L, 1.0)))
+
+    // duplicate (query, id) rows in `got` must not fan out the join
+    // and inflate recall — same normalization contract as pairMetrics
+    val gDup = g.unionByName(Seq((1L, 10L), (1L, 10L)).toDF("qid", "vec_id"))
+    val recDup = Similarity.recallAtK(gDup, t, "qid", "vec_id")
+      .orderBy("qid").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(recDup == rec, s"duplicates skewed recall: $recDup vs $rec")
   }
 
   test("calibrateRerank finds a smaller budget for the finer (asymmetric) scorer") {

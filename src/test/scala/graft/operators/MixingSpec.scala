@@ -234,5 +234,13 @@ class MixingSpec extends SparkSpecBase {
     val zeroed = Mixing.tokenBudgetTakeMixed(df, Seq("source"), "doc_id",
       "nt", Seq(("A", 0L)).toDF("source", "budget"), "budget")
     assert(zeroed.isEmpty)
+
+    // duplicate stratum rows in the recipe would fan out the totals
+    // join and silently duplicate every kept row — refused loudly
+    val err = intercept[IllegalArgumentException] {
+      Mixing.tokenBudgetTakeMixed(df, Seq("source"), "doc_id", "nt",
+        Seq(("A", 1000L), ("A", 500L)).toDF("source", "budget"), "budget")
+    }
+    assert(err.getMessage.contains("duplicate stratum rows"))
   }
 }
