@@ -463,7 +463,7 @@ object TextStats {
       * (the one column that isn't an index internal) — no driver
       * action needed to build a probe plan. */
     def idCol: String =
-      postings.columns.filterNot(Set("token", "tf", "len")).head
+      postings.columns.filterNot(Set("token", "tf", "len", "_tb")).head
   }
 
   /** Build and persist a BM25 postings index — the build-once half of
@@ -488,11 +488,21 @@ object TextStats {
     *
     * Build cost: one (id, token) shuffle for tf, one token-keyed
     * aggregation for df, one id-keyed join to denormalize lengths,
-    * one token-partitioned window for the cap — paid once. */
+    * one token-partitioned window for the cap — paid once.
+    *
+    * `tokenBuckets` hash-partitions `postings/` on
+    * pmod(hash(token), tokenBuckets): the probe joins on the bucket
+    * column too, so dynamic partition pruning reads ONLY the
+    * directories holding query-term postings — a probe touches at
+    * most |query terms| of the `tokenBuckets` partitions instead of
+    * scanning the corpus-sized postings file, which at 100 TB is the
+    * difference between an index lookup and a table scan. */
   def writeBm25Index(corpus: DataFrame, textCol: String, idCol: String,
-      path: String, maxPostings: Int = HotKeys.DefaultBucketCap): Unit = {
-    require(!Set("token", "tf", "len").contains(idCol),
+      path: String, maxPostings: Int = HotKeys.DefaultBucketCap,
+      tokenBuckets: Int = 64): Unit = {
+    require(!Set("token", "tf", "len", "_tb").contains(idCol),
       s"idCol '$idCol' collides with the index's internal column names")
+    require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
     val tokens = corpus.select(col(idCol), explode(toks(textCol)).as("token"))
     val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     // true df, BEFORE the posting cap — derived from tf (one row per
@@ -505,12 +515,14 @@ object TextStats {
     // a retrieval index (max idf), the opposite of an LSH bucket
     HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
         minPerKey = 1, metricName = "graft_bm25_posting_cap")
-      .select(col(idCol), col("token"), col("tf"), col("len"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+      .select(col(idCol), col("token"), col("tf"), col("len"),
+        pmod(hash(col("token")), lit(tokenBuckets)).as("_tb"))
+      .write.mode("overwrite").partitionBy("_tb").parquet(s"$path/postings")
     // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
     lens.agg(count(lit(1)).cast("double").as("ndocs"),
         coalesce(avg(col("len")), lit(0.0)).as("avglen"))
       .withColumn("max_postings", lit(maxPostings.toLong))
+      .withColumn("token_buckets", lit(tokenBuckets.toLong))
       .withColumn("id_col", lit(idCol))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -539,12 +551,13 @@ object TextStats {
   def appendBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, textCol: String, idCol: String): Unit = {
     val old = readBm25Index(spark, path)
-    val metaRow = old.meta.select("ndocs", "avglen", "max_postings", "id_col")
+    val metaRow = old.meta
+      .select("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
       .collect()(0)
-    val (n0, avg0, cap) =
-      (metaRow.getDouble(0), metaRow.getDouble(1), metaRow.getLong(2))
-    require(metaRow.getString(3) == idCol,
-      s"index was built with idCol '${metaRow.getString(3)}', got '$idCol'")
+    val (n0, avg0, cap, tb) = (metaRow.getDouble(0), metaRow.getDouble(1),
+      metaRow.getLong(2), metaRow.getLong(3))
+    require(metaRow.getString(4) == idCol,
+      s"index was built with idCol '${metaRow.getString(4)}', got '$idCol'")
     val tokens = batch.select(col(idCol), explode(toks(textCol)).as("token"))
     val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val lens = batch.select(col(idCol),
@@ -562,15 +575,16 @@ object TextStats {
       new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
     HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), cap.toInt,
         minPerKey = 1, metricName = "graft_bm25_posting_cap_append")
-      .select(col(idCol), col("token"), col("tf"), col("len"))
-      .write.mode("append").parquet(s"$path/postings")
+      .select(col(idCol), col("token"), col("tf"), col("len"),
+        pmod(hash(col("token")), lit(tb)).cast("int").as("_tb"))
+      .write.mode("append").partitionBy("_tb").parquet(s"$path/postings")
     val batchStats = lens.agg(count(lit(1)).cast("double").as("nb"),
       coalesce(sum(col("len")), lit(0.0)).as("sumb")).collect()(0)
     val (nB, sumB) = (batchStats.getDouble(0), batchStats.getDouble(1))
     val n1 = n0 + nB
     import spark.implicits._
-    Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, idCol))
-      .toDF("ndocs", "avglen", "max_postings", "id_col")
+    Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, tb, idCol))
+      .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -596,9 +610,27 @@ object TextStats {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
     val idCol = index.idCol
-    val qTokens = queries
+    val qTokens0 = queries
       .select(col(qIdCol).as("_qid"), explode(toks(qTextCol)).as("token"))
+      // semantically a no-op (toks already drops empties) but it is
+      // the "likely selective" predicate Spark's PartitionPruning
+      // rule requires on the filtering side before it will inject a
+      // DPP subquery — without it a caller passing an unfiltered
+      // query frame loses the partition pruning below
+      .filter(col("token") =!= "")
       .distinct()
+    // bucketed index: tag each query token with its postings
+    // partition (same pmod(hash) as the build — the bucket count
+    // rides the one-row meta, so the plan stays lazy) and join on it
+    // too; the broadcast join over the partition column is what lets
+    // dynamic partition pruning skip every directory holding no
+    // query-term postings
+    val hasTb = index.postings.columns.contains("_tb")
+    val qTokens = if (!hasTb) qTokens0 else qTokens0
+      .crossJoin(broadcast(index.meta.select(col("token_buckets").as("_tbk"))))
+      .withColumn("_tb", pmod(hash(col("token")), col("_tbk")).cast("int"))
+      .drop("_tbk")
+    val joinKeys = if (hasTb) Seq("_tb", "token") else Seq("token")
     val scalars = index.meta.select(col("ndocs").as("_n"),
       col("avglen").as("_avglen"), col("max_postings").as("_maxp"))
     // query-term df: the vocab-sized df table scanned once, filtered
@@ -614,7 +646,7 @@ object TextStats {
     val norm = col("tf") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("len") / col("_avglen"))
     index.postings
-      .join(broadcast(qTokens), Seq("token"))
+      .join(broadcast(qTokens), joinKeys)
       .join(broadcast(qdf), Seq("token"))
       .crossJoin(broadcast(scalars.select("_n", "_avglen")))
       .groupBy(col("_qid"), col(idCol))

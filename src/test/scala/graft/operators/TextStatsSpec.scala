@@ -276,8 +276,14 @@ class TextStatsSpec extends SparkSpecBase {
       TextStats.writeBm25Index(corpus, "text", "doc_id", dir.getAbsolutePath)
       val idx = TextStats.readBm25Index(spark, dir.getAbsolutePath)
       assert(idx.idCol == "doc_id")
-      assert(rows(TextStats.bm25TopKFromIndex(idx, queries, "text", "qid",
-        k = 3)) == direct)
+      val probe = TextStats.bm25TopKFromIndex(idx, queries, "text", "qid", k = 3)
+      assert(rows(probe) == direct)
+      // the postings scan must carry a dynamic-pruning partition
+      // filter on the token bucket — the plan shape that turns a
+      // 100 TB probe into a few-directory read
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"postings scan lost its DPP partition filter:\n$plan")
     }
 
     // append path: index built on docs 10-12, docs 13-14 appended —
