@@ -223,6 +223,60 @@ object Mixing {
         .filter(col("_budget") > 0)
     }
 
+  /** Big-stratum fast path for `tokenBudgetTake` — the SCALE.md
+    * prefilter recipe as an operator. When a stratum dwarfs its
+    * budget (a 50B-token web crawl sampled to 1B), the window cumsum
+    * still sorts the WHOLE stratum; here over-budget strata first
+    * prefilter to rows whose draw < slack·budget/stratumTokens —
+    * expected surviving mass = slack × budget — and only the
+    * survivors sort. Because the prefilter keeps a PREFIX of the
+    * same md5 draw order, the result is EXACTLY `tokenBudgetTake`'s
+    * whenever the surviving mass still covers the budget (the prefix
+    * property; at `slack` = 4 the non-coverage probability is
+    * Chernoff-negligible for any budget ≫ one doc). Non-coverage is
+    * not silent: `undercovered_strata_est` is published as an
+    * observed metric (cum ties can overcount, hence _est) — a
+    * non-zero value means that stratum's take stopped short of
+    * budget and `slack` should be raised. Under-budget strata are
+    * kept whole without sorting, exactly as in the exact form. */
+  def tokenBudgetTakePrefiltered(df: DataFrame, strataCols: Seq[String],
+      idCol: String, tokenCol: String, budget: Long, slack: Double = 4.0,
+      salt: String = "",
+      metricName: String = "graft_token_budget_prefilter"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(slack > 0, s"slack must be positive, got $slack")
+    require(strataCols.nonEmpty, "tokenBudgetTakePrefiltered needs at least one stratum column")
+    val keyAliases = strataCols.map(c => s"_k_$c")
+    val clash = df.columns.toSeq
+      .intersect("_tot" +: "_cum" +: "_mass" +: keyAliases)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with tokenBudgetTakePrefiltered's working names")
+    val totals = df.groupBy(strataCols.map(col): _*)
+      .agg(sum(col(tokenCol)).as("_tot"))
+      .select(strataCols.map(c => col(c).as(s"_k_$c")) :+ col("_tot"): _*)
+    val joined = df.filter(col(tokenCol).isNotNull)
+      .join(broadcast(totals),
+        strataCols.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _))
+      .drop(keyAliases: _*)
+    val whole = joined.filter(col("_tot") <= budget).drop("_tot")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    val cut = joined.filter(col("_tot") > budget)
+      .filter(unitHash(col(idCol), salt) < lit(slack) * lit(budget) / col("_tot"))
+      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      .withColumn("_mass", max(col("_cum")).over(wAll))
+      .observe(metricName,
+        coalesce(sum(when(col("_cum") === col("_mass") &&
+          col("_mass") < budget, 1).otherwise(0)), lit(0L))
+          .as("undercovered_strata_est"))
+      .filter(col("_cum") - col(tokenCol) < budget)
+      .drop("_tot", "_cum", "_mass")
+    whole.unionByName(cut)
+  }
+
   /** Shared budget-take core: `attachBudget` appends a long `_budget`
     * column to the per-stratum totals frame (a literal for the scalar
     * form, a recipe join for the mixed form). */

@@ -517,6 +517,12 @@ object TextStats {
         minPerKey = 1, metricName = "graft_bm25_posting_cap")
       .select(col(idCol), col("token"), col("tf"), col("len"),
         pmod(hash(col("token")), lit(tokenBuckets)).as("_tb"))
+      // repartition on the bucket before the partitioned write: without
+      // it every task writes a file into every bucket directory
+      // (tasks × buckets files — the classic small-files explosion);
+      // with it each bucket is one task's output. Write parallelism
+      // follows the bucket count — size tokenBuckets to the cluster.
+      .repartition(col("_tb"))
       .write.mode("overwrite").partitionBy("_tb").parquet(s"$path/postings")
     // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
     lens.agg(count(lit(1)).cast("double").as("ndocs"),
@@ -577,6 +583,7 @@ object TextStats {
         minPerKey = 1, metricName = "graft_bm25_posting_cap_append")
       .select(col(idCol), col("token"), col("tf"), col("len"),
         pmod(hash(col("token")), lit(tb)).cast("int").as("_tb"))
+      .repartition(col("_tb"))
       .write.mode("append").partitionBy("_tb").parquet(s"$path/postings")
     val batchStats = lens.agg(count(lit(1)).cast("double").as("nb"),
       coalesce(sum(col("len")), lit(0.0)).as("sumb")).collect()(0)

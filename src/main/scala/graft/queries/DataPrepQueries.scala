@@ -2779,8 +2779,11 @@ object DataPrepQueries {
         val corpus = docs.filter(col("doc_id") >= 3)
         val path = java.nio.file.Files.createTempDirectory("graft_bm25_")
           .toFile.getAbsolutePath
+        // 8 buckets at bench scale: the bucket count is a cluster-
+        // parallelism knob and the oracle result is invariant to it
         graft.operators.TextStats.writeBm25Index(
-          corpus.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", path)
+          corpus.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", path,
+          tokenBuckets = 8)
         graft.operators.TextStats.appendBm25Index(s, path,
           corpus.filter(col("doc_id") % 5 === 0), "text", "doc_id")
         graft.operators.TextStats.bm25TopKFromIndex(

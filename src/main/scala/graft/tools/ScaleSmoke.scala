@@ -121,6 +121,31 @@ object ScaleSmoke {
           .withColumn("nt", size(Dedup.tokens(col("text"))).cast("bigint")),
         Seq("source"), "doc_id", "nt", budget = 100000L).count()
     }
+    // big-stratum fast path: same budgets, but over-budget strata
+    // sort only the ~slack*budget prefiltered mass
+    timed("token_budget_prefiltered(100k tok/source)") {
+      Mixing.tokenBudgetTakePrefiltered(
+        docs.withColumn("source", col("doc_id") % 10)
+          .withColumn("nt", size(Dedup.tokens(col("text"))).cast("bigint")),
+        Seq("source"), "doc_id", "nt", budget = 100000L).count()
+    }
+    // image near-dup facade: synthetic 9x8 BMPs (decode cost real,
+    // payload tiny) through dHash + Hamming banding
+    timed("image_neardup(synthetic bmps)") {
+      val mkImg = udf { (docId: Long) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val base = docId % 997
+        val grays = Array.tabulate(72) { i =>
+          java.lang.Byte.toUnsignedInt(
+            md.digest(s"$base:${i / 9}:${i % 9}".getBytes("UTF-8"))(0))
+        }
+        graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+      }
+      implicit val sp: org.apache.spark.sql.SparkSession = spark
+      graft.operators.Multimodal.imageNearDupPairs(
+        docs.select(col("doc_id"), mkImg(col("doc_id")).as("img")),
+        "img", "doc_id").count()
+    }
     // corpus drift: JS decomposition between the two halves — one
     // count per side + one vocabulary-sized full-outer join
     timed("token_divergence(halves, top100)")(

@@ -243,4 +243,46 @@ class MixingSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("duplicate stratum rows"))
   }
+
+  test("tokenBudgetTakePrefiltered: exact at covering slack; under-coverage is a published metric") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A: 5000 tokens vs budget 1000 (over-budget, prefilter bites);
+    // B: 50 tokens (kept whole, never sorted)
+    val rows = (0 until 50).map(i => (i.toLong, "A", 100L)) ++
+      (0 until 5).map(i => (500L + i, "B", 10L))
+    val df = rows.toDF("doc_id", "source", "nt")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Mixing.tokenBudgetTake(df, Seq("source"), "doc_id", "nt", 1000L))
+    // slack 4: prefilter keeps ~80% of A's draw mass — covers the
+    // budget, so the prefix property makes the take identical
+    val fast = ids(Mixing.tokenBudgetTakePrefiltered(
+      df, Seq("source"), "doc_id", "nt", 1000L, slack = 4.0))
+    assert(fast == exact, s"prefiltered take diverged: $fast vs $exact")
+
+    // slack 0.2 keeps ~4% of A — cannot cover 1000 tokens; the take
+    // comes up short AND says so through the observed metric
+    val metrics = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => metrics.put(k, v) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val starved = Mixing.tokenBudgetTakePrefiltered(
+        df, Seq("source"), "doc_id", "nt", 1000L, slack = 0.2,
+        metricName = "graft_tbp_test")
+      val aTokens = starved.filter(col("source") === "A")
+        .agg(coalesce(sum("nt"), lit(0L))).collect()(0).getLong(0)
+      assert(aTokens < 1000L, s"starved slack still covered: $aTokens")
+      val deadline = System.currentTimeMillis() + 10000
+      while (!metrics.containsKey("graft_tbp_test") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = metrics.get("graft_tbp_test")
+      assert(m != null && m.getLong(0) >= 1L,
+        s"under-coverage metric missing or zero: $m")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
