@@ -2886,6 +2886,39 @@ object DataPrepQueries {
             t(s, dir, "documents").select(col("doc_id"), mk(col("doc_id")).as("img")),
             "img", "doc_id")
           .orderBy("id_a", "id_b")
+      }),
+
+    // Big-stratum fast path (Mixing.tokenBudgetTakePrefiltered):
+    // over-budget strata prefilter to draw < slack*budget/total
+    // before the window cumsum, so only ~slack*budget of mass ever
+    // sorts. The oracle is q112's one-shot take VERBATIM — at a
+    // covering slack the prefilter keeps a prefix of the same draw
+    // order, so the hash match IS the exactness guarantee, the same
+    // oracle device q115 uses against q114.
+    QueryDef("q118_token_budget_prefiltered", Some(s"""
+      WITH d AS (SELECT doc_id, source, len($toksSql) AS nt FROM documents),
+      tot AS (SELECT source, sum(nt) AS tot FROM d GROUP BY source),
+      cum AS (SELECT d.doc_id, d.source, d.nt, t.tot,
+                     sum(nt) OVER (PARTITION BY d.source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0,
+                                doc_id) AS cum
+              FROM d JOIN tot t USING (source)),
+      kept AS (SELECT * FROM cum WHERE tot <= 200 OR cum - nt < 200)
+      SELECT source, count(*) AS n_kept, CAST(sum(nt) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr(s"size($toksExpr)").cast("bigint").as("nt"))
+        // budget 200 / slack 3: theta = 600/stratumTokens is < 1 at
+        // every sf (the prefilter genuinely bites) while the minimum
+        // surviving mass is ~2x the budget at all three sfs (checked
+        // in DuckDB) — exactness holds with margin, deterministically
+        graft.operators.Mixing.tokenBudgetTakePrefiltered(d, Seq("source"),
+            "doc_id", "nt", budget = 200L, slack = 3.0)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
+          .orderBy("source")
       })
   )
 }
