@@ -573,6 +573,10 @@ object TextStats {
     val dfNew = old.dfT
       .unionByName(tf.groupBy("token").agg(count(lit(1)).as("df")))
       .groupBy("token").agg(sum("df").as("df"))
+    // mode overwrite also clears any df.tmp a crashed previous append
+    // left behind; the swap is delete-then-rename, so a crash between
+    // the two leaves a missing df/ (loud on next read), never a stale
+    // half-merged one
     dfNew.write.mode("overwrite").parquet(s"$path/df.tmp")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
