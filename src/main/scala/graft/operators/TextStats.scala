@@ -599,18 +599,42 @@ object TextStats {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** LIVE retrieval against the persisted index — the stream twin the
+    * other retrieval families here already have (dedup's
+    * streamNearDupFilter, the semantic tiers). A BM25 probe ends in a
+    * per-query top-k window over a (query, doc) aggregation, which
+    * Append-mode streaming cannot express, so the honest shape is
+    * per-micro-batch: each arriving query batch runs the ordinary
+    * `bm25TopKFromIndex` plan — probe-sized broadcasts, DPP-pruned
+    * postings read, results identical to the batch call on the same
+    * rows — and `sink` receives (results, batchId). Returns the
+    * configured writer; the caller picks trigger/checkpoint and
+    * calls `.start()`. Per-batch cost follows the BATCH (its terms'
+    * buckets), never the corpus — the serving property the persisted
+    * index exists for. */
+  def bm25ServeStream(queries: DataFrame, index: Bm25Index,
+      qTextCol: String, qIdCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(queries.isStreaming,
+      "bm25ServeStream takes a STREAMING query frame — for batch queries call bm25TopKFromIndex")
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(bm25TopKFromIndex(index, batch, qTextCol, qIdCol, k, k1, b), batchId)
+    }
+  }
+
   /** BM25 top-k retrieval FROM a persisted index — same scores, ranks
     * and output shape as `bm25TopK` (Okapi, Lucene-style idf, rounded
-    * rank cut), but the corpus never tokenizes: the probe is ONE scan
-    * of `postings/` with the query's distinct (query, token) pairs
-    * broadcast into it (map-side filter — only query-term postings
-    * survive the scan), one scan of `df/` filtered the same way into
-    * a broadcast query-term df table, the one-row meta riding the
-    * usual broadcast cross join, then the per-query top-k window.
-    * The only shuffle is the final (query, doc) partial-aggregated
-    * groupBy, bounded by queries × matched docs — at 100 TB the
-    * expensive postings build is paid once in `writeBm25Index`, and
-    * each query batch costs a filtered index scan.
+    * rank cut), but the corpus never tokenizes: the probe is ONE
+    * DPP-pruned scan of `postings/` (only the query terms' bucket
+    * directories are read) with the query's distinct (query, token)
+    * pairs broadcast into it, one scan of `df/` filtered the same
+    * way into a broadcast query-term df table, the one-row meta
+    * riding the usual broadcast cross join, then the per-query top-k
+    * window. The only shuffle is the final (query, doc)
+    * partial-aggregated groupBy, bounded by queries × matched docs —
+    * at 100 TB the expensive postings build is paid once in
+    * `writeBm25Index`, and each query batch costs a few-bucket read.
     *
     * The df-gate (`df <= max_postings`) mirrors the build-time cap so
     * appended indexes score identically to a fresh rebuild — see

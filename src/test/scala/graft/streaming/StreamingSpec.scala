@@ -508,6 +508,44 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("bm25ServeStream: per-batch results equal the batch probe; batch frames refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val TS = graft.operators.TextStats
+    val corpus = Seq(
+      (10L, "apple banana apple"),
+      (11L, "banana cherry"),
+      (12L, "durian durian durian"),
+      (13L, "apple durian fig")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry cherry"), (2L, "durian fig"))
+      .toDF("qid", "text")
+    withTempDir("bm25-serve") { dir =>
+      TS.writeBm25Index(corpus, "text", "doc_id", s"$dir/idx", tokenBuckets = 4)
+      val idx = TS.readBm25Index(spark, s"$dir/idx")
+      def tuples(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val expected = tuples(TS.bm25TopKFromIndex(idx, queries, "text", "qid", k = 3))
+      queries.coalesce(1).write.mode("overwrite").parquet(s"$dir/q")
+      val got = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[(Long, Long, Double, Int), java.lang.Boolean]())
+      val q = TS.bm25ServeStream(
+          spark.readStream.schema("qid BIGINT, text STRING").parquet(s"$dir/q"),
+          idx, "text", "qid", k = 3) { (res, _) =>
+          tuples(res).foreach(got.add); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == expected,
+        s"stream serve diverged: ${got.asScala.toSet} vs $expected")
+      // a batch frame is refused loudly
+      assert(intercept[IllegalArgumentException] {
+        TS.bm25ServeStream(queries, idx, "text", "qid", k = 3)((_, _) => ())
+      }.getMessage.contains("STREAMING"))
+    }
+  }
+
   test("prepStream releases its standing-corpus caches when the stream terminates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
