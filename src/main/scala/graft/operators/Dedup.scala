@@ -1128,6 +1128,50 @@ object Dedup {
       bloomNgramHits(col(textCol), bloomBytes, n) <= maxHits)
   }
 
+  /** SEMANTIC decontamination — the embedding tier of the family
+    * (broadcast containment / Bloom prefilter / row-local n-gram gate
+    * cover the TEXT side): drop corpus rows whose embedding scores
+    * cosine ≥ `minCosine` against ANY benchmark embedding — the
+    * paraphrased-eval-question leak the shingle tiers cannot see.
+    * The benchmark side is small by definition, so it collects to the
+    * driver (loudly bounded by `maxBench` — a "benchmark" past that
+    * size is a corpus, and belongs on the banded/IVF pair-search
+    * paths: Similarity.bqBandCandidates or ivfProbeAll against the
+    * bench as the probe batch) and rides the plan as an array
+    * LITERAL: the decision is a row-local `exists` over the compiled
+    * cosine kernel — ONE corpus pass inside whole-stage codegen, no
+    * join, no corpus×bench row blowup, stream-legal like every other
+    * row-local gate. Null or width-mismatched embeddings KEEP (null
+    * cosine never satisfies ≥) — the gates own those rows. */
+  def semanticDecontaminate(corpus: DataFrame, embCol: String,
+      bench: DataFrame, benchEmbCol: String, minCosine: Double,
+      maxBench: Int = 10000): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    // null bench embeddings drop BEFORE the bound check, so they can
+    // neither mask an oversized bench nor enter the literal
+    val vecs = bench.select(benchEmbCol)
+      .filter(col(benchEmbCol).isNotNull)
+      .limit(maxBench + 1).collect()
+      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue()).toSeq)
+    require(vecs.length <= maxBench,
+      s"benchmark side exceeds maxBench=$maxBench embeddings — that is a " +
+        "corpus, not a benchmark; use the banded/IVF pair-search paths")
+    if (vecs.isEmpty) corpus
+    else {
+      val dims = vecs.head.length
+      require(vecs.forall(_.length == dims),
+        s"benchmark embeddings have mixed widths (${vecs.map(_.length).distinct.sorted.mkString(",")})")
+      val benchLit = typedLit(vecs.toSeq)
+      val e = transform(col(embCol), x => x.cast("double"))
+      // explicit width guard: the compiled cosine kernel dots over the
+      // SHORTER length (norms over each full vector), so a truncated
+      // row could fake a match instead of keeping
+      corpus.filter(size(col(embCol)) =!= dims || !coalesce(
+        exists(benchLit, b => Similarity.cosine(e, b) >= minCosine), lit(false)))
+    }
+  }
+
   def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String = "text",
       benchIdCol: String = "doc_id",

@@ -2919,6 +2919,36 @@ object DataPrepQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
           .orderBy("source")
+      }),
+
+    // Semantic decontamination (Dedup.semanticDecontaminate): the
+    // embedding tier of the decontamination family — drop corpus
+    // vectors scoring cosine >= 0.3 against ANY of the 20 benchmark
+    // vectors (the paraphrased-leak case the shingle tiers can't
+    // see). The bench collects to a driver literal and the decision
+    // is a row-local exists over the compiled cosine kernel: one
+    // corpus pass, no corpus x bench row blowup. The 0.3 threshold
+    // sits >= 2e-5 from every corpus-bench cosine at all sfs
+    // (checked in DuckDB), so the cross-engine float replay is safe.
+    QueryDef("q119_semantic_decontam", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      b AS (SELECT * FROM e WHERE vec_id < 20),
+      c AS (SELECT * FROM e WHERE vec_id >= 20),
+      hit AS (SELECT DISTINCT c.vec_id FROM c CROSS JOIN b
+              WHERE list_inner_product(c.e, b.e)
+                / (sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(b.e, b.e))) >= 0.3)
+      SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM hit)
+      ORDER BY vec_id"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        graft.operators.Dedup.semanticDecontaminate(
+            emb.filter(col("vec_id") >= 20), "e",
+            emb.filter(col("vec_id") < 20), "e", minCosine = 0.3)
+          .select("vec_id").orderBy("vec_id")
       })
   )
 }

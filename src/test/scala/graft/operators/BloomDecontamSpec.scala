@@ -153,4 +153,30 @@ class BloomDecontamSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("semanticDecontaminate: near-bench drops, nulls and width-mismatches keep, oversized bench refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bench = Seq((1L, Some(Seq(1.0, 0.0, 0.0, 0.0)))).toDF("vec_id", "e")
+    val corpus = Seq(
+      (10L, Some(Seq(0.99, 0.1, 0.0, 0.0))),   // cos ~0.995 -> drops
+      (11L, Some(Seq(0.0, 1.0, 0.0, 0.0))),    // orthogonal -> keeps
+      (12L, None),                              // null emb -> keeps
+      (13L, Some(Seq(1.0, 0.0))))               // wrong width -> keeps
+      .toDF("vec_id", "e")
+    val kept = Dedup.semanticDecontaminate(corpus, "e", bench, "e",
+        minCosine = 0.8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L, 13L), s"got $kept")
+    // an empty bench is a no-op, not an error
+    val none = Dedup.semanticDecontaminate(corpus, "e",
+        bench.filter(col("vec_id") < 0), "e", minCosine = 0.8)
+      .count()
+    assert(none == 4L)
+    // a "benchmark" past maxBench is a corpus — refused loudly
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticDecontaminate(corpus, "e", corpus, "e",
+        minCosine = 0.8, maxBench = 2)
+    }.getMessage.contains("maxBench"))
+  }
 }
