@@ -76,6 +76,19 @@ object CorpusPrep {
     ngramBloom: Option[Array[Byte]] = None,
     ngramBloomN: Int = 13,
     ngramBloomMaxHits: Int = 0,
+    // EMBEDDING-tier decontamination (Dedup.semanticDecontaminate):
+    // a frame of benchmark embeddings (`benchEmbCol`), collected to a
+    // loudly bounded driver literal; docs whose `embCol` embedding
+    // scores cosine >= benchMinCosine against ANY of them drop. Runs
+    // LAST among the decontamination tiers (it is the only one that
+    // sees paraphrases), and being row-local it is stream-legal too.
+    // Note `embCol` also engages run()'s semantic DEDUP stage — in a
+    // batch prep the two embedding consumers come together (dropping
+    // paraphrase dups and paraphrase leaks are the same trust level);
+    // prepStream runs benchEmb alone when no semanticLookup is given.
+    benchEmb: Option[DataFrame] = None,
+    benchEmbCol: String = "emb",
+    benchMinCosine: Double = 0.9,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -283,10 +296,19 @@ object CorpusPrep {
         "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment,
         cfg.benchBloomFpp), "decontam")
     }
+    // the embedding tier last: paraphrased leaks the shingle tiers
+    // missed (requires cfg.embCol — the docs' embedding column)
+    val semDecon = cfg.benchEmb.fold(decontaminated) { bench =>
+      require(cfg.embCol.isDefined,
+        "benchEmb (semantic decontamination) needs cfg.embCol — the docs' " +
+          "embedding column the benchmark embeddings score against")
+      obs(Dedup.semanticDecontaminate(decontaminated, cfg.embCol.get,
+        bench, cfg.benchEmbCol, cfg.benchMinCosine), "semdecontam")
+    }
     // distinct salt: the prep sample must not correlate with any
     // downstream unsalted mixing draw over the same ids
-    cfg.sampleRate.fold(decontaminated)(r =>
-      obs(Mixing.stratifiedSample(decontaminated, idCol, r,
+    cfg.sampleRate.fold(semDecon)(r =>
+      obs(Mixing.stratifiedSample(semDecon, idCol, r,
         salt = "corpusprep"), "sampled"))
   }
 
@@ -600,12 +622,14 @@ object CorpusPrep {
         "stages need a batch pass — run them via runIncremental over the " +
         "accumulated intake (for decontamination in a stream, use the " +
         "row-local n-gram tier: Config.ngramBloom)")
-    require(cfg.embCol.isEmpty || semanticLookup.isDefined,
+    require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
+        cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +
         "Similarity.sqSemanticLookup over the standing SQ index, or " +
         "Similarity.bqSemanticLookup over standing BQ codes, and pass it " +
         "as semanticLookup) — the batch semantic tier's pair clustering " +
-        "needs a corpus pass; run it via runIncremental")
+        "needs a corpus pass; run it via runIncremental. (embCol serving " +
+        "ONLY benchEmb decontamination is also valid.)")
     require(semanticLookup.isEmpty || (cfg.embCol.isDefined &&
         ((cfg.codebook.isDefined && cfg.sqModel.isDefined && cfg.bqModel.isEmpty) ||
          (cfg.bqModel.isDefined && cfg.sqModel.isEmpty && cfg.codebook.isEmpty))),
@@ -634,9 +658,20 @@ object CorpusPrep {
     // n-gram-collision decontamination, the one tier that is stream-
     // legal (row-local Bloom probe — see Dedup.bloomNgramGate; build
     // the filter over bench text normalized like the corpus)
-    val decon = cfg.ngramBloom.fold(lmGated)(bytes =>
+    val decon0 = cfg.ngramBloom.fold(lmGated)(bytes =>
       Dedup.bloomNgramGate(lmGated, "clean_text", bytes,
         cfg.ngramBloomN, cfg.ngramBloomMaxHits))
+    // embedding-tier decontamination is row-local too (the bench
+    // literal collects ONCE at stream build, like the LM gate's
+    // model), so it runs live — upstream of exact dedup, since a
+    // contaminated row should not even seed the digest state
+    val decon = cfg.benchEmb.fold(decon0) { bench =>
+      require(cfg.embCol.isDefined,
+        "benchEmb (semantic decontamination) needs cfg.embCol — the stream's " +
+          "embedding column the benchmark embeddings score against")
+      Dedup.semanticDecontaminate(decon0, cfg.embCol.get, bench,
+        cfg.benchEmbCol, cfg.benchMinCosine)
+    }
     val exact = decon
       .withColumn("_digest", md5(col("clean_text")))
       .withWatermark(tsCol, watermark)

@@ -115,6 +115,31 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(bloomed.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("embedding-tier decontamination drops the paraphrased leak shingles cannot see") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      // a PARAPHRASE of the benchmark question: zero shingle overlap,
+      // near-identical embedding — only the embedding tier sees it
+      (1L, "which city serves as the french seat of government these days",
+        Seq(5.01, 5.0, 0.0, 0.0)),
+      (2L, "completely different content that survives every stage fine",
+        Seq(0.0, 0.0, 9.0, 0.0)),
+      (3L, "another unique document with enough length to pass the gates",
+        Seq(0.0, 0.0, 0.0, 7.0))
+    ).toDF("doc_id", "text", "emb")
+    val benchEmb = Seq((100L, Seq(5.0, 5.01, 0.0, 0.0))).toDF("bid", "e")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        embCol = Some("emb"), benchEmb = Some(benchEmb), benchEmbCol = "e",
+        benchMinCosine = 0.999))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L), s"got $out")
+    // benchEmb without embCol is a loud config error
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        benchEmb = Some(benchEmb), benchEmbCol = "e"))
+    }.getMessage.contains("embCol"))
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"

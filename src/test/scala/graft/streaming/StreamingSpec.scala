@@ -508,6 +508,45 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("prepStream runs the embedding decontamination tier live, without a semantic lookup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val benchEmb = Seq((100L, Seq(5.0, 5.01, 0.0, 0.0))).toDF("bid", "e")
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01",
+        "which city serves as the french seat of government these days",
+        Some(Seq(5.01, 5.0, 0.0, 0.0))),     // paraphrased leak -> drops
+      (2L, "2026-01-01 00:00:02",
+        "completely different content that survives every stage fine",
+        Some(Seq(0.0, 0.0, 9.0, 0.0))),
+      (3L, "2026-01-01 00:00:03",
+        "a document that arrived without any embedding attached at all",
+        None))                                // null emb -> keeps
+      .toDF("doc_id", "ts", "text", "emb")
+      .withColumn("ts", to_timestamp(col("ts")))
+    withTempDir("prep-stream-semdecon") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, emb ARRAY<DOUBLE>")
+        .parquet(dir.getAbsolutePath)
+      // embCol WITHOUT a semanticLookup is valid when it serves the
+      // benchEmb tier alone
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          graft.operators.CorpusPrep.Config(minChars = 20,
+            embCol = Some("emb"), benchEmb = Some(benchEmb),
+            benchEmbCol = "e", benchMinCosine = 0.999))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_semdecon")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id FROM prep_stream_semdecon")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 3L), s"stream survivors: $got")
+    }
+  }
+
   test("bm25ServeStream: per-batch results equal the batch probe; batch frames refused") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
