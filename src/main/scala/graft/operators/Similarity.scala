@@ -1060,6 +1060,121 @@ object Similarity {
     } finally { t.unpersist(); () }
   }
 
+  /** Maximal-Marginal-Relevance re-rank of a probe shortlist — the
+    * diversity pass a data-curation retrieval loop needs ("find docs
+    * like these" returns 50 near-copies of the best hit without it;
+    * public knowledge: Carbonell & Goldstein 1998). Takes any
+    * (queryCol, idCol, scoreCol) frame the probe family emits, joins
+    * each candidate's embedding from `store` (AQE-sized — shortlists
+    * are rerank-bounded by construction), and per query greedily
+    * keeps `k` rows maximizing
+    * λ·relevance − (1−λ)·max(0, max cosine to the already-kept set)
+    * — the clamp means only POSITIVE similarity penalizes; a
+    * candidate anti-correlated with everything kept competes on
+    * relevance alone rather than collecting a negative-cosine bonus.
+    * λ = 1 reproduces the relevance order; λ → 0 maximizes spread.
+    *
+    * Scale shape: ONE shuffle partitioned on the query id with the
+    * greedy walk running inside `mapPartitions` over rows sorted by
+    * (query, relevance) — each group buffered is one SHORTLIST (≤
+    * `maxShortlist`, enforced loudly), never a corpus slice, and the
+    * quadratic O(shortlist²·D) greedy cost is per-query-bounded the
+    * same way every rerank here is. Ties are broken by the incoming
+    * relevance order, so the output is deterministic whenever the
+    * input ranking is (which every probe here guarantees via its
+    * rounded-score sort). Candidates with no embedding in `store`
+    * (or a width-mismatched one) drop before selection — an
+    * un-scorable row cannot be diversity-checked. Output:
+    * (queryCol, idCol, scoreCol, mmr_rank). */
+  def mmrRerank(shortlist: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, store: DataFrame, storeIdCol: String,
+      embCol: String, k: Int, lambda: Double = 0.7,
+      maxShortlist: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(maxShortlist >= k, s"maxShortlist ($maxShortlist) must be >= k ($k)")
+    val joined = shortlist
+      .select(col(queryCol), col(idCol), col(scoreCol).cast("double").as(scoreCol))
+      .join(store.select(col(storeIdCol).as(idCol),
+        asDouble(col(embCol)).as("_me")), Seq(idCol))
+      .filter(col("_me").isNotNull && col(scoreCol).isNotNull)
+      .select(col(queryCol), col(idCol), col(scoreCol), col("_me"))
+      .repartition(col(queryCol))
+      // id tie-break keeps the walk deterministic even when scores tie
+      .sortWithinPartitions(col(queryCol), col(scoreCol).desc, col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      joined.schema.fields.take(3) :+
+        org.apache.spark.sql.types.StructField("mmr_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    joined.mapPartitions { it =>
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        if (a.length != b.length) return Double.NaN
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      def select(group: Vector[(Row, Array[Double])]): Iterator[Row] = {
+        val n = group.length
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        while (kept.length < math.min(k, n)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!kept.contains(i)) {
+              val rel = group(i)._1.getDouble(2)
+              val pen = if (kept.isEmpty) 0.0
+                else (1.0 - lambda) * math.max(maxSim(i), 0.0)
+              val s = lambda * rel - pen
+              // strict > keeps the first (highest-relevance) row on ties
+              if (s > bestScore) { best = i; bestScore = s }
+            }
+            i += 1
+          }
+          kept += best
+          var j = 0
+          while (j < n) {
+            if (!kept.contains(j)) {
+              val s = cos(group(best)._2, group(j)._2)
+              if (!s.isNaN && s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+        }
+        kept.iterator.zipWithIndex.map { case (idx, r) =>
+          Row.fromSeq(group(idx)._1.toSeq.take(3) :+ (r + 1))
+        }
+      }
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private var buf = Vector.empty[(Row, Array[Double])]
+        private var curKey: Any = null
+        private var started = false
+        private def flush(): Iterator[Row] = { val g = buf; buf = Vector.empty; select(g) }
+        private def fill(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val r = it.next()
+            val key = r.get(0)
+            val emb = r.getSeq[Double](3).toArray
+            if (!started || key == curKey) {
+              started = true; curKey = key
+              buf = buf :+ (r -> emb)
+              require(buf.length <= maxShortlist,
+                s"shortlist for query $key exceeds maxShortlist=$maxShortlist — " +
+                  "mmrRerank takes probe SHORTLISTS, not corpus slices")
+            } else {
+              pending = flush(); curKey = key; buf = Vector(r -> emb)
+            }
+          }
+          if (pending.isEmpty && buf.nonEmpty) pending = flush()
+        }
+        def hasNext: Boolean = { fill(); pending.hasNext }
+        def next(): Row = { fill(); pending.next() }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Persist a BQ model — (dim, threshold) rows, KBs. Like PQ/SQ, a
     * coded index is unreadable without the exact model that coded it:
     * persist them together. */

@@ -1300,4 +1300,41 @@ class SimilaritySpec extends SparkSpecBase {
     val r2 = Similarity.pairMetrics(got, empty).collect()(0)
     assert(r2.getLong(1) == 0L && r2.getDouble(3) == 0.0 && r2.getDouble(4) == 1.0)
   }
+
+  test("mmrRerank: diversity beats a redundant higher-relevance hit; lambda=1 is the identity") {
+    import spark.implicits._
+    // A is the best hit, B a near-copy of A, C less relevant but
+    // orthogonal: at lambda 0.7 the second pick must be C
+    // (0.7*0.60 - 0 = 0.42 beats 0.7*0.98 - 0.3*~1 = 0.386)
+    val store = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.999, 0.05)), (12L, Seq(0.0, 1.0)),
+      (20L, Seq(1.0, 1.0)), (21L, Seq(1.0, 0.9)))
+      .toDF("vec_id", "e")
+    val short = Seq(
+      (1L, 10L, 0.99), (1L, 11L, 0.98), (1L, 12L, 0.60),
+      // second query exercises the group walk across a boundary
+      (2L, 20L, 0.9), (2L, 21L, 0.8),
+      // a candidate missing from the store cannot be diversity-checked
+      (2L, 99L, 0.95))
+      .toDF("qid", "vec_id", "cos")
+    def picks(lambda: Double) = Similarity.mmrRerank(short, "qid", "vec_id",
+        "cos", store, "vec_id", "e", k = 2, lambda = lambda)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._3).map(_._2).toSeq }
+    val mmr = picks(0.7)
+    assert(mmr(1L) == Seq(10L, 12L), s"query 1 picks: ${mmr(1L)}")
+    assert(mmr(2L) == Seq(20L, 21L), s"query 2 picks: ${mmr(2L)}")
+    // lambda = 1: pure relevance order survives
+    val rel = picks(1.0)
+    assert(rel(1L) == Seq(10L, 11L), s"lambda=1 picks: ${rel(1L)}")
+    // a shortlist past maxShortlist is refused, not silently truncated
+    val err = intercept[org.apache.spark.SparkException] {
+      Similarity.mmrRerank(short, "qid", "vec_id", "cos", store,
+        "vec_id", "e", k = 2, maxShortlist = 2).collect()
+    }
+    assert(err.getMessage.contains("maxShortlist") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxShortlist")))
+  }
 }
