@@ -198,30 +198,33 @@ object Mixing {
   def tokenBudgetTakeMixed(df: DataFrame, strataCols: Seq[String], idCol: String,
       tokenCol: String, budgets: DataFrame, budgetCol: String,
       salt: String = ""): DataFrame =
-    tokenBudgetCore(df, strataCols, idCol, tokenCol, salt) { totals =>
-      // budgets strata aliased before the join: both sides carry the
-      // stratum columns and a bare name would be ambiguous. Strata
-      // missing from `budgets` drop here (inner join) — the
-      // documented not-in-the-recipe rule — as do non-positive
-      // budgets (an explicit zero keeps nothing).
-      val b = budgets.select(
-        strataCols.map(c => col(c).as(s"_b_$c")) :+
-          col(budgetCol).cast("long").as("_budget"): _*)
-      // a duplicate stratum row in the recipe would fan out the totals
-      // join and silently duplicate every kept row of that stratum —
-      // refuse loudly (the recipe frame is tiny by contract, so the
-      // eager check is one trivial job)
-      val dup = b.groupBy(strataCols.map(c => col(s"_b_$c")): _*)
-        .count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0,
-        "tokenBudgetTakeMixed: budgets frame has duplicate stratum rows; " +
-          "one budget row per stratum required")
-      totals
-        .join(broadcast(b),
-          strataCols.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _))
-        .drop(strataCols.map(c => s"_b_$c"): _*)
-        .filter(col("_budget") > 0)
-    }
+    tokenBudgetCore(df, strataCols, idCol, tokenCol, salt)(
+      attachRecipe(strataCols, budgets, budgetCol))
+
+  /** Shared recipe-attach for the Mixed forms: aliases the budgets
+    * frame's stratum columns (both sides carry the names, a bare one
+    * would be ambiguous), refuses duplicate stratum rows loudly (they
+    * would fan out the totals join and silently duplicate every kept
+    * row — the recipe frame is tiny by contract, so the eager check
+    * is one trivial job), inner-joins (strata missing from the recipe
+    * DROP — the not-in-the-mix rule) and drops non-positive budgets
+    * (an explicit zero keeps nothing). */
+  private def attachRecipe(strataCols: Seq[String], budgets: DataFrame,
+      budgetCol: String): DataFrame => DataFrame = { totals =>
+    val b = budgets.select(
+      strataCols.map(c => col(c).as(s"_b_$c")) :+
+        col(budgetCol).cast("long").as("_budget"): _*)
+    val dup = b.groupBy(strataCols.map(c => col(s"_b_$c")): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      "tokenBudgetTakeMixed: budgets frame has duplicate stratum rows; " +
+        "one budget row per stratum required")
+    totals
+      .join(broadcast(b),
+        strataCols.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _))
+      .drop(strataCols.map(c => s"_b_$c"): _*)
+      .filter(col("_budget") > 0)
+  }
 
   /** Big-stratum fast path for `tokenBudgetTake` — the SCALE.md
     * prefilter recipe as an operator. When a stratum dwarfs its
@@ -244,36 +247,59 @@ object Mixing {
       salt: String = "",
       metricName: String = "graft_token_budget_prefilter"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    prefilteredCore(df, strataCols, idCol, tokenCol, slack, salt, metricName)(
+      _.withColumn("_budget", lit(budget)))
+  }
+
+  /** Recipe-form twin of `tokenBudgetTakePrefiltered` — the fast path
+    * under `tokenBudgetTakeMixed`'s per-stratum budgets frame, with
+    * the same not-in-the-recipe drop rule, duplicate-recipe refusal,
+    * prefix-exactness-at-covering-slack guarantee, and
+    * `undercovered_strata_est` observed metric. */
+  def tokenBudgetTakeMixedPrefiltered(df: DataFrame, strataCols: Seq[String],
+      idCol: String, tokenCol: String, budgets: DataFrame, budgetCol: String,
+      slack: Double = 4.0, salt: String = "",
+      metricName: String = "graft_token_budget_prefilter"): DataFrame =
+    prefilteredCore(df, strataCols, idCol, tokenCol, slack, salt, metricName)(
+      attachRecipe(strataCols, budgets, budgetCol))
+
+  private def prefilteredCore(df: DataFrame, strataCols: Seq[String],
+      idCol: String, tokenCol: String, slack: Double, salt: String,
+      metricName: String)(
+      attachBudget: DataFrame => DataFrame): DataFrame = {
     require(slack > 0, s"slack must be positive, got $slack")
     require(strataCols.nonEmpty, "tokenBudgetTakePrefiltered needs at least one stratum column")
     val keyAliases = strataCols.map(c => s"_k_$c")
     val clash = df.columns.toSeq
-      .intersect("_tot" +: "_cum" +: "_mass" +: keyAliases)
+      .intersect("_tot" +: "_cum" +: "_mass" +: "_budget" +: keyAliases)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with tokenBudgetTakePrefiltered's working names")
-    val totals = df.groupBy(strataCols.map(col): _*)
-      .agg(sum(col(tokenCol)).as("_tot"))
-      .select(strataCols.map(c => col(c).as(s"_k_$c")) :+ col("_tot"): _*)
+    val totals = attachBudget(
+      df.groupBy(strataCols.map(col): _*).agg(sum(col(tokenCol)).as("_tot")))
+      .select(strataCols.map(c => col(c).as(s"_k_$c")) ++
+        Seq(col("_tot"), col("_budget")): _*)
     val joined = df.filter(col(tokenCol).isNotNull)
       .join(broadcast(totals),
         strataCols.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _))
       .drop(keyAliases: _*)
-    val whole = joined.filter(col("_tot") <= budget).drop("_tot")
+    val whole = joined.filter(col("_tot") <= col("_budget"))
+      .drop("_tot", "_budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
       .orderBy(unitHash(col(idCol), salt), col(idCol))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
-    val cut = joined.filter(col("_tot") > budget)
-      .filter(unitHash(col(idCol), salt) < lit(slack) * lit(budget) / col("_tot"))
+    val cut = joined.filter(col("_tot") > col("_budget"))
+      .filter(unitHash(col(idCol), salt) <
+        lit(slack) * col("_budget") / col("_tot"))
       .withColumn("_cum", sum(col(tokenCol)).over(w))
       .withColumn("_mass", max(col("_cum")).over(wAll))
       .observe(metricName,
         coalesce(sum(when(col("_cum") === col("_mass") &&
-          col("_mass") < budget, 1).otherwise(0)), lit(0L))
+          col("_mass") < col("_budget"), 1).otherwise(0)), lit(0L))
           .as("undercovered_strata_est"))
-      .filter(col("_cum") - col(tokenCol) < budget)
-      .drop("_tot", "_cum", "_mass")
+      .filter(col("_cum") - col(tokenCol) < col("_budget"))
+      .drop("_tot", "_cum", "_mass", "_budget")
     whole.unionByName(cut)
   }
 

@@ -284,5 +284,15 @@ class MixingSpec extends SparkSpecBase {
       assert(m != null && m.getLong(0) >= 1L,
         s"under-coverage metric missing or zero: $m")
     } finally spark.listenerManager.unregister(listener)
+
+    // recipe-form twin: exact vs tokenBudgetTakeMixed at covering
+    // slack, absent strata still drop
+    val budgets = Seq(("A", 1000L)).toDF("source", "budget")
+    val exactMixed = ids(Mixing.tokenBudgetTakeMixed(
+      df, Seq("source"), "doc_id", "nt", budgets, "budget"))
+    val fastMixed = ids(Mixing.tokenBudgetTakeMixedPrefiltered(
+      df, Seq("source"), "doc_id", "nt", budgets, "budget", slack = 4.0))
+    assert(fastMixed == exactMixed, s"$fastMixed vs $exactMixed")
+    assert(!fastMixed.exists(_ >= 500L), "stratum B is not in the recipe")
   }
 }
