@@ -220,6 +220,17 @@ object ScaleSmoke {
         "qid", "e", codebook, k = 3, nprobe = 2,
         excludeSelf = true, broadcastProbes = Some(false)).count()
     }
+    // MMR diversity pass over the batch-probe shortlists: per-query
+    // greedy inside one query-partitioned walk
+    timed("ann_mmr_rerank(1% batch, k=3 of 10)") {
+      val short = Similarity.ivfProbeAll(assigned, "e", "vec_id",
+        assigned.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", codebook, k = 10, nprobe = 2,
+        excludeSelf = true, broadcastProbes = Some(false))
+      Similarity.mmrRerank(short, "qid", "vec_id", "cos",
+        embD, "vec_id", "e", k = 3).count()
+    }
     // trained codebook (k-means|| init + Lloyd) instead of sampled vectors
     timed("ann_ivf_train(16c,2it)") {
       Similarity.trainCodebook(emb.limit(20000), "embedding", k = 16, iters = 2).size.toLong
