@@ -1153,7 +1153,11 @@ object Dedup {
     val vecs = bench.select(benchEmbCol)
       .filter(col(benchEmbCol).isNotNull)
       .limit(maxBench + 1).collect()
-      .map(_.getSeq[Any](0).map(v => v.asInstanceOf[Number].doubleValue()).toSeq)
+      .map(_.getSeq[Any](0).map { v =>
+        require(v != null,
+          s"benchmark embedding in '$benchEmbCol' contains a null element")
+        v.asInstanceOf[Number].doubleValue()
+      }.toSeq)
     require(vecs.length <= maxBench,
       s"benchmark side exceeds maxBench=$maxBench embeddings — that is a " +
         "corpus, not a benchmark; use the banded/IVF pair-search paths")
@@ -1166,9 +1170,17 @@ object Dedup {
       val e = transform(col(embCol), x => x.cast("double"))
       // explicit width guard: the compiled cosine kernel dots over the
       // SHORTER length (norms over each full vector), so a truncated
-      // row could fake a match instead of keeping
-      corpus.filter(size(col(embCol)) =!= dims || !coalesce(
-        exists(benchLit, b => Similarity.cosine(e, b) >= minCosine), lit(false)))
+      // row could fake a match instead of keeping. And an explicit NaN
+      // guard: a zero-norm vector on either side gives cosine NaN, and
+      // Spark's NaN-safe ordering puts NaN ABOVE every value — without
+      // the guard one all-zero benchmark embedding would "hit" (and
+      // silently drop) the entire corpus
+      def hit(b: Column): Column = {
+        val c = Similarity.cosine(e, b)
+        !isnan(c) && c >= minCosine
+      }
+      corpus.filter(size(col(embCol)) =!= dims ||
+        !coalesce(exists(benchLit, hit), lit(false)))
     }
   }
 

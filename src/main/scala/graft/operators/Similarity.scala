@@ -1098,7 +1098,11 @@ object Similarity {
       .select(col(queryCol), col(idCol), col(scoreCol).cast("double").as(scoreCol))
       .join(store.select(col(storeIdCol).as(idCol),
         asDouble(col(embCol)).as("_me")), Seq(idCol))
-      .filter(col("_me").isNotNull && col(scoreCol).isNotNull)
+      // NaN relevance (a zero-norm store vector scores cosine NaN, and
+      // NaN sorts FIRST under desc, so it reliably enters shortlists)
+      // is un-rankable — drop it like a missing embedding
+      .filter(col("_me").isNotNull && col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol)))
       .select(col(queryCol), col(idCol), col(scoreCol), col("_me"))
       .repartition(col(queryCol))
       // id tie-break keeps the walk deterministic even when scores tie
@@ -1117,12 +1121,16 @@ object Similarity {
       def select(group: Vector[(Row, Array[Double])]): Iterator[Row] = {
         val n = group.length
         val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+        // flag array, not kept.contains: a linear scan inside the
+        // O(n·k) selection loop would add another factor of k
+        val taken = new Array[Boolean](n)
         val maxSim = Array.fill(n)(Double.NegativeInfinity)
-        while (kept.length < math.min(k, n)) {
+        var exhausted = false
+        while (!exhausted && kept.length < math.min(k, n)) {
           var best = -1; var bestScore = Double.NegativeInfinity
           var i = 0
           while (i < n) {
-            if (!kept.contains(i)) {
+            if (!taken(i)) {
               val rel = group(i)._1.getDouble(2)
               val pen = if (kept.isEmpty) 0.0
                 else (1.0 - lambda) * math.max(maxSim(i), 0.0)
@@ -1132,14 +1140,20 @@ object Similarity {
             }
             i += 1
           }
-          kept += best
-          var j = 0
-          while (j < n) {
-            if (!kept.contains(j)) {
-              val s = cos(group(best)._2, group(j)._2)
-              if (!s.isNaN && s > maxSim(j)) maxSim(j) = s
+          // defensive: NaN relevance is filtered upstream, but if every
+          // remaining score still manages to be un-comparable, stop
+          // rather than dereference index -1
+          if (best < 0) exhausted = true
+          else {
+            kept += best; taken(best) = true
+            var j = 0
+            while (j < n) {
+              if (!taken(j)) {
+                val s = cos(group(best)._2, group(j)._2)
+                if (!s.isNaN && s > maxSim(j)) maxSim(j) = s
+              }
+              j += 1
             }
-            j += 1
           }
         }
         kept.iterator.zipWithIndex.map { case (idx, r) =>
@@ -2628,6 +2642,12 @@ object Similarity {
       .filter(col("_ln") <= maxBand)
       .groupBy(col("k"), col("band"))
       .agg(collect_list(col("_c")).as("_members"))
+      // band geometry encoded in the SCHEMA (band_b<count>): the
+      // stream filter validates it with a pure schema check, so a
+      // lookup built at one band count can never silently no-op
+      // against a Config carrying another (a width-mismatched binary
+      // equi-join matches nothing — zero drops, zero errors)
+      .withColumnRenamed("band", s"band_b$nb")
   }
 
   /** STREAM half of the BQ semantic tier — the live twin of
@@ -2651,6 +2671,11 @@ object Similarity {
     val nb = if (bands > 0) bands else model.codeBytes
     require(nb >= 1 && model.codeBytes % nb == 0,
       s"codeBytes ${model.codeBytes} is not divisible into $nb byte-aligned bands")
+    require(lookup.columns.contains(s"band_b$nb"),
+      s"lookup band geometry mismatch: this filter slices $nb bands but the " +
+        s"lookup was built with ${lookup.columns.find(_.startsWith("band_b"))
+          .map(_.stripPrefix("band_b")).getOrElse("an unknown count")} " +
+        "(bqSemanticLookup's `bands` and Config.bqBands must agree)")
     val bpb = model.codeBytes / nb
     val withQ = withNormalized(stream, embCol, "_bqv")
       // width guard: bq_adc_dot only NaNs when the BYTE count differs
@@ -2661,7 +2686,7 @@ object Similarity {
       d.withColumn(s"_qb$i", substring(col("_bqc"), i * bpb + 1, bpb)))
     val joined = (0 until nb).foldLeft(withBands)((d, i) =>
       d.join(lookup.filter(col("k") === i)
-          .select(col("band").as(s"_pb$i"), col("_members").as(s"_pm$i")),
+          .select(col(s"band_b$nb").as(s"_pb$i"), col("_members").as(s"_pm$i")),
         col(s"_qb$i") === col(s"_pb$i"), "left_outer"))
     val sqrtD = math.sqrt(model.dims.toDouble)
     def verify(m: Column): Column = {

@@ -534,12 +534,19 @@ object TextStats {
   }
 
   /** Read a persisted BM25 index back (lazy — three parquet frames,
-    * no driver action). */
+    * no driver action beyond the append-marker existence probe). */
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String): Bm25Index =
+      path: String): Bm25Index = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
+    require(!marker.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(marker),
+      s"BM25 index at $path has an unfinished append (_append_incomplete " +
+        "marker present) — its postings/df/meta may disagree; rebuild with " +
+        "writeBm25Index rather than serving inconsistent scores")
     Bm25Index(spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/df"),
       spark.read.parquet(s"$path/meta"))
+  }
 
   /** Append a document batch to a persisted BM25 index WITHOUT
     * rescanning the standing corpus. Batch ids must be disjoint from
@@ -568,27 +575,38 @@ object TextStats {
     val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val lens = batch.select(col(idCol),
       size(toks(textCol)).cast("double").as("len"))
-    // df rebuild: old ⊕ batch, written beside then renamed over — a
-    // lazy read-and-overwrite of the same dir would corrupt it
-    val dfNew = old.dfT
-      .unionByName(tf.groupBy("token").agg(count(lit(1)).as("df")))
-      .groupBy("token").agg(sum("df").as("df"))
-    // mode overwrite also clears any df.tmp a crashed previous append
-    // left behind; the swap is delete-then-rename, so a crash between
-    // the two leaves a missing df/ (loud on next read), never a stale
-    // half-merged one
-    dfNew.write.mode("overwrite").parquet(s"$path/df.tmp")
+    // The append mutates three artifacts that must move together; an
+    // incomplete-append MARKER brackets the whole mutation so a crash
+    // anywhere inside leaves a LOUD state (readBm25Index and further
+    // appends refuse while it exists — rebuild the index) instead of
+    // silently inconsistent scores or a double-counting retry. Plain
+    // filesystem artifacts cannot do better without a table format;
+    // the marker converts every partial-failure window into an error.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
-      new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
+    require(fs.createNewFile(marker),
+      s"could not create append marker under $path (previous append " +
+        "unfinished, or concurrent appends — both require a rebuild)")
+    // postings first (least harm if the job dies here: extra postings
+    // with un-merged df only deflate idf), then the df merge-rename,
+    // then the scalar meta
     HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), cap.toInt,
         minPerKey = 1, metricName = "graft_bm25_posting_cap_append")
       .select(col(idCol), col("token"), col("tf"), col("len"),
         pmod(hash(col("token")), lit(tb)).cast("int").as("_tb"))
       .repartition(col("_tb"))
       .write.mode("append").partitionBy("_tb").parquet(s"$path/postings")
+    // df rebuild: old ⊕ batch, written beside then renamed over — a
+    // lazy read-and-overwrite of the same dir would corrupt it; mode
+    // overwrite also clears any stale df.tmp
+    old.dfT
+      .unionByName(tf.groupBy("token").agg(count(lit(1)).as("df")))
+      .groupBy("token").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$path/df.tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
     val batchStats = lens.agg(count(lit(1)).cast("double").as("nb"),
       coalesce(sum(col("len")), lit(0.0)).as("sumb")).collect()(0)
     val (nB, sumB) = (batchStats.getDouble(0), batchStats.getDouble(1))
@@ -597,6 +615,8 @@ object TextStats {
     Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, tb, idCol))
       .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
       .write.mode("overwrite").parquet(s"$path/meta")
+    fs.delete(marker, false)
+    ()
   }
 
   /** LIVE retrieval against the persisted index — the stream twin the

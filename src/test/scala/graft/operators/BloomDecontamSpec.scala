@@ -178,5 +178,18 @@ class BloomDecontamSpec extends SparkSpecBase {
       Dedup.semanticDecontaminate(corpus, "e", corpus, "e",
         minCosine = 0.8, maxBench = 2)
     }.getMessage.contains("maxBench"))
+    // a zero-norm bench embedding gives cosine NaN against every row,
+    // and Spark orders NaN above all values — without the NaN guard it
+    // would "hit" (drop) the whole corpus
+    val zeroBench = Seq((1L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "e")
+    assert(Dedup.semanticDecontaminate(corpus, "e", zeroBench, "e",
+      minCosine = 0.8).count() == 4L)
+    // a null ELEMENT inside a bench embedding is a described error,
+    // not a bare NPE
+    val gappy = Seq((1L, Seq[java.lang.Double](1.0, null, 0.0, 0.0)))
+      .toDF("vec_id", "e")
+    assert(intercept[IllegalArgumentException] {
+      Dedup.semanticDecontaminate(corpus, "e", gappy, "e", minCosine = 0.8)
+    }.getMessage.contains("null element"))
   }
 }

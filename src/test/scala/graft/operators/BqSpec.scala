@@ -252,6 +252,27 @@ class BqSpec extends SparkSpecBase {
     }
   }
 
+  test("stream BQ lookup carries its band geometry; a mismatched filter refuses instead of no-opping") {
+    import spark.implicits._
+    val m = Similarity.bqTrain(corpus, "e")             // dim 16 -> 2 code bytes
+    val coded = Similarity.bqAssign(corpus, "e", m)
+    val oneBand = Similarity.bqSemanticLookup(coded, m, bands = 1)
+    assert(oneBand.columns.contains("band_b1"))
+    // default bands=0 slices per code byte (2 bands) — a silent
+    // width-mismatched equi-join would match nothing; the schema-
+    // encoded geometry makes it a loud error
+    val err = intercept[IllegalArgumentException] {
+      Similarity.streamSemanticFilterBq(corpus, "e", oneBand, m,
+        minCosine = 0.9)
+    }
+    assert(err.getMessage.contains("band geometry"), err.getMessage)
+    // matched geometry runs (the filter is plain joins, so a batch
+    // frame exercises it): every corpus row collides with itself in
+    // the standing lookup at cosine 1 and drops
+    assert(Similarity.streamSemanticFilterBq(corpus, "e", oneBand, m,
+      minCosine = 0.999, bands = 1).count() == 0L)
+  }
+
   test("asymmetric ADC beats Hamming when query mass concentrates on few dims") {
     import spark.implicits._
     // cluster P: dim0 = +5 with MIXED small signs elsewhere (so

@@ -1336,5 +1336,16 @@ class SimilaritySpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("maxShortlist") ||
       Option(err.getCause).exists(_.getMessage.contains("maxShortlist")))
+    // NaN relevance (a zero-norm vector's cosine) drops instead of
+    // poisoning the greedy walk (NaN sorts first under desc)
+    val nanShort = short.unionByName(
+      Seq((1L, 13L, Double.NaN)).toDF("qid", "vec_id", "cos"))
+    val nanStore = store.unionByName(
+      Seq((13L, Seq(0.0, 0.0))).toDF("vec_id", "e"))
+    val withNan = Similarity.mmrRerank(nanShort, "qid", "vec_id", "cos",
+        nanStore, "vec_id", "e", k = 2, lambda = 0.7)
+      .filter(org.apache.spark.sql.functions.col("qid") === 1L)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).map(_._1)
+    assert(withNan.toSeq == Seq(10L, 12L), s"NaN row leaked: ${withNan.toSeq}")
   }
 }
