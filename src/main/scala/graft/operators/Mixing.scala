@@ -39,7 +39,15 @@ object Mixing {
     * `floor(w) + Bernoulli(frac(w))` copies, tagged 0-based in
     * `epoch`; rows drawing zero copies drop. `weight` may be any
     * numeric expression (a literal, a joined mix-table column, a
-    * per-row quality score). */
+    * per-row quality score).
+    *
+    * NULL-id rule, uniform across every draw-based operator here
+    * (weightedMix, stratifiedSample, shuffle, the budget takes): a
+    * null id has no draw (unitHash(null) is null, and a null
+    * comparison is never true), so the row DROPS. Filter or key-fill
+    * null ids upstream if they must participate — a silent
+    * "floor(w) copies, Bernoulli never fires" half-rule would be a
+    * deterministic mix bias that no error ever surfaces. */
   def weightedMix(df: DataFrame, idCol: String, weight: Column,
       epochOut: String = "epoch", salt: String = ""): DataFrame = {
     val clash = df.columns.toSeq.intersect(Seq("_copies", epochOut))
@@ -48,7 +56,8 @@ object Mixing {
     val w = weight.cast("double")
     val copies = (floor(w) +
       when(unitHash(col(idCol), salt) < w - floor(w), 1).otherwise(0)).cast("int")
-    df.withColumn("_copies", copies)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_copies", copies)
       .filter(col("_copies") > 0)
       .withColumn(epochOut, explode(sequence(lit(0), col("_copies") - 1)))
       .drop("_copies")
@@ -247,7 +256,8 @@ object Mixing {
       salt: String = "",
       metricName: String = "graft_token_budget_prefilter"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    prefilteredCore(df, strataCols, idCol, tokenCol, slack, salt, metricName)(
+    tokenBudgetCore(df, strataCols, idCol, tokenCol, salt,
+      prefilter = Some((slack, metricName)))(
       _.withColumn("_budget", lit(budget)))
   }
 
@@ -260,58 +270,30 @@ object Mixing {
       idCol: String, tokenCol: String, budgets: DataFrame, budgetCol: String,
       slack: Double = 4.0, salt: String = "",
       metricName: String = "graft_token_budget_prefilter"): DataFrame =
-    prefilteredCore(df, strataCols, idCol, tokenCol, slack, salt, metricName)(
+    tokenBudgetCore(df, strataCols, idCol, tokenCol, salt,
+      prefilter = Some((slack, metricName)))(
       attachRecipe(strataCols, budgets, budgetCol))
-
-  private def prefilteredCore(df: DataFrame, strataCols: Seq[String],
-      idCol: String, tokenCol: String, slack: Double, salt: String,
-      metricName: String)(
-      attachBudget: DataFrame => DataFrame): DataFrame = {
-    require(slack > 0, s"slack must be positive, got $slack")
-    require(strataCols.nonEmpty, "tokenBudgetTakePrefiltered needs at least one stratum column")
-    val keyAliases = strataCols.map(c => s"_k_$c")
-    val clash = df.columns.toSeq
-      .intersect("_tot" +: "_cum" +: "_mass" +: "_budget" +: keyAliases)
-    require(clash.isEmpty,
-      s"input columns ${clash.mkString(",")} collide with tokenBudgetTakePrefiltered's working names")
-    val totals = attachBudget(
-      df.groupBy(strataCols.map(col): _*).agg(sum(col(tokenCol)).as("_tot")))
-      .select(strataCols.map(c => col(c).as(s"_k_$c")) ++
-        Seq(col("_tot"), col("_budget")): _*)
-    val joined = df.filter(col(tokenCol).isNotNull)
-      .join(broadcast(totals),
-        strataCols.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _))
-      .drop(keyAliases: _*)
-    val whole = joined.filter(col("_tot") <= col("_budget"))
-      .drop("_tot", "_budget")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-      .orderBy(unitHash(col(idCol), salt), col(idCol))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols.map(col): _*)
-    val cut = joined.filter(col("_tot") > col("_budget"))
-      .filter(unitHash(col(idCol), salt) <
-        lit(slack) * col("_budget") / col("_tot"))
-      .withColumn("_cum", sum(col(tokenCol)).over(w))
-      .withColumn("_mass", max(col("_cum")).over(wAll))
-      .observe(metricName,
-        coalesce(sum(when(col("_cum") === col("_mass") &&
-          col("_mass") < col("_budget"), 1).otherwise(0)), lit(0L))
-          .as("undercovered_strata_est"))
-      .filter(col("_cum") - col(tokenCol) < col("_budget"))
-      .drop("_tot", "_cum", "_mass", "_budget")
-    whole.unionByName(cut)
-  }
 
   /** Shared budget-take core: `attachBudget` appends a long `_budget`
     * column to the per-stratum totals frame (a literal for the scalar
-    * form, a recipe join for the mixed form). */
+    * form, a recipe join for the mixed form). `prefilter`, when set to
+    * (slack, metricName), applies the big-stratum fast path to the
+    * over-budget branch: keep only rows with draw <
+    * slack·budget/stratumTokens before the window cumsum, and publish
+    * `undercovered_strata_est` when a stratum's surviving mass missed
+    * its budget — ONE core, so the null-safe stratum join and the
+    * whole/cut branch logic cannot drift between the exact and
+    * prefiltered forms. */
   private def tokenBudgetCore(df: DataFrame, strataCols: Seq[String],
-      idCol: String, tokenCol: String, salt: String)(
+      idCol: String, tokenCol: String, salt: String,
+      prefilter: Option[(Double, String)] = None)(
       attachBudget: DataFrame => DataFrame): DataFrame = {
     require(strataCols.nonEmpty, "tokenBudgetTake needs at least one stratum column")
+    prefilter.foreach { case (slack, _) =>
+      require(slack > 0, s"slack must be positive, got $slack") }
     val keyAliases = strataCols.map(c => s"_k_$c")
-    val clash = df.columns.toSeq.intersect("_tot" +: "_cum" +: "_budget" +: keyAliases)
+    val clash = df.columns.toSeq
+      .intersect("_tot" +: "_cum" +: "_mass" +: "_budget" +: keyAliases)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with tokenBudgetTake's working names")
     val totals = attachBudget(
@@ -334,10 +316,27 @@ object Mixing {
     // out of the window's input entirely
     val whole = joined.filter(col("_tot") <= col("_budget"))
       .drop("_tot", "_budget")
-    val cut = joined.filter(col("_tot") > col("_budget"))
-      .withColumn("_cum", sum(col(tokenCol)).over(w))
-      .filter(col("_cum") - col(tokenCol) < col("_budget"))
-      .drop("_tot", "_budget", "_cum")
+    val over = joined.filter(col("_tot") > col("_budget"))
+    val cut = prefilter match {
+      case None => over
+        .withColumn("_cum", sum(col(tokenCol)).over(w))
+        .filter(col("_cum") - col(tokenCol) < col("_budget"))
+        .drop("_tot", "_budget", "_cum")
+      case Some((slack, metricName)) =>
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCols.map(col): _*)
+        over
+          .filter(unitHash(col(idCol), salt) <
+            lit(slack) * col("_budget") / col("_tot"))
+          .withColumn("_cum", sum(col(tokenCol)).over(w))
+          .withColumn("_mass", max(col("_cum")).over(wAll))
+          .observe(metricName,
+            coalesce(sum(when(col("_cum") === col("_mass") &&
+              col("_mass") < col("_budget"), 1).otherwise(0)), lit(0L))
+              .as("undercovered_strata_est"))
+          .filter(col("_cum") - col(tokenCol) < col("_budget"))
+          .drop("_tot", "_cum", "_mass", "_budget")
+    }
     whole.unionByName(cut)
   }
 }

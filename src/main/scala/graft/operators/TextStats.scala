@@ -327,8 +327,15 @@ object TextStats {
       back.agg(countDistinct("_w1").cast("double").as("_v"))
         .write.mode("overwrite").parquet(s"$path/meta")
     case None =>
-      lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
       val spark = lm.bigrams.sparkSession
+      // a unified artifact previously written at this path would leave
+      // its pairs/ behind, and readBigramLm PREFERS pairs/ — the
+      // overwrite would otherwise serve a hybrid of the old model's
+      // bigram counts with this model's lefts/vocab
+      val pairsPath = new org.apache.hadoop.fs.Path(s"$path/pairs")
+      pairsPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(pairsPath, true)
+      lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
       spark.read.parquet(s"$path/bigrams")
         .groupBy("_w1").agg(sum("_cb").cast("double").as("_cu"))
         .write.mode("overwrite").parquet(s"$path/lefts")
@@ -363,6 +370,8 @@ object TextStats {
     * Returns (idCol, rank, token, tf, df, tfidf). */
   def keywords(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
+    require(!Set("token", "tf", "df", "tfidf", "rank").contains(idCol),
+      s"idCol '$idCol' collides with keywords' output column names")
     val tokens = docs.select(col(idCol), explode(toks(textCol)).as("token"))
     val df_ = tokens.distinct().groupBy("token").agg(count(lit(1)).as("df"))
     val nDocsDf = docs.agg(count(lit(1)).cast("double").as("_ndocs"))
@@ -413,13 +422,22 @@ object TextStats {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
+    // "score"/"rank" are appended by this plan and would silently
+    // CLOBBER an id column of the same name; "token" clashes with the
+    // exploded postings column
+    require(!Set("token", "score", "rank").contains(idCol),
+      s"idCol '$idCol' collides with bm25TopK's output/internal column names")
     val tokens = corpus.select(col(idCol), explode(toks(textCol)).as("token"))
     val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("_tf"))
     // df derives FROM tf (one row per (doc, token) already) — a
     // tokens.distinct() here would shuffle the whole exploded corpus
     // a second time for the same counts
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("_df"))
-    val lens = corpus.select(col(idCol), size(toks(textCol)).cast("double").as("_len"))
+    // greatest(size, 0): size(null) is -1 on this Spark (see the
+    // tokenSuccessors note) — a nullable-text corpus would otherwise
+    // drag avglen down with -1 "lengths" and skew every norm
+    val lens = corpus.select(col(idCol),
+      greatest(size(toks(textCol)), lit(0)).cast("double").as("_len"))
     // N/avgLen aggregate the per-doc lengths frame (zero-token docs
     // included, same as aggregating the corpus directly) instead of
     // re-tokenizing the corpus a third time
@@ -500,37 +518,62 @@ object TextStats {
   def writeBm25Index(corpus: DataFrame, textCol: String, idCol: String,
       path: String, maxPostings: Int = HotKeys.DefaultBucketCap,
       tokenBuckets: Int = 64): Unit = {
-    require(!Set("token", "tf", "len", "_tb").contains(idCol),
-      s"idCol '$idCol' collides with the index's internal column names")
+    // "score"/"rank" included: the PROBE appends those columns, and a
+    // corpus id named either would be silently clobbered there — the
+    // build is where the whole lifecycle's naming contract is checked
+    require(!Set("token", "tf", "len", "_tb", "score", "rank").contains(idCol),
+      s"idCol '$idCol' collides with the index's internal/probe column names")
     require(tokenBuckets >= 1, s"tokenBuckets must be >= 1, got $tokenBuckets")
-    val tokens = corpus.select(col(idCol), explode(toks(textCol)).as("token"))
-    val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    // true df, BEFORE the posting cap — derived from tf (one row per
-    // (doc, token) already), never a second corpus shuffle
-    tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
+    val spark = corpus.sparkSession
+    // the build mutates three artifacts; bracket it with the same
+    // incomplete marker the append uses, so a crash mid-rebuild
+    // cannot leave a silently inconsistent trio — and so a COMPLETE
+    // rebuild clears a crashed append's marker (the documented
+    // recovery path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    if (!fs.exists(marker)) fs.createNewFile(marker)
+    // tf and lens each feed two of the three writes — persist them so
+    // the build really is ONE tokenize + one (id, token) shuffle, not
+    // a re-execution per write action (DISK-backed: tf is corpus-ish
+    // sized and pinning it in memory is not this operator's call)
+    val tf = corpus.select(col(idCol), explode(toks(textCol)).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // greatest(size, 0): null text must count as length 0, not -1
     val lens = corpus.select(col(idCol),
-      size(toks(textCol)).cast("double").as("len"))
-    // minPerKey = 1: a singleton posting is the HIGHEST-value row in
-    // a retrieval index (max idf), the opposite of an LSH bucket
-    HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
-        minPerKey = 1, metricName = "graft_bm25_posting_cap")
-      .select(col(idCol), col("token"), col("tf"), col("len"),
-        pmod(hash(col("token")), lit(tokenBuckets)).as("_tb"))
-      // repartition on the bucket before the partitioned write: without
-      // it every task writes a file into every bucket directory
-      // (tasks × buckets files — the classic small-files explosion);
-      // with it each bucket is one task's output. Write parallelism
-      // follows the bucket count — size tokenBuckets to the cluster.
-      .repartition(col("_tb"))
-      .write.mode("overwrite").partitionBy("_tb").parquet(s"$path/postings")
-    // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
-    lens.agg(count(lit(1)).cast("double").as("ndocs"),
-        coalesce(avg(col("len")), lit(0.0)).as("avglen"))
-      .withColumn("max_postings", lit(maxPostings.toLong))
-      .withColumn("token_buckets", lit(tokenBuckets.toLong))
-      .withColumn("id_col", lit(idCol))
-      .write.mode("overwrite").parquet(s"$path/meta")
+      greatest(size(toks(textCol)), lit(0)).cast("double").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // true df, BEFORE the posting cap — derived from tf (one row per
+      // (doc, token) already), never a second corpus shuffle
+      tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/df")
+      // minPerKey = 1: a singleton posting is the HIGHEST-value row in
+      // a retrieval index (max idf), the opposite of an LSH bucket
+      HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
+          minPerKey = 1, metricName = "graft_bm25_posting_cap")
+        .select(col(idCol), col("token"), col("tf"), col("len"),
+          pmod(hash(col("token")), lit(tokenBuckets)).as("_tb"))
+        // repartition on the bucket before the partitioned write: without
+        // it every task writes a file into every bucket directory
+        // (tasks × buckets files — the classic small-files explosion);
+        // with it each bucket is one task's output. Write parallelism
+        // follows the bucket count — size tokenBuckets to the cluster.
+        .repartition(col("_tb"))
+        .write.mode("overwrite").partitionBy("_tb").parquet(s"$path/postings")
+      // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
+      lens.agg(count(lit(1)).cast("double").as("ndocs"),
+          coalesce(avg(col("len")), lit(0.0)).as("avglen"))
+        .withColumn("max_postings", lit(maxPostings.toLong))
+        .withColumn("token_buckets", lit(tokenBuckets.toLong))
+        .withColumn("id_col", lit(idCol))
+        .write.mode("overwrite").parquet(s"$path/meta")
+    } finally { tf.unpersist(); lens.unpersist(); () }
+    fs.delete(marker, false)
+    ()
   }
 
   /** Read a persisted BM25 index back (lazy — three parquet frames,
@@ -571,10 +614,15 @@ object TextStats {
       metaRow.getLong(2), metaRow.getLong(3))
     require(metaRow.getString(4) == idCol,
       s"index was built with idCol '${metaRow.getString(4)}', got '$idCol'")
-    val tokens = batch.select(col(idCol), explode(toks(textCol)).as("token"))
-    val tf = tokens.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    // persisted for the same reason as in writeBm25Index: tf feeds
+    // the postings AND the df merge, lens the postings AND the scalar
+    // recompute — one batch tokenize, not one per action
+    val tf = batch.select(col(idCol), explode(toks(textCol)).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = batch.select(col(idCol),
-      size(toks(textCol)).cast("double").as("len"))
+      greatest(size(toks(textCol)), lit(0)).cast("double").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The append mutates three artifacts that must move together; an
     // incomplete-append MARKER brackets the whole mutation so a crash
     // anywhere inside leaves a LOUD state (readBm25Index and further
@@ -615,6 +663,7 @@ object TextStats {
     Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, tb, idCol))
       .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
       .write.mode("overwrite").parquet(s"$path/meta")
+    tf.unpersist(); lens.unpersist()
     fs.delete(marker, false)
     ()
   }
