@@ -25,8 +25,16 @@ object Similarity {
   def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {
     val q = typedLit(query)
-    df.select(col(idCol),
+    // width guard: the cosine kernel scores unequal lengths over the
+    // common prefix, so a mismatched row would carry a plausible
+    // partial score. NaN guard: a zero-norm vector scores cosine NaN,
+    // and Spark sorts NaN ABOVE every real value under desc — without
+    // the filter it would take rank 1 for every query (and poison the
+    // ground truth this function generates for the recall harness)
+    df.filter(size(col(embCol)) === query.length)
+      .select(col(idCol),
         round(cosine(asDouble(col(embCol)), q), 4).as("cos"))
+      .filter(!isnan(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
@@ -56,9 +64,16 @@ object Similarity {
     * Cache or write the result once; every probe then reads one
     * inverted list (~n/K vectors). */
   def ivfAssign(df: DataFrame, codebook: Seq[(Long, Seq[Double])],
-      embCol: String, cidCol: String = "cid"): DataFrame =
+      embCol: String, cidCol: String = "cid"): DataFrame = {
+    val dims = codebook.head._2.length
+    // float input casts (the kernel's ExpectsInputTypes wants
+    // array<double>); width-mismatched rows get a NULL cid — never
+    // probed — instead of a common-prefix nearest centroid
     df.withColumn(cidCol,
-      graft.functions.VectorExpressions.nearest_centroid(col(embCol), codebook))
+      when(size(col(embCol)) === dims,
+        graft.functions.VectorExpressions.nearest_centroid(
+          asDouble(col(embCol)), codebook)))
+  }
 
   /** Inverted lists ranked by squared-L2 distance of their centroid to
     * the query (ties by cid) — the driver-side step of multi-probe: the
@@ -72,6 +87,20 @@ object Similarity {
       while (i < n) { val d = ce(i) - query(i); s += d * d; i += 1 }
       (s, cid)
     }.sortBy(identity).map(_._2)
+
+  /** Cluster-side twin of `rankInvertedLists`: per-row array of
+    * (squared-L2 distance, cid) structs over a literal codebook,
+    * sorted ascending (struct field order ranks by distance, ties by
+    * cid) — ONE definition for every operator that ranks a row's
+    * embedding against the inverted lists, so the distance formula
+    * and tie rule cannot drift between the pair-search variants and
+    * the stream tier. */
+  private def rankedListsCol(emb: Column,
+      codebook: Seq[(Long, Seq[Double])]): Column =
+    array_sort(transform(typedLit(codebook), c => struct(
+      aggregate(zip_with(asDouble(emb), c.getField("_2"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
+      c.getField("_1").as("cid"))))
 
   /** IVF probe with an explicit query vector (the realistic serving
     * shape: the query is NOT a corpus member). The codebook is ranked
@@ -92,8 +121,11 @@ object Similarity {
     val cids = rankInvertedLists(codebook, query).take(nprobe)
     val base = assigned.filter(col(cidCol).isin(cids: _*))
     val scoped = excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
-    scoped.select(col(idCol),
-        round(cosine(col(embCol), typedLit(query)), 4).as("cos"))
+    // same width/NaN/float guards as bruteForceTopK (see its comment)
+    scoped.filter(size(col(embCol)) === query.length)
+      .select(col(idCol),
+        round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
+      .filter(!isnan(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
@@ -116,14 +148,15 @@ object Similarity {
       assigned.join(broadcast(probe), col(cidCol) === col("_pcid"))
         .filter(col(idCol) =!= queryVecId)
         .select(col(idCol),
-          round(cosine(col(embCol), col("_qe")), 4).as("cos"))
+          round(cosine(asDouble(col(embCol)), asDouble(col("_qe"))), 4).as("cos"))
+        .filter(!isnan(col("cos")))
         .orderBy(desc("cos"), col(idCol))
         .limit(k)
     } else {
       require(codebook.nonEmpty,
         "multi-probe (nprobe > 1) needs the codebook to rank inverted lists")
       val qrow = assigned.filter(col(idCol) === queryVecId)
-        .select(col(embCol)).limit(1).collect().headOption
+        .select(asDouble(col(embCol))).limit(1).collect().headOption
       qrow.filterNot(_.isNullAt(0)).map(_.getSeq[Double](0).toSeq) match {
         case Some(query) =>
           ivfProbeVec(assigned, embCol, idCol, query, k, codebook, nprobe, cidCol,
@@ -183,8 +216,16 @@ object Similarity {
     val sqDist = aggregate(
       zip_with(col(qEmbCol), col("_ce"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
+    val dims = codebook.head._2.length
     val probes = queries
       .select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol))
+      // width guard, as in the coded siblings: zip_with null-pads a
+      // mismatched query, its centroid distances all go NULL, and
+      // NULLs sort FIRST under the ascending rank — the query would
+      // probe nprobe arbitrary lists and score partial cosines
+      .withColumn(qEmbCol,
+        when(size(col(qEmbCol)) === dims, col(qEmbCol)))
+      .filter(col(qEmbCol).isNotNull)
       .join(broadcast(cb), lit(true))
       .select(col(qIdCol), col(qEmbCol), col("_cbid"), sqDist.as("_d"))
       .withColumn("_r", row_number().over(
@@ -202,7 +243,9 @@ object Similarity {
     val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
     scoped
       .select(col("_qid"), col(idCol),
-        round(cosine(col(embCol), col("_qe")), 4).as("cos"))
+        round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      // NaN/null scores drop before the rank (desc puts NaN first)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
@@ -517,6 +560,9 @@ object Similarity {
     withEmb
       .select(col(idCol),
         round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
+      // NaN drop: a zero-norm shortlist row would rank FIRST (see
+      // bruteForceTopK)
+      .filter(!isnan(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
@@ -704,6 +750,9 @@ object Similarity {
     withEmb
       .select(col(idCol),
         round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
+      // NaN drop: a zero-norm shortlist row would rank FIRST (see
+      // bruteForceTopK)
+      .filter(!isnan(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
@@ -811,6 +860,7 @@ object Similarity {
     withEmb
       .select(col("_qid"), col(idCol),
         round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("rank", row_number().over(
         win.orderBy(desc("cos"), col(idCol))))
       .filter(col("rank") <= k)
@@ -948,8 +998,17 @@ object Similarity {
       if (excludeSelf) joined.filter(!(col(idCol) <=> col("_qid"))) else joined
     val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
     scoped
+      // width guard per (row, query) pair: the cosine kernel scores a
+      // mismatched pair over the common prefix — a truncated row can
+      // fake cosine 1.0 into the ground truth
+      .filter(size(col(embCol)) === size(col("_qe")))
       .select(col("_qid"), col(idCol),
         round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      // NaN/null guard: a zero-norm corpus vector scores cosine NaN
+      // against every query, and NaN sorts FIRST under desc — in the
+      // GROUND-TRUTH generator that would silently poison recallAtK
+      // and calibrateRerank for the whole harness
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
@@ -1051,8 +1110,12 @@ object Similarity {
       val it = candidates.iterator
       while (it.hasNext) {
         val r = it.next()
-        val mean = recallAtK(probeFn(r), t, queryCol, idCol)
-          .agg(avg("recall")).collect()(0).getDouble(0)
+        val meanRow = recallAtK(probeFn(r), t, queryCol, idCol)
+          .agg(avg("recall")).collect()(0)
+        require(!meanRow.isNullAt(0),
+          "calibrateRerank: truth frame is empty — ground truth must come " +
+            "from a non-empty sampled query batch (bruteForceTopKAll)")
+        val mean = meanRow.getDouble(0)
         last = (r, mean)
         if (mean >= targetRecall) return last
       }
@@ -1936,7 +1999,13 @@ object Similarity {
       normed.withColumn("_pq_n", matVec(r, col("_pq_n"))))
     framed
       .withColumn(codeCol,
-        when(col(embCol).isNotNull && col("_pq_n").isNotNull, codes))
+        when(col(embCol).isNotNull && col("_pq_n").isNotNull &&
+          size(col("_pq_n")) === model.dims, codes))
+      // the explicit width check matters for DIRECT models (rotation
+      // models already null on mismatch via matVec): slice() past a
+      // short vector yields empty subspaces whose nearest centroid is
+      // index 0 at distance 0 — a valid-LOOKING code for a garbage
+      // row, where sq_encode/bq_encode return NULL
       .drop("_pq_n")
   }
 
@@ -1977,7 +2046,7 @@ object Similarity {
       .withColumn("_pq_r", model.rotation.fold(resid)(r => matVec(r, resid)))
       .withColumn(codeCol,
         when(col(embCol).isNotNull && col("_rcn").isNotNull &&
-          col("_pq_r").isNotNull, codes))
+          col("_pq_r").isNotNull && size(col("_pq_n")) === model.dims, codes))
       .drop("_pq_n", "_pq_r", "_rcid", "_rcn")
   }
 
@@ -2053,11 +2122,13 @@ object Similarity {
             col("_qs"), col(codeCol), pq.codebooks)): _*)
       }
     val shortlist = scoredList
-      // nulls LAST: the kernel's NaN-on-corruption already sorts last,
-      // but a null code (rows appended without pqAssign, or a foreign
-      // index) yields a null _adc, and plain asc is NULLS FIRST — it
-      // would burn shortlist slots ahead of every real candidate
-      .orderBy(asc_nulls_last("_adc"), col(idCol))
+      // null/NaN scores DROP, not sort-last: in an under-full list a
+      // sorted-last null-coded row (appended without pqAssign, or a
+      // foreign index) would still pass the limit into the exact
+      // stage despite never being ADC-shortlisted — the same rule
+      // ivfSqProbeAll/ivfBqProbeAll apply
+      .filter(col("_adc").isNotNull && !isnan(col("_adc")))
+      .orderBy(asc("_adc"), col(idCol))
       .limit(rr)
     // codes-only index: the list scan above read (id, code) alone, and
     // only the rr-row shortlist fetches raw embeddings from the
@@ -2071,6 +2142,9 @@ object Similarity {
     withEmb
       .select(col(idCol),
         round(cosine(asDouble(col(embCol)), typedLit(query)), 4).as("cos"))
+      // NaN drop: a zero-norm shortlist row would rank FIRST (see
+      // bruteForceTopK)
+      .filter(!isnan(col("cos")))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
@@ -2113,6 +2187,11 @@ object Similarity {
     val probes = withNormalized(
         queries.select(col(qIdCol), asDouble(col(qEmbCol)).as(qEmbCol)),
         qEmbCol, "_qn")
+      // a NULL query embedding probes nothing (dropped here) — family
+      // parity with ivfProbe/ivfSqProbeAll/ivfBqProbeAll, and without
+      // the drop assert_true would throw on its null predicate and
+      // kill the whole batch job for one bad row
+      .filter(col(qEmbCol).isNotNull)
       // per-row twin of ivfPqProbe's driver-side dims require: a
       // wrong-model pairing must fail loudly, not return the all-NaN
       // near-arbitrary shortlist. assert_true returns null when the
@@ -2150,10 +2229,11 @@ object Similarity {
         rerankFrom.fold(Seq(col(embCol)))(_ => Nil) ++ Seq(col("_qe"),
         graft.functions.VectorExpressions.pq_adc(
           col("_qn"), col(codeCol), pq.codebooks).as("_adc")): _*)
+      // null/NaN drop — same rule as ivfPqProbe's single-query path
+      .filter(col("_adc").isNotNull && !isnan(col("_adc")))
       .withColumn("_ar", row_number().over(
         org.apache.spark.sql.expressions.Window
-          // nulls LAST — same reason as ivfPqProbe's single-query sort
-          .partitionBy("_qid").orderBy(asc_nulls_last("_adc"), col(idCol))))
+          .partitionBy("_qid").orderBy(asc("_adc"), col(idCol))))
       .filter(col("_ar") <= rr)
     // codes-only index (see ivfPqProbe): the list scan reads (id,
     // code) alone; the queries x rerank shortlist fetches embeddings
@@ -2166,6 +2246,8 @@ object Similarity {
     withEmb
       .select(col("_qid"), col(idCol),
         round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      // NaN/null drop before the rank (desc puts NaN first)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
@@ -2204,13 +2286,7 @@ object Similarity {
     require(codebook.nonEmpty, "nearDupPairsIvf needs a codebook")
     require(nprobe >= 1 && nprobe <= codebook.size,
       s"nprobe must be in [1, ${codebook.size}], got $nprobe")
-    val cb = typedLit(codebook)
-    // (squared distance, cid) per codebook entry, sorted — struct
-    // field order makes array_sort rank by distance, ties by cid
-    val ranked = array_sort(transform(cb, c => struct(
-      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
-      c.getField("_1").as("cid"))))
+    val ranked = rankedListsCol(col(embCol), codebook)
     val bucketed = df.select(col(idCol).as("_id"), asDouble(col(embCol)).as("_e"),
       explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
     pairsInBuckets(bucketed, minCosine, maxBucket, "graft_ivf_bucket_cap")
@@ -2249,11 +2325,7 @@ object Similarity {
     require(!pq.residual,
       "SDC scores codes alone and cannot carry the per-list centroid cross " +
         "terms a residual model needs — train a direct pqTrain model for pair search")
-    val cb = typedLit(codebook)
-    val ranked = array_sort(transform(cb, c => struct(
-      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
-      c.getField("_1").as("cid"))))
+    val ranked = rankedListsCol(col(embCol), codebook)
     val bucketed = pqAssign(df.select(col(idCol), col(embCol)), embCol, pq, "_code")
       .select(col(idCol).as("_id"), col("_code"),
         explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
@@ -2306,11 +2378,7 @@ object Similarity {
     require(!sq.residual,
       "SDC scores codes alone and cannot carry the per-list centroid cross " +
         "terms a residual model needs — train a direct sqTrain model for pair search")
-    val cb = typedLit(codebook)
-    val ranked = array_sort(transform(cb, c => struct(
-      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
-      c.getField("_1").as("cid"))))
+    val ranked = rankedListsCol(col(embCol), codebook)
     val bucketed = sqAssign(df.select(col(idCol), col(embCol)), embCol, sq, "_code")
       .select(col(idCol).as("_id"), col("_code"),
         explode(transform(slice(ranked, 1, nprobe), p => p.getField("cid"))).as("_bucket"))
@@ -2429,6 +2497,8 @@ object Similarity {
     withEmb
       .select(col("_qid"), col(idCol),
         round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      // NaN/null drop before the rank (desc puts NaN first)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
@@ -2524,6 +2594,8 @@ object Similarity {
     withEmb
       .select(col("_qid"), col(idCol),
         round(cosine(asDouble(col(embCol)), col("_qe")), 4).as("cos"))
+      // NaN/null drop before the rank (desc puts NaN first)
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("_qid").orderBy(desc("cos"), col(idCol))))
@@ -2590,11 +2662,7 @@ object Similarity {
     require(!sq.residual,
       "the stream semantic tier verifies by direct ADC cosine — residual " +
         "models cannot ride it (see sqSemanticLookup)")
-    val cb = typedLit(codebook)
-    val ranked = array_sort(transform(cb, c => struct(
-      aggregate(zip_with(asDouble(col(embCol)), c.getField("_2"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v).as("d"),
-      c.getField("_1").as("cid"))))
+    val ranked = rankedListsCol(col(embCol), codebook)
     val withQ = withNormalized(stream, embCol, "_sqv")
     val withCids = (0 until nprobe).foldLeft(withQ)((d, i) =>
       d.withColumn(s"_qc$i", element_at(ranked, i + 1).getField("cid")))

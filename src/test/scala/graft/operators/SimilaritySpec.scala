@@ -1301,6 +1301,62 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r2.getLong(1) == 0L && r2.getDouble(3) == 0.0 && r2.getDouble(4) == 1.0)
   }
 
+  test("degenerate-vector hygiene: zero-norm rows never rank, null queries probe nothing, width mismatches code null") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val dirty = clean ++ Seq(
+      (90L, Seq(0.0, 0.0, 0.0, 0.0)),  // zero norm -> cosine NaN
+      (91L, Seq(1.0, 0.0)))            // wrong width
+    val df = dirty.toDF("vec_id", "e")
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    // NaN sorts FIRST under desc in Spark — without the guard 90
+    // would be rank 1; 91's partial-prefix cosine (1.0!) would be 2nd
+    val top = Similarity.bruteForceTopK(df, "e", "vec_id", q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L), s"degenerate rows ranked: $top")
+    // the batch ground-truth generator applies the same rule
+    val truth = Similarity.bruteForceTopKAll(df, "e", "vec_id",
+        Seq((7L, q)).toDF("qid", "e"), "qid", "e", k = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(truth == Seq(1L, 2L), s"ground truth poisoned: $truth")
+    // IVF: width-mismatched rows get a null cid (never probed), and a
+    // wrong-width/null batch query probes nothing instead of scoring
+    // partial cosines against arbitrary lists
+    val codebook: Seq[(Long, Seq[Double])] =
+      Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val assigned = Similarity.ivfAssign(df, codebook, "e")
+    assert(assigned.filter(col("vec_id") === 91L)
+      .select("cid").collect()(0).isNullAt(0))
+    val badQueries = Seq((7L, Some(Seq(1.0, 0.0))), (8L, None))
+      .toDF("qid", "e")
+    assert(Similarity.ivfProbeAll(assigned, "e", "vec_id", badQueries,
+      "qid", "e", codebook, k = 2).isEmpty)
+    // PQ: a width-mismatched row codes NULL (like sq/bq), never a
+    // valid-looking all-zeros code, and a null-coded row cannot pass
+    // an under-full shortlist into the exact stage
+    val pq = Similarity.pqFromVectors(clean.map(_._2), numSubspaces = 2)
+    val coded = Similarity.pqAssign(df, "e", pq)
+    assert(coded.filter(col("vec_id") === 91L)
+      .select("pq_code").collect()(0).isNullAt(0))
+    val probed = Similarity.ivfPqProbeAll(
+        Similarity.ivfAssign(Similarity.pqAssign(df.filter(col("vec_id") =!= 91L), "e", pq),
+          codebook, "e"),
+        "e", "vec_id", Seq((7L, q)).toDF("qid", "e"), "qid", "e",
+        codebook, pq, k = 3, nprobe = 2, rerank = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(!probed.contains(90L),
+      s"zero-norm row survived the exact stage: $probed")
+    // a NULL query embedding must yield empty results, not a crashed job
+    assert(Similarity.ivfPqProbeAll(
+      Similarity.ivfAssign(Similarity.pqAssign(clean.toDF("vec_id", "e"), "e", pq),
+        codebook, "e"),
+      "e", "vec_id", Seq((8L, Option.empty[Seq[Double]])).toDF("qid", "e"),
+      "qid", "e", codebook, pq, k = 2).isEmpty)
+  }
+
   test("mmrRerank: diversity beats a redundant higher-relevance hit; lambda=1 is the identity") {
     import spark.implicits._
     // A is the best hit, B a near-copy of A, C less relevant but
