@@ -108,11 +108,12 @@ object CorpusPrep {
     // e.g. by lang or source); applied LAST via Mixing.stratifiedSample
     sampleRate: Option[org.apache.spark.sql.Column] = None,
     // OPT-IN per-stage survivor counts published as observed metrics
-    // (<prefix>_gated/_exact/_neardup/_semantic, plus _ngram/
-    // _decontam/_sampled when those stages are configured — "where
-    // did my docs
-    // go" with ZERO extra passes; GraftSession's listener logs them
-    // after the action). Off by default because metric names must be
+    // (<prefix>_gated/_exact/_neardup/_semantic, plus _lm/_ngram/
+    // _decontam/_semdecontam/_sampled when those stages are
+    // configured, and <prefix>_semantic_inc from semanticIncremental
+    // — "where did my docs go" with ZERO extra passes; GraftSession's
+    // listener logs them after the action). Off by default because
+    // metric names must be
     // unique within one query execution: two default-named preps
     // unioned into one action would fail analysis. Give each prep
     // composed into a single plan its own prefix.
@@ -199,7 +200,10 @@ object CorpusPrep {
     // refuse it: their exact-verified clustering already covers it.
     intraNearDup: Boolean = false,
     // OPT-IN stateful upgrade of the intra tier: band-keyed
-    // flatMapGroupsWithState keeps the shingle-hash sets of docs seen
+    // transformWithState (the Spark-4 API that lets stateful passes
+    // CHAIN — and which REQUIRES the RocksDB state store provider;
+    // the operator refuses loudly without it) keeps the shingle-hash
+    // sets of docs seen
     // inside the watermark horizon and drops an arrival only when
     // exact Jaccard >= minJaccard verifies against a remembered set
     // (Dedup.streamIntraVerifiedDedup) — closes the greedy tier's
@@ -325,6 +329,13 @@ object CorpusPrep {
       "bqModel is the semanticIncremental lookup codec — the batch semantic " +
         "tier's pair search has its own BQ operator (Similarity.nearDupPairsBq) " +
         "with an explicit Hamming-radius contract; compose it directly")
+    // semantic-stage config without embCol would otherwise be silently
+    // ignored (the whole stage lives inside the embCol fold) — the
+    // same loud-misconfiguration rule as the bqModel check above
+    require(cfg.embCol.isDefined ||
+        (cfg.pqModel.isEmpty && cfg.sqModel.isEmpty && cfg.codebook.isEmpty),
+      "pqModel/sqModel/codebook configure the semantic dedup stage, which " +
+        "needs cfg.embCol — set it, or drop the codec/codebook config")
     val obs = observed(cfg) _
     val spanGated = obs(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
     // LM-quality gate (opt-in): fluency floor under a foreign bigram
@@ -332,6 +343,16 @@ object CorpusPrep {
     val lmGated = cfg.lmModel.fold(spanGated)(_ =>
       obs(lmGate(spanGated, idCol, cfg), "lm"))
     // exact dedup: min id per content digest survives
+    // exactKept feeds the near-dup pair search, the survivor
+    // anti-join AND (with embCol) the semantic tier, so the
+    // normalize/gate/LM/digest pipeline re-executes per consumer.
+    // A localCheckpoint here would stop that — but it TRUNCATES
+    // lineage, and the per-stage observed metrics (CollectMetrics
+    // below the truncation) never reach the listener, breaking the
+    // metricPrefix contract (verified: the spec's metrics vanish).
+    // Callers who want the gates paid once cache/checkpoint UPSTREAM
+    // (docs.cache() before run()), which keeps the observe nodes in
+    // every consumer's plan.
     val exactKept = obs(lmGated
       .withColumn("_digest", md5(col("clean_text")))
       .withColumn("_rank", row_number().over(
@@ -497,8 +518,12 @@ object CorpusPrep {
           .join(batch.select(col(idCol).as("id_a"),
             expr(s"transform($e, x -> CAST(x AS DOUBLE))").as("_be")), "id_a")
           .join(standEmb, "id_b")
-          .filter(round(Similarity.cosine(col("_be"),
-            expr("transform(_se, x -> CAST(x AS DOUBLE))")), 4) >= cfg.minCosine)
+          .withColumn("_vcos", round(Similarity.cosine(col("_be"),
+            expr("transform(_se, x -> CAST(x AS DOUBLE))")), 4))
+          // !isnan: NaN >= threshold is TRUE under Spark's ordering —
+          // one zero-norm standing embedding would otherwise bleed
+          // rows from every future batch
+          .filter(!isnan(col("_vcos")) && col("_vcos") >= cfg.minCosine)
           .select(col("id_a").as(idCol))
           .distinct()
       case _ => throw new IllegalStateException("unreachable: codec enforced above")

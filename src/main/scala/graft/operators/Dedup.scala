@@ -291,15 +291,29 @@ object Dedup {
     * |candidates| rows. Trade-off: recall follows the LSH s-curve
     * (`lshThreshold`) instead of being exact — pick
     * (numHashes, rowsPerBand) so the threshold sits at or below
-    * `minJaccard`. ScaleSmoke measures both on a 50k-doc corpus. */
+    * `minJaccard`. ScaleSmoke measures both on a 50k-doc corpus.
+    * EAGER (candidates localCheckpoint once for the touched-id prune
+    * and both verify joins); like dropIncrementalDuplicates' internal
+    * checkpoints, the band-cap observed metric fires during that
+    * materialization and is not re-delivered on downstream actions. */
   def minhashJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.7,
       numHashes: Int = 4, rowsPerBand: Int = 2,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_lsh_verify_band_cap"): DataFrame = {
+    // localCheckpoint (eager, same as dropIncrementalDuplicates): the
+    // candidate pairs feed the touched-id prune AND both verify joins;
+    // without truncation each reference would re-run the LSH banding
     val cands = minhashNearDupCandidates(df, textCol, idCol, n, numHashes,
-      rowsPerBand, maxBucket, metricName)
-    val sh = df.select(col(idCol).as("_sid"), shingles(col(textCol), n).as("_shs"))
+      rowsPerBand, maxBucket, metricName).localCheckpoint()
+    // semi-join prune BEFORE shingling (the dropIncrementalDuplicates
+    // pattern): only candidate-touched rows compute and shuffle their
+    // shingle arrays — the operator's largest intermediate — so verify
+    // cost follows the CANDIDATE count, not the corpus
+    val touched = cands.select(col("id_a").as("_tid"))
+      .unionByName(cands.select(col("id_b").as("_tid"))).distinct()
+    val sh = df.join(touched, col(idCol) === col("_tid"), "left_semi")
+      .select(col(idCol).as("_sid"), shingles(col(textCol), n).as("_shs"))
     cands
       .join(sh.select(col("_sid").as("_ida"), col("_shs").as("_sa")),
         col("id_a") === col("_ida"))

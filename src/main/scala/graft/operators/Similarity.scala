@@ -918,7 +918,7 @@ object Similarity {
       .join(df.select(col(idCol).as("id_b"), col(embCol).as("_eb")), "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"),
         round(cosine(asDouble(col("_ea")), asDouble(col("_eb"))), 4).as("cos"))
-      .filter(col("cos") >= minCosine)
+      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
   }
 
   /** Band-collision candidates between a CODED batch and a CODED
@@ -2350,7 +2350,9 @@ object Similarity {
       .join(vecs.select(col(idCol).as("id_b"), col("_e").as("_eb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("_ea"), col("_eb")), 4).as("cos"))
-      .filter(col("cos") >= minCosine)
+      // NaN guard: NaN >= threshold is TRUE under Spark's ordering —
+      // a zero-norm vector would otherwise "match" every candidate
+      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
   }
 
   /** SQ8-coded near-duplicate pairs — `nearDupPairsIvf` with the SQ
@@ -2403,7 +2405,9 @@ object Similarity {
       .join(vecs.select(col(idCol).as("id_b"), col("_e").as("_eb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("_ea"), col("_eb")), 4).as("cos"))
-      .filter(col("cos") >= minCosine)
+      // NaN guard: NaN >= threshold is TRUE under Spark's ordering —
+      // a zero-norm vector would otherwise "match" every candidate
+      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
   }
 
   /** Batch IVF-SQ8 probe — ivfPqProbeAll's throughput shape with the
@@ -2670,9 +2674,12 @@ object Similarity {
       d.join(lookup.select(col("cid").as(s"_pc$i"), col("_members").as(s"_pm$i")),
         col(s"_qc$i") === col(s"_pc$i"), "left_outer"))
     def hit(i: Int): Column = coalesce(
-      exists(col(s"_pm$i"), m =>
-        graft.functions.VectorExpressions.sq_adc_cos(col("_sqv"), m, sq.mm)
-          >= minCosine),
+      exists(col(s"_pm$i"), m => {
+        val c = graft.functions.VectorExpressions.sq_adc_cos(
+          col("_sqv"), m, sq.mm)
+        // !isnan: NaN >= threshold is TRUE under Spark's ordering
+        !isnan(c) && c >= minCosine
+      }),
       lit(false))
     joined
       .filter(!(0 until nprobe).map(hit).reduce(_ || _))
@@ -2800,6 +2807,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("_ea"), col("_eb")), 4).as("cos"))
-      .filter(col("cos") >= minCosine)
+      // NaN guard: NaN >= threshold is TRUE under Spark's ordering —
+      // a zero-norm vector would otherwise "match" every candidate
+      .filter(!isnan(col("cos")) && col("cos") >= minCosine)
   }
 }
