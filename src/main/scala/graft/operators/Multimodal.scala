@@ -345,7 +345,10 @@ object Multimodal {
               val v = bytes(p) & 0xff
               // v0: ver/flags, ctime(4), mtime(4), timescale(4), duration(4)
               // v1: ver/flags, ctime(8), mtime(8), timescale(4), duration(8)
-              if (v == 1 && e - p >= 28) {
+              // v1 layout is 32 bytes up to and including duration
+              // (ver/flags 4 + ctime 8 + mtime 8 + timescale 4 +
+              // duration 8); 28 would read 4 bytes past the box end
+              if (v == 1 && e - p >= 32) {
                 timescale = u32(bytes, p + 20); duration = u64(bytes, p + 24)
                 haveMvhd = true
               } else if (v == 0 && e - p >= 20) {
@@ -371,7 +374,9 @@ object Multimodal {
                 }
                 case _ => ()
               }
-              if (isVide) { vide += 1; if (tw * th > w * h) { w = tw; h = th } }
+              if (isVide) { vide += 1
+                // Long math: a 50000x50000 tkhd would overflow Int
+                if (tw.toLong * th > w.toLong * h) { w = tw; h = th } }
               if (isSoun) soun += 1
             case _ => ()
           }
@@ -638,8 +643,14 @@ object Multimodal {
             var lastSign = 0
             var eof = false
             while (!eof && frames < maxFrames) {
-              val want = math.min(buf.length.toLong,
-                (maxFrames - frames) * frameBytes).toInt
+              // divide, don't multiply: (maxFrames - frames) *
+              // frameBytes overflows Long for maxFrames near
+              // Long.MaxValue (the natural "uncapped" argument) and a
+              // negative `want` failed every row
+              val remaining = maxFrames - frames
+              val want =
+                if (remaining >= buf.length / frameBytes) buf.length
+                else (remaining * frameBytes).toInt
               val n = pcm.read(buf, 0, want)
               if (n <= 0) eof = true
               else {
@@ -737,6 +748,7 @@ object Multimodal {
     * decoder. Empty/null payloads produce no frame rows. */
   def sampleFrames(df: DataFrame, binaryCol: String, nFrames: Int)(
       implicit spark: SparkSession): DataFrame = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema
       .add("frame_idx", IntegerType).add("frame_digest", StringType)
@@ -768,6 +780,7 @@ object Multimodal {
     * zero rows rather than failing the task. */
   def sampleFramesDecoded(df: DataFrame, binaryCol: String, nFrames: Int)(
       implicit spark: SparkSession): DataFrame = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema
       .add("frame_idx", IntegerType).add("n_frames", IntegerType)
@@ -802,18 +815,33 @@ object Multimodal {
                 // digest the canvas at each picked index. Strict
                 // decode BEFORE the reader is disposed in finally.
                 val maxPick = if (picks.isEmpty) -1 else picks.max
+                // canvas = the GIF LOGICAL SCREEN when the stream
+                // metadata carries it: frame 0 may legally be a
+                // sub-rectangle of the animation (optimized GIFs),
+                // and a frame-0-sized canvas would clip every later
+                // full-size frame. Frame 0 is decoded ONCE and reused
+                // as the first loop iteration (it used to decode
+                // twice per row).
+                val f0 = reader.read(0)
                 val canvas = {
-                  val f0 = reader.read(0)
-                  val (w0, h0) = (math.max(f0.getWidth, reader.getWidth(0)),
-                    math.max(f0.getHeight, reader.getHeight(0)))
-                  val c = new java.awt.image.BufferedImage(w0, h0,
+                  val (lw, lh) = try {
+                    val tree = reader.getStreamMetadata
+                      .getAsTree("javax_imageio_gif_stream_1.0")
+                      .asInstanceOf[org.w3c.dom.Element]
+                    val d = tree.getElementsByTagName("LogicalScreenDescriptor")
+                      .item(0).asInstanceOf[org.w3c.dom.Element]
+                    (d.getAttribute("logicalScreenWidth").toInt,
+                      d.getAttribute("logicalScreenHeight").toInt)
+                  } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+                  val (w0, h0) = (math.max(lw, math.max(f0.getWidth, reader.getWidth(0))),
+                    math.max(lh, math.max(f0.getHeight, reader.getHeight(0))))
+                  new java.awt.image.BufferedImage(w0, h0,
                     java.awt.image.BufferedImage.TYPE_INT_ARGB)
-                  c
                 }
                 val g = canvas.createGraphics()
                 val out = try {
                   (0 to maxPick).toVector.flatMap { fi =>
-                    val img = reader.read(fi)
+                    val img = if (fi == 0) f0 else reader.read(fi)
                     val (x, y) = try {
                       val tree = reader.getImageMetadata(fi)
                         .getAsTree("javax_imageio_gif_image_1.0")
@@ -870,11 +898,14 @@ object Multimodal {
     * Returns (id_a, id_b, hamming). */
   def imageNearDupPairs(df: DataFrame, binaryCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = HotKeys.DefaultBucketCap)(
-      implicit spark: SparkSession): DataFrame =
+      implicit spark: SparkSession): DataFrame = {
+    require(!df.columns.contains("_mm_phash"),
+      "input column _mm_phash collides with imageNearDupPairs' working name")
     Dedup.hashNearDupPairs(
       withPerceptualHash(df, binaryCol, "_mm_phash"),
       "_mm_phash", idCol, maxHamming, maxBucket,
       metricName = "graft_image_band_cap")
+  }
 
   /** Deterministic 24-bit grayscale BMP test vector: `grays` is the
     * row-major TOP-DOWN gray grid (0-255, one value per pixel,

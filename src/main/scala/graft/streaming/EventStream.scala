@@ -253,25 +253,43 @@ object EventStream {
 
   /** Stateful gap-based sessionization (10-minute idle gap) via
     * flatMapGroupsWithState — the streaming twin of q41_sessionize.
-    * Emits one summary per user per trigger (Update mode). */
-  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 600000L): DataFrame = {
+    * Emits one summary per user per trigger (Update mode).
+    *
+    * State is BOUNDED: a processing-time timeout of `stateTtlMs`
+    * (default 1 h) evicts users idle past it — the summaries already
+    * emitted stand (Update-mode consumers keep the latest per key);
+    * a user returning AFTER eviction restarts its counters, the
+    * documented price of bounded state on an unbounded key space.
+    * Late out-of-order arrivals cannot move `lastMs` backwards
+    * (max-merge), so a stale event in a later micro-batch never
+    * splits a session the true timeline would have joined. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 600000L,
+      stateTtlMs: Long = 3600000L): DataFrame = {
     import spark.implicits._
+    require(stateTtlMs > 0, s"stateTtlMs must be positive, got $stateTtlMs")
     val input = events
       .select(col("user_id"), graft.functions.EventTime.eventMs(events).as("ms"))
       .as[SessionInput]
 
     input.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ms)
-          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          for (r <- sorted) {
-            val newSession = st.lastMs == Long.MinValue || r.ms - st.lastMs > gapMs
-            st = SessionState(st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1, r.ms)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ms)
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+            for (r <- sorted) {
+              val newSession = st.lastMs == Long.MinValue || r.ms - st.lastMs > gapMs
+              st = SessionState(st.nSessions + (if (newSession) 1 else 0),
+                st.nEvents + 1, math.max(st.lastMs, r.ms))
+            }
+            state.update(st)
+            state.setTimeoutDuration(stateTtlMs)
+            Iterator.single(SessionSummary(user, st.nSessions, st.nEvents))
           }
-          state.update(st)
-          Iterator.single(SessionSummary(user, st.nSessions, st.nEvents))
       }.toDF()
   }
 }
