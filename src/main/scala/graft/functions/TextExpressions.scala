@@ -63,20 +63,25 @@ object TextOps {
     * multibyte sequences never contain 0x20, so a raw byte scan is
     * exact. Returns flat (start, end) pairs. */
   private def tokenSpans(bytes: Array[Byte]): Array[Int] = {
-    val spans = new java.util.ArrayList[Integer](64)
+    // growable int[] rather than ArrayList[Integer]: this is the
+    // per-document hot path and boxing two Integers per token (plus
+    // the final unboxing copy) is pure GC pressure at corpus scale
+    var buf = new Array[Int](128)
+    var n = 0
+    def push(v: Int): Unit = {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+      buf(n) = v; n += 1
+    }
     var start = 0
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' '.toByte) {
-        if (i > start) { spans.add(start); spans.add(i) }
+        if (i > start) { push(start); push(i) }
         start = i + 1
       }
       i += 1
     }
-    val out = new Array[Int](spans.size())
-    var j = 0
-    while (j < out.length) { out(j) = spans.get(j); j += 1 }
-    out
+    java.util.Arrays.copyOf(buf, n)
   }
 
   /** Distinct word n-shingles as raw byte arrays, first-occurrence
@@ -204,7 +209,10 @@ object TextOps {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
-  /** SimHash64 straight from text: whitespace tokens taken as byte
+  /** SimHash64 straight from text: SINGLE-SPACE (0x20) tokens — the
+    * module-wide tokenizer rule, NOT general whitespace (tab/newline
+    * stay inside a token; parity with simhash64(tokens) holds only
+    * for split-on-space callers) — taken as byte
     * spans (zero copies), same hash/vote as simhash64(tokens). Using
     * this variant keeps the whole pipeline codegen'd — no interpreted
     * filter-lambda tokenizer in the plan. */
@@ -307,7 +315,7 @@ case class SimHash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
-/** `simhash64_text(text)` -> SimHash64 over whitespace tokens, taken
+/** `simhash64_text(text)` -> SimHash64 over single-space tokens, taken
   * directly from the text bytes (NULL in -> NULL out). */
 case class SimHash64TextExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

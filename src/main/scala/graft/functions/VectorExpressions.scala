@@ -106,8 +106,11 @@ object VectorOps {
     * error enters twice (vs once for ADC); that is the price of
     * scoring pairs where NEITHER side keeps its floats — the shape
     * in-bucket near-dup prefiltering needs. Out-of-range or
-    * length-mismatched codes yield NaN (never a fake near-match:
-    * NaN >= threshold is false). */
+    * length-mismatched codes yield NaN (never a fake near-match).
+    * CAUTION: in SPARK SQL comparisons NaN >= threshold is TRUE
+    * (Spark orders NaN above every double) — callers drop NaN
+    * explicitly (!isnan) before thresholding, as every pair path
+    * here does. */
   def pqSdcCos(a: ArrayData, b: ArrayData, tabs: ArrayData): Double = {
     val m = a.numElements()
     if (b.numElements() != m || tabs.numElements() != m) return Double.NaN
@@ -170,6 +173,12 @@ object VectorOps {
     val out = new Array[Byte](xs.length)
     var i = 0
     while (i < xs.length) {
+      // NaN dims -> null code, never a fake one: NaN survives both
+      // clamp branches (NaN < 0 and NaN > 255 are false) and
+      // NaN.toInt is 0, so without this check a corrupted vector
+      // would encode as the all-mins code and score FINITE at probe
+      // time — past every probe-side !isnan guard
+      if (java.lang.Double.isNaN(xs(i))) return null
       val c =
         if (deltas(i) == 0.0) 0.0
         else math.floor((xs(i) - mins(i)) / deltas(i) + 0.5)
@@ -188,7 +197,9 @@ object VectorOps {
     * Accumulation is left-to-right, matching VectorOps.cosine and
     * DuckDB's list ops. Width mismatch between query, code, and
     * model yields NaN — a partial cosine must never fake a near
-    * match (NaN >= threshold is false; probes sort it last). */
+    * match. CAUTION: in SPARK SQL comparisons NaN >= threshold is
+    * TRUE (Spark orders NaN above every double) — callers must drop
+    * NaN explicitly (!isnan), as every probe here does. */
   def sqAdcCos(q: ArrayData, code: Array[Byte], mm: ArrayData): Double = {
     val qs = q.toDoubleArray()
     val mins = mm.getArray(0).toDoubleArray()
@@ -273,6 +284,10 @@ object VectorOps {
     val out = new Array[Byte]((xs.length + 7) / 8)
     var i = 0
     while (i < xs.length) {
+      // NaN dims -> null code (NaN >= thr is false in JVM arithmetic,
+      // so a corrupted vector would otherwise get a plausible
+      // all-zero-bits code) — same contract as the width mismatch
+      if (java.lang.Double.isNaN(xs(i))) return null
       if (xs(i) >= ts(i)) out(i >> 3) = (out(i >> 3) | (0x80 >>> (i & 7))).toByte
       i += 1
     }
@@ -718,12 +733,26 @@ object VectorExpressions {
   /** Codebook-literal nearest-centroid assignment (see NearestCentroid). */
   def nearest_centroid(e: Column, codebook: Seq[(Long, Seq[Double])]): Column = {
     import org.apache.spark.sql.functions.typedLit
+    // zero-cost driver-side validation: the kernel scores a TRUNCATED
+    // prefix distance on width mismatch, so one short centroid (drift)
+    // would systematically win argmin and silently destroy IVF recall;
+    // an empty codebook would yield the plausible-looking cid -1
+    require(codebook.nonEmpty, "nearest_centroid needs a non-empty codebook")
+    require(codebook.map(_._2.length).distinct.size == 1,
+      s"codebook centroids have mixed widths (${codebook.map(_._2.length).distinct.sorted.mkString(",")})")
     val lit = typedLit(codebook)
     // rename _1/_2 tuple fields to the expression's (cid, ce) contract
     val cast = lit.cast("array<struct<cid:bigint,ce:array<double>>>")
     GraftBridge.column(NearestCentroid(GraftBridge.expression(e), GraftBridge.expression(cast)))
   }
 
+  /** PRECONDITION shared by every kernel above: array ELEMENTS must
+    * be non-null. ArrayData.toDoubleArray / getInt silently read a
+    * null slot as 0 (JVM unboxing), so a null element would produce a
+    * finite wrong score rather than NULL — the operators never
+    * construct such arrays (transform/cast preserve only WHOLE-array
+    * nulls), but a caller feeding hand-built arrays with null slots
+    * is outside the kernels' contract. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
