@@ -44,6 +44,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   */
 object Multimodal {
 
+  /** First-8-bytes lowercase-hex digest — the one truncated-digest
+    * recipe every decoder in this file shares. */
+  private def hex8(digest: Array[Byte]): String =
+    digest.take(8).map("%02x".format(_)).mkString
+
   final case class MediaMeta(
     width: Int, height: Int, channels: Int,
     byteLen: Long, digest: String, ok: Boolean)
@@ -65,7 +70,7 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) return MediaMeta(0, 0, 0, 0L, "", ok = false)
       md.reset()
       val digest = md.digest(bytes)
-      val hex = digest.take(8).map("%02x".format(_)).mkString
+      val hex = hex8(digest)
       // fake-but-deterministic dimensions derived from the digest
       val w = 16 + (java.lang.Byte.toUnsignedInt(digest(0)) % 64) * 16
       val h = 16 + (java.lang.Byte.toUnsignedInt(digest(1)) % 64) * 16
@@ -89,7 +94,7 @@ object Multimodal {
     def decode(bytes: Array[Byte]): MediaMeta = {
       if (bytes == null || bytes.isEmpty) return MediaMeta(0, 0, 0, 0L, "", ok = false)
       md.reset()
-      val hex = md.digest(bytes).take(8).map("%02x".format(_)).mkString
+      val hex = hex8(md.digest(bytes))
       val fail = MediaMeta(0, 0, 0, bytes.length.toLong, hex, ok = false)
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -251,7 +256,7 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty)
         return AudioMeta(0.0, 0, 0L, "", 0L, "", ok = false)
       md.reset()
-      val hex = md.digest(bytes).take(8).map("%02x".format(_)).mkString
+      val hex = hex8(md.digest(bytes))
       val fail = AudioMeta(0.0, 0, 0L, "", bytes.length.toLong, hex, ok = false)
       try {
         // ByteArrayInputStream supports mark/reset, which the sampled
@@ -332,7 +337,7 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty)
         return VideoMeta(0, 0, 0L, 0L, 0, 0, "", 0L, "", ok = false)
       md.reset()
-      val hex = md.digest(bytes).take(8).map("%02x".format(_)).mkString
+      val hex = hex8(md.digest(bytes))
       val fail = VideoMeta(0, 0, 0L, 0L, 0, 0, "", bytes.length.toLong, hex, ok = false)
       try {
         var brand = ""
@@ -761,7 +766,7 @@ object Multimodal {
           md.reset()
           val d = md.digest(b)
           (0 until nFrames).iterator.map { i =>
-            Row.fromSeq(r.toSeq :+ i :+ d.drop(i % 16).take(8).map("%02x".format(_)).mkString)
+            Row.fromSeq(r.toSeq :+ i :+ hex8(d.drop(i % 16)))
           }
         }
       }
@@ -859,7 +864,7 @@ object Multimodal {
                       val bb = java.nio.ByteBuffer.allocate(px.length * 4)
                       bb.asIntBuffer().put(px)
                       md.reset()
-                      val dg = md.digest(bb.array()).take(8).map("%02x".format(_)).mkString
+                      val dg = hex8(md.digest(bb.array()))
                       Some(Row.fromSeq(r.toSeq :+ fi :+ n :+ w :+ h :+ dg))
                     }
                   }
