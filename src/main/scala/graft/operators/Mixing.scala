@@ -293,11 +293,20 @@ object Mixing {
       require(slack > 0, s"slack must be positive, got $slack") }
     val keyAliases = strataCols.map(c => s"_k_$c")
     val clash = df.columns.toSeq
-      .intersect("_tot" +: "_cum" +: "_mass" +: "_budget" +: keyAliases)
+      .intersect("_tot" +: "_cum" +: "_mass" +: "_surv" +: "_budget" +: keyAliases)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with tokenBudgetTake's working names")
+    // the uniform NULL-id drop rule (see weightedMix), enforced HERE so
+    // the exact and prefiltered forms cannot diverge: without it a null
+    // unitHash draw sorts FIRST in the exact branch's ascending cumsum
+    // window (nulls-first) and consumes budget ahead of every real row,
+    // while the prefiltered twin drops the same row (null < theta is
+    // never true) — breaking the prefix-exactness guarantee. Dropped
+    // rows are also excluded from the stratum totals: a row that can
+    // never be taken must not count toward the whole/cut branch choice.
+    val rows = df.filter(col(idCol).isNotNull)
     val totals = attachBudget(
-      df.groupBy(strataCols.map(col): _*).agg(sum(col(tokenCol)).as("_tot")))
+      rows.groupBy(strataCols.map(col): _*).agg(sum(col(tokenCol)).as("_tot")))
       .select(strataCols.map(c => col(c).as(s"_k_$c")) ++
         Seq(col("_tot"), col("_budget")): _*)
     val w = org.apache.spark.sql.expressions.Window
@@ -307,7 +316,7 @@ object Mixing {
     // stratum like any other and gets its own budget — an equi-join
     // here would silently vanish the whole NULL group, the exact
     // failure stratifiedTake's id-keyed semi-join doesn't have
-    val joined = df.filter(col(tokenCol).isNotNull)
+    val joined = rows.filter(col(tokenCol).isNotNull)
       .join(broadcast(totals),
         strataCols.map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _))
       .drop(keyAliases: _*)
@@ -325,9 +334,26 @@ object Mixing {
       case Some((slack, metricName)) =>
         val wAll = org.apache.spark.sql.expressions.Window
           .partitionBy(strataCols.map(col): _*)
+        // the `_cum === _mass` undercoverage estimator below can only
+        // see strata that kept AT LEAST ONE row — a stratum whose
+        // prefilter eliminated every draw (small doc count, unlucky
+        // draws: the SEVEREST undercoverage) emits zero rows and zero
+        // metric. So the survival marker is observed BEFORE the filter,
+        // where emptied strata are still visible: a gap between
+        // overbudget_strata_est and surviving_strata_est flags them
+        // (HLL-approximate, hence _est — exact counting would need a
+        // distinct aggregate observe cannot carry or a full-stratum
+        // window that would defeat the fast path)
+        val strataKey = concat_ws("\u0001",
+          strataCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
         over
-          .filter(unitHash(col(idCol), salt) <
+          .withColumn("_surv", unitHash(col(idCol), salt) <
             lit(slack) * col("_budget") / col("_tot"))
+          .observe(s"${metricName}_strata",
+            approx_count_distinct(strataKey).as("overbudget_strata_est"),
+            approx_count_distinct(when(col("_surv"), strataKey))
+              .as("surviving_strata_est"))
+          .filter(col("_surv")).drop("_surv")
           .withColumn("_cum", sum(col(tokenCol)).over(w))
           .withColumn("_mass", max(col("_cum")).over(wAll))
           .observe(metricName,

@@ -1146,9 +1146,19 @@ object Similarity {
     * relevance order, so the output is deterministic whenever the
     * input ranking is (which every probe here guarantees via its
     * rounded-score sort). Candidates with no embedding in `store`
-    * (or a width-mismatched one) drop before selection — an
-    * un-scorable row cannot be diversity-checked. Output:
-    * (queryCol, idCol, scoreCol, mmr_rank). */
+    * drop at the join; within each query's shortlist, rows whose
+    * embedding width differs from the group's MAJORITY width drop
+    * before selection (a mismatched pair's cosine is undefined, so
+    * such a row could never be diversity-penalized — it would compete
+    * on pure relevance while being un-checkable; majority width, ties
+    * to the width seen earliest in relevance order, is the
+    * deterministic group standard that also survives a corrupt
+    * top-ranked row).
+    * Pairwise cosines are rounded (HALF_UP, 6 decimals) before the
+    * max-sim update, so the walk — already single-threaded and
+    * deterministic per query — is also exactly replayable by any
+    * engine that reproduces the inputs (the q121 oracle device).
+    * Output: (queryCol, idCol, scoreCol, mmr_rank). */
   def mmrRerank(shortlist: DataFrame, queryCol: String, idCol: String,
       scoreCol: String, store: DataFrame, storeIdCol: String,
       embCol: String, k: Int, lambda: Double = 0.7,
@@ -1181,7 +1191,22 @@ object Similarity {
         while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
         d / math.sqrt(na * nb)
       }
-      def select(group: Vector[(Row, Array[Double])]): Iterator[Row] = {
+      def round6(x: Double): Double =
+        // HALF_UP (away from zero), matching Spark's and DuckDB's
+        // round() convention so the oracle replay shares the tie rule
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def select(group0: Vector[(Row, Array[Double])]): Iterator[Row] = {
+        // width gate (see scaladoc): majority width wins; the group
+        // arrives in relevance order, and LinkedHashMap + maxBy keep
+        // the FIRST max, so ties break to the earliest-seen width
+        val group = if (group0.isEmpty) group0 else {
+          val widths = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+          group0.foreach { g =>
+            widths.update(g._2.length, widths.getOrElse(g._2.length, 0) + 1) }
+          val std = widths.maxBy(_._2)._1
+          group0.filter(_._2.length == std)
+        }
         val n = group.length
         val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
         // flag array, not kept.contains: a linear scan inside the
@@ -1213,7 +1238,10 @@ object Similarity {
             while (j < n) {
               if (!taken(j)) {
                 val s = cos(group(best)._2, group(j)._2)
-                if (!s.isNaN && s > maxSim(j)) maxSim(j) = s
+                if (!s.isNaN) {
+                  val r = round6(s)
+                  if (r > maxSim(j)) maxSim(j) = r
+                }
               }
               j += 1
             }

@@ -638,7 +638,11 @@ object TextStats {
         "unfinished, or concurrent appends — both require a rebuild)")
     // postings first (least harm if the job dies here: extra postings
     // with un-merged df only deflate idf), then the df merge-rename,
-    // then the scalar meta
+    // then the scalar meta — all inside try/finally so a failure in
+    // any write cannot leak the two MEMORY_AND_DISK caches for the
+    // session (the marker delete stays OUTSIDE: only a complete body
+    // clears it)
+    try {
     HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), cap.toInt,
         minPerKey = 1, metricName = "graft_bm25_posting_cap_append")
       .select(col(idCol), col("token"), col("tf"), col("len"),
@@ -663,7 +667,7 @@ object TextStats {
     Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, tb, idCol))
       .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
       .write.mode("overwrite").parquet(s"$path/meta")
-    tf.unpersist(); lens.unpersist()
+    } finally { tf.unpersist(); lens.unpersist(); () }
     fs.delete(marker, false)
     ()
   }

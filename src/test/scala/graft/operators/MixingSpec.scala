@@ -295,4 +295,68 @@ class MixingSpec extends SparkSpecBase {
     assert(fastMixed == exactMixed, s"$fastMixed vs $exactMixed")
     assert(!fastMixed.exists(_ >= 500L), "stratum B is not in the recipe")
   }
+
+  test("budget takes: null ids drop uniformly in exact and prefiltered forms, consuming no budget") {
+    import spark.implicits._
+    // a null id in an over-budget stratum: its unitHash is null, which
+    // sorts FIRST in the ascending cumsum window — without the core's
+    // null-id filter it would consume 900 of the 1000-token budget in
+    // the exact form while the prefiltered twin drops it (null < theta
+    // is never true), silently diverging the two takes
+    val rows = (0 until 50).map(i => (Option(i.toLong), "A", 100L)) :+
+      ((Option.empty[Long], "A", 900L))
+    val df = rows.toDF("doc_id", "source", "nt")
+    val clean = (0 until 50).map(i => (i.toLong, "A", 100L))
+      .toDF("doc_id", "source", "nt")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Mixing.tokenBudgetTake(df, Seq("source"), "doc_id", "nt", 1000L))
+    assert(exact == ids(Mixing.tokenBudgetTake(clean, Seq("source"), "doc_id", "nt", 1000L)),
+      "null-id row changed the exact take")
+    assert(exact == ids(Mixing.tokenBudgetTakePrefiltered(
+        df, Seq("source"), "doc_id", "nt", 1000L, slack = 4.0)),
+      "exact and prefiltered takes diverged on a null-id input")
+    // the dropped mass also doesn't count toward the stratum total: a
+    // stratum whose NON-null mass fits the budget is kept whole
+    val small = Seq((Option(1L), "B", 50L), (Option(2L), "B", 40L),
+      (Option.empty[Long], "B", 5000L)).toDF("doc_id", "source", "nt")
+    assert(ids(Mixing.tokenBudgetTake(small, Seq("source"), "doc_id", "nt", 100L))
+      == Set(1L, 2L), "null-id mass pushed a fitting stratum into the cut branch")
+  }
+
+  test("prefiltered take: a fully-emptied stratum registers in the coverage metrics") {
+    import spark.implicits._
+    // C has 3 docs whose draws (0.67, 0.71, 0.66) all exceed its theta
+    // = slack*budget/tot = 3*10/3000 = 0.01 — the prefilter eliminates
+    // EVERY row, so the cum==mass estimator sees nothing; the pre-
+    // filter coverage observe must still flag it. A keeps survivors
+    // (theta = 3*1000/5000 = 0.6).
+    val rows = (0 until 50).map(i => (i.toLong, "A", 100L)) ++
+      Seq((900L, "C", 1000L), (902L, "C", 1000L), (903L, "C", 1000L))
+    val df = rows.toDF("doc_id", "source", "nt")
+    val metrics = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => metrics.put(k, v) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val budgets = Seq(("A", 1000L), ("C", 10L)).toDF("source", "budget")
+      val out = Mixing.tokenBudgetTakeMixedPrefiltered(df, Seq("source"),
+        "doc_id", "nt", budgets, "budget", slack = 3.0,
+        metricName = "graft_tbp_empty_test")
+      assert(out.filter(col("source") === "C").count() == 0,
+        "C's rows should all fall to the prefilter in this fixture")
+      val deadline = System.currentTimeMillis() + 10000
+      while (!metrics.containsKey("graft_tbp_empty_test_strata") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = metrics.get("graft_tbp_empty_test_strata")
+      assert(m != null, "coverage metrics never arrived")
+      val overb = m.getAs[Long]("overbudget_strata_est")
+      val surv = m.getAs[Long]("surviving_strata_est")
+      assert(overb == 2L && surv == 1L,
+        s"emptied stratum invisible: overbudget=$overb surviving=$surv")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

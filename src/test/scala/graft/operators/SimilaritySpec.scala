@@ -1404,4 +1404,24 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).map(_._1)
     assert(withNan.toSeq == Seq(10L, 12L), s"NaN row leaked: ${withNan.toSeq}")
   }
+
+  test("mmrRerank: width-mismatched candidates drop before selection") {
+    import spark.implicits._
+    // 14's stored embedding is 3-wide against the group majority of 2:
+    // its pairwise cosines would be NaN, so it could never accrue a
+    // diversity penalty — despite being the single most relevant
+    // candidate it must DROP, not win every walk on pure relevance
+    val store = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.999, 0.05)), (12L, Seq(0.0, 1.0)),
+      (14L, Seq(0.5, 0.5, 0.5)))
+      .toDF("vec_id", "e")
+    val short = Seq(
+      (1L, 14L, 0.999), (1L, 10L, 0.99), (1L, 11L, 0.98), (1L, 12L, 0.60))
+      .toDF("qid", "vec_id", "cos")
+    val picks = Similarity.mmrRerank(short, "qid", "vec_id", "cos", store,
+        "vec_id", "e", k = 2, lambda = 0.7)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).map(_._1)
+    assert(picks.toSeq == Seq(10L, 12L),
+      s"width-mismatched candidate leaked into the walk: ${picks.toSeq}")
+  }
 }
