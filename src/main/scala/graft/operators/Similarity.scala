@@ -1123,6 +1123,62 @@ object Similarity {
     } finally { t.unpersist(); () }
   }
 
+  /** Reciprocal-rank fusion of two or more ranked shortlists — the
+    * standard hybrid-retrieval combiner (public knowledge: Cormack,
+    * Clarke & Büttcher, SIGIR 2009): score(q, id) = Σ over lists of
+    * 1/(k0 + rank), which fuses a lexical ranking
+    * (`bm25TopKFromIndex`) with a semantic one (the ANN probe family)
+    * without any score normalization — only the integer RANKS enter,
+    * so rankers with incomparable score scales compose soundly, and
+    * the fused score replays exactly in any engine that reproduces
+    * the input rankings (the q120 oracle device). A (query, id)
+    * absent from a list simply contributes nothing for that list.
+    * k0 = 60 is the published default; larger flattens the rank
+    * discount.
+    *
+    * Input contract: each frame is a RANKING — (queryCol, idCol,
+    * rankCol) with rank >= 1, one row per (query, id) — exactly what
+    * every ranker here emits. Defensively, duplicate (query, id)
+    * rows within one list collapse to their best (minimum) rank
+    * rather than summing twice; null ids/queries/ranks drop (an
+    * unrankable row cannot be fused).
+    *
+    * Output: (queryCol, idCol, rrf_score, rank) with the same
+    * ROUNDED-score rank cut (6 decimals, ties by id) every ranker
+    * here uses — the cut cannot flip with float addition order.
+    *
+    * Scale shape: inputs are rank-bounded shortlists (≤ k rows per
+    * query per list) by construction, so everything here is
+    * shortlist-sized: a union, two partial-aggregated groupBys and
+    * one per-query window — no corpus-sized anything. Chain
+    * `mmrRerank` behind it for diversity. */
+  def rrfFuse(shortlists: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String = "rank", k: Int = 10, k0: Int = 60): DataFrame = {
+    require(shortlists.nonEmpty, "rrfFuse needs at least one ranked shortlist")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(!Set("rrf_score", "_rrf_rank", "_li", "_s").contains(queryCol) &&
+      !Set("rrf_score", "_rrf_rank", "_li", "_s").contains(idCol),
+      s"queryCol/idCol collide with rrfFuse's working/output column names")
+    val tagged = shortlists.zipWithIndex.map { case (df, i) =>
+      df.select(col(queryCol), col(idCol),
+          col(rankCol).cast("long").as("_rrf_rank"), lit(i).as("_li"))
+        .filter(col(queryCol).isNotNull && col(idCol).isNotNull &&
+          col("_rrf_rank").isNotNull && col("_rrf_rank") >= 1)
+    }.reduce(_ unionByName _)
+    tagged
+      .groupBy(col(queryCol), col(idCol), col("_li"))
+      .agg(min(col("_rrf_rank")).as("_rrf_rank"))
+      .groupBy(col(queryCol), col(idCol))
+      .agg(sum(lit(1.0) / (lit(k0) + col("_rrf_rank"))).as("_s"))
+      .withColumn("rrf_score", round(col("_s"), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(queryCol).orderBy(desc("rrf_score"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rrf_score"), col("rank"))
+  }
+
   /** Maximal-Marginal-Relevance re-rank of a probe shortlist — the
     * diversity pass a data-curation retrieval loop needs ("find docs
     * like these" returns 50 near-copies of the best hit without it;

@@ -2949,6 +2949,79 @@ object DataPrepQueries {
             emb.filter(col("vec_id") >= 20), "e",
             emb.filter(col("vec_id") < 20), "e", minCosine = 0.3)
           .select("vec_id").orderBy("vec_id")
+      }),
+
+    // Hybrid retrieval fusion (Similarity.rrfFuse): reciprocal-rank
+    // fusion of the LEXICAL ranking (q114's BM25 top-5) with a
+    // SEMANTIC one (brute-force cosine top-8 over the embeddings,
+    // same query ids 0-2) — score = sum over lists of 1/(60+rank).
+    // Only INTEGER ranks enter the fused score, so the arithmetic
+    // replays exactly cross-engine (each (query, id) has at most two
+    // addends, and two-term IEEE addition is commutative — the sum
+    // is bit-identical under any aggregation order); the rank cut is
+    // the usual rounded-score-ties-by-id rule. A doc ranked in both
+    // lists outscores every single-list doc — the hybrid-retrieval
+    // property the operator exists for.
+    QueryDef("q120_rrf_fusion", Some(s"""
+      WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
+      qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
+             FROM documents WHERE doc_id < 3),
+      post AS (SELECT doc_id, t AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM corpus) GROUP BY doc_id, t),
+      dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus),
+      sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avglen FROM corpus),
+      scored AS (SELECT q.qid, p.doc_id,
+                        round(sum(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                          * p.tf * 2.2
+                          / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+                 FROM post p
+                   JOIN qs q ON q.token = p.token
+                   JOIN dft d ON d.token = p.token
+                   JOIN lens l ON l.doc_id = p.doc_id
+                   CROSS JOIN sc
+                 GROUP BY q.qid, p.doc_id),
+      lex AS (SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= 5),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 3),
+      cv AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+      semsc AS (SELECT qv.qid, cv.vec_id AS doc_id,
+                  round(list_inner_product(qv.v, cv.v)
+                    / sqrt(list_inner_product(qv.v, qv.v) * list_inner_product(cv.v, cv.v)), 4) AS cos
+                FROM qv CROSS JOIN cv),
+      sem AS (SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+        FROM semsc) WHERE rank <= 8),
+      u AS (SELECT qid, doc_id, rank, 0 AS li FROM lex
+            UNION ALL SELECT qid, doc_id, rank, 1 FROM sem),
+      f AS (SELECT qid, doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+            FROM u GROUP BY qid, doc_id)
+      SELECT qid, doc_id, rrf_score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+      FROM f QUALIFY rank <= 10 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lex = graft.operators.TextStats.bm25TopK(
+          docs.filter(col("doc_id") >= 3), "text", "doc_id",
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("qid"), col("text")),
+          "text", "qid", k = 5)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val sem = graft.operators.Similarity.bruteForceTopKAll(
+            emb.filter(col("vec_id") >= 3), "e", "vec_id",
+            emb.filter(col("vec_id") < 3)
+              .select(col("vec_id").as("qid"), col("e")),
+            "qid", "e", k = 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        graft.operators.Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id",
+            "rank", k = 10, k0 = 60)
+          .orderBy("qid", "rank")
       })
   )
 }

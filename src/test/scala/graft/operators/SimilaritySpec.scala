@@ -1405,6 +1405,50 @@ class SimilaritySpec extends SparkSpecBase {
     assert(withNan.toSeq == Seq(10L, 12L), s"NaN row leaked: ${withNan.toSeq}")
   }
 
+  test("rrfFuse: hybrid lexical+semantic fusion, and the fuse -> mmrRerank chain") {
+    import spark.implicits._
+    // doc 10 is the best hit in BOTH rankings; 11 is lexical-mostly,
+    // 12 semantic-only, 13 lexical-only
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (10L, "apple banana cherry date"),
+      (11L, "apple banana melon"),
+      (12L, "unrelated words entirely here"),
+      (13L, "apple date fig grape")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (10L, Seq(0.99, 0.1)), (11L, Seq(0.7, 0.7)),
+      (12L, Seq(0.95, 0.2)), (13L, Seq(0.0, 1.0))).toDF("vec_id", "e")
+    val path = java.nio.file.Files.createTempDirectory("graft_rrf_")
+      .toFile.getAbsolutePath
+    TextStats.writeBm25Index(docs.filter(col("doc_id") =!= 1L), "text",
+      "doc_id", path, tokenBuckets = 2)
+    val lex = TextStats.bm25TopKFromIndex(TextStats.readBm25Index(spark, path),
+      docs.filter(col("doc_id") === 1L).select(col("doc_id").as("qid"), col("text")),
+      "text", "qid", k = 3)
+    val sem = Similarity.bruteForceTopKAll(emb.filter(col("vec_id") =!= 1L),
+        "e", "vec_id",
+        emb.filter(col("vec_id") === 1L).select(col("vec_id").as("qid"), col("e")),
+        "qid", "e", k = 3)
+      .withColumnRenamed("vec_id", "doc_id")
+    val fused = Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id", "rank", k = 4)
+    val rows = fused.collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._3)
+    assert(rows.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L),
+      s"fused order: ${rows.toSeq}")
+    // the both-lists doc scores 1/61 + 1/61; single-list docs can
+    // never reach it — the hybrid property, exactly
+    assert(rows.head._2 == math.rint(2.0 / 61.0 * 1e6) / 1e6,
+      s"rank-1 score ${rows.head._2}")
+    assert(rows.tail.forall(_._2 < rows.head._2))
+    // chain the diversity re-rank behind the fusion: 10 is picked
+    // first; 13 (orthogonal embedding) beats the higher-fused but
+    // near-duplicate 11 and 12 at lambda 0.5
+    val reranked = Similarity.mmrRerank(fused, "qid", "doc_id", "rrf_score",
+        emb, "vec_id", "e", k = 2, lambda = 0.5)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).map(_._1)
+    assert(reranked.toSeq == Seq(10L, 13L), s"mmr chain picks: ${reranked.toSeq}")
+  }
+
   test("mmrRerank: width-mismatched candidates drop before selection") {
     import spark.implicits._
     // 14's stored embedding is 3-wide against the group majority of 2:
