@@ -3022,6 +3022,83 @@ object DataPrepQueries {
         graft.operators.Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id",
             "rank", k = 10, k0 = 60)
           .orderBy("qid", "rank")
+      }),
+
+    // MMR diversity re-rank (Similarity.mmrRerank), oracle-pinned:
+    // brute-force cosine top-8 shortlists (rounded relevance, the
+    // probe contract) walk the greedy lambda*rel - (1-lambda)*maxSim
+    // selection at k=4. The oracle UNROLLS the walk as four argmax
+    // stages — every input is deterministic-rounded (relevance 4dp,
+    // pairwise cosine 6dp before the max-sim update, both HALF_UP),
+    // so each stage's 2-flop score arithmetic is bit-identical
+    // cross-engine and the argmax tie rule (score desc, rel desc, id)
+    // is the walk's strict-> iteration order. Decision margins
+    // checked in DuckDB at all sfs: >= 2.2e-4, vastly above float
+    // noise.
+    QueryDef("q121_mmr_rerank", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 3),
+      c AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+      sl AS (SELECT qid, vec_id, cos FROM (
+          SELECT q.qid, c.vec_id,
+                 round(list_inner_product(q.v, c.v)
+                   / sqrt(list_inner_product(q.v, q.v) * list_inner_product(c.v, c.v)), 4) AS cos
+          FROM q CROSS JOIN c)
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 8),
+      slv AS (SELECT s.qid, s.vec_id, s.cos, c.v FROM sl s JOIN c ON c.vec_id = s.vec_id),
+      pc AS (SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+               round(list_inner_product(a.v, b.v)
+                 / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS sim
+             FROM slv a JOIN slv b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+      s1 AS (SELECT qid, vec_id, cos FROM sl
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) = 1),
+      k1 AS (SELECT qid, vec_id FROM s1),
+      p2 AS (SELECT sl.qid, sl.vec_id, sl.cos, greatest(0.0, max(pc.sim)) AS pen
+             FROM sl
+               JOIN pc ON pc.qid = sl.qid AND pc.ia = sl.vec_id
+               JOIN k1 ON k1.qid = pc.qid AND k1.vec_id = pc.ib
+             GROUP BY sl.qid, sl.vec_id, sl.cos),
+      s2 AS (SELECT qid, vec_id, cos FROM p2
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY 0.7*cos - (1.0-0.7)*pen DESC, cos DESC, vec_id) = 1),
+      k2 AS (SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+      p3 AS (SELECT sl.qid, sl.vec_id, sl.cos, greatest(0.0, max(pc.sim)) AS pen
+             FROM sl
+               JOIN pc ON pc.qid = sl.qid AND pc.ia = sl.vec_id
+               JOIN k2 ON k2.qid = pc.qid AND k2.vec_id = pc.ib
+             WHERE NOT EXISTS (SELECT 1 FROM k2 x WHERE x.qid = sl.qid AND x.vec_id = sl.vec_id)
+             GROUP BY sl.qid, sl.vec_id, sl.cos),
+      s3 AS (SELECT qid, vec_id, cos FROM p3
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY 0.7*cos - (1.0-0.7)*pen DESC, cos DESC, vec_id) = 1),
+      k3 AS (SELECT qid, vec_id FROM k2 UNION ALL SELECT qid, vec_id FROM s3),
+      p4 AS (SELECT sl.qid, sl.vec_id, sl.cos, greatest(0.0, max(pc.sim)) AS pen
+             FROM sl
+               JOIN pc ON pc.qid = sl.qid AND pc.ia = sl.vec_id
+               JOIN k3 ON k3.qid = pc.qid AND k3.vec_id = pc.ib
+             WHERE NOT EXISTS (SELECT 1 FROM k3 x WHERE x.qid = sl.qid AND x.vec_id = sl.vec_id)
+             GROUP BY sl.qid, sl.vec_id, sl.cos),
+      s4 AS (SELECT qid, vec_id, cos FROM p4
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY 0.7*cos - (1.0-0.7)*pen DESC, cos DESC, vec_id) = 1)
+      SELECT qid, vec_id, cos, mmr_rank FROM (
+        SELECT qid, vec_id, cos, CAST(1 AS INTEGER) AS mmr_rank FROM s1
+        UNION ALL SELECT qid, vec_id, cos, CAST(2 AS INTEGER) FROM s2
+        UNION ALL SELECT qid, vec_id, cos, CAST(3 AS INTEGER) FROM s3
+        UNION ALL SELECT qid, vec_id, cos, CAST(4 AS INTEGER) FROM s4)
+      ORDER BY qid, mmr_rank"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val corpus = emb.filter(col("vec_id") >= 3)
+        val shortlist = graft.operators.Similarity.bruteForceTopKAll(
+          corpus, "e", "vec_id",
+          emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("e")),
+          "qid", "e", k = 8)
+        graft.operators.Similarity.mmrRerank(shortlist, "qid", "vec_id",
+            "cos", corpus, "vec_id", "e", k = 4, lambda = 0.7)
+          .orderBy("qid", "mmr_rank")
       })
   )
 }
