@@ -3099,6 +3099,43 @@ object DataPrepQueries {
         graft.operators.Similarity.mmrRerank(shortlist, "qid", "vec_id",
             "cos", corpus, "vec_id", "e", k = 4, lambda = 0.7)
           .orderBy("qid", "mmr_rank")
+      }),
+
+    // Recipe-form prefiltered budget take
+    // (Mixing.tokenBudgetTakeMixedPrefiltered): q116's per-stratum
+    // recipe under q118's big-stratum fast path, in one pinned row —
+    // the oracle is q116's ONE-SHOT recipe take VERBATIM, so the hash
+    // match is the prefix-exactness proof for the recipe form too.
+    // slack 3 covers every over-budget stratum deterministically
+    // (min surviving-mass/budget: 1.06 / 1.11 / 2.01 at the three
+    // sfs, checked in DuckDB) while theta < 1 strata exist at every
+    // sf (3 / 3 / 19 of them — the prefilter genuinely bites).
+    QueryDef("q122_token_budget_mixed_prefiltered", Some(s"""
+      WITH d AS (SELECT doc_id, source, len($toksSql) AS nt FROM documents),
+      b AS (SELECT source, 400 + 150 * (CAST(substr(source, 4) AS INT) % 7) AS budget
+            FROM (SELECT DISTINCT source FROM documents) WHERE source <> 'src19'),
+      tot AS (SELECT source, sum(nt) AS tot FROM d GROUP BY source),
+      cum AS (SELECT d.doc_id, d.source, d.nt, t.tot, b.budget,
+                     sum(nt) OVER (PARTITION BY d.source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0,
+                                doc_id) AS cum
+              FROM d JOIN tot t USING (source) JOIN b USING (source)),
+      kept AS (SELECT * FROM cum WHERE tot <= budget OR cum - nt < budget)
+      SELECT source, count(*) AS n_kept, CAST(sum(nt) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr(s"size($toksExpr)").cast("bigint").as("nt"))
+        val budgets = d.select("source").distinct()
+          .filter(col("source") =!= "src19")
+          .withColumn("budget", lit(400L) +
+            lit(150L) * (substring(col("source"), 4, 10).cast("long") % 7))
+        graft.operators.Mixing.tokenBudgetTakeMixedPrefiltered(d,
+            Seq("source"), "doc_id", "nt", budgets, "budget", slack = 3.0)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
+          .orderBy("source")
       })
   )
 }
