@@ -672,6 +672,56 @@ object TextStats {
     ()
   }
 
+  /** Compact a persisted BM25 index's `postings/` — the housekeeping
+    * pass appends accumulate toward. Each `appendBm25Index` adds up
+    * to `token_buckets` files per touched bucket plus whole-list
+    * STALE rows for terms whose combined list only crossed the cap
+    * after the append (correctly df-gated at probe, so results are
+    * right — but the bytes stay, and after N appends a probe reads N
+    * stripes per bucket). Compaction rewrites `postings/` with the
+    * probe's own df-gate applied MATERIALLY (`df <= max_postings`)
+    * and one output file per bucket; `df/` and `meta/` are untouched,
+    * so probe results are bit-identical before and after — only the
+    * bytes and file counts shrink back to what a fresh rebuild writes.
+    *
+    * One rule suffices, no re-cap pass: append ids are disjoint by
+    * contract, so a token's on-disk posting rows never exceed its
+    * TRUE df — `df <= cap` therefore implies `rows <= cap`, and every
+    * over-cap list is exactly a `df > cap` list. Cost: one read +
+    * write of `postings/` (bucket-partitioned both ways, the df
+    * semi-join shuffles only the vocabulary-sized key set) — much
+    * cheaper than a rebuild, which re-tokenizes the corpus. The same
+    * `_append_incomplete` marker brackets the swap: a crash between
+    * delete and rename leaves the LOUD state, never a silent
+    * half-compacted index. Cadence guidance: SCALE.md (probe cost
+    * grows ~linearly in appends-since-compaction; compact when stripe
+    * count per bucket approaches read-parallelism). */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val old = readBm25Index(spark, path)
+    val cap = old.meta.select("max_postings").collect()(0).getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
+    require(fs.createNewFile(marker),
+      s"could not create marker under $path (unfinished append/compaction, " +
+        "or a concurrent writer — rebuild with writeBm25Index)")
+    val hasTb = old.postings.columns.contains("_tb")
+    val gated = old.postings.join(
+      old.dfT.filter(col("df") <= cap).select("token"), Seq("token"), "left_semi")
+    // repartition on the bucket (same reason as the build: one task's
+    // output per bucket directory, not tasks x buckets files)
+    val out = if (hasTb) gated.repartition(col("_tb")).write.partitionBy("_tb")
+      else gated.coalesce(1).write
+    out.mode("overwrite").parquet(s"$path/postings.tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/postings.tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/postings")),
+      s"rename failed under $path")
+    fs.delete(marker, false)
+    ()
+  }
+
   /** LIVE retrieval against the persisted index — the stream twin the
     * other retrieval families here already have (dedup's
     * streamNearDupFilter, the semantic tiers). A BM25 probe ends in a

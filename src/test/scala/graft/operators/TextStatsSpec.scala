@@ -331,4 +331,73 @@ class TextStatsSpec extends SparkSpecBase {
       assert(gated(dir) == fresh)
     }
   }
+
+  test("compactBm25Index: stale over-cap lists drop, append stripes coalesce, probes invariant") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "apple banana apple"),
+      (11L, "banana cherry"),
+      (12L, "durian durian durian"),
+      (13L, "apple durian fig"),
+      (14L, "cherry fig fig grape")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry cherry"), (2L, "fig grape"))
+      .toDF("doc_id", "text").select(col("doc_id").as("qid"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    def listFiles(dir: java.io.File): Seq[java.io.File] = {
+      val fs = dir.listFiles()
+      if (fs == null) Nil
+      else fs.toSeq.flatMap(f => if (f.isDirectory) listFiles(f) else Seq(f))
+    }
+    withTempDir("bm25-compact") { dir =>
+      // maxPostings = 1: apple df 1->2 and fig df 1->2 cross the cap
+      // only at the append, leaving stale standing postings on disk
+      TextStats.writeBm25Index(corpus.filter(col("doc_id") <= 12),
+        "text", "doc_id", dir.getAbsolutePath, maxPostings = 1,
+        tokenBuckets = 2)
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        corpus.filter(col("doc_id") > 12), "text", "doc_id")
+      def probe() = rows(TextStats.bm25TopKFromIndex(
+        TextStats.readBm25Index(spark, dir.getAbsolutePath),
+        queries, "text", "qid", k = 3))
+      val before = probe()
+      val postingsDir = new java.io.File(dir, "postings")
+      val parquetsBefore = listFiles(postingsDir)
+        .filter(_.getName.endsWith(".parquet"))
+      val staleBefore = spark.read
+        .parquet(new java.io.File(dir, "postings").getAbsolutePath)
+        .join(spark.read.parquet(new java.io.File(dir, "df").getAbsolutePath)
+          .filter(col("df") > 1).select("token"), Seq("token"), "left_semi")
+        .count()
+      assert(staleBefore > 0, "fixture regressed: no stale over-cap rows to compact")
+
+      TextStats.compactBm25Index(spark, dir.getAbsolutePath)
+
+      val after = probe()
+      assert(after == before, s"compaction changed probe results:\n$before\n$after")
+      // fresh rebuild at the same cap is the semantic reference
+      val fresh = withTempDir("bm25-compact-fresh") { fdir =>
+        TextStats.writeBm25Index(corpus, "text", "doc_id",
+          fdir.getAbsolutePath, maxPostings = 1, tokenBuckets = 2)
+        rows(TextStats.bm25TopKFromIndex(
+          TextStats.readBm25Index(spark, fdir.getAbsolutePath),
+          queries, "text", "qid", k = 3))
+      }
+      assert(after == fresh, s"compacted probe diverged from rebuild")
+      // the stale lists are physically gone and the stripes coalesced
+      val stale = spark.read.parquet(postingsDir.getAbsolutePath)
+        .join(spark.read.parquet(new java.io.File(dir, "df").getAbsolutePath)
+          .filter(col("df") > 1).select("token"), Seq("token"), "left_semi")
+        .count()
+      assert(stale == 0, s"$stale stale over-cap posting rows survived")
+      val parquetsAfter = listFiles(postingsDir)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parquetsAfter.size < parquetsBefore.size,
+        s"no coalescing: ${parquetsBefore.size} -> ${parquetsAfter.size}")
+      // no marker left behind; the index is servable
+      assert(!new java.io.File(dir, "_append_incomplete").exists())
+    }
+  }
 }
