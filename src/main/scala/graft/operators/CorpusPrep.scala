@@ -89,6 +89,15 @@ object CorpusPrep {
     benchEmb: Option[DataFrame] = None,
     benchEmbCol: String = "emb",
     benchMinCosine: Double = 0.9,
+    // LARGE-bench route for the embedding tier: set to the benchEmb
+    // frame's id column and the tier runs
+    // Dedup.semanticDecontaminateLarge (bench as a coded probe batch
+    // through banded-BQ candidates + exact cosine verify) instead of
+    // the driver-literal kernel — the route for benches past the
+    // literal path's maxBench bound. Batch preps only (the route
+    // joins and aggregates, which the stream tier cannot); recall
+    // contract stated on the operator.
+    benchEmbLargeIdCol: Option[String] = None,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -306,8 +315,14 @@ object CorpusPrep {
       require(cfg.embCol.isDefined,
         "benchEmb (semantic decontamination) needs cfg.embCol — the docs' " +
           "embedding column the benchmark embeddings score against")
-      obs(Dedup.semanticDecontaminate(decontaminated, cfg.embCol.get,
-        bench, cfg.benchEmbCol, cfg.benchMinCosine), "semdecontam")
+      val out = cfg.benchEmbLargeIdCol match {
+        case Some(bid) => Dedup.semanticDecontaminateLarge(decontaminated,
+          cfg.embCol.get, idCol, bench, cfg.benchEmbCol, bid,
+          cfg.benchMinCosine)
+        case None => Dedup.semanticDecontaminate(decontaminated,
+          cfg.embCol.get, bench, cfg.benchEmbCol, cfg.benchMinCosine)
+      }
+      obs(out, "semdecontam")
     }
     // distinct salt: the prep sample must not correlate with any
     // downstream unsalted mixing draw over the same ids
@@ -694,6 +709,10 @@ object CorpusPrep {
       require(cfg.embCol.isDefined,
         "benchEmb (semantic decontamination) needs cfg.embCol — the stream's " +
           "embedding column the benchmark embeddings score against")
+      require(cfg.benchEmbLargeIdCol.isEmpty,
+        "benchEmbLargeIdCol is the batch-only large-bench route (it joins " +
+          "and aggregates); a stream tier needs the row-local literal path — " +
+          "pre-shrink the bench under maxBench, or decontaminate in batch")
       Dedup.semanticDecontaminate(decon0, cfg.embCol.get, bench,
         cfg.benchEmbCol, cfg.benchMinCosine)
     }

@@ -1174,7 +1174,8 @@ object Dedup {
       }.toSeq)
     require(vecs.length <= maxBench,
       s"benchmark side exceeds maxBench=$maxBench embeddings — that is a " +
-        "corpus, not a benchmark; use the banded/IVF pair-search paths")
+        "corpus, not a benchmark; use semanticDecontaminateLarge (the " +
+        "banded-BQ probe route)")
     if (vecs.isEmpty) corpus
     else {
       val dims = vecs.head.length
@@ -1196,6 +1197,64 @@ object Dedup {
       corpus.filter(size(col(embCol)) =!= dims ||
         !coalesce(exists(benchLit, hit), lit(false)))
     }
+  }
+
+  /** Oversized-bench twin of `semanticDecontaminate` — the route its
+    * bound-check error names. When the "benchmark" is itself
+    * corpus-sized (a full eval-suite embedding dump, a held-out
+    * split), a driver literal is off the table; here the bench runs
+    * as a CODED PROBE BATCH: both sides BQ-encode (D bits/row —
+    * `model` defaults to midrange training on the corpus,
+    * deterministic like every codec here), band-collision candidates
+    * come from the capped equi-join (`Similarity.bqBandCandidates` —
+    * never an all-pairs product), and an EXACT cosine verify at
+    * `minCosine` (per-pair width guard, NaN guard) decides the drop.
+    * Corpus rows with a null/width-mismatched embedding KEEP (null
+    * codes never band), matching the literal path's rule.
+    *
+    * Honest recall contract, stated: the literal path is EXACT; this
+    * route inherits the sign-LSH banding recall — a contaminated
+    * pair colliding in no band (full-code Hamming > bands−1 and
+    * unlucky beyond the s-curve) is missed. At the high `minCosine`
+    * decontamination runs at (≥ ~0.9), near-dup pairs have small
+    * Hamming and banding recall is near-certain; lower thresholds
+    * should raise `bands`. The parity fixture in DedupSpec pins
+    * literal == large where both run.
+    *
+    * Scale shape: one coded pass per side, band-keyed capped
+    * equi-join, float cosines only for the candidate pairs, one
+    * distinct + anti-join on the corpus id — no corpus×bench blowup
+    * anywhere. */
+  def semanticDecontaminateLarge(corpus: DataFrame, embCol: String,
+      idCol: String, bench: DataFrame, benchEmbCol: String,
+      benchIdCol: String, minCosine: Double,
+      model: Option[Similarity.BqModel] = None, bands: Int = 0,
+      maxBucket: Int = HotKeys.DefaultBucketCap): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val m = model.getOrElse(Similarity.bqTrain(corpus, embCol))
+    val corpusCoded = Similarity.bqAssign(
+      corpus.select(col(idCol), col(embCol)), embCol, m)
+    val benchCoded = Similarity.bqAssign(
+      bench.select(col(benchIdCol).as(idCol), col(benchEmbCol).as(embCol)),
+      embCol, m)
+    val cands = Similarity.bqBandCandidates(benchCoded, corpusCoded, idCol,
+      m, bands, maxBucket = maxBucket,
+      metricName = "graft_semantic_decontam_cap")
+    val asD = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast("double"))
+    val cos = Similarity.cosine(asD(col("_ce")), asD(col("_be")))
+    val hits = cands
+      .join(corpus.select(col(idCol).as("id_b"), col(embCol).as("_ce")), "id_b")
+      .join(bench.select(col(benchIdCol).as("id_a"),
+        col(benchEmbCol).as("_be")), "id_a")
+      // per-pair width guard (the kernel dots over the shorter length)
+      // + NaN guard (zero-norm vectors must not drop the corpus) —
+      // the same two rules the literal path compiles into its kernel
+      .filter(size(col("_ce")) === size(col("_be")))
+      .filter(!isnan(cos) && cos >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
   }
 
   def decontaminate(corpus: DataFrame, textCol: String, idCol: String,

@@ -192,4 +192,38 @@ class BloomDecontamSpec extends SparkSpecBase {
       Dedup.semanticDecontaminate(corpus, "e", gappy, "e", minCosine = 0.8)
     }.getMessage.contains("null element"))
   }
+
+  test("semanticDecontaminateLarge: parity with the literal path; null/width rules hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // bench vectors sit on distinct sign patterns; contaminated corpus
+    // rows are sign-identical near-copies (band collision certain),
+    // clean rows are orthogonal or below the cosine bar
+    val bench = Seq(
+      (100L, Some(Seq(1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0))),
+      (101L, Some(Seq(-1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0))),
+      (102L, Some(Seq(1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0))))
+      .toDF("bid", "be")
+    val corpus = Seq(
+      (10L, Some(Seq(0.98, 1.02, -1.0, 0.97, -1.01, 1.0, 1.0, -0.99))), // ~bench 100
+      (11L, Some(Seq(-1.01, 0.99, 1.0, -1.0, 1.02, -0.98, 1.0, 1.0))),  // ~bench 101
+      (12L, Some(Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0))),        // clean
+      (13L, Some(Seq(-1.0, -1.0, 1.0, -1.0, 1.0, -1.0, -1.0, 1.0))),   // clean
+      (14L, None),                                                      // null -> keeps
+      (15L, Some(Seq(1.0, 1.0, -1.0))))                                 // width -> keeps
+      .toDF("vec_id", "e")
+    val literal = Dedup.semanticDecontaminate(corpus, "e",
+        bench, "be", minCosine = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val large = Dedup.semanticDecontaminateLarge(corpus, "e", "vec_id",
+        bench, "be", "bid", minCosine = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(literal == Set(12L, 13L, 14L, 15L), s"literal kept $literal")
+    assert(large == literal, s"route divergence: large kept $large, literal $literal")
+    // zero-norm bench vectors must not nuke the corpus on this route
+    // either (their cosine is NaN at verify)
+    val zeroBench = Seq((1L, Seq.fill(8)(0.0))).toDF("bid", "be")
+    assert(Dedup.semanticDecontaminateLarge(corpus, "e", "vec_id",
+      zeroBench, "be", "bid", minCosine = 0.9).count() == corpus.count())
+  }
 }

@@ -138,6 +138,14 @@ class CorpusPrepSpec extends SparkSpecBase {
       CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
         benchEmb = Some(benchEmb), benchEmbCol = "e"))
     }.getMessage.contains("embCol"))
+    // the large-bench route (banded-BQ probe + exact verify) keeps the
+    // same survivors when selected via benchEmbLargeIdCol — and it has
+    // no driver-literal bench bound
+    val large = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        embCol = Some("emb"), benchEmb = Some(benchEmb), benchEmbCol = "e",
+        benchMinCosine = 0.999, benchEmbLargeIdCol = Some("bid")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(large == Set(2L, 3L), s"large route kept $large")
   }
 
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
