@@ -567,9 +567,11 @@ class StreamingSpec extends SparkSpecBase {
       queries.coalesce(1).write.mode("overwrite").parquet(s"$dir/q")
       val got = java.util.Collections.newSetFromMap(
         new java.util.concurrent.ConcurrentHashMap[(Long, Long, Double, Int), java.lang.Boolean]())
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val q = TS.bm25ServeStream(
           spark.readStream.schema("qid BIGINT, text STRING").parquet(s"$dir/q"),
           idx, "text", "qid", k = 3) { (res, _) =>
+          plans.add(res.queryExecution.executedPlan.toString)
           tuples(res).foreach(got.add); ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -578,6 +580,14 @@ class StreamingSpec extends SparkSpecBase {
       import scala.jdk.CollectionConverters._
       assert(got.asScala.toSet == expected,
         s"stream serve diverged: ${got.asScala.toSet} vs $expected")
+      // the SERVING property pinned where it matters: the per-micro-
+      // batch probe plan keeps its dynamic-partition-pruning filter on
+      // the postings buckets (a foreachBatch plan could lose the
+      // subquery without anyone noticing — the batch-side spec alone
+      // would not catch that)
+      assert(plans.asScala.nonEmpty &&
+        plans.asScala.forall(_.toLowerCase.contains("dynamicpruning")),
+        s"micro-batch probe lost the DPP partition filter:\n${plans.asScala.headOption.getOrElse("")}")
       // a batch frame is refused loudly
       assert(intercept[IllegalArgumentException] {
         TS.bm25ServeStream(queries, idx, "text", "qid", k = 3)((_, _) => ())
