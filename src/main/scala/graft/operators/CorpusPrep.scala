@@ -98,6 +98,19 @@ object CorpusPrep {
     // joins and aggregates, which the stream tier cannot); recall
     // contract stated on the operator.
     benchEmbLargeIdCol: Option[String] = None,
+    // IMAGE near-dup tier: an opaque binary image column (PNG/JPEG/
+    // GIF/BMP). Decode-at-ingest perceptual dHash + Hamming-banded
+    // pair search (Multimodal.imageNearDupPairs — only the 8-byte
+    // hash ever shuffles), clusters collapsed under the SAME survivor
+    // rule as the text/semantic tiers (keepPreference, else min id =
+    // keep-earliest). Exact recall at imageMaxHamming <= 3
+    // (pigeonhole over the four 16-bit bands); undecodable payloads
+    // never pair (they keep). run() only: the incremental/stream
+    // paths would need a standing hash index — compose
+    // Multimodal.withPerceptualHash + Dedup.incremental machinery
+    // directly for that shape.
+    imageCol: Option[String] = None,
+    imageMaxHamming: Int = 3,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -407,7 +420,19 @@ object CorpusPrep {
         .fold(Dedup.dropNearDuplicates(deduped, idCol, semClusters))(
           Dedup.dropNearDuplicatesBy(deduped, idCol, semClusters, _)), "semantic")
     }
-    decontaminateAndSample(semantic, idCol, cfg)
+    // image tier: perceptual near-dup clusters collapse the same way —
+    // re-encodes and mild edits of the same pixels, which no text tier
+    // can see (the image column is opaque binary to everything above)
+    val imaged = cfg.imageCol.fold(semantic) { ic =>
+      implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
+      val imgClusters = Dedup.duplicateClusters(
+        Multimodal.imageNearDupPairs(semantic, ic, idCol,
+          cfg.imageMaxHamming, cfg.maxBucket))
+      obs(cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(semantic, idCol, imgClusters))(
+          Dedup.dropNearDuplicatesBy(semantic, idCol, imgClusters, _)), "image")
+    }
+    decontaminateAndSample(imaged, idCol, cfg)
   }
 
   /** Incremental prep: a NEW batch against a STANDING prepared
@@ -440,6 +465,10 @@ object CorpusPrep {
       "intraNearDup/intraNearDupVerified are the stream-only tiers — " +
         "runIncremental's near tier already verifies batch-internal " +
         "candidates exactly")
+    require(cfg.imageCol.isEmpty,
+      "imageCol is a run()-only tier: batch-vs-standing image dedup needs a " +
+        "standing hash index — compose Multimodal.withPerceptualHash over " +
+        "both sides with Dedup.hashNearDupPairs directly")
     val gated = lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -662,6 +691,10 @@ object CorpusPrep {
         "stages need a batch pass — run them via runIncremental over the " +
         "accumulated intake (for decontamination in a stream, use the " +
         "row-local n-gram tier: Config.ngramBloom)")
+    require(cfg.imageCol.isEmpty,
+      "imageCol is a run()-only tier: its pair clustering needs a corpus " +
+        "pass — for a stream, compose Multimodal.withPerceptualHash (row-" +
+        "local) and band-probe a standing hash index per micro-batch")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
         cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +

@@ -148,6 +148,35 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(large == Set(2L, 3L), s"large route kept $large")
   }
 
+  test("image tier: perceptual near-dups collapse keep-earliest; undecodable payloads keep") {
+    import spark.implicits._
+    // two docs share EXACT pixels (different text — no text tier can
+    // see the duplication), one has an opposite-gradient image
+    // (dHash Hamming 64), one an undecodable payload
+    val inc = Array.tabulate(72)(i => ((i % 9) * 28) & 0xff)
+    val dec = Array.tabulate(72)(i => (255 - (i % 9) * 28) & 0xff)
+    val a = graft.operators.Multimodal.syntheticGrayBmp(9, 8, inc)
+    val b = graft.operators.Multimodal.syntheticGrayBmp(9, 8, dec)
+    val docs = Seq(
+      (1L, "first document with enough plain text to pass the gates", a),
+      (2L, "a completely different second text body that also passes", a),
+      (3L, "third document again distinct prose passing all the gates", b),
+      (4L, "fourth doc whose image payload is not decodable at all ok",
+        Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "text", "img")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        imageCol = Some("img")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L), s"got $out")
+    // run-only tier: the incremental path refuses the config loudly
+    // instead of silently skipping the stage
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(
+        docs.withColumn("clean_text", col("text")), docs,
+        cfg = CorpusPrep.Config(imageCol = Some("img")))
+    }.getMessage.contains("imageCol"))
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"
