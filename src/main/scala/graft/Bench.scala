@@ -25,10 +25,10 @@ import org.apache.spark.sql.SparkSession
   * every query once, and anything over `GRAFT_BENCH_HEAVY_SECS`
   * (default 1.0) joins the heavy phase — so a new multi-second query
   * cannot silently land in the small phase and re-introduce the
-  * drift. Provisional heavies are re-timed warm and demote only
-  * below `GRAFT_BENCH_DEMOTE_FRAC` (default 0.8) of the threshold —
-  * the hysteresis band keeps borderline queries from flip-flopping
-  * phases on classify-vs-score noise. `GRAFT_BENCH_HEAVY`
+  * drift. Provisional heavies are re-timed warm (min of three) and
+  * demote only below `GRAFT_BENCH_DEMOTE_FRAC` (default 0.9) of the
+  * threshold — the hysteresis band keeps borderline queries from
+  * flip-flopping phases on classify-vs-score noise. `GRAFT_BENCH_HEAVY`
   * (comma-separated names) force-ADDS queries to the heavy phase on
   * top of the derived set. */
 object Bench {
@@ -77,20 +77,20 @@ object Bench {
       coldTimes(n) > heavySecs || coldTimes(n) < 0)
     val classTimes = coldTimes ++ provisional.map { n =>
       val c = coldTimes(n)
-      n -> (if (c < 0) c else Seq(c, once(n), once(n)).min)
+      n -> (if (c < 0) c else Seq(c, once(n), once(n), once(n)).min)
     }
     // Hysteresis: a provisional heavy DEMOTES to the small phase only
-    // when its warm re-timed min falls clearly below the threshold
-    // (GRAFT_BENCH_DEMOTE_FRAC, default 0.8x). The [0.8x, 1.0x] band
-    // stays heavy: membership there is classify-vs-score noise (the
-    // scored phase, warmer and more-sampled, routinely finds a lower
-    // floor than the classification pass), and the conservative
+    // when its warm re-timed min (three samples — the scored phase,
+    // warmer still, routinely finds a ~10% lower floor than a single
+    // re-time) falls below GRAFT_BENCH_DEMOTE_FRAC (default 0.9) of
+    // the threshold. The [0.9x, 1.0x] band stays heavy: membership
+    // there is classify-vs-score noise, and the conservative
     // direction IS heavy — an extra heavy member cannot contaminate
     // small-phase timings since the heavy phase runs last, while a
     // misfiled small member can. This also stops borderline queries
     // flip-flopping phases round to round.
     val demoteBelow = heavySecs *
-      sys.env.getOrElse("GRAFT_BENCH_DEMOTE_FRAC", "0.8").toDouble
+      sys.env.getOrElse("GRAFT_BENCH_DEMOTE_FRAC", "0.9").toDouble
     val heavyList = allNames.filter(n =>
       forcedHeavy.contains(n) || classTimes(n) < 0 ||
         (coldTimes(n) > heavySecs && classTimes(n) >= demoteBelow))
@@ -122,8 +122,24 @@ object Bench {
         if (xs.contains(-1.0)) (n, -1.0, -1.0) else (n, xs.min, median(xs))
       }
     }
-    val results: Seq[(String, Double, Double)] =
+    val firstPass: Seq[(String, Double, Double)] =
       benchPhase(smallNames) ++ benchPhase(heavyList)
+    // Post-score correction, dangerous direction only: a small-phase
+    // query whose SCORED min still exceeds the threshold was misfiled
+    // (classification caught a quiet window, scoring a contended one
+    // — both phases ran on the same host, so this is noise around the
+    // threshold, but the artifact must not publish a multi-second
+    // query as small). Re-score it in an appended heavy-style phase
+    // and publish it as heavy; its small-phase samples are discarded.
+    // The opposite direction (a heavy member scoring inside the
+    // hysteresis band) is left alone by design: it ran in the heavy
+    // phase, where it could not contaminate anything.
+    val misfiled = firstPass
+      .filter(r => !heavyList.contains(r._1) && r._2 > heavySecs).map(_._1)
+    val results =
+      if (misfiled.isEmpty) firstPass
+      else firstPass.filterNot(r => misfiled.contains(r._1)) ++ benchPhase(misfiled)
+    val publishedHeavy = heavyList ++ misfiled
 
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -132,7 +148,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // publish the DERIVED heavy list so the phase split is auditable
     // from the artifact alone
-    val heavyJson = heavyList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val heavyJson = publishedHeavy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"heavy":$heavyJson,"sf":"$sfDir"}"""
     // compact total BEFORE the giant per-query line too: whichever
     // side of the log a bounded tail window lands on, one parseable

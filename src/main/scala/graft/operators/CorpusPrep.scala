@@ -466,9 +466,9 @@ object CorpusPrep {
         "runIncremental's near tier already verifies batch-internal " +
         "candidates exactly")
     require(cfg.imageCol.isEmpty,
-      "imageCol is a run()-only tier: batch-vs-standing image dedup needs a " +
-        "standing hash index — compose Multimodal.withPerceptualHash over " +
-        "both sides with Dedup.hashNearDupPairs directly")
+      "imageCol is a run()-only tier: batch-vs-standing image dedup wants a " +
+        "standing hash index — build Dedup.hashBandIndex over the standing " +
+        "hashes and filter the batch with Dedup.hashNearDupFilterAgainst")
     val gated = lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -694,7 +694,8 @@ object CorpusPrep {
     require(cfg.imageCol.isEmpty,
       "imageCol is a run()-only tier: its pair clustering needs a corpus " +
         "pass — for a stream, compose Multimodal.withPerceptualHash (row-" +
-        "local) and band-probe a standing hash index per micro-batch")
+        "local) with Dedup.hashNearDupFilterAgainst over a standing " +
+        "Dedup.hashBandIndex (stream-static joins, append-legal)")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
         cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +

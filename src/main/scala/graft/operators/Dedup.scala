@@ -1323,4 +1323,69 @@ object Dedup {
   /** Hamming distance between two simhash64 values (bit_count is a
     * codegen'd built-in). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Band index over a standing corpus's 64-bit signatures (simhash,
+    * perceptual dHash, audio fingerprint): one row per (band slot,
+    * band value) with the COLLECTED candidate hashes — the
+    * probe-side artifact `hashNearDupFilterAgainst` joins. Hot bands
+    * are capped BEFORE collection (observed drops, same HotKeys
+    * contract as every bucket here), so a list is at most `maxBucket`
+    * longs — the index is bands-keyed, bounded, and broadcastable for
+    * any realistic standing corpus slice; persist it like the other
+    * standing artifacts. */
+  def hashBandIndex(standing: DataFrame, hashCol: String,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_hash_index_cap"): DataFrame = {
+    val bands = standing
+      .select(col(hashCol).cast("long").as("_h"))
+      .filter(col("_h").isNotNull)
+      .select(col("_h"), posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+      .toDF("_h", "_k", "_band")
+    HotKeys.cap(bands, Seq(col("_k"), col("_band")), maxBucket,
+        minPerKey = 1, metricName = metricName)
+      .groupBy("_k", "_band")
+      .agg(collect_list("_h").as("_hs"))
+  }
+
+  /** Drop rows whose signature sits within `maxHamming` of ANY
+    * standing signature — the batch-vs-standing (and STREAM-vs-
+    * standing) twin of `hashNearDupPairs`, built so the whole check
+    * is append-mode legal: four stream-static EQUI-joins (one per
+    * 16-bit band slot of the row's own hash) pull the standing
+    * band's capped candidate list, and the drop decision is a
+    * row-local `exists` of `bit_count(xor) <= maxHamming` over the
+    * joined arrays — no stream aggregation, no state, no
+    * watermark. Exact recall at `maxHamming <= 3` by the same
+    * pigeonhole as the pair search. Null signatures KEEP (nothing to
+    * compare — the gates own those rows; for images that is the
+    * undecodable-payload rule). Works identically on a batch frame —
+    * the plan is plain joins + a filter either way. This is the
+    * operator the prep facade's image tier points streams at: hash
+    * row-locally (`Multimodal.withPerceptualHash`), build
+    * `hashBandIndex` over yesterday's corpus, filter the intake. */
+  def hashNearDupFilterAgainst(df: DataFrame, hashCol: String,
+      index: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val clash = df.columns.toSeq
+      .intersect(Seq("_h") ++ (0 until 4).flatMap(k => Seq(s"_b$k", s"_cand$k")))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with hashNearDupFilterAgainst's working names")
+    val withH = df.withColumn("_h", col(hashCol).cast("long"))
+    val joined = (0 until 4).foldLeft(withH) { (cur, k) =>
+      cur.join(
+        broadcast(index.filter(col("_k") === k)
+          .select(col("_band").as(s"_b$k"), col("_hs").as(s"_cand$k"))),
+        col(s"_b$k") <=> shiftrightunsigned(col("_h"), 16 * k)
+          .bitwiseAND(lit(65535L)),
+        "left")
+    }
+    val hit = (0 until 4).map(k =>
+        coalesce(exists(col(s"_cand$k"),
+          h => bit_count(h.bitwiseXOR(col("_h"))) <= maxHamming), lit(false)))
+      .reduce(_ || _)
+    joined
+      .filter(col("_h").isNull || !hit)
+      .drop("_h" +: (0 until 4).flatMap(k => Seq(s"_b$k", s"_cand$k")): _*)
+  }
 }

@@ -1151,26 +1151,43 @@ object Similarity {
     * query per list) by construction, so everything here is
     * shortlist-sized: a union, two partial-aggregated groupBys and
     * one per-query window — no corpus-sized anything. Chain
-    * `mmrRerank` behind it for diversity. */
+    * `mmrRerank` behind it for diversity.
+    *
+    * `weights` (optional, one per list, positive) scales each list's
+    * contribution — weighted RRF, the standard lexical-vs-semantic
+    * balance knob in hybrid search; unweighted RRF is weights = all
+    * ones. Weighted sums of 3+ terms reintroduce float addition-order
+    * sensitivity at the last ulp; the 6-decimal rounding absorbs it
+    * for any realistic list count. */
   def rrfFuse(shortlists: Seq[DataFrame], queryCol: String, idCol: String,
-      rankCol: String = "rank", k: Int = 10, k0: Int = 60): DataFrame = {
+      rankCol: String = "rank", k: Int = 10, k0: Int = 60,
+      weights: Option[Seq[Double]] = None): DataFrame = {
     require(shortlists.nonEmpty, "rrfFuse needs at least one ranked shortlist")
     require(k >= 1, s"k must be >= 1, got $k")
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
-    require(!Set("rrf_score", "_rrf_rank", "_li", "_s").contains(queryCol) &&
-      !Set("rrf_score", "_rrf_rank", "_li", "_s").contains(idCol),
-      s"queryCol/idCol collide with rrfFuse's working/output column names")
+    weights.foreach { ws =>
+      require(ws.length == shortlists.length,
+        s"got ${ws.length} weights for ${shortlists.length} shortlists")
+      require(ws.forall(w => w > 0.0 && !w.isNaN && !w.isInfinity),
+        s"weights must be positive finite, got $ws")
+    }
+    require(!Set("rrf_score", "rank", "_rrf_rank", "_li", "_s").contains(queryCol) &&
+      !Set("rrf_score", "rank", "_rrf_rank", "_li", "_s").contains(idCol),
+      s"queryCol/idCol collide with rrfFuse's working/output column names " +
+        "(rrf_score, rank)")
     val tagged = shortlists.zipWithIndex.map { case (df, i) =>
       df.select(col(queryCol), col(idCol),
           col(rankCol).cast("long").as("_rrf_rank"), lit(i).as("_li"))
         .filter(col(queryCol).isNotNull && col(idCol).isNotNull &&
           col("_rrf_rank").isNotNull && col("_rrf_rank") >= 1)
     }.reduce(_ unionByName _)
+    val w = weights.fold(lit(1.0))(ws =>
+      element_at(typedLit(ws), col("_li") + 1))
     tagged
       .groupBy(col(queryCol), col(idCol), col("_li"))
       .agg(min(col("_rrf_rank")).as("_rrf_rank"))
       .groupBy(col(queryCol), col(idCol))
-      .agg(sum(lit(1.0) / (lit(k0) + col("_rrf_rank"))).as("_s"))
+      .agg(sum(w / (lit(k0) + col("_rrf_rank"))).as("_s"))
       .withColumn("rrf_score", round(col("_s"), 6))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -91,6 +91,48 @@ class DataPrepOpsSpec extends SparkSpecBase {
     assert(Dedup.hashNearDupPairs(dup, "sig", "vid").count() == 0)
   }
 
+  test("hashBandIndex + hashNearDupFilterAgainst: standing probe matches brute force; nulls keep") {
+    import spark.implicits._
+    val standing = Seq(
+      (101L, 0x0123456789ABCDEFL),
+      (102L, 0xFEDCBA9876543210L)).toDF("vid", "sig")
+    val idx = Dedup.hashBandIndex(standing, "sig")
+    val batch = Seq(
+      (1L, java.lang.Long.valueOf(0x0123456789ABCDEEL)), // 1 bit from standing 101 -> drops
+      (2L, java.lang.Long.valueOf(0xFEDCBA9876543217L)), // 3 bits from standing 102 -> drops
+      (3L, java.lang.Long.valueOf(0x00000000FFFFFFFFL)), // far from both -> keeps
+      (4L, null.asInstanceOf[java.lang.Long]))           // null signature -> keeps
+      .toDF("vid", "sig")
+    val kept = Dedup.hashNearDupFilterAgainst(batch, "sig", idx, maxHamming = 3)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+    // a 4-bit-away row may or may not band-collide; at <= 3 the recall
+    // is exact — verify against brute force on a random-ish sweep
+    val probes = (0 until 64).map(b =>
+      (b.toLong, java.lang.Long.valueOf(0x0123456789ABCDEFL ^ (1L << b) ^ (1L << ((b + 17) % 64)))))
+      .toDF("vid", "sig")
+    val got = Dedup.hashNearDupFilterAgainst(probes, "sig", idx, maxHamming = 3)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    // every probe is exactly 2 bits from standing 101 -> ALL drop
+    assert(got.isEmpty, s"2-bit probes leaked: $got")
+
+    // stream twin: the same filter is append-legal on a file stream
+    withTempDir("hash-stream") { dir =>
+      batch.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+      val stream = spark.readStream.schema("vid BIGINT, sig BIGINT")
+        .parquet(s"$dir/in")
+      val outQ = Dedup.hashNearDupFilterAgainst(stream, "sig", idx, maxHamming = 3)
+        .writeStream.format("memory").queryName("hash_filter_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      outQ.awaitTermination(120000)
+      val streamKept = spark.table("hash_filter_stream")
+        .select("vid").collect().map(_.getLong(0)).toSet
+      assert(streamKept == kept, s"stream diverged: $streamKept vs $kept")
+    }
+  }
+
   test("removeRepeatedSpans cuts cross-doc boilerplate, keeps the prose around it") {
     import spark.implicits._
     val boiler = "all rights reserved worldwide"

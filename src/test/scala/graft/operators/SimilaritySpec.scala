@@ -1447,6 +1447,16 @@ class SimilaritySpec extends SparkSpecBase {
         emb, "vec_id", "e", k = 2, lambda = 0.5)
       .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).map(_._1)
     assert(reranked.toSeq == Seq(10L, 13L), s"mmr chain picks: ${reranked.toSeq}")
+    // weighted RRF: a 3x lexical weight lifts the lexical-only doc 13
+    // over the semantic-only doc 12
+    val weighted = Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id", "rank",
+        k = 4, weights = Some(Seq(3.0, 1.0)))
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).map(_._1)
+    assert(weighted.toSeq == Seq(10L, 11L, 13L, 12L),
+      s"weighted fusion order: ${weighted.toSeq}")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id", weights = Some(Seq(1.0)))
+    }.getMessage.contains("weights"))
   }
 
   test("mmrRerank: width-mismatched candidates drop before selection") {
