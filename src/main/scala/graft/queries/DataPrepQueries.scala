@@ -3136,6 +3136,130 @@ object DataPrepQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_kept"), sum("nt").as("kept_tokens"))
           .orderBy("source")
+      }),
+
+    // WEIGHTED RRF (Similarity.rrfFuse with per-list weights): q120's
+    // fusion with the lexical list at 3x — the lexical-vs-semantic
+    // balance knob of hybrid search. Each (query, id) still sums at
+    // most two addends (w_i/(k0+rank_i): deterministic multiply, and
+    // two-term IEEE addition is commutative), so the weighted score
+    // replays exactly too.
+    QueryDef("q123_rrf_weighted", Some(s"""
+      WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
+      qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
+             FROM documents WHERE doc_id < 3),
+      post AS (SELECT doc_id, t AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM corpus) GROUP BY doc_id, t),
+      dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus),
+      sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avglen FROM corpus),
+      scored AS (SELECT q.qid, p.doc_id,
+                        round(sum(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                          * p.tf * 2.2
+                          / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+                 FROM post p
+                   JOIN qs q ON q.token = p.token
+                   JOIN dft d ON d.token = p.token
+                   JOIN lens l ON l.doc_id = p.doc_id
+                   CROSS JOIN sc
+                 GROUP BY q.qid, p.doc_id),
+      lex AS (SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= 5),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 3),
+      cv AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+      semsc AS (SELECT qv.qid, cv.vec_id AS doc_id,
+                  round(list_inner_product(qv.v, cv.v)
+                    / sqrt(list_inner_product(qv.v, qv.v) * list_inner_product(cv.v, cv.v)), 4) AS cos
+                FROM qv CROSS JOIN cv),
+      sem AS (SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+        FROM semsc) WHERE rank <= 8),
+      u AS (SELECT qid, doc_id, rank, 0 AS li FROM lex
+            UNION ALL SELECT qid, doc_id, rank, 1 FROM sem),
+      f AS (SELECT qid, doc_id,
+                   round(sum((CASE WHEN li = 0 THEN 3.0 ELSE 1.0 END) / (60 + rank)), 6) AS rrf_score
+            FROM u GROUP BY qid, doc_id)
+      SELECT qid, doc_id, rrf_score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+      FROM f QUALIFY rank <= 10 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lex = graft.operators.TextStats.bm25TopK(
+          docs.filter(col("doc_id") >= 3), "text", "doc_id",
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("qid"), col("text")),
+          "text", "qid", k = 5)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val sem = graft.operators.Similarity.bruteForceTopKAll(
+            emb.filter(col("vec_id") >= 3), "e", "vec_id",
+            emb.filter(col("vec_id") < 3)
+              .select(col("vec_id").as("qid"), col("e")),
+            "qid", "e", k = 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        graft.operators.Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id",
+            "rank", k = 10, k0 = 60, weights = Some(Seq(3.0, 1.0)))
+          .orderBy("qid", "rank")
+      }),
+
+    // Standing hash-index probe (Dedup.hashBandIndex +
+    // hashNearDupFilterAgainst), oracle-pinned over the q117 pixel
+    // spec: the standing side is the alt-0 images of bases 0-24, the
+    // batch everything else — batch images within Hamming 3 of ANY
+    // standing image drop (the alt variants of covered bases), the
+    // rest keep. The band probe is EXACT at hamming <= 3
+    // (pigeonhole), so DuckDB's brute-force anti-join over the
+    // replayed dHash grid is the precise semantics, and the same
+    // row-local plan is what streams run against yesterday's index.
+    QueryDef("q124_hash_standing_filter", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt FROM documents),
+      px AS (SELECT d.doc_id, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id),
+      st AS (SELECT doc_id, h FROM h WHERE doc_id % 50 < 25 AND (doc_id // 50) % 2 = 0),
+      bt AS (SELECT doc_id, h FROM h WHERE NOT (doc_id % 50 < 25 AND (doc_id // 50) % 2 = 0)),
+      hits AS (SELECT DISTINCT b.doc_id FROM bt b JOIN st s ON bit_count(xor(b.h, s.h)) <= 3)
+      SELECT doc_id FROM bt WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val grays = Array.tabulate(8 * 9) { i =>
+            val y = i / 9; val x = i % 9
+            if (alt && y == 0 && x == 0) 255
+            else if (alt && y == 0 && x == 1) 0
+            else java.lang.Byte.toUnsignedInt(
+              md.digest(s"$base:$y:$x".getBytes("UTF-8"))(0))
+          }
+          graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+        }
+        val imgs = t(s, dir, "documents")
+          .select(col("doc_id"), mk(col("doc_id")).as("img"))
+        val standingPred = expr("doc_id % 50 < 25 AND (doc_id div 50) % 2 = 0")
+        val idx = graft.operators.Dedup.hashBandIndex(
+          graft.operators.Multimodal.withPerceptualHash(
+            imgs.filter(standingPred), "img", "ph"), "ph")
+        graft.operators.Dedup.hashNearDupFilterAgainst(
+            graft.operators.Multimodal.withPerceptualHash(
+              imgs.filter(!standingPred), "img", "ph"), "ph", idx,
+            maxHamming = 3)
+          .select("doc_id").orderBy("doc_id")
       })
   )
 }
