@@ -2745,13 +2745,14 @@ object DataPrepQueries {
       }),
 
     // Persisted BM25 index (TextStats.writeBm25Index / appendBm25Index
-    // / readBm25Index / bm25TopKFromIndex): the build-once half of
-    // q114. The index is WRITTEN on 4/5 of the corpus, the last fifth
-    // is APPENDED (postings append + df merge-rename + driver scalar
-    // update), and the probe runs from the READ-BACK artifact — yet
-    // the oracle is q114's one-shot SQL verbatim, so a single green
-    // row pins write, append, read, the df-gate, and the probe plan
-    // all equal to a fresh full-corpus computation.
+    // / compactBm25Index / readBm25Index / bm25TopKFromIndex): the
+    // build-once half of q114. The index is WRITTEN on 4/5 of the
+    // corpus, the last fifth is APPENDED (postings append + df
+    // merge-rename + driver scalar update), the postings are
+    // COMPACTED (df-gated stripe rewrite), and the probe runs from
+    // the READ-BACK artifact — yet the oracle is q114's one-shot SQL
+    // verbatim, so a single green row pins the ENTIRE lifecycle
+    // equal to a fresh full-corpus computation.
     QueryDef("q115_bm25_index", Some(s"""
       WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
       qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
@@ -2786,6 +2787,7 @@ object DataPrepQueries {
           tokenBuckets = 8)
         graft.operators.TextStats.appendBm25Index(s, path,
           corpus.filter(col("doc_id") % 5 === 0), "text", "doc_id")
+        graft.operators.TextStats.compactBm25Index(s, path)
         graft.operators.TextStats.bm25TopKFromIndex(
             graft.operators.TextStats.readBm25Index(s, path),
             docs.filter(col("doc_id") < 3)
