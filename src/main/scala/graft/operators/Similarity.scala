@@ -1042,6 +1042,53 @@ object Similarity {
         .cast("double") / count(lit(1)), 4).as("recall"))
   }
 
+  /** Rank-AWARE retrieval metrics — per-query reciprocal rank and
+    * binary nDCG@k of a ranked result set against a relevant-pair
+    * truth set; `recallAtK` says WHETHER the relevant docs were
+    * found, this says WHERE they landed (the metric pair every
+    * retrieval eval reports; public knowledge: Järvelin & Kekäläinen
+    * 2002 for DCG). `got` is any (queryCol, idCol, rankCol) ranking
+    * (every ranker here); `truth` any (queryCol, idCol) relevant
+    * set — binary relevance, the shape `bruteForceTopKAll` emits.
+    * rr(q) = 1/rank of the first relevant hit; ndcg(q) =
+    * Σ_{relevant hits at rank r ≤ k} 1/log2(r+1), normalized by the
+    * ideal prefix Σ_{i=1..min(k,|relevant|)} 1/log2(i+1). Queries in
+    * `truth` with no retrieved hit score 0.0 on both (they do not
+    * disappear — same rule as recallAtK); duplicate (query, id) rows
+    * in `got` collapse to their best rank. Both metrics are ROUNDED
+    * (6dp): ranks are integers and the log2 sums have ≤ k terms, so
+    * the rounded values replay exactly cross-engine (the q125
+    * oracle). Mean-MRR / mean-nDCG are one `avg()` over the output.
+    * Cost: truth is evaluation-sized by construction — one equi-join
+    * + two tiny aggregations. Output: (queryCol, rr, ndcg). */
+  def rankMetrics(got: DataFrame, truth: DataFrame, queryCol: String,
+      idCol: String, rankCol: String = "rank", k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = got.select(col(queryCol).as("_gq"), col(idCol).as("_gid"),
+        col(rankCol).cast("long").as("_rank"))
+      .filter(col("_gq").isNotNull && col("_gid").isNotNull &&
+        col("_rank").isNotNull && col("_rank") >= 1)
+      .groupBy("_gq", "_gid").agg(min("_rank").as("_rank"))
+    val t = truth.select(col(queryCol).as("_tq"), col(idCol).as("_tid"))
+      .filter(col("_tq").isNotNull && col("_tid").isNotNull)
+      .distinct()
+    val perQ = t
+      .join(g, col("_tq") === col("_gq") && col("_tid") === col("_gid"), "left")
+      .groupBy(col("_tq").as(queryCol))
+      .agg(count(lit(1)).as("_nrel"),
+        min("_rank").as("_first"),
+        sum(when(col("_rank") <= k,
+          lit(1.0) / log2(col("_rank") + 1))).as("_dcg"))
+    // ideal DCG from the truth size alone: the best possible ranking
+    // fills ranks 1..min(k, |relevant|) with relevant docs. nrel >= 1
+    // by construction, so the normalizer is never zero.
+    val idcg = aggregate(sequence(lit(1L), least(col("_nrel"), lit(k.toLong))),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1))
+    perQ.select(col(queryCol),
+      round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("rr"),
+      round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
+
   /** Precision/recall of a PAIR search against a reference pair set —
     * the pair-search twin of recallAtK, closing the harness over the
     * other half of the ANN surface (nearDupPairs* / hashNearDupPairs /

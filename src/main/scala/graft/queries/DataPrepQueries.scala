@@ -3262,6 +3262,87 @@ object DataPrepQueries {
               imgs.filter(!standingPred), "img", "ph"), "ph", idx,
             maxHamming = 3)
           .select("doc_id").orderBy("doc_id")
+      }),
+
+    // Rank-aware retrieval metrics (Similarity.rankMetrics): q104's
+    // BQ-probe-vs-brute-force fixture scored with reciprocal rank
+    // and binary nDCG@8 instead of plain recall — WHERE the relevant
+    // docs landed, not just whether they were found. Ranks are
+    // integers and the log2 sums have <= 8 terms, so the rounded
+    // per-query metrics replay exactly.
+    QueryDef("q125_rank_metrics", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM e),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      bits AS (SELECT n.vec_id,
+                      list_transform(range(1, 65),
+                        i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+               FROM n CROSS JOIN thr t),
+      qs AS (SELECT b.vec_id AS qid, e.e AS qe, b.b AS qb
+             FROM bits b JOIN e ON e.vec_id = b.vec_id
+             WHERE b.vec_id IN (0, 100, 200)),
+      ham AS (SELECT q.qid, b.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN b.b[i] <> q.qb[i] THEN 1 ELSE 0 END)) AS hd
+              FROM bits b CROSS JOIN qs q WHERE b.vec_id <> q.qid),
+      short AS (SELECT qid, vec_id FROM ham
+                QUALIFY row_number() OVER (PARTITION BY qid
+                  ORDER BY hd, vec_id) <= 24),
+      got AS (SELECT s.qid, s.vec_id,
+                     round(list_inner_product(e.e, q.qe)
+                       / (sqrt(list_inner_product(e.e, e.e))
+                          * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+              FROM short s
+                JOIN e ON e.vec_id = s.vec_id
+                JOIN qs q ON q.qid = s.qid
+              QUALIFY row_number() OVER (PARTITION BY s.qid
+                ORDER BY cos DESC, s.vec_id) <= 8),
+      truth AS (SELECT q.qid, e.vec_id,
+                       round(list_inner_product(e.e, q.qe)
+                         / (sqrt(list_inner_product(e.e, e.e))
+                            * sqrt(list_inner_product(q.qe, q.qe))), 4) AS cos
+                FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY cos DESC, e.vec_id) <= 8),
+      gotr AS (SELECT qid, vec_id,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, vec_id) AS rank
+               FROM got),
+      tc AS (SELECT qid, count(*) AS nrel FROM truth GROUP BY qid),
+      hits AS (SELECT g.qid, g.rank FROM gotr g
+               JOIN truth t ON t.qid = g.qid AND t.vec_id = g.vec_id),
+      pq AS (SELECT qid, min(rank) AS first,
+                    sum(CASE WHEN rank <= 8 THEN 1.0 / log2(rank + 1) END) AS dcg
+             FROM hits GROUP BY qid),
+      ig AS (SELECT tc.qid, sum(1.0 / log2(g.i + 1)) AS idcg
+             FROM tc JOIN (SELECT unnest(generate_series(1, 8)) AS i) g
+               ON g.i <= least(tc.nrel, 8)
+             GROUP BY tc.qid)
+      SELECT tc.qid, round(coalesce(1.0 / pq.first, 0.0), 6) AS rr,
+             round(coalesce(pq.dcg, 0.0) / ig.idcg, 6) AS ndcg
+      FROM tc JOIN ig ON ig.qid = tc.qid LEFT JOIN pq ON pq.qid = tc.qid
+      ORDER BY tc.qid"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val m = graft.operators.Similarity.bqTrain(emb, "e")
+        val queries = emb.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        val got = graft.operators.Similarity.bqProbeAll(
+          graft.operators.Similarity.bqAssign(emb, "e", m),
+          "e", "vec_id", queries, "qid", "e", m,
+          k = 8, rerank = 24, excludeSelf = true)
+        val truth = graft.operators.Similarity.bruteForceTopKAll(
+          emb, "e", "vec_id", queries, "qid", "e", k = 8, excludeSelf = true)
+        graft.operators.Similarity.rankMetrics(got, truth, "qid", "vec_id",
+            "rank", k = 8)
+          .orderBy("qid")
       })
   )
 }

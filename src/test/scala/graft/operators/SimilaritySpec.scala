@@ -1459,6 +1459,30 @@ class SimilaritySpec extends SparkSpecBase {
     }.getMessage.contains("weights"))
   }
 
+  test("rankMetrics: reciprocal rank and binary nDCG@k; missing queries score zero") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "vec_id")
+    val got = Seq(
+      (1L, 99L, 1), (1L, 98L, 2), (1L, 10L, 3), // first hit at rank 3
+      (2L, 20L, 1), (2L, 21L, 2))               // perfect ranking
+      .toDF("qid", "vec_id", "rank")            // query 3 retrieved nothing
+    val m = Similarity.rankMetrics(got, truth, "qid", "vec_id", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m(1L)._1 == 0.333333, s"rr(1) = ${m(1L)._1}")
+    // dcg = 1/log2(4) = 0.5 against idcg = 1/log2(2) = 1
+    assert(m(1L)._2 == 0.5, s"ndcg(1) = ${m(1L)._2}")
+    assert(m(2L) == ((1.0, 1.0)), s"q2 = ${m(2L)}")
+    assert(m(3L) == ((0.0, 0.0)), s"q3 = ${m(3L)}")
+    // a hit beyond the ndcg cut still counts for rr, not for dcg
+    val late = Similarity.rankMetrics(
+        Seq((1L, 10L, 4)).toDF("qid", "vec_id", "rank"),
+        Seq((1L, 10L)).toDF("qid", "vec_id"), "qid", "vec_id", k = 3)
+      .collect()(0)
+    assert(late.getDouble(1) == 0.25 && late.getDouble(2) == 0.0,
+      s"late hit: ${late}")
+  }
+
   test("mmrRerank: width-mismatched candidates drop before selection") {
     import spark.implicits._
     // 14's stored embedding is 3-wide against the group majority of 2:
