@@ -105,10 +105,11 @@ object CorpusPrep {
     // rule as the text/semantic tiers (keepPreference, else min id =
     // keep-earliest). Exact recall at imageMaxHamming <= 3
     // (pigeonhole over the four 16-bit bands); undecodable payloads
-    // never pair (they keep). run() only: the incremental/stream
-    // paths would need a standing hash index — compose
-    // Multimodal.withPerceptualHash + Dedup.incremental machinery
-    // directly for that shape.
+    // never pair (they keep). All three facades: run() clusters
+    // in-corpus; runIncremental and prepStream additionally need the
+    // PREBUILT standing hash index (their `imageIndex` argument —
+    // Dedup.hashBandIndex, built once) so the per-batch decode cost
+    // follows the batch, never the standing corpus.
     imageCol: Option[String] = None,
     imageMaxHamming: Int = 3,
     redactPii: Boolean = false,
@@ -456,7 +457,8 @@ object CorpusPrep {
   def runIncremental(standing: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config(),
-      oldIndex: Option[DataFrame] = None): DataFrame = {
+      oldIndex: Option[DataFrame] = None,
+      imageIndex: Option[DataFrame] = None): DataFrame = {
     require(!cfg.cutHotSpans,
       "cutHotSpans is a full-run option: the incremental path would have to " +
         "re-scan the standing corpus's text for the span census, defeating its " +
@@ -465,10 +467,16 @@ object CorpusPrep {
       "intraNearDup/intraNearDupVerified are the stream-only tiers — " +
         "runIncremental's near tier already verifies batch-internal " +
         "candidates exactly")
-    require(cfg.imageCol.isEmpty,
-      "imageCol is a run()-only tier: batch-vs-standing image dedup wants a " +
-        "standing hash index — build Dedup.hashBandIndex over the standing " +
-        "hashes and filter the batch with Dedup.hashNearDupFilterAgainst")
+    // the image tier needs a PREBUILT standing hash index: decoding
+    // the standing corpus's images per incremental run would break
+    // the O(batch) cost contract exactly like re-scanning its text
+    require(cfg.imageCol.isEmpty || imageIndex.isDefined,
+      "imageCol on the incremental path needs `imageIndex` — build it ONCE " +
+        "with Dedup.hashBandIndex over Multimodal.withPerceptualHash of the " +
+        "standing corpus (the batch-per-run decode must follow the batch)")
+    require(imageIndex.isEmpty || cfg.imageCol.isDefined,
+      "imageIndex without cfg.imageCol would be silently ignored — set the " +
+        "image column, or drop the index argument")
     val gated = lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -477,7 +485,24 @@ object CorpusPrep {
       standing, gated, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
       cfg.maxBucket, oldIndex, cfg.keepPreference)
-    decontaminateAndSample(deduped, idCol, cfg)
+    // image tier, both halves of the incremental contract (mirroring
+    // the text tier): batch rows near a STANDING hash drop first
+    // (standing wins — row-local probe joins, O(batch)), then
+    // batch-INTERNAL image clusters collapse under the same survivor
+    // rule as run(). The hash is computed once and reused.
+    val imaged = cfg.imageCol.fold(deduped) { ic =>
+      implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+      val vsStanding = Dedup.hashNearDupFilterAgainst(
+        Multimodal.withPerceptualHash(deduped, ic, "_img_ph"),
+        "_img_ph", imageIndex.get, cfg.imageMaxHamming)
+      val clusters = Dedup.duplicateClusters(Dedup.hashNearDupPairs(
+        vsStanding, "_img_ph", idCol, cfg.imageMaxHamming, cfg.maxBucket))
+      cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(vsStanding, idCol, clusters))(
+          Dedup.dropNearDuplicatesBy(vsStanding, idCol, clusters, _))
+        .drop("_img_ph")
+    }
+    decontaminateAndSample(imaged, idCol, cfg)
   }
 
   /** SEMANTIC standing-corpus stage for incremental flows — the
@@ -618,9 +643,10 @@ object CorpusPrep {
       cfg: Config = Config(), watermark: String = "10 minutes",
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
       standingIndex: Option[DataFrame] = None,
-      semanticLookup: Option[DataFrame] = None): DataFrame =
+      semanticLookup: Option[DataFrame] = None,
+      imageIndex: Option[DataFrame] = None): DataFrame =
     prepStreamWithCaches(docs, textCol, tsCol, cfg, watermark, standing,
-      idCol, standingIndex, semanticLookup)._1
+      idCol, standingIndex, semanticLookup, imageIndex)._1
 
   /** Handle over the standing-corpus lookups a prepStream plan caches
     * for its lifetime. Without releasing them, the cached frames
@@ -684,18 +710,22 @@ object CorpusPrep {
       cfg: Config = Config(), watermark: String = "10 minutes",
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
       standingIndex: Option[DataFrame] = None,
-      semanticLookup: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
+      semanticLookup: Option[DataFrame] = None,
+      imageIndex: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
     require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.benchmark.isEmpty,
       "prepStream supports only the row-local stages (normalize + gates + LM " +
         "gate + exact dedup + the standing-corpus probe); corpus-statistic " +
         "stages need a batch pass — run them via runIncremental over the " +
         "accumulated intake (for decontamination in a stream, use the " +
         "row-local n-gram tier: Config.ngramBloom)")
-    require(cfg.imageCol.isEmpty,
-      "imageCol is a run()-only tier: its pair clustering needs a corpus " +
-        "pass — for a stream, compose Multimodal.withPerceptualHash (row-" +
-        "local) with Dedup.hashNearDupFilterAgainst over a standing " +
-        "Dedup.hashBandIndex (stream-static joins, append-legal)")
+    require(cfg.imageCol.isEmpty || imageIndex.isDefined,
+      "imageCol in a stream needs `imageIndex` — the standing-corpus hash " +
+        "index (Dedup.hashBandIndex over Multimodal.withPerceptualHash of " +
+        "the standing images, built once at stream start); the probe is " +
+        "stream-static joins + a row-local Hamming exists, append-legal")
+    require(imageIndex.isEmpty || cfg.imageCol.isDefined,
+      "imageIndex without cfg.imageCol would be silently ignored — set the " +
+        "image column, or drop the index argument")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
         cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +
@@ -817,6 +847,23 @@ object CorpusPrep {
             lkCached, bqm, cfg.minCosine, cfg.bqBands, cfg.bqMaxHamming))
         (filtered, textCaches :+ lkCached)
     }
+    // IMAGE standing tier: perceptual hash row-locally, probe the
+    // prebuilt standing hash index — four stream-static equi-joins
+    // plus a row-local Hamming exists (Dedup.hashNearDupFilterAgainst
+    // is append-legal by construction). The index is cached like the
+    // other standing lookups: a stream-static join re-executes the
+    // static side every micro-batch. Runs after the text/semantic
+    // tiers — a textual dup is the cheaper drop.
+    val (imgFiltered, imgCaches) = (cfg.imageCol, imageIndex) match {
+      case (Some(ic), Some(idx)) =>
+        implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
+        val idxCached = idx.cache()
+        (Dedup.hashNearDupFilterAgainst(
+            Multimodal.withPerceptualHash(semFiltered, ic, "_img_ph"),
+            "_img_ph", idxCached, cfg.imageMaxHamming)
+          .drop("_img_ph"), allCaches :+ idxCached)
+      case _ => (semFiltered, allCaches)
+    }
     // sampleRate is stream-legal, unlike the other batch-only stages:
     // the md5 draw is a pure row-local filter (no shuffle, no state),
     // and its determinism means a restart redraws identically. Same
@@ -825,9 +872,9 @@ object CorpusPrep {
     // itself be row-local (a literal or a function of the row) —
     // corpus-statistic rates belong to runIncremental, like every
     // other corpus statistic here.
-    val sampled = cfg.sampleRate.fold(semFiltered)(
-      Mixing.stratifiedSample(semFiltered, idCol, _, salt = "corpusprep"))
-    (sampled, new StreamCaches(allCaches))
+    val sampled = cfg.sampleRate.fold(imgFiltered)(
+      Mixing.stratifiedSample(imgFiltered, idCol, _, salt = "corpusprep"))
+    (sampled, new StreamCaches(imgCaches))
   }
 
   /** Yield report: rows in, rows out, reduction percentage. */

@@ -168,13 +168,31 @@ class CorpusPrepSpec extends SparkSpecBase {
         imageCol = Some("img")))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 3L, 4L), s"got $out")
-    // run-only tier: the incremental path refuses the config loudly
-    // instead of silently skipping the stage
+    // the incremental path needs a PREBUILT standing hash index —
+    // without one it refuses loudly instead of silently skipping
     assert(intercept[IllegalArgumentException] {
       CorpusPrep.runIncremental(
         docs.withColumn("clean_text", col("text")), docs,
         cfg = CorpusPrep.Config(imageCol = Some("img")))
-    }.getMessage.contains("imageCol"))
+    }.getMessage.contains("imageIndex"))
+    // with the index: batch rows near a standing image drop, internal
+    // image dups collapse keep-earliest, genuinely new images keep
+    val standing = Seq(
+      (1L, "standing corpus document with plenty of words here", a))
+      .toDF("doc_id", "clean_text", "img")
+    val sIdx = graft.operators.Dedup.hashBandIndex(
+      graft.operators.Multimodal.withPerceptualHash(standing, "img", "ph")(spark),
+      "ph")
+    val batch = Seq(
+      (5L, "a totally new fifth document text that passes the gate", a),
+      (6L, "a sixth brand new document body that also passes gates", b),
+      (7L, "a seventh distinct document wording that passes gates", b))
+      .toDF("doc_id", "text", "img")
+    val incKept = CorpusPrep.runIncremental(standing, batch,
+        cfg = CorpusPrep.Config(minChars = 20, imageCol = Some("img")),
+        imageIndex = Some(sIdx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incKept == Set(6L), s"incremental image tier kept $incKept")
   }
 
   test("maxHotSpans gate drops only docs over the repeated-span budget") {

@@ -595,6 +595,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("prepStream image tier: the standing hash index filters intake per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val incG = Array.tabulate(72)(i => ((i % 9) * 28) & 0xff)
+    val decG = Array.tabulate(72)(i => (255 - (i % 9) * 28) & 0xff)
+    val a = graft.operators.Multimodal.syntheticGrayBmp(9, 8, incG)
+    val b = graft.operators.Multimodal.syntheticGrayBmp(9, 8, decG)
+    val standing = Seq((100L, a)).toDF("doc_id", "img")
+    val idx = graft.operators.Dedup.hashBandIndex(
+      graft.operators.Multimodal.withPerceptualHash(standing, "img", "ph")(spark),
+      "ph")
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", "first intake document passing every text gate fine", a),
+      (2L, "2026-01-01 00:00:02", "second intake document also passing the gates well", b))
+      .toDF("doc_id", "ts", "text", "img")
+      .withColumn("ts", to_timestamp(col("ts")))
+    withTempDir("prep-stream-img") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, img BINARY")
+        .parquet(s"$dir/in")
+      val out = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+        cfg = graft.operators.CorpusPrep.Config(minChars = 20,
+          imageCol = Some("img")),
+        imageIndex = Some(idx))
+      val q = out.writeStream.format("memory").queryName("prep_img_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val kept = spark.table("prep_img_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // doc 1's image matches the standing corpus (hamming 0) -> drops
+      assert(kept == Set(2L), s"stream image tier kept $kept")
+      // without the index the config is refused loudly, not skipped
+      assert(intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          cfg = graft.operators.CorpusPrep.Config(imageCol = Some("img")))
+      }.getMessage.contains("imageIndex"))
+    }
+  }
+
   test("prepStream releases its standing-corpus caches when the stream terminates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
