@@ -1193,6 +1193,10 @@ object Similarity {
     * Output: (queryCol, idCol, rrf_score, rank) with the same
     * ROUNDED-score rank cut (6 decimals, ties by id) every ranker
     * here uses — the cut cannot flip with float addition order.
+    * (Coarseness note: adjacent single-list ranks differ by
+    * 1/((k0+r)(k0+r+1)), which falls under the rounding quantum only
+    * past depth ~1350 at k0=60 — deeper shortlists than any rerank
+    * here runs; ties there break by id, identically in any engine.)
     *
     * Scale shape: inputs are rank-bounded shortlists (≤ k rows per
     * query per list) by construction, so everything here is
