@@ -89,8 +89,13 @@ object Bench {
     // small-phase timings since the heavy phase runs last, while a
     // misfiled small member can. This also stops borderline queries
     // flip-flopping phases round to round.
-    val demoteBelow = heavySecs *
-      sys.env.getOrElse("GRAFT_BENCH_DEMOTE_FRAC", "0.9").toDouble
+    val demoteFrac = sys.env.getOrElse("GRAFT_BENCH_DEMOTE_FRAC", "0.9").toDouble
+    // > 1 would INVERT the hysteresis: a still-over-threshold query
+    // would demote into the small phase and contaminate its timings —
+    // the exact failure the phase split exists to prevent
+    require(demoteFrac > 0.0 && demoteFrac <= 1.0,
+      s"GRAFT_BENCH_DEMOTE_FRAC must be in (0, 1], got $demoteFrac")
+    val demoteBelow = heavySecs * demoteFrac
     val heavyList = allNames.filter(n =>
       forcedHeavy.contains(n) || classTimes(n) < 0 ||
         (coldTimes(n) > heavySecs && classTimes(n) >= demoteBelow))

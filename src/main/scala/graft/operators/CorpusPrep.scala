@@ -89,15 +89,15 @@ object CorpusPrep {
     benchEmb: Option[DataFrame] = None,
     benchEmbCol: String = "emb",
     benchMinCosine: Double = 0.9,
-    // LARGE-bench route for the embedding tier: set to the benchEmb
-    // frame's id column and the tier runs
-    // Dedup.semanticDecontaminateLarge (bench as a coded probe batch
-    // through banded-BQ candidates + exact cosine verify) instead of
-    // the driver-literal kernel — the route for benches past the
-    // literal path's maxBench bound. Batch preps only (the route
-    // joins and aggregates, which the stream tier cannot); recall
-    // contract stated on the operator.
-    benchEmbLargeIdCol: Option[String] = None,
+    // LARGE-bench route for the embedding tier: when true the tier
+    // runs Dedup.semanticDecontaminateLarge (bench as a coded probe
+    // batch through banded-BQ candidates + exact cosine verify,
+    // honoring maxBucket and bqBands) instead of the driver-literal
+    // kernel — the route for benches past the literal path's
+    // maxBench bound. Batch preps only (the route joins and
+    // aggregates, which the stream tier cannot); recall and
+    // null-id contracts stated on the operator. Requires benchEmb.
+    benchEmbLarge: Boolean = false,
     // IMAGE near-dup tier: an opaque binary image column (PNG/JPEG/
     // GIF/BMP). Decode-at-ingest perceptual dHash + Hamming-banded
     // pair search (Multimodal.imageNearDupPairs — only the 8-byte
@@ -325,17 +325,23 @@ object CorpusPrep {
     }
     // the embedding tier last: paraphrased leaks the shingle tiers
     // missed (requires cfg.embCol — the docs' embedding column)
+    // validated OUTSIDE the fold: benchEmbLarge without benchEmb would
+    // otherwise silently skip the whole decontamination stage — the
+    // same loud-misconfiguration rule as the codec/imageIndex checks
+    require(!cfg.benchEmbLarge || cfg.benchEmb.isDefined,
+      "benchEmbLarge selects the large-bench route OF the benchEmb tier — " +
+        "set cfg.benchEmb (the benchmark embeddings frame), or drop the flag")
     val semDecon = cfg.benchEmb.fold(decontaminated) { bench =>
       require(cfg.embCol.isDefined,
         "benchEmb (semantic decontamination) needs cfg.embCol — the docs' " +
           "embedding column the benchmark embeddings score against")
-      val out = cfg.benchEmbLargeIdCol match {
-        case Some(bid) => Dedup.semanticDecontaminateLarge(decontaminated,
-          cfg.embCol.get, idCol, bench, cfg.benchEmbCol, bid,
-          cfg.benchMinCosine)
-        case None => Dedup.semanticDecontaminate(decontaminated,
-          cfg.embCol.get, bench, cfg.benchEmbCol, cfg.benchMinCosine)
-      }
+      val out = if (cfg.benchEmbLarge)
+        Dedup.semanticDecontaminateLarge(decontaminated,
+          cfg.embCol.get, idCol, bench, cfg.benchEmbCol,
+          cfg.benchMinCosine, bands = cfg.bqBands,
+          maxBucket = cfg.maxBucket)
+      else Dedup.semanticDecontaminate(decontaminated,
+        cfg.embCol.get, bench, cfg.benchEmbCol, cfg.benchMinCosine)
       obs(out, "semdecontam")
     }
     // distinct salt: the prep sample must not correlate with any
@@ -485,21 +491,42 @@ object CorpusPrep {
       standing, gated, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
       cfg.maxBucket, oldIndex, cfg.keepPreference)
-    // image tier, both halves of the incremental contract (mirroring
-    // the text tier): batch rows near a STANDING hash drop first
-    // (standing wins — row-local probe joins, O(batch)), then
-    // batch-INTERNAL image clusters collapse under the same survivor
-    // rule as run(). The hash is computed once and reused.
+    // image tier, both halves of the incremental contract, with the
+    // text tier's TAINTED-CLUSTER rule: batch-internal clusters are
+    // computed over the FULL batch first, and a cluster with ANY
+    // member near a standing image drops WHOLE (a transitive
+    // near-dup of standing content — X near standing, Y near X —
+    // must not survive just because Y itself clears the probe; this
+    // is exactly what run() over standing+batch would do). Untainted
+    // clusters then collapse under the run() survivor rule. The
+    // ImageIO decode is the dominant per-batch cost and feeds three
+    // consumers, so the hashed frame is pinned with localCheckpoint
+    // — safe here: runIncremental attaches no observe nodes below
+    // this stage (unlike run(), whose per-stage metrics forbid
+    // truncation).
     val imaged = cfg.imageCol.fold(deduped) { ic =>
       implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
-      val vsStanding = Dedup.hashNearDupFilterAgainst(
-        Multimodal.withPerceptualHash(deduped, ic, "_img_ph"),
-        "_img_ph", imageIndex.get, cfg.imageMaxHamming)
+      val hashed = Multimodal.withPerceptualHash(deduped, ic, "_img_ph")
+        .localCheckpoint()
       val clusters = Dedup.duplicateClusters(Dedup.hashNearDupPairs(
-        vsStanding, "_img_ph", idCol, cfg.imageMaxHamming, cfg.maxBucket))
+        hashed, "_img_ph", idCol, cfg.imageMaxHamming, cfg.maxBucket))
+      // rows whose OWN hash is near standing (the direct hits)
+      val hitIds = hashed.select(col(idCol)).join(
+        Dedup.hashNearDupFilterAgainst(hashed, "_img_ph", imageIndex.get,
+          cfg.imageMaxHamming).select(col(idCol)),
+        Seq(idCol), "left_anti")
+      // every member of a cluster containing a hit
+      val taintedMembers = clusters.join(
+          clusters.join(hitIds.withColumnRenamed(idCol, "id"), Seq("id"),
+            "left_semi").select("cluster").distinct(),
+          Seq("cluster"), "left_semi")
+        .select(col("id").as(idCol))
+      val clean = hashed
+        .join(hitIds, Seq(idCol), "left_anti")
+        .join(taintedMembers, Seq(idCol), "left_anti")
       cfg.keepPreference
-        .fold(Dedup.dropNearDuplicates(vsStanding, idCol, clusters))(
-          Dedup.dropNearDuplicatesBy(vsStanding, idCol, clusters, _))
+        .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
+          Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
         .drop("_img_ph")
     }
     decontaminateAndSample(imaged, idCol, cfg)
@@ -723,6 +750,10 @@ object CorpusPrep {
         "index (Dedup.hashBandIndex over Multimodal.withPerceptualHash of " +
         "the standing images, built once at stream start); the probe is " +
         "stream-static joins + a row-local Hamming exists, append-legal")
+    require(!cfg.benchEmbLarge,
+      "benchEmbLarge is the batch-only large-bench route (it joins and " +
+        "aggregates); a stream tier needs the row-local literal path — " +
+        "pre-shrink the bench under maxBench, or decontaminate in batch")
     require(imageIndex.isEmpty || cfg.imageCol.isDefined,
       "imageIndex without cfg.imageCol would be silently ignored — set the " +
         "image column, or drop the index argument")
@@ -773,10 +804,6 @@ object CorpusPrep {
       require(cfg.embCol.isDefined,
         "benchEmb (semantic decontamination) needs cfg.embCol — the stream's " +
           "embedding column the benchmark embeddings score against")
-      require(cfg.benchEmbLargeIdCol.isEmpty,
-        "benchEmbLargeIdCol is the batch-only large-bench route (it joins " +
-          "and aggregates); a stream tier needs the row-local literal path — " +
-          "pre-shrink the bench under maxBench, or decontaminate in batch")
       Dedup.semanticDecontaminate(decon0, cfg.embCol.get, bench,
         cfg.benchEmbCol, cfg.benchMinCosine)
     }

@@ -1210,7 +1210,18 @@ object Dedup {
     * never an all-pairs product), and an EXACT cosine verify at
     * `minCosine` (per-pair width guard, NaN guard) decides the drop.
     * Corpus rows with a null/width-mismatched embedding KEEP (null
-    * codes never band), matching the literal path's rule.
+    * codes never band), matching the literal path's rule. The bench
+    * needs NO id column: the operator keys bench vectors by a
+    * content digest internally (identical vectors collapse —
+    * harmless, they are redundant); bench embeddings with null
+    * ELEMENTS drop from the bench (they cannot code — unlike the
+    * literal path, which refuses them loudly at collect time).
+    *
+    * idCol contract, stated: the drop is realized as an anti-join on
+    * the CORPUS id (the literal path is row-local and needs none), so
+    * idCol must be non-null — a contaminated corpus row with a NULL
+    * id cannot be matched by the anti-join and KEEPS. Same id-keyed
+    * contract as `decontaminate`; key-fill null ids upstream.
     *
     * Honest recall contract, stated: the literal path is EXACT; this
     * route inherits the sign-LSH banding recall — a contaminated
@@ -1218,8 +1229,8 @@ object Dedup {
     * unlucky beyond the s-curve) is missed. At the high `minCosine`
     * decontamination runs at (≥ ~0.9), near-dup pairs have small
     * Hamming and banding recall is near-certain; lower thresholds
-    * should raise `bands`. The parity fixture in DedupSpec pins
-    * literal == large where both run.
+    * should raise `bands`. The parity fixture in BloomDecontamSpec
+    * pins literal == large where both run.
     *
     * Scale shape: one coded pass per side, band-keyed capped
     * equi-join, float cosines only for the candidate pairs, one
@@ -1227,7 +1238,7 @@ object Dedup {
     * anywhere. */
   def semanticDecontaminateLarge(corpus: DataFrame, embCol: String,
       idCol: String, bench: DataFrame, benchEmbCol: String,
-      benchIdCol: String, minCosine: Double,
+      minCosine: Double,
       model: Option[Similarity.BqModel] = None, bands: Int = 0,
       maxBucket: Int = HotKeys.DefaultBucketCap): DataFrame = {
     require(minCosine > 0.0 && minCosine <= 1.0,
@@ -1235,9 +1246,15 @@ object Dedup {
     val m = model.getOrElse(Similarity.bqTrain(corpus, embCol))
     val corpusCoded = Similarity.bqAssign(
       corpus.select(col(idCol), col(embCol)), embCol, m)
-    val benchCoded = Similarity.bqAssign(
-      bench.select(col(benchIdCol).as(idCol), col(benchEmbCol).as(embCol)),
-      embCol, m)
+    // content-keyed bench: a null or unstable user id must not be able
+    // to silently disconnect the candidate and verify branches
+    val bemb = bench.select(col(benchEmbCol).as("_be"))
+      .filter(col("_be").isNotNull &&
+        !exists(col("_be"), x => x.isNull))
+      .withColumn("_bid", md5(to_json(struct(col("_be")))))
+      .dropDuplicates("_bid")
+    val benchCoded = Similarity.bqAssign(bemb, "_be", m)
+      .select(col("_bid").as(idCol), col("bq_code"))
     val cands = Similarity.bqBandCandidates(benchCoded, corpusCoded, idCol,
       m, bands, maxBucket = maxBucket,
       metricName = "graft_semantic_decontam_cap")
@@ -1246,8 +1263,7 @@ object Dedup {
     val cos = Similarity.cosine(asD(col("_ce")), asD(col("_be")))
     val hits = cands
       .join(corpus.select(col(idCol).as("id_b"), col(embCol).as("_ce")), "id_b")
-      .join(bench.select(col(benchIdCol).as("id_a"),
-        col(benchEmbCol).as("_be")), "id_a")
+      .join(bemb.select(col("_bid").as("id_a"), col("_be")), "id_a")
       // per-pair width guard (the kernel dots over the shorter length)
       // + NaN guard (zero-norm vectors must not drop the corpus) —
       // the same two rules the literal path compiles into its kernel

@@ -169,6 +169,9 @@ object Multimodal {
     * once-per-task mapPartitions contract as the other decoders. */
   def withPerceptualHash(df: DataFrame, binaryCol: String,
       outCol: String = "phash")(implicit spark: SparkSession): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input column $outCol collides with withPerceptualHash's output — " +
+        "pass a different outCol")
     val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema.add(outCol, LongType, nullable = true)
     df.mapPartitions { it =>

@@ -1064,6 +1064,8 @@ object Similarity {
   def rankMetrics(got: DataFrame, truth: DataFrame, queryCol: String,
       idCol: String, rankCol: String = "rank", k: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!Set("rr", "ndcg").contains(queryCol),
+      s"queryCol '$queryCol' collides with rankMetrics' output column names")
     val g = got.select(col(queryCol).as("_gq"), col(idCol).as("_gid"),
         col(rankCol).cast("long").as("_rank"))
       .filter(col("_gq").isNotNull && col("_gid").isNotNull &&

@@ -713,7 +713,17 @@ object TextStats {
     // output per bucket directory, not tasks x buckets files)
     val out = if (hasTb) gated.repartition(col("_tb")).write.partitionBy("_tb")
       else gated.coalesce(1).write
-    out.mode("overwrite").parquet(s"$path/postings.tmp")
+    // the tmp write is NON-destructive: if it fails the index is still
+    // fully consistent, so clear the marker (and the partial tmp) and
+    // rethrow rather than bricking a servable index into a forced
+    // re-tokenizing rebuild. Only past this point — the delete/rename
+    // window — does a crash legitimately leave the marker behind.
+    try out.mode("overwrite").parquet(s"$path/postings.tmp")
+    catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings.tmp"), true)
+      fs.delete(marker, false)
+      throw e
+    }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/postings.tmp"),
       new org.apache.hadoop.fs.Path(s"$path/postings")),

@@ -216,7 +216,7 @@ class BloomDecontamSpec extends SparkSpecBase {
         bench, "be", minCosine = 0.9)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val large = Dedup.semanticDecontaminateLarge(corpus, "e", "vec_id",
-        bench, "be", "bid", minCosine = 0.9)
+        bench, "be", minCosine = 0.9)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(literal == Set(12L, 13L, 14L, 15L), s"literal kept $literal")
     assert(large == literal, s"route divergence: large kept $large, literal $literal")
@@ -224,6 +224,12 @@ class BloomDecontamSpec extends SparkSpecBase {
     // either (their cosine is NaN at verify)
     val zeroBench = Seq((1L, Seq.fill(8)(0.0))).toDF("bid", "be")
     assert(Dedup.semanticDecontaminateLarge(corpus, "e", "vec_id",
-      zeroBench, "be", "bid", minCosine = 0.9).count() == corpus.count())
+      zeroBench, "be", minCosine = 0.9).count() == corpus.count())
+    // the bench needs no id column at all — the internal content key
+    // makes duplicated bench vectors harmless
+    val noId = bench.select("be").unionByName(bench.select("be"))
+    assert(Dedup.semanticDecontaminateLarge(corpus, "e", "vec_id",
+        noId, "be", minCosine = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == literal)
   }
 }

@@ -139,13 +139,19 @@ class CorpusPrepSpec extends SparkSpecBase {
         benchEmb = Some(benchEmb), benchEmbCol = "e"))
     }.getMessage.contains("embCol"))
     // the large-bench route (banded-BQ probe + exact verify) keeps the
-    // same survivors when selected via benchEmbLargeIdCol — and it has
-    // no driver-literal bench bound
+    // same survivors when selected via benchEmbLarge — and it has no
+    // driver-literal bench bound
     val large = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
         embCol = Some("emb"), benchEmb = Some(benchEmb), benchEmbCol = "e",
-        benchMinCosine = 0.999, benchEmbLargeIdCol = Some("bid")))
+        benchMinCosine = 0.999, benchEmbLarge = true))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(large == Set(2L, 3L), s"large route kept $large")
+    // the flag without the bench frame is a loud config error, not a
+    // silently skipped stage
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        embCol = Some("emb"), benchEmbLarge = true))
+    }.getMessage.contains("benchEmb"))
   }
 
   test("image tier: perceptual near-dups collapse keep-earliest; undecodable payloads keep") {
@@ -193,6 +199,43 @@ class CorpusPrepSpec extends SparkSpecBase {
         imageIndex = Some(sIdx))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(incKept == Set(6L), s"incremental image tier kept $incKept")
+    // tainted-cluster rule: Y is near X (hamming 2) but NOT near the
+    // standing image (hamming 4); X is near standing (hamming 2) —
+    // the {X, Y} cluster must drop WHOLE (Y is a transitive near-dup
+    // of standing content), while Z (hamming 8 from everything, no
+    // partners) keeps. bmpForBits builds an image whose dHash is
+    // exactly the given bit pattern (per-row gray walk: +1 for a set
+    // bit, -1 for a clear one).
+    def bmpForBits(bits: Long): Array[Byte] = {
+      val g = Array.ofDim[Int](72)
+      for (y <- 0 until 8) {
+        var v = 128
+        g(y * 9) = v
+        for (x <- 0 until 8) {
+          v = if (((bits >> (y * 8 + x)) & 1L) == 1L) v + 1 else v - 1
+          g(y * 9 + x + 1) = v
+        }
+      }
+      graft.operators.Multimodal.syntheticGrayBmp(9, 8, g)
+    }
+    val base = 0x0123456789ABCDEFL
+    val st2 = Seq((200L, "standing number two corpus document with ample words", bmpForBits(base)))
+      .toDF("doc_id", "clean_text", "img")
+    val sIdx2 = graft.operators.Dedup.hashBandIndex(
+      graft.operators.Multimodal.withPerceptualHash(st2, "img", "ph")(spark), "ph")
+    val chain = Seq(
+      (10L, "the x document whose image is close to standing content",
+        bmpForBits(base ^ 3L)),                     // 2 bits from standing
+      (11L, "the y document near x but not near the standing image!",
+        bmpForBits(base ^ 3L ^ (3L << 10))),        // 2 from X, 4 from standing
+      (12L, "the z document with a genuinely distinct image payload",
+        bmpForBits(base ^ 0x00FF000000000000L)))    // 8 bits from everything
+      .toDF("doc_id", "text", "img")
+    val chainKept = CorpusPrep.runIncremental(st2, chain,
+        cfg = CorpusPrep.Config(minChars = 20, imageCol = Some("img")),
+        imageIndex = Some(sIdx2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chainKept == Set(12L), s"tainted cluster leaked: kept $chainKept")
   }
 
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
