@@ -109,7 +109,13 @@ object CorpusPrep {
     // in-corpus; runIncremental and prepStream additionally need the
     // PREBUILT standing hash index (their `imageIndex` argument —
     // Dedup.hashBandIndex, built once) so the per-batch decode cost
-    // follows the batch, never the standing corpus.
+    // follows the batch, never the standing corpus. In run() the
+    // decode re-executes with each plan branch of the pair search
+    // (a checkpoint there would truncate the per-stage observed
+    // metrics) — for heavy image corpora cache/checkpoint the input
+    // docs UPSTREAM, the same advice run() gives for the gates;
+    // runIncremental pins its hashed frame internally (no metrics
+    // below that stage).
     imageCol: Option[String] = None,
     imageMaxHamming: Int = 3,
     redactPii: Boolean = false,
