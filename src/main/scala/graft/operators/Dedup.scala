@@ -1379,9 +1379,19 @@ object Dedup {
     * the plan is plain joins + a filter either way. This is the
     * operator the prep facade's image tier points streams at: hash
     * row-locally (`Multimodal.withPerceptualHash`), build
-    * `hashBandIndex` over yesterday's corpus, filter the intake. */
+    * `hashBandIndex` over yesterday's corpus, filter the intake.
+    *
+    * `broadcastIndex` (default true) hints the index to every
+    * executor — right whenever the capped index fits memory, and what
+    * keeps the stream path's per-batch cost at the batch. An index
+    * over BILLIONS of standing signatures (4 rows × 8 bytes each
+    * before capping) outgrows a broadcast: pass false there and the
+    * four joins fall back to Spark's own strategy (shuffle in batch;
+    * for a stream at that scale, pre-partition the index and accept
+    * the per-batch static-side cost, or shard the filter). */
   def hashNearDupFilterAgainst(df: DataFrame, hashCol: String,
-      index: DataFrame, maxHamming: Int = 3): DataFrame = {
+      index: DataFrame, maxHamming: Int = 3,
+      broadcastIndex: Boolean = true): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val clash = df.columns.toSeq
       .intersect(Seq("_h") ++ (0 until 4).flatMap(k => Seq(s"_b$k", s"_cand$k")))
@@ -1389,9 +1399,10 @@ object Dedup {
       s"input columns ${clash.mkString(",")} collide with hashNearDupFilterAgainst's working names")
     val withH = df.withColumn("_h", col(hashCol).cast("long"))
     val joined = (0 until 4).foldLeft(withH) { (cur, k) =>
+      val side = index.filter(col("_k") === k)
+        .select(col("_band").as(s"_b$k"), col("_hs").as(s"_cand$k"))
       cur.join(
-        broadcast(index.filter(col("_k") === k)
-          .select(col("_band").as(s"_b$k"), col("_hs").as(s"_cand$k"))),
+        if (broadcastIndex) broadcast(side) else side,
         col(s"_b$k") <=> shiftrightunsigned(col("_h"), 16 * k)
           .bitwiseAND(lit(65535L)),
         "left")

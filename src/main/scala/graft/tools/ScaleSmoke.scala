@@ -146,6 +146,37 @@ object ScaleSmoke {
         docs.select(col("doc_id"), mkImg(col("doc_id")).as("img")),
         "img", "doc_id").count()
     }
+    // standing-probe shape for images: the index build pays the
+    // standing decode ONCE; the per-batch filter (four band-slot
+    // equi-joins + a row-local Hamming exists) decodes only the batch
+    locally {
+      implicit val sp: org.apache.spark.sql.SparkSession = spark
+      val mkImg2 = udf { (docId: Long) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b = docId % 997
+        val grays = Array.tabulate(72)(i => java.lang.Byte.toUnsignedInt(
+          md.digest(s"$b:${i / 9}:${i % 9}".getBytes("UTF-8"))(0)))
+        graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+      }
+      var imgIdx: org.apache.spark.sql.DataFrame = null
+      timed("image_hash_index_build(95%)") {
+        imgIdx = graft.operators.Dedup.hashBandIndex(
+          graft.operators.Multimodal.withPerceptualHash(
+            docs.filter(col("doc_id") % 20 =!= 3)
+              .select(col("doc_id"), mkImg2(col("doc_id")).as("img")),
+            "img", "ph"), "ph").cache()
+        imgIdx.count()
+      }
+      timed("image_hash_standing_filter(5% batch)") {
+        graft.operators.Dedup.hashNearDupFilterAgainst(
+          graft.operators.Multimodal.withPerceptualHash(
+            docs.filter(col("doc_id") % 20 === 3)
+              .select(col("doc_id"), mkImg2(col("doc_id")).as("img")),
+            "img", "ph"), "ph", imgIdx).count()
+      }
+      imgIdx.unpersist()
+      ()
+    }
     // corpus drift: JS decomposition between the two halves — one
     // count per side + one vocabulary-sized full-outer join
     timed("token_divergence(halves, top100)")(
@@ -172,6 +203,19 @@ object ScaleSmoke {
         graft.operators.TextStats.readBm25Index(spark, bm25Dir),
         base.limit(16).select(col("doc_id").as("qid"), col("text")),
         "text", "qid", k = 10).count()
+    }
+    // append + compact: the between-rebuilds lifecycle — append cost
+    // follows the batch, compaction is one postings read+write
+    timed("bm25_index_append(5% batch)") {
+      graft.operators.TextStats.appendBm25Index(spark, bm25Dir,
+        docs.filter(col("doc_id") % 20 === 3)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text")),
+        "text", "doc_id")
+      spark.read.parquet(s"$bm25Dir/df").count()
+    }
+    timed("bm25_index_compact") {
+      graft.operators.TextStats.compactBm25Index(spark, bm25Dir)
+      spark.read.parquet(s"$bm25Dir/postings").count()
     }
 
     // ---- ANN layer on a replicated embedding corpus -----------------
@@ -425,6 +469,16 @@ object ScaleSmoke {
           .select(col("vec_id").as("qid"), col("e")),
         "qid", "e", codebook, bqModel, k = 3, nprobe = 2, rerank = 12,
         excludeSelf = true, broadcastProbes = Some(false)).count()
+    }
+    // large-bench semantic decontamination: a 2k-vector bench as a
+    // coded probe batch (train + two coded passes + banded candidates
+    // + exact verify); the replicated corpus shares vectors with the
+    // bench, so the drop load is realistic, not a no-op
+    timed("semantic_decontam_large(2k bench)") {
+      Dedup.semanticDecontaminateLarge(embD, "e", "vec_id",
+        baseEmb.limit(2000).select(
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("be")),
+        "be", minCosine = 0.95).count()
     }
 
     // ---- join/agg shapes on a replicated event stream ---------------
