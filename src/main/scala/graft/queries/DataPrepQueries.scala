@@ -3343,6 +3343,69 @@ object DataPrepQueries {
         graft.operators.Similarity.rankMetrics(got, truth, "qid", "vec_id",
             "rank", k = 8)
           .orderBy("qid")
+      }),
+
+    // LARGE-route semantic decontamination
+    // (Dedup.semanticDecontaminateLarge), oracle-pinned end to end:
+    // q119's fixture through the banded-BQ machinery instead of the
+    // driver literal — midrange BQ training on the CORPUS (the q102
+    // replay device), sign codes for both sides, candidates = pairs
+    // agreeing on ANY of the 8 one-byte bands (spelled as 8 explicit
+    // bit-slice equalities), exact cosine verify at 0.3 (same
+    // >= 2e-5 threshold margin as q119), corpus anti-join. The oracle
+    // replays the BANDING itself, so the hash match pins the route's
+    // exact mechanics — including its recall: at this deliberately
+    // LOW threshold the banded route keeps MORE than q119's exact
+    // literal route (far pairs collide in no band — the documented
+    // sign-LSH contract), and both engines must agree on exactly
+    // which ones.
+    QueryDef("q126_semantic_decontam_large", Some("""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                 FROM embeddings),
+      c AS (SELECT * FROM e WHERE vec_id >= 20),
+      bench AS (SELECT * FROM e WHERE vec_id < 20),
+      n AS (SELECT vec_id, e,
+                   CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+            FROM c),
+      mm AS (SELECT d, (min(ne[d]) + max(ne[d])) / 2.0 AS thr
+             FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY d),
+      thr AS (SELECT list(thr ORDER BY d) AS t FROM mm),
+      cb AS (SELECT n.vec_id,
+                    list_transform(range(1, 65),
+                      i -> CASE WHEN n.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+             FROM n CROSS JOIN thr t),
+      bn AS (SELECT vec_id, e,
+                    CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN e
+                         ELSE list_transform(e, x -> x / sqrt(list_inner_product(e, e))) END AS ne
+             FROM bench),
+      bb AS (SELECT bn.vec_id,
+                    list_transform(range(1, 65),
+                      i -> CASE WHEN bn.ne[i] >= t.t[i] THEN 1 ELSE 0 END) AS b
+             FROM bn CROSS JOIN thr t),
+      cand AS (SELECT cb.vec_id, bb.vec_id AS bid
+               FROM cb CROSS JOIN bb
+               WHERE cb.b[1:8] = bb.b[1:8] OR cb.b[9:16] = bb.b[9:16]
+                  OR cb.b[17:24] = bb.b[17:24] OR cb.b[25:32] = bb.b[25:32]
+                  OR cb.b[33:40] = bb.b[33:40] OR cb.b[41:48] = bb.b[41:48]
+                  OR cb.b[49:56] = bb.b[49:56] OR cb.b[57:64] = bb.b[57:64]),
+      hit AS (SELECT DISTINCT cand.vec_id
+              FROM cand
+                JOIN c ON c.vec_id = cand.vec_id
+                JOIN bench bch ON bch.vec_id = cand.bid
+              WHERE list_inner_product(c.e, bch.e)
+                / (sqrt(list_inner_product(c.e, c.e))
+                   * sqrt(list_inner_product(bch.e, bch.e))) >= 0.3)
+      SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM hit)
+      ORDER BY vec_id"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        graft.operators.Dedup.semanticDecontaminateLarge(
+            emb.filter(col("vec_id") >= 20), "e", "vec_id",
+            emb.filter(col("vec_id") < 20), "e", minCosine = 0.3)
+          .select("vec_id").orderBy("vec_id")
       })
   )
 }
