@@ -774,19 +774,39 @@ object TextStats {
     * `writeBm25Index`. */
   def bm25TopKFromIndex(index: Bm25Index, queries: DataFrame,
       qTextCol: String, qIdCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKTerms(index,
+      queries.select(col(qIdCol), explode(toks(qTextCol)).as("token"))
+        .distinct().withColumn("weight", lit(1.0)),
+      qIdCol, k, k1 = k1, b = b)
+
+  /** BM25 top-k from EXPLICIT weighted query terms — the primitive
+    * the text probe reduces to (every distinct query token at weight
+    * 1.0) and the shape query EXPANSION needs (`rm3ExpandTerms`
+    * emits weighted term frames): each term's contribution to the
+    * Okapi sum is scaled by its weight, so score(q, d) =
+    * Σ_t w_t · idf_t · tf·(k1+1)/norm. Duplicate (query, token)
+    * rows collapse ADDITIVELY (what makes combining an original-
+    * query part with an expansion part a plain union); null/empty
+    * tokens and non-positive weights drop. Same plan shape, df-gate,
+    * DPP-pruned postings read, and rounded rank cut as the text
+    * probe. */
+  def bm25TopKTerms(index: Bm25Index, terms: DataFrame, qIdCol: String,
+      k: Int, tokenCol: String = "token", weightCol: String = "weight",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
     val idCol = index.idCol
-    val qTokens0 = queries
-      .select(col(qIdCol).as("_qid"), explode(toks(qTextCol)).as("token"))
-      // semantically a no-op (toks already drops empties) but it is
-      // the "likely selective" predicate Spark's PartitionPruning
-      // rule requires on the filtering side before it will inject a
-      // DPP subquery — without it a caller passing an unfiltered
-      // query frame loses the partition pruning below
-      .filter(col("token") =!= "")
-      .distinct()
+    val qTokens0 = terms
+      .select(col(qIdCol).as("_qid"), col(tokenCol).as("token"),
+        col(weightCol).cast("double").as("_tw"))
+      // the non-empty filter is also the "likely selective" predicate
+      // Spark's PartitionPruning rule requires on the filtering side
+      // before it will inject a DPP subquery — without it a caller
+      // passing an unfiltered frame loses the partition pruning below
+      .filter(col("_qid").isNotNull && col("token").isNotNull &&
+        col("token") =!= "" && col("_tw").isNotNull && col("_tw") > 0)
+      .groupBy("_qid", "token").agg(sum("_tw").as("_tw"))
     // bucketed index: tag each query token with its postings
     // partition (same pmod(hash) as the build — the bucket count
     // rides the one-row meta, so the plan stays lazy) and join on it
@@ -818,7 +838,7 @@ object TextStats {
       .join(broadcast(qdf), Seq("token"))
       .crossJoin(broadcast(scalars.select("_n", "_avglen")))
       .groupBy(col("_qid"), col(idCol))
-      .agg(sum(idf * col("tf") * (lit(k1) + 1.0) / norm).as("_score"))
+      .agg(sum(col("_tw") * idf * col("tf") * (lit(k1) + 1.0) / norm).as("_score"))
       // rounded rank cut for the same reproducibility reason as
       // bm25TopK: a float sum's last ulp depends on addition order
       .withColumn("score", round(col("_score"), 4))
@@ -828,4 +848,85 @@ object TextStats {
       .filter(col("rank") <= k)
       .select(col("_qid").as(outQ), col(idCol), col("score"), col("rank"))
   }
+
+  /** RM3 pseudo-relevance-feedback expansion (public knowledge:
+    * Lavrenko & Croft relevance models; the Anserini/Indri default) —
+    * the "my query missed the vocabulary" fix a retrieval loop
+    * reaches for right after BM25: probe the index, treat the top
+    * `fbDocs` hits as pseudo-relevant, mine their dominant terms, and
+    * emit a WEIGHTED term frame mixing the original query with the
+    * expansion at `alpha` — ready for `bm25TopKTerms` (which is what
+    * `bm25Rm3TopK` composes).
+    *
+    * Weights, all deterministic-rounded so the whole expansion
+    * replays cross-engine: feedback doc d gets relevance
+    * w_d = score_d / Σ score (BM25 scores are positive); expansion
+    * term weight = round6(Σ_d w_d · tf_{t,d}/dl_d) with the top
+    * `fbTerms` kept by (rounded weight, token); the original query
+    * contributes its MLE round6(alpha · qtf/|q|), the expansion
+    * (1−alpha)·round6(weight); terms in both parts sum additively in
+    * the probe. alpha = 1 keeps pure original-query weighting.
+    *
+    * `corpus` is the PRIMARY doc store (idCol + textCol): the
+    * feedback docs' term vectors come from an id-pushdown fetch of
+    * |queries|·fbDocs rows — the postings artifact is token-keyed, so
+    * reading it by doc would be a corpus-sized scan, exactly what the
+    * index route exists to avoid. Everything else is feedback-sized:
+    * one index probe, one tiny fetch + tokenize, one per-query window
+    * over candidate expansion terms. */
+  def rm3ExpandTerms(index: Bm25Index, corpus: DataFrame, textCol: String,
+      queries: DataFrame, qTextCol: String, qIdCol: String,
+      fbDocs: Int = 10, fbTerms: Int = 10, alpha: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val idCol = index.idCol
+    val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_qid")
+    val orig = queries
+      .select(col(qIdCol).as("_qid"), explode(toks(qTextCol)).as("token"))
+      .groupBy("_qid", "token").agg(count(lit(1)).as("_qtf"))
+      .withColumn("_qlen", sum("_qtf").over(w))
+      .select(col("_qid"), col("token"),
+        round(lit(alpha) * col("_qtf") / col("_qlen"), 6).as("weight"))
+    if (alpha == 1.0) orig.select(col("_qid").as(qIdCol), col("token"), col("weight"))
+    else {
+      val fb = bm25TopKFromIndex(index, queries, qTextCol, qIdCol,
+          fbDocs, k1, b)
+        .select(col(outQ).as("_qid"), col(idCol), col("score"))
+      val wdoc = fb.withColumn("_ws", sum("score").over(w))
+        .select(col("_qid"), col(idCol), (col("score") / col("_ws")).as("_wd"))
+      // the fetch: |queries| x fbDocs ids against the primary store
+      val fbTf = corpus
+        .join(broadcast(wdoc.select(idCol).distinct()), Seq(idCol), "left_semi")
+        .select(col(idCol), explode(toks(textCol)).as("token"))
+        .groupBy(idCol, "token").agg(count(lit(1)).as("_tf"))
+      val dl = fbTf.groupBy(idCol).agg(sum("_tf").as("_dl"))
+      val expTop = fbTf.join(dl, Seq(idCol)).join(wdoc, Seq(idCol))
+        .groupBy("_qid", "token")
+        .agg(round(sum(col("_wd") * col("_tf") / col("_dl")), 6).as("_ew"))
+        .withColumn("_rn", row_number().over(
+          w.orderBy(desc("_ew"), col("token"))))
+        .filter(col("_rn") <= fbTerms)
+        .select(col("_qid"), col("token"),
+          (lit(1.0) - lit(alpha)) * col("_ew") as "weight")
+      orig.unionByName(expTop)
+        .select(col("_qid").as(qIdCol), col("token"), col("weight"))
+    }
+  }
+
+  /** BM25 + RM3 in one call: expand with `rm3ExpandTerms`, probe with
+    * `bm25TopKTerms` — retrieve → mine feedback vocabulary →
+    * re-retrieve with the mixed weighted query. Same output shape and
+    * rounded rank cut as every probe; chain `Similarity.rrfFuse` /
+    * `mmrRerank` behind it like any other shortlist. */
+  def bm25Rm3TopK(index: Bm25Index, corpus: DataFrame, textCol: String,
+      queries: DataFrame, qTextCol: String, qIdCol: String, k: Int,
+      fbDocs: Int = 10, fbTerms: Int = 10, alpha: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKTerms(index,
+      rm3ExpandTerms(index, corpus, textCol, queries, qTextCol, qIdCol,
+        fbDocs, fbTerms, alpha, k1, b),
+      qIdCol, k, k1 = k1, b = b)
 }

@@ -3406,6 +3406,86 @@ object DataPrepQueries {
             emb.filter(col("vec_id") >= 20), "e", "vec_id",
             emb.filter(col("vec_id") < 20), "e", minCosine = 0.3)
           .select("vec_id").orderBy("vec_id")
+      }),
+
+    // RM3 pseudo-relevance feedback (TextStats.rm3ExpandTerms +
+    // bm25TopKTerms via bm25Rm3TopK): probe the persisted index,
+    // take the top-3 hits as pseudo-relevant, mine their dominant
+    // terms (doc-relevance-weighted tf/dl, rounded 6dp before the
+    // top-5 cut), mix with the original query MLE at alpha = 0.5,
+    // re-probe with the WEIGHTED terms. Every stage is rounded
+    // integer/fixed-point arithmetic, so the full
+    // retrieve->expand->re-retrieve loop replays in DuckDB — feedback
+    // scores ride the q114 formula, the expansion weights and the
+    // weighted rescore are spelled out below.
+    QueryDef("q127_bm25_rm3", Some(s"""
+      WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
+      qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
+             FROM documents WHERE doc_id < 3),
+      post AS (SELECT doc_id, t AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM corpus) GROUP BY doc_id, t),
+      dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus),
+      sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avglen FROM corpus),
+      fbsc AS (SELECT q.qid, p.doc_id,
+                      round(sum(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                        * p.tf * 2.2
+                        / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+               FROM post p
+                 JOIN qs q ON q.token = p.token
+                 JOIN dft d ON d.token = p.token
+                 JOIN lens l ON l.doc_id = p.doc_id
+                 CROSS JOIN sc
+               GROUP BY q.qid, p.doc_id),
+      fb AS (SELECT qid, doc_id, score FROM fbsc
+             QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 3),
+      wdoc AS (SELECT qid, doc_id, score / sum(score) OVER (PARTITION BY qid) AS wd FROM fb),
+      fbdl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus
+               WHERE doc_id IN (SELECT doc_id FROM wdoc)),
+      fbtf AS (SELECT p.doc_id, p.token, p.tf FROM post p
+               WHERE p.doc_id IN (SELECT doc_id FROM wdoc)),
+      expw AS (SELECT w.qid, f.token, round(sum(w.wd * f.tf / l.dl), 6) AS ew
+               FROM fbtf f JOIN fbdl l ON l.doc_id = f.doc_id
+                 JOIN wdoc w ON w.doc_id = f.doc_id
+               GROUP BY w.qid, f.token),
+      expTop AS (SELECT qid, token, (1.0 - 0.5) * ew AS weight FROM expw
+                 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ew DESC, token) <= 5),
+      orig AS (SELECT qid, token, round(0.5 * qtf / qlen, 6) AS weight FROM (
+                 SELECT doc_id AS qid, t AS token, count(*) AS qtf,
+                        sum(count(*)) OVER (PARTITION BY doc_id) AS qlen
+                 FROM (SELECT doc_id, unnest($toksSql) AS t
+                       FROM documents WHERE doc_id < 3)
+                 GROUP BY doc_id, t)),
+      terms AS (SELECT qid, token, sum(weight) AS tw FROM
+                (SELECT * FROM orig UNION ALL SELECT * FROM expTop)
+                GROUP BY qid, token),
+      rescored AS (SELECT t.qid, p.doc_id,
+                          round(sum(t.tw * ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                            * p.tf * 2.2
+                            / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+                   FROM post p
+                     JOIN terms t ON t.token = p.token
+                     JOIN dft d ON d.token = p.token
+                     JOIN lens l ON l.doc_id = p.doc_id
+                     CROSS JOIN sc
+                   GROUP BY t.qid, p.doc_id)
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM rescored QUALIFY rank <= 5 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") >= 3)
+        val path = java.nio.file.Files.createTempDirectory("graft_rm3_")
+          .toFile.getAbsolutePath
+        graft.operators.TextStats.writeBm25Index(corpus, "text", "doc_id",
+          path, tokenBuckets = 8)
+        graft.operators.TextStats.bm25Rm3TopK(
+            graft.operators.TextStats.readBm25Index(s, path),
+            corpus, "text",
+            docs.filter(col("doc_id") < 3)
+              .select(col("doc_id").as("qid"), col("text")),
+            "text", "qid", k = 5, fbDocs = 3, fbTerms = 5, alpha = 0.5)
+          .orderBy("qid", "rank")
       })
   )
 }

@@ -332,6 +332,53 @@ class TextStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("rm3 expansion: feedback vocabulary recalls docs the raw query misses; alpha=1 degenerates; weighted probe reduces to the text probe") {
+    import spark.implicits._
+    // doc 12 shares NO term with the query — only the feedback
+    // vocabulary of the true hits (10, 11) can reach it ("cells"
+    // rides in via doc 10)
+    val corpus = Seq(
+      (10L, "solar panels convert sunlight with photovoltaic cells"),
+      (11L, "solar panels on rooftops gather sunlight efficiently"),
+      (12L, "photovoltaic cells degrade slowly over decades"),
+      (13L, "wind turbines are unrelated generation hardware"),
+      (14L, "cooking recipes with garlic and rosemary tonight"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "solar panels")).toDF("qid", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(1)).toSet
+    withTempDir("bm25-rm3") { dir =>
+      TextStats.writeBm25Index(corpus, "text", "doc_id",
+        dir.getAbsolutePath, tokenBuckets = 2)
+      val idx = TextStats.readBm25Index(spark, dir.getAbsolutePath)
+      val plain = TextStats.bm25TopKFromIndex(idx, queries, "text", "qid", k = 5)
+      assert(ids(plain) == Set(10L, 11L), s"plain probe: ${ids(plain)}")
+      // the weighted-terms primitive at weight 1 IS the text probe
+      val terms1 = queries.select(col("qid"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+        .distinct().withColumn("weight", lit(1.0))
+      val viaTerms = TextStats.bm25TopKTerms(idx, terms1, "qid", k = 5)
+      assert(viaTerms.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet ==
+        plain.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet)
+      // RM3: the expanded query reaches doc 12 through the feedback
+      // terms, and the true hits stay on top
+      val rm3 = TextStats.bm25Rm3TopK(idx, corpus, "text", queries, "text",
+        "qid", k = 5, fbDocs = 2, fbTerms = 5, alpha = 0.5)
+      assert(ids(rm3).contains(12L), s"expansion missed doc 12: ${ids(rm3)}")
+      assert(rm3.orderBy("rank").collect().take(2).map(_.getLong(1)).toSet
+        == Set(10L, 11L), "original hits displaced from the top")
+      assert(!ids(rm3).contains(14L), "unrelated doc pulled in")
+      // alpha = 1: pure original-query weighting — same docs, same
+      // ranking as the plain probe (uniform MLE scales every score)
+      val a1 = TextStats.bm25Rm3TopK(idx, corpus, "text", queries, "text",
+        "qid", k = 5, fbDocs = 2, fbTerms = 5, alpha = 1.0)
+      assert(a1.collect().map(r => (r.getLong(1), r.getInt(3))).toSet ==
+        plain.collect().map(r => (r.getLong(1), r.getInt(3))).toSet)
+    }
+  }
+
   test("compactBm25Index: stale over-cap lists drop, append stripes coalesce, probes invariant") {
     import spark.implicits._
     val corpus = Seq(
