@@ -775,10 +775,16 @@ object TextStats {
   def bm25TopKFromIndex(index: Bm25Index, queries: DataFrame,
       qTextCol: String, qIdCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    // the id is aliased to a working name BEFORE the token/weight
+    // columns appear, so a query id literally named "token" or
+    // "weight" cannot collide with them; the output rename restores
+    // the probe family's naming contract (q_<name> on idCol clash)
     bm25TopKTerms(index,
-      queries.select(col(qIdCol), explode(toks(qTextCol)).as("token"))
-        .distinct().withColumn("weight", lit(1.0)),
-      qIdCol, k, k1 = k1, b = b)
+      queries.select(col(qIdCol).as("_rmq"), explode(toks(qTextCol)).as("_rmt"))
+        .distinct().withColumn("_rmw", lit(1.0)),
+      "_rmq", k, tokenCol = "_rmt", weightCol = "_rmw", k1 = k1, b = b)
+      .withColumnRenamed("_rmq",
+        if (qIdCol == index.idCol) s"q_$qIdCol" else qIdCol)
 
   /** BM25 top-k from EXPLICIT weighted query terms — the primitive
     * the text probe reduces to (every distinct query token at weight
@@ -796,6 +802,8 @@ object TextStats {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
+    require(qIdCol != tokenCol && qIdCol != weightCol,
+      s"qIdCol '$qIdCol' collides with tokenCol/weightCol")
     val idCol = index.idCol
     val qTokens0 = terms
       .select(col(qIdCol).as("_qid"), col(tokenCol).as("token"),
@@ -881,6 +889,8 @@ object TextStats {
     require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
     require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(qIdCol != "token" && qIdCol != "weight",
+      s"qIdCol '$qIdCol' collides with the output term-frame column names")
     val idCol = index.idCol
     val outQ = if (qIdCol == idCol) s"q_$qIdCol" else qIdCol
     val w = org.apache.spark.sql.expressions.Window.partitionBy("_qid")
@@ -895,8 +905,24 @@ object TextStats {
       val fb = bm25TopKFromIndex(index, queries, qTextCol, qIdCol,
           fbDocs, k1, b)
         .select(col(outQ).as("_qid"), col(idCol), col("score"))
+      // _ws > 0 guard: ROUNDED feedback scores can all be 0.0000 for
+      // a near-stop-word query on a huge corpus — 0/0 relevance
+      // weights would be NaN, which sorts FIRST under desc through
+      // the fbTerms cut and then silently vanishes at the probe's
+      // weight filter, with engines disagreeing along the way. Such
+      // a query deterministically gets NO expansion (orig-only).
+      // localCheckpoint (eager): wdoc feeds the fetch semi-join AND
+      // the expansion aggregation, and `terms` below feeds THREE
+      // references inside the weighted probe — without pinning, the
+      // whole feedback probe and corpus fetch would lazily re-execute
+      // per reference (measured: 20 postings scans in one action).
+      // Both frames are tiny by contract (|queries|·fbDocs and
+      // |queries|·(qterms+fbTerms) rows), and no observe nodes sit
+      // below them.
       val wdoc = fb.withColumn("_ws", sum("score").over(w))
+        .filter(col("_ws") > 0)
         .select(col("_qid"), col(idCol), (col("score") / col("_ws")).as("_wd"))
+        .localCheckpoint(true)
       // the fetch: |queries| x fbDocs ids against the primary store
       val fbTf = corpus
         .join(broadcast(wdoc.select(idCol).distinct()), Seq(idCol), "left_semi")
@@ -913,6 +939,7 @@ object TextStats {
           (lit(1.0) - lit(alpha)) * col("_ew") as "weight")
       orig.unionByName(expTop)
         .select(col("_qid").as(qIdCol), col("token"), col("weight"))
+        .localCheckpoint(true)
     }
   }
 

@@ -130,17 +130,20 @@ object ScaleSmoke {
         Seq("source"), "doc_id", "nt", budget = 100000L).count()
     }
     // image near-dup facade: synthetic 9x8 BMPs (decode cost real,
-    // payload tiny) through dHash + Hamming banding
-    timed("image_neardup(synthetic bmps)") {
-      val mkImg = udf { (docId: Long) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val base = docId % 997
-        val grays = Array.tabulate(72) { i =>
-          java.lang.Byte.toUnsignedInt(
-            md.digest(s"$base:${i / 9}:${i % 9}".getBytes("UTF-8"))(0))
-        }
-        graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+    // payload tiny) through dHash + Hamming banding. ONE image
+    // recipe shared by the pair search and the standing-filter cases
+    // below — the all-dup premise of the standing filter depends on
+    // both sides producing identical payloads.
+    val mkImg = udf { (docId: Long) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = docId % 997
+      val grays = Array.tabulate(72) { i =>
+        java.lang.Byte.toUnsignedInt(
+          md.digest(s"$base:${i / 9}:${i % 9}".getBytes("UTF-8"))(0))
       }
+      graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+    }
+    timed("image_neardup(synthetic bmps)") {
       implicit val sp: org.apache.spark.sql.SparkSession = spark
       graft.operators.Multimodal.imageNearDupPairs(
         docs.select(col("doc_id"), mkImg(col("doc_id")).as("img")),
@@ -151,19 +154,12 @@ object ScaleSmoke {
     // equi-joins + a row-local Hamming exists) decodes only the batch
     locally {
       implicit val sp: org.apache.spark.sql.SparkSession = spark
-      val mkImg2 = udf { (docId: Long) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val b = docId % 997
-        val grays = Array.tabulate(72)(i => java.lang.Byte.toUnsignedInt(
-          md.digest(s"$b:${i / 9}:${i % 9}".getBytes("UTF-8"))(0)))
-        graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
-      }
       var imgIdx: org.apache.spark.sql.DataFrame = null
       timed("image_hash_index_build(95%)") {
         imgIdx = graft.operators.Dedup.hashBandIndex(
           graft.operators.Multimodal.withPerceptualHash(
             docs.filter(col("doc_id") % 20 =!= 3)
-              .select(col("doc_id"), mkImg2(col("doc_id")).as("img")),
+              .select(col("doc_id"), mkImg(col("doc_id")).as("img")),
             "img", "ph"), "ph").cache()
         imgIdx.count()
       }
@@ -171,7 +167,7 @@ object ScaleSmoke {
         graft.operators.Dedup.hashNearDupFilterAgainst(
           graft.operators.Multimodal.withPerceptualHash(
             docs.filter(col("doc_id") % 20 === 3)
-              .select(col("doc_id"), mkImg2(col("doc_id")).as("img")),
+              .select(col("doc_id"), mkImg(col("doc_id")).as("img")),
             "img", "ph"), "ph", imgIdx).count()
       }
       imgIdx.unpersist()

@@ -115,6 +115,12 @@ class DataPrepOpsSpec extends SparkSpecBase {
       .select("vid").collect().map(_.getLong(0)).toSet
     // every probe is exactly 2 bits from standing 101 -> ALL drop
     assert(got.isEmpty, s"2-bit probes leaked: $got")
+    // the non-broadcast fallback (corpus-scale standing sides) must
+    // keep identical semantics through Spark's own join strategy
+    val keptNb = Dedup.hashNearDupFilterAgainst(batch, "sig", idx,
+        maxHamming = 3, broadcastIndex = false)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(keptNb == kept, s"non-broadcast path diverged: $keptNb vs $kept")
 
     // stream twin: the same filter is append-legal on a file stream
     withTempDir("hash-stream") { dir =>

@@ -376,6 +376,13 @@ class TextStatsSpec extends SparkSpecBase {
         "qid", k = 5, fbDocs = 2, fbTerms = 5, alpha = 1.0)
       assert(a1.collect().map(r => (r.getLong(1), r.getInt(3))).toSet ==
         plain.collect().map(r => (r.getLong(1), r.getInt(3))).toSet)
+      // a query id literally named "weight" must not collide with the
+      // term frame's working columns (regression: the refactored text
+      // probe once overwrote it with the constant weight)
+      val wq = queries.withColumnRenamed("qid", "weight")
+      val wres = TextStats.bm25TopKFromIndex(idx, wq, "text", "weight", k = 5)
+      assert(wres.columns.head == "weight" && ids(wres) == Set(10L, 11L),
+        s"id-named-weight probe broke: ${wres.columns.toSeq} ${ids(wres)}")
     }
   }
 
