@@ -34,12 +34,13 @@ object SparkEntry {
     }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for ops SQL can't express —
-    * currently q89_bpe_oov_segment alone (iterative BPE LEARNING inside
-    * the query; the driver records rows-only and BpeSpec pins the
-    * byte-level semantics — while the inference fold is oracle-pinned
-    * through q91's fixed-merge replay). The dpkg-specific version-order
-    * cases live in ScalaTest golden suites instead. */
+    * the same parquet tables. Omitted only for q89_bpe_oov_segment —
+    * but BOTH of its folds are hash-pinned elsewhere: inference by
+    * q91's fixed-merge recursive replay, and the iterative LEARNING
+    * loop by q129's six unrolled sequential rounds (q89 itself runs 40
+    * merges end-to-end, kept rows-only rather than a 40-round CTE).
+    * The dpkg-specific version-order cases live in ScalaTest golden
+    * suites instead. */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 }

@@ -118,6 +118,18 @@ object CorpusPrep {
     // below that stage).
     imageCol: Option[String] = None,
     imageMaxHamming: Int = 3,
+    // AUDIO near-dup tier: an opaque binary audio column (WAV/AIFF/
+    // AU). Decode-at-ingest 64-bit envelope fingerprint + the SAME
+    // Hamming-banded machinery as the image tier
+    // (Multimodal.withAudioFingerprint → Dedup hash stack — only the
+    // 8-byte fingerprint ever shuffles), same survivor rule, same
+    // three-facade routing: run() clusters in-corpus;
+    // runIncremental and prepStream need the PREBUILT standing
+    // `audioIndex` (Dedup.hashBandIndex over the standing corpus's
+    // fingerprints, built once). Undecodable / too-short payloads
+    // fingerprint null and keep (the gates own those rows).
+    audioCol: Option[String] = None,
+    audioMaxHamming: Int = 3,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -243,6 +255,25 @@ object CorpusPrep {
 
   private def normOf(cfg: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (cfg.redactPii) TextNorm.cleanRedacted else TextNorm.clean
+
+  /** The binary-signature near-dup tiers (image dHash, audio
+    * envelope fingerprint) share one shape — row-local 64-bit hash →
+    * the Dedup hash stack — so the three facades route them through
+    * one descriptor instead of three per-modality copies: the binary
+    * column, the Hamming radius, the observe/metric label, the
+    * working column name, and the hasher. */
+  private final case class SignatureTier(binaryCol: String, maxHamming: Int,
+      label: String, workCol: String,
+      withHash: (DataFrame, String, String) => DataFrame)
+
+  private def signatureTiers(cfg: Config): Seq[SignatureTier] = Seq(
+    cfg.imageCol.map(ic => SignatureTier(ic, cfg.imageMaxHamming,
+      "image", "_img_ph",
+      (df, c, o) => Multimodal.withPerceptualHash(df, c, o)(df.sparkSession))),
+    cfg.audioCol.map(ac => SignatureTier(ac, cfg.audioMaxHamming,
+      "audio", "_aud_fp",
+      (df, c, o) => Multimodal.withAudioFingerprint(df, c, o)(df.sparkSession)))
+  ).flatten
 
   /** The strictly ROW-LOCAL front: normalization (+ optional PII
     * redaction) and the length/repetition gates — pure map-side, so
@@ -433,19 +464,20 @@ object CorpusPrep {
         .fold(Dedup.dropNearDuplicates(deduped, idCol, semClusters))(
           Dedup.dropNearDuplicatesBy(deduped, idCol, semClusters, _)), "semantic")
     }
-    // image tier: perceptual near-dup clusters collapse the same way —
-    // re-encodes and mild edits of the same pixels, which no text tier
-    // can see (the image column is opaque binary to everything above)
-    val imaged = cfg.imageCol.fold(semantic) { ic =>
-      implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
-      val imgClusters = Dedup.duplicateClusters(
-        Multimodal.imageNearDupPairs(semantic, ic, idCol,
-          cfg.imageMaxHamming, cfg.maxBucket))
+    // signature tiers (image dHash, audio fingerprint): perceptual
+    // near-dup clusters collapse the same way — re-encodes and mild
+    // edits of the same pixels/samples, which no text tier can see
+    // (the media columns are opaque binary to everything above)
+    val signatured = signatureTiers(cfg).foldLeft(semantic) { (cur, tier) =>
+      val clusters = Dedup.duplicateClusters(Dedup.hashNearDupPairs(
+        tier.withHash(cur, tier.binaryCol, tier.workCol), tier.workCol,
+        idCol, tier.maxHamming, cfg.maxBucket,
+        metricName = s"graft_${tier.label}_band_cap"))
       obs(cfg.keepPreference
-        .fold(Dedup.dropNearDuplicates(semantic, idCol, imgClusters))(
-          Dedup.dropNearDuplicatesBy(semantic, idCol, imgClusters, _)), "image")
+        .fold(Dedup.dropNearDuplicates(cur, idCol, clusters))(
+          Dedup.dropNearDuplicatesBy(cur, idCol, clusters, _)), tier.label)
     }
-    decontaminateAndSample(imaged, idCol, cfg)
+    decontaminateAndSample(signatured, idCol, cfg)
   }
 
   /** Incremental prep: a NEW batch against a STANDING prepared
@@ -470,7 +502,8 @@ object CorpusPrep {
       textCol: String = "text", idCol: String = "doc_id",
       cfg: Config = Config(),
       oldIndex: Option[DataFrame] = None,
-      imageIndex: Option[DataFrame] = None): DataFrame = {
+      imageIndex: Option[DataFrame] = None,
+      audioIndex: Option[DataFrame] = None): DataFrame = {
     require(!cfg.cutHotSpans,
       "cutHotSpans is a full-run option: the incremental path would have to " +
         "re-scan the standing corpus's text for the span census, defeating its " +
@@ -479,9 +512,10 @@ object CorpusPrep {
       "intraNearDup/intraNearDupVerified are the stream-only tiers — " +
         "runIncremental's near tier already verifies batch-internal " +
         "candidates exactly")
-    // the image tier needs a PREBUILT standing hash index: decoding
-    // the standing corpus's images per incremental run would break
-    // the O(batch) cost contract exactly like re-scanning its text
+    // the signature tiers need a PREBUILT standing hash index:
+    // decoding the standing corpus's media per incremental run would
+    // break the O(batch) cost contract exactly like re-scanning its
+    // text
     require(cfg.imageCol.isEmpty || imageIndex.isDefined,
       "imageCol on the incremental path needs `imageIndex` — build it ONCE " +
         "with Dedup.hashBandIndex over Multimodal.withPerceptualHash of the " +
@@ -489,6 +523,13 @@ object CorpusPrep {
     require(imageIndex.isEmpty || cfg.imageCol.isDefined,
       "imageIndex without cfg.imageCol would be silently ignored — set the " +
         "image column, or drop the index argument")
+    require(cfg.audioCol.isEmpty || audioIndex.isDefined,
+      "audioCol on the incremental path needs `audioIndex` — build it ONCE " +
+        "with Dedup.hashBandIndex over Multimodal.withAudioFingerprint of " +
+        "the standing corpus (the batch-per-run decode must follow the batch)")
+    require(audioIndex.isEmpty || cfg.audioCol.isDefined,
+      "audioIndex without cfg.audioCol would be silently ignored — set the " +
+        "audio column, or drop the index argument")
     val gated = lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -497,29 +538,31 @@ object CorpusPrep {
       standing, gated, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
       cfg.maxBucket, oldIndex, cfg.keepPreference)
-    // image tier, both halves of the incremental contract, with the
-    // text tier's TAINTED-CLUSTER rule: batch-internal clusters are
-    // computed over the FULL batch first, and a cluster with ANY
-    // member near a standing image drops WHOLE (a transitive
-    // near-dup of standing content — X near standing, Y near X —
-    // must not survive just because Y itself clears the probe; this
-    // is exactly what run() over standing+batch would do). Untainted
+    // signature tiers (image dHash, audio fingerprint), both halves
+    // of the incremental contract, with the text tier's
+    // TAINTED-CLUSTER rule: batch-internal clusters are computed
+    // over the FULL batch first, and a cluster with ANY member near
+    // a standing signature drops WHOLE (a transitive near-dup of
+    // standing content — X near standing, Y near X — must not
+    // survive just because Y itself clears the probe; this is
+    // exactly what run() over standing+batch would do). Untainted
     // clusters then collapse under the run() survivor rule. The
-    // ImageIO decode is the dominant per-batch cost and feeds three
+    // media decode is the dominant per-batch cost and feeds three
     // consumers, so the hashed frame is pinned with localCheckpoint
     // — safe here: runIncremental attaches no observe nodes below
     // this stage (unlike run(), whose per-stage metrics forbid
     // truncation).
-    val imaged = cfg.imageCol.fold(deduped) { ic =>
-      implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
-      val hashed = Multimodal.withPerceptualHash(deduped, ic, "_img_ph")
+    val tierIdx = Map("image" -> imageIndex, "audio" -> audioIndex)
+    val signatured = signatureTiers(cfg).foldLeft(deduped) { (cur, tier) =>
+      val hashed = tier.withHash(cur, tier.binaryCol, tier.workCol)
         .localCheckpoint()
       val clusters = Dedup.duplicateClusters(Dedup.hashNearDupPairs(
-        hashed, "_img_ph", idCol, cfg.imageMaxHamming, cfg.maxBucket))
+        hashed, tier.workCol, idCol, tier.maxHamming, cfg.maxBucket,
+        metricName = s"graft_${tier.label}_band_cap"))
       // rows whose OWN hash is near standing (the direct hits)
       val hitIds = hashed.select(col(idCol)).join(
-        Dedup.hashNearDupFilterAgainst(hashed, "_img_ph", imageIndex.get,
-          cfg.imageMaxHamming).select(col(idCol)),
+        Dedup.hashNearDupFilterAgainst(hashed, tier.workCol,
+          tierIdx(tier.label).get, tier.maxHamming).select(col(idCol)),
         Seq(idCol), "left_anti")
       // every member of a cluster containing a hit
       val taintedMembers = clusters.join(
@@ -533,9 +576,9 @@ object CorpusPrep {
       cfg.keepPreference
         .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
           Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
-        .drop("_img_ph")
+        .drop(tier.workCol)
     }
-    decontaminateAndSample(imaged, idCol, cfg)
+    decontaminateAndSample(signatured, idCol, cfg)
   }
 
   /** SEMANTIC standing-corpus stage for incremental flows — the
@@ -677,9 +720,10 @@ object CorpusPrep {
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
       standingIndex: Option[DataFrame] = None,
       semanticLookup: Option[DataFrame] = None,
-      imageIndex: Option[DataFrame] = None): DataFrame =
+      imageIndex: Option[DataFrame] = None,
+      audioIndex: Option[DataFrame] = None): DataFrame =
     prepStreamWithCaches(docs, textCol, tsCol, cfg, watermark, standing,
-      idCol, standingIndex, semanticLookup, imageIndex)._1
+      idCol, standingIndex, semanticLookup, imageIndex, audioIndex)._1
 
   /** Handle over the standing-corpus lookups a prepStream plan caches
     * for its lifetime. Without releasing them, the cached frames
@@ -744,7 +788,8 @@ object CorpusPrep {
       standing: Option[DataFrame] = None, idCol: String = "doc_id",
       standingIndex: Option[DataFrame] = None,
       semanticLookup: Option[DataFrame] = None,
-      imageIndex: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
+      imageIndex: Option[DataFrame] = None,
+      audioIndex: Option[DataFrame] = None): (DataFrame, StreamCaches) = {
     require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.benchmark.isEmpty,
       "prepStream supports only the row-local stages (normalize + gates + LM " +
         "gate + exact dedup + the standing-corpus probe); corpus-statistic " +
@@ -763,6 +808,14 @@ object CorpusPrep {
     require(imageIndex.isEmpty || cfg.imageCol.isDefined,
       "imageIndex without cfg.imageCol would be silently ignored — set the " +
         "image column, or drop the index argument")
+    require(cfg.audioCol.isEmpty || audioIndex.isDefined,
+      "audioCol in a stream needs `audioIndex` — the standing-corpus hash " +
+        "index (Dedup.hashBandIndex over Multimodal.withAudioFingerprint of " +
+        "the standing audio, built once at stream start); the probe is " +
+        "stream-static joins + a row-local Hamming exists, append-legal")
+    require(audioIndex.isEmpty || cfg.audioCol.isDefined,
+      "audioIndex without cfg.audioCol would be silently ignored — set the " +
+        "audio column, or drop the index argument")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
         cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +
@@ -880,23 +933,24 @@ object CorpusPrep {
             lkCached, bqm, cfg.minCosine, cfg.bqBands, cfg.bqMaxHamming))
         (filtered, textCaches :+ lkCached)
     }
-    // IMAGE standing tier: perceptual hash row-locally, probe the
-    // prebuilt standing hash index — four stream-static equi-joins
-    // plus a row-local Hamming exists (Dedup.hashNearDupFilterAgainst
-    // is append-legal by construction). The index is cached like the
-    // other standing lookups: a stream-static join re-executes the
-    // static side every micro-batch. Runs after the text/semantic
-    // tiers — a textual dup is the cheaper drop.
-    val (imgFiltered, imgCaches) = (cfg.imageCol, imageIndex) match {
-      case (Some(ic), Some(idx)) =>
-        implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
-        val idxCached = idx.cache()
-        (Dedup.hashNearDupFilterAgainst(
-            Multimodal.withPerceptualHash(semFiltered, ic, "_img_ph"),
-            "_img_ph", idxCached, cfg.imageMaxHamming)
-          .drop("_img_ph"), allCaches :+ idxCached)
-      case _ => (semFiltered, allCaches)
-    }
+    // SIGNATURE standing tiers (image dHash, audio fingerprint):
+    // hash row-locally, probe the prebuilt standing hash index —
+    // four stream-static equi-joins plus a row-local Hamming exists
+    // (Dedup.hashNearDupFilterAgainst is append-legal by
+    // construction). Each index is cached like the other standing
+    // lookups: a stream-static join re-executes the static side
+    // every micro-batch. Runs after the text/semantic tiers — a
+    // textual dup is the cheaper drop.
+    val tierIdx = Map("image" -> imageIndex, "audio" -> audioIndex)
+    val (imgFiltered, imgCaches) =
+      signatureTiers(cfg).foldLeft((semFiltered, allCaches)) {
+        case ((cur, caches), tier) =>
+          val idxCached = tierIdx(tier.label).get.cache()
+          (Dedup.hashNearDupFilterAgainst(
+              tier.withHash(cur, tier.binaryCol, tier.workCol),
+              tier.workCol, idxCached, tier.maxHamming)
+            .drop(tier.workCol), caches :+ idxCached)
+      }
     // sampleRate is stream-legal, unlike the other batch-only stages:
     // the md5 draw is a pure row-local filter (no shuffle, no state),
     // and its determinism means a restart redraws identically. Same

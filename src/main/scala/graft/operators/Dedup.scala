@@ -1229,8 +1229,15 @@ object Dedup {
     * unlucky beyond the s-curve) is missed. At the high `minCosine`
     * decontamination runs at (≥ ~0.9), near-dup pairs have small
     * Hamming and banding recall is near-certain; lower thresholds
-    * should raise `bands`. The parity fixture in BloomDecontamSpec
-    * pins literal == large where both run.
+    * should raise `bands`. A SECOND recall term is the bucket cap:
+    * `bqBandCandidates` drops over-`maxBucket` band buckets WHOLE
+    * (on either side, with observed drop counts under
+    * `graft_semantic_decontam_cap`) — a corpus region or bench
+    * cluster dense enough to blow a band's bucket silently
+    * under-decontaminates; watch the drop metric and raise
+    * `maxBucket` (or `bands`, which thins buckets) when it fires.
+    * The parity fixture in BloomDecontamSpec pins literal == large
+    * where both run.
     *
     * Scale shape: one coded pass per side, band-keyed capped
     * equi-join, float cosines only for the candidate pairs, one
@@ -1372,8 +1379,14 @@ object Dedup {
     * band's capped candidate list, and the drop decision is a
     * row-local `exists` of `bit_count(xor) <= maxHamming` over the
     * joined arrays — no stream aggregation, no state, no
-    * watermark. Exact recall at `maxHamming <= 3` by the same
-    * pigeonhole as the pair search. Null signatures KEEP (nothing to
+    * watermark. Recall at `maxHamming <= 3` is exact by the same
+    * pigeonhole as the pair search FOR PAIRS WHOSE SHARED BAND
+    * SURVIVES the index's hot-band cap: `hashBandIndex` drops
+    * over-cap bands whole (all-or-nothing, with observed drop
+    * counts), so a batch hash ALL of whose colliding bands were hot
+    * can miss even a hamming-0 standing twin — raise the index's
+    * `maxBucket` (or treat its observed drops as the recall audit)
+    * when that matters. Null signatures KEEP (nothing to
     * compare — the gates own those rows; for images that is the
     * undecodable-payload rule). Works identically on a batch frame —
     * the plan is plain joins + a filter either way. This is the

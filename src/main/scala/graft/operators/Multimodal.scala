@@ -714,6 +714,139 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** 64-bit deterministic audio fingerprint over REAL PCM decode —
+    * the audio twin of the image dHash, shaped for the SAME hash
+    * near-dup stack (`Dedup.hashNearDupPairs` / `hashBandIndex` /
+    * `hashNearDupFilterAgainst`): the decoded signal splits into 65
+    * equal-length energy windows (banded envelope) and bit i records
+    * "window i+1 louder than window i" (sign-of-delta over the
+    * energy envelope — the classic acoustic-fingerprint primitive).
+    * Like dHash it is IDENTICAL across containers of the same
+    * samples (WAV vs AIFF vs AU, μ-law vs linear after the JDK codec
+    * chain) and amplitude-ordering-stable under mild edits, so audio
+    * near-dup search is `Dedup.hashNearDupPairs` over this column.
+    *
+    * Determinism contract (what makes q128's cross-engine oracle
+    * replay possible): samples convert to signed 16-bit PCM; window
+    * energy is the sequential sum of (sample/32768)², values that
+    * are exact multiples of 2⁻³⁰ ≤ 1, so for windows up to 2²³
+    * frames every partial sum is exactly representable in a double —
+    * the bit comparisons are EXACT integer-sum comparisons, not
+    * float-tolerance ones (for multi-channel input the per-frame
+    * channel mean is exact at power-of-two channel counts; mono and
+    * stereo, i.e. the usual cases, replay exactly). Windows derive
+    * from the container's DECLARED frame count (min'd with
+    * `maxFrames`, floor-divided by 65; the ragged tail is ignored):
+    * payloads shorter than 65 frames, containers that don't declare
+    * a frame count, payloads that truncate before the declared
+    * length, and undecodable bytes all fingerprint NULL — the hash
+    * stack keeps nulls and never pairs them, the same
+    * undecodable-payload rule as images. */
+  final class AudioFingerprinter(maxFrames: Long) extends Serializable {
+    def fingerprint64(bytes: Array[Byte]): java.lang.Long = {
+      if (bytes == null || bytes.isEmpty) return null
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          try {
+            val ch = target.getChannels
+            val frameBytes = ch * 2
+            val total = in.getFrameLength
+            if (total < 65) return null // includes unknown length (-1)
+            val usable = math.min(total, maxFrames)
+            val wl = usable / 65
+            val limit = wl * 65
+            val energies = new Array[Double](65)
+            val buf = new Array[Byte](frameBytes * 4096)
+            var frames = 0L
+            var eof = false
+            while (!eof && frames < limit) {
+              // divide, don't multiply — same Long-overflow guard as
+              // AudioFeatureExtractor's read loop
+              val remaining = limit - frames
+              val want =
+                if (remaining >= buf.length / frameBytes) buf.length
+                else (remaining * frameBytes).toInt
+              val n = pcm.read(buf, 0, want)
+              if (n <= 0) eof = true
+              else {
+                var off = 0
+                while (off + frameBytes <= n) {
+                  var c = 0
+                  var acc = 0.0
+                  while (c < ch) {
+                    val lo = buf(off + c * 2) & 0xff
+                    val hi = buf(off + c * 2 + 1).toInt
+                    acc += ((hi << 8) | lo).toShort.toDouble
+                    c += 1
+                  }
+                  val s = acc / ch / 32768.0
+                  energies((frames / wl).toInt) += s * s
+                  off += frameBytes
+                  frames += 1
+                }
+              }
+            }
+            if (frames < limit) return null // header declared more than decoded
+            var h = 0L
+            var i = 0
+            while (i < 64) {
+              if (energies(i + 1) > energies(i)) h |= 1L << i
+              i += 1
+            }
+            java.lang.Long.valueOf(h)
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Attach the 64-bit audio fingerprint to a binary audio column —
+    * same once-per-task mapPartitions contract as the other decoders;
+    * only the 8-byte fingerprint ever shuffles. */
+  def withAudioFingerprint(df: DataFrame, binaryCol: String,
+      outCol: String = "audio_fp", maxFrames: Long = 1L << 22)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxFrames >= 65, s"maxFrames must be >= 65 (one frame per window), got $maxFrames")
+    require(!df.columns.contains(outCol),
+      s"input column $outCol collides with withAudioFingerprint's output — " +
+        "pass a different outCol")
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    df.mapPartitions { it =>
+      val fp = new AudioFingerprinter(maxFrames) // once per partition — the contract
+      it.map(r => Row.fromSeq(r.toSeq :+ fp.fingerprint64(binaryOf(r, idx))))
+    }(Encoders.row(outSchema))
+  }
+
+  /** Audio near-dup pairs, the audio twin of `imageNearDupPairs`:
+    * REAL PCM decode → 64-bit envelope fingerprint
+    * (`withAudioFingerprint`, once-per-task decoder, only the 8-byte
+    * fingerprint shuffles) → Hamming-banded pair expansion
+    * (`Dedup.hashNearDupPairs` — the SAME band-keyed, hot-capped,
+    * never-all-pairs plan SimHash text dedup and image dHash use).
+    * At the default `maxHamming = 3`, pigeonhole over the four
+    * 16-bit bands makes recall EXACT for pairs whose shared band
+    * survives the hot-band cap. Undecodable / too-short payloads
+    * fingerprint null and never pair. Returns (id_a, id_b, hamming). */
+  def audioNearDupPairs(df: DataFrame, binaryCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = HotKeys.DefaultBucketCap)(
+      implicit spark: SparkSession): DataFrame = {
+    require(!df.columns.contains("_mm_afp"),
+      "input column _mm_afp collides with audioNearDupPairs' working name")
+    Dedup.hashNearDupPairs(
+      withAudioFingerprint(df, binaryCol, "_mm_afp"),
+      "_mm_afp", idCol, maxHamming, maxBucket,
+      metricName = "graft_audio_band_cap")
+  }
+
   private def requireBinary(df: DataFrame, binaryCol: String): Int = {
     val field = df.schema(binaryCol)
     if (field.dataType != org.apache.spark.sql.types.BinaryType)
@@ -952,6 +1085,48 @@ object Multimodal {
         x += 1
       }
       y += 1
+    }
+    out
+  }
+
+  /** Deterministic 16-bit mono PCM WAV test vector — the audio twin
+    * of `syntheticGrayBmp`: a hand-assembled 44-byte RIFF header plus
+    * the little-endian samples, a pure offset function of the input
+    * (no entropy coder, no library writer whose chunk layout could
+    * drift), so an independent engine can replay the decoded samples
+    * from the spec alone; q128 pins the whole encode → JDK decode →
+    * envelope fingerprint path against exactly such a replay. */
+  def syntheticPcmWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    require(samples.nonEmpty, "need at least one sample")
+    require(sampleRate > 0, s"sampleRate must be > 0, got $sampleRate")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putU32(off: Int, v: Int): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    def putU16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putU32(4, 36 + dataSize)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putU32(16, 16) // PCM fmt chunk size
+    putU16(20, 1) // PCM
+    putU16(22, 1) // mono
+    putU32(24, sampleRate)
+    putU32(28, sampleRate * 2) // byte rate
+    putU16(32, 2) // block align
+    putU16(34, 16) // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putU32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      out(44 + i * 2) = (s & 0xff).toByte
+      out(44 + i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
     }
     out
   }

@@ -274,11 +274,107 @@ object Similarity {
     * rebuild when drift warrants it. */
   def appendIndex(assignedBatch: DataFrame, path: String,
       cidCol: String = "cid"): Unit =
-    assignedBatch.write.mode("append").partitionBy(cidCol).parquet(path)
+    assignedBatch.write.mode("append").partitionBy(cidCol)
+      .parquet(currentIndexDir(hadoopFs(assignedBatch.sparkSession, path), path))
 
-  /** Read a persisted IVF index back for probing. */
+  /** Version pointers under an index root — the same atomic-swap
+    * device as the BM25 side (TextStats.currentPostingsDir):
+    * `_current_vN` (an empty file) names `index_vN/` as the servable
+    * data dir, created only AFTER that dir's write completes, so the
+    * highest pointer always names a complete dir. No pointer = the
+    * index lives flat at the root (writeIndex's layout). */
+  private def indexVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_current_v") &&
+          s.drop(10).nonEmpty && s.drop(10).forall(_.isDigit) =>
+        s.drop(10).toLong }
+  }
+
+  private def currentIndexDir(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val vs = indexVersions(fs, path)
+    if (vs.isEmpty) path else s"$path/index_v${vs.max}"
+  }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Read a persisted IVF index back for probing (resolves the
+    * compaction version pointer — see `compactIndex`). */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(currentIndexDir(hadoopFs(spark, path), path))
+
+  /** Compact a persisted IVF index — the housekeeping pass
+    * `appendIndex` accumulates toward, and the ANN twin of
+    * `TextStats.compactBm25Index`: each append lands one file per
+    * touched inverted-list partition, so after N daily batches a
+    * probe of one list opens N files. Compaction rewrites the data
+    * with ONE file per list (repartition on the centroid id before
+    * the partitioned write) — pure coalescing, no semantic gate (the
+    * ANN index has no posting cap), so probe results are
+    * BIT-IDENTICAL before and after.
+    *
+    * Crash-safety is the BM25 side's versioned swap: the rewrite
+    * lands in a fresh `index_vN/` beside the servable data and the
+    * swap is the atomic CREATE of the `_current_vN` pointer file —
+    * every crash boundary leaves a probe-consistent index (before
+    * the pointer: readers resolve the old data, the half-written dir
+    * is invisible; after: they resolve the complete new one; stale
+    * dirs are post-swap housekeeping). `_compact_inprogress` is
+    * writer mutual exclusion only — probes never block, and a stale
+    * lock from a crash is safe to delete and rerun. The index root
+    * must hold only the index data (keep codebooks/models at their
+    * own paths, as writeCodebook/writePqModel already do): the first
+    * compaction sweeps the superseded flat layout from the root. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      cidCol: String = "cid"): Unit = {
+    val fs = hadoopFs(spark, path)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")
+    require(fs.createNewFile(lock),
+      s"could not create compaction lock under $path — another compaction " +
+        "is running, or a previous one crashed. The index is still " +
+        "probe-consistent either way (the swap is atomic); if no compaction " +
+        "is live, delete _compact_inprogress and rerun")
+    try {
+      val vs = indexVersions(fs, path)
+      val next = (0L +: vs).max + 1
+      val data = readIndex(spark, path)
+      require(data.columns.contains(cidCol),
+        s"index at $path has no '$cidCol' column — wrong cidCol?")
+      // a partitioned write of ZERO rows emits no files (no partition
+      // values) and the new dir could not even be schema-inferred —
+      // an empty index has nothing to coalesce anyway, so skip the
+      // swap and leave the servable layout untouched
+      if (data.isEmpty) return
+      data.repartition(col(cidCol))
+        .write.mode("overwrite").partitionBy(cidCol)
+        .parquet(s"$path/index_v$next")
+      // THE SWAP — one atomic create; from here readers resolve vN
+      require(fs.createNewFile(
+          new org.apache.hadoop.fs.Path(s"$path/_current_v$next")),
+        s"pointer _current_v$next already exists under $path — concurrent " +
+          "compactions? The servable index is unchanged")
+      // post-swap housekeeping: stale pointers, then superseded data
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
+      if (vs.nonEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/index_v${vs.max}"), true)
+      else fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter { st =>
+          val n = st.getPath.getName
+          n != s"index_v$next" && n != s"_current_v$next" &&
+            n != "_compact_inprogress"
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+      ()
+    } finally { fs.delete(lock, false); () }
+  }
 
   /** Persist a coarse codebook — WITHOUT it a persisted index cannot
     * rank inverted lists next session, so the codebook is part of the
@@ -1211,10 +1307,20 @@ object Similarity {
     * balance knob in hybrid search; unweighted RRF is weights = all
     * ones. Weighted sums of 3+ terms reintroduce float addition-order
     * sensitivity at the last ulp; the 6-decimal rounding absorbs it
-    * for any realistic list count. */
+    * for any realistic list count.
+    *
+    * `withSources = true` appends one PROVENANCE column per input
+    * list — `rank_in_0` … `rank_in_{n-1}`, the (collapsed) rank the
+    * fused row held in that list, null where absent — so fusion
+    * debugging and weight tuning read straight off the output ("why
+    * did this doc win? lexical 2, semantic absent") instead of
+    * re-running each ranker. Zero extra passes: the per-list ranks
+    * are conditional aggregates of the same groupBy that sums the
+    * fused score. */
   def rrfFuse(shortlists: Seq[DataFrame], queryCol: String, idCol: String,
       rankCol: String = "rank", k: Int = 10, k0: Int = 60,
-      weights: Option[Seq[Double]] = None): DataFrame = {
+      weights: Option[Seq[Double]] = None,
+      withSources: Boolean = false): DataFrame = {
     require(shortlists.nonEmpty, "rrfFuse needs at least one ranked shortlist")
     require(k >= 1, s"k must be >= 1, got $k")
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
@@ -1228,6 +1334,8 @@ object Similarity {
       !Set("rrf_score", "rank", "_rrf_rank", "_li", "_s").contains(idCol),
       s"queryCol/idCol collide with rrfFuse's working/output column names " +
         "(rrf_score, rank)")
+    require(!withSources || Seq(queryCol, idCol).forall(!_.startsWith("rank_in_")),
+      "queryCol/idCol collide with withSources' rank_in_<i> output columns")
     val tagged = shortlists.zipWithIndex.map { case (df, i) =>
       df.select(col(queryCol), col(idCol),
           col(rankCol).cast("long").as("_rrf_rank"), lit(i).as("_li"))
@@ -1236,17 +1344,22 @@ object Similarity {
     }.reduce(_ unionByName _)
     val w = weights.fold(lit(1.0))(ws =>
       element_at(typedLit(ws), col("_li") + 1))
+    val sourceCols = if (!withSources) Seq.empty else
+      shortlists.indices.map(i =>
+        min(when(col("_li") === i, col("_rrf_rank"))).as(s"rank_in_$i"))
     tagged
       .groupBy(col(queryCol), col(idCol), col("_li"))
       .agg(min(col("_rrf_rank")).as("_rrf_rank"))
       .groupBy(col(queryCol), col(idCol))
-      .agg(sum(w / (lit(k0) + col("_rrf_rank"))).as("_s"))
+      .agg(sum(w / (lit(k0) + col("_rrf_rank"))).as("_s"), sourceCols: _*)
       .withColumn("rrf_score", round(col("_s"), 6))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(queryCol).orderBy(desc("rrf_score"), col(idCol))))
       .filter(col("rank") <= k)
-      .select(col(queryCol), col(idCol), col("rrf_score"), col("rank"))
+      .select((Seq(col(queryCol), col(idCol), col("rrf_score"), col("rank")) ++
+        shortlists.indices.filter(_ => withSources)
+          .map(i => col(s"rank_in_$i"))): _*)
   }
 
   /** Maximal-Marginal-Relevance re-rank of a probe shortlist — the

@@ -515,6 +515,62 @@ object TextStats {
     * most |query terms| of the `tokenBuckets` partitions instead of
     * scanning the corpus-sized postings file, which at 100 TB is the
     * difference between an index lookup and a table scan. */
+  /** Version pointers under an index root: `_current_vN` (an empty
+    * file) names `postings_vN/` as the servable postings dir. A
+    * pointer is created only AFTER its directory write completes, so
+    * the HIGHEST pointer present always names a COMPLETE dir — which
+    * is what lets `compactBm25Index` swap postings with one atomic
+    * file create instead of a delete→rename window. No pointer =
+    * uncompacted index, postings live in `postings/`. */
+  private def postingsVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_current_v") &&
+          s.drop(10).nonEmpty && s.drop(10).forall(_.isDigit) =>
+        s.drop(10).toLong }
+  }
+
+  /** The CURRENT servable postings directory of an index root —
+    * resolves the version pointers; see `postingsVersions`. */
+  private[operators] def currentPostingsDir(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    val vs = postingsVersions(fs, path)
+    if (vs.isEmpty) s"$path/postings" else s"$path/postings_v${vs.max}"
+  }
+
+  /** Bucket-partitioned postings write that stays READABLE even at
+    * zero rows: a partitioned parquet write of an empty frame emits
+    * NO files at all (there are no partition values), and the
+    * resulting dir cannot even be schema-inferred — which is exactly
+    * what a maxPostings cap that gates away EVERY list produces
+    * (observed: a cap-1 index whose every token crossed df 1 at the
+    * append compacted to an unreadable dir). An empty input writes
+    * one all-null SCHEMA SENTINEL row into bucket 0 instead: probes
+    * join postings on `token`, so a null-token row can never match,
+    * score, or df-gate — it exists only to carry the schema
+    * (`bm25IndexStats` excludes it from row counts the same way). */
+  private def writePostingsBucketed(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val toWrite =
+      if (!df.isEmpty) df
+      else spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(
+          df.schema.fields.map(f =>
+            if (f.name == "_tb") 0.asInstanceOf[Any] else null).toSeq)),
+        df.schema)
+    toWrite
+      // repartition on the bucket before the partitioned write: without
+      // it every task writes a file into every bucket directory
+      // (tasks × buckets files — the classic small-files explosion);
+      // with it each bucket is one task's output. Write parallelism
+      // follows the bucket count — size tokenBuckets to the cluster.
+      .repartition(col("_tb"))
+      .write.mode("overwrite").partitionBy("_tb").parquet(dir)
+  }
+
   def writeBm25Index(corpus: DataFrame, textCol: String, idCol: String,
       path: String, maxPostings: Int = HotKeys.DefaultBucketCap,
       tokenBuckets: Int = 64): Unit = {
@@ -535,6 +591,20 @@ object TextStats {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
     if (!fs.exists(marker)) fs.createNewFile(marker)
+    // a REBUILD resets to the unversioned layout: clear compaction
+    // version pointers and their dirs (inside the marker bracket, so
+    // a crash here is the same loud rebuild-required state), plus any
+    // stale compaction lock — the rebuild supersedes whatever a
+    // crashed compaction left behind
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "_compact_inprogress" ||
+          (n.startsWith("_current_v") && n.drop(10).forall(_.isDigit)) ||
+          (n.startsWith("postings_v") && n.drop(10).forall(_.isDigit))
+      }
+      .foreach(fs.delete(_, true))
     // tf and lens each feed two of the three writes — persist them so
     // the build really is ONE tokenize + one (id, token) shuffle, not
     // a re-execution per write action (DISK-backed: tf is corpus-ish
@@ -553,17 +623,12 @@ object TextStats {
         .write.mode("overwrite").parquet(s"$path/df")
       // minPerKey = 1: a singleton posting is the HIGHEST-value row in
       // a retrieval index (max idf), the opposite of an LSH bucket
-      HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
-          minPerKey = 1, metricName = "graft_bm25_posting_cap")
-        .select(col(idCol), col("token"), col("tf"), col("len"),
-          pmod(hash(col("token")), lit(tokenBuckets)).as("_tb"))
-        // repartition on the bucket before the partitioned write: without
-        // it every task writes a file into every bucket directory
-        // (tasks × buckets files — the classic small-files explosion);
-        // with it each bucket is one task's output. Write parallelism
-        // follows the bucket count — size tokenBuckets to the cluster.
-        .repartition(col("_tb"))
-        .write.mode("overwrite").partitionBy("_tb").parquet(s"$path/postings")
+      writePostingsBucketed(
+        HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
+            minPerKey = 1, metricName = "graft_bm25_posting_cap")
+          .select(col(idCol), col("token"), col("tf"), col("len"),
+            pmod(hash(col("token")), lit(tokenBuckets)).as("_tb")),
+        s"$path/postings")
       // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
       lens.agg(count(lit(1)).cast("double").as("ndocs"),
           coalesce(avg(col("len")), lit(0.0)).as("avglen"))
@@ -581,12 +646,12 @@ object TextStats {
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Bm25Index = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
-    require(!marker.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(marker),
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(marker),
       s"BM25 index at $path has an unfinished append (_append_incomplete " +
         "marker present) — its postings/df/meta may disagree; rebuild with " +
         "writeBm25Index rather than serving inconsistent scores")
-    Bm25Index(spark.read.parquet(s"$path/postings"),
+    Bm25Index(spark.read.parquet(currentPostingsDir(fs, path)),
       spark.read.parquet(s"$path/df"),
       spark.read.parquet(s"$path/meta"))
   }
@@ -594,7 +659,9 @@ object TextStats {
   /** Append a document batch to a persisted BM25 index WITHOUT
     * rescanning the standing corpus. Batch ids must be disjoint from
     * the standing index (same contract as every append here — dedup
-    * upstream); batch postings append to `postings/`; `df/` is
+    * upstream); batch postings append to the CURRENT postings dir
+    * (pointer-resolved — `postings/`, or `postings_vN/` after a
+    * compaction); `df/` is
     * rebuilt as old-df ⊕ batch-df summed by token (a vocabulary-sized
     * read + write, never corpus-sized) and swapped in atomically via
     * a FileSystem rename; the two scalars recompute on the driver
@@ -648,7 +715,8 @@ object TextStats {
       .select(col(idCol), col("token"), col("tf"), col("len"),
         pmod(hash(col("token")), lit(tb)).cast("int").as("_tb"))
       .repartition(col("_tb"))
-      .write.mode("append").partitionBy("_tb").parquet(s"$path/postings")
+      .write.mode("append").partitionBy("_tb")
+      .parquet(currentPostingsDir(fs, path))
     // df rebuild: old ⊕ batch, written beside then renamed over — a
     // lazy read-and-overwrite of the same dir would corrupt it; mode
     // overwrite also clears any stale df.tmp
@@ -690,46 +758,125 @@ object TextStats {
     * over-cap list is exactly a `df > cap` list. Cost: one read +
     * write of `postings/` (bucket-partitioned both ways, the df
     * semi-join shuffles only the vocabulary-sized key set) — much
-    * cheaper than a rebuild, which re-tokenizes the corpus. The same
-    * `_append_incomplete` marker brackets the swap: a crash between
-    * delete and rename leaves the LOUD state, never a silent
-    * half-compacted index. Cadence guidance: SCALE.md (probe cost
-    * grows ~linearly in appends-since-compaction; compact when stripe
-    * count per bucket approaches read-parallelism). */
+    * cheaper than a rebuild, which re-tokenizes the corpus.
+    *
+    * Crash-safety is a VERSIONED SWAP, not a delete→rename: the
+    * compacted postings land in a fresh `postings_vN/` beside the
+    * servable dir, and the swap is the CREATE of the empty pointer
+    * file `_current_vN` — one atomic filesystem operation (every
+    * read resolves the highest pointer; see `currentPostingsDir`).
+    * A crash at ANY step boundary therefore leaves a PROBE-CONSISTENT
+    * index: before the pointer lands, readers still resolve the old
+    * dir (the half-written new dir is invisible — pointers are
+    * created only after their dir completes); after it lands, they
+    * resolve the complete new dir; the old dir and stale pointers
+    * are post-swap housekeeping whose loss costs bytes, never
+    * correctness. The `_compact_inprogress` lock file is WRITER
+    * mutual exclusion only — probes are never blocked, and a stale
+    * lock from a crashed compaction is safe to delete and rerun
+    * (nothing between lock and swap mutates servable state).
+    * Concurrent READERS that resolved the superseded dir before the
+    * swap should tolerate one retry if housekeeping deletes it
+    * mid-scan — the same exposure any in-place compaction has.
+    * Cadence guidance: measure with `bm25IndexStats` (probe cost
+    * grows ~linearly in stripes-per-bucket; compact when
+    * `maxStripesPerBucket` approaches the per-bucket read
+    * parallelism, or when `staleRows` is a material fraction of
+    * `rows`). */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val old = readBm25Index(spark, path)
     val cap = old.meta.select("max_postings").collect()(0).getLong(0)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
-    require(fs.createNewFile(marker),
-      s"could not create marker under $path (unfinished append/compaction, " +
-        "or a concurrent writer — rebuild with writeBm25Index)")
-    val hasTb = old.postings.columns.contains("_tb")
-    val gated = old.postings.join(
-      old.dfT.filter(col("df") <= cap).select("token"), Seq("token"), "left_semi")
-    // repartition on the bucket (same reason as the build: one task's
-    // output per bucket directory, not tasks x buckets files)
-    val out = if (hasTb) gated.repartition(col("_tb")).write.partitionBy("_tb")
-      else gated.coalesce(1).write
-    // the tmp write is NON-destructive: if it fails the index is still
-    // fully consistent, so clear the marker (and the partial tmp) and
-    // rethrow rather than bricking a servable index into a forced
-    // re-tokenizing rebuild. Only past this point — the delete/rename
-    // window — does a crash legitimately leave the marker behind.
-    try out.mode("overwrite").parquet(s"$path/postings.tmp")
-    catch { case e: Throwable =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings.tmp"), true)
-      fs.delete(marker, false)
-      throw e
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")
+    require(fs.createNewFile(lock),
+      s"could not create compaction lock under $path — another compaction " +
+        "is running, or a previous one crashed. The index is still " +
+        "probe-consistent either way (the swap is atomic); if no compaction " +
+        "is live, delete _compact_inprogress and rerun")
+    try {
+      val vs = postingsVersions(fs, path)
+      val next = (0L +: vs).max + 1
+      val hasTb = old.postings.columns.contains("_tb")
+      val gated = old.postings.join(
+        old.dfT.filter(col("df") <= cap).select("token"), Seq("token"), "left_semi")
+      // non-destructive either way: overwrite also clears an orphan dir
+      // a crashed attempt left at this version; servable state is
+      // untouched. The bucketed path rides writePostingsBucketed — one
+      // task's output per bucket dir, and the zero-survivor case (every
+      // token over-cap) still writes a readable schema-sentinel file
+      if (hasTb) writePostingsBucketed(gated, s"$path/postings_v$next")
+      else gated.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/postings_v$next")
+      // THE SWAP — one atomic create; from here readers resolve vN
+      require(fs.createNewFile(
+          new org.apache.hadoop.fs.Path(s"$path/_current_v$next")),
+        s"pointer _current_v$next already exists under $path — concurrent " +
+          "compactions? The servable index is unchanged")
+      // post-swap housekeeping: stale pointers first (so a crash here
+      // still resolves vN), then the superseded dir's bytes
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
+      val oldDir =
+        if (vs.isEmpty) s"$path/postings" else s"$path/postings_v${vs.max}"
+      fs.delete(new org.apache.hadoop.fs.Path(oldDir), true)
+      ()
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Lifecycle telemetry for a persisted BM25 index, read from the
+    * artifact alone — the numbers the compaction-cadence decision
+    * needs (SCALE.md): `maxStripesPerBucket` is the probe's
+    * worst-case files-opened-per-bucket (each append adds a stripe;
+    * compaction returns it to 1), `staleRows` counts the on-disk
+    * posting rows the probe's df-gate skips (terms whose combined
+    * list crossed `max_postings` only after appends — bytes
+    * compaction reclaims), `bytes`/`files` size the artifact.
+    * Cost: one filesystem walk of the postings dir plus one
+    * postings⋈df read — no corpus access, no tokenization. */
+  final case class Bm25IndexStats(postingsDir: String, buckets: Long,
+      files: Long, maxStripesPerBucket: Long, bytes: Long,
+      rows: Long, staleRows: Long, ndocs: Double, avglen: Double)
+
+  def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25IndexStats = {
+    val idx = readBm25Index(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = currentPostingsDir(fs, path)
+    // walk the postings dir: data files + bytes, grouped by bucket
+    // (non-partitioned layouts count as one bucket)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var files = 0L
+    var bytes = 0L
+    val perBucket = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        files += 1
+        bytes += st.getLen
+        perBucket(st.getPath.getParent.getName) += 1
+      }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/postings.tmp"),
-      new org.apache.hadoop.fs.Path(s"$path/postings")),
-      s"rename failed under $path")
-    fs.delete(marker, false)
-    ()
+    val cap = idx.meta.select("max_postings").collect()(0).getLong(0)
+    val metaRow = idx.meta.select("ndocs", "avglen").collect()(0)
+    // one postings pass: total rows + stale rows (df-gate misses);
+    // the null-token schema sentinel (writePostingsBucketed) is not a
+    // posting and never probes — exclude it from the row counts
+    val row = idx.postings
+      .filter(col("token").isNotNull)
+      .join(broadcast(idx.dfT.filter(col("df") > cap)
+        .select(col("token"), lit(1).as("_stale"))), Seq("token"), "left")
+      .agg(count(lit(1)).as("rows"),
+        count(col("_stale")).as("stale"))
+      .collect()(0)
+    Bm25IndexStats(dir, perBucket.size.toLong, files,
+      if (perBucket.isEmpty) 0L else perBucket.values.max,
+      bytes, row.getLong(0), row.getLong(1),
+      metaRow.getDouble(0), metaRow.getDouble(1))
   }
 
   /** LIVE retrieval against the persisted index — the stream twin the

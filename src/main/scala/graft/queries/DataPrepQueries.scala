@@ -1434,11 +1434,12 @@ object DataPrepQueries {
     // on a Learned): train on 4/5 of the corpus, tokenize the held-out
     // 1/5 — full of words the training vocab never saw, which get the
     // learned merge RULES applied (not a char split), the shape every
-    // fresh crawl batch has. Not SQL-expressible (greedy rank-ordered
-    // merging), so no DuckDB oracle: the driver records rows-only and
-    // the byte-level semantics are pinned by BpeSpec (kernel ==
-    // trained segmentation over the whole vocab; hand-built OOV
-    // cases).
+    // fresh crawl batch has. This row itself stays rows-only (40
+    // merges would be 40 unrolled CTE rounds), but neither fold is
+    // unpinned anymore: q91 hash-pins the inference kernel under a
+    // fixed merge table, and q129 hash-pins the LEARNING loop itself
+    // (six unrolled sequential rounds in DuckDB); BpeSpec adds the
+    // byte-level kernel and OOV cases.
     QueryDef("q89_bpe_oov_segment", None,
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -3358,7 +3359,12 @@ object DataPrepQueries {
     // LOW threshold the banded route keeps MORE than q119's exact
     // literal route (far pairs collide in no band — the documented
     // sign-LSH contract), and both engines must agree on exactly
-    // which ones.
+    // which ones. The oracle replays banding with NO bucket cap —
+    // valid because no band bucket approaches maxBucket (100k) at
+    // the tested scale factors (bench side is 20 vectors; corpus
+    // buckets are <= a few hundred per byte value); the operator's
+    // cap-drop recall term is documented on
+    // semanticDecontaminateLarge and surfaces via its drop metric.
     QueryDef("q126_semantic_decontam_large", Some("""
       WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
                  FROM embeddings),
@@ -3417,7 +3423,10 @@ object DataPrepQueries {
     // integer/fixed-point arithmetic, so the full
     // retrieve->expand->re-retrieve loop replays in DuckDB — feedback
     // scores ride the q114 formula, the expansion weights and the
-    // weighted rescore are spelled out below.
+    // weighted rescore are spelled out below. wdoc's QUALIFY encodes
+    // rm3ExpandTerms' `_ws > 0` orig-only fallback (TextStats:908):
+    // a query whose ROUNDED feedback scores sum to zero expands
+    // nothing in BOTH engines, not NaN weights in one.
     QueryDef("q127_bm25_rm3", Some(s"""
       WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
       qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
@@ -3439,7 +3448,8 @@ object DataPrepQueries {
                GROUP BY q.qid, p.doc_id),
       fb AS (SELECT qid, doc_id, score FROM fbsc
              QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) <= 3),
-      wdoc AS (SELECT qid, doc_id, score / sum(score) OVER (PARTITION BY qid) AS wd FROM fb),
+      wdoc AS (SELECT qid, doc_id, score / sum(score) OVER (PARTITION BY qid) AS wd FROM fb
+               QUALIFY sum(score) OVER (PARTITION BY qid) > 0),
       fbdl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus
                WHERE doc_id IN (SELECT doc_id FROM wdoc)),
       fbtf AS (SELECT p.doc_id, p.token, p.tf FROM post p
@@ -3486,6 +3496,283 @@ object DataPrepQueries {
               .select(col("doc_id").as("qid"), col("text")),
             "text", "qid", k = 5, fbDocs = 3, fbTerms = 5, alpha = 0.5)
           .orderBy("qid", "rank")
+      }),
+
+    // Audio near-dup pairs (Multimodal.audioNearDupPairs): REAL PCM
+    // path, oracle-pinned with the q117 device. Each doc becomes a
+    // deterministic 65-window (8 samples each) 16-bit mono WAV whose
+    // per-window amplitude is md5-derived (every 40th-block variant
+    // perturbs the first two windows); Spark runs WAV-encode → JDK
+    // decode → 65-window energy envelope → sign-of-delta 64-bit
+    // fingerprint → Hamming-banded pair search (exact recall at
+    // hamming <= 3 by pigeonhole), while DuckDB replays the
+    // amplitude grid and the bit formula DIRECTLY from the byte spec
+    // and brute-forces the pairs. Window energy is monotone in the
+    // (non-negative) amplitude and the per-window double sums are
+    // exact (8 multiples of 2^-30 — see AudioFingerprinter's
+    // determinism contract), so "louder than previous window"
+    // replays as the integer comparison a[w+1] > a[w]: a hash match
+    // pins the entire encode/decode/energy/fingerprint/banding chain
+    // to the mathematical definition.
+    QueryDef("q128_audio_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 40 AS base, (doc_id // 40) % 2 AS alt FROM documents),
+      amp AS (SELECT d.doc_id, w.w,
+                CASE WHEN d.alt = 1 AND w.w = 0 THEN 255
+                     WHEN d.alt = 1 AND w.w = 1 THEN 0
+                     ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(w.w AS VARCHAR)), 1, 2))::INT END AS a
+              FROM d CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) w),
+      h AS (SELECT a1.doc_id,
+              bit_or(CASE WHEN a2.a > a1.a THEN (1::UBIGINT << a1.w) ELSE 0::UBIGINT END) AS h
+            FROM amp a1 JOIN amp a2 ON a2.doc_id = a1.doc_id AND a2.w = a1.w + 1
+            GROUP BY a1.doc_id),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+                FROM h a JOIN h b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 40
+          val alt = (docId / 40) % 2 == 1
+          val samples = new Array[Short](65 * 8)
+          var w = 0
+          while (w < 65) {
+            val a =
+              if (alt && w == 0) 255
+              else if (alt && w == 1) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$w".getBytes("UTF-8"))(0))
+            val m = a * 77 // < 32768 — window-constant magnitude
+            var j = 0
+            while (j < 8) {
+              // alternate sign so the vector looks wave-like; energy
+              // (the fingerprint's input) sees only m^2
+              samples(w * 8 + j) =
+                (if ((w * 8 + j) % 2 == 0) m else -m).toShort
+              j += 1
+            }
+            w += 1
+          }
+          graft.operators.Multimodal.syntheticPcmWav(samples)
+        }
+        graft.operators.Multimodal.audioNearDupPairs(
+            t(s, dir, "documents")
+              .select(col("doc_id"), mk(col("doc_id")).as("aud")),
+            "aud", "doc_id")
+          .orderBy("id_a", "id_b")
+      }),
+
+    // BPE LEARNING, oracle-pinned (the row q89 could never get): six
+    // merges learned over a restricted-alphabet projection of the
+    // corpus ([a-z]{1,8} words, so the oracle's bracket encoding is
+    // unambiguous), replayed in DuckDB as SIX UNROLLED sequential
+    // rounds — the q121 unrolling device applied to iterative
+    // learning. Each round recounts weighted adjacent symbol pairs,
+    // picks the (count DESC, left ASC, right ASC) winner — exactly
+    // Bpe.learn's priority — and applies it via replace() over a
+    // '[sym][sym]' encoding, whose left-to-right non-overlapping
+    // substring semantics equal mergePairs' fold (brackets make
+    // whole-symbol matches unambiguous under the restricted
+    // alphabet). The Spark side learns with the default BATCHED
+    // rounds, so a hash match pins the batching equivalence argument
+    // to the canonical one-merge-at-a-time definition — q91 already
+    // pins inference; this pins LEARNING, retiring q89's no_oracle
+    // asterisk.
+    QueryDef("q129_bpe_learn", Some {
+      val init = """SELECT word, cnt,
+         '[' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '][') || '][</w>]' AS s
+       FROM w"""
+      def round(k: Int): String = s"""
+      p$k AS (SELECT l, r, sum(cnt) AS n FROM (
+                SELECT cnt, a[i] AS l, a[i + 1] AS r FROM (
+                  SELECT cnt, a, unnest(range(1, len(a))) AS i FROM (
+                    SELECT cnt, string_split(substr(s, 2, length(s) - 2), '][') AS a
+                    FROM v$k)))
+              GROUP BY l, r),
+      w$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+      v${k + 1} AS (SELECT word, cnt,
+                      replace(s, '[' || w$k.l || '][' || w$k.r || ']',
+                                 '[' || w$k.l || w$k.r || ']') AS s
+                    FROM v$k CROSS JOIN w$k)"""
+      val ranks = (0 until 6).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", r AS "right",
+               l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM w$k""")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH w AS (SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(list_filter(string_split(lower(text), ' '),
+                           x -> regexp_matches(x, '^[a-z]{1,8}$$'))) AS word
+             FROM documents) GROUP BY word),
+      v0 AS ($init),${(0 until 6).map(round).mkString(",")}
+      SELECT * FROM ($ranks) ORDER BY rank"""
+    },
+      (s, dir) => {
+        val fix = t(s, dir, "documents").select(
+          expr("array_join(filter(split(lower(text), ' '), " +
+            "x -> x rlike '^[a-z]{1,8}$'), ' ')").as("text"))
+        graft.operators.Bpe.learn(fix, "text", numMerges = 6)
+          .merges.orderBy("rank")
+      }),
+
+    // RRF with SOURCE PROVENANCE (rrfFuse withSources = true): q120's
+    // fusion re-run with the per-list rank columns emitted — rank_in_0
+    // (lexical), rank_in_1 (semantic), null where the doc was absent
+    // from that list. The provenance is a conditional aggregate of the
+    // SAME groupBy that sums the fused score (zero extra passes), and
+    // the oracle computes it as the matching CASE-min over the union —
+    // a hash match pins both the fused ranking (unchanged from q120)
+    // and the per-source attribution.
+    QueryDef("q130_rrf_sources", Some(s"""
+      WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 3),
+      qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
+             FROM documents WHERE doc_id < 3),
+      post AS (SELECT doc_id, t AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM corpus) GROUP BY doc_id, t),
+      dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus),
+      sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avglen FROM corpus),
+      scored AS (SELECT q.qid, p.doc_id,
+                        round(sum(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                          * p.tf * 2.2
+                          / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+                 FROM post p
+                   JOIN qs q ON q.token = p.token
+                   JOIN dft d ON d.token = p.token
+                   JOIN lens l ON l.doc_id = p.doc_id
+                   CROSS JOIN sc
+                 GROUP BY q.qid, p.doc_id),
+      lex AS (SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        FROM scored) WHERE rank <= 5),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      qv AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 3),
+      cv AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+      semsc AS (SELECT qv.qid, cv.vec_id AS doc_id,
+                  round(list_inner_product(qv.v, cv.v)
+                    / sqrt(list_inner_product(qv.v, qv.v) * list_inner_product(cv.v, cv.v)), 4) AS cos
+                FROM qv CROSS JOIN cv),
+      sem AS (SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+        FROM semsc) WHERE rank <= 8),
+      u AS (SELECT qid, doc_id, rank, 0 AS li FROM lex
+            UNION ALL SELECT qid, doc_id, rank, 1 FROM sem),
+      f AS (SELECT qid, doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+                   min(CASE WHEN li = 0 THEN rank END) AS rank_in_0,
+                   min(CASE WHEN li = 1 THEN rank END) AS rank_in_1
+            FROM u GROUP BY qid, doc_id)
+      SELECT qid, doc_id, rrf_score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank,
+             rank_in_0, rank_in_1
+      FROM f QUALIFY rank <= 10 ORDER BY qid, rank"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lex = graft.operators.TextStats.bm25TopK(
+          docs.filter(col("doc_id") >= 3), "text", "doc_id",
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("qid"), col("text")),
+          "text", "qid", k = 5)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val sem = graft.operators.Similarity.bruteForceTopKAll(
+            emb.filter(col("vec_id") >= 3), "e", "vec_id",
+            emb.filter(col("vec_id") < 3)
+              .select(col("vec_id").as("qid"), col("e")),
+            "qid", "e", k = 8)
+          .withColumnRenamed("vec_id", "doc_id")
+        graft.operators.Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id",
+            "rank", k = 10, k0 = 60, withSources = true)
+          .orderBy("qid", "rank")
+      }),
+
+    // The prep facade END TO END (CorpusPrep.run), oracle-pinned as a
+    // COMPOSITION: normalize → length/repetition gates → exact dedup
+    // (min id per digest) → MinHash-LSH near-dup clusters collapsed
+    // keep-earliest → benchmark decontamination (3-shingle
+    // containment >= 0.8 vs docs 0-2, bench normalized identically)
+    // → the salted deterministic sample. Every stage was pinned
+    // individually (q48/q49/q36/q47/q57/q113's devices); this row
+    // pins the STAGE ORDER and survivor interactions — the exact
+    // survivor id set with clean lengths, replayed start to finish
+    // in one DuckDB chain (LSH candidates per q36's md5 hash-family
+    // replay, exact-Jaccard verify, recursive-CTE components,
+    // containment per q57, the q112 unit-hash draw). Every stage
+    // BITES at all sfs (checked: exact drops dups, near-dup drops
+    // ~5%, decontamination drops the bench leaks, the sample ~15%).
+    // All float comparisons are integer-derived rationals under
+    // identical IEEE division, so the gates replay exactly.
+    QueryDef("q131_prep_end_to_end", Some(raw"""
+      WITH RECURSIVE cleaned AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM documents),
+      toked AS (SELECT doc_id, ct, list_filter(string_split(ct, ' '), x -> x <> '') AS tk FROM cleaned),
+      gated AS (SELECT * FROM toked
+        WHERE length(ct) BETWEEN 20 AND 1000000 AND len(tk) > 0
+          AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) <= 0.9),
+      exact AS (SELECT * FROM gated
+        QUALIFY row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id) = 1),
+      shdoc AS (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM exact),
+      sig AS (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
+      bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ver AS (SELECT c.id_a, c.id_b
+              FROM cands c JOIN shdoc sa ON sa.doc_id = c.id_a
+                           JOIN shdoc sb ON sb.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                    / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.8),
+      edges AS (SELECT id_a AS s, id_b AS d FROM ver UNION SELECT id_b, id_a FROM ver),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      clus AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      nd AS (SELECT e.* FROM exact e LEFT JOIN clus c ON c.id = e.doc_id
+             WHERE c.id IS NULL OR e.doc_id = c.cluster),
+      bsh AS (SELECT doc_id AS bench_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM toked WHERE doc_id < 3),
+      bexp AS (SELECT bench_id, len(shs) AS bn, unnest(shs) AS sh FROM bsh WHERE len(shs) > 0),
+      cexp AS (SELECT n.doc_id,
+          unnest(list_distinct(list_transform(generate_series(1, greatest(len(n.tk) - 2, 0)),
+            k -> array_to_string(n.tk[k:k+2], ' ')))) AS sh
+        FROM nd n),
+      cont AS (SELECT DISTINCT doc_id FROM (
+          SELECT c.doc_id, b.bench_id, b.bn, count(*) AS shared
+          FROM cexp c JOIN bexp b USING (sh)
+          GROUP BY c.doc_id, b.bench_id, b.bn)
+        WHERE CAST(shared AS DOUBLE) / bn >= 0.8),
+      decon AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      sampled AS (SELECT * FROM decon
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'corpusprep'), 1, 8))::UBIGINT
+              / 4294967296.0 < 0.85)
+      SELECT doc_id, CAST(length(ct) AS BIGINT) AS n_clean_chars
+      FROM sampled ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.CorpusPrep.run(docs,
+            cfg = graft.operators.CorpusPrep.Config(
+              benchmark = Some(docs.filter(col("doc_id") < 3)),
+              minContainment = 0.8,
+              sampleRate = Some(lit(0.85))))
+          .select(col("doc_id"),
+            length(col("clean_text")).cast("bigint").as("n_clean_chars"))
+          .orderBy("doc_id")
       })
   )
 }

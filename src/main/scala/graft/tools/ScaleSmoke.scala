@@ -211,7 +211,8 @@ object ScaleSmoke {
     }
     timed("bm25_index_compact") {
       graft.operators.TextStats.compactBm25Index(spark, bm25Dir)
-      spark.read.parquet(s"$bm25Dir/postings").count()
+      // readBm25Index resolves the post-compaction versioned dir
+      graft.operators.TextStats.readBm25Index(spark, bm25Dir).postings.count()
     }
 
     // ---- ANN layer on a replicated embedding corpus -----------------

@@ -238,6 +238,92 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(chainKept == Set(12L), s"tainted cluster leaked: kept $chainKept")
   }
 
+  /** Envelope WAV from per-window amplitudes — the audio twin of the
+    * image tests' synthetic BMPs (see MultimodalSpec). */
+  private def envWav(amps: Seq[Int]): Array[Byte] = {
+    val s = new Array[Short](amps.length * 8)
+    for (w <- amps.indices; j <- 0 until 8)
+      s(w * 8 + j) = (if ((w * 8 + j) % 2 == 0) amps(w) else -amps(w)).toShort
+    graft.operators.Multimodal.syntheticPcmWav(s)
+  }
+
+  test("audio tier: envelope near-dups collapse keep-earliest; incremental probes the standing index; misconfigs refuse") {
+    import spark.implicits._
+    val ampsA = Seq.tabulate(65)(w => 100 * (w + 1))
+    val a = envWav(ampsA)
+    val a2 = envWav(ampsA.updated(0, 300)) // fingerprint hamming 1 from a
+    val c = envWav(ampsA.reverse) // hamming 64 from a
+    val docs = Seq(
+      (1L, "first document with enough plain text to pass the gates", a),
+      (2L, "a completely different second text body that also passes", a2),
+      (3L, "third document again distinct prose passing all the gates", c),
+      (4L, "fourth doc whose audio payload is not decodable at all ok",
+        Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "text", "aud")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        audioCol = Some("aud")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L), s"got $out")
+    // misconfig refusals: audioCol without index (incremental), and
+    // index without audioCol — both loud, mirroring the image tier
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(
+        docs.withColumn("clean_text", col("text")), docs,
+        cfg = CorpusPrep.Config(audioCol = Some("aud")))
+    }.getMessage.contains("audioIndex"))
+    val standing = Seq(
+      (1L, "standing corpus document with plenty of words here", a))
+      .toDF("doc_id", "clean_text", "aud")
+    val sIdx = graft.operators.Dedup.hashBandIndex(
+      graft.operators.Multimodal.withAudioFingerprint(standing, "aud", "fp")(spark),
+      "fp")
+    assert(intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(standing, docs,
+        cfg = CorpusPrep.Config(), audioIndex = Some(sIdx))
+    }.getMessage.contains("audioCol"))
+    // with the index: batch rows near a standing fingerprint drop,
+    // internal audio dups collapse keep-earliest, new audio keeps
+    val batch = Seq(
+      (5L, "a totally new fifth document text that passes the gate", a2),
+      (6L, "a sixth brand new document body that also passes gates", c),
+      (7L, "a seventh distinct document wording that passes gates", c))
+      .toDF("doc_id", "text", "aud")
+    val incKept = CorpusPrep.runIncremental(standing, batch,
+        cfg = CorpusPrep.Config(minChars = 20, audioCol = Some("aud")),
+        audioIndex = Some(sIdx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incKept == Set(6L), s"incremental audio tier kept $incKept")
+  }
+
+  test("image and audio tiers compose in one prep config") {
+    import spark.implicits._
+    val incG = Array.tabulate(72)(i => ((i % 9) * 28) & 0xff)
+    val decG = Array.tabulate(72)(i => (255 - (i % 9) * 28) & 0xff)
+    val imgA = graft.operators.Multimodal.syntheticGrayBmp(9, 8, incG)
+    val imgB = graft.operators.Multimodal.syntheticGrayBmp(9, 8, decG)
+    val ampsA = Seq.tabulate(65)(w => 100 * (w + 1))
+    val audA = envWav(ampsA)
+    val audA2 = envWav(ampsA.updated(0, 300))
+    val audC = envWav(ampsA.reverse)
+    // 2 duplicates 1 by IMAGE only; 3 duplicates 1 by AUDIO only;
+    // 4 is distinct in both modalities — survivors keep-earliest
+    val docs = Seq(
+      (1L, "first document with enough plain text to pass the gates", imgA, audA),
+      (2L, "a completely different second text body that also passes", imgA, audC),
+      (3L, "third document again distinct prose passing all the gates", imgB, audA2),
+      // alternating gradients/envelopes: dHash/fingerprint 0x5555…,
+      // hamming 32 from both the all-set and all-clear signatures
+      (4L, "fourth genuinely distinct document in both of the medias",
+        graft.operators.Multimodal.syntheticGrayBmp(9, 8,
+          Array.tabulate(72)(i => if ((i % 9) % 2 == 0) 40 else 200)),
+        envWav(Seq.tabulate(65)(w => if (w % 2 == 0) 100 else 200))))
+      .toDF("doc_id", "text", "img", "aud")
+    val out = CorpusPrep.run(docs, cfg = CorpusPrep.Config(minChars = 20,
+        imageCol = Some("img"), audioCol = Some("aud")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L), s"got $out")
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"

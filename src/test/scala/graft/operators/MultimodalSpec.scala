@@ -538,4 +538,80 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
   }
+
+  /** 65 windows × 8 samples, window-constant magnitude, alternating
+    * sign — the audio twin of the hand-built dHash grids. */
+  private def envelopeSamples(amps: Seq[Int]): Array[Short] = {
+    val out = new Array[Short](amps.length * 8)
+    for (w <- amps.indices; j <- 0 until 8)
+      out(w * 8 + j) = (if ((w * 8 + j) % 2 == 0) amps(w) else -amps(w)).toShort
+    out
+  }
+
+  test("audioFingerprint64: envelope bits from the sample spec, container-invariant, null hygiene") {
+    import spark.implicits._
+    // A: every window louder than the last -> all 64 bits set; B
+    // boosts ONLY window 0 past window 1 -> bit 0 clears, every other
+    // comparison untouched; C is A reversed -> no bit set
+    val ampsA = Seq.tabulate(65)(w => 100 * (w + 1))
+    val wavA = Multimodal.syntheticPcmWav(envelopeSamples(ampsA))
+    val wavB = Multimodal.syntheticPcmWav(envelopeSamples(ampsA.updated(0, 300)))
+    val wavC = Multimodal.syntheticPcmWav(envelopeSamples(ampsA.reverse))
+    // the same samples through a DIFFERENT container (big-endian
+    // AIFF via the JDK writer) must fingerprint identically
+    val pcmA = envelopeSamples(ampsA)
+    val pcmBytes = new Array[Byte](pcmA.length * 2)
+    for (i <- pcmA.indices) {
+      pcmBytes(i * 2) = (pcmA(i) & 0xff).toByte
+      pcmBytes(i * 2 + 1) = ((pcmA(i) >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBytes),
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false),
+        pcmA.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiffA = bos.toByteArray
+    val docs = Seq(
+      (1L, wavA), (2L, wavB), (3L, wavC),
+      (4L, "not audio".getBytes("UTF-8")),
+      (5L, aiffA),
+      // 64 frames < 65 windows: too short, fingerprints null
+      (6L, Multimodal.syntheticPcmWav(envelopeSamples(ampsA.take(8)))),
+      // header declares 520 frames, payload truncates mid-stream:
+      // null, never a partial-window fingerprint
+      (7L, wavA.take(44 + 100)),
+      (8L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "aud")
+    val fp = Multimodal.withAudioFingerprint(docs, "aud")(spark)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(fp(1L) == Some(-1L), s"ascending envelope must set all bits: ${fp(1L)}")
+    assert(fp(2L) == Some(-2L), s"one flipped comparison clears bit 0: ${fp(2L)}")
+    assert(fp(3L) == Some(0L), s"descending envelope sets no bit: ${fp(3L)}")
+    assert(fp(4L).isEmpty, "junk must fingerprint null")
+    assert(fp(5L) == fp(1L), s"AIFF of the same samples diverged: ${fp(5L)}")
+    assert(fp(6L).isEmpty, "sub-65-frame payload must fingerprint null")
+    assert(fp(7L).isEmpty, "truncated payload must fingerprint null")
+    assert(fp(8L).isEmpty)
+    // output-name collision refuses loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.withAudioFingerprint(docs.withColumn("audio_fp", col("doc_id")),
+        "aud")(spark)
+    }
+    ()
+  }
+
+  test("audioNearDupPairs: banded pairs over the envelope fingerprint, junk never pairs") {
+    import spark.implicits._
+    val ampsA = Seq.tabulate(65)(w => 100 * (w + 1))
+    val docs = Seq(
+      (1L, Multimodal.syntheticPcmWav(envelopeSamples(ampsA))),
+      (2L, Multimodal.syntheticPcmWav(envelopeSamples(ampsA.updated(0, 300)))),
+      (3L, Multimodal.syntheticPcmWav(envelopeSamples(ampsA.reverse))),
+      (4L, Array[Byte](9, 9, 9))).toDF("doc_id", "aud")
+    val pairs = Multimodal.audioNearDupPairs(docs, "aud", "doc_id")(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
+  }
 }

@@ -417,6 +417,68 @@ class SimilaritySpec extends SparkSpecBase {
     assigned.unpersist(); corpus.unpersist()
   }
 
+  test("compactIndex: append stripes coalesce to one file per list; probes bit-identical through the versioned swap") {
+    val assigned = Similarity.ivfAssign(planted, codebook, "e").cache()
+    def files(dir: java.io.File): Seq[java.io.File] = {
+      val fs = dir.listFiles()
+      if (fs == null) Nil
+      else fs.toSeq.flatMap(f => if (f.isDirectory) files(f) else Seq(f))
+    }
+    def parquets(dir: java.io.File) =
+      files(dir).filter(_.getName.endsWith(".parquet"))
+    withTempDir("ivf-compact") { dirFile =>
+      val dir = dirFile.getAbsolutePath
+      // three daily batches: the write plus two appends stripe every
+      // touched list's partition dir
+      Similarity.writeIndex(assigned.filter(col("vec_id") % 3 === 0), dir)
+      Similarity.appendIndex(assigned.filter(col("vec_id") % 3 === 1), dir)
+      Similarity.appendIndex(assigned.filter(col("vec_id") % 3 === 2), dir)
+      def probe() = Similarity.ivfProbeVec(Similarity.readIndex(spark, dir),
+          "e", "vec_id", query, k = 10, codebook, nprobe = 4)
+        .collect().map(_.toSeq).toSeq
+      val before = probe()
+      val stripesBefore = parquets(new java.io.File(dirFile, "cid=0")).size
+      assert(stripesBefore >= 3, s"appends should stripe: $stripesBefore files")
+
+      Similarity.compactIndex(spark, dir)
+
+      assert(probe() == before, "compaction changed probe results")
+      // fresh one-shot write is the reference: same rows, one file/list
+      val fresh = withTempDir("ivf-compact-fresh") { fdir =>
+        Similarity.writeIndex(assigned, fdir.getAbsolutePath)
+        Similarity.ivfProbeVec(
+            Similarity.readIndex(spark, fdir.getAbsolutePath),
+            "e", "vec_id", query, k = 10, codebook, nprobe = 4)
+          .collect().map(_.toSeq).toSeq
+      }
+      assert(probe() == fresh, "compacted probe diverged from fresh write")
+      // versioned layout: pointer + data dir, legacy flat files swept
+      assert(new java.io.File(dirFile, "_current_v1").exists())
+      val v1 = new java.io.File(dirFile, "index_v1")
+      assert(v1.isDirectory)
+      assert(!new java.io.File(dirFile, "cid=0").exists(),
+        "legacy flat partition dirs not reclaimed")
+      val perList = (0 until nClusters).map(c =>
+        parquets(new java.io.File(v1, s"cid=$c")).size)
+      assert(perList.forall(_ == 1), s"files per list after compact: $perList")
+      assert(!new java.io.File(dirFile, "_compact_inprogress").exists())
+
+      // second cycle rides the versioned dir: append stripes index_v1,
+      // compaction swaps to v2 and reclaims v1
+      Similarity.appendIndex(assigned.filter(col("vec_id") % 3 === 0), dir)
+      assert(parquets(new java.io.File(v1, "cid=0")).size >= 2)
+      Similarity.compactIndex(spark, dir)
+      assert(new java.io.File(dirFile, "_current_v2").exists())
+      assert(!new java.io.File(dirFile, "_current_v1").exists() && !v1.exists())
+      // the duplicate-append rows are all there (compaction never
+      // dedups — id hygiene is the appender's contract, as documented)
+      assert(Similarity.readIndex(spark, dir).count() == assigned.count() +
+        assigned.filter(col("vec_id") % 3 === 0).count())
+    }
+    assigned.unpersist()
+    ()
+  }
+
   test("pqTrain degrades on zero-padded subspaces; shape-mismatched codes score NaN, not partial") {
     import spark.implicits._
     // dims 4-7 identically zero (a padded embedding corpus): subspaces
@@ -1457,6 +1519,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException] {
       Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id", weights = Some(Seq(1.0)))
     }.getMessage.contains("weights"))
+    // withSources: per-list provenance columns, null where absent,
+    // fused ranking unchanged
+    val sourced = Similarity.rrfFuse(Seq(lex, sem), "qid", "doc_id", "rank",
+      k = 4, withSources = true)
+    assert(sourced.columns.toSeq ==
+      Seq("qid", "doc_id", "rrf_score", "rank", "rank_in_0", "rank_in_1"))
+    val srows = sourced.collect().map(r => r.getLong(1) ->
+      ((if (r.isNullAt(4)) None else Some(r.getLong(4))),
+        (if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    assert(srows(10L) == ((Some(1L), Some(1L))), s"both-lists doc: ${srows(10L)}")
+    assert(srows(12L)._1.isEmpty && srows(12L)._2.nonEmpty,
+      s"semantic-only doc: ${srows(12L)}")
+    assert(srows(13L)._1.nonEmpty && srows(13L)._2.isEmpty,
+      s"lexical-only doc: ${srows(13L)}")
+    assert(sourced.select("qid", "doc_id", "rrf_score", "rank")
+      .collect().map(_.toSeq).toSet == fused.collect().map(_.toSeq).toSet,
+      "withSources changed the fused ranking")
   }
 
   test("rankMetrics: reciprocal rank and binary nDCG@k; missing queries score zero") {

@@ -427,6 +427,17 @@ class TextStatsSpec extends SparkSpecBase {
         .count()
       assert(staleBefore > 0, "fixture regressed: no stale over-cap rows to compact")
 
+      // pre-compaction stats: stale rows visible, stripes > 1 in the
+      // appended buckets — the cadence telemetry compaction acts on
+      val statsBefore = TextStats.bm25IndexStats(spark, dir.getAbsolutePath)
+      assert(statsBefore.postingsDir.endsWith("/postings"))
+      assert(statsBefore.staleRows == staleBefore,
+        s"stats staleRows ${statsBefore.staleRows} != direct count $staleBefore")
+      assert(statsBefore.maxStripesPerBucket >= 2,
+        s"append should stripe a bucket: $statsBefore")
+      assert(statsBefore.files == parquetsBefore.size &&
+        statsBefore.bytes > 0 && statsBefore.rows > 0)
+
       TextStats.compactBm25Index(spark, dir.getAbsolutePath)
 
       val after = probe()
@@ -440,18 +451,120 @@ class TextStatsSpec extends SparkSpecBase {
           queries, "text", "qid", k = 3))
       }
       assert(after == fresh, s"compacted probe diverged from rebuild")
+      // the swap is versioned: the pointer names postings_v1, the old
+      // unversioned dir's bytes are reclaimed
+      val stats = TextStats.bm25IndexStats(spark, dir.getAbsolutePath)
+      assert(stats.postingsDir.endsWith("/postings_v1"), stats.postingsDir)
+      assert(new java.io.File(dir, "_current_v1").exists())
+      assert(!postingsDir.exists(), "superseded postings/ dir not reclaimed")
       // the stale lists are physically gone and the stripes coalesced
-      val stale = spark.read.parquet(postingsDir.getAbsolutePath)
-        .join(spark.read.parquet(new java.io.File(dir, "df").getAbsolutePath)
-          .filter(col("df") > 1).select("token"), Seq("token"), "left_semi")
-        .count()
-      assert(stale == 0, s"$stale stale over-cap posting rows survived")
-      val parquetsAfter = listFiles(postingsDir)
+      assert(stats.staleRows == 0, s"${stats.staleRows} stale rows survived")
+      assert(stats.maxStripesPerBucket == 1L, s"stripes survived: $stats")
+      val parquetsAfter = listFiles(new java.io.File(stats.postingsDir))
         .filter(_.getName.endsWith(".parquet"))
       assert(parquetsAfter.size < parquetsBefore.size,
         s"no coalescing: ${parquetsBefore.size} -> ${parquetsAfter.size}")
-      // no marker left behind; the index is servable
+      // no markers left behind; the index is servable
       assert(!new java.io.File(dir, "_append_incomplete").exists())
+      assert(!new java.io.File(dir, "_compact_inprogress").exists())
+
+      // a SECOND append+compact cycle rides the versioned dir: the
+      // append stripes postings_v1, the compaction swaps to v2. The
+      // append deliberately pushes EVERY remaining under-cap token
+      // (grape, banana) over df 1, so this compaction's survivor set
+      // is ZERO rows — the pathological case where a partitioned
+      // write emits no files at all; the schema-sentinel write must
+      // keep the index readable and the (empty) probes unchanged
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        Seq((30L, "grape banana")).toDF("doc_id", "text"), "text", "doc_id")
+      val v2Before = probe()
+      TextStats.compactBm25Index(spark, dir.getAbsolutePath)
+      assert(probe() == v2Before, "second-cycle compaction changed probes")
+      val stats2 = TextStats.bm25IndexStats(spark, dir.getAbsolutePath)
+      assert(stats2.postingsDir.endsWith("/postings_v2"), stats2.postingsDir)
+      assert(stats2.rows == 0 && stats2.staleRows == 0,
+        s"zero-survivor compaction should reclaim every posting row: $stats2")
+      assert(!new java.io.File(dir, "_current_v1").exists())
+      assert(!new java.io.File(dir, "postings_v1").exists())
+
+      // a REBUILD resets to the unversioned layout and clears pointers
+      TextStats.writeBm25Index(corpus, "text", "doc_id",
+        dir.getAbsolutePath, maxPostings = 1, tokenBuckets = 2)
+      val statsR = TextStats.bm25IndexStats(spark, dir.getAbsolutePath)
+      assert(statsR.postingsDir.endsWith("/postings"), statsR.postingsDir)
+      assert(!new java.io.File(dir, "_current_v2").exists())
+      assert(!new java.io.File(dir, "postings_v2").exists())
+      assert(probe() == fresh, "rebuild over a compacted root diverged")
+    }
+  }
+
+  test("compaction crash boundaries: every intermediate filesystem state stays probe-consistent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "apple banana apple"), (11L, "banana cherry"),
+      (12L, "apple durian fig"), (13L, "cherry fig fig grape")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry"), (2L, "fig grape"))
+      .toDF("doc_id", "text").select(col("doc_id").as("qid"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    withTempDir("bm25-crash") { dir =>
+      val path = dir.getAbsolutePath
+      TextStats.writeBm25Index(corpus, "text", "doc_id", path,
+        maxPostings = 2, tokenBuckets = 2)
+      def probe() = rows(TextStats.bm25TopKFromIndex(
+        TextStats.readBm25Index(spark, path), queries, "text", "qid", k = 3))
+      val expected = probe()
+      def copyDir(from: java.io.File, to: java.io.File): Unit = {
+        to.mkdirs()
+        from.listFiles().foreach { f =>
+          if (f.isDirectory) copyDir(f, new java.io.File(to, f.getName))
+          else java.nio.file.Files.copy(f.toPath,
+            new java.io.File(to, f.getName).toPath)
+        }
+      }
+      // simulate a compaction killed at each step boundary, replaying
+      // compactBm25Index's exact step order by hand (lock → new dir
+      // write → pointer create → stale-pointer delete → old-dir
+      // delete) and asserting the read/probe path at every state
+      // 1. lock created, nothing else: reads are NOT blocked (the
+      //    lock is writer mutual exclusion only)
+      assert(new java.io.File(dir, "_compact_inprogress").createNewFile())
+      assert(probe() == expected, "state 1 (lock only) broke probes")
+      // 2. new dir fully written, pointer NOT yet created: readers
+      //    must still resolve the OLD dir (the new one is invisible)
+      copyDir(new java.io.File(dir, "postings"),
+        new java.io.File(dir, "postings_v1"))
+      assert(TextStats.bm25IndexStats(spark, path)
+        .postingsDir.endsWith("/postings"), "pointerless dir became visible")
+      assert(probe() == expected, "state 2 (dir, no pointer) broke probes")
+      // 3. pointer created, old dir still present: readers resolve v1
+      assert(new java.io.File(dir, "_current_v1").createNewFile())
+      assert(TextStats.bm25IndexStats(spark, path)
+        .postingsDir.endsWith("/postings_v1"), "pointer not honored")
+      assert(probe() == expected, "state 3 (pointer + old dir) broke probes")
+      // 4. old dir deleted (housekeeping), lock still behind: probes
+      //    fine; a rerun refuses LOUDLY while the stale lock exists
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmRf)
+        f.delete(); ()
+      }
+      rmRf(new java.io.File(dir, "postings"))
+      assert(probe() == expected, "state 4 (old dir gone) broke probes")
+      val refused = intercept[IllegalArgumentException] {
+        TextStats.compactBm25Index(spark, path)
+      }
+      assert(refused.getMessage.contains("_compact_inprogress"))
+      // 5. the documented recovery: delete the stale lock, rerun —
+      //    compaction proceeds from the crashed state to a clean v2
+      assert(new java.io.File(dir, "_compact_inprogress").delete())
+      TextStats.compactBm25Index(spark, path)
+      assert(probe() == expected, "post-recovery compaction broke probes")
+      assert(TextStats.bm25IndexStats(spark, path)
+        .postingsDir.endsWith("/postings_v2"))
+      assert(!new java.io.File(dir, "_current_v1").exists())
+      assert(!new java.io.File(dir, "_compact_inprogress").exists())
     }
   }
 }

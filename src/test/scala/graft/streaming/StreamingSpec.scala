@@ -636,6 +636,53 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("prepStream audio tier: the standing fingerprint index filters intake per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def envWav(amps: Seq[Int]): Array[Byte] = {
+      val s = new Array[Short](amps.length * 8)
+      for (w <- amps.indices; j <- 0 until 8)
+        s(w * 8 + j) = (if ((w * 8 + j) % 2 == 0) amps(w) else -amps(w)).toShort
+      graft.operators.Multimodal.syntheticPcmWav(s)
+    }
+    val ampsA = Seq.tabulate(65)(w => 100 * (w + 1))
+    val a = envWav(ampsA)
+    val near = envWav(ampsA.updated(0, 300)) // fingerprint hamming 1
+    val far = envWav(ampsA.reverse)
+    val standing = Seq((100L, a)).toDF("doc_id", "aud")
+    val idx = graft.operators.Dedup.hashBandIndex(
+      graft.operators.Multimodal.withAudioFingerprint(standing, "aud", "fp")(spark),
+      "fp")
+    val intake = Seq(
+      (1L, "2026-01-01 00:00:01", "first intake document passing every text gate fine", near),
+      (2L, "2026-01-01 00:00:02", "second intake document also passing the gates well", far))
+      .toDF("doc_id", "ts", "text", "aud")
+      .withColumn("ts", to_timestamp(col("ts")))
+    withTempDir("prep-stream-aud") { dir =>
+      intake.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING, aud BINARY")
+        .parquet(s"$dir/in")
+      val out = graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+        cfg = graft.operators.CorpusPrep.Config(minChars = 20,
+          audioCol = Some("aud")),
+        audioIndex = Some(idx))
+      val q = out.writeStream.format("memory").queryName("prep_aud_stream")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val kept = spark.table("prep_aud_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // doc 1's fingerprint sits at hamming 1 of standing -> drops
+      assert(kept == Set(2L), s"stream audio tier kept $kept")
+      // without the index the config is refused loudly, not skipped
+      assert(intercept[IllegalArgumentException] {
+        graft.operators.CorpusPrep.prepStream(stream, "text", "ts",
+          cfg = graft.operators.CorpusPrep.Config(audioCol = Some("aud")))
+      }.getMessage.contains("audioIndex"))
+    }
+  }
+
   test("prepStream releases its standing-corpus caches when the stream terminates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
