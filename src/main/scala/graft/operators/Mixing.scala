@@ -88,6 +88,50 @@ object Mixing {
       salt: String = ""): DataFrame =
     df.orderBy(unitHash(col(idCol), salt), col(idCol))
 
+  /** Leakage-safe deterministic split: label every row with one of the
+    * named splits (("train", 0.9), ("val", 0.05), ("test", 0.05)) by
+    * ONE md5-uniform draw over `groupCol` — every row sharing a group
+    * value lands on the SAME side. That group is the whole point:
+    * split on the near-dup CLUSTER id (`Dedup.duplicateClusters`
+    * label, coalesced to the doc's own id for singletons), the url
+    * domain, or the conversation/thread id, and a held-out document's
+    * near-twin can never leak into train — an id-hashed split leaks
+    * exactly those twins, which is how eval scores go quietly stale.
+    * Weights normalize by their sum (9/1 and 0.9/0.1 are the same
+    * split); sides are disjoint and exhaustive by construction
+    * (cumulative thresholds on one draw), and REBALANCING NESTS the
+    * way every md5 draw here does: growing train's fraction only
+    * MOVES the boundary, so no group swaps sides unless its draw sits
+    * in the moved band — eval contamination from a recut is
+    * impossible for groups that stay held out.
+    *
+    * Null-group rule, same as every draw here: a null group has no
+    * draw, so the row DROPS — key-fill upstream (coalesce the cluster
+    * label with the doc id) rather than letting unclustered rows
+    * vanish. Pure map-side (hash + compare), no shuffle; the draw
+    * replays in any engine with md5. */
+  def splitByGroup(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split",
+      salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "splits must name at least one side")
+    require(splits.forall(_._2 > 0),
+      s"split weights must be positive, got ${splits.map(_._2).mkString(",")}")
+    val names = splits.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate split names: ${names.mkString(",")}")
+    require(!df.columns.contains(outCol),
+      s"input column '$outCol' collides with the split label; pass a different outCol")
+    val total = splits.map(_._2).sum
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = unitHash(col(groupCol), salt)
+    // the LAST side is the otherwise-branch: it owns [c_{k-1}, 1) plus
+    // any floating-point sliver at the top, so the labeling is total
+    val labeled = names.init.zip(cums.init).foldRight(lit(names.last)) {
+      case ((n, c), acc) => when(u < lit(c), lit(n)).otherwise(acc)
+    }
+    df.filter(col(groupCol).isNotNull).withColumn(outCol, labeled)
+  }
+
   /** Temperature-scaled source weights — the standard multi-source /
     * multilingual re-balancing (sample source i with probability
     * q_i ∝ p_i^alpha, alpha in (0, 1]: alpha = 1 keeps natural

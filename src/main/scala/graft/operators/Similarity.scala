@@ -273,9 +273,74 @@ object Similarity {
     * codebook/model with the index (writeCodebook/writePqModel) and
     * rebuild when drift warrants it. */
   def appendIndex(assignedBatch: DataFrame, path: String,
-      cidCol: String = "cid"): Unit =
+      cidCol: String = "cid"): Unit = {
+    val spark = assignedBatch.sparkSession
+    val fs = hadoopFs(spark, path)
+    // re-adding a tombstoned id would be silently invisible (readIndex
+    // anti-joins the tombstones) — refuse loudly; compactIndex applies
+    // the deletions materially and makes the id re-addable. One
+    // broadcast semi-join short-circuited by isEmpty, only when
+    // deletions are pending.
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (fs.exists(tombDir)) {
+      val ts = spark.read.parquet(tombDir.toString)
+      val tid = ts.columns.head
+      require(assignedBatch.join(broadcast(ts.select(tid).distinct()),
+          Seq(tid), "left_semi").isEmpty,
+        s"append batch re-adds tombstoned ids under $path — run " +
+          "compactIndex first (it removes the deleted rows materially and " +
+          "clears the tombstones), then append")
+    }
     assignedBatch.write.mode("append").partitionBy(cidCol)
-      .parquet(currentIndexDir(hadoopFs(assignedBatch.sparkSession, path), path))
+      .parquet(currentIndexDir(fs, path))
+  }
+
+  /** Delete vectors from a persisted IVF index — the ANN twin of
+    * `TextStats.deleteFromBm25Index`, and the takedown shape: at
+    * 100 TB a removal request cannot cost an index rebuild, so
+    * deletion is a TOMBSTONE (`_tombstones/` under the index root —
+    * underscore-prefixed, so the flat parquet layout never reads it
+    * as data) that `readIndex` applies as a broadcast anti-join;
+    * every probe built on `readIndex` stops returning the ids
+    * immediately, and the bytes leave at the next `compactIndex`
+    * (which reads through the same anti-join, so its rewrite removes
+    * the rows materially, then clears the tombstones).
+    *
+    * Unlike the BM25 side there is NO df/meta repair: IVF probes
+    * score each candidate independently (no corpus-level statistics),
+    * so dropping the rows IS the whole deletion — probe results equal
+    * a fresh `writeIndex` over the surviving assignments under the
+    * same frozen codebook/model (centroids do not unlearn the deleted
+    * vectors; retrain + rebuild when drift warrants, the same
+    * staleness contract as `appendIndex`). Duplicate and
+    * already-deleted ids are harmless (the anti-join is idempotent),
+    * so retries are safe; `idCol` must match the indexed id column —
+    * `readIndex` fails loudly on a mismatch rather than silently
+    * deleting nothing. Writers are mutually exclusive with
+    * compaction: deleting mid-compaction could land tombstones the
+    * compaction clears without applying. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    val fs = hadoopFs(spark, path)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
+      s"a compaction is running (or crashed) under $path — deleting now " +
+        "could land tombstones the compaction clears without applying; " +
+        "wait for it (or clear a stale _compact_inprogress) and retry")
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (fs.exists(tombDir)) {
+      val existing = spark.read.parquet(tombDir.toString).columns
+      require(existing.sameElements(Array(idCol)),
+        s"index at $path already has tombstones on '${existing.mkString(",")}'" +
+          s", got idCol '$idCol'")
+    }
+    val newIds = ids.select(col(ids.columns.head).as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    // a zero-row parquet append can leave a footer-less dir that fails
+    // schema inference on read — skip it (nothing to delete anyway)
+    if (!newIds.isEmpty) newIds.write.mode("append").parquet(tombDir.toString)
+  }
 
   /** Version pointers under an index root — the same atomic-swap
     * device as the BM25 side (TextStats.currentPostingsDir):
@@ -306,9 +371,23 @@ object Similarity {
       .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Read a persisted IVF index back for probing (resolves the
-    * compaction version pointer — see `compactIndex`). */
-  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(currentIndexDir(hadoopFs(spark, path), path))
+    * compaction version pointer — see `compactIndex` — and applies
+    * any pending `deleteFromIndex` tombstones as a broadcast
+    * anti-join, so every probe and the compaction rewrite itself see
+    * the post-delete index; the anti-join sits above the scan and
+    * does not disturb the centroid-partition pruning probes rely
+    * on). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    val data = spark.read.parquet(currentIndexDir(fs, path))
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (!fs.exists(tombDir)) data
+    else {
+      val ts = spark.read.parquet(tombDir.toString)
+      data.join(broadcast(ts.select(ts.columns.head).distinct()),
+        Seq(ts.columns.head), "left_anti")
+    }
+  }
 
   /** Compact a persisted IVF index — the housekeeping pass
     * `appendIndex` accumulates toward, and the ANN twin of
@@ -316,9 +395,14 @@ object Similarity {
     * touched inverted-list partition, so after N daily batches a
     * probe of one list opens N files. Compaction rewrites the data
     * with ONE file per list (repartition on the centroid id before
-    * the partitioned write) — pure coalescing, no semantic gate (the
-    * ANN index has no posting cap), so probe results are
-    * BIT-IDENTICAL before and after.
+    * the partitioned write), reading through `readIndex` — so pending
+    * `deleteFromIndex` tombstones are applied MATERIALLY (the rows
+    * leave, then the tombstones clear and the ids become re-addable).
+    * No other semantic gate (the ANN index has no posting cap), so
+    * probe results are BIT-IDENTICAL before and after. One corner: an
+    * index whose every row is deleted skips the rewrite (a zero-row
+    * partitioned write emits an unreadable dir) and KEEPS its
+    * tombstones — probes stay correct through the anti-join.
     *
     * Crash-safety is the BM25 side's versioned swap: the rewrite
     * lands in a fresh `index_vN/` beside the servable data and the
@@ -361,10 +445,16 @@ object Similarity {
         s"pointer _current_v$next already exists under $path — concurrent " +
           "compactions? The servable index is unchanged")
       // post-swap housekeeping: stale pointers, then superseded data
+      // (the flat-layout sweep below also clears `_tombstones`; the
+      // versioned branch clears it explicitly — either way a crash
+      // first is harmless: the anti-join re-excludes rows already
+      // gone, and the next compaction clears them)
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
-      if (vs.nonEmpty)
+      if (vs.nonEmpty) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/index_v${vs.max}"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      }
       else fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter { st =>
           val n = st.getPath.getName

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics text scoring: the second-generation quality
@@ -473,10 +473,16 @@ object TextStats {
     * DENORMALIZED onto each posting row so the probe never joins a
     * corpus-sized lengths table; `dfT` (token, df) holds the TRUE
     * document frequency — complete even for terms whose posting
-    * lists were capped away, so idf always reflects the real corpus;
-    * `meta` is one row (ndocs, avglen, max_postings, id_col). */
+    * lists were capped away, so idf always reflects the real corpus
+    * (after deletes, "true" modulo the cap: see
+    * `deleteFromBm25Index`'s completeness invariant — whenever the
+    * probe gate passes, df is exact); `meta` is one row (ndocs,
+    * avglen, max_postings, id_col); `tombstones` holds the deleted
+    * doc ids not yet compacted away (None when no
+    * `deleteFromBm25Index` ran since the last rebuild/compaction) —
+    * probes anti-join it, compaction applies it materially. */
   final case class Bm25Index(postings: DataFrame, dfT: DataFrame,
-      meta: DataFrame) {
+      meta: DataFrame, tombstones: Option[DataFrame] = None) {
     /** The corpus id column name, recovered from the postings schema
       * (the one column that isn't an index internal) — no driver
       * action needed to build a probe plan. */
@@ -490,7 +496,9 @@ object TextStats {
     * expensive pass. Layout under `path`: `postings/` (idCol, token,
     * tf, len), `df/` (token, df), `meta/` (ndocs, avglen,
     * max_postings, id_col), all parquet like every other artifact
-    * here (PQ/SQ/BQ models, bigram LM, dedup index).
+    * here (PQ/SQ/BQ models, bigram LM, dedup index); after a
+    * `deleteFromBm25Index`, also `_tombstones/` until the next
+    * compaction.
     *
     * Hot postings are capped AT BUILD TIME, concretely: a term whose
     * posting list exceeds `maxPostings` rows (a stop word — df near
@@ -600,7 +608,7 @@ object TextStats {
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n == "_compact_inprogress" ||
+        n == "_compact_inprogress" || n == "_tombstones" ||
           (n.startsWith("_current_v") && n.drop(10).forall(_.isDigit)) ||
           (n.startsWith("postings_v") && n.drop(10).forall(_.isDigit))
       }
@@ -648,12 +656,16 @@ object TextStats {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(marker),
-      s"BM25 index at $path has an unfinished append (_append_incomplete " +
-        "marker present) — its postings/df/meta may disagree; rebuild with " +
-        "writeBm25Index rather than serving inconsistent scores")
+      s"BM25 index at $path has an unfinished append/delete " +
+        "(_append_incomplete marker present) — its postings/df/meta may " +
+        "disagree; rebuild with writeBm25Index rather than serving " +
+        "inconsistent scores")
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     Bm25Index(spark.read.parquet(currentPostingsDir(fs, path)),
       spark.read.parquet(s"$path/df"),
-      spark.read.parquet(s"$path/meta"))
+      spark.read.parquet(s"$path/meta"),
+      if (fs.exists(tombDir)) Some(spark.read.parquet(tombDir.toString))
+      else None)
   }
 
   /** Append a document batch to a persisted BM25 index WITHOUT
@@ -681,6 +693,18 @@ object TextStats {
       metaRow.getLong(2), metaRow.getLong(3))
     require(metaRow.getString(4) == idCol,
       s"index was built with idCol '${metaRow.getString(4)}', got '$idCol'")
+    // re-adding a tombstoned id would be SILENTLY invisible (probes
+    // anti-join the tombstones, so the new rows never score) and would
+    // collide with the old rows at the next compaction — refuse loudly;
+    // compaction clears the tombstones and makes the id re-addable.
+    // Cost: one broadcast semi-join short-circuited by isEmpty.
+    old.tombstones.foreach { ts =>
+      require(batch.join(broadcast(ts.select(col(idCol)).distinct()),
+          Seq(idCol), "left_semi").isEmpty,
+        s"append batch re-adds tombstoned ids under $path — run " +
+          "compactBm25Index first (it applies deletions materially and " +
+          "clears the tombstones), then append")
+    }
     // persisted for the same reason as in writeBm25Index: tf feeds
     // the postings AND the df merge, lens the postings AND the scalar
     // recompute — one batch tokenize, not one per action
@@ -740,6 +764,135 @@ object TextStats {
     ()
   }
 
+  /** Delete documents from a persisted BM25 index WITHOUT rescanning
+    * the standing corpus — the takedown/right-to-be-forgotten shape:
+    * at 100 TB a removal request cannot cost a corpus re-tokenize, so
+    * deletion is a TOMBSTONE plus vocabulary-sized df/meta repair, and
+    * the bytes leave at the next `compactBm25Index` (which applies the
+    * tombstones materially and clears them).
+    *
+    * `ids` is the doc-id frame to delete (one column, any name —
+    * renamed to the index's id column; nulls and already-tombstoned
+    * ids drop, so retries and overlapping requests are safe). The
+    * mutation, bracketed by the same incomplete marker as the append
+    * so a crash is LOUD, is: (1) append the new ids to `_tombstones/`
+    * — probes anti-join it, so the docs stop scoring immediately;
+    * (2) decrement `df/` by each token's count of deleted-doc posting
+    * rows (read from the postings themselves — no corpus access) and
+    * rename-swap it; (3) recompute the two meta scalars from the
+    * deleted docs' denormalized lengths (n' = n − nD,
+    * avglen' = (n·avg − Σlen_deleted)/n').
+    *
+    * COMPLETENESS INVARIANT — why the probe's plain df-gate stays
+    * sound, with no extra bookkeeping: decrements count only ON-DISK
+    * rows, so at any moment
+    * df = |surviving docs with on-disk rows| + |docs whose rows were
+    * cap-dropped at their write| (cap-dropped docs never decrement —
+    * they have no rows to count, whether deleted or not). Any write
+    * that drops does so because ITS list alone exceeded the cap, so
+    * a non-empty dropped set forces df > cap — the gate refuses.
+    * Contrapositive: whenever `df <= max_postings`, no write ever
+    * dropped this token, every surviving doc's row is physically
+    * present, and df equals the true post-delete document frequency.
+    * Served lists are therefore always complete with exact idf, and
+    * probe results equal a fresh `writeBm25Index` over the corpus
+    * minus the deleted docs — up to two honest conservatisms that
+    * need a capped list to matter at all: a once-capped term stays
+    * gated even if deletions brought its TRUE df back under the cap
+    * (the rebuild would serve it; this index can't know the dropped
+    * rows without re-tokenizing), and a deleted doc ALL of whose
+    * terms were capped contributes length 0 to the avglen repair
+    * (its true length is unknowable from the artifact; the doc still
+    * leaves ndocs). Ids must currently be indexed — the same trust
+    * contract as the append's disjointness (deleting a never-indexed
+    * id over-decrements ndocs; deleting a zero-token doc is exact,
+    * its true length IS 0).
+    *
+    * Cost: one probe of postings matched by the broadcast id set, one
+    * vocabulary-sized df merge + rename, one meta rewrite — the
+    * corpus never re-tokenizes. Writers are mutually exclusive: the
+    * marker excludes appends/deletes, and the compaction-lock check
+    * excludes a concurrent compaction (whose tombstone clearing could
+    * otherwise orphan ids landed mid-compaction). */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Unit = {
+    val old = readBm25Index(spark, path)
+    val metaRow = old.meta
+      .select("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
+      .collect()(0)
+    val (n0, avg0, cap, tb) = (metaRow.getDouble(0), metaRow.getDouble(1),
+      metaRow.getLong(2), metaRow.getLong(3))
+    require(metaRow.getString(4) == idCol,
+      s"index was built with idCol '${metaRow.getString(4)}', got '$idCol'")
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
+      s"a compaction is running (or crashed) under $path — deleting now " +
+        "could land tombstones the compaction clears without applying; " +
+        "wait for it (or clear a stale _compact_inprogress) and retry")
+    // new ids only: dedup the request and drop ids already tombstoned,
+    // so a retried delete cannot double-decrement df/ndocs. Pinned
+    // eagerly — it feeds the tombstone write, the df decrement and the
+    // meta sums, and is delete-request-sized by contract.
+    val newIds0 = ids.select(col(ids.columns.head).as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    val newIds = (old.tombstones match {
+      case Some(ts) => newIds0.join(broadcast(ts.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+      case None => newIds0
+    }).localCheckpoint(true)
+    if (newIds.isEmpty) return
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
+    require(fs.createNewFile(marker),
+      s"could not create mutation marker under $path (previous " +
+        "append/delete unfinished, or concurrent writers — both require " +
+        "a rebuild)")
+    // tombstones first; a crash ANYWHERE inside the marker bracket is
+    // the same loud rebuild-required state as a crashed append (reads
+    // refuse on the marker). The anti-join idempotency above protects
+    // against duplicate COMPLETED requests (a caller re-sending ids it
+    // already deleted), not against crashes — partial mutations never
+    // serve.
+    newIds.write.mode("append").parquet(s"$path/_tombstones")
+    // per-token decrements = the deleted docs' surviving posting rows
+    // (one row per (doc, token)); per-doc lengths ride the same
+    // matched rows, denormalized and equal across a doc's rows
+    val matched = old.postings
+      .join(broadcast(newIds), Seq(idCol), "left_semi")
+      .select(col(idCol), col("token"), col("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dec = matched.groupBy("token").agg(count(lit(1)).as("_dec"))
+      old.dfT
+        .select(col("token"), col("df").as("_df0"))
+        .join(dec, Seq("token"), "left")
+        .select(col("token"),
+          greatest(col("_df0") - coalesce(col("_dec"), lit(0L)), lit(0L)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/df.tmp")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
+        new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
+      // meta repair: nD counts the REQUESTED ids (exact for zero-token
+      // docs, which have no rows but really do have length 0); the
+      // length sum comes from each matched doc's first posting row
+      val nD = newIds.count().toDouble
+      val sumD = matched.groupBy(idCol).agg(first(col("len")).as("_l"))
+        .agg(coalesce(sum("_l"), lit(0.0)).as("s")).collect()(0).getDouble(0)
+      val n1 = n0 - nD
+      require(n1 >= 0,
+        s"delete of ${nD.toLong} ids would drive ndocs negative under " +
+          s"$path — ids not currently indexed?")
+      import spark.implicits._
+      Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 - sumD) / n1, cap, tb, idCol))
+        .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    } finally { matched.unpersist(); () }
+    fs.delete(marker, false)
+    ()
+  }
+
   /** Compact a persisted BM25 index's `postings/` — the housekeeping
     * pass appends accumulate toward. Each `appendBm25Index` adds up
     * to `token_buckets` files per touched bucket plus whole-list
@@ -747,18 +900,24 @@ object TextStats {
     * after the append (correctly df-gated at probe, so results are
     * right — but the bytes stay, and after N appends a probe reads N
     * stripes per bucket). Compaction rewrites `postings/` with the
-    * probe's own df-gate applied MATERIALLY (`df <= max_postings`)
-    * and one output file per bucket; `df/` and `meta/` are untouched,
-    * so probe results are bit-identical before and after — only the
-    * bytes and file counts shrink back to what a fresh rebuild writes.
+    * probe's own exclusions applied MATERIALLY — the df-gate
+    * (`df <= max_postings`) and the delete tombstones — with one
+    * output file per bucket; `df/` and `meta/` are untouched, so
+    * probe results are bit-identical before and after — only the
+    * bytes and file counts shrink back to what a fresh rebuild
+    * writes. `deleteFromBm25Index` tombstones clear AFTER the swap:
+    * their rows have left the postings for real, and the deleted ids
+    * become re-addable.
     *
-    * One rule suffices, no re-cap pass: append ids are disjoint by
-    * contract, so a token's on-disk posting rows never exceed its
-    * TRUE df — `df <= cap` therefore implies `rows <= cap`, and every
-    * over-cap list is exactly a `df > cap` list. Cost: one read +
-    * write of `postings/` (bucket-partitioned both ways, the df
-    * semi-join shuffles only the vocabulary-sized key set) — much
-    * cheaper than a rebuild, which re-tokenizes the corpus.
+    * Two rules suffice, no re-cap pass: a token passing the df-gate
+    * has a COMPLETE surviving list on disk (the completeness
+    * invariant on `deleteFromBm25Index` — a gate-passing token never
+    * had a write dropped), so its rows minus the tombstoned ones are
+    * exactly the fresh-rebuild list, while every gated token drops
+    * whole. Cost: one read + write of `postings/` (bucket-partitioned
+    * both ways, the df semi-join shuffles only the vocabulary-sized
+    * key set) — much cheaper than a rebuild, which re-tokenizes the
+    * corpus.
     *
     * Crash-safety is a VERSIONED SWAP, not a delete→rename: the
     * compacted postings land in a fresh `postings_vN/` beside the
@@ -799,8 +958,17 @@ object TextStats {
       val vs = postingsVersions(fs, path)
       val next = (0L +: vs).max + 1
       val hasTb = old.postings.columns.contains("_tb")
-      val gated = old.postings.join(
+      // the probe's own exclusions, applied MATERIALLY: the df-gate
+      // and the delete tombstones — after the swap the tombstones
+      // clear, their rows having left the postings for real (and
+      // their ids become re-addable)
+      val gated0 = old.postings.join(
         old.dfT.filter(col("df") <= cap).select("token"), Seq("token"), "left_semi")
+      val gated = old.tombstones match {
+        case Some(ts) => gated0.join(
+          broadcast(ts.select(col(old.idCol)).distinct()), Seq(old.idCol), "left_anti")
+        case None => gated0
+      }
       // non-destructive either way: overwrite also clears an orphan dir
       // a crashed attempt left at this version; servable state is
       // untouched. The bucketed path rides writePostingsBucketed — one
@@ -815,12 +983,16 @@ object TextStats {
         s"pointer _current_v$next already exists under $path — concurrent " +
           "compactions? The servable index is unchanged")
       // post-swap housekeeping: stale pointers first (so a crash here
-      // still resolves vN), then the superseded dir's bytes
+      // still resolves vN), then the superseded dir's bytes, then the
+      // now-applied tombstones — a crash before that last delete is
+      // harmless (the anti-join re-excludes rows that are already
+      // gone; the next compaction clears them)
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
       val oldDir =
         if (vs.isEmpty) s"$path/postings" else s"$path/postings_v${vs.max}"
       fs.delete(new org.apache.hadoop.fs.Path(oldDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
       ()
     } finally { fs.delete(lock, false); () }
   }
@@ -830,14 +1002,19 @@ object TextStats {
     * needs (SCALE.md): `maxStripesPerBucket` is the probe's
     * worst-case files-opened-per-bucket (each append adds a stripe;
     * compaction returns it to 1), `staleRows` counts the on-disk
-    * posting rows the probe's df-gate skips (terms whose combined
-    * list crossed `max_postings` only after appends — bytes
-    * compaction reclaims), `bytes`/`files` size the artifact.
-    * Cost: one filesystem walk of the postings dir plus one
-    * postings⋈df read — no corpus access, no tokenization. */
+    * posting rows the probe's peak-df gate skips (terms whose
+    * combined list crossed `max_postings` at some point — bytes
+    * compaction reclaims), `tombstonedIds`/`tombstonedRows` count the
+    * deleted-but-uncompacted docs and their still-on-disk posting
+    * rows (probes anti-join them per query; compaction removes them
+    * for real — a growing tombstone set is the other compact-now
+    * signal), `bytes`/`files` size the artifact. Cost: one filesystem
+    * walk of the postings dir plus one postings⋈df read — no corpus
+    * access, no tokenization. */
   final case class Bm25IndexStats(postingsDir: String, buckets: Long,
       files: Long, maxStripesPerBucket: Long, bytes: Long,
-      rows: Long, staleRows: Long, ndocs: Double, avglen: Double)
+      rows: Long, staleRows: Long, ndocs: Double, avglen: Double,
+      tombstonedIds: Long = 0L, tombstonedRows: Long = 0L)
 
   def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): Bm25IndexStats = {
@@ -863,20 +1040,32 @@ object TextStats {
     }
     val cap = idx.meta.select("max_postings").collect()(0).getLong(0)
     val metaRow = idx.meta.select("ndocs", "avglen").collect()(0)
-    // one postings pass: total rows + stale rows (df-gate misses);
-    // the null-token schema sentinel (writePostingsBucketed) is not a
-    // posting and never probes — exclude it from the row counts
-    val row = idx.postings
+    // one postings pass: total rows + stale rows (df-gate misses) +
+    // tombstoned rows (delete anti-join misses); the null-token schema
+    // sentinel (writePostingsBucketed) is not a posting and never
+    // probes — exclude it from the row counts
+    val withStale = idx.postings
       .filter(col("token").isNotNull)
       .join(broadcast(idx.dfT.filter(col("df") > cap)
         .select(col("token"), lit(1).as("_stale"))), Seq("token"), "left")
+    val withTomb = idx.tombstones match {
+      case Some(ts) => withStale.join(
+        broadcast(ts.select(col(idx.idCol)).distinct()
+          .withColumn("_tomb", lit(1))), Seq(idx.idCol), "left")
+      case None => withStale.withColumn("_tomb", lit(null).cast("int"))
+    }
+    val row = withTomb
       .agg(count(lit(1)).as("rows"),
-        count(col("_stale")).as("stale"))
+        count(col("_stale")).as("stale"),
+        count(col("_tomb")).as("trows"))
       .collect()(0)
+    val tombIds = idx.tombstones
+      .map(_.select(col(idx.idCol)).distinct().count()).getOrElse(0L)
     Bm25IndexStats(dir, perBucket.size.toLong, files,
       if (perBucket.isEmpty) 0L else perBucket.values.max,
       bytes, row.getLong(0), row.getLong(1),
-      metaRow.getDouble(0), metaRow.getDouble(1))
+      metaRow.getDouble(0), metaRow.getDouble(1),
+      tombIds, row.getLong(2))
   }
 
   /** LIVE retrieval against the persisted index — the stream twin the
@@ -978,7 +1167,8 @@ object TextStats {
       col("avglen").as("_avglen"), col("max_postings").as("_maxp"))
     // query-term df: the vocab-sized df table scanned once, filtered
     // map-side by the broadcast query terms, df-gated — tiny result,
-    // broadcast back into the postings scan
+    // broadcast back into the postings scan (the gate stays sound
+    // under deletes: see deleteFromBm25Index's completeness invariant)
     val qdf = index.dfT
       .join(broadcast(qTokens.select("token").distinct()), Seq("token"))
       .crossJoin(broadcast(scalars.select("_maxp")))
@@ -988,8 +1178,18 @@ object TextStats {
     val idf = log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5))
     val norm = col("tf") + lit(k1) *
       (lit(1.0) - lit(b) + lit(b) * col("len") / col("_avglen"))
-    index.postings
-      .join(broadcast(qTokens), joinKeys)
+    // deleted-but-uncompacted docs leave via a broadcast anti-join on
+    // the tombstones, applied AFTER the query-term match so it touches
+    // probe-sized rows, not the postings scan (the tombstone set is
+    // delete-request-sized; a delete set too large to broadcast is the
+    // signal to compact, which clears it)
+    val matched0 = index.postings.join(broadcast(qTokens), joinKeys)
+    val matched = index.tombstones match {
+      case Some(ts) => matched0.join(
+        broadcast(ts.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+      case None => matched0
+    }
+    matched
       .join(broadcast(qdf), Seq("token"))
       .crossJoin(broadcast(scalars.select("_n", "_avglen")))
       .groupBy(col("_qid"), col(idCol))

@@ -359,4 +359,64 @@ class MixingSpec extends SparkSpecBase {
         s"emptied stratum invisible: overbudget=$overb surviving=$surv")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("splitByGroup: groups land whole on one side; weights normalize; recuts nest; null groups drop") {
+    import spark.implicits._
+    // 200 groups x 3 members — the near-dup-cluster shape (every
+    // member of a cluster must land on the same side)
+    val docs = (0L until 600L).map(i => (i, i % 200L)).toDF("doc_id", "grp")
+    val split = Mixing.splitByGroup(docs, "grp",
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+    val perGroup = split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k"), count(lit(1)).as("n"))
+      .collect()
+    assert(perGroup.forall(_.getLong(1) == 1L),
+      "a group straddled the split — leakage")
+    assert(perGroup.forall(_.getLong(2) == 3L) && perGroup.length == 200)
+    // disjoint + exhaustive, and all three sides are populated
+    val sides = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.keySet == Set("train", "val", "test"), s"$sides")
+    assert(sides.values.sum == 600L)
+    assert(math.abs(sides("train") / 600.0 - 0.5) < 0.15, s"$sides")
+    // weights normalize: (2, 1, 1) is the same split as (.5, .25, .25)
+    val renorm = Mixing.splitByGroup(docs, "grp",
+      Seq(("train", 2.0), ("val", 1.0), ("test", 1.0)))
+    assert(renorm.orderBy("doc_id").collect().map(_.getString(2)).toSeq ==
+      split.orderBy("doc_id").collect().map(_.getString(2)).toSeq)
+    // determinism under repartitioning (md5 draw, no RNG state)
+    val reshuffled = Mixing.splitByGroup(docs.repartition(7), "grp",
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+    assert(reshuffled.orderBy("doc_id").collect().map(_.getString(2)).toSeq ==
+      split.orderBy("doc_id").collect().map(_.getString(2)).toSeq)
+    // recuts NEST: growing train only moves the boundary, so no group
+    // held out at 50% re-enters train at 70% unless its draw sits in
+    // the moved band — concretely, train(50%) is a subset of
+    // train(70%), and test-side groups never flip INTO train's old
+    // region (eval contamination from a recut is impossible for
+    // groups that stay held out)
+    val wider = Mixing.splitByGroup(docs, "grp",
+      Seq(("train", 0.7), ("val", 0.15), ("test", 0.15)))
+    val train50 = split.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val train70 = wider.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(train50.subsetOf(train70), "recut broke the nesting property")
+    // null groups have no draw: the rows drop (key-fill upstream)
+    val withNull = docs.withColumn("grp",
+      when(col("doc_id") < 3, lit(null)).otherwise(col("grp")))
+    assert(Mixing.splitByGroup(withNull, "grp",
+      Seq(("a", 1.0), ("b", 1.0))).count() == 597L)
+    // guards: output collision, duplicate names, non-positive weights
+    intercept[IllegalArgumentException] {
+      Mixing.splitByGroup(docs.withColumn("split", lit("x")), "grp",
+        Seq(("a", 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.splitByGroup(docs, "grp", Seq(("a", 1.0), ("a", 2.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.splitByGroup(docs, "grp", Seq(("a", 0.0), ("b", 1.0)))
+    }
+  }
 }

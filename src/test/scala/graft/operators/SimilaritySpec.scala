@@ -479,6 +479,72 @@ class SimilaritySpec extends SparkSpecBase {
     ()
   }
 
+  test("deleteFromIndex: probes equal a fresh write without the ids; compaction applies materially; re-add guarded until then") {
+    import spark.implicits._
+    val assigned = Similarity.ivfAssign(planted, codebook, "e").cache()
+    withTempDir("ivf-delete") { dirFile =>
+      val dir = dirFile.getAbsolutePath
+      Similarity.writeIndex(assigned.filter(col("vec_id") % 3 =!= 2), dir)
+      Similarity.appendIndex(assigned.filter(col("vec_id") % 3 === 2), dir)
+      def probe() = Similarity.ivfProbeVec(Similarity.readIndex(spark, dir),
+          "e", "vec_id", query, k = 10, codebook, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val before = probe()
+      // delete the two TOP hits — one from the base write, one from
+      // the append if the split allows — so the probe must change
+      val gone = before.take(2).map(_._1)
+      Similarity.deleteFromIndex(spark, dir, gone.toDF("vec_id"), "vec_id")
+      val after = probe()
+      assert(after != before, "deleting the top hits must change the probe")
+      assert(after.forall(h => !gone.contains(h._1)), s"deleted ids still served: $after")
+      // semantic reference: a fresh write over the surviving rows
+      // under the same frozen codebook
+      val fresh = withTempDir("ivf-delete-fresh") { fdir =>
+        Similarity.writeIndex(
+          assigned.filter(!col("vec_id").isin(gone: _*)), fdir.getAbsolutePath)
+        Similarity.ivfProbeVec(
+            Similarity.readIndex(spark, fdir.getAbsolutePath),
+            "e", "vec_id", query, k = 10, codebook, nprobe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      assert(after == fresh, "tombstoned probe diverged from fresh-write-without")
+      // idempotent: re-sending the same delete changes nothing
+      Similarity.deleteFromIndex(spark, dir, gone.toDF("vec_id"), "vec_id")
+      assert(probe() == fresh)
+      // re-adding a tombstoned id is refused until compaction
+      intercept[IllegalArgumentException] {
+        Similarity.appendIndex(assigned.filter(col("vec_id") === gone.head), dir)
+      }
+      // compaction reads through the anti-join: rows leave materially,
+      // tombstones clear, probes unchanged
+      Similarity.compactIndex(spark, dir)
+      assert(probe() == fresh, "compaction changed the post-delete probe")
+      assert(!new java.io.File(dirFile, "_tombstones").exists(),
+        "applied tombstones not cleared")
+      assert(Similarity.readIndex(spark, dir).count() == assigned.count() - 2)
+      // the ids are re-addable now — and the probe returns to the
+      // original full-index answer
+      Similarity.appendIndex(assigned.filter(col("vec_id").isin(gone: _*)), dir)
+      assert(probe() == before, "re-added ids did not restore the probe")
+      // writer mutual exclusion: a (stale) compaction lock refuses the
+      // delete instead of risking cleared-but-unapplied tombstones
+      assert(new java.io.File(dirFile, "_compact_inprogress").createNewFile())
+      intercept[IllegalArgumentException] {
+        Similarity.deleteFromIndex(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+      }
+      assert(new java.io.File(dirFile, "_compact_inprogress").delete())
+      // null/empty requests are no-ops that leave no artifact behind
+      Similarity.deleteFromIndex(spark, dir,
+        Seq.empty[Long].toDF("vec_id"), "vec_id")
+      Similarity.deleteFromIndex(spark, dir,
+        Seq(Option.empty[Long]).toDF("vec_id"), "vec_id")
+      assert(!new java.io.File(dirFile, "_tombstones").exists())
+      assert(probe() == before)
+    }
+    assigned.unpersist()
+    ()
+  }
+
   test("pqTrain degrades on zero-padded subspaces; shape-mismatched codes score NaN, not partial") {
     import spark.implicits._
     // dims 4-7 identically zero (a padded embedding corpus): subspaces

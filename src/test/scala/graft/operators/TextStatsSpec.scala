@@ -498,6 +498,138 @@ class TextStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("deleteFromBm25Index: tombstoned probe equals a rebuild without the docs; compaction applies materially; re-add guarded until then") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "apple banana apple"),
+      (11L, "banana cherry"),
+      (12L, "durian durian durian"),
+      (13L, "apple durian fig"),
+      (14L, "cherry fig fig grape")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry cherry"), (2L, "fig grape"))
+      .toDF("doc_id", "text").select(col("doc_id").as("qid"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    def freshOver(docs: org.apache.spark.sql.DataFrame) =
+      withTempDir("bm25-del-fresh") { fdir =>
+        TextStats.writeBm25Index(docs, "text", "doc_id",
+          fdir.getAbsolutePath, tokenBuckets = 2)
+        rows(TextStats.bm25TopKFromIndex(
+          TextStats.readBm25Index(spark, fdir.getAbsolutePath),
+          queries, "text", "qid", k = 3))
+      }
+    withTempDir("bm25-del") { dir =>
+      TextStats.writeBm25Index(corpus.filter(col("doc_id") <= 12),
+        "text", "doc_id", dir.getAbsolutePath, tokenBuckets = 2)
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        corpus.filter(col("doc_id") > 12), "text", "doc_id")
+      def probe() = rows(TextStats.bm25TopKFromIndex(
+        TextStats.readBm25Index(spark, dir.getAbsolutePath),
+        queries, "text", "qid", k = 3))
+      val full = probe()
+      // delete one base doc and one appended doc in one request
+      TextStats.deleteFromBm25Index(spark, dir.getAbsolutePath,
+        Seq(11L, 13L).toDF("id"), "doc_id")
+      val fresh = freshOver(corpus.filter(!col("doc_id").isin(11L, 13L)))
+      assert(probe() == fresh,
+        "tombstoned probe diverged from a rebuild without the docs")
+      assert(probe() != full, "deleting scoring docs must change the probe")
+      val idx = TextStats.readBm25Index(spark, dir.getAbsolutePath)
+      assert(idx.tombstones.isDefined)
+      // df repaired to the true post-delete document frequencies
+      val dfm = idx.dfT.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfm == Map("apple" -> 1L, "banana" -> 1L, "cherry" -> 1L,
+        "durian" -> 1L, "fig" -> 1L, "grape" -> 1L), s"df after delete: $dfm")
+      // meta repaired from the denormalized lengths (survivors 3+3+4)
+      val m = idx.meta.collect()(0)
+      assert(m.getAs[Double]("ndocs") == 3.0)
+      assert(math.abs(m.getAs[Double]("avglen") - 10.0 / 3) < 1e-12)
+      // telemetry sees the pending deletion (docs 11+13 hold 2+3 rows)
+      val stats = TextStats.bm25IndexStats(spark, dir.getAbsolutePath)
+      assert(stats.tombstonedIds == 2L && stats.tombstonedRows == 5L, s"$stats")
+      // idempotent: re-sending a deleted id is a complete no-op
+      TextStats.deleteFromBm25Index(spark, dir.getAbsolutePath,
+        Seq(11L).toDF("id"), "doc_id")
+      assert(TextStats.readBm25Index(spark, dir.getAbsolutePath)
+        .meta.collect()(0).getAs[Double]("ndocs") == 3.0)
+      assert(probe() == fresh)
+      // re-adding a tombstoned id is refused until compaction
+      intercept[IllegalArgumentException] {
+        TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+          corpus.filter(col("doc_id") === 11), "text", "doc_id")
+      }
+      // compaction removes the rows materially and clears tombstones;
+      // probes bit-identical through it
+      TextStats.compactBm25Index(spark, dir.getAbsolutePath)
+      assert(probe() == fresh, "compaction changed the post-delete probe")
+      assert(!new java.io.File(dir, "_tombstones").exists(),
+        "applied tombstones not cleared")
+      val stats2 = TextStats.bm25IndexStats(spark, dir.getAbsolutePath)
+      assert(stats2.tombstonedIds == 0L && stats2.tombstonedRows == 0L)
+      // survivors hold 2 (doc 10) + 1 (doc 12) + 3 (doc 14) rows
+      assert(stats2.rows == 6L, s"deleted rows survived compaction: $stats2")
+      // the id is re-addable now; the index equals a fresh build over
+      // the re-added corpus
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        corpus.filter(col("doc_id") === 11), "text", "doc_id")
+      assert(probe() == freshOver(corpus.filter(col("doc_id") =!= 13)),
+        "re-added doc did not restore rebuild equivalence")
+      // deleting a ZERO-TOKEN doc is exact (its true length is 0): the
+      // scalars return to their pre-append values
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        Seq((15L, "")).toDF("doc_id", "text"), "text", "doc_id")
+      TextStats.deleteFromBm25Index(spark, dir.getAbsolutePath,
+        Seq(15L).toDF("id"), "doc_id")
+      val m2 = TextStats.readBm25Index(spark, dir.getAbsolutePath)
+        .meta.collect()(0)
+      assert(m2.getAs[Double]("ndocs") == 4.0)
+      assert(math.abs(m2.getAs[Double]("avglen") - 12.0 / 4) < 1e-12)
+      assert(probe() == freshOver(corpus.filter(col("doc_id") =!= 13)))
+    }
+
+    // the completeness invariant's conservative edge: a term capped at
+    // its write keeps df = |surviving on-disk| + |cap-dropped| — here
+    // zig is cap-dropped at build (df 3 > 2), so deleting two of its
+    // docs leaves df at 4 (> cap, gated) even though the TRUE
+    // post-delete df is 2, which a fresh rebuild would serve. Terms
+    // that never dropped stay exact through the same delete.
+    withTempDir("bm25-del-gated") { dir =>
+      val base = Seq((20L, "zig alpha"), (21L, "zig beta"), (22L, "zig gamma"))
+        .toDF("doc_id", "text")
+      TextStats.writeBm25Index(base, "text", "doc_id", dir.getAbsolutePath,
+        maxPostings = 2, tokenBuckets = 2)
+      TextStats.appendBm25Index(spark, dir.getAbsolutePath,
+        Seq((23L, "zig delta")).toDF("doc_id", "text"), "text", "doc_id")
+      TextStats.deleteFromBm25Index(spark, dir.getAbsolutePath,
+        Seq(20L, 21L).toDF("id"), "doc_id")
+      val idx = TextStats.readBm25Index(spark, dir.getAbsolutePath)
+      val zigDf = idx.dfT.filter(col("token") === "zig")
+        .collect()(0).getLong(1)
+      assert(zigDf == 4L, s"cap-dropped docs must not decrement df, got $zigDf")
+      val zq = Seq((1L, "zig")).toDF("qid", "text")
+      assert(TextStats.bm25TopKFromIndex(idx, zq, "text", "qid", k = 5)
+        .isEmpty, "a once-capped term must stay gated after deletes")
+      // the never-capped term scores exactly as a fresh rebuild over
+      // the survivors: df, scalars and postings all repaired exactly
+      val dq = Seq((1L, "delta")).toDF("qid", "text")
+      val got = TextStats.bm25TopKFromIndex(idx, dq, "text", "qid", k = 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val freshD = withTempDir("bm25-del-gated-fresh") { fdir =>
+        TextStats.writeBm25Index(
+          Seq((22L, "zig gamma"), (23L, "zig delta")).toDF("doc_id", "text"),
+          "text", "doc_id", fdir.getAbsolutePath, maxPostings = 2,
+          tokenBuckets = 2)
+        TextStats.bm25TopKFromIndex(
+            TextStats.readBm25Index(spark, fdir.getAbsolutePath),
+            dq, "text", "qid", k = 5)
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+      assert(got == freshD, s"never-capped term drifted: $got vs $freshD")
+    }
+  }
+
   test("compaction crash boundaries: every intermediate filesystem state stays probe-consistent") {
     import spark.implicits._
     val corpus = Seq(
