@@ -3773,6 +3773,123 @@ object DataPrepQueries {
           .select(col("doc_id"),
             length(col("clean_text")).cast("bigint").as("n_clean_chars"))
           .orderBy("doc_id")
+      }),
+
+    // BM25 index DELETION lifecycle (TextStats.deleteFromBm25Index),
+    // oracle-pinned through BOTH serving states: the Spark side runs
+    // write -> append -> DELETE (ids hitting both the base write and
+    // the appended batch) -> probe while the deletion is a tombstone
+    // (anti-join + repaired df/meta), then compact -> probe again
+    // after the rows left materially — while the DuckDB oracle scores
+    // one-shot Okapi BM25 over the corpus WITHOUT the deleted docs
+    // and emits the same rows under both stage tags. A hash match is
+    // the delete contract: tombstoned probe == compacted probe ==
+    // fresh build minus the docs (df decrements, ndocs/avglen
+    // repairs, and the anti-join all exact — see the completeness
+    // invariant on deleteFromBm25Index).
+    QueryDef("q132_bm25_delete", Some(s"""
+      WITH corpus AS (SELECT doc_id, $toksSql AS tk FROM documents
+                      WHERE doc_id >= 3 AND doc_id % 7 <> 1),
+      qs AS (SELECT doc_id AS qid, unnest(list_distinct($toksSql)) AS token
+             FROM documents WHERE doc_id < 3),
+      post AS (SELECT doc_id, t AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM corpus) GROUP BY doc_id, t),
+      dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM post GROUP BY token),
+      lens AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM corpus),
+      sc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avglen FROM corpus),
+      scored AS (SELECT q.qid, p.doc_id,
+                        round(sum(ln(1.0 + (sc.n - d.df + 0.5) / (d.df + 0.5))
+                          * p.tf * 2.2
+                          / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / sc.avglen))), 4) AS score
+                 FROM post p
+                   JOIN qs q ON q.token = p.token
+                   JOIN dft d ON d.token = p.token
+                   JOIN lens l ON l.doc_id = p.doc_id
+                   CROSS JOIN sc
+                 GROUP BY q.qid, p.doc_id),
+      ranked AS (SELECT qid, doc_id, score,
+                        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+                 FROM scored QUALIFY rank <= 5)
+      SELECT s.stage, r.qid, r.doc_id, r.score, r.rank
+      FROM (VALUES ('compacted'), ('tombstoned')) s(stage) CROSS JOIN ranked r
+      ORDER BY s.stage, r.qid, r.rank"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") >= 3)
+        val path = java.nio.file.Files.createTempDirectory("graft_bm25_del_")
+          .toFile.getAbsolutePath
+        graft.operators.TextStats.writeBm25Index(
+          corpus.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", path,
+          tokenBuckets = 8)
+        graft.operators.TextStats.appendBm25Index(s, path,
+          corpus.filter(col("doc_id") % 5 === 0), "text", "doc_id")
+        graft.operators.TextStats.deleteFromBm25Index(s, path,
+          corpus.filter(col("doc_id") % 7 === 1).select("doc_id"), "doc_id")
+        val queries = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"), col("text"))
+        def probe(stage: String) = graft.operators.TextStats
+          .bm25TopKFromIndex(
+            graft.operators.TextStats.readBm25Index(s, path),
+            queries, "text", "qid", k = 5)
+          .withColumn("stage", lit(stage))
+        val tombstoned = probe("tombstoned").localCheckpoint(true)
+        graft.operators.TextStats.compactBm25Index(s, path)
+        probe("compacted").unionByName(tombstoned)
+          .select("stage", "qid", "doc_id", "score", "rank")
+          .orderBy("stage", "qid", "rank")
+      }),
+
+    // Leakage-safe split (Mixing.splitByGroup) composed with the REAL
+    // near-dup clusters: docs group by their LSH duplicate-cluster
+    // label (q47's connected components; singletons group by their own
+    // id), then one md5 draw per GROUP cuts train/val/test 50/25/25 —
+    // so a held-out doc's near-twin can never land in train. The
+    // oracle replays the MinHash banding, the recursive-CTE closure,
+    // and the threshold CASE; a hash match pins the whole
+    // cluster -> group -> draw -> label chain, including the
+    // all-members-same-side property the operator exists for.
+    QueryDef("q133_leakage_split", Some(s"""
+      WITH RECURSIVE shdoc AS (SELECT doc_id, $shinglesSqlArr AS shs FROM documents),
+      sig AS (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
+      bands AS (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      lab AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+      grp AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS g
+              FROM documents d LEFT JOIN lab l USING (doc_id)),
+      u AS (SELECT doc_id, g,
+                   ('0x' || substr(md5(CAST(g AS VARCHAR) || 'split13'), 1, 8))::UBIGINT
+                     / 4294967296.0 AS u
+            FROM grp)
+      SELECT doc_id, CAST(g AS BIGINT) AS grp,
+             CASE WHEN u < 0.5 THEN 'train'
+                  WHEN u < 0.75 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.minhashNearDupCandidates(docs, "text", "doc_id"))
+        val grouped = docs
+          .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("grp"))
+        graft.operators.Mixing.splitByGroup(grouped, "grp",
+            Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)),
+            salt = "split13")
+          .select("doc_id", "grp", "split")
+          .orderBy("doc_id")
       })
   )
 }
