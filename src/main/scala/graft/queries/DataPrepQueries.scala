@@ -3890,6 +3890,74 @@ object DataPrepQueries {
             salt = "split13")
           .select("doc_id", "grp", "split")
           .orderBy("doc_id")
+      }),
+
+    // ANN index DELETION lifecycle (Similarity.deleteFromIndex), the
+    // q132 twin on the vector side and the q81 probe device: vectors
+    // assign to the fixed coarse codebook (rows 1..8), the persisted
+    // index takes a write + an append, a batch of ids is DELETED
+    // (tombstones readIndex anti-joins), and the three-query batch
+    // probe runs in BOTH states — tombstoned and after compactIndex
+    // removed the rows materially. The oracle replays assignment and
+    // the per-query two-list probe over the corpus WITHOUT the deleted
+    // ids and emits the same rows under both stage tags: a hash match
+    // pins probe-under-tombstones == post-compaction probe ==
+    // fresh-index-minus-docs under the frozen codebook.
+    QueryDef("q134_ann_index_delete", Some("""
+      WITH c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+                 FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings WHERE vec_id NOT BETWEEN 1 AND 8),
+      live AS (SELECT * FROM e WHERE vec_id % 9 <> 4),
+      assign AS (SELECT l.vec_id, arg_min(c.cid, list_distance(l.e, c.ce)) AS cid
+                 FROM live l CROSS JOIN c GROUP BY l.vec_id),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id IN (0, 100, 200)),
+      probe AS (SELECT q.qid, q.qe, c.cid FROM q CROSS JOIN c
+                QUALIFY row_number() OVER (PARTITION BY q.qid
+                  ORDER BY list_distance(c.ce, q.qe), c.cid) <= 2),
+      scored AS (SELECT p.qid, a.vec_id,
+                        round(list_inner_product(l.e, p.qe)
+                          / (sqrt(list_inner_product(l.e, l.e))
+                             * sqrt(list_inner_product(p.qe, p.qe))), 4) AS cos
+                 FROM probe p JOIN assign a ON a.cid = p.cid
+                   JOIN live l ON l.vec_id = a.vec_id
+                 WHERE a.vec_id <> p.qid),
+      ranked AS (SELECT qid, vec_id, cos,
+                        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+                 FROM scored QUALIFY rank <= 5)
+      SELECT s.stage, r.qid, r.vec_id, r.cos, r.rank
+      FROM (VALUES ('compacted'), ('tombstoned')) s(stage) CROSS JOIN ranked r
+      ORDER BY s.stage, r.qid, r.rank"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        val cents = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        val others = emb.filter(!col("vec_id").between(1, 8))
+        val codebook = cents.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val queries = others.filter(col("vec_id").isin(0L, 100L, 200L))
+          .select(col("vec_id").as("qid"), col("e"))
+        val assigned = graft.operators.Similarity.ivfAssign(others, codebook, "e")
+        val path = java.nio.file.Files.createTempDirectory("graft_ann_del_")
+          .toFile.getAbsolutePath
+        graft.operators.Similarity.writeIndex(
+          assigned.filter(col("vec_id") % 3 =!= 0), path)
+        graft.operators.Similarity.appendIndex(
+          assigned.filter(col("vec_id") % 3 === 0), path)
+        graft.operators.Similarity.deleteFromIndex(s, path,
+          others.filter(col("vec_id") % 9 === 4).select("vec_id"), "vec_id")
+        def probe(stage: String) = graft.operators.Similarity.ivfProbeAll(
+            graft.operators.Similarity.readIndex(s, path),
+            "e", "vec_id", queries, "qid", "e", codebook,
+            k = 5, nprobe = 2, excludeSelf = true,
+            broadcastProbes = Some(true))
+          .withColumn("stage", lit(stage))
+        val tombstoned = probe("tombstoned").localCheckpoint(true)
+        graft.operators.Similarity.compactIndex(s, path)
+        probe("compacted").unionByName(tombstoned)
+          .select("stage", "qid", "vec_id", "cos", "rank")
+          .orderBy("stage", "qid", "rank")
       })
   )
 }
