@@ -1355,7 +1355,13 @@ object Dedup {
     * contract as every bucket here), so a list is at most `maxBucket`
     * longs — the index is bands-keyed, bounded, and broadcastable for
     * any realistic standing corpus slice; persist it like the other
-    * standing artifacts. */
+    * standing artifacts. Deletion story (vs the tombstoned
+    * BM25/IVF indexes): candidate lists key by hash VALUE, which
+    * many docs may share, so removing a doc is not removing a hash —
+    * the honest delete path is a REBUILD from the surviving
+    * signatures, which is signature-sized (4 band rows per doc, one
+    * groupBy), never corpus-sized: cheap enough that tombstones
+    * would cost more than they save. */
   def hashBandIndex(standing: DataFrame, hashCol: String,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_hash_index_cap"): DataFrame = {

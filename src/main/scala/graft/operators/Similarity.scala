@@ -466,6 +466,63 @@ object Similarity {
     } finally { fs.delete(lock, false); () }
   }
 
+  /** Lifecycle telemetry for a persisted IVF index, read from the
+    * artifact alone — the ANN twin of `TextStats.bm25IndexStats` and
+    * the numbers the compaction-cadence decision needs: each append
+    * adds a stripe (one file) to every touched inverted-list
+    * partition, so `maxStripesPerList` is the probe's worst-case
+    * files-opened-per-list (compaction returns it to 1);
+    * `tombstonedIds`/`tombstonedRows` count pending deletions (rows
+    * probes anti-join away and compaction removes for real — the
+    * second compact-now signal); `rows` counts SERVABLE rows (after
+    * the anti-join), `lists` the populated partitions. Cost: one
+    * filesystem walk plus one index read — no embedding math. */
+  final case class IvfIndexStats(indexDir: String, lists: Long,
+      files: Long, maxStripesPerList: Long, bytes: Long,
+      rows: Long, tombstonedIds: Long, tombstonedRows: Long)
+
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndexStats = {
+    val fs = hadoopFs(spark, path)
+    val dir = currentIndexDir(fs, path)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var files = 0L
+    var bytes = 0L
+    val perList = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val parent = st.getPath.getParent.getName
+      // count only data files inside cid=... partition dirs (the
+      // versioned root holds nothing else; the flat root may also
+      // hold marker files, which are not stripes)
+      if (!name.startsWith("_") && !name.startsWith(".") &&
+          parent.contains("=")) {
+        files += 1
+        bytes += st.getLen
+        perList(parent) += 1
+      }
+    }
+    val data = spark.read.parquet(dir)
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val (rows, tombIds, tombRows) =
+      if (!fs.exists(tombDir)) (data.count(), 0L, 0L)
+      else {
+        val ts = spark.read.parquet(tombDir.toString)
+        val tid = ts.columns.head
+        val tdist = ts.select(tid).distinct()
+        val marked = data.join(
+            broadcast(tdist.withColumn("_tomb", lit(1))), Seq(tid), "left")
+          .agg(count(lit(1)).as("n"), count(col("_tomb")).as("t"))
+          .collect()(0)
+        (marked.getLong(0) - marked.getLong(1), tdist.count(), marked.getLong(1))
+      }
+    IvfIndexStats(dir, perList.size.toLong, files,
+      if (perList.isEmpty) 0L else perList.values.max,
+      bytes, rows, tombIds, tombRows)
+  }
+
   /** Persist a coarse codebook — WITHOUT it a persisted index cannot
     * rank inverted lists next session, so the codebook is part of the
     * index artifact, not session state. KB-sized parquet. */

@@ -214,6 +214,24 @@ object ScaleSmoke {
       // readBm25Index resolves the post-compaction versioned dir
       graft.operators.TextStats.readBm25Index(spark, bm25Dir).postings.count()
     }
+    // delete: the takedown leg — tombstone write + vocabulary-sized
+    // df repair, never a corpus re-tokenize; the follow-up probe pays
+    // one extra broadcast anti-join over probe-sized rows
+    timed("bm25_index_delete(1% ids)") {
+      graft.operators.TextStats.deleteFromBm25Index(spark, bm25Dir,
+        docs.filter(col("doc_id") % 100 === 7).select("doc_id"), "doc_id")
+      spark.read.parquet(s"$bm25Dir/df").count()
+    }
+    timed("bm25_index_probe_post_delete(16 queries)") {
+      graft.operators.TextStats.bm25TopKFromIndex(
+        graft.operators.TextStats.readBm25Index(spark, bm25Dir),
+        base.limit(16).select(col("doc_id").as("qid"), col("text")),
+        "text", "qid", k = 10).count()
+    }
+    timed("bm25_index_compact_post_delete") {
+      graft.operators.TextStats.compactBm25Index(spark, bm25Dir)
+      graft.operators.TextStats.readBm25Index(spark, bm25Dir).postings.count()
+    }
 
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")

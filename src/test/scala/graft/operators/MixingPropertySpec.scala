@@ -129,4 +129,46 @@ class MixingPropertySpec extends SparkSpecBase {
         s"round $round: not-in-recipe stratum leaked")
     }
   }
+
+  test("splitByGroup == contract reference on random weights/groups; recuts nest") {
+    // driver-side twin of unitHash(group, salt)
+    def saltedDraw(g: Long, salt: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest((g.toString + salt).getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val rnd = new scala.util.Random(3113)
+    for (round <- 0 until rounds) {
+      val nGroups = 5 + rnd.nextInt(40)
+      val rows = (0L until (50 + rnd.nextInt(200)).toLong)
+        .map(i => (i, rnd.nextInt(nGroups).toLong))
+      val df = rows.toDF("doc_id", "g")
+      val k = 2 + rnd.nextInt(3)
+      val names = (0 until k).map(i => s"side$i")
+      val weights = names.map(_ -> (0.05 + rnd.nextDouble()))
+      val salt = s"s$round"
+      // reference: normalized cumulative thresholds over one draw
+      val total = weights.map(_._2).sum
+      val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+      def refLabel(g: Long): String = {
+        val u = saltedDraw(g, salt)
+        names.zip(cums).find { case (_, c) => u < c }
+          .map(_._1).getOrElse(names.last)
+      }
+      val got = Mixing.splitByGroup(df, "g", weights, salt = salt)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val want = rows.map { case (id, g) => id -> refLabel(g) }.toMap
+      assert(got == want, s"round $round weights $weights: " +
+        s"diverged at ${got.toSet.diff(want.toSet).take(5)}")
+      // nesting: growing side0's weight only moves the boundary — no
+      // row leaves side0
+      val grown = weights.updated(0, names.head -> (weights.head._2 + 0.5))
+      val got2 = Mixing.splitByGroup(df, "g", grown, salt = salt)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val in0 = got.filter(_._2 == names.head).keySet
+      assert(in0.forall(id => got2(id) == names.head),
+        s"round $round: a group left the grown first side")
+    }
+  }
 }

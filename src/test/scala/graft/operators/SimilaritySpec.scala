@@ -490,10 +490,18 @@ class SimilaritySpec extends SparkSpecBase {
           "e", "vec_id", query, k = 10, codebook, nprobe = 4)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val before = probe()
+      // telemetry before the delete: the append striped lists, every
+      // row servable, no tombstones
+      val stats0 = Similarity.indexStats(spark, dir)
+      assert(stats0.rows == assigned.count() && stats0.tombstonedIds == 0L &&
+        stats0.maxStripesPerList >= 2, s"$stats0")
       // delete the two TOP hits — one from the base write, one from
       // the append if the split allows — so the probe must change
       val gone = before.take(2).map(_._1)
       Similarity.deleteFromIndex(spark, dir, gone.toDF("vec_id"), "vec_id")
+      val stats1 = Similarity.indexStats(spark, dir)
+      assert(stats1.rows == assigned.count() - 2 &&
+        stats1.tombstonedIds == 2L && stats1.tombstonedRows == 2L, s"$stats1")
       val after = probe()
       assert(after != before, "deleting the top hits must change the probe")
       assert(after.forall(h => !gone.contains(h._1)), s"deleted ids still served: $after")
@@ -522,6 +530,11 @@ class SimilaritySpec extends SparkSpecBase {
       assert(!new java.io.File(dirFile, "_tombstones").exists(),
         "applied tombstones not cleared")
       assert(Similarity.readIndex(spark, dir).count() == assigned.count() - 2)
+      val stats2 = Similarity.indexStats(spark, dir)
+      assert(stats2.rows == assigned.count() - 2 &&
+        stats2.tombstonedIds == 0L && stats2.tombstonedRows == 0L &&
+        stats2.maxStripesPerList == 1L, s"$stats2")
+      assert(stats2.bytes > 0 && stats2.files == stats2.lists, s"$stats2")
       // the ids are re-addable now — and the probe returns to the
       // original full-index answer
       Similarity.appendIndex(assigned.filter(col("vec_id").isin(gone: _*)), dir)

@@ -592,6 +592,29 @@ class StreamingSpec extends SparkSpecBase {
       assert(intercept[IllegalArgumentException] {
         TS.bm25ServeStream(queries, idx, "text", "qid", k = 3)((_, _) => ())
       }.getMessage.contains("STREAMING"))
+
+      // DELETION reaches the serving stream: tombstone a doc and the
+      // per-micro-batch probes stop returning it, identically to the
+      // batch probe on the post-delete index (batch==stream parity for
+      // the takedown path — a served index must not resurrect deleted
+      // docs in any serving mode)
+      TS.deleteFromBm25Index(spark, s"$dir/idx", Seq(13L).toDF("id"), "doc_id")
+      val idx2 = TS.readBm25Index(spark, s"$dir/idx")
+      val expected2 = tuples(TS.bm25TopKFromIndex(idx2, queries, "text", "qid", k = 3))
+      assert(expected2.forall(_._2 != 13L) && expected2 != expected,
+        "fixture regressed: doc 13 should have scored before the delete")
+      val got2 = java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[(Long, Long, Double, Int), java.lang.Boolean]())
+      val q2 = TS.bm25ServeStream(
+          spark.readStream.schema("qid BIGINT, text STRING").parquet(s"$dir/q"),
+          idx2, "text", "qid", k = 3) { (res, _) =>
+          tuples(res).foreach(got2.add); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination(120000)
+      assert(got2.asScala.toSet == expected2,
+        s"post-delete stream serve diverged: ${got2.asScala.toSet} vs $expected2")
     }
   }
 
