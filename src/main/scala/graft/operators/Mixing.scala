@@ -119,7 +119,12 @@ object Mixing {
     val names = splits.map(_._1)
     require(names.distinct.size == names.size,
       s"duplicate split names: ${names.mkString(",")}")
-    require(!df.columns.contains(outCol),
+    // case-INSENSITIVE: withColumn resolves names case-insensitively
+    // under Spark's default, so a column differing only in case would
+    // be silently replaced — refuse it regardless of the session's
+    // caseSensitive setting (conservative for the rare sensitive
+    // session, where the caller can still pick another outCol)
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
       s"input column '$outCol' collides with the split label; pass a different outCol")
     val total = splits.map(_._2).sum
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)

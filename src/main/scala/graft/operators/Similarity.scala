@@ -260,8 +260,27 @@ object Similarity {
     * the on-disk analogue of "search ~n/K vectors per list"
     * (SimilaritySpec pins the pruned scan in the plan). */
   def writeIndex(assigned: DataFrame, path: String,
-      cidCol: String = "cid"): Unit =
+      cidCol: String = "cid"): Unit = {
+    // a REBUILD supersedes the whole lifecycle state: clear delete
+    // tombstones, compaction pointers/dirs and a stale lock explicitly
+    // rather than relying on overwrite semantics (under
+    // partitionOverwriteMode=dynamic an overwrite replaces only
+    // matching partitions and would leave stale tombstones silently
+    // erasing rebuilt ids). This is also the documented way OUT of the
+    // all-rows-deleted state compaction skips.
+    val fs = hadoopFs(assigned.sparkSession, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "_tombstones" || n == "_compact_inprogress" ||
+          (n.startsWith("_current_v") && n.drop(10).forall(_.isDigit)) ||
+          (n.startsWith("index_v") && n.drop(7).forall(_.isDigit))
+      }
+      .foreach(fs.delete(_, true))
     assigned.write.mode("overwrite").partitionBy(cidCol).parquet(path)
+  }
 
   /** Append a new batch to a persisted index — the daily-crawl shape:
     * assign (and PQ-code) the batch against the SAME codebook/model
@@ -281,15 +300,20 @@ object Similarity {
     // the deletions materially and makes the id re-addable. One
     // broadcast semi-join short-circuited by isEmpty, only when
     // deletions are pending.
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (fs.exists(tombDir)) {
-      val ts = spark.read.parquet(tombDir.toString)
+    val tombs = tombstoneFiles(fs, path)
+    if (tombs.nonEmpty) {
+      val ts = spark.read.parquet(tombs: _*)
       val tid = ts.columns.head
-      require(assignedBatch.join(broadcast(ts.select(tid).distinct()),
-          Seq(tid), "left_semi").isEmpty,
+      // column-pruned to the id alone so the batch's assignment/coding
+      // pipeline is not re-executed wholesale for the guard
+      require(assignedBatch.select(tid)
+          .join(broadcast(ts.select(tid).distinct()), Seq(tid), "left_semi")
+          .isEmpty,
         s"append batch re-adds tombstoned ids under $path — run " +
           "compactIndex first (it removes the deleted rows materially and " +
-          "clears the tombstones), then append")
+          "clears the tombstones), then append; if EVERY row of the index " +
+          "was deleted, rebuild with writeIndex instead (compaction skips " +
+          "an all-deleted index)")
     }
     assignedBatch.write.mode("append").partitionBy(cidCol)
       .parquet(currentIndexDir(fs, path))
@@ -314,20 +338,27 @@ object Similarity {
     * vectors; retrain + rebuild when drift warrants, the same
     * staleness contract as `appendIndex`). Duplicate and
     * already-deleted ids are harmless (the anti-join is idempotent),
-    * so retries are safe; `idCol` must match the indexed id column —
-    * `readIndex` fails loudly on a mismatch rather than silently
-    * deleting nothing. Writers are mutually exclusive with
-    * compaction: deleting mid-compaction could land tombstones the
-    * compaction clears without applying. */
+    * so retries are safe. `idCol` must be the indexed ID column, and
+    * specifically NOT the centroid/list column: an anti-join on `cid`
+    * would resolve fine and silently erase whole inverted lists, so
+    * that mix-up is refused here (on a wrong-but-absent column name,
+    * `readIndex` fails loudly at the join instead). Compaction can
+    * never erase a racing delete unapplied (it clears only the
+    * tombstone-file snapshot it read), and the lock check below just
+    * avoids starting a delete under a live compaction. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: DataFrame, idCol: String): Unit = {
+      path: String, ids: DataFrame, idCol: String,
+      cidCol: String = "cid"): Unit = {
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    require(idCol != cidCol,
+      s"idCol '$idCol' is the centroid/list column — tombstoning by list " +
+        "would silently delete every vector in the named lists; pass the " +
+        "indexed ID column")
     val fs = hadoopFs(spark, path)
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
-      s"a compaction is running (or crashed) under $path — deleting now " +
-        "could land tombstones the compaction clears without applying; " +
-        "wait for it (or clear a stale _compact_inprogress) and retry")
+      s"a compaction is running (or crashed) under $path — wait for it " +
+        "(or clear a stale _compact_inprogress) and retry")
     val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     if (fs.exists(tombDir)) {
       val existing = spark.read.parquet(tombDir.toString).columns
@@ -370,6 +401,21 @@ object Similarity {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Data files currently under an index root's `_tombstones/` dir —
+    * the same snapshot device as `TextStats.tombstoneFiles`: the file
+    * list is the unit of delete/compaction race safety (compaction
+    * reads exactly this snapshot and post-swap deletes exactly it, so
+    * a delete racing the compaction survives the clear and stays
+    * pending). A file-less dir reads as "no tombstones". */
+  private def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(_.toString)
+  }
+
   /** Read a persisted IVF index back for probing (resolves the
     * compaction version pointer — see `compactIndex` — and applies
     * any pending `deleteFromIndex` tombstones as a broadcast
@@ -380,10 +426,10 @@ object Similarity {
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val fs = hadoopFs(spark, path)
     val data = spark.read.parquet(currentIndexDir(fs, path))
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (!fs.exists(tombDir)) data
+    val tombs = tombstoneFiles(fs, path)
+    if (tombs.isEmpty) data
     else {
-      val ts = spark.read.parquet(tombDir.toString)
+      val ts = spark.read.parquet(tombs: _*)
       data.join(broadcast(ts.select(ts.columns.head).distinct()),
         Seq(ts.columns.head), "left_anti")
     }
@@ -402,7 +448,10 @@ object Similarity {
     * probe results are BIT-IDENTICAL before and after. One corner: an
     * index whose every row is deleted skips the rewrite (a zero-row
     * partitioned write emits an unreadable dir) and KEEPS its
-    * tombstones — probes stay correct through the anti-join.
+    * tombstones — probes stay correct through the anti-join, and the
+    * way OUT of that degenerate state is a rebuild: `writeIndex`'s
+    * overwrite resets the whole root, clearing tombstones and
+    * pointers (spec-pinned), after which the ids are re-addable.
     *
     * Crash-safety is the BM25 side's versioned swap: the rewrite
     * lands in a fresh `index_vN/` beside the servable data and the
@@ -428,7 +477,19 @@ object Similarity {
     try {
       val vs = indexVersions(fs, path)
       val next = (0L +: vs).max + 1
-      val data = readIndex(spark, path)
+      // tombstones read from an explicit FILE SNAPSHOT so the
+      // post-swap clear removes exactly what this rewrite applied —
+      // a delete racing the compaction stays pending, never erased
+      // unapplied (see tombstoneFiles)
+      val tombSnapshot = tombstoneFiles(fs, path)
+      val raw = spark.read.parquet(currentIndexDir(fs, path))
+      val data =
+        if (tombSnapshot.isEmpty) raw
+        else {
+          val ts = spark.read.parquet(tombSnapshot: _*)
+          raw.join(broadcast(ts.select(ts.columns.head).distinct()),
+            Seq(ts.columns.head), "left_anti")
+        }
       require(data.columns.contains(cidCol),
         s"index at $path has no '$cidCol' column — wrong cidCol?")
       // a partitioned write of ZERO rows emits no files (no partition
@@ -444,24 +505,26 @@ object Similarity {
           new org.apache.hadoop.fs.Path(s"$path/_current_v$next")),
         s"pointer _current_v$next already exists under $path — concurrent " +
           "compactions? The servable index is unchanged")
-      // post-swap housekeeping: stale pointers, then superseded data
-      // (the flat-layout sweep below also clears `_tombstones`; the
-      // versioned branch clears it explicitly — either way a crash
-      // first is harmless: the anti-join re-excludes rows already
+      // post-swap housekeeping: stale pointers, then superseded data,
+      // then ONLY the tombstone-file snapshot this rewrite applied —
+      // a racing delete's newer files stay pending (a crash anywhere
+      // here is harmless: the anti-join re-excludes rows already
       // gone, and the next compaction clears them)
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
-      if (vs.nonEmpty) {
+      if (vs.nonEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/index_v${vs.max}"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
-      }
       else fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter { st =>
           val n = st.getPath.getName
           n != s"index_v$next" && n != s"_current_v$next" &&
-            n != "_compact_inprogress"
+            n != "_compact_inprogress" && n != "_tombstones"
         }
         .foreach(st => fs.delete(st.getPath, true))
+      tombSnapshot.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      if (tombSnapshot.nonEmpty && tombstoneFiles(fs, path).isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
       ()
     } finally { fs.delete(lock, false); () }
   }
@@ -474,9 +537,11 @@ object Similarity {
     * files-opened-per-list (compaction returns it to 1);
     * `tombstonedIds`/`tombstonedRows` count pending deletions (rows
     * probes anti-join away and compaction removes for real — the
-    * second compact-now signal); `rows` counts SERVABLE rows (after
-    * the anti-join), `lists` the populated partitions. Cost: one
-    * filesystem walk plus one index read — no embedding math. */
+    * second compact-now signal); `rows` counts ON-DISK rows, the
+    * SAME definition as `Bm25IndexStats.rows` so the two twins feed
+    * one cadence policy (servable = rows − tombstonedRows on both
+    * sides); `lists` the populated partitions. Cost: one filesystem
+    * walk plus one index read — no embedding math. */
   final case class IvfIndexStats(indexDir: String, lists: Long,
       files: Long, maxStripesPerList: Long, bytes: Long,
       rows: Long, tombstonedIds: Long, tombstonedRows: Long)
@@ -505,18 +570,18 @@ object Similarity {
       }
     }
     val data = spark.read.parquet(dir)
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val tombs = tombstoneFiles(fs, path)
     val (rows, tombIds, tombRows) =
-      if (!fs.exists(tombDir)) (data.count(), 0L, 0L)
+      if (tombs.isEmpty) (data.count(), 0L, 0L)
       else {
-        val ts = spark.read.parquet(tombDir.toString)
+        val ts = spark.read.parquet(tombs: _*)
         val tid = ts.columns.head
         val tdist = ts.select(tid).distinct()
         val marked = data.join(
             broadcast(tdist.withColumn("_tomb", lit(1))), Seq(tid), "left")
           .agg(count(lit(1)).as("n"), count(col("_tomb")).as("t"))
           .collect()(0)
-        (marked.getLong(0) - marked.getLong(1), tdist.count(), marked.getLong(1))
+        (marked.getLong(0), tdist.count(), marked.getLong(1))
       }
     IvfIndexStats(dir, perList.size.toLong, files,
       if (perList.isEmpty) 0L else perList.values.max,

@@ -549,6 +549,24 @@ object TextStats {
     if (vs.isEmpty) s"$path/postings" else s"$path/postings_v${vs.max}"
   }
 
+  /** Data files currently under an index root's `_tombstones/` dir.
+    * The FILE LIST is the unit of delete/compaction race safety:
+    * compaction reads exactly a SNAPSHOT of these paths and post-swap
+    * deletes exactly that snapshot — so a delete landing mid-
+    * compaction writes a file outside the snapshot, survives the
+    * clear, and stays pending (applied by probes immediately and by
+    * the next compaction materially), instead of being erased
+    * unapplied. Readers treat an existing-but-file-less dir as "no
+    * tombstones" (a cleared snapshot may leave the empty dir). */
+  private def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(_.toString)
+  }
+
   /** Bucket-partitioned postings write that stays READABLE even at
     * zero rows: a partitioned parquet write of an empty frame emits
     * NO files at all (there are no partition values), and the
@@ -660,12 +678,11 @@ object TextStats {
         "(_append_incomplete marker present) — its postings/df/meta may " +
         "disagree; rebuild with writeBm25Index rather than serving " +
         "inconsistent scores")
-    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val tombs = tombstoneFiles(fs, path)
     Bm25Index(spark.read.parquet(currentPostingsDir(fs, path)),
       spark.read.parquet(s"$path/df"),
       spark.read.parquet(s"$path/meta"),
-      if (fs.exists(tombDir)) Some(spark.read.parquet(tombDir.toString))
-      else None)
+      if (tombs.nonEmpty) Some(spark.read.parquet(tombs: _*)) else None)
   }
 
   /** Append a document batch to a persisted BM25 index WITHOUT
@@ -698,9 +715,12 @@ object TextStats {
     // collide with the old rows at the next compaction — refuse loudly;
     // compaction clears the tombstones and makes the id re-addable.
     // Cost: one broadcast semi-join short-circuited by isEmpty.
+    // column-pruned to the id alone, so an expensive upstream batch
+    // plan (cleaning, joins) is not re-executed wholesale for the guard
     old.tombstones.foreach { ts =>
-      require(batch.join(broadcast(ts.select(col(idCol)).distinct()),
-          Seq(idCol), "left_semi").isEmpty,
+      require(batch.select(col(idCol))
+          .join(broadcast(ts.select(col(idCol)).distinct()),
+            Seq(idCol), "left_semi").isEmpty,
         s"append batch re-adds tombstoned ids under $path — run " +
           "compactBm25Index first (it applies deletions materially and " +
           "clears the tombstones), then append")
@@ -810,10 +830,14 @@ object TextStats {
     *
     * Cost: one probe of postings matched by the broadcast id set, one
     * vocabulary-sized df merge + rename, one meta rewrite — the
-    * corpus never re-tokenizes. Writers are mutually exclusive: the
-    * marker excludes appends/deletes, and the compaction-lock check
-    * excludes a concurrent compaction (whose tombstone clearing could
-    * otherwise orphan ids landed mid-compaction). */
+    * corpus never re-tokenizes. Writers: the marker excludes
+    * concurrent appends/deletes; compaction cannot erase a racing
+    * delete unapplied (it clears only the tombstone-file SNAPSHOT it
+    * read — see `tombstoneFiles`), and the compaction-lock check here
+    * additionally keeps this delete's df rename-swap from yanking
+    * files out from under a live compaction's lazy df scan (that
+    * race fails the compaction loudly, never corrupts — the check
+    * just avoids it). */
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Unit = {
     val old = readBm25Index(spark, path)
@@ -905,9 +929,12 @@ object TextStats {
     * output file per bucket; `df/` and `meta/` are untouched, so
     * probe results are bit-identical before and after — only the
     * bytes and file counts shrink back to what a fresh rebuild
-    * writes. `deleteFromBm25Index` tombstones clear AFTER the swap:
-    * their rows have left the postings for real, and the deleted ids
-    * become re-addable.
+    * writes. `deleteFromBm25Index` tombstones clear AFTER the swap —
+    * and only the FILE SNAPSHOT this compaction read and applied, so
+    * a delete racing the compaction is never erased unapplied: its
+    * tombstone file lands outside the snapshot, survives the clear,
+    * and stays pending. Cleared ids' rows have left the postings for
+    * real, and those ids become re-addable.
     *
     * Two rules suffice, no re-cap pass: a token passing the df-gate
     * has a COMPLETE surviving list on disk (the completeness
@@ -959,16 +986,19 @@ object TextStats {
       val next = (0L +: vs).max + 1
       val hasTb = old.postings.columns.contains("_tb")
       // the probe's own exclusions, applied MATERIALLY: the df-gate
-      // and the delete tombstones — after the swap the tombstones
-      // clear, their rows having left the postings for real (and
-      // their ids become re-addable)
+      // and the delete tombstones. The tombstones are read from an
+      // explicit FILE SNAPSHOT taken here, and the post-swap clear
+      // deletes exactly that snapshot — a delete racing this
+      // compaction lands a file outside the snapshot, survives the
+      // clear, and stays correctly pending (see `tombstoneFiles`)
+      val tombSnapshot = tombstoneFiles(fs, path)
       val gated0 = old.postings.join(
         old.dfT.filter(col("df") <= cap).select("token"), Seq("token"), "left_semi")
-      val gated = old.tombstones match {
-        case Some(ts) => gated0.join(
-          broadcast(ts.select(col(old.idCol)).distinct()), Seq(old.idCol), "left_anti")
-        case None => gated0
-      }
+      val gated =
+        if (tombSnapshot.isEmpty) gated0
+        else gated0.join(
+          broadcast(spark.read.parquet(tombSnapshot: _*)
+            .select(col(old.idCol)).distinct()), Seq(old.idCol), "left_anti")
       // non-destructive either way: overwrite also clears an orphan dir
       // a crashed attempt left at this version; servable state is
       // untouched. The bucketed path rides writePostingsBucketed — one
@@ -984,15 +1014,20 @@ object TextStats {
           "compactions? The servable index is unchanged")
       // post-swap housekeeping: stale pointers first (so a crash here
       // still resolves vN), then the superseded dir's bytes, then the
-      // now-applied tombstones — a crash before that last delete is
-      // harmless (the anti-join re-excludes rows that are already
-      // gone; the next compaction clears them)
+      // now-applied tombstone SNAPSHOT — only the files this
+      // compaction read; a racing delete's newer files stay pending.
+      // A crash before the clear is harmless (the anti-join
+      // re-excludes rows that are already gone; the next compaction
+      // clears them)
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
       val oldDir =
         if (vs.isEmpty) s"$path/postings" else s"$path/postings_v${vs.max}"
       fs.delete(new org.apache.hadoop.fs.Path(oldDir), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      tombSnapshot.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      if (tombSnapshot.nonEmpty && tombstoneFiles(fs, path).isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
       ()
     } finally { fs.delete(lock, false); () }
   }

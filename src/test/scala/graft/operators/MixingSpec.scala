@@ -407,9 +407,15 @@ class MixingSpec extends SparkSpecBase {
       when(col("doc_id") < 3, lit(null)).otherwise(col("grp")))
     assert(Mixing.splitByGroup(withNull, "grp",
       Seq(("a", 1.0), ("b", 1.0))).count() == 597L)
-    // guards: output collision, duplicate names, non-positive weights
+    // guards: output collision (case-INSENSITIVE — withColumn resolves
+    // case-insensitively and would silently clobber 'Split'),
+    // duplicate names, non-positive weights
     intercept[IllegalArgumentException] {
       Mixing.splitByGroup(docs.withColumn("split", lit("x")), "grp",
+        Seq(("a", 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.splitByGroup(docs.withColumn("Split", lit("x")), "grp",
         Seq(("a", 1.0)))
     }
     intercept[IllegalArgumentException] {

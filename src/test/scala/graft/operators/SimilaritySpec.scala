@@ -499,8 +499,10 @@ class SimilaritySpec extends SparkSpecBase {
       // the append if the split allows — so the probe must change
       val gone = before.take(2).map(_._1)
       Similarity.deleteFromIndex(spark, dir, gone.toDF("vec_id"), "vec_id")
+      // rows is ON-DISK (same definition as the BM25 twin); servable
+      // = rows - tombstonedRows
       val stats1 = Similarity.indexStats(spark, dir)
-      assert(stats1.rows == assigned.count() - 2 &&
+      assert(stats1.rows == assigned.count() &&
         stats1.tombstonedIds == 2L && stats1.tombstonedRows == 2L, s"$stats1")
       val after = probe()
       assert(after != before, "deleting the top hits must change the probe")
@@ -553,6 +555,29 @@ class SimilaritySpec extends SparkSpecBase {
         Seq(Option.empty[Long]).toDF("vec_id"), "vec_id")
       assert(!new java.io.File(dirFile, "_tombstones").exists())
       assert(probe() == before)
+      // deleting by the LIST column is refused — an anti-join on cid
+      // would resolve fine and silently erase whole inverted lists
+      intercept[IllegalArgumentException] {
+        Similarity.deleteFromIndex(spark, dir, Seq(0L).toDF("cid"), "cid")
+      }
+      // the all-rows-deleted corner: compaction skips (nothing
+      // writable), probes stay empty through the anti-join, appends
+      // stay refused — and the documented way out is a REBUILD, which
+      // resets tombstones/pointers explicitly and restores the probe
+      val allIds = assigned.select("vec_id")
+      Similarity.deleteFromIndex(spark, dir, allIds, "vec_id")
+      assert(probe().isEmpty, "all-deleted index still served rows")
+      Similarity.compactIndex(spark, dir)
+      assert(new java.io.File(dirFile, "_tombstones").exists(),
+        "all-deleted compaction must keep its tombstones")
+      intercept[IllegalArgumentException] {
+        Similarity.appendIndex(assigned.limit(1), dir)
+      }
+      Similarity.writeIndex(assigned, dir)
+      assert(!new java.io.File(dirFile, "_tombstones").exists(),
+        "rebuild must clear the tombstones")
+      assert(!new java.io.File(dirFile, "_compact_inprogress").exists())
+      assert(probe() == before, "rebuild did not restore the probe")
     }
     assigned.unpersist()
     ()
