@@ -109,7 +109,19 @@ object Mixing {
     * draw, so the row DROPS — key-fill upstream (coalesce the cluster
     * label with the doc id) rather than letting unclustered rows
     * vanish. Pure map-side (hash + compare), no shuffle; the draw
-    * replays in any engine with md5. */
+    * replays in any engine with md5.
+    *
+    * Stability across corpus GROWTH is only as stable as the group
+    * label: `duplicateClusters` labels are the component's min id,
+    * which never moves under append-only ingestion with monotone ids
+    * — EXCEPT when a new doc BRIDGES two existing clusters, merging
+    * them under the smaller min; the absorbed cluster's rows then
+    * redraw under the new label and may flip sides. That flip is the
+    * honest outcome (the merge asserts those docs are near-dups of
+    * the other side — keeping them split would itself be leakage),
+    * but sides are only append-stable modulo merges; pin the split
+    * assignment at cut time (persist doc_id → split) when training
+    * reproducibility demands it. */
   def splitByGroup(df: DataFrame, groupCol: String,
       splits: Seq[(String, Double)], outCol: String = "split",
       salt: String = ""): DataFrame = {
