@@ -480,6 +480,214 @@ object CorpusPrep {
     decontaminateAndSample(signatured, idCol, cfg)
   }
 
+  /** Row tracing for the batch prep facade — the data-curation twin
+    * of `pipeline.VulTracer`'s `-debug v=CVE-...`: for each traced
+    * id, "why is this doc not in run()'s output", answered with the
+    * FIRST stage that dropped it plus the evidence a curation debug
+    * needs — the exact-digest twin or dedup-cluster survivor it lost
+    * to, the sampler's actual draw, the normalized length the gates
+    * judged. The per-stage observed metrics answer "HOW MANY dropped
+    * where" with zero extra passes; this answers "WHERE did doc X
+    * go" for a handful of ids.
+    *
+    * Rebuilds run()'s stage chain under the SAME Config and private
+    * helpers, WITHOUT the observed-metrics wrappers (CorpusPrepSpec
+    * pins trace's kept set == run()'s survivor set on the same
+    * fixture, so the two chains cannot drift apart silently). Each
+    * stage frame is cached once, membership-checked against the
+    * traced ids, and released before returning; the result is EAGER
+    * (localCheckpoint) so no caller action can re-execute the prep.
+    * Debug-sized by contract: `ids` is a single-column frame of the
+    * ids to trace — pass a handful, not a corpus slice.
+    *
+    * Output: one row per traced id — (<idCol>, stage, detail);
+    * stage ∈ absent | gated | lm | exact | neardup | semantic |
+    * image | audio | ngram | decontam | semdecontam | sampled | kept
+    * (only cfg-active stages can appear). */
+  def prepTrace(docs: DataFrame, ids: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", cfg: Config = Config()): DataFrame = {
+    require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
+      "intraNearDup/intraNearDupVerified are the stream-only tiers — " +
+        "prepTrace traces run()'s batch chain")
+    require(cfg.bqModel.isEmpty,
+      "bqModel is the semanticIncremental lookup codec — run()/prepTrace " +
+        "have no stage that uses it")
+    require(cfg.embCol.isDefined ||
+        (cfg.pqModel.isEmpty && cfg.sqModel.isEmpty && cfg.codebook.isEmpty),
+      "pqModel/sqModel/codebook configure the semantic dedup stage, which " +
+        "needs cfg.embCol — set it, or drop the codec/codebook config")
+    require(!cfg.benchEmbLarge || cfg.benchEmb.isDefined,
+      "benchEmbLarge selects the large-bench route OF the benchEmb tier — " +
+        "set cfg.benchEmb (the benchmark embeddings frame), or drop the flag")
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    val traced = ids.select(col(ids.columns.head).as(idCol))
+      .filter(col(idCol).isNotNull).distinct().localCheckpoint(true)
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += c; c
+    }
+    def tIds(df: DataFrame): DataFrame =
+      df.join(broadcast(traced), Seq(idCol), "left_semi").select(idCol)
+    def stageRows(idsF: DataFrame, stage: String,
+        detail: org.apache.spark.sql.Column): DataFrame =
+      idsF.select(col(idCol), lit(stage).as("stage"),
+        detail.cast("string").as("detail"))
+    // survivor evidence for a dedup tier: the dropped id's cluster
+    // member still present after the drop (exactly one per cluster)
+    def clusterRows(dropped: DataFrame, clusters: DataFrame,
+        after: DataFrame, stage: String, what: String): DataFrame = {
+      val cl = clusters.toDF("_trc_id", "_trc_cl")
+      val surv = cl
+        .join(after.select(col(idCol).as("_trc_id")), Seq("_trc_id"))
+        .select(col("_trc_cl"), col("_trc_id").as("_trc_surv"))
+      dropped
+        .join(cl.withColumnRenamed("_trc_id", idCol), Seq(idCol), "left")
+        .join(surv, Seq("_trc_cl"), "left")
+        .select(col(idCol), lit(stage).as("stage"),
+          concat(lit(s"$what cluster survivor: "), col("_trc_surv"))
+            .cast("string").as("detail"))
+    }
+    try {
+      // ---- the chain, mirroring run() stage for stage ----
+      val spanGated = pin(normalizeAndGate(docs, textCol, idCol, cfg))
+      val lmGated =
+        if (cfg.lmModel.isEmpty) spanGated else pin(lmGate(spanGated, idCol, cfg))
+      val digests = pin(lmGated.withColumn("_digest", md5(col("clean_text"))))
+      val exactKept = pin(digests
+        .withColumn("_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("_digest").orderBy(idCol)))
+        .filter(col("_rank") === 1).drop("_rank"))
+      val exactNoDigest = exactKept.drop("_digest")
+      val textClusters = pin(Dedup.duplicateClusters(
+        Dedup.minhashJaccardPairs(exactNoDigest, "clean_text", idCol,
+          cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
+          cfg.maxBucket)))
+      val afterText = pin(cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(exactNoDigest, idCol, textClusters))(
+          Dedup.dropNearDuplicatesBy(exactNoDigest, idCol, textClusters, _)))
+      val (afterSem, semClusters) = cfg.embCol match {
+        case None => (afterText, None)
+        case Some(e) =>
+          require(cfg.pqModel.isEmpty || cfg.sqModel.isEmpty,
+            "pqModel and sqModel are alternative codecs for the semantic tier — set one")
+          require((cfg.pqModel.isEmpty && cfg.sqModel.isEmpty) || cfg.codebook.nonEmpty,
+            "a codec (pqModel/sqModel) compresses the IVF pair search and needs " +
+              "`codebook` for the inverted lists — supply both, or neither for " +
+              "sign-LSH buckets")
+          val semPairs = (cfg.codebook, cfg.pqModel, cfg.sqModel) match {
+            case (Some(cbk), Some(pqm), None) => Similarity.nearDupPairsIvfPq(
+              afterText, e, idCol, cbk, pqm, cfg.minCosine, cfg.nprobe,
+              cfg.maxBucket, cfg.sdcMargin)
+            case (Some(cbk), None, Some(sqm)) => Similarity.nearDupPairsIvfSq(
+              afterText, e, idCol, cbk, sqm, cfg.minCosine, cfg.nprobe,
+              cfg.maxBucket, cfg.sdcMargin)
+            case (Some(cbk), None, None) => Similarity.nearDupPairsIvf(
+              afterText, e, idCol, cbk, cfg.minCosine, cfg.nprobe, cfg.maxBucket)
+            case _ => Similarity.nearDupPairs(afterText, e, idCol,
+              cfg.signBits, cfg.minCosine, cfg.maxBucket)
+          }
+          val cl = pin(Dedup.duplicateClusters(semPairs))
+          (pin(cfg.keepPreference
+            .fold(Dedup.dropNearDuplicates(afterText, idCol, cl))(
+              Dedup.dropNearDuplicatesBy(afterText, idCol, cl, _))), Some(cl))
+      }
+      var sigStages = Seq.empty[(String, DataFrame, DataFrame)]
+      var cur = afterSem
+      signatureTiers(cfg).foreach { tier =>
+        val cl = pin(Dedup.duplicateClusters(Dedup.hashNearDupPairs(
+          tier.withHash(cur, tier.binaryCol, tier.workCol), tier.workCol,
+          idCol, tier.maxHamming, cfg.maxBucket,
+          metricName = s"graft_${tier.label}_trace_cap")))
+        val after = pin(cfg.keepPreference
+          .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
+            Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
+        sigStages :+= ((tier.label, cl, after)); cur = after
+      }
+      val ngramGated = cfg.ngramBloom.fold(cur)(bytes =>
+        pin(Dedup.bloomNgramGate(cur, "clean_text", bytes,
+          cfg.ngramBloomN, cfg.ngramBloomMaxHits)))
+      val decontaminated = cfg.benchmark.fold(ngramGated)(bench =>
+        pin(Dedup.decontaminate(ngramGated, "clean_text", idCol,
+          bench.withColumn("_bclean", normOf(cfg)(col(cfg.benchTextCol))),
+          "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment,
+          cfg.benchBloomFpp)))
+      val semDecon = cfg.benchEmb.fold(decontaminated) { bench =>
+        require(cfg.embCol.isDefined,
+          "benchEmb (semantic decontamination) needs cfg.embCol — the docs' " +
+            "embedding column the benchmark embeddings score against")
+        pin(if (cfg.benchEmbLarge)
+          Dedup.semanticDecontaminateLarge(decontaminated, cfg.embCol.get,
+            idCol, bench, cfg.benchEmbCol, cfg.benchMinCosine,
+            bands = cfg.bqBands, maxBucket = cfg.maxBucket)
+        else Dedup.semanticDecontaminate(decontaminated, cfg.embCol.get,
+          bench, cfg.benchEmbCol, cfg.benchMinCosine))
+      }
+      val sampled = cfg.sampleRate.fold(semDecon)(r =>
+        pin(Mixing.stratifiedSample(semDecon, idCol, r, salt = "corpusprep")))
+
+      // ---- boundary membership + evidence, first drop wins ----
+      val inDocs = tIds(docs)
+      val out = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      out += stageRows(traced.exceptAll(inDocs), "absent",
+        lit("id not present in the input frame"))
+      // gates: report the normalized length the gates judged
+      val gateDropped = inDocs.exceptAll(tIds(spanGated))
+      out += gateDropped
+        .join(docs.select(col(idCol),
+          length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
+        .select(col(idCol), lit("gated").as("stage"),
+          concat(lit("failed normalize/quality/boilerplate gates (clean_len="),
+            col("_trc_len"), lit(")")).cast("string").as("detail"))
+      if (cfg.lmModel.isDefined)
+        out += stageRows(tIds(spanGated).exceptAll(tIds(lmGated)), "lm",
+          lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))
+      // exact: name the digest twin that was kept
+      val exactDropped = tIds(lmGated).exceptAll(tIds(exactNoDigest))
+      out += exactDropped
+        .join(digests.select(col(idCol), col("_digest")), Seq(idCol), "left")
+        .join(exactKept.select(col("_digest"), col(idCol).as("_trc_surv")),
+          Seq("_digest"), "left")
+        .select(col(idCol), lit("exact").as("stage"),
+          concat(lit("exact duplicate of kept doc "), col("_trc_surv"))
+            .cast("string").as("detail"))
+      out += clusterRows(tIds(exactNoDigest).exceptAll(tIds(afterText)),
+        textClusters, afterText, "neardup", "near-dup")
+      semClusters.foreach { cl =>
+        out += clusterRows(tIds(afterText).exceptAll(tIds(afterSem)),
+          cl, afterSem, "semantic", "semantic")
+      }
+      var sigPrev = afterSem
+      sigStages.foreach { case (label, cl, after) =>
+        out += clusterRows(tIds(sigPrev).exceptAll(tIds(after)),
+          cl, after, label, label)
+        sigPrev = after
+      }
+      if (cfg.ngramBloom.isDefined)
+        out += stageRows(tIds(cur).exceptAll(tIds(ngramGated)), "ngram",
+          lit(s"over ${cfg.ngramBloomMaxHits} benchmark n-gram Bloom hits"))
+      if (cfg.benchmark.isDefined)
+        out += stageRows(tIds(ngramGated).exceptAll(tIds(decontaminated)),
+          "decontam",
+          lit(s"benchmark ${cfg.shingleN}-gram containment >= ${cfg.minContainment}"))
+      if (cfg.benchEmb.isDefined)
+        out += stageRows(tIds(decontaminated).exceptAll(tIds(semDecon)),
+          "semdecontam",
+          lit(s"benchmark embedding cosine >= ${cfg.benchMinCosine}"))
+      if (cfg.sampleRate.isDefined)
+        out += tIds(semDecon).exceptAll(tIds(sampled))
+          .select(col(idCol), lit("sampled").as("stage"),
+            concat(lit("sample draw "),
+              round(Mixing.unitHash(col(idCol), "corpusprep"), 6),
+              lit(" fell outside the keep rate")).cast("string").as("detail"))
+      out += stageRows(tIds(sampled), "kept", lit(null))
+      // EAGER: pin the debug-sized result, then release every stage
+      out.reduce(_ unionByName _).localCheckpoint(true)
+    } finally { pinned.foreach { f => f.unpersist(); () } }
+  }
+
   /** Incremental prep: a NEW batch against a STANDING prepared
     * corpus (run's output, which carries `clean_text`). The batch is
     * normalized, gated and optionally PII-redacted exactly like

@@ -48,6 +48,56 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(m("graft_prep_neardup").getAs[Long]("rows") == 2L) // 3 near-dup
   }
 
+  test("prepTrace: first-drop stage and evidence per id; kept set equals run()'s") {
+    val docs = Seq(
+      (1L, "The  Quick Brown Fox Jumps Over The Lazy Dog Again Today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (4L, "completely different content that survives every stage fine"),
+      (5L, "too short"),
+      (6L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (7L, "held out benchmark passage that must never reach training data")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L,
+      "held out benchmark passage that must never reach training data"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPrep.Config(minChars = 20, maxRepetition = 0.5,
+      minJaccard = 0.5, benchmark = Some(bench), minContainment = 0.5)
+    val trace = CorpusPrep.prepTrace(docs,
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 99L).toDF("id"), cfg = cfg)
+    val byId = trace.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)).getOrElse("")))
+      .toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 99L),
+      s"one row per traced id: $byId")
+    assert(byId(99L)._1 == "absent")
+    assert(byId(5L)._1 == "gated" && byId(5L)._2.contains("clean_len=9"),
+      s"${byId(5L)}")
+    assert(byId(6L)._1 == "gated")
+    assert(byId(2L)._1 == "exact" && byId(2L)._2.contains("kept doc 1"),
+      s"${byId(2L)}")
+    assert(byId(3L)._1 == "neardup" && byId(3L)._2.contains("survivor: 1"),
+      s"${byId(3L)}")
+    assert(byId(7L)._1 == "decontam", s"${byId(7L)}")
+    assert(byId(1L)._1 == "kept" && byId(4L)._1 == "kept")
+
+    // the no-drift pin: under a RICHER config (sampling active, so
+    // the sampled branch and its draw detail execute), trace's kept
+    // set must equal run()'s survivor set on the same input
+    val cfgS = cfg.copy(sampleRate = Some(lit(0.6)))
+    val traceS = CorpusPrep.prepTrace(docs,
+      docs.select("doc_id"), cfg = cfgS)
+    val keptS = traceS.filter(col("stage") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val runS = CorpusPrep.run(docs, cfg = cfgS)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptS == runS, s"trace kept $keptS vs run kept $runS")
+    val sampledOut = traceS.filter(col("stage") === "sampled").collect()
+    sampledOut.foreach(r => assert(r.getString(2).contains("sample draw"), r.toString))
+    assert(sampledOut.map(_.getLong(0)).toSet ==
+      Set(1L, 4L).diff(runS), "sampled drops = dedup survivors minus run's kept")
+  }
+
   test("LM-quality gate drops gibberish under a foreign bigram model; persisted model identical") {
     // reference corpus: fluent repeated prose -> high bigram mass
     val ref = (1L to 20L).map(i => (i, "the cat sat on the mat near the door"))
