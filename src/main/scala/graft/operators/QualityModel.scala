@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier over hashed bag-of-tokens features —
+  * the learned quality filter the public pipeline recipes reach for
+  * once per-row heuristics (q32) and corpus-statistics scores
+  * (unigram/bigram LM) stop separating: label a small reference set
+  * (curated prose = 1) against raw crawl (= 0), train a LOGISTIC
+  * model on hashed token features, and score every crawl doc — the
+  * CCNet-/GPT-3-style reference-vs-crawl filter, re-expressed
+  * Spark-first.
+  *
+  * Design choices, all scale- or replay-driven:
+  *   - FEATURE HASHING (the "hashing trick"): token → md5-derived
+  *     index in [0, dims), value tf/len (L1-normalized counts). The
+  *     feature space is fixed-width, so the weight table is
+  *     dims-sized (KBs — broadcastable), never vocabulary-sized, and
+  *     md5 (not Murmur) keeps every index reproducible in ANY engine
+  *     — the same device as every md5 draw in Mixing.
+  *   - Hand-rolled batch GRADIENT DESCENT as a bounded driver loop of
+  *     DataFrame aggregations, exactly the house trainer style
+  *     (k-means, PQ, OPQ, BPE): per iteration ONE feature-keyed
+  *     shuffle computes the gradient (full map-side partial
+  *     aggregation), the updated weights broadcast back. No RNG
+  *     anywhere (zero init, deterministic data order irrelevance:
+  *     per-feature sums), so training is REPRODUCIBLE and
+  *     repartition-stable.
+  *   - Weights and margins round to 6dp at every step boundary, so a
+  *     small-fixture training run REPLAYS bit-for-bit as unrolled SQL
+  *     (the q121/q129 device — q135 pins two unrolled iterations plus
+  *     scoring in DuckDB).
+  *
+  * Scale shape: featurize is one explode + one (doc, feature)
+  * aggregation; each training iteration is one broadcast join + one
+  * doc-keyed margin aggregation + one feature-keyed gradient
+  * aggregation — iterations are few (logistic on hashed features
+  * converges in single digits), and nothing is ever collected but the
+  * dims-sized weight table. Scoring is the same join + margin
+  * aggregation, one pass, no driver loop. */
+object QualityModel {
+
+  /** A trained linear model: `weights` rows (feature: Int, w: Double)
+    * for the NON-ZERO features (absent = 0.0), plus the intercept.
+    * KB-sized; persist with `writeModel`. */
+  final case class LinearModel(weights: Seq[(Int, Double)], bias: Double,
+      dims: Int)
+
+  private def toks(c: String) =
+    filter(split(col(c), " "), t => t =!= "")
+
+  /** Engine-portable feature index: first 4 hex chars of md5(token)
+    * mod `dims` — replays as
+    * ('0x' || substr(md5(t),1,4))::INT % dims in DuckDB. 16 bits of
+    * hash before the mod: dims above 65536 would leave indexes
+    * unreachable, which the train/score requires guard against. */
+  private def featIdx(token: Column, dims: Int): Column =
+    pmod(conv(substring(md5(token), 1, 4), 16, 10).cast("int"), lit(dims))
+
+  /** Per-doc hashed features: (idCol, _f, _x) with _x = tf / len —
+    * L1-normalized counts, so margins are bounded by max|w| and no
+    * document dominates the gradient by sheer length. Zero-token docs
+    * contribute no rows (they score sigmoid(bias)). */
+  private def featurize(docs: DataFrame, textCol: String, idCol: String,
+      dims: Int): DataFrame = {
+    val t = docs.select(col(idCol), explode(toks(textCol)).as("_t"))
+    val withLen = t.withColumn("_len",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol)))
+    withLen
+      .groupBy(col(idCol), featIdx(col("_t"), dims).as("_f"))
+      .agg((count(lit(1)) / first(col("_len"))).as("_x"))
+  }
+
+  /** Train by full-batch gradient descent with L2: per iteration,
+    * w ← round6(w − lr·(Σ_d (p_d − y_d)·x_{d,f} / n + l2·w)), bias the
+    * same with x ≡ 1; margins round to 6dp before the sigmoid. Labels
+    * must be 0/1 (checked). Init is all-zero, so iteration 1's
+    * p = 0.5 exactly — which is what lets the unrolled SQL replay
+    * start exact. Returns the model; nothing corpus-sized ever
+    * reaches the driver (per-iteration collect is the dims-sized
+    * non-zero weight table). */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+      idCol: String = "doc_id", dims: Int = 4096, iters: Int = 5,
+      lr: Double = 1.0, l2: Double = 0.0): LinearModel = {
+    require(dims >= 1 && dims <= 65536,
+      s"dims must be in [1, 65536] (16 hash bits feed the mod), got $dims")
+    require(!Set("_f", "_x", "_y", "_t", "_len", "_m", "_p", "_r", "_w")
+        .contains(idCol),
+      s"idCol '$idCol' collides with the trainer's internal column names")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    require(l2 >= 0, s"l2 must be >= 0, got $l2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labeled = docs.select(col(idCol), col(labelCol).cast("double").as("_y"))
+      .filter(col("_y").isNotNull)
+    val feats = featurize(docs, textCol, idCol, dims)
+      .join(labeled, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBad = labeled.filter(col("_y") =!= 0.0 && col("_y") =!= 1.0).count()
+      require(nBad == 0, s"labels must be 0/1; $nBad rows are neither")
+      val n = labeled.count().toDouble
+      require(n > 0, "no labeled rows to train on")
+      var w = Map.empty[Int, Double]
+      var bias = 0.0
+      for (_ <- 1 to iters) {
+        val wDf = broadcast(
+          (if (w.isEmpty) Seq((-1, 0.0)) else w.toSeq) // never-empty literal
+            .toDF("_f", "_w"))
+        // margins: one broadcast join + one doc-keyed sum; p = σ(m).
+        // The per-doc margin rounds BEFORE the sigmoid so the replay
+        // is exact across engines
+        val margins = feats
+          .join(wDf, Seq("_f"), "left")
+          .groupBy(col(feats.columns.head))
+          .agg(first(col("_y")).as("_y"),
+            round(coalesce(sum(col("_x") * col("_w")), lit(0.0)) + lit(bias), 6)
+              .as("_m"))
+          .withColumn("_p", lit(1.0) / (lit(1.0) + exp(-col("_m"))))
+          .withColumn("_r", col("_p") - col("_y"))
+        // gradient: one feature-keyed sum over (residual × x)
+        val grad = feats
+          .join(margins.select(col(feats.columns.head), col("_r")),
+            Seq(feats.columns.head))
+          .groupBy("_f")
+          .agg(sum(col("_r") * col("_x")).as("_g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val biasGrad = margins.agg(sum("_r")).collect()(0).getDouble(0)
+        val keys = (w.keySet ++ grad.keySet).toSeq
+        w = keys.map { f =>
+          val cur = w.getOrElse(f, 0.0)
+          val g = grad.getOrElse(f, 0.0) / n + l2 * cur
+          f -> BigDecimal(cur - lr * g)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.filter(_._2 != 0.0).toMap
+        bias = BigDecimal(bias - lr * (biasGrad / n + l2 * bias))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      LinearModel(w.toSeq.sortBy(_._1), bias, dims)
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Score docs under a trained (or fixed) model: one broadcast join
+    * + one doc-keyed margin sum; appends `score` =
+    * round6(σ(round6(margin + bias))). Zero-token docs score
+    * σ(bias). The margin rounds before the sigmoid for the same
+    * cross-engine replay reason as training. */
+  def score(docs: DataFrame, model: LinearModel, textCol: String,
+      idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    require(!docs.columns.exists(_.equalsIgnoreCase(scoreCol)),
+      s"input column '$scoreCol' collides with the score output; pass a different scoreCol")
+    require(!Set("_f", "_x", "_t", "_len", "_m", "_w").contains(idCol),
+      s"idCol '$idCol' collides with the scorer's internal column names")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(
+      (if (model.weights.isEmpty) Seq((-1, 0.0)) else model.weights)
+        .toDF("_f", "_w"))
+    val margins = featurize(docs, textCol, idCol, model.dims)
+      .join(wDf, Seq("_f"), "left")
+      .groupBy(idCol)
+      .agg(round(coalesce(sum(col("_x") * col("_w")), lit(0.0))
+        + lit(model.bias), 6).as("_m"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 6).as(scoreCol))
+    docs.join(margins, Seq(idCol), "left")
+      .withColumn(scoreCol, coalesce(col(scoreCol),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-model.bias))), 6)))
+  }
+
+  /** Persist / read the model — KB-sized parquet like every other
+    * artifact here (codebooks, PQ models, bigram LM). The bias and
+    * dims ride as ordinary rows under reserved feature ids. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      model: LinearModel, path: String): Unit = {
+    import spark.implicits._
+    (model.weights.map { case (f, v) => (f, v) } ++
+        Seq((-1, model.bias), (-2, model.dims.toDouble)))
+      .toDF("f", "w").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LinearModel = {
+    val rows = spark.read.parquet(path).select("f", "w").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    val meta = rows.filter(_._1 < 0).toMap
+    require(meta.contains(-1) && meta.contains(-2),
+      s"model at $path is missing its bias/dims rows — corrupted artifact")
+    LinearModel(rows.filter(_._1 >= 0).sortBy(_._1).toSeq,
+      meta(-1), meta(-2).toInt)
+  }
+}

@@ -3958,6 +3958,63 @@ object DataPrepQueries {
         probe("compacted").unionByName(tombstoned)
           .select("stage", "qid", "vec_id", "cos", "rank")
           .orderBy("stage", "qid", "rank")
+      }),
+
+    // Trained quality classifier (QualityModel.train/score) — the
+    // CCNet/GPT-3-style learned quality filter — oracle-pinned
+    // INCLUDING THE TRAINING: two full-batch gradient-descent
+    // iterations over md5-hashed bag-of-tokens features (labels
+    // doc_id % 2) unroll as sequential DuckDB CTEs (the q121/q129
+    // device). Zero init makes iteration 1 exact (p = 0.5 for every
+    // doc); weights and margins round to 6dp at every step boundary,
+    // so the replay is engine-exact end to end. The hash match pins
+    // the featurizer (hash/mod/L1 normalization), both gradient
+    // updates (incl. the bias and the n denominator counting
+    // zero-token docs that carry no gradient), and the scoring path.
+    QueryDef("q135_quality_classifier", Some(s"""
+      WITH d AS (SELECT doc_id, $toksSql AS tk, CAST(doc_id % 2 AS DOUBLE) AS y
+                 FROM documents WHERE doc_id >= 3),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+      tok AS (SELECT doc_id, y, unnest(tk) AS t, CAST(len(tk) AS DOUBLE) AS ln
+              FROM d WHERE len(tk) > 0),
+      feat AS (SELECT doc_id, any_value(y) AS y,
+                      ('0x' || substr(md5(t), 1, 4))::INT % 64 AS f,
+                      count(*) / any_value(ln) AS x
+               FROM tok GROUP BY doc_id, ('0x' || substr(md5(t), 1, 4))::INT % 64),
+      g1 AS (SELECT f, sum((0.5 - y) * x) AS g FROM feat GROUP BY f),
+      b1 AS (SELECT sum(0.5 - y) AS bg
+             FROM (SELECT DISTINCT doc_id, y FROM feat)),
+      w1 AS (SELECT f, round(-2.0 * g / n.n, 6) AS w FROM g1 CROSS JOIN n),
+      bias1 AS (SELECT round(-2.0 * bg / n.n, 6) AS b FROM b1 CROSS JOIN n),
+      m2 AS (SELECT fe.doc_id, any_value(fe.y) AS y,
+                    round(sum(fe.x * coalesce(w1.w, 0)) + any_value(bias1.b), 6) AS m
+             FROM feat fe LEFT JOIN w1 USING (f) CROSS JOIN bias1
+             GROUP BY fe.doc_id),
+      r2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r FROM m2),
+      g2 AS (SELECT fe.f, sum(r2.r * fe.x) AS g
+             FROM feat fe JOIN r2 USING (doc_id) GROUP BY fe.f),
+      w2 AS (SELECT coalesce(w1.f, g2.f) AS f,
+                    round(coalesce(w1.w, 0) - 2.0 * coalesce(g2.g, 0) / n.n, 6) AS w
+             FROM w1 FULL OUTER JOIN g2 ON w1.f = g2.f CROSS JOIN n),
+      bias2 AS (SELECT round(bias1.b - 2.0 * (SELECT sum(r) FROM r2) / n.n, 6) AS b
+                FROM bias1 CROSS JOIN n),
+      sd AS (SELECT doc_id FROM d WHERE doc_id < 60),
+      sm AS (SELECT fe.doc_id,
+                    round(sum(fe.x * coalesce(w2.w, 0)) + any_value(bias2.b), 6) AS m
+             FROM feat fe LEFT JOIN w2 USING (f) CROSS JOIN bias2
+             WHERE fe.doc_id < 60 GROUP BY fe.doc_id)
+      SELECT sd.doc_id,
+             round(1.0 / (1.0 + exp(-coalesce(sm.m, (SELECT b FROM bias2)))), 6) AS score
+      FROM sd LEFT JOIN sm USING (doc_id) ORDER BY sd.doc_id"""),
+      (s, dir) => {
+        val train = t(s, dir, "documents").filter(col("doc_id") >= 3)
+          .withColumn("label", (col("doc_id") % 2).cast("int"))
+        val model = graft.operators.QualityModel.train(train, "text", "label",
+          dims = 64, iters = 2, lr = 2.0)
+        graft.operators.QualityModel.score(
+            train.filter(col("doc_id") < 60), model, "text")
+          .select(col("doc_id"), col("score"))
+          .orderBy("doc_id")
       })
   )
 }
