@@ -521,6 +521,9 @@ object CorpusPrep {
         "set cfg.benchEmb (the benchmark embeddings frame), or drop the flag")
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    require(!Set("stage", "detail", "_digest", "_rank", "_trc_id", "_trc_cl",
+        "_trc_surv", "_trc_len", "clean_text").contains(idCol),
+      s"idCol '$idCol' collides with prepTrace's output/working column names")
     val traced = ids.select(col(ids.columns.head).as(idCol))
       .filter(col(idCol).isNotNull).distinct().localCheckpoint(true)
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -633,14 +636,23 @@ object CorpusPrep {
       val out = scala.collection.mutable.ListBuffer.empty[DataFrame]
       out += stageRows(traced.exceptAll(inDocs), "absent",
         lit("id not present in the input frame"))
-      // gates: report the normalized length the gates judged
+      // gates: report the normalized length the gates judged — but
+      // only when that length is knowable HERE: under cutHotSpans the
+      // gates run on the span-cut text (a corpus-wide census), and
+      // quoting the uncut length would send the debugging user the
+      // exactly wrong conclusion for an all-boilerplate doc
       val gateDropped = inDocs.exceptAll(tIds(spanGated))
-      out += gateDropped
+      out += (if (cfg.cutHotSpans)
+        stageRows(gateDropped, "gated",
+          lit("failed normalize/quality/boilerplate gates (judged on the " +
+            "span-cut text; lengths not reported under cutHotSpans)"))
+      else gateDropped
         .join(docs.select(col(idCol),
           length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
         .select(col(idCol), lit("gated").as("stage"),
           concat(lit("failed normalize/quality/boilerplate gates (clean_len="),
-            col("_trc_len"), lit(")")).cast("string").as("detail"))
+            coalesce(col("_trc_len").cast("string"), lit("null")),
+            lit(")")).cast("string").as("detail")))
       if (cfg.lmModel.isDefined)
         out += stageRows(tIds(spanGated).exceptAll(tIds(lmGated)), "lm",
           lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))

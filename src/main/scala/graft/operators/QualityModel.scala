@@ -61,26 +61,31 @@ object QualityModel {
   /** Per-doc hashed features: (idCol, _f, _x) with _x = tf / len —
     * L1-normalized counts, so margins are bounded by max|w| and no
     * document dominates the gradient by sheer length. Zero-token docs
-    * contribute no rows (they score sigmoid(bias)). */
+    * contribute no rows (their margin is the bias alone). The length
+    * attaches ROW-LOCALLY (size() before the explode) — no window,
+    * so the whole featurizer is one explode + one (doc, feature)
+    * aggregation, the scale shape SCALE.md states. */
   private def featurize(docs: DataFrame, textCol: String, idCol: String,
-      dims: Int): DataFrame = {
-    val t = docs.select(col(idCol), explode(toks(textCol)).as("_t"))
-    val withLen = t.withColumn("_len",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(idCol)))
-    withLen
+      dims: Int): DataFrame =
+    docs.select(col(idCol),
+        size(toks(textCol)).cast("double").as("_len"),
+        explode(toks(textCol)).as("_t"))
       .groupBy(col(idCol), featIdx(col("_t"), dims).as("_f"))
       .agg((count(lit(1)) / first(col("_len"))).as("_x"))
-  }
 
   /** Train by full-batch gradient descent with L2: per iteration,
     * w ← round6(w − lr·(Σ_d (p_d − y_d)·x_{d,f} / n + l2·w)), bias the
-    * same with x ≡ 1; margins round to 6dp before the sigmoid. Labels
-    * must be 0/1 (checked). Init is all-zero, so iteration 1's
-    * p = 0.5 exactly — which is what lets the unrolled SQL replay
-    * start exact. Returns the model; nothing corpus-sized ever
-    * reaches the driver (per-iteration collect is the dims-sized
-    * non-zero weight table). */
+    * same with x ≡ 1 — over EVERY labeled doc, including zero-token
+    * ones, whose margin is the bias alone (they carry no feature
+    * gradient but do push the bias, the true logistic gradient);
+    * margins round to 6dp before the sigmoid. Labels must be 0/1
+    * (checked); null-label rows are ignored WITHOUT being tokenized
+    * (train over "huge frame, small labeled sample" costs the
+    * sample). Init is all-zero, so iteration 1's p = 0.5 exactly —
+    * which is what lets the unrolled SQL replay start exact. Returns
+    * the model; nothing corpus-sized ever reaches the driver
+    * (per-iteration collect is the dims-sized non-zero weight
+    * table). */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       idCol: String = "doc_id", dims: Int = 4096, iters: Int = 5,
       lr: Double = 1.0, l2: Double = 0.0): LinearModel = {
@@ -94,10 +99,14 @@ object QualityModel {
     require(l2 >= 0, s"l2 must be >= 0, got $l2")
     val spark = docs.sparkSession
     import spark.implicits._
-    val labeled = docs.select(col(idCol), col(labelCol).cast("double").as("_y"))
-      .filter(col("_y").isNotNull)
-    val feats = featurize(docs, textCol, idCol, dims)
-      .join(labeled, Seq(idCol))
+    // unlabeled rows never tokenize: the label filter runs BEFORE the
+    // featurizer, so training over "huge frame, small curated labeled
+    // sample" pays only for the sample
+    val labeledDocs = docs.filter(col(labelCol).isNotNull)
+    val labeled = labeledDocs
+      .select(col(idCol), col(labelCol).cast("double").as("_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = featurize(labeledDocs, textCol, idCol, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nBad = labeled.filter(col("_y") =!= 0.0 && col("_y") =!= 1.0).count()
@@ -110,25 +119,28 @@ object QualityModel {
         val wDf = broadcast(
           (if (w.isEmpty) Seq((-1, 0.0)) else w.toSeq) // never-empty literal
             .toDF("_f", "_w"))
-        // margins: one broadcast join + one doc-keyed sum; p = σ(m).
-        // The per-doc margin rounds BEFORE the sigmoid so the replay
-        // is exact across engines
-        val margins = feats
+        // margins for EVERY labeled doc — zero-token docs (no feature
+        // rows) margin at the bias alone, so the bias gradient really
+        // is "x ≡ 1 for every doc" as documented. One broadcast join
+        // + one doc-keyed sum; the per-doc margin rounds BEFORE the
+        // sigmoid so the replay is exact across engines
+        val featSums = feats
           .join(wDf, Seq("_f"), "left")
-          .groupBy(col(feats.columns.head))
-          .agg(first(col("_y")).as("_y"),
-            round(coalesce(sum(col("_x") * col("_w")), lit(0.0)) + lit(bias), 6)
-              .as("_m"))
+          .groupBy(idCol)
+          .agg(coalesce(sum(col("_x") * col("_w")), lit(0.0)).as("_fm"))
+        val margins = labeled
+          .join(featSums, Seq(idCol), "left")
+          .withColumn("_m", round(coalesce(col("_fm"), lit(0.0)) + lit(bias), 6))
           .withColumn("_p", lit(1.0) / (lit(1.0) + exp(-col("_m"))))
           .withColumn("_r", col("_p") - col("_y"))
         // gradient: one feature-keyed sum over (residual × x)
         val grad = feats
-          .join(margins.select(col(feats.columns.head), col("_r")),
-            Seq(feats.columns.head))
+          .join(margins.select(col(idCol), col("_r")), Seq(idCol))
           .groupBy("_f")
           .agg(sum(col("_r") * col("_x")).as("_g"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        val biasGrad = margins.agg(sum("_r")).collect()(0).getDouble(0)
+        val biasGrad = margins.agg(coalesce(sum("_r"), lit(0.0)))
+          .collect()(0).getDouble(0)
         val keys = (w.keySet ++ grad.keySet).toSeq
         w = keys.map { f =>
           val cur = w.getOrElse(f, 0.0)
@@ -140,7 +152,7 @@ object QualityModel {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
       LinearModel(w.toSeq.sortBy(_._1), bias, dims)
-    } finally { feats.unpersist(); () }
+    } finally { feats.unpersist(); labeled.unpersist(); () }
   }
 
   /** Score docs under a trained (or fixed) model: one broadcast join

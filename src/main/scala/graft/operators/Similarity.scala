@@ -261,24 +261,27 @@ object Similarity {
     * (SimilaritySpec pins the pruned scan in the plan). */
   def writeIndex(assigned: DataFrame, path: String,
       cidCol: String = "cid"): Unit = {
-    // a REBUILD supersedes the whole lifecycle state: clear delete
-    // tombstones, compaction pointers/dirs and a stale lock explicitly
-    // rather than relying on overwrite semantics (under
-    // partitionOverwriteMode=dynamic an overwrite replaces only
-    // matching partitions and would leave stale tombstones silently
-    // erasing rebuilt ids). This is also the documented way OUT of the
-    // all-rows-deleted state compaction skips.
+    // a REBUILD supersedes the whole lifecycle state — tombstones,
+    // version pointers/dirs AND superseded data partitions — so the
+    // whole root clears explicitly rather than relying on overwrite
+    // semantics (under partitionOverwriteMode=dynamic an overwrite
+    // replaces only the partitions present in `assigned`: stale cid
+    // dirs would survive and serve old vectors, with their tombstones
+    // freshly cleared). This is also the documented way OUT of the
+    // all-rows-deleted state compaction skips. A LIVE compaction is
+    // refused, not swept: deleting its lock would let it finish later
+    // and drop a _current_vN pointer that silently shadows this
+    // rebuild with pre-rebuild data.
     val fs = hadoopFs(assigned.sparkSession, path)
     val root = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(root)) fs.listStatus(root).toSeq
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n == "_tombstones" || n == "_compact_inprogress" ||
-          (n.startsWith("_current_v") && n.drop(10).forall(_.isDigit)) ||
-          (n.startsWith("index_v") && n.drop(7).forall(_.isDigit))
-      }
-      .foreach(fs.delete(_, true))
+    if (fs.exists(root)) {
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
+        s"a compaction is running (or crashed) under $path — rebuilding now " +
+          "would be shadowed by its version-pointer swap; wait for it (or " +
+          "delete a stale _compact_inprogress) and rerun")
+      fs.delete(root, true)
+      ()
+    }
     assigned.write.mode("overwrite").partitionBy(cidCol).parquet(path)
   }
 
@@ -402,19 +405,14 @@ object Similarity {
       .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Data files currently under an index root's `_tombstones/` dir —
-    * the same snapshot device as `TextStats.tombstoneFiles`: the file
-    * list is the unit of delete/compaction race safety (compaction
-    * reads exactly this snapshot and post-swap deletes exactly it, so
-    * a delete racing the compaction survives the clear and stays
-    * pending). A file-less dir reads as "no tombstones". */
+    * ONE definition shared with the BM25 side
+    * (`TextStats.tombstoneFiles`): the file list is the unit of
+    * delete/compaction race safety (compaction reads exactly this
+    * snapshot and post-swap deletes exactly it, so a delete racing
+    * the compaction survives the clear and stays pending). A
+    * file-less dir reads as "no tombstones". */
   private def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      .map(_.toString)
-  }
+      path: String): Seq[String] = TextStats.tombstoneFiles(fs, path)
 
   /** Read a persisted IVF index back for probing (resolves the
     * compaction version pointer — see `compactIndex` — and applies
@@ -521,10 +519,27 @@ object Similarity {
             n != "_compact_inprogress" && n != "_tombstones"
         }
         .foreach(st => fs.delete(st.getPath, true))
+      // snapshot files only, then marker files, then a NON-recursive
+      // dir removal: if a racing delete commits a data file between
+      // the listing and the rmdir, the rmdir fails (non-empty) and
+      // the file stays pending — a recursive delete here would erase
+      // it unapplied, the exact race the snapshot device closes
       tombSnapshot.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      if (tombSnapshot.nonEmpty && tombstoneFiles(fs, path).isEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      if (tombSnapshot.nonEmpty) {
+        val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+        if (fs.exists(dir)) {
+          fs.listStatus(dir).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+            .foreach(fs.delete(_, false))
+          // best-effort NON-recursive rmdir: if a racing delete
+          // committed a data file since the listing, this throws or
+          // returns false and the dir (correctly) stays pending — a
+          // recursive delete here would erase that file unapplied
+          try { fs.delete(dir, false); () }
+          catch { case _: java.io.IOException => () }
+        }
+      }
       ()
     } finally { fs.delete(lock, false); () }
   }

@@ -558,7 +558,7 @@ object TextStats {
     * the next compaction materially), instead of being erased
     * unapplied. Readers treat an existing-but-file-less dir as "no
     * tombstones" (a cleared snapshot may leave the empty dir). */
-  private def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def tombstoneFiles(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     if (!fs.exists(dir)) Seq.empty
@@ -616,17 +616,26 @@ object TextStats {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    // a LIVE compaction is refused BEFORE the marker lands (refusing
+    // after would leave a spurious rebuild-required state): deleting
+    // its lock would let it finish later and drop a _current_vN
+    // pointer that silently shadows this rebuild with pre-rebuild
+    // postings — clear a genuinely stale lock by hand (the documented
+    // crashed-compaction recovery) and rerun.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
+      s"a compaction is running (or crashed) under $path — rebuilding now " +
+        "would be shadowed by its version-pointer swap; wait for it (or " +
+        "delete a stale _compact_inprogress) and rerun")
     if (!fs.exists(marker)) fs.createNewFile(marker)
-    // a REBUILD resets to the unversioned layout: clear compaction
-    // version pointers and their dirs (inside the marker bracket, so
-    // a crash here is the same loud rebuild-required state), plus any
-    // stale compaction lock — the rebuild supersedes whatever a
-    // crashed compaction left behind
+    // a REBUILD resets to the unversioned layout: clear delete
+    // tombstones, compaction version pointers and their dirs (inside
+    // the marker bracket, so a crash here is the same loud
+    // rebuild-required state)
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n == "_compact_inprogress" || n == "_tombstones" ||
+        n == "_tombstones" ||
           (n.startsWith("_current_v") && n.drop(10).forall(_.isDigit)) ||
           (n.startsWith("postings_v") && n.drop(10).forall(_.isDigit))
       }
@@ -1026,8 +1035,20 @@ object TextStats {
       fs.delete(new org.apache.hadoop.fs.Path(oldDir), true)
       tombSnapshot.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      if (tombSnapshot.nonEmpty && tombstoneFiles(fs, path).isEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tombstones"), true)
+      if (tombSnapshot.nonEmpty) {
+        val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+        if (fs.exists(dir)) {
+          fs.listStatus(dir).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+            .foreach(fs.delete(_, false))
+          // best-effort NON-recursive rmdir: if a racing delete
+          // committed a data file since the listing, this throws or
+          // returns false and the dir (correctly) stays pending — a
+          // recursive delete here would erase that file unapplied
+          try { fs.delete(dir, false); () }
+          catch { case _: java.io.IOException => () }
+        }
+      }
       ()
     } finally { fs.delete(lock, false); () }
   }

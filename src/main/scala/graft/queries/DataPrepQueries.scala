@@ -3969,8 +3969,9 @@ object DataPrepQueries {
     // doc); weights and margins round to 6dp at every step boundary,
     // so the replay is engine-exact end to end. The hash match pins
     // the featurizer (hash/mod/L1 normalization), both gradient
-    // updates (incl. the bias and the n denominator counting
-    // zero-token docs that carry no gradient), and the scoring path.
+    // updates (incl. the bias taking residuals from EVERY labeled
+    // doc — zero-token docs margin at the bias alone), and the
+    // scoring path.
     QueryDef("q135_quality_classifier", Some(s"""
       WITH d AS (SELECT doc_id, $toksSql AS tk, CAST(doc_id % 2 AS DOUBLE) AS y
                  FROM documents WHERE doc_id >= 3),
@@ -3982,14 +3983,14 @@ object DataPrepQueries {
                       count(*) / any_value(ln) AS x
                FROM tok GROUP BY doc_id, ('0x' || substr(md5(t), 1, 4))::INT % 64),
       g1 AS (SELECT f, sum((0.5 - y) * x) AS g FROM feat GROUP BY f),
-      b1 AS (SELECT sum(0.5 - y) AS bg
-             FROM (SELECT DISTINCT doc_id, y FROM feat)),
+      b1 AS (SELECT sum(0.5 - y) AS bg FROM d),
       w1 AS (SELECT f, round(-2.0 * g / n.n, 6) AS w FROM g1 CROSS JOIN n),
       bias1 AS (SELECT round(-2.0 * bg / n.n, 6) AS b FROM b1 CROSS JOIN n),
-      m2 AS (SELECT fe.doc_id, any_value(fe.y) AS y,
-                    round(sum(fe.x * coalesce(w1.w, 0)) + any_value(bias1.b), 6) AS m
-             FROM feat fe LEFT JOIN w1 USING (f) CROSS JOIN bias1
-             GROUP BY fe.doc_id),
+      fs2 AS (SELECT fe.doc_id, sum(fe.x * coalesce(w1.w, 0)) AS fm
+              FROM feat fe LEFT JOIN w1 USING (f) GROUP BY fe.doc_id),
+      m2 AS (SELECT d.doc_id, d.y,
+                    round(coalesce(fs2.fm, 0) + bias1.b, 6) AS m
+             FROM d LEFT JOIN fs2 USING (doc_id) CROSS JOIN bias1),
       r2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r FROM m2),
       g2 AS (SELECT fe.f, sum(r2.r * fe.x) AS g
              FROM feat fe JOIN r2 USING (doc_id) GROUP BY fe.f),
