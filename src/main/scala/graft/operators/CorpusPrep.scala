@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *   -> LM-quality gate (optional, `lmModel`: drop docs under a
   *      fluency floor scored by a FOREIGN bigram model — the
   *      CCNet-style gibberish/wrong-language filter)
+  *   -> trained-quality gate (optional, `qualityModel`: drop docs
+  *      scoring under `minQualityScore` on the learned
+  *      reference-vs-crawl classifier — row-local, zero exchanges)
   *   -> boilerplate gate (optional: drop docs carrying more than
   *      `maxHotSpans` word spans that repeat verbatim across
   *      `spanMinDf`+ documents — q62's repeated-span signal)
@@ -224,6 +227,18 @@ object CorpusPrep {
     lmModel: Option[TextStats.BigramLm] = None,
     minLmLogProb: Double = -8.0,
     lmK: Double = 0.5,
+    // TRAINED-quality gate, the third rung of the quality ladder
+    // (row-local heuristics -> foreign-LM fluency -> learned
+    // reference-vs-crawl classifier): score `clean_text` under a
+    // `QualityModel` trained once on labeled reference/crawl docs and
+    // drop rows scoring below `minQualityScore`. The scorer is a
+    // row-local codegen'd expression (map-literal weight lookup +
+    // per-row array aggregate — QualityModel.withQualityScore), so
+    // the gate adds ZERO exchanges in the batch paths and is
+    // stream-legal verbatim in `prepStream`. Runs right after the LM
+    // gate in all three facades.
+    qualityModel: Option[QualityModel.LinearModel] = None,
+    minQualityScore: Double = 0.5,
     // Driver-collect bound for the stream LM gate's broadcast model.
     // The default dropped 20M -> 2M when the old bound was found to
     // OOM a stock driver BELOW the loud failure; a pipeline whose
@@ -335,6 +350,19 @@ object CorpusPrep {
         .drop("logprob")
     }
 
+  /** Trained-quality gate (see Config.qualityModel): keep docs
+    * scoring `minQualityScore`+ under the learned classifier. The
+    * scorer is ROW-LOCAL (QualityModel.withQualityScore — map-literal
+    * weight lookup, per-row array aggregate: no join, no aggregation,
+    * no state), so this one definition serves run(), runIncremental
+    * AND prepStream unchanged. */
+  private def qmGate(docs: DataFrame, cfg: Config): DataFrame =
+    cfg.qualityModel.fold(docs) { m =>
+      QualityModel.withQualityScore(docs, m, "clean_text", "_qm_score")
+        .filter(col("_qm_score") >= cfg.minQualityScore)
+        .drop("_qm_score")
+    }
+
   /** Shared back half: benchmark decontamination + stratified
     * sampling over the dedup survivors. */
   /** One definition of the per-stage survivor metric — every stage
@@ -414,6 +442,10 @@ object CorpusPrep {
     // model, between the row-local gates and dedup
     val lmGated = cfg.lmModel.fold(spanGated)(_ =>
       obs(lmGate(spanGated, idCol, cfg), "lm"))
+    // trained-quality gate (opt-in): the learned reference-vs-crawl
+    // classifier, right after the LM fluency floor
+    val qmGated = cfg.qualityModel.fold(lmGated)(_ =>
+      obs(qmGate(lmGated, cfg), "qm"))
     // exact dedup: min id per content digest survives
     // exactKept feeds the near-dup pair search, the survivor
     // anti-join AND (with embCol) the semantic tier, so the
@@ -425,7 +457,7 @@ object CorpusPrep {
     // Callers who want the gates paid once cache/checkpoint UPSTREAM
     // (docs.cache() before run()), which keeps the observe nodes in
     // every consumer's plan.
-    val exactKept = obs(lmGated
+    val exactKept = obs(qmGated
       .withColumn("_digest", md5(col("clean_text")))
       .withColumn("_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -501,7 +533,7 @@ object CorpusPrep {
     * ids to trace — pass a handful, not a corpus slice.
     *
     * Output: one row per traced id — (<idCol>, stage, detail);
-    * stage ∈ absent | gated | lm | exact | neardup | semantic |
+    * stage ∈ absent | gated | lm | qm | exact | neardup | semantic |
     * image | audio | ngram | decontam | semdecontam | sampled | kept
     * (only cfg-active stages can appear). */
   def prepTrace(docs: DataFrame, ids: DataFrame, textCol: String = "text",
@@ -522,7 +554,7 @@ object CorpusPrep {
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
     require(!Set("stage", "detail", "_digest", "_rank", "_trc_id", "_trc_cl",
-        "_trc_surv", "_trc_len", "clean_text").contains(idCol),
+        "_trc_surv", "_trc_len", "_trc_qs", "clean_text").contains(idCol),
       s"idCol '$idCol' collides with prepTrace's output/working column names")
     val traced = ids.select(col(ids.columns.head).as(idCol))
       .filter(col(idCol).isNotNull).distinct().localCheckpoint(true)
@@ -557,7 +589,9 @@ object CorpusPrep {
       val spanGated = pin(normalizeAndGate(docs, textCol, idCol, cfg))
       val lmGated =
         if (cfg.lmModel.isEmpty) spanGated else pin(lmGate(spanGated, idCol, cfg))
-      val digests = pin(lmGated.withColumn("_digest", md5(col("clean_text"))))
+      val qmGated =
+        if (cfg.qualityModel.isEmpty) lmGated else pin(qmGate(lmGated, cfg))
+      val digests = pin(qmGated.withColumn("_digest", md5(col("clean_text"))))
       val exactKept = pin(digests
         .withColumn("_rank", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -656,8 +690,20 @@ object CorpusPrep {
       if (cfg.lmModel.isDefined)
         out += stageRows(tIds(spanGated).exceptAll(tIds(lmGated)), "lm",
           lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))
+      // trained-quality gate: the evidence is the doc's ACTUAL score
+      cfg.qualityModel.foreach { m =>
+        out += tIds(lmGated).exceptAll(tIds(qmGated))
+          .join(QualityModel.withQualityScore(
+              lmGated.select(col(idCol), col("clean_text")),
+              m, "clean_text", "_trc_qs"), Seq(idCol), "left")
+          .select(col(idCol), lit("qm").as("stage"),
+            concat(lit("quality score "),
+              coalesce(col("_trc_qs").cast("string"), lit("null")),
+              lit(s" below minQualityScore=${cfg.minQualityScore}"))
+              .cast("string").as("detail"))
+      }
       // exact: name the digest twin that was kept
-      val exactDropped = tIds(lmGated).exceptAll(tIds(exactNoDigest))
+      val exactDropped = tIds(qmGated).exceptAll(tIds(exactNoDigest))
       out += exactDropped
         .join(digests.select(col(idCol), col("_digest")), Seq(idCol), "left")
         .join(exactKept.select(col("_digest"), col(idCol).as("_trc_surv")),
@@ -750,10 +796,10 @@ object CorpusPrep {
     require(audioIndex.isEmpty || cfg.audioCol.isDefined,
       "audioIndex without cfg.audioCol would be silently ignored — set the " +
         "audio column, or drop the index argument")
-    val gated = lmGate(
+    val gated = qmGate(lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
-      idCol, cfg)
+      idCol, cfg), cfg)
     val deduped = Dedup.dropIncrementalDuplicates(
       standing, gated, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
@@ -1069,11 +1115,15 @@ object CorpusPrep {
         .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)
         .drop("_lm_n", "_lm_lp")
     }
+    // trained-quality gate: row-local by construction (map-literal
+    // lookup + array aggregate), so it is stream-legal verbatim —
+    // the same argument as the LM gate above
+    val qmGated = qmGate(lmGated, cfg)
     // n-gram-collision decontamination, the one tier that is stream-
     // legal (row-local Bloom probe — see Dedup.bloomNgramGate; build
     // the filter over bench text normalized like the corpus)
-    val decon0 = cfg.ngramBloom.fold(lmGated)(bytes =>
-      Dedup.bloomNgramGate(lmGated, "clean_text", bytes,
+    val decon0 = cfg.ngramBloom.fold(qmGated)(bytes =>
+      Dedup.bloomNgramGate(qmGated, "clean_text", bytes,
         cfg.ngramBloomN, cfg.ngramBloomMaxHits))
     // embedding-tier decontamination is row-local too (the bench
     // literal collects ONCE at stream build, like the LM gate's

@@ -155,33 +155,42 @@ object QualityModel {
     } finally { feats.unpersist(); labeled.unpersist(); () }
   }
 
-  /** Score docs under a trained (or fixed) model: one broadcast join
-    * + one doc-keyed margin sum; appends `score` =
-    * round6(σ(round6(margin + bias))). Zero-token docs score
-    * σ(bias). The margin rounds before the sigmoid for the same
-    * cross-engine replay reason as training. */
-  def score(docs: DataFrame, model: LinearModel, textCol: String,
-      idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
-    require(!docs.columns.exists(_.equalsIgnoreCase(scoreCol)),
-      s"input column '$scoreCol' collides with the score output; pass a different scoreCol")
-    require(!Set("_f", "_x", "_t", "_len", "_m", "_w").contains(idCol),
-      s"idCol '$idCol' collides with the scorer's internal column names")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val wDf = broadcast(
-      (if (model.weights.isEmpty) Seq((-1, 0.0)) else model.weights)
-        .toDF("_f", "_w"))
-    val margins = featurize(docs, textCol, idCol, model.dims)
-      .join(wDf, Seq("_f"), "left")
-      .groupBy(idCol)
-      .agg(round(coalesce(sum(col("_x") * col("_w")), lit(0.0))
-        + lit(model.bias), 6).as("_m"))
-      .select(col(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 6).as(scoreCol))
-    docs.join(margins, Seq(idCol), "left")
-      .withColumn(scoreCol, coalesce(col(scoreCol),
-        round(lit(1.0) / (lit(1.0) + exp(lit(-model.bias))), 6)))
+  /** Score a frame under a trained (or fixed) model, ROW-LOCALLY:
+    * the margin Σ_f w_f·tf_f/len regroups as
+    * Σ_token w(h(token))/len, so scoring is one codegen'd pass — the
+    * dims-sized weight MAP rides the plan as a literal, each token
+    * looks its weight up in place, and the per-row array aggregate
+    * replaces the join + doc-keyed shuffle entirely. Zero exchanges
+    * means the 100 TB scoring pass is embarrassingly parallel AND
+    * the gate is stream-legal verbatim (no aggregation, no state —
+    * the same argument as the stream LM gate). Appends `outCol` =
+    * round6(σ(round6(margin + bias))); zero-token (and null-text)
+    * docs score σ(bias). The margin rounds before the sigmoid for
+    * the same cross-engine replay reason as training (the per-row
+    * token order is deterministic, so the score is too). */
+  def withQualityScore(df: DataFrame, model: LinearModel, textCol: String,
+      outCol: String = "quality_score"): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"input column '$outCol' collides with the score output; pass a different outCol")
+    val ts = toks(textCol)
+    val len = size(ts)
+    val tokenSum =
+      if (model.weights.isEmpty) lit(0.0)
+      else aggregate(ts, lit(0.0), (acc, t) =>
+        acc + coalesce(
+          element_at(typedLit(model.weights.toMap), featIdx(t, model.dims)),
+          lit(0.0)))
+    val m = round(
+      when(len > 0, tokenSum / len).otherwise(lit(0.0)) + lit(model.bias), 6)
+    df.withColumn(outCol, round(lit(1.0) / (lit(1.0) + exp(-m)), 6))
   }
+
+  /** Score docs under a trained (or fixed) model — delegates to the
+    * row-local `withQualityScore` (idCol is retained for source
+    * compatibility; the scorer no longer keys on it). */
+  def score(docs: DataFrame, model: LinearModel, textCol: String,
+      idCol: String = "doc_id", scoreCol: String = "score"): DataFrame =
+    withQualityScore(docs, model, textCol, scoreCol)
 
   /** Persist / read the model — KB-sized parquet like every other
     * artifact here (codebooks, PQ models, bigram LM). The bias and

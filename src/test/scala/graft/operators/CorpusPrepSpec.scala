@@ -98,6 +98,43 @@ class CorpusPrepSpec extends SparkSpecBase {
       Set(1L, 4L).diff(runS), "sampled drops = dedup survivors minus run's kept")
   }
 
+  test("trained quality gate drops low scorers in run, runIncremental, and the trace") {
+    val labeled = ((1 to 20).map(i =>
+        (i.toLong, "the quick brown fox jumps over the lazy dog daily", 1)) ++
+      (1 to 20).map(i =>
+        (100L + i, "zzz qqq xxx kkk vvv www hhh jjj ggg bbb uuu ooo", 0)))
+      .toDF("doc_id", "text", "label")
+    val model = QualityModel.train(labeled, "text", "label",
+      dims = 256, iters = 6, lr = 2.0)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog daily"),
+      (2L, "daily dog over the quick brown fox lazy jumps news"),
+      (3L, "zzz qqq xxx kkk vvv www hhh jjj ggg bbb uuu ooo")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPrep.Config(minChars = 20, maxRepetition = 0.9,
+      qualityModel = Some(model), minQualityScore = 0.5,
+      metricPrefix = Some("graft_qm"))
+    val out = CorpusPrep.run(docs, cfg = cfg)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"batch kept $kept")
+    out.collect()
+    assert(out.queryExecution.observedMetrics("graft_qm_qm")
+      .getAs[Long]("rows") == 2L, "qm survivor metric")
+    // incremental: the same gate runs on the batch front half
+    val inc = CorpusPrep.runIncremental(out,
+      Seq((10L, "reads the daily news with great care and attention today"),
+          (11L, "qqq zzz kkk xxx www vvv jjj hhh bbb ggg ooo uuu"))
+        .toDF("doc_id", "text"), cfg = cfg)
+    val incKept = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incKept == Set(10L), s"incremental kept $incKept")
+    // the trace names the stage and the doc's actual score
+    val tr = CorpusPrep.prepTrace(docs, Seq(3L).toDF("id"), cfg = cfg)
+      .collect()(0)
+    assert(tr.getString(1) == "qm", tr.toString)
+    assert(tr.getString(2).contains("quality score") &&
+      tr.getString(2).contains("below minQualityScore"), tr.toString)
+  }
+
   test("LM-quality gate drops gibberish under a foreign bigram model; persisted model identical") {
     // reference corpus: fluent repeated prose -> high bigram mass
     val ref = (1L to 20L).map(i => (i, "the cat sat on the mat near the door"))

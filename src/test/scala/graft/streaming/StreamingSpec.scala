@@ -227,6 +227,47 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming trained-quality gate drops the junk doc the batch gate drops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("prep-stream-qm") { dir =>
+      // reference-vs-crawl training fixture: curated prose = 1,
+      // junk-alphabet docs = 0
+      val labeled = ((1 to 20).map(i =>
+          (i.toLong, "the quick brown fox jumps over the lazy dog daily", 1)) ++
+        (1 to 20).map(i =>
+          (100L + i, "zzz qqq xxx kkk vvv www hhh jjj ggg bbb uuu ooo", 0)))
+        .toDF("doc_id", "text", "label")
+      val model = graft.operators.QualityModel.train(labeled, "text", "label",
+        dims = 256, iters = 6, lr = 2.0)
+      val rows = Seq(
+        (1L, "2026-01-01 00:00:01", "the quick brown fox jumps over the lazy dog daily"),
+        (2L, "2026-01-01 00:00:02", "zzz qqq xxx kkk vvv www hhh jjj ggg bbb uuu ooo"))
+        .toDF("doc_id", "ts", "text")
+        .withColumn("ts", to_timestamp(col("ts")))
+      rows.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val cfg = graft.operators.CorpusPrep.Config(minChars = 20,
+        maxRepetition = 0.9, qualityModel = Some(model), minQualityScore = 0.5)
+      val batchIds = graft.operators.CorpusPrep.run(
+          rows.drop("ts"), "text", "doc_id", cfg)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchIds == Set(1L), s"batch: $batchIds")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+        .parquet(dir.getAbsolutePath)
+      val q = graft.operators.CorpusPrep.prepStream(stream, "text", "ts", cfg)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("prep_stream_qm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val got = spark.sql("SELECT doc_id FROM prep_stream_qm")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batchIds, s"stream $got != batch $batchIds")
+    }
+  }
+
   test("streaming LM gate drops the gibberish doc the batch gate drops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
