@@ -1354,14 +1354,15 @@ object Dedup {
     * are capped BEFORE collection (observed drops, same HotKeys
     * contract as every bucket here), so a list is at most `maxBucket`
     * longs — the index is bands-keyed, bounded, and broadcastable for
-    * any realistic standing corpus slice; persist it like the other
-    * standing artifacts. Deletion story (vs the tombstoned
-    * BM25/IVF indexes): candidate lists key by hash VALUE, which
-    * many docs may share, so removing a doc is not removing a hash —
-    * the honest delete path is a REBUILD from the surviving
-    * signatures, which is signature-sized (4 band rows per doc, one
-    * groupBy), never corpus-sized: cheap enough that tombstones
-    * would cost more than they save. */
+    * any realistic standing corpus slice. This in-memory form keys
+    * candidate lists by hash VALUE alone (no ids), so it cannot
+    * forget a document; for a STANDING artifact that must honor
+    * takedown requests, persist with `writeHashBandIndex` — its
+    * id-carrying layout gives this family the same tombstone /
+    * material-compaction lifecycle as the BM25 and IVF indexes
+    * (`deleteFromHashBandIndex` / `compactHashBandIndex`), and
+    * `readHashBandIndex` returns exactly this shape for the probes
+    * and facades. */
   def hashBandIndex(standing: DataFrame, hashCol: String,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_hash_index_cap"): DataFrame = {
@@ -1433,5 +1434,293 @@ object Dedup {
     joined
       .filter(col("_h").isNull || !hit)
       .drop("_h" +: (0 until 4).flatMap(k => Seq(s"_b$k", s"_cand$k")): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted hash-band index with the full deletion lifecycle — the
+  // third standing-index family (image dHash / audio fingerprint /
+  // SimHash text) brought up to the BM25/IVF takedown contract:
+  // tombstone deletes applied by every read immediately, material
+  // removal + snapshot-safe tombstone clearing at compaction, and
+  // telemetry from the artifact alone. Devices shared with the
+  // siblings: eager tombstone snapshots (TextStats.localTombstones),
+  // the atomic `_current_vN` pointer swap, the non-recursive rmdir.
+  // ------------------------------------------------------------------
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hashIndexVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_current_v") &&
+          s.drop(10).nonEmpty && s.drop(10).forall(_.isDigit) =>
+        s.drop(10).toLong }
+  }
+
+  private def currentHashIndexDir(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val vs = hashIndexVersions(fs, path)
+    if (vs.isEmpty) path else s"$path/bands_v${vs.max}"
+  }
+
+  /** Persist a hash-band index WITH the document ids — the layout
+    * that lets this index family FORGET: one exploded row per
+    * (band slot `_k`, band value `_band`, doc `idCol`, signature
+    * `_h`), capped per band all-or-nothing exactly like
+    * `hashBandIndex` (an over-cap band drops WHOLE, with observed
+    * drop counts — the id column does not change which bands
+    * survive), plus a `_meta/` row (ndocs / band counts / cap) for
+    * `hashBandIndexStats`. The artifact is signature-sized — at most
+    * 4 rows × (id + 8 bytes) per indexed doc — never pixel/sample/
+    * text-sized, the same reason the fingerprints were cheap to
+    * shuffle in the first place.
+    *
+    * `mode("overwrite")` on the ROOT is the rebuild semantics (the
+    * same contract as Similarity.writeIndex): a rebuild clears
+    * pending tombstones, version pointers and compacted dirs, after
+    * which deleted ids are re-addable. `_meta` lands after the data;
+    * probes never read it, so a crash between the two writes costs
+    * stats accuracy, never probe correctness (rebuild to repair). */
+  def writeHashBandIndex(standing: DataFrame, hashCol: String, idCol: String,
+      path: String, maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_hash_index_write_cap"): Unit = {
+    require(!Set("_k", "_band", "_h", "_hs").contains(idCol),
+      s"idCol '$idCol' collides with the index's internal column names")
+    val spark = standing.sparkSession
+    val base = standing
+      .select(col(idCol), col(hashCol).cast("long").as("_h"))
+      .filter(col("_h").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bands = base.select(col(idCol), col("_h"),
+          posexplode(array((0 until 4).map(k =>
+            shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+        .toDF(idCol, "_h", "_k", "_band")
+        .select(col("_k"), col("_band"), col(idCol), col("_h"))
+      HotKeys.cap(bands, Seq(col("_k"), col("_band")), maxBucket,
+          minPerKey = 1, metricName = metricName)
+        .write.mode("overwrite").parquet(path)
+      // meta AFTER the data (the root overwrite above would delete it);
+      // band counts recount from the WRITTEN artifact + the pre-cap
+      // frame, so capDroppedBands is exact, not an estimate
+      val ndocs = base.count()
+      val totalBands = bands.select("_k", "_band").distinct().count()
+      val keptBands = spark.read.parquet(path)
+        .select("_k", "_band").distinct().count()
+      import spark.implicits._
+      Seq((ndocs, totalBands, totalBands - keptBands, maxBucket.toLong, idCol))
+        .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket", "id_col")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    } finally { base.unpersist(); () }
+  }
+
+  /** Read a persisted hash-band index back in the PROBE shape —
+    * (`_k`, `_band`, `_hs`), exactly what `hashNearDupFilterAgainst`
+    * and the facades' `imageIndex`/`audioIndex` arguments take, so a
+    * persisted index is a drop-in for the in-memory `hashBandIndex`.
+    * Resolves the compaction version pointer and applies pending
+    * `deleteFromHashBandIndex` tombstones as a broadcast anti-join on
+    * the id BEFORE re-collecting the candidate lists — a deleted
+    * doc's signature leaves a list only when NO surviving doc shares
+    * that (band, hash), which is exactly the fresh-rebuild-minus-docs
+    * semantics (hash values are not ids; sharing is the reason the
+    * in-memory form could not delete). Tombstones are read EAGERLY
+    * (TextStats.localTombstones — delete-request-sized), so probes
+    * survive a compaction clearing the files mid-flight.
+    *
+    * Cap honesty (the df-gate analog): a band cap-dropped at BUILD
+    * does not resurrect on delete, even if the deletions brought its
+    * true size back under the cap — this artifact no longer has the
+    * dropped rows. Rebuild when that recall matters; the observed
+    * drop counts and `hashBandIndexStats.capDroppedBands` are the
+    * audit. */
+  def readHashBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    val data = spark.read.parquet(currentHashIndexDir(fs, path))
+    val tombs = TextStats.tombstoneFiles(fs, path)
+    val live =
+      if (tombs.isEmpty) data
+      else {
+        val ts = TextStats.localTombstones(spark, tombs)
+        data.join(broadcast(ts.select(ts.columns.head)),
+          Seq(ts.columns.head), "left_anti")
+      }
+    live.groupBy("_k", "_band").agg(collect_list("_h").as("_hs"))
+  }
+
+  /** Delete documents from a persisted hash-band index — the takedown
+    * path the in-memory form cannot have, and the exact shape of
+    * `Similarity.deleteFromIndex`: a TOMBSTONE (`_tombstones/` under
+    * the index root) that `readHashBandIndex` applies immediately
+    * (every probe built on a read stops matching the ids' signatures
+    * at once — a deleted doc's fingerprint no longer suppresses new
+    * intake as "duplicate of a deleted doc"), with the bytes leaving
+    * at the next `compactHashBandIndex`. No stats/meta repair is
+    * needed (band lists carry no corpus statistics — unlike BM25's
+    * df), so the tombstone IS the whole deletion. Duplicate and
+    * already-deleted ids are harmless (the anti-join is idempotent).
+    * `idCol` must be the indexed ID column and specifically NOT a
+    * band/slot column — tombstoning by `_band` would silently erase
+    * whole candidate lists, so that mix-up is refused here. */
+  def deleteFromHashBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    require(!Set("_k", "_band", "_h", "_hs").contains(idCol),
+      s"idCol '$idCol' names an internal band/hash column — tombstoning by " +
+        "band or hash would silently delete every doc sharing it; pass the " +
+        "indexed ID column")
+    val fs = hadoopFs(spark, path)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
+      s"a compaction is running (or crashed) under $path — wait for it " +
+        "(or clear a stale _compact_inprogress) and retry")
+    val tombDir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (fs.exists(tombDir)) {
+      val existing = spark.read.parquet(tombDir.toString).columns
+      require(existing.sameElements(Array(idCol)),
+        s"index at $path already has tombstones on '${existing.mkString(",")}'" +
+          s", got idCol '$idCol'")
+    }
+    val newIds = ids.select(col(ids.columns.head).as(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+    // a zero-row parquet append can leave a footer-less dir that fails
+    // schema inference on read — skip it (nothing to delete anyway)
+    if (!newIds.isEmpty) newIds.write.mode("append").parquet(tombDir.toString)
+  }
+
+  /** Compact a persisted hash-band index: apply pending tombstones
+    * MATERIALLY (the deleted docs' rows leave the four band lists for
+    * real) and clear exactly the tombstone-file SNAPSHOT this rewrite
+    * read — a delete racing the compaction lands outside the snapshot,
+    * survives the clear, and stays pending (the same race-safety
+    * device as both siblings; the final rmdir is non-recursive for
+    * the same reason). Crash-safety is the shared versioned swap: the
+    * rewrite lands in `bands_vN/` and the swap is the atomic CREATE
+    * of `_current_vN`, so every crash boundary leaves a
+    * probe-consistent index. No cap re-application: bands were capped
+    * all-or-nothing at build, deletes only shrink lists, and
+    * cap-dropped bands stay dropped (see `readHashBandIndex`'s
+    * honesty contract) — so a post-compaction probe is bit-identical
+    * to a pre-compaction probe over the same tombstones. The rewrite
+    * repartitions on (slot, band), so downstream reads get
+    * shuffle-partition-count files, not one file per historical
+    * write. An index whose EVERY row is deleted skips the rewrite
+    * (the empty-dir corner both siblings refuse) and keeps its
+    * tombstones — probes stay correct through the anti-join; the way
+    * out is a rebuild (`writeHashBandIndex`'s root overwrite). */
+  def compactHashBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")
+    require(fs.createNewFile(lock),
+      s"could not create compaction lock under $path — another compaction " +
+        "is running, or a previous one crashed. The index is still " +
+        "probe-consistent either way (the swap is atomic); if no compaction " +
+        "is live, delete _compact_inprogress and rerun")
+    try {
+      val vs = hashIndexVersions(fs, path)
+      val next = (0L +: vs).max + 1
+      val tombSnapshot = TextStats.tombstoneFiles(fs, path)
+      val raw = spark.read.parquet(currentHashIndexDir(fs, path))
+      val data =
+        if (tombSnapshot.isEmpty) raw
+        else {
+          val ts = spark.read.parquet(tombSnapshot: _*)
+          raw.join(broadcast(ts.select(ts.columns.head).distinct()),
+            Seq(ts.columns.head), "left_anti")
+        }
+      if (data.isEmpty) return
+      data.repartition(col("_k"), col("_band"))
+        .write.mode("overwrite").parquet(s"$path/bands_v$next")
+      // THE SWAP — one atomic create; from here readers resolve vN
+      require(fs.createNewFile(
+          new org.apache.hadoop.fs.Path(s"$path/_current_v$next")),
+        s"pointer _current_v$next already exists under $path — concurrent " +
+          "compactions? The servable index is unchanged")
+      // post-swap housekeeping: stale pointers, superseded data, then
+      // ONLY the tombstone-file snapshot this rewrite applied
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
+      if (vs.nonEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v${vs.max}"), true)
+      else fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter { st =>
+          val n = st.getPath.getName
+          n != s"bands_v$next" && n != s"_current_v$next" &&
+            n != "_compact_inprogress" && n != "_tombstones" && n != "_meta"
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+      tombSnapshot.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      if (tombSnapshot.nonEmpty) {
+        val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+        if (fs.exists(dir)) {
+          fs.listStatus(dir).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+            .foreach(fs.delete(_, false))
+          // best-effort NON-recursive rmdir: a racing delete's data
+          // file committed since the listing fails it, and the dir
+          // (correctly) stays pending
+          try { fs.delete(dir, false); () }
+          catch { case _: java.io.IOException => () }
+        }
+      }
+      ()
+    } finally { fs.delete(lock, false); () }
+  }
+
+  /** Lifecycle telemetry for a persisted hash-band index, from the
+    * artifact alone — the third `rows`-aligned stats twin
+    * (`TextStats.bm25IndexStats` / `Similarity.indexStats`), so ONE
+    * compaction-cadence policy can feed on all three families:
+    * `rows` counts ON-DISK rows, servable = rows − tombstonedRows.
+    * `capDroppedBands`/`maxBucket`/`ndocs` come from build-time
+    * `_meta` — capDroppedBands is the standing recall audit
+    * `readHashBandIndex`'s cap-honesty contract points at. Cost: one
+    * filesystem walk + one artifact read; the media/corpus is never
+    * touched. */
+  final case class HashBandIndexStats(indexDir: String, bands: Long,
+      rows: Long, files: Long, bytes: Long,
+      tombstonedIds: Long, tombstonedRows: Long,
+      capDroppedBands: Long, maxBucket: Long, ndocs: Long)
+
+  def hashBandIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): HashBandIndexStats = {
+    val fs = hadoopFs(spark, path)
+    val dir = currentHashIndexDir(fs, path)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), false)
+    var files = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        files += 1; bytes += st.getLen
+      }
+    }
+    val data = spark.read.parquet(dir)
+    val agg0 = data.agg(count(lit(1)).as("n"),
+      count_distinct(col("_k"), col("_band")).as("b")).collect()(0)
+    val tombs = TextStats.tombstoneFiles(fs, path)
+    val (tombIds, tombRows) =
+      if (tombs.isEmpty) (0L, 0L)
+      else {
+        val ts = spark.read.parquet(tombs: _*)
+        val tid = ts.columns.head
+        val tdist = ts.select(tid).distinct()
+        (tdist.count(),
+          data.join(broadcast(tdist), Seq(tid), "left_semi").count())
+      }
+    val meta = spark.read.parquet(s"$path/_meta")
+      .select("cap_dropped_bands", "max_bucket", "ndocs").collect()(0)
+    HashBandIndexStats(dir, agg0.getLong(1), agg0.getLong(0), files, bytes,
+      tombIds, tombRows, meta.getLong(0), meta.getLong(1), meta.getLong(2))
   }
 }

@@ -43,9 +43,14 @@ object QualityModel {
 
   /** A trained linear model: `weights` rows (feature: Int, w: Double)
     * for the NON-ZERO features (absent = 0.0), plus the intercept.
-    * KB-sized; persist with `writeModel`. */
+    * KB-sized; persist with `writeModel`. `losses` is the convergence
+    * telemetry `train` returns: the mean logistic loss at the START
+    * of each iteration (losses(0) = ln 2 exactly under zero init),
+    * round6 like every other step boundary — a non-decreasing tail
+    * means the learning rate is too hot or the labels carry no
+    * signal, answerable from the model artifact alone. */
   final case class LinearModel(weights: Seq[(Int, Double)], bias: Double,
-      dims: Int)
+      dims: Int, losses: Seq[Double] = Nil)
 
   private def toks(c: String) =
     filter(split(col(c), " "), t => t =!= "")
@@ -83,9 +88,15 @@ object QualityModel {
     * (train over "huge frame, small labeled sample" costs the
     * sample). Init is all-zero, so iteration 1's p = 0.5 exactly —
     * which is what lets the unrolled SQL replay start exact. Returns
-    * the model; nothing corpus-sized ever reaches the driver
-    * (per-iteration collect is the dims-sized non-zero weight
-    * table). */
+    * the model with per-iteration convergence telemetry
+    * (`LinearModel.losses` — the mean logistic loss BEFORE each
+    * update, from the same margins the gradient used, so it costs
+    * nothing extra); nothing corpus-sized ever reaches the driver
+    * (per-iteration collect is the dims-sized non-zero weight table
+    * plus two sentinel rows). Each iteration is ONE Spark action:
+    * the margin frame persists and the feature gradient, bias
+    * gradient and loss fuse into a single grouped aggregation under
+    * sentinel feature ids. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       idCol: String = "doc_id", dims: Int = 4096, iters: Int = 5,
       lr: Double = 1.0, l2: Double = 0.0): LinearModel = {
@@ -109,12 +120,21 @@ object QualityModel {
     val feats = featurize(labeledDocs, textCol, idCol, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nBad = labeled.filter(col("_y") =!= 0.0 && col("_y") =!= 1.0).count()
-      require(nBad == 0, s"labels must be 0/1; $nBad rows are neither")
+      // null-safe (<=>) on purpose: a non-null label like the string
+      // 'yes' passes the isNotNull filter above but CASTS to null —
+      // under plain =!= its null predicate would skip the bad-count,
+      // and the doc would inflate n while contributing a silently
+      // ignored null residual (skewing the effective learning rate)
+      val nBad = labeled
+        .filter(!(col("_y") <=> 0.0) && !(col("_y") <=> 1.0)).count()
+      require(nBad == 0,
+        s"labels must be 0/1 after the double cast; $nBad rows are neither " +
+          "(non-numeric labels cast to null)")
       val n = labeled.count().toDouble
       require(n > 0, "no labeled rows to train on")
       var w = Map.empty[Int, Double]
       var bias = 0.0
+      val losses = scala.collection.mutable.ListBuffer.empty[Double]
       for (_ <- 1 to iters) {
         val wDf = broadcast(
           (if (w.isEmpty) Seq((-1, 0.0)) else w.toSeq) // never-empty literal
@@ -123,7 +143,10 @@ object QualityModel {
         // rows) margin at the bias alone, so the bias gradient really
         // is "x ≡ 1 for every doc" as documented. One broadcast join
         // + one doc-keyed sum; the per-doc margin rounds BEFORE the
-        // sigmoid so the replay is exact across engines
+        // sigmoid so the replay is exact across engines. PERSISTED:
+        // the frame feeds the feature gradient, the bias gradient and
+        // the loss — without the pin the join + doc-keyed aggregation
+        // would re-execute per consumer
         val featSums = feats
           .join(wDf, Seq("_f"), "left")
           .groupBy(idCol)
@@ -133,25 +156,41 @@ object QualityModel {
           .withColumn("_m", round(coalesce(col("_fm"), lit(0.0)) + lit(bias), 6))
           .withColumn("_p", lit(1.0) / (lit(1.0) + exp(-col("_m"))))
           .withColumn("_r", col("_p") - col("_y"))
-        // gradient: one feature-keyed sum over (residual × x)
-        val grad = feats
-          .join(margins.select(col(idCol), col("_r")), Seq(idCol))
-          .groupBy("_f")
-          .agg(sum(col("_r") * col("_x")).as("_g"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        val biasGrad = margins.agg(coalesce(sum("_r"), lit(0.0)))
-          .collect()(0).getDouble(0)
-        val keys = (w.keySet ++ grad.keySet).toSeq
-        w = keys.map { f =>
-          val cur = w.getOrElse(f, 0.0)
-          val g = grad.getOrElse(f, 0.0) / n + l2 * cur
-          f -> BigDecimal(cur - lr * g)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // ONE action per iteration: the feature gradient (grouped by
+          // _f >= 0), the bias gradient (x ≡ 1, sentinel _f = -1) and
+          // the pre-update logistic loss (sentinel _f = -2) fuse into
+          // a single grouped aggregation — featIdx is non-negative by
+          // construction, so the sentinels can never collide
+          val rows = feats
+            .join(margins.select(col(idCol), col("_r")), Seq(idCol))
+            .select(col("_f"), (col("_r") * col("_x")).as("_v"))
+            .unionByName(margins.select(lit(-1).as("_f"), col("_r").as("_v")))
+            .unionByName(margins.select(lit(-2).as("_f"),
+              (lit(0.0) - (col("_y") * log(col("_p")) +
+                (lit(1.0) - col("_y")) * log(lit(1.0) - col("_p"))))
+                .as("_v")))
+            .groupBy("_f").agg(sum(col("_v")).as("_g"))
+            .collect()
+            .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+            .toMap
+          val grad = rows.filter(_._1 >= 0)
+          val biasGrad = rows.getOrElse(-1, 0.0)
+          losses += BigDecimal(rows.getOrElse(-2, 0.0) / n)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        }.filter(_._2 != 0.0).toMap
-        bias = BigDecimal(bias - lr * (biasGrad / n + l2 * bias))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val keys = (w.keySet ++ grad.keySet).toSeq
+          w = keys.map { f =>
+            val cur = w.getOrElse(f, 0.0)
+            val g = grad.getOrElse(f, 0.0) / n + l2 * cur
+            f -> BigDecimal(cur - lr * g)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }.filter(_._2 != 0.0).toMap
+          bias = BigDecimal(bias - lr * (biasGrad / n + l2 * bias))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        } finally { margins.unpersist(); () }
       }
-      LinearModel(w.toSeq.sortBy(_._1), bias, dims)
+      LinearModel(w.toSeq.sortBy(_._1), bias, dims, losses.toList)
     } finally { feats.unpersist(); labeled.unpersist(); () }
   }
 
@@ -167,11 +206,35 @@ object QualityModel {
     * round6(σ(round6(margin + bias))); zero-token (and null-text)
     * docs score σ(bias). The margin rounds before the sigmoid for
     * the same cross-engine replay reason as training (the per-row
-    * token order is deterministic, so the score is too). */
+    * token order is deterministic, so the score is too).
+    *
+    * Serving/training parity caveat: this regrouping sums PER TOKEN
+    * (w/len each step, in token order) while training sums PER
+    * FEATURE ((tf/len)·w, in aggregation order). The two sums are
+    * equal in real arithmetic but can differ by an ULP in floating
+    * point, and round6 at the margin can then flip the last digit at
+    * an exact rounding tie. No serving shape can close this gap
+    * bitwise, because training's OWN feature-sum order is
+    * partial-aggregation-order dependent (Spark does not fix float
+    * addition order across partitions) — the parity is empirical
+    * (hash-pinned on the q135 fixture), guaranteed-to-6dp only away
+    * from exact .0000005 margin ties. */
   def withQualityScore(df: DataFrame, model: LinearModel, textCol: String,
       outCol: String = "quality_score"): DataFrame = {
     require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
       s"input column '$outCol' collides with the score output; pass a different outCol")
+    // scoring-path ceiling, tighter than train's dims bound: the
+    // weight map rides the plan as a LITERAL (that is what makes the
+    // pass zero-exchange and stream-legal), and past a few tens of
+    // thousands of entries the generated code risks constant-pool /
+    // 64KB-method-size fallback to interpreted evaluation — the
+    // quiet 10x nobody notices until the 100 TB pass. Train filters
+    // exact zeros already; past this bound, retrain with fewer dims
+    // or l2 > 0 (which drives small weights to zero)
+    require(model.weights.size <= 32768,
+      s"model carries ${model.weights.size} non-zero weights — the " +
+        "row-local scorer inlines them as a plan literal and is bounded " +
+        "at 32768 entries; retrain with smaller dims or l2 > 0")
     val ts = toks(textCol)
     val len = size(ts)
     val tokenSum =
@@ -192,14 +255,93 @@ object QualityModel {
       idCol: String = "doc_id", scoreCol: String = "score"): DataFrame =
     withQualityScore(docs, model, textCol, scoreCol)
 
+  /** Evaluation harness for a scored frame against held-out 0/1
+    * labels — the classifier twin of the retrieval stack's
+    * `rankMetrics`/`recallAtK`, answering "is the gate any good"
+    * from one pass: confusion-matrix metrics at the gate `threshold`
+    * (the same `>=` the facade's qmGate applies) plus threshold-free
+    * AUC via the Mann–Whitney rank statistic with AVERAGE ranks over
+    * ties — integer/half-integer arithmetic end to end, so the
+    * number replays exactly in any engine (the q125 device applied
+    * to classification).
+    *
+    * Compose with `Mixing.splitByGroup`: an eval cut drawn per-id
+    * over a corpus with near-duplicates OVERSTATES quality (the
+    * held-out doc's near-twin sat in training — the classifier has
+    * effectively seen the answer), so cut by near-dup cluster /
+    * domain group and evaluate the held-out groups only.
+    *
+    * Scale shape: one groupBy on the (round6) score, one ordered
+    * cumulative pass over the DISTINCT scores (bounded by 6dp
+    * rounding, not by corpus size — the lone single-partition window
+    * is distinct-score-sized), one global aggregate. Labels validate
+    * under train's null-safe 0/1 rule. Returns ONE row: (n, n_pos,
+    * n_neg, accuracy, precision, recall, f1, auc) — ratio metrics
+    * round6; precision/f1 null when nothing was predicted positive,
+    * recall null when n_pos = 0, auc null when either class is
+    * empty. */
+  def evalModel(scored: DataFrame, labelCol: String,
+      scoreCol: String = "quality_score", threshold: Double = 0.5): DataFrame = {
+    val spark = scored.sparkSession
+    val base = scored.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("double").as("_y"),
+        col(scoreCol).cast("double").as("_s"))
+    val nBad = base
+      .filter(!(col("_y") <=> 0.0) && !(col("_y") <=> 1.0)).count()
+    require(nBad == 0,
+      s"labels must be 0/1 after the double cast; $nBad rows are neither " +
+        "(non-numeric labels cast to null)")
+    val byScore = base.filter(col("_s").isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_c"), sum(col("_y")).cast("long").as("_pc"))
+    // average rank of a tie group = (#rows strictly below) + (c+1)/2 —
+    // cumulated over DISTINCT scores, so the ordered window is
+    // tie-group-sized, never corpus-sized
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("_ar",
+        coalesce(sum(col("_c")).over(wOrd), lit(0L)) +
+          (col("_c") + lit(1L)) / lit(2.0))
+    val r6 = (c: Column) => round(c, 6)
+    ranked.agg(
+        sum(col("_c")).as("_n"),
+        sum(col("_pc")).as("_np"),
+        coalesce(sum(when(col("_s") >= threshold, col("_pc"))), lit(0L)).as("_tp"),
+        coalesce(sum(when(col("_s") >= threshold, col("_c") - col("_pc"))),
+          lit(0L)).as("_fp"),
+        sum(col("_pc") * col("_ar")).as("_prs"))
+      .select(
+        col("_n").cast("bigint").as("n"),
+        col("_np").cast("bigint").as("n_pos"),
+        (col("_n") - col("_np")).cast("bigint").as("n_neg"),
+        r6((col("_tp") + (col("_n") - col("_np") - col("_fp")))
+          / col("_n")).as("accuracy"),
+        when(col("_tp") + col("_fp") > 0,
+          r6(col("_tp") / (col("_tp") + col("_fp")))).as("precision"),
+        when(col("_np") > 0, r6(col("_tp") / col("_np"))).as("recall"),
+        when(lit(2) * col("_tp") + col("_fp") + (col("_np") - col("_tp")) > 0,
+          r6(lit(2.0) * col("_tp")
+            / (lit(2) * col("_tp") + col("_fp") + (col("_np") - col("_tp")))))
+          .as("f1"),
+        when(col("_np") > 0 && col("_n") - col("_np") > 0,
+          r6((col("_prs") - col("_np") * (col("_np") + lit(1L)) / lit(2.0))
+            / (col("_np") * (col("_n") - col("_np"))))).as("auc"))
+  }
+
   /** Persist / read the model — KB-sized parquet like every other
-    * artifact here (codebooks, PQ models, bigram LM). The bias and
-    * dims ride as ordinary rows under reserved feature ids. */
+    * artifact here (codebooks, PQ models, bigram LM). The bias, dims
+    * and per-iteration training losses ride as ordinary rows under
+    * reserved feature ids (-1 bias, -2 dims, -(10+i) loss of
+    * iteration i), so the convergence telemetry survives the
+    * round-trip and "did this artifact's training converge" stays
+    * answerable long after the training session is gone. */
   def writeModel(spark: org.apache.spark.sql.SparkSession,
       model: LinearModel, path: String): Unit = {
     import spark.implicits._
     (model.weights.map { case (f, v) => (f, v) } ++
-        Seq((-1, model.bias), (-2, model.dims.toDouble)))
+        Seq((-1, model.bias), (-2, model.dims.toDouble)) ++
+        model.losses.zipWithIndex.map { case (l, i) => (-(10 + i), l) })
       .toDF("f", "w").coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -211,6 +353,7 @@ object QualityModel {
     require(meta.contains(-1) && meta.contains(-2),
       s"model at $path is missing its bias/dims rows — corrupted artifact")
     LinearModel(rows.filter(_._1 >= 0).sortBy(_._1).toSeq,
-      meta(-1), meta(-2).toInt)
+      meta(-1), meta(-2).toInt,
+      rows.filter(_._1 <= -10).sortBy(-_._1).map(_._2).toSeq)
   }
 }

@@ -419,16 +419,21 @@ object Similarity {
     * any pending `deleteFromIndex` tombstones as a broadcast
     * anti-join, so every probe and the compaction rewrite itself see
     * the post-delete index; the anti-join sits above the scan and
-    * does not disturb the centroid-partition pruning probes rely
-    * on). */
+    * does not disturb the centroid-partition pruning probes rely on).
+    * The tombstone ids are collected EAGERLY into a local frame here
+    * (delete-request-sized by contract): probes are READERS, outside
+    * the single-writer contract, and a compaction finishing between
+    * this read and a lazily-executed probe deletes exactly the
+    * tombstone files — pinning the paths into the plan would fail
+    * that probe with FileNotFoundException. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val fs = hadoopFs(spark, path)
     val data = spark.read.parquet(currentIndexDir(fs, path))
     val tombs = tombstoneFiles(fs, path)
     if (tombs.isEmpty) data
     else {
-      val ts = spark.read.parquet(tombs: _*)
-      data.join(broadcast(ts.select(ts.columns.head).distinct()),
+      val ts = TextStats.localTombstones(spark, tombs)
+      data.join(broadcast(ts.select(ts.columns.head)),
         Seq(ts.columns.head), "left_anti")
     }
   }

@@ -567,6 +567,23 @@ object TextStats {
       .map(_.toString)
   }
 
+  /** The tombstone files read EAGERLY into a driver-local frame (a
+    * LocalRelation — delete-request-sized by contract, so the collect
+    * is bounded). Readers must NOT pin the file paths lazily into a
+    * probe plan: probes are not covered by the single-WRITER contract,
+    * and a compaction finishing between the read and a lazily-executed
+    * probe deletes exactly those files — the probe would then fail
+    * with FileNotFoundException. An eager snapshot makes every probe
+    * built on a read immune to concurrent compactions (shared with the
+    * ANN side — Similarity.readIndex). */
+  private[operators] def localTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(files: _*)
+    val rows = df.distinct().collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Bucket-partitioned postings write that stays READABLE even at
     * zero rows: a partitioned parquet write of an empty frame emits
     * NO files at all (there are no partition values), and the
@@ -676,8 +693,11 @@ object TextStats {
     ()
   }
 
-  /** Read a persisted BM25 index back (lazy — three parquet frames,
-    * no driver action beyond the append-marker existence probe). */
+  /** Read a persisted BM25 index back (lazy postings/df/meta frames;
+    * pending delete tombstones — delete-request-sized by contract —
+    * are collected EAGERLY into a local frame here, so probes built on
+    * this read keep working even if a compaction clears the tombstone
+    * files before the probe executes — see `localTombstones`). */
   def readBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Bm25Index = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
@@ -691,7 +711,7 @@ object TextStats {
     Bm25Index(spark.read.parquet(currentPostingsDir(fs, path)),
       spark.read.parquet(s"$path/df"),
       spark.read.parquet(s"$path/meta"),
-      if (tombs.nonEmpty) Some(spark.read.parquet(tombs: _*)) else None)
+      if (tombs.nonEmpty) Some(localTombstones(spark, tombs)) else None)
   }
 
   /** Append a document batch to a persisted BM25 index WITHOUT
@@ -876,7 +896,18 @@ object TextStats {
         Seq(idCol), "left_anti")
       case None => newIds0
     }).localCheckpoint(true)
-    if (newIds.isEmpty) return
+    // refusable requests are refused BEFORE any mutation: nD and n0
+    // are both known here, so a plainly bad request (more ids than
+    // ndocs) must not tombstone/df-swap first and only then discover
+    // the inconsistency inside the marker bracket — that would brick
+    // a servable index into the rebuild-required state over a request
+    // that should simply have been rejected
+    val nD = newIds.count().toDouble
+    if (nD == 0) return
+    val n1 = n0 - nD
+    require(n1 >= 0,
+      s"delete of ${nD.toLong} ids would drive ndocs negative under " +
+        s"$path — ids not currently indexed? Refused before any mutation")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_append_incomplete")
     require(fs.createNewFile(marker),
       s"could not create mutation marker under $path (previous " +
@@ -908,15 +939,11 @@ object TextStats {
       require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
         new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
       // meta repair: nD counts the REQUESTED ids (exact for zero-token
-      // docs, which have no rows but really do have length 0); the
-      // length sum comes from each matched doc's first posting row
-      val nD = newIds.count().toDouble
+      // docs, which have no rows but really do have length 0, and
+      // checked against n0 BEFORE the marker above); the length sum
+      // comes from each matched doc's first posting row
       val sumD = matched.groupBy(idCol).agg(first(col("len")).as("_l"))
         .agg(coalesce(sum("_l"), lit(0.0)).as("s")).collect()(0).getDouble(0)
-      val n1 = n0 - nD
-      require(n1 >= 0,
-        s"delete of ${nD.toLong} ids would drive ndocs negative under " +
-          s"$path — ids not currently indexed?")
       import spark.implicits._
       Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 - sumD) / n1, cap, tb, idCol))
         .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")

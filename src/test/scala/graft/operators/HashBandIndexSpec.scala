@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Deletion lifecycle of the persisted hash-band index — the third
+  * standing-index family (image dHash / audio fingerprint / SimHash)
+  * brought up to the BM25/IVF takedown contract: write-with-ids,
+  * tombstone delete applied at read, material compaction with the
+  * snapshot-safe tombstone clear, stats from the artifact alone. */
+class HashBandIndexSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // standing signatures: 201/202 SHARE a hash (the sharing that makes
+  // delete-by-id non-trivial for this family), 203 is alone, 204 far
+  private val standingRows = Seq(
+    (201L, 0x0123456789ABCDEFL),
+    (202L, 0x0123456789ABCDEFL), // same hash as 201
+    (203L, 0x00FF00FF00FF00FFL),
+    (204L, 0xFEDCBA9876543210L))
+
+  private def standing = standingRows.toDF("vid", "sig")
+
+  // batch: 1 near the shared hash, 2 near 203, 3 near 204, 4 far
+  private def batch = Seq(
+    (1L, 0x0123456789ABCDEEL),
+    (2L, 0x00FF00FF00FF00FEL),
+    (3L, 0xFEDCBA9876543211L),
+    (4L, 0x0F0F0F0F00000000L))
+    .toDF("vid", "sig")
+
+  private def keptAgainst(path: String): Set[Long] =
+    Dedup.hashNearDupFilterAgainst(batch, "sig",
+        Dedup.readHashBandIndex(spark, path), maxHamming = 3)
+      .select("vid").collect().map(_.getLong(0)).toSet
+
+  test("write/read roundtrip equals the in-memory index; probes agree") {
+    withTempDir("hbi-rt") { dir =>
+      val path = dir.getAbsolutePath
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      val mem = Dedup.hashBandIndex(standing, "sig")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          r.getSeq[Long](2).sorted).toMap
+      val back = Dedup.readHashBandIndex(spark, path)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          r.getSeq[Long](2).sorted).toMap
+      assert(back == mem, s"roundtrip diverged: $back vs $mem")
+      assert(keptAgainst(path) == Set(4L))
+    }
+  }
+
+  test("delete: shared-hash semantics, idempotency, probe-at-once, stream parity") {
+    withTempDir("hbi-del") { dir =>
+      val path = dir.getAbsolutePath
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      // delete ONE of the two docs sharing the hash: batch 1 must STAY
+      // suppressed (202 still holds the signature) — removing a doc is
+      // not removing a hash
+      Dedup.deleteFromHashBandIndex(spark, path,
+        Seq(201L).toDF("vid"), "vid")
+      assert(keptAgainst(path) == Set(4L), "surviving sharer must keep suppressing")
+      // delete the second sharer and 203: their near-twins resurface
+      Dedup.deleteFromHashBandIndex(spark, path,
+        Seq(202L, 203L).toDF("vid"), "vid")
+      assert(keptAgainst(path) == Set(1L, 2L, 4L))
+      // re-deleting already-deleted ids is harmless
+      Dedup.deleteFromHashBandIndex(spark, path,
+        Seq(202L, 203L).toDF("vid"), "vid")
+      assert(keptAgainst(path) == Set(1L, 2L, 4L))
+      // the read index is the facades' imageIndex/audioIndex shape —
+      // the SAME filter is append-legal on a stream, tombstones applied
+      withTempDir("hbi-stream") { sdir =>
+        batch.coalesce(1).write.mode("overwrite").parquet(s"$sdir/in")
+        val stream = spark.readStream.schema("vid BIGINT, sig BIGINT")
+          .parquet(s"$sdir/in")
+        val q = Dedup.hashNearDupFilterAgainst(stream, "sig",
+            Dedup.readHashBandIndex(spark, path), maxHamming = 3)
+          .writeStream.format("memory").queryName("hbi_stream")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        val got = spark.table("hbi_stream")
+          .select("vid").collect().map(_.getLong(0)).toSet
+        assert(got == Set(1L, 2L, 4L), s"stream diverged: $got")
+      }
+    }
+  }
+
+  test("compaction: material removal, probe-bit-identical, snapshot clear, crash boundaries") {
+    withTempDir("hbi-cmp") { dir =>
+      val path = dir.getAbsolutePath
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      Dedup.deleteFromHashBandIndex(spark, path,
+        Seq(201L, 202L).toDF("vid"), "vid")
+      val before = keptAgainst(path)
+      assert(before == Set(1L, 4L))
+      Dedup.compactHashBandIndex(spark, path)
+      assert(keptAgainst(path) == before, "compaction changed probe results")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v1")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v1")))
+      // tombstones cleared (snapshot applied materially)
+      val stats = Dedup.hashBandIndexStats(spark, path)
+      assert(stats.tombstonedIds == 0 && stats.tombstonedRows == 0)
+      // the deleted docs' rows are gone for real: only 203/204 remain,
+      // 4 band rows each
+      assert(stats.rows == 8, s"rows ${stats.rows}")
+      // a delete LANDING between a compaction's snapshot and its clear
+      // must survive — simulated by the public contract: tombstones
+      // written after the compaction stay pending and bite at read
+      Dedup.deleteFromHashBandIndex(spark, path, Seq(203L).toDF("vid"), "vid")
+      assert(keptAgainst(path) == Set(1L, 2L, 4L))
+      // second compaction: v2 swap, old version swept
+      Dedup.compactHashBandIndex(spark, path)
+      assert(keptAgainst(path) == Set(1L, 2L, 4L))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v2")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v1")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v1")))
+      // writer lock: a live (or crashed) compaction refuses deletes and
+      // further compactions, loudly
+      fs.createNewFile(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress"))
+      intercept[IllegalArgumentException] {
+        Dedup.deleteFromHashBandIndex(spark, path, Seq(204L).toDF("vid"), "vid")
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.compactHashBandIndex(spark, path)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress"), false)
+    }
+  }
+
+  test("all-deleted index: compaction skips, probes stay correct, rebuild is the way out") {
+    withTempDir("hbi-all") { dir =>
+      val path = dir.getAbsolutePath
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      Dedup.deleteFromHashBandIndex(spark, path,
+        standingRows.map(_._1).toDF("vid"), "vid")
+      // every signature tombstoned: nothing suppresses
+      assert(keptAgainst(path) == Set(1L, 2L, 3L, 4L))
+      Dedup.compactHashBandIndex(spark, path)
+      // rewrite skipped (empty-dir corner), tombstones kept, probes correct
+      val stats = Dedup.hashBandIndexStats(spark, path)
+      assert(stats.tombstonedIds == 4 && stats.tombstonedRows == stats.rows)
+      assert(keptAgainst(path) == Set(1L, 2L, 3L, 4L))
+      // rebuild resets the root: tombstones cleared, ids re-addable
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      assert(keptAgainst(path) == Set(4L))
+      assert(Dedup.hashBandIndexStats(spark, path).tombstonedIds == 0)
+    }
+  }
+
+  test("stats + cap honesty: capDroppedBands recorded; dropped bands do not resurrect on delete") {
+    withTempDir("hbi-cap") { dir =>
+      val path = dir.getAbsolutePath
+      // cap 1: the shared-hash docs (201, 202) overload all four of
+      // their bands, which drop WHOLE at build
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path, maxBucket = 1,
+        metricName = "graft_hbi_cap_spec")
+      val stats = Dedup.hashBandIndexStats(spark, path)
+      assert(stats.capDroppedBands == 4, s"capDropped ${stats.capDroppedBands}")
+      assert(stats.maxBucket == 1 && stats.ndocs == 4)
+      assert(stats.rows == 8 && stats.bands == 8) // 203 + 204 only
+      // batch 1 (near the dropped bands' hash) is NOT suppressed — the
+      // documented cap-recall trade, auditable via capDroppedBands
+      assert(keptAgainst(path) == Set(1L, 4L))
+      // deleting 201 does NOT resurrect the dropped bands (the artifact
+      // no longer has those rows)
+      Dedup.deleteFromHashBandIndex(spark, path, Seq(201L).toDF("vid"), "vid")
+      assert(keptAgainst(path) == Set(1L, 4L))
+    }
+  }
+
+  test("guards: band-column tombstones refused; mismatched tombstone columns refused") {
+    withTempDir("hbi-guards") { dir =>
+      val path = dir.getAbsolutePath
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      intercept[IllegalArgumentException] {
+        Dedup.deleteFromHashBandIndex(spark, path,
+          Seq(0L).toDF("_band"), "_band")
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.writeHashBandIndex(standing.withColumnRenamed("vid", "_h"),
+          "sig", "_h", s"$path/nested")
+      }
+      Dedup.deleteFromHashBandIndex(spark, path, Seq(201L).toDF("vid"), "vid")
+      intercept[IllegalArgumentException] {
+        Dedup.deleteFromHashBandIndex(spark, path,
+          Seq(202L).toDF("other_id"), "other_id")
+      }
+    }
+  }
+}

@@ -80,4 +80,98 @@ class QualityModelSpec extends SparkSpecBase {
     val l2Norm = l2Model.weights.map(w => math.abs(w._2)).sum
     assert(l2Norm < norm, s"L2 should shrink: $l2Norm vs $norm")
   }
+
+  test("convergence telemetry: per-iteration loss starts at ln 2, decreases, survives the roundtrip; one action per iteration") {
+    val docs = fixture.localCheckpoint(true)
+    val model = QualityModel.train(docs, "text", "label",
+      dims = 256, iters = 6, lr = 2.0)
+    assert(model.losses.length == 6, s"want 6 losses, got ${model.losses}")
+    // zero init: every margin is exactly 0, p = 0.5, loss = ln 2
+    assert(model.losses.head ==
+      BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"losses(0) should be round6(ln 2), got ${model.losses.head}")
+    // separable fixture at a sane lr: strictly decreasing
+    model.losses.toList.sliding(2).foreach { w =>
+      assert(w(1) < w(0), s"loss did not decrease: ${model.losses}")
+    }
+    withTempDir("qmodel_loss") { dir =>
+      QualityModel.writeModel(spark, model, dir.getAbsolutePath)
+      val back = QualityModel.readModel(spark, dir.getAbsolutePath)
+      assert(back.losses == model.losses, "losses lost in the roundtrip")
+    }
+    // one Spark ACTION per gradient pass: the margin frame persists
+    // and gradient/bias/loss fuse into a single grouped aggregation —
+    // job counts must grow LINEARLY in iters with the same per-iter
+    // slope (a re-executed margin subtree would show up as extra
+    // jobs), measured via job groups to be robust to fixed overheads
+    def jobsFor(group: String, iters: Int): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try QualityModel.train(docs, "text", "label",
+        dims = 64, iters = iters, lr = 1.0)
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val j1 = jobsFor("qm_jobs_1", 1)
+    val j2 = jobsFor("qm_jobs_2", 2)
+    val j4 = jobsFor("qm_jobs_4", 4)
+    val perIter = j2 - j1
+    assert(j4 - j2 == 2 * perIter,
+      s"per-iteration job count is not constant: j1=$j1 j2=$j2 j4=$j4")
+    // one ACTION per iteration — but AQE materializes each exchange /
+    // persist / broadcast stage as its own job, so one collect shows
+    // up as ~9 jobs. The bound guards the regression that matters:
+    // re-adding a second pass over the margin subtree (the pre-fix
+    // shape: separate gradient and bias collects) adds several jobs
+    // per iteration and trips it
+    assert(perIter <= 10,
+      s"per-iteration jobs grew past the single-action shape: $perIter")
+  }
+
+  test("evalModel: hand-computed confusion + tie-averaged AUC; degenerate classes go null; leakage guards") {
+    // scores/labels chosen so every metric is hand-checkable, with a
+    // TIE straddling the classes: ranks ascending are .2->1, .8->2,
+    // {.9,.9}->3.5 avg; posRankSum = 2 + 3.5 = 5.5;
+    // AUC = (5.5 - 2*3/2) / (2*2) = 0.625
+    val scored = Seq((1, 0.9), (0, 0.9), (1, 0.8), (0, 0.2))
+      .toDF("label", "quality_score")
+    val r = QualityModel.evalModel(scored, "label").collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.75, s"accuracy ${r.getDouble(3)}") // tp2 tn1
+    assert(r.getDouble(4) == 0.666667, s"precision ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 1.0, s"recall ${r.getDouble(5)}")
+    assert(r.getDouble(6) == 0.8, s"f1 ${r.getDouble(6)}")
+    assert(r.getDouble(7) == 0.625, s"auc ${r.getDouble(7)}")
+    // a perfectly separating model on the training fixture: AUC 1.0
+    val docs = fixture
+    val model = QualityModel.train(docs, "text", "label",
+      dims = 256, iters = 8, lr = 2.0)
+    val full = QualityModel.evalModel(
+      QualityModel.withQualityScore(docs, model, "text"), "label").collect()(0)
+    assert(full.getDouble(7) == 1.0, s"separable fixture AUC ${full.getDouble(7)}")
+    assert(full.getDouble(3) == 1.0 && full.getDouble(6) == 1.0)
+    // single-class eval: threshold metrics defined, AUC null
+    val onePos = QualityModel.evalModel(
+      Seq((1, 0.9), (1, 0.2)).toDF("label", "quality_score"), "label").collect()(0)
+    assert(onePos.isNullAt(7), "AUC must be null with one class")
+    assert(onePos.getDouble(5) == 0.5, "recall tp/np still defined")
+    // labels that cast to null are refused, same rule as train
+    intercept[IllegalArgumentException] {
+      QualityModel.evalModel(
+        Seq(("yes", 0.9), ("no", 0.2)).toDF("label", "quality_score"), "label")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      QualityModel.train(fixture.withColumn("label",
+        when(col("doc_id") < 5, lit("yes")).otherwise(col("label").cast("string"))),
+        "text", "label", dims = 16, iters = 1)
+    }
+  }
+
+  test("scoring-path ceiling: a model past 32768 non-zero weights is refused") {
+    val big = QualityModel.LinearModel(
+      (0 until 32769).map(i => i -> 0.1), 0.0, 65536)
+    intercept[IllegalArgumentException] {
+      QualityModel.withQualityScore(fixture, big, "text")
+    }
+  }
 }
