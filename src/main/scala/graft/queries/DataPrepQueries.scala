@@ -4092,6 +4092,207 @@ object DataPrepQueries {
           .orderBy("doc_id")
       }),
 
+    // The prep facade END TO END with the LEARNED tiers in the chain
+    // (CorpusPrep.run + qualityModel + imageCol) — q131 pinned
+    // normalize→gates→exact→near-dup→decontaminate→sample; this row
+    // pins the STAGE-ORDER interactions of the two tiers round 13/14
+    // added: the trained-quality gate (q135's two unrolled gradient
+    // iterations train the model in-oracle on a real signal — label =
+    // doc contains the token 'the' — and the gate scores the
+    // NORMALIZED text against a threshold CALIBRATED to the exact
+    // median of the training-doc scores, the CCNet percentile move;
+    // it sits between the row-local gates and exact dedup, where
+    // run() puts it) and the image signature tier (consecutive doc
+    // pairs share a synthetic image, the q124 dHash replay;
+    // perceptual clusters collapse keep-min-id AFTER the text
+    // near-dup stage, then decontamination and the sample run over
+    // the image survivors). One DuckDB chain; the LEARNED tiers bite
+    // at every sf (qm ~half, image ~25%, near-dup/sample as in q131 —
+    // gates/exact/decontam keep their own q131/q48/q57 pins); hash
+    // match = the whole composition.
+    // AS MATERIALIZED on every chain CTE is load-bearing (the q89
+    // lesson): each stage is referenced 2-3 times downstream, and a
+    // planner inlining single-definition CTEs re-expands the whole
+    // upstream chain PER REFERENCE — multiplicative in depth
+    // (observed: minutes vs 0.3 s at sf0.001).
+    QueryDef("q138_prep_learned_tiers", Some(raw"""
+      WITH RECURSIVE d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+                  CAST(list_contains(string_split(lower(text), ' '), 'the') AS DOUBLE) AS y
+           FROM documents WHERE doc_id >= 3),
+      n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+      tok AS MATERIALIZED (SELECT doc_id, y, unnest(tk) AS t, CAST(len(tk) AS DOUBLE) AS ln
+              FROM d WHERE len(tk) > 0),
+      feat AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
+                      ('0x' || substr(md5(t), 1, 4))::INT % 64 AS f,
+                      count(*) / any_value(ln) AS x
+               FROM tok GROUP BY doc_id, ('0x' || substr(md5(t), 1, 4))::INT % 64),
+      g1 AS MATERIALIZED (SELECT f, sum((0.5 - y) * x) AS g FROM feat GROUP BY f),
+      b1 AS MATERIALIZED (SELECT sum(0.5 - y) AS bg FROM d),
+      w1 AS MATERIALIZED (SELECT f, round(-2.0 * g / n.n, 6) AS w FROM g1 CROSS JOIN n),
+      bias1 AS MATERIALIZED (SELECT round(-2.0 * bg / n.n, 6) AS b FROM b1 CROSS JOIN n),
+      fs2 AS MATERIALIZED (SELECT fe.doc_id, sum(fe.x * coalesce(w1.w, 0)) AS fm
+              FROM feat fe LEFT JOIN w1 USING (f) GROUP BY fe.doc_id),
+      m2 AS MATERIALIZED (SELECT d.doc_id, d.y,
+                    round(coalesce(fs2.fm, 0) + bias1.b, 6) AS m
+             FROM d LEFT JOIN fs2 USING (doc_id) CROSS JOIN bias1),
+      r2 AS MATERIALIZED (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r FROM m2),
+      g2 AS MATERIALIZED (SELECT fe.f, sum(r2.r * fe.x) AS g
+             FROM feat fe JOIN r2 USING (doc_id) GROUP BY fe.f),
+      w2 AS MATERIALIZED (SELECT coalesce(w1.f, g2.f) AS f,
+                    round(coalesce(w1.w, 0) - 2.0 * coalesce(g2.g, 0) / n.n, 6) AS w
+             FROM w1 FULL OUTER JOIN g2 ON w1.f = g2.f CROSS JOIN n),
+      bias2 AS MATERIALIZED (SELECT round(bias1.b - 2.0 * (SELECT sum(r) FROM r2) / n.n, 6) AS b
+                FROM bias1 CROSS JOIN n),
+      fs3 AS MATERIALIZED (SELECT fe.doc_id, sum(fe.x * coalesce(w2.w, 0)) AS fm
+             FROM feat fe LEFT JOIN w2 USING (f) GROUP BY fe.doc_id),
+      rsc AS MATERIALIZED (SELECT d.doc_id,
+                    round(1.0 / (1.0 + exp(-round(coalesce(fs3.fm, 0) + bias2.b, 6))), 6) AS s
+             FROM d LEFT JOIN fs3 USING (doc_id) CROSS JOIN bias2),
+      thr AS MATERIALIZED (SELECT round(quantile_cont(s, 0.5), 6) AS t FROM rsc),
+      cleaned AS MATERIALIZED (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM documents),
+      toked AS MATERIALIZED (SELECT doc_id, ct, list_filter(string_split(ct, ' '), x -> x <> '') AS tk FROM cleaned),
+      gated AS MATERIALIZED (SELECT * FROM toked
+        WHERE length(ct) BETWEEN 20 AND 1000000 AND len(tk) > 0
+          AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) <= 0.9),
+      qfeat AS MATERIALIZED (SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 4))::INT % 64 AS f,
+                       count(*) / any_value(ln) AS x
+                FROM (SELECT doc_id, unnest(tk) AS t, CAST(len(tk) AS DOUBLE) AS ln
+                      FROM gated)
+                GROUP BY doc_id, ('0x' || substr(md5(t), 1, 4))::INT % 64),
+      qsc AS MATERIALIZED (SELECT qf.doc_id,
+                     round(1.0 / (1.0 + exp(-round(sum(qf.x * coalesce(w2.w, 0))
+                       + any_value(bias2.b), 6))), 6) AS s
+              FROM qfeat qf LEFT JOIN w2 USING (f) CROSS JOIN bias2
+              GROUP BY qf.doc_id),
+      qm AS MATERIALIZED (SELECT g.* FROM gated g JOIN qsc USING (doc_id)
+             WHERE qsc.s >= (SELECT t FROM thr)),
+      exact AS MATERIALIZED (SELECT * FROM qm
+        QUALIFY row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id) = 1),
+      shdoc AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM exact),
+      sig AS MATERIALIZED (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
+      bands AS MATERIALIZED (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+      cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ver AS MATERIALIZED (SELECT c.id_a, c.id_b
+              FROM cands c JOIN shdoc sa ON sa.doc_id = c.id_a
+                           JOIN shdoc sb ON sb.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                    / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.8),
+      edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM ver UNION SELECT id_b, id_a FROM ver),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      clus AS MATERIALIZED (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      nd AS MATERIALIZED (SELECT e.* FROM exact e LEFT JOIN clus c ON c.id = e.doc_id
+             WHERE c.id IS NULL OR e.doc_id = c.cluster),
+      ib AS MATERIALIZED (SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS alt FROM nd),
+      px AS MATERIALIZED (SELECT i.doc_id, y.y, x.x,
+               CASE WHEN i.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN i.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(i.base AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM ib i
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS MATERIALIZED (SELECT p1.doc_id,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id),
+      ipairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM h a JOIN h b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.h, b.h)) <= 3),
+      iedges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM ipairs
+                 UNION SELECT id_b, id_a FROM ipairs),
+      ireach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM iedges) v
+        UNION
+        SELECT r.a, e.d FROM ireach r JOIN iedges e ON r.b = e.s),
+      iclus AS MATERIALIZED (SELECT a AS id, min(b) AS cluster FROM ireach GROUP BY a),
+      img AS MATERIALIZED (SELECT n2.* FROM nd n2 LEFT JOIN iclus c ON c.id = n2.doc_id
+              WHERE c.id IS NULL OR n2.doc_id = c.cluster),
+      bsh AS MATERIALIZED (SELECT doc_id AS bench_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM toked WHERE doc_id < 3),
+      bexp AS MATERIALIZED (SELECT bench_id, len(shs) AS bn, unnest(shs) AS sh FROM bsh WHERE len(shs) > 0),
+      cexp AS MATERIALIZED (SELECT m3.doc_id,
+          unnest(list_distinct(list_transform(generate_series(1, greatest(len(m3.tk) - 2, 0)),
+            k -> array_to_string(m3.tk[k:k+2], ' ')))) AS sh
+        FROM img m3),
+      cont AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+          SELECT c.doc_id, b.bench_id, b.bn, count(*) AS shared
+          FROM cexp c JOIN bexp b USING (sh)
+          GROUP BY c.doc_id, b.bench_id, b.bn)
+        WHERE CAST(shared AS DOUBLE) / bn >= 0.8),
+      decon AS MATERIALIZED (SELECT * FROM img WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      sampled AS MATERIALIZED (SELECT * FROM decon
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'corpusprep'), 1, 8))::UBIGINT
+              / 4294967296.0 < 0.85)
+      SELECT doc_id, CAST(length(ct) AS BIGINT) AS n_clean_chars
+      FROM sampled ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val docs = t(s, dir, "documents")
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId / 2
+          val alt = docId % 2 == 1
+          val grays = Array.tabulate(8 * 9) { i =>
+            val y = i / 9; val x = i % 9
+            if (alt && y == 0 && x == 0) 255
+            else if (alt && y == 0 && x == 1) 0
+            else java.lang.Byte.toUnsignedInt(
+              md.digest(s"$base:$y:$x".getBytes("UTF-8"))(0))
+          }
+          graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+        }
+        val model = graft.operators.QualityModel.train(
+          docs.filter(col("doc_id") >= 3)
+            .withColumn("label", array_contains(
+              split(lower(col("text")), " "), "the").cast("int")),
+          "text", "label", dims = 64, iters = 2, lr = 2.0)
+        graft.operators.CorpusPrep.run(
+            docs.withColumn("img", mk(col("doc_id"))),
+            cfg = graft.operators.CorpusPrep.Config(
+              benchmark = Some(docs.filter(col("doc_id") < 3)),
+              minContainment = 0.8,
+              sampleRate = Some(lit(0.85)),
+              qualityModel = Some(model),
+              // the gate threshold CALIBRATES to the observed score
+              // distribution (the CCNet percentile-bucket move): the
+              // exact median of the model's scores over the training
+              // docs, so the gate bites ~half at EVERY sf — a fixed
+              // 0.5 would sit inside the score cluster (L1-normalized
+              // features keep margins tight around the bias) and flip
+              // on nothing. Spark's exact `percentile` and DuckDB's
+              // quantile_cont share the (n-1)p interpolation, so the
+              // threshold replays bit-for-bit
+              minQualityScore = BigDecimal(
+                graft.operators.QualityModel.withQualityScore(
+                    docs.filter(col("doc_id") >= 3), model, "text")
+                  .agg(expr("percentile(quality_score, 0.5)"))
+                  .collect()(0).getDouble(0))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              imageCol = Some("img")))
+          .select(col("doc_id"),
+            length(col("clean_text")).cast("bigint").as("n_clean_chars"))
+          .orderBy("doc_id")
+      }),
+
     // Hash-band index DELETION lifecycle (Dedup.writeHashBandIndex /
     // deleteFromHashBandIndex / compactHashBandIndex) — the THIRD
     // standing-index family brought up to the q132/q134 takedown
@@ -4210,7 +4411,8 @@ object DataPrepQueries {
                           / 4294967296.0 < 0.75 THEN 'val'
                         ELSE 'test' END AS split
             FROM grp),
-      d AS (SELECT doc_id, $toksSql AS tk, CAST(doc_id % 2 AS DOUBLE) AS y
+      d AS (SELECT doc_id, $toksSql AS tk,
+                   CAST(list_contains(string_split(lower(text), ' '), 'the') AS DOUBLE) AS y
             FROM u WHERE split = 'train'),
       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
       tok AS (SELECT doc_id, y, unnest(tk) AS t, CAST(len(tk) AS DOUBLE) AS ln
@@ -4236,7 +4438,8 @@ object DataPrepQueries {
              FROM w1 FULL OUTER JOIN g2 ON w1.f = g2.f CROSS JOIN n),
       bias2 AS (SELECT round(bias1.b - 2.0 * (SELECT sum(r) FROM r2) / n.n, 6) AS b
                 FROM bias1 CROSS JOIN n),
-      te AS (SELECT doc_id, $toksSql AS tk, CAST(doc_id % 2 AS DOUBLE) AS y
+      te AS (SELECT doc_id, $toksSql AS tk,
+                    CAST(list_contains(string_split(lower(text), ' '), 'the') AS DOUBLE) AS y
              FROM u WHERE split = 'test'),
       tfeat AS (SELECT doc_id,
                        ('0x' || substr(md5(t), 1, 4))::INT % 64 AS f,
@@ -4279,7 +4482,7 @@ object DataPrepQueries {
         val docs = t(s, dir, "documents")
         val clusters = graft.operators.Dedup.duplicateClusters(
           graft.operators.Dedup.minhashNearDupCandidates(docs, "text", "doc_id"))
-        val split = graft.operators.Mixing.splitByGroup(
+        val cut = graft.operators.Mixing.splitByGroup(
           docs.join(clusters.withColumnRenamed("id", "doc_id"),
               Seq("doc_id"), "left")
             .select(col("doc_id"), col("text"),
@@ -4287,13 +4490,15 @@ object DataPrepQueries {
           "grp", Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)),
           salt = "split13")
         val model = graft.operators.QualityModel.train(
-          split.filter(col("split") === "train")
-            .withColumn("label", (col("doc_id") % 2).cast("int")),
+          cut.filter(col("split") === "train")
+            .withColumn("label", array_contains(
+              split(lower(col("text")), " "), "the").cast("int")),
           "text", "label", dims = 64, iters = 2, lr = 2.0)
         graft.operators.QualityModel.evalModel(
           graft.operators.QualityModel.withQualityScore(
-            split.filter(col("split") === "test")
-              .withColumn("label", (col("doc_id") % 2).cast("int")),
+            cut.filter(col("split") === "test")
+              .withColumn("label", array_contains(
+                split(lower(col("text")), " "), "the").cast("int")),
             model, "text"),
           "label")
       })
