@@ -746,6 +746,288 @@ object CorpusPrep {
     } finally { pinned.foreach { f => f.unpersist(); () } }
   }
 
+  /** Row tracing for the STREAM / INCREMENTAL intake path — the
+    * production twin of `prepTrace`: "why did the stream drop doc X
+    * against the standing corpus", answered with the FIRST stage that
+    * dropped it and the standing-side evidence each tier can honestly
+    * name. Rebuilds `prepStream`'s chain STAGE FOR STAGE on a batch
+    * frame (every stream stage here is row-local or a stream-static
+    * join, so the batch replay is the same plan minus the watermark),
+    * against the same standing lookups the stream was built with —
+    * pass the SAME `standing`/`standingIndex`/`semanticLookup`/
+    * `imageIndex`/`audioIndex` frames.
+    *
+    * Two honesty notes, both inherent to live intake:
+    *  - the within-batch digest tier keeps the FIRST ARRIVAL in the
+    *    live stream (`dropDuplicatesWithinWatermark`); the trace
+    *    reports the min-id twin as the survivor stand-in and says so
+    *    in the evidence — the surviving CONTENT is identical either
+    *    way, survivor identity is arrival-dependent by design.
+    *  - the intra near-dup tiers (`intraNearDup` /
+    *    `intraNearDupVerified`) are REFUSED: greedy arrival-order /
+    *    stateful drops cannot be replayed deterministically from a
+    *    batch frame, and a trace that guessed would mislead.
+    *
+    * Evidence: the standing near-dup tier re-verifies the dropped
+    * rows against the standing frame WITH ids (one band-candidate
+    * join per trace call — the lookup itself carries only shingle
+    * sets) and names the best-verifying standing doc + its Jaccard;
+    * the semantic and signature tiers report the decision variables
+    * the live filter actually saw (probed-list ADC verify / band
+    * Hamming), stating that their lookups carry codes and hashes,
+    * not ids. Debug-sized by contract (`ids` is a handful); the one
+    * standing-sized cost is the evidence join, the same price
+    * `bandVerifyLookup` pays at stream build. Output: one row per
+    * traced id — (<idCol>, stage, detail); stage ∈ absent | gated |
+    * lm | qm | ngram | semdecontam | exact | exact_standing |
+    * neardup | semantic | image | audio | sampled | kept. */
+  def prepTraceStream(docs: DataFrame, ids: DataFrame, textCol: String,
+      idCol: String = "doc_id", cfg: Config = Config(),
+      standing: Option[DataFrame] = None,
+      standingIndex: Option[DataFrame] = None,
+      semanticLookup: Option[DataFrame] = None,
+      imageIndex: Option[DataFrame] = None,
+      audioIndex: Option[DataFrame] = None): DataFrame = {
+    require(cfg.maxHotSpans.isEmpty && !cfg.cutHotSpans && cfg.benchmark.isEmpty,
+      "prepTraceStream traces prepStream's chain, which supports only the " +
+        "row-local stages + standing-corpus probes — trace the batch stages " +
+        "via prepTrace")
+    require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
+      "the intra near-dup tiers keep greedy arrival-order / stateful " +
+        "survivors — their drops cannot be replayed deterministically from " +
+        "a batch frame, so tracing them would guess; disable them for the " +
+        "trace (the standing tiers trace fine)")
+    require(cfg.imageCol.isEmpty || imageIndex.isDefined,
+      "imageCol needs `imageIndex` — pass the same index the stream was built with")
+    require(imageIndex.isEmpty || cfg.imageCol.isDefined,
+      "imageIndex without cfg.imageCol would be silently ignored")
+    require(cfg.audioCol.isEmpty || audioIndex.isDefined,
+      "audioCol needs `audioIndex` — pass the same index the stream was built with")
+    require(audioIndex.isEmpty || cfg.audioCol.isDefined,
+      "audioIndex without cfg.audioCol would be silently ignored")
+    require(standingIndex.isEmpty || standing.isDefined,
+      "standingIndex carries bands, not text — the exact-Jaccard verify " +
+        "needs the standing frame too")
+    require(semanticLookup.isEmpty || (cfg.embCol.isDefined &&
+        ((cfg.codebook.isDefined && cfg.sqModel.isDefined && cfg.bqModel.isEmpty) ||
+         (cfg.bqModel.isDefined && cfg.sqModel.isEmpty && cfg.codebook.isEmpty))),
+      "semanticLookup needs cfg.embCol plus exactly ONE codec route " +
+        "(codebook + sqModel, or bqModel alone) — the same contract as prepStream")
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    require(!Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
+        "_trc_sid", "_trc_j", "_trc_h", "clean_text").contains(idCol),
+      s"idCol '$idCol' collides with prepTraceStream's output/working names")
+    val traced = ids.select(col(ids.columns.head).as(idCol))
+      .filter(col(idCol).isNotNull).distinct().localCheckpoint(true)
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += c; c
+    }
+    def tIds(df: DataFrame): DataFrame =
+      df.join(broadcast(traced), Seq(idCol), "left_semi").select(idCol)
+    def stageRows(idsF: DataFrame, stage: String,
+        detail: org.apache.spark.sql.Column): DataFrame =
+      idsF.select(col(idCol), lit(stage).as("stage"),
+        detail.cast("string").as("detail"))
+    try {
+      // ---- the chain, mirroring prepStream stage for stage ----
+      val cleaned = pin(docs.withColumn("clean_text", normOf(cfg)(col(textCol))))
+      val gated = pin(rowLocalGate(cleaned, cfg))
+      val lmGated = cfg.lmModel.fold(gated) { lm =>
+        pin(gated
+          .transform(TextStats.withBigramLogProb(_, "clean_text",
+            TextStats.collectLocal(lm, cfg.lmMaxPairs), cfg.lmK, "_lm_n", "_lm_lp"))
+          .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)
+          .drop("_lm_n", "_lm_lp"))
+      }
+      val qmGated =
+        if (cfg.qualityModel.isEmpty) lmGated else pin(qmGate(lmGated, cfg))
+      val ngramGated = cfg.ngramBloom.fold(qmGated)(bytes =>
+        pin(Dedup.bloomNgramGate(qmGated, "clean_text", bytes,
+          cfg.ngramBloomN, cfg.ngramBloomMaxHits)))
+      val semDecon = cfg.benchEmb.fold(ngramGated) { bench =>
+        require(cfg.embCol.isDefined,
+          "benchEmb (semantic decontamination) needs cfg.embCol")
+        pin(Dedup.semanticDecontaminate(ngramGated, cfg.embCol.get, bench,
+          cfg.benchEmbCol, cfg.benchMinCosine))
+      }
+      val withDigest = pin(semDecon.withColumn("_digest", md5(col("clean_text"))))
+      val intraExact = pin(withDigest
+        .withColumn("_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("_digest").orderBy(idCol)))
+        .filter(col("_rank") === 1).drop("_rank"))
+      val oldDig = standing.map { st =>
+        standingIndex
+          .map(_.select(col("_digest")).distinct())
+          .getOrElse(st.select(md5(col("clean_text")).as("_digest")).distinct())
+      }
+      val exactStanding = oldDig.fold(intraExact)(od =>
+        pin(intraExact.join(od, Seq("_digest"), "left_anti")))
+      val ndStanding = standing.fold(exactStanding) { st =>
+        val lookup = Dedup.bandVerifyLookup(st, "clean_text", idCol,
+          cfg.shingleN, cfg.numHashes, cfg.rowsPerBand, cfg.maxBucket,
+          standingIndex)
+        pin(Dedup.streamNearDupFilter(exactStanding.drop("_digest"),
+          "clean_text", lookup, cfg.shingleN, cfg.minJaccard,
+          cfg.numHashes, cfg.rowsPerBand))
+      }
+      val semStanding = semanticLookup.fold(ndStanding) { lk =>
+        pin(cfg.bqModel.fold(
+          Similarity.streamSemanticFilter(ndStanding, cfg.embCol.get, lk,
+            cfg.codebook.get, cfg.sqModel.get, cfg.minCosine, cfg.nprobe))(bqm =>
+          Similarity.streamSemanticFilterBq(ndStanding, cfg.embCol.get, lk,
+            bqm, cfg.minCosine, cfg.bqBands, cfg.bqMaxHamming)))
+      }
+      val tierIdx = Map("image" -> imageIndex, "audio" -> audioIndex)
+      var sigStages = Seq.empty[(String, DataFrame, DataFrame)]
+      var cur = semStanding
+      signatureTiers(cfg).foreach { tier =>
+        val after = pin(Dedup.hashNearDupFilterAgainst(
+            tier.withHash(cur, tier.binaryCol, tier.workCol),
+            tier.workCol, tierIdx(tier.label).get, tier.maxHamming)
+          .drop(tier.workCol))
+        sigStages :+= ((tier.label, cur, after)); cur = after
+      }
+      val sampled = cfg.sampleRate.fold(cur)(r =>
+        pin(Mixing.stratifiedSample(cur, idCol, r, salt = "corpusprep")))
+
+      // ---- boundary membership + evidence, first drop wins ----
+      val inDocs = tIds(docs)
+      val out = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      out += stageRows(traced.exceptAll(inDocs), "absent",
+        lit("id not present in the input frame"))
+      out += tIds(cleaned).exceptAll(tIds(gated))
+        .join(docs.select(col(idCol),
+          length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
+        .select(col(idCol), lit("gated").as("stage"),
+          concat(lit("failed normalize/quality gates (clean_len="),
+            coalesce(col("_trc_len").cast("string"), lit("null")),
+            lit(")")).cast("string").as("detail"))
+      if (cfg.lmModel.isDefined)
+        out += stageRows(tIds(gated).exceptAll(tIds(lmGated)), "lm",
+          lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))
+      cfg.qualityModel.foreach { m =>
+        out += tIds(lmGated).exceptAll(tIds(qmGated))
+          .join(QualityModel.withQualityScore(
+              lmGated.select(col(idCol), col("clean_text")),
+              m, "clean_text", "_trc_qs"), Seq(idCol), "left")
+          .select(col(idCol), lit("qm").as("stage"),
+            concat(lit("quality score "),
+              coalesce(col("_trc_qs").cast("string"), lit("null")),
+              lit(s" below minQualityScore=${cfg.minQualityScore}"))
+              .cast("string").as("detail"))
+      }
+      if (cfg.ngramBloom.isDefined)
+        out += stageRows(tIds(qmGated).exceptAll(tIds(ngramGated)), "ngram",
+          lit(s"over ${cfg.ngramBloomMaxHits} benchmark n-gram Bloom hits"))
+      if (cfg.benchEmb.isDefined)
+        out += stageRows(tIds(ngramGated).exceptAll(tIds(semDecon)),
+          "semdecontam",
+          lit(s"benchmark embedding cosine >= ${cfg.benchMinCosine}"))
+      // within-batch digest twin: live intake keeps the FIRST ARRIVAL;
+      // the min-id twin reported here is the deterministic stand-in
+      out += tIds(semDecon).exceptAll(tIds(intraExact))
+        .join(withDigest.select(col(idCol), col("_digest")), Seq(idCol), "left")
+        .join(intraExact.select(col("_digest"), col(idCol).as("_trc_sid")),
+          Seq("_digest"), "left")
+        .select(col(idCol), lit("exact").as("stage"),
+          concat(lit("duplicate digest within the batch of doc "),
+            col("_trc_sid"),
+            lit(" (live intake keeps the first ARRIVAL; min-id shown)"))
+            .cast("string").as("detail"))
+      if (standing.isDefined)
+        out += stageRows(tIds(intraExact).exceptAll(tIds(exactStanding)),
+          "exact_standing", lit("digest already in the standing corpus"))
+      // standing near-dup: name the best-verifying standing doc — the
+      // lookup carries only shingle sets, so the evidence re-verifies
+      // the handful of dropped rows against the standing frame WITH ids
+      standing.foreach { st =>
+        val dropped = tIds(exactStanding).exceptAll(tIds(ndStanding))
+        val qSide = exactStanding
+          .join(broadcast(dropped), Seq(idCol), "left_semi")
+          .select(col(idCol), col("clean_text"))
+          .withColumn("_qshs", Dedup.shingles(col("clean_text"), cfg.shingleN))
+          .withColumn("_qhs",
+            Dedup.minhashSigText(col("clean_text"), cfg.shingleN, cfg.numHashes))
+          .select(col(idCol), col("_qshs"), explode(array(Dedup.bandKeyCols(
+            i => element_at(col("_qhs"), i + 1),
+            cfg.numHashes, cfg.rowsPerBand): _*)).as("_band"))
+        val sSide = st
+          .select(col(idCol).as("_trc_sid"), col("clean_text"))
+          .withColumn("_sshs", Dedup.shingles(col("clean_text"), cfg.shingleN))
+          .withColumn("_shs",
+            Dedup.minhashSigText(col("clean_text"), cfg.shingleN, cfg.numHashes))
+          .filter(col("_shs").isNotNull)
+          .select(col("_trc_sid"), col("_sshs"), explode(array(Dedup.bandKeyCols(
+            i => element_at(col("_shs"), i + 1),
+            cfg.numHashes, cfg.rowsPerBand): _*)).as("_band"))
+        val shared = size(array_intersect(col("_qshs"), col("_sshs")))
+        val verified = qSide.join(sSide, Seq("_band"))
+          .withColumn("_trc_j", shared.cast("double") /
+            (size(col("_qshs")) + size(col("_sshs")) - shared))
+          .filter(col("_trc_j") >= cfg.minJaccard)
+          .groupBy(idCol)
+          .agg(expr("max_by(_trc_sid, _trc_j)").as("_trc_sid"),
+            round(max(col("_trc_j")), 4).as("_trc_j"))
+        out += dropped
+          .join(verified, Seq(idCol), "left")
+          .select(col(idCol), lit("neardup").as("stage"),
+            concat(lit("near-dup of standing doc "),
+              coalesce(col("_trc_sid").cast("string"), lit("?")),
+              lit(" (jaccard "),
+              coalesce(col("_trc_j").cast("string"), lit("?")),
+              lit(")")).cast("string").as("detail"))
+      }
+      if (semanticLookup.isDefined)
+        out += stageRows(tIds(ndStanding).exceptAll(tIds(semStanding)),
+          "semantic",
+          lit(s"embedding verified >= ${cfg.minCosine} against a standing " +
+            "member of a probed list (the lookup carries codes, not ids — " +
+            "run a batch ANN probe to name the doc)"))
+      var sigPrev = semStanding
+      sigStages.foreach { case (label, before, after) =>
+        // evidence: the row's own minimum Hamming against the probed
+        // candidate lists — the exact decision variable the filter saw
+        val tier = signatureTiers(cfg).find(_.label == label).get
+        val dropped = tIds(before).exceptAll(tIds(after))
+        val hashed = tier.withHash(
+            before.join(broadcast(dropped), Seq(idCol), "left_semi"),
+            tier.binaryCol, tier.workCol)
+          .select(col(idCol), col(tier.workCol).cast("long").as("_h"))
+        val joined = (0 until 4).foldLeft(hashed) { (c, k) =>
+          val side = tierIdx(label).get.filter(col("_k") === k)
+            .select(col("_band").as(s"_b$k"), col("_hs").as(s"_cand$k"))
+          c.join(broadcast(side),
+            col(s"_b$k") <=> shiftrightunsigned(col("_h"), 16 * k)
+              .bitwiseAND(lit(65535L)), "left")
+        }
+        val minHam = least((0 until 4).map(k =>
+          array_min(transform(coalesce(col(s"_cand$k"),
+            array().cast("array<long>")),
+            h => bit_count(h.bitwiseXOR(col("_h")))))): _*)
+        out += dropped
+          .join(joined.select(col(idCol), minHam.as("_trc_h")), Seq(idCol), "left")
+          .select(col(idCol), lit(label).as("stage"),
+            concat(lit(s"$label signature within hamming "),
+              coalesce(col("_trc_h").cast("string"), lit("?")),
+              lit(" of a standing signature (the index carries hashes, " +
+                "not ids)")).cast("string").as("detail"))
+        sigPrev = after
+      }
+      if (cfg.sampleRate.isDefined)
+        out += tIds(sigPrev).exceptAll(tIds(sampled))
+          .select(col(idCol), lit("sampled").as("stage"),
+            concat(lit("sample draw "),
+              round(Mixing.unitHash(col(idCol), "corpusprep"), 6),
+              lit(" fell outside the keep rate")).cast("string").as("detail"))
+      out += stageRows(tIds(sampled), "kept", lit(null))
+      out.reduce(_ unionByName _).localCheckpoint(true)
+    } finally { pinned.foreach { f => f.unpersist(); () } }
+  }
+
   /** Incremental prep: a NEW batch against a STANDING prepared
     * corpus (run's output, which carries `clean_text`). The batch is
     * normalized, gated and optionally PII-redacted exactly like

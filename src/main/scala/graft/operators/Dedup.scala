@@ -119,7 +119,8 @@ object Dedup {
     * band indexes are only reusable across operators while the
     * formula stays bit-identical. `h(i)` supplies the i-th signature
     * value. */
-  private def bandKeyCols(h: Int => Column, k: Int, rowsPerBand: Int): Seq[Column] = {
+  private[operators] def bandKeyCols(h: Int => Column, k: Int,
+      rowsPerBand: Int): Seq[Column] = {
     require(rowsPerBand >= 1 && k % rowsPerBand == 0,
       s"numHashes ($k) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     (0 until k / rowsPerBand).map { b =>

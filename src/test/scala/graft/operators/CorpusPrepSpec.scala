@@ -98,6 +98,100 @@ class CorpusPrepSpec extends SparkSpecBase {
       Set(1L, 4L).diff(runS), "sampled drops = dedup survivors minus run's kept")
   }
 
+  test("prepTraceStream: stream-trace kept set equals prepStream survivors; standing-tier evidence") {
+    // standing corpus: a prepared frame (run output carries clean_text)
+    val standingRaw = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again today"),
+      (102L, "completely different standing content that stays resident here"))
+      .toDF("doc_id", "text")
+    val standing = CorpusPrep.run(standingRaw,
+      cfg = CorpusPrep.Config(minChars = 20, maxRepetition = 0.9))
+      .localCheckpoint(true)
+    // standing image index, PERSISTED + read back — the facade takes
+    // readHashBandIndex output verbatim (the drop-in contract)
+    val grays = Array.tabulate(8 * 9)(i => (i * 3) % 256)
+    val img = Multimodal.syntheticGrayBmp(9, 8, grays)
+    withTempDir("trace-hbi") { hd =>
+      val hPath = hd.getAbsolutePath
+      Dedup.writeHashBandIndex(
+        Multimodal.withPerceptualHash(
+          Seq((101L, img)).toDF("doc_id", "img"), "img", "ph")(spark),
+        "ph", "doc_id", hPath)
+      val imageIndex = Dedup.readHashBandIndex(spark, hPath)
+      val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val batch = Seq(
+        // 1: exact digest of standing 101 -> exact_standing
+        (1L, "the quick brown fox jumps over the lazy dog again today", null.asInstanceOf[Array[Byte]], ts),
+        // 2: near-dup of standing 101 -> neardup (names 101 + jaccard)
+        (2L, "the quick brown fox jumps over the lazy dog again tonight", null.asInstanceOf[Array[Byte]], ts),
+        // 3: gated
+        (3L, "too short", null.asInstanceOf[Array[Byte]], ts),
+        // 4: fresh text + fresh-enough image -> kept (or sample-dropped)
+        (4L, "entirely novel intake document with original prose inside", null.asInstanceOf[Array[Byte]], ts),
+        // 6: fresh text but the STANDING image -> image tier
+        (6L, "novel words here but the picture matches standing content", img, ts)
+      ).toDF("doc_id", "text", "img", "ts")
+      val cfg = CorpusPrep.Config(minChars = 20, maxRepetition = 0.9,
+        minJaccard = 0.5, imageCol = Some("img"),
+        sampleRate = Some(lit(0.6)))
+
+      // the live stream's survivor set, via a real file stream
+      withTempDir("trace-stream") { sd =>
+        batch.coalesce(1).write.mode("overwrite").parquet(s"${sd.getAbsolutePath}/in")
+        val stream = spark.readStream
+          .schema("doc_id BIGINT, text STRING, img BINARY, ts TIMESTAMP")
+          .parquet(s"${sd.getAbsolutePath}/in")
+        val (out, caches) = CorpusPrep.prepStreamWithCaches(stream, "text", "ts",
+          cfg, standing = Some(standing), imageIndex = Some(imageIndex))
+        val q = out.writeStream.format("memory").queryName("trace_stream_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        caches.unpersist()
+        val streamKept = spark.table("trace_stream_out")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+
+        val trace = CorpusPrep.prepTraceStream(batch,
+          Seq(1L, 2L, 3L, 4L, 6L, 99L).toDF("id"), "text", cfg = cfg,
+          standing = Some(standing), imageIndex = Some(imageIndex))
+        val byId = trace.collect()
+          .map(r => r.getLong(0) -> ((r.getString(1),
+            Option(r.getString(2)).getOrElse(""))))
+          .toMap
+        assert(byId(99L)._1 == "absent")
+        assert(byId(3L)._1 == "gated", s"${byId(3L)}")
+        assert(byId(1L)._1 == "exact_standing", s"${byId(1L)}")
+        assert(byId(2L)._1 == "neardup" &&
+          byId(2L)._2.contains("standing doc 101") &&
+          byId(2L)._2.contains("jaccard"), s"${byId(2L)}")
+        assert(byId(6L)._1 == "image" && byId(6L)._2.contains("hamming 0"),
+          s"${byId(6L)}")
+        assert(byId(4L)._1 == "kept" || byId(4L)._1 == "sampled", s"${byId(4L)}")
+        // THE no-drift pin: trace's kept set == the live stream's
+        // survivor set on the same rows and lookups
+        val traceKept = byId.collect { case (id, ("kept", _)) => id }.toSet
+        assert(traceKept == streamKept,
+          s"trace kept $traceKept vs stream kept $streamKept")
+      }
+    }
+    // the intra tiers refuse deterministically-untraceable configs
+    intercept[IllegalArgumentException] {
+      CorpusPrep.prepTraceStream(standingRaw, Seq(1L).toDF("id"), "text",
+        cfg = CorpusPrep.Config(intraNearDup = true))
+    }
+    // within-batch digest twins: content-level trace with the honest
+    // arrival-order caveat in the evidence
+    val twins = Seq(
+      (11L, "identical twin content that is long enough to pass gates"),
+      (12L, "identical twin content that is long enough to pass gates"))
+      .toDF("doc_id", "text")
+    val tw = CorpusPrep.prepTraceStream(twins, Seq(12L).toDF("id"), "text")
+      .collect()(0)
+    assert(tw.getString(1) == "exact" && tw.getString(2).contains("doc 11") &&
+      tw.getString(2).contains("first ARRIVAL"), tw.toString)
+  }
+
   test("trained quality gate drops low scorers in run, runIncremental, and the trace") {
     val labeled = ((1 to 20).map(i =>
         (i.toLong, "the quick brown fox jumps over the lazy dog daily", 1)) ++
