@@ -4265,8 +4265,14 @@ object DataPrepQueries {
             .withColumn("label", array_contains(
               split(lower(col("text")), " "), "the").cast("int")),
           "text", "label", dims = 64, iters = 2, lr = 2.0)
+        // run()'s documented caching contract: the facade's stages
+        // re-execute their input per plan branch (a checkpoint inside
+        // run() would truncate the observed metrics), so heavy inputs
+        // — here the synthetic image encode — pin UPSTREAM
+        val pinned = docs.withColumn("img", mk(col("doc_id")))
+          .localCheckpoint(true)
         graft.operators.CorpusPrep.run(
-            docs.withColumn("img", mk(col("doc_id"))),
+            pinned,
             cfg = graft.operators.CorpusPrep.Config(
               benchmark = Some(docs.filter(col("doc_id") < 3)),
               minContainment = 0.8,
