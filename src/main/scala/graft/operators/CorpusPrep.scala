@@ -763,6 +763,11 @@ object CorpusPrep {
     *    reports the min-id twin as the survivor stand-in and says so
     *    in the evidence — the surviving CONTENT is identical either
     *    way, survivor identity is arrival-dependent by design.
+    *    Consequently the trace's kept SET equals the live stream's
+    *    exactly for batches WITHOUT in-batch digest twins (the spec's
+    *    parity pin), and at content level otherwise: when twins
+    *    arrive out of min-id order, the stream may keep a different
+    *    MEMBER of the same digest group than the trace names.
     *  - the intra near-dup tiers (`intraNearDup` /
     *    `intraNearDupVerified`) are REFUSED: greedy arrival-order /
     *    stateful drops cannot be replayed deterministically from a

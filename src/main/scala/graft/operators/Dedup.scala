@@ -1454,15 +1454,7 @@ object Dedup {
       .getFileSystem(spark.sessionState.newHadoopConf())
 
   private def hashIndexVersions(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("_current_v") &&
-          s.drop(10).nonEmpty && s.drop(10).forall(_.isDigit) =>
-        s.drop(10).toLong }
-  }
+      path: String): Seq[Long] = TextStats.versionPointers(fs, path)
 
   private def currentHashIndexDir(fs: org.apache.hadoop.fs.FileSystem,
       path: String): String = {
@@ -1480,20 +1472,47 @@ object Dedup {
     * `hashBandIndexStats`. The artifact is signature-sized — at most
     * 4 rows × (id + 8 bytes) per indexed doc — never pixel/sample/
     * text-sized, the same reason the fingerprints were cheap to
-    * shuffle in the first place.
+    * shuffle in the first place. `outFiles` bounds the data-file
+    * count (default 4 — the artifact is bands-keyed and bounded, and
+    * a probe's read re-collects the WHOLE frame, so file count is
+    * pure open-cost; `hashBandIndexStats.files` vs
+    * `IndexMaintenance`'s stripe threshold stays meaningful only
+    * because writes and compactions bound it here).
     *
-    * `mode("overwrite")` on the ROOT is the rebuild semantics (the
-    * same contract as Similarity.writeIndex): a rebuild clears
-    * pending tombstones, version pointers and compacted dirs, after
-    * which deleted ids are re-addable. `_meta` lands after the data;
-    * probes never read it, so a crash between the two writes costs
-    * stats accuracy, never probe correctness (rebuild to repair). */
+    * VERSIONED FROM BIRTH (unlike the ANN sibling's flat first
+    * layout): the data lands in `bands_v1/` and the atomic
+    * `_current_v1` pointer create publishes it — so no state of this
+    * index ever mixes root-level data files with a nested version
+    * dir, and every compaction crash boundary leaves readers on a
+    * complete older version (a half-written `bands_vN` is a sibling
+    * the resolver never names). A rebuild RESETS the root first
+    * (tombstones, pointers, old versions, meta — deleted ids become
+    * re-addable); a crash mid-rebuild leaves a loudly unreadable
+    * index (no pointer, no root data) — rerun the rebuild. `_meta`
+    * lands after the pointer; probes never read it, so losing it
+    * costs stats accuracy, never probe correctness. A live (or
+    * crashed) compaction is refused before the reset, exactly like
+    * the BM25 rebuild: clearing its lock by hand is the documented
+    * recovery, and a rebuild racing a live compaction could otherwise
+    * be shadowed by the compaction's later pointer swap. */
   def writeHashBandIndex(standing: DataFrame, hashCol: String, idCol: String,
       path: String, maxBucket: Int = HotKeys.DefaultBucketCap,
-      metricName: String = "graft_hash_index_write_cap"): Unit = {
+      metricName: String = "graft_hash_index_write_cap",
+      outFiles: Int = 4): Unit = {
     require(!Set("_k", "_band", "_h", "_hs").contains(idCol),
       s"idCol '$idCol' collides with the index's internal column names")
+    require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
     val spark = standing.sparkSession
+    val fs = hadoopFs(spark, path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
+      s"a compaction is running (or crashed) under $path — rebuilding now " +
+        "would be shadowed by its version-pointer swap; wait for it (or " +
+        "delete a stale _compact_inprogress) and rerun")
+    // rebuild reset: everything under the root goes — tombstones,
+    // version pointers, old bands dirs, stale meta
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .foreach(st => fs.delete(st.getPath, true))
     val base = standing
       .select(col(idCol), col(hashCol).cast("long").as("_h"))
       .filter(col("_h").isNotNull)
@@ -1506,13 +1525,17 @@ object Dedup {
         .select(col("_k"), col("_band"), col(idCol), col("_h"))
       HotKeys.cap(bands, Seq(col("_k"), col("_band")), maxBucket,
           minPerKey = 1, metricName = metricName)
-        .write.mode("overwrite").parquet(path)
-      // meta AFTER the data (the root overwrite above would delete it);
+        .repartition(outFiles, col("_k"), col("_band"))
+        .write.mode("overwrite").parquet(s"$path/bands_v1")
+      require(fs.createNewFile(
+          new org.apache.hadoop.fs.Path(s"$path/_current_v1")),
+        s"pointer _current_v1 already exists under $path — concurrent " +
+          "rebuilds?")
       // band counts recount from the WRITTEN artifact + the pre-cap
       // frame, so capDroppedBands is exact, not an estimate
       val ndocs = base.count()
       val totalBands = bands.select("_k", "_band").distinct().count()
-      val keptBands = spark.read.parquet(path)
+      val keptBands = spark.read.parquet(s"$path/bands_v1")
         .select("_k", "_band").distinct().count()
       import spark.implicits._
       Seq((ndocs, totalBands, totalBands - keptBands, maxBucket.toLong, idCol))
@@ -1602,22 +1625,28 @@ object Dedup {
     * read — a delete racing the compaction lands outside the snapshot,
     * survives the clear, and stays pending (the same race-safety
     * device as both siblings; the final rmdir is non-recursive for
-    * the same reason). Crash-safety is the shared versioned swap: the
-    * rewrite lands in `bands_vN/` and the swap is the atomic CREATE
-    * of `_current_vN`, so every crash boundary leaves a
-    * probe-consistent index. No cap re-application: bands were capped
-    * all-or-nothing at build, deletes only shrink lists, and
-    * cap-dropped bands stay dropped (see `readHashBandIndex`'s
-    * honesty contract) — so a post-compaction probe is bit-identical
-    * to a pre-compaction probe over the same tombstones. The rewrite
-    * repartitions on (slot, band), so downstream reads get
-    * shuffle-partition-count files, not one file per historical
-    * write. An index whose EVERY row is deleted skips the rewrite
-    * (the empty-dir corner both siblings refuse) and keeps its
+    * the same reason). Crash-safety is the shared versioned swap,
+    * TIGHTENED by the versioned-from-birth layout: the rewrite lands
+    * in `bands_vN/` — a SIBLING of the servable `bands_v(N-1)/`,
+    * never nested inside any read path — and the swap is the atomic
+    * CREATE of `_current_vN`, so a crash at ANY boundary leaves
+    * readers resolving a complete older version, and rerunning after
+    * clearing the stale lock is always safe (the rerun's `overwrite`
+    * clears a half-written `bands_vN` no read plan references). No
+    * cap re-application: bands were capped all-or-nothing at build,
+    * deletes only shrink lists, and cap-dropped bands stay dropped
+    * (see `readHashBandIndex`'s honesty contract) — so a
+    * post-compaction probe is bit-identical to a pre-compaction probe
+    * over the same tombstones. `outFiles` bounds the rewrite's file
+    * count to the write-side default, so `IndexMaintenance`'s stripe
+    * signal CLEARS after a compaction instead of re-firing forever.
+    * An index whose EVERY row is deleted skips the rewrite (the
+    * empty-dir corner both siblings refuse) and keeps its
     * tombstones — probes stay correct through the anti-join; the way
-    * out is a rebuild (`writeHashBandIndex`'s root overwrite). */
+    * out is a rebuild (`writeHashBandIndex`'s root reset). */
   def compactHashBandIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, outFiles: Int = 4): Unit = {
+    require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
     val fs = hadoopFs(spark, path)
     val lock = new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")
     require(fs.createNewFile(lock),
@@ -1627,7 +1656,10 @@ object Dedup {
         "is live, delete _compact_inprogress and rerun")
     try {
       val vs = hashIndexVersions(fs, path)
-      val next = (0L +: vs).max + 1
+      require(vs.nonEmpty,
+        s"no published version under $path (crashed rebuild?) — rebuild " +
+          "with writeHashBandIndex")
+      val next = vs.max + 1
       val tombSnapshot = TextStats.tombstoneFiles(fs, path)
       val raw = spark.read.parquet(currentHashIndexDir(fs, path))
       val data =
@@ -1638,7 +1670,7 @@ object Dedup {
             Seq(ts.columns.head), "left_anti")
         }
       if (data.isEmpty) return
-      data.repartition(col("_k"), col("_band"))
+      data.repartition(outFiles, col("_k"), col("_band"))
         .write.mode("overwrite").parquet(s"$path/bands_v$next")
       // THE SWAP — one atomic create; from here readers resolve vN
       require(fs.createNewFile(
@@ -1649,30 +1681,10 @@ object Dedup {
       // ONLY the tombstone-file snapshot this rewrite applied
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
-      if (vs.nonEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v${vs.max}"), true)
-      else fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .filter { st =>
-          val n = st.getPath.getName
-          n != s"bands_v$next" && n != s"_current_v$next" &&
-            n != "_compact_inprogress" && n != "_tombstones" && n != "_meta"
-        }
-        .foreach(st => fs.delete(st.getPath, true))
-      tombSnapshot.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      if (tombSnapshot.nonEmpty) {
-        val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-        if (fs.exists(dir)) {
-          fs.listStatus(dir).toSeq.map(_.getPath)
-            .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-            .foreach(fs.delete(_, false))
-          // best-effort NON-recursive rmdir: a racing delete's data
-          // file committed since the listing fails it, and the dir
-          // (correctly) stays pending
-          try { fs.delete(dir, false); () }
-          catch { case _: java.io.IOException => () }
-        }
-      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v${vs.max}"), true)
+      // shared snapshot clear (race contract on
+      // TextStats.clearTombstoneSnapshot)
+      TextStats.clearTombstoneSnapshot(fs, path, tombSnapshot)
       ()
     } finally { fs.delete(lock, false); () }
   }

@@ -49,7 +49,11 @@ object IndexMaintenance {
 
   /** The hash-band index is not partition-pruned (a probe's read
     * re-collects the whole bands frame), so its stripe count is the
-    * TOTAL file count — same probe-cost meaning, whole-index scope. */
+    * TOTAL file count — same probe-cost meaning, whole-index scope.
+    * Writes and compactions BOUND that count (`outFiles`, default 4),
+    * so the default stripe threshold is meaningful: a fresh or
+    * freshly-compacted index sits under it, and the signal clears
+    * after a compaction instead of re-firing forever. */
   def healthOf(s: Dedup.HashBandIndexStats): IndexHealth =
     IndexHealth("hashband", s.indexDir, s.rows, s.files,
       0L, s.tombstonedIds, s.tombstonedRows, s.bytes)

@@ -167,10 +167,18 @@ object QualityModel {
             .join(margins.select(col(idCol), col("_r")), Seq(idCol))
             .select(col("_f"), (col("_r") * col("_x")).as("_v"))
             .unionByName(margins.select(lit(-1).as("_f"), col("_r").as("_v")))
-            .unionByName(margins.select(lit(-2).as("_f"),
-              (lit(0.0) - (col("_y") * log(col("_p")) +
-                (lit(1.0) - col("_y")) * log(lit(1.0) - col("_p"))))
-                .as("_v")))
+            .unionByName(margins.select(lit(-2).as("_f"), {
+              // per-doc logistic loss in the SOFTPLUS form
+              // ln(1 + e^((1-2y)·m)) — algebraically equal to
+              // −(y·ln p + (1−y)·ln(1−p)) but never NULL/∞: at a hot
+              // lr the sigmoid saturates to exactly 1.0/0.0 in double
+              // and log(0) is NULL in Spark, which would silently
+              // DROP the misclassified doc from the loss sum in
+              // exactly the divergence case the telemetry exists to
+              // reveal; past z=30 softplus(z) = z to double precision
+              val z = (lit(1.0) - lit(2.0) * col("_y")) * col("_m")
+              when(z > 30.0, z).otherwise(log1p(exp(z))).as("_v")
+            }))
             .groupBy("_f").agg(sum(col("_v")).as("_g"))
             .collect()
             .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
@@ -286,12 +294,26 @@ object QualityModel {
     val base = scored.filter(col(labelCol).isNotNull)
       .select(col(labelCol).cast("double").as("_y"),
         col(scoreCol).cast("double").as("_s"))
-    val nBad = base
-      .filter(!(col("_y") <=> 0.0) && !(col("_y") <=> 1.0)).count()
-    require(nBad == 0,
-      s"labels must be 0/1 after the double cast; $nBad rows are neither " +
-        "(non-numeric labels cast to null)")
-    val byScore = base.filter(col("_s").isNotNull)
+    // both input validations in ONE pass: bad labels (train's
+    // null-safe 0/1 rule) and null scores. A partially-scored frame
+    // (typically a join that missed eval rows) must refuse LOUDLY —
+    // silently excluding the null-score rows would report full-eval
+    // metrics over whatever subset happened to score, the quiet
+    // misreport this harness exists to prevent (withQualityScore
+    // never emits null, so a null here is always a caller bug)
+    val checks = base.agg(
+      coalesce(sum(when(!(col("_y") <=> 0.0) && !(col("_y") <=> 1.0), 1L)),
+        lit(0L)).as("bad"),
+      coalesce(sum(when(col("_s").isNull, 1L)), lit(0L)).as("nulls"))
+      .collect()(0)
+    require(checks.getLong(0) == 0,
+      s"labels must be 0/1 after the double cast; ${checks.getLong(0)} rows " +
+        "are neither (non-numeric labels cast to null)")
+    require(checks.getLong(1) == 0,
+      s"${checks.getLong(1)} labeled rows have a null '$scoreCol' — the " +
+        "eval would silently cover only the scored subset; score every " +
+        "eval row first")
+    val byScore = base
       .groupBy(col("_s"))
       .agg(count(lit(1)).as("_c"), sum(col("_y")).cast("long").as("_pc"))
     // average rank of a tie group = (#rows strictly below) + (c+1)/2 —

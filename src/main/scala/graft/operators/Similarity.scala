@@ -383,15 +383,7 @@ object Similarity {
     * highest pointer always names a complete dir. No pointer = the
     * index lives flat at the root (writeIndex's layout). */
   private def indexVersions(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("_current_v") &&
-          s.drop(10).nonEmpty && s.drop(10).forall(_.isDigit) =>
-        s.drop(10).toLong }
-  }
+      path: String): Seq[Long] = TextStats.versionPointers(fs, path)
 
   private def currentIndexDir(fs: org.apache.hadoop.fs.FileSystem,
       path: String): String = {
@@ -524,27 +516,10 @@ object Similarity {
             n != "_compact_inprogress" && n != "_tombstones"
         }
         .foreach(st => fs.delete(st.getPath, true))
-      // snapshot files only, then marker files, then a NON-recursive
-      // dir removal: if a racing delete commits a data file between
-      // the listing and the rmdir, the rmdir fails (non-empty) and
-      // the file stays pending — a recursive delete here would erase
-      // it unapplied, the exact race the snapshot device closes
-      tombSnapshot.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      if (tombSnapshot.nonEmpty) {
-        val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-        if (fs.exists(dir)) {
-          fs.listStatus(dir).toSeq.map(_.getPath)
-            .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-            .foreach(fs.delete(_, false))
-          // best-effort NON-recursive rmdir: if a racing delete
-          // committed a data file since the listing, this throws or
-          // returns false and the dir (correctly) stays pending — a
-          // recursive delete here would erase that file unapplied
-          try { fs.delete(dir, false); () }
-          catch { case _: java.io.IOException => () }
-        }
-      }
+      // snapshot files only, then marker files, then the shared
+      // non-recursive rmdir (race contract on
+      // TextStats.clearTombstoneSnapshot)
+      TextStats.clearTombstoneSnapshot(fs, path, tombSnapshot)
       ()
     } finally { fs.delete(lock, false); () }
   }

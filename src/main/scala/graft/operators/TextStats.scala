@@ -530,7 +530,12 @@ object TextStats {
     * is what lets `compactBm25Index` swap postings with one atomic
     * file create instead of a delete→rename window. No pointer =
     * uncompacted index, postings live in `postings/`. */
-  private def postingsVersions(fs: org.apache.hadoop.fs.FileSystem,
+  /** Version pointers under an artifact root — ONE parser for all
+    * three versioned-swap index families (BM25 `postings_vN`, IVF
+    * `index_vN`, hash-band `bands_vN` — the pointer file name
+    * `_current_vN` is shared, only the data-dir prefix differs), so
+    * the atomic-swap device cannot drift between them. */
+  private[operators] def versionPointers(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) Seq.empty
@@ -539,6 +544,34 @@ object TextStats {
       .collect { case s if s.startsWith("_current_v") &&
           s.drop(10).nonEmpty && s.drop(10).forall(_.isDigit) =>
         s.drop(10).toLong }
+  }
+
+  private def postingsVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = versionPointers(fs, path)
+
+  /** Shared post-swap tombstone-SNAPSHOT clear — the race-safety
+    * device all three compactions use verbatim: delete exactly the
+    * files this compaction read and applied (a racing delete's newer
+    * files stay pending), sweep marker files, then a best-effort
+    * NON-recursive rmdir — if a racing delete committed a data file
+    * since the listing, the rmdir fails and the dir (correctly)
+    * stays pending; a recursive delete here would erase that file
+    * unapplied, the exact race the snapshot device closes. */
+  private[operators] def clearTombstoneSnapshot(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      snapshot: Seq[String]): Unit = {
+    snapshot.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    if (snapshot.nonEmpty) {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+          .foreach(fs.delete(_, false))
+        try { fs.delete(dir, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** The CURRENT servable postings directory of an index root —
@@ -1060,22 +1093,7 @@ object TextStats {
       val oldDir =
         if (vs.isEmpty) s"$path/postings" else s"$path/postings_v${vs.max}"
       fs.delete(new org.apache.hadoop.fs.Path(oldDir), true)
-      tombSnapshot.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
-      if (tombSnapshot.nonEmpty) {
-        val dir = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-        if (fs.exists(dir)) {
-          fs.listStatus(dir).toSeq.map(_.getPath)
-            .filter(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-            .foreach(fs.delete(_, false))
-          // best-effort NON-recursive rmdir: if a racing delete
-          // committed a data file since the listing, this throws or
-          // returns false and the dir (correctly) stays pending — a
-          // recursive delete here would erase that file unapplied
-          try { fs.delete(dir, false); () }
-          catch { case _: java.io.IOException => () }
-        }
-      }
+      clearTombstoneSnapshot(fs, path, tombSnapshot)
       ()
     } finally { fs.delete(lock, false); () }
   }

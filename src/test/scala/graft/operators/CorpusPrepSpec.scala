@@ -169,7 +169,11 @@ class CorpusPrepSpec extends SparkSpecBase {
           s"${byId(6L)}")
         assert(byId(4L)._1 == "kept" || byId(4L)._1 == "sampled", s"${byId(4L)}")
         // THE no-drift pin: trace's kept set == the live stream's
-        // survivor set on the same rows and lookups
+        // survivor set on the same rows and lookups. Exact-set parity
+        // requires a TWIN-FREE batch (this fixture): with in-batch
+        // digest twins, the stream's survivor is arrival-dependent
+        // and parity is content-level (the caveat the trace's own
+        // evidence states — pinned below)
         val traceKept = byId.collect { case (id, ("kept", _)) => id }.toSet
         assert(traceKept == streamKept,
           s"trace kept $traceKept vs stream kept $streamKept")

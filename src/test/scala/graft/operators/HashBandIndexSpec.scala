@@ -96,12 +96,15 @@ class HashBandIndexSpec extends SparkSpecBase {
         Seq(201L, 202L).toDF("vid"), "vid")
       val before = keptAgainst(path)
       assert(before == Set(1L, 4L))
-      Dedup.compactHashBandIndex(spark, path)
-      assert(keptAgainst(path) == before, "compaction changed probe results")
+      // versioned FROM BIRTH: the write itself published v1
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v1")))
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v1")))
+      Dedup.compactHashBandIndex(spark, path)
+      assert(keptAgainst(path) == before, "compaction changed probe results")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v2")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v2")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v1")))
       // tombstones cleared (snapshot applied materially)
       val stats = Dedup.hashBandIndexStats(spark, path)
       assert(stats.tombstonedIds == 0 && stats.tombstonedRows == 0)
@@ -113,20 +116,23 @@ class HashBandIndexSpec extends SparkSpecBase {
       // written after the compaction stay pending and bite at read
       Dedup.deleteFromHashBandIndex(spark, path, Seq(203L).toDF("vid"), "vid")
       assert(keptAgainst(path) == Set(1L, 2L, 4L))
-      // second compaction: v2 swap, old version swept
+      // second compaction: v3 swap, old version swept
       Dedup.compactHashBandIndex(spark, path)
       assert(keptAgainst(path) == Set(1L, 2L, 4L))
-      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v2")))
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v1")))
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v1")))
-      // writer lock: a live (or crashed) compaction refuses deletes and
-      // further compactions, loudly
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v3")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v2")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v2")))
+      // writer lock: a live (or crashed) compaction refuses deletes,
+      // further compactions AND rebuilds, loudly
       fs.createNewFile(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress"))
       intercept[IllegalArgumentException] {
         Dedup.deleteFromHashBandIndex(spark, path, Seq(204L).toDF("vid"), "vid")
       }
       intercept[IllegalArgumentException] {
         Dedup.compactHashBandIndex(spark, path)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.writeHashBandIndex(standing, "sig", "vid", path)
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress"), false)
     }
