@@ -290,6 +290,28 @@ object CorpusPrep {
       (df, c, o) => Multimodal.withAudioFingerprint(df, c, o)(df.sparkSession)))
   ).flatten
 
+  /** Shared helpers of the two trace facades (`prepTrace` /
+    * `prepTraceStream`): the traced-id snapshot, the stage-frame pin
+    * registry, traced-membership projection, and the output row
+    * shape — ONE definition so the two traces' caching and
+    * evidence-shaping semantics cannot drift apart. */
+  private final class TraceKit(ids: DataFrame, idCol: String) {
+    val traced: DataFrame = ids.select(col(ids.columns.head).as(idCol))
+      .filter(col(idCol).isNotNull).distinct().localCheckpoint(true)
+    private val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += c; c
+    }
+    def tIds(df: DataFrame): DataFrame =
+      df.join(broadcast(traced), Seq(idCol), "left_semi").select(idCol)
+    def stageRows(idsF: DataFrame, stage: String,
+        detail: org.apache.spark.sql.Column): DataFrame =
+      idsF.select(col(idCol), lit(stage).as("stage"),
+        detail.cast("string").as("detail"))
+    def release(): Unit = pinned.foreach { f => f.unpersist(); () }
+  }
+
   /** The strictly ROW-LOCAL front: normalization (+ optional PII
     * redaction) and the length/repetition gates — pure map-side, so
     * it runs identically over a batch frame or a stream. */
@@ -556,19 +578,8 @@ object CorpusPrep {
     require(!Set("stage", "detail", "_digest", "_rank", "_trc_id", "_trc_cl",
         "_trc_surv", "_trc_len", "_trc_qs", "clean_text").contains(idCol),
       s"idCol '$idCol' collides with prepTrace's output/working column names")
-    val traced = ids.select(col(ids.columns.head).as(idCol))
-      .filter(col(idCol).isNotNull).distinct().localCheckpoint(true)
-    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += c; c
-    }
-    def tIds(df: DataFrame): DataFrame =
-      df.join(broadcast(traced), Seq(idCol), "left_semi").select(idCol)
-    def stageRows(idsF: DataFrame, stage: String,
-        detail: org.apache.spark.sql.Column): DataFrame =
-      idsF.select(col(idCol), lit(stage).as("stage"),
-        detail.cast("string").as("detail"))
+    val kit = new TraceKit(ids, idCol)
+    import kit.{traced, pin, tIds, stageRows}
     // survivor evidence for a dedup tier: the dropped id's cluster
     // member still present after the drop (exactly one per cluster)
     def clusterRows(dropped: DataFrame, clusters: DataFrame,
@@ -743,7 +754,7 @@ object CorpusPrep {
       out += stageRows(tIds(sampled), "kept", lit(null))
       // EAGER: pin the debug-sized result, then release every stage
       out.reduce(_ unionByName _).localCheckpoint(true)
-    } finally { pinned.foreach { f => f.unpersist(); () } }
+    } finally { kit.release() }
   }
 
   /** Row tracing for the STREAM / INCREMENTAL intake path — the
@@ -818,24 +829,30 @@ object CorpusPrep {
          (cfg.bqModel.isDefined && cfg.sqModel.isEmpty && cfg.codebook.isEmpty))),
       "semanticLookup needs cfg.embCol plus exactly ONE codec route " +
         "(codebook + sqModel, or bqModel alone) — the same contract as prepStream")
+    // a config prepStream itself REFUSES must refuse here too — a
+    // trace of a stream that can never exist would explain nothing
+    require(!cfg.benchEmbLarge,
+      "benchEmbLarge is the batch-only large-bench route — prepStream " +
+        "refuses it, so there is no stream to trace")
+    require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
+        cfg.benchEmb.isDefined,
+      "embCol in a (traced) stream needs a semanticLookup or benchEmb — " +
+        "the same contract as prepStream; without one the semantic tier " +
+        "would be silently skipped and the trace would diverge")
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
-    require(!Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
-        "_trc_sid", "_trc_j", "_trc_h", "clean_text").contains(idCol),
+    require(!(Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
+        "_trc_sid", "_trc_j", "_trc_h", "clean_text",
+        // evidence-join working names (near-dup re-verify + signature
+        // Hamming probe + stream LM gate) — a colliding idCol would
+        // otherwise pass this guard and die deep in an evidence join
+        // with an ambiguous-reference error
+        "_qshs", "_qhs", "_sshs", "_shs", "_band", "_h", "_k", "_hs",
+        "_lm_n", "_lm_lp") ++
+        (0 until 4).flatMap(k => Set(s"_b$k", s"_cand$k"))).contains(idCol),
       s"idCol '$idCol' collides with prepTraceStream's output/working names")
-    val traced = ids.select(col(ids.columns.head).as(idCol))
-      .filter(col(idCol).isNotNull).distinct().localCheckpoint(true)
-    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += c; c
-    }
-    def tIds(df: DataFrame): DataFrame =
-      df.join(broadcast(traced), Seq(idCol), "left_semi").select(idCol)
-    def stageRows(idsF: DataFrame, stage: String,
-        detail: org.apache.spark.sql.Column): DataFrame =
-      idsF.select(col(idCol), lit(stage).as("stage"),
-        detail.cast("string").as("detail"))
+    val kit = new TraceKit(ids, idCol)
+    import kit.{traced, pin, tIds, stageRows}
     try {
       // ---- the chain, mirroring prepStream stage for stage ----
       val cleaned = pin(docs.withColumn("clean_text", normOf(cfg)(col(textCol))))
@@ -1030,7 +1047,7 @@ object CorpusPrep {
               lit(" fell outside the keep rate")).cast("string").as("detail"))
       out += stageRows(tIds(sampled), "kept", lit(null))
       out.reduce(_ unionByName _).localCheckpoint(true)
-    } finally { pinned.foreach { f => f.unpersist(); () } }
+    } finally { kit.release() }
   }
 
   /** Incremental prep: a NEW batch against a STANDING prepared

@@ -1556,7 +1556,13 @@ object Dedup {
     * semantics (hash values are not ids; sharing is the reason the
     * in-memory form could not delete). Tombstones are read EAGERLY
     * (TextStats.localTombstones — delete-request-sized), so probes
-    * survive a compaction clearing the files mid-flight.
+    * survive a compaction clearing the TOMBSTONE files mid-flight.
+    * The DATA files carry the same reader exposure as both siblings
+    * (stated on TextStats.compactBm25Index): a plan that resolved
+    * the superseded `bands_vN` before a compaction's swap should
+    * tolerate one retry if post-swap housekeeping deletes that dir
+    * mid-scan — re-call readHashBandIndex and the plan resolves the
+    * new version.
     *
     * Cap honesty (the df-gate analog): a band cap-dropped at BUILD
     * does not resurrect on delete, even if the deletions brought its
@@ -1601,6 +1607,16 @@ object Dedup {
       s"idCol '$idCol' names an internal band/hash column — tombstoning by " +
         "band or hash would silently delete every doc sharing it; pass the " +
         "indexed ID column")
+    // refuse a wrong id column BEFORE the first tombstone lands (the
+    // BM25 sibling's id_col check): the tombstone-column consistency
+    // guard below only fires once tombstones exist, so an unchecked
+    // first delete with a mistyped column would persist a tombstone
+    // frame every later read's anti-join dies on — a poisoned index
+    // over a refusable request
+    val builtWith = spark.read.parquet(s"$path/_meta")
+      .select("id_col").collect()(0).getString(0)
+    require(builtWith == idCol,
+      s"index at $path was built with idCol '$builtWith', got '$idCol'")
     val fs = hadoopFs(spark, path)
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
       s"a compaction is running (or crashed) under $path — wait for it " +
@@ -1681,7 +1697,14 @@ object Dedup {
       // ONLY the tombstone-file snapshot this rewrite applied
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v${vs.max}"), true)
+      // EVERY superseded version's dir, not just the newest: after a
+      // crash between pointer-create and housekeeping, the recovery
+      // rerun sees several live pointers — deleting only vs.max would
+      // orphan the older dirs' bytes forever (no pointer names them,
+      // stats never counts them, only a rebuild's root reset would
+      // reclaim them)
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/bands_v$v"), true))
       // shared snapshot clear (race contract on
       // TextStats.clearTombstoneSnapshot)
       TextStats.clearTombstoneSnapshot(fs, path, tombSnapshot)

@@ -291,9 +291,15 @@ object QualityModel {
   def evalModel(scored: DataFrame, labelCol: String,
       scoreCol: String = "quality_score", threshold: Double = 0.5): DataFrame = {
     val spark = scored.sparkSession
+    // persisted: the validation aggregate and the metrics aggregate
+    // are two actions, and without the pin the caller's whole scored
+    // plan (typically a full withQualityScore pass plus joins) would
+    // execute twice — the same reason train() pins its margins
     val base = scored.filter(col(labelCol).isNotNull)
       .select(col(labelCol).cast("double").as("_y"),
         col(scoreCol).cast("double").as("_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // both input validations in ONE pass: bad labels (train's
     // null-safe 0/1 rule) and null scores. A partially-scored frame
     // (typically a join that missed eval rows) must refuse LOUDLY —
@@ -349,6 +355,10 @@ object QualityModel {
         when(col("_np") > 0 && col("_n") - col("_np") > 0,
           r6((col("_prs") - col("_np") * (col("_np") + lit(1L)) / lit(2.0))
             / (col("_np") * (col("_n") - col("_np"))))).as("auc"))
+      // EAGER one-row result, so the persisted base can release here
+      // rather than leaking until the caller's action
+      .localCheckpoint(true)
+    } finally { base.unpersist(); () }
   }
 
   /** Persist / read the model — KB-sized parquet like every other

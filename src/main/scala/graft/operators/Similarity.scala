@@ -507,9 +507,13 @@ object Similarity {
       // gone, and the next compaction clears them)
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
-      if (vs.nonEmpty)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/index_v${vs.max}"), true)
-      else fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      // sweep EVERY superseded artifact — all stale index_vN dirs AND
+      // any flat-layout remnants at the root (a crash between a
+      // previous compaction's pointer-create and its housekeeping
+      // leaves both behind; deleting only the newest would orphan the
+      // rest's bytes forever). Keep only the new dir/pointer, the
+      // lock, and the tombstones.
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter { st =>
           val n = st.getPath.getName
           n != s"index_v$next" && n != s"_current_v$next" &&

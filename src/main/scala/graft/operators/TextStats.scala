@@ -1090,9 +1090,14 @@ object TextStats {
       // clears them)
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
-      val oldDir =
-        if (vs.isEmpty) s"$path/postings" else s"$path/postings_v${vs.max}"
-      fs.delete(new org.apache.hadoop.fs.Path(oldDir), true)
+      // EVERY superseded data dir, including the flat `postings/`
+      // base: a crash between a previous compaction's pointer-create
+      // and its housekeeping leaves several stale dirs behind, and
+      // the recovery rerun must reclaim them all — deleting only the
+      // newest would orphan the rest's bytes forever
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/postings_v$v"), true))
       clearTombstoneSnapshot(fs, path, tombSnapshot)
       ()
     } finally { fs.delete(lock, false); () }
