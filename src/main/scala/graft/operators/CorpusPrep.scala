@@ -1050,6 +1050,291 @@ object CorpusPrep {
     } finally { kit.release() }
   }
 
+  /** Row tracing for the INCREMENTAL batch path — the third facade's
+    * trace, completing the trio (`prepTrace` for run(),
+    * `prepTraceStream` for live intake): "why is this batch doc not
+    * in runIncremental's output", with the standing-side evidence a
+    * compaction-cadence debug needs. Two design rules keep it honest:
+    *
+    *  - the DEDUP BOUNDARY is the REAL operator's: the trace calls
+    *    `Dedup.dropIncrementalDuplicates` itself (same config), so
+    *    the kept/dropped split can never drift from production —
+    *    only the per-id EVIDENCE is re-derived, with uncapped
+    *    debug-sized joins, in the tier order the operator resolves
+    *    (standing digest → batch digest twin → standing near-dup →
+    *    batch cluster). Under hot-band caps a label can therefore
+    *    name a route the capped operator didn't literally take; the
+    *    drop itself is always the operator's own verdict.
+    *  - batch digest twins resolve MIN-ID here and in runIncremental
+    *    (full-rerun semantics — deterministic, unlike the stream's
+    *    arrival order), so survivor naming is exact.
+    *
+    * Signature tiers replay runIncremental's fold (direct standing
+    * hit / tainted cluster member / cluster collapse — the taint rule
+    * evidence names the batch doc whose own hit tainted the cluster);
+    * the back half (ngram / decontam / semdecontam / sample) mirrors
+    * prepTrace. Debug-sized by contract; the standing-sized costs are
+    * the same evidence joins `prepTraceStream` pays. Output: one row
+    * per traced id — (<idCol>, stage, detail); stage ∈ absent | gated
+    * | lm | qm | exact_standing | exact | neardup | <tier label> |
+    * ngram | decontam | semdecontam | sampled | kept. */
+  def prepTraceIncremental(standing: DataFrame, batch: DataFrame,
+      ids: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      cfg: Config = Config(),
+      oldIndex: Option[DataFrame] = None,
+      imageIndex: Option[DataFrame] = None,
+      audioIndex: Option[DataFrame] = None): DataFrame = {
+    require(!cfg.cutHotSpans,
+      "cutHotSpans is a full-run option — runIncremental refuses it, so " +
+        "there is no incremental chain to trace")
+    require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
+      "intraNearDup/intraNearDupVerified are the stream-only tiers")
+    require(cfg.imageCol.isEmpty || imageIndex.isDefined,
+      "imageCol needs `imageIndex` — pass the same index runIncremental uses")
+    require(imageIndex.isEmpty || cfg.imageCol.isDefined,
+      "imageIndex without cfg.imageCol would be silently ignored")
+    require(cfg.audioCol.isEmpty || audioIndex.isDefined,
+      "audioCol needs `audioIndex` — pass the same index runIncremental uses")
+    require(audioIndex.isEmpty || cfg.audioCol.isDefined,
+      "audioIndex without cfg.audioCol would be silently ignored")
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    require(!(Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
+        "_trc_sid", "_trc_j", "_trc_h", "_trc_cl", "_trc_surv", "clean_text",
+        "_qshs", "_qhs", "_sshs", "_shs", "_band", "_h", "_k", "_hs") ++
+        (0 until 4).flatMap(k => Set(s"_b$k", s"_cand$k"))).contains(idCol),
+      s"idCol '$idCol' collides with prepTraceIncremental's working names")
+    val kit = new TraceKit(ids, idCol)
+    import kit.{traced, pin, tIds, stageRows}
+    try {
+      // ---- the chain, mirroring runIncremental stage for stage ----
+      val spanGated = pin(normalizeAndGate(batch, textCol, idCol, cfg,
+        spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None))
+      val lmGated =
+        if (cfg.lmModel.isEmpty) spanGated
+        else pin(lmGate(spanGated, idCol, cfg))
+      val qmGated =
+        if (cfg.qualityModel.isEmpty) lmGated else pin(qmGate(lmGated, cfg))
+      // THE REAL dedup boundary — the operator itself, same config
+      val deduped = pin(Dedup.dropIncrementalDuplicates(
+        standing, qmGated, "clean_text", idCol,
+        cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
+        cfg.maxBucket, oldIndex, cfg.keepPreference))
+      // signature tiers: runIncremental's fold, stage for stage
+      val tierIdx = Map("image" -> imageIndex, "audio" -> audioIndex)
+      var sigStages =
+        Seq.empty[(String, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]
+      var cur = deduped
+      signatureTiers(cfg).foreach { tier =>
+        val hashed = pin(tier.withHash(cur, tier.binaryCol, tier.workCol))
+        val clusters = pin(Dedup.duplicateClusters(Dedup.hashNearDupPairs(
+          hashed, tier.workCol, idCol, tier.maxHamming, cfg.maxBucket,
+          metricName = s"graft_${tier.label}_inctrace_cap")))
+        val hitIds = pin(hashed.select(col(idCol)).join(
+          Dedup.hashNearDupFilterAgainst(hashed, tier.workCol,
+            tierIdx(tier.label).get, tier.maxHamming).select(col(idCol)),
+          Seq(idCol), "left_anti"))
+        val taintedMembers = pin(clusters.join(
+            clusters.join(hitIds.withColumnRenamed(idCol, "id"), Seq("id"),
+              "left_semi").select("cluster").distinct(),
+            Seq("cluster"), "left_semi")
+          .select(col("id").as(idCol)))
+        val clean = hashed
+          .join(hitIds, Seq(idCol), "left_anti")
+          .join(taintedMembers, Seq(idCol), "left_anti")
+        val after = pin(cfg.keepPreference
+          .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
+            Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
+          .drop(tier.workCol))
+        sigStages :+= ((tier.label, cur, after, hitIds, taintedMembers, clusters))
+        cur = after
+      }
+      // back half, exactly decontaminateAndSample's order
+      val ngramGated = cfg.ngramBloom.fold(cur)(bytes =>
+        pin(Dedup.bloomNgramGate(cur, "clean_text", bytes,
+          cfg.ngramBloomN, cfg.ngramBloomMaxHits)))
+      val decontaminated = cfg.benchmark.fold(ngramGated)(bench =>
+        pin(Dedup.decontaminate(ngramGated, "clean_text", idCol,
+          bench.withColumn("_bclean", normOf(cfg)(col(cfg.benchTextCol))),
+          "_bclean", cfg.benchIdCol, cfg.shingleN, cfg.minContainment,
+          cfg.benchBloomFpp)))
+      val semDecon = cfg.benchEmb.fold(decontaminated) { bench =>
+        require(cfg.embCol.isDefined,
+          "benchEmb (semantic decontamination) needs cfg.embCol")
+        pin(if (cfg.benchEmbLarge)
+          Dedup.semanticDecontaminateLarge(decontaminated, cfg.embCol.get,
+            idCol, bench, cfg.benchEmbCol, cfg.benchMinCosine,
+            bands = cfg.bqBands, maxBucket = cfg.maxBucket)
+        else Dedup.semanticDecontaminate(decontaminated, cfg.embCol.get,
+          bench, cfg.benchEmbCol, cfg.benchMinCosine))
+      }
+      val sampled = cfg.sampleRate.fold(semDecon)(r =>
+        pin(Mixing.stratifiedSample(semDecon, idCol, r, salt = "corpusprep")))
+
+      // ---- boundaries + evidence, first drop wins ----
+      val inDocs = tIds(batch)
+      val out = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      out += stageRows(traced.exceptAll(inDocs), "absent",
+        lit("id not present in the batch frame"))
+      out += tIds(batch).exceptAll(tIds(spanGated))
+        .join(batch.select(col(idCol),
+          length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
+        .select(col(idCol), lit("gated").as("stage"),
+          concat(lit("failed normalize/quality/boilerplate gates (clean_len="),
+            coalesce(col("_trc_len").cast("string"), lit("null")),
+            lit(")")).cast("string").as("detail"))
+      if (cfg.lmModel.isDefined)
+        out += stageRows(tIds(spanGated).exceptAll(tIds(lmGated)), "lm",
+          lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))
+      cfg.qualityModel.foreach { m =>
+        out += tIds(lmGated).exceptAll(tIds(qmGated))
+          .join(QualityModel.withQualityScore(
+              lmGated.select(col(idCol), col("clean_text")),
+              m, "clean_text", "_trc_qs"), Seq(idCol), "left")
+          .select(col(idCol), lit("qm").as("stage"),
+            concat(lit("quality score "),
+              coalesce(col("_trc_qs").cast("string"), lit("null")),
+              lit(s" below minQualityScore=${cfg.minQualityScore}"))
+              .cast("string").as("detail"))
+      }
+      // incremental dedup drops, labeled by the first matching route
+      val dedupDropped = tIds(qmGated).exceptAll(tIds(deduped))
+        .localCheckpoint(true)
+      val withDigest = qmGated
+        .join(broadcast(dedupDropped), Seq(idCol), "left_semi")
+        .select(col(idCol), col("clean_text"),
+          md5(col("clean_text")).as("_digest"))
+      // (a) digest already standing
+      val standDig = standing.select(md5(col("clean_text")).as("_digest"))
+        .distinct()
+      val exactStanding = withDigest
+        .join(standDig, Seq("_digest"), "left_semi").select(col(idCol))
+        .localCheckpoint(true)
+      out += stageRows(exactStanding, "exact_standing",
+        lit("digest already in the standing corpus"))
+      // (b) digest twin within the batch — survivor is min-id, exact
+      // here (full-rerun semantics, unlike the stream's arrival order)
+      val stillUnexplained0 = dedupDropped.exceptAll(exactStanding)
+      val batchDigests = qmGated.select(col(idCol),
+        md5(col("clean_text")).as("_digest"))
+      val twin = stillUnexplained0
+        .join(batchDigests, Seq(idCol))
+        .join(batchDigests
+            .groupBy("_digest").agg(min(col(idCol)).as("_trc_surv")),
+          Seq("_digest"))
+        .filter(col(idCol) =!= col("_trc_surv"))
+        .localCheckpoint(true)
+      out += twin.select(col(idCol), lit("exact").as("stage"),
+        concat(lit("exact duplicate of kept batch doc "), col("_trc_surv"))
+          .cast("string").as("detail"))
+      // (c)/(d) near-dup routes: name the best-verifying standing doc
+      // when one exists; else the batch cluster verdict
+      val stillUnexplained = stillUnexplained0
+        .exceptAll(twin.select(idCol)).localCheckpoint(true)
+      val qSide = qmGated
+        .join(broadcast(stillUnexplained), Seq(idCol), "left_semi")
+        .select(col(idCol), col("clean_text"))
+        .withColumn("_qshs", Dedup.shingles(col("clean_text"), cfg.shingleN))
+        .withColumn("_qhs",
+          Dedup.minhashSigText(col("clean_text"), cfg.shingleN, cfg.numHashes))
+        .select(col(idCol), col("_qshs"), explode(array(Dedup.bandKeyCols(
+          i => element_at(col("_qhs"), i + 1),
+          cfg.numHashes, cfg.rowsPerBand): _*)).as("_band"))
+      val sSide = standing
+        .select(col(idCol).as("_trc_sid"), col("clean_text"))
+        .withColumn("_sshs", Dedup.shingles(col("clean_text"), cfg.shingleN))
+        .withColumn("_shs",
+          Dedup.minhashSigText(col("clean_text"), cfg.shingleN, cfg.numHashes))
+        .filter(col("_shs").isNotNull)
+        .select(col("_trc_sid"), col("_sshs"), explode(array(Dedup.bandKeyCols(
+          i => element_at(col("_shs"), i + 1),
+          cfg.numHashes, cfg.rowsPerBand): _*)).as("_band"))
+      val sharedSz = size(array_intersect(col("_qshs"), col("_sshs")))
+      val nearStanding = qSide.join(sSide, Seq("_band"))
+        .withColumn("_trc_j", sharedSz.cast("double") /
+          (size(col("_qshs")) + size(col("_sshs")) - sharedSz))
+        .filter(col("_trc_j") >= cfg.minJaccard)
+        .groupBy(idCol)
+        .agg(expr("max_by(_trc_sid, _trc_j)").as("_trc_sid"),
+          round(max(col("_trc_j")), 4).as("_trc_j"))
+        .localCheckpoint(true)
+      out += stillUnexplained.join(nearStanding, Seq(idCol))
+        .select(col(idCol), lit("neardup").as("stage"),
+          concat(lit("near-dup of standing doc "), col("_trc_sid"),
+            lit(" (jaccard "), col("_trc_j"), lit(")"))
+            .cast("string").as("detail"))
+      // (d) rest of the dedup drops: batch near-dup cluster members —
+      // if a cluster member survived, name it; else the whole cluster
+      // was tainted by standing content (runIncremental's taint rule)
+      val clusterOnly = stillUnexplained
+        .join(nearStanding, Seq(idCol), "left_anti")
+      val batchClusters = pin(Dedup.duplicateClusters(
+        Dedup.minhashJaccardPairs(qmGated, "clean_text", idCol,
+          cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
+          cfg.maxBucket, metricName = "graft_inctrace_lsh_cap")))
+      val cl = batchClusters.toDF("_trc_id", "_trc_cl")
+      val surv = cl
+        .join(deduped.select(col(idCol).as("_trc_id")), Seq("_trc_id"))
+        .select(col("_trc_cl"), col("_trc_id").as("_trc_surv"))
+      out += clusterOnly
+        .join(cl.withColumnRenamed("_trc_id", idCol), Seq(idCol), "left")
+        .join(surv, Seq("_trc_cl"), "left")
+        .select(col(idCol), lit("neardup").as("stage"),
+          coalesce(
+            concat(lit("batch near-dup cluster survivor: "), col("_trc_surv")),
+            lit("batch near-dup cluster tainted by standing content " +
+              "(whole cluster dropped — transitive near-dup)"))
+            .cast("string").as("detail"))
+      // signature tiers, three sub-reasons each
+      sigStages.foreach { case (label, before, after, hitIds, tainted, clusters) =>
+        val dropped = tIds(before).exceptAll(tIds(after))
+          .localCheckpoint(true)
+        val directs = dropped.join(hitIds, Seq(idCol), "left_semi")
+        out += stageRows(directs, label,
+          lit(s"own $label signature within hamming of a standing " +
+            "signature (the index carries hashes, not ids)"))
+        val taintedDropped = dropped
+          .join(hitIds, Seq(idCol), "left_anti")
+          .join(tainted.select(col(idCol)), Seq(idCol), "left_semi")
+        out += stageRows(taintedDropped, label,
+          lit(s"member of a batch $label cluster tainted by a standing " +
+            "hit (transitive near-dup of standing content)"))
+        val collapseDropped = dropped
+          .join(hitIds, Seq(idCol), "left_anti")
+          .join(tainted.select(col(idCol)), Seq(idCol), "left_anti")
+        val scl = clusters.toDF("_trc_id", "_trc_cl")
+        val ssurv = scl
+          .join(after.select(col(idCol).as("_trc_id")), Seq("_trc_id"))
+          .select(col("_trc_cl"), col("_trc_id").as("_trc_surv"))
+        out += collapseDropped
+          .join(scl.withColumnRenamed("_trc_id", idCol), Seq(idCol), "left")
+          .join(ssurv, Seq("_trc_cl"), "left")
+          .select(col(idCol), lit(label).as("stage"),
+            concat(lit(s"$label cluster survivor: "), col("_trc_surv"))
+              .cast("string").as("detail"))
+      }
+      if (cfg.ngramBloom.isDefined)
+        out += stageRows(tIds(cur).exceptAll(tIds(ngramGated)), "ngram",
+          lit(s"over ${cfg.ngramBloomMaxHits} benchmark n-gram Bloom hits"))
+      if (cfg.benchmark.isDefined)
+        out += stageRows(tIds(ngramGated).exceptAll(tIds(decontaminated)),
+          "decontam",
+          lit(s"benchmark ${cfg.shingleN}-gram containment >= ${cfg.minContainment}"))
+      if (cfg.benchEmb.isDefined)
+        out += stageRows(tIds(decontaminated).exceptAll(tIds(semDecon)),
+          "semdecontam",
+          lit(s"benchmark embedding cosine >= ${cfg.benchMinCosine}"))
+      if (cfg.sampleRate.isDefined)
+        out += tIds(semDecon).exceptAll(tIds(sampled))
+          .select(col(idCol), lit("sampled").as("stage"),
+            concat(lit("sample draw "),
+              round(Mixing.unitHash(col(idCol), "corpusprep"), 6),
+              lit(" fell outside the keep rate")).cast("string").as("detail"))
+      out += stageRows(tIds(sampled), "kept", lit(null))
+      out.reduce(_ unionByName _).localCheckpoint(true)
+    } finally { kit.release() }
+  }
+
   /** Incremental prep: a NEW batch against a STANDING prepared
     * corpus (run's output, which carries `clean_text`). The batch is
     * normalized, gated and optionally PII-redacted exactly like

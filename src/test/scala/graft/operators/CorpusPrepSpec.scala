@@ -196,6 +196,103 @@ class CorpusPrepSpec extends SparkSpecBase {
       tw.getString(2).contains("first ARRIVAL"), tw.toString)
   }
 
+  test("prepTraceIncremental: kept set equals runIncremental's; per-route evidence incl. the taint rule") {
+    val w = (1 to 20).map(i => s"w$i")
+    def doc(repl: (Int, String)*): String = {
+      val m = repl.toMap
+      (1 to 20).map(i => m.getOrElse(i, s"w$i")).mkString(" ")
+    }
+    val standingRaw = Seq(
+      (101L, doc()),
+      (102L, "completely different standing content that stays resident and calm here"))
+      .toDF("doc_id", "text")
+    val standing = CorpusPrep.run(standingRaw,
+      cfg = CorpusPrep.Config(minChars = 20, maxRepetition = 0.95))
+      .localCheckpoint(true)
+    // standing image index (in-memory form — the facade's argument
+    // shape). Controlled dHash hamming via single-bit tweaks: base
+    // grays ascend by 7 within rows 0-3, and setting (g(y,x), g(y,x+1))
+    // to (255, 0) flips EXACTLY dHash bit y*8+x (the neighbors'
+    // comparisons keep their sign). 8's image sits at hamming 2 from
+    // standing (direct hit at <= 3); 9's at hamming 2 from 8's but 4
+    // from standing — near-dup of a hit, not a hit itself: the taint
+    // case.
+    val grays = Array.tabulate(8 * 9)(i => (i * 7) % 256)
+    def tweaked(bits: (Int, Int)*): Array[Byte] = {
+      val g = grays.clone()
+      bits.foreach { case (y, x) => g(y * 9 + x) = 255; g(y * 9 + x + 1) = 0 }
+      Multimodal.syntheticGrayBmp(9, 8, g)
+    }
+    val imgA = Multimodal.syntheticGrayBmp(9, 8, grays)
+    val imgHam2 = tweaked((0, 0), (1, 0))
+    val imgHam4 = tweaked((0, 0), (1, 0), (2, 0), (3, 0))
+    val imageIndex = Dedup.hashBandIndex(
+      Multimodal.withPerceptualHash(
+        Seq((101L, imgA)).toDF("doc_id", "img"), "img", "ph")(spark), "ph")
+      .localCheckpoint(true)
+    val nullImg = null.asInstanceOf[Array[Byte]]
+    val batch = Seq(
+      // 1: exact digest of standing 101 -> exact_standing
+      (1L, doc(), nullImg),
+      // 2/21: identical twins -> 21 drops at 'exact', survivor min-id 2
+      (2L, "identical twin content that is long enough to pass the gates", nullImg),
+      (21L, "identical twin content that is long enough to pass the gates", nullImg),
+      // 3: near-dup of standing 101 (one word) -> neardup names 101
+      (3L, doc(10 -> "zz"), nullImg),
+      // 4: near 101 (contaminated); 5: near 4 but NOT near 101 ->
+      // the TAINT rule drops the whole {4, 5} cluster
+      (4L, doc(5 -> "xx"), nullImg),
+      (5L, doc(5 -> "xx", 15 -> "yy"), nullImg),
+      // 6: gated
+      (6L, "too short", nullImg),
+      // 7: fresh and unique -> kept
+      (7L, "entirely novel intake document with original prose inside it", nullImg),
+      // 8: fresh text, STANDING image -> image direct hit
+      (8L, "fresh words one describing a picture already known to us", imgHam2),
+      // 9: fresh text, image near 8's -> image cluster tainted via 8
+      (9L, "fresh words two describing a slightly edited known picture", imgHam4)
+    ).toDF("doc_id", "text", "img")
+    // rowsPerBand = 1: four 1-row bands, so a 0.7-jaccard pair's
+    // candidate recall is ~1 − (1−j)^4 ≈ 99.3% — the 2×2 default
+    // deterministically missed one fixture pair (LSH recall, not a
+    // bug; the trace must agree with the operator EITHER way, and the
+    // per-route assertions below need the candidates found)
+    val cfg = CorpusPrep.Config(minChars = 20, maxRepetition = 0.95,
+      minJaccard = 0.6, rowsPerBand = 1, imageCol = Some("img"))
+    val incKept = CorpusPrep.runIncremental(standing, batch, cfg = cfg,
+        imageIndex = Some(imageIndex))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trace = CorpusPrep.prepTraceIncremental(standing, batch,
+      Seq(1L, 2L, 21L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 99L).toDF("id"),
+      cfg = cfg, imageIndex = Some(imageIndex))
+    val byId = trace.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.getString(2)).getOrElse(""))))
+      .toMap
+    assert(byId(99L)._1 == "absent")
+    assert(byId(6L)._1 == "gated", s"${byId(6L)}")
+    assert(byId(1L)._1 == "exact_standing", s"${byId(1L)}")
+    assert(byId(21L)._1 == "exact" && byId(21L)._2.contains("doc 2"),
+      s"${byId(21L)}")
+    assert(byId(3L)._1 == "neardup" &&
+      byId(3L)._2.contains("standing doc 101"), s"${byId(3L)}")
+    assert(byId(4L)._1 == "neardup" &&
+      byId(4L)._2.contains("standing doc 101"), s"${byId(4L)}")
+    // 5 is NOT within minJaccard of standing — it drops only through
+    // its cluster with 4, and that cluster is TAINTED (no survivor)
+    assert(byId(5L)._1 == "neardup" && byId(5L)._2.contains("tainted"),
+      s"${byId(5L)}")
+    assert(byId(8L)._1 == "image" && byId(8L)._2.contains("own image"),
+      s"${byId(8L)}")
+    assert(byId(9L)._1 == "image" && byId(9L)._2.contains("tainted"),
+      s"${byId(9L)}")
+    assert(byId(2L)._1 == "kept" && byId(7L)._1 == "kept")
+    // THE no-drift pin: the trace's kept set is the operator's own
+    // verdict (the dedup boundary IS dropIncrementalDuplicates)
+    val traceKept = byId.collect { case (id, ("kept", _)) => id }.toSet
+    assert(traceKept == incKept, s"trace kept $traceKept vs inc $incKept")
+  }
+
   test("trained quality gate drops low scorers in run, runIncremental, and the trace") {
     val labeled = ((1 to 20).map(i =>
         (i.toLong, "the quick brown fox jumps over the lazy dog daily", 1)) ++
