@@ -1097,6 +1097,9 @@ object CorpusPrep {
       "audioCol needs `audioIndex` — pass the same index runIncremental uses")
     require(audioIndex.isEmpty || cfg.audioCol.isDefined,
       "audioIndex without cfg.audioCol would be silently ignored")
+    require(!cfg.benchEmbLarge || cfg.benchEmb.isDefined,
+      "benchEmbLarge selects the large-bench route OF the benchEmb tier — " +
+        "runIncremental refuses this config, so there is no run to trace")
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
     require(!(Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
@@ -1176,7 +1179,7 @@ object CorpusPrep {
       val out = scala.collection.mutable.ListBuffer.empty[DataFrame]
       out += stageRows(traced.exceptAll(inDocs), "absent",
         lit("id not present in the batch frame"))
-      out += tIds(batch).exceptAll(tIds(spanGated))
+      out += inDocs.exceptAll(tIds(spanGated))
         .join(batch.select(col(idCol),
           length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
         .select(col(idCol), lit("gated").as("stage"),
@@ -1198,18 +1201,15 @@ object CorpusPrep {
               .cast("string").as("detail"))
       }
       // incremental dedup drops, labeled by the first matching route
-      val dedupDropped = tIds(qmGated).exceptAll(tIds(deduped))
-        .localCheckpoint(true)
+      val dedupDropped = pin(tIds(qmGated).exceptAll(tIds(deduped)))
       val withDigest = qmGated
         .join(broadcast(dedupDropped), Seq(idCol), "left_semi")
-        .select(col(idCol), col("clean_text"),
-          md5(col("clean_text")).as("_digest"))
+        .select(col(idCol), md5(col("clean_text")).as("_digest"))
       // (a) digest already standing
       val standDig = standing.select(md5(col("clean_text")).as("_digest"))
         .distinct()
-      val exactStanding = withDigest
-        .join(standDig, Seq("_digest"), "left_semi").select(col(idCol))
-        .localCheckpoint(true)
+      val exactStanding = pin(withDigest
+        .join(standDig, Seq("_digest"), "left_semi").select(col(idCol)))
       out += stageRows(exactStanding, "exact_standing",
         lit("digest already in the standing corpus"))
       // (b) digest twin within the batch — survivor is min-id, exact
@@ -1217,20 +1217,19 @@ object CorpusPrep {
       val stillUnexplained0 = dedupDropped.exceptAll(exactStanding)
       val batchDigests = qmGated.select(col(idCol),
         md5(col("clean_text")).as("_digest"))
-      val twin = stillUnexplained0
+      val twin = pin(stillUnexplained0
         .join(batchDigests, Seq(idCol))
         .join(batchDigests
             .groupBy("_digest").agg(min(col(idCol)).as("_trc_surv")),
           Seq("_digest"))
-        .filter(col(idCol) =!= col("_trc_surv"))
-        .localCheckpoint(true)
+        .filter(col(idCol) =!= col("_trc_surv")))
       out += twin.select(col(idCol), lit("exact").as("stage"),
         concat(lit("exact duplicate of kept batch doc "), col("_trc_surv"))
           .cast("string").as("detail"))
       // (c)/(d) near-dup routes: name the best-verifying standing doc
       // when one exists; else the batch cluster verdict
-      val stillUnexplained = stillUnexplained0
-        .exceptAll(twin.select(idCol)).localCheckpoint(true)
+      val stillUnexplained = pin(stillUnexplained0
+        .exceptAll(twin.select(idCol)))
       val qSide = qmGated
         .join(broadcast(stillUnexplained), Seq(idCol), "left_semi")
         .select(col(idCol), col("clean_text"))
@@ -1250,14 +1249,13 @@ object CorpusPrep {
           i => element_at(col("_shs"), i + 1),
           cfg.numHashes, cfg.rowsPerBand): _*)).as("_band"))
       val sharedSz = size(array_intersect(col("_qshs"), col("_sshs")))
-      val nearStanding = qSide.join(sSide, Seq("_band"))
+      val nearStanding = pin(qSide.join(sSide, Seq("_band"))
         .withColumn("_trc_j", sharedSz.cast("double") /
           (size(col("_qshs")) + size(col("_sshs")) - sharedSz))
         .filter(col("_trc_j") >= cfg.minJaccard)
         .groupBy(idCol)
         .agg(expr("max_by(_trc_sid, _trc_j)").as("_trc_sid"),
-          round(max(col("_trc_j")), 4).as("_trc_j"))
-        .localCheckpoint(true)
+          round(max(col("_trc_j")), 4).as("_trc_j")))
       out += stillUnexplained.join(nearStanding, Seq(idCol))
         .select(col(idCol), lit("neardup").as("stage"),
           concat(lit("near-dup of standing doc "), col("_trc_sid"),
@@ -1268,8 +1266,18 @@ object CorpusPrep {
       // was tainted by standing content (runIncremental's taint rule)
       val clusterOnly = stillUnexplained
         .join(nearStanding, Seq(idCol), "left_anti")
+      // cluster the frame the operator clusters (batch EXACT-tier
+      // survivors, not all gated docs), and collapse to exactly ONE
+      // row per dropped id — band caps differ between this batch-only
+      // evidence pass and the operator's old+new-capped pass, so the
+      // topologies can diverge and a merged evidence cluster could
+      // otherwise name several survivors (min-id shown; the docstring's
+      // cap caveat covers a mislabeled ROUTE, never a duplicate row)
+      val exactSurvivors = qmGated
+        .join(exactStanding, Seq(idCol), "left_anti")
+        .join(twin.select(idCol), Seq(idCol), "left_anti")
       val batchClusters = pin(Dedup.duplicateClusters(
-        Dedup.minhashJaccardPairs(qmGated, "clean_text", idCol,
+        Dedup.minhashJaccardPairs(exactSurvivors, "clean_text", idCol,
           cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
           cfg.maxBucket, metricName = "graft_inctrace_lsh_cap")))
       val cl = batchClusters.toDF("_trc_id", "_trc_cl")
@@ -1279,6 +1287,8 @@ object CorpusPrep {
       out += clusterOnly
         .join(cl.withColumnRenamed("_trc_id", idCol), Seq(idCol), "left")
         .join(surv, Seq("_trc_cl"), "left")
+        .groupBy(idCol)
+        .agg(min(col("_trc_surv")).as("_trc_surv"))
         .select(col(idCol), lit("neardup").as("stage"),
           coalesce(
             concat(lit("batch near-dup cluster survivor: "), col("_trc_surv")),
@@ -1287,8 +1297,7 @@ object CorpusPrep {
             .cast("string").as("detail"))
       // signature tiers, three sub-reasons each
       sigStages.foreach { case (label, before, after, hitIds, tainted, clusters) =>
-        val dropped = tIds(before).exceptAll(tIds(after))
-          .localCheckpoint(true)
+        val dropped = pin(tIds(before).exceptAll(tIds(after)))
         val directs = dropped.join(hitIds, Seq(idCol), "left_semi")
         out += stageRows(directs, label,
           lit(s"own $label signature within hamming of a standing " +

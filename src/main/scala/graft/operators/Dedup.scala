@@ -1612,12 +1612,19 @@ object Dedup {
     // guard below only fires once tombstones exist, so an unchecked
     // first delete with a mistyped column would persist a tombstone
     // frame every later read's anti-join dies on — a poisoned index
-    // over a refusable request
+    // over a refusable request. A MISSING _meta (a rebuild crashed
+    // after the pointer landed but before the meta write — probes
+    // still work) is refused with the repair path named rather than a
+    // raw path-not-found from the parquet reader.
+    val fs = hadoopFs(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
+      s"index at $path has no _meta (a rebuild crashed after publishing " +
+        "the version pointer?) — probes still serve, but deletes/stats " +
+        "need the build-time id_col record; rerun writeHashBandIndex")
     val builtWith = spark.read.parquet(s"$path/_meta")
       .select("id_col").collect()(0).getString(0)
     require(builtWith == idCol,
       s"index at $path was built with idCol '$builtWith', got '$idCol'")
-    val fs = hadoopFs(spark, path)
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
       s"a compaction is running (or crashed) under $path — wait for it " +
         "(or clear a stale _compact_inprogress) and retry")
@@ -1673,8 +1680,10 @@ object Dedup {
     try {
       val vs = hashIndexVersions(fs, path)
       require(vs.nonEmpty,
-        s"no published version under $path (crashed rebuild?) — rebuild " +
-          "with writeHashBandIndex")
+        s"no published version pointer under $path — either a rebuild " +
+          "crashed before publishing, or this dir was not written by " +
+          "writeHashBandIndex (the layout is versioned from birth); " +
+          "rebuild with writeHashBandIndex")
       val next = vs.max + 1
       val tombSnapshot = TextStats.tombstoneFiles(fs, path)
       val raw = spark.read.parquet(currentHashIndexDir(fs, path))

@@ -507,13 +507,18 @@ object Similarity {
       // gone, and the next compaction clears them)
       vs.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
-      // sweep EVERY superseded artifact — all stale index_vN dirs AND
-      // any flat-layout remnants at the root (a crash between a
-      // previous compaction's pointer-create and its housekeeping
-      // leaves both behind; deleting only the newest would orphan the
-      // rest's bytes forever). Keep only the new dir/pointer, the
-      // lock, and the tombstones.
-      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      // EVERY pointer-named superseded version dir, not just the
+      // newest: a crash between a previous compaction's pointer-create
+      // and its housekeeping leaves several live pointers, and a
+      // recovery rerun that deleted only vs.max would orphan the older
+      // dirs' bytes forever. Deliberately NAME-SCOPED (index_v$v) —
+      // a catch-all root sweep would eat anything a user co-located
+      // at the root; the flat-layout sweep below stays confined to
+      // the first compaction, when the root by contract holds only
+      // the flat index data.
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/index_v$v"), true))
+      if (vs.isEmpty) fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter { st =>
           val n = st.getPath.getName
           n != s"index_v$next" && n != s"_current_v$next" &&
