@@ -233,6 +233,45 @@ object ScaleSmoke {
       graft.operators.TextStats.readBm25Index(spark, bm25Dir).postings.count()
     }
 
+    // ---- hash-band signature index lifecycle (the third family) ----
+    // standing signatures are simhash64 over the replicated corpus —
+    // the same artifact the image/audio/simhash intake filters probe;
+    // the lifecycle legs mirror the BM25 block above
+    val hbiDir = java.nio.file.Files.createTempDirectory("smoke_hbi_")
+      .toFile.getAbsolutePath
+    val signed = docs.select(col("doc_id"),
+      Dedup.simhash64Text(col("text")).as("sig")).cache()
+    val hbiBatch = signed.filter(col("doc_id") % 20 === 11)
+      .select((col("doc_id") + lit(800000000L)).as("doc_id"), col("sig"))
+    timed("hash_index_write") {
+      Dedup.writeHashBandIndex(signed, "sig", "doc_id", hbiDir)
+      Dedup.readHashBandIndex(spark, hbiDir).count()
+    }
+    timed("hash_index_filter(5% batch)") {
+      Dedup.hashNearDupFilterAgainst(hbiBatch, "sig",
+        Dedup.readHashBandIndex(spark, hbiDir)).count()
+    }
+    timed("hash_index_delete(1% ids)") {
+      Dedup.deleteFromHashBandIndex(spark, hbiDir,
+        signed.filter(col("doc_id") % 100 === 7).select("doc_id"), "doc_id")
+      Dedup.readHashBandIndex(spark, hbiDir).count()
+    }
+    timed("hash_index_filter_post_delete(5% batch)") {
+      Dedup.hashNearDupFilterAgainst(hbiBatch, "sig",
+        Dedup.readHashBandIndex(spark, hbiDir)).count()
+    }
+    timed("hash_index_compact_post_delete") {
+      Dedup.compactHashBandIndex(spark, hbiDir)
+      Dedup.readHashBandIndex(spark, hbiDir).count()
+    }
+    timed("hash_index_stats+policy") {
+      val st = Dedup.hashBandIndexStats(spark, hbiDir)
+      graft.operators.IndexMaintenance.logHealth(
+        graft.operators.IndexMaintenance.healthOf(st))
+      st.rows
+    }
+    signed.unpersist()
+
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = (0 until mult * 5).map { i =>
