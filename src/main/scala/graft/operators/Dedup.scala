@@ -1494,7 +1494,19 @@ object Dedup {
     * crashed) compaction is refused before the reset, exactly like
     * the BM25 rebuild: clearing its lock by hand is the documented
     * recovery, and a rebuild racing a live compaction could otherwise
-    * be shadowed by the compaction's later pointer swap. */
+    * be shadowed by the compaction's later pointer swap.
+    *
+    * NO APPEND LEG, by contract rather than omission: appending rows
+    * into a band that was cap-dropped at build would serve a PARTIAL
+    * candidate list (the dropped rows are gone from the artifact),
+    * silently violating the all-or-nothing cap honesty every probe's
+    * recall argument rests on — and unlike the BM25 side there is no
+    * probe-time df-gate to re-exclude the band. Growing the standing
+    * side is therefore a REBUILD over the new signature frame, which
+    * is signature-sized (4 rows × ~16 bytes per doc, one explode +
+    * one capped write — the 50k-doc smoke rebuilds in ~2 s), never
+    * media- or text-sized: keep the (id, hash) frame around, as the
+    * facades already do for their standing corpora. */
   def writeHashBandIndex(standing: DataFrame, hashCol: String, idCol: String,
       path: String, maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_hash_index_write_cap",
