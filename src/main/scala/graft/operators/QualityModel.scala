@@ -263,6 +263,32 @@ object QualityModel {
       idCol: String = "doc_id", scoreCol: String = "score"): DataFrame =
     withQualityScore(docs, model, textCol, scoreCol)
 
+  /** Calibrate a gate threshold to the OBSERVED score distribution —
+    * the CCNet percentile-bucket move, and the correct way to set
+    * `Config.minQualityScore`: L1-normalized hashed features keep
+    * every margin tight around the bias, so a fixed threshold (0.5)
+    * typically sits entirely above or below the score cluster and
+    * flips on nothing; the q-quantile of a reference scoring pass
+    * (median by default — keep the better half) bites by
+    * construction at any corpus size. Exact percentile with the
+    * standard (n−1)·q interpolation — the same definition DuckDB's
+    * quantile_cont uses, so a calibrated threshold replays
+    * bit-for-bit in the q138 oracle. Round6 like every score. One
+    * aggregation over the scored frame; run it on the labeled/
+    * reference sample, not the full corpus. */
+  def calibrateThreshold(scored: DataFrame,
+      scoreCol: String = "quality_score", quantile: Double = 0.5): Double = {
+    require(quantile >= 0.0 && quantile <= 1.0,
+      s"quantile must be in [0, 1], got $quantile")
+    val v = scored.agg(
+        expr(s"percentile($scoreCol, $quantile)").as("_t"))
+      .collect()(0)
+    require(!v.isNullAt(0),
+      s"no non-null '$scoreCol' values to calibrate on")
+    BigDecimal(v.getDouble(0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Evaluation harness for a scored frame against held-out 0/1
     * labels — the classifier twin of the retrieval stack's
     * `rankMetrics`/`recallAtK`, answering "is the gate any good"

@@ -4287,12 +4287,10 @@ object DataPrepQueries {
               // on nothing. Spark's exact `percentile` and DuckDB's
               // quantile_cont share the (n-1)p interpolation, so the
               // threshold replays bit-for-bit
-              minQualityScore = BigDecimal(
-                graft.operators.QualityModel.withQualityScore(
-                    docs.filter(col("doc_id") >= 3), model, "text")
-                  .agg(expr("percentile(quality_score, 0.5)"))
-                  .collect()(0).getDouble(0))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              minQualityScore = graft.operators.QualityModel
+                .calibrateThreshold(
+                  graft.operators.QualityModel.withQualityScore(
+                    docs.filter(col("doc_id") >= 3), model, "text")),
               imageCol = Some("img")))
           .select(col("doc_id"),
             length(col("clean_text")).cast("bigint").as("n_clean_chars"))

@@ -167,6 +167,27 @@ class QualityModelSpec extends SparkSpecBase {
     }
   }
 
+  test("calibrateThreshold: exact quantile of the score distribution, round6; guards") {
+    val scored = Seq(0.1, 0.2, 0.3, 0.4).map(s => Tuple1(s))
+      .toDF("quality_score")
+    // exact percentile with (n-1)q interpolation: median of 4 values
+    // = (0.2 + 0.3) / 2
+    assert(QualityModel.calibrateThreshold(scored) == 0.25)
+    assert(QualityModel.calibrateThreshold(scored, quantile = 0.0) == 0.1)
+    assert(QualityModel.calibrateThreshold(scored, quantile = 1.0) == 0.4)
+    // a calibrated gate bites by construction: exactly the sub-median
+    // half drops at >= t on a distinct-score frame
+    val t = QualityModel.calibrateThreshold(scored)
+    assert(scored.filter(col("quality_score") >= t).count() == 2)
+    intercept[IllegalArgumentException] {
+      QualityModel.calibrateThreshold(scored, quantile = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      QualityModel.calibrateThreshold(
+        Seq(Tuple1(null.asInstanceOf[java.lang.Double])).toDF("quality_score"))
+    }
+  }
+
   test("scoring-path ceiling: a model past 32768 non-zero weights is refused") {
     val big = QualityModel.LinearModel(
       (0 until 32769).map(i => i -> 0.1), 0.0, 65536)
