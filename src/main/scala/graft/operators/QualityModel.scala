@@ -280,8 +280,11 @@ object QualityModel {
       scoreCol: String = "quality_score", quantile: Double = 0.5): Double = {
     require(quantile >= 0.0 && quantile <= 1.0,
       s"quantile must be in [0, 1], got $quantile")
+    // backtick-quoted: a dotted or spaced column name must resolve as
+    // a COLUMN (the col()-based sibling APIs accept those), never as
+    // a struct-field path or a parse error
     val v = scored.agg(
-        expr(s"percentile($scoreCol, $quantile)").as("_t"))
+        expr(s"percentile(`$scoreCol`, $quantile)").as("_t"))
       .collect()(0)
     require(!v.isNullAt(0),
       s"no non-null '$scoreCol' values to calibrate on")
