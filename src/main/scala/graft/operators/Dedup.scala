@@ -1521,10 +1521,25 @@ object Dedup {
       s"a compaction is running (or crashed) under $path — rebuilding now " +
         "would be shadowed by its version-pointer swap; wait for it (or " +
         "delete a stale _compact_inprogress) and rerun")
-    // rebuild reset: everything under the root goes — tombstones,
-    // version pointers, old bands dirs, stale meta
+    // rebuild reset, NAME-SCOPED to this index's own layout (the BM25
+    // rebuild's rule, for the same reason: a catch-all root sweep
+    // would eat anything a user co-located at the root — a mistyped
+    // path or a neighboring artifact dies silently BEFORE any write).
+    // Only bands_vN dirs, _current_vN pointers, _tombstones and _meta
+    // are this index's to delete; anything else survives untouched
+    // (the root itself is never read as parquet — only bands_vN is —
+    // so a surviving stranger is inert).
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .foreach(st => fs.delete(st.getPath, true))
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "_tombstones" || n == "_meta" ||
+          (n.startsWith("_current_v") && n.drop(10).nonEmpty &&
+            n.drop(10).forall(_.isDigit)) ||
+          (n.startsWith("bands_v") && n.drop(7).nonEmpty &&
+            n.drop(7).forall(_.isDigit))
+      }
+      .foreach(fs.delete(_, true))
     val base = standing
       .select(col(idCol), col(hashCol).cast("long").as("_h"))
       .filter(col("_h").isNotNull)
@@ -1751,6 +1766,15 @@ object Dedup {
   def hashBandIndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): HashBandIndexStats = {
     val fs = hadoopFs(spark, path)
+    // same guard and repair path as deleteFromHashBandIndex: in the
+    // crash-after-pointer state (rebuild died between the version
+    // pointer and the meta write) probes still serve, but a raw
+    // parquet path-not-found here would kill a health sweep opaquely
+    // on the one crashed index — refuse with the recovery named
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
+      s"index at $path has no _meta (a rebuild crashed after publishing " +
+        "the version pointer?) — probes still serve, but stats need the " +
+        "build-time record; rerun writeHashBandIndex")
     val dir = currentHashIndexDir(fs, path)
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), false)
     var files = 0L

@@ -282,7 +282,12 @@ object QualityModel {
       s"quantile must be in [0, 1], got $quantile")
     // backtick-quoted: a dotted or spaced column name must resolve as
     // a COLUMN (the col()-based sibling APIs accept those), never as
-    // a struct-field path or a parse error
+    // a struct-field path or a parse error. A name CONTAINING a
+    // backtick would break out of that quoting (parse error at best,
+    // misresolution at worst) — refuse it rather than interpolate it
+    require(!scoreCol.contains("`"),
+      s"scoreCol '$scoreCol' contains a backtick — it cannot be safely " +
+        "quoted into the percentile expression; rename the column")
     val v = scored.agg(
         expr(s"percentile(`$scoreCol`, $quantile)").as("_t"))
       .collect()(0)
@@ -324,9 +329,16 @@ object QualityModel {
     // are two actions, and without the pin the caller's whole scored
     // plan (typically a full withQualityScore pass plus joins) would
     // execute twice — the same reason train() pins its margins
+    // round6 ON ENTRY: the distinct-score bound the ordered pass's
+    // scale contract rests on holds because scores carry 6dp — which
+    // withQualityScore guarantees but the API does not (any scoreCol
+    // is accepted). An unrounded score column would silently turn the
+    // single-partition window corpus-sized; rounding here ENFORCES
+    // the documented bound for arbitrary callers (identity for
+    // already-6dp scores, so the pinned oracles are unchanged)
     val base = scored.filter(col(labelCol).isNotNull)
       .select(col(labelCol).cast("double").as("_y"),
-        col(scoreCol).cast("double").as("_s"))
+        round(col(scoreCol).cast("double"), 6).as("_s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // both input validations in ONE pass: bad labels (train's

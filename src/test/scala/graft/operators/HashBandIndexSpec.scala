@@ -179,6 +179,38 @@ class HashBandIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("rebuild reset is name-scoped: a co-located stranger survives; stats refuses the crash-after-pointer state loudly") {
+    withTempDir("hbi-scope") { dir =>
+      val path = dir.getAbsolutePath
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      Dedup.deleteFromHashBandIndex(spark, path, Seq(201L).toDF("vid"), "vid")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // a user co-locates an unrelated artifact at the index root
+      fs.createNewFile(new org.apache.hadoop.fs.Path(s"$path/_user_notes"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_other_artifact"))
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      // the rebuild reset cleared ITS layout (tombstones gone — 201
+      // re-addable) but never touched the strangers
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_user_notes")),
+        "rebuild reset ate a co-located file")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_other_artifact")),
+        "rebuild reset ate a co-located dir")
+      assert(Dedup.hashBandIndexStats(spark, path).tombstonedIds == 0)
+      assert(keptAgainst(path) == Set(4L))
+      // crash-after-pointer state: _meta missing, probes still serve,
+      // stats refuses with the repair path named (not a raw parquet
+      // path-not-found) — same contract as deleteFromHashBandIndex
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_meta"), true)
+      assert(keptAgainst(path) == Set(4L), "probes must survive a lost _meta")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.hashBandIndexStats(spark, path)
+      }
+      assert(e.getMessage.contains("writeHashBandIndex"),
+        s"stats refusal must name the repair path: ${e.getMessage}")
+    }
+  }
+
   test("guards: band-column tombstones refused; mismatched tombstone columns refused") {
     withTempDir("hbi-guards") { dir =>
       val path = dir.getAbsolutePath

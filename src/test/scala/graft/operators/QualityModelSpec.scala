@@ -186,6 +186,28 @@ class QualityModelSpec extends SparkSpecBase {
       QualityModel.calibrateThreshold(
         Seq(Tuple1(null.asInstanceOf[java.lang.Double])).toDF("quality_score"))
     }
+    // a backtick in the column name cannot be safely quoted into the
+    // percentile expression — refused, never interpolated
+    intercept[IllegalArgumentException] {
+      QualityModel.calibrateThreshold(
+        scored.withColumnRenamed("quality_score", "q`s"), "q`s")
+    }
+    // dotted/spaced names DO resolve as columns (the quoting works)
+    assert(QualityModel.calibrateThreshold(
+      scored.withColumnRenamed("quality_score", "my score.v1"),
+      "my score.v1") == 0.25)
+  }
+
+  test("evalModel enforces its 6dp bound on entry: unrounded scores collapse to the rounded tie structure") {
+    // two scores differing at the 9th decimal are ONE 6dp tie group —
+    // without the entry rounding they would be two distinct window
+    // rows (and the distinct-score scale bound would silently not
+    // hold for arbitrary callers). Tie group {.9, .9}: same fixture
+    // arithmetic as the hand-checked eval above -> AUC 0.625
+    val scored = Seq((1, 0.900000001), (0, 0.9000000004), (1, 0.8), (0, 0.2))
+      .toDF("label", "quality_score")
+    val r = QualityModel.evalModel(scored, "label").collect()(0)
+    assert(r.getDouble(7) == 0.625, s"auc ${r.getDouble(7)} — entry rounding missing?")
   }
 
   test("scoring-path ceiling: a model past 32768 non-zero weights is refused") {
