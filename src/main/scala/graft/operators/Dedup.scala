@@ -1469,7 +1469,9 @@ object Dedup {
     * `hashBandIndex` (an over-cap band drops WHOLE, with observed
     * drop counts — the id column does not change which bands
     * survive), plus a `_meta/` row (ndocs / band counts / cap) for
-    * `hashBandIndexStats`. The artifact is signature-sized — at most
+    * `hashBandIndexStats`, derived from observed metrics riding the
+    * data write — the whole build is ONE Spark action plus the
+    * one-row meta write. The artifact is signature-sized — at most
     * 4 rows × (id + 8 bytes) per indexed doc — never pixel/sample/
     * text-sized, the same reason the fingerprints were cheap to
     * shuffle in the first place. `outFiles` bounds the data-file
@@ -1543,32 +1545,51 @@ object Dedup {
     val base = standing
       .select(col(idCol), col(hashCol).cast("long").as("_h"))
       .filter(col("_h").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val bands = base.select(col(idCol), col("_h"),
-          posexplode(array((0 until 4).map(k =>
-            shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
-        .toDF(idCol, "_h", "_k", "_band")
-        .select(col("_k"), col("_band"), col(idCol), col("_h"))
-      HotKeys.cap(bands, Seq(col("_k"), col("_band")), maxBucket,
-          minPerKey = 1, metricName = metricName)
-        .repartition(outFiles, col("_k"), col("_band"))
-        .write.mode("overwrite").parquet(s"$path/bands_v1")
-      require(fs.createNewFile(
-          new org.apache.hadoop.fs.Path(s"$path/_current_v1")),
-        s"pointer _current_v1 already exists under $path — concurrent " +
-          "rebuilds?")
-      // band counts recount from the WRITTEN artifact + the pre-cap
-      // frame, so capDroppedBands is exact, not an estimate
-      val ndocs = base.count()
-      val totalBands = bands.select("_k", "_band").distinct().count()
-      val keptBands = spark.read.parquet(s"$path/bands_v1")
-        .select("_k", "_band").distinct().count()
-      import spark.implicits._
-      Seq((ndocs, totalBands, totalBands - keptBands, maxBucket.toLong, idCol))
-        .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket", "id_col")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
-    } finally { base.unpersist(); () }
+    val bands = base.select(col(idCol), col("_h"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+      .toDF(idCol, "_h", "_k", "_band")
+      .select(col("_k"), col("_band"), col(idCol), col("_h"))
+    // the cap inlined (HotKeys.cap's window shape, minPerKey = 1) so
+    // the _meta statistics ride the WRITE as observed metrics — the
+    // whole build is ONE Spark action, where the previous shape ran
+    // three extra jobs (an input recount, an un-capped
+    // explode+distinct, a read-back of the just-written artifact).
+    // Exactness device: each pre-cap band contributes sum(1/n) = 1
+    // across its n rows, so round(sum(1/_key_n)) IS the distinct band
+    // count (float error per band is ~n·ulp — nowhere near the 0.5
+    // rounding margin at any real band size). The cap-audit metrics
+    // keep HotKeys.cap's names, so GraftSession's listener logs the
+    // same lifecycle record as before.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k"), col("_band"))
+    val ob = org.apache.spark.sql.Observation(metricName)
+    bands.withColumn("_key_n", count(lit(1)).over(w))
+      .observe(ob,
+        coalesce(sum(when(col("_key_n") > maxBucket, 1).otherwise(0)),
+          lit(0L)).as("dropped_rows"),
+        coalesce(round(sum(when(col("_key_n") > maxBucket,
+          lit(1.0) / col("_key_n")).otherwise(0.0))), lit(0.0)).as("hot_keys_est"),
+        coalesce(max(col("_key_n")), lit(0L)).as("max_key_rows"),
+        count(lit(1)).as("rows_total"),
+        coalesce(round(sum(lit(1.0) / col("_key_n"))), lit(0.0)).as("bands_total"))
+      .filter(col("_key_n") <= maxBucket)
+      .drop("_key_n")
+      .repartition(outFiles, col("_k"), col("_band"))
+      .write.mode("overwrite").parquet(s"$path/bands_v1")
+    require(fs.createNewFile(
+        new org.apache.hadoop.fs.Path(s"$path/_current_v1")),
+      s"pointer _current_v1 already exists under $path — concurrent " +
+        "rebuilds?")
+    val m = ob.get
+    // every non-null-hash doc emits exactly 4 band rows pre-cap
+    val ndocs = m("rows_total").asInstanceOf[Long] / 4
+    val totalBands = m("bands_total").asInstanceOf[Double].toLong
+    val droppedBands = m("hot_keys_est").asInstanceOf[Double].toLong
+    import spark.implicits._
+    Seq((ndocs, totalBands, droppedBands, maxBucket.toLong, idCol))
+      .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
   }
 
   /** Read a persisted hash-band index back in the PROBE shape —
@@ -1596,7 +1617,16 @@ object Dedup {
     * true size back under the cap — this artifact no longer has the
     * dropped rows. Rebuild when that recall matters; the observed
     * drop counts and `hashBandIndexStats.capDroppedBands` are the
-    * audit. */
+    * audit.
+    *
+    * Read once, CACHE across micro-batches: the returned frame pays a
+    * `groupBy(_k, _band).collect_list` shuffle of the signature-sized
+    * artifact on every execution, so a stream probing a persisted
+    * index per-micro-batch should call this once at stream build and
+    * `persist()` (or `localCheckpoint`) the result — the frame is
+    * immutable between deletes/compactions, and re-reading per batch
+    * re-shuffles it for nothing. Re-call only after a delete or
+    * compaction (which is when the candidate lists actually change). */
   def readHashBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val fs = hadoopFs(spark, path)

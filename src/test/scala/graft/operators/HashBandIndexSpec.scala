@@ -179,6 +179,36 @@ class HashBandIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("the build is one action: _meta stats ride the write as observed metrics (job-count pinned, values exact)") {
+    withTempDir("hbi-jobs") { dir =>
+      val path = s"${dir.getAbsolutePath}/idx"
+      val group = "hbi_build_jobs"
+      spark.sparkContext.setJobGroup(group, group)
+      try Dedup.writeHashBandIndex(standing, "sig", "vid", path,
+        metricName = "graft_hbi_jobs_spec")
+      finally spark.sparkContext.clearJobGroup()
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group).length
+      // one data-write action (AQE materializes its exchanges as a
+      // few stage-jobs) plus the one-row meta write. The pre-fold
+      // shape ran three MORE actions (input recount, un-capped
+      // explode+distinct, artifact read-back) — each at least one
+      // job — and trips this bound
+      assert(jobs <= 6,
+        s"writeHashBandIndex ran $jobs jobs — separate stats actions crept back?")
+      // the observe-derived meta is exact, not an estimate: 4 docs,
+      // 16 band rows, 12 distinct bands (201/202 share all four), none
+      // capped — cross-checked against the artifact recount
+      val stats = Dedup.hashBandIndexStats(spark, path)
+      assert(stats.ndocs == 4 && stats.capDroppedBands == 0,
+        s"meta diverged: $stats")
+      val totalBands = spark.read.parquet(s"$path/_meta")
+        .select("total_bands").collect()(0).getLong(0)
+      assert(totalBands == stats.bands,
+        s"observe-derived total_bands $totalBands != recounted ${stats.bands}")
+    }
+  }
+
   test("rebuild reset is name-scoped: a co-located stranger survives; stats refuses the crash-after-pointer state loudly") {
     withTempDir("hbi-scope") { dir =>
       val path = dir.getAbsolutePath
