@@ -1507,8 +1507,10 @@ object Dedup {
     * side is therefore a REBUILD over the new signature frame, which
     * is signature-sized (4 rows × ~16 bytes per doc, one explode +
     * one capped write — the 50k-doc smoke rebuilds in ~2 s), never
-    * media- or text-sized: keep the (id, hash) frame around, as the
-    * facades already do for their standing corpora. */
+    * media- or text-sized — and it needs NO external bookkeeping:
+    * `rebuildHashBandIndex` reconstructs the surviving signature
+    * frame from the artifact's own (id, `_h`) rows, unions the new
+    * batch, and re-runs this write. */
   def writeHashBandIndex(standing: DataFrame, hashCol: String, idCol: String,
       path: String, maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_hash_index_write_cap",
@@ -1776,6 +1778,86 @@ object Dedup {
       TextStats.clearTombstoneSnapshot(fs, path, tombSnapshot)
       ()
     } finally { fs.delete(lock, false); () }
+  }
+
+  /** GROW a persisted hash-band index from its own rows — the path
+    * that retires the external-bookkeeping requirement the no-append
+    * contract used to impose ("keep the (id, hash) frame around"):
+    * the artifact itself carries one (id, `_h`) pair per surviving
+    * band row, so this rebuild reconstructs the surviving signature
+    * frame FROM the current version (minus pending tombstones),
+    * unions the new docs' signatures, and re-runs the capped
+    * versioned write. Cost is one signature-sized artifact read plus
+    * one capped write — the standing corpus is never re-hashed and
+    * its media/text never touched, which is the whole point: growth
+    * now needs nothing but the index and the new batch.
+    *
+    * Why a rebuild and not an append (the contract on
+    * `writeHashBandIndex` still holds): appending into a band that
+    * was cap-dropped at build would serve a PARTIAL candidate list
+    * with no probe-time gate to re-exclude it. The rebuild re-caps
+    * every band over the full reconstructed frame, so all-or-nothing
+    * honesty survives growth.
+    *
+    * Equivalence: the result is writeHashBandIndex over
+    * (surviving standing signatures ∪ new batch) — EXACT when the
+    * prior build cap-dropped nothing (`capDroppedBands == 0`, the
+    * common case, auditable from stats). When bands HAD been
+    * dropped: a doc that survived in >= 1 band is reconstructed
+    * WHOLE (the explode re-derives all four bands from `_h`), so the
+    * only divergence from a true fresh-over-union build is docs
+    * whose EVERY band was over cap — those are absent from the
+    * artifact and stay absent, a loss the build already announced in
+    * its drop metrics. Tombstoned ids leave for real (the write's
+    * root reset clears tombstones), so deleted ids become
+    * re-addable — fresh-minus-deleted semantics, same as the
+    * siblings' rebuilds.
+    *
+    * The union deduplicates on (id, `_h`): re-submitting an
+    * already-indexed doc with the same hash is a no-op; the same id
+    * with a DIFFERENT hash keeps both rows (this index has no
+    * id-uniqueness invariant — delete first to re-hash a doc).
+    * `maxBucket` defaults to the index's own build-time cap (from
+    * `_meta`); a live (or crashed) compaction is refused before any
+    * work, like every other writer here. */
+  def rebuildHashBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, hashCol: String, idCol: String,
+      maxBucket: Option[Int] = None,
+      metricName: String = "graft_hash_index_rebuild_cap",
+      outFiles: Int = 4): Unit = {
+    val fs = hadoopFs(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
+      s"index at $path has no _meta (a rebuild crashed after publishing " +
+        "the version pointer?) — the growth rebuild needs the build-time " +
+        "id_col/cap record; rerun writeHashBandIndex over the full frame")
+    val meta = spark.read.parquet(s"$path/_meta")
+      .select("id_col", "max_bucket").collect()(0)
+    require(meta.getString(0) == idCol,
+      s"index at $path was built with idCol '${meta.getString(0)}', got '$idCol'")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
+      s"a compaction is running (or crashed) under $path — rebuilding now " +
+        "would be shadowed by its version-pointer swap; wait for it (or " +
+        "delete a stale _compact_inprogress) and rerun")
+    val cap = maxBucket.getOrElse(meta.getLong(1).toInt)
+    val data = spark.read.parquet(currentHashIndexDir(fs, path))
+    val tombs = TextStats.tombstoneFiles(fs, path)
+    val live =
+      if (tombs.isEmpty) data
+      else {
+        val ts = TextStats.localTombstones(spark, tombs)
+        data.join(broadcast(ts.select(ts.columns.head)),
+          Seq(ts.columns.head), "left_anti")
+      }
+    // materialized EAGERLY (localCheckpoint, signature-sized): the
+    // write below RESETS the root this plan's scan reads from — a
+    // lazy frame would re-resolve against deleted files mid-write
+    val unioned = live.select(col(idCol), col("_h"))
+      .unionByName(newDocs
+        .select(col(idCol), col(hashCol).cast("long").as("_h"))
+        .filter(col("_h").isNotNull))
+      .distinct()
+      .localCheckpoint(true)
+    writeHashBandIndex(unioned, "_h", idCol, path, cap, metricName, outFiles)
   }
 
   /** Lifecycle telemetry for a persisted hash-band index, from the

@@ -4505,6 +4505,95 @@ object DataPrepQueries {
                 split(lower(col("text")), " "), "the").cast("int")),
             model, "text"),
           "label")
+      }),
+
+    // Hash-band index GROWTH (Dedup.rebuildHashBandIndex) — the q136
+    // lifecycle device extended with the leg that retires the
+    // "keep the (id, hash) frame around" caveat: the standing index
+    // is built over pixel-bases 0-14, bases 0-4 are DELETED
+    // (tombstones pending — never compacted, so the growth rebuild
+    // must materialize them itself), and the index is then GROWN
+    // with bases 15-24 from the artifact's own (id, hash) rows plus
+    // the new batch — no external signature frame anywhere. The probe
+    // runs against BOTH the grown index and a fresh build over
+    // (standing minus deleted) ∪ growth; the oracle emits the same
+    // survivor set under both stage tags, so a hash match pins
+    // grow-then-probe == fresh-build-over-union: the deleted bases'
+    // near-twins resurface (the tombstones materialized through the
+    // rebuild), the GROWN bases' near-twins are newly suppressed
+    // (the growth actually serves), and everything else is unchanged.
+    QueryDef("q139_hash_index_rebuild", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt FROM documents),
+      px AS (SELECT d.doc_id, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id),
+      st AS (SELECT doc_id, h FROM h
+             WHERE doc_id % 50 < 25 AND (doc_id // 50) % 2 = 0
+               AND doc_id % 50 >= 5),
+      bt AS (SELECT doc_id, h FROM h WHERE NOT (doc_id % 50 < 25 AND (doc_id // 50) % 2 = 0)),
+      hits AS (SELECT DISTINCT b.doc_id FROM bt b JOIN st s ON bit_count(xor(b.h, s.h)) <= 3),
+      surv AS (SELECT doc_id FROM bt WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+      SELECT s.stage, r.doc_id
+      FROM (VALUES ('fresh'), ('grown')) s(stage) CROSS JOIN surv r
+      ORDER BY s.stage, r.doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val grays = Array.tabulate(8 * 9) { i =>
+            val y = i / 9; val x = i % 9
+            if (alt && y == 0 && x == 0) 255
+            else if (alt && y == 0 && x == 1) 0
+            else java.lang.Byte.toUnsignedInt(
+              md.digest(s"$base:$y:$x".getBytes("UTF-8"))(0))
+          }
+          graft.operators.Multimodal.syntheticGrayBmp(9, 8, grays)
+        }
+        val imgs = t(s, dir, "documents")
+          .select(col("doc_id"), mk(col("doc_id")).as("img"))
+        val standingPred = expr("doc_id % 50 < 15 AND (doc_id div 50) % 2 = 0")
+        val growPred = expr(
+          "doc_id % 50 >= 15 AND doc_id % 50 < 25 AND (doc_id div 50) % 2 = 0")
+        val standing = graft.operators.Multimodal.withPerceptualHash(
+          imgs.filter(standingPred), "img", "ph")
+        val growth = graft.operators.Multimodal.withPerceptualHash(
+          imgs.filter(growPred), "img", "ph")
+        val dir0 = java.nio.file.Files.createTempDirectory("graft_hash_grow_")
+          .toFile.getAbsolutePath
+        val path = s"$dir0/idx"
+        val freshPath = s"$dir0/fresh"
+        graft.operators.Dedup.writeHashBandIndex(
+          standing, "ph", "doc_id", path)
+        graft.operators.Dedup.deleteFromHashBandIndex(s, path,
+          standing.filter(col("doc_id") % 50 < 5).select("doc_id"), "doc_id")
+        // grow from the ARTIFACT's own rows (tombstones applied) + the
+        // new batch — no external signature frame
+        graft.operators.Dedup.rebuildHashBandIndex(s, path,
+          growth, "ph", "doc_id")
+        // the reference: a fresh build over (standing minus deleted) ∪ growth
+        graft.operators.Dedup.writeHashBandIndex(
+          standing.filter(col("doc_id") % 50 >= 5).unionByName(growth),
+          "ph", "doc_id", freshPath,
+          metricName = "graft_hash_index_write_cap_fresh")
+        val batch = graft.operators.Multimodal.withPerceptualHash(
+          imgs.filter(!standingPred && !growPred), "img", "ph")
+        def probe(p: String, stage: String) = graft.operators.Dedup
+          .hashNearDupFilterAgainst(batch, "ph",
+            graft.operators.Dedup.readHashBandIndex(s, p), maxHamming = 3)
+          .select(col("doc_id")).withColumn("stage", lit(stage))
+        probe(path, "grown").unionByName(probe(freshPath, "fresh"))
+          .select("stage", "doc_id")
+          .orderBy("stage", "doc_id")
       })
   )
 }

@@ -264,6 +264,14 @@ object ScaleSmoke {
       Dedup.compactHashBandIndex(spark, hbiDir)
       Dedup.readHashBandIndex(spark, hbiDir).count()
     }
+    // growth: reconstruct the surviving signature frame from the
+    // artifact's own (id, hash) rows, union a 5% batch, re-run the
+    // capped write — no external signature frame, corpus never
+    // re-hashed; cost is one signature-sized read + one capped write
+    timed("hash_index_rebuild_grow(5% batch)") {
+      Dedup.rebuildHashBandIndex(spark, hbiDir, hbiBatch, "sig", "doc_id")
+      Dedup.readHashBandIndex(spark, hbiDir).count()
+    }
     timed("hash_index_stats+policy") {
       val st = Dedup.hashBandIndexStats(spark, hbiDir)
       graft.operators.IndexMaintenance.logHealth(

@@ -179,6 +179,59 @@ class HashBandIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("rebuildHashBandIndex: grow-then-probe == fresh-build-over-union; tombstones materialize; cap inherited; guards") {
+    withTempDir("hbi-grow") { dir =>
+      val path = s"${dir.getAbsolutePath}/idx"
+      val freshPath = s"${dir.getAbsolutePath}/fresh"
+      Dedup.writeHashBandIndex(standing, "sig", "vid", path)
+      // tombstone 203, then grow from the artifact alone: 301 lands
+      // within hamming 1 of batch 4's signature, 302 within hamming 3
+      // of batch 2's (covering the hole the 203 delete opened)
+      Dedup.deleteFromHashBandIndex(spark, path, Seq(203L).toDF("vid"), "vid")
+      val grow = Seq(
+        (301L, 0x0F0F0F0F00000001L),
+        (302L, 0x00FF00FF00FF00F0L)).toDF("vid", "sig")
+      Dedup.rebuildHashBandIndex(spark, path, grow, "sig", "vid")
+      // the reference: a fresh build over (standing minus deleted) ∪ grow
+      Dedup.writeHashBandIndex(
+        standing.filter(col("vid") =!= 203L).unionByName(grow),
+        "sig", "vid", freshPath)
+      def indexMap(p: String) = Dedup.readHashBandIndex(spark, p)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+          r.getSeq[Long](2).sorted).toMap
+      assert(indexMap(path) == indexMap(freshPath),
+        "grown index diverged from the fresh-over-union build")
+      // probes agree: every batch doc is now suppressed (1 by the
+      // shared 201/202 hash, 2 by grown 302, 3 by 204, 4 by grown 301)
+      assert(keptAgainst(path) == Set.empty[Long])
+      assert(keptAgainst(freshPath) == Set.empty[Long])
+      // the tombstone left for real; meta reflects the grown frame
+      val stats = Dedup.hashBandIndexStats(spark, path)
+      assert(stats.tombstonedIds == 0 && stats.ndocs == 5, s"$stats")
+      // same-id-same-hash resubmission is a no-op (the (id, _h) dedup)
+      Dedup.rebuildHashBandIndex(spark, path,
+        Seq((301L, 0x0F0F0F0F00000001L)).toDF("vid", "sig"), "sig", "vid")
+      assert(indexMap(path) == indexMap(freshPath), "resubmission not a no-op")
+      // cap inherited from _meta when not overridden
+      val capPath = s"${dir.getAbsolutePath}/capped"
+      Dedup.writeHashBandIndex(standing, "sig", "vid", capPath, maxBucket = 1,
+        metricName = "graft_hbi_grow_cap_spec")
+      Dedup.rebuildHashBandIndex(spark, capPath, grow, "sig", "vid",
+        metricName = "graft_hbi_grow_cap_spec2")
+      val capStats = Dedup.hashBandIndexStats(spark, capPath)
+      assert(capStats.maxBucket == 1, s"cap not inherited: $capStats")
+      // guards: wrong idCol; no _meta (never-built path)
+      intercept[IllegalArgumentException] {
+        Dedup.rebuildHashBandIndex(spark, path,
+          grow.withColumnRenamed("vid", "other"), "sig", "other")
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.rebuildHashBandIndex(spark, s"${dir.getAbsolutePath}/nothere",
+          grow, "sig", "vid")
+      }
+    }
+  }
+
   test("the build is one action: _meta stats ride the write as observed metrics (job-count pinned, values exact)") {
     withTempDir("hbi-jobs") { dir =>
       val path = s"${dir.getAbsolutePath}/idx"
