@@ -238,7 +238,33 @@ object CorpusPrep {
     // stream-legal verbatim in `prepStream`. Runs right after the LM
     // gate in all three facades.
     qualityModel: Option[QualityModel.LinearModel] = None,
+    // FIXED gate threshold — the footgun default, kept only for
+    // explicit hand-set use: L1-normalized hashed features keep every
+    // margin tight around the bias, so a fixed 0.5 typically sits
+    // entirely above or below the score cluster and drops nothing or
+    // everything (the measured SCALE.md lesson). Prefer
+    // `minQualityQuantile` below, which routes
+    // QualityModel.calibrateThreshold through the facade.
     minQualityScore: Double = 0.5,
+    // CALIBRATED threshold route (the CCNet percentile move — the
+    // documented best practice, now facade-routable): when set, the
+    // gate threshold is the q-quantile of an observed score
+    // distribution instead of `minQualityScore` (mutually exclusive
+    // with hand-setting it; needs `qualityModel`). Scores come from
+    // `qualityCalibrationFrame` when given — scored on the facade
+    // call's textCol VERBATIM, no normalization, so calibrate-on-raw
+    // matches a model trained on raw text (pass a pre-cleaned frame
+    // to calibrate on cleaned scores); a designated frame also keeps
+    // the gate STABLE across incremental batches and is REQUIRED by
+    // prepStream (a stream cannot be aggregated at setup). With no
+    // frame, the facade self-calibrates on its own gated batch's
+    // clean_text scores — the exact distribution the gate filters —
+    // at the cost of one extra aggregation pass over the gated batch
+    // (pin heavy inputs upstream, run()'s usual caching advice) and,
+    // in runIncremental, a threshold that drifts with each batch's
+    // mix.
+    minQualityQuantile: Option[Double] = None,
+    qualityCalibrationFrame: Option[DataFrame] = None,
     // Driver-collect bound for the stream LM gate's broadcast model.
     // The default dropped 20M -> 2M when the old bound was found to
     // OOM a stock driver BELOW the loud failure; a pipeline whose
@@ -373,17 +399,66 @@ object CorpusPrep {
     }
 
   /** Trained-quality gate (see Config.qualityModel): keep docs
-    * scoring `minQualityScore`+ under the learned classifier. The
-    * scorer is ROW-LOCAL (QualityModel.withQualityScore — map-literal
-    * weight lookup, per-row array aggregate: no join, no aggregation,
-    * no state), so this one definition serves run(), runIncremental
-    * AND prepStream unchanged. */
-  private def qmGate(docs: DataFrame, cfg: Config): DataFrame =
-    cfg.qualityModel.fold(docs) { m =>
-      QualityModel.withQualityScore(docs, m, "clean_text", "_qm_score")
-        .filter(col("_qm_score") >= cfg.minQualityScore)
-        .drop("_qm_score")
+    * scoring at or above the effective threshold under the learned
+    * classifier. The scorer is ROW-LOCAL
+    * (QualityModel.withQualityScore — map-literal weight lookup,
+    * per-row array aggregate: no join, no aggregation, no state), so
+    * this one definition serves run(), runIncremental AND prepStream
+    * unchanged; the threshold is a driver scalar resolved by
+    * `qmThresholdOf` before the plan is built. */
+  private def qmGateAt(docs: DataFrame, m: QualityModel.LinearModel,
+      threshold: Double): DataFrame =
+    QualityModel.withQualityScore(docs, m, "clean_text", "_qm_score")
+      .filter(col("_qm_score") >= threshold)
+      .drop("_qm_score")
+
+  /** Resolve the trained-quality gate's EFFECTIVE threshold — the
+    * fixed `minQualityScore`, or (quantile route — see Config) one
+    * `calibrateThreshold` action over the designated calibration
+    * frame / the gated batch itself. Driver-side scalar either way,
+    * so the gate stays a row-local stream-legal filter. */
+  private def qmThresholdOf(gated: DataFrame, cfg: Config,
+      textCol: String): Double =
+    cfg.minQualityQuantile match {
+      case None => cfg.minQualityScore
+      case Some(q) =>
+        require(cfg.minQualityScore == 0.5,
+          "minQualityQuantile and a hand-set minQualityScore are mutually " +
+            "exclusive — the calibrated threshold REPLACES the fixed one; " +
+            "leave minQualityScore at its default")
+        val m = cfg.qualityModel.get
+        cfg.qualityCalibrationFrame match {
+          case Some(ref) =>
+            QualityModel.calibrateThreshold(
+              QualityModel.withQualityScore(ref, m, textCol, "_qm_cal_score"),
+              "_qm_cal_score", q)
+          case None =>
+            require(!gated.isStreaming,
+              "minQualityQuantile on a stream needs qualityCalibrationFrame " +
+                "— a stream cannot be aggregated at setup; calibrate on a " +
+                "designated reference frame")
+            QualityModel.calibrateThreshold(
+              QualityModel.withQualityScore(gated, m, "clean_text",
+                "_qm_cal_score"),
+              "_qm_cal_score", q)
+        }
     }
+
+  /** The per-facade entry: validates the quantile config EVEN when no
+    * model is set (a quantile with no model would otherwise silently
+    * gate nothing), resolves the threshold, gates. The traces use the
+    * same helper so their evidence strings carry the resolved value. */
+  private def qmThrOpt(gated: DataFrame, cfg: Config,
+      textCol: String): Option[Double] = {
+    require(cfg.minQualityQuantile.isEmpty || cfg.qualityModel.isDefined,
+      "minQualityQuantile calibrates the qualityModel gate — set " +
+        "cfg.qualityModel too (a quantile alone would silently gate nothing)")
+    cfg.qualityModel.map(_ => qmThresholdOf(gated, cfg, textCol))
+  }
+
+  private def qmGate(docs: DataFrame, cfg: Config, textCol: String): DataFrame =
+    qmThrOpt(docs, cfg, textCol)
+      .fold(docs)(thr => qmGateAt(docs, cfg.qualityModel.get, thr))
 
   /** Shared back half: benchmark decontamination + stratified
     * sampling over the dedup survivors. */
@@ -466,8 +541,8 @@ object CorpusPrep {
       obs(lmGate(spanGated, idCol, cfg), "lm"))
     // trained-quality gate (opt-in): the learned reference-vs-crawl
     // classifier, right after the LM fluency floor
-    val qmGated = cfg.qualityModel.fold(lmGated)(_ =>
-      obs(qmGate(lmGated, cfg), "qm"))
+    val qmGated = qmThrOpt(lmGated, cfg, textCol).fold(lmGated)(thr =>
+      obs(qmGateAt(lmGated, cfg.qualityModel.get, thr), "qm"))
     // exact dedup: min id per content digest survives
     // exactKept feeds the near-dup pair search, the survivor
     // anti-join AND (with embCol) the semantic tier, so the
@@ -600,8 +675,13 @@ object CorpusPrep {
       val spanGated = pin(normalizeAndGate(docs, textCol, idCol, cfg))
       val lmGated =
         if (cfg.lmModel.isEmpty) spanGated else pin(lmGate(spanGated, idCol, cfg))
+      // the effective gate threshold resolves ONCE (quantile route =
+      // one calibration action) and feeds both the gate and the
+      // trace's evidence string
+      val qmThr = qmThrOpt(lmGated, cfg, textCol)
       val qmGated =
-        if (cfg.qualityModel.isEmpty) lmGated else pin(qmGate(lmGated, cfg))
+        if (cfg.qualityModel.isEmpty) lmGated
+        else pin(qmGateAt(lmGated, cfg.qualityModel.get, qmThr.get))
       val digests = pin(qmGated.withColumn("_digest", md5(col("clean_text"))))
       val exactKept = pin(digests
         .withColumn("_rank", row_number().over(
@@ -710,7 +790,7 @@ object CorpusPrep {
           .select(col(idCol), lit("qm").as("stage"),
             concat(lit("quality score "),
               coalesce(col("_trc_qs").cast("string"), lit("null")),
-              lit(s" below minQualityScore=${cfg.minQualityScore}"))
+              lit(s" below minQualityScore=${qmThr.get}"))
               .cast("string").as("detail"))
       }
       // exact: name the digest twin that was kept
@@ -839,6 +919,12 @@ object CorpusPrep {
       "embCol in a (traced) stream needs a semanticLookup or benchEmb — " +
         "the same contract as prepStream; without one the semantic tier " +
         "would be silently skipped and the trace would diverge")
+    require(cfg.minQualityQuantile.isEmpty ||
+        cfg.qualityCalibrationFrame.isDefined,
+      "minQualityQuantile without qualityCalibrationFrame is refused by " +
+        "prepStream (a stream cannot self-calibrate at setup) — the trace " +
+        "would otherwise self-calibrate on this batch and gate at a " +
+        "threshold no stream ever used")
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
     require(!(Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
@@ -864,8 +950,10 @@ object CorpusPrep {
           .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)
           .drop("_lm_n", "_lm_lp"))
       }
+      val qmThr = qmThrOpt(lmGated, cfg, textCol)
       val qmGated =
-        if (cfg.qualityModel.isEmpty) lmGated else pin(qmGate(lmGated, cfg))
+        if (cfg.qualityModel.isEmpty) lmGated
+        else pin(qmGateAt(lmGated, cfg.qualityModel.get, qmThr.get))
       val ngramGated = cfg.ngramBloom.fold(qmGated)(bytes =>
         pin(Dedup.bloomNgramGate(qmGated, "clean_text", bytes,
           cfg.ngramBloomN, cfg.ngramBloomMaxHits)))
@@ -939,7 +1027,7 @@ object CorpusPrep {
           .select(col(idCol), lit("qm").as("stage"),
             concat(lit("quality score "),
               coalesce(col("_trc_qs").cast("string"), lit("null")),
-              lit(s" below minQualityScore=${cfg.minQualityScore}"))
+              lit(s" below minQualityScore=${qmThr.get}"))
               .cast("string").as("detail"))
       }
       if (cfg.ngramBloom.isDefined)
@@ -1116,8 +1204,10 @@ object CorpusPrep {
       val lmGated =
         if (cfg.lmModel.isEmpty) spanGated
         else pin(lmGate(spanGated, idCol, cfg))
+      val qmThr = qmThrOpt(lmGated, cfg, textCol)
       val qmGated =
-        if (cfg.qualityModel.isEmpty) lmGated else pin(qmGate(lmGated, cfg))
+        if (cfg.qualityModel.isEmpty) lmGated
+        else pin(qmGateAt(lmGated, cfg.qualityModel.get, qmThr.get))
       // THE REAL dedup boundary — the operator itself, same config
       val deduped = pin(Dedup.dropIncrementalDuplicates(
         standing, qmGated, "clean_text", idCol,
@@ -1197,7 +1287,7 @@ object CorpusPrep {
           .select(col(idCol), lit("qm").as("stage"),
             concat(lit("quality score "),
               coalesce(col("_trc_qs").cast("string"), lit("null")),
-              lit(s" below minQualityScore=${cfg.minQualityScore}"))
+              lit(s" below minQualityScore=${qmThr.get}"))
               .cast("string").as("detail"))
       }
       // incremental dedup drops, labeled by the first matching route
@@ -1397,7 +1487,7 @@ object CorpusPrep {
     val gated = qmGate(lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
-      idCol, cfg), cfg)
+      idCol, cfg), cfg, textCol)
     val deduped = Dedup.dropIncrementalDuplicates(
       standing, gated, "clean_text", idCol,
       cfg.shingleN, cfg.minJaccard, cfg.numHashes, cfg.rowsPerBand,
@@ -1715,8 +1805,11 @@ object CorpusPrep {
     }
     // trained-quality gate: row-local by construction (map-literal
     // lookup + array aggregate), so it is stream-legal verbatim —
-    // the same argument as the LM gate above
-    val qmGated = qmGate(lmGated, cfg)
+    // the same argument as the LM gate above. The quantile route
+    // calibrates ONCE here at stream build (qualityCalibrationFrame
+    // required — qmThresholdOf refuses self-calibration on a stream)
+    // and the threshold rides the plan as a literal
+    val qmGated = qmGate(lmGated, cfg, textCol)
     // n-gram-collision decontamination, the one tier that is stream-
     // legal (row-local Bloom probe — see Dedup.bloomNgramGate; build
     // the filter over bench text normalized like the corpus)

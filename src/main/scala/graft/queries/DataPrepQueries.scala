@@ -4286,11 +4286,13 @@ object DataPrepQueries {
               // features keep margins tight around the bias) and flip
               // on nothing. Spark's exact `percentile` and DuckDB's
               // quantile_cont share the (n-1)p interpolation, so the
-              // threshold replays bit-for-bit
-              minQualityScore = graft.operators.QualityModel
-                .calibrateThreshold(
-                  graft.operators.QualityModel.withQualityScore(
-                    docs.filter(col("doc_id") >= 3), model, "text")),
+              // threshold replays bit-for-bit. Since r15 the
+              // calibration is FACADE-ROUTED (Config.minQualityQuantile
+              // + the designated calibration frame, scored on textCol
+              // verbatim) — the same threshold the call-site
+              // calibration produced, so the oracle is unchanged
+              minQualityQuantile = Some(0.5),
+              qualityCalibrationFrame = Some(docs.filter(col("doc_id") >= 3)),
               imageCol = Some("img")))
           .select(col("doc_id"),
             length(col("clean_text")).cast("bigint").as("n_clean_chars"))

@@ -330,6 +330,75 @@ class CorpusPrepSpec extends SparkSpecBase {
       tr.getString(2).contains("below minQualityScore"), tr.toString)
   }
 
+  test("minQualityQuantile routes calibrateThreshold through the facade: frame route == call-site calibration, self-calibration bites, guards") {
+    val labeled = ((1 to 20).map(i =>
+        (i.toLong, "the quick brown fox jumps over the lazy dog daily", 1)) ++
+      (1 to 20).map(i =>
+        (100L + i, "zzz qqq xxx kkk vvv www hhh jjj ggg bbb uuu ooo", 0)))
+      .toDF("doc_id", "text", "label")
+    val model = QualityModel.train(labeled, "text", "label",
+      dims = 256, iters = 6, lr = 2.0)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog daily"),
+      (2L, "daily dog over the quick brown fox lazy jumps news"),
+      (3L, "zzz qqq xxx kkk vvv www hhh jjj ggg bbb uuu ooo")
+    ).toDF("doc_id", "text")
+    val base = CorpusPrep.Config(minChars = 20, maxRepetition = 0.9,
+      qualityModel = Some(model))
+    // frame route == the call-site calibration it replaces (the
+    // designated frame is scored on textCol verbatim, so the
+    // threshold is IDENTICAL — the q138 switch's same-hash argument)
+    val viaConfig = CorpusPrep.run(docs, cfg = base.copy(
+        minQualityQuantile = Some(0.5),
+        qualityCalibrationFrame = Some(labeled)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val thr = QualityModel.calibrateThreshold(
+      QualityModel.withQualityScore(labeled, model, "text"))
+    val viaCallSite = CorpusPrep.run(docs,
+        cfg = base.copy(minQualityScore = thr))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaConfig == viaCallSite && viaConfig == Set(1L, 2L),
+      s"config route $viaConfig != call-site $viaCallSite")
+    // self-calibration (no frame): the median of the batch's own
+    // clean_text scores — the junk doc sits below it by construction
+    val selfCal = CorpusPrep.run(docs,
+        cfg = base.copy(minQualityQuantile = Some(0.5)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selfCal == Set(1L, 2L), s"self-calibrated kept $selfCal")
+    // runIncremental takes the quantile route too
+    val incKept = CorpusPrep.runIncremental(
+        CorpusPrep.run(docs, cfg = base),
+        Seq((10L, "reads the daily news with great care and attention today"),
+            (11L, "qqq zzz kkk xxx www vvv jjj hhh bbb ggg ooo uuu"))
+          .toDF("doc_id", "text"),
+        cfg = base.copy(minQualityQuantile = Some(0.5),
+          qualityCalibrationFrame = Some(labeled)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incKept == Set(10L), s"incremental quantile route kept $incKept")
+    // the trace gates at the CALIBRATED threshold and says so
+    val tr = CorpusPrep.prepTrace(docs, Seq(3L).toDF("id"),
+        cfg = base.copy(minQualityQuantile = Some(0.5),
+          qualityCalibrationFrame = Some(labeled)))
+      .collect()(0)
+    assert(tr.getString(1) == "qm", tr.toString)
+    assert(tr.getString(2).contains(s"below minQualityScore=$thr"),
+      s"trace must name the calibrated threshold: $tr")
+    // guards: quantile without a model; quantile over a hand-set
+    // threshold; a traced stream config without the calibration frame
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        minQualityQuantile = Some(0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = base.copy(minQualityScore = 0.7,
+        minQualityQuantile = Some(0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.prepTraceStream(docs, Seq(3L).toDF("id"), "text",
+        cfg = base.copy(minQualityQuantile = Some(0.5)))
+    }
+  }
+
   test("LM-quality gate drops gibberish under a foreign bigram model; persisted model identical") {
     // reference corpus: fluent repeated prose -> high bigram mass
     val ref = (1L to 20L).map(i => (i, "the cat sat on the mat near the door"))
