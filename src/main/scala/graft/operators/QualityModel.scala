@@ -96,10 +96,23 @@ object QualityModel {
     * plus two sentinel rows). Each iteration is ONE Spark action:
     * the margin frame persists and the feature gradient, bias
     * gradient and loss fuse into a single grouped aggregation under
-    * sentinel feature ids. */
+    * sentinel feature ids.
+    *
+    * `stopDelta` makes the loss telemetry ACTIONABLE: when set, the
+    * loop halts as soon as an update bought less than `stopDelta` of
+    * round6 loss (or made it worse — the divergence signal), WITHOUT
+    * applying the iteration's own update, so the returned weights
+    * are the ones whose loss plateaued and equal a `stopDelta=None`
+    * run at the shorter iteration count. `losses` always carries
+    * every loss actually measured (length = iterations measured, not
+    * `iters`). None (the default) preserves the fixed-`iters`
+    * behavior bit-for-bit — the replayable-oracle trainings keep
+    * their exact unrolled depth. One driver-side comparison per
+    * iteration; no extra Spark work. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       idCol: String = "doc_id", dims: Int = 4096, iters: Int = 5,
-      lr: Double = 1.0, l2: Double = 0.0): LinearModel = {
+      lr: Double = 1.0, l2: Double = 0.0,
+      stopDelta: Option[Double] = None): LinearModel = {
     require(dims >= 1 && dims <= 65536,
       s"dims must be in [1, 65536] (16 hash bits feed the mod), got $dims")
     require(!Set("_f", "_x", "_y", "_t", "_len", "_m", "_p", "_r", "_w")
@@ -108,6 +121,9 @@ object QualityModel {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be positive, got $lr")
     require(l2 >= 0, s"l2 must be >= 0, got $l2")
+    require(stopDelta.forall(_ >= 0),
+      s"stopDelta must be >= 0 (minimum round6-loss improvement to " +
+        s"continue), got $stopDelta")
     val spark = docs.sparkSession
     import spark.implicits._
     // unlabeled rows never tokenize: the label filter runs BEFORE the
@@ -135,7 +151,10 @@ object QualityModel {
       var w = Map.empty[Int, Double]
       var bias = 0.0
       val losses = scala.collection.mutable.ListBuffer.empty[Double]
-      for (_ <- 1 to iters) {
+      var it = 0
+      var halted = false
+      while (it < iters && !halted) {
+        it += 1
         val wDf = broadcast(
           (if (w.isEmpty) Seq((-1, 0.0)) else w.toSeq) // never-empty literal
             .toDF("_f", "_w"))
@@ -187,15 +206,27 @@ object QualityModel {
           val biasGrad = rows.getOrElse(-1, 0.0)
           losses += BigDecimal(rows.getOrElse(-2, 0.0) / n)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          val keys = (w.keySet ++ grad.keySet).toSeq
-          w = keys.map { f =>
-            val cur = w.getOrElse(f, 0.0)
-            val g = grad.getOrElse(f, 0.0) / n + l2 * cur
-            f -> BigDecimal(cur - lr * g)
+          // loss-driven early stop: L_t is the loss BEFORE update t,
+          // so (L_{t-1} - L_t) prices exactly what update t-1 bought.
+          // Under delta (or negative — the documented divergence
+          // signal), stop WITHOUT applying this iteration's update:
+          // the returned weights are the ones whose loss plateaued,
+          // and `losses` carries every loss actually measured — the
+          // telemetry turned actionable instead of post-hoc
+          if (stopDelta.isDefined && losses.length >= 2 &&
+              losses(losses.length - 2) - losses.last < stopDelta.get) {
+            halted = true
+          } else {
+            val keys = (w.keySet ++ grad.keySet).toSeq
+            w = keys.map { f =>
+              val cur = w.getOrElse(f, 0.0)
+              val g = grad.getOrElse(f, 0.0) / n + l2 * cur
+              f -> BigDecimal(cur - lr * g)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }.filter(_._2 != 0.0).toMap
+            bias = BigDecimal(bias - lr * (biasGrad / n + l2 * bias))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          }.filter(_._2 != 0.0).toMap
-          bias = BigDecimal(bias - lr * (biasGrad / n + l2 * bias))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
         } finally { margins.unpersist(); () }
       }
       LinearModel(w.toSeq.sortBy(_._1), bias, dims, losses.toList)

@@ -198,6 +198,41 @@ class QualityModelSpec extends SparkSpecBase {
       "my score.v1") == 0.25)
   }
 
+  test("stopDelta: early exit on a hot lr; halted weights equal the shorter fixed run; None unchanged") {
+    val docs = fixture.localCheckpoint(true)
+    // deliberately-hot learning rate: the separable fixture overshoots
+    // and the loss tail stops improving well before 8 iterations
+    val hot = QualityModel.train(docs, "text", "label",
+      dims = 64, iters = 8, lr = 50.0, stopDelta = Some(0.0))
+    assert(hot.losses.length < 8,
+      s"hot-lr run should halt early, ran ${hot.losses.length}: ${hot.losses}")
+    val t = hot.losses.length
+    // the halt fired because update t-1 bought < delta: the last
+    // measured pair is a non-improvement
+    assert(hot.losses(t - 2) - hot.losses(t - 1) < 0.0 + 1e-12,
+      s"halt without a non-improving tail: ${hot.losses}")
+    // halting skips the final update: weights equal a fixed run of
+    // t-1 iterations (deterministic trainer)
+    val short = QualityModel.train(docs, "text", "label",
+      dims = 64, iters = t - 1, lr = 50.0)
+    assert(hot.weights == short.weights && hot.bias == short.bias,
+      "halted weights diverge from the equivalent fixed-iters run")
+    // a huge delta halts at iteration 2 even on a converging run
+    val plateau = QualityModel.train(docs, "text", "label",
+      dims = 64, iters = 6, lr = 1.0, stopDelta = Some(10.0))
+    assert(plateau.losses.length == 2, s"${plateau.losses}")
+    assert(plateau.weights == QualityModel.train(docs, "text", "label",
+      dims = 64, iters = 1, lr = 1.0).weights)
+    // None: fixed-iters behavior bit-for-bit (the oracle trainings)
+    val fixed = QualityModel.train(docs, "text", "label",
+      dims = 64, iters = 3, lr = 1.0)
+    assert(fixed.losses.length == 3)
+    intercept[IllegalArgumentException] {
+      QualityModel.train(docs, "text", "label", dims = 64, iters = 2,
+        stopDelta = Some(-0.1))
+    }
+  }
+
   test("evalModel enforces its 6dp bound on entry: unrounded scores collapse to the rounded tie structure") {
     // two scores differing at the 9th decimal are ONE 6dp tie group —
     // without the entry rounding they would be two distinct window
