@@ -1080,7 +1080,12 @@ object CorpusPrep {
             (size(col("_qshs")) + size(col("_sshs")) - shared))
           .filter(col("_trc_j") >= cfg.minJaccard)
           .groupBy(idCol)
-          .agg(expr("max_by(_trc_sid, _trc_j)").as("_trc_sid"),
+          // min_by over (-j, sid): max jaccard, ties broken to the MIN
+          // standing id — fully deterministic evidence (max_by alone
+          // is tie-nondeterministic, e.g. duplicate standing texts),
+          // which is what lets an oracle replay the survivor id
+          .agg(expr("min_by(_trc_sid, struct(-_trc_j, _trc_sid))")
+            .as("_trc_sid"),
             round(max(col("_trc_j")), 4).as("_trc_j"))
         out += dropped
           .join(verified, Seq(idCol), "left")
@@ -1344,7 +1349,12 @@ object CorpusPrep {
           (size(col("_qshs")) + size(col("_sshs")) - sharedSz))
         .filter(col("_trc_j") >= cfg.minJaccard)
         .groupBy(idCol)
-        .agg(expr("max_by(_trc_sid, _trc_j)").as("_trc_sid"),
+        // min_by over (-j, sid): max jaccard, ties broken to the MIN
+          // standing id — fully deterministic evidence (max_by alone
+          // is tie-nondeterministic, e.g. duplicate standing texts),
+          // which is what lets an oracle replay the survivor id
+          .agg(expr("min_by(_trc_sid, struct(-_trc_j, _trc_sid))")
+            .as("_trc_sid"),
           round(max(col("_trc_j")), 4).as("_trc_j")))
       out += stillUnexplained.join(nearStanding, Seq(idCol))
         .select(col(idCol), lit("neardup").as("stage"),

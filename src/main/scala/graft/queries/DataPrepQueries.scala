@@ -4596,6 +4596,231 @@ object DataPrepQueries {
         probe(path, "grown").unionByName(probe(freshPath, "fresh"))
           .select("stage", "doc_id")
           .orderBy("stage", "doc_id")
+      }),
+
+    // Row-trace ORACLE PIN (CorpusPrep.prepTraceIncremental): the
+    // trace trio graduates from spec-pinned to oracle-pinned — the
+    // DuckDB replay recomputes, per traced id, the FIRST-DROP stage
+    // label and the deterministic survivor-evidence id (the free-text
+    // detail stays out of the hash; evidence ids are extracted from
+    // it because they are the replayable part). The fixture engineers
+    // every route: batch = the %4==0 docs plus synthetic exact twins
+    // (+1e6, same text -> 'exact', evidence = min-id digest holder),
+    // exact copies of standing docs (+2e6 -> 'exact_standing'),
+    // near-dups of standing docs (+3e6, three appended tokens ->
+    // jaccard (L-2)/(L+1), >= 0.8 iff the doc has >= 14 tokens, so
+    // both near-dup and kept outcomes occur; evidence = the max-
+    // jaccard standing doc, ties to min id — the min_by(struct) rule
+    // the operator now pins); %4==3 ids are traced but absent. The
+    // drop BOUNDARY replays q75's dropIncrementalDuplicates chain
+    // over normalized text (gates -> exact-vs-standing -> min-id
+    // twins -> banded+verified near tier with the taint rule), then
+    // the 0.7 sample draw (the q138 md5 device). A hash match pins
+    // the trace's stage precedence, the operator-owned kept/dropped
+    // split, and every evidence id in one row set.
+    QueryDef("q140_trace_incremental", Some(raw"""
+      WITH RECURSIVE
+      eng AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0 AND doc_id < 40
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 1 AND doc_id < 40
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' zq zr zs' FROM documents WHERE doc_id % 4 = 2 AND doc_id < 40
+        UNION ALL
+        SELECT 4000000, 'xy'
+        UNION ALL
+        SELECT 4000001, CAST(NULL AS VARCHAR)),
+      tr AS MATERIALIZED (
+        SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id < 200
+        UNION ALL SELECT doc_id FROM eng WHERE doc_id >= 1000000
+        UNION ALL SELECT doc_id FROM documents WHERE doc_id % 4 = 3 AND doc_id < 40),
+      cb AS MATERIALIZED (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM eng),
+      cs AS MATERIALIZED (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM documents WHERE doc_id % 4 <> 0),
+      tb AS MATERIALIZED (SELECT doc_id, ct,
+          list_filter(string_split(ct, ' '), x -> x <> '') AS tk FROM cb),
+      gated AS MATERIALIZED (SELECT doc_id, ct, tk FROM tb
+        WHERE length(ct) BETWEEN 20 AND 1000000 AND len(tk) > 0
+          AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) <= 0.9),
+      sdig AS MATERIALIZED (SELECT DISTINCT md5(ct) AS dg FROM cs WHERE ct IS NOT NULL),
+      gdig AS MATERIALIZED (SELECT doc_id, md5(ct) AS dg FROM gated),
+      dmin AS MATERIALIZED (SELECT dg, min(doc_id) AS surv FROM gdig GROUP BY dg),
+      keptexact AS MATERIALIZED (
+        SELECT g.doc_id FROM gdig g JOIN dmin m USING (dg)
+        WHERE g.doc_id = m.surv AND g.dg NOT IN (SELECT dg FROM sdig)),
+      gsh AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM gated),
+      ssh AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM (SELECT doc_id, list_filter(string_split(ct, ' '), x -> x <> '') AS tk
+              FROM cs WHERE ct IS NOT NULL)),
+      gsig AS MATERIALIZED (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM gsh WHERE len(shs) > 0),
+      ssig AS MATERIALIZED (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM ssh WHERE len(shs) > 0),
+      gbands AS MATERIALIZED (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM gsig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM gsig),
+      sbands AS MATERIALIZED (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM ssig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM ssig),
+      kbands AS MATERIALIZED (SELECT b.doc_id, b.band FROM gbands b
+                JOIN keptexact USING (doc_id)),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_other, o.other_new
+        FROM kbands n
+        JOIN (SELECT doc_id, band, TRUE AS other_new FROM kbands
+              UNION ALL SELECT doc_id, band, FALSE AS other_new FROM sbands) o
+          ON n.band = o.band AND n.doc_id <> o.doc_id),
+      ver AS MATERIALIZED (
+        SELECT DISTINCT c.id_new, c.id_other, c.other_new
+        FROM cand c JOIN gsh a ON a.doc_id = c.id_new
+                    JOIN gsh b ON b.doc_id = c.id_other
+        WHERE c.other_new
+          AND CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+              (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8
+        UNION
+        SELECT DISTINCT c.id_new, c.id_other, c.other_new
+        FROM cand c JOIN gsh a ON a.doc_id = c.id_new
+                    JOIN ssh b ON b.doc_id = c.id_other
+        WHERE NOT c.other_new
+          AND CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+              (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 0.8),
+      contaminated AS MATERIALIZED (SELECT DISTINCT id_new FROM ver WHERE NOT other_new),
+      nn AS MATERIALIZED (SELECT id_new AS s, id_other AS d FROM ver WHERE other_new
+             UNION SELECT id_other, id_new FROM ver WHERE other_new),
+      reach AS (SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM nn) v
+                UNION SELECT r.a, e.d FROM reach r JOIN nn e ON r.b = e.s),
+      lab AS MATERIALIZED (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      tainted AS MATERIALIZED (SELECT DISTINCT cluster FROM lab
+                 JOIN contaminated ON lab.id = contaminated.id_new),
+      keepers AS MATERIALIZED (SELECT cluster, min(id) AS id FROM lab
+                  WHERE cluster NOT IN (SELECT cluster FROM tainted) GROUP BY cluster),
+      clusterdrops AS MATERIALIZED (SELECT id FROM lab
+                      WHERE id NOT IN (SELECT id FROM keepers)),
+      survivors AS MATERIALIZED (SELECT k.doc_id FROM keptexact k
+                    WHERE k.doc_id NOT IN (SELECT id_new FROM contaminated)
+                      AND k.doc_id NOT IN (SELECT id FROM clusterdrops)),
+      sampled AS MATERIALIZED (SELECT doc_id FROM survivors
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'corpusprep'), 1, 8))::UBIGINT
+              / 4294967296.0 < 0.7),
+      dropped AS MATERIALIZED (SELECT doc_id FROM gated
+        WHERE doc_id NOT IN (SELECT doc_id FROM survivors)),
+      exstand AS MATERIALIZED (SELECT g.doc_id FROM gdig g
+        WHERE g.doc_id IN (SELECT doc_id FROM dropped)
+          AND g.dg IN (SELECT dg FROM sdig)),
+      twin AS MATERIALIZED (SELECT g.doc_id, m.surv FROM gdig g JOIN dmin m USING (dg)
+        WHERE g.doc_id IN (SELECT doc_id FROM dropped)
+          AND g.doc_id NOT IN (SELECT doc_id FROM exstand)
+          AND g.doc_id <> m.surv),
+      remaining AS MATERIALIZED (SELECT doc_id FROM dropped
+        WHERE doc_id NOT IN (SELECT doc_id FROM exstand)
+          AND doc_id NOT IN (SELECT doc_id FROM twin)),
+      nearst AS MATERIALIZED (
+        SELECT doc_id, sid FROM (
+          SELECT p.doc_id, p.sid,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY p.j DESC, p.sid) AS rn
+          FROM (SELECT e.doc_id, e.sid,
+                  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+                  (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS j
+                FROM (SELECT DISTINCT rb.doc_id, sb.doc_id AS sid
+                      FROM gbands rb
+                      JOIN remaining r ON r.doc_id = rb.doc_id
+                      JOIN sbands sb ON rb.band = sb.band) e
+                JOIN gsh a ON a.doc_id = e.doc_id
+                JOIN ssh b ON b.doc_id = e.sid) p
+          WHERE p.j >= 0.8)
+        WHERE rn = 1),
+      clev AS MATERIALIZED (
+        SELECT r.doc_id, k.id AS ev
+        FROM remaining r
+        LEFT JOIN lab l ON l.id = r.doc_id
+        LEFT JOIN keepers k ON k.cluster = l.cluster)
+      SELECT t.doc_id,
+        CASE
+          WHEN b.doc_id IS NULL THEN 'absent'
+          WHEN g.doc_id IS NULL THEN 'gated'
+          WHEN es.doc_id IS NOT NULL THEN 'exact_standing'
+          WHEN tw.doc_id IS NOT NULL THEN 'exact'
+          WHEN dd.doc_id IS NOT NULL THEN 'neardup'
+          WHEN sm.doc_id IS NULL THEN 'sampled'
+          ELSE 'kept' END AS stage,
+        CASE
+          WHEN tw.doc_id IS NOT NULL THEN tw.surv
+          WHEN ns.doc_id IS NOT NULL THEN ns.sid
+          WHEN dd.doc_id IS NOT NULL THEN ce.ev END AS evidence
+      FROM tr t
+      LEFT JOIN (SELECT DISTINCT doc_id FROM eng) b USING (doc_id)
+      LEFT JOIN (SELECT doc_id FROM gated) g USING (doc_id)
+      LEFT JOIN exstand es USING (doc_id)
+      LEFT JOIN twin tw USING (doc_id)
+      LEFT JOIN (SELECT doc_id FROM dropped) dd USING (doc_id)
+      LEFT JOIN nearst ns USING (doc_id)
+      LEFT JOIN clev ce USING (doc_id)
+      LEFT JOIN sampled sm USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val docs = t(s, dir, "documents")
+        val standing = docs.filter(col("doc_id") % 4 =!= 0)
+          .withColumn("clean_text",
+            graft.operators.TextNorm.clean(col("text")))
+          .select("doc_id", "clean_text")
+        val batch = docs.filter(col("doc_id") % 4 === 0)
+          .select("doc_id", "text")
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") < 40)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") < 40)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 2 && col("doc_id") < 40)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" zq zr zs")).as("text")))
+          // two gate-fodder rows: too short, and null text
+          .unionByName {
+            import s.implicits._
+            Seq((4000000L, "xy"), (4000001L, null.asInstanceOf[String]))
+              .toDF("doc_id", "text")
+          }
+        val ids = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 200)
+          .select("doc_id")
+          .unionByName(batch.filter(col("doc_id") >= 1000000L).select("doc_id"))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 3 && col("doc_id") < 40)
+            .select("doc_id"))
+        graft.operators.CorpusPrep.prepTraceIncremental(standing, batch, ids,
+            cfg = graft.operators.CorpusPrep.Config(sampleRate = Some(lit(0.7))))
+          // the evidence id is the replayable slice of the free-text
+          // detail — stage-dependent prefix, one trailing integer
+          // (no match -> empty string -> null, ANSI-safely)
+          .withColumn("evidence", {
+            val e = regexp_extract(col("detail"),
+              "(?:doc |survivor: )(\\d+)", 1)
+            when(e === "", lit(null)).otherwise(e).cast("bigint")
+          })
+          .select(col("doc_id"), col("stage"), col("evidence"))
+          .orderBy("doc_id")
       })
   )
 }
