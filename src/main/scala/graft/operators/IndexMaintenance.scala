@@ -92,4 +92,69 @@ object IndexMaintenance {
       log.info(s"graft_index_health family=${h.family} dir=${h.dir} healthy | $h")
     adv
   }
+
+  /** One row of `healthSweep`'s report: what was found at the path,
+    * what the policy said, or why the index could not be read. */
+  final case class SweepRow(path: String, family: String,
+      compact: Boolean, reasons: Seq[String], error: Option[String])
+
+  /** Detect which standing-index family wrote a root, from the layout
+    * alone: hash-band indexes are versioned from birth (`bands_vN`),
+    * BM25 carries its `df`/`meta` table dirs, IVF carries `index_vN`
+    * after a compaction or `cid=...` list partitions while flat. */
+  private def detectFamily(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return None
+    val names = fs.listStatus(p).map(_.getPath.getName).toSet
+    if (names.exists(_.startsWith("bands_v"))) Some("hashband")
+    else if (names.contains("df") && names.contains("meta")) Some("bm25")
+    else if (names.exists(_.startsWith("index_v")) ||
+        names.exists(_.startsWith("cid="))) Some("ivf")
+    else None
+  }
+
+  /** The daily-cron shape this object's scaladoc promises, as one
+    * call: map a set of index roots (family auto-detected from the
+    * on-disk layout) through stats → healthOf → logHealth and return
+    * the advice as a small DataFrame — (path, family, compact,
+    * reasons, error). Per-path failures become ERROR ROWS instead of
+    * killing the sweep (the crash-after-pointer hash-band state, for
+    * example, reports its named repair path here while the other
+    * indexes still get their verdicts), and an unrecognized layout
+    * reports `unknown` rather than guessing. Driver-side arithmetic
+    * over one stats call per index; the corpora are never touched. */
+  def healthSweep(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      p: CompactPolicy = CompactPolicy()): org.apache.spark.sql.DataFrame = {
+    val rows = paths.map { path =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      detectFamily(fs, path) match {
+        case None =>
+          SweepRow(path, "unknown", compact = false, Nil,
+            Some("unrecognized layout — not a graft index root " +
+              "(or the dir is missing)"))
+        case Some(fam) =>
+          try {
+            val h = fam match {
+              case "hashband" => healthOf(Dedup.hashBandIndexStats(spark, path))
+              case "bm25" => healthOf(TextStats.bm25IndexStats(spark, path))
+              case _ => healthOf(Similarity.indexStats(spark, path))
+            }
+            val adv = logHealth(h, p)
+            SweepRow(path, fam, adv.compact, adv.reasons, None)
+          } catch {
+            case e: Exception =>
+              org.slf4j.LoggerFactory.getLogger("graft.metrics")
+                .warn(s"graft_index_health family=$fam dir=$path " +
+                  s"UNREADABLE: ${e.getMessage}")
+              SweepRow(path, fam, compact = false, Nil,
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          }
+      }
+    }
+    import spark.implicits._
+    rows.toDF()
+  }
 }

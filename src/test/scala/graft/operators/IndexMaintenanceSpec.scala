@@ -59,6 +59,47 @@ class IndexMaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("healthSweep: families auto-detected from layout; error rows don't kill the sweep; unknown reported honestly") {
+    withTempDir("im-sweep") { dir =>
+      val root = dir.getAbsolutePath
+      Dedup.writeHashBandIndex(
+        Seq((1L, 0x0123456789ABCDEFL), (2L, 0x00FF00FF00FF00FFL))
+          .toDF("vid", "sig"), "sig", "vid", s"$root/hbi")
+      TextStats.writeBm25Index(
+        Seq((1L, "the cat sat on the mat"), (2L, "a dog ran very fast today"))
+          .toDF("doc_id", "text"), "text", "doc_id", s"$root/bm")
+      Similarity.writeIndex(
+        Similarity.ivfAssign(
+          Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)))
+            .toDF("vec_id", "e"),
+          Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))), "e"),
+        s"$root/ivf")
+      // a crash-after-pointer hash-band sibling: probes fine, stats
+      // refuses — the sweep must report it and keep going
+      Dedup.writeHashBandIndex(Seq((9L, 42L)).toDF("vid", "sig"),
+        "sig", "vid", s"$root/crashed")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/crashed/_meta"), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/stranger"))
+      val rows = IndexMaintenance.healthSweep(spark, Seq(
+          s"$root/hbi", s"$root/bm", s"$root/ivf",
+          s"$root/crashed", s"$root/stranger"))
+        .collect()
+        .map(r => r.getString(0).split('/').last ->
+          ((r.getString(1), r.getBoolean(2), Option(r.getString(4)))))
+        .toMap
+      assert(rows("hbi") == (("hashband", false, None)), s"${rows("hbi")}")
+      assert(rows("bm") == (("bm25", false, None)), s"${rows("bm")}")
+      assert(rows("ivf") == (("ivf", false, None)), s"${rows("ivf")}")
+      val crashed = rows("crashed")
+      assert(crashed._1 == "hashband" && !crashed._2 &&
+        crashed._3.exists(_.contains("writeHashBandIndex")),
+        s"crashed index must surface its named repair path: $crashed")
+      assert(rows("stranger")._1 == "unknown" && rows("stranger")._3.isDefined)
+    }
+  }
+
   test("adapters align the rows/tombstone semantics across the three families") {
     val bm = healthOf(TextStats.Bm25IndexStats("/p", buckets = 4, files = 12,
       maxStripesPerBucket = 3, bytes = 99, rows = 50, staleRows = 5,
