@@ -133,34 +133,43 @@ object Multimodal {
     * scan partition lives and only the 8-byte hash ever shuffles.
     * Undecodable payloads hash to null (never a task failure). */
   final class PerceptualHasher extends Serializable {
+    /** The 9x8 downscale + brightness-gradient grid over an ALREADY
+      * decoded image — shared by the single-image path (`dhash64`)
+      * and the per-frame GIF path (`gifFrameHashes`), so a still
+      * image and the identical frame inside an animation hash
+      * identically. */
+    def dhashOfImage(img: java.awt.image.BufferedImage): Long = {
+      val small = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      def gray(x: Int, y: Int): Int = {
+        val rgb = small.getRGB(x, y)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      }
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
     def dhash64(bytes: Array[Byte]): java.lang.Long = {
       if (bytes == null || bytes.isEmpty) return null
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) return null
-        val small = new java.awt.image.BufferedImage(9, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = small.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, 9, 8, null)
-        } finally g.dispose()
-        def gray(x: Int, y: Int): Int = {
-          val rgb = small.getRGB(x, y)
-          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-        }
-        var h = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        java.lang.Long.valueOf(h)
+        java.lang.Long.valueOf(dhashOfImage(img))
       } catch { case scala.util.control.NonFatal(_) => null }
     }
   }
@@ -919,6 +928,86 @@ object Multimodal {
     * contract as the other decoders: digest state per partition, all
     * decode where the scan partition lives, malformed payloads emit
     * zero rows rather than failing the task. */
+  /** Shared multi-frame GIF walk: decode up to `nFrames` evenly
+    * spaced frames COMPOSITED onto a logical-screen canvas (optimized
+    * GIFs store only each frame's changed sub-rectangle at an (x, y)
+    * offset — reading a frame raw would extract the patch, not the
+    * rendered image, so two encodings of one animation would
+    * disagree; draw-over is the dominant doNotDispose case), and emit
+    * `extract(samplePos, frameIdx, nTotal, canvas)` at each picked
+    * index. Malformed payloads yield an empty Vector — never a task
+    * failure. Both `sampleFramesDecoded` (per-frame digests/features)
+    * and `gifFrameHashes` (per-frame dHash — the near-dup tier) are
+    * this one walk, so their frame selection and compositing can
+    * never drift apart. */
+  private def foldGifFrames[T](b: Array[Byte], nFrames: Int)(
+      extract: (Int, Int, Int, java.awt.image.BufferedImage) => T): Vector[T] = {
+    if (b == null || b.isEmpty) return Vector.empty
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Vector.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true) // allowSearch: full index scan
+            val pickSeq =
+              (if (n <= nFrames) 0 until n
+               // Long math: i * n overflows Int for large requests
+               else (0 until nFrames).map(i => (i.toLong * n / nFrames).toInt))
+                .toVector
+            val picks = pickSeq.toSet
+            val posOf = pickSeq.zipWithIndex.toMap
+            val maxPick = if (picks.isEmpty) -1 else picks.max
+            // canvas = the GIF LOGICAL SCREEN when the stream
+            // metadata carries it: frame 0 may legally be a
+            // sub-rectangle of the animation (optimized GIFs),
+            // and a frame-0-sized canvas would clip every later
+            // full-size frame. Frame 0 is decoded ONCE and reused
+            // as the first loop iteration.
+            val f0 = reader.read(0)
+            val canvas = {
+              val (lw, lh) = try {
+                val tree = reader.getStreamMetadata
+                  .getAsTree("javax_imageio_gif_stream_1.0")
+                  .asInstanceOf[org.w3c.dom.Element]
+                val d = tree.getElementsByTagName("LogicalScreenDescriptor")
+                  .item(0).asInstanceOf[org.w3c.dom.Element]
+                (d.getAttribute("logicalScreenWidth").toInt,
+                  d.getAttribute("logicalScreenHeight").toInt)
+              } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+              val (w0, h0) = (math.max(lw, math.max(f0.getWidth, reader.getWidth(0))),
+                math.max(lh, math.max(f0.getHeight, reader.getHeight(0))))
+              new java.awt.image.BufferedImage(w0, h0,
+                java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            }
+            val g = canvas.createGraphics()
+            try {
+              (0 to maxPick).toVector.flatMap { fi =>
+                val img = if (fi == 0) f0 else reader.read(fi)
+                val (x, y) = try {
+                  val tree = reader.getImageMetadata(fi)
+                    .getAsTree("javax_imageio_gif_image_1.0")
+                    .asInstanceOf[org.w3c.dom.Element]
+                  val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+                    .asInstanceOf[org.w3c.dom.Element]
+                  (desc.getAttribute("imageLeftPosition").toInt,
+                    desc.getAttribute("imageTopPosition").toInt)
+                } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+                g.drawImage(img, x, y, null)
+                if (!picks.contains(fi)) None
+                else Some(extract(posOf(fi), fi, n, canvas))
+              }
+            } finally g.dispose()
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+  }
+
   def sampleFramesDecoded(df: DataFrame, binaryCol: String, nFrames: Int)(
       implicit spark: SparkSession): DataFrame = {
     require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
@@ -930,88 +1019,106 @@ object Multimodal {
     df.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { r =>
-        val b = binaryOf(r, idx)
-        if (b == null || b.isEmpty) Iterator.empty
-        else try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(b))
-          try {
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) Iterator.empty
-            else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis)
-                val n = reader.getNumImages(true) // allowSearch: full index scan
-                val picks =
-                  (if (n <= nFrames) 0 until n
-                   // Long math: i * n overflows Int for large requests
-                   else (0 until nFrames).map(i => (i.toLong * n / nFrames).toInt)).toSet
-                // COMPOSITE frames: optimized GIFs store only each
-                // frame's changed sub-rectangle at an (x, y) offset —
-                // reading a frame raw would digest the patch, not the
-                // rendered image, so two encodings of one animation
-                // would disagree. Decode sequentially onto a canvas
-                // (draw-over; the dominant doNotDispose case) and
-                // digest the canvas at each picked index. Strict
-                // decode BEFORE the reader is disposed in finally.
-                val maxPick = if (picks.isEmpty) -1 else picks.max
-                // canvas = the GIF LOGICAL SCREEN when the stream
-                // metadata carries it: frame 0 may legally be a
-                // sub-rectangle of the animation (optimized GIFs),
-                // and a frame-0-sized canvas would clip every later
-                // full-size frame. Frame 0 is decoded ONCE and reused
-                // as the first loop iteration (it used to decode
-                // twice per row).
-                val f0 = reader.read(0)
-                val canvas = {
-                  val (lw, lh) = try {
-                    val tree = reader.getStreamMetadata
-                      .getAsTree("javax_imageio_gif_stream_1.0")
-                      .asInstanceOf[org.w3c.dom.Element]
-                    val d = tree.getElementsByTagName("LogicalScreenDescriptor")
-                      .item(0).asInstanceOf[org.w3c.dom.Element]
-                    (d.getAttribute("logicalScreenWidth").toInt,
-                      d.getAttribute("logicalScreenHeight").toInt)
-                  } catch { case scala.util.control.NonFatal(_) => (0, 0) }
-                  val (w0, h0) = (math.max(lw, math.max(f0.getWidth, reader.getWidth(0))),
-                    math.max(lh, math.max(f0.getHeight, reader.getHeight(0))))
-                  new java.awt.image.BufferedImage(w0, h0,
-                    java.awt.image.BufferedImage.TYPE_INT_ARGB)
-                }
-                val g = canvas.createGraphics()
-                val out = try {
-                  (0 to maxPick).toVector.flatMap { fi =>
-                    val img = if (fi == 0) f0 else reader.read(fi)
-                    val (x, y) = try {
-                      val tree = reader.getImageMetadata(fi)
-                        .getAsTree("javax_imageio_gif_image_1.0")
-                        .asInstanceOf[org.w3c.dom.Element]
-                      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
-                        .asInstanceOf[org.w3c.dom.Element]
-                      (desc.getAttribute("imageLeftPosition").toInt,
-                        desc.getAttribute("imageTopPosition").toInt)
-                    } catch { case scala.util.control.NonFatal(_) => (0, 0) }
-                    g.drawImage(img, x, y, null)
-                    if (!picks.contains(fi)) None
-                    else {
-                      val (w, h) = (canvas.getWidth, canvas.getHeight)
-                      val px = canvas.getRGB(0, 0, w, h, null, 0, w)
-                      val bb = java.nio.ByteBuffer.allocate(px.length * 4)
-                      bb.asIntBuffer().put(px)
-                      md.reset()
-                      val dg = hex8(md.digest(bb.array()))
-                      Some(Row.fromSeq(r.toSeq :+ fi :+ n :+ w :+ h :+ dg))
-                    }
-                  }
-                } finally g.dispose()
-                out
-              } finally reader.dispose()
-            }
-          } finally iis.close()
-        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        foldGifFrames(binaryOf(r, idx), nFrames) { (_, fi, n, canvas) =>
+          val (w, h) = (canvas.getWidth, canvas.getHeight)
+          val px = canvas.getRGB(0, 0, w, h, null, 0, w)
+          val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+          bb.asIntBuffer().put(px)
+          md.reset()
+          val dg = hex8(md.digest(bb.array()))
+          Row.fromSeq(r.toSeq :+ fi :+ n :+ w :+ h :+ dg)
+        }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Per-frame perceptual hashes for a multi-frame container the JDK
+    * can decode (animated GIF) — the VIDEO-LIKE near-dup signature:
+    * up to `nFrames` evenly spaced frames, composited exactly like
+    * `sampleFramesDecoded` (same walk — they cannot drift), each
+    * hashed with the SAME 9x8 dHash as the still-image tier, so a
+    * one-frame GIF of an image hashes identically to the image
+    * itself. One output row per sampled frame: input columns +
+    * `sample_pos` (0-based rank among the sampled frames — the
+    * position key the near-dup join compares on), `frame_idx` (the
+    * actual frame number), `n_frames`, and `outCol` (the 64-bit
+    * dHash). Only 8 bytes per frame ever shuffle — the pixels stay
+    * where the scan ran, the same argument as the image tier.
+    * Undecodable payloads emit zero rows (the gates own those).
+    *
+    * MP4/WebM: this tier is decode-complete except for the codec —
+    * the sampling, compositing-at-offset, dHash and banded search
+    * below are container-agnostic; plugging a frame decoder in place
+    * of the ImageIO reader is the ONLY missing piece (no JDK codec
+    * exists, honestly stubbed in `sampleFrames`). */
+  def gifFrameHashes(df: DataFrame, binaryCol: String, nFrames: Int = 4,
+      outCol: String = "frame_ph")(
+      implicit spark: SparkSession): DataFrame = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    require(!df.columns.exists(c => Set("sample_pos", "frame_idx",
+        "n_frames", outCol).contains(c)),
+      s"input columns collide with gifFrameHashes' outputs " +
+        s"(sample_pos/frame_idx/n_frames/$outCol)")
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema
+      .add("sample_pos", IntegerType).add("frame_idx", IntegerType)
+      .add("n_frames", IntegerType).add(outCol, LongType)
+    df.mapPartitions { it =>
+      val hasher = new PerceptualHasher
+      it.flatMap { r =>
+        foldGifFrames(binaryOf(r, idx), nFrames) { (pos, fi, n, canvas) =>
+          Row.fromSeq(r.toSeq :+ pos :+ fi :+ n :+ hasher.dhashOfImage(canvas))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Animation-level near-dup pairs over sampled-frame dHashes — the
+    * video-like modality joining the image/audio signature tiers:
+    * two GIFs pair when at least `minFrameMatches` of their
+    * SAME-POSITION sampled frames are within `maxHamming` bits. The
+    * search is the house banded shape applied per position: each
+    * frame hash splits into four 16-bit bands keyed by
+    * (sample_pos, band slot, band value), candidates come from a
+    * capped equi-join (never an all-pairs product — `maxBucket`
+    * bounds a degenerate band, drops observed), and for
+    * `maxHamming` <= 3 the four-band pigeonhole makes per-frame
+    * recall EXACT, so the pair set is exactly the all-pairs answer.
+    * Positional comparison is the honest cheap rule: it catches
+    * re-encodes, palette changes and mild edits of the SAME
+    * animation; a time-shifted or re-cut animation is a different
+    * sampling (document, don't guess — an alignment search would be
+    * quadratic in frames). Returns (id_a, id_b, n_matched) with
+    * id_a < id_b. */
+  def gifNearDupPairs(df: DataFrame, binaryCol: String, idCol: String,
+      nFrames: Int = 4, maxHamming: Int = 3, minFrameMatches: Int = 3,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_gif_band_cap")(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(minFrameMatches >= 1 && minFrameMatches <= nFrames,
+      s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
+    import org.apache.spark.sql.functions._
+    val frames = gifFrameHashes(df.select(col(idCol), col(binaryCol)),
+        binaryCol, nFrames, "_h")
+      .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"))
+    val bands = frames.select(col("_gid"), col("sample_pos"), col("_h"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+      .toDF("_gid", "sample_pos", "_h", "_k", "_band")
+    val (obs, silent) = HotKeys.capPair(bands,
+      Seq(col("sample_pos"), col("_k"), col("_band")), maxBucket,
+      minPerKey = 2, metricName = metricName)
+    val a = obs.toDF("id_a", "sample_pos", "_ha", "_k", "_band")
+    val b = silent.toDF("id_b", "sample_pos", "_hb", "_k", "_band")
+    a.join(b, Seq("sample_pos", "_k", "_band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("sample_pos"))
+      .distinct() // several bands of one frame pair agree -> one match
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .filter(col("n_matched") >= minFrameMatches)
   }
 
   /** Corpus-level media stats: the aggregation never touches the raw
@@ -1087,6 +1194,54 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  /** Deterministic multi-frame grayscale ANIMATED GIF test vector —
+    * the video-like twin of `syntheticGrayBmp`: each frame is a
+    * row-major top-down gray grid, written as TYPE_BYTE_INDEXED
+    * pixels under an identity 256-gray palette through the JDK's own
+    * GIF sequence writer. The palette makes the encode LOSSLESS for
+    * 8-bit grays (GIF's LZW is lossless over indices; no quantizer
+    * runs because the image already carries the palette), so a
+    * decode returns the exact input grays and the per-frame dHash is
+    * replayable from the gray formula alone — the q124/q136 device
+    * extended to animations (q141 pins the whole encode → composite
+    * decode → per-frame dHash → positional band search path). */
+  def syntheticGrayGif(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty, "need >= 1 frame")
+    frames.foreach(f => require(f.length == width * height,
+      s"each frame needs $width x $height = ${width * height} grays"))
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { grays =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, grays(y * width + x) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
   }
 
   /** Deterministic 16-bit mono PCM WAV test vector — the audio twin

@@ -4821,6 +4821,64 @@ object DataPrepQueries {
           })
           .select(col("doc_id"), col("stage"), col("evidence"))
           .orderBy("doc_id")
+      }),
+
+    // VIDEO-LIKE near-dup (Multimodal.gifNearDupPairs): the q124/q136
+    // controlled-dHash device extended to ANIMATIONS — each doc
+    // carries a synthetic 3-frame animated GIF (lossless indexed-gray
+    // encode through the JDK's own sequence writer), decoded
+    // composite-style, per-frame dHashed, and paired by the
+    // positional banded search (same-position frames within hamming
+    // 3; a pair needs all 3 positions). Alt variants flip one dHash
+    // bit in EVERY frame, so same-base docs pair across encodings
+    // while different bases never do. The oracle replays the whole
+    // path arithmetically: per-frame gray grid from md5(base:f:y:x),
+    // the 8x8 brighter-than-right-neighbor bit grid, all-pairs
+    // positional hamming, count >= 3 — so a hash match pins encode →
+    // frame compositing → dHash → banded positional match end to end.
+    QueryDef("q141_gif_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt
+                 FROM documents WHERE doc_id < 200),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+             FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+               AND bit_count(xor(a.h, b.h)) <= 3
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              if (alt && y == 0 && x == 0) 255
+              else if (alt && y == 0 && x == 1) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+        }
+        val gifs = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), mk(col("doc_id")).as("gif"))
+        graft.operators.Multimodal.gifNearDupPairs(gifs, "gif", "doc_id")
+          .orderBy("id_a", "id_b")
       })
   )
 }

@@ -614,4 +614,75 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
   }
+
+  // the dHash grid formula, independently: bit (x, y) = right neighbor
+  // brighter — pins the GIF encode as LOSSLESS (a quantizing writer
+  // or a non-identity 9x8 resample would break the equality)
+  private def dhashOf(grays: Array[Int]): Long = {
+    var h = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (grays(y * 9 + x + 1) > grays(y * 9 + x)) h |= 1L << (y * 8 + x)
+    h
+  }
+
+  test("gifFrameHashes: lossless synthetic animation, frame dHash == still-image dHash, even sampling, junk -> no rows") {
+    import spark.implicits._
+    val f0 = Array.tabulate(72)(i => (i * 7) % 256)
+    val f1 = f0.map(v => 255 - v)
+    val gif = Multimodal.syntheticGrayGif(9, 8, Seq(f0, f1))
+    val rows = Multimodal.gifFrameHashes(
+        Seq((1L, gif)).toDF("gid", "payload"), "payload")
+      .orderBy("sample_pos").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("frame_ph") == dhashOf(f0) &&
+      rows(1).getAs[Long]("frame_ph") == dhashOf(f1),
+      "GIF frame hashes diverge from the gray formula — lossy encode or resample?")
+    // a frame inside an animation hashes exactly like the same pixels
+    // as a still image (the shared dhashOfImage contract)
+    val still = Multimodal.withPerceptualHash(
+        Seq((1L, Multimodal.syntheticGrayBmp(9, 8, f0))).toDF("id", "img"),
+        "img", "ph")
+      .select("ph").collect()(0).getLong(0)
+    assert(still == rows(0).getAs[Long]("frame_ph"))
+    // 6 frames sampled at nFrames=3: picks 0, 2, 4 at positions 0, 1, 2
+    val gif6 = Multimodal.syntheticGrayGif(9, 8,
+      (0 until 6).map(k => f0.map(v => (v + 40 * k) % 256)))
+    val r6 = Multimodal.gifFrameHashes(
+        Seq((2L, gif6)).toDF("gid", "payload"), "payload", nFrames = 3)
+      .orderBy("sample_pos").collect()
+    assert(r6.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4), r6.toSeq)
+    assert(r6.forall(_.getAs[Int]("n_frames") == 6))
+    // undecodable payloads emit zero rows, never a task failure
+    assert(Multimodal.gifFrameHashes(
+      Seq((3L, Array[Byte](1, 2, 3))).toDF("gid", "payload"), "payload")
+      .count() == 0)
+  }
+
+  test("gifNearDupPairs: positional frame matching — full match pairs, partial match gated by minFrameMatches") {
+    import spark.implicits._
+    val a = Array.tabulate(72)(i => (i * 7) % 256)
+    val b = a.map(v => (v + 96) % 256)
+    val c = a.map(v => (v + 160) % 256)
+    val desc = Array.tabulate(72)(i => 255 - (i * 7) % 256)
+    // flip exactly dHash bit 0: (g(0,0), g(0,1)) = (255, 0) where the
+    // ascending base had bit 0 = 1
+    def flip1(f: Array[Int]): Array[Int] = {
+      val g = f.clone(); g(0) = 255; g(1) = 0; g
+    }
+    val gifX = Multimodal.syntheticGrayGif(9, 8, Seq(a, b, c))
+    val gifY = Multimodal.syntheticGrayGif(9, 8,
+      Seq(flip1(a), flip1(b), flip1(c)))
+    val gifZ = Multimodal.syntheticGrayGif(9, 8, Seq(a, b, desc))
+    val docs = Seq((1L, gifX), (2L, gifY), (3L, gifZ)).toDF("gid", "gif")
+    // default minFrameMatches = 3: only the all-frames-within pair
+    val strict = Multimodal.gifNearDupPairs(docs, "gif", "gid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(strict == Set((1L, 2L, 3L)), s"got $strict")
+    // at 2, the two-frame overlaps qualify and report their count
+    val loose = Multimodal.gifNearDupPairs(docs, "gif", "gid",
+        minFrameMatches = 2,
+        metricName = "graft_gif_band_cap_loose")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 2L)), s"got $loose")
+  }
 }
