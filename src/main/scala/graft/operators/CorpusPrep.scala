@@ -453,6 +453,11 @@ object CorpusPrep {
     require(cfg.minQualityQuantile.isEmpty || cfg.qualityModel.isDefined,
       "minQualityQuantile calibrates the qualityModel gate — set " +
         "cfg.qualityModel too (a quantile alone would silently gate nothing)")
+    require(cfg.qualityCalibrationFrame.isEmpty ||
+        cfg.minQualityQuantile.isDefined,
+      "qualityCalibrationFrame without minQualityQuantile would be " +
+        "silently ignored and the gate would run at the fixed " +
+        "minQualityScore — set the quantile (or drop the frame)")
     cfg.qualityModel.map(_ => qmThresholdOf(gated, cfg, textCol))
   }
 

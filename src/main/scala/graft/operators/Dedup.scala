@@ -1456,10 +1456,23 @@ object Dedup {
   private def hashIndexVersions(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[Long] = TextStats.versionPointers(fs, path)
 
+  /** Resolve the served version dir. This family is VERSIONED FROM
+    * BIRTH, so "no pointer" is never a legal servable state — it
+    * means a rebuild crashed before publishing, or the path is not a
+    * hash-band index at all. Refusing here (rather than falling back
+    * to the root) matters because the rebuild reset is NAME-SCOPED:
+    * a user file co-located at the root deliberately survives
+    * resets, and a root fallback could silently read it as the
+    * index in the crash window. */
   private def currentHashIndexDir(fs: org.apache.hadoop.fs.FileSystem,
       path: String): String = {
     val vs = hashIndexVersions(fs, path)
-    if (vs.isEmpty) path else s"$path/bands_v${vs.max}"
+    require(vs.nonEmpty,
+      s"no published version pointer under $path — a rebuild crashed " +
+        "before publishing (rerun writeHashBandIndex), or this dir was " +
+        "not written by writeHashBandIndex (the layout is versioned " +
+        "from birth)")
+    s"$path/bands_v${vs.max}"
   }
 
   /** Persist a hash-band index WITH the document ids — the layout
@@ -1537,9 +1550,10 @@ object Dedup {
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
+        // pointer names share TextStats.isVersionPointerName with the
+        // resolver, so delete-set and resolve-set cannot drift
         n == "_tombstones" || n == "_meta" ||
-          (n.startsWith("_current_v") && n.drop(10).nonEmpty &&
-            n.drop(10).forall(_.isDigit)) ||
+          TextStats.isVersionPointerName(n) ||
           (n.startsWith("bands_v") && n.drop(7).nonEmpty &&
             n.drop(7).forall(_.isDigit))
       }
@@ -1557,37 +1571,119 @@ object Dedup {
     // whole build is ONE Spark action, where the previous shape ran
     // three extra jobs (an input recount, an un-capped
     // explode+distinct, a read-back of the just-written artifact).
-    // Exactness device: each pre-cap band contributes sum(1/n) = 1
-    // across its n rows, so round(sum(1/_key_n)) IS the distinct band
-    // count (float error per band is ~n·ulp — nowhere near the 0.5
-    // rounding margin at any real band size). The cap-audit metrics
-    // keep HotKeys.cap's names, so GraftSession's listener logs the
-    // same lifecycle record as before.
+    // Exactness device: observe forbids distinct aggregates, so a
+    // row_number over the same band partition marks exactly ONE row
+    // per band and integer sums of the marker count bands EXACTLY —
+    // no float-accumulation bound to argue at any scale (the ordered
+    // window adds a per-band sort to the rare rebuild path, a fine
+    // price for exact _meta fields the oracles treat as exact). The
+    // cap-audit metrics keep HotKeys.cap's names, so GraftSession's
+    // listener logs the same lifecycle record as before.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_k"), col("_band"))
+    val first = row_number()
+      .over(w.orderBy(col(idCol), col("_h"))) === 1
     val ob = org.apache.spark.sql.Observation(metricName)
     bands.withColumn("_key_n", count(lit(1)).over(w))
+      .withColumn("_first", first)
       .observe(ob,
         coalesce(sum(when(col("_key_n") > maxBucket, 1).otherwise(0)),
           lit(0L)).as("dropped_rows"),
-        coalesce(round(sum(when(col("_key_n") > maxBucket,
-          lit(1.0) / col("_key_n")).otherwise(0.0))), lit(0.0)).as("hot_keys_est"),
+        coalesce(sum(when(col("_first") && col("_key_n") > maxBucket, 1)
+          .otherwise(0)), lit(0L)).as("hot_keys_est"),
         coalesce(max(col("_key_n")), lit(0L)).as("max_key_rows"),
         count(lit(1)).as("rows_total"),
-        coalesce(round(sum(lit(1.0) / col("_key_n"))), lit(0.0)).as("bands_total"))
+        coalesce(sum(when(col("_first"), 1).otherwise(0)), lit(0L))
+          .as("bands_total"),
+        coalesce(sum(when(col("_key_n") <= maxBucket, 1).otherwise(0)),
+          lit(0L)).as("kept_rows"))
       .filter(col("_key_n") <= maxBucket)
-      .drop("_key_n")
+      .drop("_key_n", "_first")
       .repartition(outFiles, col("_k"), col("_band"))
       .write.mode("overwrite").parquet(s"$path/bands_v1")
+    // metrics can be LOST in exactly one corner (HotKeys.cap's own
+    // documented caveat): a ZERO-survivor write lets AQE's
+    // empty-relation propagation prune the CollectMetrics node before
+    // anything is observed — a blocking Observation.get would hang
+    // the driver inside the build. A zero-survivor write also leaves
+    // NO parquet data file (FileFormatWriter only opens a file when a
+    // row arrives), so "no data file" already PROVES kept == 0 with
+    // no waiting; only when data exists do we poll for the async
+    // listener-bus delivery (milliseconds on the happy path — the
+    // deadline is pure paranoia against a wedged bus).
+    val hasData = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$path/bands_v1"), false)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) found = true
+      }
+      found
+    }
+    // a zero-survivor artifact is REFUSED, not published: the write
+    // holds no parquet footers at all (zero tasks), so a pointer at
+    // it would serve an unreadable index. The pointer has not been
+    // created yet, so the refusal leaves the documented
+    // crashed-rebuild state (no pointer, no meta — rerun after
+    // fixing the input or the cap). Distinguish the two causes with
+    // one cheap probe of the input plan.
+    if (!hasData) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v1"), true)
+      if (!base.isEmpty)
+        throw new IllegalArgumentException(
+          s"every band under $path exceeded maxBucket=$maxBucket — the " +
+            "all-or-nothing cap would drop the whole index; raise " +
+            "maxBucket or reconsider the signature")
+      else
+        throw new IllegalArgumentException(
+          s"no indexable rows for $path — the standing frame is empty " +
+            s"or every '$hashCol' is null")
+    }
+    // data exists, so the CollectMetrics node executed and ob.get is
+    // safe — but the delivery rides an ASYNC listener bus, and the
+    // only public accessor blocks indefinitely; a bounded Await with
+    // an explicit-recount fallback caps the damage of a wedged or
+    // overloaded bus at three extra jobs instead of a hung driver
+    val (ndocs, totalBands, droppedBands, keptRows) = try {
+      val m = scala.concurrent.Await.result(
+        scala.concurrent.Future(ob.get)(
+          scala.concurrent.ExecutionContext.global),
+        scala.concurrent.duration.Duration(60, "s"))
+      // every non-null-hash doc emits exactly 4 band rows pre-cap
+      (m("rows_total").asInstanceOf[Long] / 4,
+        m("bands_total").asInstanceOf[Long],
+        m("hot_keys_est").asInstanceOf[Long],
+        m("kept_rows").asInstanceOf[Long])
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        val nd = base.count()
+        val tb = bands.select("_k", "_band").distinct().count()
+        val written = spark.read.parquet(s"$path/bands_v1")
+        val kb = written.select("_k", "_band").distinct().count()
+        (nd, tb, tb - kb, written.count())
+    }
+    // the writer CAN emit footer-only files for an all-dropped
+    // result (observed: one empty part file), so "data file exists"
+    // does not prove survivors — the explicit kept count does; same
+    // refusal, same loud rerunnable state
+    if (keptRows == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v1"), true)
+      if (ndocs > 0L)
+        throw new IllegalArgumentException(
+          s"every band under $path exceeded maxBucket=$maxBucket — the " +
+            "all-or-nothing cap would drop the whole index; raise " +
+            "maxBucket or reconsider the signature")
+      else
+        throw new IllegalArgumentException(
+          s"no indexable rows for $path — the standing frame is empty " +
+            s"or every '$hashCol' is null")
+    }
     require(fs.createNewFile(
         new org.apache.hadoop.fs.Path(s"$path/_current_v1")),
       s"pointer _current_v1 already exists under $path — concurrent " +
         "rebuilds?")
-    val m = ob.get
-    // every non-null-hash doc emits exactly 4 band rows pre-cap
-    val ndocs = m("rows_total").asInstanceOf[Long] / 4
-    val totalBands = m("bands_total").asInstanceOf[Double].toLong
-    val droppedBands = m("hot_keys_est").asInstanceOf[Double].toLong
     import spark.implicits._
     Seq((ndocs, totalBands, droppedBands, maxBucket.toLong, idCol))
       .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket", "id_col")

@@ -1084,6 +1084,11 @@ object Multimodal {
     * bounds a degenerate band, drops observed), and for
     * `maxHamming` <= 3 the four-band pigeonhole makes per-frame
     * recall EXACT, so the pair set is exactly the all-pairs answer.
+    * SHORT animations gate ADAPTIVELY: a pair needs
+    * least(minFrameMatches, sampled_a, sampled_b) matches, so two
+    * byte-identical 2-frame GIFs still pair at the defaults instead
+    * of being structurally unpairable (the sampled count is
+    * min(nFrames, n_frames) — row-local, no second decode pass).
     * Positional comparison is the honest cheap rule: it catches
     * re-encodes, palette changes and mild edits of the SAME
     * animation; a time-shifted or re-cut animation is a different
@@ -1101,24 +1106,30 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     val frames = gifFrameHashes(df.select(col(idCol), col(binaryCol)),
         binaryCol, nFrames, "_h")
-      .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"))
+      .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"),
+        least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
     val bands = frames.select(col("_gid"), col("sample_pos"), col("_h"),
+        col("_nf"),
         posexplode(array((0 until 4).map(k =>
           shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
-      .toDF("_gid", "sample_pos", "_h", "_k", "_band")
+      .toDF("_gid", "sample_pos", "_h", "_nf", "_k", "_band")
     val (obs, silent) = HotKeys.capPair(bands,
       Seq(col("sample_pos"), col("_k"), col("_band")), maxBucket,
       minPerKey = 2, metricName = metricName)
-    val a = obs.toDF("id_a", "sample_pos", "_ha", "_k", "_band")
-    val b = silent.toDF("id_b", "sample_pos", "_hb", "_k", "_band")
+    val a = obs.toDF("id_a", "sample_pos", "_ha", "_nfa", "_k", "_band")
+    val b = silent.toDF("id_b", "sample_pos", "_hb", "_nfb", "_k", "_band")
     a.join(b, Seq("sample_pos", "_k", "_band"))
       .filter(col("id_a") < col("id_b"))
       .filter(bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("sample_pos"))
+      .select(col("id_a"), col("id_b"), col("sample_pos"),
+        col("_nfa"), col("_nfb"))
       .distinct() // several bands of one frame pair agree -> one match
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).cast("long").as("n_matched"))
-      .filter(col("n_matched") >= minFrameMatches)
+      .agg(count(lit(1)).cast("long").as("n_matched"),
+        min(col("_nfa")).as("_nfa"), min(col("_nfb")).as("_nfb"))
+      .filter(col("n_matched") >=
+        least(lit(minFrameMatches.toLong), col("_nfa"), col("_nfb")))
+      .select(col("id_a"), col("id_b"), col("n_matched"))
   }
 
   /** Corpus-level media stats: the aggregation never touches the raw

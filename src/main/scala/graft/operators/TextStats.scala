@@ -535,15 +535,22 @@ object TextStats {
     * `index_vN`, hash-band `bands_vN` — the pointer file name
     * `_current_vN` is shared, only the data-dir prefix differs), so
     * the atomic-swap device cannot drift between them. */
+  /** ONE definition of "is this entry name a version pointer" — the
+    * resolver (`versionPointers`) and every rebuild's name-scoped
+    * reset share it, so the delete-set and the resolve-set cannot
+    * drift apart (a pointer the resolver honors but a reset no
+    * longer clears would resurrect a stale version after rebuild). */
+  private[operators] def isVersionPointerName(n: String): Boolean =
+    n.startsWith("_current_v") && n.drop(10).nonEmpty &&
+      n.drop(10).forall(_.isDigit)
+
   private[operators] def versionPointers(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("_current_v") &&
-          s.drop(10).nonEmpty && s.drop(10).forall(_.isDigit) =>
-        s.drop(10).toLong }
+      .collect { case s if isVersionPointerName(s) => s.drop(10).toLong }
   }
 
   private def postingsVersions(fs: org.apache.hadoop.fs.FileSystem,
@@ -685,8 +692,7 @@ object TextStats {
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n == "_tombstones" ||
-          (n.startsWith("_current_v") && n.drop(10).forall(_.isDigit)) ||
+        n == "_tombstones" || isVersionPointerName(n) ||
           (n.startsWith("postings_v") && n.drop(10).forall(_.isDigit))
       }
       .foreach(fs.delete(_, true))

@@ -397,6 +397,12 @@ class CorpusPrepSpec extends SparkSpecBase {
       CorpusPrep.prepTraceStream(docs, Seq(3L).toDF("id"), "text",
         cfg = base.copy(minQualityQuantile = Some(0.5)))
     }
+    // a calibration frame without the quantile would be silently
+    // ignored (fixed-0.5 gate) — refused instead
+    intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = base.copy(
+        qualityCalibrationFrame = Some(labeled)))
+    }
   }
 
   test("LM-quality gate drops gibberish under a foreign bigram model; persisted model identical") {

@@ -262,6 +262,34 @@ class HashBandIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("zero-survivor builds are refused, not published: all-over-cap and empty inputs; a corrected rerun recovers") {
+    withTempDir("hbi-zero") { dir =>
+      val path = dir.getAbsolutePath
+      // two docs share every band: at cap 1 the whole index would drop
+      val twins = Seq((1L, 42L), (2L, 42L)).toDF("vid", "sig")
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.writeHashBandIndex(twins, "sig", "vid", path, maxBucket = 1,
+          metricName = "graft_hbi_zero_spec")
+      }
+      assert(e1.getMessage.contains("maxBucket"), e1.getMessage)
+      // the refusal leaves the loud crashed-rebuild state, never a
+      // published pointer at an unreadable (footer-less) artifact
+      intercept[IllegalArgumentException] {
+        Dedup.readHashBandIndex(spark, path)
+      }
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.writeHashBandIndex(
+          Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("vid", "sig"),
+          "sig", "vid", path, metricName = "graft_hbi_zero_spec2")
+      }
+      assert(e2.getMessage.contains("no indexable rows"), e2.getMessage)
+      // a corrected rerun over the same root succeeds
+      Dedup.writeHashBandIndex(twins, "sig", "vid", path,
+        metricName = "graft_hbi_zero_spec3")
+      assert(Dedup.hashBandIndexStats(spark, path).ndocs == 2)
+    }
+  }
+
   test("rebuild reset is name-scoped: a co-located stranger survives; stats refuses the crash-after-pointer state loudly") {
     withTempDir("hbi-scope") { dir =>
       val path = dir.getAbsolutePath

@@ -684,5 +684,18 @@ class MultimodalSpec extends SparkSpecBase {
         metricName = "graft_gif_band_cap_loose")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(loose == Set((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 2L)), s"got $loose")
+    // SHORT animations gate adaptively: two identical 2-frame GIFs
+    // can only ever match 2 positions — they must still pair at the
+    // default minFrameMatches = 3 (least(3, 2, 2) = 2), while a
+    // 2-frame GIF sharing only ONE frame with them does not
+    val short1 = Multimodal.syntheticGrayGif(9, 8, Seq(a, b))
+    val short2 = Multimodal.syntheticGrayGif(9, 8, Seq(flip1(a), flip1(b)))
+    val short3 = Multimodal.syntheticGrayGif(9, 8, Seq(a, desc))
+    val shorts = Seq((7L, short1), (8L, short2), (9L, short3))
+      .toDF("gid", "gif")
+    val adaptive = Multimodal.gifNearDupPairs(shorts, "gif", "gid",
+        metricName = "graft_gif_band_cap_short")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adaptive == Set((7L, 8L, 2L)), s"got $adaptive")
   }
 }
