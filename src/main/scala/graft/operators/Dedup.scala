@@ -1561,30 +1561,62 @@ object Dedup {
     val base = standing
       .select(col(idCol), col(hashCol).cast("long").as("_h"))
       .filter(col("_h").isNotNull)
+    val (ndocs, totalBands, droppedBands) =
+      writeBandsVersion(spark, fs, base, idCol, hashCol, path, 1L,
+        maxBucket, metricName, outFiles)
+    require(fs.createNewFile(
+        new org.apache.hadoop.fs.Path(s"$path/_current_v1")),
+      s"pointer _current_v1 already exists under $path — concurrent " +
+        "rebuilds?")
+    writeHashIndexMeta(spark, path, ndocs, totalBands, droppedBands,
+      maxBucket, idCol)
+  }
+
+  private def writeHashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, ndocs: Long, totalBands: Long, droppedBands: Long,
+      maxBucket: Int, idCol: String): Unit = {
+    import spark.implicits._
+    Seq((ndocs, totalBands, droppedBands, maxBucket.toLong, idCol))
+      .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  /** Shared VERSIONED band write — the core of both
+    * `writeHashBandIndex` (v1, after the root reset) and
+    * `rebuildHashBandIndex` (v_{max+1}, under the compaction lock),
+    * so the cap semantics, metric names, zero-survivor refusal and
+    * exact statistics cannot drift between the two paths. Explodes
+    * the (idCol, `_h`) frame into four 16-bit band rows, caps bands
+    * all-or-nothing (HotKeys.cap's window shape via HotKeys.counted,
+    * minPerKey = 1), writes `bands_v$version`, and returns exact
+    * (ndocs, totalBands, capDroppedBands) — statistics ride the
+    * write as observed metrics (the whole call is ONE Spark action).
+    * Exactness device: observe forbids distinct aggregates, so a
+    * row_number over the same band partition marks exactly ONE row
+    * per band and integer sums of the marker count bands EXACTLY —
+    * no float-accumulation bound to argue at any scale (the ordered
+    * window adds a per-band sort to the rare (re)build path).
+    * A ZERO-survivor result is REFUSED (the half-written version dir
+    * deleted first): publishing it would serve an unreadable or
+    * empty index; callers guarantee the surrounding state stays safe
+    * (the write path has not created its pointer yet; the rebuild
+    * path still serves the previous version). */
+  private def writeBandsVersion(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: DataFrame, idCol: String,
+      hashCol: String, path: String, version: Long, maxBucket: Int,
+      metricName: String, outFiles: Int): (Long, Long, Long) = {
+    val dir = s"$path/bands_v$version"
     val bands = base.select(col(idCol), col("_h"),
         posexplode(array((0 until 4).map(k =>
           shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
       .toDF(idCol, "_h", "_k", "_band")
       .select(col("_k"), col("_band"), col(idCol), col("_h"))
-    // the cap inlined (HotKeys.cap's window shape, minPerKey = 1) so
-    // the _meta statistics ride the WRITE as observed metrics — the
-    // whole build is ONE Spark action, where the previous shape ran
-    // three extra jobs (an input recount, an un-capped
-    // explode+distinct, a read-back of the just-written artifact).
-    // Exactness device: observe forbids distinct aggregates, so a
-    // row_number over the same band partition marks exactly ONE row
-    // per band and integer sums of the marker count bands EXACTLY —
-    // no float-accumulation bound to argue at any scale (the ordered
-    // window adds a per-band sort to the rare rebuild path, a fine
-    // price for exact _meta fields the oracles treat as exact). The
-    // cap-audit metrics keep HotKeys.cap's names, so GraftSession's
-    // listener logs the same lifecycle record as before.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_k"), col("_band"))
     val first = row_number()
       .over(w.orderBy(col(idCol), col("_h"))) === 1
     val ob = org.apache.spark.sql.Observation(metricName)
-    bands.withColumn("_key_n", count(lit(1)).over(w))
+    HotKeys.counted(bands, Seq(col("_k"), col("_band")))
       .withColumn("_first", first)
       .observe(ob,
         coalesce(sum(when(col("_key_n") > maxBucket, 1).otherwise(0)),
@@ -1600,20 +1632,20 @@ object Dedup {
       .filter(col("_key_n") <= maxBucket)
       .drop("_key_n", "_first")
       .repartition(outFiles, col("_k"), col("_band"))
-      .write.mode("overwrite").parquet(s"$path/bands_v1")
+      .write.mode("overwrite").parquet(dir)
     // metrics can be LOST in exactly one corner (HotKeys.cap's own
     // documented caveat): a ZERO-survivor write lets AQE's
     // empty-relation propagation prune the CollectMetrics node before
-    // anything is observed — a blocking Observation.get would hang
-    // the driver inside the build. A zero-survivor write also leaves
-    // NO parquet data file (FileFormatWriter only opens a file when a
-    // row arrives), so "no data file" already PROVES kept == 0 with
-    // no waiting; only when data exists do we poll for the async
-    // listener-bus delivery (milliseconds on the happy path — the
-    // deadline is pure paranoia against a wedged bus).
+    // anything is observed — and the only public Observation accessor
+    // blocks indefinitely. "No data file in the written dir" already
+    // PROVES kept == 0 with no waiting (FileFormatWriter only opens a
+    // file when a row arrives); when data exists the metrics node
+    // executed, and a bounded wait on a DEDICATED interruptible
+    // daemon thread (never the shared global pool — a wedged bus must
+    // not leak a permanently parked pool thread) guards the async
+    // listener-bus delivery, falling back to explicit recount jobs.
     val hasData = {
-      val it = fs.listFiles(
-        new org.apache.hadoop.fs.Path(s"$path/bands_v1"), false)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), false)
       var found = false
       while (!found && it.hasNext) {
         val st = it.next()
@@ -1622,16 +1654,9 @@ object Dedup {
       }
       found
     }
-    // a zero-survivor artifact is REFUSED, not published: the write
-    // holds no parquet footers at all (zero tasks), so a pointer at
-    // it would serve an unreadable index. The pointer has not been
-    // created yet, so the refusal leaves the documented
-    // crashed-rebuild state (no pointer, no meta — rerun after
-    // fixing the input or the cap). Distinguish the two causes with
-    // one cheap probe of the input plan.
-    if (!hasData) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v1"), true)
-      if (!base.isEmpty)
+    def refuse(hadInput: Boolean): Nothing = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      if (hadInput)
         throw new IllegalArgumentException(
           s"every band under $path exceeded maxBucket=$maxBucket — the " +
             "all-or-nothing cap would drop the whole index; raise " +
@@ -1641,53 +1666,36 @@ object Dedup {
           s"no indexable rows for $path — the standing frame is empty " +
             s"or every '$hashCol' is null")
     }
-    // data exists, so the CollectMetrics node executed and ob.get is
-    // safe — but the delivery rides an ASYNC listener bus, and the
-    // only public accessor blocks indefinitely; a bounded Await with
-    // an explicit-recount fallback caps the damage of a wedged or
-    // overloaded bus at three extra jobs instead of a hung driver
-    val (ndocs, totalBands, droppedBands, keptRows) = try {
-      val m = scala.concurrent.Await.result(
-        scala.concurrent.Future(ob.get)(
-          scala.concurrent.ExecutionContext.global),
-        scala.concurrent.duration.Duration(60, "s"))
-      // every non-null-hash doc emits exactly 4 band rows pre-cap
-      (m("rows_total").asInstanceOf[Long] / 4,
-        m("bands_total").asInstanceOf[Long],
-        m("hot_keys_est").asInstanceOf[Long],
-        m("kept_rows").asInstanceOf[Long])
-    } catch {
-      case _: java.util.concurrent.TimeoutException =>
-        val nd = base.count()
-        val tb = bands.select("_k", "_band").distinct().count()
-        val written = spark.read.parquet(s"$path/bands_v1")
-        val kb = written.select("_k", "_band").distinct().count()
-        (nd, tb, tb - kb, written.count())
+    if (!hasData) refuse(!base.isEmpty)
+    val (ndocs, totalBands, droppedBands, keptRows) = {
+      val box = new java.util.concurrent.SynchronousQueue[Map[String, Any]]()
+      val waiter = new Thread(() => {
+        try box.put(ob.get)
+        catch { case _: InterruptedException => () }
+      }, "graft-hash-index-metrics-wait")
+      waiter.setDaemon(true)
+      waiter.start()
+      Option(box.poll(60L, java.util.concurrent.TimeUnit.SECONDS)) match {
+        case Some(m) =>
+          // every non-null-hash doc emits exactly 4 band rows pre-cap
+          (m("rows_total").asInstanceOf[Long] / 4,
+            m("bands_total").asInstanceOf[Long],
+            m("hot_keys_est").asInstanceOf[Long],
+            m("kept_rows").asInstanceOf[Long])
+        case None =>
+          waiter.interrupt() // unblocks ob.get — no leaked thread
+          val nd = base.count()
+          val tb = bands.select("_k", "_band").distinct().count()
+          val written = spark.read.parquet(dir)
+          val kb = written.select("_k", "_band").distinct().count()
+          (nd, tb, tb - kb, written.count())
+      }
     }
-    // the writer CAN emit footer-only files for an all-dropped
-    // result (observed: one empty part file), so "data file exists"
-    // does not prove survivors — the explicit kept count does; same
-    // refusal, same loud rerunnable state
-    if (keptRows == 0L) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_v1"), true)
-      if (ndocs > 0L)
-        throw new IllegalArgumentException(
-          s"every band under $path exceeded maxBucket=$maxBucket — the " +
-            "all-or-nothing cap would drop the whole index; raise " +
-            "maxBucket or reconsider the signature")
-      else
-        throw new IllegalArgumentException(
-          s"no indexable rows for $path — the standing frame is empty " +
-            s"or every '$hashCol' is null")
-    }
-    require(fs.createNewFile(
-        new org.apache.hadoop.fs.Path(s"$path/_current_v1")),
-      s"pointer _current_v1 already exists under $path — concurrent " +
-        "rebuilds?")
-    import spark.implicits._
-    Seq((ndocs, totalBands, droppedBands, maxBucket.toLong, idCol))
-      .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket", "id_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+    // the writer CAN emit footer-only files for an all-dropped result
+    // (observed: one empty part file), so "data file exists" does not
+    // prove survivors — the explicit kept count does
+    if (keptRows == 0L) refuse(ndocs > 0L)
+    (ndocs, totalBands, droppedBands)
   }
 
   /** Read a persisted hash-band index back in the PROBE shape —
@@ -1904,18 +1912,27 @@ object Dedup {
     * only divergence from a true fresh-over-union build is docs
     * whose EVERY band was over cap — those are absent from the
     * artifact and stay absent, a loss the build already announced in
-    * its drop metrics. Tombstoned ids leave for real (the write's
-    * root reset clears tombstones), so deleted ids become
-    * re-addable — fresh-minus-deleted semantics, same as the
-    * siblings' rebuilds.
+    * its drop metrics. Tombstoned ids leave for real (materialized
+    * into the rewrite; the snapshot of tombstone files it applied is
+    * cleared after the swap), so deleted ids become re-addable —
+    * fresh-minus-deleted semantics, same as the siblings' rebuilds.
+    *
+    * NON-DESTRUCTIVE by construction: the rewrite lands as the NEXT
+    * `bands_vN` while the current version — this rebuild's only
+    * source — keeps serving, and the atomic pointer create is the
+    * swap (the compaction device, under the same
+    * `_compact_inprogress` lock, so deletes/compactions/rebuilds
+    * mutually refuse). A crash at ANY boundary leaves a complete
+    * servable index; rerun with the same batch. A grown frame whose
+    * every band would be cap-dropped is refused with the OLD version
+    * untouched.
     *
     * The union deduplicates on (id, `_h`): re-submitting an
     * already-indexed doc with the same hash is a no-op; the same id
     * with a DIFFERENT hash keeps both rows (this index has no
     * id-uniqueness invariant — delete first to re-hash a doc).
     * `maxBucket` defaults to the index's own build-time cap (from
-    * `_meta`); a live (or crashed) compaction is refused before any
-    * work, like every other writer here. */
+    * `_meta`). */
   def rebuildHashBandIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, hashCol: String, idCol: String,
       maxBucket: Option[Int] = None,
@@ -1930,30 +1947,69 @@ object Dedup {
       .select("id_col", "max_bucket").collect()(0)
     require(meta.getString(0) == idCol,
       s"index at $path was built with idCol '${meta.getString(0)}', got '$idCol'")
-    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
-      s"a compaction is running (or crashed) under $path — rebuilding now " +
-        "would be shadowed by its version-pointer swap; wait for it (or " +
-        "delete a stale _compact_inprogress) and rerun")
     val cap = maxBucket.getOrElse(meta.getLong(1).toInt)
-    val data = spark.read.parquet(currentHashIndexDir(fs, path))
-    val tombs = TextStats.tombstoneFiles(fs, path)
-    val live =
-      if (tombs.isEmpty) data
-      else {
-        val ts = TextStats.localTombstones(spark, tombs)
-        data.join(broadcast(ts.select(ts.columns.head)),
-          Seq(ts.columns.head), "left_anti")
-      }
-    // materialized EAGERLY (localCheckpoint, signature-sized): the
-    // write below RESETS the root this plan's scan reads from — a
-    // lazy frame would re-resolve against deleted files mid-write
-    val unioned = live.select(col(idCol), col("_h"))
-      .unionByName(newDocs
-        .select(col(idCol), col(hashCol).cast("long").as("_h"))
-        .filter(col("_h").isNotNull))
-      .distinct()
-      .localCheckpoint(true)
-    writeHashBandIndex(unioned, "_h", idCol, path, cap, metricName, outFiles)
+    // the rebuild is a compaction-shaped NON-DESTRUCTIVE rewrite: it
+    // takes the same lock (so deletes, compactions and other rebuilds
+    // refuse while it runs), writes the grown frame as the NEXT
+    // version dir while the current version keeps serving, and swaps
+    // the pointer atomically — the artifact this rebuild reads from
+    // (its only source, by design) is never deleted before the
+    // replacement is fully published, so a crash at ANY boundary
+    // leaves a complete servable index and the rerun needs nothing
+    // but the same newDocs batch. (An earlier shape reset the root
+    // first with only a localCheckpoint of the reconstruction as
+    // backup — an executor loss mid-write would have destroyed the
+    // sole copy of the index.)
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")
+    require(fs.createNewFile(lock),
+      s"could not create the rewrite lock under $path — a compaction or " +
+        "rebuild is running, or a previous one crashed. The index is " +
+        "still probe-consistent either way (swaps are atomic); if " +
+        "nothing is live, delete _compact_inprogress and rerun")
+    try {
+      val vs = hashIndexVersions(fs, path)
+      val next = vs.max + 1
+      // tombstones applied to the reconstruction from an EAGER
+      // snapshot; the same files are cleared after the swap (a delete
+      // racing this rebuild lands outside the snapshot and stays
+      // pending — the shared compaction race contract)
+      val tombSnapshot = TextStats.tombstoneFiles(fs, path)
+      val data = spark.read.parquet(currentHashIndexDir(fs, path))
+      val live =
+        if (tombSnapshot.isEmpty) data
+        else {
+          val ts = TextStats.localTombstones(spark, tombSnapshot)
+          data.join(broadcast(ts.select(ts.columns.head)),
+            Seq(ts.columns.head), "left_anti")
+        }
+      val unioned = live.select(col(idCol), col("_h"))
+        .unionByName(newDocs
+          .select(col(idCol), col(hashCol).cast("long").as("_h"))
+          .filter(col("_h").isNotNull))
+        .distinct()
+      val (ndocs, totalBands, droppedBands) =
+        writeBandsVersion(spark, fs, unioned, idCol, hashCol, path, next,
+          cap, metricName, outFiles)
+      // THE SWAP — one atomic create; from here readers resolve vN
+      require(fs.createNewFile(
+          new org.apache.hadoop.fs.Path(s"$path/_current_v$next")),
+        s"pointer _current_v$next already exists under $path — concurrent " +
+          "rewrites? The servable index is unchanged")
+      // meta describes the grown index; a crash between the swap and
+      // this write leaves the OLD meta serving stale counts (probes
+      // unaffected — they never read meta) until a rerun refreshes it
+      writeHashIndexMeta(spark, path, ndocs, totalBands, droppedBands,
+        cap, idCol)
+      // post-swap housekeeping, same as compaction: stale pointers,
+      // superseded version dirs, then ONLY the tombstone snapshot
+      // this rewrite materialized
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/_current_v$v"), false))
+      vs.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/bands_v$v"), true))
+      TextStats.clearTombstoneSnapshot(fs, path, tombSnapshot)
+      ()
+    } finally { fs.delete(lock, false); () }
   }
 
   /** Lifecycle telemetry for a persisted hash-band index, from the

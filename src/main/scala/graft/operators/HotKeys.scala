@@ -32,6 +32,14 @@ object HotKeys {
     * scale factors, so oracle results are unchanged there. */
   val DefaultBucketCap = 100000
 
+  /** The shared cap MECHANISM: the per-key windowed row count every
+    * cap variant filters on — one definition, so the partition shape
+    * cannot drift between `cap`, `capPair` and the callers that need
+    * their own observe around it (Dedup.writeBandsVersion rides its
+    * _meta statistics on this column). */
+  private[operators] def counted(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.withColumn("_key_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+
   /** Keep only rows whose key group has between `minPerKey` and `cap`
     * rows; publish (dropped_rows, hot_keys_est, max_key_rows) under
     * `metricName`. Metric names must be UNIQUE within one query
@@ -46,8 +54,7 @@ object HotKeys {
     * (some keys survive) reports reliably. */
   def cap(df: DataFrame, keys: Seq[Column], cap: Int,
       minPerKey: Int = 2, metricName: String = "graft_hot_key_cap"): DataFrame = {
-    val w = Window.partitionBy(keys: _*)
-    df.withColumn("_key_n", count(lit(1)).over(w))
+    counted(df, keys)
       .observe(metricName,
         coalesce(sum(when(col("_key_n") > cap, 1).otherwise(0)), lit(0L)).as("dropped_rows"),
         // one hot key contributes n rows, each weighted 1/n -> ≈ #keys
@@ -69,7 +76,6 @@ object HotKeys {
   def capPair(df: DataFrame, keys: Seq[Column], cap: Int,
       minPerKey: Int = 2, metricName: String = "graft_hot_key_cap")
       : (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(keys: _*)
     // null-key rows can never join a pair (equi-join keys) — filter
     // them HERE so the join's inferred isnotnull predicates are
     // no-ops on both branches. Without this the optimizer pushes
@@ -77,16 +83,15 @@ object HotKeys {
     // (CollectMetrics blocks pushdown on the observed one), the
     // exchange subtrees diverge, and ReuseExchange can't dedup the
     // input shuffle.
-    val counted = df.filter(keys.map(_.isNotNull).reduce(_ && _))
-      .withColumn("_key_n", count(lit(1)).over(w))
+    val countedDf = counted(df.filter(keys.map(_.isNotNull).reduce(_ && _)), keys)
     val keep = col("_key_n").between(minPerKey, cap)
-    val observed = counted
+    val observed = countedDf
       .observe(metricName,
         coalesce(sum(when(col("_key_n") > cap, 1).otherwise(0)), lit(0L)).as("dropped_rows"),
         coalesce(round(sum(when(col("_key_n") > cap, lit(1.0) / col("_key_n")).otherwise(0.0))), lit(0.0)).as("hot_keys_est"),
         coalesce(max(col("_key_n")), lit(0L)).as("max_key_rows"))
       .filter(keep).drop("_key_n")
-    (observed, counted.filter(keep).drop("_key_n"))
+    (observed, countedDf.filter(keep).drop("_key_n"))
   }
 
   /** Keep rows satisfying `keep`; publish the dropped-row count under

@@ -128,15 +128,21 @@ object IndexMaintenance {
       paths: Seq[String],
       p: CompactPolicy = CompactPolicy()): org.apache.spark.sql.DataFrame = {
     val rows = paths.map { path =>
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      detectFamily(fs, path) match {
-        case None =>
-          SweepRow(path, "unknown", compact = false, Nil,
-            Some("unrecognized layout — not a graft index root " +
-              "(or the dir is missing)"))
-        case Some(fam) =>
-          try {
+      // the WHOLE per-path body is guarded — detectFamily's listing
+      // (ACL denial, unreachable filesystem) and even Path parsing
+      // (malformed URI) fail per-path, or one bad root would kill
+      // the report for every healthy index
+      var fam = "unknown"
+      try {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        detectFamily(fs, path) match {
+          case None =>
+            SweepRow(path, fam, compact = false, Nil,
+              Some("unrecognized layout — not a graft index root " +
+                "(or the dir is missing)"))
+          case Some(f) =>
+            fam = f
             val h = fam match {
               case "hashband" => healthOf(Dedup.hashBandIndexStats(spark, path))
               case "bm25" => healthOf(TextStats.bm25IndexStats(spark, path))
@@ -144,14 +150,14 @@ object IndexMaintenance {
             }
             val adv = logHealth(h, p)
             SweepRow(path, fam, adv.compact, adv.reasons, None)
-          } catch {
-            case e: Exception =>
-              org.slf4j.LoggerFactory.getLogger("graft.metrics")
-                .warn(s"graft_index_health family=$fam dir=$path " +
-                  s"UNREADABLE: ${e.getMessage}")
-              SweepRow(path, fam, compact = false, Nil,
-                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
-          }
+        }
+      } catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger("graft.metrics")
+            .warn(s"graft_index_health family=$fam dir=$path " +
+              s"UNREADABLE: ${e.getMessage}")
+          SweepRow(path, fam, compact = false, Nil,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
     import spark.implicits._

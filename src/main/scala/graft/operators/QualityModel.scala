@@ -100,15 +100,19 @@ object QualityModel {
     *
     * `stopDelta` makes the loss telemetry ACTIONABLE: when set, the
     * loop halts as soon as an update bought less than `stopDelta` of
-    * round6 loss (or made it worse — the divergence signal), WITHOUT
-    * applying the iteration's own update, so the returned weights
-    * are the ones whose loss plateaued and equal a `stopDelta=None`
-    * run at the shorter iteration count. `losses` always carries
-    * every loss actually measured (length = iterations measured, not
-    * `iters`). None (the default) preserves the fixed-`iters`
-    * behavior bit-for-bit — the replayable-oracle trainings keep
-    * their exact unrolled depth. One driver-side comparison per
-    * iteration; no extra Spark work. */
+    * round6 loss (or made it worse — the divergence signal), without
+    * applying the iteration's own update, and returns WHICHEVER of
+    * the final two iterates measured the lower loss: a plateau keeps
+    * the current weights; a divergence rolls back one iterate (the
+    * trainer measured both losses anyway, so the better model is
+    * free — returning the strictly-worse diverged iterate would
+    * betray the telemetry that detected it). Either way the result
+    * equals a `stopDelta=None` run at the matching iteration count.
+    * `losses` always carries every loss actually measured (length =
+    * iterations measured, not `iters`). None (the default) preserves
+    * the fixed-`iters` behavior bit-for-bit — the replayable-oracle
+    * trainings keep their exact unrolled depth. One driver-side
+    * comparison per iteration; no extra Spark work. */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       idCol: String = "doc_id", dims: Int = 4096, iters: Int = 5,
       lr: Double = 1.0, l2: Double = 0.0,
@@ -150,6 +154,9 @@ object QualityModel {
       require(n > 0, "no labeled rows to train on")
       var w = Map.empty[Int, Double]
       var bias = 0.0
+      // one-iterate history for the divergence rollback below
+      var prevW = w
+      var prevBias = bias
       val losses = scala.collection.mutable.ListBuffer.empty[Double]
       var it = 0
       var halted = false
@@ -216,7 +223,19 @@ object QualityModel {
           if (stopDelta.isDefined && losses.length >= 2 &&
               losses(losses.length - 2) - losses.last < stopDelta.get) {
             halted = true
+            // divergence ROLLBACK: the halt fired because the last
+            // applied update bought less than delta — when it
+            // actually made the loss WORSE, the previous iterate is
+            // the better model and the trainer just measured both, so
+            // return the one with the lower measured loss (zero extra
+            // Spark work; a plateau keeps the current iterate)
+            if (losses.last > losses(losses.length - 2)) {
+              w = prevW
+              bias = prevBias
+            }
           } else {
+            prevW = w
+            prevBias = bias
             val keys = (w.keySet ++ grad.keySet).toSeq
             w = keys.map { f =>
               val cur = w.getOrElse(f, 0.0)

@@ -201,6 +201,21 @@ class HashBandIndexSpec extends SparkSpecBase {
           r.getSeq[Long](2).sorted).toMap
       assert(indexMap(path) == indexMap(freshPath),
         "grown index diverged from the fresh-over-union build")
+      // NON-DESTRUCTIVE: the rebuild is a versioned swap — v2
+      // published, v1 (its only source) swept only AFTER, lock gone,
+      // tombstone snapshot cleared
+      val fsg = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fsg.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v2")))
+      assert(!fsg.exists(new org.apache.hadoop.fs.Path(s"$path/_current_v1")))
+      assert(!fsg.exists(new org.apache.hadoop.fs.Path(s"$path/bands_v1")))
+      assert(!fsg.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")))
+      // a held lock (live compaction/rebuild) refuses a new rebuild
+      fsg.createNewFile(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress"))
+      intercept[IllegalArgumentException] {
+        Dedup.rebuildHashBandIndex(spark, path, grow, "sig", "vid")
+      }
+      fsg.delete(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress"), false)
       // probes agree: every batch doc is now suppressed (1 by the
       // shared 201/202 hash, 2 by grown 302, 3 by 204, 4 by grown 301)
       assert(keptAgainst(path) == Set.empty[Long])

@@ -84,7 +84,7 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/stranger"))
       val rows = IndexMaintenance.healthSweep(spark, Seq(
           s"$root/hbi", s"$root/bm", s"$root/ivf",
-          s"$root/crashed", s"$root/stranger"))
+          s"$root/crashed", s"$root/stranger", "::not a uri::"))
         .collect()
         .map(r => r.getString(0).split('/').last ->
           ((r.getString(1), r.getBoolean(2), Option(r.getString(4)))))
@@ -97,6 +97,10 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         crashed._3.exists(_.contains("writeHashBandIndex")),
         s"crashed index must surface its named repair path: $crashed")
       assert(rows("stranger")._1 == "unknown" && rows("stranger")._3.isDefined)
+      // even Path PARSING failures stay per-path error rows — one bad
+      // root must not kill the report for the healthy indexes
+      assert(rows("::not a uri::")._1 == "unknown" &&
+        rows("::not a uri::")._3.isDefined)
     }
   }
 

@@ -211,12 +211,20 @@ class QualityModelSpec extends SparkSpecBase {
     // measured pair is a non-improvement
     assert(hot.losses(t - 2) - hot.losses(t - 1) < 0.0 + 1e-12,
       s"halt without a non-improving tail: ${hot.losses}")
-    // halting skips the final update: weights equal a fixed run of
-    // t-1 iterations (deterministic trainer)
-    val short = QualityModel.train(docs, "text", "label",
-      dims = 64, iters = t - 1, lr = 50.0)
-    assert(hot.weights == short.weights && hot.bias == short.bias,
-      "halted weights diverge from the equivalent fixed-iters run")
+    // the returned model is WHICHEVER of the final two iterates
+    // measured the lower loss: plateau keeps the current weights
+    // (= t-1 fixed iterations), divergence rolls back one iterate
+    // (= t-2) — deterministic trainer, so fixed runs reproduce both
+    val k = if (hot.losses(t - 1) > hot.losses(t - 2)) t - 2 else t - 1
+    if (k == 0) {
+      assert(hot.weights.isEmpty && hot.bias == 0.0,
+        s"divergence at iteration 2 must roll back to the zero init: $hot")
+    } else {
+      val short = QualityModel.train(docs, "text", "label",
+        dims = 64, iters = k, lr = 50.0)
+      assert(hot.weights == short.weights && hot.bias == short.bias,
+        s"halted weights diverge from the fixed $k-iteration run")
+    }
     // a huge delta halts at iteration 2 even on a converging run
     val plateau = QualityModel.train(docs, "text", "label",
       dims = 64, iters = 6, lr = 1.0, stopDelta = Some(10.0))
