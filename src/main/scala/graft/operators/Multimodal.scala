@@ -1084,11 +1084,15 @@ object Multimodal {
     * bounds a degenerate band, drops observed), and for
     * `maxHamming` <= 3 the four-band pigeonhole makes per-frame
     * recall EXACT, so the pair set is exactly the all-pairs answer.
-    * SHORT animations gate ADAPTIVELY: a pair needs
-    * least(minFrameMatches, sampled_a, sampled_b) matches, so two
+    * SHORT animations gate ADAPTIVELY but not naively: when either
+    * side sampled fewer than `minFrameMatches` frames, the pair must
+    * have EQUAL sampled lengths with EVERY position matched — so two
     * byte-identical 2-frame GIFs still pair at the defaults instead
-    * of being structurally unpairable (the sampled count is
-    * min(nFrames, n_frames) — row-local, no second decode pass).
+    * of being structurally unpairable, while a 1-frame still that
+    * happens to share an animation's first frame does NOT pair with
+    * it (and cannot become a transitive cluster hub). The sampled
+    * count is min(nFrames, n_frames) — row-local, no second decode
+    * pass.
     * Positional comparison is the honest cheap rule: it catches
     * re-encodes, palette changes and mild edits of the SAME
     * animation; a time-shifted or re-cut animation is a different
@@ -1127,8 +1131,17 @@ object Multimodal {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("long").as("n_matched"),
         min(col("_nfa")).as("_nfa"), min(col("_nfb")).as("_nfb"))
-      .filter(col("n_matched") >=
-        least(lit(minFrameMatches.toLong), col("_nfa"), col("_nfb")))
+      // below the standard threshold the gate demands EQUAL sampled
+      // lengths with every position matched (greatest(nfa, nfb) is
+      // unreachable otherwise, since n_matched <= least(nfa, nfb)):
+      // identical 2-frame GIFs pair, but a 1-frame still sharing an
+      // animation's (common) first frame does NOT become a transitive
+      // cluster hub — different-length animations are different
+      // animations
+      .filter(col("n_matched") >= when(
+        least(col("_nfa"), col("_nfb")) >= minFrameMatches.toLong,
+        lit(minFrameMatches.toLong))
+        .otherwise(greatest(col("_nfa"), col("_nfb"))))
       .select(col("id_a"), col("id_b"), col("n_matched"))
   }
 

@@ -697,5 +697,17 @@ class MultimodalSpec extends SparkSpecBase {
         metricName = "graft_gif_band_cap_short")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(adaptive == Set((7L, 8L, 2L)), s"got $adaptive")
+    // but the adaptive floor must NOT turn a 1-frame still into a
+    // cluster hub: sharing an animation's first frame is not being a
+    // near-dup of the animation (unequal sampled lengths refuse below
+    // the standard threshold); two identical 1-frame GIFs still pair
+    val still = Multimodal.syntheticGrayGif(9, 8, Seq(a))
+    val still2 = Multimodal.syntheticGrayGif(9, 8, Seq(flip1(a)))
+    val mixed = Seq((11L, still), (12L, still2), (13L, gifX))
+      .toDF("gid", "gif")
+    val hub = Multimodal.gifNearDupPairs(mixed, "gif", "gid",
+        metricName = "graft_gif_band_cap_hub")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hub == Set((11L, 12L, 1L)), s"got $hub")
   }
 }
