@@ -133,6 +133,28 @@ object CorpusPrep {
     // fingerprint null and keep (the gates own those rows).
     audioCol: Option[String] = None,
     audioMaxHamming: Int = 3,
+    // VIDEO-LIKE (animated GIF) near-dup tier: an opaque binary
+    // multi-frame column. Decode-at-ingest per-frame dHash
+    // (Multimodal.gifFrameHashes — only 8 bytes per sampled frame
+    // ever shuffle) + the POSITIONAL banded pair search
+    // (Multimodal.gifNearDupPairs): two animations collapse when
+    // >= gifMinFrameMatches same-position sampled frames are within
+    // gifMaxHamming bits (adaptively every-position-of-equal-length
+    // for shorter animations), clusters under the SAME survivor rule
+    // as every other tier. run() clusters in-corpus (after the
+    // image/audio tiers); runIncremental additionally needs the
+    // PREBUILT positional standing index (`gifIndex` —
+    // Multimodal.gifHashBandIndex, built once) so the per-batch
+    // decode follows the batch — note the incremental tier decodes
+    // the batch TWICE (in-batch pairs + the standing probe; still
+    // O(batch)). prepStream REFUSES this tier: the per-animation hit
+    // count is an id-keyed aggregation the row-local stream contract
+    // cannot express — dedupe GIF intake in incremental batches.
+    // Undecodable payloads emit no frames and keep.
+    gifCol: Option[String] = None,
+    gifNFrames: Int = 4,
+    gifMaxHamming: Int = 3,
+    gifMinFrameMatches: Int = 3,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -611,7 +633,20 @@ object CorpusPrep {
         .fold(Dedup.dropNearDuplicates(cur, idCol, clusters))(
           Dedup.dropNearDuplicatesBy(cur, idCol, clusters, _)), tier.label)
     }
-    decontaminateAndSample(signatured, idCol, cfg)
+    // video-like tier (animated GIF): positional frame-hash clusters
+    // collapse the same way — re-encodes and mild edits of the SAME
+    // animation, which the single-hash image tier cannot see (it
+    // would hash only a cover frame)
+    val gifTiered = cfg.gifCol.fold(signatured) { gc =>
+      implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
+      val clusters = Dedup.duplicateClusters(
+        Multimodal.gifNearDupPairs(signatured, gc, idCol, cfg.gifNFrames,
+          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket))
+      obs(cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(signatured, idCol, clusters))(
+          Dedup.dropNearDuplicatesBy(signatured, idCol, clusters, _)), "gif")
+    }
+    decontaminateAndSample(gifTiered, idCol, cfg)
   }
 
   /** Row tracing for the batch prep facade — the data-curation twin
@@ -636,8 +671,8 @@ object CorpusPrep {
     *
     * Output: one row per traced id — (<idCol>, stage, detail);
     * stage ∈ absent | gated | lm | qm | exact | neardup | semantic |
-    * image | audio | ngram | decontam | semdecontam | sampled | kept
-    * (only cfg-active stages can appear). */
+    * image | audio | gif | ngram | decontam | semdecontam | sampled |
+    * kept (only cfg-active stages can appear). */
   def prepTrace(docs: DataFrame, ids: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", cfg: Config = Config()): DataFrame = {
     require(!cfg.intraNearDup && !cfg.intraNearDupVerified,
@@ -738,6 +773,19 @@ object CorpusPrep {
           .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
             Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
         sigStages :+= ((tier.label, cl, after)); cur = after
+      }
+      // the gif tier rides the same generic (label, clusters, after)
+      // shape — only the pair machinery differs (positional frames)
+      cfg.gifCol.foreach { gc =>
+        implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
+        val cl = pin(Dedup.duplicateClusters(
+          Multimodal.gifNearDupPairs(cur, gc, idCol, cfg.gifNFrames,
+            cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
+            metricName = "graft_gif_trace_cap")))
+        val after = pin(cfg.keepPreference
+          .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
+            Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
+        sigStages :+= (("gif", cl, after)); cur = after
       }
       val ngramGated = cfg.ngramBloom.fold(cur)(bytes =>
         pin(Dedup.bloomNgramGate(cur, "clean_text", bytes,
@@ -930,6 +978,10 @@ object CorpusPrep {
         "prepStream (a stream cannot self-calibrate at setup) — the trace " +
         "would otherwise self-calibrate on this batch and gate at a " +
         "threshold no stream ever used")
+    require(cfg.gifCol.isEmpty,
+      "the GIF tier is refused by prepStream (its drop decision is an " +
+        "id-keyed aggregation) — there is no stream to trace; use " +
+        "prepTraceIncremental")
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
     require(!(Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
@@ -1181,7 +1233,8 @@ object CorpusPrep {
       cfg: Config = Config(),
       oldIndex: Option[DataFrame] = None,
       imageIndex: Option[DataFrame] = None,
-      audioIndex: Option[DataFrame] = None): DataFrame = {
+      audioIndex: Option[DataFrame] = None,
+      gifIndex: Option[DataFrame] = None): DataFrame = {
     require(!cfg.cutHotSpans,
       "cutHotSpans is a full-run option — runIncremental refuses it, so " +
         "there is no incremental chain to trace")
@@ -1195,6 +1248,10 @@ object CorpusPrep {
       "audioCol needs `audioIndex` — pass the same index runIncremental uses")
     require(audioIndex.isEmpty || cfg.audioCol.isDefined,
       "audioIndex without cfg.audioCol would be silently ignored")
+    require(cfg.gifCol.isEmpty || gifIndex.isDefined,
+      "gifCol needs `gifIndex` — pass the same index runIncremental uses")
+    require(gifIndex.isEmpty || cfg.gifCol.isDefined,
+      "gifIndex without cfg.gifCol would be silently ignored")
     require(!cfg.benchEmbLarge || cfg.benchEmb.isDefined,
       "benchEmbLarge selects the large-bench route OF the benchEmb tier — " +
         "runIncremental refuses this config, so there is no run to trace")
@@ -1250,6 +1307,32 @@ object CorpusPrep {
             Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
           .drop(tier.workCol))
         sigStages :+= ((tier.label, cur, after, hitIds, taintedMembers, clusters))
+        cur = after
+      }
+      // the gif tier: same taint-rule fold, positional pair machinery
+      cfg.gifCol.foreach { gc =>
+        implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+        val clusters = pin(Dedup.duplicateClusters(
+          Multimodal.gifNearDupPairs(cur, gc, idCol, cfg.gifNFrames,
+            cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
+            metricName = "graft_gif_inctrace_cap")))
+        val hitIds = pin(cur.select(col(idCol)).join(
+          Multimodal.gifNearDupFilterAgainst(cur, gc, idCol, gifIndex.get,
+              cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches)
+            .select(col(idCol)),
+          Seq(idCol), "left_anti"))
+        val taintedMembers = pin(clusters.join(
+            clusters.join(hitIds.withColumnRenamed(idCol, "id"), Seq("id"),
+              "left_semi").select("cluster").distinct(),
+            Seq("cluster"), "left_semi")
+          .select(col("id").as(idCol)))
+        val clean = cur
+          .join(hitIds, Seq(idCol), "left_anti")
+          .join(taintedMembers, Seq(idCol), "left_anti")
+        val after = pin(cfg.keepPreference
+          .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
+            Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _)))
+        sigStages :+= (("gif", cur, after, hitIds, taintedMembers, clusters))
         cur = after
       }
       // back half, exactly decontaminateAndSample's order
@@ -1472,7 +1555,8 @@ object CorpusPrep {
       cfg: Config = Config(),
       oldIndex: Option[DataFrame] = None,
       imageIndex: Option[DataFrame] = None,
-      audioIndex: Option[DataFrame] = None): DataFrame = {
+      audioIndex: Option[DataFrame] = None,
+      gifIndex: Option[DataFrame] = None): DataFrame = {
     require(!cfg.cutHotSpans,
       "cutHotSpans is a full-run option: the incremental path would have to " +
         "re-scan the standing corpus's text for the span census, defeating its " +
@@ -1499,6 +1583,13 @@ object CorpusPrep {
     require(audioIndex.isEmpty || cfg.audioCol.isDefined,
       "audioIndex without cfg.audioCol would be silently ignored — set the " +
         "audio column, or drop the index argument")
+    require(cfg.gifCol.isEmpty || gifIndex.isDefined,
+      "gifCol on the incremental path needs `gifIndex` — build it ONCE " +
+        "with Multimodal.gifHashBandIndex over the standing corpus (the " +
+        "batch-per-run decode must follow the batch)")
+    require(gifIndex.isEmpty || cfg.gifCol.isDefined,
+      "gifIndex without cfg.gifCol would be silently ignored — set the " +
+        "gif column, or drop the index argument")
     val gated = qmGate(lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -1547,7 +1638,38 @@ object CorpusPrep {
           Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
         .drop(tier.workCol)
     }
-    decontaminateAndSample(signatured, idCol, cfg)
+    // video-like tier: the image/audio fold's taint rule applied to
+    // positional GIF frame hashes — batch-internal clusters first, a
+    // cluster with ANY member near the standing index drops WHOLE,
+    // untainted clusters collapse under the run() survivor rule. The
+    // batch decodes twice here (in-batch pairs + the standing probe;
+    // documented on Config.gifCol — still O(batch)); the input is
+    // pinned so the upstream text chain is not re-executed per
+    // consumer.
+    val gifTiered = cfg.gifCol.fold(signatured) { gc =>
+      implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+      val pinned = signatured.localCheckpoint()
+      val clusters = Dedup.duplicateClusters(
+        Multimodal.gifNearDupPairs(pinned, gc, idCol, cfg.gifNFrames,
+          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket))
+      val hitIds = pinned.select(col(idCol)).join(
+        Multimodal.gifNearDupFilterAgainst(pinned, gc, idCol, gifIndex.get,
+            cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches)
+          .select(col(idCol)),
+        Seq(idCol), "left_anti")
+      val taintedMembers = clusters.join(
+          clusters.join(hitIds.withColumnRenamed(idCol, "id"), Seq("id"),
+            "left_semi").select("cluster").distinct(),
+          Seq("cluster"), "left_semi")
+        .select(col("id").as(idCol))
+      val clean = pinned
+        .join(hitIds, Seq(idCol), "left_anti")
+        .join(taintedMembers, Seq(idCol), "left_anti")
+      cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
+          Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
+    }
+    decontaminateAndSample(gifTiered, idCol, cfg)
   }
 
   /** SEMANTIC standing-corpus stage for incremental flows — the
@@ -1785,6 +1907,12 @@ object CorpusPrep {
     require(audioIndex.isEmpty || cfg.audioCol.isDefined,
       "audioIndex without cfg.audioCol would be silently ignored — set the " +
         "audio column, or drop the index argument")
+    require(cfg.gifCol.isEmpty,
+      "the GIF (video-like) tier is refused on streams: its drop decision " +
+        "counts matched frame POSITIONS per animation — an id-keyed " +
+        "aggregation the row-local append-mode contract cannot express " +
+        "(unlike the single-hash image/audio probes) — dedupe GIF intake " +
+        "in incremental batches via runIncremental + gifIndex")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
         cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +

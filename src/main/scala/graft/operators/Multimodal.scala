@@ -1145,6 +1145,96 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_matched"))
   }
 
+  /** The POSITIONAL standing index for animations — the GIF twin of
+    * `Dedup.hashBandIndex`: per sampled frame, the four 16-bit band
+    * slots of its dHash collect into capped candidate lists KEYED BY
+    * SAMPLE POSITION as well — (`sample_pos`, `_k`, `_band`, `_hs`)
+    * — so a probe only ever compares same-position frames, which is
+    * what keeps the pair semantics identical to `gifNearDupPairs`.
+    * Build it ONCE over the standing corpus (decode cost follows the
+    * corpus exactly once); the artifact is frames × 4 rows of longs,
+    * bands-keyed, bounded, broadcastable for the same reasons as the
+    * image/audio index. Caps are per (position, band) all-or-nothing
+    * with observed drop counts. */
+  def gifHashBandIndex(standing: DataFrame, gifCol: String,
+      nFrames: Int = 4, maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_gif_index_cap")(
+      implicit spark: SparkSession): DataFrame = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    val frames = gifFrameHashes(standing.select(col(gifCol)),
+        gifCol, nFrames, "_h")
+      .select(col("sample_pos"), col("_h"))
+    val bands = frames.select(col("sample_pos"), col("_h"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+      .toDF("sample_pos", "_h", "_k", "_band")
+    HotKeys.cap(bands, Seq(col("sample_pos"), col("_k"), col("_band")),
+        maxBucket, minPerKey = 1, metricName = metricName)
+      .groupBy("sample_pos", "_k", "_band")
+      .agg(collect_list("_h").as("_hs"))
+  }
+
+  /** Keep the rows whose animation does NOT near-dup the standing
+    * corpus — the GIF twin of `Dedup.hashNearDupFilterAgainst`, for
+    * incremental intake against a `gifHashBandIndex`: each batch
+    * animation's sampled frames probe the index at their own
+    * position (four capped equi-joins per band slot), a frame HITS
+    * when any same-position candidate is within `maxHamming` bits,
+    * and the animation drops when its hit count reaches
+    * least(minFrameMatches, its own sampled count) — the batch-side
+    * half of `gifNearDupPairs`' adaptive rule. ASYMMETRY, stated not
+    * hidden: the index aggregates candidate lists per (position,
+    * band) and does not carry each standing animation's frame count,
+    * so a standing animation SHORTER than `minFrameMatches` can
+    * suppress a batch animation only through the threshold the batch
+    * side's length sets (the pair operator, which sees both lengths,
+    * is the tier to use when that distinction matters — in-corpus
+    * clustering uses it). Undecodable payloads emit no frames and
+    * KEEP (the gates own those rows). The per-animation hit count is
+    * one id-keyed aggregation — this filter is for batch intake;
+    * prepStream refuses the GIF tier for exactly this aggregation. */
+  def gifNearDupFilterAgainst(df: DataFrame, gifCol: String, idCol: String,
+      index: DataFrame, nFrames: Int = 4, maxHamming: Int = 3,
+      minFrameMatches: Int = 3, broadcastIndex: Boolean = true)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(minFrameMatches >= 1 && minFrameMatches <= nFrames,
+      s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
+    val clash = df.columns.toSeq.intersect(
+      Seq("_h", "_nf") ++ (0 until 4).flatMap(k =>
+        Seq(s"_p$k", s"_b$k", s"_cand$k")))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with " +
+        "gifNearDupFilterAgainst's working names")
+    val frames = gifFrameHashes(df.select(col(idCol), col(gifCol)),
+        gifCol, nFrames, "_h")
+      .select(col(idCol), col("sample_pos"), col("_h"),
+        least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
+    val joined = (0 until 4).foldLeft(frames) { (cur, k) =>
+      val side = index.filter(col("_k") === k)
+        .select(col("sample_pos").as(s"_p$k"), col("_band").as(s"_b$k"),
+          col("_hs").as(s"_cand$k"))
+      cur.join(
+        if (broadcastIndex) broadcast(side) else side,
+        col(s"_p$k") === col("sample_pos") &&
+          (col(s"_b$k") <=> shiftrightunsigned(col("_h"), 16 * k)
+            .bitwiseAND(lit(65535L))),
+        "left")
+    }
+    val frameHit = (0 until 4).map(k =>
+        coalesce(exists(col(s"_cand$k"),
+          h => bit_count(h.bitwiseXOR(col("_h"))) <= maxHamming), lit(false)))
+      .reduce(_ || _)
+    val dropIds = joined
+      .select(col(idCol), col("_nf"), frameHit.as("_hit"))
+      .groupBy(idCol)
+      .agg(coalesce(sum(when(col("_hit"), 1L)), lit(0L)).as("_hits"),
+        min(col("_nf")).as("_nf"))
+      .filter(col("_hits") >= least(lit(minFrameMatches.toLong), col("_nf")))
+      .select(idCol)
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-level media stats: the aggregation never touches the raw
     * bytes after the map side — only the small meta struct shuffles. */
   def mediaStats(df: DataFrame, binaryCol: String, groupCols: Seq[String])(

@@ -4879,6 +4879,117 @@ object DataPrepQueries {
           .select(col("doc_id"), mk(col("doc_id")).as("gif"))
         graft.operators.Multimodal.gifNearDupPairs(gifs, "gif", "doc_id")
           .orderBy("id_a", "id_b")
+      }),
+
+    // GIF tier COMPOSITION inside the prep facade (Config.gifCol) —
+    // the video-like modality as a first-class run() stage, q131's
+    // end-to-end device extended: the full text chain (gates -> exact
+    // min-id -> LSH+verified near-dup CC) runs first, then the
+    // positional GIF clusters collapse among the text survivors
+    // (docs < 400 carry a synthetic 3-frame animation keyed by
+    // doc_id%40 with the alt bit-flip variant; docs without a gif
+    // never pair — null payloads are the gates' business). One DuckDB
+    // chain; a hash match pins the tier's PLACEMENT (after text
+    // dedup — a text-dropped doc must not anchor a gif cluster) as
+    // well as the pair rule and min-id survivor arithmetic.
+    QueryDef("q142_prep_gif_tier", Some(raw"""
+      WITH RECURSIVE cleaned AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM documents),
+      toked AS (SELECT doc_id, ct, list_filter(string_split(ct, ' '), x -> x <> '') AS tk FROM cleaned),
+      gated AS (SELECT * FROM toked
+        WHERE length(ct) BETWEEN 20 AND 1000000 AND len(tk) > 0
+          AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) <= 0.9),
+      exact AS MATERIALIZED (SELECT * FROM gated
+        QUALIFY row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id) = 1),
+      shdoc AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM exact),
+      sig AS (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
+      bands AS MATERIALIZED (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ver AS (SELECT c.id_a, c.id_b
+              FROM cands c JOIN shdoc sa ON sa.doc_id = c.id_a
+                           JOIN shdoc sb ON sb.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                    / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.8),
+      edges AS (SELECT id_a AS s, id_b AS d FROM ver UNION SELECT id_b, id_a FROM ver),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      clus AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      nd AS MATERIALIZED (SELECT e.* FROM exact e LEFT JOIN clus c ON c.id = e.doc_id
+             WHERE c.id IS NULL OR e.doc_id = c.cluster),
+      gd AS (SELECT doc_id, doc_id % 40 AS base, (doc_id // 40) % 2 AS alt
+             FROM nd WHERE doc_id < 400),
+      px AS (SELECT gd.doc_id, f.f, y.y, x.x,
+               CASE WHEN gd.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN gd.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(gd.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM gd
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS MATERIALIZED (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      gpr AS MATERIALIZED (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+          AND bit_count(xor(a.h, b.h)) <= 3
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+      gedges AS (SELECT pa AS s, pb AS d FROM gpr UNION SELECT pb, pa FROM gpr),
+      greach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM gedges) v
+        UNION
+        SELECT r.a, e.d FROM greach r JOIN gedges e ON r.b = e.s),
+      gclus AS (SELECT a AS id, min(b) AS cluster FROM greach GROUP BY a),
+      gifkept AS (SELECT n.* FROM nd n LEFT JOIN gclus c ON c.id = n.doc_id
+              WHERE c.id IS NULL OR n.doc_id = c.cluster)
+      SELECT doc_id, CAST(length(ct) AS BIGINT) AS n_clean_chars
+      FROM gifkept ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 40
+          val alt = (docId / 40) % 2 == 1
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              if (alt && y == 0 && x == 0) 255
+              else if (alt && y == 0 && x == 1) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+        }
+        val docs = t(s, dir, "documents")
+        // the heavy input (synthetic GIF encode) pins UPSTREAM per
+        // run()'s caching contract — the facade's stages re-execute
+        // their input per plan branch
+        val pinned = docs.withColumn("gif",
+            when(col("doc_id") < 400, mk(col("doc_id"))))
+          .localCheckpoint(true)
+        graft.operators.CorpusPrep.run(pinned,
+            cfg = graft.operators.CorpusPrep.Config(gifCol = Some("gif")))
+          .select(col("doc_id"),
+            length(col("clean_text")).cast("bigint").as("n_clean_chars"))
+          .orderBy("doc_id")
       })
   )
 }

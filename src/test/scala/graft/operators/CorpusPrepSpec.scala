@@ -681,6 +681,90 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(out == Set(1L, 4L), s"got $out")
   }
 
+  test("gif tier: positional animation clusters collapse keep-earliest; incremental probes the standing index with the taint rule; stream refuses") {
+    // controlled per-frame dHash fixtures: ascending-by-7 gray grids;
+    // setting cell pairs to (255, 0) at row r, cols {0,2,4} flips
+    // exactly dHash bits {8r, 8r+2, 8r+4} — so hamming distances are
+    // engineered, not hoped for
+    def frame(shift: Int) = Array.tabulate(72)(i => ((i * 7) + shift) % 256)
+    def rowFlip(f: Array[Int], r: Int): Array[Int] = {
+      val g = f.clone()
+      Seq(0, 2, 4).foreach { x => g(r * 9 + x) = 255; g(r * 9 + x + 1) = 0 }
+      g
+    }
+    val baseFrames = Seq(frame(0), frame(96), frame(160))
+    val gifS = Multimodal.syntheticGrayGif(9, 8, baseFrames)
+    // X: 3 bits flipped per frame (hamming 3 from S — within radius);
+    // Y: 6 bits from S (outside), 3 from X (within) — the taint chain
+    val gifX = Multimodal.syntheticGrayGif(9, 8, baseFrames.map(rowFlip(_, 0)))
+    val gifY = Multimodal.syntheticGrayGif(9, 8,
+      baseFrames.map(f => rowFlip(rowFlip(f, 0), 1)))
+    val gifB = Multimodal.syntheticGrayGif(9, 8,
+      Seq(frame(0).reverse, frame(96).reverse, frame(160).reverse))
+    // texts: all pass the gates, none near-dup each other
+    val docs = Seq(
+      (1L, "the first document talks about entirely maritime navigation topics", gifS),
+      (2L, "a second text concerning volcanic geology and mineral formations", gifX),
+      (3L, "third entry describing renaissance painting techniques in detail", gifB)
+    ).toDF("doc_id", "text", "gif")
+    val cfg = CorpusPrep.Config(gifCol = Some("gif"),
+      metricPrefix = Some("graft_gifrun"))
+    val out = CorpusPrep.run(docs, cfg = cfg)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 and 2 are the same animation re-encoded (hamming 3/frame):
+    // min-id keeps 1; 3 is a different animation
+    assert(kept == Set(1L, 3L), s"run kept $kept")
+    out.collect()
+    assert(out.queryExecution.observedMetrics("graft_gifrun_gif")
+      .getAs[Long]("rows") == 2L, "gif survivor metric")
+    // the trace names the stage and the cluster survivor
+    val tr = CorpusPrep.prepTrace(docs, Seq(2L).toDF("id"),
+        cfg = cfg.copy(metricPrefix = None))
+      .collect()(0)
+    assert(tr.getString(1) == "gif", tr.toString)
+    assert(tr.getString(2).contains("1"), s"survivor evidence: $tr")
+    // incremental: standing = {S}; batch X hits standing directly,
+    // batch Y only via X (the taint rule), batch B keeps
+    val standing = Seq((0L, "standing corpus text about maritime things",
+        gifS)).toDF("doc_id", "clean_text", "gif")
+    val gifIdx = Multimodal.gifHashBandIndex(
+      standing.select(col("gif")), "gif")(spark)
+    val batch = Seq(
+      (10L, "batch text number ten concerning volcanic geology formations", gifX),
+      (11L, "batch text eleven about renaissance painting and fresco work", gifY),
+      (12L, "batch text twelve on quantum computing error correction codes", gifB)
+    ).toDF("doc_id", "text", "gif")
+    val inc = CorpusPrep.runIncremental(standing, batch,
+        cfg = CorpusPrep.Config(gifCol = Some("gif")),
+        gifIndex = Some(gifIdx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc == Set(12L), s"incremental kept $inc")
+    // the incremental trace distinguishes the three gif sub-reasons
+    val trInc = CorpusPrep.prepTraceIncremental(standing, batch,
+        Seq(10L, 11L, 12L).toDF("id"),
+        cfg = CorpusPrep.Config(gifCol = Some("gif")),
+        gifIndex = Some(gifIdx))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(trInc(10L)._1 == "gif" && trInc(10L)._2.contains("standing"),
+      s"${trInc(10L)}")
+    assert(trInc(11L)._1 == "gif" && trInc(11L)._2.contains("tainted"),
+      s"${trInc(11L)}")
+    assert(trInc(12L)._1 == "kept", s"${trInc(12L)}")
+    // misconfigs refuse: gifCol without index, index without column,
+    // and the stream path entirely
+    intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(standing, batch,
+        cfg = CorpusPrep.Config(gifCol = Some("gif")))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(standing, batch, gifIndex = Some(gifIdx))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.prepTraceStream(batch, Seq(10L).toDF("id"), "text",
+        cfg = CorpusPrep.Config(gifCol = Some("gif")))
+    }
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"
