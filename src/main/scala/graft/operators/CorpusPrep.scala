@@ -144,7 +144,10 @@ object CorpusPrep {
     // as every other tier. run() clusters in-corpus (after the
     // image/audio tiers); runIncremental additionally needs the
     // PREBUILT positional standing index (`gifIndex` —
-    // Multimodal.gifHashBandIndex, built once) so the per-batch
+    // Multimodal.gifHashBandIndex built once, or the PERSISTED form:
+    // writeGifHashBandIndex + readGifHashBandIndex, the fourth
+    // standing-index family — decode-once across runs, takedown
+    // lifecycle included) so the per-batch
     // decode follows the batch — note the incremental tier decodes
     // the batch TWICE (in-batch pairs + the standing probe; still
     // O(batch)). prepStream REFUSES this tier: the per-animation hit
@@ -1585,8 +1588,11 @@ object CorpusPrep {
         "audio column, or drop the index argument")
     require(cfg.gifCol.isEmpty || gifIndex.isDefined,
       "gifCol on the incremental path needs `gifIndex` — build it ONCE " +
-        "with Multimodal.gifHashBandIndex over the standing corpus (the " +
-        "batch-per-run decode must follow the batch)")
+        "with Multimodal.gifHashBandIndex over the standing corpus, or " +
+        "persist it with Multimodal.writeGifHashBandIndex and pass " +
+        "Multimodal.readGifHashBandIndex (decode-once across runs, with " +
+        "the takedown lifecycle); the batch-per-run decode must follow " +
+        "the batch")
     require(gifIndex.isEmpty || cfg.gifCol.isDefined,
       "gifIndex without cfg.gifCol would be silently ignored — set the " +
         "gif column, or drop the index argument")

@@ -1440,7 +1440,9 @@ object Dedup {
   // ------------------------------------------------------------------
   // Persisted hash-band index with the full deletion lifecycle — the
   // third standing-index family (image dHash / audio fingerprint /
-  // SimHash text) brought up to the BM25/IVF takedown contract:
+  // SimHash text; the POSITIONAL GIF variant in Multimodal is the
+  // fourth, sharing these cores generalized over a sample_pos
+  // column) brought up to the BM25/IVF takedown contract:
   // tombstone deletes applied by every read immediately, material
   // removal + snapshot-safe tombstone clearing at compaction, and
   // telemetry from the artifact alone. Devices shared with the
@@ -1528,10 +1530,37 @@ object Dedup {
       path: String, maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_hash_index_write_cap",
       outFiles: Int = 4): Unit = {
-    require(!Set("_k", "_band", "_h", "_hs").contains(idCol),
-      s"idCol '$idCol' collides with the index's internal column names")
+    // the collision guard must fire BEFORE the frame prep: selecting
+    // idCol next to hashCol.as("_h") with idCol == "_h" would die as
+    // an ambiguous-column AnalysisException instead of this refusal
+    require(!Set("_k", "_band", "_h", "_hs", "sample_pos").contains(idCol),
+      s"idCol '$idCol' collides with the family's internal/reserved column " +
+        "names (sample_pos is the positional layout's key)")
+    val base = standing
+      .select(col(idCol), col(hashCol).cast("long").as("_h"))
+      .filter(col("_h").isNotNull)
+    writeHashBandIndexFrame(base, idCol, Nil, hashCol, path, maxBucket,
+      metricName, outFiles)
+  }
+
+  /** Family-shared write core over a PREPARED signature frame —
+    * (idCol, posCols..., `_h`) — so the POSITIONAL (GIF) variant
+    * (`Multimodal.writeGifHashBandIndex`, which keys bands by sampled
+    * frame position as well) runs the exact same reset / cap /
+    * versioned-write / pointer / meta machinery as the classic
+    * single-hash family: `posCols` is empty for the classic layout
+    * and `Seq("sample_pos")` for the positional one. Everything
+    * downstream of the frame prep is shared — the two layouts cannot
+    * drift. */
+  private[operators] def writeHashBandIndexFrame(base: DataFrame,
+      idCol: String, posCols: Seq[String], hashColName: String,
+      path: String, maxBucket: Int, metricName: String,
+      outFiles: Int): Unit = {
+    require(!Set("_k", "_band", "_h", "_hs", "sample_pos").contains(idCol),
+      s"idCol '$idCol' collides with the family's internal/reserved column " +
+        "names (sample_pos is the positional layout's key)")
     require(outFiles >= 1, s"outFiles must be >= 1, got $outFiles")
-    val spark = standing.sparkSession
+    val spark = base.sparkSession
     val fs = hadoopFs(spark, path)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_compact_inprogress")),
@@ -1558,12 +1587,9 @@ object Dedup {
             n.drop(7).forall(_.isDigit))
       }
       .foreach(fs.delete(_, true))
-    val base = standing
-      .select(col(idCol), col(hashCol).cast("long").as("_h"))
-      .filter(col("_h").isNotNull)
     val (ndocs, totalBands, droppedBands) =
-      writeBandsVersion(spark, fs, base, idCol, hashCol, path, 1L,
-        maxBucket, metricName, outFiles)
+      writeBandsVersion(spark, fs, base, idCol, posCols, hashColName, path,
+        1L, maxBucket, metricName, outFiles)
     require(fs.createNewFile(
         new org.apache.hadoop.fs.Path(s"$path/_current_v1")),
       s"pointer _current_v1 already exists under $path — concurrent " +
@@ -1603,20 +1629,27 @@ object Dedup {
     * path still serves the previous version). */
   private def writeBandsVersion(spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, base: DataFrame, idCol: String,
-      hashCol: String, path: String, version: Long, maxBucket: Int,
-      metricName: String, outFiles: Int): (Long, Long, Long) = {
+      posCols: Seq[String], hashCol: String, path: String, version: Long,
+      maxBucket: Int, metricName: String, outFiles: Int): (Long, Long, Long) = {
     val dir = s"$path/bands_v$version"
-    val bands = base.select(col(idCol), col("_h"),
+    // a "band" is keyed by (posCols..., _k, _band): empty posCols is
+    // the classic single-hash layout; Seq("sample_pos") keys the
+    // positional (GIF) layout so a probe only ever compares
+    // same-position frames
+    val bandKeys = posCols.map(col) ++ Seq(col("_k"), col("_band"))
+    val bands = base.select(Seq(col(idCol)) ++ posCols.map(col) ++ Seq(
+        col("_h"),
         posexplode(array((0 until 4).map(k =>
-          shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
-      .toDF(idCol, "_h", "_k", "_band")
-      .select(col("_k"), col("_band"), col(idCol), col("_h"))
+          shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*))): _*)
+      .toDF(Seq(idCol) ++ posCols ++ Seq("_h", "_k", "_band"): _*)
+      .select(Seq(col("_k"), col("_band")) ++ posCols.map(col) ++
+        Seq(col(idCol), col("_h")): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_k"), col("_band"))
+      .partitionBy(bandKeys: _*)
     val first = row_number()
       .over(w.orderBy(col(idCol), col("_h"))) === 1
     val ob = org.apache.spark.sql.Observation(metricName)
-    HotKeys.counted(bands, Seq(col("_k"), col("_band")))
+    HotKeys.counted(bands, bandKeys)
       .withColumn("_first", first)
       .observe(ob,
         coalesce(sum(when(col("_key_n") > maxBucket, 1).otherwise(0)),
@@ -1677,17 +1710,21 @@ object Dedup {
       waiter.start()
       Option(box.poll(60L, java.util.concurrent.TimeUnit.SECONDS)) match {
         case Some(m) =>
-          // every non-null-hash doc emits exactly 4 band rows pre-cap
+          // every signature row (doc, or sampled frame in the
+          // positional layout) emits exactly 4 band rows pre-cap
           (m("rows_total").asInstanceOf[Long] / 4,
             m("bands_total").asInstanceOf[Long],
             m("hot_keys_est").asInstanceOf[Long],
             m("kept_rows").asInstanceOf[Long])
         case None =>
           waiter.interrupt() // unblocks ob.get — no leaked thread
+          val keyNames = posCols ++ Seq("_k", "_band")
           val nd = base.count()
-          val tb = bands.select("_k", "_band").distinct().count()
+          val tb = bands.select(keyNames.head, keyNames.tail: _*)
+            .distinct().count()
           val written = spark.read.parquet(dir)
-          val kb = written.select("_k", "_band").distinct().count()
+          val kb = written.select(keyNames.head, keyNames.tail: _*)
+            .distinct().count()
           (nd, tb, tb - kb, written.count())
       }
     }
@@ -1734,9 +1771,33 @@ object Dedup {
     * re-shuffles it for nothing. Re-call only after a delete or
     * compaction (which is when the candidate lists actually change). */
   def readHashBandIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String): DataFrame =
+    readHashBandIndexFrame(spark, path, Nil)
+
+  /** Family-shared read core: resolve the version, apply tombstones,
+    * re-collect candidate lists keyed by (posCols..., `_k`, `_band`).
+    * The family check is SCHEMA-DERIVED, not meta-derived — probes
+    * must keep working in the crash-after-pointer no-meta state, so
+    * the artifact's own columns decide: a positional artifact read
+    * through the classic entry point (or vice versa) is refused
+    * loudly instead of silently merging candidate lists across frame
+    * positions. */
+  private[operators] def readHashBandIndexFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, posCols: Seq[String]): DataFrame = {
     val fs = hadoopFs(spark, path)
     val data = spark.read.parquet(currentHashIndexDir(fs, path))
+    val missing = posCols.filterNot(data.columns.contains)
+    require(missing.isEmpty,
+      s"index at $path does not carry position column(s) " +
+        s"${missing.mkString(", ")} — it is a classic hash-band index; " +
+        "read it with Dedup.readHashBandIndex")
+    if (posCols.isEmpty)
+      require(!data.columns.contains("sample_pos"),
+        s"index at $path carries a sample_pos column — it is a POSITIONAL " +
+          "(GIF) index; reading it here would merge candidate lists " +
+          "across frame positions. Read it with " +
+          "Multimodal.readGifHashBandIndex")
     val tombs = TextStats.tombstoneFiles(fs, path)
     val live =
       if (tombs.isEmpty) data
@@ -1745,7 +1806,8 @@ object Dedup {
         data.join(broadcast(ts.select(ts.columns.head)),
           Seq(ts.columns.head), "left_anti")
       }
-    live.groupBy("_k", "_band").agg(collect_list("_h").as("_hs"))
+    val keys = posCols ++ Seq("_k", "_band")
+    live.groupBy(keys.head, keys.tail: _*).agg(collect_list("_h").as("_hs"))
   }
 
   /** Delete documents from a persisted hash-band index — the takedown
@@ -1766,10 +1828,10 @@ object Dedup {
       path: String, ids: DataFrame, idCol: String): Unit = {
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
-    require(!Set("_k", "_band", "_h", "_hs").contains(idCol),
-      s"idCol '$idCol' names an internal band/hash column — tombstoning by " +
-        "band or hash would silently delete every doc sharing it; pass the " +
-        "indexed ID column")
+    require(!Set("_k", "_band", "_h", "_hs", "sample_pos").contains(idCol),
+      s"idCol '$idCol' names an internal band/hash/position column — " +
+        "tombstoning by band, hash or frame position would silently " +
+        "delete every doc sharing it; pass the indexed ID column")
     // refuse a wrong id column BEFORE the first tombstone lands (the
     // BM25 sibling's id_col check): the tombstone-column consistency
     // guard below only fires once tombstones exist, so an unchecked
@@ -1938,6 +2000,35 @@ object Dedup {
       maxBucket: Option[Int] = None,
       metricName: String = "graft_hash_index_rebuild_cap",
       outFiles: Int = 4): Unit = {
+    // same eager guard as writeHashBandIndex: refuse before the frame
+    // prep's select can die ambiguous
+    require(!Set("_k", "_band", "_h", "_hs", "sample_pos").contains(idCol),
+      s"idCol '$idCol' collides with the family's internal/reserved column " +
+        "names (sample_pos is the positional layout's key)")
+    val newSig = newDocs
+      .select(col(idCol), col(hashCol).cast("long").as("_h"))
+      .filter(col("_h").isNotNull)
+    rebuildHashBandIndexFrame(spark, path, newSig, idCol, Nil, maxBucket,
+      metricName, outFiles, hashCol)
+  }
+
+  /** Family-shared growth-rebuild core over a PREPARED new-signature
+    * frame — (idCol, posCols..., `_h`) — the exact machinery of
+    * `rebuildHashBandIndex`, with the positional (GIF) layout
+    * reached through `Multimodal.rebuildGifHashBandIndex` (which
+    * decodes the new batch's frames first). The reconstructed
+    * surviving frame carries the position columns straight from the
+    * artifact's own rows, so growth keys bands identically to the
+    * build. The family check is schema-derived like the read side's:
+    * growing a positional artifact through the classic entry point
+    * (or vice versa) is refused before any write (the refusal
+    * releases the rewrite lock; the served index is untouched). */
+  private[operators] def rebuildHashBandIndexFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, newSig: DataFrame, idCol: String, posCols: Seq[String],
+      maxBucket: Option[Int],
+      metricName: String, outFiles: Int,
+      hashColName: String = "_h"): Unit = {
     val fs = hadoopFs(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
       s"index at $path has no _meta (a rebuild crashed after publishing " +
@@ -1975,6 +2066,16 @@ object Dedup {
       // pending — the shared compaction race contract)
       val tombSnapshot = TextStats.tombstoneFiles(fs, path)
       val data = spark.read.parquet(currentHashIndexDir(fs, path))
+      val missing = posCols.filterNot(data.columns.contains)
+      require(missing.isEmpty,
+        s"index at $path does not carry position column(s) " +
+          s"${missing.mkString(", ")} — it is a classic hash-band index; " +
+          "grow it with Dedup.rebuildHashBandIndex")
+      if (posCols.isEmpty)
+        require(!data.columns.contains("sample_pos"),
+          s"index at $path carries a sample_pos column — it is a " +
+            "POSITIONAL (GIF) index; grow it with " +
+            "Multimodal.rebuildGifHashBandIndex")
       val live =
         if (tombSnapshot.isEmpty) data
         else {
@@ -1982,14 +2083,13 @@ object Dedup {
           data.join(broadcast(ts.select(ts.columns.head)),
             Seq(ts.columns.head), "left_anti")
         }
-      val unioned = live.select(col(idCol), col("_h"))
-        .unionByName(newDocs
-          .select(col(idCol), col(hashCol).cast("long").as("_h"))
-          .filter(col("_h").isNotNull))
+      val sigCols = Seq(col(idCol)) ++ posCols.map(col) :+ col("_h")
+      val unioned = live.select(sigCols: _*)
+        .unionByName(newSig.select(sigCols: _*))
         .distinct()
       val (ndocs, totalBands, droppedBands) =
-        writeBandsVersion(spark, fs, unioned, idCol, hashCol, path, next,
-          cap, metricName, outFiles)
+        writeBandsVersion(spark, fs, unioned, idCol, posCols, hashColName,
+          path, next, cap, metricName, outFiles)
       // THE SWAP — one atomic create; from here readers resolve vN
       require(fs.createNewFile(
           new org.apache.hadoop.fs.Path(s"$path/_current_v$next")),
@@ -2051,8 +2151,15 @@ object Dedup {
       }
     }
     val data = spark.read.parquet(dir)
+    // schema-derived band key: the positional (GIF) layout keys bands
+    // by sampled frame position too — counting (_k, _band) alone
+    // there would under-report bands to the health policy
+    val bandKeyCols =
+      (if (data.columns.contains("sample_pos")) Seq(col("sample_pos"))
+       else Nil) ++ Seq(col("_k"), col("_band"))
     val agg0 = data.agg(count(lit(1)).as("n"),
-      count_distinct(col("_k"), col("_band")).as("b")).collect()(0)
+      count_distinct(bandKeyCols.head, bandKeyCols.tail: _*).as("b"))
+      .collect()(0)
     val tombs = TextStats.tombstoneFiles(fs, path)
     val (tombIds, tombRows) =
       if (tombs.isEmpty) (0L, 0L)

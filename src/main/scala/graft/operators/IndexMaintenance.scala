@@ -1,8 +1,9 @@
 package graft.operators
 
-/** Unified compaction-cadence policy for the three standing-index
-  * families (BM25 postings, IVF inverted lists, hash-band signature
-  * lists). The three stats twins deliberately share one `rows`
+/** Unified compaction-cadence policy for the standing-index families
+  * (BM25 postings, IVF inverted lists, hash-band signature lists —
+  * the positional GIF variant shares the hash-band layout and stats,
+  * so it rides the same policy). The stats twins deliberately share one `rows`
   * definition (on-disk rows; servable = rows − tombstonedRows), so a
   * single policy can feed on all of them — this object is that policy
   * turned into code, replacing the SCALE.md cadence paragraph's

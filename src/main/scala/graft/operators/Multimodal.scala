@@ -1235,6 +1235,97 @@ object Multimodal {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------------------------
+  // Persisted POSITIONAL hash-band index — the FOURTH standing-index
+  // family (BM25 / IVF / classic hash-band), and the one that lets
+  // the GIF tier's standing corpus live on disk with the same
+  // takedown contract as the others: the animations decode ONCE at
+  // build, the artifact is frames × 4 rows of longs, and delete /
+  // compact / stats / health are LITERALLY the classic family's
+  // functions (same layout, same versioned swap, same tombstones —
+  // the position column rides the data rows; only the band KEY
+  // differs). Implemented as the classic family's machinery
+  // generalized over the position column (Dedup.*Frame cores), so the
+  // two layouts cannot drift; the classic/positional mix-ups are
+  // refused schema-derivedly on read and growth.
+  // ------------------------------------------------------------------
+
+  /** Persist the positional GIF hash-band index WITH document ids —
+    * `Dedup.writeHashBandIndex`'s exact contract (versioned from
+    * birth, name-scoped reset, all-or-nothing band caps with observed
+    * drop counts, one Spark action, `_meta` for stats) over per-frame
+    * signatures keyed by sampled position: one row per (band slot
+    * `_k`, band value `_band`, `sample_pos`, `idCol`, frame hash
+    * `_h`), capped per (position, slot, value). The standing corpus'
+    * animations decode exactly once, here; every later probe, delete,
+    * compaction and growth rebuild works from the artifact's longs.
+    * `_meta.ndocs` counts SIGNATURE ROWS — sampled frames, not
+    * animations (the cap/band economy this family's health policy
+    * reasons about is frame-level).
+    *
+    * Deletes, compaction, stats and the health sweep are the CLASSIC
+    * family's entry points, unchanged — the layout is the same
+    * family: `Dedup.deleteFromHashBandIndex` (tombstones by gif id;
+    * all of an animation's frames stop matching at the next read),
+    * `Dedup.compactHashBandIndex` (material removal under the atomic
+    * swap), `Dedup.hashBandIndexStats` (band counts are
+    * position-aware, schema-derived), `IndexMaintenance.healthSweep`
+    * (the layout detects as `hashband`). Only read and growth need
+    * the positional entry points below — they are the two operations
+    * whose semantics the position column changes. */
+  def writeGifHashBandIndex(standing: DataFrame, gifCol: String,
+      idCol: String, path: String, nFrames: Int = 4,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_gif_index_write_cap",
+      outFiles: Int = 4)(implicit spark: SparkSession): Unit = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    require(idCol != "sample_pos",
+      "idCol 'sample_pos' collides with the positional layout's own column")
+    val frames = gifFrameHashes(standing.select(col(idCol), col(gifCol)),
+        gifCol, nFrames, "_h")
+      .select(col(idCol), col("sample_pos"), col("_h"))
+    Dedup.writeHashBandIndexFrame(frames, idCol, Seq("sample_pos"), gifCol,
+      path, maxBucket, metricName, outFiles)
+  }
+
+  /** Read a persisted positional GIF index back in the PROBE shape —
+    * (`sample_pos`, `_k`, `_band`, `_hs`), exactly what
+    * `gifNearDupFilterAgainst` and the facades' `gifIndex` argument
+    * take, so the persisted index is a drop-in for the in-memory
+    * `gifHashBandIndex` — minus the re-decode of the standing corpus
+    * every run that the in-memory form imposes. Tombstones apply
+    * eagerly, versions resolve through the pointer, and the classic
+    * family's read caveats hold verbatim (cap honesty; read once and
+    * cache across micro-batches). A CLASSIC artifact read through
+    * this entry point is refused (schema-derived) rather than
+    * silently probed with a phantom position key. */
+  def readGifHashBandIndex(spark: SparkSession, path: String): DataFrame =
+    Dedup.readHashBandIndexFrame(spark, path, Seq("sample_pos"))
+
+  /** GROW a persisted positional GIF index — the classic family's
+    * `rebuildHashBandIndex` with the new batch's animations decoded
+    * to per-frame signatures first (`nFrames` should match the
+    * build's; the artifact cannot re-sample old animations, so a
+    * larger value only affects the new batch — keep them equal). The
+    * surviving signature frame reconstructs from the artifact's own
+    * (id, sample_pos, `_h`) rows minus pending tombstones, unions the
+    * new frames, and re-runs the capped versioned write under the
+    * shared rewrite lock — the standing corpus is never re-decoded,
+    * and a crash at any boundary leaves a complete servable index. */
+  def rebuildGifHashBandIndex(spark: SparkSession, path: String,
+      newGifs: DataFrame, gifCol: String, idCol: String, nFrames: Int = 4,
+      maxBucket: Option[Int] = None,
+      metricName: String = "graft_gif_index_rebuild_cap",
+      outFiles: Int = 4): Unit = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    implicit val sp: SparkSession = spark
+    val frames = gifFrameHashes(newGifs.select(col(idCol), col(gifCol)),
+        gifCol, nFrames, "_h")
+      .select(col(idCol), col("sample_pos"), col("_h"))
+    Dedup.rebuildHashBandIndexFrame(spark, path, frames, idCol,
+      Seq("sample_pos"), maxBucket, metricName, outFiles, gifCol)
+  }
+
   /** Corpus-level media stats: the aggregation never touches the raw
     * bytes after the map side — only the small meta struct shuffles. */
   def mediaStats(df: DataFrame, binaryCol: String, groupCols: Seq[String])(

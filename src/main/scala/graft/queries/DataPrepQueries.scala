@@ -4990,6 +4990,260 @@ object DataPrepQueries {
           .select(col("doc_id"),
             length(col("clean_text")).cast("bigint").as("n_clean_chars"))
           .orderBy("doc_id")
+      }),
+
+    // POSITIONAL (GIF) standing-index lifecycle — the FOURTH family's
+    // oracle pin, the q139 device over animations: write the
+    // positional index over the standing half (decode-once), tombstone
+    // the low bases, GROW from the artifact's own (id, pos, hash) rows
+    // (Multimodal.rebuildGifHashBandIndex — the standing GIFs are
+    // never re-decoded), then probe one batch against BOTH the grown
+    // index and a fresh build over (standing minus deleted) ∪ growth.
+    // A hash match pins grown == fresh survivor sets AND the
+    // positional probe semantics (deleted bases' near-twins resurface;
+    // the 4-band pigeonhole keeps recall exact at maxHamming = 3, so
+    // DuckDB's per-position all-pairs replay is the truth). Frames
+    // replay from the q141 gray-formula device; the alt bit flips the
+    // same two pixels in EVERY frame, so the twin stays within 2 bits
+    // at each position.
+    QueryDef("q143_gif_index_lifecycle", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt
+                 FROM documents WHERE doc_id < 200),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      st AS (SELECT h.doc_id, h.f, h.h FROM h JOIN d USING (doc_id)
+             WHERE d.alt = 0 AND d.base BETWEEN 5 AND 24),
+      bt AS (SELECT h.doc_id, h.f, h.h FROM h JOIN d USING (doc_id)
+             WHERE NOT (d.alt = 0 AND d.base < 25)),
+      hitpos AS (SELECT DISTINCT b.doc_id, b.f
+                 FROM bt b JOIN st s ON s.f = b.f
+                   AND bit_count(xor(b.h, s.h)) <= 3),
+      drops AS (SELECT doc_id FROM hitpos GROUP BY doc_id
+                HAVING count(*) >= 3),
+      surv AS (SELECT DISTINCT doc_id FROM bt
+               WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+      SELECT s.stage, r.doc_id
+      FROM (VALUES ('fresh'), ('grown')) s(stage) CROSS JOIN surv r
+      ORDER BY s.stage, r.doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              if (alt && y == 0 && x == 0) 255
+              else if (alt && y == 0 && x == 1) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+        }
+        val gifs = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), mk(col("doc_id")).as("gif"))
+        val standingPred = expr("doc_id % 50 < 15 AND (doc_id div 50) % 2 = 0")
+        val growPred = expr(
+          "doc_id % 50 >= 15 AND doc_id % 50 < 25 AND (doc_id div 50) % 2 = 0")
+        val dir0 = java.nio.file.Files.createTempDirectory("graft_gif_grow_")
+          .toFile.getAbsolutePath
+        val path = s"$dir0/idx"
+        val freshPath = s"$dir0/fresh"
+        graft.operators.Multimodal.writeGifHashBandIndex(
+          gifs.filter(standingPred), "gif", "doc_id", path)
+        graft.operators.Dedup.deleteFromHashBandIndex(s, path,
+          gifs.filter(standingPred).filter(col("doc_id") % 50 < 5)
+            .select("doc_id"), "doc_id")
+        // grow from the ARTIFACT's own (id, pos, hash) rows
+        // (tombstones applied) + the new batch's decoded frames — the
+        // standing animations are never re-decoded
+        graft.operators.Multimodal.rebuildGifHashBandIndex(s, path,
+          gifs.filter(growPred), "gif", "doc_id")
+        // the reference: a fresh build over (standing minus deleted) ∪ growth
+        graft.operators.Multimodal.writeGifHashBandIndex(
+          gifs.filter(expr(
+            "doc_id % 50 >= 5 AND doc_id % 50 < 25 AND (doc_id div 50) % 2 = 0")),
+          "gif", "doc_id", freshPath,
+          metricName = "graft_gif_index_write_cap_fresh")
+        val batch = gifs.filter(!standingPred && !growPred)
+        def probe(p: String, stage: String) = graft.operators.Multimodal
+          .gifNearDupFilterAgainst(batch, "gif", "doc_id",
+            graft.operators.Multimodal.readGifHashBandIndex(s, p))
+          .select(col("doc_id")).withColumn("stage", lit(stage))
+        probe(path, "grown").unionByName(probe(freshPath, "fresh"))
+          .select("stage", "doc_id")
+          .orderBy("stage", "doc_id")
+      }),
+
+    // Row-trace ORACLE PIN for the BATCH facade (CorpusPrep.prepTrace)
+    // — the q140 device applied to run()'s in-corpus chain, so two of
+    // the three trace facades now carry CORRECTNESS rows. The fixture
+    // engineers every batch route: exact twins (+1e6, same text ->
+    // 'exact', evidence = the min-id digest holder), near-dups (+3e6,
+    // three appended tokens -> jaccard (L-2)/(L+1) >= 0.8 iff >= 14
+    // tokens, so both dropped and kept outcomes occur; evidence = the
+    // IN-CORPUS cluster survivor, which run()'s min-id rule makes the
+    // cluster label itself), the benchmark-containment decontam tier
+    // (docs < 3 are both corpus members and the benchmark -> they
+    // decontaminate themselves when they survive dedup), the 0.85
+    // sample draw, gate fodder (short + null text), and absent ids.
+    // The DuckDB replay is q131's end-to-end chain plus the stage
+    // CASE: first-drop precedence, per-stage evidence ids extracted
+    // from the free-text detail (the replayable slice — the prose
+    // stays out of the hash).
+    QueryDef("q144_trace_batch", Some(raw"""
+      WITH RECURSIVE
+      eng AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0 AND doc_id < 40
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' zq zr zs' FROM documents WHERE doc_id % 4 = 2 AND doc_id < 40
+        UNION ALL
+        SELECT 4000000, 'xy'
+        UNION ALL
+        SELECT 4000001, CAST(NULL AS VARCHAR)),
+      tr AS MATERIALIZED (
+        SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id < 200
+        UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 4 = 0 AND doc_id < 40
+        UNION ALL SELECT doc_id + 3000000 FROM documents WHERE doc_id % 4 = 2 AND doc_id < 40
+        UNION ALL SELECT unnest([4000000, 4000001, 5000000, 5000001])),
+      cleaned AS MATERIALIZED (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM eng),
+      toked AS MATERIALIZED (SELECT doc_id, ct,
+          list_filter(string_split(ct, ' '), x -> x <> '') AS tk FROM cleaned),
+      gated AS MATERIALIZED (SELECT * FROM toked
+        WHERE length(ct) BETWEEN 20 AND 1000000 AND len(tk) > 0
+          AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) <= 0.9),
+      dig AS MATERIALIZED (SELECT doc_id, md5(ct) AS dg FROM gated),
+      dmin AS MATERIALIZED (SELECT dg, min(doc_id) AS surv FROM dig GROUP BY dg),
+      twin AS MATERIALIZED (SELECT d.doc_id, m.surv FROM dig d
+        JOIN dmin m USING (dg) WHERE d.doc_id <> m.surv),
+      exact AS MATERIALIZED (SELECT g.* FROM gated g
+        JOIN dmin m ON m.surv = g.doc_id),
+      shdoc AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM exact),
+      sig AS (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM shdoc WHERE len(shs) > 0),
+      bands AS MATERIALIZED (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM sig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM sig),
+      cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ver AS MATERIALIZED (SELECT c.id_a, c.id_b
+              FROM cands c JOIN shdoc sa ON sa.doc_id = c.id_a
+                           JOIN shdoc sb ON sb.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                    / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) >= 0.8),
+      edges AS (SELECT id_a AS s, id_b AS d FROM ver UNION SELECT id_b, id_a FROM ver),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      clus AS MATERIALIZED (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      nd AS MATERIALIZED (SELECT e.* FROM exact e LEFT JOIN clus c ON c.id = e.doc_id
+             WHERE c.id IS NULL OR e.doc_id = c.cluster),
+      bsh AS (SELECT doc_id AS bench_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM toked WHERE doc_id < 3),
+      bexp AS (SELECT bench_id, len(shs) AS bn, unnest(shs) AS sh FROM bsh WHERE len(shs) > 0),
+      cexp AS (SELECT n.doc_id,
+          unnest(list_distinct(list_transform(generate_series(1, greatest(len(n.tk) - 2, 0)),
+            k -> array_to_string(n.tk[k:k+2], ' ')))) AS sh
+        FROM nd n),
+      cont AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+          SELECT c.doc_id, b.bench_id, b.bn, count(*) AS shared
+          FROM cexp c JOIN bexp b USING (sh)
+          GROUP BY c.doc_id, b.bench_id, b.bn)
+        WHERE CAST(shared AS DOUBLE) / bn >= 0.8),
+      decon AS MATERIALIZED (SELECT doc_id FROM nd
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      sampled AS MATERIALIZED (SELECT doc_id FROM decon
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'corpusprep'), 1, 8))::UBIGINT
+              / 4294967296.0 < 0.85)
+      SELECT t.doc_id,
+        CASE
+          WHEN b.doc_id IS NULL THEN 'absent'
+          WHEN g.doc_id IS NULL THEN 'gated'
+          WHEN tw.doc_id IS NOT NULL THEN 'exact'
+          WHEN ndre.doc_id IS NOT NULL THEN 'neardup'
+          WHEN ct.doc_id IS NOT NULL THEN 'decontam'
+          WHEN sm.doc_id IS NULL THEN 'sampled'
+          ELSE 'kept' END AS stage,
+        CASE
+          WHEN tw.doc_id IS NOT NULL THEN tw.surv
+          WHEN ndre.doc_id IS NOT NULL THEN ndre.ev END AS evidence
+      FROM tr t
+      LEFT JOIN (SELECT DISTINCT doc_id FROM eng) b USING (doc_id)
+      LEFT JOIN (SELECT doc_id FROM gated) g USING (doc_id)
+      LEFT JOIN twin tw USING (doc_id)
+      LEFT JOIN (SELECT id AS doc_id, cluster AS ev FROM clus
+                 WHERE id <> cluster) ndre USING (doc_id)
+      LEFT JOIN cont ct USING (doc_id)
+      LEFT JOIN sampled sm USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val docs = t(s, dir, "documents")
+        val eng = docs.select("doc_id", "text")
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") < 40)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 2 && col("doc_id") < 40)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" zq zr zs")).as("text")))
+          .unionByName {
+            import s.implicits._
+            Seq((4000000L, "xy"), (4000001L, null.asInstanceOf[String]))
+              .toDF("doc_id", "text")
+          }
+        val ids = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 200)
+          .select("doc_id")
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") < 40)
+            .select((col("doc_id") + 1000000L).as("doc_id")))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 2 && col("doc_id") < 40)
+            .select((col("doc_id") + 3000000L).as("doc_id")))
+          .unionByName {
+            import s.implicits._
+            Seq(4000000L, 4000001L, 5000000L, 5000001L).toDF("doc_id")
+          }
+        graft.operators.CorpusPrep.prepTrace(eng, ids,
+            cfg = graft.operators.CorpusPrep.Config(
+              benchmark = Some(docs.filter(col("doc_id") < 3)),
+              minContainment = 0.8,
+              sampleRate = Some(lit(0.85))))
+          .withColumn("evidence", {
+            val e = regexp_extract(col("detail"),
+              "(?:doc |survivor: )(\\d+)", 1)
+            when(e === "", lit(null)).otherwise(e).cast("bigint")
+          })
+          .select(col("doc_id"), col("stage"), col("evidence"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -280,6 +280,57 @@ object ScaleSmoke {
     }
     signed.unpersist()
 
+    // ---- positional GIF index lifecycle (the fourth family) --------
+    // 50k synthetic 3-frame animations (9x8 gray, the q141/q143
+    // device): the decode-once story measured — the write pays the
+    // full corpus decode ONCE; every later probe / delete / growth
+    // touches only the persisted longs (growth decodes only its own
+    // batch)
+    val gifIdxDir = java.nio.file.Files.createTempDirectory("smoke_gifidx_")
+      .toFile.getAbsolutePath
+    val mkGif = udf { (docId: Long) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = docId % 5000
+      val frames = (0 until 3).map { f =>
+        Array.tabulate(72)(i => java.lang.Byte.toUnsignedInt(
+          md.digest(s"$base:$f:$i".getBytes("UTF-8"))(0)))
+      }
+      graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+    }
+    val gifCorpus = docs.select(col("doc_id")).limit(50000)
+      .select(col("doc_id"), mkGif(col("doc_id")).as("gif"))
+      .localCheckpoint(true) // pin the encode: each leg must not re-pay it
+    val gifBatch = gifCorpus.filter(col("doc_id") % 20 === 11)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("gif"))
+    timed("gif_index_write(50k anims, corpus decode)") {
+      graft.operators.Multimodal.writeGifHashBandIndex(
+        gifCorpus, "gif", "doc_id", gifIdxDir)(spark)
+      graft.operators.Multimodal.readGifHashBandIndex(spark, gifIdxDir).count()
+    }
+    timed("gif_index_filter(5% batch)") {
+      graft.operators.Multimodal.gifNearDupFilterAgainst(gifBatch, "gif",
+        "doc_id",
+        graft.operators.Multimodal.readGifHashBandIndex(spark, gifIdxDir))(
+        spark).count()
+    }
+    timed("gif_index_delete(1% ids)") {
+      Dedup.deleteFromHashBandIndex(spark, gifIdxDir,
+        gifCorpus.filter(col("doc_id") % 100 === 7).select("doc_id"),
+        "doc_id")
+      graft.operators.Multimodal.readGifHashBandIndex(spark, gifIdxDir).count()
+    }
+    timed("gif_index_rebuild_grow(5% batch decode only)") {
+      graft.operators.Multimodal.rebuildGifHashBandIndex(spark, gifIdxDir,
+        gifBatch, "gif", "doc_id")
+      graft.operators.Multimodal.readGifHashBandIndex(spark, gifIdxDir).count()
+    }
+    timed("gif_index_stats+policy") {
+      val st = Dedup.hashBandIndexStats(spark, gifIdxDir)
+      graft.operators.IndexMaintenance.logHealth(
+        graft.operators.IndexMaintenance.healthOf(st))
+      st.rows
+    }
+
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = (0 until mult * 5).map { i =>

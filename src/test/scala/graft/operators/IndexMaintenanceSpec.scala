@@ -74,6 +74,13 @@ class IndexMaintenanceSpec extends SparkSpecBase {
             .toDF("vec_id", "e"),
           Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))), "e"),
         s"$root/ivf")
+      // the positional (GIF) fourth family shares the hash-band
+      // layout — the sweep must detect it and stats must serve it
+      Multimodal.writeGifHashBandIndex(
+        Seq((1L, Multimodal.syntheticGrayGif(9, 8,
+            Seq(Array.tabulate(72)(i => (i * 7) % 256),
+              Array.tabulate(72)(i => (i * 11) % 256)))))
+          .toDF("gid", "anim"), "anim", "gid", s"$root/gifi")(spark)
       // a crash-after-pointer hash-band sibling: probes fine, stats
       // refuses — the sweep must report it and keep going
       Dedup.writeHashBandIndex(Seq((9L, 42L)).toDF("vid", "sig"),
@@ -83,13 +90,14 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/crashed/_meta"), true)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/stranger"))
       val rows = IndexMaintenance.healthSweep(spark, Seq(
-          s"$root/hbi", s"$root/bm", s"$root/ivf",
+          s"$root/hbi", s"$root/bm", s"$root/ivf", s"$root/gifi",
           s"$root/crashed", s"$root/stranger", "::not a uri::"))
         .collect()
         .map(r => r.getString(0).split('/').last ->
           ((r.getString(1), r.getBoolean(2), Option(r.getString(4)))))
         .toMap
       assert(rows("hbi") == (("hashband", false, None)), s"${rows("hbi")}")
+      assert(rows("gifi") == (("hashband", false, None)), s"${rows("gifi")}")
       assert(rows("bm") == (("bm25", false, None)), s"${rows("bm")}")
       assert(rows("ivf") == (("ivf", false, None)), s"${rows("ivf")}")
       val crashed = rows("crashed")
