@@ -1555,7 +1555,7 @@ object Dedup {
   private[operators] def writeHashBandIndexFrame(base: DataFrame,
       idCol: String, posCols: Seq[String], hashColName: String,
       path: String, maxBucket: Int, metricName: String,
-      outFiles: Int): Unit = {
+      outFiles: Int, sampleCap: Long = -1L): Unit = {
     require(!Set("_k", "_band", "_h", "_hs", "sample_pos").contains(idCol),
       s"idCol '$idCol' collides with the family's internal/reserved column " +
         "names (sample_pos is the positional layout's key)")
@@ -1595,15 +1595,24 @@ object Dedup {
       s"pointer _current_v1 already exists under $path — concurrent " +
         "rebuilds?")
     writeHashIndexMeta(spark, path, ndocs, totalBands, droppedBands,
-      maxBucket, idCol)
+      maxBucket, idCol, posCols.headOption.getOrElse(""), sampleCap)
   }
 
+  /** `pos_col`/`sample_cap` record the positional layout's shape
+    * ("" / -1 for the classic family): the growth rebuild validates
+    * against them so a positional index cannot silently be grown
+    * with a different frame-sampling width than it was built with
+    * (mixed sampling would make probe positions mean different
+    * things for old and new animations). */
   private def writeHashIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, ndocs: Long, totalBands: Long, droppedBands: Long,
-      maxBucket: Int, idCol: String): Unit = {
+      maxBucket: Int, idCol: String, posCol: String,
+      sampleCap: Long): Unit = {
     import spark.implicits._
-    Seq((ndocs, totalBands, droppedBands, maxBucket.toLong, idCol))
-      .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket", "id_col")
+    Seq((ndocs, totalBands, droppedBands, maxBucket.toLong, idCol, posCol,
+        sampleCap))
+      .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket",
+        "id_col", "pos_col", "sample_cap")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -2028,16 +2037,29 @@ object Dedup {
       path: String, newSig: DataFrame, idCol: String, posCols: Seq[String],
       maxBucket: Option[Int],
       metricName: String, outFiles: Int,
-      hashColName: String = "_h"): Unit = {
+      hashColName: String = "_h", sampleCap: Long = -1L): Unit = {
     val fs = hadoopFs(spark, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta")),
       s"index at $path has no _meta (a rebuild crashed after publishing " +
         "the version pointer?) — the growth rebuild needs the build-time " +
         "id_col/cap record; rerun writeHashBandIndex over the full frame")
     val meta = spark.read.parquet(s"$path/_meta")
-      .select("id_col", "max_bucket").collect()(0)
+      .select("id_col", "max_bucket", "pos_col", "sample_cap").collect()(0)
     require(meta.getString(0) == idCol,
       s"index at $path was built with idCol '${meta.getString(0)}', got '$idCol'")
+    require(meta.getString(2) == posCols.headOption.getOrElse(""),
+      s"index at $path was built with position column " +
+        s"'${meta.getString(2)}' — this growth call expects " +
+        s"'${posCols.headOption.getOrElse("")}' (classic and positional " +
+        "indexes grow through their own entry points)")
+    // a positional index must grow with the SAME frame-sampling width
+    // it was built with: a wider/narrower nFrames would make probe
+    // positions mean different things for old vs new animations —
+    // silent mixed sampling, refused here from the build-time record
+    require(meta.getLong(3) == sampleCap,
+      s"index at $path was built with sample width ${meta.getLong(3)} " +
+        s"(nFrames); this growth call uses $sampleCap — grow with the " +
+        "build's width, or rebuild from scratch at the new width")
     val cap = maxBucket.getOrElse(meta.getLong(1).toInt)
     // the rebuild is a compaction-shaped NON-DESTRUCTIVE rewrite: it
     // takes the same lock (so deletes, compactions and other rebuilds
@@ -2099,7 +2121,7 @@ object Dedup {
       // this write leaves the OLD meta serving stale counts (probes
       // unaffected — they never read meta) until a rerun refreshes it
       writeHashIndexMeta(spark, path, ndocs, totalBands, droppedBands,
-        cap, idCol)
+        cap, idCol, posCols.headOption.getOrElse(""), sampleCap)
       // post-swap housekeeping, same as compaction: stale pointers,
       // superseded version dirs, then ONLY the tombstone snapshot
       // this rewrite materialized

@@ -1285,7 +1285,7 @@ object Multimodal {
         gifCol, nFrames, "_h")
       .select(col(idCol), col("sample_pos"), col("_h"))
     Dedup.writeHashBandIndexFrame(frames, idCol, Seq("sample_pos"), gifCol,
-      path, maxBucket, metricName, outFiles)
+      path, maxBucket, metricName, outFiles, sampleCap = nFrames.toLong)
   }
 
   /** Read a persisted positional GIF index back in the PROBE shape —
@@ -1323,7 +1323,8 @@ object Multimodal {
         gifCol, nFrames, "_h")
       .select(col(idCol), col("sample_pos"), col("_h"))
     Dedup.rebuildHashBandIndexFrame(spark, path, frames, idCol,
-      Seq("sample_pos"), maxBucket, metricName, outFiles, gifCol)
+      Seq("sample_pos"), maxBucket, metricName, outFiles, gifCol,
+      sampleCap = nFrames.toLong)
   }
 
   /** Corpus-level media stats: the aggregation never touches the raw

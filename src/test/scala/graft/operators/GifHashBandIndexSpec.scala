@@ -84,14 +84,23 @@ class GifHashBandIndexSpec extends SparkSpecBase {
       val e2 = intercept[IllegalArgumentException](
         Multimodal.readGifHashBandIndex(spark, classicPath))
       assert(e2.getMessage.contains("classic"), e2.getMessage)
+      // growth mix-ups are refused from the build-time meta record
+      // (earlier and louder than the schema check — before the lock)
       val e3 = intercept[IllegalArgumentException](
         Dedup.rebuildHashBandIndex(spark, gifPath,
           Seq((9L, 7L)).toDF("gid", "sig"), "sig", "gid"))
-      assert(e3.getMessage.contains("POSITIONAL"), e3.getMessage)
+      assert(e3.getMessage.contains("position column"), e3.getMessage)
       val e4 = intercept[IllegalArgumentException](
         Multimodal.rebuildGifHashBandIndex(spark, classicPath,
           batch, "anim", "gid"))
-      assert(e4.getMessage.contains("classic"), e4.getMessage)
+      assert(e4.getMessage.contains("position column"), e4.getMessage)
+      // growing a positional index at a DIFFERENT frame-sampling
+      // width is refused (mixed sampling would shift what positions
+      // mean between old and new animations)
+      val e5 = intercept[IllegalArgumentException](
+        Multimodal.rebuildGifHashBandIndex(spark, gifPath,
+          batch, "anim", "gid", nFrames = 8))
+      assert(e5.getMessage.contains("sample width"), e5.getMessage)
       // the refusals released the rewrite lock: a legitimate growth
       // still runs on both artifacts afterwards
       Multimodal.rebuildGifHashBandIndex(spark, gifPath,
