@@ -1575,14 +1575,17 @@ object CorpusPrep {
     require(cfg.imageCol.isEmpty || imageIndex.isDefined,
       "imageCol on the incremental path needs `imageIndex` — build it ONCE " +
         "with Dedup.hashBandIndex over Multimodal.withPerceptualHash of the " +
-        "standing corpus (the batch-per-run decode must follow the batch)")
+        "standing corpus, or persist it (Dedup.writeHashBandIndex + " +
+        "readHashBandIndex — decode-once across runs, takedown lifecycle " +
+        "included); the batch-per-run decode must follow the batch")
     require(imageIndex.isEmpty || cfg.imageCol.isDefined,
       "imageIndex without cfg.imageCol would be silently ignored — set the " +
         "image column, or drop the index argument")
     require(cfg.audioCol.isEmpty || audioIndex.isDefined,
       "audioCol on the incremental path needs `audioIndex` — build it ONCE " +
         "with Dedup.hashBandIndex over Multimodal.withAudioFingerprint of " +
-        "the standing corpus (the batch-per-run decode must follow the batch)")
+        "the standing corpus, or persist it (Dedup.writeHashBandIndex + " +
+        "readHashBandIndex); the batch-per-run decode must follow the batch")
     require(audioIndex.isEmpty || cfg.audioCol.isDefined,
       "audioIndex without cfg.audioCol would be silently ignored — set the " +
         "audio column, or drop the index argument")

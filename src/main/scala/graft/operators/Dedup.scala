@@ -1641,6 +1641,18 @@ object Dedup {
       posCols: Seq[String], hashCol: String, path: String, version: Long,
       maxBucket: Int, metricName: String, outFiles: Int): (Long, Long, Long) = {
     val dir = s"$path/bands_v$version"
+    // PERSIST the signature frame for the duration of the write: it is
+    // signature-sized (~16 bytes per doc/frame) so the cache is cheap,
+    // and it keeps the DEGRADED paths artifact-sized — the
+    // zero-survivor isEmpty check and the metrics-timeout fallback
+    // recounts below re-execute `base`, which for the positional (GIF)
+    // family is the lazy decode of the standing corpus: without the
+    // cache, a wedged listener bus would re-decode every animation two
+    // more times, betraying the decode-once contract on exactly the
+    // long builds most likely to miss the delivery window. (Lazy — the
+    // happy path stays ONE action; the write populates the cache.)
+    base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // a "band" is keyed by (posCols..., _k, _band): empty posCols is
     // the classic single-hash layout; Seq("sample_pos") keys the
     // positional (GIF) layout so a probe only ever compares
@@ -1703,6 +1715,12 @@ object Dedup {
           s"every band under $path exceeded maxBucket=$maxBucket — the " +
             "all-or-nothing cap would drop the whole index; raise " +
             "maxBucket or reconsider the signature")
+      else if (posCols.nonEmpty)
+        throw new IllegalArgumentException(
+          s"no indexable rows for $path — the standing frame is empty or " +
+            s"no '$hashCol' payload decoded to any frame (undecodable " +
+            "animations emit zero frames by contract; the gates own those " +
+            "rows, but an index over them would be empty)")
       else
         throw new IllegalArgumentException(
           s"no indexable rows for $path — the standing frame is empty " +
@@ -1742,6 +1760,7 @@ object Dedup {
     // prove survivors — the explicit kept count does
     if (keptRows == 0L) refuse(ndocs > 0L)
     (ndocs, totalBands, droppedBands)
+    } finally { base.unpersist(); () }
   }
 
   /** Read a persisted hash-band index back in the PROBE shape —
@@ -1793,7 +1812,8 @@ object Dedup {
     * positions. */
   private[operators] def readHashBandIndexFrame(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, posCols: Seq[String]): DataFrame = {
+      path: String, posCols: Seq[String],
+      expectSampleCap: Option[Long] = None): DataFrame = {
     val fs = hadoopFs(spark, path)
     val data = spark.read.parquet(currentHashIndexDir(fs, path))
     val missing = posCols.filterNot(data.columns.contains)
@@ -1806,7 +1826,28 @@ object Dedup {
         s"index at $path carries a sample_pos column — it is a POSITIONAL " +
           "(GIF) index; reading it here would merge candidate lists " +
           "across frame positions. Read it with " +
-          "Multimodal.readGifHashBandIndex")
+          "Multimodal.readGifHashBandIndex (or, if this is a pre-r15 " +
+          "classic index whose idCol was literally named sample_pos — a " +
+          "name now reserved family-wide — rebuild it under a different " +
+          "id column name)")
+    // sampling-width guard (positional family): a probe built at a
+    // different nFrames than the index would compare DIFFERENT frames
+    // per position — silent mixed sampling. Validated against
+    // _meta.sample_cap WHEN meta exists; in the crash-after-pointer
+    // no-meta state the check is skipped (probes must keep serving —
+    // the same reason the family checks above are schema-derived).
+    expectSampleCap.foreach { want =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_meta"))) {
+        val m = spark.read.parquet(s"$path/_meta")
+        if (m.columns.contains("sample_cap")) {
+          val built = m.select("sample_cap").collect()(0).getLong(0)
+          require(built == want,
+            s"index at $path was built with sample width $built (nFrames); " +
+              s"this read expects $want — probe with the build's width, or " +
+              "rebuild the index at the new width")
+        }
+      }
+    }
     val tombs = TextStats.tombstoneFiles(fs, path)
     val live =
       if (tombs.isEmpty) data
@@ -2043,8 +2084,17 @@ object Dedup {
       s"index at $path has no _meta (a rebuild crashed after publishing " +
         "the version pointer?) — the growth rebuild needs the build-time " +
         "id_col/cap record; rerun writeHashBandIndex over the full frame")
-    val meta = spark.read.parquet(s"$path/_meta")
-      .select("id_col", "max_bucket", "pos_col", "sample_cap").collect()(0)
+    // pos_col/sample_cap default to the classic values when the meta
+    // predates them (a pre-r15 artifact) — growth on an old CLASSIC
+    // index keeps working; an old artifact can only be classic, so
+    // the defaults are the truth, not a guess
+    val metaDf = spark.read.parquet(s"$path/_meta")
+    val meta = metaDf.select(col("id_col"), col("max_bucket"),
+        if (metaDf.columns.contains("pos_col")) col("pos_col")
+        else lit("").as("pos_col"),
+        if (metaDf.columns.contains("sample_cap")) col("sample_cap")
+        else lit(-1L).as("sample_cap"))
+      .collect()(0)
     require(meta.getString(0) == idCol,
       s"index at $path was built with idCol '${meta.getString(0)}', got '$idCol'")
     require(meta.getString(2) == posCols.headOption.getOrElse(""),

@@ -1298,9 +1298,22 @@ object Multimodal {
     * family's read caveats hold verbatim (cap honesty; read once and
     * cache across micro-batches). A CLASSIC artifact read through
     * this entry point is refused (schema-derived) rather than
-    * silently probed with a phantom position key. */
-  def readGifHashBandIndex(spark: SparkSession, path: String): DataFrame =
-    Dedup.readHashBandIndexFrame(spark, path, Seq("sample_pos"))
+    * silently probed with a phantom position key.
+    *
+    * `nFrames` is the width the PROBE will sample at
+    * (`gifNearDupFilterAgainst`'s / `Config.gifNFrames`' value):
+    * it is validated against the index's build-time `_meta.sample_cap`
+    * record, because a probe at a different width would compare
+    * DIFFERENT frames per position — the silent-mixed-sampling trap
+    * the growth path also refuses. In the crash-after-pointer
+    * no-meta state the check is skipped (probes must keep serving);
+    * the default matches the build default. */
+  def readGifHashBandIndex(spark: SparkSession, path: String,
+      nFrames: Int = 4): DataFrame = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    Dedup.readHashBandIndexFrame(spark, path, Seq("sample_pos"),
+      expectSampleCap = Some(nFrames.toLong))
+  }
 
   /** GROW a persisted positional GIF index — the classic family's
     * `rebuildHashBandIndex` with the new batch's animations decoded

@@ -101,6 +101,19 @@ class GifHashBandIndexSpec extends SparkSpecBase {
         Multimodal.rebuildGifHashBandIndex(spark, gifPath,
           batch, "anim", "gid", nFrames = 8))
       assert(e5.getMessage.contains("sample width"), e5.getMessage)
+      // ...and so is PROBING at a different width (the read validates
+      // against _meta.sample_cap — the probe path is the common one)
+      val e6 = intercept[IllegalArgumentException](
+        Multimodal.readGifHashBandIndex(spark, gifPath, nFrames = 8))
+      assert(e6.getMessage.contains("sample width"), e6.getMessage)
+      // an all-undecodable standing frame refuses with the decode
+      // diagnosis, not the classic null-hash one
+      val e7 = intercept[IllegalArgumentException](
+        Multimodal.writeGifHashBandIndex(
+          Seq((1L, Array[Byte](9, 9, 9))).toDF("gid", "anim"),
+          "anim", "gid", s"${dir.getAbsolutePath}/junk",
+          metricName = "graft_gif_index_junk_cap")(spark))
+      assert(e7.getMessage.contains("decoded"), e7.getMessage)
       // the refusals released the rewrite lock: a legitimate growth
       // still runs on both artifacts afterwards
       Multimodal.rebuildGifHashBandIndex(spark, gifPath,
@@ -109,6 +122,14 @@ class GifHashBandIndexSpec extends SparkSpecBase {
       assert(keptAgainstPath(gifPath) == Set(3L), "growth after refusal")
       Dedup.rebuildHashBandIndex(spark, classicPath,
         Seq((9L, 7L)).toDF("gid", "sig"), "sig", "gid")
+      // the width check never blocks the crash-after-pointer no-meta
+      // state: probes must keep serving (the family contract) —
+      // destructive, so LAST
+      val fs = new org.apache.hadoop.fs.Path(gifPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$gifPath/_meta"), true)
+      assert(Multimodal.readGifHashBandIndex(spark, gifPath, nFrames = 8)
+        .count() > 0, "probes must survive a lost _meta (width unknowable)")
     }
   }
 
