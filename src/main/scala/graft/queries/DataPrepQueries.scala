@@ -5244,6 +5244,172 @@ object DataPrepQueries {
           })
           .select(col("doc_id"), col("stage"), col("evidence"))
           .orderBy("doc_id")
+      }),
+
+    // Row-trace ORACLE PIN for the STREAM facade
+    // (CorpusPrep.prepTraceStream) — the trace TRIO is now fully
+    // oracle-pinned. The stream trace is deterministic even where the
+    // LIVE stream is not: its within-batch digest tier reports the
+    // min-id stand-in BY DOCUMENTED CONTRACT (live intake keeps the
+    // first arrival; content identical either way), so the replay
+    // pins exactly what the trace promises — including that honesty
+    // device. Chain: row-local gates -> in-batch min-id digest tier
+    // (evidence = the stand-in twin) -> standing-digest tier (static
+    // detail) -> standing near-dup probe (evidence = best-jaccard
+    // standing doc, ties to min id — the shared min_by rule) -> the
+    // sample draw. No clustering and no taint rule here (streams
+    // probe, they don't cluster), so the replay is a plain banded
+    // candidate join + verify — the simplest of the three traces.
+    QueryDef("q145_trace_stream", Some(raw"""
+      WITH
+      eng AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0 AND doc_id < 40
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 1 AND doc_id < 40
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' zq zr zs' FROM documents WHERE doc_id % 4 = 2 AND doc_id < 40
+        UNION ALL
+        SELECT 4000000, 'xy'
+        UNION ALL
+        SELECT 4000001, CAST(NULL AS VARCHAR)),
+      tr AS MATERIALIZED (
+        SELECT doc_id FROM documents WHERE doc_id % 4 = 0 AND doc_id < 200
+        UNION ALL SELECT doc_id FROM eng WHERE doc_id >= 1000000
+        UNION ALL SELECT doc_id FROM documents WHERE doc_id % 4 = 3 AND doc_id < 40),
+      cb AS MATERIALIZED (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM eng),
+      cs AS MATERIALIZED (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ ]+', '<URL>', 'g'), '\s+', ' ', 'g')) AS ct
+        FROM documents WHERE doc_id % 4 <> 0),
+      tb AS MATERIALIZED (SELECT doc_id, ct,
+          list_filter(string_split(ct, ' '), x -> x <> '') AS tk FROM cb),
+      gated AS MATERIALIZED (SELECT doc_id, ct, tk FROM tb
+        WHERE length(ct) BETWEEN 20 AND 1000000 AND len(tk) > 0
+          AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) <= 0.9),
+      sdig AS MATERIALIZED (SELECT DISTINCT md5(ct) AS dg FROM cs WHERE ct IS NOT NULL),
+      gdig AS MATERIALIZED (SELECT doc_id, md5(ct) AS dg FROM gated),
+      dmin AS MATERIALIZED (SELECT dg, min(doc_id) AS surv FROM gdig GROUP BY dg),
+      twin AS MATERIALIZED (SELECT g.doc_id, m.surv FROM gdig g
+        JOIN dmin m USING (dg) WHERE g.doc_id <> m.surv),
+      intra AS MATERIALIZED (SELECT g.doc_id, g.dg FROM gdig g
+        JOIN dmin m ON m.surv = g.doc_id),
+      exstand AS MATERIALIZED (SELECT doc_id FROM intra
+        WHERE dg IN (SELECT dg FROM sdig)),
+      afterex AS MATERIALIZED (SELECT doc_id FROM intra
+        WHERE doc_id NOT IN (SELECT doc_id FROM exstand)),
+      gsh AS MATERIALIZED (SELECT g.doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(g.tk) - 2, 0)),
+            k -> array_to_string(g.tk[k:k+2], ' '))) AS shs
+        FROM gated g JOIN afterex USING (doc_id)),
+      ssh AS MATERIALIZED (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+            k -> array_to_string(tk[k:k+2], ' '))) AS shs
+        FROM (SELECT doc_id, list_filter(string_split(ct, ' '), x -> x <> '') AS tk
+              FROM cs WHERE ct IS NOT NULL)),
+      gsig AS (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM gsh WHERE len(shs) > 0),
+      ssig AS (SELECT doc_id,
+                list_min(list_transform(shs, s -> md5('0#' || s))) AS h0,
+                list_min(list_transform(shs, s -> md5('1#' || s))) AS h1,
+                list_min(list_transform(shs, s -> md5('2#' || s))) AS h2,
+                list_min(list_transform(shs, s -> md5('3#' || s))) AS h3
+              FROM ssh WHERE len(shs) > 0),
+      gbands AS MATERIALIZED (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM gsig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM gsig),
+      sbands AS MATERIALIZED (SELECT doc_id, md5(h0 || '|' || h1) AS band FROM ssig
+                UNION ALL SELECT doc_id, md5(h2 || '|' || h3) AS band FROM ssig),
+      nearev AS MATERIALIZED (
+        SELECT doc_id, sid FROM (
+          SELECT p.doc_id, p.sid,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY p.j DESC, p.sid) AS rn
+          FROM (SELECT e.doc_id, e.sid,
+                  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+                  (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS j
+                FROM (SELECT DISTINCT gb.doc_id, sb.doc_id AS sid
+                      FROM gbands gb JOIN sbands sb ON gb.band = sb.band) e
+                JOIN gsh a ON a.doc_id = e.doc_id
+                JOIN ssh b ON b.doc_id = e.sid) p
+          WHERE p.j >= 0.8)
+        WHERE rn = 1),
+      survnd AS MATERIALIZED (SELECT doc_id FROM afterex
+        WHERE doc_id NOT IN (SELECT doc_id FROM nearev)),
+      sampled AS MATERIALIZED (SELECT doc_id FROM survnd
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'corpusprep'), 1, 8))::UBIGINT
+              / 4294967296.0 < 0.7)
+      SELECT t.doc_id,
+        CASE
+          WHEN b.doc_id IS NULL THEN 'absent'
+          WHEN g.doc_id IS NULL THEN 'gated'
+          WHEN tw.doc_id IS NOT NULL THEN 'exact'
+          WHEN es.doc_id IS NOT NULL THEN 'exact_standing'
+          WHEN ne.doc_id IS NOT NULL THEN 'neardup'
+          WHEN sm.doc_id IS NULL THEN 'sampled'
+          ELSE 'kept' END AS stage,
+        CASE
+          WHEN tw.doc_id IS NOT NULL THEN tw.surv
+          WHEN es.doc_id IS NOT NULL THEN NULL
+          WHEN ne.doc_id IS NOT NULL THEN ne.sid END AS evidence
+      FROM tr t
+      LEFT JOIN (SELECT DISTINCT doc_id FROM eng) b USING (doc_id)
+      LEFT JOIN (SELECT doc_id FROM gated) g USING (doc_id)
+      LEFT JOIN twin tw USING (doc_id)
+      LEFT JOIN exstand es USING (doc_id)
+      LEFT JOIN nearev ne USING (doc_id)
+      LEFT JOIN sampled sm USING (doc_id)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val docs = t(s, dir, "documents")
+        val standing = docs.filter(col("doc_id") % 4 =!= 0)
+          .withColumn("clean_text",
+            graft.operators.TextNorm.clean(col("text")))
+          .select("doc_id", "clean_text")
+        val batch = docs.filter(col("doc_id") % 4 === 0)
+          .select("doc_id", "text")
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 0 && col("doc_id") < 40)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 1 && col("doc_id") < 40)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 2 && col("doc_id") < 40)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" zq zr zs")).as("text")))
+          .unionByName {
+            import s.implicits._
+            Seq((4000000L, "xy"), (4000001L, null.asInstanceOf[String]))
+              .toDF("doc_id", "text")
+          }
+        val ids = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 200)
+          .select("doc_id")
+          .unionByName(batch.filter(col("doc_id") >= 1000000L).select("doc_id"))
+          .unionByName(docs
+            .filter(col("doc_id") % 4 === 3 && col("doc_id") < 40)
+            .select("doc_id"))
+        graft.operators.CorpusPrep.prepTraceStream(batch, ids, "text",
+            cfg = graft.operators.CorpusPrep.Config(
+              sampleRate = Some(lit(0.7))),
+            standing = Some(standing))
+          .withColumn("evidence", {
+            val e = regexp_extract(col("detail"),
+              "(?:doc |survivor: )(\\d+)", 1)
+            when(e === "", lit(null)).otherwise(e).cast("bigint")
+          })
+          .select(col("doc_id"), col("stage"), col("evidence"))
+          .orderBy("doc_id")
       })
   )
 }
