@@ -164,4 +164,80 @@ object IndexMaintenance {
     import spark.implicits._
     rows.toDF()
   }
+
+  /** Family-dispatched compaction — the ACT half of the maintenance
+    * story (`healthSweep` says WHICH roots to compact; this runs the
+    * right compaction without the caller naming the family). Detects
+    * the family from the on-disk layout like the sweep does, then
+    * calls that family's own entry point — all of their guarantees
+    * (versioned swap, snapshot-safe tombstone clear, lock refusal on
+    * a racing compaction) apply unchanged, because this IS that call.
+    * The positional (GIF) hash-band layout detects as `hashband` and
+    * compacts through the shared entry point — the position column
+    * rides the data rows. An unrecognized layout is refused loudly
+    * (compacting a guess would be worse than a no-op). Returns the
+    * detected family. */
+  def compactNow(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    detectFamily(fs, path) match {
+      case Some("hashband") => Dedup.compactHashBandIndex(spark, path); "hashband"
+      case Some("bm25") => TextStats.compactBm25Index(spark, path); "bm25"
+      case Some("ivf") => Similarity.compactIndex(spark, path); "ivf"
+      case other => throw new IllegalArgumentException(
+        s"$path is not a recognizable graft index root " +
+          s"(detected: ${other.getOrElse("unknown layout")}) — refusing " +
+          "to compact a guess; pass a root written by writeBm25Index, " +
+          "Similarity.writeIndex, writeHashBandIndex or " +
+          "writeGifHashBandIndex")
+    }
+  }
+
+  /** The WHOLE daily-cron body as one call: sweep the roots, compact
+    * exactly the ones the policy flags, then re-sweep the compacted
+    * roots so the returned report shows the POST-action state (the
+    * `compacted` column records what acted). Per-path failures stay
+    * error rows at both phases — a crashed compaction (its named
+    * lock-recovery message lands in `error`) must not kill the pass
+    * for the healthy indexes, which is the property that makes this
+    * schedulable unattended. Compactions run sequentially on the
+    * driver (each is one artifact-sized Spark job; the fleet case
+    * wants them serialized against one cluster anyway). */
+  def sweepAndCompact(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      p: CompactPolicy = CompactPolicy()): org.apache.spark.sql.DataFrame = {
+    val before = healthSweep(spark, paths, p).collect()
+    // path -> (did a compaction run, action-phase error)
+    val acted: Map[String, (Boolean, Option[String])] = before.map { r =>
+      val path = r.getString(0)
+      val flagged = r.getBoolean(2)
+      if (!flagged) path -> ((false, Option.empty[String]))
+      else {
+        try { compactNow(spark, path); path -> ((true, Option.empty[String])) }
+        catch { case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger("graft.metrics")
+            .warn(s"graft_index_health dir=$path COMPACT FAILED: " +
+              s"${e.getMessage}")
+          path -> ((false, Some(Option(e.getMessage).getOrElse(
+            e.getClass.getName))))
+        }
+      }
+    }.toMap
+    // re-sweep ONLY what acted: the untouched rows' verdicts are
+    // already current, and a second stats pass over them is waste
+    val actedPaths = acted.collect { case (p0, (true, _)) => p0 }.toSeq
+    val after = healthSweep(spark, actedPaths, p).collect()
+      .map(r => r.getString(0) -> r).toMap
+    import spark.implicits._
+    before.map { r =>
+      val path = r.getString(0)
+      val (didCompact, actErr) = acted(path)
+      val cur = after.getOrElse(path, r)
+      (path, cur.getString(1), cur.getBoolean(2),
+        cur.getSeq[String](3), didCompact,
+        actErr.orElse(Option(cur.getString(4))))
+    }.toSeq
+      .toDF("path", "family", "compact", "reasons", "compacted", "error")
+  }
 }

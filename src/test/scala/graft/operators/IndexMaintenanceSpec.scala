@@ -127,4 +127,57 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       capDroppedBands = 1, maxBucket = 100000, ndocs = 8))
     assert(hb.family == "hashband" && hb.maxStripes == 4)
   }
+
+  test("compactNow dispatches by layout; sweepAndCompact acts on exactly the flagged roots and reports post-action state") {
+    withTempDir("im-act") { dir =>
+      val root = dir.getAbsolutePath
+      // two hash-band indexes: one tripped (half its docs deleted),
+      // one healthy — the act pass must touch ONLY the tripped one
+      Dedup.writeHashBandIndex(
+        Seq((1L, 0x0123456789ABCDEFL), (2L, 0x00FF00FF00FF00FFL),
+          (3L, 0xFEDCBA9876543210L), (4L, 0x0F0F0F0F0F0F0F0FL))
+          .toDF("vid", "sig"), "sig", "vid", s"$root/tripped")
+      Dedup.deleteFromHashBandIndex(spark, s"$root/tripped",
+        Seq(1L, 2L).toDF("vid"), "vid")
+      Dedup.writeHashBandIndex(
+        Seq((1L, 42L), (2L, 4242L)).toDF("vid", "sig"), "sig", "vid",
+        s"$root/healthy", metricName = "graft_im_act_healthy_cap")
+      // an unreadable root must not kill the act pass
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/stranger"))
+      val report = IndexMaintenance.sweepAndCompact(spark,
+          Seq(s"$root/tripped", s"$root/healthy", s"$root/stranger"))
+        .collect()
+        .map(r => r.getString(0).split('/').last ->
+          ((r.getBoolean(2), r.getBoolean(4), Option(r.getString(5)))))
+        .toMap
+      // tripped: compaction RAN and the post-action verdict is clear
+      assert(report("tripped") == ((false, true, None)),
+        s"tripped: ${report("tripped")}")
+      // tombstones really left (the compaction was the real one)
+      val st = Dedup.hashBandIndexStats(spark, s"$root/tripped")
+      assert(st.tombstonedRows == 0 && st.rows == 8, s"$st")
+      // healthy: untouched
+      assert(report("healthy") == ((false, false, None)),
+        s"healthy: ${report("healthy")}")
+      // stranger: error row, no action
+      val stranger = report("stranger")
+      assert(!stranger._1 && !stranger._2 && stranger._3.isDefined,
+        s"stranger: $stranger")
+      // compactNow refuses an unrecognized layout loudly
+      val e = intercept[IllegalArgumentException](
+        IndexMaintenance.compactNow(spark, s"$root/stranger"))
+      assert(e.getMessage.contains("refusing"), e.getMessage)
+      // and dispatches the positional (GIF) layout through the shared
+      // hashband entry point
+      Multimodal.writeGifHashBandIndex(
+        Seq((7L, Multimodal.syntheticGrayGif(9, 8,
+            Seq(Array.tabulate(72)(i => (i * 5) % 256)))))
+          .toDF("gid", "anim"), "anim", "gid", s"$root/gifi",
+        metricName = "graft_im_act_gif_cap")(spark)
+      assert(IndexMaintenance.compactNow(spark, s"$root/gifi") == "hashband")
+      assert(Multimodal.readGifHashBandIndex(spark, s"$root/gifi").count() > 0)
+    }
+  }
 }
