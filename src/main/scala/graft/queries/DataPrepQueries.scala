@@ -5410,6 +5410,139 @@ object DataPrepQueries {
           })
           .select(col("doc_id"), col("stage"), col("evidence"))
           .orderBy("doc_id")
+      }),
+
+    // Incremental GIF tier THROUGH THE PERSISTED INDEX (q142's run()
+    // composition pin, now for runIncremental + the fourth family):
+    // the standing animations are written ONCE with
+    // writeGifHashBandIndex, the facade probes
+    // readGifHashBandIndex's frame, and the oracle replays the
+    // whole taint-rule fold arithmetically — in-batch positional
+    // clusters (CC over pairs), standing hits, a cluster with ANY
+    // hit member dropping WHOLE, untainted clusters collapsing to
+    // the min id. The fixture engineers every route with a SECOND
+    // alt variant (alt2 flips dHash bits 2/3 where alt1 flips 0/1):
+    // bases 0-9 = the PURE-TAINT group (a plain batch doc hits the
+    // alt1 standing; its alt2 cluster-mate is up to 4 bits from
+    // standing — it drops through the taint rule even when it never
+    // hits the index itself), bases 10-19 = singleton standing hits
+    // (no cluster), bases 20-29 = a 3-member untainted cluster (min
+    // id survives, mates drop), bases 30-39 = clean singletons
+    // (kept). Texts are md5-salted unique tokens, so every TEXT tier
+    // is provably pass-through in both engines and the gif tier is
+    // the only dropper. Batch decodes follow the batch; the standing
+    // corpus decodes exactly once, at the index write.
+    QueryDef("q146_prep_gif_incremental", Some("""
+      WITH RECURSIVE
+      bd AS (
+        SELECT 2000 + b AS doc_id, b AS base, 0 AS alt FROM range(0, 10) t(b)
+        UNION ALL SELECT 2100 + b, b, 2 FROM range(0, 10) t(b)
+        UNION ALL SELECT 2200 + b, b, 0 FROM range(10, 20) t(b)
+        UNION ALL SELECT 2300 + b, b, 0 FROM range(20, 30) t(b)
+        UNION ALL SELECT 2400 + b, b, 1 FROM range(20, 30) t(b)
+        UNION ALL SELECT 2500 + b, b, 2 FROM range(20, 30) t(b)
+        UNION ALL SELECT 2600 + b, b, 0 FROM range(30, 40) t(b)),
+      sd AS (SELECT 1000 + b AS doc_id, b AS base, 1 AS alt FROM range(0, 20) t(b)),
+      allg AS (SELECT * FROM bd UNION ALL SELECT * FROM sd),
+      px AS (SELECT a.doc_id, f.f, y.y, x.x,
+               CASE WHEN a.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN a.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    WHEN a.alt = 2 AND y.y = 0 AND x.x = 2 THEN 255
+                    WHEN a.alt = 2 AND y.y = 0 AND x.x = 3 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(a.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM allg a
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS MATERIALIZED (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      bh AS (SELECT h.* FROM h JOIN bd USING (doc_id)),
+      sh AS (SELECT h.* FROM h JOIN sd USING (doc_id)),
+      pr AS MATERIALIZED (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM bh a JOIN bh b ON a.doc_id < b.doc_id AND a.f = b.f
+          AND bit_count(xor(a.h, b.h)) <= 3
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+      hits AS MATERIALIZED (
+        SELECT b.doc_id FROM (
+          SELECT DISTINCT bb.doc_id, bb.f
+          FROM bh bb JOIN sh ss ON ss.f = bb.f
+            AND bit_count(xor(bb.h, ss.h)) <= 3) b
+        GROUP BY b.doc_id HAVING count(*) >= 3),
+      edges AS (SELECT pa AS s, pb AS d FROM pr UNION SELECT pb, pa FROM pr),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      clus AS MATERIALIZED (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      tainted AS (SELECT DISTINCT c.cluster FROM clus c
+                  JOIN hits ON c.id = hits.doc_id),
+      drops AS (
+        SELECT doc_id FROM hits
+        UNION SELECT id FROM clus WHERE cluster IN (SELECT cluster FROM tainted)
+        UNION SELECT id FROM clus
+          WHERE cluster NOT IN (SELECT cluster FROM tainted) AND id <> cluster)
+      SELECT doc_id FROM bd
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        // role table mirrored from the oracle's bd/sd arithmetic
+        val standingIds = (0 until 20).map(b => (1000L + b, b.toLong, 1))
+        val batchIds =
+          (0 until 10).map(b => (2000L + b, b.toLong, 0)) ++
+          (0 until 10).map(b => (2100L + b, b.toLong, 2)) ++
+          (10 until 20).map(b => (2200L + b, b.toLong, 0)) ++
+          (20 until 30).map(b => (2300L + b, b.toLong, 0)) ++
+          (20 until 30).map(b => (2400L + b, b.toLong, 1)) ++
+          (20 until 30).map(b => (2500L + b, b.toLong, 2)) ++
+          (30 until 40).map(b => (2600L + b, b.toLong, 0))
+        val mkGif = udf { (base: Long, alt: Int) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              if (alt == 1 && y == 0 && x == 0) 255
+              else if (alt == 1 && y == 0 && x == 1) 0
+              else if (alt == 2 && y == 0 && x == 2) 255
+              else if (alt == 2 && y == 0 && x == 3) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+        }
+        // md5-salted unique token texts: every text tier provably
+        // pass-through (no shared shingles, no shared digests)
+        val mkText = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          (1 to 7).map { k =>
+            "u" + md.digest(s"$docId:$k".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+          }.mkString(" ")
+        }
+        val standingAnims = standingIds.toDF("doc_id", "base", "alt")
+          .select(col("doc_id"), mkGif(col("base"), col("alt")).as("gif"))
+        val standing = standingAnims
+          .select(col("doc_id"),
+            graft.operators.TextNorm.clean(mkText(col("doc_id")))
+              .as("clean_text"))
+        val batch = batchIds.toDF("doc_id", "base", "alt")
+          .select(col("doc_id"), mkText(col("doc_id")).as("text"),
+            mkGif(col("base"), col("alt")).as("gif"))
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_gif_inc_").toFile.getAbsolutePath
+        graft.operators.Multimodal.writeGifHashBandIndex(
+          standingAnims, "gif", "doc_id", s"$idxDir/idx")
+        graft.operators.CorpusPrep.runIncremental(standing, batch,
+            cfg = graft.operators.CorpusPrep.Config(gifCol = Some("gif")),
+            gifIndex = Some(graft.operators.Multimodal
+              .readGifHashBandIndex(s, s"$idxDir/idx")))
+          .select("doc_id").orderBy("doc_id")
       })
   )
 }
