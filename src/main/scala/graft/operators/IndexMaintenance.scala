@@ -182,61 +182,111 @@ object IndexMaintenance {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     detectFamily(fs, path) match {
-      case Some("hashband") => Dedup.compactHashBandIndex(spark, path); "hashband"
-      case Some("bm25") => TextStats.compactBm25Index(spark, path); "bm25"
-      case Some("ivf") => Similarity.compactIndex(spark, path); "ivf"
-      case other => throw new IllegalArgumentException(
-        s"$path is not a recognizable graft index root " +
-          s"(detected: ${other.getOrElse("unknown layout")}) — refusing " +
-          "to compact a guess; pass a root written by writeBm25Index, " +
-          "Similarity.writeIndex, writeHashBandIndex or " +
+      case Some(fam) => compactAs(spark, path, fam); fam
+      case None => throw new IllegalArgumentException(
+        s"$path is not a recognizable graft index root (unknown layout) — " +
+          "refusing to compact a guess; pass a root written by " +
+          "writeBm25Index, Similarity.writeIndex, writeHashBandIndex or " +
           "writeGifHashBandIndex")
     }
   }
 
+  /** Dispatch with the family already known — the sweep detected it
+    * one filesystem listing ago; re-detecting per flagged root would
+    * pay a redundant remote listing each on a fleet pass. */
+  private def compactAs(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String): Unit = family match {
+    case "hashband" => Dedup.compactHashBandIndex(spark, path)
+    case "bm25" => TextStats.compactBm25Index(spark, path)
+    case _ => Similarity.compactIndex(spark, path)
+  }
+
   /** The WHOLE daily-cron body as one call: sweep the roots, compact
-    * exactly the ones the policy flags, then re-sweep the compacted
-    * roots so the returned report shows the POST-action state (the
-    * `compacted` column records what acted). Per-path failures stay
-    * error rows at both phases — a crashed compaction (its named
-    * lock-recovery message lands in `error`) must not kill the pass
-    * for the healthy indexes, which is the property that makes this
-    * schedulable unattended. Compactions run sequentially on the
+    * exactly the ones the policy flags, then re-sweep every root the
+    * action phase TOUCHED (successfully or not — a compaction that
+    * crashed after its atomic swap left a NEW live version, so the
+    * pre-action verdict would be stale either way) and report the
+    * POST-action state; `compacted` records what ran to completion.
+    * Per-path failures stay error rows at both phases — a crashed
+    * compaction (its named lock-recovery message lands in `error`)
+    * must not kill the pass for the healthy indexes, which is the
+    * property that makes this schedulable unattended. Duplicate
+    * paths are deduplicated up front (compacting the same root twice
+    * in one pass would be a wasted artifact rewrite). Two more
+    * unattended-cron honesty rules: a root whose compaction RAN but
+    * whose verdict did not clear gets a NON-CONVERGENCE error naming
+    * the way out (the known case is a fully-tombstoned hash-band
+    * index, whose compaction is a documented no-op — the exit is a
+    * rebuild), so the cron cannot silently re-compact a dead index
+    * forever; and when the post-action re-sweep itself errors, the
+    * row keeps the family the first sweep detected and carries the
+    * re-sweep error rather than regressing to `unknown` — the
+    * verdict columns are then explicitly unknowable (compact=false,
+    * reasons empty, error set). Compactions run sequentially on the
     * driver (each is one artifact-sized Spark job; the fleet case
     * wants them serialized against one cluster anyway). */
   def sweepAndCompact(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String],
       p: CompactPolicy = CompactPolicy()): org.apache.spark.sql.DataFrame = {
-    val before = healthSweep(spark, paths, p).collect()
-    // path -> (did a compaction run, action-phase error)
+    val log = org.slf4j.LoggerFactory.getLogger("graft.metrics")
+    val before = healthSweep(spark, paths.distinct, p).collect()
+    // path -> (compaction ran to completion, action-phase error)
     val acted: Map[String, (Boolean, Option[String])] = before.map { r =>
       val path = r.getString(0)
       val flagged = r.getBoolean(2)
       if (!flagged) path -> ((false, Option.empty[String]))
       else {
-        try { compactNow(spark, path); path -> ((true, Option.empty[String])) }
-        catch { case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger("graft.metrics")
-            .warn(s"graft_index_health dir=$path COMPACT FAILED: " +
-              s"${e.getMessage}")
+        try {
+          compactAs(spark, path, r.getString(1))
+          path -> ((true, Option.empty[String]))
+        } catch { case e: Exception =>
+          log.warn(s"graft_index_health dir=$path COMPACT FAILED: " +
+            s"${e.getMessage}")
           path -> ((false, Some(Option(e.getMessage).getOrElse(
             e.getClass.getName))))
         }
       }
     }.toMap
-    // re-sweep ONLY what acted: the untouched rows' verdicts are
-    // already current, and a second stats pass over them is waste
-    val actedPaths = acted.collect { case (p0, (true, _)) => p0 }.toSeq
-    val after = healthSweep(spark, actedPaths, p).collect()
+    // re-sweep everything the action phase TOUCHED (ran OR failed
+    // mid-flight): untouched rows' verdicts are already current, and
+    // a second stats pass over them is waste
+    val touched = before.collect {
+      case r if r.getBoolean(2) => r.getString(0)
+    }.toSeq
+    val after = healthSweep(spark, touched, p).collect()
       .map(r => r.getString(0) -> r).toMap
     import spark.implicits._
     before.map { r =>
       val path = r.getString(0)
+      val famBefore = r.getString(1)
       val (didCompact, actErr) = acted(path)
-      val cur = after.getOrElse(path, r)
-      (path, cur.getString(1), cur.getBoolean(2),
-        cur.getSeq[String](3), didCompact,
-        actErr.orElse(Option(cur.getString(4))))
+      after.get(path) match {
+        case None => // never flagged: the first sweep's row stands
+          (path, famBefore, r.getBoolean(2), r.getSeq[String](3),
+            didCompact, actErr.orElse(Option(r.getString(4))))
+        case Some(cur) if cur.getString(4) != null =>
+          // post-action re-sweep errored: verdict unknowable — keep
+          // the family the first sweep detected, surface the error
+          (path, famBefore, false, Seq.empty[String], didCompact,
+            actErr.orElse(Option(cur.getString(4))))
+        case Some(cur) if didCompact && cur.getBoolean(2) =>
+          // ran to completion, verdict did NOT clear: the policy
+          // would re-fire every pass with no progress — report
+          // non-convergence with the named way out instead of
+          // letting the cron churn silently
+          val msg = "compaction ran but did not clear the verdict (" +
+            cur.getSeq[String](3).mkString("; ") + ") — a fully-" +
+            "tombstoned hash-band index compacts as a documented " +
+            "no-op; rebuild the index (its write entry point's root " +
+            "reset) or retire the root"
+          log.warn(s"graft_index_health dir=$path NON-CONVERGENT: $msg")
+          (path, cur.getString(1), true, cur.getSeq[String](3),
+            didCompact, Some(msg): Option[String])
+        case Some(cur) =>
+          (path, cur.getString(1), cur.getBoolean(2),
+            cur.getSeq[String](3), didCompact,
+            actErr.orElse(Option(cur.getString(4))))
+      }
     }.toSeq
       .toDF("path", "family", "compact", "reasons", "compacted", "error")
   }

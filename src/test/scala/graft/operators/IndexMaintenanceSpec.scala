@@ -169,6 +169,24 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       val e = intercept[IllegalArgumentException](
         IndexMaintenance.compactNow(spark, s"$root/stranger"))
       assert(e.getMessage.contains("refusing"), e.getMessage)
+      // NON-CONVERGENCE honesty: a fully-tombstoned hash-band index
+      // compacts as a documented no-op, so its verdict cannot clear —
+      // the report must say so (with the named way out) instead of
+      // letting a cron re-compact a dead index forever. Duplicate
+      // paths are deduplicated (one row, one compaction attempt).
+      Dedup.writeHashBandIndex(
+        Seq((1L, 7L), (2L, 777L)).toDF("vid", "sig"), "sig", "vid",
+        s"$root/dead", metricName = "graft_im_act_dead_cap")
+      Dedup.deleteFromHashBandIndex(spark, s"$root/dead",
+        Seq(1L, 2L).toDF("vid"), "vid")
+      val dead = IndexMaintenance.sweepAndCompact(spark,
+          Seq(s"$root/dead", s"$root/dead")).collect()
+      assert(dead.length == 1, s"duplicate paths must collapse: ${dead.length}")
+      val d = dead(0)
+      assert(d.getBoolean(4), "the compaction DID run")
+      assert(d.getBoolean(2), "the verdict cannot clear on a dead index")
+      assert(Option(d.getString(5)).exists(_.contains("did not clear")),
+        s"non-convergence must be surfaced: ${Option(d.getString(5))}")
       // and dispatches the positional (GIF) layout through the shared
       // hashband entry point
       Multimodal.writeGifHashBandIndex(
