@@ -5543,6 +5543,91 @@ object DataPrepQueries {
             gifIndex = Some(graft.operators.Multimodal
               .readGifHashBandIndex(s, s"$idxDir/idx")))
           .select("doc_id").orderBy("doc_id")
+      }),
+
+    // Index STATS + compact-now POLICY, numerically oracle-pinned
+    // (hashBandIndexStats -> healthOf -> shouldCompact): the health
+    // stack's arithmetic replays in DuckDB from first principles —
+    // md5-derived 64-bit signatures (first 8 md5 bytes, big-endian —
+    // '0x'||substr(md5,1,16) on the DuckDB side; band arithmetic is
+    // unsigned on both), a deliberately HOT hash (every doc_id%10==7
+    // shares it) tripping the all-or-nothing cap at maxBucket=25 so
+    // cap_dropped_bands and the capped row census are exercised, a
+    // 20% delete tripping the tombstoned-fraction signal, and the
+    // compaction clearing it. Two stages in one row set: 'deleted'
+    // (tombstones pending, policy fires) and 'compacted' (rows left
+    // materially, policy quiet; meta's ndocs/cap_dropped_bands
+    // deliberately survive compaction unchanged — build-time
+    // records). Physical stats (files/bytes) stay out of the hash.
+    QueryDef("q147_index_health", Some("""
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+      hs AS (SELECT doc_id, CASE WHEN doc_id % 10 = 7
+               THEN ('0x' || substr(md5('hot'), 1, 16))::UBIGINT
+               ELSE ('0x' || substr(md5('hsig:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT END AS h
+             FROM d),
+      bands AS (SELECT doc_id, k.k, (h >> (16 * k.k)) & 65535 AS band
+                FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k),
+      cnt AS (SELECT k, band, count(*) AS n FROM bands GROUP BY k, band),
+      kept AS (SELECT b.* FROM bands b
+               JOIN cnt c ON b.k = c.k AND b.band = c.band AND c.n <= 25),
+      del AS (SELECT doc_id FROM d WHERE doc_id % 5 = 0),
+      s1 AS (SELECT
+               count(*) AS rows,
+               (SELECT count(*) FROM cnt WHERE n <= 25) AS bands,
+               (SELECT count(*) FROM del) AS tomb_ids,
+               count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM del)) AS tomb_rows
+             FROM kept),
+      s2 AS (SELECT
+               (SELECT count(*) FROM kept
+                WHERE doc_id NOT IN (SELECT doc_id FROM del)) AS rows,
+               (SELECT count(*) FROM (
+                  SELECT DISTINCT k, band FROM kept
+                  WHERE doc_id NOT IN (SELECT doc_id FROM del))) AS bands,
+               0 AS tomb_ids, 0 AS tomb_rows),
+      meta AS (SELECT
+                 (SELECT count(*) FROM d) AS ndocs,
+                 (SELECT count(*) FROM cnt WHERE n > 25) AS cap_dropped)
+      SELECT stage, CAST(rows AS BIGINT) AS rows, CAST(bands AS BIGINT) AS bands,
+             CAST(tomb_ids AS BIGINT) AS tomb_ids,
+             CAST(tomb_rows AS BIGINT) AS tomb_rows,
+             CAST(m.ndocs AS BIGINT) AS ndocs,
+             CAST(m.cap_dropped AS BIGINT) AS cap_dropped_bands,
+             CAST(tomb_rows AS DOUBLE) / rows > 0.1 AS should_compact,
+             CAST(CASE WHEN CAST(tomb_rows AS DOUBLE) / rows > 0.1
+               THEN 1 ELSE 0 END AS BIGINT) AS n_reasons
+      FROM (SELECT 'deleted' AS stage, * FROM s1
+            UNION ALL SELECT 'compacted', * FROM s2) u
+      CROSS JOIN meta m
+      ORDER BY stage"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val mkH = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val key = if (docId % 10 == 7) "hot" else s"hsig:$docId"
+          java.nio.ByteBuffer.wrap(md.digest(key.getBytes("UTF-8"))).getLong
+        }
+        val sig = t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), mkH(col("doc_id")).as("h"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_health_").toFile.getAbsolutePath + "/idx"
+        graft.operators.Dedup.writeHashBandIndex(sig, "h", "doc_id", path,
+          maxBucket = 25)
+        graft.operators.Dedup.deleteFromHashBandIndex(s, path,
+          sig.filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+        def leg(stage: String) = {
+          val st = graft.operators.Dedup.hashBandIndexStats(s, path)
+          val adv = graft.operators.IndexMaintenance.shouldCompact(
+            graft.operators.IndexMaintenance.healthOf(st))
+          (stage, st.rows, st.bands, st.tombstonedIds, st.tombstonedRows,
+            st.ndocs, st.capDroppedBands, adv.compact, adv.reasons.length.toLong)
+        }
+        val l1 = leg("deleted")
+        graft.operators.Dedup.compactHashBandIndex(s, path)
+        val l2 = leg("compacted")
+        Seq(l1, l2).toDF("stage", "rows", "bands", "tomb_ids", "tomb_rows",
+            "ndocs", "cap_dropped_bands", "should_compact", "n_reasons")
+          .orderBy("stage")
       })
   )
 }
