@@ -193,12 +193,19 @@ object IndexMaintenance {
 
   /** Dispatch with the family already known — the sweep detected it
     * one filesystem listing ago; re-detecting per flagged root would
-    * pay a redundant remote listing each on a fleet pass. */
+    * pay a redundant remote listing each on a fleet pass. Unknown
+    * family strings REFUSE (a wildcard falling through to one
+    * family's compaction would run a destructive version rewrite
+    * against the wrong layout the day a fourth detectable family is
+    * added here but forgotten below). */
   private def compactAs(spark: org.apache.spark.sql.SparkSession,
       path: String, family: String): Unit = family match {
     case "hashband" => Dedup.compactHashBandIndex(spark, path)
     case "bm25" => TextStats.compactBm25Index(spark, path)
-    case _ => Similarity.compactIndex(spark, path)
+    case "ivf" => Similarity.compactIndex(spark, path)
+    case other => throw new IllegalArgumentException(
+      s"no compaction dispatch for family '$other' at $path — " +
+        "detectFamily and compactAs are out of sync; refusing to guess")
   }
 
   /** The WHOLE daily-cron body as one call: sweep the roots, compact
@@ -229,7 +236,19 @@ object IndexMaintenance {
       paths: Seq[String],
       p: CompactPolicy = CompactPolicy()): org.apache.spark.sql.DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.metrics")
-    val before = healthSweep(spark, paths.distinct, p).collect()
+    // dedup on the NORMALIZED path (Hadoop Path canonicalization —
+    // trailing slashes, duplicate separators), not the raw string:
+    // "/data/idx" and "/data/idx/" are one root and must compact
+    // once. Scheme-qualified vs bare spellings of one physical root
+    // cannot be unified without FS resolution and stay distinct —
+    // the report shows both rows, the second compaction no-ops on
+    // the already-clean artifact. A path that cannot even parse
+    // keeps its raw spelling (healthSweep's per-path guard owns it).
+    val normed = paths.map { raw =>
+      try new org.apache.hadoop.fs.Path(raw).toString
+      catch { case _: Exception => raw }
+    }.distinct
+    val before = healthSweep(spark, normed, p).collect()
     // path -> (compaction ran to completion, action-phase error)
     val acted: Map[String, (Boolean, Option[String])] = before.map { r =>
       val path = r.getString(0)
@@ -271,14 +290,30 @@ object IndexMaintenance {
             actErr.orElse(Option(cur.getString(4))))
         case Some(cur) if didCompact && cur.getBoolean(2) =>
           // ran to completion, verdict did NOT clear: the policy
-          // would re-fire every pass with no progress — report
-          // non-convergence with the named way out instead of
-          // letting the cron churn silently
-          val msg = "compaction ran but did not clear the verdict (" +
-            cur.getSeq[String](3).mkString("; ") + ") — a fully-" +
-            "tombstoned hash-band index compacts as a documented " +
-            "no-op; rebuild the index (its write entry point's root " +
-            "reset) or retire the root"
+          // would re-fire every pass with no progress — surface it
+          // instead of letting the cron churn silently. The message
+          // states the GENERIC facts (family + the re-fired reasons)
+          // and adds the one diagnosis this code actually knows —
+          // the fully-tombstoned hash-band no-op — only when the
+          // evidence matches; anything else (a policy tighter than
+          // the write fan-out, a delete racing the re-sweep) is the
+          // operator's to read from the reasons, and a transient
+          // re-fire clears itself on the next pass.
+          val reasons = cur.getSeq[String](3)
+          val fam = cur.getString(1)
+          val diag =
+            if (fam == "hashband" && reasons.exists(_.contains("tombstonedRows")))
+              " — a fully-tombstoned hash-band index compacts as a " +
+                "documented no-op: if this persists across passes, " +
+                "rebuild the index (its write entry point's root reset) " +
+                "or retire the root"
+            else
+              " — check the reasons against the policy (e.g. a " +
+                "maxStripes below the write fan-out re-fires forever) " +
+                "and whether a racing delete re-tripped the signal " +
+                "(clears next pass)"
+          val msg = s"compaction ran but did not clear the $fam verdict (" +
+            reasons.mkString("; ") + ")" + diag
           log.warn(s"graft_index_health dir=$path NON-CONVERGENT: $msg")
           (path, cur.getString(1), true, cur.getSeq[String](3),
             didCompact, Some(msg): Option[String])

@@ -179,8 +179,9 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         s"$root/dead", metricName = "graft_im_act_dead_cap")
       Dedup.deleteFromHashBandIndex(spark, s"$root/dead",
         Seq(1L, 2L).toDF("vid"), "vid")
+      // duplicate SPELLINGS of one root (trailing slash) collapse too
       val dead = IndexMaintenance.sweepAndCompact(spark,
-          Seq(s"$root/dead", s"$root/dead")).collect()
+          Seq(s"$root/dead", s"$root/dead/")).collect()
       assert(dead.length == 1, s"duplicate paths must collapse: ${dead.length}")
       val d = dead(0)
       assert(d.getBoolean(4), "the compaction DID run")
