@@ -2197,7 +2197,8 @@ object Dedup {
   final case class HashBandIndexStats(indexDir: String, bands: Long,
       rows: Long, files: Long, bytes: Long,
       tombstonedIds: Long, tombstonedRows: Long,
-      capDroppedBands: Long, maxBucket: Long, ndocs: Long)
+      capDroppedBands: Long, maxBucket: Long, ndocs: Long,
+      posCol: String = "")
 
   def hashBandIndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): HashBandIndexStats = {
@@ -2242,9 +2243,18 @@ object Dedup {
         (tdist.count(),
           data.join(broadcast(tdist), Seq(tid), "left_semi").count())
       }
-    val meta = spark.read.parquet(s"$path/_meta")
-      .select("cap_dropped_bands", "max_bucket", "ndocs").collect()(0)
+    // pos_col rides along so fleet reports (healthSweep's `layout`
+    // column) can tell a positional (GIF) index from a classic one
+    // without a second _meta read; a pre-positional meta (no pos_col
+    // column) is a classic index by construction
+    val metaDf = spark.read.parquet(s"$path/_meta")
+    val meta = metaDf.select(col("cap_dropped_bands"), col("max_bucket"),
+        col("ndocs"),
+        (if (metaDf.columns.contains("pos_col")) col("pos_col")
+         else lit("")).as("pos_col"))
+      .collect()(0)
     HashBandIndexStats(dir, agg0.getLong(1), agg0.getLong(0), files, bytes,
-      tombIds, tombRows, meta.getLong(0), meta.getLong(1), meta.getLong(2))
+      tombIds, tombRows, meta.getLong(0), meta.getLong(1), meta.getLong(2),
+      meta.getString(3))
   }
 }

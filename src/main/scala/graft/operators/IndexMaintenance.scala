@@ -95,8 +95,15 @@ object IndexMaintenance {
   }
 
   /** One row of `healthSweep`'s report: what was found at the path,
-    * what the policy said, or why the index could not be read. */
-  final case class SweepRow(path: String, family: String,
+    * what the policy said, or why the index could not be read.
+    * `layout` refines the family where a family has more than one
+    * on-disk layout: the hash-band family reports `classic` vs
+    * `positional` (the GIF index — `_meta.pos_col`, already in the
+    * stats read, zero extra IO), so a fleet report over mixed roots
+    * can tell which indexes hold animations without opening each
+    * `_meta`; single-layout families (bm25, ivf) repeat the family
+    * name, unreadable/unknown roots report `unknown`. */
+  final case class SweepRow(path: String, family: String, layout: String,
       compact: Boolean, reasons: Seq[String], error: Option[String])
 
   /** Detect which standing-index family wrote a root, from the layout
@@ -139,25 +146,30 @@ object IndexMaintenance {
           .getFileSystem(spark.sessionState.newHadoopConf())
         detectFamily(fs, path) match {
           case None =>
-            SweepRow(path, fam, compact = false, Nil,
+            SweepRow(path, fam, "unknown", compact = false, Nil,
               Some("unrecognized layout — not a graft index root " +
                 "(or the dir is missing)"))
           case Some(f) =>
             fam = f
-            val h = fam match {
-              case "hashband" => healthOf(Dedup.hashBandIndexStats(spark, path))
-              case "bm25" => healthOf(TextStats.bm25IndexStats(spark, path))
-              case _ => healthOf(Similarity.indexStats(spark, path))
+            val (h, layout) = fam match {
+              case "hashband" =>
+                val st = Dedup.hashBandIndexStats(spark, path)
+                (healthOf(st),
+                  if (st.posCol.nonEmpty) "positional" else "classic")
+              case "bm25" =>
+                (healthOf(TextStats.bm25IndexStats(spark, path)), "bm25")
+              case _ =>
+                (healthOf(Similarity.indexStats(spark, path)), "ivf")
             }
             val adv = logHealth(h, p)
-            SweepRow(path, fam, adv.compact, adv.reasons, None)
+            SweepRow(path, fam, layout, adv.compact, adv.reasons, None)
         }
       } catch {
         case e: Exception =>
           org.slf4j.LoggerFactory.getLogger("graft.metrics")
             .warn(s"graft_index_health family=$fam dir=$path " +
               s"UNREADABLE: ${e.getMessage}")
-          SweepRow(path, fam, compact = false, Nil,
+          SweepRow(path, fam, "unknown", compact = false, Nil,
             Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
@@ -231,29 +243,52 @@ object IndexMaintenance {
     * verdict columns are then explicitly unknowable (compact=false,
     * reasons empty, error set). Compactions run sequentially on the
     * driver (each is one artifact-sized Spark job; the fleet case
-    * wants them serialized against one cluster anyway). */
+    * wants them serialized against one cluster anyway).
+    *
+    * `maxActions` bounds the ACT phase: at most that many flagged
+    * roots compact per pass, in report order — the first pass after
+    * a policy tightening would otherwise rewrite every index in one
+    * unschedulable go. Roots flagged but over the bound report
+    * `deferred = true` with their first-sweep verdict standing
+    * (still flagged — the next pass picks them up); they are not
+    * re-swept, because nothing touched them. */
   def sweepAndCompact(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String],
-      p: CompactPolicy = CompactPolicy()): org.apache.spark.sql.DataFrame = {
+      p: CompactPolicy = CompactPolicy(),
+      maxActions: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
+    require(maxActions >= 0, s"maxActions must be >= 0, got $maxActions")
     val log = org.slf4j.LoggerFactory.getLogger("graft.metrics")
-    // dedup on the NORMALIZED path (Hadoop Path canonicalization —
-    // trailing slashes, duplicate separators), not the raw string:
-    // "/data/idx" and "/data/idx/" are one root and must compact
-    // once. Scheme-qualified vs bare spellings of one physical root
-    // cannot be unified without FS resolution and stay distinct —
-    // the report shows both rows, the second compaction no-ops on
-    // the already-clean artifact. A path that cannot even parse
+    // dedup on the FS-QUALIFIED path (scheme + authority + Hadoop
+    // Path canonicalization), not the raw string: "/data/idx",
+    // "/data/idx/" and "file:/data/idx" are one physical root and
+    // must compact once — makeQualified resolves the bare spelling
+    // against the path's own filesystem, so scheme-qualified and
+    // bare spellings of one root collapse BEFORE the act phase
+    // (compactHashBandIndex rewrites a full new version whenever
+    // data is non-empty, so a duplicate pass is a real artifact
+    // rewrite, not a no-op). A path that cannot parse or resolve
     // keeps its raw spelling (healthSweep's per-path guard owns it).
     val normed = paths.map { raw =>
-      try new org.apache.hadoop.fs.Path(raw).toString
-      catch { case _: Exception => raw }
+      try {
+        val hp = new org.apache.hadoop.fs.Path(raw)
+        hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .makeQualified(hp).toString
+      } catch { case _: Exception => raw }
     }.distinct
     val before = healthSweep(spark, normed, p).collect()
+    // the act budget, spent in report order
+    val flaggedOrder = before.collect {
+      case r if r.getBoolean(3) => r.getString(0)
+    }.toSeq
+    val actSet = flaggedOrder.take(maxActions).toSet
+    val deferredSet = flaggedOrder.drop(maxActions).toSet
+    deferredSet.foreach(path => log.warn(
+      s"graft_index_health dir=$path DEFERRED: flagged but over " +
+        s"maxActions=$maxActions this pass"))
     // path -> (compaction ran to completion, action-phase error)
     val acted: Map[String, (Boolean, Option[String])] = before.map { r =>
       val path = r.getString(0)
-      val flagged = r.getBoolean(2)
-      if (!flagged) path -> ((false, Option.empty[String]))
+      if (!actSet.contains(path)) path -> ((false, Option.empty[String]))
       else {
         try {
           compactAs(spark, path, r.getString(1))
@@ -268,9 +303,10 @@ object IndexMaintenance {
     }.toMap
     // re-sweep everything the action phase TOUCHED (ran OR failed
     // mid-flight): untouched rows' verdicts are already current, and
-    // a second stats pass over them is waste
+    // a second stats pass over them is waste — deferred roots are
+    // untouched by construction
     val touched = before.collect {
-      case r if r.getBoolean(2) => r.getString(0)
+      case r if actSet.contains(r.getString(0)) => r.getString(0)
     }.toSeq
     val after = healthSweep(spark, touched, p).collect()
       .map(r => r.getString(0) -> r).toMap
@@ -278,17 +314,20 @@ object IndexMaintenance {
     before.map { r =>
       val path = r.getString(0)
       val famBefore = r.getString(1)
+      val layoutBefore = r.getString(2)
+      val deferred = deferredSet.contains(path)
       val (didCompact, actErr) = acted(path)
       after.get(path) match {
-        case None => // never flagged: the first sweep's row stands
-          (path, famBefore, r.getBoolean(2), r.getSeq[String](3),
-            didCompact, actErr.orElse(Option(r.getString(4))))
-        case Some(cur) if cur.getString(4) != null =>
+        case None => // never acted on: the first sweep's row stands
+          (path, famBefore, layoutBefore, r.getBoolean(3),
+            r.getSeq[String](4), didCompact, deferred,
+            actErr.orElse(Option(r.getString(5))))
+        case Some(cur) if cur.getString(5) != null =>
           // post-action re-sweep errored: verdict unknowable — keep
           // the family the first sweep detected, surface the error
-          (path, famBefore, false, Seq.empty[String], didCompact,
-            actErr.orElse(Option(cur.getString(4))))
-        case Some(cur) if didCompact && cur.getBoolean(2) =>
+          (path, famBefore, layoutBefore, false, Seq.empty[String],
+            didCompact, deferred, actErr.orElse(Option(cur.getString(5))))
+        case Some(cur) if didCompact && cur.getBoolean(3) =>
           // ran to completion, verdict did NOT clear: the policy
           // would re-fire every pass with no progress — surface it
           // instead of letting the cron churn silently. The message
@@ -299,7 +338,7 @@ object IndexMaintenance {
           // the write fan-out, a delete racing the re-sweep) is the
           // operator's to read from the reasons, and a transient
           // re-fire clears itself on the next pass.
-          val reasons = cur.getSeq[String](3)
+          val reasons = cur.getSeq[String](4)
           val fam = cur.getString(1)
           val diag =
             if (fam == "hashband" && reasons.exists(_.contains("tombstonedRows")))
@@ -315,14 +354,16 @@ object IndexMaintenance {
           val msg = s"compaction ran but did not clear the $fam verdict (" +
             reasons.mkString("; ") + ")" + diag
           log.warn(s"graft_index_health dir=$path NON-CONVERGENT: $msg")
-          (path, cur.getString(1), true, cur.getSeq[String](3),
-            didCompact, Some(msg): Option[String])
+          (path, cur.getString(1), cur.getString(2), true,
+            cur.getSeq[String](4), didCompact, deferred,
+            Some(msg): Option[String])
         case Some(cur) =>
-          (path, cur.getString(1), cur.getBoolean(2),
-            cur.getSeq[String](3), didCompact,
-            actErr.orElse(Option(cur.getString(4))))
+          (path, cur.getString(1), cur.getString(2), cur.getBoolean(3),
+            cur.getSeq[String](4), didCompact, deferred,
+            actErr.orElse(Option(cur.getString(5))))
       }
     }.toSeq
-      .toDF("path", "family", "compact", "reasons", "compacted", "error")
+      .toDF("path", "family", "layout", "compact", "reasons",
+        "compacted", "deferred", "error")
   }
 }

@@ -94,21 +94,27 @@ class IndexMaintenanceSpec extends SparkSpecBase {
           s"$root/crashed", s"$root/stranger", "::not a uri::"))
         .collect()
         .map(r => r.getString(0).split('/').last ->
-          ((r.getString(1), r.getBoolean(2), Option(r.getString(4)))))
+          ((r.getString(1), r.getString(2), r.getBoolean(3),
+            Option(r.getString(5)))))
         .toMap
-      assert(rows("hbi") == (("hashband", false, None)), s"${rows("hbi")}")
-      assert(rows("gifi") == (("hashband", false, None)), s"${rows("gifi")}")
-      assert(rows("bm") == (("bm25", false, None)), s"${rows("bm")}")
-      assert(rows("ivf") == (("ivf", false, None)), s"${rows("ivf")}")
+      // the layout column tells classic from positional WITHIN the
+      // shared hashband family — a fleet report over mixed roots can
+      // see which indexes hold animations without opening each _meta
+      assert(rows("hbi") == (("hashband", "classic", false, None)),
+        s"${rows("hbi")}")
+      assert(rows("gifi") == (("hashband", "positional", false, None)),
+        s"${rows("gifi")}")
+      assert(rows("bm") == (("bm25", "bm25", false, None)), s"${rows("bm")}")
+      assert(rows("ivf") == (("ivf", "ivf", false, None)), s"${rows("ivf")}")
       val crashed = rows("crashed")
-      assert(crashed._1 == "hashband" && !crashed._2 &&
-        crashed._3.exists(_.contains("writeHashBandIndex")),
+      assert(crashed._1 == "hashband" && !crashed._3 &&
+        crashed._4.exists(_.contains("writeHashBandIndex")),
         s"crashed index must surface its named repair path: $crashed")
-      assert(rows("stranger")._1 == "unknown" && rows("stranger")._3.isDefined)
+      assert(rows("stranger")._1 == "unknown" && rows("stranger")._4.isDefined)
       // even Path PARSING failures stay per-path error rows — one bad
       // root must not kill the report for the healthy indexes
       assert(rows("::not a uri::")._1 == "unknown" &&
-        rows("::not a uri::")._3.isDefined)
+        rows("::not a uri::")._4.isDefined)
     }
   }
 
@@ -150,7 +156,7 @@ class IndexMaintenanceSpec extends SparkSpecBase {
           Seq(s"$root/tripped", s"$root/healthy", s"$root/stranger"))
         .collect()
         .map(r => r.getString(0).split('/').last ->
-          ((r.getBoolean(2), r.getBoolean(4), Option(r.getString(5)))))
+          ((r.getBoolean(3), r.getBoolean(5), Option(r.getString(7)))))
         .toMap
       // tripped: compaction RAN and the post-action verdict is clear
       assert(report("tripped") == ((false, true, None)),
@@ -179,15 +185,18 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         s"$root/dead", metricName = "graft_im_act_dead_cap")
       Dedup.deleteFromHashBandIndex(spark, s"$root/dead",
         Seq(1L, 2L).toDF("vid"), "vid")
-      // duplicate SPELLINGS of one root (trailing slash) collapse too
+      // duplicate SPELLINGS of one root collapse BEFORE the act phase
+      // — trailing slash AND scheme-qualified vs bare (makeQualified
+      // resolves both against the path's own filesystem, so the
+      // duplicate never pays a second full artifact rewrite)
       val dead = IndexMaintenance.sweepAndCompact(spark,
-          Seq(s"$root/dead", s"$root/dead/")).collect()
+          Seq(s"$root/dead", s"$root/dead/", s"file:$root/dead")).collect()
       assert(dead.length == 1, s"duplicate paths must collapse: ${dead.length}")
       val d = dead(0)
-      assert(d.getBoolean(4), "the compaction DID run")
-      assert(d.getBoolean(2), "the verdict cannot clear on a dead index")
-      assert(Option(d.getString(5)).exists(_.contains("did not clear")),
-        s"non-convergence must be surfaced: ${Option(d.getString(5))}")
+      assert(d.getBoolean(5), "the compaction DID run")
+      assert(d.getBoolean(3), "the verdict cannot clear on a dead index")
+      assert(Option(d.getString(7)).exists(_.contains("did not clear")),
+        s"non-convergence must be surfaced: ${Option(d.getString(7))}")
       // and dispatches the positional (GIF) layout through the shared
       // hashband entry point
       Multimodal.writeGifHashBandIndex(
@@ -197,6 +206,58 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         metricName = "graft_im_act_gif_cap")(spark)
       assert(IndexMaintenance.compactNow(spark, s"$root/gifi") == "hashband")
       assert(Multimodal.readGifHashBandIndex(spark, s"$root/gifi").count() > 0)
+    }
+  }
+
+  test("sweepAndCompact maxActions: the act phase is bounded per pass, deferred roots stay flagged and compact next pass") {
+    withTempDir("im-budget") { dir =>
+      val root = dir.getAbsolutePath
+      // three tripped roots (half their docs deleted each)
+      val names = Seq("a", "b", "c")
+      names.foreach { n =>
+        Dedup.writeHashBandIndex(
+          Seq((1L, 0x0123456789ABCDEFL), (2L, 0x00FF00FF00FF00FFL),
+            (3L, 0xFEDCBA9876543210L), (4L, 0x0F0F0F0F0F0F0F0FL))
+            .toDF("vid", "sig"), "sig", "vid", s"$root/$n",
+          metricName = s"graft_im_budget_${n}_cap")
+        Dedup.deleteFromHashBandIndex(spark, s"$root/$n",
+          Seq(1L, 2L).toDF("vid"), "vid")
+      }
+      val pass1 = IndexMaintenance.sweepAndCompact(spark,
+          names.map(n => s"$root/$n"), maxActions = 1).collect()
+        .map(r => r.getString(0).split('/').last ->
+          ((r.getBoolean(3), r.getBoolean(5), r.getBoolean(6),
+            Option(r.getString(7)))))
+        .toMap
+      // exactly ONE compaction ran; the two deferred rows keep their
+      // flagged verdict (next pass's input) and carry no error —
+      // deferral is a budget decision, not a failure
+      val compacted1 = pass1.values.count(_._2)
+      val deferred1 = pass1.values.count(_._3)
+      assert(compacted1 == 1 && deferred1 == 2, s"$pass1")
+      pass1.values.filter(_._3).foreach { v =>
+        assert(v._1 && !v._2 && v._4.isEmpty,
+          s"deferred row must stay flagged with no error: $v")
+      }
+      // the acted root's verdict cleared, and it is not deferred
+      val acted1 = pass1.values.find(_._2).get
+      assert(!acted1._1 && !acted1._3 && acted1._4.isEmpty, s"$acted1")
+      // second pass at the same budget: one of the deferred two
+      // compacts; nothing re-compacts the already-clean root
+      val pass2 = IndexMaintenance.sweepAndCompact(spark,
+          names.map(n => s"$root/$n"), maxActions = 1).collect()
+        .map(r => (r.getBoolean(5), r.getBoolean(6)))
+      assert(pass2.count(_._1) == 1 && pass2.count(_._2) == 1, s"${pass2.toSeq}")
+      // maxActions = 0 is a pure dry-run sweep: flags, acts on nothing
+      val dry = IndexMaintenance.sweepAndCompact(spark,
+          names.map(n => s"$root/$n"), maxActions = 0).collect()
+      assert(dry.forall(r => !r.getBoolean(5)), "dry run must not compact")
+      assert(dry.count(_.getBoolean(6)) == 1,
+        "the one still-flagged root defers under a zero budget")
+      intercept[IllegalArgumentException] {
+        IndexMaintenance.sweepAndCompact(spark, Seq(s"$root/a"),
+          maxActions = -1)
+      }
     }
   }
 }
