@@ -30,7 +30,27 @@ import org.apache.spark.sql.SparkSession
   * threshold — the hysteresis band keeps borderline queries from
   * flip-flopping phases on classify-vs-score noise. `GRAFT_BENCH_HEAVY`
   * (comma-separated names) force-ADDS queries to the heavy phase on
-  * top of the derived set. */
+  * top of the derived set. `GRAFT_BENCH_ONLY` (comma-separated
+  * names) restricts the sweep to a subset — smoke/A-B mode; the
+  * artifact then carries a `subset` field so a partial total can't
+  * read as a full-sweep score.
+  *
+  * CONTENTION SENTINEL: a contaminated run must self-report instead
+  * of costing a forensics round (r15: uniform 1.0-2.1x inflation on
+  * untouched queries under sustained host load — min-of-3 cannot
+  * reject contention when every sample lands in a busy window). Two
+  * independent signals ride the output JSON as `sentinel`:
+  *  - `load_*`: `getSystemLoadAverage` sampled before every timed
+  *    query execution (1-min loadavg; includes THIS process, so a
+  *    healthy run sits near the query parallelism — what matters is
+  *    drift and the max, normalized by `ncpus`);
+  *  - `calib_first_sec`/`calib_last_sec`: a FIXED-COST calibration
+  *    job (pure codegen'd range-sum, no IO, data-independent) timed
+  *    (median of 3) right after session warmup and again after the
+  *    last scored query. `calib_ratio` far from 1.0 means the host's
+  *    available CPU changed across the run, and the per-query floors
+  *    straddle different conditions — re-run on a quiet host before
+  *    reading anything into cross-round deltas. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,12 +58,29 @@ object Bench {
     val maxReruns = math.max(0, sys.env.getOrElse("GRAFT_BENCH_RERUNS", "3").toInt)
     val spark = GraftSession.build("graft-bench")
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     def once(name: String): Double = {
+      val l = osBean.getSystemLoadAverage
+      if (l >= 0) loadSamples += l
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+
+    // Fixed-cost calibration: a pure whole-stage-codegen range scan —
+    // no file IO, no shuffle, data-independent — so its time moves
+    // ONLY with available CPU. Median of 3 (a min would reject
+    // exactly the contention this exists to observe).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000000L).selectExpr("sum(id * (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calib(): Double =
+      Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
 
     // The multi-second, multi-job queries run in their own phase AFTER
     // every small query is fully sampled: their JIT/GC/executor-memory
@@ -59,7 +96,17 @@ object Bench {
     val forcedHeavy = sys.env.getOrElse("GRAFT_BENCH_HEAVY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .filter(SparkEntry.queries.contains)
+    // GRAFT_BENCH_ONLY (comma-separated names): restrict the sweep —
+    // for smoke-testing the artifact end-to-end and for A/B'ing a
+    // handful of queries through the SAME warm/min-of-3/rerun
+    // machinery the scored runs use (a single-pass timer reads ~2x
+    // noise between windows; this doesn't). Unknown names are
+    // ignored; the artifact marks the run "subset" so a partial
+    // total can never be mistaken for a full-sweep score.
+    val only = sys.env.getOrElse("GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val allNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
     // Throwaway warm query (not scored, not classifying): pays the
     // session-global init — JIT of the Spark submit/codegen paths,
     // Hadoop FS + parquet footer caches — OUTSIDE any measurement.
@@ -67,6 +114,13 @@ object Bench {
     // their cold time and misclassify as heavy (observed r10: four
     // sub-second relational queries led the heavy list).
     allNames.headOption.foreach(once)
+    // sentinel leg 1: fixed-cost calibration on the freshly-warmed
+    // JVM, BEFORE any scored work. One untimed pass first — the
+    // calibration plan's own codegen compile must not read as "the
+    // host was slower at the start" (observed: first-vs-last ratio
+    // 0.43 on an idle host without it).
+    calibOnce()
+    val calibFirst = calib()
     val coldTimes = allNames.map(n => n -> once(n)).toMap
     // Cold-start bias guard, second layer: re-time the provisional
     // heavies TWICE — the JVM is warm now — and classify on the min of
@@ -146,6 +200,22 @@ object Bench {
       else firstPass.filterNot(r => misfiled.contains(r._1)) ++ benchPhase(misfiled)
     val publishedHeavy = heavyList ++ misfiled
 
+    // sentinel leg 2: same fixed-cost job AFTER the last scored query
+    val calibLast = calib()
+    val loads = loadSamples.toSeq.sorted
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val sentinel = {
+      val ncpus = Runtime.getRuntime.availableProcessors
+      val (lMin, lMed, lMax) =
+        if (loads.isEmpty) (-1.0, -1.0, -1.0)
+        else (loads.head, loads(loads.length / 2), loads.last)
+      s""""sentinel":{"ncpus":$ncpus,"load_min":${r3(lMin)},""" +
+        s""""load_median":${r3(lMed)},"load_max":${r3(lMax)},""" +
+        s""""calib_first_sec":${r3(calibFirst)},""" +
+        s""""calib_last_sec":${r3(calibLast)},""" +
+        s""""calib_ratio":${r3(calibLast / math.max(calibFirst, 1e-9))}}"""
+    }
+
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
@@ -154,11 +224,14 @@ object Bench {
     // publish the DERIVED heavy list so the phase split is auditable
     // from the artifact alone
     val heavyJson = publishedHeavy.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"heavy":$heavyJson,"sf":"$sfDir"}"""
+    val subset =
+      if (only.isEmpty) "" else s""""subset":${allNames.length},"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subset"queries":$qs,"medians":$meds,"heavy":$heavyJson,$sentinel,"sf":"$sfDir"}"""
     // compact total BEFORE the giant per-query line too: whichever
     // side of the log a bounded tail window lands on, one parseable
-    // summary line is inside it
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // summary line is inside it — the sentinel rides it so even a
+    // tail-truncated artifact shows whether the run was contaminated
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$sentinel,"sf":"$sfDir"}""")
     println(line)
     val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try {
@@ -172,6 +245,6 @@ object Bench {
     // follow it: a SHORT summary the driver's tail-window scraper can
     // always land on — the full per-query line above is one giant JSON
     // line that a bounded tail window front-truncates.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$sentinel,"sf":"$sfDir"}""")
   }
 }

@@ -1921,7 +1921,9 @@ object CorpusPrep {
         "counts matched frame POSITIONS per animation — an id-keyed " +
         "aggregation the row-local append-mode contract cannot express " +
         "(unlike the single-hash image/audio probes) — dedupe GIF intake " +
-        "in incremental batches via runIncremental + gifIndex")
+        "in incremental batches via runIncremental + gifIndex, or as a " +
+        "foreachBatch stream via Multimodal.gifNearDupMicroBatch (the " +
+        "batch filter's exact semantics per micro-batch)")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
         cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +

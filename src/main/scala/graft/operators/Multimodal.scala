@@ -928,65 +928,90 @@ object Multimodal {
     * contract as the other decoders: digest state per partition, all
     * decode where the scan partition lives, malformed payloads emit
     * zero rows rather than failing the task. */
-  /** Shared multi-frame GIF walk: decode up to `nFrames` evenly
-    * spaced frames COMPOSITED onto a logical-screen canvas (optimized
-    * GIFs store only each frame's changed sub-rectangle at an (x, y)
-    * offset — reading a frame raw would extract the patch, not the
-    * rendered image, so two encodings of one animation would
-    * disagree; draw-over is the dominant doNotDispose case), and emit
-    * `extract(samplePos, frameIdx, nTotal, canvas)` at each picked
-    * index. Malformed payloads yield an empty Vector — never a task
-    * failure. Both `sampleFramesDecoded` (per-frame digests/features)
-    * and `gifFrameHashes` (per-frame dHash — the near-dup tier) are
-    * this one walk, so their frame selection and compositing can
-    * never drift apart. */
-  private def foldGifFrames[T](b: Array[Byte], nFrames: Int)(
-      extract: (Int, Int, Int, java.awt.image.BufferedImage) => T): Vector[T] = {
-    if (b == null || b.isEmpty) return Vector.empty
-    try {
+  /** The DECODE SEAM of the video-like tier — the one interface a
+    * non-GIF codec must implement to ride the whole tier (sampling,
+    * offset-compositing, per-frame dHash, positional banding, the
+    * standing index): open a container's bytes, report its frame
+    * count, and serve the fully COMPOSITED frame at an index. The
+    * tier logic is container-agnostic above this seam; `gifFrameHashes`,
+    * `sampleFramesDecoded`, `gifNearDupPairs` and the positional
+    * index builders all take a `FrameDecoder` (default
+    * `GifFrameDecoder` — the pure-JDK ImageIO path), so an external
+    * MP4/WebM decoder (JNI/FFmpeg — no JDK codec exists) plugs in
+    * WITHOUT forking the tier. Implementations must be Serializable
+    * (the instance ships inside mapPartitions closures; open() runs
+    * where the scan partition lives, so decoder state is
+    * executor-local). `open` returns None when the payload is not
+    * this decoder's container; any exception out of open/frameAt is
+    * treated as a malformed payload (zero rows — the gates own
+    * those), never a task failure. */
+  trait FrameDecoder extends Serializable {
+    def open(bytes: Array[Byte]): Option[OpenedFrames]
+  }
+
+  /** One opened container. `frameAt(i)` returns frame `i` fully
+    * composited (for containers whose frames are deltas over a
+    * canvas, the RENDERED image — not the stored patch) and MUST be
+    * called with non-decreasing indices: decoders composite forward
+    * and do not rewind (the tier's evenly-spaced sampling walk is
+    * monotonic by construction). The returned image may be a shared
+    * mutable canvas — extract what you need before the next call.
+    * `close()` releases decoder state; always called. */
+  trait OpenedFrames {
+    def frameCount: Int
+    def frameAt(i: Int): java.awt.image.BufferedImage
+    def close(): Unit
+  }
+
+  /** The pure-JDK GIF implementation of the seam (ImageIO gif plugin,
+    * ships with every JVM): frames composite onto a logical-screen
+    * canvas at their ImageDescriptor (x, y) offsets — optimized GIFs
+    * store only each frame's changed sub-rectangle, so reading a
+    * frame raw would extract the patch, not the rendered image, and
+    * two encodings of one animation would disagree; draw-over is the
+    * dominant doNotDispose case. */
+  object GifFrameDecoder extends FrameDecoder {
+    def open(bytes: Array[Byte]): Option[OpenedFrames] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(b))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) Vector.empty
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val n = reader.getNumImages(true) // allowSearch: full index scan
-            val pickSeq =
-              (if (n <= nFrames) 0 until n
-               // Long math: i * n overflows Int for large requests
-               else (0 until nFrames).map(i => (i.toLong * n / nFrames).toInt))
-                .toVector
-            val picks = pickSeq.toSet
-            val posOf = pickSeq.zipWithIndex.toMap
-            val maxPick = if (picks.isEmpty) -1 else picks.max
-            // canvas = the GIF LOGICAL SCREEN when the stream
-            // metadata carries it: frame 0 may legally be a
-            // sub-rectangle of the animation (optimized GIFs),
-            // and a frame-0-sized canvas would clip every later
-            // full-size frame. Frame 0 is decoded ONCE and reused
-            // as the first loop iteration.
-            val f0 = reader.read(0)
-            val canvas = {
-              val (lw, lh) = try {
-                val tree = reader.getStreamMetadata
-                  .getAsTree("javax_imageio_gif_stream_1.0")
-                  .asInstanceOf[org.w3c.dom.Element]
-                val d = tree.getElementsByTagName("LogicalScreenDescriptor")
-                  .item(0).asInstanceOf[org.w3c.dom.Element]
-                (d.getAttribute("logicalScreenWidth").toInt,
-                  d.getAttribute("logicalScreenHeight").toInt)
-              } catch { case scala.util.control.NonFatal(_) => (0, 0) }
-              val (w0, h0) = (math.max(lw, math.max(f0.getWidth, reader.getWidth(0))),
-                math.max(lh, math.max(f0.getHeight, reader.getHeight(0))))
-              new java.awt.image.BufferedImage(w0, h0,
-                java.awt.image.BufferedImage.TYPE_INT_ARGB)
-            }
-            val g = canvas.createGraphics()
-            try {
-              (0 to maxPick).toVector.flatMap { fi =>
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true) // allowSearch: full index scan
+          // canvas = the GIF LOGICAL SCREEN when the stream metadata
+          // carries it: frame 0 may legally be a sub-rectangle of the
+          // animation (optimized GIFs), and a frame-0-sized canvas
+          // would clip every later full-size frame. Frame 0 is
+          // decoded ONCE and reused as the first composite step.
+          val f0 = reader.read(0)
+          val canvas = {
+            val (lw, lh) = try {
+              val tree = reader.getStreamMetadata
+                .getAsTree("javax_imageio_gif_stream_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              val d = tree.getElementsByTagName("LogicalScreenDescriptor")
+                .item(0).asInstanceOf[org.w3c.dom.Element]
+              (d.getAttribute("logicalScreenWidth").toInt,
+                d.getAttribute("logicalScreenHeight").toInt)
+            } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+            val (w0, h0) = (math.max(lw, math.max(f0.getWidth, reader.getWidth(0))),
+              math.max(lh, math.max(f0.getHeight, reader.getHeight(0))))
+            new java.awt.image.BufferedImage(w0, h0,
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          }
+          val g = canvas.createGraphics()
+          Some(new OpenedFrames {
+            private var nextFrame = 0
+            def frameCount: Int = n
+            def frameAt(i: Int): java.awt.image.BufferedImage = {
+              require(i >= nextFrame - 1 && i < n,
+                s"frameAt($i) out of order (next undrawn frame: $nextFrame, " +
+                  s"n=$n) — OpenedFrames composites forward only")
+              while (nextFrame <= i) {
+                val fi = nextFrame
                 val img = if (fi == 0) f0 else reader.read(fi)
                 val (x, y) = try {
                   val tree = reader.getImageMetadata(fi)
@@ -998,17 +1023,62 @@ object Multimodal {
                     desc.getAttribute("imageTopPosition").toInt)
                 } catch { case scala.util.control.NonFatal(_) => (0, 0) }
                 g.drawImage(img, x, y, null)
-                if (!picks.contains(fi)) None
-                else Some(extract(posOf(fi), fi, n, canvas))
+                nextFrame += 1
               }
-            } finally g.dispose()
-          } finally reader.dispose()
+              canvas
+            }
+            def close(): Unit = {
+              g.dispose(); reader.dispose(); iis.close()
+            }
+          })
+        } catch { case scala.util.control.NonFatal(e) =>
+          // a payload ImageIO claims but cannot open: release and
+          // rethrow — foldFrames maps it to zero rows
+          reader.dispose(); iis.close(); throw e
         }
-      } finally iis.close()
+      }
+    }
+  }
+
+  /** Shared multi-frame walk over the decode seam: open the
+    * container, pick up to `nFrames` evenly spaced frame indices,
+    * and emit `extract(samplePos, frameIdx, nTotal, compositedFrame)`
+    * at each — frame selection and compositing live HERE, once, so
+    * `sampleFramesDecoded` (per-frame digests/features) and
+    * `gifFrameHashes` (per-frame dHash — the near-dup tier) can
+    * never drift apart, and a plugged-in decoder inherits the exact
+    * sampling the GIF tier's oracles pin. Malformed payloads (open
+    * returns None or any decode throws) yield an empty Vector —
+    * never a task failure. */
+  private def foldFrames[T](b: Array[Byte], nFrames: Int,
+      decoder: FrameDecoder)(
+      extract: (Int, Int, Int, java.awt.image.BufferedImage) => T): Vector[T] = {
+    if (b == null || b.isEmpty) return Vector.empty
+    try {
+      decoder.open(b) match {
+        case None => Vector.empty
+        case Some(of) =>
+          try {
+            val n = of.frameCount
+            val pickSeq =
+              (if (n <= nFrames) 0 until n
+               // Long math: i * n overflows Int for large requests
+               else (0 until nFrames).map(i => (i.toLong * n / nFrames).toInt))
+                .toVector
+            pickSeq.zipWithIndex.map { case (fi, pos) =>
+              extract(pos, fi, n, of.frameAt(fi))
+            }
+          } finally of.close()
+      }
     } catch { case scala.util.control.NonFatal(_) => Vector.empty }
   }
 
-  def sampleFramesDecoded(df: DataFrame, binaryCol: String, nFrames: Int)(
+  private def foldGifFrames[T](b: Array[Byte], nFrames: Int)(
+      extract: (Int, Int, Int, java.awt.image.BufferedImage) => T): Vector[T] =
+    foldFrames(b, nFrames, GifFrameDecoder)(extract)
+
+  def sampleFramesDecoded(df: DataFrame, binaryCol: String, nFrames: Int,
+      decoder: FrameDecoder = GifFrameDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     val idx = requireBinary(df, binaryCol)
@@ -1019,7 +1089,7 @@ object Multimodal {
     df.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.flatMap { r =>
-        foldGifFrames(binaryOf(r, idx), nFrames) { (_, fi, n, canvas) =>
+        foldFrames(binaryOf(r, idx), nFrames, decoder) { (_, fi, n, canvas) =>
           val (w, h) = (canvas.getWidth, canvas.getHeight)
           val px = canvas.getRGB(0, 0, w, h, null, 0, w)
           val bb = java.nio.ByteBuffer.allocate(px.length * 4)
@@ -1048,11 +1118,14 @@ object Multimodal {
     *
     * MP4/WebM: this tier is decode-complete except for the codec —
     * the sampling, compositing-at-offset, dHash and banded search
-    * below are container-agnostic; plugging a frame decoder in place
-    * of the ImageIO reader is the ONLY missing piece (no JDK codec
-    * exists, honestly stubbed in `sampleFrames`). */
+    * below are container-agnostic, and the codec is now a pluggable
+    * seam: pass a custom `FrameDecoder` (JNI/FFmpeg — no JDK codec
+    * exists; `sampleFrames` remains the honest digest-only stub) and
+    * the whole tier — pairs, filter, standing index — rides it
+    * unchanged. */
   def gifFrameHashes(df: DataFrame, binaryCol: String, nFrames: Int = 4,
-      outCol: String = "frame_ph")(
+      outCol: String = "frame_ph",
+      decoder: FrameDecoder = GifFrameDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     require(!df.columns.exists(c => Set("sample_pos", "frame_idx",
@@ -1066,7 +1139,7 @@ object Multimodal {
     df.mapPartitions { it =>
       val hasher = new PerceptualHasher
       it.flatMap { r =>
-        foldGifFrames(binaryOf(r, idx), nFrames) { (pos, fi, n, canvas) =>
+        foldFrames(binaryOf(r, idx), nFrames, decoder) { (pos, fi, n, canvas) =>
           Row.fromSeq(r.toSeq :+ pos :+ fi :+ n :+ hasher.dhashOfImage(canvas))
         }
       }
@@ -1095,21 +1168,34 @@ object Multimodal {
     * pass.
     * Positional comparison is the honest cheap rule: it catches
     * re-encodes, palette changes and mild edits of the SAME
-    * animation; a time-shifted or re-cut animation is a different
-    * sampling (document, don't guess — an alignment search would be
-    * quadratic in frames). Returns (id_a, id_b, n_matched) with
-    * id_a < id_b. */
+    * animation; `maxShift` adds a BOUNDED alignment tolerance for
+    * time-shifted / re-cut variants (a trimmed intro shifts every
+    * later sampled frame by a position or two): a frame at position
+    * p may match the other side's frames at positions p±maxShift,
+    * at (2·maxShift+1)× the candidate cost — still banded, never the
+    * quadratic full alignment search (which stays refused: an
+    * arbitrarily re-cut animation is a different sampling). With
+    * shift, `n_matched` counts the LEAST of each side's distinct
+    * matched positions (a frame matching three shifted counterparts
+    * is one covered position, not three matches; at maxShift = 0 both
+    * counts equal the classic same-position match count, so the
+    * default semantics are bit-identical to pre-shift). Returns
+    * (id_a, id_b, n_matched) with id_a < id_b. */
   def gifNearDupPairs(df: DataFrame, binaryCol: String, idCol: String,
       nFrames: Int = 4, maxHamming: Int = 3, minFrameMatches: Int = 3,
       maxBucket: Int = HotKeys.DefaultBucketCap,
-      metricName: String = "graft_gif_band_cap")(
+      metricName: String = "graft_gif_band_cap",
+      maxShift: Int = 0,
+      decoder: FrameDecoder = GifFrameDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(minFrameMatches >= 1 && minFrameMatches <= nFrames,
       s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
+    require(maxShift >= 0 && maxShift < nFrames,
+      s"maxShift must be in [0, nFrames=$nFrames), got $maxShift")
     import org.apache.spark.sql.functions._
     val frames = gifFrameHashes(df.select(col(idCol), col(binaryCol)),
-        binaryCol, nFrames, "_h")
+        binaryCol, nFrames, "_h", decoder)
       .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"),
         least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
     val bands = frames.select(col("_gid"), col("sample_pos"), col("_h"),
@@ -1117,19 +1203,36 @@ object Multimodal {
         posexplode(array((0 until 4).map(k =>
           shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
       .toDF("_gid", "sample_pos", "_h", "_nf", "_k", "_band")
+    // cap per TRUE (position, slot, value) bucket. minPerKey prunes
+    // buckets that cannot produce a pair: with shift that is ANY
+    // nonempty bucket (the counterpart may sit in a neighboring
+    // position's bucket), so the singleton-prune only applies at
+    // maxShift = 0.
     val (obs, silent) = HotKeys.capPair(bands,
       Seq(col("sample_pos"), col("_k"), col("_band")), maxBucket,
-      minPerKey = 2, metricName = metricName)
-    val a = obs.toDF("id_a", "sample_pos", "_ha", "_nfa", "_k", "_band")
+      minPerKey = if (maxShift == 0) 2 else 1, metricName = metricName)
+    val a0 = obs.toDF("id_a", "_posa", "_ha", "_nfa", "_k", "_band")
     val b = silent.toDF("id_b", "sample_pos", "_hb", "_nfb", "_k", "_band")
+    // the a-side replicates each band row to its tolerated join
+    // positions ((2·maxShift+1)× rows — the stated cost); the b-side
+    // keeps true positions, so |posa − posb| <= maxShift exactly
+    val a =
+      if (maxShift == 0) a0.withColumn("sample_pos", col("_posa"))
+      else a0
+        .withColumn("sample_pos", explode(array(
+          (-maxShift to maxShift).map(d => col("_posa") + lit(d)): _*)))
+        .filter(col("sample_pos") >= 0)
     a.join(b, Seq("sample_pos", "_k", "_band"))
       .filter(col("id_a") < col("id_b"))
       .filter(bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("sample_pos"),
-        col("_nfa"), col("_nfb"))
+      .select(col("id_a"), col("id_b"), col("_posa"),
+        col("sample_pos").as("_posb"), col("_nfa"), col("_nfb"))
       .distinct() // several bands of one frame pair agree -> one match
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).cast("long").as("n_matched"),
+      // a side's covered positions, not matched frame PAIRS: one
+      // frame matching three shifted counterparts is one position
+      .agg(least(count_distinct(col("_posa")),
+          count_distinct(col("_posb"))).cast("long").as("n_matched"),
         min(col("_nfa")).as("_nfa"), min(col("_nfb")).as("_nfb"))
       // below the standard threshold the gate demands EQUAL sampled
       // lengths with every position matched (greatest(nfa, nfb) is
@@ -1158,11 +1261,12 @@ object Multimodal {
     * with observed drop counts. */
   def gifHashBandIndex(standing: DataFrame, gifCol: String,
       nFrames: Int = 4, maxBucket: Int = HotKeys.DefaultBucketCap,
-      metricName: String = "graft_gif_index_cap")(
+      metricName: String = "graft_gif_index_cap",
+      decoder: FrameDecoder = GifFrameDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     val frames = gifFrameHashes(standing.select(col(gifCol)),
-        gifCol, nFrames, "_h")
+        gifCol, nFrames, "_h", decoder)
       .select(col("sample_pos"), col("_h"))
     val bands = frames.select(col("sample_pos"), col("_h"),
         posexplode(array((0 until 4).map(k =>
@@ -1172,7 +1276,29 @@ object Multimodal {
         maxBucket, minPerKey = 1, metricName = metricName)
       .groupBy("sample_pos", "_k", "_band")
       .agg(collect_list("_h").as("_hs"))
+      .withColumn("_hs", col("_hs").as("_hs", sampleWidthMeta(nFrames)))
   }
+
+  /** The sampling width riding the probe frame as COLUMN METADATA on
+    * `_hs` — the device that closes the mixed-width seam: the index
+    * builders/readers know the width the signatures were sampled at,
+    * the probe knows its own, and carrying the former on the frame
+    * itself lets `gifNearDupFilterAgainst` refuse a mismatch even
+    * though the two widths meet only there. Schema metadata survives
+    * select/filter/persist/localCheckpoint (a probe pipeline's whole
+    * journey); a frame that lost it (hand-built, or rebuilt through a
+    * transformation that re-created the column) degrades to the old
+    * unguarded behavior — best-effort by design, the persisted path's
+    * `_meta.sample_cap` check stays the hard gate. */
+  private def sampleWidthMeta(nFrames: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.sample_width", nFrames.toLong).build()
+
+  private def indexSampleWidth(index: DataFrame): Option[Long] =
+    index.schema.fields.find(_.name == "_hs")
+      .map(_.metadata)
+      .filter(_.contains("graft.sample_width"))
+      .map(_.getLong("graft.sample_width"))
 
   /** Keep the rows whose animation does NOT near-dup the standing
     * corpus — the GIF twin of `Dedup.hashNearDupFilterAgainst`, for
@@ -1195,11 +1321,27 @@ object Multimodal {
     * prepStream refuses the GIF tier for exactly this aggregation. */
   def gifNearDupFilterAgainst(df: DataFrame, gifCol: String, idCol: String,
       index: DataFrame, nFrames: Int = 4, maxHamming: Int = 3,
-      minFrameMatches: Int = 3, broadcastIndex: Boolean = true)(
+      minFrameMatches: Int = 3, broadcastIndex: Boolean = true,
+      decoder: FrameDecoder = GifFrameDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(minFrameMatches >= 1 && minFrameMatches <= nFrames,
       s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
+    // the mixed-width seam, closed at the point the two widths MEET:
+    // an index built (or read back) at one nFrames probed at another
+    // would compare DIFFERENT frames per position — the exact silent
+    // mix the persisted reader's _meta.sample_cap check refuses. The
+    // build width rides the index frame as `_hs` column metadata
+    // (gifHashBandIndex / readGifHashBandIndex attach it), so the
+    // refusal works for the in-memory form and for a persisted read
+    // whose caller then probes at a different default.
+    indexSampleWidth(index).foreach { built =>
+      require(built == nFrames.toLong,
+        s"gifNearDupFilterAgainst: index carries sample width $built " +
+          s"(nFrames at build/read) but this probe samples at $nFrames — " +
+          "probe with the index's width, or rebuild the index at the " +
+          "probe's")
+    }
     val clash = df.columns.toSeq.intersect(
       Seq("_h", "_nf") ++ (0 until 4).flatMap(k =>
         Seq(s"_p$k", s"_b$k", s"_cand$k")))
@@ -1207,7 +1349,7 @@ object Multimodal {
       s"input columns ${clash.mkString(",")} collide with " +
         "gifNearDupFilterAgainst's working names")
     val frames = gifFrameHashes(df.select(col(idCol), col(gifCol)),
-        gifCol, nFrames, "_h")
+        gifCol, nFrames, "_h", decoder)
       .select(col(idCol), col("sample_pos"), col("_h"),
         least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
     val joined = (0 until 4).foldLeft(frames) { (cur, k) =>
@@ -1233,6 +1375,46 @@ object Multimodal {
       .filter(col("_hits") >= least(lit(minFrameMatches.toLong), col("_nf")))
       .select(idCol)
     df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** STREAM-ready GIF intake — the micro-batch body of the
+    * foreachBatch recipe, packaged so the parity with the batch
+    * filter is a library contract instead of user prose: pass the
+    * result to `stream.writeStream.foreachBatch(...)` and each
+    * micro-batch flows through `gifNearDupFilterAgainst` against the
+    * STANDING index before `sink` sees it. This is the honest stream
+    * shape for the GIF tier: the drop decision aggregates matched
+    * frame positions per animation, which the row-local append-mode
+    * contract of `prepStream` cannot express — but a micro-batch is
+    * a batch, so the batch filter's exact semantics (adaptive length
+    * gate, positional probe, width guard) apply verbatim per batch.
+    * Same caveat as `runIncremental`: batches dedup against the
+    * STANDING corpus only — two near-dup animations arriving in
+    * different micro-batches both survive unless the index is grown
+    * between batches (`rebuildGifHashBandIndex`); in-batch twins are
+    * the batch pair operator's job.
+    *
+    * The index frame should be built/read ONCE at stream start and
+    * `persist()`ed (the read-once-cache-across-micro-batches
+    * contract — re-reading per batch re-shuffles the artifact for
+    * nothing); the sampling-width guard runs HERE, at stream build,
+    * so a mismatched width fails before the first batch rather than
+    * inside the running query. */
+  def gifNearDupMicroBatch(gifCol: String, idCol: String, index: DataFrame,
+      nFrames: Int = 4, maxHamming: Int = 3, minFrameMatches: Int = 3,
+      broadcastIndex: Boolean = true,
+      decoder: FrameDecoder = GifFrameDecoder)(
+      sink: (DataFrame, Long) => Unit)(
+      implicit spark: SparkSession): (DataFrame, Long) => Unit = {
+    indexSampleWidth(index).foreach { built =>
+      require(built == nFrames.toLong,
+        s"gifNearDupMicroBatch: index carries sample width $built but the " +
+          s"stream probes at $nFrames — probe with the index's width, or " +
+          "rebuild the index at the probe's")
+    }
+    (batch: DataFrame, batchId: Long) =>
+      sink(gifNearDupFilterAgainst(batch, gifCol, idCol, index, nFrames,
+        maxHamming, minFrameMatches, broadcastIndex, decoder), batchId)
   }
 
   // ------------------------------------------------------------------
@@ -1277,12 +1459,14 @@ object Multimodal {
       idCol: String, path: String, nFrames: Int = 4,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_gif_index_write_cap",
-      outFiles: Int = 4)(implicit spark: SparkSession): Unit = {
+      outFiles: Int = 4,
+      decoder: FrameDecoder = GifFrameDecoder)(
+      implicit spark: SparkSession): Unit = {
     require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     require(idCol != "sample_pos",
       "idCol 'sample_pos' collides with the positional layout's own column")
     val frames = gifFrameHashes(standing.select(col(idCol), col(gifCol)),
-        gifCol, nFrames, "_h")
+        gifCol, nFrames, "_h", decoder)
       .select(col(idCol), col("sample_pos"), col("_h"))
     Dedup.writeHashBandIndexFrame(frames, idCol, Seq("sample_pos"), gifCol,
       path, maxBucket, metricName, outFiles, sampleCap = nFrames.toLong)
@@ -1307,12 +1491,18 @@ object Multimodal {
     * DIFFERENT frames per position — the silent-mixed-sampling trap
     * the growth path also refuses. In the crash-after-pointer
     * no-meta state the check is skipped (probes must keep serving);
-    * the default matches the build default. */
+    * the default matches the build default. The validated width ALSO
+    * rides the returned frame as `_hs` column metadata, so
+    * `gifNearDupFilterAgainst` re-checks it against the probe's own
+    * `nFrames` — a caller who read at the build width but probes at a
+    * different default is refused THERE instead of silently mixing
+    * sampling widths. */
   def readGifHashBandIndex(spark: SparkSession, path: String,
       nFrames: Int = 4): DataFrame = {
     require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     Dedup.readHashBandIndexFrame(spark, path, Seq("sample_pos"),
-      expectSampleCap = Some(nFrames.toLong))
+        expectSampleCap = Some(nFrames.toLong))
+      .withColumn("_hs", col("_hs").as("_hs", sampleWidthMeta(nFrames)))
   }
 
   /** GROW a persisted positional GIF index — the classic family's
@@ -1329,11 +1519,12 @@ object Multimodal {
       newGifs: DataFrame, gifCol: String, idCol: String, nFrames: Int = 4,
       maxBucket: Option[Int] = None,
       metricName: String = "graft_gif_index_rebuild_cap",
-      outFiles: Int = 4): Unit = {
+      outFiles: Int = 4,
+      decoder: FrameDecoder = GifFrameDecoder): Unit = {
     require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
     implicit val sp: SparkSession = spark
     val frames = gifFrameHashes(newGifs.select(col(idCol), col(gifCol)),
-        gifCol, nFrames, "_h")
+        gifCol, nFrames, "_h", decoder)
       .select(col(idCol), col("sample_pos"), col("_h"))
     Dedup.rebuildHashBandIndexFrame(spark, path, frames, idCol,
       Seq("sample_pos"), maxBucket, metricName, outFiles, gifCol,

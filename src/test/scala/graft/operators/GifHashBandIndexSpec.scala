@@ -133,6 +133,36 @@ class GifHashBandIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("mixed sampling width refused at the PROBE: the index frame carries its build width, gifNearDupFilterAgainst validates it") {
+    withTempDir("gifidx-width") { dir =>
+      val path = dir.getAbsolutePath
+      Multimodal.writeGifHashBandIndex(standing, "anim", "gid", path,
+        nFrames = 8, metricName = "graft_gifidx_w8_cap")(spark)
+      // read at the BUILD width (the read-side _meta check passes),
+      // then probe at a different width: the read alone cannot catch
+      // this — the width rides the frame as _hs metadata and the
+      // filter refuses the mix where the two widths actually meet
+      val idx8 = Multimodal.readGifHashBandIndex(spark, path, nFrames = 8)
+      val e = intercept[IllegalArgumentException](
+        Multimodal.gifNearDupFilterAgainst(batch, "anim", "gid", idx8,
+          nFrames = 4)(spark))
+      assert(e.getMessage.contains("sample width"), e.getMessage)
+      // the in-memory form carries the width the same way
+      val mem2 = Multimodal.gifHashBandIndex(standing, "anim", nFrames = 2,
+        metricName = "graft_gifidx_w2_cap")(spark)
+      val e2 = intercept[IllegalArgumentException](
+        Multimodal.gifNearDupFilterAgainst(batch, "anim", "gid", mem2)(spark))
+      assert(e2.getMessage.contains("sample width"), e2.getMessage)
+      // matching widths probe fine, and the metadata survives persist
+      // (the read-once-cache-across-micro-batches contract)
+      val kept = Multimodal.gifNearDupFilterAgainst(batch, "anim", "gid",
+          idx8.persist(), nFrames = 8)(spark)
+        .select("gid").collect().map(_.getLong(0)).toSet
+      idx8.unpersist()
+      assert(kept == Set(3L, 4L), s"got $kept")
+    }
+  }
+
   test("delete: shared-frame semantics, probe-at-once, compaction parity, position-aware stats") {
     withTempDir("gifidx-del") { dir =>
       val path = dir.getAbsolutePath

@@ -710,4 +710,172 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(hub == Set((11L, 12L, 1L)), s"got $hub")
   }
+
+  test("FrameDecoder seam: a plugged-in fake container rides the whole tier; the GIF default is unchanged") {
+    import spark.implicits._
+    val f0 = Array.tabulate(72)(i => (i * 7) % 256)
+    val f1 = f0.map(v => 255 - v)
+    val fake = FakeVideoDecoder.payload(f0, f1)
+    val rows = Multimodal.gifFrameHashes(
+        Seq((1L, fake)).toDF("gid", "payload"), "payload",
+        decoder = FakeVideoDecoder)
+      .orderBy("sample_pos").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("frame_ph") == dhashOf(f0) &&
+      rows(1).getAs[Long]("frame_ph") == dhashOf(f1),
+      "fake-decoded frames must hash through the tier's own dHash")
+    // container specificity, both directions: the fake payload is not
+    // a GIF (default decoder -> zero rows), a GIF is not the fake
+    // container (fake decoder -> zero rows) — never a task failure
+    val gifSame = Multimodal.syntheticGrayGif(9, 8, Seq(f0, f1))
+    assert(Multimodal.gifFrameHashes(
+      Seq((1L, fake)).toDF("gid", "payload"), "payload").count() == 0)
+    assert(Multimodal.gifFrameHashes(
+      Seq((1L, gifSame)).toDF("gid", "payload"), "payload",
+      decoder = FakeVideoDecoder).count() == 0)
+    // a GIF and a fake container of the SAME frames hash identically:
+    // above the seam the tier cannot tell the containers apart — the
+    // MP4/WebM gap is exactly one FrameDecoder implementation
+    val viaGif = Multimodal.gifFrameHashes(
+        Seq((1L, gifSame)).toDF("gid", "payload"), "payload")
+      .select("sample_pos", "frame_ph").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(viaGif == rows.map(r =>
+      (r.getAs[Int]("sample_pos"), r.getAs[Long]("frame_ph"))).toSet)
+    // even sampling + real dimensions flow through sampleFramesDecoded
+    val fake6 = FakeVideoDecoder.payload(
+      (0 until 6).map(k => f0.map(v => (v + 40 * k) % 256)): _*)
+    val r6 = Multimodal.sampleFramesDecoded(
+        Seq((2L, fake6)).toDF("gid", "payload"), "payload", 3,
+        FakeVideoDecoder)
+      .orderBy("frame_idx").collect()
+    assert(r6.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4), r6.toSeq)
+    assert(r6.forall(r => r.getAs[Int]("n_frames") == 6 &&
+      r.getAs[Int]("frame_width") == 9 && r.getAs[Int]("frame_height") == 8))
+    // end-to-end through pairs AND the standing index+filter: the
+    // whole near-dup tier rides the plugged decoder
+    val a = f0
+    val b = a.map(v => (v + 96) % 256)
+    val c = a.map(v => (v + 160) % 256)
+    def flip1(fr: Array[Int]): Array[Int] = {
+      val g = fr.clone(); g(0) = 255; g(1) = 0; g
+    }
+    val docs = Seq(
+      (1L, FakeVideoDecoder.payload(a, b, c)),
+      (2L, FakeVideoDecoder.payload(flip1(a), flip1(b), flip1(c))),
+      (3L, FakeVideoDecoder.payload(c, a, b))).toDF("gid", "v")
+    val pairs = Multimodal.gifNearDupPairs(docs, "v", "gid",
+        metricName = "graft_fake_pairs_cap", decoder = FakeVideoDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L)), s"got $pairs")
+    val idx = Multimodal.gifHashBandIndex(docs.filter($"gid" === 1L), "v",
+      metricName = "graft_fake_idx_cap", decoder = FakeVideoDecoder)(spark)
+    val kept = Multimodal.gifNearDupFilterAgainst(
+        docs.filter($"gid" > 1L), "v", "gid", idx,
+        decoder = FakeVideoDecoder)(spark)
+      .select("gid").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"got $kept")
+  }
+
+  // a gray grid REALIZING an arbitrary 64-bit dHash: walk each row
+  // left->right from 128, stepping +1 where the target bit is set,
+  // -1 where not (values stay in [120, 136] — losslessly encodable)
+  private def gridFor(h: Long): Array[Int] = {
+    val g = new Array[Int](72)
+    for (y <- 0 until 8) {
+      g(y * 9) = 128
+      for (x <- 0 until 8) {
+        val bit = (h >>> (y * 8 + x)) & 1L
+        g(y * 9 + x + 1) = g(y * 9 + x) + (if (bit == 1L) 1 else -1)
+      }
+    }
+    g
+  }
+
+  test("gifNearDupPairs maxShift: a time-shifted re-cut pairs at maxShift=1 and not at the default exact-positional 0") {
+    import spark.implicits._
+    // five frames with PRESCRIBED pairwise-distant dHashes (>= 32
+    // bits apart), so only intended (frame, frame) matches fire
+    val hs = Seq(0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L,
+      0xFFFF000000000000L, 0x00FF00FF00FF00FFL)
+    val fr = hs.map(gridFor)
+    fr.zip(hs).foreach { case (g, h) =>
+      assert(dhashOf(g) == h, "gridFor must realize the prescribed hash")
+    }
+    val base = Multimodal.syntheticGrayGif(9, 8, Seq(fr(0), fr(1), fr(2), fr(3)))
+    // the intro trimmed: every later sampled frame shifts ONE position
+    val cut = Multimodal.syntheticGrayGif(9, 8, Seq(fr(1), fr(2), fr(3), fr(4)))
+    val twin = Multimodal.syntheticGrayGif(9, 8, Seq(fr(0), fr(1), fr(2), fr(3)))
+    val docs = Seq((1L, base), (2L, cut), (3L, twin)).toDF("gid", "gif")
+    // exact positional semantics: the re-cut shares NO same-position
+    // frame with the base — only the identical twin pairs
+    val strict = Multimodal.gifNearDupPairs(docs, "gif", "gid",
+        metricName = "graft_gif_shift0_cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(strict == Set((1L, 3L, 4L)), s"got $strict")
+    // maxShift = 1: the re-cut matches 3 of 4 positions one step
+    // apart; the identical twin still counts all 4 — n_matched counts
+    // covered POSITIONS per side, not matched frame pairs
+    val shifted = Multimodal.gifNearDupPairs(docs, "gif", "gid",
+        metricName = "graft_gif_shift1_cap", maxShift = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shifted == Set((1L, 2L, 3L), (1L, 3L, 4L), (2L, 3L, 3L)),
+      s"got $shifted")
+    // a shift of 2 is out of tolerance at maxShift = 1: trim TWO
+    // frames and the re-cut no longer pairs (still bounded — never
+    // the quadratic full alignment)
+    val cut2 = Multimodal.syntheticGrayGif(9, 8,
+      Seq(fr(2), fr(3), fr(4), gridFor(0x0F0F0F0F0F0F0F0FL)))
+    val far = Seq((1L, base), (4L, cut2)).toDF("gid", "gif")
+    val s2 = Multimodal.gifNearDupPairs(far, "gif", "gid",
+        metricName = "graft_gif_shift2_cap", maxShift = 1)
+      .collect()
+    assert(s2.isEmpty, s"got ${s2.toSeq}")
+    intercept[IllegalArgumentException] {
+      Multimodal.gifNearDupPairs(docs, "gif", "gid", maxShift = 4)
+    }
+    ()
+  }
+}
+
+/** A synthetic NON-GIF multi-frame container for the FrameDecoder
+  * seam spec: payload = 'V' magic, a frame-count byte, then 72 gray
+  * bytes (9x8, row-major) per frame. Proves the video-like tier is
+  * exactly one FrameDecoder implementation away from a new container
+  * — this decoder is ~20 lines and the entire tier (sampling, dHash,
+  * pairs, filter, standing index) rides it unchanged. */
+object FakeVideoDecoder extends Multimodal.FrameDecoder {
+  def payload(frames: Array[Int]*): Array[Byte] = {
+    val out = new Array[Byte](2 + 72 * frames.length)
+    out(0) = 'V'.toByte
+    out(1) = frames.length.toByte
+    frames.zipWithIndex.foreach { case (f, k) =>
+      var i = 0
+      while (i < 72) { out(2 + 72 * k + i) = f(i).toByte; i += 1 }
+    }
+    out
+  }
+  def open(bytes: Array[Byte]): Option[Multimodal.OpenedFrames] = {
+    if (bytes.length < 2 || bytes(0) != 'V'.toByte) return None
+    val n = java.lang.Byte.toUnsignedInt(bytes(1))
+    if (bytes.length < 2 + 72 * n) return None
+    Some(new Multimodal.OpenedFrames {
+      private var last = -1
+      def frameCount: Int = n
+      def frameAt(i: Int): java.awt.image.BufferedImage = {
+        require(i >= last, s"frameAt($i) after $last — forward only")
+        last = i
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < 72) {
+          val g = java.lang.Byte.toUnsignedInt(bytes(2 + 72 * i + p))
+          img.setRGB(p % 9, p / 9, (g << 16) | (g << 8) | g)
+          p += 1
+        }
+        img
+      }
+      def close(): Unit = ()
+    })
+  }
 }

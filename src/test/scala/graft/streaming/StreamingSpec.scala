@@ -1178,4 +1178,77 @@ class StreamingSpec extends SparkSpecBase {
     assert(gp < 1.0 && gr == 1.0, s"greedy ($gp, $gr) drops $greedyDrops")
     assert(vp == 1.0 && vr == 1.0, s"verified ($vp, $vr) drops $verifiedDrops")
   }
+
+  test("GIF stream intake: gifNearDupMicroBatch over micro-batches == the batch filter on the same fixture") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val a = Array.tabulate(72)(i => (i * 7) % 256)
+    val b = a.map(v => (v + 96) % 256)
+    val c = a.map(v => (v + 160) % 256)
+    val d = Array.tabulate(72)(i => 255 - (i * 7) % 256)
+    val e = d.map(v => (v + 96) % 256)
+    val f = d.map(v => (v + 160) % 256)
+    def flip1(fr: Array[Int]): Array[Int] = {
+      val g = fr.clone(); g(0) = 255; g(1) = 0; g
+    }
+    def gif(frames: Array[Int]*): Array[Byte] =
+      Multimodal.syntheticGrayGif(9, 8, frames)
+    val standing = Seq((201L, gif(a, b, c)), (203L, gif(d, e, f)))
+      .toDF("gid", "anim")
+    // intake: 1 and 2 are 1-bit re-encodes of the standing animations
+    // (drop), 3 shares 203's frames positionally SHIFTED (keep), 4 is
+    // far from everything (keep) — 1/3 land in micro-batch one, 2/4
+    // in micro-batch two, so drops happen in BOTH batches
+    val batchOne = Seq((1L, gif(flip1(a), flip1(b), flip1(c))),
+      (3L, gif(f, d, e))).toDF("gid", "anim")
+    val batchTwo = Seq((2L, gif(flip1(d), flip1(e), flip1(f))),
+      (4L, gif(a.reverse, b.reverse, c.reverse))).toDF("gid", "anim")
+    withTempDir("gif-stream") { dir =>
+      val root = dir.getAbsolutePath
+      Multimodal.writeGifHashBandIndex(standing, "anim", "gid",
+        s"$root/idx", metricName = "graft_gif_stream_idx_cap")(spark)
+      batchOne.coalesce(1).write.parquet(s"$root/in")
+      batchTwo.coalesce(1).write.mode("append").parquet(s"$root/in")
+      // the recipe: read the index ONCE at stream start, persist it,
+      // probe every micro-batch through the packaged batch filter
+      val idx = Multimodal.readGifHashBandIndex(spark, s"$root/idx")
+        .persist()
+      val keptIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      var batches = 0
+      val body = Multimodal.gifNearDupMicroBatch("anim", "gid", idx) {
+        (kept, _) =>
+          batches += 1
+          kept.select("gid").collect().foreach(r => keptIds.add(r.getLong(0)))
+          ()
+      }(spark)
+      val q = spark.readStream
+        .schema("gid BIGINT, anim BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+        .writeStream
+        .foreachBatch(body)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // PARITY: the micro-batched kept set equals the batch filter's
+      // kept set over the union fixture — the recipe IS the batch
+      // operator per micro-batch, not a weaker twin
+      val batchKept = Multimodal.gifNearDupFilterAgainst(
+          batchOne.unionByName(batchTwo), "anim", "gid", idx)(spark)
+        .select("gid").collect().map(_.getLong(0)).toSet
+      import scala.jdk.CollectionConverters._
+      assert(keptIds.asScala.toSet == batchKept,
+        s"stream kept ${keptIds.asScala.toSet} vs batch kept $batchKept")
+      assert(batchKept == Set(3L, 4L), s"fixture truth drift: $batchKept")
+      assert(batches >= 2, s"fixture must exercise >1 micro-batch: $batches")
+      idx.unpersist()
+      // the width guard fires at STREAM BUILD, not first batch
+      val err = intercept[IllegalArgumentException] {
+        Multimodal.gifNearDupMicroBatch("anim", "gid", idx, nFrames = 8) {
+          (_, _) => ()
+        }(spark)
+      }
+      assert(err.getMessage.contains("sample width"), err.getMessage)
+    }
+  }
 }
