@@ -5628,6 +5628,69 @@ object DataPrepQueries {
         Seq(l1, l2).toDF("stage", "rows", "bands", "tomb_ids", "tomb_rows",
             "ndocs", "cap_dropped_bands", "should_compact", "n_reasons")
           .orderBy("stage")
+      }),
+
+    // BOUNDED alignment tolerance for animations (gifNearDupPairs
+    // maxShift = 1) — the q141 arithmetic device extended with a
+    // TIME-SHIFTED variant: 30 bases x 6 docs; variant 1 ((doc_id //
+    // 30) % 3 = 1) renders frame f with the BASE formula at f+1 — the
+    // trimmed-intro re-cut, every sampled frame one position later.
+    // Variants 0 and 2 are identical 4-frame animations. At
+    // maxShift = 1 a re-cut matches 3 of 4 positions one step apart
+    // (n_matched counts the LEAST of each side's distinct matched
+    // positions — a covered position, not a frame-pair count) and
+    // identical twins still count all 4; the oracle replays frame
+    // dHashes from the md5 gray formula and the |fa - fb| <= 1
+    // tolerance from first principles, so the hash match pins the
+    // shifted candidate generation, the per-side distinct-position
+    // counting AND that shift never relaxes the hamming rule. Every
+    // animation samples 4 >= minFrameMatches frames, so the
+    // threshold is the standard 3.
+    QueryDef("q148_gif_shifted_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 30 AS base,
+                   CASE WHEN (doc_id // 30) % 3 = 1 THEN 1 ELSE 0 END AS sh
+                 FROM documents WHERE doc_id < 180),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(f.f + d.sh AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      m AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+                   a.f AS fa, b.f AS fb
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+              AND abs(a.f - b.f) <= 1
+              AND bit_count(xor(a.h, b.h)) <= 3),
+      pr AS (SELECT ia, ib,
+               least(count(DISTINCT fa), count(DISTINCT fb)) AS nm
+             FROM m GROUP BY ia, ib)
+      SELECT ia AS id_a, ib AS id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 30
+          val sh = if ((docId / 30) % 3 == 1) 1 else 0
+          val frames = (0 until 4).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:${f + sh}:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+        }
+        val gifs = t(s, dir, "documents").filter(col("doc_id") < 180)
+          .select(col("doc_id"), mk(col("doc_id")).as("gif"))
+        graft.operators.Multimodal.gifNearDupPairs(gifs, "gif", "doc_id",
+            metricName = "graft_q148_shift_cap", maxShift = 1)
+          .orderBy("id_a", "id_b")
       })
   )
 }
