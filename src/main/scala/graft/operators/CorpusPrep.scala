@@ -158,6 +158,17 @@ object CorpusPrep {
     gifNFrames: Int = 4,
     gifMaxHamming: Int = 3,
     gifMinFrameMatches: Int = 3,
+    // bounded alignment tolerance (Multimodal.gifNearDupPairs /
+    // gifNearDupFilterAgainst maxShift): a frame may match the other
+    // side's frames within +-gifMaxShift sampled positions — the
+    // trimmed-intro/re-cut case — at (2s+1)x candidate cost; 0 keeps
+    // the exact-positional default
+    gifMaxShift: Int = 0,
+    // the container decode seam: default is the pure-JDK animated-GIF
+    // path; pass Multimodal.AviFrameDecoder (or FrameDecoders.firstOf
+    // for mixed corpora, or an external MP4/WebM implementation) and
+    // the whole tier rides it unchanged
+    gifDecoder: Multimodal.FrameDecoder = Multimodal.GifFrameDecoder,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -644,7 +655,8 @@ object CorpusPrep {
       implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
       val clusters = Dedup.duplicateClusters(
         Multimodal.gifNearDupPairs(signatured, gc, idCol, cfg.gifNFrames,
-          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket))
+          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
+          maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder))
       obs(cfg.keepPreference
         .fold(Dedup.dropNearDuplicates(signatured, idCol, clusters))(
           Dedup.dropNearDuplicatesBy(signatured, idCol, clusters, _)), "gif")
@@ -784,7 +796,8 @@ object CorpusPrep {
         val cl = pin(Dedup.duplicateClusters(
           Multimodal.gifNearDupPairs(cur, gc, idCol, cfg.gifNFrames,
             cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
-            metricName = "graft_gif_trace_cap")))
+            metricName = "graft_gif_trace_cap",
+            maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder)))
         val after = pin(cfg.keepPreference
           .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
             Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
@@ -1318,10 +1331,12 @@ object CorpusPrep {
         val clusters = pin(Dedup.duplicateClusters(
           Multimodal.gifNearDupPairs(cur, gc, idCol, cfg.gifNFrames,
             cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
-            metricName = "graft_gif_inctrace_cap")))
+            metricName = "graft_gif_inctrace_cap",
+            maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder)))
         val hitIds = pin(cur.select(col(idCol)).join(
           Multimodal.gifNearDupFilterAgainst(cur, gc, idCol, gifIndex.get,
-              cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches)
+              cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches,
+              decoder = cfg.gifDecoder, maxShift = cfg.gifMaxShift)
             .select(col(idCol)),
           Seq(idCol), "left_anti"))
         val taintedMembers = pin(clusters.join(
@@ -1660,10 +1675,12 @@ object CorpusPrep {
       val pinned = signatured.localCheckpoint()
       val clusters = Dedup.duplicateClusters(
         Multimodal.gifNearDupPairs(pinned, gc, idCol, cfg.gifNFrames,
-          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket))
+          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
+          maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder))
       val hitIds = pinned.select(col(idCol)).join(
         Multimodal.gifNearDupFilterAgainst(pinned, gc, idCol, gifIndex.get,
-            cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches)
+            cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches,
+            decoder = cfg.gifDecoder, maxShift = cfg.gifMaxShift)
           .select(col(idCol)),
         Seq(idCol), "left_anti")
       val taintedMembers = clusters.join(

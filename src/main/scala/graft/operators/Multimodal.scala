@@ -1040,6 +1040,139 @@ object Multimodal {
     }
   }
 
+  /** Pure-JDK AVI implementation of the decode seam — the SECOND real
+    * container riding the video-like tier, and the proof the
+    * `FrameDecoder` seam carries production formats, not just the
+    * spec's synthetic one. A RIFF walk over the public AVI 1.0 layout
+    * (reference: Microsoft's AVI RIFF spec / ISO RIFF chunking):
+    * `hdrl` → first `vids` stream's BITMAPINFOHEADER gives
+    * dimensions/codec, `movi` carries one `NNdb`/`NNdc` chunk per
+    * frame. Two codecs decode with zero native code:
+    *  - BI_RGB (biCompression = 0, 24/32 bpp): uncompressed DIB rows
+    *    (bottom-up when biHeight > 0, 4-byte-aligned stride, BGR
+    *    order) — the classic uncompressed-AVI camera/capture format;
+    *  - MJPG: every frame chunk is an independent baseline JPEG —
+    *    decoded by ImageIO's jpeg plugin (ships with every JVM), the
+    *    dominant motion-JPEG camera format.
+    * Frames are independent in both (no delta compositing), so
+    * `frameAt` needs no canvas state. Payloads outside this subset
+    * (other fourccs, palettized DIBs) return None — honestly not
+    * this decoder's container subset, zero rows, never a task
+    * failure. */
+  object AviFrameDecoder extends FrameDecoder {
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def cc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    private val MJPG = 0x47504A4DL // 'MJPG' read little-endian
+
+    private final case class Vids(w: Int, h: Int, bpp: Int, comp: Long)
+
+    def open(bytes: Array[Byte]): Option[OpenedFrames] = {
+      if (bytes == null || bytes.length < 12 || cc(bytes, 0) != "RIFF" ||
+        cc(bytes, 8) != "AVI ") return None
+      var video: Option[Vids] = None
+      var inVids = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = cc(bytes, p)
+          val size = u32(bytes, p + 4).toInt
+          val dataStart = p + 8
+          val dataEnd = math.min(dataStart.toLong + size, end.toLong).toInt
+          if (id == "LIST" && size >= 4)
+            walk(dataStart + 4, dataEnd, inMovi || cc(bytes, dataStart) == "movi")
+          else if (inMovi && (id.endsWith("db") || id.endsWith("dc")))
+            frames += ((dataStart, dataEnd - dataStart))
+          else if (id == "strh" && size >= 4)
+            // first vids stream wins; a later auds/vids strh resets
+            inVids = video.isEmpty && cc(bytes, dataStart) == "vids"
+          else if (id == "strf" && inVids && size >= 40) {
+            video = Some(Vids(u32(bytes, dataStart + 4).toInt,
+              u32(bytes, dataStart + 8).toInt,
+              u16(bytes, dataStart + 14), u32(bytes, dataStart + 16)))
+            inVids = false
+          }
+          p = dataStart + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, bytes.length, inMovi = false)
+      video match {
+        case Some(v) if frames.nonEmpty &&
+            (v.comp == MJPG || (v.comp == 0L && (v.bpp == 24 || v.bpp == 32))) =>
+          Some(new OpenedFrames {
+            private var last = -1
+            def frameCount: Int = frames.length
+            def frameAt(i: Int): java.awt.image.BufferedImage = {
+              require(i >= last && i < frames.length,
+                s"frameAt($i) after $last of ${frames.length} — forward only")
+              last = i
+              val (off, size) = frames(i)
+              if (v.comp == MJPG) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, off, size))
+                require(img != null, s"MJPG frame $i did not decode")
+                img
+              } else {
+                val w = v.w
+                val hAbs = math.abs(v.h)
+                val bottomUp = v.h > 0 // negative biHeight = top-down DIB
+                val bypp = v.bpp / 8
+                val stride = ((w * bypp + 3) / 4) * 4
+                require(size >= stride * hAbs, s"DIB frame $i truncated")
+                val img = new java.awt.image.BufferedImage(w, hAbs,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < hAbs) {
+                  val row = if (bottomUp) hAbs - 1 - y else y
+                  var x = 0
+                  while (x < w) {
+                    val o = off + row * stride + x * bypp
+                    img.setRGB(x, y, ((bytes(o + 2) & 0xff) << 16) |
+                      ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff))
+                    x += 1
+                  }
+                  y += 1
+                }
+                img
+              }
+            }
+            def close(): Unit = ()
+          })
+        case _ => None
+      }
+    }
+  }
+
+  /** Decoder combinator for MIXED corpora: try each decoder in order,
+    * first `open` that accepts the payload wins. A corpus column
+    * holding GIFs and AVIs side by side rides the tier through
+    * `firstOf(GifFrameDecoder, AviFrameDecoder)` — above the seam
+    * the containers are indistinguishable (same sampling, same
+    * dHash), so a GIF and an AVI of the same frames near-dup each
+    * other, which is exactly what a dedup tier should say. */
+  object FrameDecoders {
+    def firstOf(decoders: FrameDecoder*): FrameDecoder = {
+      require(decoders.nonEmpty, "firstOf needs at least one decoder")
+      val ds = decoders.toIndexedSeq
+      new FrameDecoder {
+        def open(bytes: Array[Byte]): Option[OpenedFrames] = {
+          var i = 0
+          while (i < ds.length) {
+            val r = ds(i).open(bytes)
+            if (r.isDefined) return r
+            i += 1
+          }
+          None
+        }
+      }
+    }
+  }
+
   /** Shared multi-frame walk over the decode seam: open the
     * container, pick up to `nFrames` evenly spaced frame indices,
     * and emit `extract(samplePos, frameIdx, nTotal, compositedFrame)`
@@ -1322,11 +1455,13 @@ object Multimodal {
   def gifNearDupFilterAgainst(df: DataFrame, gifCol: String, idCol: String,
       index: DataFrame, nFrames: Int = 4, maxHamming: Int = 3,
       minFrameMatches: Int = 3, broadcastIndex: Boolean = true,
-      decoder: FrameDecoder = GifFrameDecoder)(
+      decoder: FrameDecoder = GifFrameDecoder, maxShift: Int = 0)(
       implicit spark: SparkSession): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(minFrameMatches >= 1 && minFrameMatches <= nFrames,
       s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
+    require(maxShift >= 0 && maxShift < nFrames,
+      s"maxShift must be in [0, nFrames=$nFrames), got $maxShift")
     // the mixed-width seam, closed at the point the two widths MEET:
     // an index built (or read back) at one nFrames probed at another
     // would compare DIFFERENT frames per position — the exact silent
@@ -1343,7 +1478,7 @@ object Multimodal {
           "probe's")
     }
     val clash = df.columns.toSeq.intersect(
-      Seq("_h", "_nf") ++ (0 until 4).flatMap(k =>
+      Seq("_h", "_nf", "_jpos") ++ (0 until 4).flatMap(k =>
         Seq(s"_p$k", s"_b$k", s"_cand$k")))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with " +
@@ -1352,13 +1487,25 @@ object Multimodal {
         gifCol, nFrames, "_h", decoder)
       .select(col(idCol), col("sample_pos"), col("_h"),
         least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
-    val joined = (0 until 4).foldLeft(frames) { (cur, k) =>
+    // maxShift: the probe side replicates each frame to its tolerated
+    // index positions ((2s+1)x probe rows — batch-sized), mirroring
+    // gifNearDupPairs' bounded alignment; a frame HITS when any
+    // candidate within `maxHamming` sits within +-maxShift of its own
+    // position, and the hit count stays per DISTINCT probe position
+    // (a frame matching several shifted lists is one covered frame)
+    val probeFrames =
+      if (maxShift == 0) frames.withColumn("_jpos", col("sample_pos"))
+      else frames
+        .withColumn("_jpos", explode(array(
+          (-maxShift to maxShift).map(d => col("sample_pos") + lit(d)): _*)))
+        .filter(col("_jpos") >= 0)
+    val joined = (0 until 4).foldLeft(probeFrames) { (cur, k) =>
       val side = index.filter(col("_k") === k)
         .select(col("sample_pos").as(s"_p$k"), col("_band").as(s"_b$k"),
           col("_hs").as(s"_cand$k"))
       cur.join(
         if (broadcastIndex) broadcast(side) else side,
-        col(s"_p$k") === col("sample_pos") &&
+        col(s"_p$k") === col("_jpos") &&
           (col(s"_b$k") <=> shiftrightunsigned(col("_h"), 16 * k)
             .bitwiseAND(lit(65535L))),
         "left")
@@ -1368,9 +1515,9 @@ object Multimodal {
           h => bit_count(h.bitwiseXOR(col("_h"))) <= maxHamming), lit(false)))
       .reduce(_ || _)
     val dropIds = joined
-      .select(col(idCol), col("_nf"), frameHit.as("_hit"))
+      .select(col(idCol), col("sample_pos"), col("_nf"), frameHit.as("_hit"))
       .groupBy(idCol)
-      .agg(coalesce(sum(when(col("_hit"), 1L)), lit(0L)).as("_hits"),
+      .agg(count_distinct(when(col("_hit"), col("sample_pos"))).as("_hits"),
         min(col("_nf")).as("_nf"))
       .filter(col("_hits") >= least(lit(minFrameMatches.toLong), col("_nf")))
       .select(idCol)
@@ -1403,7 +1550,7 @@ object Multimodal {
   def gifNearDupMicroBatch(gifCol: String, idCol: String, index: DataFrame,
       nFrames: Int = 4, maxHamming: Int = 3, minFrameMatches: Int = 3,
       broadcastIndex: Boolean = true,
-      decoder: FrameDecoder = GifFrameDecoder)(
+      decoder: FrameDecoder = GifFrameDecoder, maxShift: Int = 0)(
       sink: (DataFrame, Long) => Unit)(
       implicit spark: SparkSession): (DataFrame, Long) => Unit = {
     indexSampleWidth(index).foreach { built =>
@@ -1414,7 +1561,8 @@ object Multimodal {
     }
     (batch: DataFrame, batchId: Long) =>
       sink(gifNearDupFilterAgainst(batch, gifCol, idCol, index, nFrames,
-        maxHamming, minFrameMatches, broadcastIndex, decoder), batchId)
+        maxHamming, minFrameMatches, broadcastIndex, decoder, maxShift),
+        batchId)
   }
 
   // ------------------------------------------------------------------
@@ -1653,6 +1801,118 @@ object Multimodal {
     }
     out.toByteArray
   }
+
+  // ---- minimal AVI 1.0 assembly (hand-built RIFF, no library writer
+  // whose chunk layout could drift — the syntheticPcmWav philosophy)
+  private def leBytes32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def leBytes16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("US-ASCII") ++ leBytes32(data.length.toLong) ++ data ++ pad
+  }
+  private def riffList(listType: String, subs: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ subs.flatten)
+
+  private def aviContainer(width: Int, height: Int, bpp: Int,
+      compression: Long, handler: String,
+      frameChunks: Seq[Array[Byte]]): Array[Byte] = {
+    val n = frameChunks.length
+    val avih = leBytes32(100000L) ++ leBytes32(0) ++ leBytes32(0) ++
+      leBytes32(0) ++ leBytes32(n.toLong) ++ leBytes32(0) ++ leBytes32(1L) ++
+      leBytes32(0) ++ leBytes32(width.toLong) ++ leBytes32(height.toLong) ++
+      Array.fill(16)(0.toByte)
+    val strh = "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+      leBytes32(0) ++ leBytes16(0) ++ leBytes16(0) ++ leBytes32(0) ++
+      leBytes32(1L) /* scale */ ++ leBytes32(10L) /* rate */ ++
+      leBytes32(0) ++ leBytes32(n.toLong) ++ leBytes32(0) ++
+      leBytes32(0xFFFFFFFFL) /* quality */ ++ leBytes32(0) ++
+      Array.fill(8)(0.toByte)
+    val strf = leBytes32(40L) ++ leBytes32(width.toLong) ++
+      leBytes32(height.toLong) ++ leBytes16(1) ++ leBytes16(bpp) ++
+      leBytes32(compression) ++
+      leBytes32(frameChunks.headOption.map(_.length.toLong).getOrElse(0L)) ++
+      Array.fill(16)(0.toByte)
+    val frameId = if (compression == 0L) "00db" else "00dc"
+    val body = riffList("hdrl", riffChunk("avih", avih),
+        riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf))) ++
+      riffList("movi", frameChunks.map(riffChunk(frameId, _)): _*)
+    "RIFF".getBytes("US-ASCII") ++ leBytes32(4L + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+  }
+
+  /** Deterministic multi-frame grayscale UNCOMPRESSED AVI test vector
+    * — the second-container twin of `syntheticGrayGif`: each frame is
+    * a row-major top-down gray grid written as a bottom-up 24-bpp
+    * BI_RGB DIB chunk (the classic uncompressed capture format).
+    * BI_RGB stores raw bytes — LOSSLESS by construction, so the
+    * per-frame dHash is replayable from the gray formula alone and
+    * the q141 arithmetic oracle device applies to AVI payloads
+    * verbatim (q149 pins GIF and AVI encodings of the same formula
+    * pairing ACROSS containers). */
+  def syntheticGrayAvi(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty, "need >= 1 frame")
+    frames.foreach(f => require(f.length == width * height,
+      s"each frame needs $width x $height = ${width * height} grays"))
+    val stride = ((width * 3 + 3) / 4) * 4
+    val chunks = frames.map { grays =>
+      val out = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val src = height - 1 - y // DIB rows are bottom-up
+        var x = 0
+        while (x < width) {
+          val v = (grays(src * width + x) & 0xff).toByte
+          val off = y * stride + x * 3
+          out(off) = v; out(off + 1) = v; out(off + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    aviContainer(width, height, bpp = 24, compression = 0L,
+      handler = "DIB ", frameChunks = chunks)
+  }
+
+  /** Motion-JPEG AVI test vector: the same gray frames, each encoded
+    * as an independent baseline JPEG through ImageIO (the JDK's own
+    * jpeg plugin) into `00dc` chunks under fourcc MJPG. JPEG is
+    * LOSSY, so exact gray-formula replay does not apply — the spec
+    * pins the through-the-container decode against decoding the same
+    * JPEG bytes directly (bit-identical by construction) and
+    * near-equality of the dHash to the lossless source. */
+  def syntheticMjpegAvi(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty, "need >= 1 frame")
+    val chunks = frames.map { grays =>
+      require(grays.length == width * height,
+        s"each frame needs $width x $height = ${width * height} grays")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, grays(y * width + x) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    aviContainer(width, height, bpp = 24,
+      compression = AviFrameDecoderMjpg, handler = "MJPG",
+      frameChunks = chunks)
+  }
+  // 'MJPG' as the little-endian u32 BITMAPINFOHEADER biCompression
+  private val AviFrameDecoderMjpg = 0x47504A4DL
 
   /** Deterministic 16-bit mono PCM WAV test vector — the audio twin
     * of `syntheticGrayBmp`: a hand-assembled 44-byte RIFF header plus

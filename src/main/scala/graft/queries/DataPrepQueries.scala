@@ -5691,6 +5691,70 @@ object DataPrepQueries {
         graft.operators.Multimodal.gifNearDupPairs(gifs, "gif", "doc_id",
             metricName = "graft_q148_shift_cap", maxShift = 1)
           .orderBy("id_a", "id_b")
+      }),
+
+    // MIXED-CONTAINER near-dup — the FrameDecoder seam pinned across
+    // TWO real containers: the q141 device verbatim, but docs < 100
+    // encode their frames as animated GIF and docs >= 100 as
+    // uncompressed BI_RGB AVI (both losslessly, so the same md5 gray
+    // formula IS the decoded pixel in both), decoded through
+    // FrameDecoders.firstOf(Gif, Avi). The oracle is q141's
+    // arithmetic unchanged and CONTAINER-FREE — a hash match pins
+    // that above the seam the containers are indistinguishable:
+    // identical animations pair across containers (base groups span
+    // the doc_id=100 boundary), near-dup variants pair across and
+    // within, and the AVI RIFF walk + bottom-up DIB decode is
+    // bit-exact with the GIF path.
+    QueryDef("q149_mixed_container_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt
+                 FROM documents WHERE doc_id < 200),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+             FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+               AND bit_count(xor(a.h, b.h)) <= 3
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              if (alt && y == 0 && x == 0) 255
+              else if (alt && y == 0 && x == 1) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          if (docId < 100)
+            graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+          else
+            graft.operators.Multimodal.syntheticGrayAvi(9, 8, frames)
+        }
+        val vids = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), mk(col("doc_id")).as("v"))
+        graft.operators.Multimodal.gifNearDupPairs(vids, "v", "doc_id",
+            metricName = "graft_q149_mixed_cap",
+            decoder = graft.operators.Multimodal.FrameDecoders.firstOf(
+              graft.operators.Multimodal.GifFrameDecoder,
+              graft.operators.Multimodal.AviFrameDecoder))
+          .orderBy("id_a", "id_b")
       })
   )
 }

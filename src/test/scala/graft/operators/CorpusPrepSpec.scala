@@ -765,6 +765,67 @@ class CorpusPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("gif tier facade knobs: gifMaxShift clusters a re-cut through run(); gifDecoder rides AVI payloads through the same config") {
+    // frames REALIZING prescribed pairwise-distant dHashes (a gray
+    // walk stepping +1/-1 per target bit): constant-offset gray ramps
+    // are useless here — shifting all values mod 256 moves only the
+    // wrap points, leaving dHashes 3-4 bits apart
+    def gridFor(h: Long): Array[Int] = {
+      val g = new Array[Int](72)
+      for (y <- 0 until 8) {
+        g(y * 9) = 128
+        for (x <- 0 until 8) {
+          val bit = (h >>> (y * 8 + x)) & 1L
+          g(y * 9 + x + 1) = g(y * 9 + x) + (if (bit == 1L) 1 else -1)
+        }
+      }
+      g
+    }
+    def dh(g: Array[Int]): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) h |= 1L << (y * 8 + x)
+      h
+    }
+    // fixture distances PINNED, not hoped: every frame pair is > 3
+    // bits apart, so exact-positional matching finds nothing and any
+    // pairing below comes from the shift tolerance alone
+    val fs = Seq(0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L,
+      0xFFFF000000000000L, 0x00FF00FF00FF00FFL).map(gridFor)
+    for (i <- fs.indices; j <- fs.indices if i < j)
+      assert(java.lang.Long.bitCount(dh(fs(i)) ^ dh(fs(j))) > 3,
+        s"fixture frames $i/$j too close")
+    val tBase = "first document text talking about maritime navigation topics"
+    val tCut = "second text concerning volcanic geology and mineral formations"
+    val base = Multimodal.syntheticGrayGif(9, 8, Seq(fs(0), fs(1), fs(2), fs(3)))
+    val recut = Multimodal.syntheticGrayGif(9, 8, Seq(fs(1), fs(2), fs(3), fs(4)))
+    val docs = Seq((1L, tBase, base), (2L, tCut, recut))
+      .toDF("doc_id", "text", "gif")
+    val strict = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        gifCol = Some("gif"), metricPrefix = Some("graft_gifshift0")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 2L), s"strict kept $strict")
+    val shifted = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        gifCol = Some("gif"), gifMaxShift = 1,
+        metricPrefix = Some("graft_gifshift1")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shifted == Set(1L), s"shifted kept $shifted")
+    // the SAME corpus as uncompressed AVI payloads, decoded through
+    // the seam by config alone — no operator-level plumbing
+    val aviDocs = Seq(
+      (1L, tBase, Multimodal.syntheticGrayAvi(9, 8,
+        Seq(fs(0), fs(1), fs(2), fs(3)))),
+      (2L, tCut, Multimodal.syntheticGrayAvi(9, 8,
+        Seq(fs(1), fs(2), fs(3), fs(4)))))
+      .toDF("doc_id", "text", "gif")
+    val aviShifted = CorpusPrep.run(aviDocs, cfg = CorpusPrep.Config(
+        gifCol = Some("gif"), gifMaxShift = 1,
+        gifDecoder = Multimodal.AviFrameDecoder,
+        metricPrefix = Some("graft_gifshiftavi")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aviShifted == Set(1L), s"avi shifted kept $aviShifted")
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"

@@ -163,6 +163,53 @@ class GifHashBandIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("gifNearDupFilterAgainst maxShift: the standing probe tolerates bounded position shift") {
+    withTempDir("gifidx-shift") { dir =>
+      val path = dir.getAbsolutePath
+      // frames REALIZING prescribed dHashes (gray walk +1/-1 per
+      // target bit) so every cross-frame distance is engineered far
+      // (the a..f family above sits 3-4 bits apart WITHIN a family —
+      // fine for exact-positional fixtures, fatal for shift ones)
+      def gridFor(h: Long): Array[Int] = {
+        val g = new Array[Int](72)
+        for (y <- 0 until 8) {
+          g(y * 9) = 128
+          for (x <- 0 until 8) {
+            val bit = (h >>> (y * 8 + x)) & 1L
+            g(y * 9 + x + 1) = g(y * 9 + x) + (if (bit == 1L) 1 else -1)
+          }
+        }
+        g
+      }
+      val hs = Seq(0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L,
+        0xFFFF000000000000L, 0x00FF00FF00FF00FFL, 0xFF00FF00FF00FF00L,
+        0x0F0F0F0F0F0F0F0FL, 0xF0F0F0F0F0F0F0F0L, 0x3333333333333333L,
+        0xCCCCCCCCCCCCCCCCL)
+      for (i <- hs.indices; j <- hs.indices if i < j)
+        assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 3,
+          s"fixture hashes $i/$j too close")
+      val g = hs.map(gridFor)
+      val stand = Seq((500L, gif(g(0), g(1), g(2), g(3))))
+        .toDF("gid", "anim")
+      Multimodal.writeGifHashBandIndex(stand, "anim", "gid", path,
+        metricName = "graft_gifidx_shift_cap")(spark)
+      val idx = Multimodal.readGifHashBandIndex(spark, path)
+      // X shifts every frame ONE position (trimmed intro: 3 of 4
+      // frames one step off), Z shifts every frame TWO, W is far
+      val probes = Seq(
+        (1L, gif(g(1), g(2), g(3), g(4))),
+        (2L, gif(g(2), g(3), g(0), g(1))),
+        (3L, gif(g(6), g(7), g(8), g(9)))).toDF("gid", "anim")
+      def kept(shift: Int): Set[Long] =
+        Multimodal.gifNearDupFilterAgainst(probes, "anim", "gid", idx,
+            maxShift = shift)(spark)
+          .select("gid").collect().map(_.getLong(0)).toSet
+      assert(kept(0) == Set(1L, 2L, 3L), s"shift 0: ${kept(0)}")
+      assert(kept(1) == Set(2L, 3L), s"shift 1: ${kept(1)}")
+      assert(kept(2) == Set(3L), s"shift 2: ${kept(2)}")
+    }
+  }
+
   test("delete: shared-frame semantics, probe-at-once, compaction parity, position-aware stats") {
     withTempDir("gifidx-del") { dir =>
       val path = dir.getAbsolutePath

@@ -777,6 +777,64 @@ class MultimodalSpec extends SparkSpecBase {
     assert(kept == Set(3L), s"got $kept")
   }
 
+  test("AviFrameDecoder: DIB AVI decodes losslessly through the seam, MJPEG via the JDK jpeg codec, mixed corpora via firstOf") {
+    import spark.implicits._
+    val f0 = Array.tabulate(72)(i => (i * 7) % 256)
+    val f1 = f0.map(v => 255 - v)
+    val f2 = f0.map(v => (v + 96) % 256)
+    val avi = Multimodal.syntheticGrayAvi(9, 8, Seq(f0, f1, f2))
+    val rows = Multimodal.gifFrameHashes(
+        Seq((1L, avi)).toDF("gid", "payload"), "payload",
+        decoder = Multimodal.AviFrameDecoder)
+      .orderBy("sample_pos").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("frame_ph")).toSeq ==
+      Seq(dhashOf(f0), dhashOf(f1), dhashOf(f2)),
+      "BI_RGB AVI decode must be lossless — dHash replayable from the formula")
+    // container-blind: a GIF of the SAME frames hashes identically
+    val gif = Multimodal.syntheticGrayGif(9, 8, Seq(f0, f1, f2))
+    val gifHashes = Multimodal.gifFrameHashes(
+        Seq((1L, gif)).toDF("gid", "payload"), "payload")
+      .orderBy("sample_pos").collect().map(_.getAs[Long]("frame_ph")).toSeq
+    assert(gifHashes == rows.map(_.getAs[Long]("frame_ph")).toSeq)
+    // MJPEG: the tier's hashes == hashing the decoder's own frames
+    // directly (exact — same JPEG bytes, same codec), and the lossy
+    // drift from the lossless source stays small on a smooth ramp
+    val ramp = Array.tabulate(72)(i => (i % 9) * 24)
+    val ramp2 = ramp.map(v => 216 - v)
+    val mj = Multimodal.syntheticMjpegAvi(9, 8, Seq(ramp, ramp2))
+    val mjRows = Multimodal.gifFrameHashes(
+        Seq((1L, mj)).toDF("gid", "payload"), "payload",
+        decoder = Multimodal.AviFrameDecoder)
+      .orderBy("sample_pos").collect()
+    assert(mjRows.length == 2)
+    val of = Multimodal.AviFrameDecoder.open(mj).get
+    val hasher = new Multimodal.PerceptualHasher
+    val direct = (0 until of.frameCount).map(i => hasher.dhashOfImage(of.frameAt(i)))
+    of.close()
+    assert(mjRows.map(_.getAs[Long]("frame_ph")).toSeq == direct)
+    val drift = java.lang.Long.bitCount(
+      mjRows(0).getAs[Long]("frame_ph") ^ dhashOf(ramp))
+    assert(drift <= 16, s"MJPEG dHash drifted $drift bits from lossless")
+    // honest subset refusals: a GIF is not RIFF, a WAV is RIFF but
+    // not AVI — both None, zero rows, never a failure
+    assert(Multimodal.AviFrameDecoder.open(gif).isEmpty)
+    assert(Multimodal.AviFrameDecoder
+      .open(Multimodal.syntheticPcmWav(Array[Short](1, 2, 3))).isEmpty)
+    // MIXED corpus via firstOf: the GIF and the AVI of the same
+    // frames are near-dups ACROSS containers; a position-shuffled
+    // animation is not
+    val mixed = Seq((1L, gif), (2L, avi),
+      (3L, Multimodal.syntheticGrayGif(9, 8, Seq(f2, f0, f1))))
+      .toDF("gid", "v")
+    val pairs = Multimodal.gifNearDupPairs(mixed, "v", "gid",
+        metricName = "graft_avi_mixed_cap",
+        decoder = Multimodal.FrameDecoders.firstOf(
+          Multimodal.GifFrameDecoder, Multimodal.AviFrameDecoder))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L)), s"got $pairs")
+  }
+
   // a gray grid REALIZING an arbitrary 64-bit dHash: walk each row
   // left->right from 128, stepping +1 where the target bit is set,
   // -1 where not (values stay in [120, 136] — losslessly encodable)
