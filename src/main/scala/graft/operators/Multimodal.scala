@@ -1082,6 +1082,10 @@ object Multimodal {
         while (p + 8 <= end) {
           val id = cc(bytes, p)
           val size = u32(bytes, p + 4).toInt
+          // a corrupt size >= 2^31 reads as negative and would move
+          // the walk BACKWARDS — an infinite loop hanging the task,
+          // not an exception; treat as malformed and stop this level
+          if (size < 0) return
           val dataStart = p + 8
           val dataEnd = math.min(dataStart.toLong + size, end.toLong).toInt
           if (id == "LIST" && size >= 4)

@@ -821,6 +821,14 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.AviFrameDecoder.open(gif).isEmpty)
     assert(Multimodal.AviFrameDecoder
       .open(Multimodal.syntheticPcmWav(Array[Short](1, 2, 3))).isEmpty)
+    // a corrupt chunk size with the top bit set reads as a negative
+    // Int — must refuse (None), not walk backwards into a hang
+    val corrupt = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](16, 0, 0, 0) ++ "AVI " .getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1) ++ "movi".getBytes("US-ASCII") ++
+      new Array[Byte](8)
+    assert(Multimodal.AviFrameDecoder.open(corrupt).isEmpty)
     // MIXED corpus via firstOf: the GIF and the AVI of the same
     // frames are near-dups ACROSS containers; a position-shuffled
     // animation is not
