@@ -1330,11 +1330,27 @@ object Multimodal {
       s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
     require(maxShift >= 0 && maxShift < nFrames,
       s"maxShift must be in [0, nFrames=$nFrames), got $maxShift")
-    import org.apache.spark.sql.functions._
     val frames = gifFrameHashes(df.select(col(idCol), col(binaryCol)),
         binaryCol, nFrames, "_h", decoder)
       .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"),
         least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
+    positionalNearDupPairs(frames, maxHamming, minFrameMatches, maxBucket,
+      metricName, maxShift)
+  }
+
+  /** The POSITIONAL banded pair search shared by every per-position
+    * signature tier (GIF/AVI frame dHashes, segmented audio
+    * fingerprints): `frames` is one row per (doc `_gid`, position
+    * `sample_pos`, 64-bit signature `_h`, the doc's own signature
+    * count `_nf`). One implementation, so the modality tiers cannot
+    * drift — the banding, hot-cap, bounded-shift, distinct-position
+    * counting and adaptive short-doc gate semantics documented on
+    * `gifNearDupPairs` are THIS function's semantics. */
+  private[operators] def positionalNearDupPairs(frames: DataFrame,
+      maxHamming: Int, minMatches: Int, maxBucket: Int,
+      metricName: String, maxShift: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
     val bands = frames.select(col("_gid"), col("sample_pos"), col("_h"),
         col("_nf"),
         posexplode(array((0 until 4).map(k =>
@@ -1379,8 +1395,8 @@ object Multimodal {
       // cluster hub — different-length animations are different
       // animations
       .filter(col("n_matched") >= when(
-        least(col("_nfa"), col("_nfb")) >= minFrameMatches.toLong,
-        lit(minFrameMatches.toLong))
+        least(col("_nfa"), col("_nfb")) >= minMatches.toLong,
+        lit(minMatches.toLong))
         .otherwise(greatest(col("_nfa"), col("_nfb"))))
       .select(col("id_a"), col("id_b"), col("n_matched"))
   }
@@ -1427,9 +1443,9 @@ object Multimodal {
     * transformation that re-created the column) degrades to the old
     * unguarded behavior — best-effort by design, the persisted path's
     * `_meta.sample_cap` check stays the hard gate. */
-  private def sampleWidthMeta(nFrames: Int): org.apache.spark.sql.types.Metadata =
+  private def sampleWidthMeta(width: Long): org.apache.spark.sql.types.Metadata =
     new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("graft.sample_width", nFrames.toLong).build()
+      .putLong("graft.sample_width", width).build()
 
   private def indexSampleWidth(index: DataFrame): Option[Long] =
     index.schema.fields.find(_.name == "_hs")
@@ -1481,19 +1497,36 @@ object Multimodal {
           "probe with the index's width, or rebuild the index at the " +
           "probe's")
     }
+    val frames = gifFrameHashes(df.select(col(idCol), col(gifCol)),
+        gifCol, nFrames, "_h", decoder)
+      .select(col(idCol), col("sample_pos"), col("_h"),
+        least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
+    positionalFilterAgainst(df, idCol, frames, index, maxHamming,
+      minFrameMatches, broadcastIndex, maxShift)
+  }
+
+  /** The POSITIONAL standing-index probe shared by the per-position
+    * signature tiers (the filter half of `positionalNearDupPairs`):
+    * `frames` is the probe's (idCol, `sample_pos`, `_h`, `_nf`) rows,
+    * `index` a (`sample_pos`, `_k`, `_band`, `_hs`) positional
+    * hash-band frame. Keeps the `df` rows whose doc does NOT hit the
+    * index — semantics documented on `gifNearDupFilterAgainst`
+    * (adaptive length gate, bounded shift, distinct-position hit
+    * count, stated standing-side-length asymmetry). */
+  private[operators] def positionalFilterAgainst(df: DataFrame,
+      idCol: String, frames: DataFrame, index: DataFrame,
+      maxHamming: Int, minMatches: Int, broadcastIndex: Boolean,
+      maxShift: Int)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
     val clash = df.columns.toSeq.intersect(
       Seq("_h", "_nf", "_jpos") ++ (0 until 4).flatMap(k =>
         Seq(s"_p$k", s"_b$k", s"_cand$k")))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with " +
-        "gifNearDupFilterAgainst's working names")
-    val frames = gifFrameHashes(df.select(col(idCol), col(gifCol)),
-        gifCol, nFrames, "_h", decoder)
-      .select(col(idCol), col("sample_pos"), col("_h"),
-        least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
+        "the positional filter's working names")
     // maxShift: the probe side replicates each frame to its tolerated
     // index positions ((2s+1)x probe rows — batch-sized), mirroring
-    // gifNearDupPairs' bounded alignment; a frame HITS when any
+    // positionalNearDupPairs' bounded alignment; a frame HITS when any
     // candidate within `maxHamming` sits within +-maxShift of its own
     // position, and the hit count stays per DISTINCT probe position
     // (a frame matching several shifted lists is one covered frame)
@@ -1523,7 +1556,7 @@ object Multimodal {
       .groupBy(idCol)
       .agg(count_distinct(when(col("_hit"), col("sample_pos"))).as("_hits"),
         min(col("_nf")).as("_nf"))
-      .filter(col("_hits") >= least(lit(minFrameMatches.toLong), col("_nf")))
+      .filter(col("_hits") >= least(lit(minMatches.toLong), col("_nf")))
       .select(idCol)
     df.join(dropIds, Seq(idCol), "left_anti")
   }
@@ -1681,6 +1714,340 @@ object Multimodal {
     Dedup.rebuildHashBandIndexFrame(spark, path, frames, idCol,
       Seq("sample_pos"), maxBucket, metricName, outFiles, gifCol,
       sampleCap = nFrames.toLong)
+  }
+
+  // ------------------------------------------------------------------
+  // SEGMENTED audio tier — the audio twin of the video-like tier,
+  // through the SAME positional machinery: the whole-clip 64-bit
+  // fingerprint (`withAudioFingerprint`) is exact for re-containered
+  // copies but brittle to ANY length change (its 65 windows divide
+  // the WHOLE clip, so a trimmed intro moves every window boundary).
+  // Segmenting fixes that: the clip splits into consecutive
+  // fixed-DURATION segments of exactly `segmentFrames` PCM frames,
+  // each segment fingerprints with the same 65-window sign-of-delta
+  // envelope device, and two clips compare per POSITION — prepending
+  // one segment of content shifts every later position by exactly
+  // one, which is what `maxShift` tolerates. Because segment
+  // boundaries are ABSOLUTE (frame i*segmentFrames, unlike the GIF
+  // tier's length-relative sampling), the only comparability key is
+  // `segmentFrames` itself: that is the width the index records and
+  // the probes refuse on mismatch; `maxSegments` merely caps how
+  // many positions a long clip contributes and may differ freely
+  // between index and probe.
+  // ------------------------------------------------------------------
+
+  /** Per-segment 64-bit envelope fingerprints over REAL PCM decode —
+    * `AudioFingerprinter`'s device applied per consecutive segment of
+    * exactly `segmentFrames` frames (multiple of 65, so the 65
+    * windows tile a segment exactly; window length `wl` =
+    * segmentFrames/65): bit i of segment s records "window i+1
+    * louder than window i" within that segment. The determinism
+    * contract carries over verbatim (exact double sums of multiples
+    * of 2⁻³⁰ for wl up to 2²³ — the bit comparisons replay as
+    * integer comparisons, which is what q150's DuckDB oracle does).
+    * Segments come from the container's DECLARED frame count
+    * (floor-divided; the ragged tail is ignored), capped at
+    * `maxSegments`; clips shorter than one segment, containers that
+    * do not declare a length, payloads that truncate before the
+    * declared segment span, and undecodable bytes all produce ZERO
+    * segments — the tier keeps such rows (the gates own them), the
+    * same rule as the image/GIF tiers. */
+  final class AudioSegmentFingerprinter(segmentFrames: Long,
+      maxSegments: Int) extends Serializable {
+    require(segmentFrames >= 65 && segmentFrames % 65 == 0,
+      s"segmentFrames must be a positive multiple of 65 (the envelope " +
+        s"window count), got $segmentFrames")
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+
+    def segmentHashes(bytes: Array[Byte]): Array[Long] = {
+      val none = Array.emptyLongArray
+      if (bytes == null || bytes.isEmpty) return none
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          try {
+            val ch = target.getChannels
+            val frameBytes = ch * 2
+            val total = in.getFrameLength
+            if (total < segmentFrames) return none // includes unknown (-1)
+            val nSegs = math.min(total / segmentFrames, maxSegments.toLong).toInt
+            val wl = segmentFrames / 65
+            val limit = nSegs * segmentFrames
+            val energies = Array.ofDim[Double](nSegs, 65)
+            val buf = new Array[Byte](frameBytes * 4096)
+            var frames = 0L
+            var eof = false
+            while (!eof && frames < limit) {
+              // divide, don't multiply — same Long-overflow guard as
+              // AudioFingerprinter's read loop
+              val remaining = limit - frames
+              val want =
+                if (remaining >= buf.length / frameBytes) buf.length
+                else (remaining * frameBytes).toInt
+              val n = pcm.read(buf, 0, want)
+              if (n <= 0) eof = true
+              else {
+                var off = 0
+                while (off + frameBytes <= n) {
+                  var c = 0
+                  var acc = 0.0
+                  while (c < ch) {
+                    val lo = buf(off + c * 2) & 0xff
+                    val hi = buf(off + c * 2 + 1).toInt
+                    acc += ((hi << 8) | lo).toShort.toDouble
+                    c += 1
+                  }
+                  val s = acc / ch / 32768.0
+                  val seg = (frames / segmentFrames).toInt
+                  val w = ((frames % segmentFrames) / wl).toInt
+                  energies(seg)(w) += s * s
+                  off += frameBytes
+                  frames += 1
+                }
+              }
+            }
+            if (frames < limit) return none // header declared more than decoded
+            Array.tabulate(nSegs) { seg =>
+              val e = energies(seg)
+              var h = 0L
+              var i = 0
+              while (i < 64) {
+                if (e(i + 1) > e(i)) h |= 1L << i
+                i += 1
+              }
+              h
+            }
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => none }
+    }
+  }
+
+  /** One row per audio SEGMENT: (`sample_pos`, `n_segments`, `outCol`
+    * = the segment's 64-bit envelope fingerprint) — the audio twin of
+    * `gifFrameHashes`, in the exact shape the positional machinery
+    * takes. Decode is once-per-task (`mapPartitions` contract); only
+    * 8 bytes per segment ever shuffle. Zero-segment payloads emit no
+    * rows. */
+  def audioSegmentHashes(df: DataFrame, binaryCol: String,
+      segmentFrames: Long = 8320L, maxSegments: Int = 16,
+      outCol: String = "seg_fp")(
+      implicit spark: SparkSession): DataFrame = {
+    require(!df.columns.exists(c =>
+        Set("sample_pos", "n_segments", outCol).contains(c)),
+      s"input columns collide with audioSegmentHashes' outputs " +
+        s"(sample_pos/n_segments/$outCol)")
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema
+      .add("sample_pos", IntegerType).add("n_segments", IntegerType)
+      .add(outCol, LongType)
+    df.mapPartitions { it =>
+      val fp = new AudioSegmentFingerprinter(segmentFrames, maxSegments)
+      it.flatMap { r =>
+        val hs = fp.segmentHashes(binaryOf(r, idx))
+        hs.indices.map(s => Row.fromSeq(r.toSeq :+ s :+ hs.length :+ hs(s)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Clip-level near-dup pairs over segment fingerprints — the audio
+    * twin of `gifNearDupPairs`, riding `positionalNearDupPairs`
+    * unchanged: two clips pair when at least `minSegmentMatches` of
+    * their same-position segments are within `maxHamming` bits
+    * (adaptively every-position-of-equal-length for clips shorter
+    * than the threshold), `maxShift` tolerates a bounded number of
+    * prepended/trimmed SEGMENTS (the time-shift case the whole-clip
+    * fingerprint cannot see) at (2s+1)x candidate cost — still
+    * banded, never quadratic alignment. Returns
+    * (id_a, id_b, n_matched) with id_a < id_b. */
+  def audioNearDupPairsSegmented(df: DataFrame, binaryCol: String,
+      idCol: String, segmentFrames: Long = 8320L, maxSegments: Int = 16,
+      maxHamming: Int = 3, minSegmentMatches: Int = 3,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_audio_seg_band_cap",
+      maxShift: Int = 0)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(minSegmentMatches >= 1 && minSegmentMatches <= maxSegments,
+      s"minSegmentMatches must be in [1, maxSegments=$maxSegments], " +
+        s"got $minSegmentMatches")
+    require(maxShift >= 0 && maxShift < maxSegments,
+      s"maxShift must be in [0, maxSegments=$maxSegments), got $maxShift")
+    val frames = audioSegmentHashes(df.select(col(idCol), col(binaryCol)),
+        binaryCol, segmentFrames, maxSegments, "_h")
+      .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"),
+        col("n_segments").cast("long").as("_nf"))
+    positionalNearDupPairs(frames, maxHamming, minSegmentMatches,
+      maxBucket, metricName, maxShift)
+  }
+
+  /** In-memory positional standing index over a corpus' segment
+    * fingerprints — the audio twin of `gifHashBandIndex`, same
+    * (`sample_pos`, `_k`, `_band`, `_hs`) probe shape. The width that
+    * rides `_hs` (and that the probes refuse on mismatch) is
+    * `segmentFrames`: positions are absolute, so it is the ONLY
+    * parameter two sides must share — `maxSegments` may differ
+    * freely (it caps positions, it does not move them). */
+  def audioSegmentHashBandIndex(standing: DataFrame, audioCol: String,
+      segmentFrames: Long = 8320L, maxSegments: Int = 16,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_audio_seg_index_cap")(
+      implicit spark: SparkSession): DataFrame = {
+    val frames = audioSegmentHashes(standing.select(col(audioCol)),
+        audioCol, segmentFrames, maxSegments, "_h")
+      .select(col("sample_pos"), col("_h"))
+    val bands = frames.select(col("sample_pos"), col("_h"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+      .toDF("sample_pos", "_h", "_k", "_band")
+    HotKeys.cap(bands, Seq(col("sample_pos"), col("_k"), col("_band")),
+        maxBucket, minPerKey = 1, metricName = metricName)
+      .groupBy("sample_pos", "_k", "_band")
+      .agg(collect_list("_h").as("_hs"))
+      .withColumn("_hs", col("_hs").as("_hs", sampleWidthMeta(segmentFrames)))
+  }
+
+  /** Keep the rows whose clip does NOT near-dup a standing audio
+    * corpus — the audio twin of `gifNearDupFilterAgainst`, riding
+    * `positionalFilterAgainst` unchanged (adaptive length gate,
+    * bounded shift, distinct-position hit count, and the SAME stated
+    * asymmetry: the index does not carry standing clips' segment
+    * counts, so the threshold comes from the batch side's length —
+    * use the pair operator when both lengths matter). The width
+    * guard refuses a probe whose `segmentFrames` differs from the
+    * index's (carried as `_hs` column metadata by
+    * `audioSegmentHashBandIndex` / `readAudioSegmentHashBandIndex`):
+    * mismatched segment durations hash DIFFERENT math, not shifted
+    * positions. Zero-segment payloads keep. Batch intake only — the
+    * per-clip hit count is an id-keyed aggregation; stream via
+    * `audioNearDupMicroBatch`. */
+  def audioNearDupFilterAgainst(df: DataFrame, binaryCol: String,
+      idCol: String, index: DataFrame, segmentFrames: Long = 8320L,
+      maxSegments: Int = 16, maxHamming: Int = 3,
+      minSegmentMatches: Int = 3, broadcastIndex: Boolean = true,
+      maxShift: Int = 0)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(minSegmentMatches >= 1 && minSegmentMatches <= maxSegments,
+      s"minSegmentMatches must be in [1, maxSegments=$maxSegments], " +
+        s"got $minSegmentMatches")
+    require(maxShift >= 0 && maxShift < maxSegments,
+      s"maxShift must be in [0, maxSegments=$maxSegments), got $maxShift")
+    indexSampleWidth(index).foreach { built =>
+      require(built == segmentFrames,
+        s"audioNearDupFilterAgainst: index carries segment width $built " +
+          s"(segmentFrames at build/read) but this probe segments at " +
+          s"$segmentFrames — probe with the index's width, or rebuild " +
+          "the index at the probe's")
+    }
+    val frames = audioSegmentHashes(df.select(col(idCol), col(binaryCol)),
+        binaryCol, segmentFrames, maxSegments, "_h")
+      .select(col(idCol), col("sample_pos"), col("_h"),
+        col("n_segments").cast("long").as("_nf"))
+    positionalFilterAgainst(df, idCol, frames, index, maxHamming,
+      minSegmentMatches, broadcastIndex, maxShift)
+  }
+
+  /** STREAM-ready segmented-audio intake — the audio twin of
+    * `gifNearDupMicroBatch`, same contract: wrap a sink, pass to
+    * `foreachBatch`, and every micro-batch flows through
+    * `audioNearDupFilterAgainst` against the standing index (read
+    * ONCE and persisted — the read-once-cache contract). The width
+    * guard runs at stream BUILD so a mismatched `segmentFrames`
+    * fails before the first batch. Batches dedup against the
+    * STANDING corpus only; in-batch twins are the pair operator's
+    * job, and the index grows between batches via
+    * `rebuildAudioSegmentHashBandIndex`. */
+  def audioNearDupMicroBatch(binaryCol: String, idCol: String,
+      index: DataFrame, segmentFrames: Long = 8320L, maxSegments: Int = 16,
+      maxHamming: Int = 3, minSegmentMatches: Int = 3,
+      broadcastIndex: Boolean = true, maxShift: Int = 0)(
+      sink: (DataFrame, Long) => Unit)(
+      implicit spark: SparkSession): (DataFrame, Long) => Unit = {
+    indexSampleWidth(index).foreach { built =>
+      require(built == segmentFrames,
+        s"audioNearDupMicroBatch: index carries segment width $built but " +
+          s"the stream probes at $segmentFrames — probe with the index's " +
+          "width, or rebuild the index at the probe's")
+    }
+    (batch: DataFrame, batchId: Long) =>
+      sink(audioNearDupFilterAgainst(batch, binaryCol, idCol, index,
+        segmentFrames, maxSegments, maxHamming, minSegmentMatches,
+        broadcastIndex, maxShift), batchId)
+  }
+
+  /** Persist the positional AUDIO index — the positional family's
+    * machinery verbatim (versioned from birth, capped bands, one
+    * action, `_meta`; deletes/compaction/stats/health are the classic
+    * entry points, `IndexMaintenance.healthSweep` reports it as
+    * `hashband`/`positional`): one row per (`_k`, `_band`,
+    * `sample_pos`, id, segment hash `_h`). `_meta.sample_cap` records
+    * `segmentFrames` — the audio layout's comparability key (see
+    * `audioSegmentHashBandIndex`) — so a GIF positional artifact
+    * (sample_cap = its nFrames) and an audio one refuse each other's
+    * probes through the SAME width check; `_meta.hash_col` records
+    * the audio column for fleet-report legibility. The standing
+    * corpus decodes exactly once, here. */
+  def writeAudioSegmentHashBandIndex(standing: DataFrame, audioCol: String,
+      idCol: String, path: String, segmentFrames: Long = 8320L,
+      maxSegments: Int = 16, maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_audio_seg_index_write_cap",
+      outFiles: Int = 4)(
+      implicit spark: SparkSession): Unit = {
+    require(idCol != "sample_pos",
+      "idCol 'sample_pos' collides with the positional layout's own column")
+    val frames = audioSegmentHashes(standing.select(col(idCol), col(audioCol)),
+        audioCol, segmentFrames, maxSegments, "_h")
+      .select(col(idCol), col("sample_pos"), col("_h"))
+    Dedup.writeHashBandIndexFrame(frames, idCol, Seq("sample_pos"), audioCol,
+      path, maxBucket, metricName, outFiles, sampleCap = segmentFrames)
+  }
+
+  /** Read a persisted positional audio index in the probe shape —
+    * `readGifHashBandIndex`'s contract with the audio width
+    * semantics: `segmentFrames` is validated against the build-time
+    * `_meta.sample_cap` record and rides the returned frame as `_hs`
+    * metadata so the probe re-checks it. A classic artifact is
+    * refused schema-derivedly; a positional GIF artifact is refused
+    * by the width record (its sample_cap is a frame COUNT, orders of
+    * magnitude below any legal segmentFrames). */
+  def readAudioSegmentHashBandIndex(spark: SparkSession, path: String,
+      segmentFrames: Long = 8320L): DataFrame = {
+    require(segmentFrames >= 65 && segmentFrames % 65 == 0,
+      s"segmentFrames must be a positive multiple of 65, got $segmentFrames")
+    Dedup.readHashBandIndexFrame(spark, path, Seq("sample_pos"),
+        expectSampleCap = Some(segmentFrames))
+      .withColumn("_hs", col("_hs").as("_hs", sampleWidthMeta(segmentFrames)))
+  }
+
+  /** GROW a persisted positional audio index — the positional
+    * family's growth rebuild with the new batch's clips segmented
+    * first: the surviving signature frame reconstructs from the
+    * artifact's own rows minus pending tombstones, unions the new
+    * frames, and re-runs the capped versioned write under the shared
+    * rewrite lock. `segmentFrames` must equal the build's
+    * (`_meta.sample_cap` refuses a mismatch — absolute positions
+    * make a mixed-width union silently wrong, never merely stale). */
+  def rebuildAudioSegmentHashBandIndex(spark: SparkSession, path: String,
+      newClips: DataFrame, audioCol: String, idCol: String,
+      segmentFrames: Long = 8320L, maxSegments: Int = 16,
+      maxBucket: Option[Int] = None,
+      metricName: String = "graft_audio_seg_index_rebuild_cap",
+      outFiles: Int = 4): Unit = {
+    implicit val sp: SparkSession = spark
+    val frames = audioSegmentHashes(newClips.select(col(idCol), col(audioCol)),
+        audioCol, segmentFrames, maxSegments, "_h")
+      .select(col(idCol), col("sample_pos"), col("_h"))
+    Dedup.rebuildHashBandIndexFrame(spark, path, frames, idCol,
+      Seq("sample_pos"), maxBucket, metricName, outFiles, audioCol,
+      sampleCap = segmentFrames)
   }
 
   /** Corpus-level media stats: the aggregation never touches the raw

@@ -5755,6 +5755,85 @@ object DataPrepQueries {
               graft.operators.Multimodal.GifFrameDecoder,
               graft.operators.Multimodal.AviFrameDecoder))
           .orderBy("id_a", "id_b")
+      }),
+
+    // SEGMENTED audio near-dup with bounded shift
+    // (Multimodal.audioNearDupPairsSegmented maxShift = 1) — the
+    // q148 time-shift device transposed to the audio modality: 30
+    // bases x 6 docs, each doc a 4-segment mono WAV (520 frames per
+    // segment = 65 windows x 8 samples) whose window amplitude is
+    // md5-derived per (base, segment, window); variant 1 ((doc_id //
+    // 30) % 3 = 1) renders segment s with the BASE formula at s+1 —
+    // the trimmed-intro re-cut, every segment one position earlier.
+    // Spark runs WAV-encode -> JDK decode -> per-SEGMENT 65-window
+    // energy envelope -> sign-of-delta fingerprints -> the SHARED
+    // positional banded search at maxShift = 1, while DuckDB replays
+    // the amplitude grid, the per-segment bit formula and the
+    // |sa - sb| <= 1 tolerance from first principles (window energy
+    // is monotone in the amplitude and the per-window double sums
+    // are exact — q128's determinism argument, per segment). Twins
+    // match all 4 positions, re-cuts match 3 one step apart
+    // (n_matched = the LEAST of each side's distinct matched
+    // positions); a hash match pins segmentation, the per-segment
+    // envelope math, the shifted candidate generation and that shift
+    // never relaxes the hamming rule — through the SAME positional
+    // core the GIF tier rides (q141/q148 pin its other caller).
+    QueryDef("q150_audio_shifted_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 30 AS base,
+                   CASE WHEN (doc_id // 30) % 3 = 1 THEN 1 ELSE 0 END AS sh
+                 FROM documents WHERE doc_id < 180),
+      amp AS (SELECT d.doc_id, s.s, w.w,
+                ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(s.s + d.sh AS VARCHAR) || ':' || CAST(w.w AS VARCHAR)), 1, 2))::INT AS a
+              FROM d
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+                CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) w),
+      h AS (SELECT a1.doc_id, a1.s,
+              bit_or(CASE WHEN a2.a > a1.a THEN (1::UBIGINT << a1.w) ELSE 0::UBIGINT END) AS h
+            FROM amp a1 JOIN amp a2 ON a2.doc_id = a1.doc_id AND a2.s = a1.s
+              AND a2.w = a1.w + 1
+            GROUP BY a1.doc_id, a1.s),
+      m AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+                   a.s AS sa, b.s AS sb
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+              AND abs(a.s - b.s) <= 1
+              AND bit_count(xor(a.h, b.h)) <= 3),
+      pr AS (SELECT ia, ib,
+               least(count(DISTINCT sa), count(DISTINCT sb)) AS nm
+             FROM m GROUP BY ia, ib)
+      SELECT ia AS id_a, ib AS id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 30
+          val sh = if ((docId / 30) % 3 == 1) 1 else 0
+          val samples = new Array[Short](4 * 520)
+          var seg = 0
+          while (seg < 4) {
+            var w = 0
+            while (w < 65) {
+              val a = java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:${seg + sh}:$w".getBytes("UTF-8"))(0))
+              val m = a * 77 // < 32768 — window-constant magnitude
+              var j = 0
+              while (j < 8) {
+                val gi = seg * 520 + w * 8 + j
+                samples(gi) = (if (gi % 2 == 0) m else -m).toShort
+                j += 1
+              }
+              w += 1
+            }
+            seg += 1
+          }
+          graft.operators.Multimodal.syntheticPcmWav(samples)
+        }
+        val clips = t(s, dir, "documents").filter(col("doc_id") < 180)
+          .select(col("doc_id"), mk(col("doc_id")).as("aud"))
+        graft.operators.Multimodal.audioNearDupPairsSegmented(clips,
+            "aud", "doc_id", segmentFrames = 520L, maxSegments = 4,
+            metricName = "graft_q150_shift_cap", maxShift = 1)
+          .orderBy("id_a", "id_b")
       })
   )
 }
