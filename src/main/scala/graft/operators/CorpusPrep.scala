@@ -169,6 +169,33 @@ object CorpusPrep {
     // for mixed corpora, or an external MP4/WebM implementation) and
     // the whole tier rides it unchanged
     gifDecoder: Multimodal.FrameDecoder = Multimodal.GifFrameDecoder,
+    // SEGMENTED audio near-dup tier (audioSegCol — may be the SAME
+    // binary column as audioCol): fixed-duration per-segment envelope
+    // fingerprints (Multimodal.audioSegmentHashes) through the SAME
+    // positional machinery as the GIF tier — catches trimmed /
+    // prepended / re-cut clips that the whole-clip audioCol
+    // fingerprint cannot see (its 65 windows divide the WHOLE clip,
+    // so any length change moves every window). Two clips collapse
+    // when >= audioMinSegmentMatches same-position segments are
+    // within audioSegMaxHamming bits (adaptively
+    // every-position-of-equal-length for short clips);
+    // audioSegMaxShift tolerates a bounded number of
+    // prepended/trimmed SEGMENTS. run() clusters in-corpus;
+    // runIncremental needs the PREBUILT positional `audioSegIndex`
+    // (Multimodal.audioSegmentHashBandIndex, or the persisted
+    // writeAudioSegmentHashBandIndex + readAudioSegmentHashBandIndex
+    // — decode-once across runs, takedown lifecycle included) and
+    // decodes the batch twice (in-batch pairs + the standing probe;
+    // still O(batch)). prepStream REFUSES this tier (the per-clip
+    // hit count is an id-keyed aggregation) — stream via
+    // Multimodal.audioNearDupMicroBatch. Zero-segment payloads
+    // (short, undecodable, undeclared length) keep.
+    audioSegCol: Option[String] = None,
+    audioSegmentFrames: Long = 8320L,
+    audioMaxSegments: Int = 16,
+    audioSegMaxHamming: Int = 3,
+    audioMinSegmentMatches: Int = 3,
+    audioSegMaxShift: Int = 0,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -661,7 +688,22 @@ object CorpusPrep {
         .fold(Dedup.dropNearDuplicates(signatured, idCol, clusters))(
           Dedup.dropNearDuplicatesBy(signatured, idCol, clusters, _)), "gif")
     }
-    decontaminateAndSample(gifTiered, idCol, cfg)
+    // segmented-audio tier: the positional machinery again, over
+    // fixed-duration segment fingerprints — trimmed/re-cut clips of
+    // the SAME audio, which the whole-clip audioCol tier cannot see
+    val audioSegTiered = cfg.audioSegCol.fold(gifTiered) { ac =>
+      implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
+      val clusters = Dedup.duplicateClusters(
+        Multimodal.audioNearDupPairsSegmented(gifTiered, ac, idCol,
+          cfg.audioSegmentFrames, cfg.audioMaxSegments,
+          cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
+          cfg.maxBucket, maxShift = cfg.audioSegMaxShift))
+      obs(cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(gifTiered, idCol, clusters))(
+          Dedup.dropNearDuplicatesBy(gifTiered, idCol, clusters, _)),
+        "audioseg")
+    }
+    decontaminateAndSample(audioSegTiered, idCol, cfg)
   }
 
   /** Row tracing for the batch prep facade — the data-curation twin
@@ -802,6 +844,19 @@ object CorpusPrep {
           .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
             Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
         sigStages :+= (("gif", cl, after)); cur = after
+      }
+      cfg.audioSegCol.foreach { ac =>
+        implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
+        val cl = pin(Dedup.duplicateClusters(
+          Multimodal.audioNearDupPairsSegmented(cur, ac, idCol,
+            cfg.audioSegmentFrames, cfg.audioMaxSegments,
+            cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
+            cfg.maxBucket, metricName = "graft_audioseg_trace_cap",
+            maxShift = cfg.audioSegMaxShift)))
+        val after = pin(cfg.keepPreference
+          .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
+            Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
+        sigStages :+= (("audioseg", cl, after)); cur = after
       }
       val ngramGated = cfg.ngramBloom.fold(cur)(bytes =>
         pin(Dedup.bloomNgramGate(cur, "clean_text", bytes,
@@ -998,6 +1053,10 @@ object CorpusPrep {
       "the GIF tier is refused by prepStream (its drop decision is an " +
         "id-keyed aggregation) — there is no stream to trace; use " +
         "prepTraceIncremental")
+    require(cfg.audioSegCol.isEmpty,
+      "the segmented-audio tier is refused by prepStream (its drop " +
+        "decision is an id-keyed aggregation) — there is no stream to " +
+        "trace; use prepTraceIncremental")
     require(ids.columns.length == 1,
       s"ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
     require(!(Set("stage", "detail", "_digest", "_rank", "_trc_len", "_trc_qs",
@@ -1250,7 +1309,8 @@ object CorpusPrep {
       oldIndex: Option[DataFrame] = None,
       imageIndex: Option[DataFrame] = None,
       audioIndex: Option[DataFrame] = None,
-      gifIndex: Option[DataFrame] = None): DataFrame = {
+      gifIndex: Option[DataFrame] = None,
+      audioSegIndex: Option[DataFrame] = None): DataFrame = {
     require(!cfg.cutHotSpans,
       "cutHotSpans is a full-run option — runIncremental refuses it, so " +
         "there is no incremental chain to trace")
@@ -1268,6 +1328,11 @@ object CorpusPrep {
       "gifCol needs `gifIndex` — pass the same index runIncremental uses")
     require(gifIndex.isEmpty || cfg.gifCol.isDefined,
       "gifIndex without cfg.gifCol would be silently ignored")
+    require(cfg.audioSegCol.isEmpty || audioSegIndex.isDefined,
+      "audioSegCol needs `audioSegIndex` — pass the same index " +
+        "runIncremental uses")
+    require(audioSegIndex.isEmpty || cfg.audioSegCol.isDefined,
+      "audioSegIndex without cfg.audioSegCol would be silently ignored")
     require(!cfg.benchEmbLarge || cfg.benchEmb.isDefined,
       "benchEmbLarge selects the large-bench route OF the benchEmb tier — " +
         "runIncremental refuses this config, so there is no run to trace")
@@ -1351,6 +1416,38 @@ object CorpusPrep {
           .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
             Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _)))
         sigStages :+= (("gif", cur, after, hitIds, taintedMembers, clusters))
+        cur = after
+      }
+      // the segmented-audio tier: same taint-rule fold, per-segment
+      // envelope fingerprints through the positional machinery
+      cfg.audioSegCol.foreach { ac =>
+        implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+        val clusters = pin(Dedup.duplicateClusters(
+          Multimodal.audioNearDupPairsSegmented(cur, ac, idCol,
+            cfg.audioSegmentFrames, cfg.audioMaxSegments,
+            cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
+            cfg.maxBucket, metricName = "graft_audioseg_inctrace_cap",
+            maxShift = cfg.audioSegMaxShift)))
+        val hitIds = pin(cur.select(col(idCol)).join(
+          Multimodal.audioNearDupFilterAgainst(cur, ac, idCol,
+              audioSegIndex.get, cfg.audioSegmentFrames,
+              cfg.audioMaxSegments, cfg.audioSegMaxHamming,
+              cfg.audioMinSegmentMatches, maxShift = cfg.audioSegMaxShift)
+            .select(col(idCol)),
+          Seq(idCol), "left_anti"))
+        val taintedMembers = pin(clusters.join(
+            clusters.join(hitIds.withColumnRenamed(idCol, "id"), Seq("id"),
+              "left_semi").select("cluster").distinct(),
+            Seq("cluster"), "left_semi")
+          .select(col("id").as(idCol)))
+        val clean = cur
+          .join(hitIds, Seq(idCol), "left_anti")
+          .join(taintedMembers, Seq(idCol), "left_anti")
+        val after = pin(cfg.keepPreference
+          .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
+            Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _)))
+        sigStages :+= (("audioseg", cur, after, hitIds, taintedMembers,
+          clusters))
         cur = after
       }
       // back half, exactly decontaminateAndSample's order
@@ -1574,7 +1671,8 @@ object CorpusPrep {
       oldIndex: Option[DataFrame] = None,
       imageIndex: Option[DataFrame] = None,
       audioIndex: Option[DataFrame] = None,
-      gifIndex: Option[DataFrame] = None): DataFrame = {
+      gifIndex: Option[DataFrame] = None,
+      audioSegIndex: Option[DataFrame] = None): DataFrame = {
     require(!cfg.cutHotSpans,
       "cutHotSpans is a full-run option: the incremental path would have to " +
         "re-scan the standing corpus's text for the span census, defeating its " +
@@ -1614,6 +1712,16 @@ object CorpusPrep {
     require(gifIndex.isEmpty || cfg.gifCol.isDefined,
       "gifIndex without cfg.gifCol would be silently ignored — set the " +
         "gif column, or drop the index argument")
+    require(cfg.audioSegCol.isEmpty || audioSegIndex.isDefined,
+      "audioSegCol on the incremental path needs `audioSegIndex` — build " +
+        "it ONCE with Multimodal.audioSegmentHashBandIndex over the " +
+        "standing corpus, or persist it with " +
+        "writeAudioSegmentHashBandIndex and pass " +
+        "readAudioSegmentHashBandIndex (decode-once across runs, with the " +
+        "takedown lifecycle); the batch-per-run decode must follow the batch")
+    require(audioSegIndex.isEmpty || cfg.audioSegCol.isDefined,
+      "audioSegIndex without cfg.audioSegCol would be silently ignored — " +
+        "set the segmented-audio column, or drop the index argument")
     val gated = qmGate(lmGate(
       normalizeAndGate(batch, textCol, idCol, cfg,
         spanCorpus = if (cfg.maxHotSpans.isDefined) Some(standing) else None),
@@ -1695,7 +1803,36 @@ object CorpusPrep {
         .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
           Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
     }
-    decontaminateAndSample(gifTiered, idCol, cfg)
+    // segmented-audio tier: the same taint-rule fold over per-segment
+    // envelope fingerprints and the positional standing probe
+    val audioSegTiered = cfg.audioSegCol.fold(gifTiered) { ac =>
+      implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
+      val pinned = gifTiered.localCheckpoint()
+      val clusters = Dedup.duplicateClusters(
+        Multimodal.audioNearDupPairsSegmented(pinned, ac, idCol,
+          cfg.audioSegmentFrames, cfg.audioMaxSegments,
+          cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
+          cfg.maxBucket, maxShift = cfg.audioSegMaxShift))
+      val hitIds = pinned.select(col(idCol)).join(
+        Multimodal.audioNearDupFilterAgainst(pinned, ac, idCol,
+            audioSegIndex.get, cfg.audioSegmentFrames,
+            cfg.audioMaxSegments, cfg.audioSegMaxHamming,
+            cfg.audioMinSegmentMatches, maxShift = cfg.audioSegMaxShift)
+          .select(col(idCol)),
+        Seq(idCol), "left_anti")
+      val taintedMembers = clusters.join(
+          clusters.join(hitIds.withColumnRenamed(idCol, "id"), Seq("id"),
+            "left_semi").select("cluster").distinct(),
+          Seq("cluster"), "left_semi")
+        .select(col("id").as(idCol))
+      val clean = pinned
+        .join(hitIds, Seq(idCol), "left_anti")
+        .join(taintedMembers, Seq(idCol), "left_anti")
+      cfg.keepPreference
+        .fold(Dedup.dropNearDuplicates(clean, idCol, clusters))(
+          Dedup.dropNearDuplicatesBy(clean, idCol, clusters, _))
+    }
+    decontaminateAndSample(audioSegTiered, idCol, cfg)
   }
 
   /** SEMANTIC standing-corpus stage for incremental flows — the
@@ -1941,6 +2078,13 @@ object CorpusPrep {
         "in incremental batches via runIncremental + gifIndex, or as a " +
         "foreachBatch stream via Multimodal.gifNearDupMicroBatch (the " +
         "batch filter's exact semantics per micro-batch)")
+    require(cfg.audioSegCol.isEmpty,
+      "the segmented-audio tier is refused on streams for the GIF tier's " +
+        "reason: its drop decision counts matched segment POSITIONS per " +
+        "clip — an id-keyed aggregation the row-local append-mode contract " +
+        "cannot express — dedupe segmented-audio intake in incremental " +
+        "batches via runIncremental + audioSegIndex, or as a foreachBatch " +
+        "stream via Multimodal.audioNearDupMicroBatch")
     require(cfg.embCol.isEmpty || semanticLookup.isDefined ||
         cfg.benchEmb.isDefined,
       "embCol in a stream needs a standing semantic lookup (build one with " +

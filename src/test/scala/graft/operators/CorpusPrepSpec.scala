@@ -826,6 +826,110 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(aviShifted == Set(1L), s"avi shifted kept $aviShifted")
   }
 
+  test("segmented-audio tier: positional clip clusters collapse keep-earliest; incremental probes the standing index with the taint rule; shift knob; stream refuses") {
+    // prescribed-hash clips: window amplitudes walk +-1 per
+    // fingerprint bit (AudioSegmentSpec's device), so every segment
+    // hash — and every pairwise hamming — is a construction
+    def ampsOf(hash: Long): Array[Int] = {
+      val a = new Array[Int](65); a(0) = 128
+      (0 until 64).foreach(i =>
+        a(i + 1) = a(i) + (if (((hash >>> i) & 1L) == 1L) 1 else -1))
+      a
+    }
+    def clip(hashes: Long*): Array[Byte] = {
+      val samples = new Array[Short](hashes.length * 520)
+      hashes.zipWithIndex.foreach { case (h, s) =>
+        val amps = ampsOf(h)
+        for (w <- 0 until 65; j <- 0 until 8) {
+          val gi = s * 520 + w * 8 + j
+          val m = amps(w) * 77
+          samples(gi) = (if (gi % 2 == 0) m else -m).toShort
+        }
+      }
+      Multimodal.syntheticPcmWav(samples)
+    }
+    def hOf(label: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.nio.ByteBuffer.wrap(md.digest(label.getBytes("UTF-8"))).getLong
+    }
+    val Seq(h1, h2, h3, h4, h5, h6, h7, h8, hX) =
+      Seq("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "cX").map(hOf)
+    val audS = clip(h1, h2, h3, h4)
+    // X: 1 bit per segment from S (within radius 3); Y: 4 bits from
+    // S (outside), 3 from X (within) — the taint chain
+    val audX = clip(h1 ^ 1L, h2 ^ 1L, h3 ^ 1L, h4 ^ 1L)
+    val audY = clip(h1 ^ 15L, h2 ^ 15L, h3 ^ 15L, h4 ^ 15L)
+    val audB = clip(h5, h6, h7, h8)
+    val segCfg = CorpusPrep.Config(audioSegCol = Some("aud"),
+      audioSegmentFrames = 520L, audioMaxSegments = 4)
+    val docs = Seq(
+      (1L, "the first document talks about entirely maritime navigation topics", audS),
+      (2L, "a second text concerning volcanic geology and mineral formations", audX),
+      (3L, "third entry describing renaissance painting techniques in detail", audB)
+    ).toDF("doc_id", "text", "aud")
+    val out = CorpusPrep.run(docs,
+      cfg = segCfg.copy(metricPrefix = Some("graft_asrun")))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"run kept $kept")
+    out.collect()
+    assert(out.queryExecution.observedMetrics("graft_asrun_audioseg")
+      .getAs[Long]("rows") == 2L, "audioseg survivor metric")
+    // the trace names the stage and the cluster survivor
+    val tr = CorpusPrep.prepTrace(docs, Seq(2L).toDF("id"), cfg = segCfg)
+      .collect()(0)
+    assert(tr.getString(1) == "audioseg", tr.toString)
+    assert(tr.getString(2).contains("1"), s"survivor evidence: $tr")
+    // the shift knob routes through the same config: a
+    // prepended-intro re-cut clusters at audioSegMaxShift = 1 only
+    val recut = Seq(
+      (20L, "fourth text studies the migration of arctic seabirds in winter", audS),
+      (21L, "fifth text collects observations on desert reptile hydration", clip(hX, h1, h2, h3))
+    ).toDF("doc_id", "text", "aud")
+    val keptNoShift = CorpusPrep.run(recut, cfg = segCfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNoShift == Set(20L, 21L), s"no-shift kept $keptNoShift")
+    val keptShift = CorpusPrep.run(recut,
+        cfg = segCfg.copy(audioSegMaxShift = 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptShift == Set(20L), s"shift kept $keptShift")
+    // incremental: standing = {S}; batch X hits standing directly,
+    // batch Y only via X (the taint rule), batch B keeps
+    val standing = Seq((0L, "standing corpus text about maritime things",
+        audS)).toDF("doc_id", "clean_text", "aud")
+    val segIdx = Multimodal.audioSegmentHashBandIndex(
+      standing.select(col("aud")), "aud", 520L, 4)(spark)
+    val batch = Seq(
+      (10L, "batch text number ten concerning volcanic geology formations", audX),
+      (11L, "batch text eleven about renaissance painting and fresco work", audY),
+      (12L, "batch text twelve on quantum computing error correction codes", audB)
+    ).toDF("doc_id", "text", "aud")
+    val inc = CorpusPrep.runIncremental(standing, batch, cfg = segCfg,
+        audioSegIndex = Some(segIdx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc == Set(12L), s"incremental kept $inc")
+    val trInc = CorpusPrep.prepTraceIncremental(standing, batch,
+        Seq(10L, 11L, 12L).toDF("id"), cfg = segCfg,
+        audioSegIndex = Some(segIdx))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(trInc(10L)._1 == "audioseg" && trInc(10L)._2.contains("standing"),
+      s"${trInc(10L)}")
+    assert(trInc(11L)._1 == "audioseg" && trInc(11L)._2.contains("tainted"),
+      s"${trInc(11L)}")
+    assert(trInc(12L)._1 == "kept", s"${trInc(12L)}")
+    // misconfigs refuse: audioSegCol without index, index without
+    // column, and the stream path entirely
+    intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(standing, batch, cfg = segCfg)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.runIncremental(standing, batch, audioSegIndex = Some(segIdx))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.prepTraceStream(batch, Seq(10L).toDF("id"), "text",
+        cfg = segCfg)
+    }
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"
