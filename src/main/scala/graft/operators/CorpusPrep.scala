@@ -196,6 +196,13 @@ object CorpusPrep {
     audioSegMaxHamming: Int = 3,
     audioMinSegmentMatches: Int = 3,
     audioSegMaxShift: Int = 0,
+    // the PCM decode seam (gifDecoder's audio twin): default is the
+    // JDK codec chain (WAV/AIFF/AU; PCM/µ-law/A-law — the JDK ships
+    // no MP3/AAC codec); pass an external implementation (or
+    // Multimodal.PcmDecoders.firstOf for mixed corpora) and BOTH
+    // audio tiers — whole-clip audioCol and segmented audioSegCol —
+    // ride it unchanged
+    audioDecoder: Multimodal.PcmDecoder = Multimodal.JdkPcmDecoder,
     redactPii: Boolean = false,
     maxHotSpans: Option[Int] = None,
     spanMinDf: Int = 3,
@@ -376,7 +383,8 @@ object CorpusPrep {
       (df, c, o) => Multimodal.withPerceptualHash(df, c, o)(df.sparkSession))),
     cfg.audioCol.map(ac => SignatureTier(ac, cfg.audioMaxHamming,
       "audio", "_aud_fp",
-      (df, c, o) => Multimodal.withAudioFingerprint(df, c, o)(df.sparkSession)))
+      (df, c, o) => Multimodal.withAudioFingerprint(df, c, o,
+        decoder = cfg.audioDecoder)(df.sparkSession)))
   ).flatten
 
   /** Shared helpers of the two trace facades (`prepTrace` /
@@ -697,7 +705,8 @@ object CorpusPrep {
         Multimodal.audioNearDupPairsSegmented(gifTiered, ac, idCol,
           cfg.audioSegmentFrames, cfg.audioMaxSegments,
           cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
-          cfg.maxBucket, maxShift = cfg.audioSegMaxShift))
+          cfg.maxBucket, maxShift = cfg.audioSegMaxShift,
+          decoder = cfg.audioDecoder))
       obs(cfg.keepPreference
         .fold(Dedup.dropNearDuplicates(gifTiered, idCol, clusters))(
           Dedup.dropNearDuplicatesBy(gifTiered, idCol, clusters, _)),
@@ -852,7 +861,8 @@ object CorpusPrep {
             cfg.audioSegmentFrames, cfg.audioMaxSegments,
             cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
             cfg.maxBucket, metricName = "graft_audioseg_trace_cap",
-            maxShift = cfg.audioSegMaxShift)))
+            maxShift = cfg.audioSegMaxShift,
+            decoder = cfg.audioDecoder)))
         val after = pin(cfg.keepPreference
           .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
             Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
@@ -1427,12 +1437,14 @@ object CorpusPrep {
             cfg.audioSegmentFrames, cfg.audioMaxSegments,
             cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
             cfg.maxBucket, metricName = "graft_audioseg_inctrace_cap",
-            maxShift = cfg.audioSegMaxShift)))
+            maxShift = cfg.audioSegMaxShift,
+            decoder = cfg.audioDecoder)))
         val hitIds = pin(cur.select(col(idCol)).join(
           Multimodal.audioNearDupFilterAgainst(cur, ac, idCol,
               audioSegIndex.get, cfg.audioSegmentFrames,
               cfg.audioMaxSegments, cfg.audioSegMaxHamming,
-              cfg.audioMinSegmentMatches, maxShift = cfg.audioSegMaxShift)
+              cfg.audioMinSegmentMatches, maxShift = cfg.audioSegMaxShift,
+              decoder = cfg.audioDecoder)
             .select(col(idCol)),
           Seq(idCol), "left_anti"))
         val taintedMembers = pin(clusters.join(
@@ -1812,12 +1824,14 @@ object CorpusPrep {
         Multimodal.audioNearDupPairsSegmented(pinned, ac, idCol,
           cfg.audioSegmentFrames, cfg.audioMaxSegments,
           cfg.audioSegMaxHamming, cfg.audioMinSegmentMatches,
-          cfg.maxBucket, maxShift = cfg.audioSegMaxShift))
+          cfg.maxBucket, maxShift = cfg.audioSegMaxShift,
+          decoder = cfg.audioDecoder))
       val hitIds = pinned.select(col(idCol)).join(
         Multimodal.audioNearDupFilterAgainst(pinned, ac, idCol,
             audioSegIndex.get, cfg.audioSegmentFrames,
             cfg.audioMaxSegments, cfg.audioSegMaxHamming,
-            cfg.audioMinSegmentMatches, maxShift = cfg.audioSegMaxShift)
+            cfg.audioMinSegmentMatches, maxShift = cfg.audioSegMaxShift,
+            decoder = cfg.audioDecoder)
           .select(col(idCol)),
         Seq(idCol), "left_anti")
       val taintedMembers = clusters.join(

@@ -614,6 +614,129 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  // ------------------------------------------------------------------
+  // The PCM decode seam — the audio twin of `FrameDecoder`: every
+  // audio signal consumer (sample features, whole-clip fingerprint,
+  // segment fingerprints — and therefore the near-dup tiers, the
+  // standing indexes and the prep facade) reads channel-mean samples
+  // through this interface, with the JDK `javax.sound.sampled` chain
+  // (WAV/AIFF/AU; PCM/µ-law/A-law) as the default implementation.
+  // The JDK ships no MP3/AAC/Opus codec; with the seam, an external
+  // one (JNI/FFmpeg, a pure-Scala Vorbis…) plugs into the WHOLE audio
+  // stack without forking any tier logic — the exact argument the
+  // FrameDecoder seam makes for MP4/WebM video.
+  // ------------------------------------------------------------------
+
+  /** Opens an audio payload, or `None` when the container/codec is
+    * not recognized (the combinator `PcmDecoders.firstOf` chains
+    * decoders on exactly that contract). Implementations must be
+    * cheap to construct and serializable — one instance is shared by
+    * a whole task (the once-per-task `mapPartitions` contract), and
+    * `open` is called once per row. */
+  trait PcmDecoder extends Serializable {
+    def open(bytes: Array[Byte]): Option[OpenedPcm]
+  }
+
+  /** One opened payload: a forward cursor over CHANNEL-MEAN samples
+    * in [-1, 1]. `declaredFrames` is the container's declared frame
+    * count (-1 when unknown) — the fingerprint consumers trust it
+    * for window geometry and refuse payloads that truncate before
+    * it, so implementations must not guess. For the fingerprints'
+    * cross-engine replay contract to carry (see
+    * `AudioFingerprinter`), emitted samples should be exact binary
+    * fractions (the JDK impl emits 16-bit-PCM/32768 channel means);
+    * that is an oracle-replayability property, not a correctness
+    * requirement. */
+  trait OpenedPcm {
+    def declaredFrames: Long
+    /** Frames per second; <= 0 when unknown (duration reports 0). */
+    def frameRate: Double
+    /** Fill `out(0 until n)` with the next channel-mean samples;
+      * returns frames delivered, 0 at end of stream. */
+    def read(out: Array[Double], n: Int): Int
+    def close(): Unit
+  }
+
+  /** The default decoder: the JDK codec chain converted to signed
+    * 16-bit PCM (so µ-law/A-law/8-bit WAV and AIFF all work),
+    * channels mixed by per-frame mean — numerically IDENTICAL to the
+    * pre-seam inline loops (acc/ch/32768), so every pinned
+    * fingerprint replays unchanged. Unrecognized or unconvertible
+    * payloads open as None. */
+  object JdkPcmDecoder extends PcmDecoder {
+    def open(bytes: Array[Byte]): Option[OpenedPcm] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          val ch = target.getChannels
+          val frameBytes = ch * 2
+          Some(new OpenedPcm {
+            private val buf = new Array[Byte](frameBytes * 4096)
+            val declaredFrames: Long = in.getFrameLength
+            val frameRate: Double = src.getFrameRate.toDouble
+            def read(out: Array[Double], n: Int): Int = {
+              val want = math.min(n, buf.length / frameBytes) * frameBytes
+              val got = pcm.read(buf, 0, want)
+              if (got <= 0) 0
+              else {
+                var off = 0
+                var i = 0
+                while (off + frameBytes <= got) {
+                  var c = 0
+                  var acc = 0.0
+                  while (c < ch) {
+                    val lo = buf(off + c * 2) & 0xff
+                    val hi = buf(off + c * 2 + 1).toInt
+                    acc += ((hi << 8) | lo).toShort.toDouble
+                    c += 1
+                  }
+                  out(i) = acc / ch / 32768.0
+                  off += frameBytes
+                  i += 1
+                }
+                i
+              }
+            }
+            def close(): Unit = { pcm.close(); in.close() }
+          })
+        } catch {
+          case scala.util.control.NonFatal(e) => in.close(); throw e
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  object PcmDecoders {
+    /** Mixed-corpus combinator, `FrameDecoders.firstOf`'s audio twin:
+      * the first decoder whose `open` accepts the payload wins, so a
+      * WAV and (with a plugged codec) an MP3 of the same samples
+      * fingerprint — and near-dup — identically. */
+    def firstOf(decoders: PcmDecoder*): PcmDecoder = {
+      require(decoders.nonEmpty, "firstOf needs at least one decoder")
+      val ds = decoders.toIndexedSeq
+      new PcmDecoder {
+        def open(bytes: Array[Byte]): Option[OpenedPcm] = {
+          var i = 0
+          while (i < ds.length) {
+            val o = ds(i).open(bytes)
+            if (o.isDefined) return o
+            i += 1
+          }
+          None
+        }
+      }
+    }
+  }
+
   final case class AudioFeatures(
     rms: Double, peak: Double, zcr: Double, durationSec: Double,
     framesRead: Long, ok: Boolean)
@@ -630,29 +753,23 @@ object Multimodal {
     * cap honestly while `durationSec` still comes from the header's
     * full frame count. Undecodable or non-PCM-convertible payloads
     * come back ok = false, never a task failure. */
-  final class AudioFeatureExtractor(maxFrames: Long) extends Serializable {
+  final class AudioFeatureExtractor(maxFrames: Long,
+      decoder: PcmDecoder = JdkPcmDecoder) extends Serializable {
     def extract(bytes: Array[Byte]): AudioFeatures = {
       val fail = AudioFeatures(0.0, 0.0, 0.0, 0.0, 0L, ok = false)
-      if (bytes == null || bytes.isEmpty) return fail
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val src = in.getFormat
-          val target = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            src.getSampleRate, 16, src.getChannels,
-            src.getChannels * 2, src.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val opened = try decoder.open(bytes) catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+      opened match {
+        case None => fail
+        case Some(pcm) =>
           try {
-            val ch = target.getChannels
-            val frameBytes = ch * 2
-            val totalFrames = in.getFrameLength
+            val totalFrames = pcm.declaredFrames
             val dur =
-              if (src.getFrameRate > 0 && totalFrames >= 0)
-                totalFrames / src.getFrameRate.toDouble
+              if (pcm.frameRate > 0 && totalFrames >= 0)
+                totalFrames / pcm.frameRate
               else 0.0
-            val buf = new Array[Byte](frameBytes * 4096)
+            val out = new Array[Double](4096)
             var frames = 0L
             var sumSq = 0.0
             var peak = 0.0
@@ -660,36 +777,22 @@ object Multimodal {
             var lastSign = 0
             var eof = false
             while (!eof && frames < maxFrames) {
-              // divide, don't multiply: (maxFrames - frames) *
-              // frameBytes overflows Long for maxFrames near
-              // Long.MaxValue (the natural "uncapped" argument) and a
-              // negative `want` failed every row
               val remaining = maxFrames - frames
               val want =
-                if (remaining >= buf.length / frameBytes) buf.length
-                else (remaining * frameBytes).toInt
-              val n = pcm.read(buf, 0, want)
+                if (remaining >= out.length) out.length else remaining.toInt
+              val n = pcm.read(out, want)
               if (n <= 0) eof = true
               else {
-                var off = 0
-                while (off + frameBytes <= n) {
-                  // mix channels by mean (little-endian 16-bit)
-                  var c = 0
-                  var acc = 0.0
-                  while (c < ch) {
-                    val lo = buf(off + c * 2) & 0xff
-                    val hi = buf(off + c * 2 + 1).toInt
-                    acc += ((hi << 8) | lo).toShort.toDouble
-                    c += 1
-                  }
-                  val s = acc / ch / 32768.0
+                var i = 0
+                while (i < n) {
+                  val s = out(i)
                   sumSq += s * s
                   val a = math.abs(s)
                   if (a > peak) peak = a
                   val sign = if (s > 0) 1 else if (s < 0) -1 else lastSign
                   if (sign != 0 && lastSign != 0 && sign != lastSign) crossings += 1
                   if (sign != 0) lastSign = sign
-                  off += frameBytes
+                  i += 1
                   frames += 1
                 }
               }
@@ -698,9 +801,9 @@ object Multimodal {
             else AudioFeatures(
               math.sqrt(sumSq / frames), peak,
               crossings.toDouble / frames, dur, frames, ok = true)
-          } finally pcm.close()
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => fail }
+          } catch { case scala.util.control.NonFatal(_) => fail }
+          finally pcm.close()
+      }
     }
   }
 
@@ -708,13 +811,14 @@ object Multimodal {
     * mapPartitions contract as the other decoders; only the small
     * feature struct ever shuffles. */
   def withAudioFeatures(df: DataFrame, binaryCol: String,
-      outCol: String = "audio_features", maxFrames: Long = 1L << 22)(
+      outCol: String = "audio_features", maxFrames: Long = 1L << 22,
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
     val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema.add(outCol, Encoders.product[AudioFeatures].schema)
     df.mapPartitions { it =>
-      val ex = new AudioFeatureExtractor(maxFrames) // once per task
+      val ex = new AudioFeatureExtractor(maxFrames, decoder) // once per task
       it.map { r =>
         val f = ex.extract(binaryOf(r, idx))
         Row.fromSeq(r.toSeq :+
@@ -751,54 +855,37 @@ object Multimodal {
     * length, and undecodable bytes all fingerprint NULL — the hash
     * stack keeps nulls and never pairs them, the same
     * undecodable-payload rule as images. */
-  final class AudioFingerprinter(maxFrames: Long) extends Serializable {
+  final class AudioFingerprinter(maxFrames: Long,
+      decoder: PcmDecoder = JdkPcmDecoder) extends Serializable {
     def fingerprint64(bytes: Array[Byte]): java.lang.Long = {
-      if (bytes == null || bytes.isEmpty) return null
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val src = in.getFormat
-          val target = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            src.getSampleRate, 16, src.getChannels,
-            src.getChannels * 2, src.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val opened = try decoder.open(bytes) catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+      opened match {
+        case None => null
+        case Some(pcm) =>
           try {
-            val ch = target.getChannels
-            val frameBytes = ch * 2
-            val total = in.getFrameLength
+            val total = pcm.declaredFrames
             if (total < 65) return null // includes unknown length (-1)
             val usable = math.min(total, maxFrames)
             val wl = usable / 65
             val limit = wl * 65
             val energies = new Array[Double](65)
-            val buf = new Array[Byte](frameBytes * 4096)
+            val out = new Array[Double](4096)
             var frames = 0L
             var eof = false
             while (!eof && frames < limit) {
-              // divide, don't multiply — same Long-overflow guard as
-              // AudioFeatureExtractor's read loop
               val remaining = limit - frames
               val want =
-                if (remaining >= buf.length / frameBytes) buf.length
-                else (remaining * frameBytes).toInt
-              val n = pcm.read(buf, 0, want)
+                if (remaining >= out.length) out.length else remaining.toInt
+              val n = pcm.read(out, want)
               if (n <= 0) eof = true
               else {
-                var off = 0
-                while (off + frameBytes <= n) {
-                  var c = 0
-                  var acc = 0.0
-                  while (c < ch) {
-                    val lo = buf(off + c * 2) & 0xff
-                    val hi = buf(off + c * 2 + 1).toInt
-                    acc += ((hi << 8) | lo).toShort.toDouble
-                    c += 1
-                  }
-                  val s = acc / ch / 32768.0
+                var i = 0
+                while (i < n) {
+                  val s = out(i)
                   energies((frames / wl).toInt) += s * s
-                  off += frameBytes
+                  i += 1
                   frames += 1
                 }
               }
@@ -811,9 +898,9 @@ object Multimodal {
               i += 1
             }
             java.lang.Long.valueOf(h)
-          } finally pcm.close()
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => null }
+          } catch { case scala.util.control.NonFatal(_) => null }
+          finally pcm.close()
+      }
     }
   }
 
@@ -821,7 +908,8 @@ object Multimodal {
     * same once-per-task mapPartitions contract as the other decoders;
     * only the 8-byte fingerprint ever shuffles. */
   def withAudioFingerprint(df: DataFrame, binaryCol: String,
-      outCol: String = "audio_fp", maxFrames: Long = 1L << 22)(
+      outCol: String = "audio_fp", maxFrames: Long = 1L << 22,
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(maxFrames >= 65, s"maxFrames must be >= 65 (one frame per window), got $maxFrames")
     require(!df.columns.contains(outCol),
@@ -830,7 +918,7 @@ object Multimodal {
     val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema.add(outCol, LongType, nullable = true)
     df.mapPartitions { it =>
-      val fp = new AudioFingerprinter(maxFrames) // once per partition — the contract
+      val fp = new AudioFingerprinter(maxFrames, decoder) // once per partition — the contract
       it.map(r => Row.fromSeq(r.toSeq :+ fp.fingerprint64(binaryOf(r, idx))))
     }(Encoders.row(outSchema))
   }
@@ -846,12 +934,13 @@ object Multimodal {
     * survives the hot-band cap. Undecodable / too-short payloads
     * fingerprint null and never pair. Returns (id_a, id_b, hamming). */
   def audioNearDupPairs(df: DataFrame, binaryCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = HotKeys.DefaultBucketCap)(
+      maxHamming: Int = 3, maxBucket: Int = HotKeys.DefaultBucketCap,
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(!df.columns.contains("_mm_afp"),
       "input column _mm_afp collides with audioNearDupPairs' working name")
     Dedup.hashNearDupPairs(
-      withAudioFingerprint(df, binaryCol, "_mm_afp"),
+      withAudioFingerprint(df, binaryCol, "_mm_afp", decoder = decoder),
       "_mm_afp", idCol, maxHamming, maxBucket,
       metricName = "graft_audio_band_cap")
   }
@@ -1753,7 +1842,8 @@ object Multimodal {
     * segments — the tier keeps such rows (the gates own them), the
     * same rule as the image/GIF tiers. */
   final class AudioSegmentFingerprinter(segmentFrames: Long,
-      maxSegments: Int) extends Serializable {
+      maxSegments: Int, decoder: PcmDecoder = JdkPcmDecoder)
+      extends Serializable {
     require(segmentFrames >= 65 && segmentFrames % 65 == 0,
       s"segmentFrames must be a positive multiple of 65 (the envelope " +
         s"window count), got $segmentFrames")
@@ -1761,54 +1851,36 @@ object Multimodal {
 
     def segmentHashes(bytes: Array[Byte]): Array[Long] = {
       val none = Array.emptyLongArray
-      if (bytes == null || bytes.isEmpty) return none
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val src = in.getFormat
-          val target = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            src.getSampleRate, 16, src.getChannels,
-            src.getChannels * 2, src.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val opened = try decoder.open(bytes) catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+      opened match {
+        case None => none
+        case Some(pcm) =>
           try {
-            val ch = target.getChannels
-            val frameBytes = ch * 2
-            val total = in.getFrameLength
+            val total = pcm.declaredFrames
             if (total < segmentFrames) return none // includes unknown (-1)
             val nSegs = math.min(total / segmentFrames, maxSegments.toLong).toInt
             val wl = segmentFrames / 65
             val limit = nSegs * segmentFrames
             val energies = Array.ofDim[Double](nSegs, 65)
-            val buf = new Array[Byte](frameBytes * 4096)
+            val out = new Array[Double](4096)
             var frames = 0L
             var eof = false
             while (!eof && frames < limit) {
-              // divide, don't multiply — same Long-overflow guard as
-              // AudioFingerprinter's read loop
               val remaining = limit - frames
               val want =
-                if (remaining >= buf.length / frameBytes) buf.length
-                else (remaining * frameBytes).toInt
-              val n = pcm.read(buf, 0, want)
+                if (remaining >= out.length) out.length else remaining.toInt
+              val n = pcm.read(out, want)
               if (n <= 0) eof = true
               else {
-                var off = 0
-                while (off + frameBytes <= n) {
-                  var c = 0
-                  var acc = 0.0
-                  while (c < ch) {
-                    val lo = buf(off + c * 2) & 0xff
-                    val hi = buf(off + c * 2 + 1).toInt
-                    acc += ((hi << 8) | lo).toShort.toDouble
-                    c += 1
-                  }
-                  val s = acc / ch / 32768.0
+                var i = 0
+                while (i < n) {
+                  val s = out(i)
                   val seg = (frames / segmentFrames).toInt
                   val w = ((frames % segmentFrames) / wl).toInt
                   energies(seg)(w) += s * s
-                  off += frameBytes
+                  i += 1
                   frames += 1
                 }
               }
@@ -1824,9 +1896,9 @@ object Multimodal {
               }
               h
             }
-          } finally pcm.close()
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => none }
+          } catch { case scala.util.control.NonFatal(_) => none }
+          finally pcm.close()
+      }
     }
   }
 
@@ -1838,7 +1910,8 @@ object Multimodal {
     * rows. */
   def audioSegmentHashes(df: DataFrame, binaryCol: String,
       segmentFrames: Long = 8320L, maxSegments: Int = 16,
-      outCol: String = "seg_fp")(
+      outCol: String = "seg_fp",
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(!df.columns.exists(c =>
         Set("sample_pos", "n_segments", outCol).contains(c)),
@@ -1849,7 +1922,8 @@ object Multimodal {
       .add("sample_pos", IntegerType).add("n_segments", IntegerType)
       .add(outCol, LongType)
     df.mapPartitions { it =>
-      val fp = new AudioSegmentFingerprinter(segmentFrames, maxSegments)
+      val fp = new AudioSegmentFingerprinter(segmentFrames, maxSegments,
+        decoder)
       it.flatMap { r =>
         val hs = fp.segmentHashes(binaryOf(r, idx))
         hs.indices.map(s => Row.fromSeq(r.toSeq :+ s :+ hs.length :+ hs(s)))
@@ -1872,7 +1946,8 @@ object Multimodal {
       maxHamming: Int = 3, minSegmentMatches: Int = 3,
       maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_audio_seg_band_cap",
-      maxShift: Int = 0)(
+      maxShift: Int = 0,
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(minSegmentMatches >= 1 && minSegmentMatches <= maxSegments,
@@ -1881,7 +1956,7 @@ object Multimodal {
     require(maxShift >= 0 && maxShift < maxSegments,
       s"maxShift must be in [0, maxSegments=$maxSegments), got $maxShift")
     val frames = audioSegmentHashes(df.select(col(idCol), col(binaryCol)),
-        binaryCol, segmentFrames, maxSegments, "_h")
+        binaryCol, segmentFrames, maxSegments, "_h", decoder)
       .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"),
         col("n_segments").cast("long").as("_nf"))
     positionalNearDupPairs(frames, maxHamming, minSegmentMatches,
@@ -1898,10 +1973,11 @@ object Multimodal {
   def audioSegmentHashBandIndex(standing: DataFrame, audioCol: String,
       segmentFrames: Long = 8320L, maxSegments: Int = 16,
       maxBucket: Int = HotKeys.DefaultBucketCap,
-      metricName: String = "graft_audio_seg_index_cap")(
+      metricName: String = "graft_audio_seg_index_cap",
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): DataFrame = {
     val frames = audioSegmentHashes(standing.select(col(audioCol)),
-        audioCol, segmentFrames, maxSegments, "_h")
+        audioCol, segmentFrames, maxSegments, "_h", decoder)
       .select(col("sample_pos"), col("_h"))
     val bands = frames.select(col("sample_pos"), col("_h"),
         posexplode(array((0 until 4).map(k =>
@@ -1932,7 +2008,8 @@ object Multimodal {
       idCol: String, index: DataFrame, segmentFrames: Long = 8320L,
       maxSegments: Int = 16, maxHamming: Int = 3,
       minSegmentMatches: Int = 3, broadcastIndex: Boolean = true,
-      maxShift: Int = 0)(
+      maxShift: Int = 0,
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(minSegmentMatches >= 1 && minSegmentMatches <= maxSegments,
@@ -1948,7 +2025,7 @@ object Multimodal {
           "the index at the probe's")
     }
     val frames = audioSegmentHashes(df.select(col(idCol), col(binaryCol)),
-        binaryCol, segmentFrames, maxSegments, "_h")
+        binaryCol, segmentFrames, maxSegments, "_h", decoder)
       .select(col(idCol), col("sample_pos"), col("_h"),
         col("n_segments").cast("long").as("_nf"))
     positionalFilterAgainst(df, idCol, frames, index, maxHamming,
@@ -1968,7 +2045,8 @@ object Multimodal {
   def audioNearDupMicroBatch(binaryCol: String, idCol: String,
       index: DataFrame, segmentFrames: Long = 8320L, maxSegments: Int = 16,
       maxHamming: Int = 3, minSegmentMatches: Int = 3,
-      broadcastIndex: Boolean = true, maxShift: Int = 0)(
+      broadcastIndex: Boolean = true, maxShift: Int = 0,
+      decoder: PcmDecoder = JdkPcmDecoder)(
       sink: (DataFrame, Long) => Unit)(
       implicit spark: SparkSession): (DataFrame, Long) => Unit = {
     indexSampleWidth(index).foreach { built =>
@@ -1980,7 +2058,7 @@ object Multimodal {
     (batch: DataFrame, batchId: Long) =>
       sink(audioNearDupFilterAgainst(batch, binaryCol, idCol, index,
         segmentFrames, maxSegments, maxHamming, minSegmentMatches,
-        broadcastIndex, maxShift), batchId)
+        broadcastIndex, maxShift, decoder), batchId)
   }
 
   /** Persist the positional AUDIO index — the positional family's
@@ -1999,12 +2077,13 @@ object Multimodal {
       idCol: String, path: String, segmentFrames: Long = 8320L,
       maxSegments: Int = 16, maxBucket: Int = HotKeys.DefaultBucketCap,
       metricName: String = "graft_audio_seg_index_write_cap",
-      outFiles: Int = 4)(
+      outFiles: Int = 4,
+      decoder: PcmDecoder = JdkPcmDecoder)(
       implicit spark: SparkSession): Unit = {
     require(idCol != "sample_pos",
       "idCol 'sample_pos' collides with the positional layout's own column")
     val frames = audioSegmentHashes(standing.select(col(idCol), col(audioCol)),
-        audioCol, segmentFrames, maxSegments, "_h")
+        audioCol, segmentFrames, maxSegments, "_h", decoder)
       .select(col(idCol), col("sample_pos"), col("_h"))
     Dedup.writeHashBandIndexFrame(frames, idCol, Seq("sample_pos"), audioCol,
       path, maxBucket, metricName, outFiles, sampleCap = segmentFrames)
@@ -2040,10 +2119,11 @@ object Multimodal {
       segmentFrames: Long = 8320L, maxSegments: Int = 16,
       maxBucket: Option[Int] = None,
       metricName: String = "graft_audio_seg_index_rebuild_cap",
-      outFiles: Int = 4): Unit = {
+      outFiles: Int = 4,
+      decoder: PcmDecoder = JdkPcmDecoder): Unit = {
     implicit val sp: SparkSession = spark
     val frames = audioSegmentHashes(newClips.select(col(idCol), col(audioCol)),
-        audioCol, segmentFrames, maxSegments, "_h")
+        audioCol, segmentFrames, maxSegments, "_h", decoder)
       .select(col(idCol), col("sample_pos"), col("_h"))
     Dedup.rebuildHashBandIndexFrame(spark, path, frames, idCol,
       Seq("sample_pos"), maxBucket, metricName, outFiles, audioCol,

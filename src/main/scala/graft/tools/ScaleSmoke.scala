@@ -331,6 +331,73 @@ object ScaleSmoke {
       st.rows
     }
 
+    // ---- segmented-audio positional index lifecycle (the audio twin
+    // of the gif block): 50k four-segment clips (md5-derived window
+    // amplitudes — the q150 device), decode paid ONCE at write;
+    // probe/delete/growth touch only the persisted longs ------------
+    val audIdxDir = java.nio.file.Files.createTempDirectory("smoke_audidx_")
+      .toFile.getAbsolutePath
+    val mkClip = udf { (docId: Long) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = docId % 5000
+      val samples = new Array[Short](4 * 520)
+      var seg = 0
+      while (seg < 4) {
+        var w = 0
+        while (w < 65) {
+          val a = java.lang.Byte.toUnsignedInt(
+            md.digest(s"$base:$seg:$w".getBytes("UTF-8"))(0))
+          val m = a * 77
+          var j = 0
+          while (j < 8) {
+            val gi = seg * 520 + w * 8 + j
+            samples(gi) = (if (gi % 2 == 0) m else -m).toShort
+            j += 1
+          }
+          w += 1
+        }
+        seg += 1
+      }
+      graft.operators.Multimodal.syntheticPcmWav(samples)
+    }
+    val audCorpus = docs.select(col("doc_id")).limit(50000)
+      .select(col("doc_id"), mkClip(col("doc_id")).as("aud"))
+      .localCheckpoint(true) // pin the encode: each leg must not re-pay it
+    val audBatch = audCorpus.filter(col("doc_id") % 20 === 11)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("aud"))
+    timed("audioseg_index_write(50k clips, corpus decode)") {
+      graft.operators.Multimodal.writeAudioSegmentHashBandIndex(
+        audCorpus, "aud", "doc_id", audIdxDir, 520L, 4)(spark)
+      graft.operators.Multimodal.readAudioSegmentHashBandIndex(
+        spark, audIdxDir, 520L).count()
+    }
+    timed("audioseg_index_filter(5% batch, maxShift=1)") {
+      graft.operators.Multimodal.audioNearDupFilterAgainst(audBatch, "aud",
+        "doc_id",
+        graft.operators.Multimodal.readAudioSegmentHashBandIndex(
+          spark, audIdxDir, 520L),
+        520L, 4, maxShift = 1)(spark).count()
+    }
+    timed("audioseg_index_delete(1% ids)") {
+      Dedup.deleteFromHashBandIndex(spark, audIdxDir,
+        audCorpus.filter(col("doc_id") % 100 === 7).select("doc_id"),
+        "doc_id")
+      graft.operators.Multimodal.readAudioSegmentHashBandIndex(
+        spark, audIdxDir, 520L).count()
+    }
+    timed("audioseg_index_rebuild_grow(5% batch decode only)") {
+      graft.operators.Multimodal.rebuildAudioSegmentHashBandIndex(
+        spark, audIdxDir, audBatch, "aud", "doc_id", 520L, 4)
+      graft.operators.Multimodal.readAudioSegmentHashBandIndex(
+        spark, audIdxDir, 520L).count()
+    }
+    timed("audioseg_index_stats+policy") {
+      val st = Dedup.hashBandIndexStats(spark, audIdxDir)
+      graft.operators.IndexMaintenance.logHealth(
+        graft.operators.IndexMaintenance.healthOf(st))
+      st.rows
+    }
+
     // ---- ANN layer on a replicated embedding corpus -----------------
     val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val emb = (0 until mult * 5).map { i =>

@@ -3,6 +3,39 @@ package graft.operators
 import graft.SparkSpecBase
 import org.apache.spark.sql.functions._
 
+/** A toy big-endian "RAWA" container no JDK codec recognizes —
+  * 4-byte magic, 4-byte BE frame count, BE int16 mono samples at
+  * 8 kHz — implementing the `PcmDecoder` seam from outside
+  * `Multimodal`: the proof that an external audio codec (MP3, AAC,
+  * Opus via JNI/FFmpeg) is exactly one plug-in away from the WHOLE
+  * audio stack. Top-level object so tasks serialize it without
+  * capturing the suite. */
+object RawaDecoder extends Multimodal.PcmDecoder {
+  def open(bytes: Array[Byte]): Option[Multimodal.OpenedPcm] = {
+    if (bytes == null || bytes.length < 8 || bytes(0) != 'R' ||
+        bytes(1) != 'A' || bytes(2) != 'W' || bytes(3) != 'A') return None
+    val n = java.nio.ByteBuffer.wrap(bytes, 4, 4).getInt
+    if (n < 0 || 8 + n * 2 > bytes.length) return None
+    Some(new Multimodal.OpenedPcm {
+      private var pos = 0
+      val declaredFrames: Long = n.toLong
+      val frameRate: Double = 8000.0
+      def read(out: Array[Double], want: Int): Int = {
+        var i = 0
+        while (i < want && pos < n) {
+          val off = 8 + pos * 2
+          val s = (((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)).toShort
+          out(i) = s / 32768.0
+          i += 1
+          pos += 1
+        }
+        i
+      }
+      def close(): Unit = ()
+    })
+  }
+}
+
 /** Segmented audio near-dup tier — the audio twin of the video-like
   * tier through the SAME positional machinery: per-segment 65-window
   * envelope fingerprints (`audioSegmentHashes`), the positional
@@ -32,11 +65,11 @@ class AudioSegmentSpec extends SparkSpecBase {
     a
   }
 
-  /** Mono 16-bit WAV whose segment s fingerprints to hashes(s):
-    * window-constant magnitude amp*77 (energy is monotone in amp and
-    * the per-window double sums are exact — the fingerprinter's
-    * determinism contract), sign alternating so it looks wave-like. */
-  private def clip(hashes: Long*): Array[Byte] = {
+  /** The sample grid realizing `hashes` segment-wise: window-constant
+    * magnitude amp*77 (energy is monotone in amp and the per-window
+    * double sums are exact — the fingerprinter's determinism
+    * contract), sign alternating so it looks wave-like. */
+  private def samplesOf(hashes: Seq[Long]): Array[Short] = {
     val samples = new Array[Short](hashes.length * SegFrames.toInt)
     hashes.zipWithIndex.foreach { case (h, s) =>
       val amps = ampsOf(h)
@@ -52,7 +85,26 @@ class AudioSegmentSpec extends SparkSpecBase {
         w += 1
       }
     }
-    Multimodal.syntheticPcmWav(samples)
+    samples
+  }
+
+  /** Mono 16-bit WAV whose segment s fingerprints to hashes(s). */
+  private def clip(hashes: Long*): Array[Byte] =
+    Multimodal.syntheticPcmWav(samplesOf(hashes))
+
+  /** The SAME samples in the toy RAWA container (see `RawaDecoder`). */
+  private def rawa(hashes: Long*): Array[Byte] = {
+    val samples = samplesOf(hashes)
+    val out = new Array[Byte](8 + samples.length * 2)
+    out(0) = 'R'; out(1) = 'A'; out(2) = 'W'; out(3) = 'A'
+    java.nio.ByteBuffer.wrap(out, 4, 4).putInt(samples.length)
+    var i = 0
+    while (i < samples.length) {
+      out(8 + i * 2) = ((samples(i) >> 8) & 0xff).toByte
+      out(8 + i * 2 + 1) = (samples(i) & 0xff).toByte
+      i += 1
+    }
+    out
   }
 
   private def hOf(label: String): Long = {
@@ -277,5 +329,74 @@ class AudioSegmentSpec extends SparkSpecBase {
       }
       assert(err.getMessage.contains("segment width"), err.getMessage)
     }
+  }
+
+  test("PcmDecoder seam: an external container decodes identically to the JDK path; firstOf mixes corpora; unrecognized payloads keep") {
+    // identity: the SAME samples through WAV/JDK and RAWA/external
+    // produce bit-identical whole-clip fingerprints and segment
+    // hashes — the seam is a pure transport boundary
+    val wavDf = Seq((1L, clip(h1, h2, h3, h4))).toDF("id", "aud")
+    val rawDf = Seq((1L, rawa(h1, h2, h3, h4))).toDF("id", "aud")
+    def segs(df: org.apache.spark.sql.DataFrame,
+        dec: Multimodal.PcmDecoder): Seq[(Int, Long)] =
+      Multimodal.audioSegmentHashes(df, "aud", SegFrames, 16,
+          decoder = dec)(spark)
+        .select("sample_pos", "seg_fp").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    assert(segs(wavDf, Multimodal.JdkPcmDecoder) == segs(rawDf, RawaDecoder))
+    def fp(df: org.apache.spark.sql.DataFrame,
+        dec: Multimodal.PcmDecoder): java.lang.Long =
+      Multimodal.withAudioFingerprint(df, "aud", "fp",
+          decoder = dec)(spark)
+        .select("fp").collect()(0).getLong(0)
+    assert(fp(wavDf, Multimodal.JdkPcmDecoder) == fp(rawDf, RawaDecoder))
+    // the JDK decoder does NOT accept RAWA (zero segments), and the
+    // external one does not accept WAV — the seam refuses rather
+    // than misreads
+    assert(segs(rawDf, Multimodal.JdkPcmDecoder).isEmpty)
+    assert(segs(wavDf, RawaDecoder).isEmpty)
+    // firstOf: a mixed WAV + RAWA corpus near-dups ACROSS containers
+    // (the q149 mixed-container argument, audio edition); garbage
+    // payloads open as None everywhere and keep
+    val mixed = Seq(
+      (1L, clip(h1, h2, h3, h4)),
+      (2L, rawa(h1, h2, h3, h4)),
+      (3L, rawa(h1 ^ 1L, h2 ^ 1L, h3 ^ 1L, h4 ^ 1L)),
+      (4L, rawa(h5, h6, h7, h8)),
+      (5L, "neither container".getBytes("UTF-8"))).toDF("id", "aud")
+    val both = Multimodal.PcmDecoders.firstOf(
+      Multimodal.JdkPcmDecoder, RawaDecoder)
+    val pairs = Multimodal.audioNearDupPairsSegmented(mixed, "aud", "id",
+        SegFrames, 16, metricName = "graft_audio_seam_cap",
+        decoder = both)(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 4L, (1L, 3L) -> 4L, (2L, 3L) -> 4L),
+      s"mixed pairs: $pairs")
+    // the index lifecycle rides the plugged decoder too: standing
+    // RAWA corpus, WAV probe — drop the cross-container re-encode
+    val idx = Multimodal.audioSegmentHashBandIndex(
+      Seq((100L, rawa(h1, h2, h3, h4))).toDF("id", "aud"), "aud",
+      SegFrames, 16, metricName = "graft_audio_seam_idx",
+      decoder = RawaDecoder)(spark)
+    val kept = Multimodal.audioNearDupFilterAgainst(
+        Seq((10L, clip(h1 ^ 1L, h2 ^ 1L, h3 ^ 1L, h4 ^ 1L)),
+          (11L, clip(h5, h6, h7, h8))).toDF("id", "aud"),
+        "aud", "id", idx, SegFrames, 16,
+        decoder = Multimodal.JdkPcmDecoder)(spark)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"cross-container filter kept $kept")
+    // the facade routes the seam: Config.audioDecoder drives a RAWA
+    // corpus through run() with no other change
+    val docs = Seq(
+      (1L, "first facade document about deep sea thermal vent ecosystems", rawa(h1, h2, h3, h4)),
+      (2L, "second facade text on medieval manuscript preservation methods", rawa(h1 ^ 1L, h2 ^ 1L, h3 ^ 1L, h4 ^ 1L)),
+      (3L, "third facade entry regarding alpine glacier mass measurements", rawa(h5, h6, h7, h8))
+    ).toDF("doc_id", "text", "aud")
+    val keptRun = CorpusPrep.run(docs,
+        cfg = CorpusPrep.Config(audioSegCol = Some("aud"),
+          audioSegmentFrames = 520L, audioMaxSegments = 4,
+          audioDecoder = RawaDecoder))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptRun == Set(1L, 3L), s"facade kept $keptRun")
   }
 }
