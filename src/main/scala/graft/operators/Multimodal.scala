@@ -715,11 +715,126 @@ object Multimodal {
     }
   }
 
+  /** The second REAL container through the seam — Apple Core Audio
+    * Format (CAF, public "CAFFileFormat" layout), which the JDK codec
+    * chain does not read: 'caff' magic + version, then (fourcc,
+    * signed-64 size) chunks; 'desc' declares the codec, 'data'
+    * carries editCount + interleaved samples. Decoded subset, chosen
+    * for honesty like AviFrameDecoder's: LPCM integer 16-bit (the
+    * 'lpcm' formatID with the float flag clear), interleaved packed
+    * frames, either endianness — LOSSLESS, so the channel-mean
+    * arithmetic (and therefore every fingerprint and the DuckDB
+    * oracle replay) is identical to the WAV path's. Anything else —
+    * float/24-bit lpcm, alac/aac, fractional packets, a data chunk
+    * before desc — opens as None rather than a guess. A data size of
+    * -1 (stream-recorded CAF: "until EOF") resolves to the remaining
+    * bytes, per the spec. */
+  object CafPcmDecoder extends PcmDecoder {
+    private def u16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def s64(b: Array[Byte], o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    private def cc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def open(bytes: Array[Byte]): Option[OpenedPcm] = {
+      if (bytes == null || bytes.length < 12 || cc(bytes, 0) != "caff" ||
+          u16(bytes, 4) != 1) return None
+      try {
+        var off = 8
+        var rate = 0.0
+        var ch = 0
+        var littleEndian = false
+        var haveDesc = false
+        var dataOff = -1
+        var dataLen = 0L
+        while (off + 12 <= bytes.length && dataOff < 0) {
+          val ctype = cc(bytes, off)
+          val csize = s64(bytes, off + 4)
+          val body = off + 12
+          ctype match {
+            case "desc" =>
+              if (csize < 32 || body + 32 > bytes.length) return None
+              rate = java.lang.Double.longBitsToDouble(s64(bytes, body))
+              val formatId = cc(bytes, body + 8)
+              val flags = u32(bytes, body + 12)
+              val bytesPerPacket = u32(bytes, body + 16)
+              val framesPerPacket = u32(bytes, body + 20)
+              ch = u32(bytes, body + 24).toInt
+              val bits = u32(bytes, body + 28)
+              // the honest subset: integer 16-bit interleaved LPCM
+              if (formatId != "lpcm" || (flags & 1L) != 0 || bits != 16 ||
+                  ch < 1 || framesPerPacket != 1 ||
+                  bytesPerPacket != 2L * ch) return None
+              littleEndian = (flags & 2L) != 0
+              haveDesc = true
+            case "data" =>
+              if (!haveDesc) return None // desc must precede data
+              if (body + 4 > bytes.length) return None
+              // skip the u32 editCount; -1 size means "to EOF"
+              val audio = body + 4
+              dataOff = audio
+              dataLen =
+                if (csize == -1L) (bytes.length - audio).toLong
+                else csize - 4
+              if (dataLen < 0 || audio + dataLen > bytes.length) return None
+            case _ =>
+              if (csize < 0) return None // only data may be unsized
+          }
+          if (dataOff < 0) {
+            if (csize < 0 || csize > bytes.length) return None
+            off = body + csize.toInt
+          }
+        }
+        if (dataOff < 0) return None
+        val frameBytes = 2 * ch
+        val nFrames = dataLen / frameBytes
+        val channels = ch
+        val le = littleEndian
+        val start = dataOff
+        val r = rate
+        Some(new OpenedPcm {
+          private var pos = 0L
+          val declaredFrames: Long = nFrames
+          val frameRate: Double = r
+          def read(out: Array[Double], want: Int): Int = {
+            var i = 0
+            while (i < want && pos < nFrames) {
+              val off0 = start + (pos * frameBytes).toInt
+              var c = 0
+              var acc = 0.0
+              while (c < channels) {
+                val o = off0 + c * 2
+                val s =
+                  if (le) (((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)).toShort
+                  else (((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)).toShort
+                acc += s.toDouble
+                c += 1
+              }
+              out(i) = acc / channels / 32768.0
+              i += 1
+              pos += 1
+            }
+            i
+          }
+          def close(): Unit = ()
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   object PcmDecoders {
     /** Mixed-corpus combinator, `FrameDecoders.firstOf`'s audio twin:
       * the first decoder whose `open` accepts the payload wins, so a
-      * WAV and (with a plugged codec) an MP3 of the same samples
-      * fingerprint — and near-dup — identically. */
+      * WAV and a CAF (or, with a plugged codec, an MP3) of the same
+      * samples fingerprint — and near-dup — identically. */
     def firstOf(decoders: PcmDecoder*): PcmDecoder = {
       require(decoders.nonEmpty, "firstOf needs at least one decoder")
       val ds = decoders.toIndexedSeq
@@ -2372,6 +2487,53 @@ object Multimodal {
     * drift), so an independent engine can replay the decoded samples
     * from the spec alone; q128 pins the whole encode → JDK decode →
     * envelope fingerprint path against exactly such a replay. */
+  /** Deterministic mono 16-bit LPCM CAF test vector — the CAF twin of
+    * `syntheticPcmWav`, hand-assembled against the public
+    * CAFFileFormat layout (no library writer to drift): 'caff' v1
+    * header, a 'desc' chunk declaring big-endian integer LPCM, and a
+    * 'data' chunk (editCount 0) of big-endian samples. The SAME
+    * samples through this writer and `syntheticPcmWav` must
+    * fingerprint identically through `CafPcmDecoder` / the JDK chain
+    * — the mixed-container identity q151 pins. */
+  def syntheticPcmCaf(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    require(samples.nonEmpty, "need at least one sample")
+    require(sampleRate > 0, s"sampleRate must be > 0, got $sampleRate")
+    val dataSize = 4 + samples.length * 2 // editCount + samples
+    val out = new Array[Byte](8 + 12 + 32 + 12 + dataSize)
+    def putCc(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def putS64(off: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { out(off + i) = ((v >> (8 * (7 - i))) & 0xff).toByte; i += 1 }
+    }
+    def putU32(off: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = ((v >> (8 * (3 - i))) & 0xff).toByte; i += 1 }
+    }
+    putCc(0, "caff")
+    out(5) = 1 // version 1, flags 0
+    putCc(8, "desc"); putS64(12, 32L)
+    putS64(20, java.lang.Double.doubleToLongBits(sampleRate.toDouble))
+    putCc(28, "lpcm")
+    putU32(32, 0L) // flags: big-endian integer
+    putU32(36, 2L) // bytesPerPacket (mono 16-bit)
+    putU32(40, 1L) // framesPerPacket
+    putU32(44, 1L) // channels
+    putU32(48, 16L) // bits
+    putCc(52, "data"); putS64(56, dataSize.toLong)
+    putU32(64, 0L) // editCount
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      out(68 + i * 2) = ((s >> 8) & 0xff).toByte
+      out(68 + i * 2 + 1) = (s & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   def syntheticPcmWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
     require(samples.nonEmpty, "need at least one sample")
     require(sampleRate > 0, s"sampleRate must be > 0, got $sampleRate")

@@ -5834,6 +5834,84 @@ object DataPrepQueries {
             "aud", "doc_id", segmentFrames = 520L, maxSegments = 4,
             metricName = "graft_q150_shift_cap", maxShift = 1)
           .orderBy("id_a", "id_b")
+      }),
+
+    // MIXED-CONTAINER audio near-dup — the PcmDecoder seam pinned
+    // across TWO real containers (q149's argument, audio edition):
+    // the q150 device without the shift, but docs < 100 encode their
+    // samples as mono 16-bit WAV (JDK-decoded) and docs >= 100 as
+    // big-endian LPCM CAF (CafPcmDecoder — a container the JDK does
+    // not read), decoded through PcmDecoders.firstOf. Both writers
+    // are lossless, so the md5 amplitude grid IS the decoded signal
+    // in both and the oracle is CONTAINER-FREE by construction: a
+    // hash match pins that above the seam the containers are
+    // indistinguishable — identical clips pair across containers
+    // (base groups span the doc_id=100 boundary), the alt variants
+    // (windows 0/1 of every segment perturbed) pair within and
+    // across, and the CAF chunk walk + big-endian sample decode is
+    // bit-exact with the JDK WAV path.
+    QueryDef("q151_mixed_audio_container", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt
+                 FROM documents WHERE doc_id < 200),
+      amp AS (SELECT d.doc_id, s.s, w.w,
+                CASE WHEN d.alt = 1 AND w.w = 0 THEN 255
+                     WHEN d.alt = 1 AND w.w = 1 THEN 0
+                     ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(s.s AS VARCHAR) || ':' || CAST(w.w AS VARCHAR)), 1, 2))::INT END AS a
+              FROM d
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+                CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) w),
+      h AS (SELECT a1.doc_id, a1.s,
+              bit_or(CASE WHEN a2.a > a1.a THEN (1::UBIGINT << a1.w) ELSE 0::UBIGINT END) AS h
+            FROM amp a1 JOIN amp a2 ON a2.doc_id = a1.doc_id AND a2.s = a1.s
+              AND a2.w = a1.w + 1
+            GROUP BY a1.doc_id, a1.s),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+             FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.s = b.s
+               AND bit_count(xor(a.h, b.h)) <= 3
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val samples = new Array[Short](4 * 520)
+          var seg = 0
+          while (seg < 4) {
+            var w = 0
+            while (w < 65) {
+              val a =
+                if (alt && w == 0) 255
+                else if (alt && w == 1) 0
+                else java.lang.Byte.toUnsignedInt(
+                  md.digest(s"$base:$seg:$w".getBytes("UTF-8"))(0))
+              val m = a * 77
+              var j = 0
+              while (j < 8) {
+                val gi = seg * 520 + w * 8 + j
+                samples(gi) = (if (gi % 2 == 0) m else -m).toShort
+                j += 1
+              }
+              w += 1
+            }
+            seg += 1
+          }
+          if (docId < 100)
+            graft.operators.Multimodal.syntheticPcmWav(samples)
+          else
+            graft.operators.Multimodal.syntheticPcmCaf(samples)
+        }
+        val clips = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), mk(col("doc_id")).as("aud"))
+        graft.operators.Multimodal.audioNearDupPairsSegmented(clips,
+            "aud", "doc_id", segmentFrames = 520L, maxSegments = 4,
+            metricName = "graft_q151_mixed_cap",
+            decoder = graft.operators.Multimodal.PcmDecoders.firstOf(
+              graft.operators.Multimodal.JdkPcmDecoder,
+              graft.operators.Multimodal.CafPcmDecoder))
+          .orderBy("id_a", "id_b")
       })
   )
 }

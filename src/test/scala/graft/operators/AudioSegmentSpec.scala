@@ -399,4 +399,60 @@ class AudioSegmentSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptRun == Set(1L, 3L), s"facade kept $keptRun")
   }
+
+  test("CafPcmDecoder: the second real container decodes bit-identically to WAV; endianness; the honest subset refuses") {
+    def segsOf(payload: Array[Byte],
+        dec: Multimodal.PcmDecoder): Seq[(Int, Long)] =
+      Multimodal.audioSegmentHashes(
+          Seq((1L, payload)).toDF("id", "aud"), "aud", SegFrames, 16,
+          decoder = dec)(spark)
+        .select("sample_pos", "seg_fp").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    val samples = samplesOf(Seq(h1, h2, h3, h4))
+    val wav = Multimodal.syntheticPcmWav(samples)
+    val caf = Multimodal.syntheticPcmCaf(samples)
+    // bit-identical segment hashes across containers — CAF LPCM is
+    // lossless, so the q150 oracle arithmetic carries verbatim
+    val viaWav = segsOf(wav, Multimodal.JdkPcmDecoder)
+    assert(viaWav.nonEmpty && viaWav == segsOf(caf, Multimodal.CafPcmDecoder))
+    // whole-clip fingerprint identity too
+    def fpOf(payload: Array[Byte], dec: Multimodal.PcmDecoder) =
+      Multimodal.withAudioFingerprint(Seq((1L, payload)).toDF("id", "aud"),
+          "aud", "fp", decoder = dec)(spark)
+        .select("fp").collect()(0).getLong(0)
+    assert(fpOf(wav, Multimodal.JdkPcmDecoder) ==
+      fpOf(caf, Multimodal.CafPcmDecoder))
+    // the JDK chain does not read CAF; the CAF decoder does not read
+    // WAV — firstOf resolves the mix
+    assert(segsOf(caf, Multimodal.JdkPcmDecoder).isEmpty)
+    assert(segsOf(wav, Multimodal.CafPcmDecoder).isEmpty)
+    val both = Multimodal.PcmDecoders.firstOf(
+      Multimodal.JdkPcmDecoder, Multimodal.CafPcmDecoder)
+    assert(segsOf(caf, both) == viaWav && segsOf(wav, both) == viaWav)
+    // little-endian leg: flip the desc flag and byte-swap the samples
+    // — same decoded signal, same hashes
+    val le = caf.clone()
+    le(35) = 2 // desc formatFlags -> kAudioFormatFlagIsLittleEndian
+    var i = 68
+    while (i + 1 < le.length) {
+      val t = le(i); le(i) = le(i + 1); le(i + 1) = t; i += 2
+    }
+    assert(segsOf(le, Multimodal.CafPcmDecoder) == viaWav)
+    // the honest subset: a float-flagged desc is refused, not guessed
+    val fl = caf.clone(); fl(35) = 1
+    assert(segsOf(fl, Multimodal.CafPcmDecoder).isEmpty)
+    // a data chunk before desc is refused (the spec requires desc to
+    // describe what data carries)
+    val headless = caf.clone()
+    // overwrite the desc fourcc so the walk meets data undescribed
+    headless(8) = 'x'
+    assert(segsOf(headless, Multimodal.CafPcmDecoder).isEmpty)
+    // truncated payload (declared data size past EOF) is refused
+    val trunc = java.util.Arrays.copyOf(caf, caf.length - 100)
+    assert(segsOf(trunc, Multimodal.CafPcmDecoder).isEmpty)
+    // unsized data chunk (-1: "to EOF", the stream-recorded form)
+    val unsized = caf.clone()
+    java.util.Arrays.fill(unsized, 56, 64, 0xff.toByte)
+    assert(segsOf(unsized, Multimodal.CafPcmDecoder) == viaWav)
+  }
 }
