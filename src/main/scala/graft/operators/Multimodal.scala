@@ -1356,6 +1356,155 @@ object Multimodal {
     }
   }
 
+  /** THIRD real container through the `FrameDecoder` seam: YUV4MPEG2
+    * (y4m — the textbook raw-video interchange format, e.g. ffmpeg's
+    * `-f yuv4mpeg`), which ImageIO does not read. Layout (public
+    * spec): one ASCII header line `YUV4MPEG2 W<w> H<h> ...
+    * C<colorspace>\n`, then per frame `FRAME...\n` + planar data.
+    * Decoded subset, honest like the AVI one's:
+    *  - `Cmono` — the Y plane IS the gray grid, LOSSLESS (the
+    *    gray-formula oracle device applies verbatim; frames render
+    *    as r=g=b=Y);
+    *  - `C420` / `C420jpeg` / `C420paldv` / `C444` — limited-range
+    *    BT.601 integer conversion (deterministic and documented, but
+    *    a CONVERSION — near-dup-grade, not oracle-grade; q152 pins
+    *    the mono leg).
+    * Anything else (C422, 10-bit `XYSCSS` extensions) opens as None.
+    * Frames are fixed-size, so the walk indexes every COMPLETE
+    * frame up front; a truncated tail frame is dropped, not guessed.
+    * Open rejects dimensions over 8192 on either axis — a corrupt
+    * header must not allocate a gigapixel canvas. */
+  object Y4mFrameDecoder extends FrameDecoder {
+    private val MaxDim = 8192
+
+    def open(bytes: Array[Byte]): Option[OpenedFrames] = {
+      if (bytes == null || bytes.length < 10) return None
+      val magic = "YUV4MPEG2 "
+      var i = 0
+      while (i < 10) {
+        if (bytes(i) != magic.charAt(i).toByte) return None
+        i += 1
+      }
+      try {
+        var nl = 10
+        while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+        if (nl >= bytes.length) return None
+        val header = new String(bytes, 10, nl - 10,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var w = -1
+        var h = -1
+        var cs = "420" // the spec's default colorspace is C420
+        header.split(' ').filter(_.nonEmpty).foreach { tag =>
+          tag.charAt(0) match {
+            case 'W' => w = tag.drop(1).toInt
+            case 'H' => h = tag.drop(1).toInt
+            case 'C' => cs = tag.drop(1)
+            case _ => () // F/I/A/X tags don't affect pixel recovery
+          }
+        }
+        if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
+        val chroma = cs match {
+          case "mono" => 0
+          case "420" | "420jpeg" | "420paldv" =>
+            if (w % 2 != 0 || h % 2 != 0) return None
+            (w / 2) * (h / 2) * 2
+          case "444" => w * h * 2
+          case _ => return None // outside the honest subset
+        }
+        val frameBytes = w * h + chroma
+        // index complete frames: each is "FRAME[ params]\n" + planes
+        val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var p = nl + 1
+        while (p + 6 <= bytes.length &&
+            bytes(p) == 'F' && bytes(p + 1) == 'R' && bytes(p + 2) == 'A' &&
+            bytes(p + 3) == 'M' && bytes(p + 4) == 'E') {
+          var e = p + 5
+          while (e < bytes.length && bytes(e) != '\n') e += 1
+          if (e >= bytes.length || e + 1 + frameBytes > bytes.length) {
+            p = bytes.length // truncated frame: stop, don't guess
+          } else {
+            offs += (e + 1)
+            p = e + 1 + frameBytes
+          }
+        }
+        if (offs.isEmpty) return None
+        val mono = chroma == 0
+        val is444 = cs == "444"
+        Some(new OpenedFrames {
+          def frameCount: Int = offs.length
+          def frameAt(fi: Int): java.awt.image.BufferedImage = {
+            val off = offs(fi)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val cb0 = off + w * h
+            val cr0 = cb0 + (if (is444) w * h else (w / 2) * (h / 2))
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val yy = bytes(off + y * w + x) & 0xff
+                val rgb =
+                  if (mono) (yy << 16) | (yy << 8) | yy
+                  else {
+                    val ci =
+                      if (is444) y * w + x else (y / 2) * (w / 2) + (x / 2)
+                    val cb = (bytes(cb0 + ci) & 0xff) - 128
+                    val cr = (bytes(cr0 + ci) & 0xff) - 128
+                    // limited-range BT.601, the y4m convention:
+                    // fixed-point (x256) integer math, clamped
+                    val c298 = 298 * (yy - 16)
+                    def cl(v: Int) =
+                      if (v < 0) 0 else if (v > 255) 255 else v
+                    val r = cl((c298 + 409 * cr + 128) >> 8)
+                    val g = cl((c298 - 100 * cb - 208 * cr + 128) >> 8)
+                    val b = cl((c298 + 516 * cb + 128) >> 8)
+                    (r << 16) | (g << 8) | b
+                  }
+                img.setRGB(x, y, rgb)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          def close(): Unit = ()
+        })
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Deterministic mono y4m test vector — `grays` are row-major
+    * top-down Y planes, one per frame; `Cmono` makes the decoded
+    * pixel EXACTLY the written byte (the same lossless argument as
+    * `syntheticGrayGif` / `syntheticGrayAvi`, so all three containers
+    * of one animation hash identically — q152's pin). */
+  def syntheticGrayY4m(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty,
+      "need positive dims and at least one frame")
+    frames.foreach(f => require(f.length == width * height,
+      s"frame must be $width x $height = ${width * height}, got ${f.length}"))
+    val header =
+      s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val fh = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](
+      header.length + frames.size * (fh.length + width * height))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    frames.foreach { f =>
+      System.arraycopy(fh, 0, out, p, fh.length)
+      p += fh.length
+      var i = 0
+      while (i < f.length) {
+        out(p + i) = (f(i) & 0xff).toByte
+        i += 1
+      }
+      p += f.length
+    }
+    out
+  }
+
   /** Decoder combinator for MIXED corpora: try each decoder in order,
     * first `open` that accepts the payload wins. A corpus column
     * holding GIFs and AVIs side by side rides the tier through

@@ -5912,6 +5912,73 @@ object DataPrepQueries {
               graft.operators.Multimodal.JdkPcmDecoder,
               graft.operators.Multimodal.CafPcmDecoder))
           .orderBy("id_a", "id_b")
+      }),
+
+    // THREE-container video near-dup — q149 widened to the full
+    // decoder fleet: the same md5 gray formula, but docs < 80 encode
+    // as animated GIF, 80-159 as BI_RGB AVI, and >= 160 as MONO
+    // YUV4MPEG2 (Y4mFrameDecoder — raw-video interchange, unreadable
+    // by ImageIO; Cmono makes the Y plane the gray grid exactly, so
+    // the oracle stays container-free), decoded through
+    // FrameDecoders.firstOf of all three. Base groups (doc_id % 60)
+    // span every container boundary and the alt variants perturb
+    // windows (0,0)/(0,1) of every frame — a hash match pins that
+    // one animation in three containers is ONE animation to the
+    // tier, and that the y4m header walk + planar mono read is
+    // bit-exact with the GIF compositor and the AVI DIB walk.
+    QueryDef("q152_three_container_video", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 60 AS base, (doc_id // 60) % 2 AS alt
+                 FROM documents WHERE doc_id < 240),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+             FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+               AND bit_count(xor(a.h, b.h)) <= 3
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 60
+          val alt = (docId / 60) % 2 == 1
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              if (alt && y == 0 && x == 0) 255
+              else if (alt && y == 0 && x == 1) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          if (docId < 80)
+            graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+          else if (docId < 160)
+            graft.operators.Multimodal.syntheticGrayAvi(9, 8, frames)
+          else
+            graft.operators.Multimodal.syntheticGrayY4m(9, 8, frames)
+        }
+        val vids = t(s, dir, "documents").filter(col("doc_id") < 240)
+          .select(col("doc_id"), mk(col("doc_id")).as("v"))
+        graft.operators.Multimodal.gifNearDupPairs(vids, "v", "doc_id",
+            metricName = "graft_q152_three_cap",
+            decoder = graft.operators.Multimodal.FrameDecoders.firstOf(
+              graft.operators.Multimodal.GifFrameDecoder,
+              graft.operators.Multimodal.AviFrameDecoder,
+              graft.operators.Multimodal.Y4mFrameDecoder))
+          .orderBy("id_a", "id_b")
       })
   )
 }

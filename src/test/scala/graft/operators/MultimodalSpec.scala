@@ -777,6 +777,69 @@ class MultimodalSpec extends SparkSpecBase {
     assert(kept == Set(3L), s"got $kept")
   }
 
+  test("Y4mFrameDecoder: mono y4m decodes losslessly; 420 converts by the documented formula; the honest subset refuses") {
+    import spark.implicits._
+    val f0 = Array.tabulate(72)(i => (i * 7) % 256)
+    val f1 = f0.map(v => 255 - v)
+    val f2 = f0.map(v => (v + 96) % 256)
+    def hashes(payload: Array[Byte],
+        dec: Multimodal.FrameDecoder): Seq[(Int, Long)] =
+      Multimodal.gifFrameHashes(
+          Seq((1L, payload)).toDF("gid", "p"), "p", decoder = dec)(spark)
+        .select("sample_pos", "frame_ph").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    // cross-container identity: mono y4m == GIF of the same grids
+    val y4m = Multimodal.syntheticGrayY4m(9, 8, Seq(f0, f1, f2))
+    val viaGif = hashes(Multimodal.syntheticGrayGif(9, 8, Seq(f0, f1, f2)),
+      Multimodal.GifFrameDecoder)
+    assert(viaGif.length == 3 &&
+      hashes(y4m, Multimodal.Y4mFrameDecoder) == viaGif)
+    // ImageIO does not read y4m; the y4m decoder does not read GIF;
+    // firstOf of all three resolves a mixed corpus
+    assert(Multimodal.Y4mFrameDecoder.open(
+      Multimodal.syntheticGrayGif(9, 8, Seq(f0))).isEmpty)
+    assert(Multimodal.GifFrameDecoder.open(y4m).isEmpty)
+    val all3 = Multimodal.FrameDecoders.firstOf(Multimodal.GifFrameDecoder,
+      Multimodal.AviFrameDecoder, Multimodal.Y4mFrameDecoder)
+    assert(hashes(y4m, all3) == viaGif)
+    // a truncated tail frame is dropped, not guessed: cut 10 bytes
+    // off the third frame and only two complete frames remain
+    val trunc = java.util.Arrays.copyOf(y4m, y4m.length - 10)
+    assert(hashes(trunc, Multimodal.Y4mFrameDecoder) == viaGif.take(2))
+    // C420 with neutral chroma collapses to the documented integer
+    // formula r=g=b=cl((298*(Y-16)+128)>>8): a mono payload of
+    // exactly those converted grays hashes identically
+    val w = 10; val h = 8
+    val yPlane = Array.tabulate(w * h)(i => 16 + (i * 3) % 220)
+    def cl(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    val converted = yPlane.map(yy => cl((298 * (yy - 16) + 128) >> 8))
+    val header420 = s"YUV4MPEG2 W$w H$h C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val fh = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val p420 = new Array[Byte](
+      header420.length + fh.length + w * h + (w / 2) * (h / 2) * 2)
+    System.arraycopy(header420, 0, p420, 0, header420.length)
+    System.arraycopy(fh, 0, p420, header420.length, fh.length)
+    var i = 0
+    while (i < w * h) {
+      p420(header420.length + fh.length + i) = yPlane(i).toByte; i += 1
+    }
+    java.util.Arrays.fill(p420, header420.length + fh.length + w * h,
+      p420.length, 128.toByte) // neutral Cb/Cr
+    assert(hashes(p420, Multimodal.Y4mFrameDecoder) ==
+      hashes(Multimodal.syntheticGrayY4m(w, h, Seq(converted)),
+        Multimodal.Y4mFrameDecoder))
+    // outside the honest subset: C422 refuses, gigapixel dims refuse
+    val h422 = "YUV4MPEG2 W4 H4 C422\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(Multimodal.Y4mFrameDecoder.open(
+      h422 ++ fh ++ new Array[Byte](32)).isEmpty)
+    val hBig = "YUV4MPEG2 W99999 H8 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    assert(Multimodal.Y4mFrameDecoder.open(
+      hBig ++ fh ++ new Array[Byte](100)).isEmpty)
+  }
+
   test("AviFrameDecoder: DIB AVI decodes losslessly through the seam, MJPEG via the JDK jpeg codec, mixed corpora via firstOf") {
     import spark.implicits._
     val f0 = Array.tabulate(72)(i => (i * 7) % 256)
