@@ -5979,6 +5979,249 @@ object DataPrepQueries {
               graft.operators.Multimodal.AviFrameDecoder,
               graft.operators.Multimodal.Y4mFrameDecoder))
           .orderBy("id_a", "id_b")
+      }),
+
+    // AUDIO positional index LIFECYCLE — q143's
+    // write/delete/grow/probe device over the segmented-audio
+    // family: a standing index is built over 15 base clips, 5 are
+    // tombstoned, the index GROWS from its own (id, pos, hash) rows
+    // plus 10 new clips (the standing audio is never re-decoded),
+    // and a fresh index over (standing minus deleted) ∪ growth is
+    // built as the reference; the SAME batch probes both. The oracle
+    // recomputes the surviving index content and the positional
+    // filter rule (same-position hamming <= 3, >= 3 covered
+    // positions drops) from the md5 amplitude grid and emits the
+    // kept set TWICE — a hash match pins that growth from the
+    // artifact equals a fresh build over the surviving union, that
+    // tombstoned clips leave for real, and that the probe semantics
+    // survive the persisted roundtrip.
+    QueryDef("q153_audio_index_lifecycle", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base, (doc_id // 50) % 2 AS alt
+                 FROM documents WHERE doc_id < 200),
+      amp AS (SELECT d.doc_id, s.s, w.w,
+                CASE WHEN d.alt = 1 AND w.w = 0 THEN 255
+                     WHEN d.alt = 1 AND w.w = 1 THEN 0
+                     ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(s.s AS VARCHAR) || ':' || CAST(w.w AS VARCHAR)), 1, 2))::INT END AS a
+              FROM d
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+                CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) w),
+      h AS (SELECT a1.doc_id, a1.s,
+              bit_or(CASE WHEN a2.a > a1.a THEN (1::UBIGINT << a1.w) ELSE 0::UBIGINT END) AS h
+            FROM amp a1 JOIN amp a2 ON a2.doc_id = a1.doc_id AND a2.s = a1.s
+              AND a2.w = a1.w + 1
+            GROUP BY a1.doc_id, a1.s),
+      st AS (SELECT h.doc_id, h.s, h.h FROM h JOIN d USING (doc_id)
+             WHERE d.alt = 0 AND d.base BETWEEN 5 AND 24),
+      bt AS (SELECT h.doc_id, h.s, h.h FROM h JOIN d USING (doc_id)
+             WHERE NOT (d.alt = 0 AND d.base < 25)),
+      hitpos AS (SELECT DISTINCT b.doc_id, b.s
+                 FROM bt b JOIN st s ON s.s = b.s
+                   AND bit_count(xor(b.h, s.h)) <= 3),
+      drops AS (SELECT doc_id FROM hitpos GROUP BY doc_id
+                HAVING count(*) >= 3),
+      surv AS (SELECT DISTINCT doc_id FROM bt
+               WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+      SELECT s.stage, r.doc_id
+      FROM (VALUES ('fresh'), ('grown')) s(stage) CROSS JOIN surv r
+      ORDER BY s.stage, r.doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 50
+          val alt = (docId / 50) % 2 == 1
+          val samples = new Array[Short](4 * 520)
+          var seg = 0
+          while (seg < 4) {
+            var w = 0
+            while (w < 65) {
+              val a =
+                if (alt && w == 0) 255
+                else if (alt && w == 1) 0
+                else java.lang.Byte.toUnsignedInt(
+                  md.digest(s"$base:$seg:$w".getBytes("UTF-8"))(0))
+              val m = a * 77
+              var j = 0
+              while (j < 8) {
+                val gi = seg * 520 + w * 8 + j
+                samples(gi) = (if (gi % 2 == 0) m else -m).toShort
+                j += 1
+              }
+              w += 1
+            }
+            seg += 1
+          }
+          graft.operators.Multimodal.syntheticPcmWav(samples)
+        }
+        val clips = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), mk(col("doc_id")).as("aud"))
+        val standingPred = expr("doc_id % 50 < 15 AND (doc_id div 50) % 2 = 0")
+        val growPred = expr(
+          "doc_id % 50 >= 15 AND doc_id % 50 < 25 AND (doc_id div 50) % 2 = 0")
+        val dir0 = java.nio.file.Files.createTempDirectory("graft_aud_grow_")
+          .toFile.getAbsolutePath
+        val path = s"$dir0/idx"
+        val freshPath = s"$dir0/fresh"
+        graft.operators.Multimodal.writeAudioSegmentHashBandIndex(
+          clips.filter(standingPred), "aud", "doc_id", path, 520L, 4)
+        graft.operators.Dedup.deleteFromHashBandIndex(s, path,
+          clips.filter(standingPred).filter(col("doc_id") % 50 < 5)
+            .select("doc_id"), "doc_id")
+        // grow from the ARTIFACT's own rows (tombstones applied) +
+        // the new batch's segments — standing audio never re-decoded
+        graft.operators.Multimodal.rebuildAudioSegmentHashBandIndex(s,
+          path, clips.filter(growPred), "aud", "doc_id", 520L, 4)
+        graft.operators.Multimodal.writeAudioSegmentHashBandIndex(
+          clips.filter(expr(
+            "doc_id % 50 >= 5 AND doc_id % 50 < 25 AND (doc_id div 50) % 2 = 0")),
+          "aud", "doc_id", freshPath, 520L, 4,
+          metricName = "graft_audio_seg_index_write_cap_fresh")
+        val batch = clips.filter(!standingPred && !growPred)
+        def probe(p: String, stage: String) = graft.operators.Multimodal
+          .audioNearDupFilterAgainst(batch, "aud", "doc_id",
+            graft.operators.Multimodal.readAudioSegmentHashBandIndex(
+              s, p, 520L), 520L, 4)
+          .select(col("doc_id")).withColumn("stage", lit(stage))
+        probe(path, "grown").unionByName(probe(freshPath, "fresh"))
+          .select("stage", "doc_id")
+          .orderBy("stage", "doc_id")
+      }),
+
+    // Incremental prep facade through the PERSISTED audio positional
+    // index — q146's device over the segmented-audio tier: a standing
+    // corpus of 20 alt-1 clips is indexed ON DISK once
+    // (writeAudioSegmentHashBandIndex), and an engineered batch
+    // exercises every route through runIncremental's audioseg fold —
+    // direct standing hits (alt 1 twins of standing bases), TAINTED
+    // cluster members (an alt-0/alt-2 batch cluster whose alt-1
+    // sibling hits standing drops WHOLE), untainted in-batch clusters
+    // collapsing to their min id, and pass-through singletons. Texts
+    // are md5-salted unique tokens so every text tier is provably
+    // pass-through; the oracle replays segment envelope hashes,
+    // the positional probe, batch-internal positional pairs,
+    // connected components (recursive CTE), the taint rule and
+    // min-id survivorship from first principles.
+    QueryDef("q154_prep_audioseg_incremental", Some("""
+      WITH RECURSIVE
+      bd AS (
+        SELECT 2000 + b AS doc_id, b AS base, 0 AS alt FROM range(0, 10) t(b)
+        UNION ALL SELECT 2100 + b, b, 2 FROM range(0, 10) t(b)
+        UNION ALL SELECT 2200 + b, b, 0 FROM range(10, 20) t(b)
+        UNION ALL SELECT 2300 + b, b, 0 FROM range(20, 30) t(b)
+        UNION ALL SELECT 2400 + b, b, 1 FROM range(20, 30) t(b)
+        UNION ALL SELECT 2500 + b, b, 2 FROM range(20, 30) t(b)
+        UNION ALL SELECT 2600 + b, b, 0 FROM range(30, 40) t(b)),
+      sd AS (SELECT 1000 + b AS doc_id, b AS base, 1 AS alt FROM range(0, 20) t(b)),
+      allg AS (SELECT * FROM bd UNION ALL SELECT * FROM sd),
+      amp AS (SELECT a.doc_id, s.s, w.w,
+               CASE WHEN a.alt = 1 AND w.w = 0 THEN 255
+                    WHEN a.alt = 1 AND w.w = 1 THEN 0
+                    WHEN a.alt = 2 AND w.w = 2 THEN 255
+                    WHEN a.alt = 2 AND w.w = 3 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(a.base AS VARCHAR) || ':' || CAST(s.s AS VARCHAR) || ':' || CAST(w.w AS VARCHAR)), 1, 2))::INT END AS a
+             FROM allg a
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+               CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) w),
+      h AS MATERIALIZED (SELECT a1.doc_id, a1.s,
+              bit_or(CASE WHEN a2.a > a1.a THEN (1::UBIGINT << a1.w) ELSE 0::UBIGINT END) AS h
+            FROM amp a1 JOIN amp a2 ON a2.doc_id = a1.doc_id AND a2.s = a1.s
+              AND a2.w = a1.w + 1
+            GROUP BY a1.doc_id, a1.s),
+      bh AS (SELECT h.* FROM h JOIN bd USING (doc_id)),
+      sh AS (SELECT h.* FROM h JOIN sd USING (doc_id)),
+      pr AS MATERIALIZED (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM bh a JOIN bh b ON a.doc_id < b.doc_id AND a.s = b.s
+          AND bit_count(xor(a.h, b.h)) <= 3
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+      hits AS MATERIALIZED (
+        SELECT b.doc_id FROM (
+          SELECT DISTINCT bb.doc_id, bb.s
+          FROM bh bb JOIN sh ss ON ss.s = bb.s
+            AND bit_count(xor(bb.h, ss.h)) <= 3) b
+        GROUP BY b.doc_id HAVING count(*) >= 3),
+      edges AS (SELECT pa AS s, pb AS d FROM pr UNION SELECT pb, pa FROM pr),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      clus AS MATERIALIZED (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      tainted AS (SELECT DISTINCT c.cluster FROM clus c
+                  JOIN hits ON c.id = hits.doc_id),
+      drops AS (
+        SELECT doc_id FROM hits
+        UNION SELECT id FROM clus WHERE cluster IN (SELECT cluster FROM tainted)
+        UNION SELECT id FROM clus
+          WHERE cluster NOT IN (SELECT cluster FROM tainted) AND id <> cluster)
+      SELECT doc_id FROM bd
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val standingIds = (0 until 20).map(b => (1000L + b, b.toLong, 1))
+        val batchIds =
+          (0 until 10).map(b => (2000L + b, b.toLong, 0)) ++
+          (0 until 10).map(b => (2100L + b, b.toLong, 2)) ++
+          (10 until 20).map(b => (2200L + b, b.toLong, 0)) ++
+          (20 until 30).map(b => (2300L + b, b.toLong, 0)) ++
+          (20 until 30).map(b => (2400L + b, b.toLong, 1)) ++
+          (20 until 30).map(b => (2500L + b, b.toLong, 2)) ++
+          (30 until 40).map(b => (2600L + b, b.toLong, 0))
+        val mkClip = udf { (base: Long, alt: Int) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = new Array[Short](4 * 520)
+          var seg = 0
+          while (seg < 4) {
+            var w = 0
+            while (w < 65) {
+              val a =
+                if (alt == 1 && w == 0) 255
+                else if (alt == 1 && w == 1) 0
+                else if (alt == 2 && w == 2) 255
+                else if (alt == 2 && w == 3) 0
+                else java.lang.Byte.toUnsignedInt(
+                  md.digest(s"$base:$seg:$w".getBytes("UTF-8"))(0))
+              val m = a * 77
+              var j = 0
+              while (j < 8) {
+                val gi = seg * 520 + w * 8 + j
+                samples(gi) = (if (gi % 2 == 0) m else -m).toShort
+                j += 1
+              }
+              w += 1
+            }
+            seg += 1
+          }
+          graft.operators.Multimodal.syntheticPcmWav(samples)
+        }
+        val mkText = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          (1 to 7).map { k =>
+            "u" + md.digest(s"$docId:$k".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+          }.mkString(" ")
+        }
+        val standingClips = standingIds.toDF("doc_id", "base", "alt")
+          .select(col("doc_id"), mkClip(col("base"), col("alt")).as("aud"))
+        val standing = standingClips
+          .select(col("doc_id"),
+            graft.operators.TextNorm.clean(mkText(col("doc_id")))
+              .as("clean_text"))
+        val batch = batchIds.toDF("doc_id", "base", "alt")
+          .select(col("doc_id"), mkText(col("doc_id")).as("text"),
+            mkClip(col("base"), col("alt")).as("aud"))
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_aud_inc_").toFile.getAbsolutePath
+        graft.operators.Multimodal.writeAudioSegmentHashBandIndex(
+          standingClips, "aud", "doc_id", s"$idxDir/idx", 520L, 4)
+        graft.operators.CorpusPrep.runIncremental(standing, batch,
+            cfg = graft.operators.CorpusPrep.Config(
+              audioSegCol = Some("aud"), audioSegmentFrames = 520L,
+              audioMaxSegments = 4),
+            audioSegIndex = Some(graft.operators.Multimodal
+              .readAudioSegmentHashBandIndex(s, s"$idxDir/idx", 520L)))
+          .select("doc_id").orderBy("doc_id")
       })
   )
 }
