@@ -1595,7 +1595,8 @@ object Dedup {
       s"pointer _current_v1 already exists under $path — concurrent " +
         "rebuilds?")
     writeHashIndexMeta(spark, path, ndocs, totalBands, droppedBands,
-      maxBucket, idCol, posCols.headOption.getOrElse(""), sampleCap)
+      maxBucket, idCol, posCols.headOption.getOrElse(""), sampleCap,
+      hashColName)
   }
 
   /** `pos_col`/`sample_cap` record the positional layout's shape
@@ -1607,12 +1608,16 @@ object Dedup {
   private def writeHashIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, ndocs: Long, totalBands: Long, droppedBands: Long,
       maxBucket: Int, idCol: String, posCol: String,
-      sampleCap: Long): Unit = {
+      sampleCap: Long, hashCol: String): Unit = {
     import spark.implicits._
+    // hash_col is the SOURCE column the signatures were computed
+    // from (a text column's SimHash, an image column's dHash, a gif
+    // or audio column's positional hashes) — pure fleet-report
+    // legibility, never a probe semantic
     Seq((ndocs, totalBands, droppedBands, maxBucket.toLong, idCol, posCol,
-        sampleCap))
+        sampleCap, hashCol))
       .toDF("ndocs", "total_bands", "cap_dropped_bands", "max_bucket",
-        "id_col", "pos_col", "sample_cap")
+        "id_col", "pos_col", "sample_cap", "hash_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
   }
 
@@ -2171,7 +2176,8 @@ object Dedup {
       // this write leaves the OLD meta serving stale counts (probes
       // unaffected — they never read meta) until a rerun refreshes it
       writeHashIndexMeta(spark, path, ndocs, totalBands, droppedBands,
-        cap, idCol, posCols.headOption.getOrElse(""), sampleCap)
+        cap, idCol, posCols.headOption.getOrElse(""), sampleCap,
+        hashColName)
       // post-swap housekeeping, same as compaction: stale pointers,
       // superseded version dirs, then ONLY the tombstone snapshot
       // this rewrite materialized
@@ -2198,7 +2204,7 @@ object Dedup {
       rows: Long, files: Long, bytes: Long,
       tombstonedIds: Long, tombstonedRows: Long,
       capDroppedBands: Long, maxBucket: Long, ndocs: Long,
-      posCol: String = "")
+      posCol: String = "", hashCol: String = "")
 
   def hashBandIndexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): HashBandIndexStats = {
@@ -2251,10 +2257,12 @@ object Dedup {
     val meta = metaDf.select(col("cap_dropped_bands"), col("max_bucket"),
         col("ndocs"),
         (if (metaDf.columns.contains("pos_col")) col("pos_col")
-         else lit("")).as("pos_col"))
+         else lit("")).as("pos_col"),
+        (if (metaDf.columns.contains("hash_col")) col("hash_col")
+         else lit("")).as("hash_col"))
       .collect()(0)
     HashBandIndexStats(dir, agg0.getLong(1), agg0.getLong(0), files, bytes,
       tombIds, tombRows, meta.getLong(0), meta.getLong(1), meta.getLong(2),
-      meta.getString(3))
+      meta.getString(3), meta.getString(4))
   }
 }

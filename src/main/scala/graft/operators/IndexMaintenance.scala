@@ -102,9 +102,16 @@ object IndexMaintenance {
     * stats read, zero extra IO), so a fleet report over mixed roots
     * can tell which indexes hold animations without opening each
     * `_meta`; single-layout families (bm25, ivf) repeat the family
-    * name, unreadable/unknown roots report `unknown`. */
+    * name, unreadable/unknown roots report `unknown`. `signal` is
+    * the SOURCE column the index's signatures were computed from
+    * (`_meta.hash_col`, already in the hash-band stats read — zero
+    * extra IO), so a mixed fleet can tell the text SimHash index
+    * from the image dHash one from the gif/audio positional ones by
+    * column name; families that don't record it (bm25, ivf,
+    * pre-r16 hash-band artifacts) report empty. */
   final case class SweepRow(path: String, family: String, layout: String,
-      compact: Boolean, reasons: Seq[String], error: Option[String])
+      signal: String, compact: Boolean, reasons: Seq[String],
+      error: Option[String])
 
   /** Detect which standing-index family wrote a root, from the layout
     * alone: hash-band indexes are versioned from birth (`bands_vN`),
@@ -146,30 +153,32 @@ object IndexMaintenance {
           .getFileSystem(spark.sessionState.newHadoopConf())
         detectFamily(fs, path) match {
           case None =>
-            SweepRow(path, fam, "unknown", compact = false, Nil,
+            SweepRow(path, fam, "unknown", "", compact = false, Nil,
               Some("unrecognized layout — not a graft index root " +
                 "(or the dir is missing)"))
           case Some(f) =>
             fam = f
-            val (h, layout) = fam match {
+            val (h, layout, signal) = fam match {
               case "hashband" =>
                 val st = Dedup.hashBandIndexStats(spark, path)
                 (healthOf(st),
-                  if (st.posCol.nonEmpty) "positional" else "classic")
+                  if (st.posCol.nonEmpty) "positional" else "classic",
+                  st.hashCol)
               case "bm25" =>
-                (healthOf(TextStats.bm25IndexStats(spark, path)), "bm25")
+                (healthOf(TextStats.bm25IndexStats(spark, path)), "bm25", "")
               case _ =>
-                (healthOf(Similarity.indexStats(spark, path)), "ivf")
+                (healthOf(Similarity.indexStats(spark, path)), "ivf", "")
             }
             val adv = logHealth(h, p)
-            SweepRow(path, fam, layout, adv.compact, adv.reasons, None)
+            SweepRow(path, fam, layout, signal, adv.compact, adv.reasons,
+              None)
         }
       } catch {
         case e: Exception =>
           org.slf4j.LoggerFactory.getLogger("graft.metrics")
             .warn(s"graft_index_health family=$fam dir=$path " +
               s"UNREADABLE: ${e.getMessage}")
-          SweepRow(path, fam, "unknown", compact = false, Nil,
+          SweepRow(path, fam, "unknown", "", compact = false, Nil,
             Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
@@ -278,7 +287,7 @@ object IndexMaintenance {
     val before = healthSweep(spark, normed, p).collect()
     // the act budget, spent in report order
     val flaggedOrder = before.collect {
-      case r if r.getBoolean(3) => r.getString(0)
+      case r if r.getAs[Boolean]("compact") => r.getAs[String]("path")
     }.toSeq
     val actSet = flaggedOrder.take(maxActions).toSet
     val deferredSet = flaggedOrder.drop(maxActions).toSet
@@ -287,11 +296,11 @@ object IndexMaintenance {
         s"maxActions=$maxActions this pass"))
     // path -> (compaction ran to completion, action-phase error)
     val acted: Map[String, (Boolean, Option[String])] = before.map { r =>
-      val path = r.getString(0)
+      val path = r.getAs[String]("path")
       if (!actSet.contains(path)) path -> ((false, Option.empty[String]))
       else {
         try {
-          compactAs(spark, path, r.getString(1))
+          compactAs(spark, path, r.getAs[String]("family"))
           path -> ((true, Option.empty[String]))
         } catch { case e: Exception =>
           log.warn(s"graft_index_health dir=$path COMPACT FAILED: " +
@@ -306,28 +315,32 @@ object IndexMaintenance {
     // a second stats pass over them is waste — deferred roots are
     // untouched by construction
     val touched = before.collect {
-      case r if actSet.contains(r.getString(0)) => r.getString(0)
+      case r if actSet.contains(r.getAs[String]("path")) =>
+        r.getAs[String]("path")
     }.toSeq
     val after = healthSweep(spark, touched, p).collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => r.getAs[String]("path") -> r).toMap
     import spark.implicits._
     before.map { r =>
-      val path = r.getString(0)
-      val famBefore = r.getString(1)
-      val layoutBefore = r.getString(2)
+      val path = r.getAs[String]("path")
+      val famBefore = r.getAs[String]("family")
+      val layoutBefore = r.getAs[String]("layout")
+      val sigBefore = r.getAs[String]("signal")
       val deferred = deferredSet.contains(path)
       val (didCompact, actErr) = acted(path)
       after.get(path) match {
         case None => // never acted on: the first sweep's row stands
-          (path, famBefore, layoutBefore, r.getBoolean(3),
-            r.getSeq[String](4), didCompact, deferred,
-            actErr.orElse(Option(r.getString(5))))
-        case Some(cur) if cur.getString(5) != null =>
+          (path, famBefore, layoutBefore, sigBefore,
+            r.getAs[Boolean]("compact"), r.getSeq[String](
+              r.fieldIndex("reasons")), didCompact, deferred,
+            actErr.orElse(Option(r.getAs[String]("error"))))
+        case Some(cur) if cur.getAs[String]("error") != null =>
           // post-action re-sweep errored: verdict unknowable — keep
           // the family the first sweep detected, surface the error
-          (path, famBefore, layoutBefore, false, Seq.empty[String],
-            didCompact, deferred, actErr.orElse(Option(cur.getString(5))))
-        case Some(cur) if didCompact && cur.getBoolean(3) =>
+          (path, famBefore, layoutBefore, sigBefore, false,
+            Seq.empty[String], didCompact, deferred,
+            actErr.orElse(Option(cur.getAs[String]("error"))))
+        case Some(cur) if didCompact && cur.getAs[Boolean]("compact") =>
           // ran to completion, verdict did NOT clear: the policy
           // would re-fire every pass with no progress — surface it
           // instead of letting the cron churn silently. The message
@@ -338,8 +351,8 @@ object IndexMaintenance {
           // the write fan-out, a delete racing the re-sweep) is the
           // operator's to read from the reasons, and a transient
           // re-fire clears itself on the next pass.
-          val reasons = cur.getSeq[String](4)
-          val fam = cur.getString(1)
+          val reasons = cur.getSeq[String](cur.fieldIndex("reasons"))
+          val fam = cur.getAs[String]("family")
           val diag =
             if (fam == "hashband" && reasons.exists(_.contains("tombstonedRows")))
               " — a fully-tombstoned hash-band index compacts as a " +
@@ -354,16 +367,18 @@ object IndexMaintenance {
           val msg = s"compaction ran but did not clear the $fam verdict (" +
             reasons.mkString("; ") + ")" + diag
           log.warn(s"graft_index_health dir=$path NON-CONVERGENT: $msg")
-          (path, cur.getString(1), cur.getString(2), true,
-            cur.getSeq[String](4), didCompact, deferred,
-            Some(msg): Option[String])
+          (path, cur.getAs[String]("family"), cur.getAs[String]("layout"),
+            cur.getAs[String]("signal"), true,
+            cur.getSeq[String](cur.fieldIndex("reasons")), didCompact,
+            deferred, Some(msg): Option[String])
         case Some(cur) =>
-          (path, cur.getString(1), cur.getString(2), cur.getBoolean(3),
-            cur.getSeq[String](4), didCompact, deferred,
-            actErr.orElse(Option(cur.getString(5))))
+          (path, cur.getAs[String]("family"), cur.getAs[String]("layout"),
+            cur.getAs[String]("signal"), cur.getAs[Boolean]("compact"),
+            cur.getSeq[String](cur.fieldIndex("reasons")), didCompact,
+            deferred, actErr.orElse(Option(cur.getAs[String]("error"))))
       }
     }.toSeq
-      .toDF("path", "family", "layout", "compact", "reasons",
+      .toDF("path", "family", "layout", "signal", "compact", "reasons",
         "compacted", "deferred", "error")
   }
 }

@@ -81,6 +81,12 @@ class IndexMaintenanceSpec extends SparkSpecBase {
             Seq(Array.tabulate(72)(i => (i * 7) % 256),
               Array.tabulate(72)(i => (i * 11) % 256)))))
           .toDF("gid", "anim"), "anim", "gid", s"$root/gifi")(spark)
+      // the audio positional sibling (same layout family, different
+      // signal column) — the signal column must tell them apart
+      Multimodal.writeAudioSegmentHashBandIndex(
+        Seq((1L, Multimodal.syntheticPcmWav(
+            Array.tabulate[Short](16640)(i => (i * 37 % 2003 - 1001).toShort))))
+          .toDF("aid", "clip"), "clip", "aid", s"$root/audi")(spark)
       // a crash-after-pointer hash-band sibling: probes fine, stats
       // refuses — the sweep must report it and keep going
       Dedup.writeHashBandIndex(Seq((9L, 42L)).toDF("vid", "sig"),
@@ -91,30 +97,37 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/stranger"))
       val rows = IndexMaintenance.healthSweep(spark, Seq(
           s"$root/hbi", s"$root/bm", s"$root/ivf", s"$root/gifi",
-          s"$root/crashed", s"$root/stranger", "::not a uri::"))
+          s"$root/audi", s"$root/crashed", s"$root/stranger",
+          "::not a uri::"))
         .collect()
         .map(r => r.getString(0).split('/').last ->
-          ((r.getString(1), r.getString(2), r.getBoolean(3),
-            Option(r.getString(5)))))
+          ((r.getString(1), r.getString(2), r.getString(3),
+            r.getBoolean(4), Option(r.getString(6)))))
         .toMap
       // the layout column tells classic from positional WITHIN the
-      // shared hashband family — a fleet report over mixed roots can
-      // see which indexes hold animations without opening each _meta
-      assert(rows("hbi") == (("hashband", "classic", false, None)),
+      // shared hashband family, and the signal column (the _meta
+      // hash_col record) tells the gif index from the audio one —
+      // a fleet report over mixed roots can see which indexes hold
+      // what without opening each _meta
+      assert(rows("hbi") == (("hashband", "classic", "sig", false, None)),
         s"${rows("hbi")}")
-      assert(rows("gifi") == (("hashband", "positional", false, None)),
-        s"${rows("gifi")}")
-      assert(rows("bm") == (("bm25", "bm25", false, None)), s"${rows("bm")}")
-      assert(rows("ivf") == (("ivf", "ivf", false, None)), s"${rows("ivf")}")
+      assert(rows("gifi") == (("hashband", "positional", "anim", false,
+        None)), s"${rows("gifi")}")
+      assert(rows("audi") == (("hashband", "positional", "clip", false,
+        None)), s"${rows("audi")}")
+      assert(rows("bm") == (("bm25", "bm25", "", false, None)),
+        s"${rows("bm")}")
+      assert(rows("ivf") == (("ivf", "ivf", "", false, None)),
+        s"${rows("ivf")}")
       val crashed = rows("crashed")
-      assert(crashed._1 == "hashband" && !crashed._3 &&
-        crashed._4.exists(_.contains("writeHashBandIndex")),
+      assert(crashed._1 == "hashband" && !crashed._4 &&
+        crashed._5.exists(_.contains("writeHashBandIndex")),
         s"crashed index must surface its named repair path: $crashed")
-      assert(rows("stranger")._1 == "unknown" && rows("stranger")._4.isDefined)
+      assert(rows("stranger")._1 == "unknown" && rows("stranger")._5.isDefined)
       // even Path PARSING failures stay per-path error rows — one bad
       // root must not kill the report for the healthy indexes
       assert(rows("::not a uri::")._1 == "unknown" &&
-        rows("::not a uri::")._4.isDefined)
+        rows("::not a uri::")._5.isDefined)
     }
   }
 
@@ -155,8 +168,9 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       val report = IndexMaintenance.sweepAndCompact(spark,
           Seq(s"$root/tripped", s"$root/healthy", s"$root/stranger"))
         .collect()
-        .map(r => r.getString(0).split('/').last ->
-          ((r.getBoolean(3), r.getBoolean(5), Option(r.getString(7)))))
+        .map(r => r.getAs[String]("path").split('/').last ->
+          ((r.getAs[Boolean]("compact"), r.getAs[Boolean]("compacted"),
+            Option(r.getAs[String]("error")))))
         .toMap
       // tripped: compaction RAN and the post-action verdict is clear
       assert(report("tripped") == ((false, true, None)),
@@ -193,10 +207,11 @@ class IndexMaintenanceSpec extends SparkSpecBase {
           Seq(s"$root/dead", s"$root/dead/", s"file:$root/dead")).collect()
       assert(dead.length == 1, s"duplicate paths must collapse: ${dead.length}")
       val d = dead(0)
-      assert(d.getBoolean(5), "the compaction DID run")
-      assert(d.getBoolean(3), "the verdict cannot clear on a dead index")
-      assert(Option(d.getString(7)).exists(_.contains("did not clear")),
-        s"non-convergence must be surfaced: ${Option(d.getString(7))}")
+      assert(d.getAs[Boolean]("compacted"), "the compaction DID run")
+      assert(d.getAs[Boolean]("compact"),
+        "the verdict cannot clear on a dead index")
+      assert(Option(d.getAs[String]("error")).exists(_.contains("did not clear")),
+        s"non-convergence must be surfaced: ${Option(d.getAs[String]("error"))}")
       // and dispatches the positional (GIF) layout through the shared
       // hashband entry point
       Multimodal.writeGifHashBandIndex(
@@ -225,9 +240,9 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       }
       val pass1 = IndexMaintenance.sweepAndCompact(spark,
           names.map(n => s"$root/$n"), maxActions = 1).collect()
-        .map(r => r.getString(0).split('/').last ->
-          ((r.getBoolean(3), r.getBoolean(5), r.getBoolean(6),
-            Option(r.getString(7)))))
+        .map(r => r.getAs[String]("path").split('/').last ->
+          ((r.getAs[Boolean]("compact"), r.getAs[Boolean]("compacted"),
+            r.getAs[Boolean]("deferred"), Option(r.getAs[String]("error")))))
         .toMap
       // exactly ONE compaction ran; the two deferred rows keep their
       // flagged verdict (next pass's input) and carry no error —
@@ -246,13 +261,14 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       // compacts; nothing re-compacts the already-clean root
       val pass2 = IndexMaintenance.sweepAndCompact(spark,
           names.map(n => s"$root/$n"), maxActions = 1).collect()
-        .map(r => (r.getBoolean(5), r.getBoolean(6)))
+        .map(r => (r.getAs[Boolean]("compacted"), r.getAs[Boolean]("deferred")))
       assert(pass2.count(_._1) == 1 && pass2.count(_._2) == 1, s"${pass2.toSeq}")
       // maxActions = 0 is a pure dry-run sweep: flags, acts on nothing
       val dry = IndexMaintenance.sweepAndCompact(spark,
           names.map(n => s"$root/$n"), maxActions = 0).collect()
-      assert(dry.forall(r => !r.getBoolean(5)), "dry run must not compact")
-      assert(dry.count(_.getBoolean(6)) == 1,
+      assert(dry.forall(r => !r.getAs[Boolean]("compacted")),
+        "dry run must not compact")
+      assert(dry.count(_.getAs[Boolean]("deferred")) == 1,
         "the one still-flagged root defers under a zero budget")
       intercept[IllegalArgumentException] {
         IndexMaintenance.sweepAndCompact(spark, Seq(s"$root/a"),
