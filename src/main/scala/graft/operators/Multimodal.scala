@@ -291,8 +291,10 @@ object Multimodal {
 
   /** Shared ISO-BMFF byte-walk primitives (big-endian reads + the
     * bounds-checked length-prefixed sibling-box walk) used by
-    * `VideoDecoder` and `KeyframeIndexer`. */
+    * `VideoDecoder`, `KeyframeIndexer` and `Mp4FrameDecoder`. */
   private[operators] object Bmff {
+    def u16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
     def u32(b: Array[Byte], off: Int): Long =
       ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
         ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
@@ -326,6 +328,17 @@ object Multimodal {
     videoTracks: Int, audioTracks: Int, brand: String,
     byteLen: Long, digest: String, ok: Boolean)
 
+  /** Container-metadata decode seam — `FrameDecoder`'s shape applied
+    * to the O(header) metadata tier: one method, one `VideoMeta`
+    * result row, `ok = false` for payloads outside the decoder's
+    * container (never an exception). `VideoDecoder` (ISO-BMFF) is
+    * the default implementation; `EbmlVideoDecoder` covers the
+    * WebM/Matroska half of web video, and `AutoVideoDecoder` tries
+    * both for mixed corpora. */
+  trait ContainerMetaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): VideoMeta
+  }
+
   /** Real video CONTAINER metadata for ISO-BMFF files (MP4/MOV/M4V —
     * the overwhelming majority of video in a web corpus). The box
     * structure is length-prefixed and codec-independent, so duration,
@@ -341,7 +354,7 @@ object Multimodal {
     * for. Malformed/truncated/non-BMFF payloads come back
     * `ok = false`, never a task-killing exception. One instance per
     * task under `withVideoMeta`'s mapPartitions contract. */
-  final class VideoDecoder extends Serializable {
+  final class VideoDecoder extends ContainerMetaDecoder {
     private val md = java.security.MessageDigest.getInstance("SHA-256")
     import Bmff.{fourcc, u32, u64, walk}
 
@@ -409,11 +422,210 @@ object Multimodal {
     }
   }
 
-  /** Attach parsed ISO-BMFF container metadata to a binary column —
+  /** WebM / Matroska container metadata — the OTHER half of web
+    * video, through the same O(header) argument as the ISO-BMFF
+    * decoder: the EBML element layout (RFC 8794 + the public
+    * Matroska element IDs) is length-prefixed and codec-independent,
+    * so DocType, movie duration, the timestamp scale, pixel
+    * dimensions and the track census parse from a pure byte walk —
+    * no VP8/VP9/AV1 codec anywhere near it. Mapping onto the shared
+    * `VideoMeta` shape:
+    *  - `brand` = the EBML DocType ("webm" / "matroska");
+    *  - `durationMs` = Segment Info Duration (a float, in timestamp-
+    *    scale ticks) x TimestampScale (ns/tick, default 1,000,000) /
+    *    1e6;
+    *  - `timescale` = ticks per SECOND (1e9 / TimestampScale — 1000
+    *    for the default 1 ms tick), aligning its meaning with the
+    *    BMFF field;
+    *  - width/height from the largest video track's
+    *    PixelWidth/PixelHeight.
+    * Unknown-size elements (live-stream Segments) extend to the end
+    * of the parent, per spec. Non-EBML payloads, truncated headers
+    * and absent Segment/Info come back `ok = false`, never a task
+    * kill. */
+  final class EbmlVideoDecoder extends ContainerMetaDecoder {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+
+    // (value, byteLen); IDs keep the marker bit (the spec's notation
+    // and the constants below include it), sizes strip it
+    private def vint(b: Array[Byte], p: Int, end: Int,
+        keepMarker: Boolean): (Long, Int) = {
+      require(p < end, "vint past end")
+      val first = b(p) & 0xff
+      require(first != 0, "invalid EBML vint (>8 bytes)")
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      require(p + len <= end, "vint truncated")
+      var v = if (keepMarker) first.toLong
+        else (first & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+      (v, len)
+    }
+
+    private def walkEbml(b: Array[Byte], start: Int, end: Int)(
+        f: (Long, Int, Int) => Unit): Unit = {
+      var p = start
+      while (p < end) {
+        val (id, il) = vint(b, p, end, keepMarker = true)
+        val (sz, sl) = vint(b, p + il, end, keepMarker = false)
+        val ds = p + il + sl
+        // all-ones size = unknown: element extends to the parent's end
+        val unknown = sz == (1L << (7 * sl)) - 1
+        val de = if (unknown) end.toLong else ds.toLong + sz
+        require(de >= ds && de <= end, "EBML element overruns parent")
+        f(id, ds, de.toInt)
+        p = de.toInt
+      }
+    }
+
+    private def uintOf(b: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L
+      var i = s
+      while (i < e) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      v
+    }
+    private def floatOf(b: Array[Byte], s: Int, e: Int): Double =
+      if (e - s == 4)
+        java.lang.Float.intBitsToFloat(uintOf(b, s, e).toInt).toDouble
+      else if (e - s == 8) java.lang.Double.longBitsToDouble(uintOf(b, s, e))
+      else 0.0
+
+    def decode(bytes: Array[Byte]): VideoMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return VideoMeta(0, 0, 0L, 0L, 0, 0, "", 0L, "", ok = false)
+      md.reset()
+      val hex = hex8(md.digest(bytes))
+      val fail = VideoMeta(0, 0, 0L, 0L, 0, 0, "", bytes.length.toLong,
+        hex, ok = false)
+      // the container sniff: EBML header magic, before any walk
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0x1A ||
+        (bytes(1) & 0xff) != 0x45 || (bytes(2) & 0xff) != 0xDF ||
+        (bytes(3) & 0xff) != 0xA3) return fail
+      try {
+        var docType = ""
+        var tsScale = 1000000L // the spec default: 1 ms ticks
+        var durTicks = 0.0
+        var sawInfo = false
+        var sawSegment = false
+        var w = 0; var h = 0; var vide = 0; var soun = 0
+        walkEbml(bytes, 0, bytes.length) {
+          case (0x1A45DFA3L, hs, he) => walkEbml(bytes, hs, he) {
+            case (0x4282L, s, e) => // DocType
+              docType = new String(bytes, s, e - s, "US-ASCII")
+            case _ => ()
+          }
+          case (0x18538067L, ss, se) => // Segment
+            sawSegment = true
+            walkEbml(bytes, ss, se) {
+              case (0x1549A966L, is, ie) => // Info
+                sawInfo = true
+                walkEbml(bytes, is, ie) {
+                  case (0x2AD7B1L, s, e) => tsScale = uintOf(bytes, s, e)
+                  case (0x4489L, s, e) => durTicks = floatOf(bytes, s, e)
+                  case _ => ()
+                }
+              case (0x1654AE6BL, ts, te) => // Tracks
+                walkEbml(bytes, ts, te) {
+                  case (0xAEL, es, ee) => // TrackEntry
+                    var typ = 0L; var tw = 0; var th = 0
+                    walkEbml(bytes, es, ee) {
+                      case (0x83L, s, e) => typ = uintOf(bytes, s, e)
+                      case (0xE0L, vs, ve) => walkEbml(bytes, vs, ve) {
+                        case (0xB0L, s, e) => tw = uintOf(bytes, s, e).toInt
+                        case (0xBAL, s, e) => th = uintOf(bytes, s, e).toInt
+                        case _ => ()
+                      }
+                      case _ => ()
+                    }
+                    if (typ == 1L) { vide += 1
+                      if (tw.toLong * th > w.toLong * h) { w = tw; h = th } }
+                    if (typ == 2L) soun += 1
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (!sawSegment || !sawInfo || tsScale <= 0L) fail
+        else VideoMeta(w, h,
+          math.rint(durTicks * tsScale / 1e6).toLong,
+          math.rint(1e9 / tsScale).toLong, vide, soun, docType,
+          bytes.length.toLong, hex, ok = true)
+      } catch { case scala.util.control.NonFatal(_) => fail }
+    }
+  }
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    val len = math.max(1, (71 - java.lang.Long.numberOfLeadingZeros(v)) / 8)
+    Array.tabulate(len)(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte)
+  }
+  /** One EBML element, hand-assembled against RFC 8794 (no library
+    * writer): the ID's own bytes (IDs carry their length marker), a
+    * minimal-length size vint, then the payload. */
+  private[operators] def ebmlElem(id: Long, payload: Array[Byte]*): Array[Byte] = {
+    val pl = Array.concat(payload: _*)
+    val idb = ebmlUint(id)
+    var len = 1
+    while (pl.length >= (1L << (7 * len)) - 1) len += 1
+    val marked = pl.length.toLong | (1L << (7 * len))
+    val sz = Array.tabulate(len)(i =>
+      ((marked >>> (8 * (len - 1 - i))) & 0xff).toByte)
+    Array.concat(idb, sz, pl)
+  }
+
+  /** Deterministic WebM/Matroska METADATA test vector: EBML header
+    * (DocType) + Segment{Info{TimestampScale, Duration(float64)},
+    * Tracks{video TrackEntry (TrackType 1, CodecID, Video{PixelWidth,
+    * PixelHeight}) + `audioTracks` audio entries}}. CodecIDs are
+    * present for layout realism but the metadata walk never reads
+    * them — pixels are exactly what this tier does NOT touch. */
+  def syntheticWebmMeta(width: Int, height: Int, durationTicks: Double,
+      tsScaleNs: Long = 1000000L, docType: String = "webm",
+      audioTracks: Int = 1): Array[Byte] = {
+    require(width > 0 && height > 0 && tsScaleNs > 0, "positive dims/scale")
+    val header = ebmlElem(0x1A45DFA3L,
+      ebmlElem(0x4282L, docType.getBytes("US-ASCII")))
+    val info = ebmlElem(0x1549A966L,
+      ebmlElem(0x2AD7B1L, ebmlUint(tsScaleNs)),
+      ebmlElem(0x4489L, Array.tabulate(8)(i =>
+        ((java.lang.Double.doubleToLongBits(durationTicks) >>>
+          (8 * (7 - i))) & 0xff).toByte)))
+    val vTrack = ebmlElem(0xAEL,
+      ebmlElem(0x83L, Array(1.toByte)),
+      ebmlElem(0x86L, "V_VP9".getBytes("US-ASCII")),
+      ebmlElem(0xE0L,
+        ebmlElem(0xB0L, ebmlUint(width.toLong)),
+        ebmlElem(0xBAL, ebmlUint(height.toLong))))
+    val aTracks = (0 until audioTracks).map(_ => ebmlElem(0xAEL,
+      ebmlElem(0x83L, Array(2.toByte)),
+      ebmlElem(0x86L, "A_OPUS".getBytes("US-ASCII"))))
+    val tracks = ebmlElem(0x1654AE6BL, (vTrack +: aTracks): _*)
+    Array.concat(header, ebmlElem(0x18538067L, info, tracks))
+  }
+
+  /** Mixed-corpus metadata decode: ISO-BMFF first, then EBML — the
+    * `firstOf` device for the metadata tier (each decoder's sniff is
+    * cheap and exact, so order is taste). */
+  final class AutoVideoDecoder extends ContainerMetaDecoder {
+    private val bmff = new VideoDecoder
+    private val ebml = new EbmlVideoDecoder
+    def decode(bytes: Array[Byte]): VideoMeta = {
+      val m = bmff.decode(bytes)
+      if (m.ok) m else {
+        val e = ebml.decode(bytes)
+        if (e.ok) e else m
+      }
+    }
+  }
+
+  /** Attach parsed video-container metadata to a binary column —
     * the video twin of `withMediaMeta`, same once-per-task decoder
-    * lifecycle; only the small meta struct ever shuffles. */
+    * lifecycle; only the small meta struct ever shuffles. Default is
+    * the ISO-BMFF walk; pass `() => new EbmlVideoDecoder` for
+    * WebM/Matroska or `() => new AutoVideoDecoder` for mixed
+    * corpora. */
   def withVideoMeta(df: DataFrame, binaryCol: String, outCol: String = "video",
-      decoderFactory: () => VideoDecoder = () => new VideoDecoder)(
+      decoderFactory: () => ContainerMetaDecoder = () => new VideoDecoder)(
       implicit spark: SparkSession): DataFrame = {
     val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema.add(outCol, Encoders.product[VideoMeta].schema)
@@ -1124,8 +1336,10 @@ object Multimodal {
 
   /** REAL frame extraction for multi-frame containers the JDK can
     * decode — animated GIF via the ImageIO gif plugin (ships with
-    * every JVM; MP4/WebM frame decode still has no JDK codec and
-    * stays with `sampleFrames`' stub). Up to `nFrames` evenly spaced
+    * every JVM); raw-DIB/MJPEG AVI, y4m and raw/MJPEG MP4/MOV ride
+    * the same tier through their `FrameDecoder`s. What remains with
+    * `sampleFrames`' stub is COMPRESSED video (H.264/VP9/AV1 — no
+    * JDK codec). Up to `nFrames` evenly spaced
     * frames are DECODED to pixels and digested (SHA-256 over the ARGB
     * raster), one output row per frame with real dimensions — the
     * per-frame feature-extraction input shape. Same mapPartitions
@@ -1140,8 +1354,10 @@ object Multimodal {
     * tier logic is container-agnostic above this seam; `gifFrameHashes`,
     * `sampleFramesDecoded`, `gifNearDupPairs` and the positional
     * index builders all take a `FrameDecoder` (default
-    * `GifFrameDecoder` — the pure-JDK ImageIO path), so an external
-    * MP4/WebM decoder (JNI/FFmpeg — no JDK codec exists) plugs in
+    * `GifFrameDecoder` — the pure-JDK ImageIO path; `AviFrameDecoder`,
+    * `Y4mFrameDecoder` and `Mp4FrameDecoder` are the in-tree proofs),
+    * so an external decoder for COMPRESSED codecs (H.264/VP9/AV1 via
+    * JNI/FFmpeg — no JDK codec exists) plugs in
     * WITHOUT forking the tier. Implementations must be Serializable
     * (the instance ships inside mapPartitions closures; open() runs
     * where the scan partition lives, so decoder state is
@@ -1505,6 +1721,388 @@ object Multimodal {
     out
   }
 
+  /** FOURTH real container through the `FrameDecoder` seam: MP4 /
+    * QuickTime MOV (ISO base media file format, ISO/IEC 14496-12 —
+    * the box/atom layout is public). The walk parses the top-level
+    * box sequence (32-bit sizes, size==1 64-bit largesize, size==0
+    * to-EOF), finds the first `moov/trak` whose `mdia/hdlr` handler
+    * is `vide`, and reconstructs the per-sample (offset, size) list
+    * from the sample tables the spec mandates: `stsd` (codec sample
+    * entry), `stsz` (sizes), `stsc` (sample-to-chunk runs), `stco` /
+    * `co64` (chunk offsets). Decoded subset, honest like the AVI
+    * one's:
+    *  - `raw ` sample entries at depth 24 — QuickTime's uncompressed
+    *    "None" codec: packed top-down RGB rows, LOSSLESS (the
+    *    gray-formula oracle device applies verbatim; q155 pins the
+    *    leg);
+    *  - `jpeg` sample entries (QuickTime photo-JPEG / MJPEG) and
+    *    `mp4v` entries whose `esds` DecoderConfigDescriptor declares
+    *    objectTypeIndication 0x6C (= JPEG — how ffmpeg tags MJPEG
+    *    inside .mp4): each sample is one complete JFIF image, decoded
+    *    by the JDK jpeg codec (near-dup-grade: lossy, like MJPEG-AVI).
+    * Compressed codecs (`avc1`/`hvc1`/`vp09`/`av01`...) open as None
+    * — the one remaining honest stub, pluggable as an external
+    * `FrameDecoder` without touching tier logic. Malformed tables
+    * (negative/oversized box sizes, sample extents past the payload)
+    * stop the walk at the last consistent point or refuse outright;
+    * dimensions over 8192 on either axis are refused before any
+    * canvas allocates. */
+  object Mp4FrameDecoder extends FrameDecoder {
+    private val MaxDim = 8192
+    import Bmff.{u16, u32, u64, fourcc => cc, walk}
+    // types legal as a file's FIRST box — the container sniff
+    private val FirstBox =
+      Set("ftyp", "moov", "mdat", "free", "skip", "wide", "pnot")
+
+    private final case class VideoTrack(format: String, oti: Int,
+      w: Int, h: Int, samples: IndexedSeq[(Int, Int)])
+
+    private def findBox(bytes: Array[Byte], start: Int, end: Int,
+        name: String): Option[(Int, Int)] = {
+      var found: Option[(Int, Int)] = None
+      walk(bytes, start, end) { (t, s, e) =>
+        if (found.isEmpty && t == name) found = Some((s, e))
+      }
+      found
+    }
+
+    /** esds descriptor walk: ES_Descriptor (0x03) → optional fields
+      * per its flags byte → DecoderConfigDescriptor (0x04), whose
+      * first payload byte is the objectTypeIndication. Descriptor
+      * lengths are 7-bit msb-continued varints (14496-1). */
+    private def esdsOti(bytes: Array[Byte], s: Int, e: Int): Int = {
+      var p = s + 4 // version/flags
+      def varlen(): Int = {
+        var v = 0
+        var more = true
+        while (more && p < e) {
+          val b = bytes(p) & 0xff
+          v = (v << 7) | (b & 0x7f)
+          more = (b & 0x80) != 0
+          p += 1
+        }
+        v
+      }
+      if (p >= e || (bytes(p) & 0xff) != 0x03) return -1
+      p += 1; varlen()
+      p += 2 // ES_ID
+      if (p >= e) return -1
+      val flags = bytes(p) & 0xff
+      p += 1
+      if ((flags & 0x80) != 0) p += 2 // streamDependence
+      if ((flags & 0x40) != 0 && p < e) p += 1 + (bytes(p) & 0xff) // URL
+      if ((flags & 0x20) != 0) p += 2 // OCR
+      if (p >= e || (bytes(p) & 0xff) != 0x04) return -1
+      p += 1; varlen()
+      if (p >= e) -1 else bytes(p) & 0xff
+    }
+
+    private def parseTrack(bytes: Array[Byte],
+        trakS: Int, trakE: Int): Option[VideoTrack] = {
+      val (mdiaS, mdiaE) = findBox(bytes, trakS, trakE, "mdia").getOrElse(
+        return None)
+      val isVide = findBox(bytes, mdiaS, mdiaE, "hdlr").exists {
+        case (s, e) => e - s >= 12 && cc(bytes, s + 8) == "vide"
+      }
+      if (!isVide) return None
+      val (minfS, minfE) = findBox(bytes, mdiaS, mdiaE, "minf").getOrElse(
+        return None)
+      val (stblS, stblE) = findBox(bytes, minfS, minfE, "stbl").getOrElse(
+        return None)
+      // stsd: first sample entry's format + dimensions (+ esds OTI)
+      val (sdS, sdE) = findBox(bytes, stblS, stblE, "stsd").getOrElse(
+        return None)
+      if (sdE - sdS < 8 + 86 || u32(bytes, sdS + 4) < 1) return None
+      val entS = sdS + 8
+      val entSz = u32(bytes, entS)
+      if (entSz < 86 || entS + entSz > sdE) return None
+      val format = cc(bytes, entS + 4)
+      val w = u16(bytes, entS + 32)
+      val h = u16(bytes, entS + 34)
+      val oti =
+        if (format != "mp4v") -1
+        else findBox(bytes, entS + 86, (entS + entSz).toInt, "esds")
+          .map { case (s, e) => esdsOti(bytes, s, e) }.getOrElse(-1)
+      // stsz
+      val (szS, szE) = findBox(bytes, stblS, stblE, "stsz").getOrElse(
+        return None)
+      if (szE - szS < 12) return None
+      val fixedSize = u32(bytes, szS + 4)
+      val nSamples = u32(bytes, szS + 8).toInt
+      if (nSamples <= 0 || nSamples > (1 << 22)) return None
+      def sampleSize(i: Int): Long =
+        if (fixedSize != 0L) fixedSize
+        else if (szS + 12 + 4 * i + 4 <= szE) u32(bytes, szS + 12 + 4 * i)
+        else -1L
+      // stco / co64
+      val offs: IndexedSeq[Long] =
+        findBox(bytes, stblS, stblE, "stco") match {
+          case Some((s, e)) =>
+            val n = u32(bytes, s + 4).toInt
+            if (n < 0 || s + 8 + 4L * n > e) return None
+            (0 until n).map(i => u32(bytes, s + 8 + 4 * i))
+          case None =>
+            val (s, e) = findBox(bytes, stblS, stblE, "co64").getOrElse(
+              return None)
+            val n = u32(bytes, s + 4).toInt
+            if (n < 0 || s + 8 + 8L * n > e) return None
+            (0 until n).map(i => u64(bytes, s + 8 + 8 * i))
+        }
+      // stsc: (firstChunk, samplesPerChunk) runs
+      val (scS, scE) = findBox(bytes, stblS, stblE, "stsc").getOrElse(
+        return None)
+      val nRuns = u32(bytes, scS + 4).toInt
+      if (nRuns < 0 || scS + 8 + 12L * nRuns > scE) return None
+      val runs = (0 until nRuns).map(i =>
+        (u32(bytes, scS + 8 + 12 * i), u32(bytes, scS + 12 + 12 * i)))
+      // expand: per chunk, samples are contiguous from the chunk
+      // offset; stop at the first sample that falls outside the
+      // payload (don't guess past a truncation)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var si = 0
+      var ci = 0
+      var done = false
+      while (ci < offs.length && si < nSamples && !done) {
+        val spc = runs.foldLeft(0L) { case (acc, (fc, n)) =>
+          if (fc <= ci + 1) n else acc
+        }
+        var off = offs(ci)
+        var k = 0L
+        while (k < spc && si < nSamples && !done) {
+          val sz = sampleSize(si)
+          if (sz < 0 || off < 0 || off + sz > bytes.length) done = true
+          else {
+            out += ((off.toInt, sz.toInt))
+            off += sz
+            si += 1
+            k += 1
+          }
+        }
+        ci += 1
+      }
+      if (out.isEmpty) None
+      else Some(VideoTrack(format, oti, w, h, out.toIndexedSeq))
+    }
+
+    def open(bytes: Array[Byte]): Option[OpenedFrames] = {
+      if (bytes == null || bytes.length < 16) return None
+      if (u32(bytes, 0) < 8L || !FirstBox.contains(cc(bytes, 4))) return None
+      try {
+        val (moovS, moovE) = findBox(bytes, 0, bytes.length, "moov")
+          .getOrElse(return None)
+        var track: Option[VideoTrack] = None
+        walk(bytes, moovS, moovE) { (t, s, e) =>
+          if (track.isEmpty && t == "trak") track = parseTrack(bytes, s, e)
+        }
+        track match {
+          case Some(v) if v.w > 0 && v.h > 0 && v.w <= MaxDim &&
+              v.h <= MaxDim &&
+              (v.format == "jpeg" ||
+                (v.format == "mp4v" && v.oti == 0x6C) ||
+                v.format == "raw ") =>
+            val mjpeg = v.format != "raw "
+            if (!mjpeg && v.samples.exists(_._2 < v.w * v.h * 3)) return None
+            Some(new OpenedFrames {
+              private var last = -1
+              def frameCount: Int = v.samples.length
+              def frameAt(i: Int): java.awt.image.BufferedImage = {
+                require(i >= last && i < v.samples.length,
+                  s"frameAt($i) after $last of ${v.samples.length} — " +
+                    "forward only")
+                last = i
+                val (off, size) = v.samples(i)
+                if (mjpeg) {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, off, size))
+                  require(img != null, s"jpeg sample $i did not decode")
+                  img
+                } else {
+                  // 'raw ' depth 24: packed top-down RGB, no row pad
+                  val img = new java.awt.image.BufferedImage(v.w, v.h,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var y = 0
+                  while (y < v.h) {
+                    var x = 0
+                    while (x < v.w) {
+                      val o = off + (y * v.w + x) * 3
+                      img.setRGB(x, y, ((bytes(o) & 0xff) << 16) |
+                        ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  img
+                }
+              }
+              def close(): Unit = ()
+            })
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  private def beBox(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+    val size = 8 + payloads.map(_.length).sum
+    val out = new Array[Byte](size)
+    out(0) = (size >>> 24).toByte; out(1) = (size >>> 16).toByte
+    out(2) = (size >>> 8).toByte; out(3) = size.toByte
+    System.arraycopy(typ.getBytes("US-ASCII"), 0, out, 4, 4)
+    var p = 8
+    payloads.foreach { pl =>
+      System.arraycopy(pl, 0, out, p, pl.length)
+      p += pl.length
+    }
+    out
+  }
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array((v >>> 8).toByte, v.toByte)
+
+  /** Hand-assembled minimal ISO-BMFF / QuickTime test vector (no
+    * library writer whose box layout could drift): ftyp + mdat (the
+    * samples, chunked in PAIRS so `stsc` carries a real run mapping
+    * and `stco` several entries — the sample-table walk is what this
+    * vector exists to exercise) + moov with plausibly-filled
+    * mvhd/tkhd/mdhd (timescale 25, duration = frame count) and the
+    * four mandatory stbl tables. `format` picks the sample entry:
+    * `"raw "` (depth 24, samples are packed top-down RGB),
+    * `"jpeg"`, or `"mp4v"` (an `esds` declaring OTI 0x6C rides the
+    * entry — the ffmpeg MJPEG-in-.mp4 shape). */
+  private[operators] def movContainer(width: Int, height: Int, brand: String,
+      format: String, samples: Seq[Array[Byte]]): Array[Byte] = {
+    require(samples.nonEmpty, "need at least one sample")
+    val n = samples.length
+    val ftyp = beBox("ftyp", brand.getBytes("US-ASCII"), be32(0),
+      brand.getBytes("US-ASCII"))
+    val mdat = beBox("mdat", samples: _*)
+    val firstSample = ftyp.length + 8
+    // chunks of 2 samples; stco carries each chunk's absolute offset
+    val chunkStarts = {
+      var off = firstSample.toLong
+      val cs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      samples.zipWithIndex.foreach { case (smp, i) =>
+        if (i % 2 == 0) cs += off
+        off += smp.length
+      }
+      cs.toSeq
+    }
+    val esds: Seq[Array[Byte]] =
+      if (format != "mp4v") Nil
+      else Seq(beBox("esds", be32(0),
+        Array[Byte](0x03, 21, 0, 1, 0, // ES_Descr: ES_ID=1, flags=0
+          0x04, 13, 0x6C.toByte, 0x11, 0, 0, 0, // DecoderConfig: OTI JPEG
+          0, 0, 0, 0, 0, 0, 0, 0,
+          0x06, 1, 0x02))) // SLConfig
+    val entry = {
+      val body = Array.concat(
+        new Array[Byte](6), be16(1), // reserved, data_ref_index
+        be16(0), be16(0), be32(0), be32(0), be32(0), // ver/rev/vendor/q
+        be16(width), be16(height),
+        be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+        new Array[Byte](32), // compressorname (pascal, empty)
+        be16(24), be16(0xFFFF)) // depth, color table id (-1 = default)
+      val extra = esds.map(_.length).sum
+      Array.concat(Seq(be32(86L + extra), format.getBytes("US-ASCII"),
+        body) ++ esds: _*)
+    }
+    val stsd = beBox("stsd", be32(0), be32(1), entry)
+    val stts = beBox("stts", be32(0), be32(1), be32(n.toLong), be32(1))
+    val stscRuns: Seq[(Long, Long)] =
+      if (n == 1) Seq((1L, 1L))
+      else if (n % 2 == 0) Seq((1L, 2L))
+      else Seq((1L, 2L), (chunkStarts.length.toLong, 1L))
+    val stsc = beBox("stsc", be32(0), be32(stscRuns.length.toLong),
+      Array.concat(stscRuns.map { case (fc, spc) =>
+        Array.concat(be32(fc), be32(spc), be32(1)) }: _*))
+    val stsz = beBox("stsz", be32(0), be32(0), be32(n.toLong),
+      Array.concat(samples.map(s => be32(s.length.toLong)): _*))
+    val stco = beBox("stco", be32(0), be32(chunkStarts.length.toLong),
+      Array.concat(chunkStarts.map(be32): _*))
+    val stbl = beBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = beBox("minf", stbl)
+    val hdlr = beBox("hdlr", be32(0), be32(0),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12), new Array[Byte](1))
+    val mdhd = beBox("mdhd", be32(0), be32(0), be32(0), be32(25),
+      be32(n.toLong), be16(0x55C4), be16(0))
+    val mdia = beBox("mdia", mdhd, hdlr, minf)
+    val identity = Array.concat(be32(0x00010000L), be32(0), be32(0),
+      be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L))
+    val tkhd = beBox("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0),
+      be32(n.toLong), new Array[Byte](8), be16(0), be16(0), be16(0),
+      be16(0), identity, be32(width.toLong << 16), be32(height.toLong << 16))
+    val mvhd = beBox("mvhd", be32(0), be32(0), be32(0), be32(25),
+      be32(n.toLong), be32(0x00010000L), be16(0x0100),
+      new Array[Byte](10), identity, new Array[Byte](24), be32(2))
+    val trak = beBox("trak", tkhd, mdia)
+    val moov = beBox("moov", mvhd, trak)
+    Array.concat(ftyp, mdat, moov)
+  }
+
+  /** Deterministic LOSSLESS QuickTime/MOV test vector — the MOV twin
+    * of `syntheticGrayAvi`/`syntheticGrayY4m`: `grays` render as
+    * packed top-down RGB `raw ` samples (r=g=b=gray), so the decoded
+    * pixel IS the written byte and all four containers of one
+    * animation hash identically — q155's pin. */
+  def syntheticGrayMov(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty,
+      "need positive dims and at least one frame")
+    val samples = frames.map { grays =>
+      require(grays.length == width * height,
+        s"frame must be $width x $height = ${width * height}, " +
+          s"got ${grays.length}")
+      val s = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < grays.length) {
+        val g = (grays(i) & 0xff).toByte
+        s(i * 3) = g; s(i * 3 + 1) = g; s(i * 3 + 2) = g
+        i += 1
+      }
+      s
+    }
+    movContainer(width, height, "qt  ", "raw ", samples)
+  }
+
+  /** MJPEG-in-.mp4 the way ffmpeg writes it: `mp4v` sample entry
+    * whose `esds` declares objectTypeIndication 0x6C (JPEG), each
+    * sample a complete JFIF image (lossy — near-dup-grade, the
+    * MJPEG-AVI argument). */
+  def syntheticMjpegMp4(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] =
+    movContainer(width, height, "isom", "mp4v",
+      frames.map(jpegSampleOf(width, height, _)))
+
+  /** QuickTime photo-JPEG: `jpeg` sample entry, same JFIF samples. */
+  def syntheticMjpegMov(width: Int, height: Int,
+      frames: Seq[Array[Int]]): Array[Byte] =
+    movContainer(width, height, "qt  ", "jpeg",
+      frames.map(jpegSampleOf(width, height, _)))
+
+  private def jpegSampleOf(width: Int, height: Int,
+      grays: Array[Int]): Array[Byte] = {
+    require(grays.length == width * height,
+      s"frame must be $width x $height = ${width * height}, " +
+        s"got ${grays.length}")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, grays(y * width + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Decoder combinator for MIXED corpora: try each decoder in order,
     * first `open` that accepts the payload wins. A corpus column
     * holding GIFs and AVIs side by side rides the tier through
@@ -1606,13 +2204,13 @@ object Multimodal {
     * where the scan ran, the same argument as the image tier.
     * Undecodable payloads emit zero rows (the gates own those).
     *
-    * MP4/WebM: this tier is decode-complete except for the codec —
-    * the sampling, compositing-at-offset, dHash and banded search
-    * below are container-agnostic, and the codec is now a pluggable
-    * seam: pass a custom `FrameDecoder` (JNI/FFmpeg — no JDK codec
-    * exists; `sampleFrames` remains the honest digest-only stub) and
-    * the whole tier — pairs, filter, standing index — rides it
-    * unchanged. */
+    * MP4/MOV now decodes IN-TREE for raw and MJPEG tracks
+    * (`Mp4FrameDecoder` — the sample-table walk is real; ImageIO
+    * owns the JPEG samples). What remains external is COMPRESSED
+    * video (H.264/VP9/AV1 in MP4/WebM — no JDK codec): pass a custom
+    * `FrameDecoder` (JNI/FFmpeg; `sampleFrames` remains the honest
+    * digest-only stub) and the whole tier — pairs, filter, standing
+    * index — rides it unchanged. */
   def gifFrameHashes(df: DataFrame, binaryCol: String, nFrames: Int = 4,
       outCol: String = "frame_ph",
       decoder: FrameDecoder = GifFrameDecoder)(

@@ -153,6 +153,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m.width == 1920 && m.height == 1080 && m.videoTracks == 2 && m.audioTracks == 0)
   }
 
+  test("EbmlVideoDecoder parses WebM metadata; AutoVideoDecoder serves a mixed corpus") {
+    import spark.implicits._
+    // 12.5 s movie at the default 1 ms tick, 1280x720 video + 1 audio
+    val webm = Multimodal.syntheticWebmMeta(1280, 720, durationTicks = 12500.0)
+    val m = new Multimodal.EbmlVideoDecoder().decode(webm)
+    assert(m.ok && m.brand == "webm" && m.width == 1280 && m.height == 720 &&
+      m.durationMs == 12500L && m.timescale == 1000L &&
+      m.videoTracks == 1 && m.audioTracks == 1, s"got $m")
+    // non-default timestamp scale: 1 us ticks -> timescale 1e6/s,
+    // duration converts through the scale
+    val us = new Multimodal.EbmlVideoDecoder().decode(
+      Multimodal.syntheticWebmMeta(640, 360, durationTicks = 2500000.0,
+        tsScaleNs = 1000L, docType = "matroska", audioTracks = 2))
+    assert(us.ok && us.brand == "matroska" && us.durationMs == 2500L &&
+      us.timescale == 1000000L && us.audioTracks == 2, s"got $us")
+    // honest refusals: BMFF is not EBML and vice versa; truncation
+    // reports ok=false, never a throw
+    val mp4 = bmffBox("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+      bmffBox("moov", mvhdV0(1000, 5400), trak("vide", 640, 360))
+    assert(!new Multimodal.EbmlVideoDecoder().decode(mp4).ok)
+    assert(!new Multimodal.VideoDecoder().decode(webm).ok)
+    assert(!new Multimodal.EbmlVideoDecoder().decode(webm.dropRight(10)).ok)
+    assert(!new Multimodal.EbmlVideoDecoder().decode(
+      "EBML? not really".getBytes("UTF-8")).ok)
+    // the auto decoder routes each payload to its container; digest
+    // and byteLen still report for the unparseable row
+    val docs = Seq((1L, mp4), (2L, webm), (3L, Array[Byte](1, 2, 3)))
+      .toDF("id", "blob")
+    val rows = Multimodal.withVideoMeta(docs, "blob",
+        decoderFactory = () => new Multimodal.AutoVideoDecoder)(spark)
+      .select(col("id"), col("video.ok"), col("video.brand"),
+        col("video.width"), col("video.durationMs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(rows(1L) == ((true, "isom", 640, 5400L)), s"got ${rows(1L)}")
+    assert(rows(2L) == ((true, "webm", 1280, 12500L)), s"got ${rows(2L)}")
+    assert(!rows(3L)._1)
+  }
+
   test("VideoDecoder survives truncated and size-corrupted boxes without throwing") {
     val good = bmffBox("ftyp", "isom".getBytes("ISO-8859-1")) ++
       bmffBox("moov", mvhdV0(1000, 1000))
@@ -904,6 +943,95 @@ class MultimodalSpec extends SparkSpecBase {
           Multimodal.GifFrameDecoder, Multimodal.AviFrameDecoder))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 3L)), s"got $pairs")
+  }
+
+  test("Mp4FrameDecoder: raw MOV decodes losslessly through the seam, MJPEG via jpeg and mp4v+esds entries, compressed codecs refused") {
+    import spark.implicits._
+    val f0 = Array.tabulate(72)(i => (i * 7) % 256)
+    val f1 = f0.map(v => 255 - v)
+    val f2 = f0.map(v => (v + 96) % 256)
+    val mov = Multimodal.syntheticGrayMov(9, 8, Seq(f0, f1, f2))
+    val rows = Multimodal.gifFrameHashes(
+        Seq((1L, mov)).toDF("gid", "payload"), "payload",
+        decoder = Multimodal.Mp4FrameDecoder)
+      .orderBy("sample_pos").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("frame_ph")).toSeq ==
+      Seq(dhashOf(f0), dhashOf(f1), dhashOf(f2)),
+      "'raw ' MOV decode must be lossless — dHash replayable from the formula")
+    // container-blind: a GIF of the SAME frames hashes identically
+    val gif = Multimodal.syntheticGrayGif(9, 8, Seq(f0, f1, f2))
+    val gifHashes = Multimodal.gifFrameHashes(
+        Seq((1L, gif)).toDF("gid", "payload"), "payload")
+      .orderBy("sample_pos").collect().map(_.getAs[Long]("frame_ph")).toSeq
+    assert(gifHashes == rows.map(_.getAs[Long]("frame_ph")).toSeq)
+    // MJPEG through BOTH entry shapes — QuickTime 'jpeg' and the
+    // ffmpeg .mp4 shape ('mp4v' + esds OTI 0x6C): identical JFIF
+    // samples, so the two containers must hash IDENTICALLY, and the
+    // tier's hashes == hashing the decoder's own frames directly
+    val ramp = Array.tabulate(72)(i => (i % 9) * 24)
+    val ramp2 = ramp.map(v => 216 - v)
+    val mp4 = Multimodal.syntheticMjpegMp4(9, 8, Seq(ramp, ramp2))
+    val mjMov = Multimodal.syntheticMjpegMov(9, 8, Seq(ramp, ramp2))
+    def hashesOf(payload: Array[Byte]): Seq[Long] =
+      Multimodal.gifFrameHashes(
+          Seq((1L, payload)).toDF("gid", "payload"), "payload",
+          decoder = Multimodal.Mp4FrameDecoder)
+        .orderBy("sample_pos").collect().map(_.getAs[Long]("frame_ph")).toSeq
+    val mp4Hashes = hashesOf(mp4)
+    assert(mp4Hashes.length == 2 && mp4Hashes == hashesOf(mjMov))
+    val of = Multimodal.Mp4FrameDecoder.open(mp4).get
+    val hasher = new Multimodal.PerceptualHasher
+    val direct = (0 until of.frameCount).map(i => hasher.dhashOfImage(of.frameAt(i)))
+    of.close()
+    assert(mp4Hashes == direct)
+    val drift = java.lang.Long.bitCount(mp4Hashes(0) ^ dhashOf(ramp))
+    assert(drift <= 16, s"MJPEG dHash drifted $drift bits from lossless")
+    // honest subset refusals: a GIF has no box layout, a WAV's RIFF
+    // is not an ISO-BMFF first box, a compressed codec ('avc1')
+    // opens as None — the stub stays pluggable, never a guess
+    assert(Multimodal.Mp4FrameDecoder.open(gif).isEmpty)
+    assert(Multimodal.Mp4FrameDecoder
+      .open(Multimodal.syntheticPcmWav(Array[Short](1, 2, 3))).isEmpty)
+    val avc = Multimodal.movContainer(9, 8, "isom", "avc1",
+      Seq(Array.fill[Byte](64)(1)))
+    assert(Multimodal.Mp4FrameDecoder.open(avc).isEmpty,
+      "compressed codecs are outside the honest subset")
+    // a corrupt negative box size stops the walk (None, not a hang)
+    val corrupt = Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++
+      "qt  mini".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1) ++ "moov".getBytes("US-ASCII")
+    assert(Multimodal.Mp4FrameDecoder.open(corrupt).isEmpty)
+    // a sample whose stsz size runs past the payload is dropped along
+    // with everything after it (don't guess past a truncation): patch
+    // the LAST stsz entry of the valid vector to a huge size
+    val patched = mov.clone()
+    val stszAt = (0 until patched.length - 4).find(i =>
+      patched(i) == 's' && patched(i + 1) == 't' && patched(i + 2) == 's' &&
+        patched(i + 3) == 'z').get
+    // type(4) + ver/flags(4) + fixed(4) + count(4) + two entries(8)
+    // = the third size entry's big-endian first byte
+    patched(stszAt + 24) = 0x7F
+    val truncated = Multimodal.Mp4FrameDecoder.open(patched).get
+    assert(truncated.frameCount == 2,
+      s"oversized tail sample must drop, got ${truncated.frameCount}")
+    truncated.close()
+    // MIXED corpus via firstOf across all FOUR containers: every
+    // container of the same frames near-dups every other; the
+    // position-shuffled animation pairs with none
+    val avi = Multimodal.syntheticGrayAvi(9, 8, Seq(f0, f1, f2))
+    val y4m = Multimodal.syntheticGrayY4m(9, 8, Seq(f0, f1, f2))
+    val mixed = Seq((1L, gif), (2L, avi), (3L, y4m), (4L, mov),
+      (5L, Multimodal.syntheticGrayGif(9, 8, Seq(f2, f0, f1))))
+      .toDF("gid", "v")
+    val pairs = Multimodal.gifNearDupPairs(mixed, "v", "gid",
+        metricName = "graft_mp4_mixed_cap",
+        decoder = Multimodal.FrameDecoders.firstOf(
+          Multimodal.GifFrameDecoder, Multimodal.AviFrameDecoder,
+          Multimodal.Y4mFrameDecoder, Multimodal.Mp4FrameDecoder))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 3L), (1L, 3L, 3L), (1L, 4L, 3L),
+      (2L, 3L, 3L), (2L, 4L, 3L), (3L, 4L, 3L)), s"got $pairs")
   }
 
   // a gray grid REALIZING an arbitrary 64-bit dHash: walk each row
