@@ -216,6 +216,150 @@ object TextOps {
     * spans (zero copies), same hash/vote as simhash64(tokens). Using
     * this variant keeps the whole pipeline codegen'd — no interpreted
     * filter-lambda tokenizer in the plan. */
+  /** Field order of the `repetition_stats` struct — shared by the
+    * expression's `dataType`, the kernel, and `CorpusPrep`'s gate
+    * validation, so a misspelled gate name is refused against the
+    * REAL list. */
+  val RepetitionFields: IndexedSeq[String] = IndexedSeq(
+    "dup_line_frac", "dup_line_char_frac",
+    "dup_para_frac", "dup_para_char_frac",
+    "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+    "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+
+  /** One-pass repetition signals per document — the published
+    * pretraining-corpus quality heuristics (Gopher table A1 / the
+    * Dolma toolkit's implementations of them), with EXACT definitions
+    * chosen to be replayable in plain SQL:
+    *  - lines = text split on '\n', trimmed, empties dropped;
+    *    paragraphs = split on runs of 2+ '\n', trimmed, empties
+    *    dropped. `dup_*_frac` = occurrences beyond each unit's first
+    *    / total units; `dup_*_char_frac` = their character mass /
+    *    total unit characters.
+    *  - tokens = whole-doc split on whitespace runs; character mass
+    *    of an n-gram = the sum of its tokens' lengths (separator
+    *    whitespace carries no signal and is never counted).
+    *  - `top_{2,3,4}gram_char_frac` = occurrences x character mass of
+    *    the MOST FREQUENT n-gram / total token characters — 0.0 when
+    *    the most frequent n-gram occurs once (no repetition signal in
+    *    a singleton). Ties on count break toward the larger character
+    *    mass (deterministic, order-free).
+    *  - `dup_{5..10}gram_char_frac` = character mass of token
+    *    POSITIONS covered by at least one n-gram that occurs more
+    *    than once / total token characters (overlapping duplicates
+    *    count each position once — the coverage union, not a sum).
+    * All 13 are row-local doubles in [0, 1]; a doc with no qualifying
+    * units scores 0.0 everywhere (an empty doc carries no repetition
+    * evidence — the length gates own emptiness). */
+  def repetitionStats(text: UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val out = new Array[Double](13)
+
+    def dupStats(units: Array[String], fracIdx: Int, charIdx: Int): Unit = {
+      if (units.nonEmpty) {
+        val seen = new java.util.HashMap[String, Integer]()
+        var dupCount = 0
+        var dupChars = 0L
+        var totChars = 0L
+        units.foreach { u =>
+          totChars += u.length
+          val c = seen.getOrDefault(u, 0)
+          if (c > 0) { dupCount += 1; dupChars += u.length }
+          seen.put(u, c + 1)
+        }
+        out(fracIdx) = dupCount.toDouble / units.length
+        if (totChars > 0) out(charIdx) = dupChars.toDouble / totChars
+      }
+    }
+    dupStats(s.split("\n").map(_.trim).filter(_.nonEmpty), 0, 1)
+    dupStats(s.split("\n{2,}").map(_.trim).filter(_.nonEmpty), 2, 3)
+
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    var totTok = 0L
+    toks.foreach(t => totTok += t.length)
+    if (toks.nonEmpty && totTok > 0) {
+      // prefix sums make an n-gram's character mass O(1)
+      val pre = new Array[Long](toks.length + 1)
+      var i = 0
+      while (i < toks.length) { pre(i + 1) = pre(i) + toks(i).length; i += 1 }
+      def gramChars(start: Int, n: Int): Long = pre(start + n) - pre(start)
+      def key(start: Int, n: Int): String = {
+        val sb = new java.lang.StringBuilder
+        var j = start
+        while (j < start + n) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        sb.toString
+      }
+      // top n-gram (n = 2..4)
+      var n = 2
+      while (n <= 4) {
+        if (toks.length >= n) {
+          val counts = new java.util.HashMap[String, Array[Long]]()
+          var st = 0
+          while (st + n <= toks.length) {
+            val k = key(st, n)
+            val cell = counts.get(k)
+            if (cell == null) counts.put(k, Array(1L, gramChars(st, n)))
+            else cell(0) += 1L
+            st += 1
+          }
+          var bestCount = 0L
+          var bestChars = 0L
+          counts.values.forEach { cell =>
+            if (cell(0) > bestCount ||
+              (cell(0) == bestCount && cell(1) > bestChars)) {
+              bestCount = cell(0); bestChars = cell(1)
+            }
+          }
+          if (bestCount >= 2L)
+            out(n + 2) = bestCount * bestChars.toDouble / totTok
+        }
+        n += 1
+      }
+      // duplicated n-gram coverage (n = 5..10)
+      n = 5
+      while (n <= 10) {
+        if (toks.length >= n) {
+          val firstAt = new java.util.HashMap[String, Integer]()
+          val covered = new Array[Boolean](toks.length)
+          var st = 0
+          while (st + n <= toks.length) {
+            val k = key(st, n)
+            val first = firstAt.get(k)
+            if (first == null) firstAt.put(k, st)
+            else {
+              // mark this occurrence; the FIRST occurrence is also a
+              // duplicate once a second exists — mark it exactly once
+              // (sentinel -1 after marking)
+              var j = st
+              while (j < st + n) { covered(j) = true; j += 1 }
+              if (first >= 0) {
+                var j2 = first.intValue()
+                while (j2 < first + n) { covered(j2) = true; j2 += 1 }
+                firstAt.put(k, -1)
+              }
+            }
+            st += 1
+          }
+          var covChars = 0L
+          var p = 0
+          while (p < toks.length) {
+            if (covered(p)) covChars += toks(p).length
+            p += 1
+          }
+          if (covChars > 0) out(n + 2) = covChars.toDouble / totTok
+        }
+        n += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      out.map(_.asInstanceOf[Any]))
+  }
+
   def simhash64Text(text: UTF8String): Long = {
     val md = md5Local.get()
     val counts = new Array[Int](64)
@@ -368,6 +512,28 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** `repetition_stats(text)` -> struct of the 13 published
+  * repetition-quality signals (see `TextOps.repetitionStats` for the
+  * exact, SQL-replayable definitions). Row-local, one pass, inside
+  * whole-stage codegen — the 100 TB shape for a per-document gate
+  * (compare the interpreted lambda-HOF formulation the shingle
+  * kernels replaced). NULL text -> NULL struct. */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(TextOps.RepetitionFields.map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextOps.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
 object TextExpressions {
 
   /** Constant integral argument: any foldable integral expression is
@@ -408,6 +574,11 @@ object TextExpressions {
   /** Column API: Unicode NFC normalization. */
   def nfc_normalize(text: Column): Column =
     GraftBridge.column(NfcNormalizeExpr(GraftBridge.expression(text)))
+
+  /** Column API: the 13 repetition-quality signals as one struct
+    * column (row-local, codegen'd). */
+  def repetition_stats(text: Column): Column =
+    GraftBridge.column(RepetitionStatsExpr(GraftBridge.expression(text)))
 
   /** Column API: Bloom-filter membership prefilter — `filterBytes` is
     * a `BloomFilter.writeTo` serialization (e.g. from
@@ -450,6 +621,12 @@ object TextExpressions {
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", fromSeqBloom, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_stats", exprs => {
+        require(exprs.length == 1,
+          s"repetition_stats requires 1 argument, got ${exprs.length}")
+        RepetitionStatsExpr(exprs.head)
+      }, "built-in")
   }
 
   def fromSeqBloom(exprs: Seq[Expression]): Expression = {

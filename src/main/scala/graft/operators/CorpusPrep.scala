@@ -54,6 +54,14 @@ object CorpusPrep {
     minChars: Int = 20,
     maxChars: Int = 1000000,
     maxRepetition: Double = 0.9, // 1 - unique/total tokens
+    // fine-grained repetition gates over the published corpus-quality
+    // signals (`repetition_stats` — Gopher A1 / Dolma's heuristics):
+    // signal field name -> max allowed fraction, e.g.
+    // Map("dup_line_frac" -> 0.3, "top_2gram_char_frac" -> 0.2).
+    // Row-local like the coarse maxRepetition gate (stream-legal);
+    // empty (the default) adds no filter, misspelled names refuse
+    // against the real field list at plan build
+    repetitionGates: Map[String, Double] = Map.empty,
     shingleN: Int = 3,
     minJaccard: Double = 0.8,
     numHashes: Int = 4,
@@ -165,9 +173,10 @@ object CorpusPrep {
     // the exact-positional default
     gifMaxShift: Int = 0,
     // the container decode seam: default is the pure-JDK animated-GIF
-    // path; pass Multimodal.AviFrameDecoder (or FrameDecoders.firstOf
-    // for mixed corpora, or an external MP4/WebM implementation) and
-    // the whole tier rides it unchanged
+    // path; pass Multimodal.AviFrameDecoder / Y4mFrameDecoder /
+    // Mp4FrameDecoder (or FrameDecoders.firstOf for mixed corpora, or
+    // an external compressed-codec implementation) and the whole tier
+    // rides it unchanged
     gifDecoder: Multimodal.FrameDecoder = Multimodal.GifFrameDecoder,
     // SEGMENTED audio near-dup tier (audioSegCol — may be the SAME
     // binary column as audioCol): fixed-duration per-segment envelope
@@ -412,14 +421,42 @@ object CorpusPrep {
   /** The strictly ROW-LOCAL front: normalization (+ optional PII
     * redaction) and the length/repetition gates — pure map-side, so
     * it runs identically over a batch frame or a stream. */
-  private[operators] def rowLocalGate(cleaned: DataFrame, cfg: Config): DataFrame =
-    cleaned
+  private[operators] def rowLocalGate(cleaned: DataFrame, cfg: Config,
+      rawTextCol: String): DataFrame = {
+    val base = cleaned
       .withColumn("_ntok", size(split(col("clean_text"), " ")))
       .filter(length(col("clean_text")).between(cfg.minChars, cfg.maxChars))
       .filter(col("_ntok") > 0)
       .filter(lit(1.0) - size(array_distinct(split(col("clean_text"), " ")))
         .cast("double") / col("_ntok") <= cfg.maxRepetition)
       .drop("_ntok")
+    if (cfg.repetitionGates.isEmpty) base
+    else {
+      val known = graft.functions.TextOps.RepetitionFields.toSet
+      val bad = cfg.repetitionGates.keys.filterNot(known)
+      require(bad.isEmpty,
+        s"repetitionGates names ${bad.mkString(", ")} are not " +
+          s"repetition_stats signals; valid: ${known.toSeq.sorted.mkString(", ")}")
+      cfg.repetitionGates.foreach { case (k, v) =>
+        require(v >= 0.0 && v <= 1.0,
+          s"repetitionGates($k) must be a fraction in [0, 1], got $v")
+      }
+      // judged on the RAW text, not clean_text: the normalize chain
+      // squeezes whitespace to single spaces, so line/paragraph
+      // structure — exactly what the published filters inspect —
+      // only exists pre-normalization. ONE struct evaluation per row
+      // feeds every gate; still pure map-side (stream-legal, no
+      // shuffle, inside codegen). NULL raw text fails every gate
+      // (a doc with no text carries no evidence it is clean).
+      val gated = base.withColumn("_rep",
+        graft.functions.TextExpressions.repetition_stats(col(rawTextCol)))
+      cfg.repetitionGates.toSeq.sortBy(_._1)
+        .foldLeft(gated) { case (df, (field, mx)) =>
+          df.filter(col("_rep")(field) <= mx)
+        }
+        .drop("_rep")
+    }
+  }
 
   /** Shared front half: normalize (+ optional PII redaction), quality
     * gates, optional boilerplate gate — everything before dedup. */
@@ -435,7 +472,7 @@ object CorpusPrep {
           cleaned0.withColumnRenamed("clean_text", "_pre_cut"),
           "_pre_cut", idCol, cfg.shingleN, cfg.spanMinDf, outCol = "clean_text")
         .drop("_pre_cut", "n_removed")
-    val gated = rowLocalGate(cleaned, cfg)
+    val gated = rowLocalGate(cleaned, cfg, textCol)
     // boilerplate gate: anti-join against the repeated-span census —
     // docs over the hot-span budget drop before any dedup work.
     // `spanCorpus` (the incremental path) widens the census to the
@@ -1084,7 +1121,7 @@ object CorpusPrep {
     try {
       // ---- the chain, mirroring prepStream stage for stage ----
       val cleaned = pin(docs.withColumn("clean_text", normOf(cfg)(col(textCol))))
-      val gated = pin(rowLocalGate(cleaned, cfg))
+      val gated = pin(rowLocalGate(cleaned, cfg, textCol))
       val lmGated = cfg.lmModel.fold(gated) { lm =>
         pin(gated
           .transform(TextStats.withBigramLogProb(_, "clean_text",
@@ -2125,8 +2162,8 @@ object CorpusPrep {
     // so the stage is exactly as stream-safe as the other row-local
     // gates. Same keep rule as the batch lmGate: null logprob
     // (< 2 tokens) passes.
-    val lmGated = cfg.lmModel.fold(rowLocalGate(cleaned, cfg)) { lm =>
-      rowLocalGate(cleaned, cfg)
+    val lmGated = cfg.lmModel.fold(rowLocalGate(cleaned, cfg, textCol)) { lm =>
+      rowLocalGate(cleaned, cfg, textCol)
         .transform(TextStats.withBigramLogProb(_, "clean_text",
           TextStats.collectLocal(lm, cfg.lmMaxPairs), cfg.lmK, "_lm_n", "_lm_lp"))
         .filter(col("_lm_lp").isNull || col("_lm_lp") >= cfg.minLmLogProb)

@@ -169,4 +169,70 @@ class TextExpressionsSpec extends SparkSpecBase {
     assert(codegenSpans.exists(_.toString.contains("minhash_sig")))
     assert(codegenSpans.exists(_.toString.contains("simhash64")))
   }
+
+  test("repetition_stats: hand-computed signals over a period-7 doc, null propagation, codegen") {
+    import spark.implicits._
+    // token stream: aa bb cc dd ee xx yy aa bb cc dd ee xx yy
+    // (period 7, every token 2 chars, 14 tokens, 28 token chars);
+    // lines: [aa bb cc dd ee][xx yy][aa bb cc dd ee] | [xx yy]
+    val txt = "aa bb cc dd ee\nxx yy\naa bb cc dd ee\n\nxx yy"
+    val r = Seq(Tuple1(txt)).toDF("t")
+      .select(TextExpressions.repetition_stats(col("t")).as("s"))
+      .select(col("s.*")).collect()(0)
+    def f(name: String): Double =
+      math.rint(r.getAs[Double](name) * 1e6) / 1e6
+    // 2 of 4 lines are dups; dup chars (14 + 5) / 38
+    assert(f("dup_line_frac") == 0.5, r)
+    assert(f("dup_line_char_frac") == 0.5, r)
+    // the two paragraphs differ
+    assert(f("dup_para_frac") == 0.0 && f("dup_para_char_frac") == 0.0, r)
+    // every interior n-gram repeats once (period 7): top n-gram count
+    // 2, char mass 2n, total 28
+    assert(f("top_2gram_char_frac") == 0.285714, r)
+    assert(f("top_3gram_char_frac") == 0.428571, r)
+    assert(f("top_4gram_char_frac") == 0.571429, r)
+    // 5/6/7-grams at offsets s and s+7 coincide and their coverage
+    // union is the WHOLE stream; no 8+-gram repeats (period 7)
+    assert(f("dup_5gram_char_frac") == 1.0, r)
+    assert(f("dup_6gram_char_frac") == 1.0, r)
+    assert(f("dup_7gram_char_frac") == 1.0, r)
+    assert(f("dup_8gram_char_frac") == 0.0, r)
+    assert(f("dup_9gram_char_frac") == 0.0, r)
+    assert(f("dup_10gram_char_frac") == 0.0, r)
+    // duplicate PARAGRAPH: both para stats fire; a repeated 2-token
+    // line is also a repeated 2-gram but too short for the 5+ tiers
+    val p = Seq(Tuple1("pp qq\n\npp qq")).toDF("t")
+      .select(TextExpressions.repetition_stats(col("t")).as("s"))
+      .select(col("s.*")).collect()(0)
+    assert(p.getAs[Double]("dup_para_frac") == 0.5 &&
+      p.getAs[Double]("dup_para_char_frac") == 0.5, p)
+    assert(p.getAs[Double]("dup_line_frac") == 0.5, p)
+    assert(p.getAs[Double]("dup_5gram_char_frac") == 0.0, p)
+    // singleton top n-gram carries no repetition signal — 0, not 1/n
+    val single = Seq(Tuple1("aa bb cc")).toDF("t")
+      .select(TextExpressions.repetition_stats(col("t")).as("s"))
+      .select(col("s.*")).collect()(0)
+    assert(single.getAs[Double]("top_2gram_char_frac") == 0.0, single)
+    // empty/whitespace docs score zero everywhere; NULL propagates
+    val z = Seq(Tuple1("   \n  ")).toDF("t")
+      .select(TextExpressions.repetition_stats(col("t")).as("s"))
+      .select(col("s.*")).collect()(0)
+    assert((0 until 13).forall(i => z.getDouble(i) == 0.0), z)
+    val nul = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextExpressions.repetition_stats(col("t")).as("s"))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+    // SQL registration + the kernel sits inside whole-stage codegen
+    val viaSql = spark.sql(
+      s"SELECT repetition_stats('${txt.replace("\n", "\\n")}') AS s")
+      .select(col("s.dup_line_frac")).collect()(0).getDouble(0)
+    assert(viaSql == 0.5)
+    // over the parquet corpus: a literal local relation constant-folds
+    // away before any codegen span exists
+    val plan2 = docs.select(TextExpressions.repetition_stats(col("text")))
+      .queryExecution.executedPlan
+    assert(plan2.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.toString.contains("repetition_stats")))
+  }
 }

@@ -48,6 +48,40 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(m("graft_prep_neardup").getAs[Long]("rows") == 2L) // 3 near-dup
   }
 
+  test("repetitionGates: fine repetition signals gate on the RAW text; misspelled names and non-fractions refuse") {
+    // raw structure matters: doc 11's duplicated LINES are invisible
+    // after clean()'s whitespace squeeze, so the gate must judge the
+    // original text column
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta\neta theta iota kappa lambda mu"),
+      (11L, "one two three four five six\none two three four five six\nseven eight nine ten eleven twelve"),
+      (12L, "solid unique prose with plenty of distinct words here\nand a second line that repeats nothing at all today")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPrep.Config(minChars = 20,
+      repetitionGates = Map("dup_line_frac" -> 0.2))
+    val kept = CorpusPrep.run(docs, cfg = cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L), s"got $kept")
+    // stream twin: the gate is row-local, so prepStream carries it
+    // verbatim through the same rowLocalGate
+    val gatedStream = CorpusPrep.rowLocalGate(
+      docs.withColumn("clean_text", TextNorm.clean(col("text"))), cfg, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedStream == Set(10L, 12L), s"got $gatedStream")
+    // misspelled signal names refuse against the REAL field list
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        repetitionGates = Map("dup_lines_frac" -> 0.2)))
+    }
+    assert(e.getMessage.contains("dup_lines_frac") &&
+      e.getMessage.contains("dup_line_frac"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        repetitionGates = Map("dup_line_frac" -> 1.5)))
+    }
+    assert(e2.getMessage.contains("fraction"), e2.getMessage)
+  }
+
   test("prepTrace: first-drop stage and evidence per id; kept set equals run()'s") {
     val docs = Seq(
       (1L, "The  Quick Brown Fox Jumps Over The Lazy Dog Again Today"),
