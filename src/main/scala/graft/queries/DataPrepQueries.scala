@@ -6222,6 +6222,233 @@ object DataPrepQueries {
             audioSegIndex = Some(graft.operators.Multimodal
               .readAudioSegmentHashBandIndex(s, s"$idxDir/idx", 520L)))
           .select("doc_id").orderBy("doc_id")
+      }),
+
+    // FOUR containers through one decode seam — q152's device plus
+    // the MP4/MOV leg (Mp4FrameDecoder: ISO-BMFF box walk, sample
+    // tables stsd/stsz/stsc/stco, 'raw ' depth-24 samples = packed
+    // top-down RGB, LOSSLESS — the gray-formula oracle applies
+    // verbatim). 80 bases x 4 docs: GIF / raw-DIB AVI / mono y4m /
+    // raw MOV of the SAME md5-derived grids; alt docs carry the
+    // two-pixel corner variant. The oracle is q141's arithmetic
+    // unchanged and CONTAINER-FREE — a hash match pins that above
+    // the seam all four containers are indistinguishable, i.e. the
+    // QuickTime sample-table walk (chunks of 2, so stsc/stco carry
+    // real mappings) reconstructs exactly the frames the other three
+    // walks serve. MJPEG entries ('jpeg' / 'mp4v'+esds OTI 0x6C)
+    // ride the same decoder but are lossy — spec-pinned
+    // (MultimodalSpec), not oracle-pinned, like MJPEG-AVI.
+    QueryDef("q155_four_container_video", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 80 AS base, (doc_id // 80) % 2 AS alt
+                 FROM documents WHERE doc_id < 320),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               CASE WHEN d.alt = 1 AND y.y = 0 AND x.x = 0 THEN 255
+                    WHEN d.alt = 1 AND y.y = 0 AND x.x = 1 THEN 0
+                    ELSE ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INT END AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+             FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+               AND bit_count(xor(a.h, b.h)) <= 3
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 80
+          val alt = (docId / 80) % 2 == 1
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              if (alt && y == 0 && x == 0) 255
+              else if (alt && y == 0 && x == 1) 0
+              else java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y:$x".getBytes("UTF-8"))(0))
+            }
+          }
+          if (docId < 80)
+            graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+          else if (docId < 160)
+            graft.operators.Multimodal.syntheticGrayAvi(9, 8, frames)
+          else if (docId < 240)
+            graft.operators.Multimodal.syntheticGrayY4m(9, 8, frames)
+          else
+            graft.operators.Multimodal.syntheticGrayMov(9, 8, frames)
+        }
+        val vids = t(s, dir, "documents").filter(col("doc_id") < 320)
+          .select(col("doc_id"), mk(col("doc_id")).as("v"))
+        graft.operators.Multimodal.gifNearDupPairs(vids, "v", "doc_id",
+            metricName = "graft_q155_four_cap",
+            decoder = graft.operators.Multimodal.FrameDecoders.firstOf(
+              graft.operators.Multimodal.GifFrameDecoder,
+              graft.operators.Multimodal.AviFrameDecoder,
+              graft.operators.Multimodal.Y4mFrameDecoder,
+              graft.operators.Multimodal.Mp4FrameDecoder))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // The 13 published repetition-quality signals (Gopher A1 /
+    // Dolma's heuristics — duplicate line/paragraph fractions by
+    // count and by character mass, top 2/3/4-gram character
+    // fraction, duplicated 5..10-gram coverage), computed by the
+    // codegen'd `repetition_stats` kernel and replayed in DuckDB
+    // from the generative formula — no string splitting on the
+    // oracle side: lines, paragraphs and the token stream are
+    // re-derived from the same md5 token grid the Spark UDF builds
+    // the text from, then every definition (first-occurrence
+    // duplicate counting, most-frequent-n-gram with
+    // ties-toward-larger-mass, coverage UNION over overlapping
+    // duplicated n-grams) re-executes in SQL. 60 bases x 4 kinds:
+    // kind 0 plants nothing, kind 1 duplicates a line (firing the
+    // line stats and the 6-gram-and-under repetition tiers), kind 2
+    // repeats a whole paragraph (3 duplicate lines of 9 + the
+    // paragraph stats), kind 3 duplicates line 0 as line 5
+    // (duplicate line + repeated 6-gram at a distance). 6dp rounding
+    // on both sides, the established double-pin device.
+    QueryDef("q156_repetition_signals", Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS kind
+                 FROM documents WHERE doc_id < 240),
+      tk AS (SELECT d.doc_id, d.kind, i.i,
+               substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)),
+                      1, 2 + CAST((d.doc_id + i.i) % 4 AS INT)) AS tok
+             FROM d CROSS JOIN (SELECT unnest(generate_series(0, 35)) AS i) i),
+      lineof AS (SELECT d.doc_id, d.kind, j.j,
+                   CASE WHEN j.j = 5 AND d.kind = 1 THEN 1
+                        WHEN j.j = 5 AND d.kind = 3 THEN 0
+                        ELSE j.j END AS src
+                 FROM d CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) j),
+      lstr AS (SELECT l.doc_id, l.j,
+                 string_agg(t.tok, ' ' ORDER BY t.i) AS s
+               FROM lineof l JOIN tk t ON t.doc_id = l.doc_id
+                 AND t.i >= l.src * 6 AND t.i < l.src * 6 + 6
+               GROUP BY l.doc_id, l.j),
+      tl AS (SELECT doc_id, j AS ord, j AS lj FROM lineof
+             UNION ALL
+             SELECT doc_id, 6 + j, j FROM lineof WHERE kind = 2 AND j < 3),
+      tlc AS (SELECT tl.doc_id, tl.ord, ls.s, length(ls.s) AS chars,
+                row_number() OVER (PARTITION BY tl.doc_id, ls.s
+                                   ORDER BY tl.ord) AS rn
+              FROM tl JOIN lstr ls ON ls.doc_id = tl.doc_id AND ls.j = tl.lj),
+      linestats AS (SELECT doc_id,
+          CAST(count(*) FILTER (WHERE rn > 1) AS DOUBLE) / count(*) AS lf,
+          CAST(COALESCE(sum(chars) FILTER (WHERE rn > 1), 0) AS DOUBLE)
+            / sum(chars) AS lcf
+        FROM tlc GROUP BY doc_id),
+      pstr AS (SELECT doc_id, ord // 3 AS p,
+                 string_agg(s, chr(10) ORDER BY ord) AS s
+               FROM tlc GROUP BY doc_id, ord // 3),
+      pc AS (SELECT doc_id, p, s, length(s) AS chars,
+               row_number() OVER (PARTITION BY doc_id, s ORDER BY p) AS rn
+             FROM pstr),
+      parastats AS (SELECT doc_id,
+          CAST(count(*) FILTER (WHERE rn > 1) AS DOUBLE) / count(*) AS pf,
+          CAST(COALESCE(sum(chars) FILTER (WHERE rn > 1), 0) AS DOUBLE)
+            / sum(chars) AS pcf
+        FROM pc GROUP BY doc_id),
+      tseq AS (SELECT tl.doc_id, tl.ord * 6 + (t.i - l.src * 6) AS pos,
+                 t.tok, length(t.tok) AS len
+               FROM tl JOIN lineof l ON l.doc_id = tl.doc_id AND l.j = tl.lj
+                 JOIN tk t ON t.doc_id = tl.doc_id
+                   AND t.i >= l.src * 6 AND t.i < l.src * 6 + 6),
+      arr AS (SELECT doc_id, list(tok ORDER BY pos) AS toks,
+                list(len ORDER BY pos) AS lens,
+                CAST(sum(len) AS DOUBLE) AS tot
+              FROM tseq GROUP BY doc_id),
+      ng AS (SELECT a.doc_id, n.n, g.i,
+               array_to_string(a.toks[g.i : g.i + n.n - 1], ' ') AS key,
+               list_sum(a.lens[g.i : g.i + n.n - 1]) AS chars
+             FROM arr a CROSS JOIN (VALUES (2), (3), (4)) n(n)
+               CROSS JOIN (SELECT unnest(generate_series(1, 54)) AS i) g
+             WHERE g.i <= len(a.toks) - n.n + 1),
+      ngc AS (SELECT doc_id, n, key, count(*) AS c, max(chars) AS chars
+              FROM ng GROUP BY doc_id, n, key),
+      topm AS (SELECT doc_id, n, max(c) AS mc FROM ngc GROUP BY doc_id, n),
+      topv AS (SELECT g.doc_id, g.n, s.mc, max(g.chars) AS bc
+               FROM ngc g JOIN topm s ON s.doc_id = g.doc_id AND s.n = g.n
+                 AND g.c = s.mc
+               GROUP BY g.doc_id, g.n, s.mc),
+      topf AS (SELECT t.doc_id, t.n,
+                 CASE WHEN t.mc >= 2 THEN t.mc * t.bc / a.tot
+                      ELSE 0.0 END AS frac
+               FROM topv t JOIN arr a USING (doc_id)),
+      dng AS (SELECT a.doc_id, n.n, g.i,
+                array_to_string(a.toks[g.i : g.i + n.n - 1], ' ') AS key
+              FROM arr a
+                CROSS JOIN (VALUES (5), (6), (7), (8), (9), (10)) n(n)
+                CROSS JOIN (SELECT unnest(generate_series(1, 54)) AS i) g
+              WHERE g.i <= len(a.toks) - n.n + 1),
+      dk AS (SELECT doc_id, n, key FROM dng
+             GROUP BY doc_id, n, key HAVING count(*) > 1),
+      cov AS (SELECT DISTINCT g.doc_id, g.n, g.i + o.o AS pos
+              FROM dng g JOIN dk USING (doc_id, n, key)
+                CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS o) o
+              WHERE o.o < g.n),
+      covf AS (SELECT c.doc_id, c.n, sum(a.lens[c.pos]) / a.tot AS frac
+               FROM cov c JOIN arr a USING (doc_id)
+               GROUP BY c.doc_id, c.n, a.tot)
+      SELECT d.doc_id,
+        round(ls.lf, 6) AS dup_line_frac,
+        round(ls.lcf, 6) AS dup_line_char_frac,
+        round(ps.pf, 6) AS dup_para_frac,
+        round(ps.pcf, 6) AS dup_para_char_frac,
+        round(COALESCE(t2.frac, 0), 6) AS top_2gram_char_frac,
+        round(COALESCE(t3.frac, 0), 6) AS top_3gram_char_frac,
+        round(COALESCE(t4.frac, 0), 6) AS top_4gram_char_frac,
+        round(COALESCE(c5.frac, 0), 6) AS dup_5gram_char_frac,
+        round(COALESCE(c6.frac, 0), 6) AS dup_6gram_char_frac,
+        round(COALESCE(c7.frac, 0), 6) AS dup_7gram_char_frac,
+        round(COALESCE(c8.frac, 0), 6) AS dup_8gram_char_frac,
+        round(COALESCE(c9.frac, 0), 6) AS dup_9gram_char_frac,
+        round(COALESCE(c10.frac, 0), 6) AS dup_10gram_char_frac
+      FROM d
+        JOIN linestats ls USING (doc_id)
+        JOIN parastats ps USING (doc_id)
+        LEFT JOIN topf t2 ON t2.doc_id = d.doc_id AND t2.n = 2
+        LEFT JOIN topf t3 ON t3.doc_id = d.doc_id AND t3.n = 3
+        LEFT JOIN topf t4 ON t4.doc_id = d.doc_id AND t4.n = 4
+        LEFT JOIN covf c5 ON c5.doc_id = d.doc_id AND c5.n = 5
+        LEFT JOIN covf c6 ON c6.doc_id = d.doc_id AND c6.n = 6
+        LEFT JOIN covf c7 ON c7.doc_id = d.doc_id AND c7.n = 7
+        LEFT JOIN covf c8 ON c8.doc_id = d.doc_id AND c8.n = 8
+        LEFT JOIN covf c9 ON c9.doc_id = d.doc_id AND c9.n = 9
+        LEFT JOIN covf c10 ON c10.doc_id = d.doc_id AND c10.n = 10
+      ORDER BY d.doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mkDoc = udf { (d: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def tok(i: Int): String = {
+            val h = md.digest(s"$d:$i".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            h.substring(0, (2 + ((d + i) % 4)).toInt)
+          }
+          def line(j: Int): String =
+            (0 until 6).map(k => tok(j * 6 + k)).mkString(" ")
+          val kind = (d % 4).toInt
+          val l = Array.tabulate(6)(line)
+          if (kind == 1) l(5) = l(1)
+          if (kind == 3) l(5) = l(0)
+          val paras = Seq(l.take(3).mkString("\n"), l.slice(3, 6).mkString("\n")) ++
+            (if (kind == 2) Seq(l.take(3).mkString("\n")) else Nil)
+          paras.mkString("\n\n")
+        }
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 240)
+          .select(col("doc_id"), mkDoc(col("doc_id")).as("txt"))
+          .withColumn("_rep",
+            graft.functions.TextExpressions.repetition_stats(col("txt")))
+        docs.select(Seq(col("doc_id")) ++
+            graft.functions.TextOps.RepetitionFields.map(f =>
+              round(col("_rep")(f), 6).as(f)): _*)
+          .orderBy("doc_id")
       })
   )
 }
