@@ -254,6 +254,16 @@ object Multimodal {
     sampleRate: Double, channels: Int, frames: Long, encoding: String,
     byteLen: Long, digest: String, ok: Boolean)
 
+  /** Audio-metadata decode seam — the `ContainerMetaDecoder` shape on
+    * the audio side: one method, one `AudioMeta`, `ok = false` for
+    * payloads outside the decoder's container. `AudioDecoder` (the
+    * JDK chain: WAV/AIFF/AU) is the default; `Mp3MetaDecoder` and
+    * `FlacMetaDecoder` cover the two dominant crawl formats the JDK
+    * cannot read, and `AutoAudioMetaDecoder` tries all three. */
+  trait AudioMetaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): AudioMeta
+  }
+
   /** Real audio metadata on the JDK's built-in `javax.sound.sampled`
     * parsers (WAV/AIFF/AU ship with every JVM). Header-only:
     * `AudioSystem.getAudioFileFormat` reads the container header —
@@ -262,7 +272,7 @@ object Multimodal {
     * `ImageDecoder`. Non-audio payloads come back `ok = false`. One
     * instance per task under `withAudioMeta`'s mapPartitions
     * contract. */
-  final class AudioDecoder extends Serializable {
+  final class AudioDecoder extends AudioMetaDecoder {
     private val md = java.security.MessageDigest.getInstance("SHA-256")
     def decode(bytes: Array[Byte]): AudioMeta = {
       if (bytes == null || bytes.isEmpty)
@@ -287,6 +297,231 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => fail
       }
     }
+  }
+
+  /** MP3 METADATA from the MPEG audio frame-header walk (the layout
+    * is ISO/IEC 11172-3 — public): an optional ID3v2 tag is skipped
+    * by its syncsafe declared size, then every frame contributes its
+    * header-mandated length and samples-per-frame, so duration
+    * (`frames` = total PCM sample frames at `sampleRate`) is EXACT
+    * for CBR and VBR alike — no bitrate guessing, no decode, 4
+    * header bytes read per frame. O(frame count) byte hops, the same
+    * never-touch-samples argument as the video metadata walk.
+    * Honesty rules: the walk must start at a valid frame sync
+    * immediately after any ID3v2 tag (random payloads are not
+    * scanned for sync), free-format bitrate (index 0) is refused,
+    * and `ok` requires >= 2 frames AND a clean finish — the walk
+    * ends within 3 bytes of the payload end or at an ID3v1 'TAG'
+    * trailer. Anything else after valid frames (garbage, a lost
+    * sync, a truncated final frame) reports `ok = false` rather
+    * than serving a duration for half a file. */
+  final class Mp3MetaDecoder extends AudioMetaDecoder {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    // bitrate tables, kbps (layer III)
+    private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320, 0)
+    private val BrV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+      96, 112, 128, 144, 160, 0)
+    private val SrV1 = Array(44100, 48000, 32000, 0)
+    private val SrV2 = Array(22050, 24000, 16000, 0)
+    private val SrV25 = Array(11025, 12000, 8000, 0)
+
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return AudioMeta(0.0, 0, 0L, "", 0L, "", ok = false)
+      md.reset()
+      val hex = hex8(md.digest(bytes))
+      val fail = AudioMeta(0.0, 0, 0L, "", bytes.length.toLong, hex,
+        ok = false)
+      try {
+        var p = 0
+        // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
+        if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3') {
+          val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+            ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+          p = 10 + sz
+        }
+        var frames = 0L
+        var samples = 0L
+        var sr = 0
+        var ch = 0
+        var enc = ""
+        var clean = false
+        var done = false
+        while (!done) {
+          if (p + 4 > bytes.length) {
+            clean = bytes.length - p <= 3 // trailing pad, not a frame
+            done = true
+          } else if (bytes.length - p == 128 && bytes(p) == 'T' &&
+            bytes(p + 1) == 'A' && bytes(p + 2) == 'G') {
+            clean = true // ID3v1 trailer
+            done = true
+          } else if ((bytes(p) & 0xff) != 0xff ||
+            (bytes(p + 1) & 0xe0) != 0xe0) {
+            done = true // lost sync: not clean
+          } else {
+            val b1 = bytes(p + 1) & 0xff
+            val b2 = bytes(p + 2) & 0xff
+            val ver = (b1 >> 3) & 3 // 0=2.5, 2=2, 3=1
+            val layer = (b1 >> 1) & 3 // 1=III, 2=II, 3=I
+            val brIdx = (b2 >> 4) & 15
+            val srIdx = (b2 >> 2) & 3
+            val pad = (b2 >> 1) & 1
+            if (ver == 1 || layer == 0 || brIdx == 0 || brIdx == 15 ||
+              srIdx == 3) done = true // reserved/free-format: refuse
+            else {
+              val thisSr = (if (ver == 3) SrV1
+                else if (ver == 2) SrV2 else SrV25)(srIdx)
+              val br = 1000 * (layer match {
+                case 1 => if (ver == 3) BrV1L3(brIdx) else BrV2L3(brIdx)
+                case 2 => // layer II (MPEG1 table; MPEG2 L2 shares V2L3's shape closely — refuse instead of guessing)
+                  if (ver == 3) Array(0, 32, 48, 56, 64, 80, 96, 112,
+                    128, 160, 192, 224, 256, 320, 384, 0)(brIdx)
+                  else -1
+                case _ => // layer I
+                  if (ver == 3) Array(0, 32, 64, 96, 128, 160, 192, 224,
+                    256, 288, 320, 352, 384, 416, 448, 0)(brIdx)
+                  else -1
+              })
+              if (br <= 0) done = true
+              else {
+                val flen = layer match {
+                  case 3 => (12 * br / thisSr + pad) * 4 // layer I
+                  case 2 => 144 * br / thisSr + pad // layer II
+                  case _ => // layer III
+                    (if (ver == 3) 144 else 72) * br / thisSr + pad
+                }
+                val spf = layer match {
+                  case 3 => 384
+                  case 2 => 1152
+                  case _ => if (ver == 3) 1152 else 576
+                }
+                if (sr == 0) {
+                  sr = thisSr
+                  ch = if (((bytes(p + 3) & 0xff) >> 6) == 3) 1 else 2
+                  enc = (if (ver == 3) "MPEG1" else if (ver == 2) "MPEG2"
+                    else "MPEG2.5") +
+                    "-L" + (layer match {
+                      case 3 => "1"; case 2 => "2"; case _ => "3" })
+                } else if (thisSr != sr) { done = true }
+                if (!done) {
+                  if (p + flen > bytes.length) done = true // truncated tail
+                  else {
+                    frames += 1
+                    samples += spf
+                    p += flen
+                  }
+                }
+              }
+            }
+          }
+        }
+        if (frames >= 2 && clean && sr > 0)
+          AudioMeta(sr.toDouble, ch, samples, enc, bytes.length.toLong,
+            hex, ok = true)
+        else fail
+      } catch { case scala.util.control.NonFatal(_) => fail }
+    }
+  }
+
+  /** FLAC METADATA from the mandatory STREAMINFO block (the layout is
+    * the public FLAC format spec / RFC 9639): "fLaC" magic, then the
+    * FIRST metadata block MUST be STREAMINFO (type 0, 34 bytes),
+    * whose packed tail carries sample rate (20 bits), channels-1
+    * (3), bits-per-sample-1 (5) and total samples (36). O(42 bytes)
+    * — the samples (and the codec) are never touched. */
+  final class FlacMetaDecoder extends AudioMetaDecoder {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return AudioMeta(0.0, 0, 0L, "", 0L, "", ok = false)
+      md.reset()
+      val hex = hex8(md.digest(bytes))
+      val fail = AudioMeta(0.0, 0, 0L, "", bytes.length.toLong, hex,
+        ok = false)
+      if (bytes.length < 42 || bytes(0) != 'f' || bytes(1) != 'L' ||
+        bytes(2) != 'a' || bytes(3) != 'C') return fail
+      if ((bytes(4) & 0x7f) != 0) return fail // first block must be STREAMINFO
+      val blockLen = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+        (bytes(7) & 0xff)
+      if (blockLen != 34) return fail
+      var x = 0L
+      var i = 18
+      while (i < 26) { x = (x << 8) | (bytes(i) & 0xffL); i += 1 }
+      val sr = (x >>> 44).toInt
+      val ch = ((x >>> 41) & 7).toInt + 1
+      val total = x & ((1L << 36) - 1)
+      if (sr <= 0) fail
+      else AudioMeta(sr.toDouble, ch, total, "FLAC", bytes.length.toLong,
+        hex, ok = true)
+    }
+  }
+
+  /** Mixed-corpus audio metadata: the JDK chain (WAV/AIFF/AU), then
+    * FLAC, then the MP3 frame walk — each sniff exact, same shape as
+    * `AutoVideoDecoder`. */
+  final class AutoAudioMetaDecoder extends AudioMetaDecoder {
+    private val jdk = new AudioDecoder
+    private val flac = new FlacMetaDecoder
+    private val mp3 = new Mp3MetaDecoder
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      val a = jdk.decode(bytes)
+      if (a.ok) a else {
+        val f = flac.decode(bytes)
+        if (f.ok) f else {
+          val m = mp3.decode(bytes)
+          if (m.ok) m else a
+        }
+      }
+    }
+  }
+
+  /** Deterministic silent-MP3 test vector: `nFrames` MPEG1 Layer III
+    * frames at 128 kbps / 44.1 kHz stereo (417-byte frames, padding
+    * 0, zero payload — the metadata walk reads only the 4 header
+    * bytes), optionally prefixed by an empty ID3v2 tag and suffixed
+    * by an ID3v1 'TAG' trailer. Hand-assembled against the public
+    * 11172-3 header layout; every field is a pure function of the
+    * arguments, so an oracle can replay frames x 1152 and 44100
+    * from the spec alone. */
+  def syntheticMp3(nFrames: Int, id3v2: Boolean = false,
+      id3v1: Boolean = false): Array[Byte] = {
+    require(nFrames > 0, "need at least one frame")
+    val frameLen = 144 * 128000 / 44100 // 417, padding 0
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xff.toByte // sync
+    frame(1) = 0xfb.toByte // MPEG1, layer III, no CRC
+    frame(2) = 0x90.toByte // 128 kbps, 44100 Hz, pad 0
+    frame(3) = 0x00 // stereo
+    val id3 =
+      if (!id3v2) Array.emptyByteArray
+      else "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
+        Array[Byte](0, 0, 0, 20) ++ new Array[Byte](20) // syncsafe 20
+    val tag =
+      if (!id3v1) Array.emptyByteArray
+      else "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    Array.concat(Seq(id3) ++ Seq.fill(nFrames)(frame) ++ Seq(tag): _*)
+  }
+
+  /** Deterministic FLAC STREAMINFO test vector (metadata only — no
+    * audio frames follow, which is exactly what the metadata walk
+    * must not care about). */
+  def syntheticFlacMeta(sampleRate: Int, channels: Int, bps: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels >= 1 && channels <= 8 &&
+      bps >= 4 && bps <= 32 && totalSamples >= 0, "out-of-spec fields")
+    val out = new Array[Byte](42)
+    "fLaC".getBytes("US-ASCII").copyToArray(out)
+    out(4) = 0x80.toByte // last block, type 0 (STREAMINFO)
+    out(7) = 34 // block length
+    // minblock/maxblock 4096, frame sizes 0 (unknown — legal)
+    out(8) = 0x10; out(10) = 0x10
+    val x = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | totalSamples
+    var i = 0
+    while (i < 8) { out(18 + i) = ((x >>> (8 * (7 - i))) & 0xff).toByte; i += 1 }
+    out
   }
 
   /** Shared ISO-BMFF byte-walk primitives (big-endian reads + the
@@ -812,7 +1047,7 @@ object Multimodal {
   /** Attach parsed audio metadata to a binary column — the audio twin
     * of `withMediaMeta`, same once-per-task decoder lifecycle. */
   def withAudioMeta(df: DataFrame, binaryCol: String, outCol: String = "audio",
-      decoderFactory: () => AudioDecoder = () => new AudioDecoder)(
+      decoderFactory: () => AudioMetaDecoder = () => new AudioDecoder)(
       implicit spark: SparkSession): DataFrame = {
     val idx = requireBinary(df, binaryCol)
     val outSchema = df.schema.add(outCol, Encoders.product[AudioMeta].schema)

@@ -6449,6 +6449,64 @@ object DataPrepQueries {
             graft.functions.TextOps.RepetitionFields.map(f =>
               round(col("_rep")(f), 6).as(f)): _*)
           .orderBy("doc_id")
+      }),
+
+    // Audio METADATA across three containers through one
+    // AutoAudioMetaDecoder pass — WAV via the JDK chain, MP3 via the
+    // MPEG frame-header walk (duration exact: frames counted, no
+    // bitrate guessing), FLAC via STREAMINFO. Every fixture field is
+    // a pure function of doc_id, so the oracle replays the expected
+    // metadata from the public specs' arithmetic alone: an MP3 of
+    // nf frames carries nf x 1152 sample frames at 44100 Hz stereo,
+    // a FLAC STREAMINFO declares its packed fields verbatim, a WAV
+    // of n samples declares n frames at its header rate. A hash
+    // match pins the ID3 skip, the frame walk, the syncsafe/packed
+    // bit arithmetic and the auto-routing — O(header) per row, no
+    // sample ever decoded.
+    QueryDef("q157_audio_meta", Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+                   10 + CAST(doc_id % 7 AS INT) AS nf
+                 FROM documents WHERE doc_id < 150)
+      SELECT doc_id,
+        CASE kind WHEN 0 THEN 44100.0
+                  WHEN 1 THEN CAST(16000 + doc_id AS DOUBLE)
+                  ELSE 8000.0 END AS sample_rate,
+        CASE kind WHEN 0 THEN 2
+                  WHEN 1 THEN CAST(1 + doc_id % 2 AS INT)
+                  ELSE 1 END AS channels,
+        CASE kind WHEN 0 THEN CAST(nf * 1152 AS BIGINT)
+                  WHEN 1 THEN CAST(doc_id * 1000 AS BIGINT)
+                  ELSE CAST(100 + doc_id % 50 AS BIGINT) END AS frames,
+        CASE kind WHEN 0 THEN 'MPEG1-L3'
+                  WHEN 1 THEN 'FLAC'
+                  ELSE 'PCM_SIGNED' END AS encoding,
+        TRUE AS ok
+      FROM d ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          (docId % 3).toInt match {
+            case 0 => graft.operators.Multimodal.syntheticMp3(
+              (10 + docId % 7).toInt, id3v2 = docId % 2 == 0,
+              id3v1 = docId % 4 == 1)
+            case 1 => graft.operators.Multimodal.syntheticFlacMeta(
+              (16000 + docId).toInt, (1 + docId % 2).toInt, 16,
+              docId * 1000)
+            case _ => graft.operators.Multimodal.syntheticPcmWav(
+              Array.tabulate[Short]((100 + docId % 50).toInt)(i =>
+                ((i * 31 + docId) % 2001 - 1000).toShort))
+          }
+        }
+        val clips = t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), mk(col("doc_id")).as("clip"))
+        graft.operators.Multimodal.withAudioMeta(clips, "clip",
+            decoderFactory = () =>
+              new graft.operators.Multimodal.AutoAudioMetaDecoder)(s)
+          .select(col("doc_id"), col("audio.sampleRate").as("sample_rate"),
+            col("audio.channels").as("channels"),
+            col("audio.frames").as("frames"),
+            col("audio.encoding").as("encoding"), col("audio.ok").as("ok"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -192,6 +192,51 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!rows(3L)._1)
   }
 
+  test("Mp3MetaDecoder / FlacMetaDecoder: exact duration from the header walk; AutoAudioMetaDecoder routes a mixed corpus") {
+    import spark.implicits._
+    val mp3 = Multimodal.syntheticMp3(100)
+    val m = new Multimodal.Mp3MetaDecoder().decode(mp3)
+    assert(m.ok && m.sampleRate == 44100.0 && m.channels == 2 &&
+      m.frames == 100L * 1152 && m.encoding == "MPEG1-L3", s"got $m")
+    // ID3v2 skipped by its syncsafe declared size; ID3v1 trailer legal
+    val tagged = new Multimodal.Mp3MetaDecoder().decode(
+      Multimodal.syntheticMp3(10, id3v2 = true, id3v1 = true))
+    assert(tagged.ok && tagged.frames == 10L * 1152, s"got $tagged")
+    // honesty: garbage after valid frames, a truncated final frame,
+    // and a single frame all refuse — no duration for half a file
+    assert(!new Multimodal.Mp3MetaDecoder().decode(
+      mp3 ++ Array[Byte](1, 2, 3, 4, 5)).ok)
+    assert(!new Multimodal.Mp3MetaDecoder().decode(mp3.dropRight(10)).ok)
+    assert(!new Multimodal.Mp3MetaDecoder().decode(
+      Multimodal.syntheticMp3(1)).ok)
+    assert(!new Multimodal.Mp3MetaDecoder().decode(
+      "not audio at all........".getBytes("UTF-8")).ok)
+    val fl = new Multimodal.FlacMetaDecoder().decode(
+      Multimodal.syntheticFlacMeta(22050, 1, 16, 44100L))
+    assert(fl.ok && fl.sampleRate == 22050.0 && fl.channels == 1 &&
+      fl.frames == 44100L && fl.encoding == "FLAC", s"got $fl")
+    assert(!new Multimodal.FlacMetaDecoder().decode(mp3).ok)
+    assert(!new Multimodal.FlacMetaDecoder().decode(
+      Multimodal.syntheticFlacMeta(22050, 1, 16, 1L).dropRight(5)).ok)
+    // mixed corpus through one withAudioMeta pass
+    val wav = Multimodal.syntheticPcmWav(
+      Array.tabulate[Short](800)(i => (i * 13 % 1000).toShort))
+    val docs = Seq((1L, wav), (2L, mp3),
+      (3L, Multimodal.syntheticFlacMeta(48000, 2, 24, 96000L)),
+      (4L, "junk".getBytes("UTF-8"))).toDF("id", "blob")
+    val rows = Multimodal.withAudioMeta(docs, "blob",
+        decoderFactory = () => new Multimodal.AutoAudioMetaDecoder)(spark)
+      .select(col("id"), col("audio.ok"), col("audio.encoding"),
+        col("audio.frames"), col("audio.sampleRate"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows(1L) == ((true, "PCM_SIGNED", 800L, 8000.0)), s"${rows(1L)}")
+    assert(rows(2L) == ((true, "MPEG1-L3", 115200L, 44100.0)), s"${rows(2L)}")
+    assert(rows(3L) == ((true, "FLAC", 96000L, 48000.0)), s"${rows(3L)}")
+    assert(!rows(4L)._1)
+  }
+
   test("VideoDecoder survives truncated and size-corrupted boxes without throwing") {
     val good = bmffBox("ftyp", "isom".getBytes("ISO-8859-1")) ++
       bmffBox("moov", mvhdV0(1000, 1000))
