@@ -458,6 +458,28 @@ object CorpusPrep {
     }
   }
 
+  /** Violated fine repetition gates for a dropped doc, as a trace
+    * detail suffix ("; violated dup_line_frac>0.2,...") — empty when
+    * the knob is off, when the doc fell to a coarse gate instead, or
+    * when the raw text is NULL. Judged on the RAW text, exactly like
+    * the gate itself, so the named signal is the one that fired.
+    * With the knob off this is `lit("")`, keeping every existing
+    * trace detail byte-identical (the trace oracles hash the
+    * replayable slice of these strings). */
+  private def repViolationSuffix(cfg: Config,
+      rawText: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (cfg.repetitionGates.isEmpty) lit("")
+    else {
+      val st = graft.functions.TextExpressions.repetition_stats(rawText)
+      val viol = array(cfg.repetitionGates.toSeq.sortBy(_._1).map {
+        case (f, mx) => when(st.getField(f) > mx, lit(s"$f>$mx"))
+          .otherwise(lit(null).cast("string"))
+      }: _*)
+      val names = array_compact(viol)
+      when(size(names) > 0,
+        concat(lit("; violated "), array_join(names, ","))).otherwise(lit(""))
+    }
+
   /** Shared front half: normalize (+ optional PII redaction), quality
     * gates, optional boilerplate gate — everything before dedup. */
   private def normalizeAndGate(docs: DataFrame, textCol: String,
@@ -944,11 +966,14 @@ object CorpusPrep {
             "span-cut text; lengths not reported under cutHotSpans)"))
       else gateDropped
         .join(docs.select(col(idCol),
-          length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
+          length(normOf(cfg)(col(textCol))).as("_trc_len"),
+          repViolationSuffix(cfg, col(textCol)).as("_trc_rv")),
+          Seq(idCol), "left")
         .select(col(idCol), lit("gated").as("stage"),
           concat(lit("failed normalize/quality/boilerplate gates (clean_len="),
             coalesce(col("_trc_len").cast("string"), lit("null")),
-            lit(")")).cast("string").as("detail")))
+            lit(")"), coalesce(col("_trc_rv"), lit("")))
+            .cast("string").as("detail")))
       if (cfg.lmModel.isDefined)
         out += stageRows(tIds(spanGated).exceptAll(tIds(lmGated)), "lm",
           lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))
@@ -1190,11 +1215,14 @@ object CorpusPrep {
         lit("id not present in the input frame"))
       out += tIds(cleaned).exceptAll(tIds(gated))
         .join(docs.select(col(idCol),
-          length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
+          length(normOf(cfg)(col(textCol))).as("_trc_len"),
+          repViolationSuffix(cfg, col(textCol)).as("_trc_rv")),
+          Seq(idCol), "left")
         .select(col(idCol), lit("gated").as("stage"),
           concat(lit("failed normalize/quality gates (clean_len="),
             coalesce(col("_trc_len").cast("string"), lit("null")),
-            lit(")")).cast("string").as("detail"))
+            lit(")"), coalesce(col("_trc_rv"), lit("")))
+            .cast("string").as("detail"))
       if (cfg.lmModel.isDefined)
         out += stageRows(tIds(gated).exceptAll(tIds(lmGated)), "lm",
           lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))
@@ -1528,11 +1556,14 @@ object CorpusPrep {
         lit("id not present in the batch frame"))
       out += inDocs.exceptAll(tIds(spanGated))
         .join(batch.select(col(idCol),
-          length(normOf(cfg)(col(textCol))).as("_trc_len")), Seq(idCol), "left")
+          length(normOf(cfg)(col(textCol))).as("_trc_len"),
+          repViolationSuffix(cfg, col(textCol)).as("_trc_rv")),
+          Seq(idCol), "left")
         .select(col(idCol), lit("gated").as("stage"),
           concat(lit("failed normalize/quality/boilerplate gates (clean_len="),
             coalesce(col("_trc_len").cast("string"), lit("null")),
-            lit(")")).cast("string").as("detail"))
+            lit(")"), coalesce(col("_trc_rv"), lit("")))
+            .cast("string").as("detail"))
       if (cfg.lmModel.isDefined)
         out += stageRows(tIds(spanGated).exceptAll(tIds(lmGated)), "lm",
           lit(s"bigram log-prob below minLmLogProb=${cfg.minLmLogProb}"))

@@ -68,6 +68,14 @@ class CorpusPrepSpec extends SparkSpecBase {
       docs.withColumn("clean_text", TextNorm.clean(col("text"))), cfg, "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(gatedStream == Set(10L, 12L), s"got $gatedStream")
+    // the trace names the signal that fired — a debugging user sees
+    // WHICH repetition rule dropped the doc, not just "gated"
+    val tr = CorpusPrep.prepTrace(docs, Seq(10L, 11L).toDF("id"), cfg = cfg)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2)).getOrElse("")))).toMap
+    assert(tr(10L)._1 == "kept", s"${tr(10L)}")
+    assert(tr(11L)._1 == "gated" &&
+      tr(11L)._2.contains("violated dup_line_frac>0.2"), s"${tr(11L)}")
     // misspelled signal names refuse against the REAL field list
     val e = intercept[IllegalArgumentException] {
       CorpusPrep.run(docs, cfg = CorpusPrep.Config(
