@@ -408,8 +408,25 @@ object Multimodal {
                 if (!done) {
                   if (p + flen > bytes.length) done = true // truncated tail
                   else {
-                    frames += 1
-                    samples += spf
+                    // a VBR header frame ("Xing"/"Info" at the
+                    // layer-III side-info offset) is a real frame in
+                    // the stream but carries NO audio — standard
+                    // tools exclude it from duration; only the first
+                    // frame can be one
+                    val xingOff = p + 4 + (if (ver == 3) {
+                      if (((bytes(p + 3) & 0xff) >> 6) == 3) 17 else 32
+                    } else {
+                      if (((bytes(p + 3) & 0xff) >> 6) == 3) 9 else 17
+                    })
+                    val isVbrHeader = frames == 0L && layer == 1 &&
+                      xingOff + 4 <= bytes.length && {
+                        val t = new String(bytes, xingOff, 4, "US-ASCII")
+                        t == "Xing" || t == "Info"
+                      }
+                    if (!isVbrHeader) {
+                      frames += 1
+                      samples += spf
+                    }
                     p += flen
                   }
                 }
@@ -458,20 +475,192 @@ object Multimodal {
     }
   }
 
+  /** OGG METADATA from the page walk (RFC 3533 page layout + the
+    * public Vorbis-I / RFC 7845 Opus ID headers): every page is
+    * self-delimiting ("OggS", header type, 64-bit granule position,
+    * serial, segment table), so total duration is the LAST page's
+    * granule position — exact, no bitrate arithmetic — with the
+    * codec's sample rate read once from the first (BOS) page's ID
+    * header. Honest subset: a single logical stream (a second serial
+    * number — multiplexed A/V — refuses rather than guessing which
+    * stream the duration describes); VORBIS (granule = PCM samples
+    * at the declared rate) and OPUS (granule at 48 kHz minus the
+    * declared pre-skip, reported at 48000 — the decode rate RFC 7845
+    * mandates). Page CRCs are NOT verified — this is the metadata
+    * tier, not an integrity check. `ok` requires a clean walk to the
+    * payload end, >= 2 pages and a non-negative final granule;
+    * truncation or garbage after valid pages refuses, the MP3 rule. */
+  final class OggMetaDecoder extends AudioMetaDecoder {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def le64(b: Array[Byte], o: Int): Long =
+      le32(b, o) | (le32(b, o + 4) << 32)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      if (bytes == null || bytes.isEmpty)
+        return AudioMeta(0.0, 0, 0L, "", 0L, "", ok = false)
+      md.reset()
+      val hex = hex8(md.digest(bytes))
+      val fail = AudioMeta(0.0, 0, 0L, "", bytes.length.toLong, hex,
+        ok = false)
+      if (bytes.length < 27 || bytes(0) != 'O' || bytes(1) != 'g' ||
+        bytes(2) != 'g' || bytes(3) != 'S') return fail
+      try {
+        var p = 0
+        var serial0 = 0L
+        var codec = ""
+        var sr = 0.0
+        var ch = 0
+        var preSkip = 0L
+        var lastGranule = -1L
+        var pages = 0
+        var clean = false
+        var done = false
+        while (!done) {
+          if (p == bytes.length) { clean = true; done = true }
+          else if (p + 27 > bytes.length || bytes(p) != 'O' ||
+            bytes(p + 1) != 'g' || bytes(p + 2) != 'g' ||
+            bytes(p + 3) != 'S' || bytes(p + 4) != 0) done = true
+          else {
+            val headerType = bytes(p + 5) & 0xff
+            val granule = le64(bytes, p + 6)
+            val serial = le32(bytes, p + 14)
+            val nSegs = bytes(p + 26) & 0xff
+            if (p + 27 + nSegs > bytes.length) done = true
+            else {
+              var payLen = 0
+              var i = 0
+              while (i < nSegs) { payLen += bytes(p + 27 + i) & 0xff; i += 1 }
+              val ds = p + 27 + nSegs
+              val de = ds + payLen
+              if (de > bytes.length) done = true
+              else {
+                if (pages == 0) {
+                  if ((headerType & 2) == 0) done = true // first page must be BOS
+                  else {
+                    serial0 = serial
+                    if (payLen >= 30 && bytes(ds) == 1 &&
+                      new String(bytes, ds + 1, 6, "US-ASCII") == "vorbis") {
+                      codec = "VORBIS"
+                      ch = bytes(ds + 11) & 0xff
+                      sr = le32(bytes, ds + 12).toDouble
+                    } else if (payLen >= 19 &&
+                      new String(bytes, ds, 8, "US-ASCII") == "OpusHead") {
+                      codec = "OPUS"
+                      ch = bytes(ds + 9) & 0xff
+                      preSkip = le16(bytes, ds + 10).toLong
+                      sr = 48000.0 // granules are at 48 kHz, per RFC 7845
+                    } else done = true // outside the honest codec subset
+                  }
+                } else if (serial != serial0) done = true // multiplexed
+                if (!done) {
+                  if (granule >= 0) lastGranule = granule
+                  pages += 1
+                  p = de
+                }
+              }
+            }
+          }
+        }
+        val frames = if (codec == "OPUS") math.max(0L, lastGranule - preSkip)
+          else lastGranule
+        if (clean && pages >= 2 && codec.nonEmpty && sr > 0 &&
+          lastGranule >= 0)
+          AudioMeta(sr, ch, frames, codec, bytes.length.toLong, hex,
+            ok = true)
+        else fail
+      } catch { case scala.util.control.NonFatal(_) => fail }
+    }
+  }
+
+  /** One Ogg page (RFC 3533), single-segment lacing — payloads under
+    * 255 bytes, which every metadata fixture here satisfies. CRC is
+    * left zero: the metadata walk documents that it does not verify
+    * page integrity. */
+  private def oggPage(headerType: Int, granule: Long, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 255, "single-segment fixture page")
+    val out = new Array[Byte](28 + payload.length)
+    "OggS".getBytes("US-ASCII").copyToArray(out)
+    out(5) = headerType.toByte
+    var i = 0
+    while (i < 8) { out(6 + i) = ((granule >>> (8 * i)) & 0xff).toByte; i += 1 }
+    i = 0
+    while (i < 4) {
+      out(14 + i) = ((0x12345678L >>> (8 * i)) & 0xff).toByte // serial
+      out(18 + i) = ((seq.toLong >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    out(26) = 1
+    out(27) = payload.length.toByte
+    payload.copyToArray(out, 28)
+    out
+  }
+
+  /** Deterministic Ogg-Vorbis METADATA test vector: a BOS page
+    * carrying the 30-byte Vorbis-I identification header, then
+    * `audioPages` data pages with monotone granule positions ending
+    * at `totalGranule` (payloads are inert bytes — the walk never
+    * parses audio packets). */
+  def syntheticOggVorbisMeta(sampleRate: Int, channels: Int,
+      totalGranule: Long, audioPages: Int = 3): Array[Byte] = {
+    require(sampleRate > 0 && channels >= 1 && totalGranule >= 0 &&
+      audioPages >= 1, "out-of-spec fields")
+    val id = new Array[Byte](30)
+    id(0) = 1
+    "vorbis".getBytes("US-ASCII").copyToArray(id, 1)
+    id(11) = channels.toByte
+    var i = 0
+    while (i < 4) { id(12 + i) = ((sampleRate >>> (8 * i)) & 0xff).toByte; i += 1 }
+    id(29) = 1 // framing bit
+    val pages = (1 to audioPages).map(k =>
+      oggPage(if (k == audioPages) 4 else 0, totalGranule * k / audioPages,
+        k, Array.fill[Byte](10)(7)))
+    Array.concat(oggPage(2, 0, 0, id) +: pages: _*)
+  }
+
+  /** The Opus twin (RFC 7845 OpusHead): granules run at 48 kHz and
+    * the decoder subtracts the declared pre-skip. */
+  def syntheticOggOpusMeta(channels: Int, preSkip: Int,
+      totalGranule48k: Long, audioPages: Int = 3): Array[Byte] = {
+    require(channels >= 1 && preSkip >= 0 && totalGranule48k >= 0 &&
+      audioPages >= 1, "out-of-spec fields")
+    val id = new Array[Byte](19)
+    "OpusHead".getBytes("US-ASCII").copyToArray(id)
+    id(8) = 1 // version
+    id(9) = channels.toByte
+    id(10) = (preSkip & 0xff).toByte
+    id(11) = ((preSkip >> 8) & 0xff).toByte
+    var i = 0
+    while (i < 4) { id(12 + i) = ((44100 >>> (8 * i)) & 0xff).toByte; i += 1 }
+    val pages = (1 to audioPages).map(k =>
+      oggPage(if (k == audioPages) 4 else 0,
+        totalGranule48k * k / audioPages, k, Array.fill[Byte](10)(7)))
+    Array.concat(oggPage(2, 0, 0, id) +: pages: _*)
+  }
+
   /** Mixed-corpus audio metadata: the JDK chain (WAV/AIFF/AU), then
-    * FLAC, then the MP3 frame walk — each sniff exact, same shape as
-    * `AutoVideoDecoder`. */
+    * FLAC, then OGG, then the MP3 frame walk — each sniff exact, same
+    * shape as `AutoVideoDecoder`. */
   final class AutoAudioMetaDecoder extends AudioMetaDecoder {
     private val jdk = new AudioDecoder
     private val flac = new FlacMetaDecoder
+    private val ogg = new OggMetaDecoder
     private val mp3 = new Mp3MetaDecoder
     def decode(bytes: Array[Byte]): AudioMeta = {
       val a = jdk.decode(bytes)
       if (a.ok) a else {
         val f = flac.decode(bytes)
         if (f.ok) f else {
-          val m = mp3.decode(bytes)
-          if (m.ok) m else a
+          val o = ogg.decode(bytes)
+          if (o.ok) o else {
+            val m = mp3.decode(bytes)
+            if (m.ok) m else a
+          }
         }
       }
     }
@@ -486,7 +675,7 @@ object Multimodal {
     * arguments, so an oracle can replay frames x 1152 and 44100
     * from the spec alone. */
   def syntheticMp3(nFrames: Int, id3v2: Boolean = false,
-      id3v1: Boolean = false): Array[Byte] = {
+      id3v1: Boolean = false, vbrHeader: Boolean = false): Array[Byte] = {
     require(nFrames > 0, "need at least one frame")
     val frameLen = 144 * 128000 / 44100 // 417, padding 0
     val frame = new Array[Byte](frameLen)
@@ -494,6 +683,10 @@ object Multimodal {
     frame(1) = 0xfb.toByte // MPEG1, layer III, no CRC
     frame(2) = 0x90.toByte // 128 kbps, 44100 Hz, pad 0
     frame(3) = 0x00 // stereo
+    // a VBR ("Xing") header frame: same header, the tag at the
+    // MPEG1-stereo side-info offset (4 + 32) — carries no audio
+    val xing = frame.clone()
+    "Xing".getBytes("US-ASCII").copyToArray(xing, 36)
     val id3 =
       if (!id3v2) Array.emptyByteArray
       else "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
@@ -501,7 +694,8 @@ object Multimodal {
     val tag =
       if (!id3v1) Array.emptyByteArray
       else "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
-    Array.concat(Seq(id3) ++ Seq.fill(nFrames)(frame) ++ Seq(tag): _*)
+    Array.concat(Seq(id3) ++ (if (vbrHeader) Seq(xing) else Nil) ++
+      Seq.fill(nFrames)(frame) ++ Seq(tag): _*)
   }
 
   /** Deterministic FLAC STREAMINFO test vector (metadata only — no

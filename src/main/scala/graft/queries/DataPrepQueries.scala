@@ -6464,40 +6464,54 @@ object DataPrepQueries {
     // bit arithmetic and the auto-routing — O(header) per row, no
     // sample ever decoded.
     QueryDef("q157_audio_meta", Some("""
-      WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+      WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS kind,
                    10 + CAST(doc_id % 7 AS INT) AS nf
-                 FROM documents WHERE doc_id < 150)
+                 FROM documents WHERE doc_id < 250)
       SELECT doc_id,
         CASE kind WHEN 0 THEN 44100.0
                   WHEN 1 THEN CAST(16000 + doc_id AS DOUBLE)
+                  WHEN 3 THEN CAST(8000 * (1 + doc_id % 4) AS DOUBLE)
+                  WHEN 4 THEN 48000.0
                   ELSE 8000.0 END AS sample_rate,
         CASE kind WHEN 0 THEN 2
                   WHEN 1 THEN CAST(1 + doc_id % 2 AS INT)
+                  WHEN 3 THEN CAST(1 + doc_id % 2 AS INT)
+                  WHEN 4 THEN CAST(1 + doc_id % 2 AS INT)
                   ELSE 1 END AS channels,
         CASE kind WHEN 0 THEN CAST(nf * 1152 AS BIGINT)
                   WHEN 1 THEN CAST(doc_id * 1000 AS BIGINT)
+                  WHEN 3 THEN CAST(doc_id * 320 AS BIGINT)
+                  WHEN 4 THEN CAST(doc_id * 480 AS BIGINT)
                   ELSE CAST(100 + doc_id % 50 AS BIGINT) END AS frames,
         CASE kind WHEN 0 THEN 'MPEG1-L3'
                   WHEN 1 THEN 'FLAC'
+                  WHEN 3 THEN 'VORBIS'
+                  WHEN 4 THEN 'OPUS'
                   ELSE 'PCM_SIGNED' END AS encoding,
         TRUE AS ok
       FROM d ORDER BY doc_id"""),
       (s, dir) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
         val mk = udf { (docId: Long) =>
-          (docId % 3).toInt match {
+          (docId % 5).toInt match {
             case 0 => graft.operators.Multimodal.syntheticMp3(
               (10 + docId % 7).toInt, id3v2 = docId % 2 == 0,
-              id3v1 = docId % 4 == 1)
+              id3v1 = docId % 4 == 1, vbrHeader = docId % 3 == 0)
             case 1 => graft.operators.Multimodal.syntheticFlacMeta(
               (16000 + docId).toInt, (1 + docId % 2).toInt, 16,
               docId * 1000)
+            case 3 => graft.operators.Multimodal.syntheticOggVorbisMeta(
+              (8000 * (1 + docId % 4)).toInt, (1 + docId % 2).toInt,
+              docId * 320)
+            case 4 => graft.operators.Multimodal.syntheticOggOpusMeta(
+              (1 + docId % 2).toInt, 312,
+              docId * 480 + 312)
             case _ => graft.operators.Multimodal.syntheticPcmWav(
               Array.tabulate[Short]((100 + docId % 50).toInt)(i =>
                 ((i * 31 + docId) % 2001 - 1000).toShort))
           }
         }
-        val clips = t(s, dir, "documents").filter(col("doc_id") < 150)
+        val clips = t(s, dir, "documents").filter(col("doc_id") < 250)
           .select(col("doc_id"), mk(col("doc_id")).as("clip"))
         graft.operators.Multimodal.withAudioMeta(clips, "clip",
             decoderFactory = () =>

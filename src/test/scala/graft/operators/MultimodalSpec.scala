@@ -202,6 +202,11 @@ class MultimodalSpec extends SparkSpecBase {
     val tagged = new Multimodal.Mp3MetaDecoder().decode(
       Multimodal.syntheticMp3(10, id3v2 = true, id3v1 = true))
     assert(tagged.ok && tagged.frames == 10L * 1152, s"got $tagged")
+    // a VBR ("Xing") header frame is walked but carries no audio —
+    // excluded from the duration, the standard-tool convention
+    val vbr = new Multimodal.Mp3MetaDecoder().decode(
+      Multimodal.syntheticMp3(10, vbrHeader = true))
+    assert(vbr.ok && vbr.frames == 10L * 1152, s"got $vbr")
     // honesty: garbage after valid frames, a truncated final frame,
     // and a single frame all refuse — no duration for half a file
     assert(!new Multimodal.Mp3MetaDecoder().decode(
@@ -218,12 +223,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!new Multimodal.FlacMetaDecoder().decode(mp3).ok)
     assert(!new Multimodal.FlacMetaDecoder().decode(
       Multimodal.syntheticFlacMeta(22050, 1, 16, 1L).dropRight(5)).ok)
+    // OGG: duration = last page granule, codec rate from the BOS page
+    val ogg = Multimodal.syntheticOggVorbisMeta(32000, 2, 160000L)
+    val ov = new Multimodal.OggMetaDecoder().decode(ogg)
+    assert(ov.ok && ov.sampleRate == 32000.0 && ov.channels == 2 &&
+      ov.frames == 160000L && ov.encoding == "VORBIS", s"got $ov")
+    // Opus: granules at 48 kHz minus the declared pre-skip
+    val op = new Multimodal.OggMetaDecoder().decode(
+      Multimodal.syntheticOggOpusMeta(1, 312, 96312L))
+    assert(op.ok && op.sampleRate == 48000.0 && op.channels == 1 &&
+      op.frames == 96000L && op.encoding == "OPUS", s"got $op")
+    // honesty: truncation, a second serial (multiplexed A/V), and a
+    // non-audio first page all refuse
+    assert(!new Multimodal.OggMetaDecoder().decode(ogg.dropRight(5)).ok)
+    val muxed = ogg.clone()
+    // flip one byte of the LAST page's serial (pages are 58/38/38/38
+    // bytes here: BOS 28+30, then three 28+10) — find it from the end
+    muxed(muxed.length - 38 + 14) = 0x77
+    assert(!new Multimodal.OggMetaDecoder().decode(muxed).ok,
+      "a second serial number is outside the honest subset")
+    assert(!new Multimodal.OggMetaDecoder().decode(
+      "OggS then garbage that is not a page".getBytes("UTF-8")).ok)
     // mixed corpus through one withAudioMeta pass
     val wav = Multimodal.syntheticPcmWav(
       Array.tabulate[Short](800)(i => (i * 13 % 1000).toShort))
     val docs = Seq((1L, wav), (2L, mp3),
       (3L, Multimodal.syntheticFlacMeta(48000, 2, 24, 96000L)),
-      (4L, "junk".getBytes("UTF-8"))).toDF("id", "blob")
+      (4L, "junk".getBytes("UTF-8")),
+      (5L, ogg),
+      (6L, Multimodal.syntheticOggOpusMeta(2, 100, 48100L)))
+      .toDF("id", "blob")
     val rows = Multimodal.withAudioMeta(docs, "blob",
         decoderFactory = () => new Multimodal.AutoAudioMetaDecoder)(spark)
       .select(col("id"), col("audio.ok"), col("audio.encoding"),
@@ -235,6 +264,8 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(2L) == ((true, "MPEG1-L3", 115200L, 44100.0)), s"${rows(2L)}")
     assert(rows(3L) == ((true, "FLAC", 96000L, 48000.0)), s"${rows(3L)}")
     assert(!rows(4L)._1)
+    assert(rows(5L) == ((true, "VORBIS", 160000L, 32000.0)), s"${rows(5L)}")
+    assert(rows(6L) == ((true, "OPUS", 48000L, 48000.0)), s"${rows(6L)}")
   }
 
   test("VideoDecoder survives truncated and size-corrupted boxes without throwing") {
