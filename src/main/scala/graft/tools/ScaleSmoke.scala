@@ -50,6 +50,12 @@ object ScaleSmoke {
       Dedup.duplicateClusters(
         Dedup.minhashNearDupCandidates(docs, "text", "doc_id")).count())
 
+    // the 13 repetition-quality signals: row-local compiled kernel,
+    // zero shuffle — throughput must track the scan
+    timed("repetition_stats(13 signals)")(
+      docs.select(graft.functions.TextExpressions
+          .repetition_stats(col("text")).as("r"))
+        .filter(col("r.dup_line_frac") >= 0).count())
     timed("repeated_spans(df>=8)")(
       Dedup.repeatedSpans(docs, "text", "doc_id", minDf = 8).count())
     timed("span_removal(df>=8)")(
