@@ -92,6 +92,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64TextExpr(exprs.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName,
+        "repetition_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"repetition_stats requires 1 argument, got ${exprs.length}")
+        RepetitionStatsExpr(exprs.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       TopKAgg.fromSeqTopK _))

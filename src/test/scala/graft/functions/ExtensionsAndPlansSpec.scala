@@ -25,6 +25,18 @@ class ExtensionsAndPlansSpec extends SparkSpecBase {
     assert(e2.eval(null) == 1)
   }
 
+  test("GraftExtensions injects repetition_stats") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val registry = GraftBridge.functionRegistryOf(new GraftExtensions)
+    val e = registry.lookupFunction(new FunctionIdentifier("repetition_stats"),
+      Seq(Literal("aa bb\naa bb")))
+    val row = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getDouble(0) == 0.5) // dup_line_frac: one dup of two
+  }
+
   test("GraftExtensions injects bloom_might_contain; non-constant filter rejected") {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.FunctionIdentifier
