@@ -248,9 +248,15 @@ object TextOps {
     *    POSITIONS covered by at least one n-gram that occurs more
     *    than once / total token characters (overlapping duplicates
     *    count each position once — the coverage union, not a sum).
-    * All 13 are row-local doubles in [0, 1]; a doc with no qualifying
-    * units scores 0.0 everywhere (an empty doc carries no repetition
-    * evidence — the length gates own emptiness). */
+    * All 13 are row-local non-negative doubles. The `dup_*` fractions
+    * are genuine ratios in [0, 1]; `top_{2,3,4}gram_char_frac` =
+    * count x mass / total token chars can EXCEED 1.0 when the top
+    * n-gram's occurrences overlap (e.g. "a a a a": the top 2-gram
+    * "a a" occurs 3 times x mass 2 / 4 chars = 1.5) — matching the
+    * published Dolma/Gopher arithmetic, which counts occurrences
+    * without de-overlapping. A doc with no qualifying units scores
+    * 0.0 everywhere (an empty doc carries no repetition evidence —
+    * the length gates own emptiness). */
   def repetitionStats(text: UTF8String):
       org.apache.spark.sql.catalyst.InternalRow = {
     val s = text.toString

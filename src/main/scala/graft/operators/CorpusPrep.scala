@@ -438,8 +438,14 @@ object CorpusPrep {
         s"repetitionGates names ${bad.mkString(", ")} are not " +
           s"repetition_stats signals; valid: ${known.toSeq.sorted.mkString(", ")}")
       cfg.repetitionGates.foreach { case (k, v) =>
-        require(v >= 0.0 && v <= 1.0,
-          s"repetitionGates($k) must be a fraction in [0, 1], got $v")
+        // dup_* signals are true ratios, so a threshold past 1 can
+        // never fire; top_* can exceed 1 for overlapping repeats
+        // (the Dolma/Gopher arithmetic), so higher gates are legal.
+        val hi = if (k.startsWith("top_")) Double.MaxValue else 1.0
+        require(v >= 0.0 && v <= hi,
+          if (hi == 1.0)
+            s"repetitionGates($k) must be a fraction in [0, 1], got $v"
+          else s"repetitionGates($k) must be >= 0, got $v")
       }
       // judged on the RAW text, not clean_text: the normalize chain
       // squeezes whitespace to single spaces, so line/paragraph
@@ -460,9 +466,13 @@ object CorpusPrep {
 
   /** Violated fine repetition gates for a dropped doc, as a trace
     * detail suffix ("; violated dup_line_frac>0.2,...") — empty when
-    * the knob is off, when the doc fell to a coarse gate instead, or
-    * when the raw text is NULL. Judged on the RAW text, exactly like
-    * the gate itself, so the named signal is the one that fired.
+    * the knob is off or when the raw text is NULL. Computed from the
+    * raw text alone: the suffix lists EVERY exceeded repetition
+    * threshold, regardless of which gate actually dropped the doc —
+    * a doc that fell to minChars/maxChars/maxRepetition and also
+    * exceeds a repetition threshold still carries the suffix (the
+    * trace reports all the evidence against the doc, not a single
+    * culprit). Judged on the RAW text, exactly like the gate itself.
     * With the knob off this is `lit("")`, keeping every existing
     * trace detail byte-identical (the trace oracles hash the
     * replayable slice of these strings). */

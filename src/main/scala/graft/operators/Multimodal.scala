@@ -340,7 +340,11 @@ object Multimodal {
           bytes(2) == '3') {
           val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
             ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-          p = 10 + sz
+          // Footer flag (header byte 5, bit 0x10): the declared
+          // syncsafe size excludes the 10-byte footer, so skip it
+          // too or the walk lands mid-footer and loses sync.
+          val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+          p = 10 + sz + footer
         }
         var frames = 0L
         var samples = 0L
@@ -675,7 +679,8 @@ object Multimodal {
     * arguments, so an oracle can replay frames x 1152 and 44100
     * from the spec alone. */
   def syntheticMp3(nFrames: Int, id3v2: Boolean = false,
-      id3v1: Boolean = false, vbrHeader: Boolean = false): Array[Byte] = {
+      id3v1: Boolean = false, vbrHeader: Boolean = false,
+      id3v2Footer: Boolean = false): Array[Byte] = {
     require(nFrames > 0, "need at least one frame")
     val frameLen = 144 * 128000 / 44100 // 417, padding 0
     val frame = new Array[Byte](frameLen)
@@ -687,10 +692,17 @@ object Multimodal {
     // MPEG1-stereo side-info offset (4 + 32) — carries no audio
     val xing = frame.clone()
     "Xing".getBytes("US-ASCII").copyToArray(xing, 36)
+    // ID3v2.4: the footer flag (0x10) declares a 10-byte "3DI"
+    // trailer AFTER the tag whose bytes the syncsafe size EXCLUDES
     val id3 =
-      if (!id3v2) Array.emptyByteArray
-      else "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0) ++
-        Array[Byte](0, 0, 0, 20) ++ new Array[Byte](20) // syncsafe 20
+      if (!(id3v2 || id3v2Footer)) Array.emptyByteArray
+      else "ID3".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, if (id3v2Footer) 0x10 else 0) ++
+        Array[Byte](0, 0, 0, 20) ++ new Array[Byte](20) ++ // syncsafe 20
+        (if (id3v2Footer)
+          "3DI".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0x10) ++
+            Array[Byte](0, 0, 0, 20)
+         else Array.emptyByteArray)
     val tag =
       if (!id3v1) Array.emptyByteArray
       else "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
@@ -2248,6 +2260,12 @@ object Multimodal {
       val format = cc(bytes, entS + 4)
       val w = u16(bytes, entS + 32)
       val h = u16(bytes, entS + 34)
+      // VisualSampleEntry depth (u16 at entry+82). Only depth-24
+      // packed RGB decodes for `raw ` — a depth-32 (ARGB) or
+      // depth-16 QuickTime "None" track would pass the w*h*3 size
+      // guard yet read misaligned bytes, so refuse here, not there.
+      val depth = if (entS + 84 <= sdE) u16(bytes, entS + 82) else -1
+      if (format == "raw " && depth != 24) return None
       val oti =
         if (format != "mp4v") -1
         else findBox(bytes, entS + 86, (entS + entSz).toInt, "esds")

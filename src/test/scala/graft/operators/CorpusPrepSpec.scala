@@ -88,6 +88,19 @@ class CorpusPrepSpec extends SparkSpecBase {
         repetitionGates = Map("dup_line_frac" -> 1.5)))
     }
     assert(e2.getMessage.contains("fraction"), e2.getMessage)
+    // top_* signals can exceed 1.0 for overlapping repeats (the
+    // Dolma/Gopher arithmetic), so thresholds above 1 are LEGAL
+    // there — a user must be able to set a gate that tolerates them
+    val tolerant = CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        minChars = 20,
+        repetitionGates = Map("top_2gram_char_frac" -> 1.5)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tolerant == Set(10L, 11L, 12L), s"got $tolerant")
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusPrep.run(docs, cfg = CorpusPrep.Config(
+        repetitionGates = Map("top_2gram_char_frac" -> -0.1)))
+    }
+    assert(e3.getMessage.contains(">= 0"), e3.getMessage)
   }
 
   test("prepTrace: first-drop stage and evidence per id; kept set equals run()'s") {

@@ -202,6 +202,12 @@ class MultimodalSpec extends SparkSpecBase {
     val tagged = new Multimodal.Mp3MetaDecoder().decode(
       Multimodal.syntheticMp3(10, id3v2 = true, id3v1 = true))
     assert(tagged.ok && tagged.frames == 10L * 1152, s"got $tagged")
+    // ID3v2.4 footer flag: the declared syncsafe size EXCLUDES the
+    // 10-byte "3DI" trailer — the skip must add it or the walk lands
+    // mid-footer and refuses a valid file
+    val footed = new Multimodal.Mp3MetaDecoder().decode(
+      Multimodal.syntheticMp3(10, id3v2Footer = true))
+    assert(footed.ok && footed.frames == 10L * 1152, s"got $footed")
     // a VBR ("Xing") header frame is walked but carries no audio —
     // excluded from the duration, the standard-tool convention
     val vbr = new Multimodal.Mp3MetaDecoder().decode(
@@ -1073,6 +1079,19 @@ class MultimodalSpec extends SparkSpecBase {
       Seq(Array.fill[Byte](64)(1)))
     assert(Multimodal.Mp4FrameDecoder.open(avc).isEmpty,
       "compressed codecs are outside the honest subset")
+    // a 'raw ' entry declaring depth != 24 (ARGB/thousands) must
+    // refuse — the packed-RGB24 pixel walk would read misaligned
+    // bytes, not produce a near-dup-grade frame: patch the depth
+    // field (u16 at entry+82, i.e. stsd 'type' index + 94)
+    val deep = mov.clone()
+    val stsdAt = (0 until deep.length - 4).find(i =>
+      deep(i) == 's' && deep(i + 1) == 't' && deep(i + 2) == 's' &&
+        deep(i + 3) == 'd').get
+    assert(deep(stsdAt + 94) == 0 && deep(stsdAt + 95) == 24,
+      "fixture drift: depth field not where the patch expects")
+    deep(stsdAt + 95) = 32
+    assert(Multimodal.Mp4FrameDecoder.open(deep).isEmpty,
+      "'raw ' depth-32 must refuse, not decode misaligned RGB24")
     // a corrupt negative box size stops the walk (None, not a hang)
     val corrupt = Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++
       "qt  mini".getBytes("US-ASCII") ++
