@@ -6521,6 +6521,72 @@ object DataPrepQueries {
             col("audio.frames").as("frames"),
             col("audio.encoding").as("encoding"), col("audio.ok").as("ok"))
           .orderBy("doc_id")
+      }),
+
+    // MJPEG oracle-pinned (closing q155's stated gap): the one
+    // COMPRESSED codec the pure-JDK engine really decodes, replayed
+    // arithmetically. The device that makes a lossy codec
+    // formula-replayable: frames where horizontally adjacent pixels
+    // ALWAYS differ by exactly 128 (g = 64 + 128*((x + r) % 2), row
+    // phase r = md5(base:f:y) low bit), so JPEG quantization error —
+    // measured max ±~20 gray at the JDK's default quality, 8 dHash
+    // bits of drift on random grids — can NEVER flip a brightness
+    // comparison, and the decoded dHash EQUALS the lossless formula
+    // hash (probed: 0 flips over 540 frames x 3 containers). 60
+    // bases x 4 legs: MJPEG-MP4 ('mp4v'+esds OTI 0x6C), MJPEG-MOV
+    // ('jpeg' entry), MJPEG-AVI (fourcc MJPG), and a LOSSLESS GIF
+    // twin — so each MJPEG leg must pair with the formula-exact
+    // baseline, pinning the JPEG sample walk + JDK decode + gray
+    // conversion against DuckDB arithmetic that never saw a JPEG.
+    QueryDef("q158_mjpeg_video_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 60 AS base
+                 FROM documents WHERE doc_id < 240),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               64 + 128 * ((x.x + ('0x' || substr(md5(CAST(d.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)), 1, 2))::INT % 2) % 2) AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+             FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+               AND bit_count(xor(a.h, b.h)) <= 3
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 60
+          val frames = (0 until 3).map { f =>
+            Array.tabulate(8 * 9) { i =>
+              val y = i / 9; val x = i % 9
+              val r = java.lang.Byte.toUnsignedInt(
+                md.digest(s"$base:$f:$y".getBytes("UTF-8"))(0)) & 1
+              64 + 128 * ((x + r) % 2)
+            }
+          }
+          (docId / 60) match {
+            case 0 => graft.operators.Multimodal.syntheticMjpegMp4(9, 8, frames)
+            case 1 => graft.operators.Multimodal.syntheticMjpegMov(9, 8, frames)
+            case 2 => graft.operators.Multimodal.syntheticMjpegAvi(9, 8, frames)
+            case _ => graft.operators.Multimodal.syntheticGrayGif(9, 8, frames)
+          }
+        }
+        val vids = t(s, dir, "documents").filter(col("doc_id") < 240)
+          .select(col("doc_id"), mk(col("doc_id")).as("v"))
+        graft.operators.Multimodal.gifNearDupPairs(vids, "v", "doc_id",
+            metricName = "graft_q158_mjpeg_cap",
+            decoder = graft.operators.Multimodal.FrameDecoders.firstOf(
+              graft.operators.Multimodal.GifFrameDecoder,
+              graft.operators.Multimodal.AviFrameDecoder,
+              graft.operators.Multimodal.Mp4FrameDecoder))
+          .orderBy("id_a", "id_b")
       })
   )
 }
