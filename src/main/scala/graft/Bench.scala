@@ -12,11 +12,14 @@ import org.apache.spark.sql.SparkSession
   * extra times so the floor is taken from a quiet window. The medians
   * are published alongside for transparency. Prints one JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},
-  *  "medians":{...},"sf":...}. The same line is also written to
-  * `GRAFT_BENCH_OUT` (default /tmp/graft_bench.json) so the scored
-  * artifact never depends on scraping the JSON out of a log tail
-  * (sbt's [info] prefixing + tail-window truncation lost it in two
-  * prior rounds). Queries run in two phases: every small query is
+  *  "medians":{...},"spread":{...},"sf":...} — `spread` is each
+  * query's in-run median/min band, consumed by the floors gate
+  * (`TimeQueries --assert-floor`) to widen volatile queries' allowed
+  * factor. The same line is also written to `GRAFT_BENCH_OUT`
+  * (default /tmp/graft_bench.json) AND to repo-relative
+  * `bench_last.json`, so the scored artifact never depends on
+  * scraping the JSON out of a log tail (sbt's [info] prefixing +
+  * tail-window truncation lost it in three prior rounds). Queries run in two phases: every small query is
   * warmed and fully sampled BEFORE the multi-second multi-job tail
   * executes, so the heavy queries' JIT/GC pressure cannot bleed into
   * small-query timings — the cross-round drift isolation r8's bench
@@ -220,25 +223,42 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
     val meds = jmap(results.map(r => r._1 -> r._3))
+    // Per-query in-run spread (median/min): the observed sample band
+    // for THIS run. The floors gate (TimeQueries --assert-floor)
+    // widens a query's allowed factor to its recorded band, so the
+    // volatile lifecycle heavies (multi-job temp-dir chains swinging
+    // 2-3x between windows) don't false-positive a gate tuned for
+    // the stable 140+.
+    val spreads = jmap(results.map(r =>
+      r._1 -> (if (r._2 <= 0) -1.0 else r3(r._3 / r._2))))
     val total = results.map(_._2).filter(_ >= 0).sum
     // publish the DERIVED heavy list so the phase split is auditable
     // from the artifact alone
     val heavyJson = publishedHeavy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subset =
       if (only.isEmpty) "" else s""""subset":${allNames.length},"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subset"queries":$qs,"medians":$meds,"heavy":$heavyJson,$sentinel,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subset"queries":$qs,"medians":$meds,"spread":$spreads,"heavy":$heavyJson,$sentinel,"sf":"$sfDir"}"""
     // compact total BEFORE the giant per-query line too: whichever
     // side of the log a bounded tail window lands on, one parseable
     // summary line is inside it — the sentinel rides it so even a
     // tail-truncated artifact shows whether the run was contaminated
     println(s"""{"metric":"total","value":$total,"unit":"sec",$sentinel,"sf":"$sfDir"}""")
     println(line)
-    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try {
-      val w = new java.io.PrintWriter(outFile, "UTF-8")
-      try w.println(line) finally w.close()
-    } catch { case e: java.io.IOException =>
-      System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+    // Write the full artifact to GRAFT_BENCH_OUT AND to a stable
+    // repo-relative path: the round artifact stays self-contained
+    // even when a log-scraping driver truncates the giant per-query
+    // line's tail (three rounds of "parsed": null recovered by hand
+    // from /tmp — this retires that failure mode).
+    val outFiles = Seq(
+      sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+      "bench_last.json")
+    outFiles.distinct.foreach { outFile =>
+      try {
+        val w = new java.io.PrintWriter(outFile, "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+      }
     }
     spark.stop()
     // LAST stdout line, after spark.stop() so no shutdown logging can

@@ -12,14 +12,70 @@ package graft.tools
   * the builder can run before handing a round to the driver: each
   * named query (default: every query present in BOTH the floors file
   * and SparkEntry) is warmed once and timed as the min of two passes,
-  * and the run FAILS (exit 1) when any query exceeds `factor`x its
-  * floor (default 2.0 — inside that band is established
+  * and the run FAILS (exit 1) when any query exceeds its allowed
+  * band above its floor.
+  *
+  * The band is PER-QUERY, not one global knob: the limit is
+  * `max(factor, recorded spread) x floor`, where `spread` is the
+  * artifact's per-query median/min from the recording run (Bench
+  * writes it alongside `queries`). The stable 140+ queries keep the
+  * tight default (factor 2.0 — inside it is established
   * window-to-window noise on this host, beyond it is a real plan
-  * regression or a contaminated host). The report prints the 1-min
-  * loadavg per query so a hot-host failure is distinguishable from a
-  * plan regression at a glance: floors are only meaningful on a
-  * quiet host, same as the Bench runs that record them. */
+  * regression or a contaminated host), while the volatile
+  * lifecycle heavies (multi-job temp-dir chains observed swinging
+  * 1.8-2.7x between SAME-CODE windows, r16 forensics) carry the
+  * wider band their own recording measured — so the gate stays
+  * usable on a busy host without hand-exempting the volatile tail,
+  * and a seeded 3x plan regression on a stable query still fails.
+  * The report prints the 1-min loadavg per query so a hot-host
+  * failure is distinguishable from a plan regression at a glance:
+  * floors are only meaningful on a quiet host, same as the Bench
+  * runs that record them. */
 object TimeQueries {
+
+  /** One gate verdict: measured vs `allowedFactor x floor`, where
+    * allowedFactor = max(cli factor, the query's recorded band). */
+  final case class GateRow(name: String, measuredSec: Double,
+      floorSec: Double, allowedFactor: Double, pass: Boolean)
+
+  /** The pure gate decision — separated from the timing loop so a
+    * spec can pin it against a doctored floors table. `bands` maps a
+    * query to its recorded spread (median/min at recording time);
+    * absent or sub-1 entries fall back to the global factor alone.
+    * A negative floor means "recorded as erroring" — never gated. */
+  def gate(floors: Map[String, Double], bands: Map[String, Double],
+      factor: Double, measured: Seq[(String, Double)]): Seq[GateRow] =
+    measured.map { case (name, sec) =>
+      val floor = floors(name)
+      val band = bands.getOrElse(name, 1.0)
+      val allowed = math.max(factor, if (band >= 1.0) band else 1.0)
+      GateRow(name, sec, floor, allowed,
+        pass = floor < 0 || sec <= allowed * floor)
+    }
+
+  /** Parse a floors file: either a Bench artifact (floors under
+    * `queries`, per-query bands under `spread`) or a flat
+    * {"name": secs} map (no bands — the global factor alone gates).
+    * Jackson rides Spark's classpath. */
+  def loadFloors(file: String): (Map[String, Double], Map[String, Double]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(file))
+    def numMap(node: com.fasterxml.jackson.databind.JsonNode):
+        Map[String, Double] = {
+      val b = Map.newBuilder[String, Double]
+      node.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }
+    val floors =
+      numMap(if (root.has("queries")) root.get("queries") else root)
+    val bands =
+      if (root.has("spread")) numMap(root.get("spread"))
+      else Map.empty[String, Double]
+    require(floors.nonEmpty, s"no numeric floors found in $file")
+    (floors, bands)
+  }
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: TimeQueries <sfDir> [--assert-floor=<benchJson>] " +
@@ -64,19 +120,7 @@ object TimeQueries {
         }
 
       case Some(file) =>
-        // Jackson rides Spark's classpath; the floors file is either a
-        // Bench artifact (floors under "queries") or a flat name->secs map
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = mapper.readTree(new java.io.File(file))
-        val table = if (root.has("queries")) root.get("queries") else root
-        val floors = {
-          val b = Map.newBuilder[String, Double]
-          table.fields().forEachRemaining { e =>
-            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
-          }
-          b.result()
-        }
-        require(floors.nonEmpty, s"no numeric floors found in $file")
+        val (floors, bands) = loadFloors(file)
         val toCheck =
           if (names.nonEmpty) names
           else floors.keys.toSeq.sorted.filter(graft.SparkEntry.queries.contains)
@@ -87,24 +131,23 @@ object TimeQueries {
         var failed = 0
         toCheck.foreach { name =>
           val load = osBean.getSystemLoadAverage
-          val s = time(name)
-          val floor = floors(name)
-          val ok = floor < 0 || s <= factor * floor
-          if (!ok) failed += 1
-          println(f"[timeq] ${if (ok) "PASS" else "FAIL"} $name: ${s}%.2f s " +
-            f"(floor ${floor}%.2f s, limit ${factor * floor}%.2f s, " +
-            f"loadavg ${load}%.1f)")
+          val row = gate(floors, bands, factor, Seq(name -> time(name))).head
+          if (!row.pass) failed += 1
+          println(f"[timeq] ${if (row.pass) "PASS" else "FAIL"} $name: " +
+            f"${row.measuredSec}%.2f s (floor ${row.floorSec}%.2f s, " +
+            f"limit ${row.allowedFactor * row.floorSec}%.2f s = " +
+            f"${row.allowedFactor}%.1fx, loadavg ${load}%.1f)")
         }
         if (failed > 0) {
           println(s"[timeq] $failed of ${toCheck.size} queries exceeded " +
-            s"${factor}x their recorded floor — a real plan regression, or " +
-            "a contaminated host (check the loadavg column; floors are " +
-            "only meaningful on a quiet host)")
+            "their allowed band over the recorded floor — a real plan " +
+            "regression, or a contaminated host (check the loadavg " +
+            "column; floors are only meaningful on a quiet host)")
           spark.stop()
           sys.exit(1)
         }
-        println(s"[timeq] all ${toCheck.size} queries within ${factor}x " +
-          "of their recorded floors")
+        println(s"[timeq] all ${toCheck.size} queries within their " +
+          "allowed bands of the recorded floors")
     }
     spark.stop()
   }
