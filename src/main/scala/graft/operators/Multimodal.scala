@@ -2418,8 +2418,11 @@ object Multimodal {
     * `"jpeg"`, or `"mp4v"` (an `esds` declaring OTI 0x6C rides the
     * entry — the ffmpeg MJPEG-in-.mp4 shape). */
   private[operators] def movContainer(width: Int, height: Int, brand: String,
-      format: String, samples: Seq[Array[Byte]]): Array[Byte] = {
+      format: String, samples: Seq[Array[Byte]],
+      syncSamples: Seq[Int] = Nil): Array[Byte] = {
     require(samples.nonEmpty, "need at least one sample")
+    require(syncSamples.forall(s => s >= 1 && s <= samples.length),
+      "syncSamples are 1-based sample numbers")
     val n = samples.length
     val ftyp = beBox("ftyp", brand.getBytes("US-ASCII"), be32(0),
       brand.getBytes("US-ASCII"))
@@ -2467,7 +2470,13 @@ object Multimodal {
       Array.concat(samples.map(s => be32(s.length.toLong)): _*))
     val stco = beBox("stco", be32(0), be32(chunkStarts.length.toLong),
       Array.concat(chunkStarts.map(be32): _*))
-    val stbl = beBox("stbl", stsd, stts, stsc, stsz, stco)
+    // stss only when asked: ABSENT means every sample is sync (the
+    // spec's default), which is what the parameterless callers want
+    val stblBoxes = Seq(stsd, stts, stsc, stsz, stco) ++
+      (if (syncSamples.isEmpty) Nil
+       else Seq(beBox("stss", be32(0), be32(syncSamples.length.toLong),
+         Array.concat(syncSamples.map(s => be32(s.toLong)): _*))))
+    val stbl = beBox("stbl", stblBoxes: _*)
     val minf = beBox("minf", stbl)
     val hdlr = beBox("hdlr", be32(0), be32(0),
       "vide".getBytes("US-ASCII"), new Array[Byte](12), new Array[Byte](1))
@@ -2527,6 +2536,16 @@ object Multimodal {
       frames: Seq[Array[Int]]): Array[Byte] =
     movContainer(width, height, "qt  ", "jpeg",
       frames.map(jpegSampleOf(width, height, _)))
+
+  /** MJPEG MP4 with an EXPLICIT sync-sample table (`stss` listing the
+    * 1-based `syncSamples`) — the keyframe-tier test vector: a real
+    * delta-coded file marks only its I-frames sync; MJPEG frames are
+    * all independently decodable, which is exactly what lets the
+    * keyframe SAMPLING PLAN be exercised against decodable truth. */
+  def syntheticMjpegMp4Keyframed(width: Int, height: Int,
+      frames: Seq[Array[Int]], syncSamples: Seq[Int]): Array[Byte] =
+    movContainer(width, height, "isom", "mp4v",
+      frames.map(jpegSampleOf(width, height, _)), syncSamples)
 
   private def jpegSampleOf(width: Int, height: Int,
       grays: Array[Int]): Array[Byte] = {
@@ -2611,6 +2630,41 @@ object Multimodal {
   private def foldGifFrames[T](b: Array[Byte], nFrames: Int)(
       extract: (Int, Int, Int, java.awt.image.BufferedImage) => T): Vector[T] =
     foldFrames(b, nFrames, GifFrameDecoder)(extract)
+
+  /** `foldFrames` with the sampling plan taken from the container's
+    * sync-sample table (first indexed video track): up to `nFrames`
+    * evenly spaced KEYFRAMES decode, `pos` is the keyframe ordinal
+    * and `n` the track's keyframe count. No BMFF keyframe index →
+    * uniform fallback (identical to `foldFrames`). Sync samples
+    * arrive ascending, so the decoder's forward-only `frameAt`
+    * contract holds; indexed samples past the decoder's frame count
+    * (truncation dropped them) are skipped rather than guessed. */
+  private def foldKeyframes[T](b: Array[Byte], nFrames: Int,
+      decoder: FrameDecoder, indexer: KeyframeIndexer)(
+      extract: (Int, Int, Int, java.awt.image.BufferedImage) => T): Vector[T] = {
+    if (b == null || b.isEmpty) return Vector.empty
+    indexer.index(b).headOption match {
+      case None => foldFrames(b, nFrames, decoder)(extract)
+      case Some(track) =>
+        try {
+          decoder.open(b) match {
+            case None => Vector.empty
+            case Some(of) =>
+              try {
+                val ks = track.keyframes.map(_.sampleNum - 1)
+                  .filter(fi => fi >= 0 && fi < of.frameCount)
+                val picks =
+                  if (ks.length <= nFrames) ks
+                  else (0 until nFrames).map(i =>
+                    ks((i.toLong * ks.length / nFrames).toInt)).toVector
+                picks.zipWithIndex.map { case (fi, pos) =>
+                  extract(pos, fi, ks.length, of.frameAt(fi))
+                }
+              } finally of.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+    }
+  }
 
   def sampleFramesDecoded(df: DataFrame, binaryCol: String, nFrames: Int,
       decoder: FrameDecoder = GifFrameDecoder)(
@@ -2729,6 +2783,87 @@ object Multimodal {
     require(maxShift >= 0 && maxShift < nFrames,
       s"maxShift must be in [0, nFrames=$nFrames), got $maxShift")
     val frames = gifFrameHashes(df.select(col(idCol), col(binaryCol)),
+        binaryCol, nFrames, "_h", decoder)
+      .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"),
+        least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
+    positionalNearDupPairs(frames, maxHamming, minFrameMatches, maxBucket,
+      metricName, maxShift)
+  }
+
+  /** KEYFRAME-aligned frame dHashes — `gifFrameHashes` with the
+    * sampling plan taken from the container's own sync-sample table
+    * instead of uniform frame positions: for an ISO-BMFF payload
+    * whose first video track indexes (`KeyframeIndexer`: stss/stsz/
+    * stsc/stco), up to `nFrames` evenly spaced SYNC samples decode,
+    * `sample_pos` is the keyframe ORDINAL (so two cuts of the same
+    * footage align by I-frame sequence even when their absolute
+    * sample numbers differ), and `n_frames` is the track's keyframe
+    * count. A payload with no BMFF keyframe index (GIF/AVI/Y4M, or a
+    * malformed box tree) falls back to uniform sampling — the exact
+    * `gifFrameHashes` behavior, and the same thing the spec says a
+    * missing stss means (every sample is sync), so mixed corpora
+    * stay comparable. Decode honesty is the `FrameDecoder`'s: with
+    * the in-repo decoders this is real for MJPEG MP4/MOV (the one
+    * compressed codec the JDK decodes); an external H.264/VP9
+    * `FrameDecoder` plug-in gets I-frame-aligned comparison with no
+    * tier changes. `frameAt` is forward-only — sync samples arrive
+    * ascending from the index, so the contract holds. */
+  def videoFrameHashes(df: DataFrame, binaryCol: String, nFrames: Int = 4,
+      outCol: String = "frame_ph",
+      decoder: FrameDecoder = Mp4FrameDecoder)(
+      implicit spark: SparkSession): DataFrame = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    require(!df.columns.exists(c => Set("sample_pos", "frame_idx",
+        "n_frames", outCol).contains(c)),
+      s"input columns collide with videoFrameHashes' outputs " +
+        s"(sample_pos/frame_idx/n_frames/$outCol)")
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema
+      .add("sample_pos", IntegerType).add("frame_idx", IntegerType)
+      .add("n_frames", IntegerType).add(outCol, LongType)
+    df.mapPartitions { it =>
+      val hasher = new PerceptualHasher
+      val indexer = new KeyframeIndexer // once per partition
+      it.flatMap { r =>
+        foldKeyframes(binaryOf(r, idx), nFrames, decoder, indexer) {
+          (pos, fi, n, canvas) =>
+            Row.fromSeq(r.toSeq :+ pos :+ fi :+ n :+
+              hasher.dhashOfImage(canvas))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Keyframe-sampled near-dup pairs for REAL videos — the r16
+    * verdict's recipe made a library contract: `gifNearDupPairs`'
+    * exact positional semantics (banding, hot-cap, bounded shift,
+    * adaptive short-doc gate — ONE shared `positionalNearDupPairs`
+    * core), but frames sampled at the container's sync samples via
+    * `videoFrameHashes`, so comparison aligns on I-frames instead of
+    * arithmetic positions. Why that matters: a delta-coded video's
+    * decodable/representative frames ARE its keyframes, their
+    * spacing is non-uniform (scene cuts), and a re-encode keeps the
+    * keyframe CONTENT while renumbering samples — uniform sampling
+    * lands on different frames of the two files and misses the
+    * match; ordinal keyframe alignment finds it. Payloads without a
+    * keyframe index sample uniformly (see `videoFrameHashes`), so a
+    * mixed GIF+MP4 corpus runs in one pass. Scale shape is unchanged
+    * from the GIF tier: decode once per task where the scan lives,
+    * 8 bytes per sampled frame shuffle, capped bands, never
+    * all-pairs. */
+  def videoNearDupPairs(df: DataFrame, binaryCol: String, idCol: String,
+      nFrames: Int = 4, maxHamming: Int = 3, minFrameMatches: Int = 3,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_video_band_cap",
+      maxShift: Int = 0,
+      decoder: FrameDecoder = Mp4FrameDecoder)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(minFrameMatches >= 1 && minFrameMatches <= nFrames,
+      s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
+    require(maxShift >= 0 && maxShift < nFrames,
+      s"maxShift must be in [0, nFrames=$nFrames), got $maxShift")
+    val frames = videoFrameHashes(df.select(col(idCol), col(binaryCol)),
         binaryCol, nFrames, "_h", decoder)
       .select(col(idCol).as("_gid"), col("sample_pos"), col("_h"),
         least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))

@@ -1188,6 +1188,86 @@ class MultimodalSpec extends SparkSpecBase {
     }
     ()
   }
+
+  test("videoNearDupPairs: keyframe-ordinal alignment pairs re-cut MJPEG videos that uniform sampling misses; no-stss payloads fall back to uniform") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grid(seed: String): Array[Int] = Array.tabulate(72) { i =>
+      java.lang.Byte.toUnsignedInt(
+        md.digest(s"$seed:${i / 9}:${i % 9}".getBytes("UTF-8"))(0))
+    }
+    // four shared keyframe contents + per-video filler ("delta") frames
+    val k = (0 until 4).map(i => grid(s"key$i"))
+    // video A: 12 samples, keyframes at NON-UNIFORM sample numbers
+    // 1, 4, 5, 10 (scene cuts, not a cadence)
+    val framesA = (1 to 12).map {
+      case 1 => k(0); case 4 => k(1); case 5 => k(2); case 10 => k(3)
+      case n => grid(s"fillA$n")
+    }
+    val vidA = Multimodal.syntheticMjpegMp4Keyframed(9, 8, framesA,
+      syncSamples = Seq(1, 4, 5, 10))
+    // video B: a RE-CUT of the same footage — 9 samples, the same
+    // keyframe contents at different sample numbers 2, 3, 7, 9
+    val framesB = (1 to 9).map {
+      case 2 => k(0); case 3 => k(1); case 7 => k(2); case 9 => k(3)
+      case n => grid(s"fillB$n")
+    }
+    val vidB = Multimodal.syntheticMjpegMp4Keyframed(9, 8, framesB,
+      syncSamples = Seq(2, 3, 7, 9))
+    // video C: unrelated keyframes, same count
+    val framesC = (1 to 10).map {
+      case n if Set(1, 3, 6, 8)(n) => grid(s"other$n")
+      case n => grid(s"fillC$n")
+    }
+    val vidC = Multimodal.syntheticMjpegMp4Keyframed(9, 8, framesC,
+      syncSamples = Seq(1, 3, 6, 8))
+    val docs = Seq((1L, vidA), (2L, vidB), (3L, vidC)).toDF("vid", "v")
+
+    // keyframe-aligned: A and B pair on all 4 keyframe ordinals
+    val pairs = Multimodal.videoNearDupPairs(docs, "v", "vid",
+        metricName = "graft_kf_pairs_cap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 4L)), s"got $pairs")
+
+    // the SAME payloads through the uniform tier miss the match:
+    // positions 0,3,6,9 of A vs 0,2,4,6 of B are mostly filler
+    val uniform = Multimodal.gifNearDupPairs(docs, "v", "vid",
+        metricName = "graft_kf_uniform_cap",
+        decoder = Multimodal.Mp4FrameDecoder)
+      .collect()
+    assert(uniform.isEmpty,
+      s"uniform sampling must miss the re-cut: ${uniform.toSeq}")
+
+    // the sampling plan is auditable: sample_pos is the keyframe
+    // ordinal, frame_idx the true 0-based sample index
+    val plan = Multimodal.videoFrameHashes(
+        Seq((1L, vidA)).toDF("vid", "v"), "v")
+      .select("sample_pos", "frame_idx", "n_frames")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(plan == Set((0, 0, 4), (1, 3, 4), (2, 4, 4), (3, 9, 4)),
+      s"got $plan")
+
+    // fallback: payloads WITHOUT a BMFF keyframe index (GIF; MP4
+    // without stss = every sample sync) ride uniform sampling — the
+    // two tiers agree exactly on such a corpus
+    val f0 = Array.tabulate(72)(i => (i * 7) % 256)
+    val f1 = f0.map(v => 255 - v)
+    val f2 = f0.map(v => (v + 96) % 256)
+    val gif = Multimodal.syntheticGrayGif(9, 8, Seq(f0, f1, f2))
+    val mov = Multimodal.syntheticGrayMov(9, 8, Seq(f0, f1, f2))
+    val mixed = Seq((1L, gif), (2L, mov)).toDF("vid", "v")
+    val dec = Multimodal.FrameDecoders.firstOf(
+      Multimodal.GifFrameDecoder, Multimodal.Mp4FrameDecoder)
+    val viaVideo = Multimodal.videoNearDupPairs(mixed, "v", "vid",
+        metricName = "graft_kf_fb_cap", decoder = dec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGif = Multimodal.gifNearDupPairs(mixed, "v", "vid",
+        metricName = "graft_kf_fb2_cap", decoder = dec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaVideo == viaGif && viaVideo == Set((1L, 2L, 3L)),
+      s"video=$viaVideo gif=$viaGif")
+    ()
+  }
 }
 
 /** A synthetic NON-GIF multi-frame container for the FrameDecoder
