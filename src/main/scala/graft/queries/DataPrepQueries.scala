@@ -6587,6 +6587,80 @@ object DataPrepQueries {
               graft.operators.Multimodal.AviFrameDecoder,
               graft.operators.Multimodal.Mp4FrameDecoder))
           .orderBy("id_a", "id_b")
+      }),
+
+    // The KEYFRAME SAMPLING PLAN oracle-pinned: q158's
+    // JPEG-surviving construction, but the four keyframe grids hide
+    // at NON-UNIFORM sync sample numbers inside longer MJPEG videos
+    // whose other samples are decoy filler — leg A: 12 samples with
+    // stss {1,4,5,10}; leg B: a re-cut, 9 samples with stss
+    // {2,3,7,9} and DIFFERENT filler. The keyframe contents are
+    // functions of (base, keyframe ORDINAL) only, so the DuckDB
+    // oracle never mentions sample numbers at all — it derives 4
+    // ordinal hashes per doc from the generative formula and pairs
+    // docs positionally. The Spark side only reproduces those hashes
+    // if the stss walk picks EXACTLY the sync samples and the
+    // ordinal becomes the position: sampling uniformly, off-by-one
+    // in the 1-based sample numbering, or reading the wrong stsc
+    // chunk mapping all land on filler grids (different md5 seed
+    // space) and the pair set collapses. Pins videoFrameHashes'
+    // plan + Mp4FrameDecoder's random access + the shared positional
+    // core in one row.
+    QueryDef("q159_keyframe_video_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 60 AS base
+                 FROM documents WHERE doc_id < 120),
+      px AS (SELECT d.doc_id, f.f, y.y, x.x,
+               64 + 128 * ((x.x + ('0x' || substr(md5('kf:' || CAST(d.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)), 1, 2))::INT % 2) % 2) AS g
+             FROM d
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+             FROM h a JOIN h b ON a.doc_id < b.doc_id AND a.f = b.f
+               AND bit_count(xor(a.h, b.h)) <= 3
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_matched
+      FROM pr WHERE nm >= 3 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val mk = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = docId % 60
+          def altGrid(seed: String): Array[Int] = Array.tabulate(8 * 9) { i =>
+            val y = i / 9; val x = i % 9
+            val r = java.lang.Byte.toUnsignedInt(
+              md.digest(s"$seed:$y".getBytes("UTF-8"))(0)) & 1
+            64 + 128 * ((x + r) % 2)
+          }
+          val keys = (0 until 4).map(j => altGrid(s"kf:$base:$j"))
+          if (docId < 60) {
+            val sync = Seq(1, 4, 5, 10)
+            val frames = (1 to 12).map { n =>
+              val j = sync.indexOf(n)
+              if (j >= 0) keys(j) else altGrid(s"fillA:$base:$n")
+            }
+            graft.operators.Multimodal.syntheticMjpegMp4Keyframed(
+              9, 8, frames, sync)
+          } else {
+            val sync = Seq(2, 3, 7, 9)
+            val frames = (1 to 9).map { n =>
+              val j = sync.indexOf(n)
+              if (j >= 0) keys(j) else altGrid(s"fillB:$base:$n")
+            }
+            graft.operators.Multimodal.syntheticMjpegMp4Keyframed(
+              9, 8, frames, sync)
+          }
+        }
+        val vids = t(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id"), mk(col("doc_id")).as("v"))
+        graft.operators.Multimodal.videoNearDupPairs(vids, "v", "doc_id",
+            metricName = "graft_q159_kf_cap")
+          .orderBy("id_a", "id_b")
       })
   )
 }
