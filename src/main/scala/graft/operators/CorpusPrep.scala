@@ -464,6 +464,44 @@ object CorpusPrep {
     }
   }
 
+  /** Kept-row trace frame, with the audioseg tier's honest
+    * refusal surfaced: when `cfg.audioSegCol` is set, a kept doc
+    * whose payload decodes audio METADATA but not PCM under
+    * `cfg.audioDecoder` (a compressed codec with no plug-in — MP3 /
+    * Vorbis / Opus under the default JDK decoder) gets detail
+    * `undecodable_pcm ...` instead of null: the tier KEPT the doc
+    * without ever judging it (the undecodable-keeps rule, same as
+    * the image/GIF tiers), and the trace must say so rather than
+    * let "kept" read as "fingerprinted and unique". Non-audio junk
+    * stays null-detailed — the tier never claimed to judge it.
+    * With no audioseg tier this is byte-identical to the
+    * pre-round-17 kept rows (trace oracles hash these strings). */
+  private def keptRows(kept: DataFrame, source: DataFrame, idCol: String,
+      cfg: Config): DataFrame = {
+    val base = kept.select(col(kept.columns.head).as(idCol))
+    cfg.audioSegCol match {
+      case None =>
+        base.select(col(idCol), lit("kept").as("stage"),
+          lit(null).cast("string").as("detail"))
+      case Some(ac) =>
+        implicit val sp: org.apache.spark.sql.SparkSession =
+          source.sparkSession
+        val flagged = Multimodal.withPcmUndecodable(
+          source.select(col(idCol), col(ac)), ac, "_trc_updec",
+          cfg.audioDecoder)
+        base
+          .join(flagged.select(col(idCol), col("_trc_updec")),
+            Seq(idCol), "left")
+          .select(col(idCol), lit("kept").as("stage"),
+            when(col("_trc_updec"),
+              lit("undecodable_pcm: audio metadata decoded but the " +
+                "configured PcmDecoder cannot open this codec — kept " +
+                "WITHOUT segment fingerprints; plug an external decoder " +
+                "into cfg.audioDecoder to judge it"))
+              .otherwise(lit(null).cast("string")).as("detail"))
+    }
+  }
+
   /** Violated fine repetition gates for a dropped doc, as a trace
     * detail suffix ("; violated dup_line_frac>0.2,...") — empty when
     * the knob is off or when the raw text is NULL. Computed from the
@@ -1037,7 +1075,7 @@ object CorpusPrep {
             concat(lit("sample draw "),
               round(Mixing.unitHash(col(idCol), "corpusprep"), 6),
               lit(" fell outside the keep rate")).cast("string").as("detail"))
-      out += stageRows(tIds(sampled), "kept", lit(null))
+      out += keptRows(tIds(sampled), docs, idCol, cfg)
       // EAGER: pin the debug-sized result, then release every stage
       out.reduce(_ unionByName _).localCheckpoint(true)
     } finally { kit.release() }
@@ -1355,7 +1393,7 @@ object CorpusPrep {
             concat(lit("sample draw "),
               round(Mixing.unitHash(col(idCol), "corpusprep"), 6),
               lit(" fell outside the keep rate")).cast("string").as("detail"))
-      out += stageRows(tIds(sampled), "kept", lit(null))
+      out += keptRows(tIds(sampled), docs, idCol, cfg)
       out.reduce(_ unionByName _).localCheckpoint(true)
     } finally { kit.release() }
   }
@@ -1732,7 +1770,7 @@ object CorpusPrep {
             concat(lit("sample draw "),
               round(Mixing.unitHash(col(idCol), "corpusprep"), 6),
               lit(" fell outside the keep rate")).cast("string").as("detail"))
-      out += stageRows(tIds(sampled), "kept", lit(null))
+      out += keptRows(tIds(sampled), batch, idCol, cfg)
       out.reduce(_ unionByName _).localCheckpoint(true)
     } finally { kit.release() }
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 
 /** Multimodal-column plumbing for a training-data pipeline: images /
   * audio / video ride as opaque `binary` columns with typed metadata;
@@ -3344,6 +3344,51 @@ object Multimodal {
           finally pcm.close()
       }
     }
+  }
+
+  /** Flags payloads that are REAL audio the segment tier cannot
+    * fingerprint: the metadata walk (`AutoAudioMetaDecoder` — MP3 /
+    * FLAC / Ogg Vorbis / Opus / RIFF-WAV headers) decodes `ok` but
+    * the given `PcmDecoder` does not open the payload, i.e. a
+    * compressed codec with no PCM plug-in installed. Such rows KEEP
+    * through the audioseg tier (the undecodable-keeps rule, same as
+    * the image/GIF tiers), but a dedup user deserves to SEE that the
+    * tier never judged them — the prep traces stamp kept rows with
+    * `undecodable_pcm` from this flag. Random junk (metadata does
+    * not decode either) stays unflagged: the tier contract never
+    * claimed to judge non-audio bytes. One decoder pair per task;
+    * open-then-close only, no samples read. */
+  def withPcmUndecodable(df: DataFrame, binaryCol: String,
+      outCol: String = "pcm_undecodable",
+      decoder: PcmDecoder = JdkPcmDecoder)(
+      implicit spark: SparkSession): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input column $outCol collides with withPcmUndecodable's output")
+    val idx = requireBinary(df, binaryCol)
+    val outSchema = df.schema.add(outCol, BooleanType)
+    df.mapPartitions { it =>
+      val meta = new AutoAudioMetaDecoder
+      it.map { r =>
+        val b = binaryOf(r, idx)
+        val flag =
+          if (b == null || b.isEmpty) false
+          else {
+            val metaOk =
+              try meta.decode(b).ok
+              catch { case scala.util.control.NonFatal(_) => false }
+            metaOk && {
+              val opened =
+                try decoder.open(b)
+                catch { case scala.util.control.NonFatal(_) => None }
+              opened match {
+                case Some(pcm) => pcm.close(); false
+                case None => true
+              }
+            }
+          }
+        Row.fromSeq(r.toSeq :+ flag)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** One row per audio SEGMENT: (`sample_pos`, `n_segments`, `outCol`

@@ -985,6 +985,53 @@ class CorpusPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("audioseg trace: a metadata-decoding clip the PcmDecoder cannot open surfaces as undecodable_pcm on its kept row; decodable and non-audio rows stay null") {
+    // a real WAV (PCM decodes), a real MP3 (metadata walk decodes,
+    // the JDK PcmDecoder has no MPEG codec), and non-audio junk
+    val wav = Multimodal.syntheticPcmWav(
+      Array.tabulate[Short](2080)(i => ((i * 31) % 2001 - 1000).toShort))
+    val mp3 = Multimodal.syntheticMp3(100)
+    val junk = "not audio at all, just opaque bytes".getBytes("UTF-8")
+    val docs = Seq(
+      (1L, "the first document talks about entirely maritime navigation topics", wav),
+      (2L, "a second text concerning volcanic geology and mineral formations", mp3),
+      (3L, "third entry describing renaissance painting techniques in detail", junk)
+    ).toDF("doc_id", "text", "aud")
+    val cfg = CorpusPrep.Config(audioSegCol = Some("aud"),
+      audioSegmentFrames = 520L, audioMaxSegments = 4)
+    // all three keep (undecodable keeps — the tier never judged 2
+    // and 3), but the trace must SAY the tier never judged doc 2
+    val tr = CorpusPrep.prepTrace(docs, Seq(1L, 2L, 3L).toDF("id"),
+        cfg = cfg)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(tr.values.forall(_._1 == "kept"), s"got $tr")
+    assert(tr(2L)._2.exists(_.startsWith("undecodable_pcm")), s"${tr(2L)}")
+    assert(tr(2L)._2.exists(_.contains("cfg.audioDecoder")),
+      s"the plug-in path must be named: ${tr(2L)}")
+    assert(tr(1L)._2.isEmpty, s"decodable clip must stay null: ${tr(1L)}")
+    assert(tr(3L)._2.isEmpty, s"non-audio junk must stay null: ${tr(3L)}")
+
+    // the incremental trace carries the same stamp
+    val standing = Seq((0L, "standing corpus text about maritime things",
+      wav)).toDF("doc_id", "clean_text", "aud")
+    val segIdx = Multimodal.audioSegmentHashBandIndex(
+      standing.select(col("aud")), "aud", 520L, 4)(spark)
+    val itr = CorpusPrep.prepTraceIncremental(standing, docs,
+        Seq(2L, 3L).toDF("id"), cfg = cfg, audioSegIndex = Some(segIdx))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(itr(2L)._1 == "kept" &&
+      itr(2L)._2.exists(_.startsWith("undecodable_pcm")), s"$itr")
+    assert(itr(3L)._1 == "kept" && itr(3L)._2.isEmpty, s"$itr")
+
+    // the flag primitive itself: metadata-ok + pcm-closed semantics
+    val flags = Multimodal.withPcmUndecodable(
+        docs.select(col("doc_id"), col("aud")), "aud")(spark)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map(1L -> false, 2L -> true, 3L -> false), s"$flags")
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"
