@@ -221,6 +221,66 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         metricName = "graft_im_act_gif_cap")(spark)
       assert(IndexMaintenance.compactNow(spark, s"$root/gifi") == "hashband")
       assert(Multimodal.readGifHashBandIndex(spark, s"$root/gifi").count() > 0)
+      // the FIFTH family end-to-end through the sweep: a tripped
+      // AUDIO positional root (half its clips deleted) is flagged,
+      // compacted by the act phase, its verdict clears, and the
+      // compacted artifact still SERVES a probe — the same pin the
+      // GIF root has, so the audio family cannot drift out of the
+      // sweep contract
+      // clips whose per-segment envelope fingerprints realize
+      // PRESCRIBED hashes (the AudioSegmentSpec device: amp walk from
+      // 128 stepping by the hash bits, window-constant magnitude) —
+      // two uniform-noise waves would fingerprint near-identically
+      // (the envelope is an ENERGY profile) and the probe could not
+      // tell the clips apart
+      def wave(h1: Long, h2: Long): Array[Byte] = {
+        def amps(h: Long): Array[Int] = {
+          val a = new Array[Int](65); a(0) = 128
+          (0 until 64).foreach(i =>
+            a(i + 1) = a(i) + (if (((h >>> i) & 1L) == 1L) 1 else -1))
+          a
+        }
+        val samples = new Array[Short](2 * 520)
+        Seq(h1, h2).zipWithIndex.foreach { case (h, s) =>
+          val as = amps(h)
+          for (w <- 0 until 65; j <- 0 until 8) {
+            val gi = s * 520 + w * 8 + j
+            val m = as(w) * 77
+            samples(gi) = (if (gi % 2 == 0) m else -m).toShort
+          }
+        }
+        Multimodal.syntheticPcmWav(samples)
+      }
+      val clipA = wave(0x0123456789ABCDEFL, 0x00FF00FF00FF00FFL)
+      val clipB = wave(0xFEDCBA9876543210L, 0x0F0F0F0F0F0F0F0FL)
+      Multimodal.writeAudioSegmentHashBandIndex(
+        Seq((1L, clipA), (2L, clipB)).toDF("aid", "clip"),
+        "clip", "aid", s"$root/audi", segmentFrames = 520L,
+        maxSegments = 4, metricName = "graft_im_act_audio_cap")(spark)
+      Dedup.deleteFromHashBandIndex(spark, s"$root/audi",
+        Seq(1L).toDF("aid"), "aid")
+      val audioReport = IndexMaintenance.sweepAndCompact(spark,
+        Seq(s"$root/audi")).collect()(0)
+      assert(audioReport.getAs[String]("layout") == "positional" &&
+        audioReport.getAs[Boolean]("compacted") &&
+        !audioReport.getAs[Boolean]("compact") &&
+        audioReport.getAs[String]("error") == null,
+        s"audio act row: $audioReport")
+      assert(Dedup.hashBandIndexStats(spark, s"$root/audi")
+        .tombstonedRows == 0, "tombstones really left the audio artifact")
+      // the swept artifact still answers (filterAgainst KEEPS rows
+      // that miss the index): a probe of the deleted clip keeps —
+      // its standing twin is really gone — while a probe of the
+      // surviving clip is filtered out as a near-dup
+      val audiIdx = Multimodal.readAudioSegmentHashBandIndex(
+        spark, s"$root/audi", segmentFrames = 520L)
+      val kept = Multimodal.audioNearDupFilterAgainst(
+          Seq((10L, clipA), (20L, clipB)).toDF("pid", "clip"),
+          "clip", "pid", audiIdx, segmentFrames = 520L,
+          maxSegments = 4, minSegmentMatches = 2)(spark)
+        .select("pid").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L),
+        s"post-compaction filter must keep only the deleted clip's probe: $kept")
     }
   }
 
