@@ -35,6 +35,10 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // native expressions + the version-interval join rewrite Rule
+      // (a deployment sets spark.sql.extensions; here it rides the
+      // builder so Verify/Bench/tests exercise the same injection)
+      .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

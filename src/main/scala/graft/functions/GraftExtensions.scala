@@ -23,6 +23,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VersionCmp(exprs(0), exprs(1))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("version_key"),
+      new ExpressionInfo(classOf[VersionKey].getName, "version_key"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"version_key requires 1 argument, got ${exprs.length}")
+        VersionKey(exprs.head)
+      }))
+    // SURVEY §4.2's optional Rule: version_cmp interval joins
+    // rewrite to bucket equi-joins on the version_key coarsening
+    // (exact — unkeyable residue unions back via nested loop).
+    // spark.graft.versionIntervalJoin.enabled=false opts out.
+    extensions.injectOptimizerRule(_ => graft.plans.VersionIntervalJoinRule)
+    extensions.injectFunction((
       new FunctionIdentifier("version_valid"),
       new ExpressionInfo(classOf[VersionValid].getName, "version_valid"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

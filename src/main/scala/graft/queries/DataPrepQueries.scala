@@ -6661,6 +6661,49 @@ object DataPrepQueries {
         graft.operators.Multimodal.videoNearDupPairs(vids, "v", "doc_id",
             metricName = "graft_q159_kf_cap")
           .orderBy("id_a", "id_b")
+      }),
+
+    // SURVEY §4.2's LAST optional sentence, driver-pinned: the
+    // version-interval join written as plain SQL with NO equi key —
+    // the shape Spark plans as a nested loop — goes through the
+    // injected VersionIntervalJoinRule (GraftSession carries
+    // GraftExtensions), which rewrites it to a bucket equi-join on
+    // the version_key monotone coarsening with an exact fallback
+    // union. Versions are M.m with single-digit components, so the
+    // DuckDB oracle replays the dpkg comparison as integer tuple
+    // compare — the hash match pins that the REWRITTEN plan computes
+    // exactly the naive join's answer through the driver contract,
+    // not just in the spec.
+    QueryDef("q160_version_interval_join", Some("""
+      WITH inv AS (SELECT p_partkey AS pid, (p_partkey % 7) AS vmaj,
+                          (p_partkey % 10) AS vmin
+                   FROM part WHERE p_partkey < 300),
+      adv AS (SELECT s_suppkey AS aid, (s_suppkey % 5) AS lmaj,
+                     (s_suppkey % 6) AS lmin,
+                     (s_suppkey % 5 + 2) AS hmaj, (s_suppkey % 8) AS hmin
+              FROM supplier WHERE s_suppkey < 50)
+      SELECT a.aid, CAST(count(*) AS BIGINT) AS n_affected
+      FROM inv i JOIN adv a
+        ON (i.vmaj > a.lmaj OR (i.vmaj = a.lmaj AND i.vmin >= a.lmin))
+       AND (i.vmaj < a.hmaj OR (i.vmaj = a.hmaj AND i.vmin < a.hmin))
+      GROUP BY a.aid ORDER BY a.aid"""),
+      (s, dir) => {
+        t(s, dir, "part").filter(col("p_partkey") < 300)
+          .select(col("p_partkey").as("pid"),
+            concat(col("p_partkey") % 7, lit("."), col("p_partkey") % 10)
+              .as("v"))
+          .createOrReplaceTempView("g_q160_inv")
+        t(s, dir, "supplier").filter(col("s_suppkey") < 50)
+          .select(col("s_suppkey").as("aid"),
+            concat(col("s_suppkey") % 5, lit("."), col("s_suppkey") % 6)
+              .as("lo"),
+            concat(col("s_suppkey") % 5 + 2, lit("."), col("s_suppkey") % 8)
+              .as("hi"))
+          .createOrReplaceTempView("g_q160_adv")
+        s.sql("""SELECT a.aid, count(*) AS n_affected
+                 FROM g_q160_inv p JOIN g_q160_adv a
+                 ON version_cmp(p.v, a.lo) >= 0 AND version_cmp(p.v, a.hi) < 0
+                 GROUP BY a.aid ORDER BY a.aid""")
       })
   )
 }
