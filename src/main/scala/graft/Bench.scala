@@ -248,10 +248,12 @@ object Bench {
     // repo-relative path: the round artifact stays self-contained
     // even when a log-scraping driver truncates the giant per-query
     // line's tail (three rounds of "parsed": null recovered by hand
-    // from /tmp — this retires that failure mode).
+    // from /tmp — this retires that failure mode). SUBSET runs skip
+    // the stable path — an A/B smoke must never clobber the last
+    // full-sweep artifact (it did, once).
     val outFiles = Seq(
-      sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-      "bench_last.json")
+      Some(sys.env.getOrElse("GRAFT_BENCH_OUT", "/tmp/graft_bench.json")),
+      if (only.isEmpty) Some("bench_last.json") else None).flatten
     outFiles.distinct.foreach { outFile =>
       try {
         val w = new java.io.PrintWriter(outFile, "UTF-8")

@@ -39,6 +39,8 @@ object GraftSession {
       // (a deployment sets spark.sql.extensions; here it rides the
       // builder so Verify/Bench/tests exercise the same injection)
       .withExtensions(new functions.GraftExtensions)
+      .config("spark.graft.versionIntervalJoin.enabled",
+        sys.env.getOrElse("GRAFT_VIJ_ENABLED", "true"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
