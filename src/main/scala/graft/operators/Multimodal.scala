@@ -2965,6 +2965,94 @@ object Multimodal {
       .withColumn("_hs", col("_hs").as("_hs", sampleWidthMeta(nFrames)))
   }
 
+  /** KEYFRAME-sampled standing index — `gifHashBandIndex` with the
+    * sampling plan from the container's sync-sample table
+    * (`videoFrameHashes`): positions are keyframe ORDINALS, so a
+    * probe aligns re-cuts by I-frame sequence against the standing
+    * corpus exactly like `videoNearDupPairs` does in-corpus. The
+    * artifact SHAPE is the positional hash-band layout, byte-for-byte
+    * — same banding, same caps, same width record — so every
+    * maintenance tool (healthSweep, sweepAndCompact, delete, rebuild)
+    * already serves it; only the frames' PROVENANCE differs, which
+    * is why probing a keyframe index with the uniform tier (or vice
+    * versa) is a semantic mix the width guard cannot catch — keep
+    * one sampling plan per index root, as the build function name
+    * states. */
+  def videoKeyframeHashBandIndex(standing: DataFrame, videoCol: String,
+      nFrames: Int = 4, maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_video_kf_index_cap",
+      decoder: FrameDecoder = Mp4FrameDecoder)(
+      implicit spark: SparkSession): DataFrame = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    val frames = videoFrameHashes(standing.select(col(videoCol)),
+        videoCol, nFrames, "_h", decoder)
+      .select(col("sample_pos"), col("_h"))
+    val bands = frames.select(col("sample_pos"), col("_h"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("_h"), 16 * k).bitwiseAND(lit(65535L))): _*)))
+      .toDF("sample_pos", "_h", "_k", "_band")
+    HotKeys.cap(bands, Seq(col("sample_pos"), col("_k"), col("_band")),
+        maxBucket, minPerKey = 1, metricName = metricName)
+      .groupBy("sample_pos", "_k", "_band")
+      .agg(collect_list("_h").as("_hs"))
+      .withColumn("_hs", col("_hs").as("_hs", sampleWidthMeta(nFrames)))
+  }
+
+  /** Persist a keyframe-sampled index — `writeGifHashBandIndex` with
+    * `videoFrameHashes` frames; read it back with
+    * `readGifHashBandIndex` (identical layout and width record). */
+  def writeVideoKeyframeHashBandIndex(standing: DataFrame,
+      videoCol: String, idCol: String, path: String, nFrames: Int = 4,
+      maxBucket: Int = HotKeys.DefaultBucketCap,
+      metricName: String = "graft_video_kf_index_write_cap",
+      outFiles: Int = 4,
+      decoder: FrameDecoder = Mp4FrameDecoder)(
+      implicit spark: SparkSession): Unit = {
+    require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+    require(idCol != "sample_pos",
+      "idCol 'sample_pos' collides with the positional layout's own column")
+    val frames = videoFrameHashes(standing.select(col(idCol), col(videoCol)),
+        videoCol, nFrames, "_h", decoder)
+      .select(col(idCol), col("sample_pos"), col("_h"))
+    Dedup.writeHashBandIndexFrame(frames, idCol, Seq("sample_pos"), videoCol,
+      path, maxBucket, metricName, outFiles, sampleCap = nFrames.toLong)
+  }
+
+  /** Keep the rows whose video does NOT near-dup the standing corpus
+    * under KEYFRAME alignment — `gifNearDupFilterAgainst` with the
+    * probe frames sampled at the container's sync samples
+    * (`videoFrameHashes`), against a `videoKeyframeHashBandIndex`.
+    * Everything documented on the GIF filter holds verbatim (adaptive
+    * length gate, bounded shift, width-mismatch refusal via the
+    * `_hs` metadata, undecodable-keeps, the stated standing-side
+    * length asymmetry) — it is the same `positionalFilterAgainst`
+    * core; only the sampling plan differs. */
+  def videoNearDupFilterAgainst(df: DataFrame, videoCol: String,
+      idCol: String, index: DataFrame, nFrames: Int = 4,
+      maxHamming: Int = 3, minFrameMatches: Int = 3,
+      broadcastIndex: Boolean = true,
+      decoder: FrameDecoder = Mp4FrameDecoder, maxShift: Int = 0)(
+      implicit spark: SparkSession): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(minFrameMatches >= 1 && minFrameMatches <= nFrames,
+      s"minFrameMatches must be in [1, nFrames=$nFrames], got $minFrameMatches")
+    require(maxShift >= 0 && maxShift < nFrames,
+      s"maxShift must be in [0, nFrames=$nFrames), got $maxShift")
+    indexSampleWidth(index).foreach { built =>
+      require(built == nFrames.toLong,
+        s"videoNearDupFilterAgainst: index carries sample width $built " +
+          s"(nFrames at build/read) but this probe samples at $nFrames — " +
+          "probe with the index's width, or rebuild the index at the " +
+          "probe's")
+    }
+    val frames = videoFrameHashes(df.select(col(idCol), col(videoCol)),
+        videoCol, nFrames, "_h", decoder)
+      .select(col(idCol), col("sample_pos"), col("_h"),
+        least(lit(nFrames), col("n_frames")).cast("long").as("_nf"))
+    positionalFilterAgainst(df, idCol, frames, index, maxHamming,
+      minFrameMatches, broadcastIndex, maxShift)
+  }
+
   /** The sampling width riding the probe frame as COLUMN METADATA on
     * `_hs` — the device that closes the mixed-width seam: the index
     * builders/readers know the width the signatures were sampled at,

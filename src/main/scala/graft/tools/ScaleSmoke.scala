@@ -726,6 +726,82 @@ object ScaleSmoke {
     timed(s"vuln_scan(${mult * 5}x part inventory)")(
       graft.operators.VulnMatch.affected(inv, ranges).count())
 
+    // the NO-EQUI-KEY version interval join — the shape the injected
+    // VersionIntervalJoinRule exists for. Rewritten: ranges explode
+    // to version_key buckets, the join hash-partitions. The naive
+    // nested loop is timed on a 2% inventory sample (a full naive run
+    // is the quadratic disaster the rule removes); compare per-row.
+    val vinv = inv.select(col("version")).cache()
+    val nInv = vinv.count()
+    // advisory-like NARROW ranges (one major, a 3-minor window —
+    // ~4% selectivity): the realistic profile where bucket pruning
+    // pays; the rewrite touches only the affected major's buckets
+    val vranges = ranges.limit(2000)
+      .select(col("vul_name"),
+        (col("vul_name").substr(lit(3), lit(9)).cast("long") % 5).as("_m"),
+        (col("vul_name").substr(lit(3), lit(9)).cast("long") % 6).as("_n"))
+      .select(col("vul_name"),
+        concat(col("_m"), lit("."), col("_n")).as("lo"),
+        concat(col("_m"), lit("."), col("_n") + 3).as("hi"))
+      .cache()
+    vranges.count()
+    vinv.createOrReplaceTempView("smoke_vij_inv")
+    vranges.createOrReplaceTempView("smoke_vij_rng")
+    timed(s"version_interval_join(rewritten, ${nInv} x 2000, no equi key)") {
+      spark.sql("""SELECT count(*) FROM smoke_vij_inv i JOIN smoke_vij_rng r
+                   ON version_cmp(i.version, r.lo) >= 0
+                  AND version_cmp(i.version, r.hi) < 0""")
+        .collect()(0).getLong(0)
+    }
+    timed("version_interval_join(naive nested loop, 2% sample)") {
+      spark.conf.set("spark.graft.versionIntervalJoin.enabled", "false")
+      try {
+        vinv.sample(0.02, seed = 7).createOrReplaceTempView("smoke_vij_inv2")
+        spark.sql("""SELECT count(*) FROM smoke_vij_inv2 i JOIN smoke_vij_rng r
+                     ON version_cmp(i.version, r.lo) >= 0
+                    AND version_cmp(i.version, r.hi) < 0""")
+          .collect()(0).getLong(0)
+      } finally spark.conf.set("spark.graft.versionIntervalJoin.enabled", "true")
+    }
+
+    // keyframe-sampled video tier: 20k MJPEG clips (6 samples, 4
+    // non-uniform keyframes each; ~200 distinct footage groups so the
+    // pair output stays bounded), the decode priced where it runs
+    val mkKf = udf { (docId: Long) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val base = docId % 200
+      val sync = Seq(1, 3, 4, 6)
+      val frames = (1 to 6).map { n =>
+        val j = sync.indexOf(n)
+        val seed = if (j >= 0) s"kf:$base:$j" else s"fill:$docId:$n"
+        Array.tabulate(8 * 9) { i =>
+          val y = i / 9; val x = i % 9
+          val r = java.lang.Byte.toUnsignedInt(
+            md.digest(s"$seed:$y".getBytes("UTF-8"))(0)) & 1
+          64 + 128 * ((x + r) % 2)
+        }
+      }
+      graft.operators.Multimodal.syntheticMjpegMp4Keyframed(
+        9, 8, frames, sync)
+    }
+    val kfCorpus = docs.select(col("doc_id")).limit(20000)
+      .select(col("doc_id"), mkKf(col("doc_id")).as("v")).cache()
+    kfCorpus.count()
+    val kfIdxDir = java.nio.file.Files.createTempDirectory("smoke_kfidx_")
+      .toFile.getAbsolutePath
+    timed("video_keyframe_index_write(20k mjpeg clips)") {
+      graft.operators.Multimodal.writeVideoKeyframeHashBandIndex(
+        kfCorpus, "v", "doc_id", kfIdxDir)(spark)
+      graft.operators.Multimodal.readGifHashBandIndex(spark, kfIdxDir).count()
+    }
+    timed("video_keyframe_filter(5% batch)") {
+      val idx = graft.operators.Multimodal.readGifHashBandIndex(spark, kfIdxDir)
+      graft.operators.Multimodal.videoNearDupFilterAgainst(
+        kfCorpus.filter(col("doc_id") % 20 === 11)
+          .select((col("doc_id") + lit(800000000L)).as("doc_id"), col("v")),
+        "v", "doc_id", idx)(spark).count()
+    }
+
     spark.stop()
   }
 }

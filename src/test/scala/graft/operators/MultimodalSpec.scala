@@ -1266,6 +1266,36 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaVideo == viaGif && viaVideo == Set((1L, 2L, 3L)),
       s"video=$viaVideo gif=$viaGif")
+
+    // STANDING-INDEX path: the keyframe plan rides the same positional
+    // hash-band machinery — an index over {A, C} filters the re-cut B
+    // as a near-dup while a fresh video keeps; the persisted artifact
+    // round-trips through the SHARED read and refuses a width mismatch
+    val standing = Seq((1L, vidA), (3L, vidC)).toDF("vid", "v")
+    val vidD = Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+      (1 to 8).map(n => grid(s"fresh$n")), syncSamples = Seq(1, 3, 5, 7))
+    val batch2 = Seq((2L, vidB), (4L, vidD)).toDF("vid", "v")
+    val memIdx = Multimodal.videoKeyframeHashBandIndex(standing, "v",
+      metricName = "graft_kf_idx_cap")
+    val keptMem = Multimodal.videoNearDupFilterAgainst(batch2, "v", "vid",
+        memIdx).select("vid").collect().map(_.getLong(0)).toSet
+    assert(keptMem == Set(4L),
+      s"re-cut B must hit the standing keyframe index: $keptMem")
+    withTempDir("kf-idx") { dir =>
+      val path = dir.getAbsolutePath + "/idx"
+      Multimodal.writeVideoKeyframeHashBandIndex(standing, "v", "vid",
+        path, metricName = "graft_kf_idx_wr_cap")
+      val disk = Multimodal.readGifHashBandIndex(spark, path)
+      val keptDisk = Multimodal.videoNearDupFilterAgainst(batch2, "v",
+          "vid", disk).select("vid").collect().map(_.getLong(0)).toSet
+      assert(keptDisk == keptMem, s"disk=$keptDisk mem=$keptMem")
+      // width mismatch refused at the probe, same seam as the GIF tier
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.videoNearDupFilterAgainst(batch2, "v", "vid", disk,
+          nFrames = 3, minFrameMatches = 3)
+      }
+      assert(e.getMessage.contains("sample width"), e.getMessage)
+    }
     ()
   }
 }

@@ -42,6 +42,41 @@ class VersionIntervalJoinSpec extends SparkSpecBase {
     assert(key("999999999999999999999").get >= key("999999999999").get)
   }
 
+  test("version_key monotonicity holds over 400 seeded random versions (all pairs)") {
+    // seeded generator in the house property style (PkgVersionSpec):
+    // random version strings over the full grammar — epochs, digit
+    // runs with leading zeros, '~', letters, '.', '_', '-revision',
+    // rc/pre tails — all pairs checked against compareRaw
+    val rnd = new scala.util.Random(0x6772616674L)
+    val atoms = Seq("0", "1", "9", "10", "007", "4294967296",
+      "9999999999999", "a", "z", "rc1", "pre2", "~", "~~", ".", "_",
+      "-", "beta", "el7", "p")
+    def gen(): String = {
+      val epoch = if (rnd.nextInt(4) == 0) s"${rnd.nextInt(3)}:" else ""
+      val n = 1 + rnd.nextInt(6)
+      epoch + (0 until n).map(_ => atoms(rnd.nextInt(atoms.length)))
+        .mkString("")
+    }
+    val vs = Vector.fill(400)(gen())
+    def key(s: String): Option[Long] =
+      Option(VersionOps.key(UTF8String.fromString(s))).map(_.longValue())
+    val keys = vs.map(key)
+    var checked = 0
+    for (i <- vs.indices; j <- vs.indices; if i < j) {
+      (keys(i), keys(j)) match {
+        case (Some(ka), Some(kb)) =>
+          val c = VersionOps.cmp(vs(i), vs(j))
+          if (ka < kb) assert(c < 0,
+            s"key(${vs(i)})=$ka < key(${vs(j)})=$kb but cmp=$c")
+          if (ka > kb) assert(c > 0,
+            s"key(${vs(i)})=$ka > key(${vs(j)})=$kb but cmp=$c")
+          checked += 1
+        case _ => ()
+      }
+    }
+    assert(checked > 5000, s"generator degenerated: only $checked keyed pairs")
+  }
+
   test("the rewrite is exact: rule-on == rule-off == driver-computed truth, and the plan really bucket-joins") {
     import spark.implicits._
     val pkgs = zoo.zipWithIndex.map { case (v, i) => (i.toLong, v) }
