@@ -178,6 +178,18 @@ object CorpusPrep {
     // an external compressed-codec implementation) and the whole tier
     // rides it unchanged
     gifDecoder: Multimodal.FrameDecoder = Multimodal.GifFrameDecoder,
+    // the SAMPLING-PLAN seam (round 17): false = uniform frame
+    // positions (the GIF default); true = the container's own
+    // sync-sample table (Multimodal.videoFrameHashes — keyframe
+    // ORDINAL positions), so re-cuts of the same footage align by
+    // I-frame sequence. Payloads without a BMFF keyframe index fall
+    // back to uniform sampling, so a mixed corpus still runs in one
+    // pass. The same plan MUST be used on both sides of an
+    // incremental run: pair a keyframe-sampled gifIndex
+    // (videoKeyframeHashBandIndex) with this knob ON — the width
+    // guard cannot catch a uniform-vs-keyframe mix (same width,
+    // different provenance).
+    gifKeyframeSampling: Boolean = false,
     // SEGMENTED audio near-dup tier (audioSegCol — may be the SAME
     // binary column as audioCol): fixed-duration per-segment envelope
     // fingerprints (Multimodal.audioSegmentHashes) through the SAME
@@ -462,6 +474,38 @@ object CorpusPrep {
         }
         .drop("_rep")
     }
+  }
+
+  /** The frame tier's pair search under cfg's sampling plan — ONE
+    * dispatch for all four facade sites, so uniform and keyframe
+    * sampling cannot diverge in tier semantics (same positional
+    * core either way; only the frames' provenance differs). */
+  private def gifTierPairs(df: DataFrame, gc: String, idCol: String,
+      cfg: Config, metricName: String): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = df.sparkSession
+    if (cfg.gifKeyframeSampling)
+      Multimodal.videoNearDupPairs(df, gc, idCol, cfg.gifNFrames,
+        cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
+        metricName, cfg.gifMaxShift, cfg.gifDecoder)
+    else
+      Multimodal.gifNearDupPairs(df, gc, idCol, cfg.gifNFrames,
+        cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
+        metricName, cfg.gifMaxShift, cfg.gifDecoder)
+  }
+
+  /** The frame tier's standing-index probe under cfg's sampling
+    * plan — `gifTierPairs`' filter half. */
+  private def gifTierFilterAgainst(df: DataFrame, gc: String,
+      idCol: String, index: DataFrame, cfg: Config): DataFrame = {
+    implicit val sp: org.apache.spark.sql.SparkSession = df.sparkSession
+    if (cfg.gifKeyframeSampling)
+      Multimodal.videoNearDupFilterAgainst(df, gc, idCol, index,
+        cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches,
+        decoder = cfg.gifDecoder, maxShift = cfg.gifMaxShift)
+    else
+      Multimodal.gifNearDupFilterAgainst(df, gc, idCol, index,
+        cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches,
+        decoder = cfg.gifDecoder, maxShift = cfg.gifMaxShift)
   }
 
   /** Kept-row trace frame, with the audioseg tier's honest
@@ -796,9 +840,7 @@ object CorpusPrep {
     val gifTiered = cfg.gifCol.fold(signatured) { gc =>
       implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
       val clusters = Dedup.duplicateClusters(
-        Multimodal.gifNearDupPairs(signatured, gc, idCol, cfg.gifNFrames,
-          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
-          maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder))
+        gifTierPairs(signatured, gc, idCol, cfg, "graft_gif_band_cap"))
       obs(cfg.keepPreference
         .fold(Dedup.dropNearDuplicates(signatured, idCol, clusters))(
           Dedup.dropNearDuplicatesBy(signatured, idCol, clusters, _)), "gif")
@@ -952,10 +994,7 @@ object CorpusPrep {
       cfg.gifCol.foreach { gc =>
         implicit val sp: org.apache.spark.sql.SparkSession = docs.sparkSession
         val cl = pin(Dedup.duplicateClusters(
-          Multimodal.gifNearDupPairs(cur, gc, idCol, cfg.gifNFrames,
-            cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
-            metricName = "graft_gif_trace_cap",
-            maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder)))
+          gifTierPairs(cur, gc, idCol, cfg, "graft_gif_trace_cap")))
         val after = pin(cfg.keepPreference
           .fold(Dedup.dropNearDuplicates(cur, idCol, cl))(
             Dedup.dropNearDuplicatesBy(cur, idCol, cl, _)))
@@ -1517,14 +1556,9 @@ object CorpusPrep {
       cfg.gifCol.foreach { gc =>
         implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
         val clusters = pin(Dedup.duplicateClusters(
-          Multimodal.gifNearDupPairs(cur, gc, idCol, cfg.gifNFrames,
-            cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
-            metricName = "graft_gif_inctrace_cap",
-            maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder)))
+          gifTierPairs(cur, gc, idCol, cfg, "graft_gif_inctrace_cap")))
         val hitIds = pin(cur.select(col(idCol)).join(
-          Multimodal.gifNearDupFilterAgainst(cur, gc, idCol, gifIndex.get,
-              cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches,
-              decoder = cfg.gifDecoder, maxShift = cfg.gifMaxShift)
+          gifTierFilterAgainst(cur, gc, idCol, gifIndex.get, cfg)
             .select(col(idCol)),
           Seq(idCol), "left_anti"))
         val taintedMembers = pin(clusters.join(
@@ -1910,13 +1944,9 @@ object CorpusPrep {
       implicit val sp: org.apache.spark.sql.SparkSession = batch.sparkSession
       val pinned = signatured.localCheckpoint()
       val clusters = Dedup.duplicateClusters(
-        Multimodal.gifNearDupPairs(pinned, gc, idCol, cfg.gifNFrames,
-          cfg.gifMaxHamming, cfg.gifMinFrameMatches, cfg.maxBucket,
-          maxShift = cfg.gifMaxShift, decoder = cfg.gifDecoder))
+        gifTierPairs(pinned, gc, idCol, cfg, "graft_gif_band_cap"))
       val hitIds = pinned.select(col(idCol)).join(
-        Multimodal.gifNearDupFilterAgainst(pinned, gc, idCol, gifIndex.get,
-            cfg.gifNFrames, cfg.gifMaxHamming, cfg.gifMinFrameMatches,
-            decoder = cfg.gifDecoder, maxShift = cfg.gifMaxShift)
+        gifTierFilterAgainst(pinned, gc, idCol, gifIndex.get, cfg)
           .select(col(idCol)),
         Seq(idCol), "left_anti")
       val taintedMembers = clusters.join(

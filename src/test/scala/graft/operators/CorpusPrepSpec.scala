@@ -1032,6 +1032,59 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(flags == Map(1L -> false, 2L -> true, 3L -> false), s"$flags")
   }
 
+  test("gifKeyframeSampling: the frame tier's sampling plan switches to sync samples — a re-cut collapses that uniform sampling keeps; incremental probes a keyframe index") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grid(seed: String): Array[Int] = Array.tabulate(72) { i =>
+      java.lang.Byte.toUnsignedInt(
+        md.digest(s"$seed:${i / 9}:${i % 9}".getBytes("UTF-8"))(0))
+    }
+    val k = (0 until 4).map(i => grid(s"cpkf$i"))
+    val vidA = Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+      (1 to 12).map {
+        case 1 => k(0); case 4 => k(1); case 5 => k(2); case 10 => k(3)
+        case n => grid(s"cpfillA$n")
+      }, Seq(1, 4, 5, 10))
+    val vidB = Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+      (1 to 9).map {
+        case 2 => k(0); case 3 => k(1); case 7 => k(2); case 9 => k(3)
+        case n => grid(s"cpfillB$n")
+      }, Seq(2, 3, 7, 9))
+    val vidC = Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+      (1 to 10).map(n => grid(s"cpother$n")), Seq(1, 3, 6, 8))
+    val docs = Seq(
+      (1L, "the first document talks about entirely maritime navigation topics", vidA),
+      (2L, "a second text concerning volcanic geology and mineral formations", vidB),
+      (3L, "third entry describing renaissance painting techniques in detail", vidC)
+    ).toDF("doc_id", "text", "vid")
+    val kfCfg = CorpusPrep.Config(gifCol = Some("vid"),
+      gifDecoder = Multimodal.Mp4FrameDecoder, gifKeyframeSampling = true)
+    val kept = CorpusPrep.run(docs, cfg = kfCfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"keyframe plan must collapse the re-cut: $kept")
+    // same corpus, uniform plan: the re-cut samples different frames
+    // and survives — the knob is the difference
+    val keptUniform = CorpusPrep.run(docs, cfg = kfCfg.copy(
+        gifKeyframeSampling = false))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptUniform == Set(1L, 2L, 3L), s"got $keptUniform")
+    // trace names the tier and the survivor under the keyframe plan
+    val tr = CorpusPrep.prepTrace(docs, Seq(2L).toDF("id"), cfg = kfCfg)
+      .collect()(0)
+    assert(tr.getString(1) == "gif" && tr.getString(2).contains("1"),
+      s"trace: $tr")
+    // incremental: standing = {A}; the batch re-cut hits the
+    // KEYFRAME standing index and drops, the unrelated clip keeps
+    val standing = Seq((0L, "standing corpus text about maritime things",
+      vidA)).toDF("doc_id", "clean_text", "vid")
+    val kfIdx = Multimodal.videoKeyframeHashBandIndex(
+      standing.select(col("vid")), "vid")(spark)
+    val incKept = CorpusPrep.runIncremental(standing,
+        docs.filter(col("doc_id") > 1L), cfg = kfCfg,
+        gifIndex = Some(kfIdx))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incKept == Set(3L), s"got $incKept")
+  }
+
   test("maxHotSpans gate drops only docs over the repeated-span budget") {
     val boilerA = "this content is provided without any warranty whatsoever"
     val boilerB = "all trademarks belong to their respective legal owners"
