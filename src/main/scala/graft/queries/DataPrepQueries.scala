@@ -6704,6 +6704,137 @@ object DataPrepQueries {
                  FROM g_q160_inv p JOIN g_q160_adv a
                  ON version_cmp(p.v, a.lo) >= 0 AND version_cmp(p.v, a.hi) < 0
                  GROUP BY a.aid ORDER BY a.aid""")
+      }),
+
+    // The KEYFRAME incremental facade end-to-end — q146's
+    // taint-closure device under the round-17 sampling-plan knob
+    // (Config.gifKeyframeSampling) with q159's JPEG-surviving
+    // construction: standing = 15 master cuts (12 samples, stss
+    // {1,4,5,10}); the batch mixes re-cuts of standing footage (9
+    // samples, stss {2,3,7,9} — different sample numbers, same
+    // keyframe contents), PAIRS of re-cuts of the same footage
+    // (within-batch clusters that are also standing hits — the taint
+    // rule), fresh singletons, and fresh within-batch pairs
+    // (keep-earliest, no taint). Keyframe contents are functions of
+    // (base, ordinal) only, so the oracle re-derives every hash,
+    // every within-batch pair, every standing hit, the taint
+    // closure, and the survivor rule in SQL — without sample
+    // numbers, JPEG bytes, or the index artifact. A green row pins
+    // the facade dispatch, videoNearDupFilterAgainst against a
+    // persisted videoKeyframeHashBandIndex, and runIncremental's
+    // cluster semantics in one driver-visible check.
+    QueryDef("q161_prep_keyframe_incremental", Some("""
+      WITH RECURSIVE
+      bd AS (
+        SELECT 2000 + b AS doc_id, b AS base FROM range(0, 10) t(b)
+        UNION ALL SELECT 2100 + b, b FROM range(0, 10) t(b)
+        UNION ALL SELECT 2200 + b, b FROM range(15, 25) t(b)
+        UNION ALL SELECT 2300 + b, b FROM range(25, 35) t(b)
+        UNION ALL SELECT 2400 + b, b FROM range(25, 35) t(b)),
+      sd AS (SELECT 1000 + b AS doc_id, b AS base FROM range(0, 15) t(b)),
+      allg AS (SELECT * FROM bd UNION ALL SELECT * FROM sd),
+      px AS (SELECT a.doc_id, f.f, y.y, x.x,
+               64 + 128 * ((x.x + ('0x' || substr(md5('kf:' || CAST(a.base AS VARCHAR) || ':' || CAST(f.f AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)), 1, 2))::INT % 2) % 2) AS g
+             FROM allg a
+               CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+               CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+               CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x),
+      h AS MATERIALIZED (SELECT p1.doc_id, p1.f,
+              bit_or(CASE WHEN p2.g > p1.g THEN (1::UBIGINT << (p1.y * 8 + p1.x)) ELSE 0::UBIGINT END) AS h
+            FROM px p1 JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.f = p1.f
+              AND p2.y = p1.y AND p2.x = p1.x + 1
+            GROUP BY p1.doc_id, p1.f),
+      bh AS (SELECT h.* FROM h JOIN bd USING (doc_id)),
+      sh AS (SELECT h.* FROM h JOIN sd USING (doc_id)),
+      pr AS MATERIALIZED (
+        SELECT a.doc_id AS pa, b.doc_id AS pb
+        FROM bh a JOIN bh b ON a.doc_id < b.doc_id AND a.f = b.f
+          AND bit_count(xor(a.h, b.h)) <= 3
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+      hits AS MATERIALIZED (
+        SELECT b.doc_id FROM (
+          SELECT DISTINCT bb.doc_id, bb.f
+          FROM bh bb JOIN sh ss ON ss.f = bb.f
+            AND bit_count(xor(bb.h, ss.h)) <= 3) b
+        GROUP BY b.doc_id HAVING count(*) >= 3),
+      edges AS (SELECT pa AS s, pb AS d FROM pr UNION SELECT pb, pa FROM pr),
+      reach AS (
+        SELECT s AS a, s AS b FROM (SELECT DISTINCT s FROM edges) v
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+      clus AS MATERIALIZED (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+      tainted AS (SELECT DISTINCT c.cluster FROM clus c
+                  JOIN hits ON c.id = hits.doc_id),
+      drops AS (
+        SELECT doc_id FROM hits
+        UNION SELECT id FROM clus WHERE cluster IN (SELECT cluster FROM tainted)
+        UNION SELECT id FROM clus
+          WHERE cluster NOT IN (SELECT cluster FROM tainted) AND id <> cluster)
+      SELECT doc_id FROM bd
+      WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val standingIds = (0 until 15).map(b => (1000L + b, b.toLong))
+        val batchIds =
+          (0 until 10).map(b => (2000L + b, b.toLong)) ++
+          (0 until 10).map(b => (2100L + b, b.toLong)) ++
+          (15 until 25).map(b => (2200L + b, b.toLong)) ++
+          (25 until 35).map(b => (2300L + b, b.toLong)) ++
+          (25 until 35).map(b => (2400L + b, b.toLong))
+        val mkVid = udf { (docId: Long, base: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def altGrid(seed: String): Array[Int] = Array.tabulate(8 * 9) { i =>
+            val y = i / 9; val x = i % 9
+            val r = java.lang.Byte.toUnsignedInt(
+              md.digest(s"$seed:$y".getBytes("UTF-8"))(0)) & 1
+            64 + 128 * ((x + r) % 2)
+          }
+          val keys = (0 until 4).map(j => altGrid(s"kf:$base:$j"))
+          if (docId < 2000) { // standing master cut
+            val sync = Seq(1, 4, 5, 10)
+            graft.operators.Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+              (1 to 12).map { n =>
+                val j = sync.indexOf(n)
+                if (j >= 0) keys(j) else altGrid(s"fillS:$docId:$n")
+              }, sync)
+          } else { // batch re-cut shape, doc-unique filler
+            val sync = Seq(2, 3, 7, 9)
+            graft.operators.Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+              (1 to 9).map { n =>
+                val j = sync.indexOf(n)
+                if (j >= 0) keys(j) else altGrid(s"fillB:$docId:$n")
+              }, sync)
+          }
+        }
+        val mkText = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          (1 to 7).map { k =>
+            "u" + md.digest(s"$docId:$k".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+          }.mkString(" ")
+        }
+        val standingVids = standingIds.toDF("doc_id", "base")
+          .select(col("doc_id"), mkVid(col("doc_id"), col("base")).as("vid"))
+        val standing = standingVids
+          .select(col("doc_id"),
+            graft.operators.TextNorm.clean(mkText(col("doc_id")))
+              .as("clean_text"))
+        val batch = batchIds.toDF("doc_id", "base")
+          .select(col("doc_id"), mkText(col("doc_id")).as("text"),
+            mkVid(col("doc_id"), col("base")).as("vid"))
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_kf_inc_").toFile.getAbsolutePath
+        graft.operators.Multimodal.writeVideoKeyframeHashBandIndex(
+          standingVids, "vid", "doc_id", s"$idxDir/idx")
+        graft.operators.CorpusPrep.runIncremental(standing, batch,
+            cfg = graft.operators.CorpusPrep.Config(gifCol = Some("vid"),
+              gifDecoder = graft.operators.Multimodal.Mp4FrameDecoder,
+              gifKeyframeSampling = true),
+            gifIndex = Some(graft.operators.Multimodal
+              .readGifHashBandIndex(s, s"$idxDir/idx")))
+          .select("doc_id").orderBy("doc_id")
       })
   )
 }
