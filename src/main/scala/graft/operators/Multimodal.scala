@@ -3223,6 +3223,29 @@ object Multimodal {
         batchId)
   }
 
+  /** `gifNearDupMicroBatch` under the KEYFRAME sampling plan: each
+    * micro-batch filters through `videoNearDupFilterAgainst` against
+    * a standing `videoKeyframeHashBandIndex` — the stream-intake
+    * recipe for real-video dedup, with the same width guard at
+    * stream build and the same standing-corpus-only caveat. */
+  def videoNearDupMicroBatch(videoCol: String, idCol: String,
+      index: DataFrame, nFrames: Int = 4, maxHamming: Int = 3,
+      minFrameMatches: Int = 3, broadcastIndex: Boolean = true,
+      decoder: FrameDecoder = Mp4FrameDecoder, maxShift: Int = 0)(
+      sink: (DataFrame, Long) => Unit)(
+      implicit spark: SparkSession): (DataFrame, Long) => Unit = {
+    indexSampleWidth(index).foreach { built =>
+      require(built == nFrames.toLong,
+        s"videoNearDupMicroBatch: index carries sample width $built but " +
+          s"the stream probes at $nFrames — probe with the index's width, " +
+          "or rebuild the index at the probe's")
+    }
+    (batch: DataFrame, batchId: Long) =>
+      sink(videoNearDupFilterAgainst(batch, videoCol, idCol, index, nFrames,
+        maxHamming, minFrameMatches, broadcastIndex, decoder, maxShift),
+        batchId)
+  }
+
   // ------------------------------------------------------------------
   // Persisted POSITIONAL hash-band index — the FOURTH standing-index
   // family (BM25 / IVF / classic hash-band), and the one that lets

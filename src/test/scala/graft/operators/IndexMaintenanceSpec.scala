@@ -87,6 +87,14 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         Seq((1L, Multimodal.syntheticPcmWav(
             Array.tabulate[Short](16640)(i => (i * 37 % 2003 - 1001).toShort))))
           .toDF("aid", "clip"), "clip", "aid", s"$root/audi")(spark)
+      // the keyframe-sampled video index (round 17): same positional
+      // layout by design — the sweep must serve it exactly like the
+      // gif/audio roots, with its own signal column
+      Multimodal.writeVideoKeyframeHashBandIndex(
+        Seq((1L, Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+            (1 to 6).map(n => Array.tabulate(72)(i => (i * n * 7) % 256)),
+            Seq(1, 3, 5))))
+          .toDF("kid", "clip"), "clip", "kid", s"$root/kfi")(spark)
       // a crash-after-pointer hash-band sibling: probes fine, stats
       // refuses — the sweep must report it and keep going
       Dedup.writeHashBandIndex(Seq((9L, 42L)).toDF("vid", "sig"),
@@ -97,7 +105,7 @@ class IndexMaintenanceSpec extends SparkSpecBase {
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/stranger"))
       val rows = IndexMaintenance.healthSweep(spark, Seq(
           s"$root/hbi", s"$root/bm", s"$root/ivf", s"$root/gifi",
-          s"$root/audi", s"$root/crashed", s"$root/stranger",
+          s"$root/audi", s"$root/kfi", s"$root/crashed", s"$root/stranger",
           "::not a uri::"))
         .collect()
         .map(r => r.getString(0).split('/').last ->
@@ -115,6 +123,8 @@ class IndexMaintenanceSpec extends SparkSpecBase {
         None)), s"${rows("gifi")}")
       assert(rows("audi") == (("hashband", "positional", "clip", false,
         None)), s"${rows("audi")}")
+      assert(rows("kfi") == (("hashband", "positional", "clip", false,
+        None)), s"${rows("kfi")}")
       assert(rows("bm") == (("bm25", "bm25", "", false, None)),
         s"${rows("bm")}")
       assert(rows("ivf") == (("ivf", "ivf", "", false, None)),

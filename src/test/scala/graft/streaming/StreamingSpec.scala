@@ -1251,4 +1251,75 @@ class StreamingSpec extends SparkSpecBase {
       assert(err.getMessage.contains("sample width"), err.getMessage)
     }
   }
+
+  test("video stream intake: videoNearDupMicroBatch filters re-cuts against a keyframe index across micro-batches") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grid(seed: String): Array[Int] = Array.tabulate(72) { i =>
+      java.lang.Byte.toUnsignedInt(
+        md.digest(s"$seed:${i / 9}:${i % 9}".getBytes("UTF-8"))(0))
+    }
+    def footage(base: String): Seq[Array[Int]] =
+      (0 until 4).map(j => grid(s"vsm:$base:$j"))
+    def master(base: String): Array[Byte] =
+      Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+        (1 to 12).map { n =>
+          val j = Seq(1, 4, 5, 10).indexOf(n)
+          if (j >= 0) footage(base)(j) else grid(s"vsmFillS:$base:$n")
+        }, Seq(1, 4, 5, 10))
+    def recut(base: String, salt: String): Array[Byte] =
+      Multimodal.syntheticMjpegMp4Keyframed(9, 8,
+        (1 to 9).map { n =>
+          val j = Seq(2, 3, 7, 9).indexOf(n)
+          if (j >= 0) footage(base)(j) else grid(s"vsmFill:$salt:$n")
+        }, Seq(2, 3, 7, 9))
+    val standing = Seq((201L, master("A")), (203L, master("B")))
+      .toDF("vid", "clip")
+    // 1 and 2 are RE-CUTS of the standing footage (different sync
+    // tables — only keyframe alignment can drop them); 3 and 4 are
+    // fresh footage; split so drops land in both micro-batches
+    val batchOne = Seq((1L, recut("A", "r1")), (3L, recut("C", "r3")))
+      .toDF("vid", "clip")
+    val batchTwo = Seq((2L, recut("B", "r2")), (4L, recut("D", "r4")))
+      .toDF("vid", "clip")
+    withTempDir("video-stream") { dir =>
+      val root = dir.getAbsolutePath
+      Multimodal.writeVideoKeyframeHashBandIndex(standing, "clip", "vid",
+        s"$root/idx", metricName = "graft_video_stream_idx_cap")(spark)
+      batchOne.coalesce(1).write.parquet(s"$root/in")
+      batchTwo.coalesce(1).write.mode("append").parquet(s"$root/in")
+      val idx = Multimodal.readGifHashBandIndex(spark, s"$root/idx")
+        .persist()
+      val keptIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val body = Multimodal.videoNearDupMicroBatch("clip", "vid", idx) {
+        (kept, _) =>
+          kept.select("vid").collect().foreach(r => keptIds.add(r.getLong(0)))
+          ()
+      }(spark)
+      val q = spark.readStream
+        .schema("vid BIGINT, clip BINARY")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+        .writeStream
+        .foreachBatch(body)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val batchKept = Multimodal.videoNearDupFilterAgainst(
+          batchOne.unionByName(batchTwo), "clip", "vid", idx)(spark)
+        .select("vid").collect().map(_.getLong(0)).toSet
+      import scala.jdk.CollectionConverters._
+      assert(keptIds.asScala.toSet == batchKept,
+        s"stream kept ${keptIds.asScala.toSet} vs batch kept $batchKept")
+      assert(batchKept == Set(3L, 4L), s"fixture truth drift: $batchKept")
+      idx.unpersist()
+      val err = intercept[IllegalArgumentException] {
+        Multimodal.videoNearDupMicroBatch("clip", "vid", idx, nFrames = 8) {
+          (_, _) => ()
+        }(spark)
+      }
+      assert(err.getMessage.contains("sample width"), err.getMessage)
+    }
+  }
 }
