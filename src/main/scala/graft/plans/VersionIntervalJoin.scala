@@ -168,9 +168,11 @@ object VersionIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         case c => c
       }.reduce(And)
 
+      // the original hint survives the rewrite (a user-forced
+      // broadcast should keep forcing the branch joins)
       def sided(p: LogicalPlan, r: LogicalPlan, c: Expression): Join =
-        if (pointOnLeft) Join(p, r, Inner, Some(c), JoinHint.NONE)
-        else Join(r, p, Inner, Some(c), JoinHint.NONE)
+        if (pointOnLeft) Join(p, r, Inner, Some(c), j.hint)
+        else Join(r, p, Inner, Some(c), j.hint)
 
       val branchA = Project(j.output,
         sided(Filter(IsNotNull(pk), pointKeyed), exploded,
