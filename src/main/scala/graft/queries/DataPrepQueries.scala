@@ -6835,6 +6835,85 @@ object DataPrepQueries {
             gifIndex = Some(graft.operators.Multimodal
               .readGifHashBandIndex(s, s"$idxDir/idx")))
           .select("doc_id").orderBy("doc_id")
+      }),
+
+    // The interval-join rewrite's FALLBACK branches driver-pinned:
+    // q160 only ever exercises branch A (every bound keyable, spans
+    // of 2); here three of the four advisory shapes are built to be
+    // REJECTED by the narrow-range guard — wide numeric spans
+    // (3000+, over maxSpan=1024), a tilde lower bound and a
+    // letter-start pair (both version_key-null) — while the
+    // inventory mixes keyable points with tilde-start and
+    // letter-start versions that only the fallback nested loop can
+    // match. Version strings are generated from key arithmetic in
+    // four DISJOINT rank spaces the dpkg order provably agrees with
+    // (tilde-start < digit-start < letter-start at the first
+    // non-digit run; epochs absent; no rc/pre substrings, so the
+    // demotion quirk cannot fire), which lets the DuckDB oracle
+    // replay version_cmp as pure integer-rank compares without
+    // parsing a single version. A hash match pins the three-branch
+    // union's EXACTNESS — nothing dropped to the narrow branch,
+    // nothing double-counted across branches — through the driver
+    // contract, the complement of q160's branch-A pin.
+    QueryDef("q162_version_interval_fallback", Some("""
+      WITH inv AS (
+        SELECT p_partkey AS pid,
+          CASE p_partkey % 4
+            WHEN 0 THEN 1000 * (p_partkey % 7) + (p_partkey % 10)
+            WHEN 1 THEN -1000000 + (p_partkey % 9)
+            WHEN 2 THEN 100000000 + (p_partkey % 9)
+            ELSE 1000 * (100 + (p_partkey % 800) * 10) + (p_partkey % 10)
+          END AS r
+        FROM part WHERE p_partkey < 400),
+      adv AS (
+        SELECT s_suppkey AS aid,
+          CASE s_suppkey % 4
+            WHEN 0 THEN 1000 * (s_suppkey % 5) + (s_suppkey % 6)
+            WHEN 1 THEN 1000 + (s_suppkey % 6)
+            WHEN 2 THEN -2000000
+            ELSE 99999999
+          END AS rlo,
+          CASE s_suppkey % 4
+            WHEN 0 THEN 1000 * (s_suppkey % 5 + 2) + (s_suppkey % 8)
+            WHEN 1 THEN 1000 * (3000 + s_suppkey)
+            WHEN 2 THEN 1000 * (s_suppkey % 5 + 1) + (s_suppkey % 6)
+            ELSE 100000000 + (s_suppkey % 9)
+          END AS rhi
+        FROM supplier WHERE s_suppkey < 80)
+      SELECT a.aid, CAST(count(*) AS BIGINT) AS n_affected
+      FROM inv i JOIN adv a ON i.r >= a.rlo AND i.r < a.rhi
+      GROUP BY a.aid ORDER BY a.aid"""),
+      (s, dir) => {
+        val pid = col("p_partkey")
+        t(s, dir, "part").filter(pid < 400)
+          .select(pid.as("pid"),
+            when(pid % 4 === 0,
+              concat(pid % 7, lit("."), pid % 10))
+              .when(pid % 4 === 1, concat(lit("~beta"), pid % 9))
+              .when(pid % 4 === 2, concat(lit("zz"), pid % 9))
+              .otherwise(concat(lit(100) + (pid % 800) * 10, lit("."),
+                pid % 10))
+              .as("v"))
+          .createOrReplaceTempView("g_q162_inv")
+        val sid = col("s_suppkey")
+        t(s, dir, "supplier").filter(sid < 80)
+          .select(sid.as("aid"),
+            when(sid % 4 === 0, concat(sid % 5, lit("."), sid % 6))
+              .when(sid % 4 === 1, concat(lit("1."), sid % 6))
+              .when(sid % 4 === 2, lit("~~"))
+              .otherwise(lit("za"))
+              .as("lo"),
+            when(sid % 4 === 0,
+              concat(sid % 5 + 2, lit("."), sid % 8))
+              .when(sid % 4 === 1, concat(lit(3000) + sid, lit(".0")))
+              .when(sid % 4 === 2, concat(sid % 5 + 1, lit("."), sid % 6))
+              .otherwise(concat(lit("zz"), sid % 9))
+              .as("hi"))
+          .createOrReplaceTempView("g_q162_adv")
+        s.sql("""SELECT a.aid, count(*) AS n_affected
+                 FROM g_q162_inv p JOIN g_q162_adv a
+                 ON version_cmp(p.v, a.lo) >= 0 AND version_cmp(p.v, a.hi) < 0
+                 GROUP BY a.aid ORDER BY a.aid""")
       })
   )
 }

@@ -141,6 +141,79 @@ class VersionIntervalJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("q162's rank oracle agrees with the comparator over the full shape cross product; rewrite exact on the fallback mix") {
+    // Reproduce q162_version_interval_fallback's generative
+    // arithmetic in pure Scala and pin its DuckDB rank model
+    // against the REAL comparator for every (point, range) pair —
+    // the oracle's integer-rank replay is only a valid stand-in for
+    // version_cmp if the two orders agree on exactly this data.
+    def pointV(pid: Long): (String, Long) = (pid % 4) match {
+      case 0 => (s"${pid % 7}.${pid % 10}", 1000 * (pid % 7) + pid % 10)
+      case 1 => (s"~beta${pid % 9}", -1000000L + pid % 9)
+      case 2 => (s"zz${pid % 9}", 100000000L + pid % 9)
+      case _ => (s"${100 + (pid % 800) * 10}.${pid % 10}",
+        1000 * (100 + (pid % 800) * 10) + pid % 10)
+    }
+    def rangeV(sid: Long): (String, String, Long, Long) = (sid % 4) match {
+      case 0 => (s"${sid % 5}.${sid % 6}", s"${sid % 5 + 2}.${sid % 8}",
+        1000 * (sid % 5) + sid % 6, 1000 * (sid % 5 + 2) + sid % 8)
+      case 1 => (s"1.${sid % 6}", s"${3000 + sid}.0",
+        1000 + sid % 6, 1000 * (3000 + sid))
+      case 2 => ("~~", s"${sid % 5 + 1}.${sid % 6}",
+        -2000000L, 1000 * (sid % 5 + 1) + sid % 6)
+      case _ => ("za", s"zz${sid % 9}", 99999999L, 100000000L + sid % 9)
+    }
+    val points = (1L to 400L).map(p => (p, pointV(p)))
+    val ranges = (1L to 80L).map(s => (s, rangeV(s)))
+    var branchAble = 0
+    for ((_, (v, r)) <- points; (_, (lo, hi, rlo, rhi)) <- ranges) {
+      val real = VersionOps.cmp(v, lo) >= 0 && VersionOps.cmp(v, hi) < 0
+      val rank = r >= rlo && r < rhi
+      assert(real == rank,
+        s"rank model diverges from dpkg on ($v in [$lo, $hi)): " +
+          s"cmp says $real, ranks say $rank")
+      if (real) branchAble += 1
+    }
+    assert(branchAble > 0, "the fixture must produce matches")
+    // the three fallback shapes really are fallback under the
+    // default maxSpan=1024 / keyability rules
+    def key(s: String): Option[Long] =
+      Option(VersionOps.key(UTF8String.fromString(s))).map(_.longValue())
+    for ((sid, (lo, hi, _, _)) <- ranges) (sid % 4) match {
+      case 0 => assert(key(hi).get - key(lo).get <= 1024,
+        s"shape-0 range [$lo,$hi) must stay in branch A")
+      case 1 => assert(key(hi).get - key(lo).get > 1024,
+        s"shape-1 range [$lo,$hi) must exceed maxSpan")
+      case _ => assert(key(lo).isEmpty,
+        s"shape-${sid % 4} lower bound $lo must be unkeyable")
+    }
+    // and unkeyable points exist on both sides of the numeric space
+    assert(key("~beta3").isEmpty && key("zz5").isEmpty && key("za").isEmpty)
+
+    // end-to-end: the q162 SQL shape over the same data, rule on ==
+    // rule off == driver truth, with the rewrite visibly in the plan
+    import spark.implicits._
+    points.map { case (p, (v, _)) => (p, v) }.toDF("pid", "v")
+      .createOrReplaceTempView("vij_fb_pkgs")
+    ranges.map { case (s, (lo, hi, _, _)) => (s, lo, hi) }
+      .toDF("aid", "lo", "hi").createOrReplaceTempView("vij_fb_advs")
+    val expected = (for {
+      (p, (v, _)) <- points; (a, (lo, hi, _, _)) <- ranges
+      if VersionOps.cmp(v, lo) >= 0 && VersionOps.cmp(v, hi) < 0
+    } yield (p, a)).toSet
+    val sql = """SELECT p.pid, a.aid FROM vij_fb_pkgs p JOIN vij_fb_advs a
+                 ON version_cmp(p.v, a.lo) >= 0 AND version_cmp(p.v, a.hi) < 0"""
+    val prior = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prior :+ VersionIntervalJoinRule
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan.toString.contains("_gvij_b"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"missing ${expected -- got}, extra ${got -- expected}")
+    } finally spark.experimental.extraOptimizations = prior
+  }
+
   test("the GraftExtensions injection carries the rule: a fresh extended session rewrites plain SQL") {
     // a brand-new session the way a deployment gets one — proves the
     // injectOptimizerRule wiring, not just extraOptimizations
