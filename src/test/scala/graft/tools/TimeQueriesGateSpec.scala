@@ -43,6 +43,20 @@ class TimeQueriesGateSpec extends AnyFunSuite {
     val noBand = TimeQueries.gate(floors, Map.empty, 2.0,
       Seq("q_volatile" -> 21.0, "q_err" -> 100.0))
     assert(!noBand.head.pass && noBand(1).pass)
+
+    // sub-second absolute grace: a 0.3 s floor measured at 0.9 s
+    // (3x — cold-JVM JIT, not a plan change) passes because the
+    // limit never drops below MinGateSec; past the absolute grace
+    // it still fails, and a >= 1 s floor gets no grace at all
+    val tiny = TimeQueries.gate(Map("q_tiny" -> 0.3), Map.empty, 2.0,
+      Seq("q_tiny" -> 0.9))
+    assert(tiny.head.pass, s"sub-second grace must absorb JIT: $tiny")
+    val tinyBlown = TimeQueries.gate(Map("q_tiny" -> 0.3), Map.empty, 2.0,
+      Seq("q_tiny" -> 1.2))
+    assert(!tinyBlown.head.pass)
+    assert(!TimeQueries.gate(Map("q_one" -> 1.0), Map.empty, 2.0,
+      Seq("q_one" -> 2.5)).head.pass,
+      "floors >= MinGateSec/factor keep the pure ratio gate")
   }
 
   test("loadFloors: Bench artifact shape carries queries + spread; flat map carries floors only; doctored file round-trips") {
