@@ -581,6 +581,17 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // GOLDEN-FIXTURE GENERATORS (here and the `synthetic*` writers
+  // below): NOT engine operators. They hand-assemble minimal
+  // spec-conformant containers (Ogg/MP3/FLAC/WebM/Y4M/MOV/MP4/GIF/
+  // AVI/BMP/WAV/CAF) whose decoded content is a pure function of the
+  // arguments, so the driver's oracle queries can re-derive expected
+  // results arithmetically in SQL. They live in src/main only
+  // because the driver's query runners construct corpora with them
+  // at Verify/Bench time; exclude them when counting engine code.
+  // ------------------------------------------------------------------
+
   /** One Ogg page (RFC 3533), single-segment lacing — payloads under
     * 255 bytes, which every metadata fixture here satisfies. CRC is
     * left zero: the metadata walk documents that it does not verify
@@ -3764,6 +3775,10 @@ object Multimodal {
       metricName = "graft_image_band_cap")
   }
 
+  // GOLDEN-FIXTURE GENERATORS continue below (BMP/GIF/AVI/WAV/CAF) —
+  // see the accounting note above `oggPage`: driver-corpus writers,
+  // not engine operators.
+
   /** Deterministic 24-bit grayscale BMP test vector: `grays` is the
     * row-major TOP-DOWN gray grid (0-255, one value per pixel,
     * written r=g=b so the dHash gray transform recovers it exactly).
@@ -4019,6 +4034,9 @@ object Multimodal {
     out
   }
 
+  /** Deterministic RIFF/WAVE LPCM test vector (16-bit LE mono) — the
+    * WAV twin of `syntheticPcmCaf`; same samples, either container,
+    * identical fingerprints (q151's mixed-container identity). */
   def syntheticPcmWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
     require(samples.nonEmpty, "need at least one sample")
     require(sampleRate > 0, s"sampleRate must be > 0, got $sampleRate")
