@@ -42,6 +42,15 @@ object GraftSession {
       .config("spark.graft.versionIntervalJoin.enabled",
         sys.env.getOrElse("GRAFT_VIJ_ENABLED", "true"))
       .config("spark.sql.shuffle.partitions", cpus)
+      // r17 (guide §1/§7.3): driver thread dumps during the multi-job
+      // facade queries showed Janino whole-stage-codegen COMPILATION
+      // on the hot path between jobs — the default codegen cache (100
+      // entries, JVM-global LRU) cannot hold one facade query's worth
+      // of distinct generated sources, so every re-run recompiles.
+      // 10k entries holds the whole suite; the knob is scale-neutral
+      // (executors carry the same cache) and env-overridable for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
