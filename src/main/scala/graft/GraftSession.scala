@@ -51,6 +51,15 @@ object GraftSession {
       // (executors carry the same cache) and env-overridable for A/B.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "10000"))
+      // r17 (guide §7.3): driver samples during the facade queries
+      // caught plan-STRINGIFICATION (PlanStringConcat/TreeNode.nodeName)
+      // between jobs — SQL listener events carry a full plan
+      // description built eagerly even with the UI off, and AQE posts
+      // one per re-planned stage. Cap the string; the cap only
+      // truncates diagnostics (explain/UI), never affects results.
+      // PlanCheck raises it per-session for full plan dumps.
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("GRAFT_MAX_PLAN_STR", "16384"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

@@ -761,6 +761,14 @@ object CorpusPrep {
       "pqModel/sqModel/codebook configure the semantic dedup stage, which " +
         "needs cfg.embCol — set it, or drop the codec/codebook config")
     val obs = observed(cfg) _
+    // NOT widened here (r17): an interleaved A/B showed a facade-entry
+    // repartition costs MORE than it wins for the thin text chains
+    // (q131 1.32x, q140 1.28x slower — 32-task per-stage overhead:
+    // task deserialization of the large generated plans + broadcast
+    // fetch contention), while the branches that do win (expensive
+    // media decode) get their parallelism from the caller widening
+    // BEFORE the pinned encode (q138 0.83x, q142 0.59x) — see
+    // Parallelism.widen
     val spanGated = obs(normalizeAndGate(docs, textCol, idCol, cfg), "gated")
     // LM-quality gate (opt-in): fluency floor under a foreign bigram
     // model, between the row-local gates and dedup

@@ -4268,8 +4268,11 @@ object DataPrepQueries {
         // run()'s documented caching contract: the facade's stages
         // re-execute their input per plan branch (a checkpoint inside
         // run() would truncate the observed metrics), so heavy inputs
-        // — here the synthetic image encode — pin UPSTREAM
-        val pinned = docs.withColumn("img", mk(col("doc_id")))
+        // — here the synthetic image encode — pin UPSTREAM. Widened
+        // first (r17): the one-row-group scan plans as ONE partition
+        // and the per-doc encode would otherwise run single-threaded
+        val pinned = graft.operators.Parallelism.widen(docs)
+          .withColumn("img", mk(col("doc_id")))
           .localCheckpoint(true)
         graft.operators.CorpusPrep.run(
             pinned,
@@ -4981,8 +4984,11 @@ object DataPrepQueries {
         val docs = t(s, dir, "documents")
         // the heavy input (synthetic GIF encode) pins UPSTREAM per
         // run()'s caching contract — the facade's stages re-execute
-        // their input per plan branch
-        val pinned = docs.withColumn("gif",
+        // their input per plan branch; widened first (r17) so the
+        // per-doc encode parallelizes instead of running in the one
+        // scan partition of a one-row-group input
+        val pinned = graft.operators.Parallelism.widen(docs)
+          .withColumn("gif",
             when(col("doc_id") < 400, mk(col("doc_id"))))
           .localCheckpoint(true)
         graft.operators.CorpusPrep.run(pinned,

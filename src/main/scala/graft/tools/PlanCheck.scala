@@ -7,6 +7,10 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.build("plan-check")
     spark.sparkContext.setLogLevel("ERROR")
+    // full plans here — the session default caps plan strings (a
+    // scored-run optimization; see GraftSession), but this tool's
+    // whole point is the complete formatted plan
+    spark.conf.set("spark.sql.maxPlanStringLength", Int.MaxValue - 15)
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q08_multi_join", "q05_broadcast_join", "q02_filter_year",
