@@ -145,12 +145,17 @@ object QualityModel {
       // under plain =!= its null predicate would skip the bad-count,
       // and the doc would inflate n while contributing a silently
       // ignored null residual (skewing the effective learning rate)
-      val nBad = labeled
-        .filter(!(col("_y") <=> 0.0) && !(col("_y") <=> 1.0)).count()
+      // one action for both guards (r17: was two separate counts —
+      // each a full pass over the labeled frame before it is cached)
+      val guardRow = labeled.agg(
+        count(lit(1)).as("_n"),
+        coalesce(sum(when(!(col("_y") <=> 0.0) && !(col("_y") <=> 1.0), 1L)
+          .otherwise(0L)), lit(0L)).as("_bad")).collect()(0)
+      val nBad = guardRow.getLong(1)
       require(nBad == 0,
         s"labels must be 0/1 after the double cast; $nBad rows are neither " +
           "(non-numeric labels cast to null)")
-      val n = labeled.count().toDouble
+      val n = guardRow.getLong(0).toDouble
       require(n > 0, "no labeled rows to train on")
       var w = Map.empty[Int, Double]
       var bias = 0.0

@@ -637,14 +637,7 @@ object TextStats {
     * (`bm25IndexStats` excludes it from row counts the same way). */
   private def writePostingsBucketed(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
-    val toWrite =
-      if (!df.isEmpty) df
-      else spark.createDataFrame(
-        java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(
-          df.schema.fields.map(f =>
-            if (f.name == "_tb") 0.asInstanceOf[Any] else null).toSeq)),
-        df.schema)
-    toWrite
+    df
       // repartition on the bucket before the partitioned write: without
       // it every task writes a file into every bucket directory
       // (tasks × buckets files — the classic small-files explosion);
@@ -652,6 +645,26 @@ object TextStats {
       // follows the bucket count — size tokenBuckets to the cluster.
       .repartition(col("_tb"))
       .write.mode("overwrite").partitionBy("_tb").parquet(dir)
+    // A zero-row partitioned write leaves no data files and read-back
+    // schema inference would fail, so the degenerate case needs one
+    // placeholder row. Detect it from the WRITTEN directory (a dynamic
+    // partition write creates _tb= dirs only for observed buckets)
+    // instead of an isEmpty pre-action: isEmpty re-executed the whole
+    // capped-postings chain (window + join) once before the real write
+    // re-executed it again — r17 profiling showed the build paying the
+    // postings computation twice on every index write.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("_tb="))
+    if (!hasData)
+      spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row.fromSeq(
+          df.schema.fields.map(f =>
+            if (f.name == "_tb") 0.asInstanceOf[Any] else null).toSeq)),
+        df.schema)
+        .repartition(col("_tb"))
+        .write.mode("overwrite").partitionBy("_tb").parquet(dir)
   }
 
   def writeBm25Index(corpus: DataFrame, textCol: String, idCol: String,
