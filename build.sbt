@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-readable JSON lines on stdout; sbt's
+// default LoggedOutput strategy prefixes every forked-process line
+// with "[info] ", which breaks any consumer that parses the log tail
+// as JSON (four rounds of "parsed": null). StdoutOutput passes the
+// forked JVM's stdout/stderr through verbatim — sbt's own [info]/
+// [success] lines still appear, but the program's JSON lines land
+// bare and parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

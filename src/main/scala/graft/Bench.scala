@@ -64,11 +64,14 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
 
+    // Timed action (guide §1.4): BenchAction — noop sink by default
+    // since r18 (floors re-recorded at that boundary; the artifact's
+    // `action` field marks which action produced it), count() before.
     def once(name: String): Double = {
       val l = osBean.getSystemLoadAverage
       if (l >= 0) loadSamples += l
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try BenchAction.run(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
@@ -237,12 +240,13 @@ object Bench {
     val heavyJson = publishedHeavy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subset =
       if (only.isEmpty) "" else s""""subset":${allNames.length},"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subset"queries":$qs,"medians":$meds,"spread":$spreads,"heavy":$heavyJson,$sentinel,"sf":"$sfDir"}"""
+    val action = s""""action":"${BenchAction.name}","""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$subset$action"queries":$qs,"medians":$meds,"spread":$spreads,"heavy":$heavyJson,$sentinel,"sf":"$sfDir"}"""
     // compact total BEFORE the giant per-query line too: whichever
     // side of the log a bounded tail window lands on, one parseable
     // summary line is inside it — the sentinel rides it so even a
     // tail-truncated artifact shows whether the run was contaminated
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$sentinel,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$action$sentinel,"sf":"$sfDir"}""")
     println(line)
     // Write the full artifact to GRAFT_BENCH_OUT AND to a stable
     // repo-relative path: the round artifact stays self-contained
@@ -267,6 +271,6 @@ object Bench {
     // follow it: a SHORT summary the driver's tail-window scraper can
     // always land on — the full per-query line above is one giant JSON
     // line that a bounded tail window front-truncates.
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$sentinel,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$action$sentinel,"sf":"$sfDir"}""")
   }
 }

@@ -30,43 +30,54 @@ private class GraftMetricsListener extends QueryExecutionListener {
   * cluster — shuffle.partitions is the only knob a deployment resizes.
   */
 object GraftSession {
+  /** The session configs `build` applies — exposed as data so a spec
+    * can pin the perf-critical knobs (codegen cache size, plan-string
+    * cap: r17 A/B-verified wins) against accidental reverts without
+    * constructing a second session in the test JVM. */
+  def configs(cpus: String): Seq[(String, String)] = Seq(
+    "spark.graft.versionIntervalJoin.enabled" ->
+      sys.env.getOrElse("GRAFT_VIJ_ENABLED", "true"),
+    "spark.sql.shuffle.partitions" -> cpus,
+    // r17 (guide §1/§7.3): driver thread dumps during the multi-job
+    // facade queries showed Janino whole-stage-codegen COMPILATION
+    // on the hot path between jobs — the default codegen cache (100
+    // entries, JVM-global LRU) cannot hold one facade query's worth
+    // of distinct generated sources, so every re-run recompiles.
+    // 10k entries holds the whole suite; the knob is scale-neutral
+    // (executors carry the same cache) and env-overridable for A/B.
+    // A/B evidence: 0.72x on the 10 heavies (OPTIMIZATION_r17.md).
+    "spark.sql.codegen.cache.maxEntries" ->
+      sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "10000"),
+    // r17 (guide §7.3): driver samples during the facade queries
+    // caught plan-STRINGIFICATION (PlanStringConcat/TreeNode.nodeName)
+    // between jobs — SQL listener events carry a full plan
+    // description built eagerly even with the UI off, and AQE posts
+    // one per re-planned stage. Cap the string; the cap only
+    // truncates diagnostics (explain/UI and event logs — engine-wide,
+    // documented in README §perf knobs), never affects results.
+    // PlanCheck raises it per-session for full plan dumps.
+    "spark.sql.maxPlanStringLength" ->
+      sys.env.getOrElse("GRAFT_MAX_PLAN_STR", "16384"),
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.ui.enabled" -> "false",
+    "spark.sql.adaptive.enabled" -> "true",
+    // the driver-generated events table stores TIMESTAMP(NANOS);
+    // Spark's TimestampType is micros-only, so surface ns as long
+    // and convert explicitly (queries use timestamp_micros(ns/1000)).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   def build(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(appName)
-      // native expressions + the version-interval join rewrite Rule
-      // (a deployment sets spark.sql.extensions; here it rides the
-      // builder so Verify/Bench/tests exercise the same injection)
-      .withExtensions(new functions.GraftExtensions)
-      .config("spark.graft.versionIntervalJoin.enabled",
-        sys.env.getOrElse("GRAFT_VIJ_ENABLED", "true"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      // r17 (guide §1/§7.3): driver thread dumps during the multi-job
-      // facade queries showed Janino whole-stage-codegen COMPILATION
-      // on the hot path between jobs — the default codegen cache (100
-      // entries, JVM-global LRU) cannot hold one facade query's worth
-      // of distinct generated sources, so every re-run recompiles.
-      // 10k entries holds the whole suite; the knob is scale-neutral
-      // (executors carry the same cache) and env-overridable for A/B.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "10000"))
-      // r17 (guide §7.3): driver samples during the facade queries
-      // caught plan-STRINGIFICATION (PlanStringConcat/TreeNode.nodeName)
-      // between jobs — SQL listener events carry a full plan
-      // description built eagerly even with the UI off, and AQE posts
-      // one per re-planned stage. Cap the string; the cap only
-      // truncates diagnostics (explain/UI), never affects results.
-      // PlanCheck raises it per-session for full plan dumps.
-      .config("spark.sql.maxPlanStringLength",
-        sys.env.getOrElse("GRAFT_MAX_PLAN_STR", "16384"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // the driver-generated events table stores TIMESTAMP(NANOS);
-      // Spark's TimestampType is micros-only, so surface ns as long
-      // and convert explicitly (queries use timestamp_micros(ns/1000)).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = configs(cpus)
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(appName)
+        // native expressions + the version-interval join rewrite Rule
+        // (a deployment sets spark.sql.extensions; here it rides the
+        // builder so Verify/Bench/tests exercise the same injection)
+        .withExtensions(new functions.GraftExtensions)) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.VulFunctions.register(spark)

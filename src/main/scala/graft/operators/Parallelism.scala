@@ -36,11 +36,39 @@ import org.apache.spark.sql.DataFrame
   * already overlaps the serial branches.
   *
   * Batch-only: `.rdd` on a streaming frame would throw; stream
-  * facades size their tasks from the micro-batch source instead. */
+  * facades size their tasks from the micro-batch source instead.
+  *
+  * HARD CONTRACT — scan-level inputs only (r17 advice): `df.rdd` on a
+  * plan that contains an Exchange would, under AQE, MATERIALIZE every
+  * query stage (run the real shuffle jobs) just to ask the partition
+  * count, and `repartition()` would then re-execute the whole plan
+  * from scratch — a silent double execution. And the pre-AQE
+  * partition count of such a plan lies anyway (AQE coalescing decides
+  * it at runtime). `widen` therefore returns exchange-bearing plans
+  * UNCHANGED — the guarded fast path only ever fires on scan-level
+  * frames, where `.rdd` is plan-only (no exchanges → no stage jobs;
+  * the file listing it forces is work the downstream action pays
+  * either way). */
 object Parallelism {
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans the frame but runs no job
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (hasExchange(df)) df
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
+  /** Does the planned physical tree contain an Exchange? Inspects the
+    * pre-execution plan (AQE's inputPlan when adaptive) — never
+    * finalizes AQE, never runs a job. */
+  private def hasExchange(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
   }
 }

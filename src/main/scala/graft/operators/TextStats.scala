@@ -637,6 +637,16 @@ object TextStats {
     * (`bm25IndexStats` excludes it from row counts the same way). */
   private def writePostingsBucketed(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
+    // delete the target root FIRST (mirroring Similarity.writeIndex):
+    // the written-directory emptiness check below is only sound when
+    // no stale `_tb=` dirs from prior content can survive the write —
+    // under spark.sql.sources.partitionOverwriteMode=dynamic an
+    // empty-result overwrite deletes nothing, and a stale dir would
+    // make `hasData` true and silently serve the old postings (r17
+    // advice). One FS op; the write recreates the dir.
+    val target = new org.apache.hadoop.fs.Path(dir)
+    target.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(target, true)
     df
       // repartition on the bucket before the partitioned write: without
       // it every task writes a file into every bucket directory
@@ -721,25 +731,34 @@ object TextStats {
       greatest(size(toks(textCol)), lit(0)).cast("double").as("len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // true df, BEFORE the posting cap — derived from tf (one row per
-      // (doc, token) already), never a second corpus shuffle
-      tf.groupBy("token").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$path/df")
-      // minPerKey = 1: a singleton posting is the HIGHEST-value row in
-      // a retrieval index (max idf), the opposite of an LSH bucket
-      writePostingsBucketed(
-        HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
-            minPerKey = 1, metricName = "graft_bm25_posting_cap")
-          .select(col(idCol), col("token"), col("tf"), col("len"),
-            pmod(hash(col("token")), lit(tokenBuckets)).as("_tb")),
-        s"$path/postings")
-      // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
-      lens.agg(count(lit(1)).cast("double").as("ndocs"),
-          coalesce(avg(col("len")), lit(0.0)).as("avglen"))
-        .withColumn("max_postings", lit(maxPostings.toLong))
-        .withColumn("token_buckets", lit(tokenBuckets.toLong))
-        .withColumn("id_col", lit(idCol))
-        .write.mode("overwrite").parquet(s"$path/meta")
+      // The three artifact writes are mutually independent (df from
+      // tf; postings from tf⋈lens; meta from lens) and all sit inside
+      // the marker bracket, so they run CONCURRENTLY (guide §2.6 /
+      // Actions.inParallel): r18 profiling showed ~half the build's
+      // wall in per-action driver gaps, and overlapping the three
+      // actions folds those gaps into each other. The shared persisted
+      // tf/lens frames compute exactly once under BlockManager's
+      // per-block locks.
+      Actions.inParallel(
+        // true df, BEFORE the posting cap — derived from tf (one row
+        // per (doc, token) already), never a second corpus shuffle
+        () => tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$path/df"),
+        // minPerKey = 1: a singleton posting is the HIGHEST-value row
+        // in a retrieval index (max idf), the opposite of an LSH bucket
+        () => writePostingsBucketed(
+          HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), maxPostings,
+              minPerKey = 1, metricName = "graft_bm25_posting_cap")
+            .select(col(idCol), col("token"), col("tf"), col("len"),
+              pmod(hash(col("token")), lit(tokenBuckets)).as("_tb")),
+          s"$path/postings"),
+        // ndocs/avglen aggregate per-doc lengths (zero-token docs count)
+        () => lens.agg(count(lit(1)).cast("double").as("ndocs"),
+            coalesce(avg(col("len")), lit(0.0)).as("avglen"))
+          .withColumn("max_postings", lit(maxPostings.toLong))
+          .withColumn("token_buckets", lit(tokenBuckets.toLong))
+          .withColumn("id_col", lit(idCol))
+          .write.mode("overwrite").parquet(s"$path/meta"))
     } finally { tf.unpersist(); lens.unpersist(); () }
     fs.delete(marker, false)
     ()
@@ -828,38 +847,52 @@ object TextStats {
     require(fs.createNewFile(marker),
       s"could not create append marker under $path (previous append " +
         "unfinished, or concurrent appends — both require a rebuild)")
-    // postings first (least harm if the job dies here: extra postings
-    // with un-merged df only deflate idf), then the df merge-rename,
-    // then the scalar meta — all inside try/finally so a failure in
-    // any write cannot leak the two MEMORY_AND_DISK caches for the
-    // session (the marker delete stays OUTSIDE: only a complete body
-    // clears it)
+    // The three mutations (postings append; df merge-rename; batch
+    // scalars + meta) are mutually independent — postings reads tf⋈
+    // lens, the df merge reads old df + tf, meta reads lens — and ALL
+    // sit inside the marker bracket, so a failure in any of them
+    // leaves the same loud rebuild-required state regardless of which
+    // others completed (ordering inside the bracket was never
+    // load-bearing — the marker, not sequencing, is the guarantee).
+    // They run CONCURRENTLY (guide §2.6): r17/r18 profiling showed
+    // the append's wall dominated by per-action driver gaps. The
+    // df.tmp write + rename-swap stays ONE action closure (the rename
+    // must follow its own write; nothing else reads df/ inside the
+    // bracket). try/finally so a failure cannot leak the two
+    // MEMORY_AND_DISK caches (the marker delete stays OUTSIDE: only
+    // a complete body clears it).
     try {
-    HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), cap.toInt,
-        minPerKey = 1, metricName = "graft_bm25_posting_cap_append")
-      .select(col(idCol), col("token"), col("tf"), col("len"),
-        pmod(hash(col("token")), lit(tb)).cast("int").as("_tb"))
-      .repartition(col("_tb"))
-      .write.mode("append").partitionBy("_tb")
-      .parquet(currentPostingsDir(fs, path))
-    // df rebuild: old ⊕ batch, written beside then renamed over — a
-    // lazy read-and-overwrite of the same dir would corrupt it; mode
-    // overwrite also clears any stale df.tmp
-    old.dfT
-      .unionByName(tf.groupBy("token").agg(count(lit(1)).as("df")))
-      .groupBy("token").agg(sum("df").as("df"))
-      .write.mode("overwrite").parquet(s"$path/df.tmp")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
-      new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
-    val batchStats = lens.agg(count(lit(1)).cast("double").as("nb"),
-      coalesce(sum(col("len")), lit(0.0)).as("sumb")).collect()(0)
-    val (nB, sumB) = (batchStats.getDouble(0), batchStats.getDouble(1))
-    val n1 = n0 + nB
-    import spark.implicits._
-    Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, tb, idCol))
-      .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    Actions.inParallel(
+      () => HotKeys.cap(tf.join(lens, Seq(idCol)), Seq(col("token")), cap.toInt,
+          minPerKey = 1, metricName = "graft_bm25_posting_cap_append")
+        .select(col(idCol), col("token"), col("tf"), col("len"),
+          pmod(hash(col("token")), lit(tb)).cast("int").as("_tb"))
+        .repartition(col("_tb"))
+        .write.mode("append").partitionBy("_tb")
+        .parquet(currentPostingsDir(fs, path)),
+      // df rebuild: old ⊕ batch, written beside then renamed over — a
+      // lazy read-and-overwrite of the same dir would corrupt it; mode
+      // overwrite also clears any stale df.tmp
+      () => {
+        old.dfT
+          .unionByName(tf.groupBy("token").agg(count(lit(1)).as("df")))
+          .groupBy("token").agg(sum("df").as("df"))
+          .write.mode("overwrite").parquet(s"$path/df.tmp")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
+          new org.apache.hadoop.fs.Path(s"$path/df")),
+          s"rename failed under $path")
+      },
+      () => {
+        val batchStats = lens.agg(count(lit(1)).cast("double").as("nb"),
+          coalesce(sum(col("len")), lit(0.0)).as("sumb")).collect()(0)
+        val (nB, sumB) = (batchStats.getDouble(0), batchStats.getDouble(1))
+        val n1 = n0 + nB
+        import spark.implicits._
+        Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 + sumB) / n1, cap, tb, idCol))
+          .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
+          .write.mode("overwrite").parquet(s"$path/meta")
+      })
     } finally { tf.unpersist(); lens.unpersist(); () }
     fs.delete(marker, false)
     ()
@@ -965,13 +998,17 @@ object TextStats {
       s"could not create mutation marker under $path (previous " +
         "append/delete unfinished, or concurrent writers — both require " +
         "a rebuild)")
-    // tombstones first; a crash ANYWHERE inside the marker bracket is
-    // the same loud rebuild-required state as a crashed append (reads
-    // refuse on the marker). The anti-join idempotency above protects
-    // against duplicate COMPLETED requests (a caller re-sending ids it
-    // already deleted), not against crashes — partial mutations never
-    // serve.
-    newIds.write.mode("append").parquet(s"$path/_tombstones")
+    // The three mutations (tombstone append; df decrement-rename;
+    // meta repair) are mutually independent and all inside the marker
+    // bracket — a crash ANYWHERE leaves the same loud rebuild-required
+    // state as a crashed append (reads refuse on the marker), so the
+    // former tombstones-first sequencing was never load-bearing. The
+    // anti-join idempotency above protects against duplicate COMPLETED
+    // requests, not against crashes — partial mutations never serve.
+    // They run CONCURRENTLY (guide §2.6, same rationale as the
+    // build/append: the delete's wall was dominated by per-action
+    // driver gaps); the shared persisted `matched` frame computes
+    // once under BlockManager's per-block locks.
     // per-token decrements = the deleted docs' surviving posting rows
     // (one row per (doc, token)); per-doc lengths ride the same
     // matched rows, denormalized and equal across a doc's rows
@@ -980,26 +1017,33 @@ object TextStats {
       .select(col(idCol), col("token"), col("len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dec = matched.groupBy("token").agg(count(lit(1)).as("_dec"))
-      old.dfT
-        .select(col("token"), col("df").as("_df0"))
-        .join(dec, Seq("token"), "left")
-        .select(col("token"),
-          greatest(col("_df0") - coalesce(col("_dec"), lit(0L)), lit(0L)).as("df"))
-        .write.mode("overwrite").parquet(s"$path/df.tmp")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
-        new org.apache.hadoop.fs.Path(s"$path/df")), s"rename failed under $path")
-      // meta repair: nD counts the REQUESTED ids (exact for zero-token
-      // docs, which have no rows but really do have length 0, and
-      // checked against n0 BEFORE the marker above); the length sum
-      // comes from each matched doc's first posting row
-      val sumD = matched.groupBy(idCol).agg(first(col("len")).as("_l"))
-        .agg(coalesce(sum("_l"), lit(0.0)).as("s")).collect()(0).getDouble(0)
-      import spark.implicits._
-      Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 - sumD) / n1, cap, tb, idCol))
-        .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
-        .write.mode("overwrite").parquet(s"$path/meta")
+      Actions.inParallel(
+        () => newIds.write.mode("append").parquet(s"$path/_tombstones"),
+        () => {
+          val dec = matched.groupBy("token").agg(count(lit(1)).as("_dec"))
+          old.dfT
+            .select(col("token"), col("df").as("_df0"))
+            .join(dec, Seq("token"), "left")
+            .select(col("token"),
+              greatest(col("_df0") - coalesce(col("_dec"), lit(0L)), lit(0L)).as("df"))
+            .write.mode("overwrite").parquet(s"$path/df.tmp")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.tmp"),
+            new org.apache.hadoop.fs.Path(s"$path/df")),
+            s"rename failed under $path")
+        },
+        // meta repair: nD counts the REQUESTED ids (exact for zero-token
+        // docs, which have no rows but really do have length 0, and
+        // checked against n0 BEFORE the marker above); the length sum
+        // comes from each matched doc's first posting row
+        () => {
+          val sumD = matched.groupBy(idCol).agg(first(col("len")).as("_l"))
+            .agg(coalesce(sum("_l"), lit(0.0)).as("s")).collect()(0).getDouble(0)
+          import spark.implicits._
+          Seq((n1, if (n1 == 0) 0.0 else (n0 * avg0 - sumD) / n1, cap, tb, idCol))
+            .toDF("ndocs", "avglen", "max_postings", "token_buckets", "id_col")
+            .write.mode("overwrite").parquet(s"$path/meta")
+        })
     } finally { matched.unpersist(); () }
     fs.delete(marker, false)
     ()

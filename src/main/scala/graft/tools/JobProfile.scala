@@ -16,8 +16,16 @@ import scala.collection.mutable
   * Each query runs once untimed (warm: JIT, codegen caches, FS
   * listings) and once profiled; the profiled pass prints one line per
   * job sorted by submission, then a by-duration summary. The timed
-  * action is the same `.count()` the Bench uses, so the job list is
-  * the scored work. Profiling only — never part of Bench/Verify. */
+  * action mirrors the Bench's (`GRAFT_BENCH_ACTION`: noop-sink write
+  * by default, `count` for the legacy action), so the job list is
+  * the scored work. Profiling only — never part of Bench/Verify.
+  *
+  * Attribution caveat (r17 advice): stage→job mapping is last-write-
+  * wins at job start, so a stage SHARED across jobs (skipped/reused
+  * exchanges) is attributed to the most recent job that listed it,
+  * and a resubmitted stage double-counts its task metrics. Fine for
+  * locating multi-second phases; don't read per-job taskSec/shuffle
+  * as exact on reused-stage queries. */
 object JobProfile {
 
   private final case class JobRow(jobId: Int, desc: String,
@@ -87,11 +95,11 @@ object JobProfile {
 
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
-      fn(spark, sfDir).count() // warm pass, untimed
+      graft.BenchAction.run(fn(spark, sfDir)) // warm pass, untimed
       Thread.sleep(300)        // let listener drain
       lst.clear()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      graft.BenchAction.run(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // listener events are async; let them land
       println(s"\n===== $n  wall=${f"$wall%.3f"}s  jobs=${lst.jobs.size} =====")

@@ -120,10 +120,13 @@ object TimeQueries {
     def time(name: String): Double = {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
-      fn(spark, sfDir).count() // warm
+      // same timed action as Bench (BenchAction: noop sink by default
+      // since r18) — the floors this gates against are recorded by
+      // Bench under the same action
+      graft.BenchAction.run(fn(spark, sfDir)) // warm
       def pass(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        graft.BenchAction.run(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       // fast queries get extra passes: a fresh subset JVM is far
